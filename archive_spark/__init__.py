@@ -1,0 +1,22 @@
+"""archive_spark — a PySpark-native per-column lightweight-compression engine.
+
+Built from scratch against the capability surface of Defacto2/archive
+(see SURVEY.md): per-column codecs (dictionary, RLE, FSST-style symbol
+tables over token streams, bit-packing, frame-of-reference/delta) with a
+statistics-driven codec auto-selector, encoding Iceberg/parquet-style
+tables of pre-tokenized training sequences
+``(doc_id:string, tokens:array<int32>, n_tok:int32, source:string)``
+per-partition via vectorized Arrow UDFs (no per-row Python), with
+bit-identical decode, per-partition checkpoint/resume + lineage metrics,
+and explicit partitioning/skew handling.
+
+Layout:
+  codecs/    pure-numpy codec kernels + block format + auto-selector
+  engine.py  Spark encode/decode paths (mapInArrow), verification
+  tokengen.py deterministic synthetic token tables (FIXTURES.md profiles)
+  checkpoint.py resumable shard-at-a-time encode job with a ledger
+  analytics.py  metadata analytics over encoded tables (SURVEY.md §2.6)
+  pipeline_ops.py training-data pipeline ops (dedup, text stats, ANN)
+"""
+
+__version__ = "0.1.0"

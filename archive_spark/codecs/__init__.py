@@ -1,0 +1,13 @@
+"""Codec kernels, block format, and the auto-selector (pure numpy)."""
+
+from .kernels import (  # noqa: F401
+    CODEC_IDS,
+    CODEC_NAMES,
+    CodecError,
+    codec_of,
+    decode,
+    encode,
+    encode_fsst,
+    encode_simple,
+)
+from .selector import choose, chunk_stats, encode_auto, estimate_sizes  # noqa: F401

@@ -1,0 +1,72 @@
+"""Vectorized bit-packing primitives (numpy only, no per-row Python).
+
+Layout: **byte-planes + bit-planar residual**.  A width-``w`` value is
+split as ``w = 8*q + r``; the packed stream stores ``q`` byte planes
+(plane ``j`` = byte ``j`` of every value — a single vectorized cast) then
+``r`` bit planes (one ``np.packbits`` pass each).  Every plane is one
+linear pass over the data, so pack/unpack cost is ``O(ceil(w/8) * n)``
+bytes with no ``(n, w)`` temporaries — the vectorized analogue of the
+reference encoder's buffered streaming copy (rezip/rezip.go:53-55).
+Planar layouts of exactly this kind are standard in columnar formats
+(Parquet byte-stream-split; bit-planar a.k.a. bit-sliced indexes).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def bit_width(max_value: int) -> int:
+    """Bits needed to represent ``max_value`` (>=0). 0 for max_value==0."""
+    if max_value < 0:
+        raise ValueError("bit_width requires a non-negative value")
+    return int(max_value).bit_length()
+
+
+def packed_size(n: int, width: int) -> int:
+    """Bytes produced by pack_bits(n values, width)."""
+    if width == 0 or n == 0:
+        return 0
+    q, r = divmod(width, 8)
+    return q * n + r * ((n + 7) // 8)
+
+
+def pack_bits(vals: np.ndarray, width: int) -> bytes:
+    """Pack ``vals`` (uint64, each < 2**width) at ``width`` bits/value."""
+    n = vals.size
+    if width == 0 or n == 0:
+        return b""
+    if width > 64:
+        raise ValueError(f"width {width} > 64")
+    vals = np.ascontiguousarray(vals, dtype=np.uint64)
+    q, r = divmod(width, 8)
+    parts: list[bytes] = []
+    for j in range(q):
+        parts.append(((vals >> np.uint64(8 * j)) & np.uint64(0xFF)).astype(np.uint8).tobytes())
+    if r:
+        resid = (vals >> np.uint64(8 * q)).astype(np.uint8)
+        one = np.uint8(1)
+        for b in range(r):
+            parts.append(np.packbits((resid >> np.uint8(b)) & one).tobytes())
+    return b"".join(parts)
+
+
+def unpack_bits(buf: bytes | memoryview, n: int, width: int) -> np.ndarray:
+    """Inverse of :func:`pack_bits`; returns uint64 array of length ``n``."""
+    if width == 0 or n == 0:
+        return np.zeros(n, dtype=np.uint64)
+    if width > 64:
+        raise ValueError(f"width {width} > 64")
+    raw = np.frombuffer(buf, dtype=np.uint8, count=packed_size(n, width))
+    q, r = divmod(width, 8)
+    out = np.zeros(n, dtype=np.uint64)
+    for j in range(q):
+        out |= raw[j * n : (j + 1) * n].astype(np.uint64) << np.uint64(8 * j)
+    if r:
+        plane_bytes = (n + 7) // 8
+        base = q * n
+        for b in range(r):
+            plane = raw[base + b * plane_bytes : base + (b + 1) * plane_bytes]
+            bits = np.unpackbits(plane, count=n)
+            out |= bits.astype(np.uint64) << np.uint64(8 * q + b)
+    return out

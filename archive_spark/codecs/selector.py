@@ -1,0 +1,206 @@
+"""Statistics-driven codec auto-selection.
+
+The reference picks a decoder by *content* (``MagicExt`` shells to
+``file --brief``, archive.go:99-145; ``magicnumber`` sniffs leading bytes,
+archive.go:301-312) and ranks candidates with a stable argmin
+(``Finds.BestMatch``, find.go:16-37).  Here the same shape runs per
+column-chunk: one vectorized stats pass over the flat token buffer
+(cardinality, run count, min/max span, delta span) produces an exact
+size estimate per codec; the argmin wins.  FSST is estimated by a
+sampled trial encode (its size is not closed-form), mirroring the
+reference's cheap-first probing (``gzip -t`` before use, gzip.go:26-41).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+from . import kernels
+from .bitio import bit_width, packed_size
+from .kernels import CONSTANT, DELTA, DICT, FOR, FSST, PLAIN, RLE, CODEC_NAMES
+
+HEADER = kernels.HEADER_SIZE
+
+# FSST trial-encode knobs: sample this many values, build at most this many
+# symbols; full encode uses the larger budget only when the trial wins.
+FSST_SAMPLE = 1 << 16
+FSST_TRIAL_SYMBOLS = 48
+FSST_FULL_SYMBOLS = 255
+FSST_MIN_VALUES = 4096
+
+
+# Above this chunk size, cardinality is first probed on a strided sample;
+# the exact unique pass (a full sort) only runs when the probe says
+# low-cardinality codecs could plausibly win (cheap-first probing — the
+# `gzip -t`-before-decode pattern, gzip.go:26-41).
+EXACT_DISTINCT_LIMIT = 1 << 18
+DISTINCT_SAMPLE = 1 << 16
+
+
+@dataclass
+class ChunkStats:
+    """One-pass statistics over a flat int32 chunk (all vectorized).
+
+    ``distinct_exact`` is False when the sample probe showed
+    high-cardinality data and the exact unique pass was skipped — dict is
+    not a candidate then (it cannot win at ~unique-per-value).
+    ``uvals`` caches the sorted unique values so the dict/fsst encoder
+    does not re-sort.
+    """
+
+    n: int
+    vmin: int
+    vmax: int
+    n_runs: int
+    n_distinct: int
+    run_len_min: int
+    run_len_max: int
+    d_min: int           # delta stats (0 when n < 2)
+    d_max: int
+    distinct_exact: bool = True
+    uvals: np.ndarray | None = None
+
+
+def chunk_stats(v: np.ndarray) -> ChunkStats:
+    n = int(v.size)
+    if n == 0:
+        return ChunkStats(0, 0, 0, 0, 0, 0, 0, 0, 0)
+    w = v.astype(np.int64, copy=False)
+    vmin, vmax = int(w.min()), int(w.max())
+    if vmin == vmax:
+        return ChunkStats(n, vmin, vmax, 1, 1, n, n, 0, 0)
+    change = np.diff(w)
+    nz = change != 0
+    n_runs = int(nz.sum()) + 1
+    starts = np.concatenate(([0], np.flatnonzero(nz) + 1))
+    run_lens = np.diff(np.concatenate((starts, [n])))
+
+    distinct_exact = True
+    uvals: np.ndarray | None = None
+    if n > EXACT_DISTINCT_LIMIT:
+        sample = v[:: max(1, n // DISTINCT_SAMPLE)]
+        k_sample = int(np.unique(sample).size)
+        if k_sample > sample.size // 2:
+            # high cardinality — dict/fsst can't win; skip the full sort
+            distinct_exact = False
+            n_distinct = n
+        else:
+            uvals = np.unique(v)
+            n_distinct = int(uvals.size)
+    else:
+        uvals = np.unique(v)
+        n_distinct = int(uvals.size)
+
+    return ChunkStats(
+        n=n,
+        vmin=vmin,
+        vmax=vmax,
+        n_runs=n_runs,
+        n_distinct=n_distinct,
+        run_len_min=int(run_lens.min()),
+        run_len_max=int(run_lens.max()),
+        d_min=int(change.min()),
+        d_max=int(change.max()),
+        distinct_exact=distinct_exact,
+        uvals=uvals,
+    )
+
+
+def _simple_block_size(n: int, span: int) -> int:
+    """Exact size of encode_simple() output for n values spanning ``span``."""
+    if n == 0:
+        return HEADER
+    if span == 0:
+        return HEADER + 8
+    for_size = HEADER + 9 + packed_size(n, bit_width(span))
+    return min(for_size, HEADER + 4 * n)
+
+
+def estimate_sizes(stats: ChunkStats) -> dict[str, int]:
+    """Exact encoded size per deterministic codec (closed-form — these match
+    the encoder's actual output byte-for-byte; verified by property test)."""
+    n = stats.n
+    if n == 0:
+        return {"plain": HEADER}
+    est: dict[str, int] = {}
+    est["plain"] = HEADER + 4 * n
+    if stats.n_distinct == 1:
+        est["constant"] = HEADER + 8
+    span = stats.vmax - stats.vmin
+    est["for"] = HEADER + 9 + packed_size(n, bit_width(span))
+    if n >= 2:
+        d_span = stats.d_max - stats.d_min
+        est["delta"] = HEADER + 17 + packed_size(n - 1, bit_width(d_span))
+    r = stats.n_runs
+    if r < n:
+        vals_blk = _simple_block_size(r, span)
+        lens_blk = _simple_block_size(r, stats.run_len_max - stats.run_len_min)
+        est["rle"] = HEADER + 16 + vals_blk + lens_blk
+    k = stats.n_distinct
+    if stats.distinct_exact and 1 < k < n:
+        uvals_blk = _simple_block_size(k, span)
+        idx_blk = _simple_block_size(n, k - 1)
+        est["dict"] = HEADER + 12 + uvals_blk + idx_blk
+    return est
+
+
+def _bigram_probe(v: np.ndarray) -> float:
+    """Max adjacent-pair frequency in a small prefix — if no bigram repeats,
+    symbol-table coding can't win and the trial encode is skipped."""
+    s = v[:16384].astype(np.int64)
+    if s.size < 64:
+        return 0.0
+    key = (s[:-1] << np.int64(32)) ^ (s[1:] & np.int64(0xFFFFFFFF))
+    _, counts = np.unique(key, return_counts=True)
+    return float(counts.max()) / s.size
+
+
+def _fsst_trial(v: np.ndarray, best_other: int) -> int | None:
+    """Sampled trial FSST encode → extrapolated full size, or None if the
+    trial shows no promise.  Cost-bounded: <= FSST_SAMPLE values and
+    FSST_TRIAL_SYMBOLS table-build iterations."""
+    n = v.size
+    if n < FSST_MIN_VALUES:
+        return None
+    if _bigram_probe(v) < 0.005:
+        return None
+    sample = v[:FSST_SAMPLE]
+    trial = kernels.encode_fsst(sample, max_symbols=FSST_TRIAL_SYMBOLS)
+    ratio = len(trial) / (4 * sample.size)
+    projected = int(ratio * 4 * n) + HEADER
+    # The full encode (more symbols) only improves on the trial; require the
+    # projection to beat the best deterministic codec by a margin before
+    # paying for the full table build.
+    if projected < 0.92 * best_other:
+        return projected
+    return None
+
+
+def choose(v: np.ndarray, allow_fsst: bool = True) -> tuple[str, int, ChunkStats]:
+    """Pick the smallest codec for a flat chunk: (name, est_bytes, stats)."""
+    stats = chunk_stats(np.asarray(v, dtype=np.int32))
+    est = estimate_sizes(stats)
+    name = min(est, key=lambda k: (est[k], k))
+    best = est[name]
+    # fsst only makes sense on low-cardinality sequential data (its input is
+    # the dict-indexed stream); skip on high-cardinality chunks.
+    if allow_fsst and stats.distinct_exact and 1 < stats.n_distinct < stats.n // 4:
+        f = _fsst_trial(np.asarray(v, dtype=np.int32), best)
+        if f is not None and f < best:
+            return "fsst", f, stats
+    return name, best, stats
+
+
+def encode_auto(v: np.ndarray, allow_fsst: bool = True) -> tuple[bytes, str]:
+    """Encode with the auto-selected codec; falls back to plain if the
+    chosen encoding somehow inflates (never emit a block larger than plain
+    — analogue of Stored(0) fallback in zip encoders)."""
+    v = np.asarray(v, dtype=np.int32)
+    name, _, stats = choose(v, allow_fsst=allow_fsst)
+    blk = kernels.encode(v, name, uvals=stats.uvals if name in ("dict", "fsst") else None)
+    plain_size = HEADER + 4 * v.size
+    if len(blk) > plain_size:
+        return kernels.encode(v, PLAIN), "plain"
+    return blk, name

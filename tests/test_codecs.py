@@ -1,0 +1,191 @@
+"""Codec kernel roundtrip + selector tests (pure numpy, no Spark).
+
+Mirrors the reference test strategy (SURVEY.md §5): a golden corpus of
+profiles each favoring a different codec (archive_test.go:31-142), with
+bit-identity asserted per codec (rezip.Test roundtrip, rezip/rezip.go:123-151)
+plus negative/corrupted-input cases (archive_test.go:320-391).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from archive_spark.codecs import (
+    CODEC_IDS,
+    CodecError,
+    choose,
+    codec_of,
+    decode,
+    encode,
+    encode_auto,
+    encode_fsst,
+    estimate_sizes,
+    chunk_stats,
+)
+
+I32_MIN, I32_MAX = np.iinfo(np.int32).min, np.iinfo(np.int32).max
+RNG = np.random.default_rng(42)
+
+
+def profiles() -> dict[str, np.ndarray]:
+    """Deterministic per-profile corpora (FIXTURES.md §1)."""
+    n = 20_000
+    runs = np.repeat(
+        RNG.integers(0, 50, size=800).astype(np.int32),
+        RNG.geometric(1 / 40, size=800),
+    )[:n]
+    # 64 distinct ids scattered across int32 (dict must beat for/bitpack)
+    vocab = RNG.integers(0, 2**31 - 1, size=64).astype(np.int32)
+    lowcard = RNG.choice(vocab, size=n, p=_zipf_p(64))
+    narrow = RNG.integers(0, 256, size=n).astype(np.int32)
+    offset = RNG.integers(1_000_000, 1_000_512, size=n).astype(np.int32)
+    sorted_ids = np.cumsum(RNG.integers(0, 5, size=n)).astype(np.int32)
+    # natural-language-like: zipfian vocab + heavy phrase (n-gram) reuse,
+    # so symbol-table (fsst) compression has real bigram redundancy to mine
+    bank = [
+        (np.floor(50_000 * RNG.random(size=RNG.integers(3, 9)) ** 3)).astype(np.int32)
+        for _ in range(200)
+    ]
+    textish = np.concatenate(
+        [bank[i] for i in RNG.choice(200, size=n // 5, p=_zipf_p(200))]
+    )[:n]
+    rand = RNG.integers(I32_MIN, I32_MAX, size=n, dtype=np.int64).astype(np.int32)
+    const = np.full(n, -7, dtype=np.int32)
+    return {
+        "runs": runs,
+        "lowcard": lowcard,
+        "narrow": narrow,
+        "offset": offset,
+        "sorted": sorted_ids,
+        "textish": textish,
+        "random": rand,
+        "constant": const,
+    }
+
+
+def _zipf_p(k: int) -> np.ndarray:
+    p = 1.0 / np.arange(1, k + 1)
+    return p / p.sum()
+
+
+EDGE_CASES = [
+    np.zeros(0, dtype=np.int32),
+    np.array([0], dtype=np.int32),
+    np.array([I32_MIN], dtype=np.int32),
+    np.array([I32_MAX], dtype=np.int32),
+    np.array([I32_MIN, I32_MAX], dtype=np.int32),
+    np.array([I32_MAX, I32_MIN, I32_MAX, I32_MIN], dtype=np.int32),
+    np.array([-1, -1, -1, 5], dtype=np.int32),
+    np.arange(-500, 500, dtype=np.int32),
+]
+
+
+@pytest.mark.parametrize("codec", sorted(CODEC_IDS))
+@pytest.mark.parametrize("name", sorted(profiles()))
+def test_roundtrip_every_codec_every_profile(codec, name):
+    v = profiles()[name]
+    if codec == "constant" and np.unique(v).size > 1:
+        with pytest.raises(CodecError):
+            encode(v, codec)
+        return
+    blk = encode(v, codec)
+    out = decode(blk)
+    assert out.dtype == np.int32
+    np.testing.assert_array_equal(out, v)
+
+
+@pytest.mark.parametrize("codec", sorted(CODEC_IDS))
+@pytest.mark.parametrize("i", range(len(EDGE_CASES)))
+def test_roundtrip_edge_cases(codec, i):
+    v = EDGE_CASES[i]
+    if codec == "constant" and np.unique(v).size > 1:
+        with pytest.raises(CodecError):
+            encode(v, codec)
+        return
+    np.testing.assert_array_equal(decode(encode(v, codec)), v)
+
+
+@pytest.mark.parametrize("name", sorted(profiles()))
+def test_auto_roundtrip_and_never_inflates(name):
+    v = profiles()[name]
+    blk, codec = encode_auto(v)
+    np.testing.assert_array_equal(decode(blk), v)
+    assert codec_of(blk) == codec
+    assert len(blk) <= 9 + 4 * v.size  # never worse than plain + header
+
+
+def test_selector_estimates_exact():
+    """Closed-form estimates equal actual encoded sizes (the MagicExt/
+    BestMatch property: the ranking is trustworthy)."""
+    for name, v in profiles().items():
+        est = estimate_sizes(chunk_stats(v))
+        for codec, size in est.items():
+            assert len(encode(v, codec)) == size, (name, codec)
+
+
+EXPECTED_WINNER = {
+    "runs": {"rle"},
+    "lowcard": {"dict"},
+    "narrow": {"for"},
+    "offset": {"for"},
+    "sorted": {"delta"},
+    "constant": {"constant"},
+    "random": {"plain", "for"},
+    "textish": {"dict", "fsst"},
+}
+
+
+@pytest.mark.parametrize("name", sorted(EXPECTED_WINNER))
+def test_selector_picks_sensible_codec(name):
+    v = profiles()[name]
+    codec, _, _ = choose(v)
+    assert codec in EXPECTED_WINNER[name], f"{name}: picked {codec}"
+
+
+RATIO_BOUND = {  # enc_bytes / (4 * n) upper bounds per profile (BASELINE.md)
+    "runs": 0.10,
+    "lowcard": 0.25,
+    "narrow": 0.27,
+    "offset": 0.30,
+    "sorted": 0.15,
+    "textish": 0.60,
+    "random": 1.01,
+    "constant": 0.01,
+}
+
+
+@pytest.mark.parametrize("name", sorted(RATIO_BOUND))
+def test_compression_ratio_bounds(name):
+    v = profiles()[name]
+    blk, _ = encode_auto(v)
+    assert len(blk) / (4 * v.size) <= RATIO_BOUND[name]
+
+
+def test_fsst_beats_dict_on_bigrammy_data():
+    """Token stream with heavy repeated phrases → symbol table wins."""
+    phrase = RNG.integers(0, 1000, size=12).astype(np.int32)
+    parts = []
+    for _ in range(500):
+        parts.append(phrase)
+        parts.append(RNG.integers(0, 1000, size=5).astype(np.int32))
+    v = np.concatenate(parts)
+    fsst_blk = encode_fsst(v)
+    dict_blk = encode(v, "dict")
+    np.testing.assert_array_equal(decode(fsst_blk), v)
+    assert len(fsst_blk) < len(dict_blk)
+
+
+def test_unknown_codec_rejected():
+    with pytest.raises(CodecError):
+        decode(b"\x63" + b"\x00" * 16)
+
+
+def test_truncated_header_rejected():
+    with pytest.raises(CodecError):
+        decode(b"\x00\x01")
+
+
+def test_out_of_range_values_rejected():
+    with pytest.raises(CodecError):
+        encode(np.array([2**40], dtype=np.int64), "plain")
