@@ -168,12 +168,20 @@ def _fsst_trial(v: np.ndarray, best_other: int) -> int | None:
         return None
     sample = v[:FSST_SAMPLE]
     trial = kernels.encode_fsst(sample, max_symbols=FSST_TRIAL_SYMBOLS)
-    ratio = len(trial) / (4 * sample.size)
-    projected = int(ratio * 4 * n) + HEADER
-    # The full encode (more symbols) only improves on the trial; require the
-    # projection to beat the best deterministic codec by a margin before
-    # paying for the full table build.
-    if projected < 0.92 * best_other:
+    # Extrapolate fixed (dict table + symbol table) and variable (packed
+    # code stream) costs separately: the table amortizes over the full
+    # chunk, so a flat ratio extrapolation badly over-estimates big chunks.
+    import struct as _struct
+
+    n_base, n_sym, alpha_width, vlen = _struct.unpack_from("<IHBQ", trial, HEADER)
+    seq_off = HEADER + 15 + vlen + packed_size(2 * n_sym, alpha_width)
+    (seq_n,) = _struct.unpack_from("<Q", trial, seq_off)
+    codes_bytes = packed_size(seq_n, alpha_width)
+    table_bytes = len(trial) - codes_bytes
+    projected = int(table_bytes + codes_bytes * (n / sample.size))
+    # The full encode (more symbols) only improves on the trial; a small
+    # margin avoids paying the table-build cost for marginal wins.
+    if projected < 0.98 * best_other:
         return projected
     return None
 

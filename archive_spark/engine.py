@@ -1,0 +1,261 @@
+"""Spark encode/decode paths — the engine core.
+
+``encode_df`` is the analogue of the reference's rezip encoder
+(rezip/rezip.go:33-119) re-expressed columnar: each Arrow batch's token
+column is flattened zero-copy (values + offsets), grouped by ``source``,
+split into ~``target_block_values`` blocks, and each block is encoded
+with the auto-selected codec.  One output row per *block* (not per doc)
+— block-level payloads are what make lightweight codecs effective and
+keep metadata overhead O(blocks), the same reason the reference archives
+compress members as blocks rather than bytes-at-a-time.
+
+``decode_df`` is ``Extractor.Extract`` (archive.go:301-312): dispatch on
+the payload's self-describing codec header (content-based, like
+``magicnumber`` sniffing), with targeted decode = block pruning via
+``arrays_overlap`` + a post-filter — predicate pushdown happening
+*before* the opaque UDF barrier, the one hand-optimization Catalyst
+cannot do for us (SURVEY.md §4).
+
+No per-row Python anywhere: token payloads move as numpy views over
+Arrow buffers; per-*block* Python (a few objects per million tokens) is
+the unit of iteration.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, Sequence
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from pyspark.sql import DataFrame, functions as F
+
+from .codecs import kernels
+from .codecs.selector import choose, encode_auto
+
+TOKENS_SCHEMA = "doc_id string, tokens array<int>, n_tok int, source string"
+
+ENCODED_SCHEMA = (
+    "block_id string, source string, doc_ids array<string>, "
+    "payload binary, lengths_payload binary, "
+    "meta struct<codec:string, n_values:bigint, n_docs:int, "
+    "raw_bytes:bigint, enc_bytes:bigint, params:map<string,string>>"
+)
+
+DEFAULT_BLOCK_VALUES = 1 << 21  # ~8 MiB of raw int32 per block
+
+
+def _ragged_gather(
+    flat: np.ndarray, offsets: np.ndarray, lens: np.ndarray, row_idx: np.ndarray
+) -> np.ndarray:
+    """Concatenate flat[offsets[i]:offsets[i]+lens[i]] for i in row_idx —
+    fully vectorized (repeat + cumsum), no per-row Python."""
+    blk_lens = lens[row_idx]
+    total = int(blk_lens.sum())
+    if total == 0:
+        return np.zeros(0, dtype=flat.dtype)
+    cum = np.cumsum(blk_lens)
+    rel = np.arange(total, dtype=np.int64) - np.repeat(cum - blk_lens, blk_lens)
+    return flat[np.repeat(offsets[row_idx], blk_lens) + rel]
+
+
+def _split_blocks(lens: np.ndarray, rows: np.ndarray, target: int) -> list[np.ndarray]:
+    """Split row indexes into blocks of ~target token values (a doc never
+    spans blocks; an oversized doc gets its own block — the reference's
+    one-archive-one-job granularity)."""
+    csum = np.cumsum(lens[rows])
+    blocks = []
+    start = 0
+    while start < rows.size:
+        base = csum[start - 1] if start else 0
+        end = int(np.searchsorted(csum, base + target, side="right"))
+        end = max(end, start + 1)
+        blocks.append(rows[start:end])
+        start = end
+    return blocks
+
+
+def _make_encoder(target_block_values: int, allow_fsst: bool):
+    def enc(it: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in it:
+            if batch.num_rows == 0:
+                continue
+            doc_id = batch.column("doc_id")
+            tokens = batch.column("tokens")
+            source = batch.column("source")
+            if tokens.null_count:
+                raise kernels.CodecError("null tokens arrays are not encodable")
+            offsets = np.asarray(tokens.offsets, dtype=np.int64)
+            flat = np.asarray(tokens.values, dtype=np.int32)
+            starts, lens = offsets[:-1], np.diff(offsets)
+
+            senc = pc.dictionary_encode(source).combine_chunks() if isinstance(
+                source, pa.ChunkedArray
+            ) else source.dictionary_encode()
+            codes = np.asarray(senc.indices)
+            snames = senc.dictionary.to_pylist()
+
+            out = {k: [] for k in (
+                "block_id", "source", "payload", "lengths_payload",
+                "codec", "n_values", "n_docs", "raw_bytes", "enc_bytes", "params",
+            )}
+            emitted_rows: list[np.ndarray] = []
+
+            for c, sname in enumerate(snames):
+                rows = np.flatnonzero(codes == c)
+                for row_idx in _split_blocks(lens, rows, target_block_values):
+                    # contiguous fast path: plain slice of the Arrow buffer
+                    if row_idx.size and row_idx[-1] - row_idx[0] + 1 == row_idx.size:
+                        vals = flat[starts[row_idx[0]] : starts[row_idx[0]] + int(lens[row_idx].sum())]
+                    else:
+                        vals = _ragged_gather(flat, starts, lens, row_idx)
+                    payload, codec = encode_auto(vals, allow_fsst=allow_fsst)
+                    lens_payload, _ = encode_auto(
+                        lens[row_idx].astype(np.int32), allow_fsst=False
+                    )
+                    first = doc_id[int(row_idx[0])].as_py()
+                    out["block_id"].append(f"{first}#{row_idx.size}")
+                    out["source"].append(sname)
+                    out["payload"].append(payload)
+                    out["lengths_payload"].append(lens_payload)
+                    out["codec"].append(codec)
+                    out["n_values"].append(int(vals.size))
+                    out["n_docs"].append(int(row_idx.size))
+                    out["raw_bytes"].append(int(vals.size) * 4)
+                    out["enc_bytes"].append(len(payload) + len(lens_payload))
+                    out["params"].append({"lengths_codec": kernels.codec_of(lens_payload)})
+                    emitted_rows.append(row_idx)
+
+            if not emitted_rows:
+                continue
+            all_rows = np.concatenate(emitted_rows)
+            doc_flat = doc_id.take(pa.array(all_rows))
+            blk_offsets = np.concatenate(
+                ([0], np.cumsum([r.size for r in emitted_rows]))
+            )
+            doc_ids_col = pa.ListArray.from_arrays(
+                pa.array(blk_offsets, pa.int32()), doc_flat
+            )
+            meta = pa.StructArray.from_arrays(
+                [
+                    pa.array(out["codec"], pa.string()),
+                    pa.array(out["n_values"], pa.int64()),
+                    pa.array(out["n_docs"], pa.int32()),
+                    pa.array(out["raw_bytes"], pa.int64()),
+                    pa.array(out["enc_bytes"], pa.int64()),
+                    pa.array(out["params"], pa.map_(pa.string(), pa.string())),
+                ],
+                names=["codec", "n_values", "n_docs", "raw_bytes", "enc_bytes", "params"],
+            )
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(out["block_id"], pa.string()),
+                    pa.array(out["source"], pa.string()),
+                    doc_ids_col,
+                    pa.array(out["payload"], pa.binary()),
+                    pa.array(out["lengths_payload"], pa.binary()),
+                    meta,
+                ],
+                names=["block_id", "source", "doc_ids", "payload", "lengths_payload", "meta"],
+            )
+
+    return enc
+
+
+def encode(
+    df: DataFrame,
+    target_block_values: int = DEFAULT_BLOCK_VALUES,
+    allow_fsst: bool = True,
+    salt_partitions: int | None = None,
+) -> DataFrame:
+    """Encode a (doc_id, tokens, n_tok, source) DataFrame into blocks.
+
+    ``salt_partitions``: repartition by (source, salt) first — salting
+    defeats source-key skew (the dominant `textish` source, north_rule)
+    while keeping blocks source-homogeneous for codec fit.
+    """
+    if salt_partitions:
+        df = df.repartition(
+            salt_partitions,
+            F.col("source"),
+            F.pmod(F.xxhash64("doc_id"), F.lit(salt_partitions)),
+        )
+    return df.mapInArrow(
+        _make_encoder(target_block_values, allow_fsst), ENCODED_SCHEMA
+    )
+
+
+def _decode_batches(it: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+    for batch in it:
+        if batch.num_rows == 0:
+            continue
+        payloads = batch.column("payload")
+        lens_payloads = batch.column("lengths_payload")
+        doc_ids = batch.column("doc_ids")
+        sources = batch.column("source")
+        vals_parts: list[np.ndarray] = []
+        lens_parts: list[np.ndarray] = []
+        src_codes = np.empty(batch.num_rows, dtype=np.int64)
+        ndocs = np.empty(batch.num_rows, dtype=np.int64)
+        for i in range(batch.num_rows):  # per-block loop (not per-row)
+            vals = kernels.decode(payloads[i].as_py())
+            lens = kernels.decode(lens_payloads[i].as_py()).astype(np.int64)
+            if int(lens.sum()) != vals.size:
+                raise kernels.CodecError(
+                    f"block {batch.column('block_id')[i]}: lengths/payload mismatch"
+                )
+            vals_parts.append(vals)
+            lens_parts.append(lens)
+            ndocs[i] = lens.size
+        flat = np.concatenate(vals_parts) if vals_parts else np.zeros(0, np.int32)
+        lens_all = np.concatenate(lens_parts) if lens_parts else np.zeros(0, np.int64)
+        offsets = np.concatenate(([0], np.cumsum(lens_all)))
+        tokens = pa.ListArray.from_arrays(
+            pa.array(offsets, pa.int32()), pa.array(flat, pa.int32())
+        )
+        # doc_ids: flatten the list column (order matches block order)
+        doc_flat = doc_ids.flatten()
+        if len(doc_flat) != int(ndocs.sum()):
+            raise kernels.CodecError("doc_ids/lengths cardinality mismatch")
+        src_rep = pa.DictionaryArray.from_arrays(
+            pa.array(np.repeat(np.arange(batch.num_rows), ndocs), pa.int32()), sources
+        ).cast(pa.string())
+        yield pa.RecordBatch.from_arrays(
+            [doc_flat, tokens, pa.array(lens_all.astype(np.int32), pa.int32()), src_rep],
+            names=["doc_id", "tokens", "n_tok", "source"],
+        )
+
+
+def decode(df_encoded: DataFrame, targets: Sequence[str] | None = None) -> DataFrame:
+    """Decode encoded blocks back to (doc_id, tokens, n_tok, source).
+
+    ``targets``: decode only the named doc_ids (Extractor.Extract's
+    targets, archive.go:301) — blocks not containing any target are
+    pruned *before* the decode UDF.
+    """
+    if targets:
+        tlits = F.array(*[F.lit(t) for t in targets])
+        df_encoded = df_encoded.filter(F.arrays_overlap(F.col("doc_ids"), tlits))
+    out = df_encoded.mapInArrow(_decode_batches, TOKENS_SCHEMA)
+    if targets:
+        out = out.filter(F.col("doc_id").isin(list(targets)))
+    return out
+
+
+def roundtrip_report(original: DataFrame, decoded: DataFrame) -> DataFrame:
+    """The rezip.Test verifier (rezip/rezip.go:123-151): bit-identity via
+    a full outer join on doc_id + null-safe array equality.  Returns a
+    1-row DataFrame (n_docs, n_decoded, n_mismatch)."""
+    o = original.select(
+        F.col("doc_id"), F.col("tokens").alias("tokens_o")
+    )
+    d = decoded.select(F.col("doc_id"), F.col("tokens").alias("tokens_d"))
+    j = o.join(d, "doc_id", "full_outer")
+    return j.agg(
+        F.count(F.col("tokens_o")).alias("n_docs"),
+        F.count(F.col("tokens_d")).alias("n_decoded"),
+        F.sum(
+            F.when(~F.col("tokens_o").eqNullSafe(F.col("tokens_d")), 1).otherwise(0)
+        ).cast("bigint").alias("n_mismatch"),
+    )

@@ -1,0 +1,55 @@
+"""SparkSession factory tuned for the encode/decode workload.
+
+Local-mode knobs follow the public Spark docs: AQE on, shuffle
+partitions sized to cores (not the 200 default), Arrow enabled for the
+mapInArrow hot path, generous Arrow batch size so codec kernels see
+large chunks (the analogue of the reference's block-at-a-time I/O).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# ~8k docs/batch × ~200 tokens ≈ 1.6M values per Arrow batch — large
+# enough for codec efficiency, small enough to bound worker memory
+# (the reference's 150 MB input guard, archive.go:469-475, re-expressed
+# as a batch-size cap).
+DEFAULT_ARROW_BATCH = 8192
+
+
+def get_spark(
+    app: str = "archive_spark",
+    cores: int | str | None = None,
+    shuffle_partitions: int | None = None,
+    driver_memory: str | None = None,
+    extra: dict[str, str] | None = None,
+) -> SparkSession:
+    if cores is None:
+        cores = os.environ.get("SPARK_GRAFT_CPUS", "*")
+    master = os.environ.get("SPARK_MASTER", f"local[{cores}]")
+    if shuffle_partitions is None:
+        try:
+            shuffle_partitions = max(8, int(cores) * 2)
+        except (TypeError, ValueError):
+            shuffle_partitions = 64
+    b = (
+        SparkSession.builder.master(master)
+        .appName(app)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", str(DEFAULT_ARROW_BATCH))
+        .config("spark.driver.memory", driver_memory or os.environ.get("SPARK_DRIVER_MEM", "16g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.files.maxPartitionBytes", "128m")
+    )
+    for k, v in (extra or {}).items():
+        b = b.config(k, v)
+    spark = b.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

@@ -1,0 +1,179 @@
+"""Deterministic synthetic token tables (FIXTURES.md §1 profiles).
+
+Counter-based hashing (splitmix64) keyed by the *global document index*
+makes every value a pure function of ``(seed, doc_index, position)`` —
+the generated table is bit-identical regardless of partition count or
+core count, which is what lets the scaling benchmark run the same input
+at local[N] and local[4N].  The generator is itself a Spark job
+(``spark.range`` → ``mapInArrow``), so it scales with the cluster like
+any other source (no driver-side materialization).
+
+Mirrors the reference's golden-corpus strategy (archive_test.go:31-142):
+one table whose ``source`` groups have distinct compressibility profiles
+so every codec wins somewhere; `textish` dominates the weights to force
+source-key skew (handled by salted repartition at encode time).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pyarrow as pa
+
+from pyspark.sql import DataFrame, SparkSession
+
+TOKENS_SCHEMA = "doc_id string, tokens array<int>, n_tok int, source string"
+
+# (name, weight, max_len) — weights per FIXTURES.md; textish dominates.
+PROFILES = [
+    ("runs", 0.15, 512),
+    ("lowcard", 0.15, 256),
+    ("narrow", 0.10, 256),
+    ("offset", 0.10, 256),
+    ("sorted", 0.05, 512),
+    ("textish", 0.40, 384),
+    ("random", 0.04, 128),
+    ("constant", 0.01, 64),
+]
+_NAMES = [p[0] for p in PROFILES]
+_CUMW = np.cumsum([p[1] for p in PROFILES])
+_MAXLEN = np.array([p[2] for p in PROFILES], dtype=np.int64)
+
+_U64 = np.uint64
+
+
+def _mix64(x: np.ndarray) -> np.ndarray:
+    """splitmix64 finalizer (public-domain PRNG mixer), vectorized."""
+    x = x.astype(np.uint64, copy=True)
+    x ^= x >> _U64(30)
+    x *= _U64(0xBF58476D1CE4E5B9)
+    x ^= x >> _U64(27)
+    x *= _U64(0x94D049BB133111EB)
+    x ^= x >> _U64(31)
+    return x
+
+
+def _h(*parts: np.ndarray | int) -> np.ndarray:
+    acc = None
+    for p in parts:
+        arr = np.asarray(p, dtype=np.uint64)
+        acc = arr if acc is None else _mix64(acc ^ (arr * _U64(0x9E3779B97F4A7C15)))
+    return _mix64(acc)
+
+
+def _u01(x: np.ndarray) -> np.ndarray:
+    return (x >> _U64(11)).astype(np.float64) / float(1 << 53)
+
+
+def generate_ids(ids: np.ndarray, seed: int = 42):
+    """Generate docs for global indexes ``ids`` (uint64) → columns.
+
+    Returns (doc_id: np.ndarray[str], source: np.ndarray[str],
+    lengths: np.ndarray[int64], flat_tokens: np.ndarray[int32]).
+    """
+    ids = np.asarray(ids, dtype=np.uint64)
+    n = ids.size
+    base = _h(ids, seed)
+    prof = np.searchsorted(_CUMW, _u01(_h(base, 1)), side="right").clip(0, len(PROFILES) - 1)
+
+    # lengths: skewed toward short docs, deterministic edge cases mixed in
+    u_len = _u01(_h(base, 2))
+    lengths = (u_len**1.5 * _MAXLEN[prof]).astype(np.int64) + 2
+    lengths[ids % _U64(997) == _U64(0)] = 0   # empty docs
+    lengths[ids % _U64(997) == _U64(1)] = 1   # single-token docs
+
+    total = int(lengths.sum())
+    doc_of = np.repeat(np.arange(n, dtype=np.int64), lengths)
+    cum = np.cumsum(lengths)
+    pos = np.arange(total, dtype=np.int64) - np.repeat(cum - lengths, lengths)
+
+    def _reset_per_doc(cs: np.ndarray) -> np.ndarray:
+        """Given a global cumsum over flat positions, subtract each doc's
+        start value → per-doc cumsum (vectorized reset)."""
+        prev_end = cum[:-1]  # flat length consumed before docs 1..n-1
+        at_start = np.concatenate(
+            ([0], np.where(prev_end > 0, cs[np.maximum(prev_end - 1, 0)], 0))
+        )
+        return cs - at_start[doc_of]
+
+    dbase = base[doc_of]
+    p = prof[doc_of]
+    tok = np.empty(total, dtype=np.int64)
+    hpos = _h(dbase, pos.astype(np.uint64), 3)
+
+    m = p == 0  # runs: geometric runs (mean ~40) of small values
+    if m.any():
+        gchange = np.zeros(total, dtype=np.int64)
+        gchange[m] = _u01(hpos[m]) < 0.025
+        run_idx = _reset_per_doc(np.cumsum(gchange))
+        tok[m] = (_h(dbase[m], run_idx[m].astype(np.uint64), 4) % _U64(50)).astype(np.int64)
+
+    m = p == 1  # lowcard: 64 wide-spread vocab ids, zipf-ish
+    if m.any():
+        rank = (_u01(_h(dbase[m], hpos[m], 5)) ** 3 * 64).astype(np.int64)
+        tok[m] = (_h(rank.astype(np.uint64), 6) % _U64(1 << 31)).astype(np.int64)
+
+    m = p == 2  # narrow: uniform [0, 256)
+    tok[m] = (hpos[m] % _U64(256)).astype(np.int64)
+
+    m = p == 3  # offset: uniform [1_000_000, 1_000_512)
+    tok[m] = 1_000_000 + (hpos[m] % _U64(512)).astype(np.int64)
+
+    m = p == 4  # sorted: per-doc cumsum of small deltas
+    if m.any():
+        delta = np.zeros(total, dtype=np.int64)
+        delta[m] = (hpos[m] % _U64(5)).astype(np.int64)
+        tok[m] = _reset_per_doc(np.cumsum(delta))[m]
+
+    m = p == 5  # textish: virtual phrase bank (repeated 6-grams, zipf phrases)
+    if m.any():
+        pid = _h(dbase[m], (pos[m] // 6).astype(np.uint64), 7)
+        rank = (_u01(pid) ** 3 * 2000).astype(np.uint64)
+        tok[m] = (_h(rank, (pos[m] % 6).astype(np.uint64), 8) % _U64(50_000)).astype(np.int64)
+
+    m = p == 6  # random: full int32 range (incl. negatives / extremes)
+    tok[m] = (hpos[m] >> _U64(32)).astype(np.uint32).astype(np.int32).astype(np.int64)
+
+    m = p == 7  # constant: one value per doc
+    tok[m] = (_h(dbase[m], 9) % _U64(100)).astype(np.int64)
+
+    flat = tok.astype(np.int32)
+    source = np.array(_NAMES, dtype=object)[prof]
+    idx_str = np.char.mod("%010d", ids.astype(np.int64))
+    doc_id = np.char.add(np.char.add(source.astype(str), "-"), idx_str)
+    return doc_id, source, lengths, flat
+
+
+def _gen_batches(it: Iterator[pa.RecordBatch], seed: int) -> Iterator[pa.RecordBatch]:
+    for batch in it:
+        ids = batch.column(0).to_numpy().astype(np.uint64)
+        if ids.size == 0:
+            continue
+        doc_id, source, lengths, flat = generate_ids(ids, seed)
+        offsets = np.concatenate(([0], np.cumsum(lengths)))
+        tokens = pa.ListArray.from_arrays(pa.array(offsets, pa.int32()), pa.array(flat, pa.int32()))
+        yield pa.RecordBatch.from_arrays(
+            [
+                pa.array(doc_id.astype(str), pa.string()),
+                tokens,
+                pa.array(lengths.astype(np.int32), pa.int32()),
+                pa.array(source.astype(str), pa.string()),
+            ],
+            names=["doc_id", "tokens", "n_tok", "source"],
+        )
+
+
+def token_table(
+    spark: SparkSession, n_docs: int, seed: int = 42, partitions: int | None = None
+) -> DataFrame:
+    """Distributed deterministic token table of ``n_docs`` rows."""
+    if partitions is None:
+        partitions = max(spark.sparkContext.defaultParallelism, 8)
+    rng = spark.range(0, n_docs, numPartitions=partitions)
+    return rng.mapInArrow(lambda it: _gen_batches(it, seed), TOKENS_SCHEMA)
+
+
+def token_table_local(n_docs: int, seed: int = 42):
+    """Driver-side variant for unit tests → (pandas-free) numpy columns."""
+    return generate_ids(np.arange(n_docs, dtype=np.uint64), seed)

@@ -1,0 +1,129 @@
+"""Spark encode/decode engine tests (SURVEY.md §5 translation).
+
+Invariant-style assertions like the reference's (member-count == 3,
+exact sizes — archive_test.go:161-223): roundtrip bit-identity at table
+scale, targeted decode (archive_test.go:225-256), compression bounds
+(BASELINE.md), negative cases.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from archive_spark import engine
+from archive_spark.tokengen import token_table
+
+N_DOCS = 3000
+SEED = 42
+
+
+@pytest.fixture(scope="module")
+def tokens_df(spark):
+    df = token_table(spark, N_DOCS, seed=SEED).cache()
+    df.count()
+    return df
+
+
+@pytest.fixture(scope="module")
+def encoded_df(spark, tokens_df):
+    # small blocks so tests exercise multi-block paths
+    df = engine.encode(tokens_df, target_block_values=1 << 14).cache()
+    df.count()
+    return df
+
+
+def test_roundtrip_bit_identical(spark, tokens_df, encoded_df):
+    decoded = engine.decode(encoded_df)
+    rep = engine.roundtrip_report(tokens_df, decoded).collect()[0]
+    assert rep.n_docs == N_DOCS
+    assert rep.n_decoded == N_DOCS
+    assert rep.n_mismatch == 0
+
+
+def test_encoded_smaller_than_raw(encoded_df):
+    row = encoded_df.agg(
+        F.sum("meta.raw_bytes").alias("raw"), F.sum("meta.enc_bytes").alias("enc")
+    ).collect()[0]
+    assert row.enc < row.raw
+    # north rule: ≤ deflate-class reference ratio on this mixed corpus
+    assert row.enc / row.raw < 0.45
+
+
+def test_block_source_homogeneous_and_sized(encoded_df):
+    rows = encoded_df.select("source", "doc_ids", "meta.n_docs", "meta.n_values").collect()
+    for r in rows:
+        assert all(d.startswith(r.source + "-") for d in r.doc_ids)
+        assert len(r.doc_ids) == r.n_docs
+
+
+def test_every_codec_used_somewhere(encoded_df):
+    codecs = {r.codec for r in encoded_df.select("meta.codec").distinct().collect()}
+    # the mixed-profile corpus must exercise the full codec family
+    assert {"rle", "for", "delta", "constant"} <= codecs, codecs
+    assert codecs & {"dict", "fsst"}, codecs
+
+
+def test_targeted_decode(spark, tokens_df, encoded_df):
+    targets = [r.doc_id for r in tokens_df.select("doc_id").limit(7).collect()]
+    out = engine.decode(encoded_df, targets=targets)
+    got = {r.doc_id for r in out.select("doc_id").collect()}
+    assert got == set(targets)
+    # targeted values still bit-identical
+    orig = tokens_df.filter(F.col("doc_id").isin(targets))
+    rep = engine.roundtrip_report(orig, out).collect()[0]
+    assert rep.n_mismatch == 0 and rep.n_docs == len(targets)
+
+
+def test_targeted_decode_prunes_blocks(spark, encoded_df, tokens_df):
+    """Block pruning happens before the decode UDF: decoding 1 doc reads
+    far fewer blocks than a full decode (partition-pruning semantics)."""
+    target = tokens_df.select("doc_id").limit(1).collect()[0].doc_id
+    tlits = F.array(F.lit(target))
+    pruned = encoded_df.filter(F.arrays_overlap(F.col("doc_ids"), tlits)).count()
+    total = encoded_df.count()
+    assert pruned < total
+
+
+def test_empty_and_single_token_docs_survive(spark, tokens_df, encoded_df):
+    empties = tokens_df.filter(F.col("n_tok") == 0).select("doc_id").collect()
+    assert empties, "generator must produce empty docs"
+    targets = [r.doc_id for r in empties[:3]]
+    out = engine.decode(encoded_df, targets=targets).collect()
+    assert len(out) == len(targets)
+    for r in out:
+        assert r.tokens == [] and r.n_tok == 0
+
+
+def test_decode_rejects_corrupted_payload(spark, encoded_df):
+    """Wrong-format negative matrix (archive_test.go:320-391): flipping
+    the codec byte to an unknown id must raise, not corrupt."""
+    import pyspark.errors
+
+    corrupted = encoded_df.withColumn(
+        "payload", F.concat(F.lit(bytearray(b"\x63")), F.expr("substring(payload, 2)"))
+    )
+    with pytest.raises(pyspark.errors.PySparkException):
+        engine.decode(corrupted).collect()
+
+
+def test_salted_encode_matches_unsalted(spark, tokens_df):
+    """Salted repartition changes physical layout, never logical content."""
+    enc = engine.encode(tokens_df, target_block_values=1 << 14, salt_partitions=16)
+    rep = engine.roundtrip_report(tokens_df, engine.decode(enc)).collect()[0]
+    assert rep.n_mismatch == 0 and rep.n_decoded == N_DOCS
+
+
+def test_tokengen_spark_matches_local(spark):
+    """The distributed generator is partitioning-invariant: same docs at
+    different parallelism (the property the scaling benchmark relies on)."""
+    from archive_spark.tokengen import generate_ids
+
+    df = token_table(spark, 500, seed=SEED, partitions=7)
+    rows = {r.doc_id: r.tokens for r in df.collect()}
+    doc_id, _, lengths, flat = generate_ids(np.arange(500, dtype=np.uint64), SEED)
+    off = np.concatenate(([0], np.cumsum(lengths)))
+    assert len(rows) == 500
+    for i in (0, 1, 137, 499):
+        assert rows[doc_id[i]] == flat[off[i] : off[i + 1]].tolist()
