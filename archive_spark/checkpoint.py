@@ -1,0 +1,229 @@
+"""Resumable encode job: per-shard checkpoint ledger with lineage + metrics.
+
+The reference's pseudo-cache skips re-extraction when the target dir is
+already populated (archive.go:481-497: "count files; >=2 present => return
+cached").  Spark gives task-level retry but no *job-level* resume, so we
+build it (SURVEY.md §4): the input is staged once into hash shards
+(``shard = pmod(xxhash64(doc_id), n_shards)``), each shard is encoded as
+its own Spark job writing ``data/shard=K/``, and a ledger row
+(snapshot_id, shard, codec histogram, bytes in/out, wall time, status)
+is published atomically after the shard commits.  A rerun reads the
+ledger and encodes only missing shards — reading *only their staged
+bytes* via partition pruning, so resume cost is proportional to the
+remaining work, not the input size (critical at 10^12 sequences).
+
+Atomicity without Iceberg snapshot isolation: every ledger event is one
+parquet file written to a temp name then ``os.rename``d (atomic on a
+POSIX filesystem); shard data dirs are written by Spark with
+mode=overwrite so a half-written shard is simply rewritten on resume.
+Exit-status strings in ``status`` mirror the reference's ``Diagnostic``
+enum (pkzip/pkzip.go:92-117).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import time
+import uuid
+from dataclasses import dataclass
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from . import engine
+
+LEDGER_SCHEMA = pa.schema(
+    [
+        ("snapshot_id", pa.string()),
+        ("stage", pa.string()),          # "staged" | "encoded"
+        ("shard", pa.int32()),
+        ("status", pa.string()),         # "ok" | "failed:<reason>"
+        ("n_blocks", pa.int64()),
+        ("n_docs", pa.int64()),
+        ("bytes_in", pa.int64()),
+        ("bytes_out", pa.int64()),
+        ("codec_histogram", pa.string()),  # JSON {codec: n_blocks}
+        ("wall_ms", pa.int64()),
+        ("ts", pa.timestamp("us")),
+    ]
+)
+
+
+def snapshot_id_of_path(path: str) -> str:
+    """Content-identity of an input dataset: hash of (name, size, mtime)
+    of every file — the analogue of magic-sniffing the source before
+    deciding whether cached work applies."""
+    h = hashlib.sha256()
+    for root, _, files in sorted(os.walk(path)):
+        for f in sorted(files):
+            if f.startswith(("_", ".")):
+                continue
+            st = os.stat(os.path.join(root, f))
+            h.update(f"{root}/{f}:{st.st_size}:{st.st_mtime_ns}".encode())
+    return h.hexdigest()[:16]
+
+
+def _ledger_dir(out_dir: str) -> str:
+    return os.path.join(out_dir, "_ledger")
+
+
+def _append_ledger(out_dir: str, row: dict) -> None:
+    os.makedirs(_ledger_dir(out_dir), exist_ok=True)
+    row = dict(row)
+    row.setdefault("ts", int(time.time() * 1_000_000))
+    table = pa.Table.from_pylist([row], schema=LEDGER_SCHEMA)
+    tmp = os.path.join(_ledger_dir(out_dir), f".tmp-{uuid.uuid4().hex}.parquet")
+    final = os.path.join(
+        _ledger_dir(out_dir), f"{row['stage']}-{row['shard']}-{uuid.uuid4().hex[:8]}.parquet"
+    )
+    pq.write_table(table, tmp)
+    os.rename(tmp, final)  # atomic publish
+
+
+def read_ledger(out_dir: str) -> pa.Table:
+    d = _ledger_dir(out_dir)
+    if not os.path.isdir(d):
+        return LEDGER_SCHEMA.empty_table()
+    files = [os.path.join(d, f) for f in sorted(os.listdir(d)) if f.endswith(".parquet")]
+    if not files:
+        return LEDGER_SCHEMA.empty_table()
+    return pa.concat_tables([pq.read_table(f) for f in files])
+
+
+def completed_shards(out_dir: str, snapshot_id: str, stage: str = "encoded") -> set[int]:
+    t = read_ledger(out_dir)
+    if t.num_rows == 0:
+        return set()
+    rows = t.to_pylist()
+    return {
+        r["shard"]
+        for r in rows
+        if r["snapshot_id"] == snapshot_id and r["stage"] == stage and r["status"] == "ok"
+    }
+
+
+@dataclass
+class EncodeJobResult:
+    snapshot_id: str
+    shards_total: int
+    shards_encoded: int      # this run (not resumed-over)
+    shards_skipped: int
+    bytes_in: int            # this run
+    bytes_out: int           # this run
+
+
+def encode_job(
+    spark: SparkSession,
+    tokens_df: DataFrame,
+    out_dir: str,
+    snapshot_id: str,
+    n_shards: int = 16,
+    target_block_values: int = engine.DEFAULT_BLOCK_VALUES,
+    allow_fsst: bool = True,
+    resume: bool = True,
+    fail_on_shard: int | None = None,  # test hook: simulate a crash
+) -> EncodeJobResult:
+    """Stage → encode-per-shard → publish, resumable at shard granularity."""
+    staging = os.path.join(out_dir, "staging")
+    data_dir = os.path.join(out_dir, "data")
+    os.makedirs(out_dir, exist_ok=True)
+
+    # ---- stage 1: shard-partition the input once (bulk copy, own ledger row)
+    if not (resume and completed_shards(out_dir, snapshot_id, stage="staged") == {-1}):
+        t0 = time.time()
+        (
+            tokens_df.withColumn(
+                "shard", F.pmod(F.xxhash64("doc_id"), F.lit(n_shards)).cast("int")
+            )
+            .write.mode("overwrite")
+            .partitionBy("shard")
+            .parquet(staging)
+        )
+        _append_ledger(
+            out_dir,
+            {
+                "snapshot_id": snapshot_id, "stage": "staged", "shard": -1,
+                "status": "ok", "n_blocks": 0, "n_docs": 0, "bytes_in": 0,
+                "bytes_out": 0, "codec_histogram": "{}",
+                "wall_ms": int((time.time() - t0) * 1000),
+            },
+        )
+
+    done = completed_shards(out_dir, snapshot_id) if resume else set()
+    encoded = skipped = 0
+    bytes_in = bytes_out = 0
+    staged = spark.read.parquet(staging)
+
+    for shard in range(n_shards):
+        if shard in done:
+            skipped += 1
+            continue
+        if fail_on_shard is not None and shard == fail_on_shard:
+            raise RuntimeError(f"injected failure before shard {shard}")
+        t0 = time.time()
+        shard_path = os.path.join(data_dir, f"shard={shard}")
+        try:
+            part = staged.filter(F.col("shard") == shard).drop("shard")
+            enc = engine.encode(
+                part, target_block_values=target_block_values, allow_fsst=allow_fsst
+            )
+            # parquet-level compression off: the engine's codecs are the
+            # compressor; double-compressing hides their ratio and burns CPU
+            enc.write.mode("overwrite").option("compression", "none").parquet(shard_path)
+            stats = (
+                spark.read.parquet(shard_path)
+                .groupBy("meta.codec")
+                .agg(
+                    F.count("*").alias("blocks"),
+                    F.sum("meta.n_docs").alias("docs"),
+                    F.sum("meta.raw_bytes").alias("raw"),
+                    F.sum("meta.enc_bytes").alias("enc"),
+                )
+                .collect()
+            )
+            hist = {r.codec: r.blocks for r in stats}
+            row_in = sum(r.raw for r in stats)
+            row_out = sum(r.enc for r in stats)
+            _append_ledger(
+                out_dir,
+                {
+                    "snapshot_id": snapshot_id, "stage": "encoded", "shard": shard,
+                    "status": "ok", "n_blocks": int(sum(hist.values())),
+                    "n_docs": int(sum(r.docs for r in stats)),
+                    "bytes_in": int(row_in), "bytes_out": int(row_out),
+                    "codec_histogram": json.dumps(hist, sort_keys=True),
+                    "wall_ms": int((time.time() - t0) * 1000),
+                },
+            )
+            encoded += 1
+            bytes_in += row_in
+            bytes_out += row_out
+        except Exception as e:  # record the diagnostic, then re-raise
+            _append_ledger(
+                out_dir,
+                {
+                    "snapshot_id": snapshot_id, "stage": "encoded", "shard": shard,
+                    "status": f"failed:{type(e).__name__}", "n_blocks": 0,
+                    "n_docs": 0, "bytes_in": 0, "bytes_out": 0,
+                    "codec_histogram": "{}",
+                    "wall_ms": int((time.time() - t0) * 1000),
+                },
+            )
+            raise
+
+    return EncodeJobResult(
+        snapshot_id=snapshot_id,
+        shards_total=n_shards,
+        shards_encoded=encoded,
+        shards_skipped=skipped,
+        bytes_in=bytes_in,
+        bytes_out=bytes_out,
+    )
+
+
+def read_encoded(spark: SparkSession, out_dir: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(out_dir, "data"))

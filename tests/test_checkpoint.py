@@ -1,0 +1,80 @@
+"""Resume/ledger tests — the reference pseudo-cache semantics
+(archive.go:481-497): completed work is skipped on rerun; a crashed run
+resumes exactly where it stopped; lineage metrics are recorded."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from archive_spark import checkpoint, engine
+from archive_spark.tokengen import token_table
+
+N_DOCS = 2000
+SNAP = "snap-test-1"
+
+
+@pytest.fixture()
+def tokens_df(spark):
+    return token_table(spark, N_DOCS, seed=11)
+
+
+def test_encode_job_roundtrip_and_ledger(spark, tokens_df, tmp_path):
+    out = str(tmp_path / "enc")
+    res = checkpoint.encode_job(
+        spark, tokens_df, out, SNAP, n_shards=4, target_block_values=1 << 15
+    )
+    assert res.shards_encoded == 4 and res.shards_skipped == 0
+    decoded = engine.decode(checkpoint.read_encoded(spark, out))
+    rep = engine.roundtrip_report(tokens_df, decoded).collect()[0]
+    assert rep.n_mismatch == 0 and rep.n_decoded == N_DOCS
+
+    ledger = checkpoint.read_ledger(out).to_pylist()
+    enc_rows = [r for r in ledger if r["stage"] == "encoded"]
+    assert len(enc_rows) == 4
+    assert all(r["status"] == "ok" for r in enc_rows)
+    assert sum(r["n_docs"] for r in enc_rows) == N_DOCS
+    assert all(r["bytes_out"] < r["bytes_in"] for r in enc_rows)
+    assert all(json.loads(r["codec_histogram"]) for r in enc_rows)
+    assert all(r["wall_ms"] >= 0 for r in enc_rows)
+
+
+def test_full_rerun_skips_everything(spark, tokens_df, tmp_path):
+    out = str(tmp_path / "enc")
+    checkpoint.encode_job(spark, tokens_df, out, SNAP, n_shards=4)
+    res2 = checkpoint.encode_job(spark, tokens_df, out, SNAP, n_shards=4)
+    assert res2.shards_encoded == 0 and res2.shards_skipped == 4
+
+
+def test_crash_and_resume(spark, tokens_df, tmp_path):
+    out = str(tmp_path / "enc")
+    with pytest.raises(RuntimeError, match="injected failure"):
+        checkpoint.encode_job(
+            spark, tokens_df, out, SNAP, n_shards=4, fail_on_shard=2
+        )
+    assert checkpoint.completed_shards(out, SNAP) == {0, 1}
+    res = checkpoint.encode_job(spark, tokens_df, out, SNAP, n_shards=4)
+    assert res.shards_skipped == 2 and res.shards_encoded == 2
+    decoded = engine.decode(checkpoint.read_encoded(spark, out))
+    rep = engine.roundtrip_report(tokens_df, decoded).collect()[0]
+    assert rep.n_mismatch == 0 and rep.n_decoded == N_DOCS
+
+
+def test_new_snapshot_invalidates_cache(spark, tokens_df, tmp_path):
+    out = str(tmp_path / "enc")
+    checkpoint.encode_job(spark, tokens_df, out, SNAP, n_shards=2)
+    res = checkpoint.encode_job(spark, tokens_df, out, "snap-test-2", n_shards=2)
+    assert res.shards_encoded == 2  # different input identity → redo
+
+
+def test_snapshot_id_of_path_changes_with_content(tmp_path):
+    p = tmp_path / "in"
+    p.mkdir()
+    (p / "a.parquet").write_bytes(b"xx")
+    s1 = checkpoint.snapshot_id_of_path(str(p))
+    (p / "b.parquet").write_bytes(b"yy")
+    s2 = checkpoint.snapshot_id_of_path(str(p))
+    assert s1 != s2
