@@ -1,38 +1,454 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship: tokenize sf0.001 documents, encode with the
+archive_spark codec engine, decode, verify bit-identity, and report
+per-source codec/ratio stats.
+
+``queries()`` — one entry per implemented operator (SURVEY.md §2 +
+training-pipeline ops); ``oracle_sql()`` gives the DuckDB-checkable
+equivalent where the operator is SQL-expressible.  Engine-internal
+operators (codec selection, compression ratios) get rows-only checks.
+
+Oracle-safety rules used throughout: aggregates that would be
+floating-point are integer-ized (counts, ROUND(...)::BIGINT) so the
+value-hash comparison is exact; every computed column is aliased
+identically on both sides.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+SF0001 = "/root/testdata/sf0.001"
+
+_ENC_CACHE: dict[tuple[int, str], DataFrame] = {}
+_TOK_CACHE: dict[tuple[int, str], DataFrame] = {}
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from archive_spark.pipeline_ops import tokenize_documents
+
+    key = (id(spark), sf_dir)
+    if key not in _TOK_CACHE:
+        _TOK_CACHE[key] = tokenize_documents(_docs(spark, sf_dir)).cache()
+    return _TOK_CACHE[key]
+
+
+def _encoded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from archive_spark import engine
+
+    key = (id(spark), sf_dir)
+    if key not in _ENC_CACHE:
+        # small block target: the tiny documents table should still produce
+        # multiple blocks / codec diversity
+        _ENC_CACHE[key] = engine.encode(
+            _tokens(spark, sf_dir), target_block_values=1 << 15
+        ).cache()
+    return _ENC_CACHE[key]
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: encode→decode→verify the sf0.001 documents token table."""
+    from archive_spark import engine
+    from archive_spark.analytics import ratio_by_source
+
+    tokens = _tokens(spark, SF0001)
+    enc = _encoded(spark, SF0001)
+    decoded = engine.decode(enc)
+    rep = engine.roundtrip_report(tokens, decoded)
+    ratios = ratio_by_source(enc)
+    return ratios.crossJoin(rep.select("n_docs", "n_mismatch"))
+
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
+
+def _q_roundtrip_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from archive_spark import engine
+
+    tokens = _tokens(spark, sf_dir)
+    decoded = engine.decode(_encoded(spark, sf_dir))
+    rep = engine.roundtrip_report(tokens, decoded)
+    return rep.select(
+        F.col("n_docs").cast("bigint").alias("n_docs"),
+        F.col("n_mismatch").cast("bigint").alias("n_mismatch"),
+    )
+
+
+def _q_enc_listing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from archive_spark.analytics import listing
+
+    return listing(_encoded(spark, sf_dir)).select("doc_id")
+
+
+def _q_enc_total_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _encoded(spark, sf_dir).agg(
+        F.sum("meta.n_values").cast("bigint").alias("total_tokens"),
+        F.sum("meta.n_docs").cast("bigint").alias("total_docs"),
+    )
+
+
+def _q_targeted_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from archive_spark import engine
+
+    targets = ["0", "1", "2", "3", "4"]
+    out = engine.decode(_encoded(spark, sf_dir), targets=targets)
+    return out.select("doc_id", F.col("n_tok").cast("bigint").alias("n_tok"))
+
+
+def _q_codec_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from archive_spark.analytics import codec_histogram
+
+    return codec_histogram(_encoded(spark, sf_dir))
+
+
+def _q_distinct_codecs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from archive_spark.analytics import distinct_codecs
+
+    return distinct_codecs(_encoded(spark, sf_dir))
+
+
+def _q_ratio_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from archive_spark.analytics import ratio_by_source
+
+    return ratio_by_source(_encoded(spark, sf_dir)).select(
+        "source", "raw_bytes", "enc_bytes"
+    )
+
+
+def _q_best_block_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from archive_spark.analytics import best_block_per_source
+
+    return best_block_per_source(_encoded(spark, sf_dir)).select(
+        "source", "block_id", "codec"
+    )
+
+
+def _q_synthetic_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Primary scale path: deterministic synthetic token table (all 8
+    profiles incl. skewed textish) through salted encode + decode."""
+    from archive_spark import engine
+    from archive_spark.tokengen import token_table
+
+    df = token_table(spark, 20_000, seed=42)
+    enc = engine.encode(df, salt_partitions=8)
+    rep = engine.roundtrip_report(df, engine.decode(enc))
+    return rep.select(
+        F.col("n_docs").cast("bigint").alias("n_docs"),
+        F.col("n_mismatch").cast("bigint").alias("n_mismatch"),
+    )
+
+
+def _q_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from archive_spark.analytics import skew_report
+    from archive_spark.tokengen import token_table
+
+    return skew_report(token_table(spark, 20_000, seed=42)).select(
+        "source", "n_docs", "n_tokens"
+    )
+
+
+# ---- training-pipeline ops -------------------------------------------------
+
+def _q_dedup_prefix_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    key = F.md5(F.concat_ws(" ", F.slice(F.split("text", " "), 1, 2)))
+    return (
+        docs.groupBy(key.alias("prefix_hash"))
+        .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("keeper_doc_id"))
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+def _q_dedup_exact_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from archive_spark.pipeline_ops import exact_dedup_groups
+
+    return exact_dedup_groups(_docs(spark, sf_dir))
+
+
+def _q_token_count_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    return (
+        docs.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.size(F.split("text", " "))).cast("bigint").alias("n_words"),
+            F.sum("n_chars").cast("bigint").alias("n_chars"),
+        )
+        .orderBy("source")
+    )
+
+
+def _q_lang_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    words = F.split(F.col("text"), " ")
+    return (
+        docs.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.size(words)).cast("bigint").alias("n_words"),
+            F.sum(F.length("text")).cast("bigint").alias("n_chars"),
+            F.max(F.size(words)).cast("bigint").alias("max_words"),
+        )
+        .orderBy("lang")
+    )
+
+
+def _q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from archive_spark.pipeline_ops import minhash_lsh_candidates
+
+    docs = _docs(spark, sf_dir)
+    return minhash_lsh_candidates(docs, n_perm=16, bands=4).agg(
+        F.count("*").cast("bigint").alias("n_candidate_pairs")
+    )
+
+
+def _q_simhash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from archive_spark.pipeline_ops import simhash
+
+    docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 20)
+    return simhash(docs)
+
+
+def _q_ann_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from archive_spark.pipeline_ops import cosine_topk_bruteforce
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    out = cosine_topk_bruteforce(emb, [0, 1, 2], topk=5)
+    return out.select("query_id", "vec_id", F.col("rank").cast("bigint").alias("rank"))
+
+
+def _q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from archive_spark.pipeline_ops import lsh_bucketed_ann
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return lsh_bucketed_ann(emb, [0, 1, 2], topk=5).select(
+        "query_id", "vec_id", F.col("rank").cast("bigint").alias("rank")
+    )
+
+
+# ---- classic analytics over the star schema --------------------------------
+
+def _q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity").cast("bigint").alias("sum_qty"),
+            F.count("*").alias("count_order"),
+            F.round(F.sum("l_extendedprice")).cast("bigint").alias("sum_base_price_r"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+            ).cast("bigint").alias("sum_disc_price_r"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def _q_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1994-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1995-01-01").cast("timestamp"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")))
+            .cast("bigint")
+            .alias("revenue_r"),
+            F.count("*").alias("n_rows"),
+        )
+    )
+
+
+def _q_order_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    return (
+        o.groupBy(F.date_trunc("month", "o_orderdate").alias("month"))
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.countDistinct("o_custkey").alias("n_customers"),
+            F.round(F.sum("o_totalprice")).cast("bigint").alias("total_r"),
+        )
+        .orderBy("month")
+    )
+
+
+def _q_cust_order_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    n = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.countDistinct("o_custkey").alias("n_customers"),
+        )
+        .orderBy("n_name")
+    )
+
+
+def _q_events_top3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    w = Window.partitionBy("event_type").orderBy(F.desc("value"), F.col("event_id"))
+    return (
+        e.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("event_type", "event_id", F.col("rank").cast("bigint").alias("rank"))
+        .orderBy("event_type", "rank")
+    )
+
+
+def _q_events_user_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return (
+        e.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.countDistinct("event_type").alias("n_types"),
+            F.max("ts").alias("last_ts"),
+        )
+        .filter(F.col("n_events") >= 10)
+        .orderBy("user_id")
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # engine core (SURVEY.md §2)
+        "roundtrip_gate": _q_roundtrip_gate,
+        "enc_listing": _q_enc_listing,
+        "enc_total_values": _q_enc_total_values,
+        "targeted_decode": _q_targeted_decode,
+        "codec_histogram": _q_codec_histogram,
+        "distinct_codecs": _q_distinct_codecs,
+        "ratio_by_source": _q_ratio_by_source,
+        "best_block_per_source": _q_best_block_per_source,
+        "synthetic_roundtrip": _q_synthetic_roundtrip,
+        "skew_report": _q_skew_report,
+        # training-pipeline ops
+        "dedup_prefix_groups": _q_dedup_prefix_groups,
+        "dedup_exact_groups": _q_dedup_exact_groups,
+        "token_count_by_source": _q_token_count_by_source,
+        "lang_quality": _q_lang_quality,
+        "minhash_lsh_pairs": _q_minhash_lsh_pairs,
+        "simhash_sample": _q_simhash_sample,
+        "ann_bruteforce": _q_ann_bruteforce,
+        "ann_lsh": _q_ann_lsh,
+        # star-schema analytics
+        "tpch_q1": _q_tpch_q1,
+        "tpch_q6": _q_tpch_q6,
+        "order_rollup": _q_order_rollup,
+        "cust_order_join": _q_cust_order_join,
+        "events_top3": _q_events_top3,
+        "events_user_activity": _q_events_user_activity,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "roundtrip_gate": (
+            "SELECT count(*)::BIGINT AS n_docs, CAST(0 AS BIGINT) AS n_mismatch "
+            "FROM documents"
+        ),
+        "enc_listing": "SELECT CAST(doc_id AS VARCHAR) AS doc_id FROM documents",
+        "enc_total_values": (
+            "SELECT SUM(len(string_split(text, ' ')))::BIGINT AS total_tokens, "
+            "count(*)::BIGINT AS total_docs FROM documents"
+        ),
+        "targeted_decode": (
+            "SELECT CAST(doc_id AS VARCHAR) AS doc_id, "
+            "len(string_split(text, ' '))::BIGINT AS n_tok "
+            "FROM documents WHERE doc_id IN (0,1,2,3,4)"
+        ),
+        "dedup_prefix_groups": (
+            "SELECT md5(array_to_string(string_split(text, ' ')[1:2], ' ')) AS prefix_hash, "
+            "count(*)::BIGINT AS n_docs, min(doc_id) AS keeper_doc_id "
+            "FROM documents GROUP BY 1 HAVING count(*) > 1"
+        ),
+        "dedup_exact_groups": (
+            "SELECT md5(text) AS content_hash, count(*)::BIGINT AS n_copies, "
+            "min(doc_id) AS keeper_doc_id FROM documents "
+            "GROUP BY 1 HAVING count(*) > 1 ORDER BY 1"
+        ),
+        "token_count_by_source": (
+            "SELECT source, count(*)::BIGINT AS n_docs, "
+            "SUM(len(string_split(text, ' ')))::BIGINT AS n_words, "
+            "SUM(n_chars)::BIGINT AS n_chars "
+            "FROM documents GROUP BY source ORDER BY source"
+        ),
+        "lang_quality": (
+            "SELECT lang, count(*)::BIGINT AS n_docs, "
+            "SUM(len(string_split(text, ' ')))::BIGINT AS n_words, "
+            "SUM(length(text))::BIGINT AS n_chars, "
+            "MAX(len(string_split(text, ' ')))::BIGINT AS max_words "
+            "FROM documents GROUP BY lang ORDER BY lang"
+        ),
+        "ann_bruteforce": (
+            "WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS q_emb "
+            "FROM embeddings WHERE vec_id IN (0,1,2)), "
+            "scored AS (SELECT q.query_id, e.vec_id, "
+            "list_cosine_similarity(e.embedding::DOUBLE[], q.q_emb) AS cosine "
+            "FROM embeddings e CROSS JOIN q WHERE e.vec_id != q.query_id), "
+            "ranked AS (SELECT query_id, vec_id, "
+            "row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rank "
+            "FROM scored) "
+            "SELECT query_id, vec_id, rank FROM ranked WHERE rank <= 5 "
+            "ORDER BY query_id, rank"
+        ),
+        "tpch_q1": (
+            "SELECT l_returnflag, l_linestatus, "
+            "SUM(l_quantity)::BIGINT AS sum_qty, count(*)::BIGINT AS count_order, "
+            "CAST(ROUND(SUM(l_extendedprice)) AS BIGINT) AS sum_base_price_r, "
+            "CAST(ROUND(SUM(l_extendedprice * (1 - l_discount))) AS BIGINT) AS sum_disc_price_r "
+            "FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02' "
+            "GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus"
+        ),
+        "tpch_q6": (
+            "SELECT CAST(ROUND(SUM(l_extendedprice * l_discount)) AS BIGINT) AS revenue_r, "
+            "count(*)::BIGINT AS n_rows FROM lineitem "
+            "WHERE l_shipdate >= TIMESTAMP '1994-01-01' "
+            "AND l_shipdate < TIMESTAMP '1995-01-01' "
+            "AND l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24"
+        ),
+        "order_rollup": (
+            "SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month, "
+            "count(*)::BIGINT AS n_orders, "
+            "count(DISTINCT o_custkey)::BIGINT AS n_customers, "
+            "CAST(ROUND(SUM(o_totalprice)) AS BIGINT) AS total_r "
+            "FROM orders GROUP BY 1 ORDER BY 1"
+        ),
+        "cust_order_join": (
+            "SELECT n_name, count(*)::BIGINT AS n_orders, "
+            "count(DISTINCT o_custkey)::BIGINT AS n_customers "
+            "FROM orders JOIN customer ON o_custkey = c_custkey "
+            "JOIN nation ON c_nationkey = n_nationkey "
+            "GROUP BY n_name ORDER BY n_name"
+        ),
+        "events_top3": (
+            "SELECT event_type, event_id, rank FROM ("
+            "SELECT event_type, event_id, "
+            "row_number() OVER (PARTITION BY event_type ORDER BY value DESC, event_id) AS rank "
+            "FROM events) WHERE rank <= 3 ORDER BY event_type, rank"
+        ),
+        "events_user_activity": (
+            "SELECT user_id, count(*)::BIGINT AS n_events, "
+            "count(DISTINCT event_type)::BIGINT AS n_types, max(ts) AS last_ts "
+            "FROM events GROUP BY user_id HAVING count(*) >= 10 ORDER BY user_id"
+        ),
+    }

@@ -1,0 +1,98 @@
+"""Metadata analytics over encoded tables (SURVEY.md §2.6).
+
+These are the engine's *listing/introspection* operators — the Spark
+re-expression of the reference's Content/pkzip surface.  All pure
+DataFrame ops (Catalyst-optimized, no Python workers): a listing never
+decodes payloads, exactly like the reference listing an archive without
+extracting it (zipinfo -1, zip.go:20-50).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+#: codecs decodable by a minimal "stdlib" decoder — the analogue of
+#: pkzip.Zip's Stored/Deflated-only predicate (pkzip/pkzip.go:197-208)
+BASELINE_CODECS = ("plain", "constant", "for")
+
+
+def listing(encoded: DataFrame) -> DataFrame:
+    """Member listing without decode (Content.Zip / zipinfo -1,
+    zip.go:20-50): one row per doc_id from block metadata only."""
+    return encoded.select(
+        F.explode("doc_ids").alias("doc_id"),
+        F.col("source"),
+        F.col("meta.codec").alias("codec"),
+    )
+
+
+def codec_histogram(encoded: DataFrame) -> DataFrame:
+    """Codec distribution (pkzip.Methods, pkzip/pkzip.go:175-192)."""
+    return (
+        encoded.groupBy(F.col("meta.codec").alias("codec"))
+        .agg(
+            F.count("*").alias("n_blocks"),
+            F.sum("meta.n_docs").cast("bigint").alias("n_docs"),
+            F.sum("meta.n_values").alias("n_values"),
+            F.sum("meta.raw_bytes").alias("raw_bytes"),
+            F.sum("meta.enc_bytes").alias("enc_bytes"),
+        )
+        .orderBy("codec")
+    )
+
+
+def distinct_codecs(encoded: DataFrame) -> DataFrame:
+    """Distinct sorted codec ids (pkzip.Methods' distinct+sort)."""
+    return encoded.select(F.col("meta.codec").alias("codec")).distinct().orderBy("codec")
+
+
+def baseline_decodable(encoded: DataFrame) -> DataFrame:
+    """True iff every block uses a baseline codec (pkzip.Zip predicate)."""
+    return encoded.agg(
+        F.every(F.col("meta.codec").isin(*BASELINE_CODECS)).alias("baseline_only")
+    )
+
+
+def ratio_by_source(encoded: DataFrame) -> DataFrame:
+    """Compression ratio per source group (the per-archive ratio column
+    in the reference's ARJ listing, arj.go:54-60)."""
+    return (
+        encoded.groupBy("source")
+        .agg(
+            F.sum("meta.raw_bytes").alias("raw_bytes"),
+            F.sum("meta.enc_bytes").alias("enc_bytes"),
+            (F.sum("meta.enc_bytes") / F.sum("meta.raw_bytes")).alias("ratio"),
+        )
+        .orderBy("source")
+    )
+
+
+def best_block_per_source(encoded: DataFrame) -> DataFrame:
+    """Top-1-by-rank per group (Finds.BestMatch, find.go:16-37): the
+    best-compressed block per source, stable tie-break on block_id."""
+    w = Window.partitionBy("source").orderBy(
+        (F.col("meta.enc_bytes") / F.col("meta.raw_bytes")).asc(), F.col("block_id").asc()
+    )
+    return (
+        encoded.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "source",
+            "block_id",
+            F.col("meta.codec").alias("codec"),
+            (F.col("meta.enc_bytes") / F.col("meta.raw_bytes")).alias("ratio"),
+        )
+        .orderBy("source")
+    )
+
+
+def skew_report(tokens_df: DataFrame) -> DataFrame:
+    """Source-key skew diagnosis (north_rule): docs + token share per
+    source; the dominant source is the salting target."""
+    agg = tokens_df.groupBy("source").agg(
+        F.count("*").alias("n_docs"), F.sum("n_tok").alias("n_tokens")
+    )
+    total = F.sum("n_tokens").over(Window.partitionBy())
+    return agg.withColumn("token_share", F.col("n_tokens") / total).orderBy(
+        F.desc("n_tokens")
+    )

@@ -1,0 +1,310 @@
+"""Training-data pipeline operators over the documents/embeddings tables.
+
+The operations a 100 TB training-data pipeline runs alongside the codec
+engine: deterministic tokenization (feeding the engine from real text),
+deduplication (exact, MinHash-LSH, SimHash, n-gram Jaccard), text
+quality analysis, language ID, fingerprinting, and embedding similarity
+search.  Everything below is built-in `pyspark.sql.functions` (JVM-side,
+codegen'd) — no Python UDFs in any hot path; MinHash/SimHash use
+`xxhash64` with per-permutation seeds, which Catalyst evaluates inside
+whole-stage codegen.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+# ---------------------------------------------------------------------------
+# tokenization — documents → engine input
+# ---------------------------------------------------------------------------
+
+def tokenize_documents(docs: DataFrame) -> DataFrame:
+    """(doc_id, tokens, n_tok, source) from documents.text.
+
+    Deterministic hashing tokenizer: whitespace words → Murmur3 int32 ids
+    (F.hash — JVM-side).  Token *count* equals the word count, which the
+    DuckDB oracle can replicate; token *values* are engine-internal.
+    """
+    words = F.split(F.col("text"), " ")
+    return docs.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.transform(words, lambda w: F.hash(w)).alias("tokens"),
+        F.size(words).cast("int").alias("n_tok"),
+        F.col("source"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# deduplication
+# ---------------------------------------------------------------------------
+
+def exact_dedup_groups(docs: DataFrame) -> DataFrame:
+    """Exact duplicate groups by content hash (md5 over text)."""
+    return (
+        docs.groupBy(F.md5("text").alias("content_hash"))
+        .agg(
+            F.count("*").alias("n_copies"),
+            F.min("doc_id").alias("keeper_doc_id"),
+        )
+        .filter(F.col("n_copies") > 1)
+        .orderBy("content_hash")
+    )
+
+
+def exact_dedup_keep_first(docs: DataFrame) -> DataFrame:
+    """Deduplicated table: keep the min-doc_id row per content hash."""
+    w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    return (
+        docs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+
+
+def _shingles(col, k: int = 3):
+    """Word k-shingles of a text column (array<string>)."""
+    words = F.split(col, " ")
+    n = F.size(words)
+    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
+    return F.when(n < k, F.array(F.concat_ws(" ", words))).otherwise(
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(words, i + 1, k)))
+    )
+
+
+def minhash_signatures(docs: DataFrame, n_perm: int = 32, k: int = 3) -> DataFrame:
+    """MinHash signature per doc: min over shingles of xxhash64(shingle, seed)
+    for each of n_perm seeds.  All JVM-side (aggregate over an array)."""
+    sh = _shingles(F.col("text"), k)
+    sig = F.array(
+        *[
+            F.array_min(F.transform(sh, lambda s: F.xxhash64(s, F.lit(i))))
+            for i in range(n_perm)
+        ]
+    )
+    return docs.select("doc_id", sig.alias("signature"))
+
+
+def minhash_lsh_candidates(
+    docs: DataFrame, n_perm: int = 32, bands: int = 8, k: int = 3
+) -> DataFrame:
+    """LSH candidate pairs: band the signature, bucket-join on
+    (band_id, band_hash), emit distinct doc pairs.  The join is a
+    shuffle on band hashes — the standard scale path (band cardinality
+    ~n_docs×bands, so no quadratic blowup)."""
+    rows_per_band = n_perm // bands
+    sigs = minhash_signatures(docs, n_perm, k)
+    banded = sigs.select(
+        "doc_id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.xxhash64(
+                        F.concat_ws(
+                            ",",
+                            *[
+                                F.col("signature")[b * rows_per_band + r]
+                                for r in range(rows_per_band)
+                            ],
+                        ),
+                        F.lit(b),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band", "band_hash"),
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+def ngram_jaccard(docs: DataFrame, pairs: DataFrame, k: int = 3) -> DataFrame:
+    """Exact Jaccard over word k-shingles for candidate pairs (verify
+    stage after LSH)."""
+    sh = docs.select(
+        "doc_id", F.array_distinct(_shingles(F.col("text"), k)).alias("sh")
+    )
+    j = (
+        pairs.join(sh.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sh", "sh_a"), "doc_a")
+        .join(sh.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sh", "sh_b"), "doc_b")
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size(F.array_union("sh_a", "sh_b"))
+    return j.select(
+        "doc_a",
+        "doc_b",
+        (inter / union).alias("jaccard"),
+    )
+
+
+def simhash(docs: DataFrame, bits: int = 64) -> DataFrame:
+    """SimHash fingerprint: per-word 64-bit hash, majority vote per bit.
+
+    Implemented as sum over words of (+1/-1 per bit) via bit tests on
+    xxhash64 — all array/aggregate built-ins."""
+    words = F.split(F.col("text"), " ")
+    hashes = F.transform(words, lambda w: F.xxhash64(w))
+    bit_votes = [
+        F.aggregate(
+            hashes,
+            F.lit(0),
+            lambda acc, h: acc
+            + F.when(h.bitwiseAND(F.lit(1 << b if b < 63 else -(2**63))) != 0, 1).otherwise(-1),
+        )
+        for b in range(bits)
+    ]
+    fp = None
+    for b, v in enumerate(bit_votes):
+        term = F.when(v > 0, F.lit(1 << b if b < 63 else -(2**63))).otherwise(F.lit(0))
+        fp = term if fp is None else fp.bitwiseXOR(term)
+    return docs.select("doc_id", fp.cast("bigint").alias("simhash"))
+
+
+# ---------------------------------------------------------------------------
+# text analysis
+# ---------------------------------------------------------------------------
+
+def token_counts(docs: DataFrame) -> DataFrame:
+    return docs.select(
+        "doc_id",
+        F.size(F.split("text", " ")).cast("bigint").alias("n_words"),
+        F.length("text").cast("bigint").alias("n_chars"),
+    )
+
+
+def quality_scores(docs: DataFrame) -> DataFrame:
+    """Cheap quality heuristics: mean word length, punctuation ratio,
+    digit ratio, stopword ratio (en core stopwords)."""
+    words = F.split(F.col("text"), " ")
+    n_words = F.size(words)
+    stop = {"the", "a", "of", "and", "to", "in", "is", "it", "on", "for"}
+    n_stop = F.size(F.filter(words, lambda w: F.lower(w).isin(*stop)))
+    punct = F.length("text") - F.length(F.regexp_replace("text", r"[^\w\s]", ""))
+    digits = F.length("text") - F.length(F.regexp_replace("text", r"[0-9]", ""))
+    return docs.select(
+        "doc_id",
+        n_words.cast("bigint").alias("n_words"),
+        (F.length("text") / n_words).alias("mean_word_len"),
+        (punct / F.length("text")).alias("punct_ratio"),
+        (digits / F.length("text")).alias("digit_ratio"),
+        (n_stop / n_words).alias("stopword_ratio"),
+    )
+
+
+def doc_fingerprints(docs: DataFrame) -> DataFrame:
+    """Order-sensitive document fingerprint: xxhash64 rolling combination
+    of word hashes (content-defined identity, cheaper than md5 of text
+    for long docs and robust to storage encoding)."""
+    words = F.split(F.col("text"), " ")
+    fp = F.aggregate(
+        F.transform(words, lambda w: F.xxhash64(w)),
+        F.lit(0).cast("bigint"),
+        lambda acc, h: F.xxhash64(acc.cast("string"), h.cast("string")),
+    )
+    return docs.select("doc_id", fp.alias("fingerprint"))
+
+
+# ---------------------------------------------------------------------------
+# embedding similarity search
+# ---------------------------------------------------------------------------
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0).cast("double"),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a):
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x * x),
+            F.lit(0.0).cast("double"),
+            lambda acc, v: acc + v,
+        )
+    )
+
+
+def cosine_topk_bruteforce(
+    emb: DataFrame, query_ids: list[int], topk: int = 5
+) -> DataFrame:
+    """Exact top-k cosine neighbors for the given query vec_ids.
+
+    Brute force = the correctness baseline: broadcast the (tiny) query
+    set against the full table; window rank per query.  At 100 TB the
+    same plan holds when queries ≪ corpus (broadcast side is queries)."""
+    q = emb.filter(F.col("vec_id").isin(query_ids)).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    joined = emb.alias("e").join(F.broadcast(q), F.col("e.vec_id") != F.col("query_id"))
+    cos = (_dot(F.col("e.embedding"), F.col("q_emb")) / (
+        _norm(F.col("e.embedding")) * _norm(F.col("q_emb"))
+    )).alias("cosine")
+    scored = joined.select("query_id", F.col("e.vec_id").alias("vec_id"), cos)
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.col("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= topk)
+        .orderBy("query_id", "rank")
+    )
+
+
+def lsh_bucketed_ann(
+    emb: DataFrame, query_ids: list[int], topk: int = 5, n_planes: int = 8
+) -> DataFrame:
+    """Scale-path ANN: random-hyperplane LSH buckets (sign of dot with
+    deterministic pseudo-random planes via element hashing), candidates
+    restricted to same-bucket, then exact cosine re-rank.  Recall < 1 by
+    construction; the bench compares it against brute force."""
+    dim = F.size(F.col("embedding"))
+    # deterministic "planes": plane p component i = hash(p, i) mapped to ±1
+    def plane_sign(p):
+        return F.aggregate(
+            F.zip_with(
+                F.col("embedding"),
+                F.transform(
+                    F.sequence(F.lit(0), dim - 1),
+                    lambda i: F.when(F.xxhash64(F.lit(p), i) % 2 == 0, F.lit(1.0)).otherwise(
+                        F.lit(-1.0)
+                    ),
+                ),
+                lambda x, s: x * s,
+            ),
+            F.lit(0.0).cast("double"),
+            lambda acc, v: acc + v,
+        )
+
+    bucket = None
+    for p in range(n_planes):
+        bit = F.when(plane_sign(p) > 0, F.lit(1 << p)).otherwise(F.lit(0))
+        bucket = bit if bucket is None else bucket + bit
+    bucketed = emb.withColumn("bucket", bucket)
+    q = bucketed.filter(F.col("vec_id").isin(query_ids)).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("bucket").alias("q_bucket"),
+    )
+    joined = bucketed.alias("e").join(
+        F.broadcast(q),
+        (F.col("e.bucket") == F.col("q_bucket")) & (F.col("e.vec_id") != F.col("query_id")),
+    )
+    cos = (_dot(F.col("e.embedding"), F.col("q_emb")) / (
+        _norm(F.col("e.embedding")) * _norm(F.col("q_emb"))
+    )).alias("cosine")
+    scored = joined.select("query_id", F.col("e.vec_id").alias("vec_id"), cos)
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.col("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= topk)
+        .orderBy("query_id", "rank")
+    )

@@ -1,0 +1,74 @@
+"""Driver-contract validation: every queries() entry runs; every
+oracle_sql() entry matches the Spark result (row count + column names +
+order-insensitive values) — a local replica of the driver's
+CORRECTNESS_r{N}.json gate at sf0.01."""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import pytest
+
+import __spark_entry__ as entry_mod
+
+SF_DIR = "/root/testdata/sf0.01"
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+@pytest.fixture(scope="module")
+def ddb():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
+    return con
+
+
+def _norm(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return round(v, 9)
+    return v
+
+
+def _canon(rows, cols):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    return sorted(tuple(_norm(r[i]) for i in order) for r in rows)
+
+
+def test_entry_runs(spark):
+    df = entry_mod.entry(spark)
+    rows = df.collect()
+    assert len(rows) >= 0
+    assert {"source", "ratio", "n_docs", "n_mismatch"} <= set(df.columns)
+    assert all(r.n_mismatch == 0 for r in rows)
+
+
+def test_oracle_keys_subset_of_queries():
+    q = entry_mod.queries()
+    o = entry_mod.oracle_sql()
+    assert set(o) <= set(q)
+
+
+@pytest.mark.parametrize("name", sorted(entry_mod.queries()))
+def test_query_runs_and_matches_oracle(spark, ddb, name):
+    q = entry_mod.queries()[name]
+    df = q(spark, SF_DIR)
+    spark_rows = [tuple(r) for r in df.collect()]
+    cols = df.columns
+    oracle = entry_mod.oracle_sql().get(name)
+    if oracle is None:
+        assert len(spark_rows) >= 0  # rows-only check
+        return
+    res = ddb.sql(oracle)
+    duck_cols = [c for c in res.columns]
+    duck_rows = res.fetchall()
+    assert sorted(duck_cols) == sorted(cols), f"{name}: column names differ"
+    assert len(duck_rows) == len(spark_rows), f"{name}: row count differs"
+    assert _canon(duck_rows, duck_cols) == _canon(spark_rows, cols), (
+        f"{name}: values differ"
+    )
