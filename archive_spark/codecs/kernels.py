@@ -160,9 +160,54 @@ def _dedup_overlaps(pos: np.ndarray) -> np.ndarray:
     return pos[rel % 2 == 0]
 
 
+_FP_SHIFT = np.uint64(48)
+_FP_MULT = np.uint64(0x9E3779B97F4A7C15)
+
+
+def _fp_table(keys: np.ndarray):
+    """Build a 65536-slot fingerprint table for a small key set (<= a few
+    hundred): table[fp(key)] = index+1.  Collisions between *table keys*
+    are resolved by dropping the later key (it simply won't be matched
+    this pass — correctness unaffected, only compression)."""
+    fps = ((keys.astype(np.uint64) * _FP_MULT) >> _FP_SHIFT).astype(np.int64)
+    table = np.zeros(1 << 16, dtype=np.int32)
+    # write in reverse priority order so the earliest key wins collided slots
+    table[fps[::-1]] = np.arange(keys.size, 0, -1, dtype=np.int32)
+    return table
+
+
+def _replace_pairs_once(seq: np.ndarray, keys: np.ndarray, ids: np.ndarray):
+    """One vectorized pass: tile ``seq`` greedily left-to-right with any of
+    the given pair keys, replacing each match with its symbol id.
+
+    Membership test is a fingerprint-table gather + exact verify — O(n)
+    linear passes, no per-element binary search."""
+    if seq.size < 2 or keys.size == 0:
+        return seq
+    seq_keys = (seq[:-1] << np.int64(32)) | seq[1:]
+    table = _fp_table(keys)
+    fps = ((seq_keys.astype(np.uint64) * _FP_MULT) >> _FP_SHIFT).astype(np.int64)
+    cand = table[fps]
+    pos = np.flatnonzero(cand)
+    pos = pos[keys[cand[pos] - 1] == seq_keys[pos]]  # exact verify
+    pos = _dedup_overlaps(pos)
+    if pos.size == 0:
+        return seq
+    seq[pos] = ids[cand[pos] - 1]
+    keep = np.ones(seq.size, dtype=bool)
+    keep[pos + 1] = False
+    return seq[keep]
+
+
+# pairs accepted per build round: fewer rounds (each costs an np.unique
+# over the sample) at a small ratio cost from slightly stale counts
+_BUILD_BATCH = 32
+
+
 def _pairs_build(ids: np.ndarray, n_base: int, max_symbols: int, min_gain: int):
-    """Digram-coding core: repeatedly replace the most frequent adjacent
-    pair with a fresh symbol id (>= n_base).  Returns (sequence, symbols).
+    """Digram-coding core: round-based — count all adjacent pairs once per
+    round, accept the top-``_BUILD_BATCH`` pairs with count >= min_gain as
+    new symbols, replace them in one vectorized pass, repeat.
 
     This is the token-domain analogue of FSST symbol-table construction
     (symbols are pairs over a growing alphabet instead of byte strings);
@@ -171,48 +216,57 @@ def _pairs_build(ids: np.ndarray, n_base: int, max_symbols: int, min_gain: int):
     seq = ids.astype(np.int64, copy=True)
     syms: list[tuple[int, int]] = []
     next_id = n_base
-    for _ in range(max_symbols):
-        if seq.size < 4:
-            break
+    while len(syms) < max_symbols and seq.size >= 4:
         key = (seq[:-1] << np.int64(32)) | seq[1:]
         uk, counts = np.unique(key, return_counts=True)
-        b = int(np.argmax(counts))
-        cnt = int(counts[b])
-        if cnt < min_gain:
+        take = min(_BUILD_BATCH, max_symbols - len(syms))
+        if counts.size > take:
+            top = np.argpartition(counts, -take)[-take:]
+        else:
+            top = np.arange(counts.size)
+        top = top[counts[top] >= min_gain]
+        if top.size == 0:
             break
-        left = int(uk[b] >> np.int64(32))
-        right = int(uk[b] & np.int64(0xFFFFFFFF))
-        pos = np.flatnonzero((seq[:-1] == left) & (seq[1:] == right))
-        if left == right:
-            pos = _dedup_overlaps(pos)
-        if pos.size * 2 < min_gain:
-            break
-        seq[pos] = next_id
-        keep = np.ones(seq.size, dtype=bool)
-        keep[pos + 1] = False
-        seq = seq[keep]
-        syms.append((left, right))
-        next_id += 1
+        # deterministic order: by count desc, key asc
+        top = top[np.lexsort((uk[top], -counts[top]))]
+        new_keys = uk[top]
+        new_ids = np.arange(next_id, next_id + top.size, dtype=np.int64)
+        for k in new_keys:
+            syms.append((int(k >> np.int64(32)), int(k & np.int64(0xFFFFFFFF))))
+        next_id += top.size
+        order = np.argsort(new_keys)
+        seq = _replace_pairs_once(seq, new_keys[order], new_ids[order])
     return seq, syms
 
 
 def _apply_pairs(seq: np.ndarray, syms: list[tuple[int, int]], n_base: int) -> np.ndarray:
-    """Apply an existing symbol table to a full stream (vector passes only).
+    """Apply an existing symbol table to a full stream in **grammar-depth
+    levels**: all symbols whose operands are already resolved are matched
+    in a single vectorized pass (searchsorted on pair keys), overlaps
+    resolved greedily left-to-right via run parity.  O(depth) passes
+    (depth ≈ log of max phrase length, typically ≤ 8) instead of one pass
+    per symbol — this is the encode-side hot path for large blocks.
 
-    Used when the table was built on a bounded sample: replacement order ==
-    build order, so symbols referencing earlier symbols resolve correctly.
+    Any tiling of the stream by valid symbol definitions decodes
+    identically (the decoder just expands whatever ids appear), so the
+    leveled greedy order need not replicate the build order's tiling.
     """
-    next_id = n_base
-    for left, right in syms:
-        pos = np.flatnonzero((seq[:-1] == left) & (seq[1:] == right))
-        if left == right:
-            pos = _dedup_overlaps(pos)
-        if pos.size:
-            seq[pos] = next_id
-            keep = np.ones(seq.size, dtype=bool)
-            keep[pos + 1] = False
-            seq = seq[keep]
-        next_id += 1
+    if not syms:
+        return seq
+    n_sym = len(syms)
+    levels = np.zeros(n_base + n_sym, dtype=np.int32)
+    for j, (left, right) in enumerate(syms):
+        levels[n_base + j] = 1 + max(levels[left], levels[right])
+    max_level = int(levels[n_base:].max())
+
+    for lvl in range(1, max_level + 1):
+        ids = n_base + np.flatnonzero(levels[n_base:] == lvl)
+        if ids.size == 0 or seq.size < 2:
+            continue
+        pairs = np.asarray([syms[i - n_base] for i in ids], dtype=np.int64)
+        keys = (pairs[:, 0] << np.int64(32)) | pairs[:, 1]
+        order = np.argsort(keys)
+        seq = _replace_pairs_once(seq, keys[order], ids[order].astype(np.int64))
     return seq
 
 

@@ -73,15 +73,30 @@ def _shingles(col, k: int = 3):
 
 def minhash_signatures(docs: DataFrame, n_perm: int = 32, k: int = 3) -> DataFrame:
     """MinHash signature per doc: min over shingles of xxhash64(shingle, seed)
-    for each of n_perm seeds.  All JVM-side (aggregate over an array)."""
-    sh = _shingles(F.col("text"), k)
+    for each of n_perm seeds.  All JVM-side (aggregate over an array).
+
+    The shingle array and its base hash are materialized as columns first
+    so the (large) shingling expression is evaluated once per row, not
+    once per permutation — per-permutation hashes then derive from the
+    base hash (h1 + i*h2 double-hashing, the standard MinHash trick),
+    keeping the expression tree small and codegen fast."""
+    mask = F.lit((1 << 32) - 1)  # 32-bit hash space: i*h2 can't overflow long
+    shingled = docs.select(
+        "doc_id", _shingles(F.col("text"), k).alias("sh")
+    ).select(
+        "doc_id",
+        F.transform("sh", lambda s: F.xxhash64(s).bitwiseAND(mask)).alias("h1"),
+        F.transform("sh", lambda s: F.xxhash64(s, F.lit(1)).bitwiseAND(mask)).alias("h2"),
+    )
     sig = F.array(
         *[
-            F.array_min(F.transform(sh, lambda s: F.xxhash64(s, F.lit(i))))
+            F.array_min(
+                F.zip_with("h1", "h2", lambda a, b: (a + F.lit(i) * b).bitwiseAND(mask))
+            )
             for i in range(n_perm)
         ]
     )
-    return docs.select("doc_id", sig.alias("signature"))
+    return shingled.select("doc_id", sig.alias("signature"))
 
 
 def minhash_lsh_candidates(

@@ -1,0 +1,169 @@
+"""Benchmark harness — one JSON line on stdout (driver contract).
+
+Headline numbers: encode/decode throughput (tokens/sec) and compression
+ratio on the deterministic synthetic token table scaled by SF, plus the
+metadata-analytics and star-schema queries at $SPARK_GRAFT_SF_DIR.
+
+Env:
+  SPARK_GRAFT_SF_DIR   default /root/testdata/sf0.1
+  SPARK_GRAFT_CPUS     default 32 (local[N])
+  BENCH_DOCS           override synthetic doc count
+  BENCH_SCALING=1      also run the encode at local[N/4] in a subprocess
+                       and report scaling efficiency (N/4 -> N cores)
+
+The synthetic table is generated once per (sf, seed) into a scratch
+parquet dir so generation cost is excluded from encode timing (the
+input would already exist in a real pipeline).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+
+def _sf_of(sf_dir: str) -> float:
+    base = os.path.basename(sf_dir.rstrip("/"))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return 0.1
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = _sf_of(sf_dir)
+    n_docs = int(os.environ.get("BENCH_DOCS", str(max(int(3_000_000 * sf), 20_000))))
+
+    from pyspark.sql import functions as F
+
+    from archive_spark import engine
+    from archive_spark.session import get_spark
+    from archive_spark.tokengen import token_table
+
+    spark = get_spark(app="bench", cores=cpus, driver_memory="48g")
+    queries: dict[str, float] = {}
+    extras: dict[str, object] = {}
+
+    scratch = f"/tmp/spark_graft_bench/sf{sf}-{n_docs}"
+    tokens_path = os.path.join(scratch, "tokens")
+    enc_path = os.path.join(scratch, "encoded")
+
+    # ---- prepare input (not a headline query, still reported)
+    t0 = time.perf_counter()
+    if not os.path.exists(tokens_path):
+        token_table(spark, n_docs, seed=42).write.mode("overwrite").parquet(tokens_path)
+    queries["prepare_input"] = round(time.perf_counter() - t0, 3)
+
+    tokens = spark.read.parquet(tokens_path)
+    n_values = tokens.agg(F.sum("n_tok")).collect()[0][0]
+    extras["n_docs"] = n_docs
+    extras["n_tokens"] = int(n_values)
+
+    # ---- q_encode: full encode to parquet (the headline)
+    t0 = time.perf_counter()
+    enc = engine.encode(tokens, salt_partitions=cpus * 2)
+    enc.write.mode("overwrite").option("compression", "none").parquet(enc_path)
+    dt = time.perf_counter() - t0
+    queries["q_encode"] = round(dt, 3)
+    extras["encode_tokens_per_sec"] = int(n_values / dt)
+
+    encoded = spark.read.parquet(enc_path)
+    row = encoded.agg(
+        F.sum("meta.raw_bytes").alias("raw"), F.sum("meta.enc_bytes").alias("enc")
+    ).collect()[0]
+    extras["compression_ratio"] = round(row.enc / row.raw, 4)
+
+    # ---- q_decode: full decode + count (forces materialization)
+    t0 = time.perf_counter()
+    decoded = engine.decode(encoded)
+    n_dec = decoded.agg(F.sum("n_tok")).collect()[0][0]
+    dt = time.perf_counter() - t0
+    queries["q_decode"] = round(dt, 3)
+    extras["decode_tokens_per_sec"] = int(n_dec / dt)
+    assert n_dec == n_values, f"decode lost tokens: {n_dec} != {n_values}"
+
+    # ---- q_verify: roundtrip bit-identity (join + array equality)
+    t0 = time.perf_counter()
+    rep = engine.roundtrip_report(tokens, engine.decode(encoded)).collect()[0]
+    queries["q_verify"] = round(time.perf_counter() - t0, 3)
+    assert rep.n_mismatch == 0, f"roundtrip mismatches: {rep.n_mismatch}"
+    extras["verify_mismatch"] = int(rep.n_mismatch)
+
+    # ---- metadata analytics over the encoded table
+    from archive_spark.analytics import best_block_per_source, codec_histogram, ratio_by_source
+
+    t0 = time.perf_counter()
+    hist = {r.codec: r.n_blocks for r in codec_histogram(encoded).collect()}
+    queries["q_codec_histogram"] = round(time.perf_counter() - t0, 3)
+    extras["codec_histogram"] = hist
+
+    t0 = time.perf_counter()
+    ratio_by_source(encoded).collect()
+    queries["q_ratio_by_source"] = round(time.perf_counter() - t0, 3)
+
+    t0 = time.perf_counter()
+    best_block_per_source(encoded).collect()
+    queries["q_best_block"] = round(time.perf_counter() - t0, 3)
+
+    # ---- targeted decode (block pruning path)
+    targets = [r.doc_id for r in tokens.select("doc_id").limit(5).collect()]
+    t0 = time.perf_counter()
+    engine.decode(encoded, targets=targets).collect()
+    queries["q_targeted_decode"] = round(time.perf_counter() - t0, 3)
+
+    # ---- star-schema + pipeline queries at the sf dir
+    import __spark_entry__ as entry_mod
+
+    for name in (
+        "tpch_q1", "tpch_q6", "cust_order_join", "events_top3",
+        "token_count_by_source", "minhash_lsh_pairs", "ann_bruteforce",
+    ):
+        q = entry_mod.queries()[name]
+        t0 = time.perf_counter()
+        q(spark, sf_dir).collect()
+        queries[f"q_{name}"] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(queries.values()), 3)
+    spark.stop()
+
+    # ---- optional scaling evidence (same input, N/4 cores, subprocess)
+    if os.environ.get("BENCH_SCALING") == "1" and cpus >= 4:
+        low = cpus // 4
+        env = dict(os.environ)
+        env.update(
+            SPARK_GRAFT_CPUS=str(low), BENCH_SCALING="0",
+            BENCH_DOCS=str(n_docs), BENCH_JSON_ONLY="1",
+        )
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env, capture_output=True, text=True, timeout=3600,
+        )
+        sub = json.loads(out.stdout.strip().splitlines()[-1])
+        tps_low = sub["encode_tokens_per_sec"]
+        tps_high = extras["encode_tokens_per_sec"]
+        extras["scaling"] = {
+            "cores_low": low, "cores_high": cpus,
+            "encode_tokens_per_sec_low": tps_low,
+            "encode_tokens_per_sec_high": tps_high,
+            "efficiency": round(tps_high / (4 * tps_low), 3),
+        }
+
+    result = {
+        "metric": "total_bench_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": queries,
+        "sf": sf,
+        **extras,
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()
