@@ -32,19 +32,28 @@ def packed_size(n: int, width: int) -> int:
 
 
 def pack_bits(vals: np.ndarray, width: int) -> bytes:
-    """Pack ``vals`` (uint64, each < 2**width) at ``width`` bits/value."""
+    """Pack ``vals`` (unsigned, each < 2**width) at ``width`` bits/value.
+
+    Accepts any unsigned dtype wide enough for ``width`` — callers keep
+    values in uint32 when possible to halve memory traffic (the kernels
+    are bandwidth-bound at high core counts)."""
     n = vals.size
     if width == 0 or n == 0:
         return b""
     if width > 64:
         raise ValueError(f"width {width} > 64")
-    vals = np.ascontiguousarray(vals, dtype=np.uint64)
+    if vals.dtype.kind != "u":
+        vals = vals.astype(np.uint64)
+    elif vals.dtype.itemsize * 8 < width:
+        raise ValueError(f"dtype {vals.dtype} too narrow for width {width}")
+    vals = np.ascontiguousarray(vals)
+    dt = vals.dtype.type
     q, r = divmod(width, 8)
     parts: list[bytes] = []
     for j in range(q):
-        parts.append(((vals >> np.uint64(8 * j)) & np.uint64(0xFF)).astype(np.uint8).tobytes())
+        parts.append(((vals >> dt(8 * j)).astype(np.uint8)).tobytes())
     if r:
-        resid = (vals >> np.uint64(8 * q)).astype(np.uint8)
+        resid = (vals >> dt(8 * q)).astype(np.uint8)
         one = np.uint8(1)
         for b in range(r):
             parts.append(np.packbits((resid >> np.uint8(b)) & one).tobytes())
@@ -52,21 +61,24 @@ def pack_bits(vals: np.ndarray, width: int) -> bytes:
 
 
 def unpack_bits(buf: bytes | memoryview, n: int, width: int) -> np.ndarray:
-    """Inverse of :func:`pack_bits`; returns uint64 array of length ``n``."""
-    if width == 0 or n == 0:
-        return np.zeros(n, dtype=np.uint64)
+    """Inverse of :func:`pack_bits`.  Returns the narrowest unsigned dtype
+    that holds ``width`` bits (uint32 for width <= 32, else uint64)."""
     if width > 64:
         raise ValueError(f"width {width} > 64")
+    dtype = np.uint32 if width <= 32 else np.uint64
+    if width == 0 or n == 0:
+        return np.zeros(n, dtype=dtype)
     raw = np.frombuffer(buf, dtype=np.uint8, count=packed_size(n, width))
     q, r = divmod(width, 8)
-    out = np.zeros(n, dtype=np.uint64)
+    out = np.zeros(n, dtype=dtype)
+    dt = dtype.__call__
     for j in range(q):
-        out |= raw[j * n : (j + 1) * n].astype(np.uint64) << np.uint64(8 * j)
+        out |= raw[j * n : (j + 1) * n].astype(dtype) << dt(8 * j)
     if r:
         plane_bytes = (n + 7) // 8
         base = q * n
         for b in range(r):
             plane = raw[base + b * plane_bytes : base + (b + 1) * plane_bytes]
             bits = np.unpackbits(plane, count=n)
-            out |= bits.astype(np.uint64) << np.uint64(8 * q + b)
+            out |= bits.astype(dtype) << dt(8 * q + b)
     return out

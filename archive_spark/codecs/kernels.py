@@ -90,21 +90,31 @@ def _enc_constant(v: np.ndarray) -> bytes:
 
 
 def _enc_for(v: np.ndarray) -> bytes:
-    w = v.astype(np.int64, copy=False)
-    ref = int(w.min())
-    shifted = (w - ref).astype(np.uint64)
+    """Frame-of-reference in pure uint32 wraparound arithmetic: for int32
+    inputs, (x - min) always fits uint32 and (x mod 2^32 - min mod 2^32)
+    mod 2^32 == x - min, so no int64 temporaries are needed (the kernels
+    are memory-bandwidth-bound at high core counts)."""
+    ref = int(v.min())
+    u = v.view(np.uint32)
+    shifted = u - np.uint32(ref & 0xFFFFFFFF)
     width = bit_width(int(shifted.max()))
     return struct.pack("<qB", ref, width) + pack_bits(shifted, width)
 
 
+def _wrap_deltas(v: np.ndarray) -> np.ndarray:
+    """Wraparound (mod 2^32) successive differences — exact for roundtrip
+    because decode accumulates mod 2^32 and reinterprets as int32."""
+    u = v.view(np.uint32)
+    return u[1:] - u[:-1]
+
+
 def _enc_delta(v: np.ndarray) -> bytes:
-    w = v.astype(np.int64, copy=False)
-    first = int(w[0])
-    if w.size == 1:
+    first = int(v[0])
+    if v.size == 1:
         return struct.pack("<qqB", first, 0, 0)
-    d = np.diff(w)
+    d = _wrap_deltas(v)
     dmin = int(d.min())
-    shifted = (d - dmin).astype(np.uint64)
+    shifted = d - np.uint32(dmin)
     width = bit_width(int(shifted.max()))
     return struct.pack("<qqB", first, dmin, width) + pack_bits(shifted, width)
 
@@ -160,23 +170,51 @@ def _dedup_overlaps(pos: np.ndarray) -> np.ndarray:
     return pos[rel % 2 == 0]
 
 
-_FP_SHIFT = np.uint64(48)
-_FP_MULT = np.uint64(0x9E3779B97F4A7C15)
+class _KeyOps:
+    """Pair-key arithmetic for one alphabet size.  Small alphabets
+    (< 2^16 ids) use uint32 keys — half the memory traffic of the int64
+    general case, which matters because these kernels are bandwidth-bound
+    at high core counts."""
+
+    def __init__(self, alphabet: int):
+        self.narrow = alphabet <= (1 << 16)
+        if self.narrow:
+            self.shift, self.kdtype = 16, np.uint32
+            self.fp_mult, self.fp_shift = np.uint32(2654435761), np.uint32(16)
+        else:
+            self.shift, self.kdtype = 32, np.uint64
+            self.fp_mult, self.fp_shift = np.uint64(0x9E3779B97F4A7C15), np.uint64(48)
+
+    def seq_keys(self, seq: np.ndarray) -> np.ndarray:
+        a = seq[:-1].astype(self.kdtype)
+        a <<= self.kdtype(self.shift)
+        a |= seq[1:].astype(self.kdtype)
+        return a
+
+    def sym_key(self, left: int, right: int):
+        return self.kdtype((left << self.shift) | right)
+
+    def split(self, key) -> tuple[int, int]:
+        k = int(key)
+        return k >> self.shift, k & ((1 << self.shift) - 1)
+
+    def fp(self, keys: np.ndarray) -> np.ndarray:
+        return ((keys * self.fp_mult) >> self.fp_shift).astype(np.int64)
 
 
-def _fp_table(keys: np.ndarray):
+def _fp_table(keys: np.ndarray, ops: _KeyOps):
     """Build a 65536-slot fingerprint table for a small key set (<= a few
     hundred): table[fp(key)] = index+1.  Collisions between *table keys*
     are resolved by dropping the later key (it simply won't be matched
     this pass — correctness unaffected, only compression)."""
-    fps = ((keys.astype(np.uint64) * _FP_MULT) >> _FP_SHIFT).astype(np.int64)
+    fps = ops.fp(keys)
     table = np.zeros(1 << 16, dtype=np.int32)
     # write in reverse priority order so the earliest key wins collided slots
     table[fps[::-1]] = np.arange(keys.size, 0, -1, dtype=np.int32)
     return table
 
 
-def _replace_pairs_once(seq: np.ndarray, keys: np.ndarray, ids: np.ndarray):
+def _replace_pairs_once(seq: np.ndarray, keys: np.ndarray, ids: np.ndarray, ops: _KeyOps):
     """One vectorized pass: tile ``seq`` greedily left-to-right with any of
     the given pair keys, replacing each match with its symbol id.
 
@@ -184,16 +222,15 @@ def _replace_pairs_once(seq: np.ndarray, keys: np.ndarray, ids: np.ndarray):
     linear passes, no per-element binary search."""
     if seq.size < 2 or keys.size == 0:
         return seq
-    seq_keys = (seq[:-1] << np.int64(32)) | seq[1:]
-    table = _fp_table(keys)
-    fps = ((seq_keys.astype(np.uint64) * _FP_MULT) >> _FP_SHIFT).astype(np.int64)
-    cand = table[fps]
+    seq_keys = ops.seq_keys(seq)
+    table = _fp_table(keys, ops)
+    cand = table[ops.fp(seq_keys)]
     pos = np.flatnonzero(cand)
     pos = pos[keys[cand[pos] - 1] == seq_keys[pos]]  # exact verify
     pos = _dedup_overlaps(pos)
     if pos.size == 0:
         return seq
-    seq[pos] = ids[cand[pos] - 1]
+    seq[pos] = ids[cand[pos] - 1].astype(seq.dtype)
     keep = np.ones(seq.size, dtype=bool)
     keep[pos + 1] = False
     return seq[keep]
@@ -213,11 +250,12 @@ def _pairs_build(ids: np.ndarray, n_base: int, max_symbols: int, min_gain: int):
     (symbols are pairs over a growing alphabet instead of byte strings);
     decoding expands symbols back — bit-identical.
     """
-    seq = ids.astype(np.int64, copy=True)
+    ops = _KeyOps(n_base + max_symbols)
+    seq = ids.astype(np.int32, copy=True)
     syms: list[tuple[int, int]] = []
     next_id = n_base
     while len(syms) < max_symbols and seq.size >= 4:
-        key = (seq[:-1] << np.int64(32)) | seq[1:]
+        key = ops.seq_keys(seq)
         uk, counts = np.unique(key, return_counts=True)
         take = min(_BUILD_BATCH, max_symbols - len(syms))
         if counts.size > take:
@@ -232,10 +270,9 @@ def _pairs_build(ids: np.ndarray, n_base: int, max_symbols: int, min_gain: int):
         new_keys = uk[top]
         new_ids = np.arange(next_id, next_id + top.size, dtype=np.int64)
         for k in new_keys:
-            syms.append((int(k >> np.int64(32)), int(k & np.int64(0xFFFFFFFF))))
+            syms.append(ops.split(k))
         next_id += top.size
-        order = np.argsort(new_keys)
-        seq = _replace_pairs_once(seq, new_keys[order], new_ids[order])
+        seq = _replace_pairs_once(seq, new_keys, new_ids, ops)
     return seq, syms
 
 
@@ -254,6 +291,7 @@ def _apply_pairs(seq: np.ndarray, syms: list[tuple[int, int]], n_base: int) -> n
     if not syms:
         return seq
     n_sym = len(syms)
+    ops = _KeyOps(n_base + n_sym)
     levels = np.zeros(n_base + n_sym, dtype=np.int32)
     for j, (left, right) in enumerate(syms):
         levels[n_base + j] = 1 + max(levels[left], levels[right])
@@ -263,10 +301,10 @@ def _apply_pairs(seq: np.ndarray, syms: list[tuple[int, int]], n_base: int) -> n
         ids = n_base + np.flatnonzero(levels[n_base:] == lvl)
         if ids.size == 0 or seq.size < 2:
             continue
-        pairs = np.asarray([syms[i - n_base] for i in ids], dtype=np.int64)
-        keys = (pairs[:, 0] << np.int64(32)) | pairs[:, 1]
-        order = np.argsort(keys)
-        seq = _replace_pairs_once(seq, keys[order], ids[order].astype(np.int64))
+        keys = np.asarray(
+            [ops.sym_key(*syms[i - n_base]) for i in ids], dtype=ops.kdtype
+        )
+        seq = _replace_pairs_once(seq, keys, ids.astype(np.int64), ops)
     return seq
 
 
@@ -283,13 +321,13 @@ def _enc_fsst(
 ) -> bytes:
     uvals, inv = _unique_inverse(v, uvals)
     n_base = int(uvals.size)
-    seq64 = inv.astype(np.int64)
-    if seq64.size > FSST_BUILD_LIMIT:
-        sample = seq64[:FSST_BUILD_LIMIT].copy()
+    seq0 = inv.astype(np.int32, copy=False)
+    if seq0.size > FSST_BUILD_LIMIT:
+        sample = seq0[:FSST_BUILD_LIMIT]
         _, syms = _pairs_build(sample, n_base, max_symbols, max(8, sample.size >> 10))
-        seq = _apply_pairs(seq64, syms, n_base)
+        seq = _apply_pairs(seq0.copy(), syms, n_base)
     else:
-        seq, syms = _pairs_build(seq64, n_base, max_symbols, min_gain)
+        seq, syms = _pairs_build(seq0, n_base, max_symbols, min_gain)
     n_sym = len(syms)
     sym_flat = np.asarray(syms, dtype=np.int64).ravel() if n_sym else np.zeros(0, np.int64)
     alpha_width = bit_width(max(n_base + n_sym - 1, 0))
@@ -320,6 +358,8 @@ def _dec_constant(body: memoryview, n: int) -> np.ndarray:
 def _dec_for(body: memoryview, n: int) -> np.ndarray:
     ref, width = struct.unpack_from("<qB", body)
     shifted = unpack_bits(body[9:], n, width)
+    if shifted.dtype == np.uint32:
+        return (shifted + np.uint32(ref & 0xFFFFFFFF)).view(np.int32)
     return (shifted.astype(np.int64) + ref).astype(np.int32)
 
 
@@ -327,13 +367,14 @@ def _dec_delta(body: memoryview, n: int) -> np.ndarray:
     first, dmin, width = struct.unpack_from("<qqB", body)
     if n == 0:
         return np.zeros(0, dtype=np.int32)
-    out = np.empty(n, dtype=np.int64)
-    out[0] = first
+    out = np.empty(n, dtype=np.uint32)
+    out[0] = np.uint32(first & 0xFFFFFFFF)
     if n > 1:
-        d = unpack_bits(body[17:], n - 1, width).astype(np.int64) + dmin
-        np.cumsum(d, out=out[1:])
-        out[1:] += first
-    return out.astype(np.int32)
+        d = unpack_bits(body[17:], n - 1, width).astype(np.uint32, copy=False)
+        d += np.uint32(dmin & 0xFFFFFFFF)
+        np.cumsum(d, out=out[1:])  # wraparound accumulate (mod 2^32)
+        out[1:] += out[0]
+    return out.view(np.int32)
 
 
 def _dec_rle(body: memoryview, n: int) -> np.ndarray:

@@ -67,11 +67,14 @@ def chunk_stats(v: np.ndarray) -> ChunkStats:
     n = int(v.size)
     if n == 0:
         return ChunkStats(0, 0, 0, 0, 0, 0, 0, 0, 0)
-    w = v.astype(np.int64, copy=False)
-    vmin, vmax = int(w.min()), int(w.max())
+    v = np.ascontiguousarray(v, dtype=np.int32)
+    vmin, vmax = int(v.min()), int(v.max())
     if vmin == vmax:
         return ChunkStats(n, vmin, vmax, 1, 1, n, n, 0, 0)
-    change = np.diff(w)
+    # wraparound (mod 2^32) deltas — matches the delta codec's arithmetic,
+    # and zero-ness still marks run boundaries exactly
+    u = v.view(np.uint32)
+    change = u[1:] - u[:-1]
     nz = change != 0
     n_runs = int(nz.sum()) + 1
     starts = np.concatenate(([0], np.flatnonzero(nz) + 1))

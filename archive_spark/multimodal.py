@@ -1,0 +1,234 @@
+"""Multimodal columns: opaque binary payloads + typed metadata.
+
+Images/audio/video ride through the pipeline as ``binary`` columns with
+a typed metadata struct, processed by Arrow-batched ``mapInArrow`` /
+``mapInPandas`` operators.  The *container decode* step (JPEG/PNG/WAV
+codecs) is STUBBED — the media libraries are not in this environment —
+behind ``decoder="fake"`` (a deterministic, seed-stable pixel/sample
+generator keyed by content hash) or ``decoder="real"`` which raises
+``NotImplementedError``.  Everything Spark-side — schemas, batch
+iteration, partitioning, feature extraction over decoded arrays — is
+real and tested; swapping in a real decoder is a one-function change.
+
+This mirrors how the engine's token codecs treat payloads: bytes +
+self-describing metadata, dispatch on content not filename
+(archive.go:301-312).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Iterator
+
+import numpy as np
+import pyarrow as pa
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+MEDIA_SCHEMA = (
+    "media_id string, kind string, payload binary, "
+    "meta struct<format:string, width:int, height:int, n_channels:int, "
+    "sample_rate:int, n_frames:int>"
+)
+
+FEATURE_SCHEMA = (
+    "media_id string, kind string, n_bytes bigint, "
+    "mean_intensity double, std_intensity double, histogram array<bigint>"
+)
+
+THUMB_SCHEMA = "media_id string, thumb binary, thumb_w int, thumb_h int"
+
+
+def synth_media_table(
+    spark: SparkSession, n: int, seed: int = 42, partitions: int = 8
+) -> DataFrame:
+    """Deterministic fake media table: payload = seeded pseudo-random
+    bytes, metadata typed per kind. Stands in for an ingest source."""
+
+    def gen(it: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in it:
+            ids = batch.column(0).to_numpy()
+            rows = {
+                "media_id": [], "kind": [], "payload": [],
+                "format": [], "width": [], "height": [],
+                "n_channels": [], "sample_rate": [], "n_frames": [],
+            }
+            for i in ids:  # metadata-only python loop; payload gen is numpy
+                rng = np.random.default_rng(seed * 1_000_003 + int(i))
+                kind = ("image", "audio", "video")[int(i) % 3]
+                if kind == "image":
+                    w, h, c = int(rng.integers(16, 64)), int(rng.integers(16, 64)), 3
+                    nb, sr, nf = w * h * c, 0, 1
+                    fmt = "fake_rgb8"
+                elif kind == "audio":
+                    sr, nf = 16_000, int(rng.integers(1_000, 8_000))
+                    w = h = 0
+                    c, nb = 1, nf * 2
+                    fmt = "fake_pcm16"
+                else:
+                    w, h, c = 32, 32, 3
+                    nf = int(rng.integers(2, 6))
+                    sr, nb = 0, w * h * c * nf
+                    fmt = "fake_rgb8_frames"
+                rows["media_id"].append(f"m-{int(i):08d}")
+                rows["kind"].append(kind)
+                rows["payload"].append(rng.integers(0, 256, nb, dtype=np.uint8).tobytes())
+                rows["format"].append(fmt)
+                rows["width"].append(w)
+                rows["height"].append(h)
+                rows["n_channels"].append(c)
+                rows["sample_rate"].append(sr)
+                rows["n_frames"].append(nf)
+            meta = pa.StructArray.from_arrays(
+                [
+                    pa.array(rows["format"], pa.string()),
+                    pa.array(rows["width"], pa.int32()),
+                    pa.array(rows["height"], pa.int32()),
+                    pa.array(rows["n_channels"], pa.int32()),
+                    pa.array(rows["sample_rate"], pa.int32()),
+                    pa.array(rows["n_frames"], pa.int32()),
+                ],
+                names=["format", "width", "height", "n_channels", "sample_rate", "n_frames"],
+            )
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(rows["media_id"], pa.string()),
+                    pa.array(rows["kind"], pa.string()),
+                    pa.array(rows["payload"], pa.binary()),
+                    meta,
+                ],
+                names=["media_id", "kind", "payload", "meta"],
+            )
+
+    return spark.range(0, n, numPartitions=partitions).mapInArrow(gen, MEDIA_SCHEMA)
+
+
+def _decode_payload(payload: bytes, fmt: str, decoder: str) -> np.ndarray:
+    """Container decode — the stubbed step.
+
+    decoder="real": where PIL/libav decode would go → NotImplementedError.
+    decoder="fake": deterministic interpretation of the raw bytes (the
+    synthetic payloads ARE raw samples), so the full pipeline is testable.
+    """
+    if decoder == "real":
+        raise NotImplementedError(
+            "real media decode requires PIL/libav — not available in this "
+            "environment; use decoder='fake'"
+        )
+    if fmt == "fake_pcm16":
+        return np.frombuffer(payload, dtype="<i2").astype(np.float64) / 32768.0
+    return np.frombuffer(payload, dtype=np.uint8).astype(np.float64)
+
+
+def extract_features(media: DataFrame, decoder: str = "fake") -> DataFrame:
+    """Decode → per-item intensity stats + 16-bin histogram.
+
+    Arrow-batched; the per-item loop is over *media items* (each one an
+    opaque blob — the natural unit, like the reference's per-archive
+    dispatch), with numpy doing the per-sample math."""
+
+    def feats(it: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in it:
+            fmt = batch.column("meta").field("format")
+            out = {"media_id": [], "kind": [], "n_bytes": [],
+                   "mean": [], "std": [], "hist": []}
+            for i in range(batch.num_rows):
+                payload = batch.column("payload")[i].as_py()
+                arr = _decode_payload(payload, fmt[i].as_py(), decoder)
+                lo, hi = (-1.0, 1.0) if fmt[i].as_py() == "fake_pcm16" else (0.0, 255.0)
+                hist, _ = np.histogram(arr, bins=16, range=(lo, hi))
+                out["media_id"].append(batch.column("media_id")[i].as_py())
+                out["kind"].append(batch.column("kind")[i].as_py())
+                out["n_bytes"].append(len(payload))
+                out["mean"].append(float(arr.mean()) if arr.size else 0.0)
+                out["std"].append(float(arr.std()) if arr.size else 0.0)
+                out["hist"].append(hist.astype(np.int64).tolist())
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(out["media_id"], pa.string()),
+                    pa.array(out["kind"], pa.string()),
+                    pa.array(out["n_bytes"], pa.int64()),
+                    pa.array(out["mean"], pa.float64()),
+                    pa.array(out["std"], pa.float64()),
+                    pa.array(out["hist"], pa.list_(pa.int64())),
+                ],
+                names=["media_id", "kind", "n_bytes", "mean_intensity",
+                       "std_intensity", "histogram"],
+            )
+
+    return media.mapInArrow(feats, FEATURE_SCHEMA)
+
+
+def resize_images(media: DataFrame, out_w: int = 8, out_h: int = 8,
+                  decoder: str = "fake") -> DataFrame:
+    """Thumbnail images via nearest-neighbor (pure numpy index grid)."""
+
+    def thumbs(it: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in it:
+            meta = batch.column("meta")
+            out = {"media_id": [], "thumb": []}
+            for i in range(batch.num_rows):
+                if batch.column("kind")[i].as_py() != "image":
+                    continue
+                w = meta.field("width")[i].as_py()
+                h = meta.field("height")[i].as_py()
+                c = meta.field("n_channels")[i].as_py()
+                arr = _decode_payload(
+                    batch.column("payload")[i].as_py(),
+                    meta.field("format")[i].as_py(), decoder,
+                ).reshape(h, w, c)
+                yi = (np.arange(out_h) * h // out_h)[:, None]
+                xi = (np.arange(out_w) * w // out_w)[None, :]
+                thumb = arr[yi, xi].astype(np.uint8)
+                out["media_id"].append(batch.column("media_id")[i].as_py())
+                out["thumb"].append(thumb.tobytes())
+            if not out["media_id"]:
+                continue
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(out["media_id"], pa.string()),
+                    pa.array(out["thumb"], pa.binary()),
+                    pa.array([out_w] * len(out["media_id"]), pa.int32()),
+                    pa.array([out_h] * len(out["media_id"]), pa.int32()),
+                ],
+                names=["media_id", "thumb", "thumb_w", "thumb_h"],
+            )
+
+    return media.mapInArrow(thumbs, THUMB_SCHEMA)
+
+
+def sample_frames(media: DataFrame, every: int = 2, decoder: str = "fake") -> DataFrame:
+    """Frame-sample videos: keep every ``every``-th frame as its own row
+    (explode at the batch level — no per-pixel Python)."""
+
+    def frames(it: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in it:
+            meta = batch.column("meta")
+            out = {"media_id": [], "frame_idx": [], "frame": []}
+            for i in range(batch.num_rows):
+                if batch.column("kind")[i].as_py() != "video":
+                    continue
+                w = meta.field("width")[i].as_py()
+                h = meta.field("height")[i].as_py()
+                c = meta.field("n_channels")[i].as_py()
+                nf = meta.field("n_frames")[i].as_py()
+                arr = _decode_payload(
+                    batch.column("payload")[i].as_py(),
+                    meta.field("format")[i].as_py(), decoder,
+                ).reshape(nf, h * w * c)
+                for j in range(0, nf, every):
+                    out["media_id"].append(batch.column("media_id")[i].as_py())
+                    out["frame_idx"].append(j)
+                    out["frame"].append(arr[j].astype(np.uint8).tobytes())
+            if not out["media_id"]:
+                continue
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(out["media_id"], pa.string()),
+                    pa.array(out["frame_idx"], pa.int32()),
+                    pa.array(out["frame"], pa.binary()),
+                ],
+                names=["media_id", "frame_idx", "frame"],
+            )
+
+    return media.mapInArrow(frames, "media_id string, frame_idx int, frame binary")

@@ -65,13 +65,25 @@ def main() -> None:
     extras["n_docs"] = n_docs
     extras["n_tokens"] = int(n_values)
 
-    # ---- q_encode: full encode to parquet (the headline)
+    # ---- q_encode: full encode to parquet (the headline).  Input is
+    # hash-distributed (doc_id order), so no salting needed — blocks are
+    # source-homogeneous regardless because the encoder groups per batch.
     t0 = time.perf_counter()
-    enc = engine.encode(tokens, salt_partitions=cpus * 2)
+    enc = engine.encode(tokens)
     enc.write.mode("overwrite").option("compression", "none").parquet(enc_path)
     dt = time.perf_counter() - t0
     queries["q_encode"] = round(dt, 3)
     extras["encode_tokens_per_sec"] = int(n_values / dt)
+
+    # ---- q_encode_skewed_salted: worst-case input clustered by source
+    # (one giant textish run) → salted repartition restores balance
+    # (north_rule: skew handled explicitly)
+    t0 = time.perf_counter()
+    skewed = tokens.repartitionByRange(max(cpus // 2, 4), "source", "doc_id")
+    engine.encode(skewed, salt_partitions=cpus * 2).agg(
+        F.sum("meta.enc_bytes")
+    ).collect()
+    queries["q_encode_skewed_salted"] = round(time.perf_counter() - t0, 3)
 
     encoded = spark.read.parquet(enc_path)
     row = encoded.agg(
@@ -132,27 +144,20 @@ def main() -> None:
     total = round(sum(queries.values()), 3)
     spark.stop()
 
-    # ---- optional scaling evidence (same input, N/4 cores, subprocess)
+    # ---- optional scaling evidence: delegate to scaling_bench.py, which
+    # runs each level in a fresh CPU-pinned process (see BENCH_SCALING.md
+    # for why pinning is the faithful two-cluster-size proxy)
     if os.environ.get("BENCH_SCALING") == "1" and cpus >= 4:
-        low = cpus // 4
-        env = dict(os.environ)
-        env.update(
-            SPARK_GRAFT_CPUS=str(low), BENCH_SCALING="0",
-            BENCH_DOCS=str(n_docs), BENCH_JSON_ONLY="1",
-        )
         out = subprocess.run(
-            [sys.executable, os.path.abspath(__file__)],
-            env=env, capture_output=True, text=True, timeout=3600,
+            [
+                sys.executable,
+                os.path.join(os.path.dirname(os.path.abspath(__file__)), "scaling_bench.py"),
+                "--docs", str(min(n_docs, 1_000_000)),
+                "--pairs", f"{max(cpus // 16, 1)}:{max(cpus // 4, 4)}",
+            ],
+            capture_output=True, text=True, timeout=3600,
         )
-        sub = json.loads(out.stdout.strip().splitlines()[-1])
-        tps_low = sub["encode_tokens_per_sec"]
-        tps_high = extras["encode_tokens_per_sec"]
-        extras["scaling"] = {
-            "cores_low": low, "cores_high": cpus,
-            "encode_tokens_per_sec_low": tps_low,
-            "encode_tokens_per_sec_high": tps_high,
-            "efficiency": round(tps_high / (4 * tps_low), 3),
-        }
+        extras["scaling"] = json.loads(out.stdout.strip().splitlines()[-1])
 
     result = {
         "metric": "total_bench_wall",

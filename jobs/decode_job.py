@@ -1,0 +1,33 @@
+"""spark-submit entry point: decode an encoded table back to tokens.
+
+  spark-submit --py-files dist/archive_spark.zip jobs/decode_job.py \
+      --input /path/to/encoded --output /path/to/tokens_out \
+      [--targets doc1,doc2,...]
+"""
+
+from __future__ import annotations
+
+import argparse
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", required=True)
+    ap.add_argument("--output", required=True)
+    ap.add_argument("--targets", default=None, help="comma-separated doc_ids")
+    args = ap.parse_args()
+
+    from pyspark.sql import SparkSession
+
+    from archive_spark import engine
+
+    spark = SparkSession.builder.appName("archive_spark_decode").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    enc = spark.read.parquet(f"{args.input}/data")
+    targets = args.targets.split(",") if args.targets else None
+    engine.decode(enc, targets=targets).write.mode("overwrite").parquet(args.output)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,73 @@
+"""spark-submit entry point: resumable encode of a token table.
+
+Usage:
+  python jobs/package.py   # build dist/archive_spark.zip
+  spark-submit --py-files dist/archive_spark.zip jobs/encode_job.py \
+      --input /path/to/tokens_parquet --output /path/to/encoded \
+      [--shards 64] [--block-values 2097152] [--no-fsst] [--no-resume]
+
+The input must be a parquet table with columns
+(doc_id string, tokens array<int>, n_tok int, source string).
+Re-running after a crash resumes from the per-shard ledger.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", required=True)
+    ap.add_argument("--output", required=True)
+    ap.add_argument("--shards", type=int, default=64)
+    ap.add_argument("--block-values", type=int, default=1 << 21)
+    ap.add_argument("--no-fsst", action="store_true")
+    ap.add_argument("--no-resume", action="store_true")
+    ap.add_argument("--verify", action="store_true", help="roundtrip-check after encode")
+    args = ap.parse_args()
+
+    from pyspark.sql import SparkSession
+
+    from archive_spark import checkpoint, engine
+
+    spark = SparkSession.builder.appName("archive_spark_encode").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    tokens = spark.read.parquet(args.input)
+    snap = checkpoint.snapshot_id_of_path(args.input)
+    res = checkpoint.encode_job(
+        spark,
+        tokens,
+        args.output,
+        snapshot_id=snap,
+        n_shards=args.shards,
+        target_block_values=args.block_values,
+        allow_fsst=not args.no_fsst,
+        resume=not args.no_resume,
+    )
+    summary = {
+        "snapshot_id": res.snapshot_id,
+        "shards_total": res.shards_total,
+        "shards_encoded": res.shards_encoded,
+        "shards_skipped": res.shards_skipped,
+        "bytes_in": res.bytes_in,
+        "bytes_out": res.bytes_out,
+        "ratio": round(res.bytes_out / res.bytes_in, 4) if res.bytes_in else None,
+    }
+    if args.verify:
+        rep = engine.roundtrip_report(
+            tokens, engine.decode(checkpoint.read_encoded(spark, args.output))
+        ).collect()[0]
+        summary["verify"] = {
+            "n_docs": rep.n_docs, "n_decoded": rep.n_decoded,
+            "n_mismatch": rep.n_mismatch,
+        }
+        assert rep.n_mismatch == 0, "roundtrip mismatch"
+    print(json.dumps(summary))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

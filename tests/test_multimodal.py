@@ -1,0 +1,86 @@
+"""Multimodal plumbing tests: schemas, batch shapes, partition behavior.
+The container-decode step is stubbed (deterministic fake) per the build
+contract — everything Spark-side is real."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from archive_spark import multimodal as mm
+
+
+@pytest.fixture(scope="module")
+def media(spark):
+    df = mm.synth_media_table(spark, 60, seed=7).cache()
+    df.count()
+    return df
+
+
+def test_media_schema_and_kinds(media):
+    assert media.schema.simpleString() == (
+        "struct<media_id:string,kind:string,payload:binary,"
+        "meta:struct<format:string,width:int,height:int,n_channels:int,"
+        "sample_rate:int,n_frames:int>>"
+    )
+    kinds = {r.kind for r in media.select("kind").distinct().collect()}
+    assert kinds == {"image", "audio", "video"}
+
+
+def test_payload_sizes_match_metadata(media):
+    rows = media.select(
+        "kind", F.length("payload").alias("nb"), "meta.*"
+    ).collect()
+    for r in rows:
+        if r.kind == "image":
+            assert r.nb == r.width * r.height * r.n_channels
+        elif r.kind == "audio":
+            assert r.nb == r.n_frames * 2
+        else:
+            assert r.nb == r.width * r.height * r.n_channels * r.n_frames
+
+
+def test_feature_extraction(media):
+    feats = mm.extract_features(media).collect()
+    assert len(feats) == 60
+    for r in feats:
+        assert len(r.histogram) == 16
+        assert sum(r.histogram) > 0
+        if r.kind == "audio":
+            assert -1.0 <= r.mean_intensity <= 1.0
+        else:
+            assert 0.0 <= r.mean_intensity <= 255.0
+
+
+def test_feature_extraction_deterministic(spark):
+    a = {r.media_id: r.mean_intensity
+         for r in mm.extract_features(mm.synth_media_table(spark, 30, seed=7, partitions=3)).collect()}
+    b = {r.media_id: r.mean_intensity
+         for r in mm.extract_features(mm.synth_media_table(spark, 30, seed=7, partitions=7)).collect()}
+    assert a == b  # partitioning-invariant
+
+
+def test_resize(media):
+    thumbs = mm.resize_images(media, out_w=8, out_h=8).collect()
+    n_images = media.filter(F.col("kind") == "image").count()
+    assert len(thumbs) == n_images
+    for r in thumbs:
+        assert len(r.thumb) == 8 * 8 * 3
+
+
+def test_frame_sampling(media):
+    frames = mm.sample_frames(media, every=2)
+    per_vid = frames.groupBy("media_id").count().collect()
+    meta = {r.media_id: r.n_frames for r in
+            media.filter(F.col("kind") == "video").select("media_id", "meta.n_frames").collect()}
+    assert {r.media_id for r in per_vid} == set(meta)
+    for r in per_vid:
+        assert r["count"] == (meta[r.media_id] + 1) // 2
+    one = frames.limit(1).collect()[0]
+    assert len(one.frame) == 32 * 32 * 3
+
+
+def test_real_decoder_is_explicit_stub(spark):
+    with pytest.raises(NotImplementedError):
+        mm._decode_payload(b"\x00", "fake_rgb8", decoder="real")
