@@ -1,0 +1,75 @@
+"""Structured Streaming encode path.
+
+The reference has no streaming surface (SURVEY.md §2.6); this is the
+Spark-native extension for continuous ingest of token tables: the SAME
+vectorized encoder (`engine._make_encoder`) runs inside a streaming
+`mapInArrow`, so batch and streaming share one codec code path.  Spark's
+streaming checkpoint (offset log + commit log in `checkpointLocation`)
+provides exactly-once file-sink semantics — the streaming counterpart of
+the batch job's shard ledger (checkpoint.py): both resume from durable
+progress records after a crash.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from . import engine
+
+
+def read_token_stream(
+    spark: SparkSession, input_dir: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """File-source stream of token parquet drops (schema fixed by the
+    engine contract — streaming sources require an explicit schema)."""
+    reader = (
+        spark.readStream.schema(engine.TOKENS_SCHEMA)
+        .format("parquet")
+    )
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    return reader.load(input_dir)
+
+
+def encode_stream(
+    tokens_stream: DataFrame,
+    target_block_values: int = engine.DEFAULT_BLOCK_VALUES,
+    allow_fsst: bool = True,
+) -> DataFrame:
+    """Streaming DataFrame of encoded blocks (same output schema as the
+    batch encoder)."""
+    return tokens_stream.mapInArrow(
+        engine._make_encoder(target_block_values, allow_fsst), engine.ENCODED_SCHEMA
+    )
+
+
+def start_encode_sink(
+    encoded_stream: DataFrame,
+    output_dir: str,
+    checkpoint_dir: str,
+    available_now: bool = True,
+):
+    """Write encoded blocks to parquet with streaming checkpointing.
+
+    ``available_now=True`` processes everything currently in the source
+    then stops — the batch-like trigger used for backfill and tests;
+    ``False`` runs continuously on the default micro-batch trigger.
+    """
+    w = (
+        encoded_stream.writeStream.format("parquet")
+        .option("path", output_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        w = w.trigger(availableNow=True)
+    return w.start()
+
+
+def streaming_codec_histogram(encoded_stream: DataFrame) -> DataFrame:
+    """Streaming aggregation: running codec histogram (complete mode)."""
+    return encoded_stream.groupBy(F.col("meta.codec").alias("codec")).agg(
+        F.count("*").alias("n_blocks"),
+        F.sum("meta.raw_bytes").alias("raw_bytes"),
+        F.sum("meta.enc_bytes").alias("enc_bytes"),
+    )

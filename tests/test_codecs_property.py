@@ -1,0 +1,70 @@
+"""Property-based codec tests (hypothesis): roundtrip bit-identity and
+the never-inflate guarantee hold for arbitrary int32 inputs, not just
+the profile corpus — the generalization of the reference's
+invariant-assertion style (SURVEY.md §5)."""
+
+from __future__ import annotations
+
+import numpy as np
+from hypothesis import given, settings, strategies as st
+
+from archive_spark.codecs import decode, encode, encode_auto
+from archive_spark.codecs.bitio import pack_bits, packed_size, unpack_bits
+from archive_spark.codecs.selector import chunk_stats, estimate_sizes
+
+I32 = st.integers(min_value=-(2**31), max_value=2**31 - 1)
+
+
+arrays = st.lists(I32, min_size=0, max_size=400).map(
+    lambda xs: np.array(xs, dtype=np.int32)
+)
+
+# arrays with structure: runs / small spans / sortedness, to hit every codec
+structured = st.one_of(
+    arrays,
+    st.tuples(st.lists(I32, min_size=1, max_size=20), st.integers(1, 30)).map(
+        lambda t: np.repeat(np.array(t[0], dtype=np.int32), t[1])
+    ),
+    st.lists(st.integers(0, 50), min_size=1, max_size=400).map(
+        lambda xs: np.cumsum(np.array(xs, dtype=np.int32)).astype(np.int32)
+    ),
+)
+
+
+@settings(max_examples=150, deadline=None)
+@given(structured)
+def test_auto_roundtrip_any_input(v):
+    blk, _ = encode_auto(v)
+    np.testing.assert_array_equal(decode(blk), v)
+    assert len(blk) <= 9 + 4 * v.size
+
+
+@settings(max_examples=80, deadline=None)
+@given(structured)
+def test_every_general_codec_roundtrips(v):
+    for codec in ("plain", "for", "delta", "rle", "dict", "fsst"):
+        if v.size == 0 and codec != "plain":
+            continue
+        np.testing.assert_array_equal(decode(encode(v, codec)), v)
+
+
+@settings(max_examples=100, deadline=None)
+@given(structured)
+def test_estimates_are_exact(v):
+    est = estimate_sizes(chunk_stats(v))
+    for codec, size in est.items():
+        assert len(encode(v, codec)) == size, codec
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    st.lists(st.integers(0, 2**63 - 1), min_size=0, max_size=300),
+    st.integers(min_value=0, max_value=64),
+)
+def test_pack_unpack_bits(xs, width):
+    lim = (1 << width) - 1 if width else 0
+    vals = np.array([x & lim for x in xs], dtype=np.uint64)
+    buf = pack_bits(vals, width)
+    assert len(buf) == packed_size(vals.size, width)
+    out = unpack_bits(buf, vals.size, width)
+    np.testing.assert_array_equal(out.astype(np.uint64), vals)
