@@ -314,6 +314,96 @@ def _q_events_top3(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_events_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization: 30-min-gap sessions via lag + running sum windows."""
+    from pyspark.sql import Window
+
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    new_s = F.when(gap > 1800, 1).when(F.lag("ts").over(w).isNull(), 1).otherwise(0)
+    sess = e.withColumn("sid", F.sum(new_s).over(w))
+    return (
+        sess.groupBy("user_id", "sid")
+        .agg(F.count("*").alias("n_events"), F.min("ts").alias("session_start"))
+        .select("user_id", F.col("sid").cast("bigint").alias("sid"), "n_events", "session_start")
+        .orderBy("user_id", "sid")
+    )
+
+
+def _q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact word-3-shingle Jaccard for all pairs among the first 30 docs."""
+    from archive_spark.pipeline_ops import ngram_jaccard
+
+    docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 30)
+    ids = docs.select(F.col("doc_id").alias("id"))
+    pairs = (
+        ids.alias("a")
+        .crossJoin(ids.withColumnRenamed("id", "id_b").alias("b"))
+        .filter(F.col("id") < F.col("id_b"))
+        .select(F.col("id").alias("doc_a"), F.col("id_b").alias("doc_b"))
+    )
+    out = ngram_jaccard(docs.withColumn("doc_id", F.col("doc_id")), pairs, k=3)
+    return out.filter(F.col("jaccard") > 0).orderBy("doc_a", "doc_b")
+
+
+def _q_tpch_q5ish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    r = spark.read.parquet(f"{sf_dir}/region.parquet")
+    n = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.countDistinct("c_custkey").alias("n_customers"),
+            F.round(F.sum("o_totalprice")).cast("bigint").alias("total_r"),
+        )
+        .orderBy("r_name")
+    )
+
+
+def _q_part_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = spark.read.parquet(f"{sf_dir}/part.parquet")
+    grp = [c for c in p.columns if "brand" in c.lower()][0]
+    size_col = [c for c in p.columns if c.lower().endswith("size")][0]
+    return (
+        p.groupBy(grp)
+        .agg(
+            F.count("*").alias("n_parts"),
+            F.min(size_col).cast("bigint").alias("min_size"),
+            F.max(size_col).cast("bigint").alias("max_size"),
+        )
+        .withColumnRenamed(grp, "brand")
+        .orderBy("brand")
+    )
+
+
+def _q_supplier_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    n = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    key_s = [c for c in s.columns if "nationkey" in c.lower()][0]
+    return (
+        s.join(F.broadcast(n), s[key_s] == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.count("*").alias("n_suppliers"))
+        .orderBy("n_name")
+    )
+
+
+def _q_word_length_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    return (
+        docs.select(F.explode(F.split("text", " ")).alias("w"))
+        .groupBy(F.length("w").alias("word_len"))
+        .agg(F.count("*").alias("n_words"))
+        .orderBy("word_len")
+    )
+
+
 def _q_events_user_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = spark.read.parquet(f"{sf_dir}/events.parquet")
     return (
@@ -350,7 +440,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_sample": _q_simhash_sample,
         "ann_bruteforce": _q_ann_bruteforce,
         "ann_lsh": _q_ann_lsh,
+        "ngram_jaccard": _q_ngram_jaccard,
+        "word_length_hist": _q_word_length_hist,
         # star-schema analytics
+        "events_sessions": _q_events_sessions,
+        "tpch_q5ish": _q_tpch_q5ish,
+        "part_stats": _q_part_stats,
+        "supplier_nation": _q_supplier_nation,
         "tpch_q1": _q_tpch_q1,
         "tpch_q6": _q_tpch_q6,
         "order_rollup": _q_order_rollup,
@@ -410,6 +506,55 @@ def oracle_sql() -> dict[str, str]:
             "FROM scored) "
             "SELECT query_id, vec_id, rank FROM ranked WHERE rank <= 5 "
             "ORDER BY query_id, rank"
+        ),
+        "events_sessions": (
+            "WITH lagged AS ("
+            "SELECT user_id, ts, event_id, "
+            "CASE WHEN epoch(ts) - epoch(lag(ts) OVER w) > 1800 "
+            "OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_s "
+            "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)), "
+            "sess AS (SELECT user_id, ts, "
+            "sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS sid FROM lagged) "
+            "SELECT user_id, sid::BIGINT AS sid, count(*)::BIGINT AS n_events, "
+            "min(ts) AS session_start FROM sess GROUP BY user_id, sid "
+            "ORDER BY user_id, sid"
+        ),
+        "ngram_jaccard": (
+            "WITH sh AS (SELECT doc_id, list_distinct("
+            "[array_to_string(words[i:i+2], ' ') "
+            "for i in range(1, greatest(len(words)-2, 0)+1)]) AS s "
+            "FROM (SELECT doc_id, string_split(text, ' ') AS words "
+            "FROM documents WHERE doc_id < 30)) "
+            "SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, "
+            "len(list_intersect(a.s, b.s))::DOUBLE / "
+            "len(list_distinct(list_concat(a.s, b.s)))::DOUBLE AS jaccard "
+            "FROM sh a JOIN sh b ON a.doc_id < b.doc_id "
+            "WHERE len(list_intersect(a.s, b.s)) > 0 "
+            "ORDER BY doc_a, doc_b"
+        ),
+        "tpch_q5ish": (
+            "SELECT r_name, count(*)::BIGINT AS n_orders, "
+            "count(DISTINCT c_custkey)::BIGINT AS n_customers, "
+            "CAST(ROUND(SUM(o_totalprice)) AS BIGINT) AS total_r "
+            "FROM orders JOIN customer ON o_custkey = c_custkey "
+            "JOIN nation ON c_nationkey = n_nationkey "
+            "JOIN region ON n_regionkey = r_regionkey "
+            "GROUP BY r_name ORDER BY r_name"
+        ),
+        "part_stats": (
+            "SELECT p_brand AS brand, count(*)::BIGINT AS n_parts, "
+            "min(p_size)::BIGINT AS min_size, max(p_size)::BIGINT AS max_size "
+            "FROM part GROUP BY 1 ORDER BY 1"
+        ),
+        "supplier_nation": (
+            "SELECT n_name, count(*)::BIGINT AS n_suppliers "
+            "FROM supplier JOIN nation ON s_nationkey = n_nationkey "
+            "GROUP BY n_name ORDER BY n_name"
+        ),
+        "word_length_hist": (
+            "SELECT length(w)::INT AS word_len, count(*)::BIGINT AS n_words "
+            "FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents) "
+            "GROUP BY 1 ORDER BY 1"
         ),
         "tpch_q1": (
             "SELECT l_returnflag, l_linestatus, "
