@@ -103,6 +103,26 @@ def _q_targeted_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", F.col("n_tok").cast("bigint").alias("n_tok"))
 
 
+def _q_listing_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Listing with member sizes (no payload decode) — ARJ-listing analogue."""
+    from archive_spark import engine
+
+    return engine.listing_with_sizes(_encoded(spark, sf_dir)).select(
+        "doc_id", F.col("n_tok").cast("bigint").alias("n_tok")
+    )
+
+
+def _q_token_range_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zone-map-pruned range scan over synthetic tokens (rows-only)."""
+    from archive_spark import engine
+    from archive_spark.tokengen import token_table
+
+    df = token_table(spark, 5_000, seed=42)
+    enc = engine.encode(df, target_block_values=1 << 15)
+    out = engine.decode_token_range(enc, 1_000_000, 1_000_511)
+    return out.agg(F.count("*").cast("bigint").alias("n_docs_in_range"))
+
+
 def _q_codec_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     from archive_spark.analytics import codec_histogram
 
@@ -425,6 +445,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "enc_listing": _q_enc_listing,
         "enc_total_values": _q_enc_total_values,
         "targeted_decode": _q_targeted_decode,
+        "listing_sizes": _q_listing_sizes,
+        "token_range_scan": _q_token_range_scan,
         "codec_histogram": _q_codec_histogram,
         "distinct_codecs": _q_distinct_codecs,
         "ratio_by_source": _q_ratio_by_source,
@@ -471,6 +493,10 @@ def oracle_sql() -> dict[str, str]:
             "SELECT CAST(doc_id AS VARCHAR) AS doc_id, "
             "len(string_split(text, ' '))::BIGINT AS n_tok "
             "FROM documents WHERE doc_id IN (0,1,2,3,4)"
+        ),
+        "listing_sizes": (
+            "SELECT CAST(doc_id AS VARCHAR) AS doc_id, "
+            "len(string_split(text, ' '))::BIGINT AS n_tok FROM documents"
         ),
         "dedup_prefix_groups": (
             "SELECT md5(array_to_string(string_split(text, ' ')[1:2], ' ')) AS prefix_hash, "

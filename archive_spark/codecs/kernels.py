@@ -139,11 +139,22 @@ def _enc_rle(v: np.ndarray) -> bytes:
 
 
 def _unique_inverse(v: np.ndarray, uvals: np.ndarray | None):
-    """np.unique(return_inverse) with optional precomputed sorted uniques
-    (the selector already paid for them — don't sort twice)."""
+    """Sorted-unique + inverse indexes, reusing precomputed uniques from
+    the selector when available.  For dense value ranges the inverse is a
+    direct lookup-table gather (O(n), cache-friendly) instead of a
+    per-element binary search — uint32 wraparound keeps it int64-free."""
     if uvals is None:
-        uvals, inv = np.unique(v, return_inverse=True)
-        return uvals, inv.astype(np.int32, copy=False)
+        uvals = np.unique(v)
+    if uvals.size == 0:
+        return uvals, np.zeros(0, dtype=np.int32)
+    vmin = int(uvals[0])
+    span = int(uvals[-1]) - vmin
+    if 0 <= span <= max(1 << 22, 8 * uvals.size):
+        base = np.uint32(vmin & 0xFFFFFFFF)
+        lut = np.zeros(span + 1, dtype=np.int32)
+        lut[uvals.view(np.uint32) - base] = np.arange(uvals.size, dtype=np.int32)
+        inv = lut[v.view(np.uint32) - base]
+        return uvals, inv
     return uvals, np.searchsorted(uvals, v).astype(np.int32)
 
 

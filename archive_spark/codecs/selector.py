@@ -204,14 +204,22 @@ def choose(v: np.ndarray, allow_fsst: bool = True) -> tuple[str, int, ChunkStats
     return name, best, stats
 
 
-def encode_auto(v: np.ndarray, allow_fsst: bool = True) -> tuple[bytes, str]:
-    """Encode with the auto-selected codec; falls back to plain if the
-    chosen encoding somehow inflates (never emit a block larger than plain
-    — analogue of Stored(0) fallback in zip encoders)."""
+def encode_auto_ex(
+    v: np.ndarray, allow_fsst: bool = True
+) -> tuple[bytes, str, ChunkStats]:
+    """encode_auto + the stats pass's ChunkStats (zone-map material)."""
     v = np.asarray(v, dtype=np.int32)
     name, _, stats = choose(v, allow_fsst=allow_fsst)
     blk = kernels.encode(v, name, uvals=stats.uvals if name in ("dict", "fsst") else None)
     plain_size = HEADER + 4 * v.size
     if len(blk) > plain_size:
-        return kernels.encode(v, PLAIN), "plain"
+        return kernels.encode(v, PLAIN), "plain", stats
+    return blk, name, stats
+
+
+def encode_auto(v: np.ndarray, allow_fsst: bool = True) -> tuple[bytes, str]:
+    """Encode with the auto-selected codec; falls back to plain if the
+    chosen encoding somehow inflates (never emit a block larger than plain
+    — analogue of Stored(0) fallback in zip encoders)."""
+    blk, name, _ = encode_auto_ex(v, allow_fsst=allow_fsst)
     return blk, name

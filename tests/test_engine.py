@@ -115,6 +115,34 @@ def test_salted_encode_matches_unsalted(spark, tokens_df):
     assert rep.n_mismatch == 0 and rep.n_decoded == N_DOCS
 
 
+def test_listing_with_sizes(spark, tokens_df, encoded_df):
+    """ARJ-style listing (name + size) without decoding token payloads."""
+    listed = {r.doc_id: r.n_tok for r in engine.listing_with_sizes(encoded_df).collect()}
+    truth = {r.doc_id: r.n_tok for r in tokens_df.select("doc_id", "n_tok").collect()}
+    assert listed == truth
+
+
+def test_decode_token_range_prunes_and_filters(spark, tokens_df, encoded_df):
+    """Zone-map pruning: the offset profile lives in [1_000_000, 1_000_512);
+    querying that range must skip narrow/runs blocks entirely and return
+    exactly the docs containing such tokens."""
+    lo, hi = 1_000_000, 1_000_511
+    vmin = F.element_at(F.col("meta.params"), "vmin").cast("long")
+    vmax = F.element_at(F.col("meta.params"), "vmax").cast("long")
+    pruned = encoded_df.filter((vmin <= hi) & (vmax >= lo)).count()
+    assert pruned < encoded_df.count()
+
+    out = engine.decode_token_range(encoded_df, lo, hi)
+    got = {r.doc_id for r in out.select("doc_id").collect()}
+    truth = {
+        r.doc_id
+        for r in tokens_df.filter(
+            F.exists("tokens", lambda t: (t >= lo) & (t <= hi))
+        ).collect()
+    }
+    assert got == truth and got
+
+
 def test_tokengen_spark_matches_local(spark):
     """The distributed generator is partitioning-invariant: same docs at
     different parallelism (the property the scaling benchmark relies on)."""
