@@ -76,8 +76,117 @@ def _split_blocks(lens: np.ndarray, rows: np.ndarray, target: int) -> list[np.nd
     return blocks
 
 
+class _SourceBuffer:
+    """Per-source accumulator spanning Arrow batches within a partition.
+
+    Rare sources would otherwise emit one undersized block per batch
+    (bad compression amortization, per-block overhead); accumulating to
+    ``target`` first keeps every block full-size regardless of how rare
+    its source is in the stream.  Memory bound: < one block per source."""
+
+    __slots__ = ("vals", "lens", "docs", "n_values")
+
+    def __init__(self):
+        self.vals: list[np.ndarray] = []
+        self.lens: list[np.ndarray] = []
+        self.docs: list[pa.Array] = []
+        self.n_values = 0
+
+    def add(self, vals: np.ndarray, lens: np.ndarray, docs: pa.Array) -> None:
+        self.vals.append(vals)
+        self.lens.append(lens)
+        self.docs.append(docs)
+        self.n_values += int(vals.size)
+
+    def carve(self, target: int, final: bool) -> list[tuple[pa.Array, np.ndarray, np.ndarray]]:
+        """Emit complete target-sized blocks; unless ``final``, the
+        (possibly undersized) tail stays buffered."""
+        if not self.lens or (not final and self.n_values < target):
+            return []
+        lens = np.concatenate(self.lens) if len(self.lens) > 1 else self.lens[0]
+        vals = np.concatenate(self.vals) if len(self.vals) > 1 else self.vals[0]
+        docs = pa.concat_arrays([d.combine_chunks() if isinstance(d, pa.ChunkedArray) else d for d in self.docs])
+        blocks = _split_blocks(lens, np.arange(lens.size, dtype=np.int64), target)
+        if not final and len(blocks) > 1:
+            tail = blocks.pop()
+        elif not final and int(lens[blocks[0]].sum()) < target:
+            tail = blocks.pop()
+        else:
+            tail = None
+        csum = np.concatenate(([0], np.cumsum(lens)))
+        out = []
+        for row_idx in blocks:
+            s, e = int(row_idx[0]), int(row_idx[-1]) + 1
+            out.append((docs.slice(s, e - s), lens[s:e], vals[csum[s] : csum[e]]))
+        if tail is not None:
+            s = int(tail[0])
+            self.vals = [vals[csum[s] :]]
+            self.lens = [lens[s:]]
+            self.docs = [docs.slice(s)]
+            self.n_values = int(self.vals[0].size)
+        else:
+            self.vals, self.lens, self.docs, self.n_values = [], [], [], 0
+        return out
+
+
 def _make_encoder(target_block_values: int, allow_fsst: bool):
     def enc(it: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        buffers: dict[str, _SourceBuffer] = {}
+
+        def encode_blocks(sname: str, blocks) -> list[dict]:
+            rows = []
+            for docs, lens, vals in blocks:
+                payload, codec, stats = encode_auto_ex(vals, allow_fsst=allow_fsst)
+                lens_payload, _ = encode_auto(lens.astype(np.int32), allow_fsst=False)
+                rows.append(
+                    {
+                        "block_id": f"{docs[0].as_py()}#{len(docs)}",
+                        "source": sname,
+                        "docs": docs,
+                        "payload": payload,
+                        "lengths_payload": lens_payload,
+                        "codec": codec,
+                        "n_values": int(vals.size),
+                        "n_docs": len(docs),
+                        "raw_bytes": int(vals.size) * 4,
+                        "enc_bytes": len(payload) + len(lens_payload),
+                        "params": {
+                            "lengths_codec": kernels.codec_of(lens_payload),
+                            "vmin": str(stats.vmin),
+                            "vmax": str(stats.vmax),
+                            "n_runs": str(stats.n_runs),
+                            "n_distinct": str(stats.n_distinct) if stats.distinct_exact else "",
+                        },
+                    }
+                )
+            return rows
+
+        def emit(rows: list[dict]) -> pa.RecordBatch:
+            doc_flat = pa.concat_arrays([r["docs"] for r in rows])
+            blk_offsets = np.concatenate(([0], np.cumsum([r["n_docs"] for r in rows])))
+            meta = pa.StructArray.from_arrays(
+                [
+                    pa.array([r["codec"] for r in rows], pa.string()),
+                    pa.array([r["n_values"] for r in rows], pa.int64()),
+                    pa.array([r["n_docs"] for r in rows], pa.int32()),
+                    pa.array([r["raw_bytes"] for r in rows], pa.int64()),
+                    pa.array([r["enc_bytes"] for r in rows], pa.int64()),
+                    pa.array([r["params"] for r in rows], pa.map_(pa.string(), pa.string())),
+                ],
+                names=["codec", "n_values", "n_docs", "raw_bytes", "enc_bytes", "params"],
+            )
+            return pa.RecordBatch.from_arrays(
+                [
+                    pa.array([r["block_id"] for r in rows], pa.string()),
+                    pa.array([r["source"] for r in rows], pa.string()),
+                    pa.ListArray.from_arrays(pa.array(blk_offsets, pa.int32()), doc_flat),
+                    pa.array([r["payload"] for r in rows], pa.binary()),
+                    pa.array([r["lengths_payload"] for r in rows], pa.binary()),
+                    meta,
+                ],
+                names=["block_id", "source", "doc_ids", "payload", "lengths_payload", "meta"],
+            )
+
         for batch in it:
             if batch.num_rows == 0:
                 continue
@@ -90,85 +199,29 @@ def _make_encoder(target_block_values: int, allow_fsst: bool):
             flat = np.asarray(tokens.values, dtype=np.int32)
             starts, lens = offsets[:-1], np.diff(offsets)
 
-            senc = pc.dictionary_encode(source).combine_chunks() if isinstance(
-                source, pa.ChunkedArray
-            ) else source.dictionary_encode()
+            senc = source.dictionary_encode()
             codes = np.asarray(senc.indices)
             snames = senc.dictionary.to_pylist()
 
-            out = {k: [] for k in (
-                "block_id", "source", "payload", "lengths_payload",
-                "codec", "n_values", "n_docs", "raw_bytes", "enc_bytes", "params",
-            )}
-            emitted_rows: list[np.ndarray] = []
-
+            ready: list[dict] = []
             for c, sname in enumerate(snames):
                 rows = np.flatnonzero(codes == c)
-                for row_idx in _split_blocks(lens, rows, target_block_values):
-                    # contiguous fast path: plain slice of the Arrow buffer
-                    if row_idx.size and row_idx[-1] - row_idx[0] + 1 == row_idx.size:
-                        vals = flat[starts[row_idx[0]] : starts[row_idx[0]] + int(lens[row_idx].sum())]
-                    else:
-                        vals = _ragged_gather(flat, starts, lens, row_idx)
-                    payload, codec, stats = encode_auto_ex(vals, allow_fsst=allow_fsst)
-                    lens_payload, _ = encode_auto(
-                        lens[row_idx].astype(np.int32), allow_fsst=False
-                    )
-                    first = doc_id[int(row_idx[0])].as_py()
-                    out["block_id"].append(f"{first}#{row_idx.size}")
-                    out["source"].append(sname)
-                    out["payload"].append(payload)
-                    out["lengths_payload"].append(lens_payload)
-                    out["codec"].append(codec)
-                    out["n_values"].append(int(vals.size))
-                    out["n_docs"].append(int(row_idx.size))
-                    out["raw_bytes"].append(int(vals.size) * 4)
-                    out["enc_bytes"].append(len(payload) + len(lens_payload))
-                    # zone map (vmin/vmax) + selection stats — Iceberg-style
-                    # per-block column statistics for scan pruning
-                    out["params"].append(
-                        {
-                            "lengths_codec": kernels.codec_of(lens_payload),
-                            "vmin": str(stats.vmin),
-                            "vmax": str(stats.vmax),
-                            "n_runs": str(stats.n_runs),
-                            "n_distinct": str(stats.n_distinct) if stats.distinct_exact else "",
-                        }
-                    )
-                    emitted_rows.append(row_idx)
+                # contiguous fast path: single-source batch → buffer slice
+                if rows.size and rows[-1] - rows[0] + 1 == rows.size:
+                    vals = flat[starts[rows[0]] : starts[rows[0]] + int(lens[rows].sum())]
+                else:
+                    vals = _ragged_gather(flat, starts, lens, rows)
+                buf = buffers.setdefault(sname, _SourceBuffer())
+                buf.add(vals, lens[rows], doc_id.take(pa.array(rows)))
+                ready.extend(encode_blocks(sname, buf.carve(target_block_values, final=False)))
+            if ready:
+                yield emit(ready)
 
-            if not emitted_rows:
-                continue
-            all_rows = np.concatenate(emitted_rows)
-            doc_flat = doc_id.take(pa.array(all_rows))
-            blk_offsets = np.concatenate(
-                ([0], np.cumsum([r.size for r in emitted_rows]))
-            )
-            doc_ids_col = pa.ListArray.from_arrays(
-                pa.array(blk_offsets, pa.int32()), doc_flat
-            )
-            meta = pa.StructArray.from_arrays(
-                [
-                    pa.array(out["codec"], pa.string()),
-                    pa.array(out["n_values"], pa.int64()),
-                    pa.array(out["n_docs"], pa.int32()),
-                    pa.array(out["raw_bytes"], pa.int64()),
-                    pa.array(out["enc_bytes"], pa.int64()),
-                    pa.array(out["params"], pa.map_(pa.string(), pa.string())),
-                ],
-                names=["codec", "n_values", "n_docs", "raw_bytes", "enc_bytes", "params"],
-            )
-            yield pa.RecordBatch.from_arrays(
-                [
-                    pa.array(out["block_id"], pa.string()),
-                    pa.array(out["source"], pa.string()),
-                    doc_ids_col,
-                    pa.array(out["payload"], pa.binary()),
-                    pa.array(out["lengths_payload"], pa.binary()),
-                    meta,
-                ],
-                names=["block_id", "source", "doc_ids", "payload", "lengths_payload", "meta"],
-            )
+        tail: list[dict] = []
+        for sname, buf in buffers.items():
+            tail.extend(encode_blocks(sname, buf.carve(target_block_values, final=True)))
+        if tail:
+            yield emit(tail)
 
     return enc
 
