@@ -129,6 +129,14 @@ def _q_codec_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return codec_histogram(_encoded(spark, sf_dir))
 
 
+def _q_baseline_decodable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pkzip.Zip predicate analogue: does the table use only baseline
+    codecs (plain/constant/for)? Rows-only check (engine-determined)."""
+    from archive_spark.analytics import baseline_decodable
+
+    return baseline_decodable(_encoded(spark, sf_dir))
+
+
 def _q_distinct_codecs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from archive_spark.analytics import distinct_codecs
 
@@ -449,6 +457,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_range_scan": _q_token_range_scan,
         "codec_histogram": _q_codec_histogram,
         "distinct_codecs": _q_distinct_codecs,
+        "baseline_decodable": _q_baseline_decodable,
         "ratio_by_source": _q_ratio_by_source,
         "best_block_per_source": _q_best_block_per_source,
         "synthetic_roundtrip": _q_synthetic_roundtrip,

@@ -418,32 +418,35 @@ def _dec_fsst(body: memoryview, n: int) -> np.ndarray:
 
     # Expand each symbol's definition once (S <= 65535, tiny loop over the
     # symbol table — not over rows), then one vectorized ragged gather.
+    # int32 throughout: ids < 2^31 and block totals < 2^31.
     expansions: list[np.ndarray] = []
     for j in range(n_sym):
         left, right = int(sym_flat[2 * j]), int(sym_flat[2 * j + 1])
-        lpart = expansions[left - n_base] if left >= n_base else np.array([left], np.int64)
-        rpart = expansions[right - n_base] if right >= n_base else np.array([right], np.int64)
+        lpart = expansions[left - n_base] if left >= n_base else np.array([left], np.int32)
+        rpart = expansions[right - n_base] if right >= n_base else np.array([right], np.int32)
         expansions.append(np.concatenate((lpart, rpart)))
 
-    base_len = np.ones(n_base + n_sym, dtype=np.int64)
-    base_off = np.empty(n_base + n_sym, dtype=np.int64)
-    base_off[:n_base] = np.arange(n_base, dtype=np.int64)
-    flat_parts = [np.arange(n_base, dtype=np.int64)]
+    base_len = np.ones(n_base + n_sym, dtype=np.int32)
+    base_off = np.empty(n_base + n_sym, dtype=np.int32)
+    base_off[:n_base] = np.arange(n_base, dtype=np.int32)
+    flat_parts = [np.arange(n_base, dtype=np.int32)]
     cursor = n_base
     for j, exp in enumerate(expansions):
         base_len[n_base + j] = exp.size
         base_off[n_base + j] = cursor
         flat_parts.append(exp)
         cursor += exp.size
-    exp_flat = np.concatenate(flat_parts) if flat_parts else np.zeros(0, np.int64)
+    exp_flat = np.concatenate(flat_parts) if flat_parts else np.zeros(0, np.int32)
 
-    lens = base_len[codes]
-    total = int(lens.sum())
+    codes32 = codes.astype(np.int32, copy=False)
+    lens = base_len[codes32]
+    cs = np.cumsum(lens, dtype=np.int64)
+    total = int(cs[-1]) if lens.size else 0
     if total != n:
         raise CodecError("fsst expansion length mismatch")
-    cs = np.cumsum(lens)
-    out_pos = np.arange(total, dtype=np.int64) - np.repeat(cs - lens, lens)
-    dense = exp_flat[np.repeat(base_off[codes], lens) + out_pos]
+    gather = np.repeat(base_off[codes32] - (cs - lens).astype(np.int32), lens)
+    gather += np.arange(total, dtype=np.int32)
+    dense = exp_flat[gather]
     return uvals[dense]
 
 

@@ -66,6 +66,19 @@ def start_encode_sink(
     return w.start()
 
 
+def read_encoded_stream(spark: SparkSession, input_dir: str) -> DataFrame:
+    """File-source stream over an encoded-blocks directory."""
+    return (
+        spark.readStream.schema(engine.ENCODED_SCHEMA).format("parquet").load(input_dir)
+    )
+
+
+def decode_stream(encoded_stream: DataFrame) -> DataFrame:
+    """Streaming decode: encoded blocks → token rows (same decoder as
+    batch — one codec code path for both modes)."""
+    return encoded_stream.mapInArrow(engine._decode_batches, engine.TOKENS_SCHEMA)
+
+
 def streaming_codec_histogram(encoded_stream: DataFrame) -> DataFrame:
     """Streaming aggregation: running codec histogram (complete mode)."""
     return encoded_stream.groupBy(F.col("meta.codec").alias("codec")).agg(

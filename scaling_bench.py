@@ -72,6 +72,9 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--docs", type=int, default=1_000_000)
     ap.add_argument("--pairs", default="1:4,2:8,4:16,8:32")
+    ap.add_argument("--reps", type=int, default=1,
+                    help="repeat each level this many times (interleaved "
+                    "across levels to decorrelate machine drift), keep best")
     ap.add_argument("--no-pin", action="store_true")
     args = ap.parse_args()
 
@@ -79,10 +82,15 @@ def main() -> None:
     levels = sorted({int(c) for p in args.pairs.split(",") for c in p.split(":")})
     tps: dict[int, float] = {}
     n_tokens = 0
-    for c in levels:
-        n_tokens, wall = run_level(c, path, args.docs, pin=not args.no_pin)
-        tps[c] = n_tokens / wall
-        print(f"  cores={c:3d}  wall={wall:6.2f}s  {tps[c] / 1e6:6.2f} Mtok/s", file=sys.stderr)
+    for rep in range(args.reps):
+        for c in levels:
+            n_tokens, wall = run_level(c, path, args.docs, pin=not args.no_pin)
+            cur = n_tokens / wall
+            tps[c] = max(tps.get(c, 0.0), cur)
+            print(
+                f"  rep={rep} cores={c:3d}  wall={wall:6.2f}s  {cur / 1e6:6.2f} Mtok/s",
+                file=sys.stderr,
+            )
 
     pairs = []
     for p in args.pairs.split(","):

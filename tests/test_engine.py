@@ -108,6 +108,34 @@ def test_decode_rejects_corrupted_payload(spark, encoded_df):
         engine.decode(corrupted).collect()
 
 
+def test_salting_balances_clustered_input(spark, tokens_df):
+    """Skew handling (north_rule): input clustered by source (the worst
+    case — one partition owns the dominant textish source) gets
+    rebalanced by the salted repartition; partition token counts after
+    salting are within 3x of each other, versus >10x when clustered."""
+    from pyspark.sql import functions as F2
+
+    clustered = tokens_df.repartitionByRange(8, "source", "doc_id")
+
+    def partition_loads(df):
+        rows = (
+            df.withColumn("pid", F2.spark_partition_id())
+            .groupBy("pid")
+            .agg(F2.sum("n_tok").alias("toks"))
+            .collect()
+        )
+        loads = [r.toks for r in rows if r.toks]
+        return max(loads) / max(min(loads), 1)
+
+    skew_before = partition_loads(clustered)
+    salted = clustered.repartition(
+        8, F2.col("source"), F2.pmod(F2.xxhash64("doc_id"), F2.lit(8))
+    )
+    skew_after = partition_loads(salted)
+    assert skew_after < skew_before
+    assert skew_after < 3.0
+
+
 def test_salted_encode_matches_unsalted(spark, tokens_df):
     """Salted repartition changes physical layout, never logical content."""
     enc = engine.encode(tokens_df, target_block_values=1 << 14, salt_partitions=16)
