@@ -239,10 +239,13 @@ def encode(
     while keeping blocks source-homogeneous for codec fit.
     """
     if salt_partitions:
+        # salt cardinality ~8x the partition count: with only ~1 salt per
+        # partition the (source, salt) combos hash lumpily; oversampling
+        # smooths the dominant source across all partitions
         df = df.repartition(
             salt_partitions,
             F.col("source"),
-            F.pmod(F.xxhash64("doc_id"), F.lit(salt_partitions)),
+            F.pmod(F.xxhash64("doc_id"), F.lit(salt_partitions * 8)),
         )
     return df.mapInArrow(
         _make_encoder(target_block_values, allow_fsst), ENCODED_SCHEMA

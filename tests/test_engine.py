@@ -115,7 +115,9 @@ def test_salting_balances_clustered_input(spark, tokens_df):
     salting are within 3x of each other, versus >10x when clustered."""
     from pyspark.sql import functions as F2
 
-    clustered = tokens_df.repartitionByRange(8, "source", "doc_id")
+    # hash-partition by source alone: the dominant textish source owns a
+    # single partition — the genuine skew pathology
+    clustered = tokens_df.repartition(8, "source")
 
     def partition_loads(df):
         rows = (
@@ -129,11 +131,11 @@ def test_salting_balances_clustered_input(spark, tokens_df):
 
     skew_before = partition_loads(clustered)
     salted = clustered.repartition(
-        8, F2.col("source"), F2.pmod(F2.xxhash64("doc_id"), F2.lit(8))
+        8, F2.col("source"), F2.pmod(F2.xxhash64("doc_id"), F2.lit(64))
     )
     skew_after = partition_loads(salted)
     assert skew_after < skew_before
-    assert skew_after < 3.0
+    assert skew_after < 2.5
 
 
 def test_salted_encode_matches_unsalted(spark, tokens_df):
