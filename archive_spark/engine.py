@@ -364,6 +364,18 @@ def listing_with_sizes(df_encoded: DataFrame) -> DataFrame:
     ).mapInArrow(_listing_batches, LISTING_SCHEMA)
 
 
+def roundtrip_digest(df: DataFrame) -> DataFrame:
+    """Order-insensitive content digest of a token table: count + exact
+    decimal sum of per-doc xxhash64(doc_id, tokens).  Two digests being
+    equal certifies roundtrip identity without shuffling any token
+    arrays (collision probability ~n^2/2^64) — the at-scale verifier;
+    ``roundtrip_report`` remains the exact join-based check."""
+    h = F.xxhash64("doc_id", "tokens").cast("decimal(38,0)")
+    return df.agg(
+        F.count("*").alias("n_docs"), F.sum(h).alias("content_digest")
+    )
+
+
 def roundtrip_report(original: DataFrame, decoded: DataFrame) -> DataFrame:
     """The rezip.Test verifier (rezip/rezip.go:123-151): bit-identity via
     a full outer join on doc_id + null-safe array equality.  Returns a
