@@ -253,6 +253,15 @@ def _q_ann_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("query_id", "vec_id", F.col("rank").cast("bigint").alias("rank"))
 
 
+def _q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from archive_spark.pipeline_ops import ivf_ann
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return ivf_ann(emb, [0, 1, 2], topk=5, n_centroids=8, n_probe=8).select(
+        "query_id", "vec_id", F.col("rank").cast("bigint").alias("rank")
+    )
+
+
 def _q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from archive_spark.pipeline_ops import lsh_bucketed_ann
 
@@ -471,6 +480,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_sample": _q_simhash_sample,
         "ann_bruteforce": _q_ann_bruteforce,
         "ann_lsh": _q_ann_lsh,
+        "ann_ivf": _q_ann_ivf,
         "ngram_jaccard": _q_ngram_jaccard,
         "word_length_hist": _q_word_length_hist,
         # star-schema analytics
@@ -529,6 +539,20 @@ def oracle_sql() -> dict[str, str]:
             "SUM(length(text))::BIGINT AS n_chars, "
             "MAX(len(string_split(text, ' ')))::BIGINT AS max_words "
             "FROM documents GROUP BY lang ORDER BY lang"
+        ),
+        # ann_ivf with n_probe == n_centroids is exhaustive → exact top-k,
+        # same oracle as brute force
+        "ann_ivf": (
+            "WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS q_emb "
+            "FROM embeddings WHERE vec_id IN (0,1,2)), "
+            "scored AS (SELECT q.query_id, e.vec_id, "
+            "list_cosine_similarity(e.embedding::DOUBLE[], q.q_emb) AS cosine "
+            "FROM embeddings e CROSS JOIN q WHERE e.vec_id != q.query_id), "
+            "ranked AS (SELECT query_id, vec_id, "
+            "row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rank "
+            "FROM scored) "
+            "SELECT query_id, vec_id, rank FROM ranked WHERE rank <= 5 "
+            "ORDER BY query_id, rank"
         ),
         "ann_bruteforce": (
             "WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS q_emb "

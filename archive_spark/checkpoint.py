@@ -125,6 +125,8 @@ def encode_job(
     target_block_values: int = engine.DEFAULT_BLOCK_VALUES,
     allow_fsst: bool = True,
     resume: bool = True,
+    parquet_codec: str = "none",  # "zstd" composes: our codecs remove token
+    # structure, entropy coding then beats parquet+zstd alone (BASELINE.md)
     fail_on_shard: int | None = None,  # test hook: simulate a crash
 ) -> EncodeJobResult:
     """Stage → encode-per-shard → publish, resumable at shard granularity."""
@@ -171,9 +173,9 @@ def encode_job(
             enc = engine.encode(
                 part, target_block_values=target_block_values, allow_fsst=allow_fsst
             )
-            # parquet-level compression off: the engine's codecs are the
-            # compressor; double-compressing hides their ratio and burns CPU
-            enc.write.mode("overwrite").option("compression", "none").parquet(shard_path)
+            # default "none": the engine's codecs are the compressor and the
+            # ledger's ratio is theirs; "zstd" stacks entropy coding on top
+            enc.write.mode("overwrite").option("compression", parquet_codec).parquet(shard_path)
             stats = (
                 spark.read.parquet(shard_path)
                 .groupBy("meta.codec")

@@ -12,6 +12,8 @@ whole-stage codegen.
 
 from __future__ import annotations
 
+import numpy as np
+
 from pyspark.sql import DataFrame, Window, functions as F
 
 # ---------------------------------------------------------------------------
@@ -262,6 +264,84 @@ def cosine_topk_bruteforce(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
     )
     joined = emb.alias("e").join(F.broadcast(q), F.col("e.vec_id") != F.col("query_id"))
+    cos = (_dot(F.col("e.embedding"), F.col("q_emb")) / (
+        _norm(F.col("e.embedding")) * _norm(F.col("q_emb"))
+    )).alias("cosine")
+    scored = joined.select("query_id", F.col("e.vec_id").alias("vec_id"), cos)
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.col("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= topk)
+        .orderBy("query_id", "rank")
+    )
+
+
+def ivf_ann(
+    emb: DataFrame,
+    query_ids: list[int],
+    topk: int = 5,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """IVF-style ANN: partition vectors into centroid cells, probe only
+    the ``n_probe`` cells nearest each query, exact-rerank candidates.
+
+    Assignment runs as numpy matmul inside ``mapInArrow`` (one GEMM per
+    Arrow batch — the vectorized scale path; no per-row Python and no
+    expression blowup).  Centroids are a deterministic seeded sample of
+    the corpus (k-means init without the iterations — recall/probe
+    tradeoffs behave the same way).  At 10^12 scale the assignment is a
+    single pass and queries touch ~n_probe/n_centroids of the data.
+    """
+    import pyarrow as pa
+
+    from typing import Iterator
+
+    # deterministic centroid sample, normalized (driver-side, tiny)
+    cent_rows = (
+        emb.select("vec_id", "embedding")
+        .orderBy(F.pmod(F.xxhash64("vec_id"), F.lit(997)), F.col("vec_id"))
+        .limit(n_centroids)
+        .collect()
+    )
+    C = np.asarray([r.embedding for r in cent_rows], dtype=np.float64)
+    C /= np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-12)
+
+    def assign(it: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in it:
+            ids = batch.column("vec_id").to_numpy()
+            lists = batch.column("embedding")
+            off = np.asarray(lists.offsets)
+            flat = np.asarray(lists.values, dtype=np.float64)
+            X = flat.reshape(len(ids), -1)
+            Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+            cell = np.argmax(Xn @ C.T, axis=1).astype(np.int32)
+            yield pa.RecordBatch.from_arrays(
+                [batch.column("vec_id"), batch.column("embedding"),
+                 pa.array(cell, pa.int32())],
+                names=["vec_id", "embedding", "cell"],
+            )
+
+    assigned = emb.select("vec_id", "embedding").mapInArrow(
+        assign, "vec_id long, embedding array<float>, cell int"
+    )
+
+    q = assigned.filter(F.col("vec_id").isin(query_ids)).collect()
+    probe_rows = []
+    for r in q:
+        v = np.asarray(r.embedding, dtype=np.float64)
+        v /= max(np.linalg.norm(v), 1e-12)
+        cells = np.argsort(-(C @ v))[:n_probe]
+        probe_rows.extend((int(r.vec_id), int(c), r.embedding) for c in cells)
+    probe_df = emb.sparkSession.createDataFrame(
+        probe_rows, "query_id long, q_cell int, q_emb array<float>"
+    )
+
+    joined = assigned.alias("e").join(
+        F.broadcast(probe_df),
+        (F.col("e.cell") == F.col("q_cell")) & (F.col("e.vec_id") != F.col("query_id")),
+    )
     cos = (_dot(F.col("e.embedding"), F.col("q_emb")) / (
         _norm(F.col("e.embedding")) * _norm(F.col("q_emb"))
     )).alias("cosine")

@@ -79,6 +79,52 @@ def decode_stream(encoded_stream: DataFrame) -> DataFrame:
     return encoded_stream.mapInArrow(engine._decode_batches, engine.TOKENS_SCHEMA)
 
 
+def running_source_stats(encoded_stream: DataFrame):
+    """Custom stateful streaming operator (applyInPandasWithState):
+    per-source running totals (blocks, raw/enc bytes, ratio) maintained
+    in GroupState across micro-batches — the streaming counterpart of
+    the batch ledger's lineage metrics."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = (
+        "source string, n_blocks bigint, raw_bytes bigint, enc_bytes bigint, "
+        "ratio double"
+    )
+    state_schema = "n_blocks bigint, raw_bytes bigint, enc_bytes bigint"
+
+    def update(key, pdfs, state: GroupState):
+        n_blocks = raw = enc = 0
+        for pdf in pdfs:
+            n_blocks += len(pdf)
+            raw += int(pdf["raw_bytes"].sum())
+            enc += int(pdf["enc_bytes"].sum())
+        if state.exists:
+            pn, pr, pe = state.get
+            n_blocks += pn
+            raw += pr
+            enc += pe
+        state.update((n_blocks, raw, enc))
+        yield pd.DataFrame(
+            {
+                "source": [key[0]],
+                "n_blocks": [n_blocks],
+                "raw_bytes": [raw],
+                "enc_bytes": [enc],
+                "ratio": [enc / raw if raw else 0.0],
+            }
+        )
+
+    flat = encoded_stream.select(
+        "source",
+        F.col("meta.raw_bytes").alias("raw_bytes"),
+        F.col("meta.enc_bytes").alias("enc_bytes"),
+    )
+    return flat.groupBy("source").applyInPandasWithState(
+        update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )
+
+
 def streaming_codec_histogram(encoded_stream: DataFrame) -> DataFrame:
     """Streaming aggregation: running codec histogram (complete mode)."""
     return encoded_stream.groupBy(F.col("meta.codec").alias("codec")).agg(

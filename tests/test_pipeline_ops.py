@@ -1,0 +1,91 @@
+"""Pipeline-ops tests beyond what the oracle harness covers: ANN recall
+of the approximate variants vs brute force, MinHash candidate quality,
+SimHash locality."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from archive_spark import pipeline_ops as po
+
+SF = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    df = spark.read.parquet(f"{SF}/embeddings.parquet").cache()
+    df.count()
+    return df
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    df = spark.read.parquet(f"{SF}/documents.parquet").cache()
+    df.count()
+    return df
+
+
+def _topk_sets(df):
+    out = {}
+    for r in df.collect():
+        out.setdefault(r.query_id, set()).add(r.vec_id)
+    return out
+
+
+def test_ivf_ann_recall_vs_bruteforce(spark, emb):
+    queries = [0, 1, 2, 3, 4]
+    truth = _topk_sets(po.cosine_topk_bruteforce(emb, queries, topk=5))
+    approx = _topk_sets(po.ivf_ann(emb, queries, topk=5, n_centroids=8, n_probe=4))
+    recalls = [len(truth[q] & approx.get(q, set())) / 5 for q in queries]
+    assert sum(recalls) / len(recalls) >= 0.5, recalls
+
+
+def test_ivf_probe_all_cells_equals_bruteforce(spark, emb):
+    """Probing every cell must reproduce the exact top-k (sanity: the
+    IVF machinery loses nothing except by cell pruning)."""
+    queries = [0, 1]
+    truth = _topk_sets(po.cosine_topk_bruteforce(emb, queries, topk=5))
+    full = _topk_sets(po.ivf_ann(emb, queries, topk=5, n_centroids=8, n_probe=8))
+    assert truth == full
+
+
+def test_minhash_candidates_find_injected_duplicate(spark, docs):
+    """A near-duplicate (one word changed) must surface as a candidate."""
+    base = docs.limit(1).collect()[0]
+    words = base.text.split(" ")
+    words[len(words) // 2] = "zzzmutant"
+    dup = spark.createDataFrame(
+        [(99_999, " ".join(words), base.lang, base.source, base.n_chars)],
+        docs.schema,
+    )
+    augmented = docs.union(dup)
+    pairs = po.minhash_lsh_candidates(augmented, n_perm=32, bands=8).collect()
+    found = any(
+        {r.doc_a, r.doc_b} == {base.doc_id, 99_999} for r in pairs
+    )
+    assert found
+
+
+def test_simhash_near_duplicates_close(spark, docs):
+    base = docs.limit(1).collect()[0]
+    words = base.text.split(" ")
+    words[len(words) // 2] = "zzzmutant"
+    dup = spark.createDataFrame(
+        [(99_999, " ".join(words), base.lang, base.source, base.n_chars)],
+        docs.schema,
+    )
+    fps = {r.doc_id: r.simhash for r in po.simhash(docs.union(dup)).collect()}
+    d_near = bin(fps[base.doc_id] ^ fps[99_999]).count("1")
+    other = next(i for i in fps if i not in (base.doc_id, 99_999))
+    d_far = bin(fps[base.doc_id] ^ fps[other]).count("1")
+    assert d_near < d_far
+    assert d_near <= 8
+
+
+def test_exact_dedup_keep_first(spark, docs):
+    dup = docs.limit(3)
+    augmented = docs.union(dup)
+    kept = po.exact_dedup_keep_first(augmented)
+    assert kept.count() == docs.count()
+    assert kept.select("doc_id").distinct().count() == docs.count()

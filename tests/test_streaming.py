@@ -48,6 +48,67 @@ def test_stream_encode_roundtrip_incremental(spark, tmp_path, n_docs):
     assert rep.n_mismatch == 0 and rep.n_decoded == n_docs
 
 
+def test_stateful_running_stats_across_batches(spark, tmp_path):
+    """GroupState accumulates across micro-batches: after a second file
+    drop, totals include both (state survived in the checkpoint)."""
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    full = token_table(spark, 800, seed=9).cache()
+    a = full.filter(F.col("doc_id") < "m")
+    b = full.filter(~(F.col("doc_id") < "m"))
+    a.write.mode("append").parquet(src)
+
+    sink = str(tmp_path / "sink")
+
+    def run_once():
+        stats = streaming.running_source_stats(
+            streaming.encode_stream(
+                streaming.read_token_stream(spark, src), target_block_values=1 << 13
+            )
+        )
+
+        def write_batch(df, batch_id):
+            df.withColumn("batch_id", F.lit(batch_id)).write.mode("append").parquet(sink)
+
+        q = (
+            stats.writeStream.foreachBatch(write_batch)
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    def latest():
+        import pyspark.sql.functions as FF
+        from pyspark.sql import Window
+
+        df = spark.read.parquet(sink)
+        w = Window.partitionBy("source").orderBy(FF.desc("batch_id"))
+        return {
+            r.source: r.raw_bytes
+            for r in df.withColumn("rn", FF.row_number().over(w))
+            .filter("rn = 1")
+            .collect()
+        }
+
+    run_once()
+    first = latest()
+    assert first
+
+    b.write.mode("append").parquet(src)
+    run_once()
+    second = latest()
+    total_truth = {
+        r.source: 4 * r.toks
+        for r in full.groupBy("source").agg(F.sum("n_tok").alias("toks")).collect()
+    }
+    # sources updated in batch 2 report cumulative totals == whole-table truth
+    for s, raw in second.items():
+        assert raw == total_truth[s], (s, raw, total_truth[s])
+        assert raw >= first.get(s, 0)
+
+
 def test_streaming_histogram_memory_sink(spark, tmp_path):
     src = str(tmp_path / "src")
     token_table(spark, 400, seed=6).write.mode("append").parquet(src)
