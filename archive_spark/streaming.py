@@ -125,6 +125,32 @@ def running_source_stats(encoded_stream: DataFrame):
     )
 
 
+def windowed_event_counts(
+    events_stream: DataFrame,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Event-time tumbling-window aggregation with a late-data watermark:
+    counts + value sum per (window, event_type).  Append-mode windows
+    finalize once the watermark passes — the standard late-data pattern."""
+    # watermarks require TIMESTAMP (with zone); parquet often stores NTZ
+    events_stream = events_stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    return (
+        events_stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("win"), F.col("event_type"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum("value").alias("sum_value"),
+        )
+        .select(
+            F.col("win.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
 def streaming_codec_histogram(encoded_stream: DataFrame) -> DataFrame:
     """Streaming aggregation: running codec histogram (complete mode)."""
     return encoded_stream.groupBy(F.col("meta.codec").alias("codec")).agg(
