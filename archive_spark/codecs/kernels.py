@@ -39,7 +39,7 @@ import numpy as np
 
 from .bitio import bit_width, pack_bits, packed_size, unpack_bits
 
-PLAIN, CONSTANT, FOR, DELTA, RLE, DICT, FSST = range(7)
+PLAIN, CONSTANT, FOR, DELTA, RLE, DICT, FSST, DEFLATE = range(8)
 
 CODEC_NAMES = {
     PLAIN: "plain",
@@ -49,6 +49,7 @@ CODEC_NAMES = {
     RLE: "rle",
     DICT: "dict",
     FSST: "fsst",
+    DEFLATE: "deflate",
 }
 CODEC_IDS = {v: k for k, v in CODEC_NAMES.items()}
 
@@ -450,6 +451,23 @@ def _dec_fsst(body: memoryview, n: int) -> np.ndarray:
     return uvals[dense]
 
 
+def _enc_deflate(v: np.ndarray) -> bytes:
+    """zlib/deflate over the raw little-endian bytes — the reference's
+    own Deflated(8) method (pkzip/pkzip.go:38) as a fallback for
+    byte-level redundancy (LZ77 window) that the int32-domain codecs
+    don't model (long periodic patterns, embedded byte structure)."""
+    import zlib
+
+    return zlib.compress(v.astype("<i4", copy=False).tobytes(), 6)
+
+
+def _dec_deflate(body: memoryview, n: int) -> np.ndarray:
+    import zlib
+
+    raw = zlib.decompress(bytes(body))
+    return np.frombuffer(raw, dtype="<i4", count=n).astype(np.int32, copy=False)
+
+
 def _enc_fsst_auto(v: np.ndarray) -> bytes:
     # Adaptive min_gain bounds table-build cost: a symbol must save at least
     # n/1024 codes, so the iteration count stays small on large blocks.
@@ -479,6 +497,7 @@ _ENCODERS = {
     RLE: _enc_rle,
     DICT: _enc_dict,
     FSST: _enc_fsst_auto,
+    DEFLATE: _enc_deflate,
 }
 _DECODERS = {
     PLAIN: _dec_plain,
@@ -488,6 +507,7 @@ _DECODERS = {
     RLE: _dec_rle,
     DICT: _dec_dict,
     FSST: _dec_fsst,
+    DEFLATE: _dec_deflate,
 }
 
 

@@ -189,18 +189,43 @@ def _fsst_trial(v: np.ndarray, best_other: int) -> int | None:
     return None
 
 
+def _deflate_trial(v: np.ndarray, best_other: int) -> int | None:
+    """Sampled deflate trial (~5 ms on a 64k sample — cheap relative to a
+    block encode).  Deflate is the slow heavyweight, so it must beat the
+    best lightweight codec by >= 25% to be chosen: it then catches data
+    with byte-level/LZ structure the int32-domain models don't capture
+    (long periodic patterns), while fast paths keep their codecs —
+    users wanting maximum ratio stack file-level zstd instead
+    (BASELINE.md: ours+zstd = 0.205 < in-block deflate on every profile)."""
+    n = v.size
+    if n < FSST_MIN_VALUES:
+        return None
+    import zlib
+
+    sample = v[: 1 << 16]
+    comp = zlib.compress(np.ascontiguousarray(sample).astype("<i4", copy=False).tobytes(), 6)
+    projected = int(len(comp) / (4 * sample.size) * 4 * n) + HEADER
+    if projected < 0.75 * best_other:
+        return projected
+    return None
+
+
 def choose(v: np.ndarray, allow_fsst: bool = True) -> tuple[str, int, ChunkStats]:
     """Pick the smallest codec for a flat chunk: (name, est_bytes, stats)."""
-    stats = chunk_stats(np.asarray(v, dtype=np.int32))
+    v = np.asarray(v, dtype=np.int32)
+    stats = chunk_stats(v)
     est = estimate_sizes(stats)
     name = min(est, key=lambda k: (est[k], k))
     best = est[name]
     # fsst only makes sense on low-cardinality sequential data (its input is
     # the dict-indexed stream); skip on high-cardinality chunks.
     if allow_fsst and stats.distinct_exact and 1 < stats.n_distinct < stats.n // 4:
-        f = _fsst_trial(np.asarray(v, dtype=np.int32), best)
+        f = _fsst_trial(v, best)
         if f is not None and f < best:
-            return "fsst", f, stats
+            name, best = "fsst", f
+    d = _deflate_trial(v, best)
+    if d is not None and d < best:
+        return "deflate", d, stats
     return name, best, stats
 
 

@@ -132,7 +132,7 @@ EXPECTED_WINNER = {
     "sorted": {"delta"},
     "constant": {"constant"},
     "random": {"plain", "for"},
-    "textish": {"dict", "fsst"},
+    "textish": {"dict", "fsst", "deflate"},  # heavy phrase reuse → LZ window wins
 }
 
 
@@ -174,6 +174,28 @@ def test_fsst_beats_dict_on_bigrammy_data():
     dict_blk = encode(v, "dict")
     np.testing.assert_array_equal(decode(fsst_blk), v)
     assert len(fsst_blk) < len(dict_blk)
+
+
+def test_deflate_wins_on_periodic_byte_structure():
+    """Long-period repetition (LZ77 territory): medium cardinality defeats
+    dict/for/rle, but deflate's window finds the repeats — the selector
+    must fall through to it."""
+    period = RNG.integers(0, 2**30, size=1500).astype(np.int32)
+    v = np.tile(period, 40)
+    codec, est, _ = choose(v)
+    assert codec == "deflate", codec
+    blk, chosen = encode_auto(v)
+    assert chosen == "deflate"
+    np.testing.assert_array_equal(decode(blk), v)
+    assert len(blk) < 0.2 * 4 * v.size
+
+
+def test_deflate_not_tried_on_good_lightweight_data():
+    """Gating: when lightweight codecs already compress well, the
+    selector never pays the deflate trial (choose stays lightweight)."""
+    v = np.repeat(RNG.integers(0, 50, size=500).astype(np.int32), 40)
+    codec, _, _ = choose(v)
+    assert codec == "rle"
 
 
 def test_unknown_codec_rejected():
