@@ -327,16 +327,18 @@ FSST_BUILD_LIMIT = 1 << 18
 
 def _enc_fsst(
     v: np.ndarray,
-    max_symbols: int = 255,
+    max_symbols: int = 1024,
     min_gain: int = 8,
     uvals: np.ndarray | None = None,
+    build_limit: int | None = None,
 ) -> bytes:
     uvals, inv = _unique_inverse(v, uvals)
     n_base = int(uvals.size)
     seq0 = inv.astype(np.int32, copy=False)
-    if seq0.size > FSST_BUILD_LIMIT:
-        sample = seq0[:FSST_BUILD_LIMIT]
-        _, syms = _pairs_build(sample, n_base, max_symbols, max(8, sample.size >> 10))
+    limit = build_limit or FSST_BUILD_LIMIT
+    if seq0.size > limit:
+        sample = seq0[:limit]
+        _, syms = _pairs_build(sample, n_base, max_symbols, max(8, sample.size >> 14))
         seq = _apply_pairs(seq0.copy(), syms, n_base)
     else:
         seq, syms = _pairs_build(seq0, n_base, max_symbols, min_gain)
@@ -469,24 +471,25 @@ def _dec_deflate(body: memoryview, n: int) -> np.ndarray:
 
 
 def _enc_fsst_auto(v: np.ndarray) -> bytes:
-    # Adaptive min_gain bounds table-build cost: a symbol must save at least
-    # n/1024 codes, so the iteration count stays small on large blocks.
-    return _enc_fsst(v, max_symbols=255, min_gain=max(8, v.size >> 10))
+    return _enc_fsst(v, max_symbols=1024, min_gain=max(8, v.size >> 14))
 
 
 def encode_fsst(
     values: np.ndarray,
-    max_symbols: int = 255,
+    max_symbols: int = 1024,
     min_gain: int | None = None,
     uvals: np.ndarray | None = None,
+    build_limit: int | None = None,
 ) -> bytes:
     """FSST encode with explicit budget knobs (used by the selector's
-    sampled trial)."""
+    sampled trial and effort presets)."""
     v = _as_i32(values)
     if v.size == 0:
         return _HDR.pack(PLAIN, 0)
-    mg = min_gain if min_gain is not None else max(8, v.size >> 10)
-    return _HDR.pack(FSST, v.size) + _enc_fsst(v, max_symbols, mg, uvals=uvals)
+    mg = min_gain if min_gain is not None else max(8, v.size >> 14)
+    return _HDR.pack(FSST, v.size) + _enc_fsst(
+        v, max_symbols, mg, uvals=uvals, build_limit=build_limit
+    )
 
 
 _ENCODERS = {

@@ -229,22 +229,41 @@ def choose(v: np.ndarray, allow_fsst: bool = True) -> tuple[str, int, ChunkStats
     return name, best, stats
 
 
+#: fsst effort presets: symbol budget + table-build sample size.
+#: 'speed' disables fsst entirely; 'size' trades ~2-3x textish encode
+#: speed for the best in-block ratio (beats the reference's solid-LZMA
+#: 0.246 bound on the mixed corpus).
+EFFORT_PRESETS: dict[str, dict | None] = {
+    "speed": None,
+    "balanced": {"max_symbols": 1024, "build_limit": 1 << 18},
+    "size": {"max_symbols": 4096, "build_limit": 1 << 19},
+}
+
+
 def encode_auto_ex(
-    v: np.ndarray, allow_fsst: bool = True
+    v: np.ndarray, allow_fsst: bool = True, effort: str = "balanced"
 ) -> tuple[bytes, str, ChunkStats]:
     """encode_auto + the stats pass's ChunkStats (zone-map material)."""
     v = np.asarray(v, dtype=np.int32)
+    preset = EFFORT_PRESETS[effort]
+    if preset is None:
+        allow_fsst = False
     name, _, stats = choose(v, allow_fsst=allow_fsst)
-    blk = kernels.encode(v, name, uvals=stats.uvals if name in ("dict", "fsst") else None)
+    if name == "fsst":
+        blk = kernels.encode_fsst(v, uvals=stats.uvals, **preset)
+    else:
+        blk = kernels.encode(v, name, uvals=stats.uvals if name == "dict" else None)
     plain_size = HEADER + 4 * v.size
     if len(blk) > plain_size:
         return kernels.encode(v, PLAIN), "plain", stats
     return blk, name, stats
 
 
-def encode_auto(v: np.ndarray, allow_fsst: bool = True) -> tuple[bytes, str]:
+def encode_auto(
+    v: np.ndarray, allow_fsst: bool = True, effort: str = "balanced"
+) -> tuple[bytes, str]:
     """Encode with the auto-selected codec; falls back to plain if the
     chosen encoding somehow inflates (never emit a block larger than plain
     — analogue of Stored(0) fallback in zip encoders)."""
-    blk, name, _ = encode_auto_ex(v, allow_fsst=allow_fsst)
+    blk, name, _ = encode_auto_ex(v, allow_fsst=allow_fsst, effort=effort)
     return blk, name

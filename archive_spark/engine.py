@@ -129,14 +129,14 @@ class _SourceBuffer:
         return out
 
 
-def _make_encoder(target_block_values: int, allow_fsst: bool):
+def _make_encoder(target_block_values: int, allow_fsst: bool, effort: str = "balanced"):
     def enc(it: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         buffers: dict[str, _SourceBuffer] = {}
 
         def encode_blocks(sname: str, blocks) -> list[dict]:
             rows = []
             for docs, lens, vals in blocks:
-                payload, codec, stats = encode_auto_ex(vals, allow_fsst=allow_fsst)
+                payload, codec, stats = encode_auto_ex(vals, allow_fsst=allow_fsst, effort=effort)
                 lens_payload, _ = encode_auto(lens.astype(np.int32), allow_fsst=False)
                 rows.append(
                     {
@@ -231,6 +231,7 @@ def encode(
     target_block_values: int = DEFAULT_BLOCK_VALUES,
     allow_fsst: bool = True,
     salt_partitions: int | None = None,
+    effort: str = "balanced",
 ) -> DataFrame:
     """Encode a (doc_id, tokens, n_tok, source) DataFrame into blocks.
 
@@ -248,7 +249,7 @@ def encode(
             F.pmod(F.xxhash64("doc_id"), F.lit(salt_partitions * 8)),
         )
     return df.mapInArrow(
-        _make_encoder(target_block_values, allow_fsst), ENCODED_SCHEMA
+        _make_encoder(target_block_values, allow_fsst, effort), ENCODED_SCHEMA
     )
 
 
