@@ -17,7 +17,6 @@ self-describing metadata, dispatch on content not filename
 
 from __future__ import annotations
 
-import hashlib
 from typing import Iterator
 
 import numpy as np
