@@ -41,6 +41,7 @@ LEDGER_SCHEMA = pa.schema(
         ("snapshot_id", pa.string()),
         ("stage", pa.string()),          # "staged" | "encoded"
         ("shard", pa.int32()),
+        ("n_shards", pa.int32()),        # layout this row belongs to
         ("status", pa.string()),         # "ok" | "failed:<reason>"
         ("n_blocks", pa.int64()),
         ("n_docs", pa.int64()),
@@ -88,13 +89,32 @@ def read_ledger(out_dir: str) -> pa.Table:
     d = _ledger_dir(out_dir)
     if not os.path.isdir(d):
         return LEDGER_SCHEMA.empty_table()
-    files = [os.path.join(d, f) for f in sorted(os.listdir(d)) if f.endswith(".parquet")]
+    files = []
+    for f in sorted(os.listdir(d)):
+        if f.startswith("."):
+            # in-flight or crash-orphaned .tmp-* writes: never published, so
+            # never part of the ledger; clean up stale ones opportunistically
+            if f.startswith(".tmp-"):
+                try:
+                    os.unlink(os.path.join(d, f))
+                except OSError:
+                    pass
+            continue
+        if f.endswith(".parquet"):
+            files.append(os.path.join(d, f))
     if not files:
         return LEDGER_SCHEMA.empty_table()
     return pa.concat_tables([pq.read_table(f) for f in files])
 
 
-def completed_shards(out_dir: str, snapshot_id: str, stage: str = "encoded") -> set[int]:
+def completed_shards(
+    out_dir: str, snapshot_id: str, stage: str = "encoded", n_shards: int | None = None
+) -> set[int]:
+    """Shards with an ok ledger row for (snapshot_id, stage).
+
+    ``n_shards``: when given, only rows recorded under the same shard
+    layout count — a ledger written with a different n_shards must not
+    satisfy a resume (ADVICE: silently dropping higher shards)."""
     t = read_ledger(out_dir)
     if t.num_rows == 0:
         return set()
@@ -102,7 +122,10 @@ def completed_shards(out_dir: str, snapshot_id: str, stage: str = "encoded") -> 
     return {
         r["shard"]
         for r in rows
-        if r["snapshot_id"] == snapshot_id and r["stage"] == stage and r["status"] == "ok"
+        if r["snapshot_id"] == snapshot_id
+        and r["stage"] == stage
+        and r["status"] == "ok"
+        and (n_shards is None or r.get("n_shards") == n_shards)
     }
 
 
@@ -128,15 +151,50 @@ def encode_job(
     parquet_codec: str = "none",  # "zstd" composes: our codecs remove token
     # structure, entropy coding then beats parquet+zstd alone (BASELINE.md)
     fail_on_shard: int | None = None,  # test hook: simulate a crash
+    max_concurrency: int = 4,
+    skip_staging: bool = False,  # input dir already laid out as shard=K
 ) -> EncodeJobResult:
-    """Stage → encode-per-shard → publish, resumable at shard granularity."""
+    """Stage → encode-per-shard → publish, resumable at shard granularity.
+
+    Shard jobs are submitted from a bounded thread pool (Spark's scheduler
+    runs concurrent jobs from separate threads), so a cluster isn't capped
+    at one shard's parallelism.  ``fail_on_shard`` forces sequential order
+    so crash tests are deterministic.  Resume validates the shard layout:
+    ledger rows written under a different ``n_shards`` never satisfy a
+    resume, and a staged layout whose partition count disagrees is
+    restaged (ADVICE: silent shard drop on n_shards change).
+    """
     staging = os.path.join(out_dir, "staging")
     data_dir = os.path.join(out_dir, "data")
     os.makedirs(out_dir, exist_ok=True)
 
+    def _staged_layout_ok() -> bool:
+        if not os.path.isdir(staging):
+            return False
+        parts = {d for d in os.listdir(staging) if d.startswith("shard=")}
+        return parts == {f"shard={s}" for s in range(n_shards)}
+
     # ---- stage 1: shard-partition the input once (bulk copy, own ledger row)
-    if not (resume and completed_shards(out_dir, snapshot_id, stage="staged") == {-1}):
+    staged_done = (
+        resume
+        and completed_shards(out_dir, snapshot_id, stage="staged", n_shards=n_shards)
+        == {-1}
+        and _staged_layout_ok()
+    )
+    if skip_staging:
+        if not _staged_layout_ok():
+            raise ValueError(
+                f"skip_staging=True but {staging} lacks shard=0..{n_shards - 1} layout"
+            )
+    elif not staged_done:
         t0 = time.time()
+        # restaging changes shard membership → every previously encoded
+        # shard dir is stale (old layout or old snapshot); drop them so
+        # read_encoded never mixes layouts
+        if os.path.isdir(data_dir):
+            import shutil
+
+            shutil.rmtree(data_dir)
         (
             tokens_df.withColumn(
                 "shard", F.pmod(F.xxhash64("doc_id"), F.lit(n_shards)).cast("int")
@@ -149,21 +207,19 @@ def encode_job(
             out_dir,
             {
                 "snapshot_id": snapshot_id, "stage": "staged", "shard": -1,
+                "n_shards": n_shards,
                 "status": "ok", "n_blocks": 0, "n_docs": 0, "bytes_in": 0,
                 "bytes_out": 0, "codec_histogram": "{}",
                 "wall_ms": int((time.time() - t0) * 1000),
             },
         )
 
-    done = completed_shards(out_dir, snapshot_id) if resume else set()
-    encoded = skipped = 0
-    bytes_in = bytes_out = 0
+    done = (
+        completed_shards(out_dir, snapshot_id, n_shards=n_shards) if resume else set()
+    )
     staged = spark.read.parquet(staging)
 
-    for shard in range(n_shards):
-        if shard in done:
-            skipped += 1
-            continue
+    def run_shard(shard: int) -> tuple[int, int]:
         if fail_on_shard is not None and shard == fail_on_shard:
             raise RuntimeError(f"injected failure before shard {shard}")
         t0 = time.time()
@@ -194,6 +250,7 @@ def encode_job(
                 out_dir,
                 {
                     "snapshot_id": snapshot_id, "stage": "encoded", "shard": shard,
+                    "n_shards": n_shards,
                     "status": "ok", "n_blocks": int(sum(hist.values())),
                     "n_docs": int(sum(r.docs for r in stats)),
                     "bytes_in": int(row_in), "bytes_out": int(row_out),
@@ -201,14 +258,13 @@ def encode_job(
                     "wall_ms": int((time.time() - t0) * 1000),
                 },
             )
-            encoded += 1
-            bytes_in += row_in
-            bytes_out += row_out
+            return int(row_in), int(row_out)
         except Exception as e:  # record the diagnostic, then re-raise
             _append_ledger(
                 out_dir,
                 {
                     "snapshot_id": snapshot_id, "stage": "encoded", "shard": shard,
+                    "n_shards": n_shards,
                     "status": f"failed:{type(e).__name__}", "n_blocks": 0,
                     "n_docs": 0, "bytes_in": 0, "bytes_out": 0,
                     "codec_histogram": "{}",
@@ -217,10 +273,27 @@ def encode_job(
             )
             raise
 
+    todo = [s for s in range(n_shards) if s not in done]
+    skipped = n_shards - len(todo)
+    bytes_in = bytes_out = 0
+    workers = 1 if fail_on_shard is not None else max(1, min(max_concurrency, len(todo) or 1))
+    if workers == 1:
+        for shard in todo:
+            ri, ro = run_shard(shard)
+            bytes_in += ri
+            bytes_out += ro
+    else:
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=workers) as pool:
+            for ri, ro in pool.map(run_shard, todo):
+                bytes_in += ri
+                bytes_out += ro
+
     return EncodeJobResult(
         snapshot_id=snapshot_id,
         shards_total=n_shards,
-        shards_encoded=encoded,
+        shards_encoded=len(todo),
         shards_skipped=skipped,
         bytes_in=bytes_in,
         bytes_out=bytes_out,

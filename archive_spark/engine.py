@@ -252,48 +252,89 @@ def encode(
     )
 
 
-def _decode_batches(it: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
-    for batch in it:
-        if batch.num_rows == 0:
-            continue
-        payloads = batch.column("payload")
-        lens_payloads = batch.column("lengths_payload")
-        doc_ids = batch.column("doc_ids")
-        sources = batch.column("source")
-        vals_parts: list[np.ndarray] = []
-        lens_parts: list[np.ndarray] = []
-        src_codes = np.empty(batch.num_rows, dtype=np.int64)
-        ndocs = np.empty(batch.num_rows, dtype=np.int64)
-        for i in range(batch.num_rows):  # per-block loop (not per-row)
-            vals = kernels.decode(payloads[i].as_py())
-            lens = kernels.decode(lens_payloads[i].as_py()).astype(np.int64)
-            if int(lens.sum()) != vals.size:
-                raise kernels.CodecError(
-                    f"block {batch.column('block_id')[i]}: lengths/payload mismatch"
+#: flush decoded output once this many flattened token values accumulate —
+#: keeps every yielded RecordBatch far below the int32 ListArray offset
+#: limit (2^31) no matter how many encoded blocks one input batch carries,
+#: and bounds peak memory per batch (ADVICE: engine.py decode overflow).
+DECODE_FLUSH_VALUES = 1 << 26  # 64M values = 256 MiB of int32
+
+
+def _make_decoder(flush_values: int = DECODE_FLUSH_VALUES):
+    def _decode(it: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in it:
+            if batch.num_rows == 0:
+                continue
+            payloads = batch.column("payload")
+            lens_payloads = batch.column("lengths_payload")
+            doc_ids = batch.column("doc_ids")
+            sources = batch.column("source")
+
+            def flush(vals_parts, lens_parts, blk_idx, ndocs):
+                flat = np.concatenate(vals_parts) if vals_parts else np.zeros(0, np.int32)
+                lens_all = (
+                    np.concatenate(lens_parts) if lens_parts else np.zeros(0, np.int64)
                 )
-            vals_parts.append(vals)
-            lens_parts.append(lens)
-            ndocs[i] = lens.size
-        flat = np.concatenate(vals_parts) if vals_parts else np.zeros(0, np.int32)
-        lens_all = np.concatenate(lens_parts) if lens_parts else np.zeros(0, np.int64)
-        offsets = np.concatenate(([0], np.cumsum(lens_all)))
-        tokens = pa.ListArray.from_arrays(
-            pa.array(offsets, pa.int32()), pa.array(flat, pa.int32())
-        )
-        # doc_ids: flatten the list column (order matches block order)
-        doc_flat = doc_ids.flatten()
-        if len(doc_flat) != int(ndocs.sum()):
-            raise kernels.CodecError("doc_ids/lengths cardinality mismatch")
-        src_rep = pa.DictionaryArray.from_arrays(
-            pa.array(np.repeat(np.arange(batch.num_rows), ndocs), pa.int32()), sources
-        ).cast(pa.string())
-        yield pa.RecordBatch.from_arrays(
-            [doc_flat, tokens, pa.array(lens_all.astype(np.int32), pa.int32()), src_rep],
-            names=["doc_id", "tokens", "n_tok", "source"],
-        )
+                offsets = np.concatenate(([0], np.cumsum(lens_all)))
+                tokens = pa.ListArray.from_arrays(
+                    pa.array(offsets, pa.int32()), pa.array(flat, pa.int32())
+                )
+                lo, hi = int(blk_idx[0]), int(blk_idx[-1]) + 1
+                # doc_ids: flatten the covered slice (order matches block order)
+                doc_flat = doc_ids.slice(lo, hi - lo).flatten()
+                if len(doc_flat) != int(ndocs.sum()):
+                    raise kernels.CodecError("doc_ids/lengths cardinality mismatch")
+                src_rep = pa.DictionaryArray.from_arrays(
+                    pa.array(np.repeat(blk_idx - lo, ndocs), pa.int32()),
+                    sources.slice(lo, hi - lo).combine_chunks()
+                    if isinstance(sources, pa.ChunkedArray)
+                    else sources.slice(lo, hi - lo),
+                ).cast(pa.string())
+                return pa.RecordBatch.from_arrays(
+                    [doc_flat, tokens, pa.array(lens_all.astype(np.int32), pa.int32()), src_rep],
+                    names=["doc_id", "tokens", "n_tok", "source"],
+                )
+
+            vals_parts: list[np.ndarray] = []
+            lens_parts: list[np.ndarray] = []
+            blk_idx: list[int] = []
+            ndocs: list[int] = []
+            pending = 0
+            for i in range(batch.num_rows):  # per-block loop (not per-row)
+                vals = kernels.decode(payloads[i].as_py())
+                lens = kernels.decode(lens_payloads[i].as_py()).astype(np.int64)
+                if int(lens.sum()) != vals.size:
+                    raise kernels.CodecError(
+                        f"block {batch.column('block_id')[i]}: lengths/payload mismatch"
+                    )
+                vals_parts.append(vals)
+                lens_parts.append(lens)
+                blk_idx.append(i)
+                ndocs.append(lens.size)
+                pending += vals.size
+                if pending >= flush_values:
+                    yield flush(
+                        vals_parts, lens_parts,
+                        np.asarray(blk_idx, np.int64), np.asarray(ndocs, np.int64),
+                    )
+                    vals_parts, lens_parts, blk_idx, ndocs, pending = [], [], [], [], 0
+            if blk_idx:
+                yield flush(
+                    vals_parts, lens_parts,
+                    np.asarray(blk_idx, np.int64), np.asarray(ndocs, np.int64),
+                )
+
+    return _decode
 
 
-def decode(df_encoded: DataFrame, targets: Sequence[str] | None = None) -> DataFrame:
+#: default decoder (shared by batch decode and streaming.decode_stream)
+_decode_batches = _make_decoder()
+
+
+def decode(
+    df_encoded: DataFrame,
+    targets: Sequence[str] | None = None,
+    flush_values: int = DECODE_FLUSH_VALUES,
+) -> DataFrame:
     """Decode encoded blocks back to (doc_id, tokens, n_tok, source).
 
     ``targets``: decode only the named doc_ids (Extractor.Extract's
@@ -303,7 +344,7 @@ def decode(df_encoded: DataFrame, targets: Sequence[str] | None = None) -> DataF
     if targets:
         tlits = F.array(*[F.lit(t) for t in targets])
         df_encoded = df_encoded.filter(F.arrays_overlap(F.col("doc_ids"), tlits))
-    out = df_encoded.mapInArrow(_decode_batches, TOKENS_SCHEMA)
+    out = df_encoded.mapInArrow(_make_decoder(flush_values), TOKENS_SCHEMA)
     if targets:
         out = out.filter(F.col("doc_id").isin(list(targets)))
     return out

@@ -70,6 +70,65 @@ def test_new_snapshot_invalidates_cache(spark, tokens_df, tmp_path):
     assert res.shards_encoded == 2  # different input identity → redo
 
 
+def test_concurrent_shards(spark, tokens_df, tmp_path):
+    """Thread-pooled shard submission produces the same ledger/data as
+    sequential (VERDICT #7: cluster utilization isn't capped at one
+    shard's parallelism)."""
+    out = str(tmp_path / "enc")
+    res = checkpoint.encode_job(
+        spark, tokens_df, out, SNAP, n_shards=4, max_concurrency=4,
+        target_block_values=1 << 15,
+    )
+    assert res.shards_encoded == 4
+    ledger = [r for r in checkpoint.read_ledger(out).to_pylist() if r["stage"] == "encoded"]
+    assert sorted(r["shard"] for r in ledger) == [0, 1, 2, 3]
+    assert sum(r["n_docs"] for r in ledger) == N_DOCS
+    decoded = engine.decode(checkpoint.read_encoded(spark, out))
+    rep = engine.roundtrip_report(tokens_df, decoded).collect()[0]
+    assert rep.n_mismatch == 0 and rep.n_decoded == N_DOCS
+
+
+def test_stale_tmp_ledger_file_is_ignored(spark, tokens_df, tmp_path):
+    """A crash mid-_append_ledger leaves a truncated .tmp-*.parquet; the
+    ledger reader must skip it (ADVICE: glob matched hidden tmp files and
+    broke resume forever)."""
+    out = str(tmp_path / "enc")
+    checkpoint.encode_job(spark, tokens_df, out, SNAP, n_shards=2)
+    tmp = os.path.join(out, "_ledger", ".tmp-deadbeef.parquet")
+    with open(tmp, "wb") as f:
+        f.write(b"PAR1 truncated garbage")  # not a valid parquet footer
+    assert checkpoint.completed_shards(out, SNAP) == {0, 1}
+    res = checkpoint.encode_job(spark, tokens_df, out, SNAP, n_shards=2)
+    assert res.shards_skipped == 2
+    assert not os.path.exists(tmp)  # opportunistically cleaned
+
+
+def test_n_shards_change_restages_and_reencodes(spark, tokens_df, tmp_path):
+    """Rerunning with a different n_shards must not skip staged shards
+    from the old layout (ADVICE: silent doc drop on layout change)."""
+    out = str(tmp_path / "enc")
+    checkpoint.encode_job(spark, tokens_df, out, SNAP, n_shards=4)
+    res = checkpoint.encode_job(spark, tokens_df, out, SNAP, n_shards=2)
+    assert res.shards_encoded == 2 and res.shards_skipped == 0
+    decoded = engine.decode(checkpoint.read_encoded(spark, out))
+    rep = engine.roundtrip_report(tokens_df, decoded).collect()[0]
+    assert rep.n_mismatch == 0 and rep.n_decoded == N_DOCS
+
+
+def test_skip_staging_requires_layout(spark, tokens_df, tmp_path):
+    out = str(tmp_path / "enc")
+    with pytest.raises(ValueError, match="skip_staging"):
+        checkpoint.encode_job(
+            spark, tokens_df, out, SNAP, n_shards=2, skip_staging=True
+        )
+    # stage once, then re-encode from the existing layout without restaging
+    checkpoint.encode_job(spark, tokens_df, out, SNAP, n_shards=2)
+    res = checkpoint.encode_job(
+        spark, tokens_df, out, "snap-other", n_shards=2, skip_staging=True
+    )
+    assert res.shards_encoded == 2
+
+
 def test_snapshot_id_of_path_changes_with_content(tmp_path):
     p = tmp_path / "in"
     p.mkdir()

@@ -42,6 +42,17 @@ def test_roundtrip_bit_identical(spark, tokens_df, encoded_df):
     assert rep.n_mismatch == 0
 
 
+def test_decode_flush_chunking_bit_identical(spark, tokens_df, encoded_df):
+    """A tiny flush threshold forces many output RecordBatches per input
+    batch (the int32-offset-overflow guard path, ADVICE) — result must be
+    identical to the single-flush decode."""
+    decoded = engine.decode(encoded_df, flush_values=1 << 10)
+    rep = engine.roundtrip_report(tokens_df, decoded).collect()[0]
+    assert rep.n_docs == N_DOCS
+    assert rep.n_decoded == N_DOCS
+    assert rep.n_mismatch == 0
+
+
 def test_encoded_smaller_than_raw(encoded_df):
     row = encoded_df.agg(
         F.sum("meta.raw_bytes").alias("raw"), F.sum("meta.enc_bytes").alias("enc")
