@@ -17,6 +17,7 @@ identically on both sides.
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
@@ -25,6 +26,27 @@ SF0001 = "/root/testdata/sf0.001"
 
 _ENC_CACHE: dict[tuple[int, str], DataFrame] = {}
 _TOK_CACHE: dict[tuple[int, str], DataFrame] = {}
+
+# Shared-data oracle pattern (engine-internal operators): the Spark query
+# persists its intermediate to parquet, and the DuckDB oracle recomputes
+# the downstream arithmetic (aggregation / windowing / pair counting /
+# bit votes) over the SAME parquet — so the operator under test is the
+# Spark computation, not the persisted bytes.  The oracle SQL is fixed at
+# the driver's correctness scale (sf0.01); queries run at other scales
+# write to their own subdirectory and never clobber the oracle artifacts.
+ORACLE_DIR = "/tmp/archive_spark_oracle"
+
+
+def _persist(df: DataFrame, name: str, sf_dir: str) -> str:
+    base = os.path.basename(sf_dir.rstrip("/"))
+    path = f"{ORACLE_DIR}/{base}/{name}"
+    df.write.mode("overwrite").parquet(path)
+    return path
+
+
+def _opath(name: str) -> str:
+    """Artifact path as referenced from oracle SQL (sf0.01 contract)."""
+    return f"{ORACLE_DIR}/sf0.01/{name}/*.parquet"
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -113,47 +135,80 @@ def _q_listing_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_token_range_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Zone-map-pruned range scan over synthetic tokens (rows-only)."""
+    """Zone-map-pruned range scan over synthetic tokens.  The input
+    token table is persisted so DuckDB can recompute the range predicate
+    over the raw token arrays (oracle of pruning + post-filter)."""
     from archive_spark import engine
     from archive_spark.tokengen import token_table
 
     df = token_table(spark, 5_000, seed=42)
+    _persist(df.select("doc_id", "tokens"), "token_range_input", sf_dir)
     enc = engine.encode(df, target_block_values=1 << 15)
     out = engine.decode_token_range(enc, 1_000_000, 1_000_511)
     return out.agg(F.count("*").cast("bigint").alias("n_docs_in_range"))
 
 
+def _blockmeta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flat per-block metadata of the encoded sf table (the shared-data
+    oracle artifact for the metadata-analytics operators)."""
+    return _encoded(spark, sf_dir).select(
+        "block_id",
+        "source",
+        F.col("meta.codec").alias("codec"),
+        F.col("meta.n_values").cast("bigint").alias("n_values"),
+        F.col("meta.n_docs").cast("bigint").alias("n_docs"),
+        F.col("meta.raw_bytes").cast("bigint").alias("raw_bytes"),
+        F.col("meta.enc_bytes").cast("bigint").alias("enc_bytes"),
+    )
+
+
 def _q_codec_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     from archive_spark.analytics import codec_histogram
 
-    return codec_histogram(_encoded(spark, sf_dir))
+    _persist(_blockmeta(spark, sf_dir), "blockmeta", sf_dir)
+    return codec_histogram(_encoded(spark, sf_dir)).select(
+        "codec",
+        F.col("n_blocks").cast("bigint").alias("n_blocks"),
+        F.col("n_docs").cast("bigint").alias("n_docs"),
+        F.col("n_values").cast("bigint").alias("n_values"),
+        F.col("raw_bytes").cast("bigint").alias("raw_bytes"),
+        F.col("enc_bytes").cast("bigint").alias("enc_bytes"),
+    )
 
 
 def _q_baseline_decodable(spark: SparkSession, sf_dir: str) -> DataFrame:
     """pkzip.Zip predicate analogue: does the table use only baseline
-    codecs (plain/constant/for)? Rows-only check (engine-determined)."""
+    codecs (plain/constant/for)?"""
     from archive_spark.analytics import baseline_decodable
 
+    _persist(_blockmeta(spark, sf_dir), "blockmeta_bd", sf_dir)
     return baseline_decodable(_encoded(spark, sf_dir))
 
 
 def _q_distinct_codecs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from archive_spark.analytics import distinct_codecs
 
+    _persist(_blockmeta(spark, sf_dir), "blockmeta_dc", sf_dir)
     return distinct_codecs(_encoded(spark, sf_dir))
 
 
 def _q_ratio_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """raw_bytes is oracled INDEPENDENTLY: 4 bytes × word count straight
+    from documents.text; enc_bytes via the shared block metadata."""
     from archive_spark.analytics import ratio_by_source
 
+    _persist(_blockmeta(spark, sf_dir), "blockmeta_rs", sf_dir)
     return ratio_by_source(_encoded(spark, sf_dir)).select(
-        "source", "raw_bytes", "enc_bytes"
+        "source",
+        F.col("raw_bytes").cast("bigint").alias("raw_bytes"),
+        F.col("enc_bytes").cast("bigint").alias("enc_bytes"),
     )
 
 
 def _q_best_block_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     from archive_spark.analytics import best_block_per_source
 
+    _persist(_blockmeta(spark, sf_dir), "blockmeta_bb", sf_dir)
     return best_block_per_source(_encoded(spark, sf_dir)).select(
         "source", "block_id", "codec"
     )
@@ -161,11 +216,14 @@ def _q_best_block_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q_synthetic_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Primary scale path: deterministic synthetic token table (all 8
-    profiles incl. skewed textish) through salted encode + decode."""
+    profiles incl. skewed textish) through salted encode + decode.  The
+    input doc ids are persisted so the oracle independently counts the
+    docs the roundtrip must account for."""
     from archive_spark import engine
     from archive_spark.tokengen import token_table
 
     df = token_table(spark, 20_000, seed=42)
+    _persist(df.select("doc_id"), "synthetic_docids", sf_dir)
     enc = engine.encode(df, salt_partitions=8)
     rep = engine.roundtrip_report(df, engine.decode(enc))
     return rep.select(
@@ -178,8 +236,12 @@ def _q_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     from archive_spark.analytics import skew_report
     from archive_spark.tokengen import token_table
 
-    return skew_report(token_table(spark, 20_000, seed=42)).select(
-        "source", "n_docs", "n_tokens"
+    df = token_table(spark, 20_000, seed=42)
+    _persist(df.select("source", "n_tok"), "skew_tokens", sf_dir)
+    return skew_report(df).select(
+        "source",
+        F.col("n_docs").cast("bigint").alias("n_docs"),
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
     )
 
 
@@ -230,18 +292,32 @@ def _q_lang_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from archive_spark.pipeline_ops import minhash_lsh_candidates
+    """Bucket-aggregate candidate count (no join) + capped distinct-pair
+    count.  Band table persisted: DuckDB replays the bucket arithmetic
+    and the (skew-capped) pair join over the same bands."""
+    from archive_spark.pipeline_ops import (
+        lsh_candidate_count,
+        lsh_distinct_pairs,
+        minhash_band_table,
+    )
 
     docs = _docs(spark, sf_dir)
-    return minhash_lsh_candidates(docs, n_perm=16, bands=4).agg(
-        F.count("*").cast("bigint").alias("n_candidate_pairs")
+    banded = minhash_band_table(docs, n_perm=16, bands=4).cache()
+    _persist(banded, "lsh_bands", sf_dir)
+    counts = lsh_candidate_count(banded)
+    pairs = lsh_distinct_pairs(banded, max_bucket=256).agg(
+        F.count("*").cast("bigint").alias("n_distinct_pairs")
     )
+    return counts.crossJoin(pairs)
 
 
 def _q_simhash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from archive_spark.pipeline_ops import simhash
+    """Word hashes persisted: DuckDB re-derives each 64-bit fingerprint
+    from the same hashes (oracle of the majority-vote bit arithmetic)."""
+    from archive_spark.pipeline_ops import simhash, word_hash_table
 
     docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 20)
+    _persist(word_hash_table(docs), "simhash_hashes", sf_dir)
     return simhash(docs)
 
 
@@ -263,11 +339,87 @@ def _q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exhaustive probing (radius = n_planes) → must equal brute force:
+    proves the bucketing + rerank machinery loses nothing except by
+    probe pruning (whose recall `ann_lsh_recall` measures)."""
     from archive_spark.pipeline_ops import lsh_bucketed_ann
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    return lsh_bucketed_ann(emb, [0, 1, 2], topk=5).select(
+    return lsh_bucketed_ann(emb, [0, 1, 2], topk=5, n_planes=8, probe_radius=8).select(
         "query_id", "vec_id", F.col("rank").cast("bigint").alias("rank")
+    )
+
+
+def _q_ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """recall@5 of *pruned* IVF (n_probe=2 of 8 cells) vs exact top-5.
+    The IVF result is persisted; DuckDB recomputes the exact top-5
+    independently and the recall arithmetic over both."""
+    from archive_spark.pipeline_ops import ann_recall, cosine_topk_bruteforce, ivf_ann
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    ivf = ivf_ann(emb, [0, 1, 2], topk=5, n_centroids=8, n_probe=2)
+    _persist(ivf.select("query_id", "vec_id"), "ivf_pruned", sf_dir)
+    bf = cosine_topk_bruteforce(emb, [0, 1, 2], topk=5)
+    return ann_recall(ivf, bf, topk=5)
+
+
+def _q_ann_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """recall@5 of multi-probe LSH (radius 1 of 8 planes) vs exact."""
+    from archive_spark.pipeline_ops import ann_recall, cosine_topk_bruteforce, lsh_bucketed_ann
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    lsh = lsh_bucketed_ann(emb, [0, 1, 2], topk=5, n_planes=8, probe_radius=1)
+    _persist(lsh.select("query_id", "vec_id"), "lsh_pruned", sf_dir)
+    bf = cosine_topk_bruteforce(emb, [0, 1, 2], topk=5)
+    return ann_recall(lsh, bf, topk=5)
+
+
+def _q_stream_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming driver query: watermarked 1-hour tumbling
+    windows over events in availableNow mode (file source → parquet
+    sink, exactly-once).  Append mode finalizes exactly the windows
+    whose end ≤ max(ts) − watermark — the oracle replays that rule."""
+    import shutil
+
+    from archive_spark import streaming as st
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    base = os.path.basename(sf_dir.rstrip("/"))
+    scratch = f"/tmp/archive_spark_stream/{base}"
+    shutil.rmtree(scratch, ignore_errors=True)
+    ev.write.parquet(f"{scratch}/in")
+    stream = spark.readStream.schema(ev.schema).format("parquet").load(f"{scratch}/in")
+    out = st.windowed_event_counts(stream, window="1 hour", watermark="30 minutes")
+    q = (
+        out.select("window_start", "event_type", F.col("n_events").cast("bigint").alias("n_events"))
+        .writeStream.format("parquet")
+        .option("path", f"{scratch}/out")
+        .option("checkpointLocation", f"{scratch}/ck")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(f"{scratch}/out").orderBy("window_start", "event_type")
+
+
+def _q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing: synth media → Arrow-batched feature extract;
+    per-item features persisted, per-kind aggregation cross-checked in
+    DuckDB over the same parquet."""
+    from archive_spark.multimodal import extract_features, synth_media_table
+
+    media = synth_media_table(spark, 120, seed=42)
+    feats = extract_features(media, decoder="fake")
+    path = _persist(feats.select("media_id", "kind", "n_bytes"), "mm_features", sf_dir)
+    return (
+        spark.read.parquet(path)
+        .groupBy("kind")
+        .agg(
+            F.count("*").cast("bigint").alias("n_items"),
+            F.sum("n_bytes").cast("bigint").alias("total_bytes"),
+        )
+        .orderBy("kind")
     )
 
 
@@ -481,8 +633,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_bruteforce": _q_ann_bruteforce,
         "ann_lsh": _q_ann_lsh,
         "ann_ivf": _q_ann_ivf,
+        "ann_ivf_recall": _q_ann_ivf_recall,
+        "ann_lsh_recall": _q_ann_lsh_recall,
         "ngram_jaccard": _q_ngram_jaccard,
         "word_length_hist": _q_word_length_hist,
+        "multimodal_features": _q_multimodal_features,
+        # streaming
+        "stream_windowed_counts": _q_stream_windowed_counts,
         # star-schema analytics
         "events_sessions": _q_events_sessions,
         "tpch_q5ish": _q_tpch_q5ish,
@@ -497,8 +654,131 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     }
 
 
+_BRUTEFORCE_TOPK_CTE = (
+    "q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS q_emb "
+    "FROM embeddings WHERE vec_id IN (0,1,2)), "
+    "scored AS (SELECT q.query_id, e.vec_id, "
+    "list_cosine_similarity(e.embedding::DOUBLE[], q.q_emb) AS cosine "
+    "FROM embeddings e CROSS JOIN q WHERE e.vec_id != q.query_id), "
+    "ranked AS (SELECT query_id, vec_id, "
+    "row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rank "
+    "FROM scored)"
+)
+
+
+def _recall_oracle(artifact: str) -> str:
+    """DuckDB recomputes exact top-5 independently, then the recall
+    arithmetic against the persisted approximate result."""
+    return (
+        f"WITH {_BRUTEFORCE_TOPK_CTE}, "
+        f"approx AS (SELECT query_id, vec_id FROM read_parquet('{_opath(artifact)}')), "
+        "hits AS (SELECT r.query_id, count(*) AS n FROM ranked r "
+        "JOIN approx a ON r.query_id = a.query_id AND r.vec_id = a.vec_id "
+        "WHERE r.rank <= 5 GROUP BY r.query_id) "
+        "SELECT qq.query_id, COALESCE(hits.n, 0)::BIGINT AS n_hits, "
+        "5::BIGINT AS topk "
+        "FROM (SELECT DISTINCT query_id FROM ranked) qq "
+        "LEFT JOIN hits ON qq.query_id = hits.query_id ORDER BY qq.query_id"
+    )
+
+
 def oracle_sql() -> dict[str, str]:
     return {
+        "token_range_scan": (
+            "SELECT count(*)::BIGINT AS n_docs_in_range "
+            f"FROM read_parquet('{_opath('token_range_input')}') "
+            "WHERE len(list_filter(tokens, t -> t >= 1000000 AND t <= 1000511)) > 0"
+        ),
+        "codec_histogram": (
+            "SELECT codec, count(*)::BIGINT AS n_blocks, "
+            "SUM(n_docs)::BIGINT AS n_docs, SUM(n_values)::BIGINT AS n_values, "
+            "SUM(raw_bytes)::BIGINT AS raw_bytes, SUM(enc_bytes)::BIGINT AS enc_bytes "
+            f"FROM read_parquet('{_opath('blockmeta')}') "
+            "GROUP BY codec ORDER BY codec"
+        ),
+        "distinct_codecs": (
+            f"SELECT DISTINCT codec FROM read_parquet('{_opath('blockmeta_dc')}') "
+            "ORDER BY codec"
+        ),
+        "baseline_decodable": (
+            "SELECT bool_and(codec IN ('plain','constant','for')) AS baseline_only "
+            f"FROM read_parquet('{_opath('blockmeta_bd')}')"
+        ),
+        "ratio_by_source": (
+            "WITH enc AS (SELECT source, SUM(enc_bytes)::BIGINT AS enc_bytes "
+            f"FROM read_parquet('{_opath('blockmeta_rs')}') GROUP BY source), "
+            "raw AS (SELECT source, "
+            "(4 * SUM(len(string_split(text, ' '))))::BIGINT AS raw_bytes "
+            "FROM documents GROUP BY source) "
+            "SELECT raw.source AS source, raw.raw_bytes, enc.enc_bytes "
+            "FROM raw JOIN enc USING (source) ORDER BY source"
+        ),
+        "best_block_per_source": (
+            "SELECT source, block_id, codec FROM ("
+            "SELECT source, block_id, codec, "
+            "row_number() OVER (PARTITION BY source "
+            "ORDER BY (enc_bytes * 1.0 / raw_bytes) ASC, block_id ASC) AS rn "
+            f"FROM read_parquet('{_opath('blockmeta_bb')}')) WHERE rn = 1 "
+            "ORDER BY source"
+        ),
+        "synthetic_roundtrip": (
+            "SELECT count(*)::BIGINT AS n_docs, 0::BIGINT AS n_mismatch "
+            f"FROM read_parquet('{_opath('synthetic_docids')}')"
+        ),
+        "skew_report": (
+            "SELECT source, count(*)::BIGINT AS n_docs, "
+            "SUM(n_tok)::BIGINT AS n_tokens "
+            f"FROM read_parquet('{_opath('skew_tokens')}') "
+            "GROUP BY source ORDER BY n_tokens DESC"
+        ),
+        "minhash_lsh_pairs": (
+            f"WITH b AS (SELECT * FROM read_parquet('{_opath('lsh_bands')}')), "
+            "sz AS (SELECT band, band_hash, count(*) AS k FROM b GROUP BY 1, 2), "
+            "keep AS (SELECT band, band_hash FROM sz WHERE k <= 256), "
+            "pairs AS (SELECT DISTINCT a.doc_id AS da, c.doc_id AS db "
+            "FROM b a JOIN keep k2 ON a.band = k2.band AND a.band_hash = k2.band_hash "
+            "JOIN b c ON a.band = c.band AND a.band_hash = c.band_hash "
+            "AND a.doc_id < c.doc_id) "
+            "SELECT (SELECT SUM(k * (k - 1) / 2) FROM sz)::BIGINT AS n_candidate_slots, "
+            "(SELECT count(*) FROM sz)::BIGINT AS n_buckets, "
+            "(SELECT max(k) FROM sz)::BIGINT AS max_bucket, "
+            "(SELECT count(*) FROM pairs)::BIGINT AS n_distinct_pairs"
+        ),
+        "simhash_sample": (
+            "WITH hw AS (SELECT doc_id, unnest(hashes) AS h "
+            f"FROM read_parquet('{_opath('simhash_hashes')}')), "
+            "bits AS (SELECT unnest(range(64)) AS b), "
+            "votes AS (SELECT doc_id, b, "
+            "SUM(CASE WHEN (CASE WHEN b = 63 THEN h < 0 "
+            "ELSE (h & (1::BIGINT << CAST(b AS INT))) != 0 END) "
+            "THEN 1 ELSE -1 END) AS v "
+            "FROM hw CROSS JOIN bits GROUP BY doc_id, b) "
+            "SELECT doc_id, SUM(CASE WHEN v > 0 THEN "
+            "CASE WHEN b = 63 THEN -9223372036854775807 - 1 "
+            "ELSE (1::BIGINT << CAST(b AS INT)) END ELSE 0 END)::BIGINT AS simhash "
+            "FROM votes GROUP BY doc_id ORDER BY doc_id"
+        ),
+        "ann_lsh": (
+            f"WITH {_BRUTEFORCE_TOPK_CTE} "
+            "SELECT query_id, vec_id, rank FROM ranked WHERE rank <= 5 "
+            "ORDER BY query_id, rank"
+        ),
+        "ann_ivf_recall": _recall_oracle("ivf_pruned"),
+        "ann_lsh_recall": _recall_oracle("lsh_pruned"),
+        "stream_windowed_counts": (
+            "WITH wm AS (SELECT epoch_ms(max(ts)) - 1800000 AS w FROM events), "
+            "agg AS (SELECT date_trunc('hour', ts) AS window_start, event_type, "
+            "count(*)::BIGINT AS n_events FROM events GROUP BY 1, 2) "
+            "SELECT window_start, event_type, n_events FROM agg, wm "
+            "WHERE epoch_ms(window_start) + 3600000 <= wm.w "
+            "ORDER BY window_start, event_type"
+        ),
+        "multimodal_features": (
+            "SELECT kind, count(*)::BIGINT AS n_items, "
+            "SUM(n_bytes)::BIGINT AS total_bytes "
+            f"FROM read_parquet('{_opath('mm_features')}') "
+            "GROUP BY kind ORDER BY kind"
+        ),
         "roundtrip_gate": (
             "SELECT count(*)::BIGINT AS n_docs, CAST(0 AS BIGINT) AS n_mismatch "
             "FROM documents"
@@ -579,9 +859,13 @@ def oracle_sql() -> dict[str, str]:
             "ORDER BY user_id, sid"
         ),
         "ngram_jaccard": (
+            # sub-k-word docs fall back to one whole-text shingle, exactly
+            # like Spark's _shingles (ADVICE: the two sides previously
+            # disagreed on docs shorter than 3 words)
             "WITH sh AS (SELECT doc_id, list_distinct("
-            "[array_to_string(words[i:i+2], ' ') "
-            "for i in range(1, greatest(len(words)-2, 0)+1)]) AS s "
+            "CASE WHEN len(words) < 3 THEN [array_to_string(words, ' ')] "
+            "ELSE [array_to_string(words[i:i+2], ' ') "
+            "for i in range(1, greatest(len(words)-2, 0)+1)] END) AS s "
             "FROM (SELECT doc_id, string_split(text, ' ') AS words "
             "FROM documents WHERE doc_id < 30)) "
             "SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, "
