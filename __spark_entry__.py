@@ -404,13 +404,14 @@ def _q_stream_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal plumbing: synth media → Arrow-batched feature extract;
+    """Multimodal path over REAL containers: deterministic BMP/WAV
+    payloads → content-sniffed decode → Arrow-batched feature extract;
     per-item features persisted, per-kind aggregation cross-checked in
     DuckDB over the same parquet."""
-    from archive_spark.multimodal import extract_features, synth_media_table
+    from archive_spark.multimodal import extract_features, real_media_table
 
-    media = synth_media_table(spark, 120, seed=42)
-    feats = extract_features(media, decoder="fake")
+    media = real_media_table(spark, 120, seed=42)
+    feats = extract_features(media, decoder="real")
     path = _persist(feats.select("media_id", "kind", "n_bytes"), "mm_features", sf_dir)
     return (
         spark.read.parquet(path)

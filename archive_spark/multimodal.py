@@ -2,17 +2,20 @@
 
 Images/audio/video ride through the pipeline as ``binary`` columns with
 a typed metadata struct, processed by Arrow-batched ``mapInArrow`` /
-``mapInPandas`` operators.  The *container decode* step (JPEG/PNG/WAV
-codecs) is STUBBED — the media libraries are not in this environment —
-behind ``decoder="fake"`` (a deterministic, seed-stable pixel/sample
-generator keyed by content hash) or ``decoder="real"`` which raises
-``NotImplementedError``.  Everything Spark-side — schemas, batch
-iteration, partitioning, feature extraction over decoded arrays — is
-real and tested; swapping in a real decoder is a one-function change.
+``mapInPandas`` operators.  Two decoders:
 
-This mirrors how the engine's token codecs treat payloads: bytes +
-self-describing metadata, dispatch on content not filename
-(archive.go:301-312).
+- ``decoder="real"``: actual container parsing for one real format per
+  modality — BMP (24-bit BI_RGB) images and WAV (RIFF PCM16) audio —
+  implemented in pure stdlib ``struct`` + numpy (no PIL/libav in this
+  environment).  Dispatch is content-based (magic bytes), mirroring the
+  reference's magicnumber sniffing (archive.go:301-312).  Compressed
+  formats (JPEG/PNG/MP3) would slot into the same dispatch but need
+  codec libraries, so they raise ``MediaDecodeError`` here.
+- ``decoder="fake"``: deterministic interpretation of raw synthetic
+  payloads, for format-free pipeline tests.
+
+Everything Spark-side — schemas, batch iteration, partitioning, feature
+extraction over decoded arrays — is shared by both paths.
 """
 
 from __future__ import annotations
@@ -102,18 +105,173 @@ def synth_media_table(
     return spark.range(0, n, numPartitions=partitions).mapInArrow(gen, MEDIA_SCHEMA)
 
 
-def _decode_payload(payload: bytes, fmt: str, decoder: str) -> np.ndarray:
-    """Container decode — the stubbed step.
+def real_media_table(
+    spark: SparkSession, n: int, seed: int = 42, partitions: int = 4
+) -> DataFrame:
+    """Media table whose payloads are REAL containers (BMP images, WAV
+    audio) built by the stdlib encoders below — the ingest shape a
+    production pipeline sees, exercising ``decoder="real"`` end-to-end."""
 
-    decoder="real": where PIL/libav decode would go → NotImplementedError.
+    def gen(it: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in it:
+            ids = batch.column(0).to_numpy()
+            rows = {
+                "media_id": [], "kind": [], "payload": [],
+                "format": [], "width": [], "height": [],
+                "n_channels": [], "sample_rate": [], "n_frames": [],
+            }
+            for i in ids:
+                rng = np.random.default_rng(seed * 1_000_003 + int(i))
+                if int(i) % 2 == 0:
+                    w, h = int(rng.integers(8, 40)), int(rng.integers(8, 40))
+                    rgb = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+                    payload = encode_bmp(rgb)
+                    kind, fmt = "image", "bmp"
+                    c, sr, nf = 3, 0, 1
+                else:
+                    nf = int(rng.integers(500, 4_000))
+                    samples = rng.integers(-32768, 32768, nf).astype(np.int16)
+                    payload = encode_wav(samples, 16_000)
+                    kind, fmt = "audio", "wav"
+                    w = h = 0
+                    c, sr = 1, 16_000
+                rows["media_id"].append(f"r-{int(i):08d}")
+                rows["kind"].append(kind)
+                rows["payload"].append(payload)
+                rows["format"].append(fmt)
+                rows["width"].append(w)
+                rows["height"].append(h)
+                rows["n_channels"].append(c)
+                rows["sample_rate"].append(sr)
+                rows["n_frames"].append(nf)
+            meta = pa.StructArray.from_arrays(
+                [
+                    pa.array(rows["format"], pa.string()),
+                    pa.array(rows["width"], pa.int32()),
+                    pa.array(rows["height"], pa.int32()),
+                    pa.array(rows["n_channels"], pa.int32()),
+                    pa.array(rows["sample_rate"], pa.int32()),
+                    pa.array(rows["n_frames"], pa.int32()),
+                ],
+                names=["format", "width", "height", "n_channels", "sample_rate", "n_frames"],
+            )
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(rows["media_id"], pa.string()),
+                    pa.array(rows["kind"], pa.string()),
+                    pa.array(rows["payload"], pa.binary()),
+                    meta,
+                ],
+                names=["media_id", "kind", "payload", "meta"],
+            )
+
+    return spark.range(0, n, numPartitions=partitions).mapInArrow(gen, MEDIA_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# real container codecs — stdlib struct + numpy only (no PIL/libav).
+# One real format per modality (VERDICT #4): BMP (24-bit BI_RGB) for
+# images, WAV (RIFF PCM16) for audio.  Dispatch is content-based (magic
+# bytes), mirroring the engine's self-describing payloads and the
+# reference's magicnumber sniffing (archive.go:301-312).
+# ---------------------------------------------------------------------------
+
+class MediaDecodeError(ValueError):
+    """Unsupported or corrupt media container."""
+
+
+def encode_bmp(rgb: np.ndarray) -> bytes:
+    """(h, w, 3) uint8 RGB → 24-bit uncompressed BMP (BI_RGB, bottom-up,
+    4-byte-padded rows) — the format every BMP reader accepts."""
+    import struct
+
+    h, w, c = rgb.shape
+    if c != 3:
+        raise MediaDecodeError("encode_bmp expects (h, w, 3) RGB")
+    stride = (w * 3 + 3) & ~3
+    rows = np.zeros((h, stride), dtype=np.uint8)
+    rows[:, : w * 3] = rgb[::-1, :, ::-1].reshape(h, w * 3)  # bottom-up, BGR
+    pixdata = rows.tobytes()
+    header = struct.pack("<2sIHHI", b"BM", 54 + len(pixdata), 0, 0, 54)
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(pixdata), 2835, 2835, 0, 0)
+    return header + info + pixdata
+
+
+def decode_bmp(payload: bytes) -> np.ndarray:
+    """24-bit BI_RGB BMP → (h, w, 3) uint8 RGB (top-down)."""
+    import struct
+
+    if payload[:2] != b"BM":
+        raise MediaDecodeError("not a BMP payload")
+    (data_off,) = struct.unpack_from("<I", payload, 10)
+    hdr_size, w, h = struct.unpack_from("<Iii", payload, 14)
+    planes, bpp, compression = struct.unpack_from("<HHI", payload, 26)
+    if bpp != 24 or compression != 0:
+        raise MediaDecodeError(f"unsupported BMP variant: bpp={bpp} comp={compression}")
+    bottom_up = h > 0
+    h = abs(h)
+    stride = (w * 3 + 3) & ~3
+    rows = np.frombuffer(payload, dtype=np.uint8, count=h * stride, offset=data_off)
+    rows = rows.reshape(h, stride)[:, : w * 3].reshape(h, w, 3)
+    if bottom_up:
+        rows = rows[::-1]
+    return rows[:, :, ::-1].copy()  # BGR → RGB
+
+
+def encode_wav(samples: np.ndarray, sample_rate: int = 16_000) -> bytes:
+    """int16 mono samples → RIFF/WAVE PCM16."""
+    import struct
+
+    data = np.asarray(samples, dtype="<i2").tobytes()
+    fmt = struct.pack("<HHIIHH", 1, 1, sample_rate, sample_rate * 2, 2, 16)
+    return (
+        struct.pack("<4sI4s", b"RIFF", 36 + len(data), b"WAVE")
+        + struct.pack("<4sI", b"fmt ", 16) + fmt
+        + struct.pack("<4sI", b"data", len(data)) + data
+    )
+
+
+def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
+    """RIFF/WAVE PCM16 → (int16 samples flattened across channels,
+    sample_rate).  Walks the chunk list (fmt may not be first)."""
+    import struct
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise MediaDecodeError("not a WAV payload")
+    pos, n = 12, len(payload)
+    rate, bits, fmt_tag = None, None, None
+    data = None
+    while pos + 8 <= n:
+        cid, size = struct.unpack_from("<4sI", payload, pos)
+        body = payload[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            fmt_tag, _ch, rate, _br, _ba, bits = struct.unpack_from("<HHIIHH", body, 0)
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if data is None or rate is None:
+        raise MediaDecodeError("WAV missing fmt/data chunk")
+    if fmt_tag != 1 or bits != 16:
+        raise MediaDecodeError(f"unsupported WAV variant: fmt={fmt_tag} bits={bits}")
+    return np.frombuffer(data, dtype="<i2"), int(rate)
+
+
+def _decode_payload(payload: bytes, fmt: str, decoder: str) -> np.ndarray:
+    """Container decode.
+
+    decoder="real": content-sniffed BMP/WAV parsing (pure numpy/struct —
+    unsupported containers raise ``MediaDecodeError``).
     decoder="fake": deterministic interpretation of the raw bytes (the
-    synthetic payloads ARE raw samples), so the full pipeline is testable.
+    synthetic payloads ARE raw samples), for format-free pipeline tests.
+    Both return flat float64: pixels in [0, 255], audio in [-1, 1).
     """
     if decoder == "real":
-        raise NotImplementedError(
-            "real media decode requires PIL/libav — not available in this "
-            "environment; use decoder='fake'"
-        )
+        if payload[:2] == b"BM":
+            return decode_bmp(payload).astype(np.float64).ravel()
+        if payload[:4] == b"RIFF":
+            samples, _rate = decode_wav(payload)
+            return samples.astype(np.float64) / 32768.0
+        raise MediaDecodeError(f"unrecognized container (fmt tag: {fmt!r})")
     if fmt == "fake_pcm16":
         return np.frombuffer(payload, dtype="<i2").astype(np.float64) / 32768.0
     return np.frombuffer(payload, dtype=np.uint8).astype(np.float64)
@@ -131,10 +289,11 @@ def extract_features(media: DataFrame, decoder: str = "fake") -> DataFrame:
             fmt = batch.column("meta").field("format")
             out = {"media_id": [], "kind": [], "n_bytes": [],
                    "mean": [], "std": [], "hist": []}
+            kinds = batch.column("kind")
             for i in range(batch.num_rows):
                 payload = batch.column("payload")[i].as_py()
                 arr = _decode_payload(payload, fmt[i].as_py(), decoder)
-                lo, hi = (-1.0, 1.0) if fmt[i].as_py() == "fake_pcm16" else (0.0, 255.0)
+                lo, hi = (-1.0, 1.0) if kinds[i].as_py() == "audio" else (0.0, 255.0)
                 hist, _ = np.histogram(arr, bins=16, range=(lo, hi))
                 out["media_id"].append(batch.column("media_id")[i].as_py())
                 out["kind"].append(batch.column("kind")[i].as_py())
