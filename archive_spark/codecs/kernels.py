@@ -39,7 +39,7 @@ import numpy as np
 
 from .bitio import bit_width, pack_bits, packed_size, unpack_bits
 
-PLAIN, CONSTANT, FOR, DELTA, RLE, DICT, FSST, DEFLATE = range(8)
+PLAIN, CONSTANT, FOR, DELTA, RLE, DICT, FSST, DEFLATE, PDELTA = range(9)
 
 CODEC_NAMES = {
     PLAIN: "plain",
@@ -50,6 +50,7 @@ CODEC_NAMES = {
     DICT: "dict",
     FSST: "fsst",
     DEFLATE: "deflate",
+    PDELTA: "pdelta",
 }
 CODEC_IDS = {v: k for k, v in CODEC_NAMES.items()}
 
@@ -118,6 +119,88 @@ def _enc_delta(v: np.ndarray) -> bytes:
     shifted = d - np.uint32(dmin)
     width = bit_width(int(shifted.max()))
     return struct.pack("<qqB", first, dmin, width) + pack_bits(shifted, width)
+
+
+def _pdelta_plan(d: np.ndarray) -> tuple[int, int, int]:
+    """(dbase, width, projected_exception_count) for patched delta.
+
+    Frame chosen from a strided sample: dbase = low quantile of the
+    (uint32 wraparound) deltas, width = argmin of packed-bits + exception
+    cost.  The plan need not be optimal — encode is exact regardless —
+    only cheap and close (PFOR-style: Zukowski et al., "Super-Scalar
+    RAM-CPU Cache Compression", the patch trick for outlier-robust
+    frames; here applied to the delta stream where doc-boundary resets
+    are the rare outliers)."""
+    n = d.size
+    s = np.sort(d[:: max(1, n // 65_536)])
+    m = s.size
+    dbase = int(s[m // 100])  # 1st percentile: tolerate below-frame outliers
+    shifted = s - np.uint32(dbase)
+    best_w, best_cost, best_exc = 32, 1 << 62, 0
+    for w in range(0, 33):
+        hi = np.uint64(1) << np.uint64(w)
+        # in-frame sample values: shifted < 2^w (uint32 domain)
+        in_frame = int(np.searchsorted(shifted, hi, side="left")) if w < 32 else m
+        exc_frac = (m - in_frame) / m
+        exc_n = int(exc_frac * n)
+        cost = packed_size(n, w) + exc_n * 7  # ~7B/exception (pos+val packed)
+        if cost < best_cost:
+            best_w, best_cost, best_exc = w, cost, exc_n
+    return dbase, best_w, best_exc
+
+
+def _enc_pdelta(v: np.ndarray) -> bytes:
+    """Patched delta: narrow-frame packed deltas + exception list.
+
+    Wins where plain delta loses its width to rare outlier deltas (e.g.
+    per-doc sorted runs concatenated into one block: small in-run deltas,
+    huge negative resets at doc boundaries)."""
+    first = int(v[0])
+    if v.size == 1:
+        return struct.pack("<qqBI", first, 0, 0, 0)
+    d = _wrap_deltas(v)
+    dbase, width, _ = _pdelta_plan(d)
+    shifted = d - np.uint32(dbase)
+    if width < 32:
+        exc_mask = shifted >= (np.uint32(1) << np.uint32(width)) if width < 32 else np.zeros(d.size, bool)
+        exc_pos = np.flatnonzero(exc_mask).astype(np.int64)
+        if exc_pos.size and int(exc_pos.max()) > np.iinfo(np.int32).max:
+            raise CodecError("pdelta block too large")
+        narrow = np.where(exc_mask, np.uint32(0), shifted)
+    else:
+        exc_pos = np.zeros(0, dtype=np.int64)
+        narrow = shifted
+    pos_blk = encode_simple(exc_pos.astype(np.int32))
+    val_blk = encode_simple(d[exc_pos].view(np.int32) if exc_pos.size else np.zeros(0, np.int32))
+    return (
+        struct.pack("<qqBI", first, dbase, width, exc_pos.size)
+        + struct.pack("<Q", len(pos_blk))
+        + pack_bits(narrow, width)
+        + pos_blk
+        + val_blk
+    )
+
+
+def _dec_pdelta(body: memoryview, n: int) -> np.ndarray:
+    first, dbase, width, n_exc = struct.unpack_from("<qqBI", body)
+    if n == 0:
+        return np.zeros(0, dtype=np.int32)
+    out = np.empty(n, dtype=np.uint32)
+    out[0] = np.uint32(first & 0xFFFFFFFF)
+    if n > 1:
+        (pos_len,) = struct.unpack_from("<Q", body, 21)
+        off = 29
+        packed = packed_size(n - 1, width)
+        d = unpack_bits(body[off : off + packed], n - 1, width).astype(np.uint32, copy=False)
+        d += np.uint32(dbase & 0xFFFFFFFF)
+        off += packed
+        if n_exc:
+            pos = decode(body[off : off + pos_len]).astype(np.int64)
+            vals = decode(body[off + pos_len :])
+            d[pos] = vals.view(np.uint32)
+        np.cumsum(d, out=out[1:])
+        out[1:] += out[0]
+    return out.view(np.int32)
 
 
 def _run_bounds(v: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
@@ -501,6 +584,7 @@ _ENCODERS = {
     DICT: _enc_dict,
     FSST: _enc_fsst_auto,
     DEFLATE: _enc_deflate,
+    PDELTA: _enc_pdelta,
 }
 _DECODERS = {
     PLAIN: _dec_plain,
@@ -511,6 +595,7 @@ _DECODERS = {
     DICT: _dec_dict,
     FSST: _dec_fsst,
     DEFLATE: _dec_deflate,
+    PDELTA: _dec_pdelta,
 }
 
 

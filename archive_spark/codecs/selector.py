@@ -189,6 +189,25 @@ def _fsst_trial(v: np.ndarray, best_other: int) -> int | None:
     return None
 
 
+def _pdelta_trial(v: np.ndarray, stats: ChunkStats, best_other: int) -> int | None:
+    """Patched-delta trial: cheap sampled frame plan (see
+    kernels._pdelta_plan) → projected size.  Gated to chunks where plain
+    delta's frame is blown up by rare outlier deltas (wide delta span);
+    when the span is already narrow, patching can't save enough to pay
+    its exception overhead."""
+    n = v.size
+    if n < FSST_MIN_VALUES:
+        return None
+    if bit_width(stats.d_max - stats.d_min) <= 8:
+        return None
+    d = kernels._wrap_deltas(v)
+    _dbase, width, exc_n = kernels._pdelta_plan(d)
+    projected = HEADER + 29 + packed_size(n - 1, width) + exc_n * 7 + 2 * HEADER
+    if projected < 0.98 * best_other:
+        return projected
+    return None
+
+
 def _deflate_trial(v: np.ndarray, best_other: int) -> int | None:
     """Sampled deflate trial (~5 ms on a 64k sample — cheap relative to a
     block encode).  Deflate is the slow heavyweight, so it must beat the
@@ -217,6 +236,9 @@ def choose(v: np.ndarray, allow_fsst: bool = True) -> tuple[str, int, ChunkStats
     est = estimate_sizes(stats)
     name = min(est, key=lambda k: (est[k], k))
     best = est[name]
+    p = _pdelta_trial(v, stats, best)
+    if p is not None and p < best:
+        name, best = "pdelta", p
     # fsst only makes sense on low-cardinality sequential data (its input is
     # the dict-indexed stream); skip on high-cardinality chunks.
     if allow_fsst and stats.distinct_exact and 1 < stats.n_distinct < stats.n // 4:

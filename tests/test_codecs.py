@@ -211,3 +211,20 @@ def test_truncated_header_rejected():
 def test_out_of_range_values_rejected():
     with pytest.raises(CodecError):
         encode(np.array([2**40], dtype=np.int64), "plain")
+
+
+def test_pdelta_wins_on_boundary_mixed_sorted():
+    """Per-doc ascending runs concatenated into one block: in-run deltas
+    are tiny, doc-boundary deltas are huge negatives — plain delta's
+    frame blows up to 32 bits while patched delta stays narrow (the
+    PFOR patch trick on the delta stream)."""
+    rng = np.random.default_rng(3)
+    docs = [np.cumsum(rng.integers(0, 5, int(rng.integers(16, 400))))
+            for _ in range(400)]
+    v = np.concatenate(docs).astype(np.int32)
+    blk, codec = encode_auto(v)
+    assert codec == "pdelta"
+    np.testing.assert_array_equal(decode(blk), v)
+    assert len(blk) < 0.15 * 4 * v.size  # ~3-4 bits/value + exceptions
+    # and strictly smaller than what unpatched delta produces
+    assert len(blk) < len(encode(v, "delta"))

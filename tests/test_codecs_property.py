@@ -42,7 +42,7 @@ def test_auto_roundtrip_any_input(v):
 @settings(max_examples=80, deadline=None)
 @given(structured)
 def test_every_general_codec_roundtrips(v):
-    for codec in ("plain", "for", "delta", "rle", "dict", "fsst"):
+    for codec in ("plain", "for", "delta", "rle", "dict", "fsst", "pdelta"):
         if v.size == 0 and codec != "plain":
             continue
         np.testing.assert_array_equal(decode(encode(v, codec)), v)
