@@ -1,0 +1,135 @@
+"""Physical-plan shape assertions — the at-scale contracts.
+
+Correctness tests prove the answers; these prove the *plans* stay the
+ones that survive a 100× scale-up: column pruning reaches the parquet
+scan (a listing must not read payload bytes), predicate pushdown reaches
+the scan, filters run before the opaque Python UDF barrier, small dims
+broadcast instead of shuffling, and aggregations keep their map-side
+partial step.  Each assertion failing means a quietly catastrophic plan
+regression that row-count tests would never catch.
+"""
+
+from __future__ import annotations
+
+import io
+from contextlib import redirect_stdout
+
+import pytest
+from pyspark.sql import functions as F
+
+from archive_spark import engine
+from archive_spark.tokengen import token_table
+
+
+def plan_of(df, mode: str = "formatted") -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain(mode)
+    return buf.getvalue()
+
+
+@pytest.fixture(scope="module")
+def encoded_path(spark, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("plans") / "encoded")
+    df = token_table(spark, 2_000, seed=5)
+    engine.encode(df, target_block_values=1 << 14).write.parquet(path)
+    return path
+
+
+def test_listing_scan_prunes_payload(spark, encoded_path):
+    """Listing is metadata-only (zipinfo -1, zip.go:20-50): the parquet
+    ReadSchema must not contain the payload column."""
+    from archive_spark.analytics import listing
+
+    plan = plan_of(listing(spark.read.parquet(encoded_path)))
+    scan = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert scan, plan
+    assert "payload" not in scan[0].replace("lengths_payload", ""), scan[0]
+
+
+def test_codec_histogram_scan_prunes_payload_and_docids(spark, encoded_path):
+    from archive_spark.analytics import codec_histogram
+
+    plan = plan_of(codec_histogram(spark.read.parquet(encoded_path)))
+    scan = [ln for ln in plan.splitlines() if "ReadSchema" in ln][0]
+    assert "payload" not in scan.replace("lengths_payload", "")
+    assert "doc_ids" not in scan
+
+
+def test_targeted_decode_filters_before_python_udf(spark, encoded_path):
+    """The arrays_overlap block-prune must sit below (execute before) the
+    Python mapInArrow barrier — Catalyst can't reorder through an opaque
+    UDF, so this is the one hand-placed optimization (SURVEY §4)."""
+    df = engine.decode(spark.read.parquet(encoded_path), targets=["x"])
+    plan = plan_of(df, "extended")
+    phys = plan[plan.index("== Physical Plan =="):]
+    udf_pos = phys.index("MapInArrow")
+    overlap_pos = phys.index("arrays_overlap")
+    # formatted plans list operators top-down from output to scan: the
+    # filter appearing AFTER the UDF node in text = executed before it
+    assert overlap_pos > udf_pos, phys
+
+
+def test_zone_map_prune_before_decode_udf(spark, encoded_path):
+    df = engine.decode_token_range(spark.read.parquet(encoded_path), 10, 20)
+    plan = plan_of(df, "extended")
+    phys = plan[plan.index("== Physical Plan =="):]
+    udf_pos = phys.index("MapInArrow")
+    # vmin/vmax zone-map filter below the UDF
+    vmin_pos = phys.index("vmin")
+    assert vmin_pos > udf_pos, phys
+
+
+def test_tpch_q6_pushes_predicates_to_scan(spark):
+    import __spark_entry__ as entry_mod
+
+    df = entry_mod.queries()["tpch_q6"](spark, "/root/testdata/sf0.01")
+    plan = plan_of(df)
+    assert "PushedFilters" in plan
+    pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln][0]
+    assert "l_shipdate" in pushed and "l_discount" in pushed, pushed
+    # (codegen ids only appear once AQE finalizes the plan, so they are
+    # not assertable pre-execution; PushedFilters is the scan contract)
+
+
+def test_small_dims_broadcast_not_shuffle(spark):
+    import __spark_entry__ as entry_mod
+
+    df = entry_mod.queries()["cust_order_join"](spark, "/root/testdata/sf0.01")
+    plan = plan_of(df)
+    assert "BroadcastHashJoin" in plan
+    # orders (the big fact side) must not be exchanged for the dim joins:
+    # no SortMergeJoin anywhere in this query
+    assert "SortMergeJoin" not in plan
+
+
+def test_lsh_candidate_count_has_partial_aggregation(spark):
+    """The bucket count must map-side combine (two HashAggregate levels)
+    — at 100 TB the partial step is what keeps the shuffle linear in
+    #buckets, not #rows."""
+    from archive_spark.pipeline_ops import lsh_candidate_count, minhash_band_table
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    plan = plan_of(lsh_candidate_count(minhash_band_table(docs)))
+    assert plan.count("HashAggregate") >= 4, plan  # partial+final × 2 levels
+
+
+def test_ivf_ann_scans_corpus_once(spark):
+    """VERDICT round 1: ivf_ann ran the assignment scan twice (collect
+    for query cells + join).  The plan must now contain exactly one
+    MapInArrow assignment over the embeddings scan."""
+    from archive_spark.pipeline_ops import ivf_ann
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    # simple mode: one tree, each operator printed exactly once
+    plan = plan_of(ivf_ann(emb, [0, 1], topk=3, n_centroids=4, n_probe=2), "simple")
+    assert plan.count("MapInArrow") == 1, plan
+    assert plan.count("Scan parquet") == 1, plan
+
+
+def test_encode_plan_has_no_shuffle_unsalted(spark):
+    """Unsalted encode is embarrassingly parallel: scan → MapInArrow,
+    zero Exchange nodes (the property that makes N→4N executors linear)."""
+    df = token_table(spark, 1_000, seed=5)
+    plan = plan_of(engine.encode(df))
+    assert "Exchange" not in plan, plan
