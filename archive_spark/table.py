@@ -1,0 +1,182 @@
+"""Snapshot tables: Iceberg-style atomic commits over plain parquet.
+
+SURVEY §7.4 promised the writer "behind a thin interface"; this is it.
+No Iceberg catalog exists in this sandbox, so the snapshot/commit story
+is built from the two primitives the reference uses: exclusive-create
+(``O_EXCL``, rezip/rezip.go:23 — a commit either fully exists or not)
+and content-addressed immutable data files (archive.go:481-497's cache
+keyed by content identity).
+
+Layout::
+
+    table_dir/
+      data/<snapshot_id>/part-*.parquet   # immutable once committed
+      _manifests/snapshot-<id>.json       # file list + lineage, O_EXCL
+      _current                            # pointer, atomic rename publish
+
+Semantics:
+- ``commit`` writes data files to a staging dir named by the snapshot
+  id, then publishes the manifest with ``O_EXCL`` — two concurrent
+  committers race on the create and exactly one wins (``CommitConflict``
+  for the loser, who retries on a fresh id).
+- ``append`` mode records the parent snapshot's files + the new ones;
+  readers of an old snapshot are never disturbed (time travel).
+- A crash before manifest publish leaves an orphaned data dir and no
+  manifest — invisible to every reader, cleaned by ``vacuum``.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+class CommitConflict(RuntimeError):
+    """Another committer published this snapshot id first."""
+
+
+@dataclass
+class Snapshot:
+    snapshot_id: str
+    parent_id: str | None
+    ts_us: int
+    mode: str              # "overwrite" | "append"
+    files: list[str]       # table-relative parquet file paths
+    schema: str            # DDL string of the committed DataFrame
+    n_files: int
+
+
+def _manifest_dir(table_dir: str) -> str:
+    return os.path.join(table_dir, "_manifests")
+
+
+def _current_path(table_dir: str) -> str:
+    return os.path.join(table_dir, "_current")
+
+
+def _data_files(table_dir: str, snap_data_dir: str) -> list[str]:
+    out = []
+    for root, _, files in os.walk(snap_data_dir):
+        for f in sorted(files):
+            if f.endswith(".parquet") and not f.startswith((".", "_")):
+                out.append(os.path.relpath(os.path.join(root, f), table_dir))
+    return out
+
+
+def current_snapshot_id(table_dir: str) -> str | None:
+    try:
+        with open(_current_path(table_dir)) as f:
+            return f.read().strip() or None
+    except FileNotFoundError:
+        return None
+
+
+def read_manifest(table_dir: str, snapshot_id: str) -> Snapshot:
+    path = os.path.join(_manifest_dir(table_dir), f"snapshot-{snapshot_id}.json")
+    with open(path) as f:
+        d = json.load(f)
+    return Snapshot(**d)
+
+
+def snapshots(table_dir: str) -> list[Snapshot]:
+    """All committed snapshots, oldest first."""
+    d = _manifest_dir(table_dir)
+    if not os.path.isdir(d):
+        return []
+    out = []
+    for f in sorted(os.listdir(d)):
+        if f.startswith("snapshot-") and f.endswith(".json"):
+            out.append(read_manifest(table_dir, f[len("snapshot-"):-len(".json")]))
+    out.sort(key=lambda s: s.ts_us)
+    return out
+
+
+def commit(
+    df: DataFrame,
+    table_dir: str,
+    mode: str = "overwrite",
+    snapshot_id: str | None = None,
+    parquet_codec: str = "snappy",
+) -> str:
+    """Write ``df`` as a new snapshot and publish it atomically.
+
+    Returns the snapshot id.  ``mode="append"`` keeps the parent
+    snapshot's files visible alongside the new ones; ``"overwrite"``
+    starts the file list fresh (old snapshots stay readable either way).
+    """
+    if mode not in ("overwrite", "append"):
+        raise ValueError(f"unknown commit mode: {mode}")
+    snapshot_id = snapshot_id or uuid.uuid4().hex[:16]
+    snap_data = os.path.join(table_dir, "data", snapshot_id)
+    os.makedirs(_manifest_dir(table_dir), exist_ok=True)
+
+    df.write.mode("errorifexists").option("compression", parquet_codec).parquet(snap_data)
+
+    parent = current_snapshot_id(table_dir)
+    files = _data_files(table_dir, snap_data)
+    if mode == "append" and parent is not None:
+        files = read_manifest(table_dir, parent).files + files
+    manifest = Snapshot(
+        snapshot_id=snapshot_id,
+        parent_id=parent,
+        ts_us=int(time.time() * 1_000_000),
+        mode=mode,
+        files=files,
+        schema=df.schema.simpleString(),
+        n_files=len(files),
+    )
+    mpath = os.path.join(_manifest_dir(table_dir), f"snapshot-{snapshot_id}.json")
+    try:
+        # O_EXCL publish: the commit exists iff this create succeeded
+        # (reference: rezip.Compress O_EXCL output, rezip/rezip.go:23)
+        fd = os.open(mpath, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+    except FileExistsError as e:
+        raise CommitConflict(f"snapshot {snapshot_id} already committed") from e
+    with os.fdopen(fd, "w") as f:
+        json.dump(manifest.__dict__, f)
+        f.flush()
+        os.fsync(f.fileno())
+
+    # move the current pointer (atomic rename; losing a race here is
+    # benign — both snapshots are committed, last rename wins)
+    tmp = _current_path(table_dir) + f".tmp-{uuid.uuid4().hex[:8]}"
+    with open(tmp, "w") as f:
+        f.write(snapshot_id)
+    os.rename(tmp, _current_path(table_dir))
+    return snapshot_id
+
+
+def read(
+    spark: SparkSession, table_dir: str, snapshot_id: str | None = None
+) -> DataFrame:
+    """Read a snapshot (current by default; pass an id to time-travel)."""
+    snapshot_id = snapshot_id or current_snapshot_id(table_dir)
+    if snapshot_id is None:
+        raise FileNotFoundError(f"{table_dir}: no committed snapshot")
+    manifest = read_manifest(table_dir, snapshot_id)
+    paths = [os.path.join(table_dir, f) for f in manifest.files]
+    return spark.read.parquet(*paths)
+
+
+def vacuum(table_dir: str) -> list[str]:
+    """Delete data dirs not referenced by any committed manifest (crash
+    orphans from failed commits).  Returns the removed dirs."""
+    import shutil
+
+    referenced: set[str] = set()
+    for s in snapshots(table_dir):
+        for f in s.files:
+            referenced.add(f.split(os.sep)[1] if f.startswith("data") else "")
+    data_root = os.path.join(table_dir, "data")
+    removed = []
+    if os.path.isdir(data_root):
+        for d in os.listdir(data_root):
+            if d not in referenced:
+                shutil.rmtree(os.path.join(data_root, d))
+                removed.append(d)
+    return removed

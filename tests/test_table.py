@@ -1,0 +1,78 @@
+"""Snapshot-table tests: atomic commit, time travel, append lineage,
+crash orphans invisible + vacuumed, commit conflicts surfaced."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from archive_spark import engine, table
+from archive_spark.tokengen import token_table
+
+
+@pytest.fixture()
+def tokens(spark):
+    return token_table(spark, 500, seed=9)
+
+
+def test_commit_read_roundtrip(spark, tokens, tmp_path):
+    t = str(tmp_path / "t")
+    sid = table.commit(tokens, t)
+    got = table.read(spark, t)
+    assert got.count() == 500
+    assert table.current_snapshot_id(t) == sid
+    rep = engine.roundtrip_report(tokens, got.withColumnRenamed("tokens", "tokens_x")
+                                  .withColumnRenamed("tokens_x", "tokens")).collect()[0]
+    assert rep.n_mismatch == 0
+
+
+def test_append_and_time_travel(spark, tokens, tmp_path):
+    t = str(tmp_path / "t")
+    s1 = table.commit(tokens.filter(F.col("n_tok") >= 0).limit(100), t)
+    s2 = table.commit(tokens.limit(50), t, mode="append")
+    assert table.read(spark, t, s1).count() == 100     # time travel unchanged
+    assert table.read(spark, t, s2).count() == 150     # append sees both
+    assert table.read(spark, t).count() == 150         # current == s2
+    snaps = table.snapshots(t)
+    assert [s.snapshot_id for s in snaps] == [s1, s2]
+    assert snaps[1].parent_id == s1
+
+
+def test_overwrite_keeps_old_snapshot_readable(spark, tokens, tmp_path):
+    t = str(tmp_path / "t")
+    s1 = table.commit(tokens.limit(100), t)
+    s2 = table.commit(tokens.limit(10), t, mode="overwrite")
+    assert table.read(spark, t).count() == 10
+    assert table.read(spark, t, s1).count() == 100
+
+
+def test_commit_conflict_on_same_id(spark, tokens, tmp_path):
+    t = str(tmp_path / "t")
+    table.commit(tokens.limit(10), t, snapshot_id="fixed")
+    with pytest.raises(Exception):  # data dir errorifexists or manifest O_EXCL
+        table.commit(tokens.limit(10), t, snapshot_id="fixed")
+
+
+def test_crash_orphan_invisible_and_vacuumed(spark, tokens, tmp_path):
+    t = str(tmp_path / "t")
+    sid = table.commit(tokens.limit(20), t)
+    # simulate a crash: data written, manifest never published
+    orphan = os.path.join(t, "data", "deadbeef")
+    tokens.limit(5).write.parquet(orphan)
+    assert table.read(spark, t).count() == 20  # reader never sees it
+    removed = table.vacuum(t)
+    assert removed == ["deadbeef"]
+    assert not os.path.exists(orphan)
+    assert table.read(spark, t).count() == 20  # committed data untouched
+
+
+def test_encoded_table_through_snapshots(spark, tokens, tmp_path):
+    """The engine's encoded blocks ride the same snapshot interface."""
+    t = str(tmp_path / "enc")
+    enc = engine.encode(tokens, target_block_values=1 << 14)
+    table.commit(enc, t)
+    decoded = engine.decode(table.read(spark, t))
+    rep = engine.roundtrip_report(tokens, decoded).collect()[0]
+    assert rep.n_mismatch == 0 and rep.n_decoded == 500
