@@ -153,6 +153,7 @@ def encode_job(
     fail_on_shard: int | None = None,  # test hook: simulate a crash
     max_concurrency: int = 4,
     skip_staging: bool = False,  # input dir already laid out as shard=K
+    publish_snapshot: bool = False,  # atomic whole-job commit via table.py
 ) -> EncodeJobResult:
     """Stage → encode-per-shard → publish, resumable at shard granularity.
 
@@ -289,6 +290,25 @@ def encode_job(
             for ri, ro in pool.map(run_shard, todo):
                 bytes_in += ri
                 bytes_out += ro
+
+    if publish_snapshot:
+        # per-shard ledger rows give resume; this gives atomicity for the
+        # job as a whole — readers going through table.read only ever see
+        # fully completed jobs (O_EXCL manifest, table.py)
+        from . import table as snap_table
+
+        files = []
+        for root, _, fs in os.walk(data_dir):
+            for f in sorted(fs):
+                if f.endswith(".parquet") and not f.startswith((".", "_")):
+                    files.append(os.path.relpath(os.path.join(root, f), out_dir))
+        try:
+            snap_table.commit_existing(
+                out_dir, files, schema=engine.ENCODED_SCHEMA,
+                snapshot_id=f"{snapshot_id}-{n_shards}",
+            )
+        except snap_table.CommitConflict:
+            pass  # idempotent rerun: this exact job already published
 
     return EncodeJobResult(
         snapshot_id=snapshot_id,

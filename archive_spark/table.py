@@ -115,25 +115,48 @@ def commit(
     snap_data = os.path.join(table_dir, "data", snapshot_id)
     os.makedirs(_manifest_dir(table_dir), exist_ok=True)
 
+    # O_EXCL publish happens in commit_existing (reference:
+    # rezip.Compress O_EXCL output, rezip/rezip.go:23); the current
+    # pointer moves by atomic rename — losing a pointer race is benign,
+    # both snapshots are committed and the last rename wins.
     df.write.mode("errorifexists").option("compression", parquet_codec).parquet(snap_data)
+    return commit_existing(
+        table_dir,
+        _data_files(table_dir, snap_data),
+        schema=df.schema.simpleString(),
+        mode=mode,
+        snapshot_id=snapshot_id,
+    )
 
+
+def commit_existing(
+    table_dir: str,
+    files: list[str],
+    schema: str,
+    mode: str = "overwrite",
+    snapshot_id: str | None = None,
+) -> str:
+    """Publish a manifest over data files that already exist under
+    ``table_dir`` (e.g. shard dirs written by a resumable job) — the
+    atomic "this whole job committed" marker on top of per-shard
+    checkpoints.  Same O_EXCL semantics as ``commit``."""
+    snapshot_id = snapshot_id or uuid.uuid4().hex[:16]
+    os.makedirs(_manifest_dir(table_dir), exist_ok=True)
     parent = current_snapshot_id(table_dir)
-    files = _data_files(table_dir, snap_data)
+    all_files = list(files)
     if mode == "append" and parent is not None:
-        files = read_manifest(table_dir, parent).files + files
+        all_files = read_manifest(table_dir, parent).files + all_files
     manifest = Snapshot(
         snapshot_id=snapshot_id,
         parent_id=parent,
         ts_us=int(time.time() * 1_000_000),
         mode=mode,
-        files=files,
-        schema=df.schema.simpleString(),
-        n_files=len(files),
+        files=all_files,
+        schema=schema,
+        n_files=len(all_files),
     )
     mpath = os.path.join(_manifest_dir(table_dir), f"snapshot-{snapshot_id}.json")
     try:
-        # O_EXCL publish: the commit exists iff this create succeeded
-        # (reference: rezip.Compress O_EXCL output, rezip/rezip.go:23)
         fd = os.open(mpath, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
     except FileExistsError as e:
         raise CommitConflict(f"snapshot {snapshot_id} already committed") from e
@@ -141,9 +164,6 @@ def commit(
         json.dump(manifest.__dict__, f)
         f.flush()
         os.fsync(f.fileno())
-
-    # move the current pointer (atomic rename; losing a race here is
-    # benign — both snapshots are committed, last rename wins)
     tmp = _current_path(table_dir) + f".tmp-{uuid.uuid4().hex[:8]}"
     with open(tmp, "w") as f:
         f.write(snapshot_id)

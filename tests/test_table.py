@@ -76,3 +76,25 @@ def test_encoded_table_through_snapshots(spark, tokens, tmp_path):
     decoded = engine.decode(table.read(spark, t))
     rep = engine.roundtrip_report(tokens, decoded).collect()[0]
     assert rep.n_mismatch == 0 and rep.n_decoded == 500
+
+
+def test_encode_job_publishes_snapshot(spark, tokens, tmp_path):
+    """publish_snapshot gives the resumable job an atomic whole-job
+    commit: table.read sees only completed jobs, and the rerun is
+    idempotent."""
+    from archive_spark import checkpoint
+
+    out = str(tmp_path / "job")
+    checkpoint.encode_job(
+        spark, tokens, out, "snapT", n_shards=2, publish_snapshot=True,
+        target_block_values=1 << 14,
+    )
+    got = table.read(spark, out)
+    rep = engine.roundtrip_report(tokens, engine.decode(got)).collect()[0]
+    assert rep.n_mismatch == 0 and rep.n_decoded == 500
+    # full-skip rerun republished idempotently (no CommitConflict leak)
+    checkpoint.encode_job(
+        spark, tokens, out, "snapT", n_shards=2, publish_snapshot=True,
+        target_block_values=1 << 14,
+    )
+    assert len(table.snapshots(out)) == 1
