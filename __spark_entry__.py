@@ -263,6 +263,35 @@ def _q_dedup_exact_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_dedup_groups(_docs(spark, sf_dir))
 
 
+def _q_dedup_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (exact on a bounded subset; the
+    LSH-bucketed variant is the 100 TB path, pytest-covered)."""
+    from archive_spark.pipeline_ops import embedding_neardup_pairs
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").filter(
+        F.col("vec_id") < 300
+    )
+    return embedding_neardup_pairs(emb, threshold=0.35).select("vec_a", "vec_b")
+
+
+def _q_lang_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-marker language ID over documents, aggregated per
+    detected language (synthetic corpus shares one English-ish vocab, so
+    the detector's discrimination is pytest-covered on real sentences;
+    this query oracles the scoring arithmetic)."""
+    from archive_spark.pipeline_ops import detect_language
+
+    out = detect_language(_docs(spark, sf_dir))
+    return (
+        out.groupBy("detected_lang")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("marker_hits").cast("bigint").alias("total_hits"),
+        )
+        .orderBy("detected_lang")
+    )
+
+
 def _q_token_count_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
     return (
@@ -627,6 +656,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # training-pipeline ops
         "dedup_prefix_groups": _q_dedup_prefix_groups,
         "dedup_exact_groups": _q_dedup_exact_groups,
+        "dedup_embedding_neardup": _q_dedup_embedding_neardup,
+        "lang_detect": _q_lang_detect,
         "token_count_by_source": _q_token_count_by_source,
         "lang_quality": _q_lang_quality,
         "minhash_lsh_pairs": _q_minhash_lsh_pairs,
@@ -683,8 +714,44 @@ def _recall_oracle(artifact: str) -> str:
     )
 
 
+def _lang_detect_oracle() -> str:
+    """Replicates detect_language's scoring + first-in-alpha-order-wins
+    argmax in DuckDB, generated from the same marker sets."""
+    from archive_spark.pipeline_ops import LANG_MARKERS
+
+    langs = sorted(LANG_MARKERS)
+    score_cols = ", ".join(
+        "len(list_filter(words, w -> w IN ("
+        + ", ".join(repr(m) for m in LANG_MARKERS[lang])
+        + f"))) AS {lang}"
+        for lang in langs
+    )
+    g = "greatest(" + ", ".join(langs) + ")"
+    case = f"CASE WHEN {g} = 0 THEN 'und' " + " ".join(
+        f"WHEN {lang} = {g} THEN '{lang}'" for lang in langs[:-1]
+    ) + f" ELSE '{langs[-1]}' END"
+    return (
+        f"WITH s AS (SELECT {score_cols} FROM (SELECT "
+        "list_transform(string_split(text, ' '), w -> lower(w)) AS words "
+        "FROM documents)), "
+        f"d AS (SELECT {case} AS detected_lang, {g} AS hits FROM s) "
+        "SELECT detected_lang, count(*)::BIGINT AS n_docs, "
+        "SUM(hits)::BIGINT AS total_hits FROM d "
+        "GROUP BY detected_lang ORDER BY detected_lang"
+    )
+
+
 def oracle_sql() -> dict[str, str]:
     return {
+        "dedup_embedding_neardup": (
+            "WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v "
+            "FROM embeddings WHERE vec_id < 300) "
+            "SELECT a.vec_id AS vec_a, b.vec_id AS vec_b "
+            "FROM e a JOIN e b ON a.vec_id < b.vec_id "
+            "WHERE list_cosine_similarity(a.v, b.v) >= 0.35 "
+            "ORDER BY vec_a, vec_b"
+        ),
+        "lang_detect": _lang_detect_oracle(),
         "token_range_scan": (
             "SELECT count(*)::BIGINT AS n_docs_in_range "
             f"FROM read_parquet('{_opath('token_range_input')}') "

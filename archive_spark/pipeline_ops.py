@@ -501,6 +501,102 @@ def lsh_bucketed_ann(
     )
 
 
+def embedding_neardup_pairs(
+    emb: DataFrame, threshold: float = 0.9, n_planes: int = 0
+) -> DataFrame:
+    """Near-duplicate pairs by embedding cosine: (vec_a, vec_b) with
+    cosine >= threshold.
+
+    ``n_planes=0`` — exact all-pairs (self-join a<b).  Quadratic: only
+    for pre-filtered subsets / final verify.
+    ``n_planes>0`` — scale path: hyperplane-LSH bucket the vectors and
+    join only within buckets (same family as ``lsh_bucketed_ann``);
+    candidates then exact-verified against the threshold.  Recall < 1
+    by construction, traded for a join linear in bucket sizes."""
+    e = emb.select("vec_id", "embedding")
+    if n_planes > 0:
+        dim = F.size(F.col("embedding"))
+
+        def plane_sign(p):
+            return F.aggregate(
+                F.zip_with(
+                    F.col("embedding"),
+                    F.transform(
+                        F.sequence(F.lit(0), dim - 1),
+                        lambda i: F.when(
+                            F.xxhash64(F.lit(p), i) % 2 == 0, F.lit(1.0)
+                        ).otherwise(F.lit(-1.0)),
+                    ),
+                    lambda x, s: x * s,
+                ),
+                F.lit(0.0).cast("double"),
+                lambda acc, v: acc + v,
+            )
+
+        bucket = None
+        for p in range(n_planes):
+            bit = F.when(plane_sign(p) > 0, F.lit(1 << p)).otherwise(F.lit(0))
+            bucket = bit if bucket is None else bucket + bit
+        e = e.withColumn("bucket", bucket)
+        join_cond = (F.col("a.bucket") == F.col("b.bucket")) & (
+            F.col("a.vec_id") < F.col("b.vec_id")
+        )
+    else:
+        join_cond = F.col("a.vec_id") < F.col("b.vec_id")
+    j = e.alias("a").join(e.alias("b"), join_cond)
+    cos = _dot(F.col("a.embedding"), F.col("b.embedding")) / (
+        _norm(F.col("a.embedding")) * _norm(F.col("b.embedding"))
+    )
+    return (
+        j.select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            cos.alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+        .orderBy("vec_a", "vec_b")
+    )
+
+
+#: per-language stopword markers for the n-gram/stopword language-ID
+#: heuristic (tiny core sets — enough to separate the five languages)
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "is", "in", "that", "it", "with", "for"),
+    "de": ("der", "die", "das", "und", "ist", "nicht", "ein", "mit", "für", "auf"),
+    "fr": ("le", "la", "les", "et", "est", "une", "dans", "que", "pour", "avec"),
+    "es": ("el", "la", "los", "y", "es", "una", "en", "que", "por", "con"),
+    "zh": ("的", "是", "了", "在", "我", "有", "和", "不", "人", "这"),
+}
+
+
+def detect_language(docs: DataFrame) -> DataFrame:
+    """Language-ID heuristic: stopword-marker hit counts per language,
+    argmax wins (ties broken by language code order, 'und' = no hits).
+    All JVM built-ins — one pass over the word array per language set
+    (tiny sets, one `array_intersect`-free filter each)."""
+    words = F.transform(F.split(F.col("text"), " "), F.lower)
+    scores = {
+        lang: F.size(F.filter(words, lambda w: w.isin(*marks)))
+        for lang, marks in LANG_MARKERS.items()
+    }
+    best = None
+    best_score = None
+    for lang in sorted(LANG_MARKERS):
+        s = scores[lang]
+        if best is None:
+            best, best_score = F.lit(lang), s
+        else:
+            cond = s > best_score
+            best = F.when(cond, F.lit(lang)).otherwise(best)
+            best_score = F.when(cond, s).otherwise(best_score)
+    detected = F.when(best_score > 0, best).otherwise(F.lit("und"))
+    return docs.select(
+        "doc_id",
+        detected.alias("detected_lang"),
+        best_score.cast("bigint").alias("marker_hits"),
+    )
+
+
 def ann_recall(approx: DataFrame, exact: DataFrame, topk: int = 5) -> DataFrame:
     """recall@k of an approximate ANN result against the exact top-k:
     per query, |approx ∩ exact| as ``n_hits`` (both inputs are

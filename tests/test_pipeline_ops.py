@@ -177,3 +177,38 @@ def test_exact_dedup_keep_first(spark, docs):
     kept = po.exact_dedup_keep_first(augmented)
     assert kept.count() == docs.count()
     assert kept.select("doc_id").distinct().count() == docs.count()
+
+
+def test_detect_language_on_real_sentences(spark):
+    rows = [
+        (1, "the cat is in the house and it is happy with the food", "x", "s", 0),
+        (2, "der hund ist nicht in der stadt und das ist ein problem", "x", "s", 0),
+        (3, "le chat est dans la maison et la vie est belle pour les amis", "x", "s", 0),
+        (4, "el perro es una mascota y los gatos son animales en la casa", "x", "s", 0),
+        (5, "qwerty zxcvb asdfgh", "x", "s", 0),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string, source string, n_chars long")
+    got = {r.doc_id: r.detected_lang for r in po.detect_language(docs).collect()}
+    assert got == {1: "en", 2: "de", 3: "fr", 4: "es", 5: "und"}
+
+
+def test_embedding_neardup_exact_finds_injected_duplicate(spark, emb):
+    base = emb.filter(F.col("vec_id") < 50)
+    dup = base.filter(F.col("vec_id") == 7).select(
+        (F.col("vec_id") + 1000).alias("vec_id"), "embedding", "label"
+    )
+    pairs = po.embedding_neardup_pairs(base.union(dup), threshold=0.999).collect()
+    assert any((r.vec_a, r.vec_b) == (7, 1007) for r in pairs)
+
+
+def test_embedding_neardup_bucketed_subset_of_exact(spark, emb):
+    sub = emb.filter(F.col("vec_id") < 200)
+    exact = {(r.vec_a, r.vec_b) for r in po.embedding_neardup_pairs(sub, 0.3).collect()}
+    bucketed = {(r.vec_a, r.vec_b) for r in po.embedding_neardup_pairs(sub, 0.3, n_planes=4).collect()}
+    assert bucketed <= exact
+    # identical vectors always share every bucket → exact dup still found
+    dup = sub.filter(F.col("vec_id") == 3).select(
+        (F.col("vec_id") + 1000).alias("vec_id"), "embedding", "label"
+    )
+    b2 = po.embedding_neardup_pairs(sub.union(dup), 0.999, n_planes=4).collect()
+    assert any((r.vec_a, r.vec_b) == (3, 1003) for r in b2)
