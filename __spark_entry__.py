@@ -533,6 +533,23 @@ def _q_events_top3(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (operator Spark lacks; DuckDB's native ASOF JOIN is
+    the oracle): each click event matched to the user's most recent
+    prior-or-simultaneous view event."""
+    from archive_spark.pipeline_ops import asof_join
+
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    clicks = e.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    views = e.filter(F.col("event_type") == "view").select(
+        "user_id", "ts", F.col("event_id").alias("view_id")
+    )
+    out = asof_join(clicks, views, on="ts", by=["user_id"], right_cols=["view_id"])
+    return out.select(
+        "event_id", "user_id", F.col("view_id_asof").alias("prior_view_id")
+    ).orderBy("event_id")
+
+
 def _q_events_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sessionization: 30-min-gap sessions via lag + running sum windows."""
     from pyspark.sql import Window
@@ -670,6 +687,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": _q_ngram_jaccard,
         "word_length_hist": _q_word_length_hist,
         "multimodal_features": _q_multimodal_features,
+        "events_asof_join": _q_events_asof_join,
         # streaming
         "stream_windowed_counts": _q_stream_windowed_counts,
         # star-schema analytics
@@ -752,6 +770,15 @@ def oracle_sql() -> dict[str, str]:
             "ORDER BY vec_a, vec_b"
         ),
         "lang_detect": _lang_detect_oracle(),
+        "events_asof_join": (
+            "SELECT l.event_id, l.user_id, r.event_id AS prior_view_id "
+            "FROM (SELECT event_id, user_id, ts FROM events "
+            "WHERE event_type = 'click') l "
+            "ASOF LEFT JOIN (SELECT event_id, user_id, ts FROM events "
+            "WHERE event_type = 'view') r "
+            "ON l.user_id = r.user_id AND l.ts >= r.ts "
+            "ORDER BY l.event_id"
+        ),
         "token_range_scan": (
             "SELECT count(*)::BIGINT AS n_docs_in_range "
             f"FROM read_parquet('{_opath('token_range_input')}') "

@@ -300,6 +300,74 @@ def doc_fingerprints(docs: DataFrame) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# as-of join (an operator Spark lacks natively)
+# ---------------------------------------------------------------------------
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str = "ts",
+    by: list[str] | None = None,
+    right_cols: list[str] | None = None,
+    direction: str = "backward",
+    suffix: str = "_asof",
+) -> DataFrame:
+    """As-of join: for each left row, the latest right row with
+    ``right.on <= left.on`` (direction="backward"; "forward" = earliest
+    with >=), per ``by`` group.  Equal timestamps match.
+
+    Spark has no native as-of join; this is the standard union + window
+    re-expression: tag sides, sort by (on, side) within each group, and
+    carry the last-seen right payload forward with ``last(ignorenulls)``
+    — ONE shuffle on the group keys, no range join, no per-row Python.
+    The window is rows-unbounded-preceding→current, so cost is linear
+    after the sort (at 100 TB this is the same shuffle a groupBy on the
+    keys would do).  Right rows sort before left rows at equal ``on`` so
+    ties are inclusive, matching DuckDB/pandas ``merge_asof`` semantics.
+    """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"unknown direction: {direction}")
+    by = by or []
+    right_cols = right_cols or [c for c in right.columns if c != on and c not in by]
+    rs = right.select(
+        *by,
+        F.col(on).alias("__t"),
+        F.struct(*right_cols).alias("__rval"),
+        F.lit(0).alias("__side"),
+    )
+    null_rval = F.lit(None).cast(rs.schema["__rval"].dataType)
+    ls = left.select(
+        *left.columns,
+        F.col(on).alias("__t"),
+        null_rval.alias("__rval"),
+        F.lit(1).alias("__side"),
+    )
+    # align schemas: right side carries left's columns as nulls
+    for c in left.columns:
+        if c not in rs.columns:
+            rs = rs.withColumn(c, F.lit(None).cast(dict(ls.dtypes)[c]))
+    rs = rs.select(*ls.columns)
+    both = ls.unionByName(rs)
+    order = [F.col("__t").asc(), F.col("__side").asc()]
+    if direction == "forward":
+        order = [F.col("__t").desc(), F.col("__side").asc()]
+    w = (
+        Window.partitionBy(*by)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    matched = F.last("__rval", ignorenulls=True).over(w)
+    out = (
+        both.withColumn("__m", matched)
+        .filter(F.col("__side") == 1)
+        .drop("__t", "__rval", "__side")
+    )
+    for c in right_cols:
+        out = out.withColumn(f"{c}{suffix}", F.col("__m").getField(c))
+    return out.drop("__m")
+
+
+# ---------------------------------------------------------------------------
 # embedding similarity search
 # ---------------------------------------------------------------------------
 

@@ -212,3 +212,62 @@ def test_embedding_neardup_bucketed_subset_of_exact(spark, emb):
     )
     b2 = po.embedding_neardup_pairs(sub.union(dup), 0.999, n_planes=4).collect()
     assert any((r.vec_a, r.vec_b) == (3, 1003) for r in b2)
+
+
+def test_asof_join_semantics(spark):
+    left = spark.createDataFrame(
+        [(1, "u", 10), (2, "u", 20), (3, "u", 5), (4, "v", 50)],
+        "id long, user string, ts long",
+    )
+    right = spark.createDataFrame(
+        [(100, "u", 10), (101, "u", 15), (102, "v", 60)],
+        "rid long, user string, ts long",
+    )
+    out = {
+        r.id: r.rid_asof
+        for r in po.asof_join(left, right, on="ts", by=["user"], right_cols=["rid"]).collect()
+    }
+    # id=1 ts=10: equal ts matches (inclusive) -> 100
+    # id=2 ts=20: latest <= 20 -> 101; id=3 ts=5: none -> None
+    # id=4 user v ts=50: right v is at 60 (future) -> None
+    assert out == {1: 100, 2: 101, 3: None, 4: None}
+
+    fwd = {
+        r.id: r.rid_asof
+        for r in po.asof_join(
+            left, right, on="ts", by=["user"], right_cols=["rid"], direction="forward"
+        ).collect()
+    }
+    # earliest right with ts >= left.ts
+    assert fwd == {1: 100, 2: None, 3: 100, 4: 102}
+
+
+def test_asof_join_matches_pandas_merge_asof(spark):
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.default_rng(11)
+    lpdf = pd.DataFrame({
+        "id": np.arange(300),
+        "user": rng.integers(0, 5, 300).astype(str),
+        "ts": rng.integers(0, 10_000, 300),
+    })
+    rpdf = pd.DataFrame({
+        "rid": np.arange(1000, 1200),
+        "user": rng.integers(0, 5, 200).astype(str),
+        "ts": rng.integers(0, 10_000, 200),
+    })
+    # pandas merge_asof requires sort; dedupe right (user, ts) so the
+    # tie choice is unambiguous in both implementations
+    rpdf = rpdf.drop_duplicates(["user", "ts"])
+    expect = pd.merge_asof(
+        lpdf.sort_values("ts"), rpdf.sort_values("ts"),
+        on="ts", by="user", direction="backward",
+    ).set_index("id")["rid"]
+    out = po.asof_join(
+        spark.createDataFrame(lpdf), spark.createDataFrame(rpdf),
+        on="ts", by=["user"], right_cols=["rid"],
+    ).collect()
+    for r in out:
+        e = expect.loc[r.id]
+        assert (r.rid_asof is None and pd.isna(e)) or r.rid_asof == e, r.id
