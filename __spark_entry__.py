@@ -550,6 +550,56 @@ def _q_events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("event_id")
 
 
+def _q_orders_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed range join (the bin trick — no BroadcastNestedLoopJoin):
+    orders joined to month intervals they fall in, counted per interval.
+    Oracle is DuckDB's plain range-predicate join."""
+    from archive_spark.pipeline_ops import range_join
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        F.unix_timestamp("o_orderdate").cast("long").alias("t")
+    )
+    months = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .select(F.date_trunc("month", "o_orderdate").alias("m"))
+        .distinct()
+        .select(
+            F.unix_timestamp("m").cast("long").alias("start"),
+            F.unix_timestamp(F.add_months(F.col("m"), 1)).cast("long").alias("end"),
+        )
+    )
+    out = range_join(o, months, "t", "start", "end")
+    return (
+        out.groupBy("start")
+        .agg(F.count("*").cast("bigint").alias("n_orders"))
+        .orderBy("start")
+    )
+
+
+def _q_events_rollup_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style multi-resolution rollup: (day, event_type) →
+    (day) → grand total in one pass via ROLLUP grouping sets;
+    grouping_id disambiguates aggregated-out NULLs."""
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    day = F.date_trunc("day", F.col("ts").cast("timestamp")).alias("day")
+    return (
+        e.rollup(day, "event_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n_events"),
+            F.grouping_id().cast("bigint").alias("gid"),
+        )
+        .select(
+            # sentinel-coalesce the aggregated-out NULLs: value-hash
+            # harnesses sort rows and None vs timestamp doesn't compare
+            F.coalesce("day", F.lit("1970-01-01").cast("timestamp")).alias("day"),
+            F.coalesce("event_type", F.lit("ALL")).alias("event_type"),
+            "gid",
+            "n_events",
+        )
+        .orderBy("gid", "day", "event_type")
+    )
+
+
 def _q_events_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sessionization: 30-min-gap sessions via lag + running sum windows."""
     from pyspark.sql import Window
@@ -688,6 +738,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "word_length_hist": _q_word_length_hist,
         "multimodal_features": _q_multimodal_features,
         "events_asof_join": _q_events_asof_join,
+        "orders_range_join": _q_orders_range_join,
+        "events_rollup_sets": _q_events_rollup_sets,
         # streaming
         "stream_windowed_counts": _q_stream_windowed_counts,
         # star-schema analytics
@@ -770,6 +822,23 @@ def oracle_sql() -> dict[str, str]:
             "ORDER BY vec_a, vec_b"
         ),
         "lang_detect": _lang_detect_oracle(),
+        "events_rollup_sets": (
+            "SELECT COALESCE(date_trunc('day', ts), TIMESTAMP '1970-01-01') AS day, "
+            "COALESCE(event_type, 'ALL') AS event_type, "
+            "GROUPING(date_trunc('day', ts), event_type)::BIGINT AS gid, "
+            "count(*)::BIGINT AS n_events FROM events "
+            "GROUP BY ROLLUP (date_trunc('day', ts), event_type) "
+            "ORDER BY gid, day, event_type"
+        ),
+        "orders_range_join": (
+            "WITH pts AS (SELECT epoch(o_orderdate)::BIGINT AS t FROM orders), "
+            "iv AS (SELECT epoch(m)::BIGINT AS s, "
+            "epoch(m + INTERVAL 1 MONTH)::BIGINT AS e FROM "
+            "(SELECT DISTINCT date_trunc('month', o_orderdate) AS m FROM orders)) "
+            "SELECT iv.s AS start, count(*)::BIGINT AS n_orders "
+            "FROM pts JOIN iv ON pts.t >= iv.s AND pts.t < iv.e "
+            "GROUP BY iv.s ORDER BY iv.s"
+        ),
         "events_asof_join": (
             "SELECT l.event_id, l.user_id, r.event_id AS prior_view_id "
             "FROM (SELECT event_id, user_id, ts FROM events "

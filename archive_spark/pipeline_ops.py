@@ -367,6 +367,54 @@ def asof_join(
     return out.drop("__m")
 
 
+def range_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_col: str,
+    start_col: str,
+    end_col: str,
+    by: list[str] | None = None,
+    bucket_width: int | None = None,
+) -> DataFrame:
+    """Join points to the intervals containing them
+    (``start <= point < end``), optionally per ``by`` group.
+
+    Spark plans a naive range predicate as BroadcastNestedLoopJoin —
+    O(n·m) and a scale killer.  This re-expression buckets both sides:
+    each interval is exploded to the buckets it overlaps, points land in
+    one bucket, and the join becomes an equi-join on (by, bucket) with a
+    cheap post-filter — the standard bin/interval-join trick.  Shuffle
+    is linear in points + interval-bucket expansions; pick
+    ``bucket_width`` near the typical interval length so expansions stay
+    O(1) per interval (defaults to the mean interval length)."""
+    by = by or []
+    if bucket_width is None:
+        row = intervals.agg(
+            F.ceil(F.avg(F.col(end_col) - F.col(start_col))).alias("w")
+        ).collect()[0]
+        bucket_width = max(int(row.w or 1), 1)
+    w = F.lit(bucket_width)
+    iv = intervals.withColumn(
+        "__bucket",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(start_col) / w),
+                # end is exclusive: the bucket of (end-1)
+                F.floor((F.col(end_col) - 1) / w),
+            )
+        ),
+    )
+    pt = points.withColumn("__bucket", F.floor(F.col(point_col) / w))
+    cond = [pt["__bucket"] == iv["__bucket"]] + [pt[c] == iv[c] for c in by]
+    out = pt.join(iv, cond).filter(
+        (pt[point_col] >= iv[start_col]) & (pt[point_col] < iv[end_col])
+    )
+    keep = [pt[c] for c in points.columns] + [
+        iv[c] for c in intervals.columns if c not in by
+    ]
+    return out.select(*keep)
+
+
 # ---------------------------------------------------------------------------
 # embedding similarity search
 # ---------------------------------------------------------------------------

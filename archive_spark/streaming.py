@@ -151,6 +151,20 @@ def windowed_event_counts(
     )
 
 
+def dedup_stream(
+    stream: DataFrame,
+    keys: list[str],
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming exact dedup: drop repeat ``keys`` arriving within the
+    watermark horizon (``dropDuplicatesWithinWatermark`` — state is
+    bounded by the watermark, unlike plain dropDuplicates whose state
+    grows forever; the streaming counterpart of exact_dedup_keep_first)."""
+    s = stream.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    return s.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(keys)
+
+
 def streaming_codec_histogram(encoded_stream: DataFrame) -> DataFrame:
     """Streaming aggregation: running codec histogram (complete mode)."""
     return encoded_stream.groupBy(F.col("meta.codec").alias("codec")).agg(

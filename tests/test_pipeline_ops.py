@@ -271,3 +271,38 @@ def test_asof_join_matches_pandas_merge_asof(spark):
     for r in out:
         e = expect.loc[r.id]
         assert (r.rid_asof is None and pd.isna(e)) or r.rid_asof == e, r.id
+
+
+def test_range_join_semantics(spark):
+    pts = spark.createDataFrame(
+        [(1, "a", 5), (2, "a", 10), (3, "a", 25), (4, "b", 5)],
+        "id long, g string, t long",
+    )
+    iv = spark.createDataFrame(
+        [("a", 0, 10, "i1"), ("a", 5, 30, "i2"), ("b", 100, 200, "i3")],
+        "g string, s long, e long, name string",
+    )
+    out = po.range_join(pts, iv, "t", "s", "e", by=["g"], bucket_width=4)
+    got = sorted((r.id, r.name) for r in out.collect())
+    # t=5: in [0,10) and [5,30); t=10: end-exclusive of i1, in i2;
+    # t=25: i2 only; b/t=5: no interval
+    assert got == [(1, "i1"), (1, "i2"), (2, "i2"), (3, "i2")]
+
+
+def test_range_join_no_nested_loop(spark):
+    """The bucketed rewrite must plan as an equi-join (hash/sort-merge),
+    never BroadcastNestedLoopJoin — the O(n*m) scale killer."""
+    import io
+    from contextlib import redirect_stdout
+
+    pts = spark.range(100).select(F.col("id"), (F.col("id") * 3).alias("t"))
+    iv = spark.range(10).select(
+        (F.col("id") * 30).alias("s"), (F.col("id") * 30 + 30).alias("e")
+    )
+    df = po.range_join(pts, iv, "t", "s", "e", bucket_width=30)
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("simple")
+    plan = buf.getvalue()
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert df.count() == 100  # every point falls in exactly one interval

@@ -173,3 +173,25 @@ def test_streaming_histogram_memory_sink(spark, tmp_path):
     total_raw = sum(r.raw_bytes for r in rows)
     total_enc = sum(r.enc_bytes for r in rows)
     assert total_enc < total_raw
+
+
+def test_dedup_stream_drops_repeats_within_watermark(spark, tmp_path):
+    """Duplicate event_ids across two file drops are emitted once
+    (dropDuplicatesWithinWatermark: bounded state, exactly-once output)."""
+    src = str(tmp_path / "dsrc")
+    out = str(tmp_path / "dout")
+    ck = str(tmp_path / "dck")
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet").limit(200)
+    ev.write.mode("append").parquet(src)
+    ev.limit(50).write.mode("append").parquet(src)  # 50 exact duplicates
+    stream = spark.readStream.schema(ev.schema).format("parquet").load(src)
+    deduped = streaming.dedup_stream(stream, keys=["event_id"], watermark="2 hours")
+    q = (
+        deduped.writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ck)
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(240)
+    got = spark.read.parquet(out)
+    assert got.count() == 200
+    assert got.select("event_id").distinct().count() == 200
