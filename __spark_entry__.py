@@ -386,7 +386,7 @@ def _q_ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     from archive_spark.pipeline_ops import ann_recall, cosine_topk_bruteforce, ivf_ann
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    ivf = ivf_ann(emb, [0, 1, 2], topk=5, n_centroids=8, n_probe=2)
+    ivf = ivf_ann(emb, [0, 1, 2], topk=5, n_centroids=8, n_probe=2, train_iters=2)
     _persist(ivf.select("query_id", "vec_id"), "ivf_pruned", sf_dir)
     bf = cosine_topk_bruteforce(emb, [0, 1, 2], topk=5)
     return ann_recall(ivf, bf, topk=5)

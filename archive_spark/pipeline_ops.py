@@ -461,6 +461,74 @@ def cosine_topk_bruteforce(
     )
 
 
+def ivf_train_centroids(
+    emb: DataFrame,
+    n_centroids: int,
+    iters: int = 2,
+    sample_fraction: float = 0.25,
+    seed: int = 42,
+) -> "np.ndarray":
+    """Spherical k-means centroids (Lloyd iterations, cosine metric).
+
+    Each iteration is one Spark pass over a sampled fraction: a
+    ``mapInArrow`` kernel GEMMs every Arrow batch against the current
+    centroids and emits per-(batch, cell) partial sums — O(n_centroids ×
+    n_batches) tiny rows collected driver-side, where numpy finishes the
+    mean + renormalize.  At 100 TB you train on a sample and only the
+    final assignment touches the full corpus."""
+    import pyarrow as pa
+    from typing import Iterator
+
+    init = (
+        emb.select("embedding").sample(fraction=min(1.0, sample_fraction), seed=seed)
+        .limit(n_centroids).collect()
+    )
+    if len(init) < n_centroids:
+        init = emb.select("embedding").limit(n_centroids).collect()
+    C = np.asarray([r.embedding for r in init], dtype=np.float64)
+    C /= np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-12)
+    train = emb.select("embedding").sample(fraction=min(1.0, sample_fraction), seed=seed)
+
+    for _ in range(iters):
+        C_b = C  # captured by value per iteration
+
+        def partials(it: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+            for batch in it:
+                lists = batch.column("embedding")
+                flat = np.asarray(lists.values, dtype=np.float64)
+                X = flat.reshape(batch.num_rows, -1)
+                Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+                cell = np.argmax(Xn @ C_b.T, axis=1)
+                cnt = np.bincount(cell, minlength=C_b.shape[0])
+                sums = np.zeros_like(C_b)
+                np.add.at(sums, cell, Xn)
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        pa.array(np.arange(C_b.shape[0]), pa.int32()),
+                        pa.array(cnt.astype(np.int64), pa.int64()),
+                        pa.array(list(sums), pa.list_(pa.float64())),
+                    ],
+                    names=["cell", "cnt", "vsum"],
+                )
+
+        rows = train.mapInArrow(
+            partials, "cell int, cnt long, vsum array<double>"
+        ).collect()
+        cnt = np.zeros(C.shape[0], dtype=np.int64)
+        sums = np.zeros_like(C)
+        for r in rows:
+            cnt[r.cell] += r.cnt
+            sums[r.cell] += np.asarray(r.vsum)
+        nonempty = cnt > 0
+        C = np.where(
+            nonempty[:, None],
+            sums / np.maximum(cnt[:, None], 1),
+            C,  # empty cells keep their centroid
+        )
+        C /= np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-12)
+    return C
+
+
 def ivf_ann(
     emb: DataFrame,
     query_ids: list[int],
@@ -468,6 +536,7 @@ def ivf_ann(
     n_centroids: int = 16,
     n_probe: int = 4,
     seed: int = 42,
+    train_iters: int = 0,
 ) -> DataFrame:
     """IVF-style ANN: partition vectors into centroid cells, probe only
     the ``n_probe`` cells nearest each query, exact-rerank candidates.
@@ -483,20 +552,23 @@ def ivf_ann(
 
     from typing import Iterator
 
-    # deterministic centroid sample, normalized.  df.sample is a narrow
+    # deterministic centroids: a seeded sample (df.sample is a narrow
     # single-pass scan with per-partition early-exit on limit — no
-    # TakeOrdered full sort (VERDICT: scale-safe sampler); tiny tables
-    # where the sample comes up short fall back to a plain limit.
-    cent_rows = (
-        emb.select("vec_id", "embedding")
-        .sample(fraction=0.1, seed=seed)
-        .limit(n_centroids)
-        .collect()
-    )
-    if len(cent_rows) < n_centroids:
-        cent_rows = emb.select("vec_id", "embedding").limit(n_centroids).collect()
-    C = np.asarray([r.embedding for r in cent_rows], dtype=np.float64)
-    C /= np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-12)
+    # TakeOrdered full sort), optionally refined by ``train_iters``
+    # spherical k-means passes over a sample (ivf_train_centroids).
+    if train_iters > 0:
+        C = ivf_train_centroids(emb, n_centroids, iters=train_iters, seed=seed)
+    else:
+        cent_rows = (
+            emb.select("vec_id", "embedding")
+            .sample(fraction=0.1, seed=seed)
+            .limit(n_centroids)
+            .collect()
+        )
+        if len(cent_rows) < n_centroids:
+            cent_rows = emb.select("vec_id", "embedding").limit(n_centroids).collect()
+        C = np.asarray([r.embedding for r in cent_rows], dtype=np.float64)
+        C /= np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-12)
 
     def assign(it: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         for batch in it:

@@ -306,3 +306,30 @@ def test_range_join_no_nested_loop(spark):
     plan = buf.getvalue()
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert df.count() == 100  # every point falls in exactly one interval
+
+
+def test_ivf_trained_centroids_exhaustive_equals_bruteforce(spark, emb):
+    queries = [0, 1]
+    truth = _topk_sets(po.cosine_topk_bruteforce(emb, queries, topk=5))
+    full = _topk_sets(
+        po.ivf_ann(emb, queries, topk=5, n_centroids=8, n_probe=8, train_iters=2)
+    )
+    assert truth == full
+
+
+def test_ivf_training_reduces_quantization_error(spark, emb):
+    """Lloyd iterations must not worsen the spherical k-means objective
+    (mean max-cosine to nearest centroid) vs the raw sampled init."""
+    import numpy as np
+
+    X = np.asarray([r.embedding for r in emb.select("embedding").collect()],
+                   dtype=np.float64)
+    Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+
+    def objective(C):
+        return float(np.mean(np.max(Xn @ C.T, axis=1)))
+
+    C0 = po.ivf_train_centroids(emb, 8, iters=0)
+    C2 = po.ivf_train_centroids(emb, 8, iters=2)
+    assert C2.shape == (8, X.shape[1])
+    assert objective(C2) >= objective(C0) - 1e-9, (objective(C0), objective(C2))
