@@ -351,8 +351,23 @@ def _pairs_build(ids: np.ndarray, n_base: int, max_symbols: int, min_gain: int):
     next_id = n_base
     while len(syms) < max_symbols and seq.size >= 4:
         key = ops.seq_keys(seq)
-        uk, counts = np.unique(key, return_counts=True)
         take = min(_BUILD_BATCH, max_symbols - len(syms))
+        # Count pair frequencies WITHOUT a full sort: bincount the 16-bit
+        # fingerprints (O(n) gather), shortlist the hottest slots
+        # (oversampled 2x to survive fp collisions), then exact-count
+        # only the elements landing in those slots.  Counts for the
+        # selected keys are exact; collisions can only demote a
+        # borderline candidate to a later round.
+        fps = ops.fp(key)
+        slot_counts = np.bincount(fps, minlength=1 << 16)
+        n_slots = min(2 * take, int((slot_counts >= min_gain).sum()))
+        if n_slots == 0:
+            break
+        hot = np.argpartition(slot_counts, -n_slots)[-n_slots:]
+        mark = np.zeros(1 << 16, dtype=bool)
+        mark[hot] = True
+        sel = key[mark[fps]]
+        uk, counts = np.unique(sel, return_counts=True)
         if counts.size > take:
             top = np.argpartition(counts, -take)[-take:]
         else:
