@@ -274,6 +274,25 @@ def _q_dedup_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_neardup_pairs(emb, threshold=0.35).select("vec_a", "vec_b")
 
 
+def _q_quality_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source quality-signal aggregates (integer-valued so the
+    DuckDB oracle hash-compares exactly)."""
+    from archive_spark.pipeline_ops import quality_counts
+
+    docs = _docs(spark, sf_dir)
+    qc = quality_counts(docs).join(docs.select("doc_id", "source"), "doc_id")
+    return (
+        qc.groupBy("source")
+        .agg(
+            F.sum("n_words").cast("bigint").alias("n_words"),
+            F.sum("n_chars").cast("bigint").alias("n_chars"),
+            F.sum("n_digit_chars").cast("bigint").alias("n_digit_chars"),
+            F.sum("n_stopwords").cast("bigint").alias("n_stopwords"),
+        )
+        .orderBy("source")
+    )
+
+
 def _q_lang_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stopword-marker language ID over documents, aggregated per
     detected language (synthetic corpus shares one English-ish vocab, so
@@ -725,6 +744,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact_groups": _q_dedup_exact_groups,
         "dedup_embedding_neardup": _q_dedup_embedding_neardup,
         "lang_detect": _q_lang_detect,
+        "quality_counts": _q_quality_counts,
         "token_count_by_source": _q_token_count_by_source,
         "lang_quality": _q_lang_quality,
         "minhash_lsh_pairs": _q_minhash_lsh_pairs,
@@ -822,6 +842,16 @@ def oracle_sql() -> dict[str, str]:
             "ORDER BY vec_a, vec_b"
         ),
         "lang_detect": _lang_detect_oracle(),
+        "quality_counts": (
+            "SELECT source, SUM(len(string_split(text, ' ')))::BIGINT AS n_words, "
+            "SUM(length(text))::BIGINT AS n_chars, "
+            "SUM(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')))::BIGINT "
+            "AS n_digit_chars, "
+            "SUM(len(list_filter(string_split(text, ' '), "
+            "w -> lower(w) IN ('the','a','of','and','to','in','is','it','on','for'))))::BIGINT "
+            "AS n_stopwords "
+            "FROM documents GROUP BY source ORDER BY source"
+        ),
         "events_rollup_sets": (
             "SELECT COALESCE(date_trunc('day', ts), TIMESTAMP '1970-01-01') AS day, "
             "COALESCE(event_type, 'ALL') AS event_type, "

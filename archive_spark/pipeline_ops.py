@@ -267,6 +267,25 @@ def token_counts(docs: DataFrame) -> DataFrame:
     )
 
 
+def quality_counts(docs: DataFrame) -> DataFrame:
+    """Integer quality signals per doc (the exact counts behind
+    ``quality_scores`` ratios — integer-valued so a SQL oracle can
+    hash-compare them): words, chars, digit chars, stopword hits."""
+    words = F.split(F.col("text"), " ")
+    stop = ("the", "a", "of", "and", "to", "in", "is", "it", "on", "for")
+    return docs.select(
+        "doc_id",
+        F.size(words).cast("bigint").alias("n_words"),
+        F.length("text").cast("bigint").alias("n_chars"),
+        (
+            F.length("text") - F.length(F.regexp_replace("text", "[0-9]", ""))
+        ).cast("bigint").alias("n_digit_chars"),
+        F.size(F.filter(words, lambda w: F.lower(w).isin(*stop)))
+        .cast("bigint")
+        .alias("n_stopwords"),
+    )
+
+
 def quality_scores(docs: DataFrame) -> DataFrame:
     """Cheap quality heuristics: mean word length, punctuation ratio,
     digit ratio, stopword ratio (en core stopwords)."""
