@@ -133,10 +133,17 @@ def _make_encoder(target_block_values: int, allow_fsst: bool, effort: str = "bal
         buffers: dict[str, _SourceBuffer] = {}
 
         def encode_blocks(sname: str, blocks) -> list[dict]:
+            import zlib
+
             rows = []
             for docs, lens, vals in blocks:
                 payload, codec, stats = encode_auto_ex(vals, allow_fsst=allow_fsst, effort=effort)
                 lens_payload, _ = encode_auto(lens.astype(np.int32), allow_fsst=False)
+                # CRC-32 of the raw token values (zero-copy over the numpy
+                # buffer): the per-member CRC every PKZip archive carries
+                # (pkzip central directory) — decode can verify content
+                # integrity without the original table
+                crc = zlib.crc32(np.ascontiguousarray(vals))
                 rows.append(
                     {
                         "block_id": f"{docs[0].as_py()}#{len(docs)}",
@@ -155,6 +162,7 @@ def _make_encoder(target_block_values: int, allow_fsst: bool, effort: str = "bal
                             "vmax": str(stats.vmax),
                             "n_runs": str(stats.n_runs),
                             "n_distinct": str(stats.n_distinct) if stats.distinct_exact else "",
+                            "crc32": str(crc),
                         },
                     }
                 )
@@ -259,8 +267,10 @@ def encode(
 DECODE_FLUSH_VALUES = 1 << 26  # 64M values = 256 MiB of int32
 
 
-def _make_decoder(flush_values: int = DECODE_FLUSH_VALUES):
+def _make_decoder(flush_values: int = DECODE_FLUSH_VALUES, verify_checksum: bool = False):
     def _decode(it: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        import zlib
+
         for batch in it:
             if batch.num_rows == 0:
                 continue
@@ -268,6 +278,12 @@ def _make_decoder(flush_values: int = DECODE_FLUSH_VALUES):
             lens_payloads = batch.column("lengths_payload")
             doc_ids = batch.column("doc_ids")
             sources = batch.column("source")
+            crcs: list[str | None] = [None] * batch.num_rows
+            if verify_checksum:
+                params = batch.column("meta").field("params").to_pylist()
+                crcs = [
+                    dict(p or {}).get("crc32") for p in params
+                ]
 
             def flush(vals_parts, lens_parts, blk_idx, ndocs):
                 flat = np.concatenate(vals_parts) if vals_parts else np.zeros(0, np.int32)
@@ -306,6 +322,13 @@ def _make_decoder(flush_values: int = DECODE_FLUSH_VALUES):
                     raise kernels.CodecError(
                         f"block {batch.column('block_id')[i]}: lengths/payload mismatch"
                     )
+                if verify_checksum and crcs[i] is not None:
+                    got = zlib.crc32(np.ascontiguousarray(vals))
+                    if got != int(crcs[i]):
+                        raise kernels.CodecError(
+                            f"block {batch.column('block_id')[i]}: CRC-32 mismatch "
+                            f"(stored {crcs[i]}, decoded {got})"
+                        )
                 vals_parts.append(vals)
                 lens_parts.append(lens)
                 blk_idx.append(i)
@@ -334,17 +357,24 @@ def decode(
     df_encoded: DataFrame,
     targets: Sequence[str] | None = None,
     flush_values: int = DECODE_FLUSH_VALUES,
+    verify_checksum: bool = False,
 ) -> DataFrame:
     """Decode encoded blocks back to (doc_id, tokens, n_tok, source).
 
     ``targets``: decode only the named doc_ids (Extractor.Extract's
     targets, archive.go:301) — blocks not containing any target are
     pruned *before* the decode UDF.
+    ``verify_checksum``: recompute each block's CRC-32 against the one
+    stored at encode time (the zip per-member CRC; rezip.Test's
+    ``unzip -t`` integrity pass, rezip/rezip.go:123-151) — catches
+    silent payload corruption without needing the original table.
     """
     if targets:
         tlits = F.array(*[F.lit(t) for t in targets])
         df_encoded = df_encoded.filter(F.arrays_overlap(F.col("doc_ids"), tlits))
-    out = df_encoded.mapInArrow(_make_decoder(flush_values), TOKENS_SCHEMA)
+    out = df_encoded.mapInArrow(
+        _make_decoder(flush_values, verify_checksum), TOKENS_SCHEMA
+    )
     if targets:
         out = out.filter(F.col("doc_id").isin(list(targets)))
     return out

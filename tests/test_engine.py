@@ -119,6 +119,40 @@ def test_decode_rejects_corrupted_payload(spark, encoded_df):
         engine.decode(corrupted).collect()
 
 
+def test_checksum_catches_silent_value_corruption(spark):
+    """A bit-flip inside a structurally valid payload decodes without
+    error but yields wrong values; verify_checksum must catch it (the
+    zip per-member CRC / rezip.Test integrity semantics)."""
+    import pyspark.errors
+
+    df = token_table(spark, 200, seed=8)
+    enc = engine.encode(df, target_block_values=1 << 13, allow_fsst=False).cache()
+    # flip one byte inside the packed-bits region of 'for' blocks:
+    # structure still parses (fixed-size header + bit-packed body), the
+    # decoded VALUES are just wrong — the silent-corruption case
+    assert enc.filter("meta.codec = 'for' AND length(payload) > 60").count() > 0
+    corrupted = enc.withColumn(
+        "payload",
+        F.when(
+            (F.col("meta.codec") == "for") & (F.length("payload") > 60),
+            F.concat(
+                F.expr("substring(payload, 1, 39)"),
+                F.lit(bytearray(b"\x5a")),
+                F.expr("substring(payload, 41)"),
+            ),
+        ).otherwise(F.col("payload")),
+    )
+    # without verification the corruption is silent for at least one block
+    baseline = engine.decode(enc).agg(F.sum("n_tok")).collect()[0][0]
+    silent = engine.decode(corrupted).agg(F.sum("n_tok")).collect()[0][0]
+    assert silent == baseline  # same shape, silently wrong content
+    with pytest.raises(pyspark.errors.PySparkException, match="CRC-32|CodecError"):
+        engine.decode(corrupted, verify_checksum=True).collect()
+    # and the untouched table passes verification bit-identically
+    rep = engine.roundtrip_report(df, engine.decode(enc, verify_checksum=True)).collect()[0]
+    assert rep.n_mismatch == 0
+
+
 def test_salting_balances_clustered_input(spark, tokens_df):
     """Skew handling (north_rule): input clustered by source (the worst
     case — one partition owns the dominant textish source) gets
