@@ -47,6 +47,12 @@ def get_spark(
         .config("spark.driver.memory", driver_memory or os.environ.get("SPARK_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.files.maxPartitionBytes", "128m")
+        # bucketed saveAsTable (co-located joins) without polluting the
+        # project dir; static conf — only applies to the first session
+        .config(
+            "spark.sql.warehouse.dir",
+            os.environ.get("SPARK_GRAFT_WAREHOUSE", "/tmp/archive_spark_warehouse"),
+        )
     )
     for k, v in (extra or {}).items():
         b = b.config(k, v)

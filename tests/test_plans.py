@@ -127,6 +127,33 @@ def test_ivf_ann_scans_corpus_once(spark):
     assert plan.count("Scan parquet") == 1, plan
 
 
+def test_bucketed_join_is_colocated_no_exchange(spark):
+    """bucketBy both sides on the join key → SortMergeJoin with ZERO
+    Exchange nodes: the co-located big-big join strategy (SURVEY §2.6 /
+    the brief's 'bucketing for co-located joins').  At 100 TB this is
+    the difference between reading in place and reshuffling both fact
+    tables every query."""
+    o = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    c = spark.read.parquet("/root/testdata/sf0.001/customer.parquet")
+    o.write.bucketBy(8, "o_custkey").sortBy("o_custkey").mode("overwrite").saveAsTable("t_orders_b")
+    c.write.bucketBy(8, "c_custkey").sortBy("c_custkey").mode("overwrite").saveAsTable("t_customer_b")
+    try:
+        ob, cb = spark.table("t_orders_b"), spark.table("t_customer_b")
+        with_bc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            j = ob.join(cb, ob.o_custkey == cb.c_custkey)
+            plan = plan_of(j, "simple")
+            assert "Exchange" not in plan, plan
+            assert "SortMergeJoin" in plan, plan
+            assert j.count() == o.count()
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", with_bc)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_orders_b")
+        spark.sql("DROP TABLE IF EXISTS t_customer_b")
+
+
 def test_encode_plan_has_no_shuffle_unsalted(spark):
     """Unsalted encode is embarrassingly parallel: scan → MapInArrow,
     zero Exchange nodes (the property that makes N→4N executors linear)."""
