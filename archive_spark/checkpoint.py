@@ -154,6 +154,7 @@ def encode_job(
     max_concurrency: int = 4,
     skip_staging: bool = False,  # input dir already laid out as shard=K
     publish_snapshot: bool = False,  # atomic whole-job commit via table.py
+    publish_mode: str = "overwrite",  # "append": keep prior snapshot's files
 ) -> EncodeJobResult:
     """Stage → encode-per-shard → publish, resumable at shard granularity.
 
@@ -166,7 +167,10 @@ def encode_job(
     restaged (ADVICE: silent shard drop on n_shards change).
     """
     staging = os.path.join(out_dir, "staging")
-    data_dir = os.path.join(out_dir, "data")
+    # per-snapshot data dir: re-encoding under a new snapshot id (or a
+    # new layout) never touches files an older published snapshot
+    # references — append workflows and time travel stay consistent
+    data_dir = os.path.join(out_dir, "data", snapshot_id)
     os.makedirs(out_dir, exist_ok=True)
 
     def _staged_layout_ok() -> bool:
@@ -189,9 +193,9 @@ def encode_job(
             )
     elif not staged_done:
         t0 = time.time()
-        # restaging changes shard membership → every previously encoded
-        # shard dir is stale (old layout or old snapshot); drop them so
-        # read_encoded never mixes layouts
+        # restaging changes shard membership → THIS snapshot's previously
+        # encoded shard dirs are stale (e.g. an n_shards change); other
+        # snapshots' data dirs are never touched
         if os.path.isdir(data_dir):
             import shutil
 
@@ -305,7 +309,7 @@ def encode_job(
         try:
             snap_table.commit_existing(
                 out_dir, files, schema=engine.ENCODED_SCHEMA,
-                snapshot_id=f"{snapshot_id}-{n_shards}",
+                snapshot_id=f"{snapshot_id}-{n_shards}", mode=publish_mode,
             )
         except snap_table.CommitConflict:
             pass  # idempotent rerun: this exact job already published
@@ -321,4 +325,26 @@ def encode_job(
 
 
 def read_encoded(spark: SparkSession, out_dir: str) -> DataFrame:
+    """Read an encode_job's output, resolving which snapshot to read:
+
+    1. a published table manifest (current snapshot — all-or-nothing,
+       includes appended history), else
+    2. the latest snapshot with ok ledger rows (per-snapshot data dir),
+       else
+    3. the raw data dir (legacy single-snapshot layout).
+    """
+    from . import table as snap_table
+
+    if snap_table.current_snapshot_id(out_dir) is not None:
+        return snap_table.read(spark, out_dir)
+    t = read_ledger(out_dir)
+    if t.num_rows:
+        rows = [
+            r for r in t.to_pylist() if r["stage"] == "encoded" and r["status"] == "ok"
+        ]
+        if rows:
+            latest = max(rows, key=lambda r: r["ts"])["snapshot_id"]
+            snap_dir = os.path.join(out_dir, "data", latest)
+            if os.path.isdir(snap_dir):
+                return spark.read.parquet(snap_dir)
     return spark.read.parquet(os.path.join(out_dir, "data"))

@@ -98,3 +98,37 @@ def test_encode_job_publishes_snapshot(spark, tokens, tmp_path):
         target_block_values=1 << 14,
     )
     assert len(table.snapshots(out)) == 1
+
+
+def test_incremental_append_job(spark, tokens, tmp_path):
+    """Day-2 data appended as a new snapshot: the current table shows
+    both days, time travel still reads day 1 alone, and day-1 files are
+    never touched by the day-2 restage (per-snapshot data dirs)."""
+    from archive_spark import checkpoint
+    from archive_spark.tokengen import token_table
+
+    out = str(tmp_path / "incr")
+    day1 = tokens  # 500 docs, seed 9 (indexes 0..499)
+    # day 2 = indexes 500..699 of the same deterministic stream —
+    # disjoint doc_ids, as an incremental ingest would produce
+    day2 = token_table(spark, 700, seed=9).join(
+        day1.select("doc_id"), "doc_id", "left_anti"
+    )
+    checkpoint.encode_job(
+        spark, day1, out, "day1", n_shards=2, publish_snapshot=True,
+        target_block_values=1 << 14,
+    )
+    s1 = table.current_snapshot_id(out)
+    checkpoint.encode_job(
+        spark, day2, out, "day2", n_shards=2, publish_snapshot=True,
+        publish_mode="append", target_block_values=1 << 14,
+    )
+    both = engine.decode(table.read(spark, out))
+    assert both.count() == 700
+    rep = engine.roundtrip_report(day1.union(day2), both).collect()[0]
+    assert rep.n_mismatch == 0 and rep.n_decoded == 700
+    # time travel: day-1 snapshot unchanged
+    old = engine.decode(table.read(spark, out, s1))
+    assert old.count() == 500
+    # read_encoded resolves through the manifest too
+    assert engine.decode(checkpoint.read_encoded(spark, out)).count() == 700
