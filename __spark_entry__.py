@@ -451,6 +451,56 @@ def _q_stream_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{scratch}/out").orderBy("window_start", "event_type")
 
 
+def _q_stream_running_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator (applyInPandasWithState):
+    per-source running encode totals.  The encoded blocks are persisted;
+    the final state per source must equal a plain aggregate over the
+    same blocks — which DuckDB recomputes as the oracle."""
+    import shutil
+    import uuid
+
+    from archive_spark import engine
+    from archive_spark import streaming as st
+
+    base = os.path.basename(sf_dir.rstrip("/"))
+    scratch = f"/tmp/archive_spark_stream_stats/{base}"
+    shutil.rmtree(scratch, ignore_errors=True)
+    enc = engine.encode(_tokens(spark, sf_dir), target_block_values=1 << 15)
+    enc.write.parquet(f"{scratch}/enc")
+    _persist(
+        spark.read.parquet(f"{scratch}/enc").select(
+            "source",
+            F.col("meta.raw_bytes").cast("bigint").alias("raw_bytes"),
+            F.col("meta.enc_bytes").cast("bigint").alias("enc_bytes"),
+        ),
+        "stream_stats_blocks",
+        sf_dir,
+    )
+    stream = st.read_encoded_stream(spark, f"{scratch}/enc")
+    stats = st.running_source_stats(stream)
+    name = f"rss_{uuid.uuid4().hex[:8]}"
+    q = (
+        stats.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    # update mode emits one running-total row per source per micro-batch;
+    # totals are monotone, so max() per source = the final state
+    return (
+        spark.table(name)
+        .groupBy("source")
+        .agg(
+            F.max("n_blocks").cast("bigint").alias("n_blocks"),
+            F.max("raw_bytes").cast("bigint").alias("raw_bytes"),
+            F.max("enc_bytes").cast("bigint").alias("enc_bytes"),
+        )
+        .orderBy("source")
+    )
+
+
 def _q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal path over REAL containers: deterministic BMP/WAV
     payloads → content-sniffed decode → Arrow-batched feature extract;
@@ -762,6 +812,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_rollup_sets": _q_events_rollup_sets,
         # streaming
         "stream_windowed_counts": _q_stream_windowed_counts,
+        "stream_running_stats": _q_stream_running_stats,
         # star-schema analytics
         "events_sessions": _q_events_sessions,
         "tpch_q5ish": _q_tpch_q5ish,
@@ -842,6 +893,12 @@ def oracle_sql() -> dict[str, str]:
             "ORDER BY vec_a, vec_b"
         ),
         "lang_detect": _lang_detect_oracle(),
+        "stream_running_stats": (
+            "SELECT source, count(*)::BIGINT AS n_blocks, "
+            "SUM(raw_bytes)::BIGINT AS raw_bytes, SUM(enc_bytes)::BIGINT AS enc_bytes "
+            f"FROM read_parquet('{_opath('stream_stats_blocks')}') "
+            "GROUP BY source ORDER BY source"
+        ),
         "quality_counts": (
             "SELECT source, SUM(len(string_split(text, ' ')))::BIGINT AS n_words, "
             "SUM(length(text))::BIGINT AS n_chars, "
