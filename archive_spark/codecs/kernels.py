@@ -653,7 +653,17 @@ def encode_simple(values: np.ndarray) -> bytes:
 
 
 def decode(buf: bytes | memoryview) -> np.ndarray:
-    """Decode any self-describing block back to the exact int32 buffer."""
+    """Decode any self-describing block back to the exact int32 buffer.
+
+    Every malformed-payload failure mode — truncated headers, short
+    bodies, corrupt sub-blocks, bad deflate streams, absurd claimed
+    sizes — surfaces as a typed ``CodecError`` (the reference's
+    Diagnostic contract, pkzip/pkzip.go:92-117): callers catch ONE
+    exception type for "this payload is bad", never raw struct/zlib
+    internals."""
+    import struct as _struct
+    import zlib as _zlib
+
     mv = memoryview(buf)
     if len(mv) < HEADER_SIZE:
         raise CodecError("truncated block header")
@@ -661,7 +671,14 @@ def decode(buf: bytes | memoryview) -> np.ndarray:
     dec = _DECODERS.get(cid)
     if dec is None:
         raise CodecError(f"unknown codec id {cid}")
-    return dec(mv[HEADER_SIZE:], n)
+    try:
+        return dec(mv[HEADER_SIZE:], n)
+    except CodecError:
+        raise
+    except (
+        _struct.error, _zlib.error, ValueError, IndexError, OverflowError, MemoryError
+    ) as e:
+        raise CodecError(f"malformed {CODEC_NAMES[cid]} payload: {e}") from e
 
 
 def codec_of(buf: bytes | memoryview) -> str:
