@@ -239,13 +239,30 @@ def encode(
     allow_fsst: bool = True,
     salt_partitions: int | None = None,
     effort: str = "balanced",
+    id_col: str = "doc_id",
+    tokens_col: str = "tokens",
+    group_col: str | None = "source",
 ) -> DataFrame:
     """Encode a (doc_id, tokens, n_tok, source) DataFrame into blocks.
 
     ``salt_partitions``: repartition by (source, salt) first — salting
     defeats source-key skew (the dominant `textish` source, north_rule)
     while keeping blocks source-homogeneous for codec fit.
+
+    ``id_col`` / ``tokens_col`` / ``group_col`` generalize the input
+    shape: any table with a unique key and an ``array<int>`` column
+    encodes (the key is cast to string; ``group_col=None`` puts the
+    whole table in one codec group).  Output block schema is canonical
+    regardless.
     """
+    cols = [
+        F.col(id_col).cast("string").alias("doc_id"),
+        F.col(tokens_col).cast("array<int>").alias("tokens"),
+        F.size(F.col(tokens_col)).cast("int").alias("n_tok"),
+        (F.col(group_col) if group_col else F.lit("default")).alias("source"),
+    ]
+    if (id_col, tokens_col, group_col) != ("doc_id", "tokens", "source"):
+        df = df.select(*cols)
     if salt_partitions:
         # salt cardinality ~8x the partition count: with only ~1 salt per
         # partition the (source, salt) combos hash lumpily; oversampling

@@ -230,3 +230,20 @@ def test_tokengen_spark_matches_local(spark):
     assert len(rows) == 500
     for i in (0, 1, 137, 499):
         assert rows[doc_id[i]] == flat[off[i] : off[i + 1]].tolist()
+
+
+def test_encode_arbitrary_schema(spark):
+    """Any table with a key + array<int> column encodes: custom column
+    names, no group column (single codec group), int key."""
+    rows = [(i, [i % 7, i % 7, i % 7, i * 3]) for i in range(200)]
+    df = spark.createDataFrame(rows, "seq_id long, ids array<int>")
+    enc = engine.encode(
+        df, target_block_values=1 << 10,
+        id_col="seq_id", tokens_col="ids", group_col=None,
+    )
+    assert enc.select("source").distinct().collect()[0].source == "default"
+    dec = engine.decode(enc)
+    got = {r.doc_id: r.tokens for r in dec.collect()}
+    assert len(got) == 200
+    for i in range(200):
+        assert got[str(i)] == [i % 7, i % 7, i % 7, i * 3]
