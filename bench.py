@@ -67,25 +67,38 @@ def main() -> None:
     # warmup (untimed): spin up Python workers + JIT the encode path
     engine.encode(tokens.limit(20_000)).agg(F.sum("meta.enc_bytes")).collect()
 
+    def timed_pre(name: str, fn, reps: int = 2):
+        best = 1e9
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            fn()
+            best = min(best, time.perf_counter() - t0)
+        queries[name] = round(best, 3)
+        return best
+
     # ---- q_encode: full encode to parquet (the headline).  Input is
     # hash-distributed (doc_id order), so no salting needed — blocks are
     # source-homogeneous regardless because the encoder groups per batch.
-    t0 = time.perf_counter()
-    enc = engine.encode(tokens)
-    enc.write.mode("overwrite").option("compression", "none").parquet(enc_path)
-    dt = time.perf_counter() - t0
-    queries["q_encode"] = round(dt, 3)
+    # best-of-2 like everything else: this host shows extreme drift.
+    dt = timed_pre(
+        "q_encode",
+        lambda: engine.encode(tokens)
+        .write.mode("overwrite")
+        .option("compression", "none")
+        .parquet(enc_path),
+    )
     extras["encode_tokens_per_sec"] = int(n_values / dt)
 
     # ---- q_encode_skewed_salted: worst-case input clustered by source
     # (one giant textish run) → salted repartition restores balance
     # (north_rule: skew handled explicitly)
-    t0 = time.perf_counter()
     skewed = tokens.repartitionByRange(max(cpus // 2, 4), "source", "doc_id")
-    engine.encode(skewed, salt_partitions=cpus * 2).agg(
-        F.sum("meta.enc_bytes")
-    ).collect()
-    queries["q_encode_skewed_salted"] = round(time.perf_counter() - t0, 3)
+    timed_pre(
+        "q_encode_skewed_salted",
+        lambda: engine.encode(skewed, salt_partitions=cpus * 2)
+        .agg(F.sum("meta.enc_bytes"))
+        .collect(),
+    )
 
     encoded = spark.read.parquet(enc_path)
     row = encoded.agg(
