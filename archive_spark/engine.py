@@ -37,6 +37,7 @@ TOKENS_SCHEMA = "doc_id string, tokens array<int>, n_tok int, source string"
 
 ENCODED_SCHEMA = (
     "block_id string, source string, doc_ids array<string>, "
+    "doc_min string, doc_max string, "
     "payload binary, lengths_payload binary, "
     "meta struct<codec:string, n_values:bigint, n_docs:int, "
     "raw_bytes:bigint, enc_bytes:bigint, params:map<string,string>>"
@@ -182,16 +183,26 @@ def _make_encoder(target_block_values: int, allow_fsst: bool, effort: str = "bal
                 ],
                 names=["codec", "n_values", "n_docs", "raw_bytes", "enc_bytes", "params"],
             )
+            # doc_id zone maps: min/max per block land in parquet
+            # column stats, so a targeted decode's range predicate
+            # prunes row groups at the SCAN (the arrays_overlap block
+            # filter then prunes exactly)
+            import pyarrow.compute as pc
+
+            mm = [pc.min_max(r["docs"]) for r in rows]
             return pa.RecordBatch.from_arrays(
                 [
                     pa.array([r["block_id"] for r in rows], pa.string()),
                     pa.array([r["source"] for r in rows], pa.string()),
                     pa.ListArray.from_arrays(pa.array(blk_offsets, pa.int32()), doc_flat),
+                    pa.array([m["min"].as_py() for m in mm], pa.string()),
+                    pa.array([m["max"].as_py() for m in mm], pa.string()),
                     pa.array([r["payload"] for r in rows], pa.binary()),
                     pa.array([r["lengths_payload"] for r in rows], pa.binary()),
                     meta,
                 ],
-                names=["block_id", "source", "doc_ids", "payload", "lengths_payload", "meta"],
+                names=["block_id", "source", "doc_ids", "doc_min", "doc_max",
+                       "payload", "lengths_payload", "meta"],
             )
 
         for batch in it:
@@ -387,6 +398,15 @@ def decode(
     silent payload corruption without needing the original table.
     """
     if targets:
+        # two-level pruning: a SIMPLE range predicate on the doc_min /
+        # doc_max zone-map columns pushes into the parquet scan (row
+        # groups whose stats exclude every target are never read), then
+        # arrays_overlap prunes the surviving blocks exactly
+        ts = sorted(targets)
+        if "doc_min" in df_encoded.columns:
+            df_encoded = df_encoded.filter(
+                (F.col("doc_min") <= F.lit(ts[-1])) & (F.col("doc_max") >= F.lit(ts[0]))
+            )
         tlits = F.array(*[F.lit(t) for t in targets])
         df_encoded = df_encoded.filter(F.arrays_overlap(F.col("doc_ids"), tlits))
     out = df_encoded.mapInArrow(

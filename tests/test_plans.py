@@ -160,3 +160,13 @@ def test_encode_plan_has_no_shuffle_unsalted(spark):
     df = token_table(spark, 1_000, seed=5)
     plan = plan_of(engine.encode(df))
     assert "Exchange" not in plan, plan
+
+
+def test_targeted_decode_pushes_zone_map_to_scan(spark, encoded_path):
+    """The doc_min/doc_max range predicate must reach the parquet scan
+    (PushedFilters) — row groups whose stats exclude every target are
+    skipped before any bytes are read."""
+    df = engine.decode(spark.read.parquet(encoded_path), targets=["zzz"])
+    plan = plan_of(df)
+    pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln]
+    assert pushed and "doc_min" in pushed[0] and "doc_max" in pushed[0], plan
