@@ -12,11 +12,19 @@ and explicit partitioning/skew handling.
 
 Layout:
   codecs/    pure-numpy codec kernels + block format + auto-selector
-  engine.py  Spark encode/decode paths (mapInArrow), verification
+  engine.py  Spark encode/decode paths (mapInArrow), verification,
+             per-block CRC-32 + doc-id/token zone maps
   tokengen.py deterministic synthetic token tables (FIXTURES.md profiles)
   checkpoint.py resumable shard-at-a-time encode job with a ledger
+  table.py   snapshot tables: atomic O_EXCL commits, append lineage,
+             time travel over plain parquet
   analytics.py  metadata analytics over encoded tables (SURVEY.md §2.6)
-  pipeline_ops.py training-data pipeline ops (dedup, text stats, ANN)
+  pipeline_ops.py training-data pipeline ops (dedup incl. MinHash-LSH /
+             SimHash / embedding near-dup, ANN with k-means IVF,
+             as-of + range joins, language ID, quality signals)
+  streaming.py  Structured Streaming encode/decode, stateful stats,
+             watermarked windows, bounded-state dedup
+  multimodal.py binary media columns; real BMP/WAV container decode
 """
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"
