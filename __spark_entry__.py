@@ -274,6 +274,19 @@ def _q_dedup_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_neardup_pairs(emb, threshold=0.35).select("vec_a", "vec_b")
 
 
+def _q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-hash document fingerprints: injective on this corpus, so
+    distinct-fingerprint count equals distinct-text count — which DuckDB
+    derives INDEPENDENTLY from the raw text."""
+    from archive_spark.pipeline_ops import doc_fingerprints
+
+    fp = doc_fingerprints(_docs(spark, sf_dir))
+    return fp.agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.countDistinct("fingerprint").cast("bigint").alias("n_distinct"),
+    )
+
+
 def _q_quality_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source quality-signal aggregates (integer-valued so the
     DuckDB oracle hash-compares exactly)."""
@@ -795,6 +808,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding_neardup": _q_dedup_embedding_neardup,
         "lang_detect": _q_lang_detect,
         "quality_counts": _q_quality_counts,
+        "doc_fingerprints": _q_doc_fingerprints,
         "token_count_by_source": _q_token_count_by_source,
         "lang_quality": _q_lang_quality,
         "minhash_lsh_pairs": _q_minhash_lsh_pairs,
@@ -893,6 +907,10 @@ def oracle_sql() -> dict[str, str]:
             "ORDER BY vec_a, vec_b"
         ),
         "lang_detect": _lang_detect_oracle(),
+        "doc_fingerprints": (
+            "SELECT count(*)::BIGINT AS n_docs, "
+            "count(DISTINCT text)::BIGINT AS n_distinct FROM documents"
+        ),
         "stream_running_stats": (
             "SELECT source, count(*)::BIGINT AS n_blocks, "
             "SUM(raw_bytes)::BIGINT AS raw_bytes, SUM(enc_bytes)::BIGINT AS enc_bytes "
