@@ -287,6 +287,14 @@ def _q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_top_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary heavy hitters: exact top-20 words (the sketch-based
+    scale path is pytest-pinned equal to this exact operator)."""
+    from archive_spark.pipeline_ops import top_k_words_exact
+
+    return top_k_words_exact(_docs(spark, sf_dir), k=20)
+
+
 def _q_quality_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source quality-signal aggregates (integer-valued so the
     DuckDB oracle hash-compares exactly)."""
@@ -809,6 +817,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_detect": _q_lang_detect,
         "quality_counts": _q_quality_counts,
         "doc_fingerprints": _q_doc_fingerprints,
+        "top_words": _q_top_words,
         "token_count_by_source": _q_token_count_by_source,
         "lang_quality": _q_lang_quality,
         "minhash_lsh_pairs": _q_minhash_lsh_pairs,
@@ -907,6 +916,13 @@ def oracle_sql() -> dict[str, str]:
             "ORDER BY vec_a, vec_b"
         ),
         "lang_detect": _lang_detect_oracle(),
+        "top_words": (
+            "SELECT word, n, rank FROM ("
+            "SELECT word, count(*)::BIGINT AS n, "
+            "row_number() OVER (ORDER BY count(*) DESC, word)::BIGINT AS rank "
+            "FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents) "
+            "GROUP BY word) WHERE rank <= 20 ORDER BY rank"
+        ),
         "doc_fingerprints": (
             "SELECT count(*)::BIGINT AS n_docs, "
             "count(DISTINCT text)::BIGINT AS n_distinct FROM documents"

@@ -318,6 +318,72 @@ def doc_fingerprints(docs: DataFrame) -> DataFrame:
     return docs.select("doc_id", fp.alias("fingerprint"))
 
 
+def top_k_words_exact(docs: DataFrame, k: int = 20) -> DataFrame:
+    """Exact top-k most frequent words (vocabulary heavy hitters):
+    explode → two-level count (map-side partial combine) → top-k.
+    Deterministic tie-break on the word itself."""
+    w = Window.orderBy(F.desc("n"), F.col("word"))
+    return (
+        docs.select(F.explode(F.split("text", " ")).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").cast("bigint").alias("n"))
+        .withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k)
+        .orderBy("rank")
+    )
+
+
+def top_k_words_sketch(docs: DataFrame, k: int = 20, oversample: int = 8) -> DataFrame:
+    """Scale-path heavy hitters: per-partition candidate generation (a
+    SpaceSaving-style local top-(k×oversample) in one numpy pass per
+    Arrow batch group) followed by an exact recount of the candidate
+    union — the standard two-pass MapReduce trick.  The global top-k is
+    exact whenever every true heavy hitter is a local candidate
+    somewhere (guaranteed for frequencies ≥ 1/(k·oversample) of any
+    partition; pytest pins equality with the exact operator).  Shuffles
+    only O(partitions × k × oversample) candidate rows plus the recount
+    of |candidates| words — never the full token stream."""
+    import pyarrow as pa
+    from typing import Iterator
+
+    limit = k * oversample
+
+    def local_top(it: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        import collections
+
+        counts: collections.Counter = collections.Counter()
+        for batch in it:
+            texts = batch.column("text").to_pylist()
+            for t in texts:
+                counts.update(t.split(" "))
+        top = counts.most_common(limit)
+        if top:
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array([w for w, _ in top], pa.string()),
+                    pa.array([int(c) for _, c in top], pa.int64()),
+                ],
+                names=["word", "n_local"],
+            )
+
+    cand = (
+        docs.select("text")
+        .mapInArrow(local_top, "word string, n_local long")
+        .select("word")
+        .distinct()
+    )
+    w = Window.orderBy(F.desc("n"), F.col("word"))
+    return (
+        docs.select(F.explode(F.split("text", " ")).alias("word"))
+        .join(F.broadcast(cand), "word")
+        .groupBy("word")
+        .agg(F.count("*").cast("bigint").alias("n"))
+        .withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k)
+        .orderBy("rank")
+    )
+
+
 # ---------------------------------------------------------------------------
 # as-of join (an operator Spark lacks natively)
 # ---------------------------------------------------------------------------

@@ -333,3 +333,11 @@ def test_ivf_training_reduces_quantization_error(spark, emb):
     C2 = po.ivf_train_centroids(emb, 8, iters=2)
     assert C2.shape == (8, X.shape[1])
     assert objective(C2) >= objective(C0) - 1e-9, (objective(C0), objective(C2))
+
+
+def test_heavy_hitter_sketch_equals_exact(spark, docs):
+    """The candidate-union + exact-recount sketch must reproduce the
+    exact top-k on the zipf-ish vocabulary."""
+    exact = [(r.word, r.n) for r in po.top_k_words_exact(docs, k=15).collect()]
+    sketch = [(r.word, r.n) for r in po.top_k_words_sketch(docs, k=15).collect()]
+    assert sketch == exact
