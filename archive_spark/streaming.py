@@ -151,6 +151,49 @@ def windowed_event_counts(
     )
 
 
+def start_encode_snapshot_sink(
+    encoded_stream: DataFrame,
+    table_dir: str,
+    checkpoint_dir: str,
+    available_now: bool = True,
+):
+    """Stream encoded blocks into a snapshot table (table.py): each
+    micro-batch commits as an append snapshot whose id is the batch id,
+    so a replayed batch (after a crash between sink write and offset
+    commit) hits CommitConflict and is skipped — exactly-once appends
+    on top of the O_EXCL manifest, the foreachBatch idempotent-sink
+    pattern from the Structured Streaming guide."""
+    from . import table as snap_table
+
+    def commit_batch(df: DataFrame, batch_id: int) -> None:
+        import os
+        import shutil
+
+        sid = f"batch-{batch_id:012d}"
+        try:
+            snap_table.read_manifest(table_dir, sid)
+            return  # replayed micro-batch: already committed
+        except FileNotFoundError:
+            pass
+        # a crash between data write and manifest publish leaves an
+        # uncommitted partial dir — invisible to readers; clear it so
+        # the replay's errorifexists write succeeds
+        shutil.rmtree(os.path.join(table_dir, "data", sid), ignore_errors=True)
+        try:
+            snap_table.commit(df, table_dir, mode="append", snapshot_id=sid)
+        except snap_table.CommitConflict:
+            pass  # lost a concurrent-replay race: already committed
+
+    w = (
+        encoded_stream.writeStream.foreachBatch(commit_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        w = w.trigger(availableNow=True)
+    return w.start()
+
+
 def dedup_stream(
     stream: DataFrame,
     keys: list[str],

@@ -195,3 +195,43 @@ def test_dedup_stream_drops_repeats_within_watermark(spark, tmp_path):
     got = spark.read.parquet(out)
     assert got.count() == 200
     assert got.select("event_id").distinct().count() == 200
+
+
+def test_snapshot_sink_exactly_once_across_restart(spark, tmp_path):
+    """Micro-batches commit as append snapshots; restarting the stream
+    after more files arrive appends only the NEW batches (batch-id
+    snapshot ids + O_EXCL manifests = exactly-once), and the table union
+    decodes bit-identically."""
+    from archive_spark import table as snap_table
+
+    src = str(tmp_path / "ssrc")
+    tdir = str(tmp_path / "stable")
+    ck = str(tmp_path / "sck")
+    d1 = token_table(spark, 300, seed=21)
+    d1.write.mode("append").parquet(src)
+
+    def run():
+        stream = streaming.read_token_stream(spark, src)
+        enc = streaming.encode_stream(stream, target_block_values=1 << 13)
+        q = streaming.start_encode_snapshot_sink(enc, tdir, ck)
+        q.awaitTermination(240)
+
+    run()
+    n1 = len(snap_table.snapshots(tdir))
+    assert n1 >= 1
+    assert engine.decode(snap_table.read(spark, tdir)).count() == 300
+
+    d2 = token_table(spark, 500, seed=21).join(
+        d1.select("doc_id"), "doc_id", "left_anti"
+    )
+    d2.write.mode("append").parquet(src)
+    run()  # restart from the same checkpoint
+    assert len(snap_table.snapshots(tdir)) > n1
+    decoded = engine.decode(snap_table.read(spark, tdir))
+    assert decoded.count() == 500
+    rep = engine.roundtrip_report(d1.union(d2), decoded).collect()[0]
+    assert rep.n_mismatch == 0 and rep.n_decoded == 500
+    # a third run with nothing new appends nothing
+    n2 = len(snap_table.snapshots(tdir))
+    run()
+    assert len(snap_table.snapshots(tdir)) == n2
