@@ -183,6 +183,41 @@ def read(
     return spark.read.parquet(*paths)
 
 
+def compact(
+    spark: SparkSession,
+    table_dir: str,
+    target_partitions: int | None = None,
+    parquet_codec: str = "snappy",
+) -> str:
+    """Rewrite the current snapshot's (possibly many small) files into
+    one fresh overwrite snapshot — the maintenance pass for tables built
+    from many streaming/append micro-commits.  Old snapshots remain
+    readable until ``expire_snapshots``."""
+    df = read(spark, table_dir)
+    if target_partitions:
+        df = df.coalesce(target_partitions)
+    return commit(df, table_dir, mode="overwrite", parquet_codec=parquet_codec)
+
+
+def expire_snapshots(table_dir: str, keep_last: int = 1) -> list[str]:
+    """Drop all but the newest ``keep_last`` snapshots' manifests, then
+    vacuum data dirs nothing references anymore (Iceberg's
+    expire_snapshots + remove_orphan_files pair).  The current snapshot
+    is always kept."""
+    snaps = snapshots(table_dir)
+    current = current_snapshot_id(table_dir)
+    keep = {s.snapshot_id for s in snaps[-keep_last:]} | ({current} if current else set())
+    removed = []
+    for s in snaps:
+        if s.snapshot_id not in keep:
+            os.unlink(
+                os.path.join(_manifest_dir(table_dir), f"snapshot-{s.snapshot_id}.json")
+            )
+            removed.append(s.snapshot_id)
+    vacuum(table_dir)
+    return removed
+
+
 def vacuum(table_dir: str) -> list[str]:
     """Delete data dirs not referenced by any committed manifest (crash
     orphans from failed commits).  Returns the removed dirs."""

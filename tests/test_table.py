@@ -132,3 +132,28 @@ def test_incremental_append_job(spark, tokens, tmp_path):
     assert old.count() == 500
     # read_encoded resolves through the manifest too
     assert engine.decode(checkpoint.read_encoded(spark, out)).count() == 700
+
+
+def test_compact_and_expire(spark, tokens, tmp_path):
+    """Many small append snapshots → compact rewrites them into one;
+    expire_snapshots drops old manifests and vacuums their data dirs,
+    leaving the compacted table bit-identical."""
+    t = str(tmp_path / "maint")
+    chunks = [tokens.filter(F.pmod(F.xxhash64("doc_id"), F.lit(3)) == i) for i in range(3)]
+    table.commit(chunks[0], t)
+    for c in chunks[1:]:
+        table.commit(c, t, mode="append")
+    assert len(table.snapshots(t)) == 3
+    sid = table.compact(spark, t, target_partitions=2)
+    assert table.current_snapshot_id(t) == sid
+    assert table.read(spark, t).count() == 500
+    removed = table.expire_snapshots(t, keep_last=1)
+    assert len(removed) == 3  # the three pre-compaction snapshots
+    assert [s.snapshot_id for s in table.snapshots(t)] == [sid]
+    # their data dirs are gone, the compacted data intact + identical
+    import os
+    assert len(os.listdir(os.path.join(t, "data"))) == 1
+    rep = engine.roundtrip_report(
+        tokens.withColumnRenamed("x", "x"), table.read(spark, t)
+    ).collect()[0]
+    assert rep.n_docs == 500 and rep.n_mismatch == 0
