@@ -37,7 +37,7 @@ TOKENS_SCHEMA = "doc_id string, tokens array<int>, n_tok int, source string"
 
 ENCODED_SCHEMA = (
     "block_id string, source string, doc_ids array<string>, "
-    "doc_min string, doc_max string, "
+    "doc_min string, doc_max string, vmin long, vmax long, "
     "payload binary, lengths_payload binary, "
     "meta struct<codec:string, n_values:bigint, n_docs:int, "
     "raw_bytes:bigint, enc_bytes:bigint, params:map<string,string>>"
@@ -197,12 +197,14 @@ def _make_encoder(target_block_values: int, allow_fsst: bool, effort: str = "bal
                     pa.ListArray.from_arrays(pa.array(blk_offsets, pa.int32()), doc_flat),
                     pa.array([m["min"].as_py() for m in mm], pa.string()),
                     pa.array([m["max"].as_py() for m in mm], pa.string()),
+                    pa.array([int(r["params"]["vmin"]) for r in rows], pa.int64()),
+                    pa.array([int(r["params"]["vmax"]) for r in rows], pa.int64()),
                     pa.array([r["payload"] for r in rows], pa.binary()),
                     pa.array([r["lengths_payload"] for r in rows], pa.binary()),
                     meta,
                 ],
                 names=["block_id", "source", "doc_ids", "doc_min", "doc_max",
-                       "payload", "lengths_payload", "meta"],
+                       "vmin", "vmax", "payload", "lengths_payload", "meta"],
             )
 
         for batch in it:
@@ -421,11 +423,16 @@ def decode_token_range(df_encoded: DataFrame, lo: int, hi: int) -> DataFrame:
     """Decode only docs containing a token in [lo, hi].
 
     Zone-map pruning: blocks whose (vmin, vmax) stats don't overlap the
-    range are skipped *before* the decode UDF (Iceberg-style min/max scan
-    pruning, applied to our own block statistics); surviving docs are
+    range are skipped *before* the decode UDF — and because vmin/vmax
+    are plain top-level long columns, the predicate also pushes into the
+    parquet scan (row-group stats pruning), Iceberg-style min/max
+    pruning applied to our own block statistics.  Surviving docs are
     post-filtered with a JVM-side `exists`."""
-    vmin = F.element_at(F.col("meta.params"), "vmin").cast("long")
-    vmax = F.element_at(F.col("meta.params"), "vmax").cast("long")
+    if "vmin" in df_encoded.columns:
+        vmin, vmax = F.col("vmin"), F.col("vmax")
+    else:  # legacy layout: stats only in the params map
+        vmin = F.element_at(F.col("meta.params"), "vmin").cast("long")
+        vmax = F.element_at(F.col("meta.params"), "vmax").cast("long")
     pruned = df_encoded.filter((vmin <= F.lit(hi)) & (vmax >= F.lit(lo)))
     out = pruned.mapInArrow(_decode_batches, TOKENS_SCHEMA)
     return out.filter(

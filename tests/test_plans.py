@@ -170,3 +170,12 @@ def test_targeted_decode_pushes_zone_map_to_scan(spark, encoded_path):
     plan = plan_of(df)
     pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln]
     assert pushed and "doc_min" in pushed[0] and "doc_max" in pushed[0], plan
+
+
+def test_token_range_zone_map_pushes_to_scan(spark, encoded_path):
+    """vmin/vmax are top-level columns, so the token-range predicate
+    reaches the parquet row-group stats too."""
+    df = engine.decode_token_range(spark.read.parquet(encoded_path), 10, 20)
+    plan = plan_of(df)
+    pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln]
+    assert pushed and "vmin" in pushed[0] and "vmax" in pushed[0], plan
