@@ -468,7 +468,8 @@ def _q_stream_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination()
+    q.awaitTermination(600)  # availableNow finishes in seconds; bounded
+    q.stop()
     return spark.read.parquet(f"{scratch}/out").orderBy("window_start", "event_type")
 
 
@@ -507,7 +508,8 @@ def _q_stream_running_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination()
+    q.awaitTermination(600)  # availableNow finishes in seconds; bounded
+    q.stop()
     # update mode emits one running-total row per source per micro-batch;
     # totals are monotone, so max() per source = the final state
     return (
