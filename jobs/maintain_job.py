@@ -1,0 +1,52 @@
+"""spark-submit entry point: snapshot-table maintenance.
+
+Usage:
+  spark-submit --py-files dist/archive_spark.zip jobs/maintain_job.py \
+      --table /path/to/table [--compact] [--target-partitions N] \
+      [--expire-keep-last K] [--vacuum]
+
+Compacts the current snapshot's small files (streaming micro-commits)
+into one overwrite snapshot, expires old snapshot manifests, and/or
+vacuums unreferenced data dirs (crash orphans).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--table", required=True)
+    ap.add_argument("--compact", action="store_true")
+    ap.add_argument("--target-partitions", type=int, default=None)
+    ap.add_argument("--expire-keep-last", type=int, default=None)
+    ap.add_argument("--vacuum", action="store_true")
+    args = ap.parse_args()
+
+    from pyspark.sql import SparkSession
+
+    from archive_spark import table
+
+    spark = SparkSession.builder.appName("archive_spark_maintain").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    out: dict[str, object] = {"table": args.table}
+    if args.compact:
+        out["compacted_snapshot"] = table.compact(
+            spark, args.table, target_partitions=args.target_partitions
+        )
+    if args.expire_keep_last is not None:
+        out["expired"] = table.expire_snapshots(
+            args.table, keep_last=args.expire_keep_last
+        )
+    if args.vacuum:
+        out["vacuumed"] = table.vacuum(args.table)
+    out["snapshots"] = [s.snapshot_id for s in table.snapshots(args.table)]
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
