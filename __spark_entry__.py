@@ -274,6 +274,78 @@ def _q_dedup_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_neardup_pairs(emb, threshold=0.35).select("vec_a", "vec_b")
 
 
+def _q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full near-dup pipeline to its production endpoint: MinHash-LSH
+    candidates → exact n-gram-Jaccard verify → transitive CLUSTERS with
+    keeper assignment (min-label propagation).  The verified pair table
+    is persisted; the DuckDB oracle recomputes connected components over
+    the same pairs with a recursive CTE — an entirely different
+    algorithm validating the label-propagation fixpoint."""
+    from archive_spark.pipeline_ops import (
+        minhash_lsh_candidates,
+        neardup_clusters,
+        ngram_jaccard,
+    )
+
+    docs = _docs(spark, sf_dir)
+    cands = minhash_lsh_candidates(docs, n_perm=16, bands=4)
+    verified = (
+        ngram_jaccard(docs, cands, k=3)
+        .filter(F.col("jaccard") >= 0.5)
+        .select("doc_a", "doc_b")
+    )
+    pairs_path = _persist(verified, "neardup_pairs", sf_dir)
+    # read the persisted pairs back: the LSH+verify pipeline runs once
+    # (the write), not once per label-propagation iteration
+    out = neardup_clusters(spark.read.parquet(pairs_path))
+    return out.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.col("cluster_id").cast("bigint").alias("cluster_id"),
+        "is_keeper",
+    ).orderBy("doc_id")
+
+
+def _q_dedup_embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB embedding near-dup path under the oracle: hyperplane-
+    LSH-bucketed candidate pairs (exact-verified against the threshold),
+    with measured recall vs the exact all-pairs result.  The LSH pairs
+    are persisted; DuckDB recomputes the exact pair set independently
+    and both counts (LSH pairs are verified, hence a subset — recall =
+    n_lsh_pairs / n_exact_pairs)."""
+    from archive_spark.pipeline_ops import embedding_neardup_pairs
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").filter(
+        F.col("vec_id") < 300
+    )
+    lsh = embedding_neardup_pairs(emb, threshold=0.35, n_planes=4).select(
+        "vec_a", "vec_b"
+    )
+    lsh_path = _persist(lsh, "emb_lsh_pairs", sf_dir)
+    exact_n = embedding_neardup_pairs(emb, threshold=0.35, n_planes=0).agg(
+        F.count("*").cast("bigint").alias("n_exact_pairs")
+    )
+    lsh_n = spark.read.parquet(lsh_path).agg(
+        F.count("*").cast("bigint").alias("n_lsh_pairs")
+    )
+    return lsh_n.crossJoin(exact_n)
+
+
+def _q_decode_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CRC-verified decode under the driver signal (rezip.Test's
+    ``unzip -t`` integrity pass, rezip/rezip.go:123-151): every block's
+    decoded values are checked against the CRC-32 stored at encode time,
+    then the decoded token counts must equal the word counts DuckDB
+    derives from the raw text.  The negative path (flipped payload byte
+    → CodecError) is pytest-pinned."""
+    from archive_spark import engine
+
+    out = engine.decode(_encoded(spark, sf_dir), verify_checksum=True)
+    return out.agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("n_tok").cast("bigint").alias("n_tokens"),
+    )
+
+
 def _q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rolling-hash document fingerprints: injective on this corpus, so
     distinct-fingerprint count equals distinct-text count — which DuckDB
@@ -633,8 +705,13 @@ def _q_events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = spark.read.parquet(f"{sf_dir}/events.parquet")
     clicks = e.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts")
-    views = e.filter(F.col("event_type") == "view").select(
-        "user_id", "ts", F.col("event_id").alias("view_id")
+    # pre-dedupe right on (user_id, ts), keep-max(event_id): both engines'
+    # ASOF tie pick among duplicate right timestamps is arbitrary, so the
+    # keep-rule is pinned here and mirrored in the oracle SQL (ADVICE r2)
+    views = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("view_id"))
     )
     out = asof_join(clicks, views, on="ts", by=["user_id"], right_cols=["view_id"])
     return out.select(
@@ -645,7 +722,12 @@ def _q_events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q_orders_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bucketed range join (the bin trick — no BroadcastNestedLoopJoin):
     orders joined to month intervals they fall in, counted per interval.
-    Oracle is DuckDB's plain range-predicate join."""
+    Oracle is DuckDB's plain range-predicate join.
+
+    Scale posture (VERDICT r2 #3): the month-bucket key alone has ~#months
+    cardinality, so the interval side is salted ×16 (every point-bucket
+    reducer splits 16 ways); ``bucket_width`` is passed explicitly (≈31
+    days) so no third scan of orders is needed to derive it."""
     from archive_spark.pipeline_ops import range_join
 
     o = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
@@ -660,7 +742,9 @@ def _q_orders_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.unix_timestamp(F.add_months(F.col("m"), 1)).cast("long").alias("end"),
         )
     )
-    out = range_join(o, months, "t", "start", "end")
+    out = range_join(
+        o, months, "t", "start", "end", bucket_width=86_400 * 31, n_salt=16
+    )
     return (
         out.groupBy("start")
         .agg(F.count("*").cast("bigint").alias("n_orders"))
@@ -816,6 +900,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_prefix_groups": _q_dedup_prefix_groups,
         "dedup_exact_groups": _q_dedup_exact_groups,
         "dedup_embedding_neardup": _q_dedup_embedding_neardup,
+        "dedup_embedding_neardup_lsh": _q_dedup_embedding_neardup_lsh,
+        "dedup_clusters": _q_dedup_clusters,
+        "decode_verified": _q_decode_verified,
         "lang_detect": _q_lang_detect,
         "quality_counts": _q_quality_counts,
         "doc_fingerprints": _q_doc_fingerprints,
@@ -917,6 +1004,36 @@ def oracle_sql() -> dict[str, str]:
             "WHERE list_cosine_similarity(a.v, b.v) >= 0.35 "
             "ORDER BY vec_a, vec_b"
         ),
+        "dedup_embedding_neardup_lsh": (
+            "WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v "
+            "FROM embeddings WHERE vec_id < 300), "
+            "exact AS (SELECT count(*)::BIGINT AS n FROM e a "
+            "JOIN e b ON a.vec_id < b.vec_id "
+            "WHERE list_cosine_similarity(a.v, b.v) >= 0.35) "
+            "SELECT (SELECT count(*)::BIGINT "
+            f"FROM read_parquet('{_opath('emb_lsh_pairs')}')) AS n_lsh_pairs, "
+            "(SELECT n FROM exact) AS n_exact_pairs"
+        ),
+        "dedup_clusters": (
+            # connected components via recursive CTE (different algorithm
+            # than Spark's label propagation): reach = every (node,
+            # reachable-node) pair; min over reach = cluster id
+            "WITH RECURSIVE "
+            f"p AS (SELECT doc_a, doc_b FROM read_parquet('{_opath('neardup_pairs')}')), "
+            "edges AS (SELECT doc_a AS s, doc_b AS d FROM p "
+            "UNION SELECT doc_b, doc_a FROM p), "
+            "reach(id, lbl) AS ("
+            "SELECT DISTINCT s, s FROM edges "
+            "UNION "
+            "SELECT e.d, r.lbl FROM reach r JOIN edges e ON e.s = r.id) "
+            "SELECT id::BIGINT AS doc_id, min(lbl)::BIGINT AS cluster_id, "
+            "(id = min(lbl)) AS is_keeper "
+            "FROM reach GROUP BY id ORDER BY doc_id"
+        ),
+        "decode_verified": (
+            "SELECT count(*)::BIGINT AS n_docs, "
+            "SUM(len(string_split(text, ' ')))::BIGINT AS n_tokens FROM documents"
+        ),
         "lang_detect": _lang_detect_oracle(),
         "top_words": (
             "SELECT word, n, rank FROM ("
@@ -966,8 +1083,8 @@ def oracle_sql() -> dict[str, str]:
             "SELECT l.event_id, l.user_id, r.event_id AS prior_view_id "
             "FROM (SELECT event_id, user_id, ts FROM events "
             "WHERE event_type = 'click') l "
-            "ASOF LEFT JOIN (SELECT event_id, user_id, ts FROM events "
-            "WHERE event_type = 'view') r "
+            "ASOF LEFT JOIN (SELECT user_id, ts, max(event_id) AS event_id "
+            "FROM events WHERE event_type = 'view' GROUP BY user_id, ts) r "
             "ON l.user_id = r.user_id AND l.ts >= r.ts "
             "ORDER BY l.event_id"
         ),

@@ -92,7 +92,14 @@ def skew_report(tokens_df: DataFrame) -> DataFrame:
     agg = tokens_df.groupBy("source").agg(
         F.count("*").alias("n_docs"), F.sum("n_tok").alias("n_tokens")
     )
-    total = F.sum("n_tokens").over(Window.partitionBy())
-    return agg.withColumn("token_share", F.col("n_tokens") / total).orderBy(
-        F.desc("n_tokens")
+    # crossJoin against the 1-row grand total instead of an empty-spec
+    # window: same answer, but the plan never contains a partition-less
+    # WindowExec (pattern-safe — the per-source aggregate is tiny today,
+    # and this shape stays safe if it ever isn't)
+    total = agg.agg(F.sum("n_tokens").alias("__total"))
+    return (
+        agg.crossJoin(total)
+        .withColumn("token_share", F.col("n_tokens") / F.col("__total"))
+        .drop("__total")
+        .orderBy(F.desc("n_tokens"))
     )

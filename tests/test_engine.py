@@ -247,3 +247,51 @@ def test_encode_arbitrary_schema(spark):
     assert len(got) == 200
     for i in range(200):
         assert got[str(i)] == [i % 7, i % 7, i % 7, i * 3]
+
+
+def test_decode_verify_checksum_roundtrip_and_corruption(spark):
+    """decode(verify_checksum=True): clean table passes and returns the
+    identical result; a payload byte flipped in-flight (values change,
+    codec framing intact) raises CodecError THROUGH the full Spark path
+    — the per-member CRC check of rezip.Test (rezip/rezip.go:123-151)."""
+    import pyarrow as pa
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    # high-entropy tokens -> the selector picks 'plain' (raw int32
+    # payload: any flipped body byte decodes fine but changes a value)
+    docs = spark.range(200).select(
+        F.col("id").cast("string").alias("doc_id"),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(49)),
+            lambda i: F.hash(F.col("id") * 1000 + i),
+        ).alias("tokens"),
+        F.lit(50).alias("n_tok"),
+        F.lit("rand").alias("source"),
+    )
+    enc = engine.encode(docs, target_block_values=1 << 12)
+    codecs_used = {r.codec for r in enc.select(F.col("meta.codec").alias("codec")).distinct().collect()}
+    assert codecs_used == {"plain"}, codecs_used
+
+    clean = engine.decode(enc, verify_checksum=True)
+    assert clean.agg(F.sum("n_tok")).collect()[0][0] == 200 * 50
+
+    def corrupt(it):
+        for b in it:
+            names = b.schema.names
+            pl = [
+                bytes(p[:-1]) + bytes([p[-1] ^ 0xFF])
+                for p in b.column("payload").to_pylist()
+            ]
+            arrays = [
+                pa.array(pl, pa.binary()) if n == "payload" else b.column(n)
+                for n in names
+            ]
+            yield pa.RecordBatch.from_arrays(arrays, names=names)
+
+    corrupted = enc.mapInArrow(corrupt, engine.ENCODED_SCHEMA)
+    # without verification the flip is silent (same lengths, wrong value)
+    assert engine.decode(corrupted).count() == 200
+    with _pytest.raises(Exception) as ei:
+        engine.decode(corrupted, verify_checksum=True).collect()
+    assert "CRC-32 mismatch" in str(ei.value)

@@ -341,3 +341,125 @@ def test_heavy_hitter_sketch_equals_exact(spark, docs):
     exact = [(r.word, r.n) for r in po.top_k_words_exact(docs, k=15).collect()]
     sketch = [(r.word, r.n) for r in po.top_k_words_sketch(docs, k=15).collect()]
     assert sketch == exact
+
+
+def test_doc_fingerprints_pinned_and_distinct(spark, docs):
+    """The arithmetic (string-free) rolling hash: pinned values for known
+    texts + injectivity on the corpus (the invariant the driver oracle
+    relies on)."""
+    df = spark.createDataFrame(
+        [("a", "the quick brown fox"), ("b", "the quick brown fox jumps")],
+        "doc_id string, text string",
+    )
+    got = {r.doc_id: r.fingerprint for r in po.doc_fingerprints(df).collect()}
+    assert got == {"a": -8373603293251519835, "b": 7841107884275652568}
+    agg = po.doc_fingerprints(docs).agg(
+        F.count("*").alias("n"), F.countDistinct("fingerprint").alias("d")
+    ).collect()[0]
+    n_texts = docs.select("text").distinct().count()
+    assert agg.d == n_texts
+
+
+def test_top_k_words_exact_no_global_sort(spark, docs):
+    """The exact heavy-hitter plan must be a distributed top-k
+    (TakeOrderedAndProject), never a partition-less full-vocabulary
+    window (VERDICT r2 #1)."""
+    import io
+    from contextlib import redirect_stdout
+
+    df = po.top_k_words_exact(docs, k=10)
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("simple")
+    plan = buf.getvalue()
+    assert "TakeOrderedAndProject" in plan, plan
+    # the only Window in the plan ranks the k survivors and carries an
+    # explicit (constant) partition key — partition-less WindowExec is
+    # the "move all data to one task" scale-killer this test pins out
+    for ln in plan.splitlines():
+        if "Window" in ln:
+            assert "partitionBy" not in ln or "0" in ln
+
+
+def test_asof_join_duplicate_right_ts_picks_max_payload(spark):
+    """Deterministic tie rule (ADVICE r2): duplicate right rows on
+    (by, on) resolve to the greatest right payload, every run."""
+    left = spark.createDataFrame([(1, "u", 10)], "id long, user string, ts long")
+    right = spark.createDataFrame(
+        [(100, "u", 10), (107, "u", 10), (103, "u", 10)],
+        "rid long, user string, ts long",
+    )
+    for _ in range(3):
+        out = po.asof_join(left, right, on="ts", by=["user"], right_cols=["rid"])
+        assert [r.rid_asof for r in out.collect()] == [107]
+
+
+def test_range_join_salted_equals_unsalted(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    pts = spark.createDataFrame(
+        [(int(i), int(t)) for i, t in enumerate(rng.integers(0, 1000, 500))],
+        "id long, t long",
+    )
+    iv = spark.createDataFrame(
+        [(int(s), int(s) + 120) for s in range(0, 1000, 100)], "s long, e long"
+    )
+    plain = sorted((r.id, r.s) for r in po.range_join(pts, iv, "t", "s", "e", bucket_width=100).collect())
+    salted = sorted((r.id, r.s) for r in po.range_join(pts, iv, "t", "s", "e", bucket_width=100, n_salt=8).collect())
+    assert plain == salted and len(plain) > 0
+
+
+def test_range_join_salt_spreads_join_keys(spark):
+    """With one mega-bucket and n_salt=R, the join key space must carry
+    R distinct keys (R reducers) instead of 1."""
+    pts = spark.range(1000).select(F.col("id"), F.lit(50).alias("t"))
+    iv = spark.createDataFrame([(0, 100)], "s long, e long")
+    out = po.range_join(pts, iv, "t", "s", "e", bucket_width=100, n_salt=8)
+    assert out.count() == 1000
+    # every interval-bucket is replicated once per salt
+    ivx = iv.withColumn("__bucket", F.floor(F.col("s") / 100)).withColumn(
+        "__salt", F.explode(F.array(*[F.lit(i) for i in range(8)]))
+    )
+    assert ivx.count() == 8
+
+
+def test_neardup_clusters_components_and_keepers(spark):
+    """Chain, isolated pair, and triangle resolve to min-label clusters
+    with exactly one keeper each (transitive closure, not just pairs)."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 22), (20, 22)],
+        "doc_a long, doc_b long",
+    )
+    out = {r.doc_id: (r.cluster_id, r.is_keeper) for r in po.neardup_clusters(pairs).collect()}
+    assert out == {
+        1: (1, True), 2: (1, False), 3: (1, False), 4: (1, False),
+        10: (10, True), 11: (10, False),
+        20: (20, True), 21: (20, False), 22: (20, False),
+    }
+
+
+def test_neardup_clusters_long_chain_converges(spark):
+    """A 40-node path graph (diameter 39) still converges: label
+    propagation halves the distance-to-min each round via the
+    min(self, neighbors) rule over already-propagated labels."""
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(40)], "doc_a long, doc_b long"
+    )
+    out = po.neardup_clusters(pairs, max_iter=50).collect()
+    assert {r.cluster_id for r in out} == {0}
+    assert sum(r.is_keeper for r in out) == 1
+
+
+def test_neardup_dedup_keeps_one_per_cluster(spark, docs):
+    """End-to-end: LSH candidates -> jaccard verify -> clusters ->
+    dedup keeps (corpus - non-keepers) rows."""
+    pairs = po.minhash_lsh_candidates(docs, n_perm=16, bands=4)
+    verified = po.ngram_jaccard(docs, pairs, k=3).filter(F.col("jaccard") >= 0.5)
+    clusters = po.neardup_clusters(verified.select("doc_a", "doc_b"))
+    kept = po.neardup_dedup(docs, clusters)
+    n_docs, n_clustered = docs.count(), clusters.count()
+    n_keepers = clusters.filter("is_keeper").count()
+    assert kept.count() == n_docs - (n_clustered - n_keepers)
+    # every cluster still has its keeper present
+    assert kept.join(clusters.filter("is_keeper"), "doc_id").count() == n_keepers
