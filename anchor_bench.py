@@ -1,0 +1,93 @@
+"""Order-of-magnitude regression anchor (VERDICT r2 next-round #10).
+
+Runs the core engine path — generate → encode(parquet) → decode →
+order-insensitive digest verify — at an arbitrary doc count, default
+30M docs ≈ 4.25B tokens (100× the sf0.1 bench, 10× the round-2 anchor).
+Prints ONE JSON line.  Not part of bench.py (the driver's per-round
+budget); run manually per round and record in BASELINE.md:
+
+    python anchor_bench.py --docs 30000000 --cpus 32
+
+Input generation is itself a distributed Spark job (tokengen), so the
+anchor exercises the same scan → mapInArrow encode plan the 100 TB
+deployment would run; the ledgered/sharded variant is exercised by
+tests/test_spark_submit.py at small scale.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import time
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--docs", type=int, default=30_000_000)
+    ap.add_argument("--cpus", type=int, default=32)
+    ap.add_argument("--keep", action="store_true", help="keep scratch dirs")
+    ap.add_argument("--scratch", default="/tmp/spark_graft_anchor")
+    args = ap.parse_args()
+
+    from pyspark.sql import functions as F
+
+    from archive_spark import engine
+    from archive_spark.session import get_spark
+    from archive_spark.tokengen import token_table
+
+    spark = get_spark(app="anchor", cores=args.cpus, driver_memory="64g")
+    scratch = f"{args.scratch}/{args.docs}"
+    tokens_path, enc_path = f"{scratch}/tokens", f"{scratch}/encoded"
+    out: dict[str, object] = {"metric": "anchor", "docs": args.docs}
+
+    t0 = time.perf_counter()
+    if not os.path.exists(tokens_path):
+        token_table(spark, args.docs, seed=42).write.mode("overwrite").parquet(
+            tokens_path
+        )
+    out["generate_sec"] = round(time.perf_counter() - t0, 1)
+
+    tokens = spark.read.parquet(tokens_path)
+    n_tok = tokens.agg(F.sum("n_tok")).collect()[0][0]
+    out["n_tokens"] = int(n_tok)
+
+    t0 = time.perf_counter()
+    engine.encode(tokens).write.mode("overwrite").option(
+        "compression", "none"
+    ).parquet(enc_path)
+    dt = time.perf_counter() - t0
+    out["encode_sec"] = round(dt, 1)
+    out["encode_mtok_per_sec"] = round(n_tok / dt / 1e6, 1)
+
+    enc = spark.read.parquet(enc_path)
+    row = enc.agg(
+        F.sum("meta.raw_bytes").alias("r"), F.sum("meta.enc_bytes").alias("e")
+    ).collect()[0]
+    out["compression_ratio"] = round(row.e / row.r, 4)
+    out["codec_histogram"] = {
+        r.codec: r.n
+        for r in enc.groupBy(F.col("meta.codec").alias("codec"))
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+
+    t0 = time.perf_counter()
+    d_out = engine.roundtrip_digest(engine.decode(enc)).collect()[0]
+    dt = time.perf_counter() - t0
+    out["decode_verify_sec"] = round(dt, 1)
+    out["decode_mtok_per_sec"] = round(n_tok / dt / 1e6, 1)
+    d_in = engine.roundtrip_digest(tokens).collect()[0]
+    out["digest_match"] = (d_in.n_docs, d_in.content_digest) == (
+        d_out.n_docs, d_out.content_digest
+    )
+
+    spark.stop()
+    if not args.keep:
+        shutil.rmtree(scratch, ignore_errors=True)
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

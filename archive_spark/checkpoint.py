@@ -92,11 +92,15 @@ def read_ledger(out_dir: str) -> pa.Table:
     files = []
     for f in sorted(os.listdir(d)):
         if f.startswith("."):
-            # in-flight or crash-orphaned .tmp-* writes: never published, so
-            # never part of the ledger; clean up stale ones opportunistically
+            # crash-orphaned .tmp-* writes: never published, so never part
+            # of the ledger.  Only reap OLD ones — a fresh .tmp may be a
+            # concurrent writer between write_table and rename; deleting
+            # it would make that writer's atomic publish fail (ADVICE r2)
             if f.startswith(".tmp-"):
                 try:
-                    os.unlink(os.path.join(d, f))
+                    p = os.path.join(d, f)
+                    if time.time() - os.stat(p).st_mtime > 600:
+                        os.unlink(p)
                 except OSError:
                     pass
             continue
@@ -195,10 +199,28 @@ def encode_job(
         t0 = time.time()
         # restaging changes shard membership → THIS snapshot's previously
         # encoded shard dirs are stale (e.g. an n_shards change); other
-        # snapshots' data dirs are never touched
+        # snapshots' data dirs are never touched.  If a PUBLISHED manifest
+        # already references this data dir, refuse instead of deleting —
+        # rmtree here would break time travel / leave a current manifest
+        # pointing at vanished files (ADVICE r2).  Re-encodes of published
+        # data must use a fresh snapshot_id.
         if os.path.isdir(data_dir):
             import shutil
 
+            from . import table as snap_table
+
+            rel = os.path.join("data", snapshot_id) + os.sep
+            referencing = [
+                s.snapshot_id
+                for s in snap_table.snapshots(out_dir)
+                if any(f.startswith(rel) for f in s.files)
+            ]
+            if referencing:
+                raise ValueError(
+                    f"refusing to restage {data_dir}: published snapshot(s) "
+                    f"{referencing} reference its files — re-encode under a "
+                    "fresh snapshot_id instead"
+                )
             shutil.rmtree(data_dir)
         (
             tokens_df.withColumn(

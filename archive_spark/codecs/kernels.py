@@ -139,8 +139,11 @@ def _pdelta_plan(d: np.ndarray) -> tuple[int, int, int]:
     best_w, best_cost, best_exc = 32, 1 << 62, 0
     for w in range(0, 33):
         hi = np.uint64(1) << np.uint64(w)
-        # in-frame sample values: shifted < 2^w (uint32 domain)
-        in_frame = int(np.searchsorted(shifted, hi, side="left")) if w < 32 else m
+        # in-frame sample values: shifted < 2^w (uint32 domain).  Count
+        # directly — `shifted` is NOT sorted (values below dbase wrap to
+        # huge uint32s at the FRONT of the sorted sample), so a
+        # searchsorted here mis-sizes the frame (ADVICE r2)
+        in_frame = int((shifted < hi).sum()) if w < 32 else m
         exc_frac = (m - in_frame) / m
         exc_n = int(exc_frac * n)
         cost = packed_size(n, w) + exc_n * 7  # ~7B/exception (pos+val packed)

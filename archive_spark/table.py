@@ -40,6 +40,39 @@ class CommitConflict(RuntimeError):
     """Another committer published this snapshot id first."""
 
 
+class CommitLockTimeout(RuntimeError):
+    """Could not acquire the table commit lock within the timeout."""
+
+
+def _acquire_commit_lock(
+    table_dir: str, timeout_s: float = 30.0, stale_after_s: float = 120.0
+) -> str:
+    """Serialize the read-parent → write-manifest → move-pointer critical
+    section with an O_EXCL lock file (ADVICE r2: without it two
+    concurrent committers both read the same parent and the loser's
+    files silently vanish from current lineage — fatal for a streaming
+    append racing a compaction).  A lock older than ``stale_after_s``
+    is presumed crashed and broken."""
+    lock = os.path.join(table_dir, "_commit.lock")
+    deadline = time.monotonic() + timeout_s
+    while True:
+        try:
+            fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            os.write(fd, f"{os.getpid()}:{time.time()}".encode())
+            os.close(fd)
+            return lock
+        except FileExistsError:
+            try:
+                if time.time() - os.stat(lock).st_mtime > stale_after_s:
+                    os.unlink(lock)  # crashed committer; steal the lock
+                    continue
+            except FileNotFoundError:
+                continue  # holder just released; retry immediately
+            if time.monotonic() > deadline:
+                raise CommitLockTimeout(lock)
+            time.sleep(0.02)
+
+
 @dataclass
 class Snapshot:
     snapshot_id: str
@@ -116,9 +149,9 @@ def commit(
     os.makedirs(_manifest_dir(table_dir), exist_ok=True)
 
     # O_EXCL publish happens in commit_existing (reference:
-    # rezip.Compress O_EXCL output, rezip/rezip.go:23); the current
-    # pointer moves by atomic rename — losing a pointer race is benign,
-    # both snapshots are committed and the last rename wins.
+    # rezip.Compress O_EXCL output, rezip/rezip.go:23), which serializes
+    # parent-read + pointer move under the table commit lock so
+    # concurrent commits chain instead of overwriting each other.
     df.write.mode("errorifexists").option("compression", parquet_codec).parquet(snap_data)
     return commit_existing(
         table_dir,
@@ -139,36 +172,48 @@ def commit_existing(
     """Publish a manifest over data files that already exist under
     ``table_dir`` (e.g. shard dirs written by a resumable job) — the
     atomic "this whole job committed" marker on top of per-shard
-    checkpoints.  Same O_EXCL semantics as ``commit``."""
+    checkpoints.  Same O_EXCL semantics as ``commit``.
+
+    The whole read-parent → manifest → pointer sequence runs under the
+    table commit lock, so concurrent committers serialize: each one's
+    parent is the true latest snapshot and append lineage never loses a
+    racing commit's files (ADVICE r2)."""
     snapshot_id = snapshot_id or uuid.uuid4().hex[:16]
     os.makedirs(_manifest_dir(table_dir), exist_ok=True)
-    parent = current_snapshot_id(table_dir)
-    all_files = list(files)
-    if mode == "append" and parent is not None:
-        all_files = read_manifest(table_dir, parent).files + all_files
-    manifest = Snapshot(
-        snapshot_id=snapshot_id,
-        parent_id=parent,
-        ts_us=int(time.time() * 1_000_000),
-        mode=mode,
-        files=all_files,
-        schema=schema,
-        n_files=len(all_files),
-    )
-    mpath = os.path.join(_manifest_dir(table_dir), f"snapshot-{snapshot_id}.json")
+    lock = _acquire_commit_lock(table_dir)
     try:
-        fd = os.open(mpath, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-    except FileExistsError as e:
-        raise CommitConflict(f"snapshot {snapshot_id} already committed") from e
-    with os.fdopen(fd, "w") as f:
-        json.dump(manifest.__dict__, f)
-        f.flush()
-        os.fsync(f.fileno())
-    tmp = _current_path(table_dir) + f".tmp-{uuid.uuid4().hex[:8]}"
-    with open(tmp, "w") as f:
-        f.write(snapshot_id)
-    os.rename(tmp, _current_path(table_dir))
-    return snapshot_id
+        parent = current_snapshot_id(table_dir)
+        all_files = list(files)
+        if mode == "append" and parent is not None:
+            all_files = read_manifest(table_dir, parent).files + all_files
+        manifest = Snapshot(
+            snapshot_id=snapshot_id,
+            parent_id=parent,
+            ts_us=int(time.time() * 1_000_000),
+            mode=mode,
+            files=all_files,
+            schema=schema,
+            n_files=len(all_files),
+        )
+        mpath = os.path.join(_manifest_dir(table_dir), f"snapshot-{snapshot_id}.json")
+        try:
+            fd = os.open(mpath, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError as e:
+            raise CommitConflict(f"snapshot {snapshot_id} already committed") from e
+        with os.fdopen(fd, "w") as f:
+            json.dump(manifest.__dict__, f)
+            f.flush()
+            os.fsync(f.fileno())
+        tmp = _current_path(table_dir) + f".tmp-{uuid.uuid4().hex[:8]}"
+        with open(tmp, "w") as f:
+            f.write(snapshot_id)
+        os.rename(tmp, _current_path(table_dir))
+        return snapshot_id
+    finally:
+        try:
+            os.unlink(lock)
+        except OSError:
+            pass
 
 
 def read(

@@ -19,11 +19,13 @@ def main() -> None:
 
     from pyspark.sql import SparkSession
 
-    from archive_spark import engine
+    from archive_spark import checkpoint, engine
 
     spark = SparkSession.builder.appName("archive_spark_decode").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    enc = spark.read.parquet(f"{args.input}/data")
+    # resolves published manifest → ledger snapshot → legacy flat layout
+    # (reading {input}/data directly breaks on per-snapshot data dirs)
+    enc = checkpoint.read_encoded(spark, args.input)
     targets = args.targets.split(",") if args.targets else None
     engine.decode(enc, targets=targets).write.mode("overwrite").parquet(args.output)
     spark.stop()

@@ -26,6 +26,10 @@ def main() -> None:
     ap.add_argument("--no-fsst", action="store_true")
     ap.add_argument("--no-resume", action="store_true")
     ap.add_argument("--verify", action="store_true", help="roundtrip-check after encode")
+    ap.add_argument(
+        "--publish", action="store_true",
+        help="publish an atomic snapshot-table manifest over the shard dirs",
+    )
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -46,6 +50,7 @@ def main() -> None:
         target_block_values=args.block_values,
         allow_fsst=not args.no_fsst,
         resume=not args.no_resume,
+        publish_snapshot=args.publish,
     )
     summary = {
         "snapshot_id": res.snapshot_id,

@@ -100,7 +100,13 @@ def test_stale_tmp_ledger_file_is_ignored(spark, tokens_df, tmp_path):
     assert checkpoint.completed_shards(out, SNAP) == {0, 1}
     res = checkpoint.encode_job(spark, tokens_df, out, SNAP, n_shards=2)
     assert res.shards_skipped == 2
-    assert not os.path.exists(tmp)  # opportunistically cleaned
+    # a FRESH tmp may be a concurrent writer mid-publish: must survive
+    # (ADVICE r2: eager unlink made the racing writer's rename fail)
+    assert os.path.exists(tmp)
+    # an OLD tmp is a crash orphan: reaped on the next read
+    os.utime(tmp, (1, 1))
+    checkpoint.read_ledger(out)
+    assert not os.path.exists(tmp)
 
 
 def test_n_shards_change_restages_and_reencodes(spark, tokens_df, tmp_path):
@@ -137,3 +143,25 @@ def test_snapshot_id_of_path_changes_with_content(tmp_path):
     (p / "b.parquet").write_bytes(b"yy")
     s2 = checkpoint.snapshot_id_of_path(str(p))
     assert s1 != s2
+
+
+def test_restage_refuses_to_delete_published_files(spark, tokens_df, tmp_path):
+    """A published snapshot's data files are immutable: rerunning the
+    job in a way that forces a restage (n_shards change) must REFUSE
+    rather than rmtree the dir the manifest references (ADVICE r2 —
+    rmtree broke time travel and left the current manifest dangling)."""
+    out = str(tmp_path / "enc")
+    checkpoint.encode_job(
+        spark, tokens_df, out, SNAP, n_shards=2, publish_snapshot=True
+    )
+    from archive_spark import table
+
+    before = table.read(spark, out).count()
+    with pytest.raises(ValueError, match="refusing to restage"):
+        checkpoint.encode_job(spark, tokens_df, out, SNAP, n_shards=4)
+    # published table is untouched and still readable
+    assert table.read(spark, out).count() == before
+    # a fresh snapshot_id re-encodes fine alongside the published one
+    res = checkpoint.encode_job(spark, tokens_df, out, "snap-fresh", n_shards=4)
+    assert res.shards_encoded == 4
+    assert table.read(spark, out).count() == before

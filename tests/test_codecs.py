@@ -228,3 +228,26 @@ def test_pdelta_wins_on_boundary_mixed_sorted():
     assert len(blk) < 0.15 * 4 * v.size  # ~3-4 bits/value + exceptions
     # and strictly smaller than what unpatched delta produces
     assert len(blk) < len(encode(v, "delta"))
+
+
+def test_pdelta_plan_counts_below_base_outliers_correctly():
+    """_pdelta_plan's frame sizing must count in-frame values directly:
+    values BELOW dbase wrap to huge uint32s, so the shifted sample is
+    not sorted and searchsorted mis-counted them (ADVICE r2).  With ~2%
+    below-base resets, the projected exception count at the chosen
+    width must match a brute-force count."""
+    import numpy as np
+
+    from archive_spark.codecs.kernels import _pdelta_plan
+
+    rng = np.random.default_rng(3)
+    d = rng.integers(100, 140, 50_000).astype(np.int64)
+    d[rng.integers(0, d.size, 1_000)] = -5_000  # below-base resets
+    du = (d & 0xFFFFFFFF).astype(np.uint32)
+    dbase, width, exc = _pdelta_plan(du)
+    shifted = du - np.uint32(dbase)
+    true_exc = int((shifted >= np.uint64(1) << np.uint64(width)).sum()) if width < 32 else 0
+    # projection comes from the (here: full) sample — must match exactly
+    assert exc == true_exc
+    # below-base rows must be exceptions, not silently "in frame"
+    assert width < 32 and exc >= 900

@@ -100,7 +100,7 @@ def test_wav_roundtrip_bit_identical():
 
 def test_real_decoder_rejects_unknown_container():
     with pytest.raises(mm.MediaDecodeError):
-        mm._decode_payload(b"\x89PNG\r\n", "png", decoder="real")
+        mm._decode_payload(b"\x7fELF\x02\x01\x01\x00", "elf", decoder="real")
 
 
 def test_real_decode_sniffs_content():
@@ -120,14 +120,17 @@ def test_real_media_pipeline_end_to_end(spark):
     assert len(feats) == 24
     kinds = {r.kind for r in feats}
     assert kinds == {"image", "audio"}
+    fmts = {r.format for r in media.select("meta.format").collect()}
+    assert fmts == {"bmp", "wav", "png"}  # one uncompressed + one COMPRESSED image container
     for r in feats:
         assert sum(r.histogram) > 0
         if r.kind == "audio":
             assert -1.0 <= r.mean_intensity <= 1.0
         else:
             assert 0.0 <= r.mean_intensity <= 255.0
+    n_images = media.filter(F.col("kind") == "image").count()
     thumbs = mm.resize_images(media, out_w=4, out_h=4, decoder="real").collect()
-    assert len(thumbs) == 12  # every image row
+    assert len(thumbs) == n_images == 16  # every image row (bmp + png)
     assert all(len(t.thumb) == 4 * 4 * 3 for t in thumbs)
 
 
@@ -140,3 +143,78 @@ def test_real_decode_matches_known_pixels(spark):
     for mid, r in rows.items():
         arr = mm._decode_payload(r.payload, r.meta.format, "real")
         assert abs(feats[mid].mean_intensity - float(arr.mean())) < 1e-9
+
+
+@pytest.mark.parametrize("ft", [0, 1, 2, 3, 4])
+def test_png_roundtrip_every_filter(ft):
+    rng = np.random.default_rng(ft)
+    rgb = rng.integers(0, 256, (13, 9, 3), dtype=np.uint8)
+    payload = mm.encode_png(rgb, filter_type=ft)
+    assert payload[:8] == b"\x89PNG\r\n\x1a\n"
+    # a real compressed container: random pixels inflate, but a flat
+    # image must actually compress
+    flat = mm.encode_png(np.zeros((64, 64, 3), dtype=np.uint8), filter_type=ft)
+    assert len(flat) < 64 * 64 * 3 // 10
+    out = mm.decode_png(payload)
+    assert np.array_equal(out, rgb)
+
+
+def test_png_known_pixels():
+    rgb = np.arange(2 * 2 * 3, dtype=np.uint8).reshape(2, 2, 3)
+    assert np.array_equal(mm.decode_png(mm.encode_png(rgb, 4)), rgb)
+    flat = mm._decode_payload(mm.encode_png(rgb, 1), "whatever", decoder="real")
+    assert np.array_equal(flat, rgb.astype(np.float64).ravel())
+
+
+def test_png_crc_corruption_detected():
+    rgb = np.ones((4, 4, 3), dtype=np.uint8) * 7
+    payload = bytearray(mm.encode_png(rgb))
+    # flip a byte inside the IDAT body (after the 8-byte sig + IHDR chunk)
+    idat_at = bytes(payload).index(b"IDAT")
+    payload[idat_at + 6] ^= 0xFF
+    with pytest.raises(mm.MediaDecodeError, match="CRC mismatch"):
+        mm.decode_png(bytes(payload))
+
+
+def test_png_rgba_decodes():
+    """color type 6 (truecolor+alpha) parses too; the real-decoder path
+    drops alpha for intensity features."""
+    import struct
+    import zlib
+
+    h, w = 3, 5
+    rgba = np.random.default_rng(1).integers(0, 256, (h, w, 4), dtype=np.uint8)
+    raw = np.zeros((h, w * 4 + 1), dtype=np.uint8)
+    raw[:, 1:] = rgba.reshape(h, w * 4)
+
+    def chunk(tag, body):
+        return struct.pack(">I", len(body)) + tag + body + struct.pack(
+            ">I", zlib.crc32(tag + body)
+        )
+
+    payload = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 6, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(raw.tobytes()))
+        + chunk(b"IEND", b"")
+    )
+    assert np.array_equal(mm.decode_png(payload), rgba)
+    flat = mm._decode_payload(payload, "png", decoder="real")
+    assert np.array_equal(flat, rgba[:, :, :3].astype(np.float64).ravel())
+
+
+def test_png_rejects_unsupported_variants():
+    import struct
+    import zlib
+
+    def chunk(tag, body):
+        return struct.pack(">I", len(body)) + tag + body + struct.pack(
+            ">I", zlib.crc32(tag + body)
+        )
+
+    pal = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 3, 0, 0, 0))
+    )
+    with pytest.raises(mm.MediaDecodeError, match="unsupported PNG"):
+        mm.decode_png(pal)

@@ -1,0 +1,110 @@
+"""The SHIPPING surface, exercised end-to-end: build
+``dist/archive_spark.zip`` with ``jobs/package.py`` and drive the
+spark-submit jobs against it (encode → maintain → decode), the way a
+user of the reference would run its binary (Taskfile.dist.yaml:52-59).
+VERDICT r2 "What's missing" #2: without this, a packaging regression
+(module missing from the zip, import-path break, job-CLI drift) ships
+green through the library test suite.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import zipfile
+
+import pytest
+from pyspark.sql import functions as F
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _spark_submit(zip_path: str, job: str, *args: str, timeout: int = 240):
+    return subprocess.run(
+        [
+            "spark-submit",
+            "--master", "local[4]",
+            "--conf", "spark.sql.shuffle.partitions=8",
+            "--py-files", zip_path,
+            os.path.join(REPO, "jobs", job),
+            *args,
+        ],
+        capture_output=True, text=True, timeout=timeout,
+    )
+
+
+@pytest.fixture(scope="module")
+def zip_path():
+    out = subprocess.run(
+        [sys.executable, os.path.join(REPO, "jobs", "package.py")],
+        capture_output=True, text=True, check=True,
+    )
+    path = out.stdout.strip().splitlines()[-1]
+    names = zipfile.ZipFile(path).namelist()
+    # every package module must ship (a module silently missing from the
+    # zip is the exact regression class this fixture guards)
+    on_disk = {
+        os.path.relpath(os.path.join(r, f), REPO)
+        for r, _, fs in os.walk(os.path.join(REPO, "archive_spark"))
+        for f in fs
+        if f.endswith(".py") and "__pycache__" not in r
+    }
+    assert on_disk <= set(names), on_disk - set(names)
+    return path
+
+
+@pytest.fixture(scope="module")
+def tokens_path(spark, tmp_path_factory):
+    from archive_spark.tokengen import token_table
+
+    p = str(tmp_path_factory.mktemp("submit") / "tokens")
+    token_table(spark, 1_500, seed=13).write.parquet(p)
+    return p
+
+
+def test_encode_maintain_decode_via_spark_submit(
+    spark, zip_path, tokens_path, tmp_path
+):
+    out_dir = str(tmp_path / "enc")
+    r = _spark_submit(
+        zip_path, "encode_job.py",
+        "--input", tokens_path, "--output", out_dir,
+        "--shards", "4", "--verify", "--publish",
+    )
+    assert r.returncode == 0, r.stderr[-3000:]
+    summary = json.loads(r.stdout.strip().splitlines()[-1])
+    assert summary["shards_total"] == 4
+    assert summary["verify"]["n_mismatch"] == 0
+    assert summary["verify"]["n_decoded"] == 1_500
+    assert 0 < summary["ratio"] < 0.6
+
+    # rerun resumes from the ledger: nothing re-encoded
+    r2 = _spark_submit(
+        zip_path, "encode_job.py",
+        "--input", tokens_path, "--output", out_dir, "--shards", "4",
+    )
+    assert r2.returncode == 0, r2.stderr[-3000:]
+    s2 = json.loads(r2.stdout.strip().splitlines()[-1])
+    assert s2["shards_skipped"] == 4 and s2["shards_encoded"] == 0
+
+    # maintenance over the published snapshot table
+    r3 = _spark_submit(
+        zip_path, "maintain_job.py",
+        "--table", out_dir, "--compact", "--target-partitions", "2",
+    )
+    assert r3.returncode == 0, r3.stderr[-3000:]
+
+    # decode back through the shipped surface and roundtrip-check in-process
+    dec_dir = str(tmp_path / "dec")
+    r4 = _spark_submit(
+        zip_path, "decode_job.py", "--input", out_dir, "--output", dec_dir
+    )
+    assert r4.returncode == 0, r4.stderr[-3000:]
+    from archive_spark import engine
+
+    original = spark.read.parquet(tokens_path)
+    decoded = spark.read.parquet(dec_dir)
+    rep = engine.roundtrip_report(original, decoded).collect()[0]
+    assert rep.n_mismatch == 0 and rep.n_decoded == 1_500
