@@ -880,6 +880,67 @@ def _q_events_user_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_readme_usability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F3 usability ladder + F1/F2 readme best-match (find.go:40-110)
+    over a deterministic synthetic member listing: each document becomes
+    one archive member whose filename pattern is picked by doc_id % 8,
+    spanning all seven assigned ladder levels (with uppercase variants
+    to exercise the FAT-style case folding) plus one excluded .bin."""
+    from archive_spark.analytics import readme_usability
+
+    docs = _docs(spark, sf_dir)
+    m = F.col("doc_id") % 8
+    did = F.col("doc_id").cast("string")
+    src = F.col("source")
+    fname = (
+        F.when(m == 0, F.concat(src, F.lit(".NFO")))
+        .when(m == 1, F.concat(src, F.lit(".txt")))
+        .when(m == 2, F.concat(F.lit("notes_"), did, F.lit(".nfo")))
+        .when(m == 3, F.lit("FILE_ID.DIZ"))
+        .when(m == 4, F.concat(src, F.lit(".diz")))
+        .when(m == 5, F.concat(F.lit("readme_"), did, F.lit(".TXT")))
+        .when(m == 6, F.concat(F.lit("desc_"), did, F.lit(".diz")))
+        .otherwise(F.concat(did, F.lit(".bin")))
+    )
+    listing = docs.select(
+        F.concat(src, F.lit(".zip")).alias("archive"), fname.alias("filename")
+    )
+    return readme_usability(listing)
+
+
+_README_USABILITY_ORACLE = (
+    "WITH listing AS (SELECT source || '.zip' AS archive, lower(source) AS base, "
+    "CASE CAST(doc_id % 8 AS INT) "
+    "WHEN 0 THEN source || '.NFO' "
+    "WHEN 1 THEN source || '.txt' "
+    "WHEN 2 THEN 'notes_' || CAST(doc_id AS VARCHAR) || '.nfo' "
+    "WHEN 3 THEN 'FILE_ID.DIZ' "
+    "WHEN 4 THEN source || '.diz' "
+    "WHEN 5 THEN 'readme_' || CAST(doc_id AS VARCHAR) || '.TXT' "
+    "WHEN 6 THEN 'desc_' || CAST(doc_id AS VARCHAR) || '.diz' "
+    "ELSE CAST(doc_id AS VARCHAR) || '.bin' END AS filename FROM documents), "
+    "ranked AS (SELECT archive, fname, CASE "
+    "WHEN fname = base || '.nfo' THEN 1 "
+    "WHEN fname = base || '.txt' THEN 2 "
+    "WHEN fname LIKE '%.nfo' THEN 3 "
+    "WHEN fname = 'file_id.diz' THEN 4 "
+    "WHEN fname = base || '.diz' THEN 5 "
+    "WHEN fname LIKE '%.txt' THEN 6 "
+    "WHEN fname LIKE '%.diz' THEN 7 END AS rank "
+    "FROM (SELECT archive, base, lower(filename) AS fname FROM listing)), "
+    "r2 AS (SELECT archive, fname, rank, "
+    "MIN(rank) OVER (PARTITION BY archive) AS br "
+    "FROM ranked WHERE rank IS NOT NULL) "
+    "SELECT archive, CAST(MAX(br) AS INT) AS best_rank, "
+    "MIN(fname) FILTER (WHERE rank = br) AS best_file, "
+    "COUNT(*)::BIGINT AS n_candidates, "
+    + ", ".join(
+        f"COUNT(*) FILTER (WHERE rank = {i})::BIGINT AS l{i}" for i in range(1, 8)
+    )
+    + " FROM r2 GROUP BY archive ORDER BY archive"
+)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # engine core (SURVEY.md §2)
@@ -936,6 +997,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cust_order_join": _q_cust_order_join,
         "events_top3": _q_events_top3,
         "events_user_activity": _q_events_user_activity,
+        "readme_usability": _q_readme_usability,
     }
 
 
@@ -996,6 +1058,7 @@ def _lang_detect_oracle() -> str:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "readme_usability": _README_USABILITY_ORACLE,
         "dedup_embedding_neardup": (
             "WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v "
             "FROM embeddings WHERE vec_id < 300) "

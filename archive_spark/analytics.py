@@ -103,3 +103,73 @@ def skew_report(tokens_df: DataFrame) -> DataFrame:
         .drop("__total")
         .orderBy(F.desc("n_tokens"))
     )
+
+
+def usability_rank(name, archive) -> "F.Column":
+    """9-level ordinal usability ladder (F3, find.go:96-110) applied via
+    the Readme/matchs filename rules (find.go:40-92).
+
+    `name` is a member filename, `archive` the owning archive filename;
+    ``base`` is the archive name minus its extension, lowercased (the
+    reference lowercases both sides — FAT/NTFS corpora are
+    case-insensitive, find.go:44-46).  Returns an int rank 1 (best) … 7,
+    or NULL for files outside the .diz/.nfo/.txt readme family (the
+    reference's Readme() skips those up front, find.go:48-54; levels
+    8-9 are reserved in the enum but never assigned, as in the
+    reference).  Pure JVM when-chain — no Python, codegen-friendly.
+    """
+    n = F.lower(name)
+    base = F.regexp_replace(F.lower(archive), r"\.[^./\\]*$", "")
+    return (
+        F.when(n == F.concat(base, F.lit(".nfo")), 1)  # [archive].nfo
+        .when(n == F.concat(base, F.lit(".txt")), 2)  # [archive].txt
+        .when(n.endswith(".nfo"), 3)  # [random].nfo
+        .when(n == "file_id.diz", 4)  # BBS file description
+        .when(n == F.concat(base, F.lit(".diz")), 5)  # [archive].diz
+        .when(n.endswith(".txt"), 6)  # [random].txt
+        .when(n.endswith(".diz"), 7)  # [random].diz
+        .otherwise(F.lit(None))
+        .cast("int")
+    )
+
+
+def readme_usability(
+    listing_df: DataFrame, archive_col: str = "archive", file_col: str = "filename"
+) -> DataFrame:
+    """Per-archive readme search: rank every member on the F3 ladder and
+    pick the best match (Finds.BestMatch, find.go:16-37) plus a count
+    per level.
+
+    BestMatch is min-rank with a deterministic filename tie-break (the
+    reference's stable sort over Go map iteration is order-dependent;
+    we pin lexicographic-min so the result is reproducible).  One
+    map-side-combinable aggregate — the min-of-struct compiles to a
+    partial agg, no window, no per-group sort; scales to any number of
+    archives.
+    """
+    a, f = F.col(archive_col), F.col(file_col)
+    ranked = listing_df.select(
+        a.alias("archive"),
+        F.lower(f).alias("fname"),
+        usability_rank(f, a).alias("rank"),
+    ).filter(F.col("rank").isNotNull())
+    lvl = [
+        F.sum(F.when(F.col("rank") == i, 1).otherwise(0)).alias(f"l{i}")
+        for i in range(1, 8)
+    ]
+    return (
+        ranked.groupBy("archive")
+        .agg(
+            F.min(F.struct("rank", "fname")).alias("best"),
+            F.count("*").alias("n_candidates"),
+            *lvl,
+        )
+        .select(
+            "archive",
+            F.col("best.rank").alias("best_rank"),
+            F.col("best.fname").alias("best_file"),
+            "n_candidates",
+            *[f"l{i}" for i in range(1, 8)],
+        )
+        .orderBy("archive")
+    )

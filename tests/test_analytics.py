@@ -1,0 +1,69 @@
+"""Readme/usability ladder parity (F1/F2/F3).
+
+Replicates the reference's own table-driven Readme tests
+(fild_test.go:10-44) through the Spark operator: same archive name,
+same member lists, same expected best match.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from archive_spark.analytics import readme_usability, usability_rank
+
+# (case, archive, members, expected best — "" = no match)
+REFERENCE_CASES = [
+    ("example", "APP.ZIP", ["APP.EXE", "APP.TXT", "APP.BIN", "APP.DAT", "STUFF.DAT"], "APP.TXT"),
+    ("nfo1", "APP.ZIP", ["APP.EXE", "APP.NFO"], "APP.NFO"),
+    ("txt1", "APP.ZIP", ["APP.EXE", "APP.TXT"], "APP.TXT"),
+    ("nfo2", "APP.ZIP", ["APP.EXE", "STUFF.NFO"], "STUFF.NFO"),
+    ("diz1", "APP.ZIP", ["APP.EXE", "FILE_ID.DIZ", "APP.DIZ"], "FILE_ID.DIZ"),
+    ("diz2", "APP.ZIP", ["APP.EXE", "APP.DIZ"], "APP.DIZ"),
+    ("txt2", "APP.ZIP", ["APP.EXE", "STUFF.TXT"], "STUFF.TXT"),
+    ("diz3", "APP.ZIP", ["APP.EXE", "STUFF.DIZ"], "STUFF.DIZ"),
+    ("none", "APP.ZIP", ["APP.EXE", "STUFF.DAT"], ""),
+]
+
+
+def test_readme_best_match_reference_parity(spark):
+    for case, archive, members, want in REFERENCE_CASES:
+        listing = spark.createDataFrame(
+            [(archive, m) for m in members], "archive string, filename string"
+        )
+        rows = readme_usability(listing).collect()
+        # reference returns "" on no match; our operator emits no row
+        got = rows[0].best_file if rows else ""
+        assert got == want.lower(), case
+
+
+def test_usability_rank_levels(spark):
+    members = [
+        ("APP.NFO", 1),
+        ("app.txt", 2),
+        ("STUFF.NFO", 3),
+        ("FILE_ID.DIZ", 4),
+        ("App.Diz", 5),
+        ("STUFF.TXT", 6),
+        ("STUFF.DIZ", 7),
+        ("APP.EXE", None),
+        ("README", None),
+    ]
+    df = spark.createDataFrame(
+        [(m,) for m, _ in members], "filename string"
+    ).withColumn("rank", usability_rank(F.col("filename"), F.lit("APP.ZIP")))
+    got = {r.filename: r.rank for r in df.collect()}
+    for name, want in members:
+        assert got[name] == want, name
+
+
+def test_readme_usability_counts_and_tiebreak(spark):
+    # two rank-3 files: lexicographic-min filename wins the tie
+    listing = spark.createDataFrame(
+        [("A.ZIP", "zeta.nfo"), ("A.ZIP", "alpha.nfo"), ("A.ZIP", "x.txt")],
+        "archive string, filename string",
+    )
+    row = readme_usability(listing).collect()[0]
+    assert (row.best_rank, row.best_file) == (3, "alpha.nfo")
+    assert (row.n_candidates, row.l3, row.l6) == (3, 2, 1)
+    assert row.l1 == row.l2 == row.l4 == row.l5 == row.l7 == 0
