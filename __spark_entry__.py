@@ -908,6 +908,43 @@ def _q_readme_usability(spark: SparkSession, sf_dir: str) -> DataFrame:
     return readme_usability(listing)
 
 
+def _q_archive_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real-container roundtrip (S1/S5/E2/X15 over actual zip bytes):
+    pack documents into deterministic per-(source, shard) zip archives
+    (stored + deflate members), re-ingest them through the binaryFile
+    walker, and aggregate per source.  The DuckDB oracle computes the
+    same aggregate straight from documents — the build → magic-sniff →
+    central-directory walk → inflate path must be lossless to match."""
+    from archive_spark import sources
+
+    docs = _docs(spark, sf_dir)
+    archives = sources.pack_documents(docs, n_shards=4)
+    members = sources.extract_members(archives).filter(F.col("status") == "ok")
+    texts = members.select(
+        F.regexp_extract("archive", r"^(.*)_shard\d+\.zip$", 1).alias("source"),
+        F.col("payload").cast("string").alias("text"),
+    )
+    return (
+        texts.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.length("text")).alias("total_chars"),
+            F.md5(
+                F.concat_ws("", F.sort_array(F.collect_list(F.md5("text"))))
+            ).alias("digest"),
+        )
+        .orderBy("source")
+    )
+
+
+_ARCHIVE_INGEST_ORACLE = (
+    "SELECT source, COUNT(*)::BIGINT AS n_docs, "
+    "SUM(length(text))::BIGINT AS total_chars, "
+    "md5(string_agg(md5(text), '' ORDER BY md5(text))) AS digest "
+    "FROM documents GROUP BY source ORDER BY source"
+)
+
+
 _README_USABILITY_ORACLE = (
     "WITH listing AS (SELECT source || '.zip' AS archive, lower(source) AS base, "
     "CASE CAST(doc_id % 8 AS INT) "
@@ -998,6 +1035,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_top3": _q_events_top3,
         "events_user_activity": _q_events_user_activity,
         "readme_usability": _q_readme_usability,
+        "archive_ingest": _q_archive_ingest,
     }
 
 
@@ -1059,6 +1097,7 @@ def _lang_detect_oracle() -> str:
 def oracle_sql() -> dict[str, str]:
     return {
         "readme_usability": _README_USABILITY_ORACLE,
+        "archive_ingest": _ARCHIVE_INGEST_ORACLE,
         "dedup_embedding_neardup": (
             "WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v "
             "FROM embeddings WHERE vec_id < 300) "
