@@ -908,6 +908,35 @@ def _q_readme_usability(spark: SparkSession, sf_dir: str) -> DataFrame:
     return readme_usability(listing)
 
 
+def _q_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish (GPT-2 pre-tokenizer) vs whitespace token counting per
+    source — pure JVM regexp, RE2-compatible so DuckDB replays the same
+    pattern verbatim."""
+    from archive_spark.pipeline_ops import bpe_token_counts
+
+    docs = _docs(spark, sf_dir)
+    return (
+        bpe_token_counts(docs)
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_bpe_tokens").alias("total_bpe"),
+            F.sum("n_ws_tokens").alias("total_ws"),
+        )
+        .orderBy("source")
+    )
+
+
+_BPE_ORACLE = (
+    "SELECT source, COUNT(*)::BIGINT AS n_docs, "
+    "SUM(len(regexp_extract_all(text, "
+    "'''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^\\sA-Za-z0-9]+|\\s+'"
+    ")))::BIGINT AS total_bpe, "
+    "SUM(len(string_split(text, ' ')))::BIGINT AS total_ws "
+    "FROM documents GROUP BY source ORDER BY source"
+)
+
+
 def _q_archive_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Real-container roundtrip (S1/S5/E2/X15 over actual zip bytes):
     pack documents into deterministic per-(source, shard) zip archives
@@ -1036,6 +1065,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_user_activity": _q_events_user_activity,
         "readme_usability": _q_readme_usability,
         "archive_ingest": _q_archive_ingest,
+        "bpe_token_stats": _q_bpe_token_stats,
     }
 
 
@@ -1098,6 +1128,7 @@ def oracle_sql() -> dict[str, str]:
     return {
         "readme_usability": _README_USABILITY_ORACLE,
         "archive_ingest": _ARCHIVE_INGEST_ORACLE,
+        "bpe_token_stats": _BPE_ORACLE,
         "dedup_embedding_neardup": (
             "WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v "
             "FROM embeddings WHERE vec_id < 300) "

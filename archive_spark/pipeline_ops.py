@@ -335,6 +335,28 @@ def token_counts(docs: DataFrame) -> DataFrame:
     )
 
 
+#: GPT-2-style BPE pre-tokenizer pattern, restricted to constructs both
+#: Java regex (Spark, codegen'd) and RE2 (DuckDB) support identically —
+#: no lookahead, no unicode property classes.  Contractions, space-glued
+#: word/number runs, punctuation runs, residual whitespace.
+BPE_PRETOKEN_RE = r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+|\s+"
+
+
+def bpe_token_counts(docs: DataFrame) -> DataFrame:
+    """BPE-ish token counting: the GPT-2 pre-tokenizer split, counted
+    JVM-side via ``regexp_extract_all`` (whole-stage codegen, no Python
+    worker).  A real BPE merge table only changes counts *within* these
+    pre-token spans, so this is the scale-stable proxy for 'how many
+    tokens will the tokenizer emit' across a 100 TB corpus."""
+    toks = F.regexp_extract_all(F.col("text"), F.lit(BPE_PRETOKEN_RE), 0)
+    return docs.select(
+        "doc_id",
+        "source",
+        F.size(toks).cast("bigint").alias("n_bpe_tokens"),
+        F.size(F.split("text", " ")).cast("bigint").alias("n_ws_tokens"),
+    )
+
+
 def quality_counts(docs: DataFrame) -> DataFrame:
     """Integer quality signals per doc (the exact counts behind
     ``quality_scores`` ratios — integer-valued so a SQL oracle can

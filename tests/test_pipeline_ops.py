@@ -463,3 +463,39 @@ def test_neardup_dedup_keeps_one_per_cluster(spark, docs):
     assert kept.count() == n_docs - (n_clustered - n_keepers)
     # every cluster still has its keeper present
     assert kept.join(clusters.filter("is_keeper"), "doc_id").count() == n_keepers
+
+
+def test_bpe_pretokenizer_cross_engine(spark):
+    """Spark (Java regex) and DuckDB (RE2) must count identically on
+    adversarial strings — contractions, glued spaces, punctuation runs,
+    digit runs, multi-whitespace — or the bpe_token_stats oracle is a
+    dialect accident."""
+    import duckdb
+
+    from archive_spark.pipeline_ops import BPE_PRETOKEN_RE, bpe_token_counts
+
+    cases = [
+        "don't stop believin'",
+        "hello   world",
+        "a1b2c3 42 3.14",
+        "it's we're you'll i'd i'm they've can't",
+        "tabs\tand\nnewlines  mix",
+        "punct!!! ... ---",
+        "",
+        " leading and trailing ",
+        "CamelCase MIXED lower",
+    ]
+    docs = spark.createDataFrame(
+        [(i, t, "s") for i, t in enumerate(cases)],
+        "doc_id long, text string, source string",
+    )
+    got = {r.doc_id: r.n_bpe_tokens for r in bpe_token_counts(docs).collect()}
+    con = duckdb.connect()
+    pat = BPE_PRETOKEN_RE.replace("'", "''")
+    for i, t in enumerate(cases):
+        want = con.execute(
+            f"SELECT len(regexp_extract_all(?, '{pat}'))", [t]
+        ).fetchone()[0]
+        assert got[i] == want, (cases[i], got[i], want)
+    # sanity: contractions split as GPT-2 would
+    assert got[0] == 5  # don | 't | _stop | _believin | '
