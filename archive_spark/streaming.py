@@ -215,3 +215,24 @@ def streaming_codec_histogram(encoded_stream: DataFrame) -> DataFrame:
         F.sum("meta.raw_bytes").alias("raw_bytes"),
         F.sum("meta.enc_bytes").alias("enc_bytes"),
     )
+
+
+def read_archive_stream(spark: SparkSession, input_dir: str) -> DataFrame:
+    """Streaming archive ingest: new container files landing in a
+    directory become member rows incrementally — the reference's
+    one-shot directory walk (archive.go:531-566) turned into a
+    continuous pipeline.  binaryFile is a first-class streaming file
+    source, so Spark tracks processed files in the checkpoint and each
+    archive is walked exactly once per query."""
+    from archive_spark import sources
+
+    raw = (
+        spark.readStream.format("binaryFile")
+        .schema(
+            "path string, modificationTime timestamp, "
+            "length long, content binary"
+        )
+        .load(input_dir)
+        .select("path", "length", "content")
+    )
+    return sources.extract_members(raw)

@@ -235,3 +235,42 @@ def test_snapshot_sink_exactly_once_across_restart(spark, tmp_path):
     n2 = len(snap_table.snapshots(tdir))
     run()
     assert len(snap_table.snapshots(tdir)) == n2
+
+
+def test_archive_stream_incremental_exactly_once(spark, tmp_path):
+    """New container files landing in a watched directory are walked
+    exactly once per file across query restarts (binaryFile streaming
+    source + checkpointed file tracking)."""
+    import shutil
+
+    from archive_spark.streaming import read_archive_stream
+
+    src = str(tmp_path / "arcs")
+    ckpt = str(tmp_path / "ckpt")
+    (tmp_path / "arcs").mkdir()
+    shutil.copy("/root/reference/testdata/GZIP113.GZ", src)
+
+    seen = []
+
+    def sink(df, bid):
+        seen.append(sorted((r.archive, r.member, r.size) for r in df.collect()))
+
+    def drain():
+        q = (
+            read_archive_stream(spark, src)
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(120)
+
+    drain()
+    shutil.copy("/root/reference/testdata/BSDTAR37.TAR", src)
+    drain()
+    drain()  # no new files -> no new member rows
+
+    flat = [r for batch in seen for r in batch]
+    assert flat.count(("GZIP113.GZ", "TESTDAT3.TXT", 81410)) == 1
+    assert flat.count(("BSDTAR37.TAR", "TESTDAT3.TXT", 81410)) == 1
+    assert len(flat) == 4  # 1 gz member + 3 tar members, each once
