@@ -515,6 +515,25 @@ def _q_ann_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_recall(lsh, bf, topk=5)
 
 
+def _q_ann_int8_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """recall@5 of int8-quantized brute force vs exact float top-5 —
+    the 4×-memory scale path measured against the baseline it replaces.
+    DuckDB recomputes the exact top-5 independently from the float
+    embeddings and replays the recall arithmetic."""
+    from archive_spark.pipeline_ops import (
+        ann_recall,
+        cosine_topk_bruteforce,
+        cosine_topk_int8,
+        quantize_embeddings,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q8 = cosine_topk_int8(quantize_embeddings(emb), [0, 1, 2], topk=5)
+    _persist(q8.select("query_id", "vec_id"), "int8_pruned", sf_dir)
+    bf = cosine_topk_bruteforce(emb, [0, 1, 2], topk=5)
+    return ann_recall(q8, bf, topk=5)
+
+
 def _q_stream_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Structured Streaming driver query: watermarked 1-hour tumbling
     windows over events in availableNow mode (file source → parquet
@@ -1043,6 +1062,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf": _q_ann_ivf,
         "ann_ivf_recall": _q_ann_ivf_recall,
         "ann_lsh_recall": _q_ann_lsh_recall,
+        "ann_int8_recall": _q_ann_int8_recall,
         "ngram_jaccard": _q_ngram_jaccard,
         "word_length_hist": _q_word_length_hist,
         "multimodal_features": _q_multimodal_features,
@@ -1302,6 +1322,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "ann_ivf_recall": _recall_oracle("ivf_pruned"),
         "ann_lsh_recall": _recall_oracle("lsh_pruned"),
+        "ann_int8_recall": _recall_oracle("int8_pruned"),
         "stream_windowed_counts": (
             "WITH wm AS (SELECT epoch_ms(max(ts)) - 1800000 AS w FROM events), "
             "agg AS (SELECT date_trunc('hour', ts) AS window_start, event_type, "

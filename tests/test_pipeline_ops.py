@@ -499,3 +499,39 @@ def test_bpe_pretokenizer_cross_engine(spark):
         assert got[i] == want, (cases[i], got[i], want)
     # sanity: contractions split as GPT-2 would
     assert got[0] == 5  # don | 't | _stop | _believin | '
+
+
+def test_int8_quantization_roundtrip_bound(spark):
+    """|v − q·scale| ≤ scale/2 per element (symmetric rounding)."""
+    import numpy as np
+
+    from archive_spark.pipeline_ops import quantize_embeddings
+
+    rng = np.random.default_rng(7)
+    vecs = [(i, rng.normal(size=16).astype("float32").tolist()) for i in range(50)]
+    vecs.append((50, [0.0] * 16))  # all-zero edge case
+    emb = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    rows = quantize_embeddings(emb).join(emb, "vec_id").collect()
+    for r in rows:
+        scale = r.scale
+        for v, q in zip(r.embedding, r.qembedding):
+            assert abs(q) <= 127
+            assert abs(v - q * scale) <= scale / 2 + 1e-9, (r.vec_id, v, q)
+
+
+def test_int8_topk_matches_float_topk(spark):
+    """int8 brute force recalls ≥ 4/5 of the exact float top-5 per
+    query on the sf0.001 embeddings (deterministic corpus)."""
+    from archive_spark.pipeline_ops import (
+        ann_recall,
+        cosine_topk_bruteforce,
+        cosine_topk_int8,
+        quantize_embeddings,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q8 = cosine_topk_int8(quantize_embeddings(emb), [0, 1, 2], topk=5)
+    bf = cosine_topk_bruteforce(emb, [0, 1, 2], topk=5)
+    rec = {r.query_id: r.n_hits for r in ann_recall(q8, bf, topk=5).collect()}
+    assert set(rec) == {0, 1, 2}
+    assert all(v >= 4 for v in rec.values()), rec
