@@ -55,8 +55,34 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 #: ExtractSource size guard (archive.go:469-475)
 MAX_BYTES_DEFAULT = 150 * 2**20
 
-#: formats _walk_members can decode with the stdlib
-SUPPORTED = ("zip", "tar", "tar.gz", "gzip", "bzip2", "xz")
+#: formats _walk_members can decode with the stdlib (+ zstd via the
+#: codec pyarrow bundles — no external package)
+SUPPORTED = ("zip", "tar", "tar.gz", "gzip", "bzip2", "xz", "zstd")
+
+
+def _zstd_decompress(buf: bytes) -> bytes:
+    """Inflate a zstd frame with pyarrow's bundled codec.  The one-shot
+    Codec API needs the exact output size, so parse the
+    Frame_Content_Size field from the frame header (RFC 8878 §3.1.1);
+    streaming-only frames (no FCS) are refused typed, not crashed."""
+    import struct
+
+    import pyarrow as _pa
+
+    fhd = buf[4]
+    fcs_flag, single_segment, did_flag = fhd >> 6, (fhd >> 5) & 1, fhd & 3
+    pos = 5 + (0 if single_segment else 1) + (0, 1, 2, 4)[did_flag]
+    if fcs_flag == 0:
+        if not single_segment:
+            raise ValueError("zstd frame without content size (streaming-only)")
+        size = buf[pos]
+    elif fcs_flag == 1:
+        size = struct.unpack_from("<H", buf, pos)[0] + 256
+    elif fcs_flag == 2:
+        size = struct.unpack_from("<I", buf, pos)[0]
+    else:
+        size = struct.unpack_from("<Q", buf, pos)[0]
+    return _pa.Codec("zstd").decompress(buf, size).to_pybytes()
 
 #: zip compression method ids → names (pkzip.Methods, pkzip/pkzip.go)
 ZIP_METHODS = {
@@ -177,7 +203,7 @@ def _walk_members(
             inner = buf
         else:  # single-stream gzip / bzip2 / xz
             decomp = {"gzip": gzip.decompress, "bzip2": bz2.decompress,
-                      "xz": lzma.decompress}[fmt]
+                      "xz": lzma.decompress, "zstd": _zstd_decompress}[fmt]
             inner = decomp(buf)
             if len(inner) > max_bytes:
                 yield fmt, (None, None, None, None, "too_large", None)

@@ -53,7 +53,8 @@ def test_listing_reference_corpus(spark, ref_archives):
         by_archive.setdefault(r.archive, []).append(r)
     # stdlib-decodable containers all list the three TESTDAT members
     for a in ("BSDTAR37.TAR", "BSDTAR37.TAR.gz", "bzip2.tar.bz2",
-              "XZUtils.tar.xz", "HWSHRINK.ZIP", "HWREDUCE.ZIP"):
+              "XZUtils.tar.xz", "Zstandard.tar.zst",
+              "HWSHRINK.ZIP", "HWREDUCE.ZIP"):
         got = {r.member: r.size_uncompressed for r in by_archive[a]
                if r.member in TESTDAT_SIZES}
         assert got == TESTDAT_SIZES, a
@@ -64,7 +65,7 @@ def test_listing_reference_corpus(spark, ref_archives):
     assert {r.status for r in by_archive["HWSHRINK.ZIP"]} == {"ok"}
     # no stdlib decoder → one typed row, no crash
     for a in ("RAR250.RAR", "7ZIP465.7Z", "ARJ020B.ARJ", "LH113.LZH",
-              "ARC601.ARC", "GCAB16.CAB", "Zstandard.tar.zst"):
+              "ARC601.ARC", "GCAB16.CAB"):
         assert [r.status for r in by_archive[a]] == ["unsupported_format"], a
     for a in ("TEST.EXE", "TESTDAT1.TXT"):
         assert [r.status for r in by_archive[a]] == ["unknown_format"], a
@@ -77,7 +78,7 @@ def test_targeted_extract_cascades(spark, ref_archives):
     rows = ext.filter("status = 'ok'").collect()
     got = {r.archive: r.payload for r in rows}
     for a in ("GZIP113.GZ", "BSDTAR37.TAR", "BSDTAR37.TAR.gz",
-              "bzip2.tar.bz2", "XZUtils.tar.xz"):
+              "bzip2.tar.bz2", "XZUtils.tar.xz", "Zstandard.tar.zst"):
         assert a in got and len(got[a]) == 81410, a
     payloads = {bytes(v) for v in got.values()}
     assert len(payloads) == 1  # bit-identical across all containers
