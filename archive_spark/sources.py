@@ -391,3 +391,34 @@ def pack_documents(
     return keyed.groupBy("source", "__shard").applyInPandas(
         pack, "path string, content binary"
     )
+
+
+def archives_to_documents(
+    archives: DataFrame,
+    text_exts: tuple[str, ...] = (".txt", ".nfo", ".diz", ".doc", ".me",
+                                  ".asc", ".ans", ".cap"),
+    max_bytes: int = MAX_BYTES_DEFAULT,
+) -> DataFrame:
+    """Ingest → documents-model bridge: extract the text-like members of
+    an archive corpus into ``(doc_id, text, lang, source, n_chars)``
+    rows, the shape every pipeline operator (dedup, quality, language
+    ID, tokenize → encode) consumes.  A reference user points this at
+    their archive directory and runs the whole engine downstream.
+
+    Text is decoded ISO-8859-1 (byte-faithful for the single-byte
+    DOS/BBS-era charsets; never throws on arbitrary bytes).  doc_id is
+    ``archive/member`` — globally unique and stable across re-ingests.
+    """
+    members = extract_members(archives, max_bytes=max_bytes).filter(
+        F.col("status") == "ok"
+    )
+    is_text = F.lower(F.col("member")).rlike(
+        "(" + "|".join(e.replace(".", r"\.") + "$" for e in text_exts) + ")"
+    )
+    return members.filter(is_text).select(
+        F.concat_ws("/", "archive", "member").alias("doc_id"),
+        F.decode("payload", "ISO-8859-1").alias("text"),
+        F.lit("und").alias("lang"),
+        F.col("archive").alias("source"),
+        F.length(F.decode("payload", "ISO-8859-1")).alias("n_chars"),
+    )

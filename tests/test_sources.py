@@ -172,3 +172,25 @@ def test_zip_listing_matches_stdlib(spark, ref_archives):
         want = {(i.filename, i.file_size, i.compress_size)
                 for i in zf.infolist() if not i.is_dir()}
     assert got == want
+
+
+def test_archives_to_documents_bridge(spark, ref_archives):
+    """Ingest → documents-model bridge feeds the downstream pipeline:
+    text members become (doc_id, text, lang, source, n_chars) rows that
+    tokenize/quality/dedup consume unchanged."""
+    from archive_spark.pipeline_ops import exact_dedup_keep_first, tokenize_documents
+
+    docs = sources.archives_to_documents(ref_archives).cache()
+    rows = {r.doc_id: r for r in docs.collect()}
+    r3 = rows["GZIP113.GZ/TESTDAT3.TXT"]
+    assert r3.n_chars == 81410 and r3.source == "GZIP113.GZ"
+    assert set(docs.columns) == {"doc_id", "text", "lang", "source", "n_chars"}
+    # binary members (TEST.EXE, TEST.BMP...) are excluded
+    assert not any(d.lower().endswith((".exe", ".bmp")) for d in rows)
+    # the same TESTDAT3 text appears via several containers -> exact
+    # dedup collapses them to one keeper per identical text
+    kept = exact_dedup_keep_first(docs).count()
+    assert kept < docs.count()
+    # and the token path runs unchanged on ingested docs
+    n_tok = tokenize_documents(docs).agg(F.sum("n_tok")).collect()[0][0]
+    assert n_tok > 0
