@@ -179,3 +179,16 @@ def test_token_range_zone_map_pushes_to_scan(spark, encoded_path):
     plan = plan_of(df)
     pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln]
     assert pushed and "vmin" in pushed[0] and "vmax" in pushed[0], plan
+
+
+def test_archive_ingest_plan_has_no_shuffle(spark):
+    """Archive ingest is embarrassingly parallel: binaryFile scan →
+    MapInArrow member walk, zero Exchange — one archive = one unit of
+    work, so a 100 TB corpus parallelizes per-file."""
+    from archive_spark import sources
+
+    arcs = sources.read_archives(spark, "/root/reference/testdata")
+    for df in (sources.list_members(arcs), sources.extract_members(arcs)):
+        plan = plan_of(df)
+        assert "Exchange" not in plan, plan
+        assert "MapInArrow" in plan or "ArrowEvalPython" in plan, plan
