@@ -927,6 +927,34 @@ def _q_readme_usability(spark: SparkSession, sf_dir: str) -> DataFrame:
     return readme_usability(listing)
 
 
+def _q_doc_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-source length percentiles (p50/p90/p99 of n_chars),
+    linear interpolation — Spark's exact percentile() and DuckDB's
+    quantile_cont are both type-7, so the values match bit-for-bit;
+    integer-ized (×1000) per the fp-aggregate oracle rule."""
+    docs = _docs(spark, sf_dir)
+    pct = F.percentile("n_chars", F.lit([0.5, 0.9, 0.99]))
+    return (
+        docs.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(pct[0] * 1000).cast("bigint").alias("p50_milli"),
+            F.round(pct[1] * 1000).cast("bigint").alias("p90_milli"),
+            F.round(pct[2] * 1000).cast("bigint").alias("p99_milli"),
+        )
+        .orderBy("source")
+    )
+
+
+_QUANTILES_ORACLE = (
+    "SELECT source, COUNT(*)::BIGINT AS n_docs, "
+    "CAST(ROUND(1000 * quantile_cont(n_chars, 0.5)) AS BIGINT) AS p50_milli, "
+    "CAST(ROUND(1000 * quantile_cont(n_chars, 0.9)) AS BIGINT) AS p90_milli, "
+    "CAST(ROUND(1000 * quantile_cont(n_chars, 0.99)) AS BIGINT) AS p99_milli "
+    "FROM documents GROUP BY source ORDER BY source"
+)
+
+
 def _q_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE-ish (GPT-2 pre-tokenizer) vs whitespace token counting per
     source — pure JVM regexp, RE2-compatible so DuckDB replays the same
@@ -1086,6 +1114,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "readme_usability": _q_readme_usability,
         "archive_ingest": _q_archive_ingest,
         "bpe_token_stats": _q_bpe_token_stats,
+        "doc_length_quantiles": _q_doc_length_quantiles,
     }
 
 
@@ -1149,6 +1178,7 @@ def oracle_sql() -> dict[str, str]:
         "readme_usability": _README_USABILITY_ORACLE,
         "archive_ingest": _ARCHIVE_INGEST_ORACLE,
         "bpe_token_stats": _BPE_ORACLE,
+        "doc_length_quantiles": _QUANTILES_ORACLE,
         "dedup_embedding_neardup": (
             "WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v "
             "FROM embeddings WHERE vec_id < 300) "
