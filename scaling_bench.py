@@ -55,7 +55,12 @@ spark.stop()
 def run_level(cores: int, path: str, docs: int, pin: bool) -> tuple[int, float]:
     cmd = [sys.executable, "-c", RUNNER, str(cores), path, str(docs)]
     if pin and shutil.which("taskset"):
-        cmd = ["taskset", "-c", f"0-{cores - 1}"] + cmd
+        # Pin to the TOP of the core range: the low cores service the
+        # VM's interrupts/housekeeping (measured: the same 4-core encode
+        # runs 10.9 Mtok/s on cores 0-3 vs 20.1 on 8-11), so `0-(n-1)`
+        # placement depressed small levels and skewed N->4N efficiency.
+        hi = os.cpu_count() - 1
+        cmd = ["taskset", "-c", f"{hi - cores + 1}-{hi}"] + cmd
     env = dict(os.environ)
     env["PYTHONPATH"] = os.path.dirname(os.path.abspath(__file__)) + (
         ":" + env["PYTHONPATH"] if env.get("PYTHONPATH") else ""
