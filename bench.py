@@ -25,6 +25,15 @@ import sys
 import time
 
 
+def _spin(n: int) -> float:
+    """Pure-CPU busy loop for the effective-parallelism probe."""
+    t0 = time.perf_counter()
+    x = 0
+    for i in range(n):
+        x += i * i
+    return time.perf_counter() - t0
+
+
 def _sf_of(sf_dir: str) -> float:
     base = os.path.basename(sf_dir.rstrip("/"))
     try:
@@ -45,9 +54,20 @@ def main() -> None:
     from archive_spark.session import get_spark
     from archive_spark.tokengen import token_table
 
+    # host-weather probe: this box is a shared host whose delivered
+    # parallelism varies (measured 18-32 effective cores across a day).
+    # Record it so cross-round bench comparisons can be normalized.
+    import multiprocessing as mp
+
+    base = min(_spin(3_000_000) for _ in range(3))
+    with mp.Pool(cpus) as pool:
+        t0 = time.perf_counter()
+        pool.map(_spin, [3_000_000] * cpus)
+        eff = cpus * base / (time.perf_counter() - t0)
+
     spark = get_spark(app="bench", cores=cpus, driver_memory="48g")
     queries: dict[str, float] = {}
-    extras: dict[str, object] = {}
+    extras: dict[str, object] = {"effective_parallelism": round(eff, 1)}
 
     scratch = f"/tmp/spark_graft_bench/sf{sf}-{n_docs}"
     tokens_path = os.path.join(scratch, "tokens")
