@@ -108,3 +108,29 @@ def test_encode_maintain_decode_via_spark_submit(
     decoded = spark.read.parquet(dec_dir)
     rep = engine.roundtrip_report(original, decoded).collect()[0]
     assert rep.n_mismatch == 0 and rep.n_decoded == 1_500
+
+
+def test_ingest_job_end_to_end_and_resume(zip_path, tmp_path_factory):
+    """jobs/ingest_job.py: real archive dir → typed member listing →
+    documents → tokenize → checkpointed encode; a second run resumes
+    (every shard skipped)."""
+    out_dir = str(tmp_path_factory.mktemp("ingested"))
+    args = (
+        "--input", "/root/reference/testdata",
+        "--output", out_dir,
+        "--tokenize", "--shards", "4",
+    )
+    r1 = _spark_submit(zip_path, "ingest_job.py", *args, timeout=300)
+    assert r1.returncode == 0, r1.stderr[-1500:]
+    s1 = json.loads(r1.stdout.strip().splitlines()[-1])
+    assert s1["archives"] == 24
+    assert s1["member_status"]["ok"] == 70
+    assert s1["member_status"]["unsupported_format"] == 8
+    assert s1["documents"] == 40
+    assert (s1["shards_encoded"], s1["shards_skipped"]) == (4, 0)
+    assert 0 < s1["bytes_out"] < s1["bytes_in"]
+
+    r2 = _spark_submit(zip_path, "ingest_job.py", *args, timeout=300)
+    assert r2.returncode == 0, r2.stderr[-1500:]
+    s2 = json.loads(r2.stdout.strip().splitlines()[-1])
+    assert (s2["shards_encoded"], s2["shards_skipped"]) == (0, 4)
