@@ -394,6 +394,160 @@ def decode_png(payload: bytes) -> np.ndarray:
     return out.astype(np.uint8).reshape(h, w, bpp)
 
 
+def decode_pcx(payload: bytes) -> np.ndarray:
+    """ZSoft PCX (version 5, RLE, 8-bit × 3 planes) → (h, w, 3) uint8.
+
+    The DOS-era raster format in the reference's own test corpus
+    (TEST.PCX inside PKZ*.ZIP, archive_test.go corpus).  RLE: top two
+    bits set ⇒ run of (byte & 0x3F) copies of the next byte — decoded
+    with one numpy pass (repeat over run lengths), then rows split into
+    R/G/B planes of bytes_per_line each."""
+    import struct
+
+    if not isinstance(payload, bytes):
+        payload = bytes(payload)  # zero-copy views arrive as buffers
+    if payload[:1] != b"\x0a" or payload[2:3] != b"\x01":
+        raise MediaDecodeError("not an RLE PCX payload")
+    bpp, planes = payload[3], payload[65]
+    x0, y0, x1, y1 = struct.unpack_from("<4H", payload, 4)
+    bpl = struct.unpack_from("<H", payload, 66)[0]
+    if bpp != 8 or planes != 3:
+        raise MediaDecodeError(f"unsupported PCX variant: bpp={bpp} planes={planes}")
+    w, h = x1 - x0 + 1, y1 - y0 + 1
+    data = np.frombuffer(payload, dtype=np.uint8, offset=128)
+    # marker/value roles interleave (a >=0xC0 byte may be a run VALUE),
+    # so the stream is inherently sequential; media payloads are small
+    out = np.empty(h * planes * bpl, dtype=np.uint8)
+    oi, ii, n = 0, 0, len(data)
+    total = h * planes * bpl
+    while oi < total and ii < n:
+        b = data[ii]
+        if b >= 0xC0:
+            run = b & 0x3F
+            out[oi : oi + run] = data[ii + 1]
+            oi += run
+            ii += 2
+        else:
+            out[oi] = b
+            oi += 1
+            ii += 1
+    if oi < total:
+        raise MediaDecodeError("PCX RLE stream truncated")
+    rows = out.reshape(h, planes, bpl)
+    return np.ascontiguousarray(rows[:, :, :w].transpose(0, 2, 1))
+
+
+def decode_gif(payload: bytes) -> np.ndarray:
+    """GIF87a/89a (first frame, optional interlace) → (h, w, 3) uint8.
+
+    A REAL LZW-compressed container from the reference corpus
+    (TEST.GIF): variable-width LZW codes (3-12 bits), clear/EOI
+    handling, global or local color table, interlace de-weave."""
+    import struct
+
+    if not isinstance(payload, bytes):
+        payload = bytes(payload)  # zero-copy views arrive as buffers
+    if payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise MediaDecodeError("not a GIF payload")
+    pos = 6
+    _sw, _sh = struct.unpack_from("<HH", payload, pos)
+    packed = payload[pos + 4]
+    pos += 7
+    gct = None
+    if packed & 0x80:
+        size = 2 ** ((packed & 7) + 1)
+        gct = np.frombuffer(payload, np.uint8, 3 * size, pos).reshape(size, 3)
+        pos += 3 * size
+    while pos < len(payload):
+        block = payload[pos]
+        if block == 0x21:  # extension: label + sub-blocks
+            pos += 2
+            while payload[pos] != 0:
+                pos += 1 + payload[pos]
+            pos += 1
+        elif block == 0x2C:  # image descriptor
+            _ix, _iy, w, h = struct.unpack_from("<4H", payload, pos + 1)
+            ipacked = payload[pos + 9]
+            pos += 10
+            ct = gct
+            if ipacked & 0x80:
+                size = 2 ** ((ipacked & 7) + 1)
+                ct = np.frombuffer(payload, np.uint8, 3 * size, pos).reshape(size, 3)
+                pos += 3 * size
+            if ct is None:
+                raise MediaDecodeError("GIF image without a color table")
+            min_code = payload[pos]
+            pos += 1
+            chunks = []
+            while payload[pos] != 0:
+                ln = payload[pos]
+                chunks.append(payload[pos + 1 : pos + 1 + ln])
+                pos += 1 + ln
+            idx = _lzw_decode(b"".join(chunks), min_code, w * h)
+            img = idx.reshape(h, w)
+            if ipacked & 0x40:  # interlaced: de-weave the 4 passes
+                de = np.empty_like(img)
+                order = np.concatenate(
+                    [np.arange(0, h, 8), np.arange(4, h, 8),
+                     np.arange(2, h, 4), np.arange(1, h, 2)]
+                )
+                de[order] = img
+                img = de
+            return ct[img]
+        elif block == 0x3B:  # trailer
+            break
+        else:
+            raise MediaDecodeError(f"unknown GIF block 0x{block:02x}")
+    raise MediaDecodeError("GIF without an image descriptor")
+
+
+def _lzw_decode(data: bytes, min_code: int, expect: int) -> np.ndarray:
+    """GIF-flavor LZW: LSB-first variable-width codes, CLEAR/EOI,
+    dictionary grows to 12 bits then waits for CLEAR."""
+    clear, eoi = 1 << min_code, (1 << min_code) + 1
+    bits = np.unpackbits(
+        np.frombuffer(data, dtype=np.uint8), bitorder="little"
+    )
+    out = np.empty(expect, dtype=np.int32)
+    oi = 0
+    table: list[bytes] = []
+
+    def reset():
+        nonlocal table, width, prev
+        table = [bytes([i]) for i in range(1 << min_code)] + [b"", b""]
+        width = min_code + 1
+        prev = None
+
+    width, prev = min_code + 1, None
+    reset()
+    bi, nbits = 0, len(bits)
+    while bi + width <= nbits and oi < expect:
+        code = int(np.dot(bits[bi : bi + width], 1 << np.arange(width)))
+        bi += width
+        if code == clear:
+            reset()
+            continue
+        if code == eoi:
+            break
+        if code < len(table):
+            entry = table[code]
+        elif code == len(table) and prev is not None:
+            entry = prev + prev[:1]  # the KwKwK case
+        else:
+            raise MediaDecodeError(f"corrupt LZW code {code}")
+        n = min(len(entry), expect - oi)
+        out[oi : oi + n] = np.frombuffer(entry[:n], dtype=np.uint8)
+        oi += n
+        if prev is not None and len(table) < 4096:
+            table.append(prev + entry[:1])
+            if len(table) == (1 << width) and width < 12:
+                width += 1
+        prev = entry
+    if oi < expect:
+        raise MediaDecodeError(f"LZW underrun: {oi}/{expect} pixels")
+    return out
+
+
 def _decode_payload(payload: bytes, fmt: str, decoder: str) -> np.ndarray:
     """Container decode.
 
@@ -412,6 +566,10 @@ def _decode_payload(payload: bytes, fmt: str, decoder: str) -> np.ndarray:
         if head == b"RIFF":
             samples, _rate = decode_wav(payload)
             return samples.astype(np.float64) / 32768.0
+        if head[:3] == b"GIF":
+            return decode_gif(payload).astype(np.float64).ravel()
+        if head[:1] == b"\x0a" and head[2:3] == b"\x01":
+            return decode_pcx(payload).astype(np.float64).ravel()
         raise MediaDecodeError(f"unrecognized container (fmt tag: {fmt!r})")
     if fmt == "fake_pcm16":
         return np.frombuffer(payload, dtype="<i2").astype(np.float64) / 32768.0
