@@ -126,13 +126,22 @@ def real_media_table(
             }
             for i in ids:
                 rng = np.random.default_rng(seed * 1_000_003 + int(i))
-                if int(i) % 3 != 1:
+                slot = int(i) % 5
+                if slot != 1:
                     w, h = int(rng.integers(8, 40)), int(rng.integers(8, 40))
                     rgb = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
-                    if int(i) % 3 == 0:
+                    if slot == 0:
                         payload, fmt = encode_bmp(rgb), "bmp"
-                    else:
-                        payload, fmt = encode_png(rgb, filter_type=(int(i) // 3) % 5), "png"
+                    elif slot == 2:
+                        payload, fmt = encode_png(rgb, filter_type=(int(i) // 5) % 5), "png"
+                    elif slot == 3:
+                        payload, fmt = encode_pcx(rgb), "pcx"
+                    else:  # palettized GIF (LZW), sometimes interlaced
+                        pal = [tuple(int(v) for v in rng.integers(0, 256, 3))
+                               for _ in range(16)]
+                        idx = rng.integers(0, 16, (h, w))
+                        payload = encode_gif(idx, pal, interlace=bool(int(i) % 2))
+                        fmt = "gif"
                     kind = "image"
                     c, sr, nf = 3, 0, 1
                 else:
@@ -392,6 +401,86 @@ def decode_png(payload: bytes) -> np.ndarray:
         else:
             raise MediaDecodeError(f"unknown PNG filter {ft} on row {y}")
     return out.astype(np.uint8).reshape(h, w, bpp)
+
+
+def encode_pcx(rgb: np.ndarray) -> bytes:
+    """(h, w, 3) uint8 → ZSoft PCX v5 (RLE, 8-bit × 3 planes).  Runs cap
+    at 63; any byte ≥ 0xC0 must be run-escaped even as a singleton."""
+    import struct
+
+    h, w, _ = rgb.shape
+    hdr = bytearray(128)
+    hdr[0], hdr[1], hdr[2], hdr[3] = 0x0A, 5, 1, 8
+    struct.pack_into("<4H", hdr, 4, 0, 0, w - 1, h - 1)
+    struct.pack_into("<HH", hdr, 12, 72, 72)
+    hdr[65] = 3
+    struct.pack_into("<H", hdr, 66, w)
+    out = bytearray(hdr)
+    planes = rgb.transpose(0, 2, 1)  # (h, 3, w): R row, G row, B row
+    for line in planes.reshape(h * 3, w):
+        i = 0
+        while i < w:
+            v = line[i]
+            run = 1
+            while i + run < w and run < 63 and line[i + run] == v:
+                run += 1
+            if run > 1 or v >= 0xC0:
+                out.append(0xC0 | run)
+            out.append(v)
+            i += run
+    return bytes(out)
+
+
+def encode_gif(
+    indices: np.ndarray, palette: list[tuple[int, int, int]],
+    interlace: bool = False,
+) -> bytes:
+    """(h, w) palette indices → GIF89a.  Clear-per-symbol LZW (the table
+    never grows, so code width stays fixed) — larger than a greedy
+    encoder but spec-valid for any decoder; decode_gif has the real
+    corpus (TEST.GIF) for the grown-table path."""
+    import struct
+
+    img = np.asarray(indices, dtype=np.uint8)
+    h, w = img.shape
+    min_code = 7
+    clear, eoi = 1 << min_code, (1 << min_code) + 1
+    width = min_code + 1
+    if interlace:
+        order = np.concatenate(
+            [np.arange(0, h, 8), np.arange(4, h, 8),
+             np.arange(2, h, 4), np.arange(1, h, 2)]
+        )
+        img = img[order]
+    acc = bitlen = 0
+    data = bytearray()
+    codes: list[int] = []
+    for px in img.ravel():
+        codes.extend((clear, int(px)))
+    codes.append(eoi)
+    for c in codes:
+        acc |= c << bitlen
+        bitlen += width
+        while bitlen >= 8:
+            data.append(acc & 0xFF)
+            acc >>= 8
+            bitlen -= 8
+    if bitlen:
+        data.append(acc & 0xFF)
+    pal = bytearray()
+    for r, g, b in palette:
+        pal += bytes((r, g, b))
+    pal += bytes(3 * (256 - len(palette)))
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", w, h, 0xF7, 0, 0)  # 256-entry GCT
+    out += pal
+    out += b"\x2c" + struct.pack("<4H", 0, 0, w, h)
+    out += bytes((0x40 if interlace else 0, min_code))
+    for i in range(0, len(data), 255):
+        chunk = data[i : i + 255]
+        out += bytes((len(chunk),)) + chunk
+    out += b"\x00\x3b"
+    return bytes(out)
 
 
 def decode_pcx(payload: bytes) -> np.ndarray:

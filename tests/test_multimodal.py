@@ -115,13 +115,14 @@ def test_real_decode_sniffs_content():
 def test_real_media_pipeline_end_to_end(spark):
     """real_media_table → extract_features(decoder='real') → resize:
     the full multimodal path over actual BMP/WAV containers."""
-    media = mm.real_media_table(spark, 24, seed=3)
+    media = mm.real_media_table(spark, 25, seed=3)
     feats = mm.extract_features(media, decoder="real").collect()
-    assert len(feats) == 24
+    assert len(feats) == 25
     kinds = {r.kind for r in feats}
     assert kinds == {"image", "audio"}
     fmts = {r.format for r in media.select("meta.format").collect()}
-    assert fmts == {"bmp", "wav", "png"}  # one uncompressed + one COMPRESSED image container
+    # raw (bmp) + three genuinely COMPRESSED image containers + audio
+    assert fmts == {"bmp", "wav", "png", "pcx", "gif"}
     for r in feats:
         assert sum(r.histogram) > 0
         if r.kind == "audio":
@@ -130,7 +131,7 @@ def test_real_media_pipeline_end_to_end(spark):
             assert 0.0 <= r.mean_intensity <= 255.0
     n_images = media.filter(F.col("kind") == "image").count()
     thumbs = mm.resize_images(media, out_w=4, out_h=4, decoder="real").collect()
-    assert len(thumbs) == n_images == 16  # every image row (bmp + png)
+    assert len(thumbs) == n_images == 20  # every image row (bmp/png/pcx/gif)
     assert all(len(t.thumb) == 4 * 4 * 3 for t in thumbs)
 
 
@@ -345,3 +346,13 @@ def test_pcx_gif_through_spark_pipeline(spark):
     pcx_local = decode_pcx(_pkz_member("TEST.PCX")).astype(np.float64)
     assert abs(feats["TEST.PCX"].mean_intensity - pcx_local.mean()) < 1e-6
     assert feats["TEST.GIF"].n_bytes == 2646  # the LZW container itself
+
+
+def test_pcx_roundtrip_exact():
+    rng = np.random.default_rng(11)
+    rgb = rng.integers(0, 256, (23, 31, 3), dtype=np.uint8)
+    rgb[5:9] = 200  # long runs
+    rgb[10, :, 0] = 0xC7  # high bytes needing run-escape as singletons
+    from archive_spark.multimodal import decode_pcx, encode_pcx
+
+    assert np.array_equal(decode_pcx(encode_pcx(rgb)), rgb)
