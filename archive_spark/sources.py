@@ -138,6 +138,28 @@ def detect_format(buf: bytes, name: str = "") -> str:
     return "unknown"
 
 
+def _zip_ancient_read(buf: bytes, info) -> tuple[bytes | None, str]:
+    """Fallback for zip methods the stdlib refuses: method 1 (shrink)
+    decodes via _unshrink with a CRC-32 check; the rest stay typed
+    unsupported_method."""
+    import struct
+    import zlib
+
+    if info.compress_type != 1:
+        return None, "unsupported_method"
+    off = info.header_offset
+    nlen, elen = struct.unpack_from("<HH", buf, off + 26)
+    start = off + 30 + nlen + elen
+    comp = buf[start : start + info.compress_size]
+    try:
+        payload = _unshrink(comp, info.file_size)
+    except ValueError:
+        return None, "corrupt"
+    if zlib.crc32(payload) != info.CRC:
+        return None, "corrupt"
+    return payload, "ok"
+
+
 def _gzip_member_name(buf: bytes, archive: str) -> str:
     """Original filename from the gzip FNAME header field if present,
     else the archive basename minus .gz (gunzip's rule)."""
@@ -190,7 +212,7 @@ def _walk_members(
                         try:
                             payload = zf.read(info)
                         except NotImplementedError:
-                            status = "unsupported_method"
+                            payload, status = _zip_ancient_read(buf, info)
                         except (zipfile.BadZipFile, RuntimeError, lzma.LZMAError):
                             status = "corrupt"
                     yield fmt, (
@@ -422,3 +444,95 @@ def archives_to_documents(
         F.col("archive").alias("source"),
         F.length(F.decode("payload", "ISO-8859-1")).alias("n_chars"),
     )
+
+
+def _unshrink(data: bytes, expect: int) -> bytes:
+    """PKZIP method 1 'Shrinking' = dynamic LZW (APPNOTE.TXT §4.4.5 /
+    section 'Shrinking'), implemented from the published spec:
+
+    - codes are LSB-first, starting at 9 bits, max 13;
+    - code 256 is the control escape: a following 1 bumps the code
+      width, a following 2 performs a PARTIAL CLEAR (free the leaf
+      nodes; slots are then re-used lowest-first);
+    - unlike GIF-LZW the width never grows implicitly.
+
+    Lets the reference's own HWSHRINK.ZIP extract bit-identical instead
+    of surfacing unsupported_method (Hamarsoft packed the TESTDAT
+    corpus with every ancient pkzip method, archive_test.go)."""
+    import numpy as np
+
+    bits = np.unpackbits(np.frombuffer(data, np.uint8), bitorder="little")
+    nbits = len(bits)
+    MAX = 1 << 13
+    parent = [-1] * MAX  # parent code, -2 = free slot
+    suffix = [0] * MAX
+    for i in range(257, MAX):
+        parent[i] = -2
+    out = bytearray()
+    width = 9
+    prev_code = -1
+    next_free = 257
+    bi = 0
+
+    def read_code():
+        nonlocal bi
+        if bi + width > nbits:
+            return -1
+        c = 0
+        for k in range(width):
+            c |= int(bits[bi + k]) << k
+        bi += width
+        return c
+
+    def expand(code: int) -> bytes:
+        chain = bytearray()
+        while code >= 0:
+            chain.append(suffix[code] if code >= 256 else code)
+            code = parent[code] if code >= 256 else -1
+        chain.reverse()
+        return bytes(chain)
+
+    while len(out) < expect:
+        code = read_code()
+        if code < 0:
+            raise ValueError("shrink stream truncated")
+        if code == 256:
+            ctrl = read_code()
+            if ctrl == 1:
+                width += 1
+                if width > 13:
+                    raise ValueError("shrink width overflow")
+            elif ctrl == 2:
+                # partial clear: free every entry that is nobody's parent
+                is_parent = [False] * MAX
+                for i in range(257, MAX):
+                    if parent[i] >= 0:
+                        p = parent[i]
+                        if p >= 257:
+                            is_parent[p] = True
+                for i in range(257, MAX):
+                    if parent[i] != -2 and not is_parent[i]:
+                        parent[i] = -2
+                next_free = 257
+            else:
+                raise ValueError(f"bad shrink control {ctrl}")
+            continue
+        if code < 256:
+            entry = bytes([code])
+        elif parent[code] != -2:
+            entry = expand(code)
+        elif code == next_free and prev_code >= 0:
+            entry = expand(prev_code)
+            entry += entry[:1]  # KwKwK
+        else:
+            raise ValueError(f"corrupt shrink code {code}")
+        if prev_code >= 0:
+            while next_free < MAX and parent[next_free] != -2:
+                next_free += 1
+            if next_free < MAX:
+                parent[next_free] = prev_code
+                suffix[next_free] = entry[0]
+                next_free += 1
+        prev_code = code
+        out += entry
+    return bytes(out[:expect])

@@ -78,31 +78,45 @@ def test_targeted_extract_cascades(spark, ref_archives):
     rows = ext.filter("status = 'ok'").collect()
     got = {r.archive: r.payload for r in rows}
     for a in ("GZIP113.GZ", "BSDTAR37.TAR", "BSDTAR37.TAR.gz",
-              "bzip2.tar.bz2", "XZUtils.tar.xz", "Zstandard.tar.zst"):
+              "bzip2.tar.bz2", "XZUtils.tar.xz", "Zstandard.tar.zst",
+              "HWSHRINK.ZIP"):
         assert a in got and len(got[a]) == 81410, a
     payloads = {bytes(v) for v in got.values()}
     assert len(payloads) == 1  # bit-identical across all containers
 
 
 def test_extract_unsupported_method_typed(spark, ref_archives):
-    """Ancient pkzip methods (shrink/reduce/implode) extract as typed
-    unsupported_method rows; stored members in the same archive still
-    extract fine (pkzip.Methods capability split)."""
+    """Shrink (method 1) extracts via the spec-implemented _unshrink,
+    CRC-checked; reduce/implode stay typed unsupported_method; stored
+    members in the same archive extract fine (pkzip.Methods split)."""
     ext = sources.extract_members(ref_archives).filter(
         F.col("archive").isin("HWSHRINK.ZIP", "HWREDUCE.ZIP", "HWIMPODE.ZIP")
     )
     rows = ext.collect()
     assert len(rows) == 9
-    ok = [r for r in rows if r.status == "ok"]
-    # HWREDUCE.ZIP stored TESTDAT2.TXT uncompressed — the one green row
-    assert [(r.archive, r.member, r.size) for r in ok] == [
-        ("HWREDUCE.ZIP", "TESTDAT2.TXT", 469)
+    ok = sorted((r.archive, r.member, r.size) for r in rows if r.status == "ok")
+    assert ok == [
+        ("HWREDUCE.ZIP", "TESTDAT2.TXT", 469),
+        ("HWSHRINK.ZIP", "TESTDAT1.TXT", 2009),
+        ("HWSHRINK.ZIP", "TESTDAT2.TXT", 469),
+        ("HWSHRINK.ZIP", "TESTDAT3.TXT", 81410),
     ]
     assert all(
         r.status == "unsupported_method" and r.payload is None
         for r in rows
         if r.status != "ok"
     )
+
+
+def test_unshrink_bit_identical_to_plaintexts(spark, ref_archives):
+    """The shrink-compressed corpus decodes bit-identical to the plain
+    TESTDAT files shipped alongside it."""
+    ext = sources.extract_members(ref_archives).filter(
+        F.col("archive") == "HWSHRINK.ZIP"
+    )
+    for r in ext.collect():
+        want = open(f"{TESTDATA}/{r.member}", "rb").read()
+        assert bytes(r.payload) == want, r.member
 
 
 def test_missing_target_silently_omitted(spark, ref_archives):
