@@ -139,21 +139,30 @@ def detect_format(buf: bytes, name: str = "") -> str:
 
 
 def _zip_ancient_read(buf: bytes, info) -> tuple[bytes | None, str]:
-    """Fallback for zip methods the stdlib refuses: method 1 (shrink)
-    decodes via _unshrink with a CRC-32 check; the rest stay typed
-    unsupported_method."""
+    """Fallback for the pkzip methods the stdlib refuses, implemented
+    from the public APPNOTE.TXT spec: 1 shrink (_unshrink), 2-5 reduce
+    (_unreduce), 6 implode (_unimplode) — the reference's whole
+    era-corpus becomes extractable (Hamarsoft + PKZ80/110 zips,
+    archive_test.go).  Every payload is CRC-32-gated; anything else
+    stays typed unsupported_method."""
     import struct
     import zlib
 
-    if info.compress_type != 1:
+    method = info.compress_type
+    if method not in (1, 2, 3, 4, 5, 6):
         return None, "unsupported_method"
     off = info.header_offset
     nlen, elen = struct.unpack_from("<HH", buf, off + 26)
     start = off + 30 + nlen + elen
     comp = buf[start : start + info.compress_size]
     try:
-        payload = _unshrink(comp, info.file_size)
-    except ValueError:
+        if method == 1:
+            payload = _unshrink(comp, info.file_size)
+        elif method in (2, 3, 4, 5):
+            payload = _unreduce(comp, info.file_size, method - 1)
+        else:
+            payload = _unimplode(comp, info.file_size, info.flag_bits)
+    except (ValueError, IndexError):
         return None, "corrupt"
     if zlib.crc32(payload) != info.CRC:
         return None, "corrupt"
@@ -517,22 +526,161 @@ def _unshrink(data: bytes, expect: int) -> bytes:
             else:
                 raise ValueError(f"bad shrink control {ctrl}")
             continue
+        while next_free < MAX and parent[next_free] != -2:
+            next_free += 1
         if code < 256:
             entry = bytes([code])
         elif parent[code] != -2:
             entry = expand(code)
         elif code == next_free and prev_code >= 0:
             entry = expand(prev_code)
-            entry += entry[:1]  # KwKwK
+            entry += entry[:1]  # KwKwK: the not-yet-allocated slot
         else:
             raise ValueError(f"corrupt shrink code {code}")
-        if prev_code >= 0:
-            while next_free < MAX and parent[next_free] != -2:
-                next_free += 1
-            if next_free < MAX:
-                parent[next_free] = prev_code
-                suffix[next_free] = entry[0]
-                next_free += 1
+        if prev_code >= 0 and next_free < MAX:
+            parent[next_free] = prev_code
+            suffix[next_free] = entry[0]
+            next_free += 1
         prev_code = code
         out += entry
+    return bytes(out[:expect])
+
+
+def _unreduce(data: bytes, expect: int, factor: int) -> bytes:
+    """PKZIP methods 2-5 'Reducing' (APPNOTE 'Expanding'): stage 1 is a
+    probabilistic follower-set decoder (per-byte follower lists, 6-bit
+    counts read for j = 255…0), stage 2 a DLE(0x90)-escaped LZ copy
+    where the V byte splits into (8-factor) length bits and `factor`
+    distance-high bits."""
+    pos = 0
+
+    def bits(n: int) -> int:
+        nonlocal pos
+        v = 0
+        for k in range(n):
+            v |= ((data[(pos + k) >> 3] >> ((pos + k) & 7)) & 1) << k
+        pos += n
+        return v
+
+    N = [0] * 256
+    S: list[list[int]] = [[] for _ in range(256)]
+    for j in range(255, -1, -1):
+        N[j] = bits(6)
+        S[j] = [bits(8) for _ in range(N[j])]
+    B = [max(1, (n - 1).bit_length()) if n > 1 else 1 for n in N]
+    out = bytearray()
+    DLE = 0x90
+    mask = (1 << (8 - factor)) - 1
+    state = V = Ln = last = 0
+    total = len(data) * 8
+    while len(out) < expect and pos < total:
+        if N[last] == 0:
+            c = bits(8)
+        elif bits(1):
+            c = bits(8)
+        else:
+            c = S[last][bits(B[last])]
+        last = c
+        if state == 0:
+            if c == DLE:
+                state = 1
+            else:
+                out.append(c)
+        elif state == 1:
+            if c == 0:
+                out.append(DLE)
+                state = 0
+            else:
+                V, Ln = c, c & mask
+                state = 2 if Ln == mask else 3
+        elif state == 2:
+            Ln += c
+            state = 3
+        else:
+            dist = ((V >> (8 - factor)) << 8) + c + 1
+            for _ in range(Ln + 3):
+                out.append(out[-dist] if dist <= len(out) else 0)
+            state = 0
+    if len(out) < expect:
+        raise ValueError("reduce stream truncated")
+    return bytes(out[:expect])
+
+
+def _sf_table(lens: list[int]) -> dict[tuple[int, int], int]:
+    """APPNOTE 4.4.4 Shannon-Fano construction: values sorted by
+    (bit length, value), 16-bit codes assigned longest-first, truncated
+    to their length, then BIT-REVERSED (codes are read LSB-first)."""
+    order = sorted(range(len(lens)), key=lambda i: (lens[i], i))
+    code = incr = last = 0
+    table: dict[tuple[int, int], int] = {}
+    for i in reversed(order):
+        code += incr
+        if lens[i] != last:
+            last = lens[i]
+            incr = 1 << (16 - lens[i])
+        l = lens[i]
+        c = code >> (16 - l)
+        c = int(bin(c)[2:].zfill(l)[::-1], 2)
+        table[(l, c)] = i
+    return table
+
+
+def _unimplode(data: bytes, expect: int, flags: int) -> bytes:
+    """PKZIP method 6 'Imploding' (APPNOTE 4.4.4): 2 or 3 Shannon-Fano
+    trees (flag 0x04 adds a 256-value literal tree; flag 0x02 selects
+    the 8K window, 7 raw distance bits).  Token: flag bit 1 → literal
+    (SF or raw 8 bits); 0 → distance = (SF-high << dbits) + raw-low + 1,
+    length = SF (+raw byte when 63) + minimum match (3 with literal
+    tree, else 2)."""
+    big, three = bool(flags & 2), bool(flags & 4)
+    pos = 0
+
+    def bits(n: int) -> int:
+        nonlocal pos
+        v = 0
+        for k in range(n):
+            v |= ((data[(pos + k) >> 3] >> ((pos + k) & 7)) & 1) << k
+        pos += n
+        return v
+
+    bp = 0
+    tabs = []
+    for _ in range(3 if three else 2):
+        npairs = data[bp] + 1
+        lens: list[int] = []
+        for b in data[bp + 1 : bp + 1 + npairs]:
+            lens += [(b & 0x0F) + 1] * ((b >> 4) + 1)
+        tabs.append(_sf_table(lens))
+        bp += 1 + npairs
+    pos = bp * 8
+    lit_t, len_t, dist_t = (tabs if three else (None, *tabs))
+
+    def sf(tab):
+        acc = l = 0
+        while l <= 16:
+            acc |= bits(1) << l
+            l += 1
+            hit = tab.get((l, acc))
+            if hit is not None:
+                return hit
+        raise ValueError("bad Shannon-Fano code")
+
+    out = bytearray()
+    dbits = 7 if big else 6
+    minlen = 3 if three else 2
+    total = len(data) * 8
+    while len(out) < expect and pos < total:
+        if bits(1):
+            out.append(sf(lit_t) if three else bits(8))
+        else:
+            dl = bits(dbits)
+            dist = (sf(dist_t) << dbits) + dl + 1
+            L = sf(len_t)
+            if L == 63:
+                L += bits(8)
+            L += minlen
+            for _ in range(L):
+                out.append(out[-dist] if dist <= len(out) else 0)
+    if len(out) < expect:
+        raise ValueError("implode stream truncated")
     return bytes(out[:expect])

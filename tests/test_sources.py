@@ -85,38 +85,20 @@ def test_targeted_extract_cascades(spark, ref_archives):
     assert len(payloads) == 1  # bit-identical across all containers
 
 
-def test_extract_unsupported_method_typed(spark, ref_archives):
-    """Shrink (method 1) extracts via the spec-implemented _unshrink,
-    CRC-checked; reduce/implode stay typed unsupported_method; stored
-    members in the same archive extract fine (pkzip.Methods split)."""
+def test_ancient_methods_bit_identical_to_plaintexts(spark, ref_archives):
+    """The Hamarsoft corpora — shrink (method 1), reduce (2-5), and
+    implode (6, 8K/3-tree) — all decode bit-identical to the plain
+    TESTDAT files shipped alongside them (APPNOTE-spec decoders,
+    CRC-gated)."""
     ext = sources.extract_members(ref_archives).filter(
         F.col("archive").isin("HWSHRINK.ZIP", "HWREDUCE.ZIP", "HWIMPODE.ZIP")
     )
     rows = ext.collect()
     assert len(rows) == 9
-    ok = sorted((r.archive, r.member, r.size) for r in rows if r.status == "ok")
-    assert ok == [
-        ("HWREDUCE.ZIP", "TESTDAT2.TXT", 469),
-        ("HWSHRINK.ZIP", "TESTDAT1.TXT", 2009),
-        ("HWSHRINK.ZIP", "TESTDAT2.TXT", 469),
-        ("HWSHRINK.ZIP", "TESTDAT3.TXT", 81410),
-    ]
-    assert all(
-        r.status == "unsupported_method" and r.payload is None
-        for r in rows
-        if r.status != "ok"
-    )
-
-
-def test_unshrink_bit_identical_to_plaintexts(spark, ref_archives):
-    """The shrink-compressed corpus decodes bit-identical to the plain
-    TESTDAT files shipped alongside it."""
-    ext = sources.extract_members(ref_archives).filter(
-        F.col("archive") == "HWSHRINK.ZIP"
-    )
-    for r in ext.collect():
+    assert all(r.status == "ok" for r in rows)
+    for r in rows:
         want = open(f"{TESTDATA}/{r.member}", "rb").read()
-        assert bytes(r.payload) == want, r.member
+        assert bytes(r.payload) == want, (r.archive, r.member)
 
 
 def test_missing_target_silently_omitted(spark, ref_archives):
@@ -208,3 +190,28 @@ def test_archives_to_documents_bridge(spark, ref_archives):
     # and the token path runs unchanged on ingested docs
     n_tok = tokenize_documents(docs).agg(F.sum("n_tok")).collect()[0][0]
     assert n_tok > 0
+
+
+def test_entire_zip_corpus_extracts_crc_green(spark, ref_archives):
+    """Every member of every zip in the reference corpus — stored,
+    deflate, and the APPNOTE-spec ancient methods (shrink, reduce1-4,
+    implode in both 4K/2-tree and 8K/3-tree variants) — extracts with
+    its header CRC-32 verified.  The reference needs external archiver
+    binaries for these (archive.go:569-583); we decode them in-process."""
+    ext = sources.extract_members(ref_archives).filter(F.col("fmt") == "zip")
+    rows = ext.collect()
+    assert all(r.status == "ok" for r in rows), [
+        (r.archive, r.member, r.status) for r in rows if r.status != "ok"
+    ]
+    # 3x3 TESTDAT corpora (shrink/reduce/implode) + 3x15 TEST.* members
+    assert len(rows) == 54
+    import zlib
+
+    import zipfile as _zf
+
+    for arc in ("HWIMPODE.ZIP", "PKZ110EI.ZIP", "PKZ80A1.ZIP"):
+        with _zf.ZipFile(f"{TESTDATA}/{arc}") as z:
+            crcs = {i.filename: i.CRC for i in z.infolist()}
+        for r in rows:
+            if r.archive == arc:
+                assert zlib.crc32(bytes(r.payload)) == crcs[r.member], (arc, r.member)
