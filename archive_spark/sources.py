@@ -56,8 +56,8 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 MAX_BYTES_DEFAULT = 150 * 2**20
 
 #: formats _walk_members can decode with the stdlib (+ zstd via the
-#: codec pyarrow bundles — no external package)
-SUPPORTED = ("zip", "tar", "tar.gz", "gzip", "bzip2", "xz", "zstd")
+#: codec pyarrow bundles, + spec-implemented SEA ARC decoders)
+SUPPORTED = ("zip", "tar", "tar.gz", "gzip", "bzip2", "xz", "zstd", "arc")
 
 
 def _zstd_decompress(buf: bytes) -> bytes:
@@ -205,6 +205,10 @@ def _walk_members(
         yield fmt, (None, None, None, None, status, None)
         return
     try:
+        if fmt == "arc":
+            for row in _walk_arc(buf, want_payload, targets):
+                yield fmt, row
+            return
         if fmt == "zip":
             with zipfile.ZipFile(io.BytesIO(buf)) as zf:
                 for info in zf.infolist():
@@ -684,3 +688,141 @@ def _unimplode(data: bytes, expect: int, flags: int) -> bytes:
     if len(out) < expect:
         raise ValueError("implode stream truncated")
     return bytes(out[:expect])
+
+
+def _rle90(data: bytes) -> bytes:
+    """SEA ARC stage-2 run-length decode: 0x90 escape, 0x90 0x00 is a
+    literal 0x90, else repeat the previous byte (count-1) more times."""
+    out = bytearray()
+    i, n = 0, len(data)
+    while i < n:
+        b = data[i]
+        if b == 0x90:
+            if i + 1 >= n:
+                raise ValueError("RLE90 truncated")
+            c = data[i + 1]
+            if c == 0:
+                out.append(0x90)
+            else:
+                if not out:
+                    raise ValueError("RLE90 run with no previous byte")
+                out += bytes([out[-1]]) * (c - 1)
+            i += 2
+        else:
+            out.append(b)
+            i += 1
+    return bytes(out)
+
+
+def _lzw_compress_style(data: bytes, maxbits: int) -> bytes:
+    """Unix-compress-family dynamic LZW (ARC crunch/squash): 9→maxbits
+    LSB-first codes, code 256 = CLEAR, and the classic block quirk —
+    codes are flushed in groups of 8 per width, so width changes and
+    clears skip the remainder of the current group."""
+    pos, nbits, width, codes_at_width = 0, len(data) * 8, 9, 0
+
+    def rd() -> int:
+        nonlocal pos, codes_at_width
+        if pos + width > nbits:
+            return -1
+        v = 0
+        for k in range(width):
+            v |= ((data[(pos + k) >> 3] >> ((pos + k) & 7)) & 1) << k
+        pos += width
+        codes_at_width += 1
+        return v
+
+    def realign() -> None:
+        nonlocal pos, codes_at_width
+        rem = codes_at_width % 8
+        if rem:
+            pos += (8 - rem) * width
+        codes_at_width = 0
+
+    out = bytearray()
+    table = {i: bytes([i]) for i in range(256)}
+    nxt, prev = 257, None
+    while True:
+        code = rd()
+        if code < 0:
+            break
+        if code == 256:
+            realign()
+            table = {i: bytes([i]) for i in range(256)}
+            nxt, width, prev = 257, 9, None
+            continue
+        if code in table:
+            entry = table[code]
+        elif code == nxt and prev is not None:
+            entry = prev + prev[:1]
+        else:
+            raise ValueError(f"bad LZW code {code}")
+        out += entry
+        if prev is not None and nxt < (1 << maxbits):
+            table[nxt] = prev + entry[:1]
+            nxt += 1
+            if nxt == (1 << width) and width < maxbits:
+                realign()
+                width += 1
+        prev = entry
+    return bytes(out)
+
+
+def _crc16_arc(data: bytes) -> int:
+    """CRC-16/ARC (reflected 0xA001)."""
+    crc = 0
+    for b in data:
+        crc ^= b
+        for _ in range(8):
+            crc = (crc >> 1) ^ 0xA001 if crc & 1 else crc >> 1
+    return crc
+
+
+#: ARC member methods (SEA ARC / PAK family)
+ARC_METHODS = {
+    1: "stored_old", 2: "stored", 3: "packed", 4: "squeezed",
+    5: "crunched5", 6: "crunched6", 7: "crunched7", 8: "crunched",
+    9: "squashed", 10: "crushed", 11: "distilled",
+}
+
+
+def _walk_arc(buf: bytes, want_payload: bool, targets: set[str] | None):
+    """SEA ARC / PAK container walk: 0x1A-marked member headers.
+    Decodable methods: stored (1/2), packed (RLE90), crunched (dynamic
+    LZW + RLE90), squashed (13-bit LZW, no RLE) — each CRC-16-gated.
+    PAK-proprietary crushed/distilled surface unsupported_method."""
+    import struct
+
+    pos, n = 0, len(buf)
+    while pos + 2 <= n and buf[pos] == 0x1A and buf[pos + 1] != 0:
+        method = buf[pos + 1]
+        name = bytes(buf[pos + 2 : pos + 15]).split(b"\0")[0].decode("latin-1")
+        csize, _d, _t, crc16 = struct.unpack_from("<IHHH", buf, pos + 15)
+        if method == 1:  # old stored header lacks the usize field
+            usize, hdr = csize, 25
+        else:
+            (usize,) = struct.unpack_from("<I", buf, pos + 25)
+            hdr = 29
+        comp = buf[pos + hdr : pos + hdr + csize]
+        pos += hdr + csize
+        if targets is not None and name not in targets:
+            continue
+        mname = ARC_METHODS.get(method, f"m{method}")
+        payload, status = None, "ok"
+        if want_payload:
+            try:
+                if method in (1, 2):
+                    payload = bytes(comp)
+                elif method == 3:
+                    payload = _rle90(comp)
+                elif method == 8:
+                    payload = _rle90(_lzw_compress_style(comp[1:], comp[0]))
+                elif method == 9:
+                    payload = _lzw_compress_style(comp, 13)
+                else:
+                    status = "unsupported_method"
+                if payload is not None and _crc16_arc(payload) != crc16:
+                    payload, status = None, "corrupt"
+            except (ValueError, IndexError):
+                payload, status = None, "corrupt"
+        yield name, usize, csize, mname, status, payload

@@ -54,7 +54,7 @@ def test_listing_reference_corpus(spark, ref_archives):
     # stdlib-decodable containers all list the three TESTDAT members
     for a in ("BSDTAR37.TAR", "BSDTAR37.TAR.gz", "bzip2.tar.bz2",
               "XZUtils.tar.xz", "Zstandard.tar.zst",
-              "HWSHRINK.ZIP", "HWREDUCE.ZIP"):
+              "HWSHRINK.ZIP", "HWREDUCE.ZIP", "ARC601.ARC", "PAK100.PAK"):
         got = {r.member: r.size_uncompressed for r in by_archive[a]
                if r.member in TESTDAT_SIZES}
         assert got == TESTDAT_SIZES, a
@@ -65,7 +65,7 @@ def test_listing_reference_corpus(spark, ref_archives):
     assert {r.status for r in by_archive["HWSHRINK.ZIP"]} == {"ok"}
     # no stdlib decoder → one typed row, no crash
     for a in ("RAR250.RAR", "7ZIP465.7Z", "ARJ020B.ARJ", "LH113.LZH",
-              "ARC601.ARC", "GCAB16.CAB"):
+              "GCAB16.CAB"):
         assert [r.status for r in by_archive[a]] == ["unsupported_format"], a
     for a in ("TEST.EXE", "TESTDAT1.TXT"):
         assert [r.status for r in by_archive[a]] == ["unknown_format"], a
@@ -79,7 +79,7 @@ def test_targeted_extract_cascades(spark, ref_archives):
     got = {r.archive: r.payload for r in rows}
     for a in ("GZIP113.GZ", "BSDTAR37.TAR", "BSDTAR37.TAR.gz",
               "bzip2.tar.bz2", "XZUtils.tar.xz", "Zstandard.tar.zst",
-              "HWSHRINK.ZIP"):
+              "HWSHRINK.ZIP", "ARC601.ARC"):
         assert a in got and len(got[a]) == 81410, a
     payloads = {bytes(v) for v in got.values()}
     assert len(payloads) == 1  # bit-identical across all containers
@@ -91,10 +91,11 @@ def test_ancient_methods_bit_identical_to_plaintexts(spark, ref_archives):
     TESTDAT files shipped alongside them (APPNOTE-spec decoders,
     CRC-gated)."""
     ext = sources.extract_members(ref_archives).filter(
-        F.col("archive").isin("HWSHRINK.ZIP", "HWREDUCE.ZIP", "HWIMPODE.ZIP")
+        F.col("archive").isin("HWSHRINK.ZIP", "HWREDUCE.ZIP", "HWIMPODE.ZIP",
+                              "ARC601.ARC")
     )
     rows = ext.collect()
-    assert len(rows) == 9
+    assert len(rows) == 12
     assert all(r.status == "ok" for r in rows)
     for r in rows:
         want = open(f"{TESTDATA}/{r.member}", "rb").read()
