@@ -57,7 +57,7 @@ MAX_BYTES_DEFAULT = 150 * 2**20
 
 #: formats _walk_members can decode with the stdlib (+ zstd via the
 #: codec pyarrow bundles, + spec-implemented SEA ARC decoders)
-SUPPORTED = ("zip", "tar", "tar.gz", "gzip", "bzip2", "xz", "zstd", "arc")
+SUPPORTED = ("zip", "tar", "tar.gz", "gzip", "bzip2", "xz", "zstd", "arc", "cab")
 
 
 def _zstd_decompress(buf: bytes) -> bytes:
@@ -207,6 +207,10 @@ def _walk_members(
     try:
         if fmt == "arc":
             for row in _walk_arc(buf, want_payload, targets):
+                yield fmt, row
+            return
+        if fmt == "cab":
+            for row in _walk_cab(buf, want_payload, targets):
                 yield fmt, row
             return
         if fmt == "zip":
@@ -826,3 +830,82 @@ def _walk_arc(buf: bytes, want_payload: bool, targets: set[str] | None):
             except (ValueError, IndexError):
                 payload, status = None, "corrupt"
         yield name, usize, csize, mname, status, payload
+
+
+def _walk_cab(buf: bytes, want_payload: bool, targets: set[str] | None):
+    """Microsoft Cabinet walk (MS CAB spec): CFHEADER → CFFOLDER →
+    CFFILE → per-folder CFDATA chain.  Compression types: 0 none
+    (raw concat) and 1 MSZIP ('CK' + raw deflate, 32K history carried
+    across blocks via zdict) decode; Quantum/LZX surface typed."""
+    import struct
+    import zlib
+
+    (_sig, _r1, _cb, _r2, coff_files, _r3, _vmin, _vmaj, n_folders,
+     n_files, flags, _set, _icab) = struct.unpack_from("<4sIIIIIBBHHHHH", buf, 0)
+    pos = 36
+    cb_folder = cb_data = 0
+    if flags & 4:
+        cb_header, cb_folder, cb_data = struct.unpack_from("<HBB", buf, pos)
+        pos += 4 + cb_header
+    folders = []
+    for _ in range(n_folders):
+        co, nd, tc = struct.unpack_from("<IHH", buf, pos)
+        folders.append((co, nd, tc & 0x000F))
+        pos += 8 + cb_folder
+    fpos = coff_files
+    files = []
+    for _ in range(n_files):
+        cb, uoff, ifold, _d, _t, _a = struct.unpack_from("<IIHHHH", buf, fpos)
+        fpos += 16
+        end = buf.index(b"\0", fpos)
+        files.append((buf[fpos:end].decode("latin-1"), cb, uoff, ifold))
+        fpos = end + 1
+
+    decoded: dict[int, bytes | None] = {}
+
+    def folder_bytes(ifold: int) -> bytes | None:
+        if ifold in decoded:
+            return decoded[ifold]
+        co, nd, tc = folders[ifold]
+        if tc not in (0, 1):
+            decoded[ifold] = None
+            return None
+        out = bytearray()
+        p = co
+        for _ in range(nd):
+            _csum, cbd, cbu = struct.unpack_from("<IHH", buf, p)
+            p += 8 + cb_data
+            block = buf[p : p + cbd]
+            p += cbd
+            if tc == 0:
+                dec = bytes(block)
+            else:
+                if block[:2] != b"CK":
+                    raise ValueError("MSZIP block without CK signature")
+                d = (zlib.decompressobj(-15, zdict=bytes(out[-32768:]))
+                     if out else zlib.decompressobj(-15))
+                dec = d.decompress(bytes(block[2:])) + d.flush()
+            if len(dec) != cbu:
+                raise ValueError("CAB block size mismatch")
+            out += dec
+        decoded[ifold] = bytes(out)
+        return decoded[ifold]
+
+    for name, cb, uoff, ifold in files:
+        if targets is not None and name not in targets:
+            continue
+        tc = folders[ifold][2] if ifold < len(folders) else -1
+        method = {0: "stored", 1: "mszip", 2: "quantum", 3: "lzx"}.get(tc, f"m{tc}")
+        payload, status = None, "ok"
+        if want_payload:
+            if tc not in (0, 1):
+                status = "unsupported_method"
+            else:
+                try:
+                    fb = folder_bytes(ifold)
+                    payload = fb[uoff : uoff + cb]
+                    if len(payload) != cb:
+                        payload, status = None, "corrupt"
+                except (ValueError, zlib.error, IndexError):
+                    payload, status = None, "corrupt"
+        yield name, cb, None, method, status, payload

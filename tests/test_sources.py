@@ -54,7 +54,8 @@ def test_listing_reference_corpus(spark, ref_archives):
     # stdlib-decodable containers all list the three TESTDAT members
     for a in ("BSDTAR37.TAR", "BSDTAR37.TAR.gz", "bzip2.tar.bz2",
               "XZUtils.tar.xz", "Zstandard.tar.zst",
-              "HWSHRINK.ZIP", "HWREDUCE.ZIP", "ARC601.ARC", "PAK100.PAK"):
+              "HWSHRINK.ZIP", "HWREDUCE.ZIP", "ARC601.ARC", "PAK100.PAK",
+              "GCAB16.CAB"):
         got = {r.member: r.size_uncompressed for r in by_archive[a]
                if r.member in TESTDAT_SIZES}
         assert got == TESTDAT_SIZES, a
@@ -64,8 +65,7 @@ def test_listing_reference_corpus(spark, ref_archives):
     assert {r.method for r in by_archive["HWSHRINK.ZIP"]} == {"shrink"}
     assert {r.status for r in by_archive["HWSHRINK.ZIP"]} == {"ok"}
     # no stdlib decoder → one typed row, no crash
-    for a in ("RAR250.RAR", "7ZIP465.7Z", "ARJ020B.ARJ", "LH113.LZH",
-              "GCAB16.CAB"):
+    for a in ("RAR250.RAR", "7ZIP465.7Z", "ARJ020B.ARJ", "LH113.LZH"):
         assert [r.status for r in by_archive[a]] == ["unsupported_format"], a
     for a in ("TEST.EXE", "TESTDAT1.TXT"):
         assert [r.status for r in by_archive[a]] == ["unknown_format"], a
@@ -79,7 +79,7 @@ def test_targeted_extract_cascades(spark, ref_archives):
     got = {r.archive: r.payload for r in rows}
     for a in ("GZIP113.GZ", "BSDTAR37.TAR", "BSDTAR37.TAR.gz",
               "bzip2.tar.bz2", "XZUtils.tar.xz", "Zstandard.tar.zst",
-              "HWSHRINK.ZIP", "ARC601.ARC"):
+              "HWSHRINK.ZIP", "ARC601.ARC", "GCAB16.CAB"):
         assert a in got and len(got[a]) == 81410, a
     payloads = {bytes(v) for v in got.values()}
     assert len(payloads) == 1  # bit-identical across all containers
@@ -216,3 +216,44 @@ def test_entire_zip_corpus_extracts_crc_green(spark, ref_archives):
         for r in rows:
             if r.archive == arc:
                 assert zlib.crc32(bytes(r.payload)) == crcs[r.member], (arc, r.member)
+
+
+def test_cab_mszip_synthetic_cross_block_history(spark):
+    """MSZIP folders carry the 32K deflate history ACROSS CFDATA blocks
+    — a synthetic two-block cab whose second block back-references the
+    first must decode exactly (zdict continuation path)."""
+    import struct
+    import zlib
+
+    body = (b"The quick brown fox jumps over the lazy dog. " * 800)
+    half = len(body) // 2
+    blocks = []
+    hist = b""
+    for part in (body[:half], body[half:]):
+        co = zlib.compressobj(9, zlib.DEFLATED, -15, zdict=hist) if hist else              zlib.compressobj(9, zlib.DEFLATED, -15)
+        comp = b"CK" + co.compress(part) + co.flush()
+        blocks.append((comp, len(part)))
+        hist = body[:half]
+    cfdata = b"".join(
+        struct.pack("<IHH", 0, len(c), u) + c for c, u in blocks
+    )
+    name = b"FOX.TXT\0"
+    cffile = struct.pack("<IIHHHH", len(body), 0, 0, 0, 0, 0x20) + name
+    # header(36) + folder(8) + file + data
+    coff_files = 36 + 8
+    co_data = coff_files + len(cffile)
+    hdr = struct.pack(
+        "<4sIIIIIBBHHHHH", b"MSCF", 0,
+        co_data + len(cfdata), 0, coff_files, 0, 3, 1, 1, 1, 0, 0, 0,
+    )
+    folder = struct.pack("<IHH", co_data, len(blocks), 1)  # MSZIP
+    cab = hdr + folder + cffile + cfdata
+    df = spark.createDataFrame([("synth.cab", len(cab), cab)],
+                               "path string, length long, content binary")
+    rows = sources.extract_members(df).collect()
+    assert [(r.member, r.status, r.method if hasattr(r, "method") else None)
+            for r in sources.list_members(df).collect()] == [
+        ("FOX.TXT", "ok", "mszip")
+    ]
+    assert len(rows) == 1 and rows[0].status == "ok"
+    assert bytes(rows[0].payload) == body
