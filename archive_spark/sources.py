@@ -57,7 +57,7 @@ MAX_BYTES_DEFAULT = 150 * 2**20
 
 #: formats _walk_members can decode with the stdlib (+ zstd via the
 #: codec pyarrow bundles, + spec-implemented SEA ARC decoders)
-SUPPORTED = ("zip", "tar", "tar.gz", "gzip", "bzip2", "xz", "zstd", "arc", "cab")
+SUPPORTED = ("zip", "tar", "tar.gz", "gzip", "bzip2", "xz", "zstd", "arc", "cab", "7z")
 
 
 def _zstd_decompress(buf: bytes) -> bytes:
@@ -211,6 +211,10 @@ def _walk_members(
             return
         if fmt == "cab":
             for row in _walk_cab(buf, want_payload, targets):
+                yield fmt, row
+            return
+        if fmt == "7z":
+            for row in _walk_7z(buf, want_payload, targets):
                 yield fmt, row
             return
         if fmt == "zip":
@@ -909,3 +913,263 @@ def _walk_cab(buf: bytes, want_payload: bool, targets: set[str] | None):
                 except (ValueError, zlib.error, IndexError):
                     payload, status = None, "corrupt"
         yield name, cb, None, method, status, payload
+
+
+class _SzReader:
+    """7z property-stream reader (variable-length numbers, bit
+    vectors) — the encoding from the published 7z format notes."""
+
+    def __init__(self, b: bytes):
+        self.b, self.p = b, 0
+
+    def byte(self) -> int:
+        v = self.b[self.p]
+        self.p += 1
+        return v
+
+    def num(self) -> int:
+        first = self.byte()
+        mask, value = 0x80, 0
+        for i in range(8):
+            if (first & mask) == 0:
+                return value | (first & (mask - 1)) << (8 * i)
+            value |= self.byte() << (8 * i)
+            mask >>= 1
+        return value
+
+    def bytes_(self, n: int) -> bytes:
+        v = self.b[self.p : self.p + n]
+        self.p += n
+        return v
+
+    def bool_vector(self, n: int, all_byte: bool = True) -> list[bool]:
+        if all_byte and self.byte():
+            return [True] * n
+        out, cur, avail = [], 0, 0
+        for _ in range(n):
+            if not avail:
+                cur, avail = self.byte(), 8
+            out.append(bool(cur & 0x80))
+            cur = (cur << 1) & 0xFF
+            avail -= 1
+        return out
+
+
+def _sz_folder_size(f: dict) -> int:
+    bound = {b[1] for b in f["bind"]}
+    for oi in range(f["n_out"] - 1, -1, -1):
+        if oi not in bound:
+            return f["unpack_sizes"][oi]
+    return f["unpack_sizes"][-1]
+
+
+def _sz_streams_info(r: _SzReader) -> dict:
+    import struct
+
+    info: dict = {"pack_pos": 0, "pack_sizes": [], "folders": [],
+                  "num_unpack": [], "sub_sizes": None, "crcs": None}
+    while True:
+        t = r.num()
+        if t == 0x00:
+            break
+        if t == 0x06:  # PackInfo
+            info["pack_pos"] = r.num()
+            n = r.num()
+            while (t2 := r.num()) != 0x00:
+                if t2 == 0x09:
+                    info["pack_sizes"] = [r.num() for _ in range(n)]
+                elif t2 == 0x0A:
+                    for d in r.bool_vector(n):
+                        if d:
+                            r.bytes_(4)
+                else:
+                    raise ValueError(f"7z PackInfo id {t2}")
+        elif t == 0x07:  # UnpackInfo
+            if r.num() != 0x0B or (nf := r.num(), r.byte())[1] != 0:
+                raise ValueError("7z external folders unsupported")
+            folders = []
+            for _ in range(nf):
+                nc = r.num()
+                coders, nin_t, nout_t = [], 0, 0
+                for _ in range(nc):
+                    flags = r.byte()
+                    cid = r.bytes_(flags & 0x0F)
+                    nin = nout = 1
+                    if flags & 0x10:
+                        nin, nout = r.num(), r.num()
+                    props = r.bytes_(r.num()) if flags & 0x20 else b""
+                    coders.append((cid, props))
+                    nin_t += nin
+                    nout_t += nout
+                bind = [(r.num(), r.num()) for _ in range(nout_t - 1)]
+                npacked = nin_t - len(bind)
+                if npacked > 1:
+                    for _ in range(npacked):
+                        r.num()
+                folders.append({"coders": coders, "bind": bind, "n_out": nout_t})
+            if r.num() != 0x0C:
+                raise ValueError("7z missing CodersUnpackSize")
+            for f in folders:
+                f["unpack_sizes"] = [r.num() for _ in range(f["n_out"])]
+            while (t2 := r.num()) != 0x00:
+                if t2 == 0x0A:
+                    for d in r.bool_vector(nf):
+                        if d:
+                            r.bytes_(4)
+                else:
+                    raise ValueError(f"7z UnpackInfo id {t2}")
+            info["folders"] = folders
+        elif t == 0x08:  # SubStreamsInfo
+            folders = info["folders"]
+            nums = [1] * len(folders)
+            sizes = None
+            while (t2 := r.num()) != 0x00:
+                if t2 == 0x0D:
+                    nums = [r.num() for _ in folders]
+                elif t2 == 0x09:
+                    sizes = []
+                    for fi, f in enumerate(folders):
+                        tot = 0
+                        for _ in range(nums[fi] - 1):
+                            v = r.num()
+                            sizes.append(v)
+                            tot += v
+                        sizes.append(_sz_folder_size(f) - tot)
+                elif t2 == 0x0A:
+                    crcs = []
+                    for d in r.bool_vector(sum(nums)):
+                        crcs.append(
+                            struct.unpack("<I", r.bytes_(4))[0] if d else None
+                        )
+                    info["crcs"] = crcs
+                else:
+                    raise ValueError(f"7z SubStreams id {t2}")
+            info["num_unpack"] = nums
+            info["sub_sizes"] = sizes
+        else:
+            raise ValueError(f"7z StreamsInfo id {t}")
+    if info["sub_sizes"] is None:
+        info["sub_sizes"] = [_sz_folder_size(f) for f in info["folders"]]
+        info["num_unpack"] = [1] * len(info["folders"])
+    return info
+
+
+def _sz_decode_folder(f: dict, packed: bytes) -> bytes:
+    """Decode a 7z folder: COPY, LZMA1 (props → lc/lp/pb + dict size),
+    LZMA2 — all via the stdlib raw decoder.  Filter chains (BCJ etc.)
+    surface as unsupported."""
+    import struct
+
+    if len(f["coders"]) != 1:
+        raise ValueError("7z multi-coder folder unsupported")
+    cid, props = f["coders"][0]
+    size = _sz_folder_size(f)
+    if cid == b"\x00":
+        return bytes(packed[:size])
+    if cid == b"\x03\x01\x01":  # LZMA1
+        lclppb = props[0]
+        lc, rem = lclppb % 9, lclppb // 9
+        filt = {"id": lzma.FILTER_LZMA1, "lc": lc, "lp": rem % 5,
+                "pb": rem // 5, "dict_size": struct.unpack("<I", props[1:5])[0]}
+    elif cid == b"\x21":  # LZMA2
+        filt = {"id": lzma.FILTER_LZMA2,
+                "dict_size": 1 << min(max(props[0] & 0x3F, 12), 30)}
+    else:
+        raise ValueError(f"7z coder {cid.hex()} unsupported")
+    dec = lzma.LZMADecompressor(format=lzma.FORMAT_RAW, filters=[filt])
+    out = dec.decompress(packed, max_length=size)
+    if len(out) != size:
+        raise ValueError("7z folder underrun")
+    return out
+
+
+def _walk_7z(buf: bytes, want_payload: bool, targets: set[str] | None):
+    """7-zip container walk: signature header → (possibly LZMA-encoded)
+    header → solid folders split into member streams by SubStreamsInfo,
+    each CRC-32-gated.  Single-coder COPY/LZMA1/LZMA2 folders decode;
+    filter chains surface typed."""
+    import struct
+    import zlib
+
+    nho, nhs, _crc = struct.unpack_from("<QQI", buf, 12)
+    hdr = bytes(buf[32 + nho : 32 + nho + nhs])
+    r = _SzReader(hdr)
+    t = r.num()
+    if t == 0x17:  # kEncodedHeader
+        si = _sz_streams_info(r)
+        packed = bytes(
+            buf[32 + si["pack_pos"] : 32 + si["pack_pos"] + si["pack_sizes"][0]]
+        )
+        r = _SzReader(_sz_decode_folder(si["folders"][0], packed))
+        t = r.num()
+    if t != 0x01:
+        raise ValueError("7z missing header marker")
+    si = None
+    names: list[str] = []
+    empty_stream: list[bool] = []
+    while (t := r.num()) != 0x00:
+        if t == 0x04:  # MainStreamsInfo
+            si = _sz_streams_info(r)
+        elif t == 0x05:  # FilesInfo
+            nfiles = r.num()
+            empty_stream = [False] * nfiles
+            while (pid := r.num()) != 0x00:
+                sz = r.num()
+                data = r.bytes_(sz)
+                if pid == 0x0E:  # kEmptyStream
+                    rr = _SzReader(data)
+                    empty_stream = rr.bool_vector(nfiles, all_byte=False)
+                elif pid == 0x11:  # kNames
+                    if data[0] != 0:
+                        raise ValueError("7z external names unsupported")
+                    names = data[1:].decode("utf-16-le").split("\0")[:-1]
+        else:
+            raise ValueError(f"7z header id {t}")
+    if si is None or not names:
+        raise ValueError("7z header incomplete")
+    sub_sizes, crcs = si["sub_sizes"], si["crcs"] or [None] * len(si["sub_sizes"])
+    # decode folders lazily; split the solid blobs by substream sizes
+    blobs: dict[int, bytes | None] = {}
+
+    def blob(fi: int):
+        if fi not in blobs:
+            start = 32 + si["pack_pos"] + sum(si["pack_sizes"][:fi])
+            packed = bytes(buf[start : start + si["pack_sizes"][fi]])
+            blobs[fi] = _sz_decode_folder(si["folders"][fi], packed)
+        return blobs[fi]
+
+    per_folder = list(si["num_unpack"])
+    stream_folder = [fi for fi, k in enumerate(per_folder) for _ in range(k)]
+    offsets: list[int] = []
+    run: dict[int, int] = {}
+    for sidx in range(len(sub_sizes)):
+        fi = stream_folder[sidx]
+        offsets.append(run.get(fi, 0))
+        run[fi] = run.get(fi, 0) + sub_sizes[sidx]
+    sidx = 0
+    for i, name in enumerate(names):
+        if empty_stream[i] if i < len(empty_stream) else False:
+            if targets is None or name in targets:
+                yield name, 0, None, "lzma", "ok", b"" if want_payload else None
+            continue
+        size, crc = sub_sizes[sidx], crcs[sidx]
+        fi, off = stream_folder[sidx], offsets[sidx]
+        sidx += 1
+        if targets is not None and name not in targets:
+            continue
+        cid = si["folders"][fi]["coders"][0][0] if len(si["folders"][fi]["coders"]) == 1 else b""
+        method = {b"\x00": "stored", b"\x03\x01\x01": "lzma",
+                  b"\x21": "lzma2"}.get(cid, "chain")
+        payload, status = None, "ok"
+        if want_payload:
+            try:
+                payload = blob(fi)[off : off + size]
+                if len(payload) != size or (
+                    crc is not None and zlib.crc32(payload) != crc
+                ):
+                    payload, status = None, "corrupt"
+            except ValueError:
+                payload, status = None, "unsupported_method"
+            except lzma.LZMAError:
+                payload, status = None, "corrupt"
+        yield name, size, None, method, status, payload
