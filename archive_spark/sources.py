@@ -57,7 +57,8 @@ MAX_BYTES_DEFAULT = 150 * 2**20
 
 #: formats _walk_members can decode with the stdlib (+ zstd via the
 #: codec pyarrow bundles, + spec-implemented SEA ARC decoders)
-SUPPORTED = ("zip", "tar", "tar.gz", "gzip", "bzip2", "xz", "zstd", "arc", "cab", "7z")
+SUPPORTED = ("zip", "tar", "tar.gz", "gzip", "bzip2", "xz",
+             "zstd", "arc", "cab", "7z", "arj", "lha")
 
 
 def _zstd_decompress(buf: bytes) -> bytes:
@@ -215,6 +216,14 @@ def _walk_members(
             return
         if fmt == "7z":
             for row in _walk_7z(buf, want_payload, targets):
+                yield fmt, row
+            return
+        if fmt == "arj":
+            for row in _walk_arj(buf, want_payload, targets):
+                yield fmt, row
+            return
+        if fmt == "lha":
+            for row in _walk_lha(buf, want_payload, targets):
                 yield fmt, row
             return
         if fmt == "zip":
@@ -1173,3 +1182,344 @@ def _walk_7z(buf: bytes, want_payload: bool, targets: set[str] | None):
             except lzma.LZMAError:
                 payload, status = None, "corrupt"
         yield name, size, None, method, status, payload
+
+
+class _BitsMSB:
+    """MSB-first bit reader (the LHA/ARJ Huffman family bit order)."""
+
+    def __init__(self, b: bytes):
+        self.b, self.pos = b, 0
+
+    def get(self, k: int) -> int:
+        v = 0
+        for _ in range(k):
+            i = self.pos >> 3
+            byte = self.b[i] if i < len(self.b) else 0
+            v = (v << 1) | ((byte >> (7 - (self.pos & 7))) & 1)
+            self.pos += 1
+        return v
+
+
+def _canonical_msb(lengths: list[int]) -> dict[tuple[int, int], int]:
+    """Canonical Huffman (codes in increasing length, ties by symbol),
+    keyed by (length, code) for MSB-first accumulation."""
+    code = prev = 0
+    table: dict[tuple[int, int], int] = {}
+    for l, sym in sorted((l, i) for i, l in enumerate(lengths) if l > 0):
+        code <<= l - prev
+        table[(l, code)] = sym
+        code += 1
+        prev = l
+    return table
+
+
+def _hdecode(bits: _BitsMSB, table: dict[tuple[int, int], int]) -> int:
+    acc = l = 0
+    while l <= 16:
+        acc = (acc << 1) | bits.get(1)
+        l += 1
+        sym = table.get((l, acc))
+        if sym is not None:
+            return sym
+    raise ValueError("bad Huffman code")
+
+
+def _unarj_huff(data: bytes, expect: int) -> bytes:
+    """ARJ methods 1-3 (the LHA lh-family static-Huffman LZSS, from the
+    public UNARJ technical description): per-block 16-bit code count,
+    a 19-symbol code-length tree (3-bit lengths, 7+unary escape, 2-bit
+    zero-skip after symbol 3), a 510-symbol literal/length tree coded
+    through it (zero runs 1 / 3+4bits / 20+9bits), and a 17-symbol
+    position tree where symbol p encodes a (1<<(p-1)) + extra-bits
+    distance.  MSB-first bits throughout."""
+    bits = _BitsMSB(data)
+    THRESHOLD, NC, NP, NT = 3, 510, 17, 19
+    CBIT, PBIT, TBIT = 9, 5, 5
+
+    def read_pt(nn: int, nbit: int, i_special: int):
+        n = bits.get(nbit)
+        if n == 0:
+            return None, bits.get(nbit)
+        lens = [0] * nn
+        i = 0
+        while i < min(n, nn):
+            c = bits.get(3)
+            if c == 7:
+                while bits.get(1):
+                    c += 1
+            lens[i] = c
+            i += 1
+            if i == i_special:
+                for _ in range(bits.get(2)):
+                    lens[i] = 0
+                    i += 1
+        return _canonical_msb(lens), None
+
+    def read_c(pt_table, pt_const):
+        n = bits.get(CBIT)
+        if n == 0:
+            return None, bits.get(CBIT)
+        lens = [0] * NC
+        i = 0
+        while i < min(n, NC):
+            c = pt_const if pt_table is None else _hdecode(bits, pt_table)
+            if c <= 2:
+                if c == 0:
+                    k = 1
+                elif c == 1:
+                    k = 3 + bits.get(4)
+                else:
+                    k = 20 + bits.get(CBIT)
+                i += k
+            else:
+                lens[i] = c - 2
+                i += 1
+        return _canonical_msb(lens), None
+
+    out = bytearray()
+    blockcount = 0
+    c_table = c_const = p_table = p_const = None
+    while len(out) < expect:
+        if blockcount == 0:
+            blockcount = bits.get(16)
+            if blockcount == 0:
+                raise ValueError("ARJ empty block")
+            pt_table, pt_const = read_pt(NT, TBIT, 3)
+            c_table, c_const = read_c(pt_table, pt_const)
+            p_table, p_const = read_pt(NP, PBIT, -1)
+        blockcount -= 1
+        c = c_const if c_table is None else _hdecode(bits, c_table)
+        if c <= 255:
+            out.append(c)
+        else:
+            length = c - 256 + THRESHOLD
+            p = p_const if p_table is None else _hdecode(bits, p_table)
+            if p != 0:
+                p = (1 << (p - 1)) + bits.get(p - 1)
+            dist = p + 1
+            if dist > len(out):
+                raise ValueError("ARJ distance past start")
+            for _ in range(length):
+                out.append(out[-dist])
+    return bytes(out[:expect])
+
+
+def _walk_arj(buf: bytes, want_payload: bool, targets: set[str] | None):
+    """ARJ container walk: 0x60EA-marked headers (archive header then
+    file headers with extended-header chains).  Methods 0 (stored) and
+    1-3 (Huffman LZSS) decode CRC-32-gated; method 4 surfaces typed."""
+    import struct
+    import zlib
+
+    pos, n = 0, len(buf)
+    while pos + 4 <= n:
+        if not (buf[pos] == 0x60 and buf[pos + 1] == 0xEA):
+            pos += 1
+            continue
+        hdr_size = struct.unpack_from("<H", buf, pos + 2)[0]
+        if hdr_size == 0:
+            break
+        h = bytes(buf[pos + 4 : pos + 4 + hdr_size])
+        fhs, method, ftype = h[0], h[5], h[6]
+        csize, usize, crc = struct.unpack_from("<III", h, 12)
+        name = h[fhs:].split(b"\0")[0].decode("latin-1")
+        pos += 4 + hdr_size + 4
+        while True:  # extended headers
+            eh = struct.unpack_from("<H", buf, pos)[0]
+            pos += 2
+            if eh == 0:
+                break
+            pos += eh + 4
+        if ftype != 0:  # archive header / directories
+            continue
+        comp = bytes(buf[pos : pos + csize])
+        pos += csize
+        if targets is not None and name not in targets:
+            continue
+        mname = {0: "stored", 1: "arj1", 2: "arj2", 3: "arj3", 4: "arj4"}.get(
+            method, f"m{method}"
+        )
+        payload, status = None, "ok"
+        if want_payload:
+            try:
+                if method == 0:
+                    payload = comp
+                elif method in (1, 2, 3):
+                    payload = _unarj_huff(comp, usize)
+                else:
+                    status = "unsupported_method"
+                if payload is not None and zlib.crc32(payload) != crc:
+                    payload, status = None, "corrupt"
+            except (ValueError, IndexError):
+                payload, status = None, "corrupt"
+        yield name, usize, csize, mname, status, payload
+
+
+def _unlzhuf(data: bytes, expect: int) -> bytes:
+    """LHarc -lh1- (the published LZHUF algorithm): 4K-window LZSS with
+    a 314-symbol adaptive Huffman tree for literals/lengths (freqs
+    halved on 0x8000 overflow, sibling-swap update) and a static
+    canonical code (1×3b, 3×4b, 8×5b, 12×6b, 24×7b, 16×8b) for the
+    upper 6 distance bits.  MSB-first bits; ring buffer pre-filled
+    with spaces as the spec requires."""
+    THRESHOLD, F = 2, 60
+    N_CHAR = 256 - THRESHOLD + F
+    T = N_CHAR * 2 - 1
+    R = T - 1
+    MAX_FREQ = 0x8000
+    freq = [0] * (T + 1)
+    son = [0] * T
+    prnt = [0] * (T + N_CHAR)
+    for i in range(N_CHAR):
+        freq[i] = 1
+        son[i] = i + T
+        prnt[i + T] = i
+    i, j = 0, N_CHAR
+    while j <= R:
+        freq[j] = freq[i] + freq[i + 1]
+        son[j] = i
+        prnt[i] = prnt[i + 1] = j
+        i += 2
+        j += 1
+    freq[T] = 0xFFFF
+    prnt[R] = 0
+    pos_bit = 0
+
+    def getbit(k: int = 1) -> int:
+        nonlocal pos_bit
+        v = 0
+        for _ in range(k):
+            bi = pos_bit >> 3
+            byte = data[bi] if bi < len(data) else 0
+            v = (v << 1) | ((byte >> (7 - (pos_bit & 7))) & 1)
+            pos_bit += 1
+        return v
+
+    def reconst() -> None:
+        j = 0
+        for i in range(T):
+            if son[i] >= T:
+                freq[j] = (freq[i] + 1) // 2
+                son[j] = son[i]
+                j += 1
+        i, j = 0, N_CHAR
+        while j < T:
+            f = freq[i] + freq[i + 1]
+            freq[j] = f
+            k = j - 1
+            while f < freq[k]:
+                k -= 1
+            k += 1
+            freq[k + 1 : j + 1] = freq[k:j]
+            freq[k] = f
+            son[k + 1 : j + 1] = son[k:j]
+            son[k] = i
+            i += 2
+            j += 1
+        for i in range(T):
+            k = son[i]
+            if k >= T:
+                prnt[k] = i
+            else:
+                prnt[k] = prnt[k + 1] = i
+
+    def update(c: int) -> None:
+        if freq[R] == MAX_FREQ:
+            reconst()
+        c = prnt[c + T]
+        while True:
+            freq[c] += 1
+            k = freq[c]
+            l = c + 1
+            if k > freq[l]:
+                while k > freq[l + 1]:
+                    l += 1
+                freq[c] = freq[l]
+                freq[l] = k
+                i_ = son[c]
+                prnt[i_] = l
+                if i_ < T:
+                    prnt[i_ + 1] = l
+                j_ = son[l]
+                son[l] = i_
+                prnt[j_] = c
+                if j_ < T:
+                    prnt[j_ + 1] = c
+                son[c] = j_
+                c = l
+            c = prnt[c]
+            if c == 0:
+                break
+
+    lens = [3] * 1 + [4] * 3 + [5] * 8 + [6] * 12 + [7] * 24 + [8] * 16
+    code = prev = 0
+    d_code, d_len = [0] * 256, [0] * 256
+    for v, L in enumerate(lens):
+        code <<= L - prev
+        base = code << (8 - L)
+        for k in range(1 << (8 - L)):
+            d_code[base + k] = v
+            d_len[base + k] = L
+        code += 1
+        prev = L
+    out = bytearray()
+    N = 4096
+    ring = bytearray(b" " * N)
+    r = N - F
+    while len(out) < expect:
+        c = son[R]
+        while c < T:
+            c = son[c + getbit()]
+        c -= T
+        update(c)
+        if c < 256:
+            out.append(c)
+            ring[r] = c
+            r = (r + 1) % N
+        else:
+            i8 = getbit(8)
+            p = d_code[i8] << 6
+            for _ in range(d_len[i8] - 2):
+                i8 = (i8 << 1) | getbit()
+            p |= i8 & 0x3F
+            src = (r - p - 1) % N
+            for _ in range(c - 255 + THRESHOLD):
+                ch = ring[src]
+                out.append(ch)
+                ring[r] = ch
+                r = (r + 1) % N
+                src = (src + 1) % N
+    return bytes(out[:expect])
+
+
+def _walk_lha(buf: bytes, want_payload: bool, targets: set[str] | None):
+    """LHA/LHarc container walk (level-0/1 headers): -lh0- stored and
+    -lh1- LZHUF decode, CRC-16-gated; lh4/lh5/lz variants typed."""
+    import struct
+
+    pos, n = 0, len(buf)
+    while pos + 21 <= n and buf[pos] != 0:
+        hsize = buf[pos]
+        method = bytes(buf[pos + 2 : pos + 7]).decode("latin-1")
+        csize, usize = struct.unpack_from("<II", buf, pos + 7)
+        nl = buf[pos + 21]
+        name = bytes(buf[pos + 22 : pos + 22 + nl]).decode("latin-1")
+        crc = struct.unpack_from("<H", buf, pos + 22 + nl)[0]
+        comp = bytes(buf[pos + hsize + 2 : pos + hsize + 2 + csize])
+        pos += hsize + 2 + csize
+        if targets is not None and name not in targets:
+            continue
+        payload, status = None, "ok"
+        if want_payload:
+            try:
+                if method == "-lh0-":
+                    payload = comp
+                elif method == "-lh1-":
+                    payload = _unlzhuf(comp, usize)
+                else:
+                    status = "unsupported_method"
+                if payload is not None and _crc16_arc(payload) != crc:
+                    payload, status = None, "corrupt"
+            except (ValueError, IndexError):
+                payload, status = None, "corrupt"
+        yield name, usize, csize, method.strip("-"), status, payload

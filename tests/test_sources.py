@@ -55,7 +55,7 @@ def test_listing_reference_corpus(spark, ref_archives):
     for a in ("BSDTAR37.TAR", "BSDTAR37.TAR.gz", "bzip2.tar.bz2",
               "XZUtils.tar.xz", "Zstandard.tar.zst",
               "HWSHRINK.ZIP", "HWREDUCE.ZIP", "ARC601.ARC", "PAK100.PAK",
-              "GCAB16.CAB", "7ZIP465.7Z"):
+              "GCAB16.CAB", "7ZIP465.7Z", "ARJ020B.ARJ", "LH113.LZH"):
         got = {r.member: r.size_uncompressed for r in by_archive[a]
                if r.member in TESTDAT_SIZES}
         assert got == TESTDAT_SIZES, a
@@ -65,7 +65,7 @@ def test_listing_reference_corpus(spark, ref_archives):
     assert {r.method for r in by_archive["HWSHRINK.ZIP"]} == {"shrink"}
     assert {r.status for r in by_archive["HWSHRINK.ZIP"]} == {"ok"}
     # no stdlib decoder → one typed row, no crash
-    for a in ("RAR250.RAR", "ARJ020B.ARJ", "LH113.LZH"):
+    for a in ("RAR250.RAR",):
         assert [r.status for r in by_archive[a]] == ["unsupported_format"], a
     for a in ("TEST.EXE", "TESTDAT1.TXT"):
         assert [r.status for r in by_archive[a]] == ["unknown_format"], a
@@ -79,7 +79,8 @@ def test_targeted_extract_cascades(spark, ref_archives):
     got = {r.archive: r.payload for r in rows}
     for a in ("GZIP113.GZ", "BSDTAR37.TAR", "BSDTAR37.TAR.gz",
               "bzip2.tar.bz2", "XZUtils.tar.xz", "Zstandard.tar.zst",
-              "HWSHRINK.ZIP", "ARC601.ARC", "GCAB16.CAB", "7ZIP465.7Z"):
+              "HWSHRINK.ZIP", "ARC601.ARC", "GCAB16.CAB", "7ZIP465.7Z",
+              "ARJ020B.ARJ", "LH113.LZH"):
         assert a in got and len(got[a]) == 81410, a
     payloads = {bytes(v) for v in got.values()}
     assert len(payloads) == 1  # bit-identical across all containers
