@@ -17,12 +17,15 @@ Design points:
   ``file`` binary), mirroring the reference's 11-entry magic map plus
   the LHA and tar.gz special cases (archive.go:115-145, foundLHA
   archive.go:148-170, foundTGZ archive.go:172-179);
-- formats with no stdlib decoder (arj/arc/lha/rar/cab/7z/zstd) surface
-  as typed ``unsupported_format`` rows — the analogue of the
-  reference's external-commander fallback (archive.go:569-583);
-- ancient zip member methods (shrink/reduce/implode) still LIST via
-  the central directory but extract as ``unsupported_method`` — the
-  capability split the reference models with pkzip.Methods
+- the era formats the reference shells out to external archiver
+  binaries for (archive.go:569-583) are decoded IN-PROCESS from their
+  published specs: pkzip shrink/reduce/implode (APPNOTE.TXT), SEA ARC
+  crunch (compress-style LZW + RLE90), ARJ methods 1-3 (static-Huffman
+  LZSS), LHA -lh1- (LZHUF adaptive Huffman), Microsoft CAB (MSZIP),
+  7-zip (solid LZMA via the stdlib raw decoder) — every payload gated
+  by its container checksum; genuinely proprietary formats (RAR, PAK
+  crushed) surface as typed ``unsupported_format``/``_method`` rows,
+  the capability split the reference models with pkzip.Methods
   (pkzip/pkzip.go:197-208);
 - single-stream formats (gzip/bzip2/xz) whose decompressed payload
   sniffs as tar cascade into member walks — the reference's two-stage
