@@ -1526,3 +1526,22 @@ def _walk_lha(buf: bytes, want_payload: bool, targets: set[str] | None):
             except (ValueError, IndexError):
                 payload, status = None, "corrupt"
         yield name, usize, csize, method.strip("-"), status, payload
+
+
+def corpus_report(archives: DataFrame, max_bytes: int = MAX_BYTES_DEFAULT) -> DataFrame:
+    """Describe an archive directory (the reference's primary user
+    workflow: walk a corpus, see what's in it): per (fmt, method,
+    status) — archive count, member count, compressed vs uncompressed
+    bytes.  Listing-only (no payload inflate beyond what listing needs);
+    one shuffle on the tiny aggregate."""
+    lst = list_members(archives, max_bytes=max_bytes)
+    return (
+        lst.groupBy("fmt", "method", "status")
+        .agg(
+            F.countDistinct("archive").alias("n_archives"),
+            F.count("*").alias("n_members"),
+            F.sum("size_uncompressed").alias("uncompressed_bytes"),
+            F.sum("size_compressed").alias("compressed_bytes"),
+        )
+        .orderBy("fmt", "method", "status")
+    )

@@ -258,3 +258,12 @@ def test_cab_mszip_synthetic_cross_block_history(spark):
     ]
     assert len(rows) == 1 and rows[0].status == "ok"
     assert bytes(rows[0].payload) == body
+
+
+def test_corpus_report(spark, ref_archives):
+    rows = {(r.fmt, r.method, r.status): r
+            for r in sources.corpus_report(ref_archives).collect()}
+    shrink = rows[("zip", "shrink", "ok")]
+    assert (shrink.n_archives, shrink.n_members) >= (2, 11)
+    assert shrink.uncompressed_bytes > shrink.compressed_bytes
+    assert ("rar", None, "unsupported_format") in rows
