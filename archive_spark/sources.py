@@ -48,6 +48,7 @@ import gzip
 import io
 import lzma
 import os
+import struct as _struct
 import tarfile
 import zipfile
 from typing import Iterator
@@ -288,19 +289,30 @@ def _walk_members(
                     payload = f.read() if f is not None else b""
                 yield fmt, (info.size, name, payload)  # normalized below
     except (zipfile.BadZipFile, tarfile.TarError, gzip.BadGzipFile,
-            lzma.LZMAError, OSError, EOFError, ValueError) as _:
+            lzma.LZMAError, OSError, EOFError, ValueError,
+            IndexError, KeyError, _struct.error) as _:
+        # struct.error / IndexError: truncated container headers in the
+        # spec-implemented walkers — a dirty corpus must yield typed
+        # rows, never a task failure
         yield fmt, (None, None, None, None, "corrupt", None)
 
 
 def _iter_rows(archive, buf, want_payload, targets, max_bytes):
     """Normalize _walk_members' tar fast-path tuples into the common
-    6-tuple row shape."""
+    6-tuple row shape.  A supported container that walks to zero rows
+    (genuinely empty, or truncated to little more than its magic)
+    yields one typed 'empty' row so every input file is accounted for
+    in the output — unless a targets filter explains the absence."""
+    n_rows = 0
     for fmt, row in _walk_members(archive, buf, want_payload, targets, max_bytes):
+        n_rows += 1
         if len(row) == 3:  # tar member fast path (size, name, payload)
             size, name, payload = row
             yield fmt, (name, size, None, "stored", "ok", payload)
         else:
             yield fmt, row
+    if n_rows == 0 and targets is None:
+        yield detect_format(buf, archive), (None, None, None, None, "empty", None)
 
 
 def read_archives(spark: SparkSession, path: str, glob: str | None = None) -> DataFrame:

@@ -267,3 +267,22 @@ def test_corpus_report(spark, ref_archives):
     assert (shrink.n_archives, shrink.n_members) >= (2, 11)
     assert shrink.uncompressed_bytes > shrink.compressed_bytes
     assert ("rar", None, "unsupported_format") in rows
+
+
+def test_truncation_fuzz_yields_typed_rows_never_crashes():
+    """Every corpus file truncated at awkward points must produce typed
+    rows (ok for salvageable prefixes, corrupt/unsupported otherwise) —
+    never an uncaught exception (a dirty 100 TB corpus cannot be
+    allowed to kill tasks)."""
+    import os
+
+    from archive_spark.sources import _iter_rows
+
+    statuses = set()
+    for fname in sorted(os.listdir(TESTDATA)):
+        buf = open(f"{TESTDATA}/{fname}", "rb").read()
+        for cut in (3, 17, 64, 257, len(buf) // 2, max(len(buf) - 7, 1)):
+            rows = list(_iter_rows(fname, buf[:cut], True, None, 150 * 2**20))
+            assert rows, (fname, cut)
+            statuses.update(r[1][4] for r in rows)
+    assert "corrupt" in statuses  # the fuzz actually exercised failures
