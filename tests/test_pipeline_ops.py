@@ -535,3 +535,33 @@ def test_int8_topk_matches_float_topk(spark):
     rec = {r.query_id: r.n_hits for r in ann_recall(q8, bf, topk=5).collect()}
     assert set(rec) == {0, 1, 2}
     assert all(v >= 4 for v in rec.values()), rec
+
+
+def test_bpe_pretokenizer_cross_engine_randomized(spark):
+    """300 random printable/whitespace strings — Java regex and RE2
+    must agree on every one (single Spark pass, single DuckDB pass)."""
+    import random
+
+    import duckdb
+
+    from archive_spark.pipeline_ops import BPE_PRETOKEN_RE, bpe_token_counts
+
+    rng = random.Random(1234)
+    alphabet = "aA zZ09.,'!-\t\n\"(){}🙂é"
+    cases = [
+        "".join(rng.choice(alphabet) for _ in range(rng.randrange(0, 60)))
+        for _ in range(300)
+    ]
+    docs = spark.createDataFrame(
+        [(i, t, "s") for i, t in enumerate(cases)],
+        "doc_id long, text string, source string",
+    )
+    got = {r.doc_id: r.n_bpe_tokens for r in bpe_token_counts(docs).collect()}
+    con = duckdb.connect()
+    pat = BPE_PRETOKEN_RE.replace("'", "''")
+    want = con.execute(
+        f"SELECT len(regexp_extract_all(t, '{pat}')) FROM (SELECT unnest(?) AS t)",
+        [cases],
+    ).fetchall()
+    for i, (w,) in enumerate(want):
+        assert got[i] == w, (repr(cases[i]), got[i], w)
