@@ -211,23 +211,23 @@ def _walk_members(
         return
     try:
         if fmt == "arc":
-            for row in _walk_arc(buf, want_payload, targets):
+            for row in _walk_arc(buf, want_payload, targets, max_bytes):
                 yield fmt, row
             return
         if fmt == "cab":
-            for row in _walk_cab(buf, want_payload, targets):
+            for row in _walk_cab(buf, want_payload, targets, max_bytes):
                 yield fmt, row
             return
         if fmt == "7z":
-            for row in _walk_7z(buf, want_payload, targets):
+            for row in _walk_7z(buf, want_payload, targets, max_bytes):
                 yield fmt, row
             return
         if fmt == "arj":
-            for row in _walk_arj(buf, want_payload, targets):
+            for row in _walk_arj(buf, want_payload, targets, max_bytes):
                 yield fmt, row
             return
         if fmt == "lha":
-            for row in _walk_lha(buf, want_payload, targets):
+            for row in _walk_lha(buf, want_payload, targets, max_bytes):
                 yield fmt, row
             return
         if fmt == "zip":
@@ -242,7 +242,11 @@ def _walk_members(
                         info.compress_type, f"m{info.compress_type}"
                     )
                     payload, status = None, "ok"
-                    if want_payload:
+                    if want_payload and info.file_size > max_bytes:
+                        # zip-bomb guard: declared inflate size over the
+                        # ExtractSource cap -> typed row, no decode
+                        status = "too_large"
+                    elif want_payload:
                         try:
                             payload = zf.read(info)
                         except NotImplementedError:
@@ -818,7 +822,8 @@ ARC_METHODS = {
 }
 
 
-def _walk_arc(buf: bytes, want_payload: bool, targets: set[str] | None):
+def _walk_arc(buf: bytes, want_payload: bool, targets: set[str] | None,
+              max_bytes: int = MAX_BYTES_DEFAULT):
     """SEA ARC / PAK container walk: 0x1A-marked member headers.
     Decodable methods: stored (1/2), packed (RLE90), crunched (dynamic
     LZW + RLE90), squashed (13-bit LZW, no RLE) — each CRC-16-gated.
@@ -841,7 +846,9 @@ def _walk_arc(buf: bytes, want_payload: bool, targets: set[str] | None):
             continue
         mname = ARC_METHODS.get(method, f"m{method}")
         payload, status = None, "ok"
-        if want_payload:
+        if want_payload and usize > max_bytes:
+            status = "too_large"
+        elif want_payload:
             try:
                 if method in (1, 2):
                     payload = bytes(comp)
@@ -860,7 +867,8 @@ def _walk_arc(buf: bytes, want_payload: bool, targets: set[str] | None):
         yield name, usize, csize, mname, status, payload
 
 
-def _walk_cab(buf: bytes, want_payload: bool, targets: set[str] | None):
+def _walk_cab(buf: bytes, want_payload: bool, targets: set[str] | None,
+              max_bytes: int = MAX_BYTES_DEFAULT):
     """Microsoft Cabinet walk (MS CAB spec): CFHEADER → CFFOLDER →
     CFFILE → per-folder CFDATA chain.  Compression types: 0 none
     (raw concat) and 1 MSZIP ('CK' + raw deflate, 32K history carried
@@ -916,6 +924,8 @@ def _walk_cab(buf: bytes, want_payload: bool, targets: set[str] | None):
             if len(dec) != cbu:
                 raise ValueError("CAB block size mismatch")
             out += dec
+            if len(out) > max_bytes:
+                raise ValueError("CAB folder exceeds max_bytes")
         decoded[ifold] = bytes(out)
         return decoded[ifold]
 
@@ -925,7 +935,9 @@ def _walk_cab(buf: bytes, want_payload: bool, targets: set[str] | None):
         tc = folders[ifold][2] if ifold < len(folders) else -1
         method = {0: "stored", 1: "mszip", 2: "quantum", 3: "lzx"}.get(tc, f"m{tc}")
         payload, status = None, "ok"
-        if want_payload:
+        if want_payload and cb > max_bytes:
+            status = "too_large"
+        elif want_payload:
             if tc not in (0, 1):
                 status = "unsupported_method"
             else:
@@ -1107,7 +1119,8 @@ def _sz_decode_folder(f: dict, packed: bytes) -> bytes:
     return out
 
 
-def _walk_7z(buf: bytes, want_payload: bool, targets: set[str] | None):
+def _walk_7z(buf: bytes, want_payload: bool, targets: set[str] | None,
+             max_bytes: int = MAX_BYTES_DEFAULT):
     """7-zip container walk: signature header → (possibly LZMA-encoded)
     header → solid folders split into member streams by SubStreamsInfo,
     each CRC-32-gated.  Single-coder COPY/LZMA1/LZMA2 folders decode;
@@ -1185,7 +1198,9 @@ def _walk_7z(buf: bytes, want_payload: bool, targets: set[str] | None):
         method = {b"\x00": "stored", b"\x03\x01\x01": "lzma",
                   b"\x21": "lzma2"}.get(cid, "chain")
         payload, status = None, "ok"
-        if want_payload:
+        if want_payload and _sz_folder_size(si["folders"][fi]) > max_bytes:
+            status = "too_large"
+        elif want_payload:
             try:
                 payload = blob(fi)[off : off + size]
                 if len(payload) != size or (
@@ -1319,7 +1334,8 @@ def _unarj_huff(data: bytes, expect: int) -> bytes:
     return bytes(out[:expect])
 
 
-def _walk_arj(buf: bytes, want_payload: bool, targets: set[str] | None):
+def _walk_arj(buf: bytes, want_payload: bool, targets: set[str] | None,
+              max_bytes: int = MAX_BYTES_DEFAULT):
     """ARJ container walk: 0x60EA-marked headers (archive header then
     file headers with extended-header chains).  Methods 0 (stored) and
     1-3 (Huffman LZSS) decode CRC-32-gated; method 4 surfaces typed."""
@@ -1355,7 +1371,9 @@ def _walk_arj(buf: bytes, want_payload: bool, targets: set[str] | None):
             method, f"m{method}"
         )
         payload, status = None, "ok"
-        if want_payload:
+        if want_payload and usize > max_bytes:
+            status = "too_large"
+        elif want_payload:
             try:
                 if method == 0:
                     payload = comp
@@ -1507,7 +1525,8 @@ def _unlzhuf(data: bytes, expect: int) -> bytes:
     return bytes(out[:expect])
 
 
-def _walk_lha(buf: bytes, want_payload: bool, targets: set[str] | None):
+def _walk_lha(buf: bytes, want_payload: bool, targets: set[str] | None,
+              max_bytes: int = MAX_BYTES_DEFAULT):
     """LHA/LHarc container walk (level-0/1 headers): -lh0- stored and
     -lh1- LZHUF decode, CRC-16-gated; lh4/lh5/lz variants typed."""
     import struct
@@ -1525,7 +1544,9 @@ def _walk_lha(buf: bytes, want_payload: bool, targets: set[str] | None):
         if targets is not None and name not in targets:
             continue
         payload, status = None, "ok"
-        if want_payload:
+        if want_payload and usize > max_bytes:
+            status = "too_large"
+        elif want_payload:
             try:
                 if method == "-lh0-":
                     payload = comp

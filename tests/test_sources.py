@@ -286,3 +286,22 @@ def test_truncation_fuzz_yields_typed_rows_never_crashes():
             assert rows, (fname, cut)
             statuses.update(r[1][4] for r in rows)
     assert "corrupt" in statuses  # the fuzz actually exercised failures
+
+
+def test_member_inflate_size_guard(spark):
+    """Zip-bomb posture: a member whose DECLARED inflate size exceeds
+    max_bytes yields a typed too_large row without decoding (the
+    ExtractSource guard applied per member, archive.go:469-475)."""
+    import io as _io
+    import zipfile as _zf
+
+    bio = _io.BytesIO()
+    with _zf.ZipFile(bio, "w") as z:
+        z.writestr("small.txt", "tiny")
+        z.writestr("big.bin", b"\0" * 200_000, compress_type=_zf.ZIP_DEFLATED)
+    buf = bio.getvalue()
+    df = spark.createDataFrame([("bomb.zip", len(buf), buf)],
+                               "path string, length long, content binary")
+    rows = {r.member: r.status
+            for r in sources.extract_members(df, max_bytes=100_000).collect()}
+    assert rows == {"small.txt": "ok", "big.bin": "too_large"}
