@@ -984,6 +984,43 @@ _BPE_ORACLE = (
 )
 
 
+def _q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition filter inputs per source: duplicate-
+    bigram counts and the flag count at the 0.7-distinct threshold —
+    exact integer arithmetic on both sides."""
+    from archive_spark.pipeline_ops import repetition_signals
+
+    sig = repetition_signals(_docs(spark, sf_dir))
+    flagged = (F.col("n_bigrams") > 0) & (
+        F.col("n_distinct_bigrams") * 10 < F.col("n_bigrams") * 7
+    )
+    return (
+        sig.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_bigrams").alias("total_bigrams"),
+            F.sum("n_distinct_bigrams").alias("total_distinct"),
+            F.sum(flagged.cast("long")).alias("n_flagged"),
+        )
+        .orderBy("source")
+    )
+
+
+_REPETITION_ORACLE = (
+    "WITH sig AS (SELECT source, "
+    "CASE WHEN len(w) >= 2 THEN len(w) - 1 ELSE 0 END AS n_bigrams, "
+    "CASE WHEN len(w) >= 2 THEN len(list_distinct(list_transform("
+    "range(1, len(w)), i -> w[i] || ' ' || w[i+1]))) ELSE 0 END AS n_distinct "
+    "FROM (SELECT source, string_split(text, ' ') AS w FROM documents)) "
+    "SELECT source, COUNT(*)::BIGINT AS n_docs, "
+    "SUM(n_bigrams)::BIGINT AS total_bigrams, "
+    "SUM(n_distinct)::BIGINT AS total_distinct, "
+    "COUNT(*) FILTER (WHERE n_bigrams > 0 AND n_distinct * 10 < n_bigrams * 7)"
+    "::BIGINT AS n_flagged "
+    "FROM sig GROUP BY source ORDER BY source"
+)
+
+
 def _q_archive_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Real-container roundtrip (S1/S5/E2/X15 over actual zip bytes):
     pack documents into deterministic per-(source, shard) zip archives
@@ -1115,6 +1152,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "archive_ingest": _q_archive_ingest,
         "bpe_token_stats": _q_bpe_token_stats,
         "doc_length_quantiles": _q_doc_length_quantiles,
+        "repetition_stats": _q_repetition_stats,
     }
 
 
@@ -1179,6 +1217,7 @@ def oracle_sql() -> dict[str, str]:
         "archive_ingest": _ARCHIVE_INGEST_ORACLE,
         "bpe_token_stats": _BPE_ORACLE,
         "doc_length_quantiles": _QUANTILES_ORACLE,
+        "repetition_stats": _REPETITION_ORACLE,
         "dedup_embedding_neardup": (
             "WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v "
             "FROM embeddings WHERE vec_id < 300) "

@@ -1094,3 +1094,28 @@ def ann_recall(approx: DataFrame, exact: DataFrame, topk: int = 5) -> DataFrame:
         )
         .orderBy("query_id")
     )
+
+
+def repetition_signals(docs: DataFrame) -> DataFrame:
+    """Gopher/C4-style repetition signals per document: duplicate-line
+    fraction inputs and duplicate-bigram fraction inputs, as exact
+    integer counts (n / n_distinct pairs) so a SQL oracle hash-matches.
+    All JVM built-ins: split / transform / array_distinct — the
+    repetition filter a web-scale pretraining pipeline runs over every
+    document, with no Python in the path."""
+    words = F.split(F.col("text"), " ")
+    n_words = F.size(words)
+    idx = F.sequence(F.lit(0), n_words - 2)
+    bigrams = F.when(n_words >= 2, F.transform(
+        idx, lambda i: F.concat_ws(" ", F.element_at(words, i + 1),
+                                   F.element_at(words, i + 2))
+    )).otherwise(F.array().cast("array<string>"))
+    lines = F.split(F.col("text"), "\n")
+    return docs.select(
+        "doc_id",
+        "source",
+        F.size(bigrams).cast("bigint").alias("n_bigrams"),
+        F.size(F.array_distinct(bigrams)).cast("bigint").alias("n_distinct_bigrams"),
+        F.size(lines).cast("bigint").alias("n_lines"),
+        F.size(F.array_distinct(lines)).cast("bigint").alias("n_distinct_lines"),
+    )

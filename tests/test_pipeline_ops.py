@@ -565,3 +565,20 @@ def test_bpe_pretokenizer_cross_engine_randomized(spark):
     ).fetchall()
     for i, (w,) in enumerate(want):
         assert got[i] == w, (repr(cases[i]), got[i], w)
+
+
+def test_repetition_signals_known_values(spark):
+    from archive_spark.pipeline_ops import repetition_signals
+
+    docs = spark.createDataFrame(
+        [(0, "a b a b a b", "s"),      # bigrams: ab ba ab ba ab -> 5 total, 2 distinct
+         (1, "x", "s"),                # no bigrams
+         (2, "l1\nl2\nl1", "s"),       # 3 lines, 2 distinct
+         (3, "one two three", "s")],   # 2 bigrams, 2 distinct
+        "doc_id long, text string, source string",
+    )
+    got = {r.doc_id: r for r in repetition_signals(docs).collect()}
+    assert (got[0].n_bigrams, got[0].n_distinct_bigrams) == (5, 2)
+    assert (got[1].n_bigrams, got[1].n_distinct_bigrams) == (0, 0)
+    assert (got[2].n_lines, got[2].n_distinct_lines) == (3, 2)
+    assert (got[3].n_bigrams, got[3].n_distinct_bigrams) == (2, 2)
