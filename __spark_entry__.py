@@ -1021,6 +1021,38 @@ _REPETITION_ORACLE = (
 )
 
 
+def _q_filter_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite corpus filter: per-source reject-reason histogram
+    (NULL reasons coalesced to 'kept' — the curation report a 100 TB
+    run emits per shard)."""
+    from archive_spark.pipeline_ops import filter_corpus
+
+    return (
+        filter_corpus(_docs(spark, sf_dir))
+        .groupBy("source", F.coalesce("reject_reason", F.lit("kept")).alias("reason"))
+        .agg(F.count("*").alias("n_docs"))
+        .orderBy("source", "reason")
+    )
+
+
+_FILTER_ORACLE = (
+    "WITH sig AS (SELECT source, len(w) AS n_words, "
+    "CASE WHEN len(w) >= 2 THEN len(w) - 1 ELSE 0 END AS n_bi, "
+    "CASE WHEN len(w) >= 2 THEN len(list_distinct(list_transform("
+    "range(1, len(w)), i -> w[i] || ' ' || w[i+1]))) ELSE 0 END AS n_dist, "
+    "length(text) AS n_chars, "
+    "length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS n_digits "
+    "FROM (SELECT source, text, string_split(text, ' ') AS w FROM documents)) "
+    "SELECT source, COALESCE(CASE "
+    "WHEN n_words < 5 THEN 'too_short' "
+    "WHEN n_words > 100000 THEN 'too_long' "
+    "WHEN n_bi > 0 AND (n_bi - n_dist) * 100 > n_bi * 30 THEN 'repetitive' "
+    "WHEN n_digits * 100 > n_chars * 20 THEN 'too_many_digits' END, 'kept') "
+    "AS reason, COUNT(*)::BIGINT AS n_docs "
+    "FROM sig GROUP BY source, reason ORDER BY source, reason"
+)
+
+
 def _q_archive_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Real-container roundtrip (S1/S5/E2/X15 over actual zip bytes):
     pack documents into deterministic per-(source, shard) zip archives
@@ -1153,6 +1185,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_token_stats": _q_bpe_token_stats,
         "doc_length_quantiles": _q_doc_length_quantiles,
         "repetition_stats": _q_repetition_stats,
+        "filter_histogram": _q_filter_histogram,
     }
 
 
@@ -1218,6 +1251,7 @@ def oracle_sql() -> dict[str, str]:
         "bpe_token_stats": _BPE_ORACLE,
         "doc_length_quantiles": _QUANTILES_ORACLE,
         "repetition_stats": _REPETITION_ORACLE,
+        "filter_histogram": _FILTER_ORACLE,
         "dedup_embedding_neardup": (
             "WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v "
             "FROM embeddings WHERE vec_id < 300) "

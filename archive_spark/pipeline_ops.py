@@ -1119,3 +1119,45 @@ def repetition_signals(docs: DataFrame) -> DataFrame:
         F.size(lines).cast("bigint").alias("n_lines"),
         F.size(F.array_distinct(lines)).cast("bigint").alias("n_distinct_lines"),
     )
+
+
+#: default corpus-filter thresholds (C4/Gopher-style, integer-exact)
+FILTER_RULES = {
+    "min_words": 5,
+    "max_words": 100_000,
+    "max_dup_bigram_pct": 30,   # flagged when dup fraction > 30%
+    "max_digit_pct": 20,        # digit chars > 20% of chars
+}
+
+
+def filter_corpus(docs: DataFrame, rules: dict | None = None) -> DataFrame:
+    """The composite pretraining corpus filter: every document gets a
+    ``reject_reason`` (NULL = kept) from the FIRST failing rule —
+    too_short / too_long / repetitive / too_many_digits — all integer
+    arithmetic over JVM built-ins, so the decision is bit-reproducible
+    and SQL-replayable.  Filter + reason histogram is what a 100 TB
+    curation run reports per shard; ``filter(reject_reason IS NULL)``
+    is the kept corpus."""
+    r = {**FILTER_RULES, **(rules or {})}
+    words = F.split(F.col("text"), " ")
+    n_words = F.size(words)
+    idx = F.sequence(F.lit(0), n_words - 2)
+    bigrams = F.when(n_words >= 2, F.transform(
+        idx, lambda i: F.concat_ws(" ", F.element_at(words, i + 1),
+                                   F.element_at(words, i + 2))
+    )).otherwise(F.array().cast("array<string>"))
+    n_bi = F.size(bigrams)
+    n_dist = F.size(F.array_distinct(bigrams))
+    n_chars = F.length("text")
+    n_digits = n_chars - F.length(F.regexp_replace("text", "[0-9]", ""))
+    reason = (
+        F.when(n_words < r["min_words"], "too_short")
+        .when(n_words > r["max_words"], "too_long")
+        .when(
+            (n_bi > 0)
+            & ((n_bi - n_dist) * 100 > n_bi * r["max_dup_bigram_pct"]),
+            "repetitive",
+        )
+        .when(n_digits * 100 > n_chars * r["max_digit_pct"], "too_many_digits")
+    )
+    return docs.withColumn("reject_reason", reason)

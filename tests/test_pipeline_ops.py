@@ -582,3 +582,26 @@ def test_repetition_signals_known_values(spark):
     assert (got[1].n_bigrams, got[1].n_distinct_bigrams) == (0, 0)
     assert (got[2].n_lines, got[2].n_distinct_lines) == (3, 2)
     assert (got[3].n_bigrams, got[3].n_distinct_bigrams) == (2, 2)
+
+
+def test_filter_corpus_reasons_and_precedence(spark):
+    from archive_spark.pipeline_ops import filter_corpus
+
+    docs = spark.createDataFrame(
+        [(0, "tiny", "s"),
+         (1, "a b a b a b a b a b a b", "s"),
+         (2, "1 2 33 44 555 666", "s"),
+         (3, "this is a perfectly normal document here", "s"),
+         # both too_short AND digit-heavy: first rule wins
+         (4, "1 2", "s")],
+        "doc_id long, text string, source string",
+    )
+    got = {r.doc_id: r.reject_reason for r in filter_corpus(docs).collect()}
+    assert got == {0: "too_short", 1: "repetitive", 2: "too_many_digits",
+                   3: None, 4: "too_short"}
+    kept = filter_corpus(docs).filter("reject_reason IS NULL").count()
+    assert kept == 1
+    # rules are overridable
+    loose = filter_corpus(docs, {"min_words": 1, "max_dup_bigram_pct": 99,
+                                 "max_digit_pct": 99})
+    assert loose.filter("reject_reason IS NULL").count() == 5
