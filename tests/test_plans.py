@@ -192,3 +192,33 @@ def test_archive_ingest_plan_has_no_shuffle(spark):
         plan = plan_of(df)
         assert "Exchange" not in plan, plan
         assert "MapInArrow" in plan or "ArrowEvalPython" in plan, plan
+
+
+def test_text_ops_are_jvm_only(spark):
+    """The text-analysis lane's no-Python-in-the-hot-path claim, plan-
+    asserted: none of these operators may contain a Python eval node
+    (BatchEvalPython / ArrowEvalPython / MapInArrow / FlatMapGroupsIn*)."""
+    from archive_spark.analytics import readme_usability
+    from archive_spark.pipeline_ops import (
+        bpe_token_counts,
+        filter_corpus,
+        repetition_signals,
+    )
+
+    docs = spark.createDataFrame(
+        [(0, "a b c", "s")], "doc_id long, text string, source string"
+    )
+    listing = spark.createDataFrame(
+        [("A.ZIP", "A.NFO")], "archive string, filename string"
+    )
+    frames = [
+        repetition_signals(docs),
+        filter_corpus(docs),
+        bpe_token_counts(docs),
+        readme_usability(listing),
+    ]
+    for df in frames:
+        plan = plan_of(df)
+        for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInArrow",
+                       "FlatMapGroupsIn"):
+            assert marker not in plan, (marker, plan)
