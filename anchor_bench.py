@@ -44,9 +44,15 @@ def main() -> None:
 
     t0 = time.perf_counter()
     if not os.path.exists(tokens_path):
-        token_table(spark, args.docs, seed=42).write.mode("overwrite").parquet(
-            tokens_path
-        )
+        # partitions scale with doc count: a fixed 32 makes each task's
+        # working set grow linearly with --docs, and 32 concurrent fat
+        # generator workers + the JVM heap can trip the kernel's
+        # overcommit limit at the 300x scale — ~500k docs/task keeps
+        # per-worker memory flat at any anchor size
+        parts = max(args.cpus, args.docs // 500_000)
+        token_table(spark, args.docs, seed=42, partitions=parts).write.mode(
+            "overwrite"
+        ).parquet(tokens_path)
     out["generate_sec"] = round(time.perf_counter() - t0, 1)
 
     tokens = spark.read.parquet(tokens_path)
