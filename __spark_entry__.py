@@ -1053,6 +1053,29 @@ _FILTER_ORACLE = (
 )
 
 
+def _q_distinctive_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source top-5 distinctive words — integer-exact tf-idf cousin;
+    partitioned window top-k.  max_df=19 excludes only the words present
+    in EVERY source (the synthetic corpus shares its vocabulary almost
+    completely, so a lower cutoff would make the gate vacuous)."""
+    from archive_spark.pipeline_ops import distinctive_terms
+
+    return distinctive_terms(_docs(spark, sf_dir), k=5, max_df=19)
+
+
+_DISTINCTIVE_ORACLE = (
+    "WITH tf AS (SELECT source, word, COUNT(*)::BIGINT AS tf FROM ("
+    "SELECT source, unnest(string_split(text, ' ')) AS word FROM documents) "
+    "WHERE word != '' GROUP BY source, word), "
+    "dfx AS (SELECT word, COUNT(DISTINCT source)::BIGINT AS df FROM tf GROUP BY word), "
+    "r AS (SELECT tf.source, tf.word, tf.tf, dfx.df, "
+    "row_number() OVER (PARTITION BY tf.source ORDER BY tf.tf DESC, tf.word) AS rank "
+    "FROM tf JOIN dfx USING (word) WHERE dfx.df <= 19) "
+    "SELECT source, rank::BIGINT AS rank, word, tf, df FROM r "
+    "WHERE rank <= 5 ORDER BY source, rank"
+)
+
+
 def _q_archive_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Real-container roundtrip (S1/S5/E2/X15 over actual zip bytes):
     pack documents into deterministic per-(source, shard) zip archives
@@ -1186,6 +1209,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_length_quantiles": _q_doc_length_quantiles,
         "repetition_stats": _q_repetition_stats,
         "filter_histogram": _q_filter_histogram,
+        "distinctive_terms": _q_distinctive_terms,
     }
 
 
@@ -1252,6 +1276,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_length_quantiles": _QUANTILES_ORACLE,
         "repetition_stats": _REPETITION_ORACLE,
         "filter_histogram": _FILTER_ORACLE,
+        "distinctive_terms": _DISTINCTIVE_ORACLE,
         "dedup_embedding_neardup": (
             "WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v "
             "FROM embeddings WHERE vec_id < 300) "

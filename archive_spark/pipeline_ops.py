@@ -1161,3 +1161,26 @@ def filter_corpus(docs: DataFrame, rules: dict | None = None) -> DataFrame:
         .when(n_digits * 100 > n_chars * r["max_digit_pct"], "too_many_digits")
     )
     return docs.withColumn("reject_reason", reason)
+
+
+def distinctive_terms(docs: DataFrame, k: int = 5, max_df: int = 3) -> DataFrame:
+    """Per-source distinctive vocabulary: the top-k words by in-source
+    frequency among words that appear in at most ``max_df`` sources —
+    the integer-exact cousin of tf-idf (no float idf, so the ranking is
+    bit-reproducible and SQL-replayable).  Two shuffles: word counts per
+    (source, word), then source-partitioned top-k (a PARTITIONED window
+    — each source ranks independently, no global sort)."""
+    words = docs.select(
+        "source", F.explode(F.split("text", " ")).alias("word")
+    ).filter(F.col("word") != "")
+    tf = words.groupBy("source", "word").agg(F.count("*").alias("tf"))
+    df_ = tf.groupBy("word").agg(F.countDistinct("source").alias("df"))
+    w = Window.partitionBy("source").orderBy(F.desc("tf"), F.col("word"))
+    return (
+        tf.join(df_, "word")
+        .filter(F.col("df") <= max_df)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("source", "rank", "word", "tf", "df")
+        .orderBy("source", "rank")
+    )

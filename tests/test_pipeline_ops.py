@@ -605,3 +605,19 @@ def test_filter_corpus_reasons_and_precedence(spark):
     loose = filter_corpus(docs, {"min_words": 1, "max_dup_bigram_pct": 99,
                                  "max_digit_pct": 99})
     assert loose.filter("reject_reason IS NULL").count() == 5
+
+
+def test_distinctive_terms_known_corpus(spark):
+    from archive_spark.pipeline_ops import distinctive_terms
+
+    docs = spark.createDataFrame(
+        [(0, "apple apple apple shared", "a"),
+         (1, "banana banana shared", "b"),
+         (2, "shared cherry", "c")],
+        "doc_id long, text string, source string",
+    )
+    # 'shared' appears in 3 sources -> excluded at max_df=2
+    rows = [(r.source, r.rank, r.word, r.tf) for r in
+            distinctive_terms(docs, k=2, max_df=2).collect()]
+    assert rows == [("a", 1, "apple", 3), ("b", 1, "banana", 2),
+                    ("c", 1, "cherry", 1)]
