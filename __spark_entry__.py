@@ -828,6 +828,17 @@ def _q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.filter(F.col("jaccard") > 0).orderBy("doc_a", "doc_b")
 
 
+def _q_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/test decontamination: corpus docs sharing any word 3-gram
+    with the benchmark subset (doc_id % 97 == 0); benchmark side
+    broadcast, corpus scanned once."""
+    from archive_spark.pipeline_ops import contamination_check
+
+    docs = _docs(spark, sf_dir)
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    return contamination_check(docs, bench, k=3).orderBy("doc_id", "bench_id")
+
+
 def _q_tpch_q5ish(spark: SparkSession, sf_dir: str) -> DataFrame:
     r = spark.read.parquet(f"{sf_dir}/region.parquet")
     n = spark.read.parquet(f"{sf_dir}/nation.parquet")
@@ -1184,6 +1195,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_recall": _q_ann_lsh_recall,
         "ann_int8_recall": _q_ann_int8_recall,
         "ngram_jaccard": _q_ngram_jaccard,
+        "decontamination": _q_decontamination,
         "word_length_hist": _q_word_length_hist,
         "multimodal_features": _q_multimodal_features,
         "events_asof_join": _q_events_asof_join,
@@ -1560,6 +1572,24 @@ def oracle_sql() -> dict[str, str]:
             "FROM sh a JOIN sh b ON a.doc_id < b.doc_id "
             "WHERE len(list_intersect(a.s, b.s)) > 0 "
             "ORDER BY doc_a, doc_b"
+        ),
+        "decontamination": (
+            # mirror of pipeline_ops._shingles at k=3, incl. the
+            # sub-k-word whole-text fallback; intersection counted over
+            # DISTINCT grams per doc, self-pairs excluded
+            "WITH sh AS (SELECT doc_id, list_distinct("
+            "CASE WHEN len(words) < 3 THEN [array_to_string(words, ' ')] "
+            "ELSE [array_to_string(words[i:i+2], ' ') "
+            "for i in range(1, greatest(len(words)-2, 0)+1)] END) AS s "
+            "FROM (SELECT doc_id, string_split(text, ' ') AS words "
+            "FROM documents)), "
+            "bench AS (SELECT doc_id AS bench_id, unnest(s) AS g FROM sh "
+            "WHERE doc_id % 97 = 0), "
+            "corp AS (SELECT doc_id, unnest(s) AS g FROM sh) "
+            "SELECT c.doc_id, b.bench_id, count(*)::BIGINT AS n_shared "
+            "FROM corp c JOIN bench b USING (g) "
+            "WHERE c.doc_id != b.bench_id "
+            "GROUP BY 1, 2 ORDER BY doc_id, bench_id"
         ),
         "tpch_q5ish": (
             "SELECT r_name, count(*)::BIGINT AS n_orders, "

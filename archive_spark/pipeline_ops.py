@@ -207,6 +207,47 @@ def ngram_jaccard(docs: DataFrame, pairs: DataFrame, k: int = 3) -> DataFrame:
     )
 
 
+def contamination_check(
+    docs: DataFrame, benchmark: DataFrame, k: int = 8
+) -> DataFrame:
+    """Train/test decontamination: for every corpus document, count the
+    word ``k``-grams it shares with each benchmark document.
+
+    The LLM-pipeline analogue of the reference's targeted Finds lookup
+    (find.go:16-37): a small, named "wanted" set is checked against a
+    huge corpus.  Canonical use: drop (or flag) training documents that
+    leak evaluation-set n-grams before a training run.
+
+    Scale posture: benchmark sets are KBs–MBs while the corpus is the
+    100 TB side, so the benchmark's distinct shingle-hash table is
+    **broadcast** — the corpus is ONE scan + generate-shingles +
+    broadcast hash-join + two-level aggregate, with no corpus-side
+    shuffle of text (only the surviving (doc_id, bench_id) hits, which
+    are tiny, reach the exchange).  Shingles compare as ``xxhash64``
+    (JVM, codegen) rather than strings so the join keys are fixed-width
+    longs.
+
+    Returns (doc_id, bench_id, n_shared) — one row per contaminated
+    (corpus doc, benchmark doc) pair, self-pairs excluded.
+    """
+    def gram_hashes(df, id_out):
+        return df.select(
+            F.col("doc_id").alias(id_out),
+            F.explode(
+                F.array_distinct(_shingles(F.col("text"), k))
+            ).alias("g"),
+        ).select(id_out, F.xxhash64("g").alias("h"))
+
+    bench_sh = gram_hashes(benchmark, "bench_id").distinct()
+    corpus_sh = gram_hashes(docs, "doc_id")
+    return (
+        corpus_sh.join(F.broadcast(bench_sh), "h")
+        .filter(F.col("doc_id") != F.col("bench_id"))
+        .groupBy("doc_id", "bench_id")
+        .agg(F.count("*").alias("n_shared"))
+    )
+
+
 def neardup_clusters(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
     """Resolve verified near-duplicate PAIRS into transitive CLUSTERS
     with keeper assignment — the step that turns "these two look alike"

@@ -621,3 +621,47 @@ def test_distinctive_terms_known_corpus(spark):
             distinctive_terms(docs, k=2, max_df=2).collect()]
     assert rows == [("a", 1, "apple", 3), ("b", 1, "banana", 2),
                     ("c", 1, "cherry", 1)]
+
+
+# ---------------------------------------------------------------------------
+# decontamination
+# ---------------------------------------------------------------------------
+
+
+def test_contamination_check_flags_leaked_ngram(spark):
+    bench_text = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [
+        (100, bench_text, "bench"),
+        # leaks an exact 8-gram from the benchmark mid-document
+        (1, "xx yy alpha beta gamma delta epsilon zeta eta theta zz", "corpus"),
+        # shares words but never 8 in a row
+        (2, "alpha beta gamma qq delta epsilon zeta rr eta theta", "corpus"),
+        (3, "completely different words with no overlap at all here", "corpus"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    bench = docs.filter(F.col("source") == "bench")
+    out = po.contamination_check(docs, bench, k=8).collect()
+    hits = {(r.doc_id, r.bench_id): r.n_shared for r in out}
+    assert (1, 100) in hits and hits[(1, 100)] == 1
+    assert all(d != 2 and d != 3 for d, _ in hits)
+    # self-pairs excluded even though the bench doc is also in the corpus
+    assert (100, 100) not in hits
+
+
+def test_contamination_check_counts_distinct_shared_grams(spark):
+    # doc repeats the same leaked 2-gram thrice -> counted once (distinct)
+    rows = [
+        (10, "a b", "bench"),
+        (20, "a b x a b y a b", "corpus"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    bench = docs.filter(F.col("source") == "bench")
+    out = po.contamination_check(docs, bench, k=2).collect()
+    assert len(out) == 1 and out[0].n_shared == 1 and out[0].doc_id == 20
+
+
+def test_contamination_check_broadcasts_benchmark(spark, docs):
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    plan = po.contamination_check(docs, bench, k=3)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
