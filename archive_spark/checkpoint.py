@@ -370,3 +370,51 @@ def read_encoded(spark: SparkSession, out_dir: str) -> DataFrame:
             if os.path.isdir(snap_dir):
                 return spark.read.parquet(snap_dir)
     return spark.read.parquet(os.path.join(out_dir, "data"))
+
+
+def encode_incremental(
+    spark: SparkSession,
+    tokens_df: DataFrame,
+    out_dir: str,
+    snapshot_id: str,
+    n_shards: int = 16,
+    **encode_kw,
+) -> EncodeJobResult:
+    """Incremental ingest: encode exactly the docs not yet in the table's
+    current snapshot, publish them as an APPEND snapshot.
+
+    The table-level analogue of the reference's pseudo-cache (skip work
+    already on disk, archive.go:481-497) and of Iceberg incremental
+    processing: rerunning the pipeline over a growing corpus re-encodes
+    nothing that a published snapshot already covers.
+
+    Scale posture: membership is derived from the encoded blocks' own
+    ``doc_ids`` metadata column — a column-pruned scan that never touches
+    payload bytes — and the only shuffle is the LEFT ANTI join of the
+    incoming tokens on ``doc_id``.  Old snapshots' files are never
+    rewritten (append publishes a superset manifest via
+    ``commit_existing``), so time travel across ingest generations keeps
+    working and a failed incremental run leaves the current snapshot
+    untouched.
+    """
+    from . import table as snap_table
+
+    if snap_table.current_snapshot_id(out_dir) is None:
+        return encode_job(
+            spark, tokens_df, out_dir, snapshot_id, n_shards=n_shards,
+            publish_snapshot=True, publish_mode="overwrite", **encode_kw,
+        )
+    existing = read_encoded(spark, out_dir).select(
+        F.explode("doc_ids").alias("doc_id")
+    )
+    fresh = tokens_df.join(existing, "doc_id", "left_anti")
+    if fresh.limit(1).count() == 0:
+        return EncodeJobResult(
+            snapshot_id=snap_table.current_snapshot_id(out_dir),
+            shards_total=n_shards, shards_encoded=0, shards_skipped=n_shards,
+            bytes_in=0, bytes_out=0,
+        )
+    return encode_job(
+        spark, fresh, out_dir, snapshot_id, n_shards=n_shards,
+        publish_snapshot=True, publish_mode="append", **encode_kw,
+    )

@@ -5,6 +5,7 @@ Usage:
   spark-submit --py-files dist/archive_spark.zip jobs/encode_job.py \
       --input /path/to/tokens_parquet --output /path/to/encoded \
       [--shards 64] [--block-values 2097152] [--no-fsst] [--no-resume]
+      [--publish] [--incremental]
 
 The input must be a parquet table with columns
 (doc_id string, tokens array<int>, n_tok int, source string).
@@ -30,6 +31,11 @@ def main() -> None:
         "--publish", action="store_true",
         help="publish an atomic snapshot-table manifest over the shard dirs",
     )
+    ap.add_argument(
+        "--incremental", action="store_true",
+        help="encode only docs absent from the current published snapshot "
+        "and publish the result as an append snapshot (implies --publish)",
+    )
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -41,17 +47,29 @@ def main() -> None:
 
     tokens = spark.read.parquet(args.input)
     snap = checkpoint.snapshot_id_of_path(args.input)
-    res = checkpoint.encode_job(
-        spark,
-        tokens,
-        args.output,
-        snapshot_id=snap,
-        n_shards=args.shards,
-        target_block_values=args.block_values,
-        allow_fsst=not args.no_fsst,
-        resume=not args.no_resume,
-        publish_snapshot=args.publish,
-    )
+    if args.incremental:
+        res = checkpoint.encode_incremental(
+            spark,
+            tokens,
+            args.output,
+            snapshot_id=snap,
+            n_shards=args.shards,
+            target_block_values=args.block_values,
+            allow_fsst=not args.no_fsst,
+            resume=not args.no_resume,
+        )
+    else:
+        res = checkpoint.encode_job(
+            spark,
+            tokens,
+            args.output,
+            snapshot_id=snap,
+            n_shards=args.shards,
+            target_block_values=args.block_values,
+            allow_fsst=not args.no_fsst,
+            resume=not args.no_resume,
+            publish_snapshot=args.publish,
+        )
     summary = {
         "snapshot_id": res.snapshot_id,
         "shards_total": res.shards_total,

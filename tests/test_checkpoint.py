@@ -165,3 +165,65 @@ def test_restage_refuses_to_delete_published_files(spark, tokens_df, tmp_path):
     res = checkpoint.encode_job(spark, tokens_df, out, "snap-fresh", n_shards=4)
     assert res.shards_encoded == 4
     assert table.read(spark, out).count() == before
+
+
+# ---------------------------------------------------------------------------
+# incremental (append-only) ingest
+# ---------------------------------------------------------------------------
+
+
+def test_encode_incremental_appends_only_new_docs(spark, tmp_path):
+    from archive_spark import table as snap_table
+
+    out = str(tmp_path / "enc")
+    gen1 = token_table(spark, 1200, seed=11)
+    gen2 = token_table(spark, 2000, seed=11)  # superset: +800 new docs
+
+    r1 = checkpoint.encode_incremental(
+        spark, gen1, out, "inc-1", n_shards=4, target_block_values=1 << 15
+    )
+    assert r1.shards_encoded == 4
+    snap1 = snap_table.current_snapshot_id(out)
+    files1 = set(snap_table.read_manifest(out, snap1).files)
+
+    r2 = checkpoint.encode_incremental(
+        spark, gen2, out, "inc-2", n_shards=4, target_block_values=1 << 15
+    )
+    assert r2.shards_encoded == 4
+    snap2 = snap_table.current_snapshot_id(out)
+    assert snap2 != snap1
+    files2 = set(snap_table.read_manifest(out, snap2).files)
+    # append: generation-1 files are all still referenced, none rewritten
+    assert files1 < files2
+
+    # only the 800 new docs were encoded in round 2
+    enc_rows = [
+        r for r in checkpoint.read_ledger(out).to_pylist()
+        if r["stage"] == "encoded" and r["snapshot_id"] == "inc-2"
+    ]
+    assert sum(r["n_docs"] for r in enc_rows) == 800
+
+    # the published table decodes bit-identical to the full generation-2 input
+    decoded = engine.decode(checkpoint.read_encoded(spark, out))
+    rep = engine.roundtrip_report(gen2, decoded).collect()[0]
+    assert rep.n_mismatch == 0 and rep.n_decoded == 2000
+
+    # time travel to generation 1 still works after the append
+    old = engine.decode(snap_table.read(spark, out, snap1))
+    assert old.count() == 1200
+
+
+def test_encode_incremental_noop_when_nothing_new(spark, tmp_path):
+    from archive_spark import table as snap_table
+
+    out = str(tmp_path / "enc")
+    gen1 = token_table(spark, 600, seed=3)
+    checkpoint.encode_incremental(
+        spark, gen1, out, "inc-a", n_shards=2, target_block_values=1 << 15
+    )
+    snap_before = snap_table.current_snapshot_id(out)
+    r = checkpoint.encode_incremental(
+        spark, gen1, out, "inc-b", n_shards=2, target_block_values=1 << 15
+    )
+    assert r.shards_encoded == 0 and r.snapshot_id == snap_before
+    assert snap_table.current_snapshot_id(out) == snap_before
