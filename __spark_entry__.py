@@ -839,6 +839,19 @@ def _q_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     return contamination_check(docs, bench, k=3).orderBy("doc_id", "bench_id")
 
 
+def _q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE vocabulary training (8 merge rounds).  The
+    per-round vocabulary states are persisted so the oracle can replay
+    each round's argmax-pair selection independently."""
+    from archive_spark.pipeline_ops import bpe_learn
+
+    merges, steps = bpe_learn(
+        _docs(spark, sf_dir), n_merges=8, min_count=2, return_steps=True
+    )
+    _persist(steps, "bpe_steps", sf_dir)
+    return merges.orderBy("step")
+
+
 def _q_tpch_q5ish(spark: SparkSession, sf_dir: str) -> DataFrame:
     r = spark.read.parquet(f"{sf_dir}/region.parquet")
     n = spark.read.parquet(f"{sf_dir}/nation.parquet")
@@ -1196,6 +1209,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_int8_recall": _q_ann_int8_recall,
         "ngram_jaccard": _q_ngram_jaccard,
         "decontamination": _q_decontamination,
+        "bpe_merges": _q_bpe_merges,
         "word_length_hist": _q_word_length_hist,
         "multimodal_features": _q_multimodal_features,
         "events_asof_join": _q_events_asof_join,
@@ -1590,6 +1604,21 @@ def oracle_sql() -> dict[str, str]:
             "FROM corp c JOIN bench b USING (g) "
             "WHERE c.doc_id != b.bench_id "
             "GROUP BY 1, 2 ORDER BY doc_id, bench_id"
+        ),
+        "bpe_merges": (
+            # replay each round's argmax-pair selection from the
+            # persisted per-round vocabulary states (same tie-break:
+            # count desc, then lexicographic pair); min_count=2 mirrors
+            # the Spark early-stop
+            "WITH pr AS (SELECT step, syms[i] AS l, syms[i+1] AS r, "
+            "sum(cnt) AS n FROM (SELECT step, syms, cnt, "
+            f"unnest(range(1, len(syms))) AS i FROM "
+            f"read_parquet('{_opath('bpe_steps')}')) GROUP BY 1, 2, 3), "
+            "ranked AS (SELECT step, l, r, n, row_number() OVER "
+            "(PARTITION BY step ORDER BY n DESC, l, r) AS rn FROM pr) "
+            'SELECT step::INT AS step, l AS "left", r AS "right", '
+            'l || r AS merged, n::BIGINT AS n_pairs '
+            "FROM ranked WHERE rn = 1 AND n >= 2 ORDER BY step"
         ),
         "tpch_q5ish": (
             "SELECT r_name, count(*)::BIGINT AS n_orders, "

@@ -665,3 +665,88 @@ def test_contamination_check_broadcasts_benchmark(spark, docs):
     plan = po.contamination_check(docs, bench, k=3)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+# ---------------------------------------------------------------------------
+# BPE vocabulary training
+# ---------------------------------------------------------------------------
+
+
+def _bpe_reference(texts, n_merges, min_count=2):
+    """Pure-Python Sennrich-style BPE with the same deterministic
+    tie-break (count desc, then lexicographic pair)."""
+    from collections import Counter
+
+    vocab = Counter()
+    for t in texts:
+        for w in t.split(" "):
+            if w:
+                vocab[tuple(w)] += 1
+    merges = []
+    for step in range(n_merges):
+        pairs = Counter()
+        for syms, cnt in vocab.items():
+            for i in range(len(syms) - 1):
+                pairs[(syms[i], syms[i + 1])] += cnt
+        if not pairs:
+            break
+        (left, right), n = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        if n < min_count:
+            break
+        merges.append((step, left, right, left + right, n))
+        out = Counter()
+        for syms, cnt in vocab.items():
+            merged, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == left and syms[i + 1] == right:
+                    merged.append(left + right)
+                    i += 2
+                else:
+                    merged.append(syms[i])
+                    i += 1
+            out[tuple(merged)] += cnt
+        vocab = out
+    return merges
+
+
+def test_bpe_learn_matches_reference(spark):
+    texts = [
+        "low lower lowest low low",
+        "newer newest new news low",
+        "aaaa aaab abab banana bandana",
+        "the the the them theme thematic",
+    ]
+    docs = spark.createDataFrame([(i, t) for i, t in enumerate(texts)],
+                                 "doc_id long, text string")
+    got, _ = po.bpe_learn(docs, n_merges=12, min_count=2)
+    got_rows = [(r.step, r.left, r.right, r.merged, r.n_pairs) for r in got.collect()]
+    assert got_rows == _bpe_reference(texts, 12)
+
+
+def test_bpe_learn_overlapping_pairs_greedy(spark):
+    # 'aaaa' x3: (a,a) counted 9 times (overlapping), merged greedily
+    # left-to-right -> ['aa','aa'], next round merges ('aa','aa')
+    docs = spark.createDataFrame([(0, "aaaa aaaa aaaa")], "doc_id long, text string")
+    got, _ = po.bpe_learn(docs, n_merges=2, min_count=2)
+    rows = [(r.left, r.right, r.n_pairs) for r in got.collect()]
+    assert rows == [("a", "a", 9), ("aa", "aa", 3)]
+
+
+def test_bpe_learn_steps_replay_argmax(spark):
+    docs = spark.createDataFrame(
+        [(0, "low lower lowest"), (1, "new newer newest")],
+        "doc_id long, text string",
+    )
+    merges, steps = po.bpe_learn(docs, n_merges=5, min_count=2, return_steps=True)
+    m = merges.collect()
+    by_step = {}
+    for r in steps.collect():
+        by_step.setdefault(r.step, []).append((r.syms, r.cnt))
+    from collections import Counter
+    for r in m:
+        pairs = Counter()
+        for syms, cnt in by_step[r.step]:
+            for i in range(len(syms) - 1):
+                pairs[(syms[i], syms[i + 1])] += cnt
+        (left, right), n = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        assert (left, right, n) == (r.left, r.right, r.n_pairs)
