@@ -852,6 +852,26 @@ def _q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return merges.orderBy("step")
 
 
+def _q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pack the tokenized documents into fixed 512-token training
+    sequences; per-sequence aggregates are replayed by a DuckDB window
+    query over the persisted token table."""
+    from archive_spark.pipeline_ops import pack_sequences
+
+    toks = _tokens(spark, sf_dir)
+    _persist(toks.select("doc_id", "tokens", "n_tok"), "pack_input", sf_dir)
+    packed = pack_sequences(toks, seq_len=512, eos_token=0)
+    return packed.select(
+        "seq_id",
+        F.aggregate(
+            "tokens", F.lit(0).cast("long"), lambda a, x: a + x.cast("long")
+        ).alias("tok_sum"),
+        F.element_at("tokens", 1).alias("first_tok"),
+        F.element_at("tokens", -1).alias("last_tok"),
+        "n_pad",
+    ).orderBy("seq_id")
+
+
 def _q_tpch_q5ish(spark: SparkSession, sf_dir: str) -> DataFrame:
     r = spark.read.parquet(f"{sf_dir}/region.parquet")
     n = spark.read.parquet(f"{sf_dir}/nation.parquet")
@@ -1210,6 +1230,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": _q_ngram_jaccard,
         "decontamination": _q_decontamination,
         "bpe_merges": _q_bpe_merges,
+        "sequence_packing": _q_sequence_packing,
         "word_length_hist": _q_word_length_hist,
         "multimodal_features": _q_multimodal_features,
         "events_asof_join": _q_events_asof_join,
@@ -1619,6 +1640,25 @@ def oracle_sql() -> dict[str, str]:
             'SELECT step::INT AS step, l AS "left", r AS "right", '
             'l || r AS merged, n::BIGINT AS n_pairs '
             "FROM ranked WHERE rn = 1 AND n >= 2 ORDER BY step"
+        ),
+        "sequence_packing": (
+            # replay the deterministic doc_id-order concatenation (+1 EOS
+            # per doc) with a window prefix sum, cut at the 512 grid; the
+            # last sequence is EOS(0)-padded on the Spark side, mirrored
+            # by the CASE on last_tok and the 512-c pad count
+            "WITH d AS (SELECT doc_id, list_concat(tokens, [0]) AS te, "
+            "COALESCE(sum(n_tok + 1) OVER (ORDER BY doc_id "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS st "
+            f"FROM read_parquet('{_opath('pack_input')}')), "
+            "tok AS (SELECT d.st + u.i - 1 AS pos, d.te[u.i] AS tok "
+            "FROM d, unnest(range(1, len(d.te) + 1)) AS u(i)), "
+            "seqs AS (SELECT pos // 512 AS seq_id, sum(tok) AS s, "
+            "count(*) AS c, arg_min(tok, pos) AS ft, arg_max(tok, pos) AS lt "
+            "FROM tok GROUP BY 1) "
+            "SELECT seq_id::BIGINT AS seq_id, s::BIGINT AS tok_sum, "
+            "ft::INTEGER AS first_tok, "
+            "(CASE WHEN c < 512 THEN 0 ELSE lt END)::INTEGER AS last_tok, "
+            "(512 - c)::INTEGER AS n_pad FROM seqs ORDER BY seq_id"
         ),
         "tpch_q5ish": (
             "SELECT r_name, count(*)::BIGINT AS n_orders, "

@@ -248,6 +248,140 @@ def contamination_check(
     )
 
 
+def pack_sequences(
+    tokens_df: DataFrame,
+    seq_len: int = 2048,
+    eos_token: int = 0,
+    n_parts: int | None = None,
+) -> DataFrame:
+    """Pack variable-length documents into fixed-length training
+    sequences — the final layout step of an LLM data pipeline: each doc
+    contributes its tokens plus one EOS, docs are concatenated in
+    ``doc_id`` order, and the stream is cut into rows of exactly
+    ``seq_len`` tokens (the single trailing remainder is EOS-padded).
+
+    Scale posture: the global concatenation offset of every document is
+    computed WITHOUT a global window — docs are range-partitioned by
+    ``doc_id``, each partition's token total is a map-side aggregate
+    (one tiny row per partition collected), and the driver's cumulative
+    sum of those P numbers is broadcast back.  Inside each partition a
+    vectorized Arrow kernel (numpy, zero per-row Python) splits the
+    partition's token stream at the global ``seq_len`` grid and emits
+    (seq_id, in-seq offset, fragment) pieces; one groupBy(seq_id)
+    assembles them.  The only corpus-sized shuffles are the range
+    partition and the assembly — both inherent to packing.
+
+    Returns (seq_id, tokens array<int> of length seq_len, n_pad).
+    """
+    import pyarrow as pa
+
+    spark = tokens_df.sparkSession
+    P = n_parts or int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    df = (
+        tokens_df.select("doc_id", "tokens", "n_tok")
+        .repartitionByRange(P, "doc_id")
+        .sortWithinPartitions("doc_id")
+        .withColumn("pid", F.spark_partition_id())
+        .persist()
+    )
+    try:
+        sizes = {
+            r.pid: r.m
+            for r in df.groupBy("pid")
+            .agg(F.sum(F.col("n_tok") + 1).alias("m"))
+            .collect()
+        }
+        starts, acc = {}, 0
+        for pid in range(max(sizes, default=-1) + 1):
+            starts[pid] = acc
+            acc += sizes.get(pid, 0)
+        bc = spark.sparkContext.broadcast(starts)
+        L = seq_len
+
+        def emit(it):
+            pos = None
+            for batch in it:
+                if batch.num_rows == 0:
+                    continue
+                if pos is None:
+                    pos = bc.value[batch.column("pid")[0].as_py()]
+                toks = batch.column("tokens")
+                if isinstance(toks, pa.ChunkedArray):
+                    toks = toks.combine_chunks()
+                vals = toks.flatten().to_numpy(zero_copy_only=False)
+                offs = toks.offsets.to_numpy(zero_copy_only=False)
+                lens = np.diff(offs - offs[0]) + 1  # +1 EOS per doc
+                total = int(lens.sum())
+                stream = np.full(total, eos_token, dtype=np.int64)
+                ends = np.cumsum(lens)
+                mask = np.ones(total, dtype=bool)
+                mask[ends - 1] = False
+                stream[mask] = vals
+                cuts = np.arange((pos // L + 1) * L, pos + total, L) - pos
+                frags = np.split(stream, cuts)
+                seq0 = pos // L
+                seq_ids, frag_pos, frag_off = [], [], [0]
+                o = pos % L
+                for i, fr in enumerate(frags):
+                    seq_ids.append(seq0 + i)
+                    frag_pos.append(o if i == 0 else 0)
+                    frag_off.append(frag_off[-1] + len(fr))
+                frag_arr = pa.ListArray.from_arrays(
+                    pa.array(frag_off, type=pa.int32()),
+                    pa.array(np.concatenate(frags), type=pa.int32()),
+                )
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        pa.array(seq_ids, type=pa.int64()),
+                        pa.array(frag_pos, type=pa.int32()),
+                        frag_arr,
+                    ],
+                    names=["seq_id", "frag_pos", "frag"],
+                )
+                pos += total
+
+        frags = df.mapInArrow(
+            emit, "seq_id long, frag_pos int, frag array<int>"
+        )
+        assembled = (
+            frags.groupBy("seq_id")
+            .agg(
+                F.array_sort(
+                    F.collect_list(F.struct("frag_pos", "frag"))
+                ).alias("fs")
+            )
+            .select(
+                "seq_id",
+                F.flatten(F.transform("fs", lambda s: s.frag)).alias("tokens"),
+            )
+            .select(
+                "seq_id",
+                F.when(
+                    F.size("tokens") < L,
+                    F.concat(
+                        "tokens",
+                        F.array_repeat(
+                            F.lit(eos_token).cast("int"), L - F.size("tokens")
+                        ),
+                    ),
+                )
+                .otherwise(F.col("tokens"))
+                .alias("tokens"),
+                F.when(F.size("tokens") < L, F.lit(L) - F.size("tokens"))
+                .otherwise(F.lit(0))
+                .cast("int")
+                .alias("n_pad"),
+            )
+        )
+        # materialization note: callers that keep the result past this
+        # call's lazy frontier should persist it themselves; the input
+        # cache is released once the plan is resolved
+        assembled = assembled.localCheckpoint(eager=True)
+        return assembled
+    finally:
+        df.unpersist()
+
+
 def _adjacent_pairs(syms):
     """struct(left, right) for each adjacent symbol pair (overlapping,
     Sennrich get_stats semantics)."""

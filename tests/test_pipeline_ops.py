@@ -750,3 +750,41 @@ def test_bpe_learn_steps_replay_argmax(spark):
                 pairs[(syms[i], syms[i + 1])] += cnt
         (left, right), n = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
         assert (left, right, n) == (r.left, r.right, r.n_pairs)
+
+
+# ---------------------------------------------------------------------------
+# sequence packing
+# ---------------------------------------------------------------------------
+
+
+def _pack_reference(rows, L, eos):
+    import math
+
+    stream = []
+    for _, toks, _ in sorted(rows):
+        stream += list(toks) + [eos]
+    nseq = math.ceil(len(stream) / L)
+    pad = nseq * L - len(stream)
+    stream += [eos] * pad
+    return [stream[i * L:(i + 1) * L] for i in range(nseq)], pad
+
+
+def test_pack_sequences_matches_reference(spark):
+    rows = [(f"d{i:03d}", list(range(i * 10, i * 10 + 3 + i % 5)), 3 + i % 5)
+            for i in range(50)]
+    df = spark.createDataFrame(rows, "doc_id string, tokens array<int>, n_tok int")
+    out = sorted((r.seq_id, r.tokens, r.n_pad)
+                 for r in po.pack_sequences(df, seq_len=16, eos_token=-1, n_parts=7).collect())
+    ref, pad = _pack_reference(rows, 16, -1)
+    assert [t for _, t, _ in out] == ref
+    assert out[-1][2] == pad and all(p == 0 for _, _, p in out[:-1])
+    assert [s for s, _, _ in out] == list(range(len(ref)))
+
+
+def test_pack_sequences_doc_longer_than_seq(spark):
+    rows = [("a", list(range(100)), 100), ("b", [7, 8], 2)]
+    df = spark.createDataFrame(rows, "doc_id string, tokens array<int>, n_tok int")
+    out = sorted((r.seq_id, r.tokens, r.n_pad)
+                 for r in po.pack_sequences(df, seq_len=32, eos_token=0, n_parts=3).collect())
+    ref, pad = _pack_reference(rows, 32, 0)
+    assert [t for _, t, _ in out] == ref and out[-1][2] == pad
