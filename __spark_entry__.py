@@ -852,6 +852,44 @@ def _q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return merges.orderBy("step")
 
 
+def _q_bpe_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end learned-subword tokenization: learn 8 BPE merges,
+    apply them, detokenize, and gate on exact text reconstruction
+    (n_detok_mismatch must be 0 — the oracle pins it, roundtrip_gate
+    style, and independently recomputes the per-source char totals)."""
+    from itertools import chain
+
+    from archive_spark.pipeline_ops import bpe_apply, bpe_learn
+
+    docs = _docs(spark, sf_dir)
+    merges, _ = bpe_learn(docs, n_merges=8, min_count=2)
+    toks, vocab = bpe_apply(docs, merges, return_vocab=True)
+    vmap = {r.sym_id: r.sym for r in vocab.collect()}
+    mlit = F.create_map(*[F.lit(x) for x in chain.from_iterable(vmap.items())])
+    detok = toks.select(
+        "doc_id",
+        "source",
+        F.concat_ws("", F.transform("tokens", lambda t: mlit[t])).alias("detok"),
+    )
+    joined = detok.join(
+        _docs(spark, sf_dir).select(
+            "doc_id", F.replace(F.col("text"), F.lit(" "), F.lit("")).alias("squashed")
+        ),
+        "doc_id",
+    )
+    return (
+        joined.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.length("squashed")).alias("total_chars"),
+            F.sum((F.col("detok") != F.col("squashed")).cast("long")).alias(
+                "n_detok_mismatch"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
 def _q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pack the tokenized documents into fixed 512-token training
     sequences; per-sequence aggregates are replayed by a DuckDB window
@@ -1231,6 +1269,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontamination": _q_decontamination,
         "bpe_merges": _q_bpe_merges,
         "sequence_packing": _q_sequence_packing,
+        "bpe_pipeline": _q_bpe_pipeline,
         "word_length_hist": _q_word_length_hist,
         "multimodal_features": _q_multimodal_features,
         "events_asof_join": _q_events_asof_join,
@@ -1640,6 +1679,12 @@ def oracle_sql() -> dict[str, str]:
             'SELECT step::INT AS step, l AS "left", r AS "right", '
             'l || r AS merged, n::BIGINT AS n_pairs '
             "FROM ranked WHERE rn = 1 AND n >= 2 ORDER BY step"
+        ),
+        "bpe_pipeline": (
+            "SELECT source, count(*)::BIGINT AS n_docs, "
+            "SUM(len(replace(text, ' ', '')))::BIGINT AS total_chars, "
+            "0::BIGINT AS n_detok_mismatch "
+            "FROM documents GROUP BY source ORDER BY source"
         ),
         "sequence_packing": (
             # replay the deterministic doc_id-order concatenation (+1 EOS

@@ -500,6 +500,108 @@ def bpe_learn(
     return merges_df, steps_df
 
 
+def bpe_apply(docs: DataFrame, merges: DataFrame, return_vocab: bool = False):
+    """Tokenize text into subword ids with a learned BPE merge list —
+    the application half of ``bpe_learn`` (together: text → learned
+    subword vocabulary → int32 token arrays ready for the codec engine).
+
+    Scale posture: merges apply in priority order per word, which is
+    inherently sequential — so the Python merge loop runs over the
+    DISTINCT-WORD table only (vocabulary scale), inside one
+    ``mapInArrow`` stage.  The corpus-scale pass is pure JVM: split,
+    posexplode, broadcast-join the word→subword-ids table, re-assemble
+    in word order, flatten.  Subword ids are dense ranks of the final
+    symbol strings (deterministic: sorted lexicographically; the
+    ranking window runs over the vocabulary, whose size is bounded by
+    alphabet + n_merges — it does not grow with the corpus).
+
+    Returns the tokens DataFrame (doc_id, tokens array<int>, n_tok,
+    source); with ``return_vocab=True`` returns ``(tokens, vocab)``
+    where vocab is the (sym_id, sym) detokenization table.
+    """
+    import pyarrow as pa
+
+    merge_list = [
+        (r.left, r.right) for r in merges.orderBy("step").collect()
+    ]
+    ranks = {pair: i for i, pair in enumerate(merge_list)}
+    bc = docs.sparkSession.sparkContext.broadcast(ranks)
+
+    words = (
+        docs.select(F.explode(F.split("text", " ")).alias("word"))
+        .filter(F.length("word") > 0)
+        .distinct()
+    )
+
+    def encode_words(it):
+        rk = bc.value
+        for batch in it:
+            ws = batch.column("word").to_pylist()
+            out = []
+            for w in ws:
+                syms = list(w)
+                # classic rank-priority application (Sennrich apply_bpe):
+                # repeatedly merge the lowest-rank adjacent pair present
+                while len(syms) > 1:
+                    best, bi = None, -1
+                    for i in range(len(syms) - 1):
+                        r = rk.get((syms[i], syms[i + 1]))
+                        if r is not None and (best is None or r < best):
+                            best, bi = r, i
+                    if best is None:
+                        break
+                    syms[bi : bi + 2] = [syms[bi] + syms[bi + 1]]
+                out.append(syms)
+            yield pa.RecordBatch.from_arrays(
+                [batch.column("word"), pa.array(out, type=pa.list_(pa.string()))],
+                names=["word", "syms"],
+            )
+
+    word_syms = words.mapInArrow(encode_words, "word string, syms array<string>")
+    # deterministic dense ids over the final subword vocabulary
+    vocab = (
+        word_syms.select(F.explode("syms").alias("sym"))
+        .distinct()
+        .orderBy("sym")
+        .withColumn("sym_id", (F.row_number().over(Window.orderBy("sym")) - 1))
+    )
+    word_ids = (
+        word_syms.select("word", F.posexplode("syms").alias("pos", "sym"))
+        .join(F.broadcast(vocab), "sym")
+        .groupBy("word")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "sym_id"))),
+                lambda s: s.sym_id,
+            ).alias("wtoks")
+        )
+    )
+    exploded = docs.select(
+        "doc_id", "source", F.posexplode(F.split("text", " ")).alias("wpos", "word")
+    ).filter(F.length("word") > 0)
+    tokens = (
+        exploded.join(F.broadcast(word_ids), "word")
+        .groupBy("doc_id", "source")
+        .agg(
+            F.flatten(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("wpos", "wtoks"))),
+                    lambda s: s.wtoks,
+                )
+            ).alias("tokens")
+        )
+        .select(
+            "doc_id",
+            F.col("tokens").cast("array<int>").alias("tokens"),
+            F.size("tokens").cast("int").alias("n_tok"),
+            "source",
+        )
+    )
+    if return_vocab:
+        return tokens, vocab.select("sym_id", "sym")
+    return tokens
+
+
 def neardup_clusters(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
     """Resolve verified near-duplicate PAIRS into transitive CLUSTERS
     with keeper assignment — the step that turns "these two look alike"

@@ -788,3 +788,36 @@ def test_pack_sequences_doc_longer_than_seq(spark):
                  for r in po.pack_sequences(df, seq_len=32, eos_token=0, n_parts=3).collect())
     ref, pad = _pack_reference(rows, 32, 0)
     assert [t for _, t, _ in out] == ref and out[-1][2] == pad
+
+
+def test_bpe_apply_roundtrips_text(spark):
+    texts = ["low lower lowest", "new newer newest low", "banana band bandana"]
+    docs = spark.createDataFrame([(i, t, "s") for i, t in enumerate(texts)],
+                                 "doc_id long, text string, source string")
+    merges, _ = po.bpe_learn(docs, n_merges=10, min_count=2)
+    toks, vocab = po.bpe_apply(docs, merges, return_vocab=True)
+    id2sym = {r.sym_id: r.sym for r in vocab.collect()}
+    out = {r.doc_id: r.tokens for r in toks.collect()}
+    for i, t in enumerate(texts):
+        # detokenize: subword symbols concatenated reproduce the words
+        # (spaces are word boundaries, not tokens)
+        detok = "".join(id2sym[x] for x in out[i])
+        assert detok == t.replace(" ", "")
+    # learned merges actually compress: fewer tokens than characters
+    n_chars = sum(len(t.replace(" ", "")) for t in texts)
+    n_toks = sum(len(v) for v in out.values())
+    assert n_toks < n_chars
+
+
+def test_bpe_apply_feeds_codec_engine(spark):
+    from archive_spark import engine
+
+    docs = spark.createDataFrame(
+        [(i, "the theme them the thematic emblem", "s") for i in range(20)],
+        "doc_id long, text string, source string",
+    )
+    merges, _ = po.bpe_learn(docs, n_merges=6, min_count=2)
+    toks = po.bpe_apply(docs, merges).withColumn("doc_id", F.col("doc_id").cast("string"))
+    enc = engine.encode(toks, target_block_values=1 << 12)
+    rep = engine.roundtrip_report(toks, engine.decode(enc)).collect()[0]
+    assert rep.n_mismatch == 0 and rep.n_decoded == 20
