@@ -184,7 +184,8 @@ def main() -> None:
         "tpch_q1", "tpch_q6", "cust_order_join", "events_top3",
         "token_count_by_source", "minhash_lsh_pairs", "ann_bruteforce",
         "events_asof_join", "orders_range_join", "top_words",
-        "readme_usability", "bpe_token_stats",
+        "readme_usability", "bpe_token_stats", "decontamination",
+        "sequence_packing",
     ):
         q = entry_mod.queries()[name]
         timed(f"q_{name}", lambda q=q: q(spark, sf_dir).collect())
