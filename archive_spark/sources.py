@@ -815,6 +815,24 @@ def _crc16_arc(data: bytes) -> int:
 
 
 #: ARC member methods (SEA ARC / PAK family)
+#
+# PAK "crushed" (10) reverse-engineering notes (PAK100.PAK corpus,
+# known-plaintext analysis; kept for a future attempt since no public
+# spec survives):
+#  - bitstream is MSB-first; the first codeword of every member is the
+#    7-bit identity code of the first byte (ASCII 'L' -> 1001100), so
+#    the coder starts from an identity-coded alphabet, adapting with
+#    SUBTREE EXCHANGES (same-depth child swaps), not FGK/Okumura
+#    block moves (both decode symbol 2 wrongly);
+#  - the first accesses provably exchange children of the accessed
+#    path at depths 0,1,2 on updates 1,2,3 in both corpus members
+#    (codes 2-4 fully predicted by that model), but update 4 behaves
+#    differently across members, so the real rule is conditional on
+#    state this analysis could not pin (sum/max/recency weights and
+#    tie rules all contradict one of the observations);
+#  - compressed sizes sit at deflate-class on the 80 KB member
+#    (22446 B vs zlib-9's 22547) and above lh1 on the 2 KB member —
+#    consistent with an adaptive-code-over-LZ design, not plain LZW.
 ARC_METHODS = {
     1: "stored_old", 2: "stored", 3: "packed", 4: "squeezed",
     5: "crunched5", 6: "crunched6", 7: "crunched7", 8: "crunched",
