@@ -1,0 +1,134 @@
+"""spark-submit entry point: one-pass corpus curation (the dedup lane).
+
+Usage:
+  spark-submit --py-files dist/archive_spark.zip jobs/dedup_job.py \
+      --input /path/to/documents_parquet --output /path/to/clean \
+      [--jaccard 0.8] [--shingle-k 3] [--bands 8] [--perms 32] \
+      [--no-neardup] [--benchmark /path/to/benchmark_parquet [--contam-k 8]]
+
+Pipeline (each stage's drop count lands in the summary JSON on stdout):
+
+  quality filter (filter_corpus, typed reject reasons)
+    -> exact dedup (md5 keep-first)
+    -> MinHash-LSH near-dup candidates -> n-gram Jaccard verify
+    -> transitive clusters + keeper per cluster (neardup_dedup)
+    -> optional benchmark decontamination (drop docs sharing k-grams)
+
+Output layout:
+  <output>/clean/      the kept corpus (parquet)
+  <output>/rejects/    (doc_id, stage, reason) ledger for every drop
+
+The reference analogue is the full List->Extract->pick-one-winner
+sweep (archive.go + find.go BestMatch): many containers in, one usable
+artifact out, everything else accounted for.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", required=True)
+    ap.add_argument("--output", required=True)
+    ap.add_argument("--jaccard", type=float, default=0.8)
+    ap.add_argument("--shingle-k", type=int, default=3)
+    ap.add_argument("--bands", type=int, default=8)
+    ap.add_argument("--perms", type=int, default=32)
+    ap.add_argument("--no-neardup", action="store_true")
+    ap.add_argument("--benchmark", default=None,
+                    help="parquet of benchmark docs; matches are dropped")
+    ap.add_argument("--contam-k", type=int, default=8)
+    args = ap.parse_args()
+
+    from pyspark.sql import SparkSession, functions as F
+
+    from archive_spark import pipeline_ops as po
+
+    spark = SparkSession.builder.appName("archive_spark_dedup").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    docs = spark.read.parquet(args.input)
+    n_in = docs.count()
+    rejects = []  # (DataFrame of doc_id, stage, reason)
+
+    # 1. quality filter
+    flagged = po.filter_corpus(docs).persist()
+    rejects.append(
+        flagged.filter(F.col("reject_reason").isNotNull()).select(
+            "doc_id", F.lit("filter").alias("stage"),
+            F.col("reject_reason").alias("reason"),
+        )
+    )
+    kept = flagged.filter(F.col("reject_reason").isNull()).drop("reject_reason")
+
+    # 2. exact dedup (keep min doc_id per content hash)
+    deduped = po.exact_dedup_keep_first(kept).persist()
+    rejects.append(
+        kept.join(deduped.select("doc_id"), "doc_id", "left_anti").select(
+            "doc_id", F.lit("exact_dedup").alias("stage"),
+            F.lit("duplicate").alias("reason"),
+        )
+    )
+    kept = deduped
+
+    # 3. near-dup: LSH candidates -> Jaccard verify -> clusters -> keepers
+    if not args.no_neardup:
+        cands = po.minhash_lsh_candidates(
+            kept, n_perm=args.perms, bands=args.bands, k=args.shingle_k
+        )
+        verified = po.ngram_jaccard(kept, cands, k=args.shingle_k).filter(
+            F.col("jaccard") >= args.jaccard
+        )
+        clusters = po.neardup_clusters(verified.select("doc_a", "doc_b"))
+        cleaned = po.neardup_dedup(kept, clusters).persist()
+        rejects.append(
+            kept.join(cleaned.select("doc_id"), "doc_id", "left_anti").select(
+                "doc_id", F.lit("neardup").alias("stage"),
+                F.lit("near_duplicate").alias("reason"),
+            )
+        )
+        kept = cleaned
+
+    # 4. optional decontamination against a benchmark set
+    if args.benchmark:
+        bench = spark.read.parquet(args.benchmark)
+        hits = po.contamination_check(kept, bench, k=args.contam_k)
+        contaminated = hits.select("doc_id").distinct()
+        cleaned = kept.join(contaminated, "doc_id", "left_anti").persist()
+        rejects.append(
+            contaminated.select(
+                "doc_id", F.lit("decontamination").alias("stage"),
+                F.lit("benchmark_overlap").alias("reason"),
+            )
+        )
+        kept = cleaned
+
+    from functools import reduce
+
+    from pyspark.sql import DataFrame
+
+    reject_df = reduce(DataFrame.unionByName, rejects)
+    kept.write.mode("overwrite").parquet(f"{args.output}/clean")
+    reject_df.write.mode("overwrite").parquet(f"{args.output}/rejects")
+
+    by_stage = {
+        f"{r.stage}:{r.reason}": r.n
+        for r in reject_df.groupBy("stage", "reason")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    n_out = spark.read.parquet(f"{args.output}/clean").count()
+    print(json.dumps({
+        "docs_in": n_in,
+        "docs_kept": n_out,
+        "docs_dropped": n_in - n_out,
+        "drops_by_stage": by_stage,
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

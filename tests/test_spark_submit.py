@@ -136,3 +136,50 @@ def test_ingest_job_end_to_end_and_resume(zip_path, tmp_path_factory):
     assert r2.returncode == 0, r2.stderr[-1500:]
     s2 = json.loads(r2.stdout.strip().splitlines()[-1])
     assert (s2["shards_encoded"], s2["shards_skipped"]) == (0, 4)
+
+
+def test_dedup_job_cli(zip_path, tmp_path):
+    out = str(tmp_path / "clean")
+    r = _spark_submit(
+        zip_path, "dedup_job.py",
+        "--input", "/root/testdata/sf0.001/documents.parquet",
+        "--output", out, "--jaccard", "0.6",
+        timeout=300,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    summary = json.loads(r.stdout.strip().splitlines()[-1])
+    assert summary["docs_in"] == 500
+    assert summary["docs_kept"] + summary["docs_dropped"] == 500
+    assert sum(summary["drops_by_stage"].values()) == summary["docs_dropped"]
+    # the outputs are readable parquet and agree with the summary
+    import pyarrow.parquet as pq
+
+    kept = pq.read_table(os.path.join(out, "clean"))
+    rej = pq.read_table(os.path.join(out, "rejects"))
+    assert kept.num_rows == summary["docs_kept"]
+    assert rej.num_rows == summary["docs_dropped"]
+    # no doc is both kept and rejected
+    kept_ids = set(kept.column("doc_id").to_pylist())
+    rej_ids = set(rej.column("doc_id").to_pylist())
+    assert not (kept_ids & rej_ids)
+
+
+def test_incremental_encode_cli(zip_path, tokens_path, tmp_path):
+    out = str(tmp_path / "enc")
+    r1 = _spark_submit(
+        zip_path, "encode_job.py",
+        "--input", tokens_path, "--output", out,
+        "--shards", "4", "--incremental", timeout=300,
+    )
+    assert r1.returncode == 0, r1.stderr[-2000:]
+    s1 = json.loads(r1.stdout.strip().splitlines()[-1])
+    assert s1["shards_encoded"] == 4
+    # identical rerun: nothing new -> no shard encodes, snapshot unchanged
+    r2 = _spark_submit(
+        zip_path, "encode_job.py",
+        "--input", tokens_path, "--output", out,
+        "--shards", "4", "--incremental", timeout=300,
+    )
+    assert r2.returncode == 0, r2.stderr[-2000:]
+    s2 = json.loads(r2.stdout.strip().splitlines()[-1])
+    assert s2["shards_encoded"] == 0
