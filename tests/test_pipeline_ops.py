@@ -821,3 +821,23 @@ def test_bpe_apply_feeds_codec_engine(spark):
     enc = engine.encode(toks, target_block_values=1 << 12)
     rep = engine.roundtrip_report(toks, engine.decode(enc)).collect()[0]
     assert rep.n_mismatch == 0 and rep.n_decoded == 20
+
+
+def test_new_ops_empty_input_edges(spark):
+    empty_docs = spark.createDataFrame([], "doc_id long, text string, source string")
+    docs = spark.createDataFrame([(1, "a b c", "s")], "doc_id long, text string, source string")
+
+    # contamination: empty benchmark and empty corpus both yield 0 rows
+    assert po.contamination_check(docs, empty_docs, k=2).count() == 0
+    assert po.contamination_check(empty_docs, docs, k=2).count() == 0
+
+    # bpe_learn: corpus with no repeated pair -> no merges, empty steps ok
+    one = spark.createDataFrame([(1, "x", "s")], "doc_id long, text string, source string")
+    merges, steps = po.bpe_learn(one, n_merges=3, return_steps=True)
+    assert merges.count() == 0
+
+    # pack_sequences: empty input -> empty output with the right schema
+    empty_toks = spark.createDataFrame([], "doc_id string, tokens array<int>, n_tok int")
+    out = po.pack_sequences(empty_toks, seq_len=8, n_parts=2)
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == ["seq_id", "tokens", "n_pad"]
