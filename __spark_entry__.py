@@ -852,6 +852,45 @@ def _q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return merges.orderBy("step")
 
 
+def _q_bigram_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-trained bigram-LM rarity score per doc (integer-exact)."""
+    from archive_spark.pipeline_ops import bigram_rarity
+
+    return (
+        bigram_rarity(_docs(spark, sf_dir), min_count=2)
+        .select("doc_id", "source", "n_bigrams", "n_rare")
+        .orderBy("doc_id")
+    )
+
+
+_PII_INJECT = " contact bob@example.com or 10.1.2.3 or +1(555)123-4567"
+
+
+def _q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction counts over the corpus with deterministic injection
+    (every 10th doc gets a known email/IP/phone suffix); the oracle
+    replays the injection and the RE2-compatible patterns in DuckDB."""
+    from archive_spark.pipeline_ops import scrub_pii
+
+    docs = _docs(spark, sf_dir).withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 10 == 0, F.concat(F.col("text"), F.lit(_PII_INJECT))
+        ).otherwise(F.col("text")),
+    )
+    out = scrub_pii(docs)
+    return (
+        out.groupBy("source")
+        .agg(
+            F.sum("n_email").cast("long").alias("n_email"),
+            F.sum("n_ipv4").cast("long").alias("n_ipv4"),
+            F.sum("n_phone").cast("long").alias("n_phone"),
+            F.sum(F.length("text_scrubbed")).cast("long").alias("scrubbed_chars"),
+        )
+        .orderBy("source")
+    )
+
+
 def _q_bpe_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end learned-subword tokenization: learn 8 BPE merges,
     apply them, detokenize, and gate on exact text reconstruction
@@ -1270,6 +1309,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_merges": _q_bpe_merges,
         "sequence_packing": _q_sequence_packing,
         "bpe_pipeline": _q_bpe_pipeline,
+        "pii_scrub": _q_pii_scrub,
+        "bigram_rarity": _q_bigram_rarity,
         "word_length_hist": _q_word_length_hist,
         "multimodal_features": _q_multimodal_features,
         "events_asof_join": _q_events_asof_join,
@@ -1679,6 +1720,33 @@ def oracle_sql() -> dict[str, str]:
             'SELECT step::INT AS step, l AS "left", r AS "right", '
             'l || r AS merged, n::BIGINT AS n_pairs '
             "FROM ranked WHERE rn = 1 AND n >= 2 ORDER BY step"
+        ),
+        "bigram_rarity": (
+            "WITH w AS (SELECT doc_id, source, string_split(text, ' ') AS ws "
+            "FROM documents), "
+            "bg AS (SELECT doc_id, source, ws[u.i] || ' ' || ws[u.i+1] AS b "
+            "FROM w, unnest(range(1, len(ws))) AS u(i)), "
+            "cnt AS (SELECT b, count(*) AS c FROM bg GROUP BY b) "
+            "SELECT doc_id, source, count(*)::BIGINT AS n_bigrams, "
+            "sum(CASE WHEN c < 2 THEN 1 ELSE 0 END)::BIGINT AS n_rare "
+            "FROM bg JOIN cnt USING (b) GROUP BY doc_id, source "
+            "ORDER BY doc_id"
+        ),
+        "pii_scrub": (
+            "WITH t AS (SELECT source, CASE WHEN doc_id % 10 = 0 THEN "
+            f"text || '{_PII_INJECT}' ELSE text END AS text FROM documents), "
+            "s AS (SELECT source, "
+            r"len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS ne, "
+            r"len(regexp_extract_all(text, '\b(\d{1,3}\.){3}\d{1,3}\b')) AS ni, "
+            r"len(regexp_extract_all(text, '\+\d[\d().-]{7,}\d')) AS np, "
+            r"len(regexp_replace(regexp_replace(regexp_replace(text, "
+            r"'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<email>', 'g'), "
+            r"'\b(\d{1,3}\.){3}\d{1,3}\b', '<ipv4>', 'g'), "
+            r"'\+\d[\d().-]{7,}\d', '<phone>', 'g')) AS sc FROM t) "
+            "SELECT source, sum(ne)::BIGINT AS n_email, "
+            "sum(ni)::BIGINT AS n_ipv4, sum(np)::BIGINT AS n_phone, "
+            "sum(sc)::BIGINT AS scrubbed_chars "
+            "FROM s GROUP BY source ORDER BY source"
         ),
         "bpe_pipeline": (
             "SELECT source, count(*)::BIGINT AS n_docs, "

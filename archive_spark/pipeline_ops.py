@@ -602,6 +602,80 @@ def bpe_apply(docs: DataFrame, merges: DataFrame, return_vocab: bool = False):
     return tokens
 
 
+def bigram_rarity(docs: DataFrame, min_count: int = 2) -> DataFrame:
+    """Self-trained bigram-LM quality signal, integer-exact: for every
+    doc, how many of its word transitions are corpus-rare (count <
+    ``min_count``).  The CCNet-style "does this read like the corpus"
+    score with the floating-point log-prob replaced by a rare-transition
+    count, so the result is bit-reproducible across engines.
+
+    Plan: one pass builds per-doc bigrams (JVM ``zip_with`` over the
+    split — no posexplode self-join), a map-side-combined count trains
+    the model, and one shuffle join scores every transition.  Bigram
+    model size is vocabulary-squared-bounded, not corpus-bounded, so the
+    join key space stays manageable at 100 TB (broadcast it when small).
+
+    Returns (doc_id, source, n_bigrams, n_rare).
+    """
+    words = F.split(F.col("text"), " ")
+    bg = docs.select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.zip_with(
+                F.slice(words, 1, F.size(words) - 1),
+                F.slice(words, 2, F.size(words) - 1),
+                lambda a, b: F.concat_ws(" ", a, b),
+            )
+        ).alias("b"),
+    )
+    model = bg.groupBy("b").agg(F.count("*").alias("c"))
+    return (
+        bg.join(model, "b")
+        .groupBy("doc_id", "source")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.sum((F.col("c") < min_count).cast("long")).alias("n_rare"),
+        )
+    )
+
+
+#: PII span patterns — deliberately ASCII/RE2-compatible (no backrefs,
+#: no lookaround) so the same pattern text runs identically under
+#: Spark's Java regex and an external RE2-family checker.
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ipv4": r"\b(\d{1,3}\.){3}\d{1,3}\b",
+    "phone": r"\+\d[\d().-]{7,}\d",
+}
+
+
+def scrub_pii(
+    docs: DataFrame, patterns: dict[str, str] | None = None
+) -> DataFrame:
+    """Redact PII-shaped spans and count them per kind — the privacy
+    pass every pretraining corpus runs before the tokenizer.
+
+    All JVM ``regexp_extract_all`` / ``regexp_replace`` (codegen, no
+    Python).  Counts are measured on the ORIGINAL text (so kinds don't
+    steal each other's matches); redaction applies patterns in dict
+    order, each span replaced by ``<kind>``.
+
+    Returns the input columns plus ``text_scrubbed`` and one
+    ``n_<kind>`` count per pattern.
+    """
+    pats = patterns or PII_PATTERNS
+    out = docs
+    scrubbed = F.col("text")
+    for kind, pat in pats.items():
+        out = out.withColumn(
+            f"n_{kind}",
+            F.size(F.regexp_extract_all("text", F.lit(pat), F.lit(0))).cast("int"),
+        )
+        scrubbed = F.regexp_replace(scrubbed, pat, f"<{kind}>")
+    return out.withColumn("text_scrubbed", scrubbed)
+
+
 def neardup_clusters(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
     """Resolve verified near-duplicate PAIRS into transitive CLUSTERS
     with keeper assignment — the step that turns "these two look alike"

@@ -841,3 +841,34 @@ def test_new_ops_empty_input_edges(spark):
     out = po.pack_sequences(empty_toks, seq_len=8, n_parts=2)
     assert out.count() == 0
     assert [f.name for f in out.schema.fields] == ["seq_id", "tokens", "n_pad"]
+
+
+def test_scrub_pii_redacts_and_counts(spark):
+    rows = [
+        (1, "mail me at alice@example.com or bob.smith@corp.co.uk thanks", "s"),
+        (2, "server 10.0.0.1 and 192.168.1.255 up, call +1(555)123-4567", "s"),
+        (3, "nothing sensitive here at all", "s"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = {r.doc_id: r for r in po.scrub_pii(docs).collect()}
+    assert out[1].n_email == 2 and out[1].n_ipv4 == 0
+    assert "alice@example.com" not in out[1].text_scrubbed
+    assert out[1].text_scrubbed.count("<email>") == 2
+    assert out[2].n_ipv4 == 2 and out[2].n_phone == 1
+    assert "<ipv4>" in out[2].text_scrubbed and "<phone>" in out[2].text_scrubbed
+    assert out[3].text_scrubbed == rows[2][1]
+    assert out[3].n_email == out[3].n_ipv4 == out[3].n_phone == 0
+
+
+def test_bigram_rarity_known_counts(spark):
+    rows = [
+        (1, "a b a b", "s"),      # bigrams: "a b"(x2 here), "b a"
+        (2, "a b c", "s"),        # "a b", "b c"
+        (3, "x y", "s"),          # "x y" unique
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = {r.doc_id: (r.n_bigrams, r.n_rare) for r in po.bigram_rarity(docs, min_count=2).collect()}
+    # corpus counts: "a b"=3, "b a"=1, "b c"=1, "x y"=1
+    assert out[1] == (3, 1)   # a-b, b-a, a-b -> b-a is rare
+    assert out[2] == (2, 1)   # a-b common, b-c rare
+    assert out[3] == (1, 1)
