@@ -41,6 +41,8 @@ def main() -> None:
     ap.add_argument("--benchmark", default=None,
                     help="parquet of benchmark docs; matches are dropped")
     ap.add_argument("--contam-k", type=int, default=8)
+    ap.add_argument("--scrub-pii", action="store_true",
+                    help="redact email/IP/phone spans in the kept corpus")
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession, functions as F
@@ -106,6 +108,22 @@ def main() -> None:
         )
         kept = cleaned
 
+    # 5. optional PII redaction on the survivors (counts in the summary)
+    pii_counts = None
+    if args.scrub_pii:
+        scrubbed = po.scrub_pii(kept)
+        pii_counts = {
+            k: v
+            for k, v in scrubbed.agg(
+                F.sum("n_email").alias("email"),
+                F.sum("n_ipv4").alias("ipv4"),
+                F.sum("n_phone").alias("phone"),
+            ).collect()[0].asDict().items()
+        }
+        kept = scrubbed.drop("text", "n_email", "n_ipv4", "n_phone").withColumnRenamed(
+            "text_scrubbed", "text"
+        )
+
     from functools import reduce
 
     from pyspark.sql import DataFrame
@@ -121,12 +139,15 @@ def main() -> None:
         .collect()
     }
     n_out = spark.read.parquet(f"{args.output}/clean").count()
-    print(json.dumps({
+    summary = {
         "docs_in": n_in,
         "docs_kept": n_out,
         "docs_dropped": n_in - n_out,
         "drops_by_stage": by_stage,
-    }))
+    }
+    if pii_counts is not None:
+        summary["pii_redactions"] = pii_counts
+    print(json.dumps(summary))
     spark.stop()
 
 
