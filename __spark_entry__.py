@@ -852,6 +852,21 @@ def _q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return merges.orderBy("step")
 
 
+def _q_corpus_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 90/5/5 train/val/test assignment (md5-bucketed);
+    the oracle recomputes every assignment from the same hash."""
+    from archive_spark.pipeline_ops import hash_split
+
+    out = hash_split(
+        _docs(spark, sf_dir), {"train": 0.9, "val": 0.05, "test": 0.05}
+    )
+    return (
+        out.groupBy("source", "split")
+        .agg(F.count("*").alias("n_docs"))
+        .orderBy("source", "split")
+    )
+
+
 def _q_bigram_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Self-trained bigram-LM rarity score per doc (integer-exact)."""
     from archive_spark.pipeline_ops import bigram_rarity
@@ -1311,6 +1326,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_pipeline": _q_bpe_pipeline,
         "pii_scrub": _q_pii_scrub,
         "bigram_rarity": _q_bigram_rarity,
+        "corpus_split": _q_corpus_split,
         "word_length_hist": _q_word_length_hist,
         "multimodal_features": _q_multimodal_features,
         "events_asof_join": _q_events_asof_join,
@@ -1720,6 +1736,16 @@ def oracle_sql() -> dict[str, str]:
             'SELECT step::INT AS step, l AS "left", r AS "right", '
             'l || r AS merged, n::BIGINT AS n_pairs '
             "FROM ranked WHERE rn = 1 AND n >= 2 ORDER BY step"
+        ),
+        "corpus_split": (
+            # same cuts as _q_corpus_split (90/5/5), same md5-hex
+            # lexicographic bucketing
+            "WITH s AS (SELECT source, CASE "
+            f"WHEN substr(md5(doc_id::VARCHAR), 1, 8) < '{format(min(int(0.9 * (1 << 32)), (1 << 32) - 1), '08x')}' THEN 'train' "
+            f"WHEN substr(md5(doc_id::VARCHAR), 1, 8) < '{format(min(int(0.95 * (1 << 32)), (1 << 32) - 1), '08x')}' THEN 'val' "
+            "ELSE 'test' END AS split FROM documents) "
+            "SELECT source, split, count(*)::BIGINT AS n_docs FROM s "
+            "GROUP BY source, split ORDER BY source, split"
         ),
         "bigram_rarity": (
             "WITH w AS (SELECT doc_id, source, string_split(text, ' ') AS ws "

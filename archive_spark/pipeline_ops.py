@@ -602,6 +602,36 @@ def bpe_apply(docs: DataFrame, merges: DataFrame, return_vocab: bool = False):
     return tokens
 
 
+def hash_split(
+    docs: DataFrame, weights: dict[str, float], key_col: str = "doc_id"
+) -> DataFrame:
+    """Deterministic train/val/test assignment: bucket each doc by the
+    first 8 hex digits of ``md5(key)`` and cut the [0, 2^32) space by
+    the cumulative weights.  Properties a training pipeline needs:
+    stable across runs/engines (md5 of the key, no RNG), stable under
+    corpus growth (a doc's split never changes when other docs arrive),
+    and exactly replayable by any engine with md5 — which is what makes
+    it oracle-checkable, unlike Spark's ``randomSplit``.
+
+    Returns the input plus a ``split`` column.  Weights are normalized.
+    """
+    total = sum(weights.values())
+    # compare the 8-hex-digit prefix LEXICOGRAPHICALLY against the cut
+    # rendered in hex: identical to numeric comparison for lowercase hex
+    # and portable to any engine with md5 (no hex→int builtin needed)
+    bucket = F.substring(F.md5(F.col(key_col).cast("string")), 1, 8)
+    expr, acc = None, 0.0
+    items = list(weights.items())
+    for name, w in items[:-1]:
+        acc += w / total
+        cut = format(min(int(acc * (1 << 32)), (1 << 32) - 1), "08x")
+        cond = bucket < F.lit(cut)
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    last = items[-1][0]
+    expr = F.lit(last) if expr is None else expr.otherwise(F.lit(last))
+    return docs.withColumn("split", expr)
+
+
 def bigram_rarity(docs: DataFrame, min_count: int = 2) -> DataFrame:
     """Self-trained bigram-LM quality signal, integer-exact: for every
     doc, how many of its word transitions are corpus-rare (count <

@@ -872,3 +872,26 @@ def test_bigram_rarity_known_counts(spark):
     assert out[1] == (3, 1)   # a-b, b-a, a-b -> b-a is rare
     assert out[2] == (2, 1)   # a-b common, b-c rare
     assert out[3] == (1, 1)
+
+
+def test_hash_split_deterministic_and_growth_stable(spark):
+    docs = spark.createDataFrame(
+        [(i, f"text {i}", "s") for i in range(2000)],
+        "doc_id long, text string, source string",
+    )
+    w = {"train": 0.8, "val": 0.1, "test": 0.1}
+    a = {r.doc_id: r.split for r in po.hash_split(docs, w).collect()}
+    b = {r.doc_id: r.split for r in po.hash_split(docs, w).collect()}
+    assert a == b  # no RNG anywhere
+    # growing the corpus never reassigns existing docs
+    bigger = spark.createDataFrame(
+        [(i, f"text {i}", "s") for i in range(4000)],
+        "doc_id long, text string, source string",
+    )
+    c = {r.doc_id: r.split for r in po.hash_split(bigger, w).collect()}
+    assert all(c[k] == v for k, v in a.items())
+    # proportions are in the right ballpark (md5 is uniform)
+    from collections import Counter
+    frac = {k: v / 2000 for k, v in Counter(a.values()).items()}
+    assert abs(frac["train"] - 0.8) < 0.05
+    assert abs(frac.get("val", 0) - 0.1) < 0.03
