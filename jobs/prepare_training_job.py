@@ -1,0 +1,115 @@
+"""spark-submit entry point: documents in, training-ready table out.
+
+The whole platform in one resumable job:
+
+  documents.parquet
+    -> quality filter (filter_corpus; rejects counted)
+    -> exact dedup (md5 keep-first)
+    -> tokenize (hashing tokenizer, or learned BPE with --bpe-merges)
+    -> pack into fixed --seq-len training sequences (+EOS, tail-padded)
+    -> columnar-encode the packed sequences (codec auto-selection)
+    -> publish as an atomic snapshot (table.py manifest)
+    -> decode-verify: bit-identical roundtrip + token conservation
+
+Usage:
+  spark-submit --py-files dist/archive_spark.zip jobs/prepare_training_job.py \
+      --input /path/to/documents_parquet --output /path/to/table \
+      [--seq-len 2048] [--eos 0] [--bpe-merges 0] [--shards 16] [--no-verify]
+
+Prints one JSON summary line (doc/sequence/token accounting, ratio,
+verify result).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", required=True)
+    ap.add_argument("--output", required=True)
+    ap.add_argument("--seq-len", type=int, default=2048)
+    ap.add_argument("--eos", type=int, default=0)
+    ap.add_argument("--bpe-merges", type=int, default=0,
+                    help="0 = hashing tokenizer; N = learn N BPE merges first")
+    ap.add_argument("--shards", type=int, default=16)
+    ap.add_argument("--no-verify", action="store_true")
+    args = ap.parse_args()
+
+    from pyspark.sql import SparkSession, functions as F
+
+    from archive_spark import checkpoint, engine
+    from archive_spark import pipeline_ops as po
+
+    spark = SparkSession.builder.appName("archive_spark_prepare").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    docs = spark.read.parquet(args.input)
+    n_in = docs.count()
+
+    flagged = po.filter_corpus(docs)
+    kept = flagged.filter(F.col("reject_reason").isNull()).drop("reject_reason")
+    kept = po.exact_dedup_keep_first(kept).persist()
+    n_kept = kept.count()
+
+    if args.bpe_merges > 0:
+        merges, _ = po.bpe_learn(kept, n_merges=args.bpe_merges, min_count=2)
+        tokens = po.bpe_apply(kept, merges)
+        tokenizer = f"bpe:{merges.count()}"
+    else:
+        tokens = po.tokenize_documents(kept)
+        tokenizer = "hash"
+    n_tokens_in = tokens.agg(F.sum(F.col("n_tok") + 1)).collect()[0][0] or 0
+
+    packed = po.pack_sequences(tokens, seq_len=args.seq_len, eos_token=args.eos)
+    seqs = packed.select(
+        F.format_string("seq-%09d", F.col("seq_id")).alias("doc_id"),
+        "tokens",
+        F.lit(args.seq_len).cast("int").alias("n_tok"),
+        F.lit("packed").alias("source"),
+    )
+
+    res = checkpoint.encode_job(
+        spark, seqs, args.output,
+        snapshot_id=checkpoint.snapshot_id_of_path(args.input),
+        n_shards=args.shards, publish_snapshot=True,
+    )
+
+    summary = {
+        "docs_in": n_in,
+        "docs_kept": n_kept,
+        "tokenizer": tokenizer,
+        "tokens_with_eos": int(n_tokens_in),
+        "seq_len": args.seq_len,
+        "snapshot_id": res.snapshot_id,
+        "bytes_in": res.bytes_in,
+        "bytes_out": res.bytes_out,
+        "ratio": round(res.bytes_out / res.bytes_in, 4) if res.bytes_in else None,
+    }
+
+    if not args.no_verify:
+        enc = checkpoint.read_encoded(spark, args.output)
+        decoded = engine.decode(enc)
+        rep = engine.roundtrip_report(seqs, decoded).collect()[0]
+        n_seq = rep.n_docs
+        # conservation: packed grid size == tokens + pad
+        total_out = n_seq * args.seq_len
+        n_pad = packed.agg(F.sum("n_pad")).collect()[0][0] or 0
+        summary["verify"] = {
+            "n_sequences": n_seq,
+            "n_mismatch": rep.n_mismatch,
+            "tokens_out": total_out,
+            "pad": int(n_pad),
+            "conserved": total_out - int(n_pad) == int(n_tokens_in),
+        }
+        assert rep.n_mismatch == 0, "roundtrip mismatch"
+        assert summary["verify"]["conserved"], "token conservation failed"
+
+    print(json.dumps(summary))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -183,3 +183,19 @@ def test_incremental_encode_cli(zip_path, tokens_path, tmp_path):
     assert r2.returncode == 0, r2.stderr[-2000:]
     s2 = json.loads(r2.stdout.strip().splitlines()[-1])
     assert s2["shards_encoded"] == 0
+
+
+def test_prepare_training_job_cli(zip_path, tmp_path):
+    out = str(tmp_path / "table")
+    r = _spark_submit(
+        zip_path, "prepare_training_job.py",
+        "--input", "/root/testdata/sf0.001/documents.parquet",
+        "--output", out, "--seq-len", "256", "--shards", "4",
+        timeout=420,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    s = json.loads(r.stdout.strip().splitlines()[-1])
+    v = s["verify"]
+    assert v["n_mismatch"] == 0 and v["conserved"]
+    assert v["tokens_out"] == v["n_sequences"] * 256
+    assert s["ratio"] and s["ratio"] < 0.5
