@@ -852,6 +852,13 @@ def _q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return merges.orderBy("step")
 
 
+def _q_frequency_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Good-Turing frequency-of-frequencies over the corpus vocabulary."""
+    from archive_spark.pipeline_ops import frequency_spectrum
+
+    return frequency_spectrum(_docs(spark, sf_dir))
+
+
 def _q_corpus_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic 90/5/5 train/val/test assignment (md5-bucketed);
     the oracle recomputes every assignment from the same hash."""
@@ -1327,6 +1334,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scrub": _q_pii_scrub,
         "bigram_rarity": _q_bigram_rarity,
         "corpus_split": _q_corpus_split,
+        "frequency_spectrum": _q_frequency_spectrum,
         "word_length_hist": _q_word_length_hist,
         "multimodal_features": _q_multimodal_features,
         "events_asof_join": _q_events_asof_join,
@@ -1736,6 +1744,13 @@ def oracle_sql() -> dict[str, str]:
             'SELECT step::INT AS step, l AS "left", r AS "right", '
             'l || r AS merged, n::BIGINT AS n_pairs '
             "FROM ranked WHERE rn = 1 AND n >= 2 ORDER BY step"
+        ),
+        "frequency_spectrum": (
+            "WITH wc AS (SELECT w, count(*) AS c FROM (SELECT "
+            "unnest(string_split(text, ' ')) AS w FROM documents) "
+            "WHERE len(w) > 0 GROUP BY w) "
+            "SELECT c::BIGINT AS c, count(*)::BIGINT AS n_words "
+            "FROM wc GROUP BY c ORDER BY c"
         ),
         "corpus_split": (
             # same cuts as _q_corpus_split (90/5/5), same md5-hex

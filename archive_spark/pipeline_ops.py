@@ -602,6 +602,25 @@ def bpe_apply(docs: DataFrame, merges: DataFrame, return_vocab: bool = False):
     return tokens
 
 
+def frequency_spectrum(docs: DataFrame) -> DataFrame:
+    """Word frequency-of-frequencies: for each occurrence count c, how
+    many distinct words occur exactly c times — the Good-Turing
+    smoothing input and the standard corpus-health fingerprint (a
+    healthy natural corpus is Zipfian: n_words(1) >> n_words(2) >> …).
+
+    Two map-side-combined aggregates, integer-exact.
+    """
+    return (
+        docs.select(F.explode(F.split("text", " ")).alias("w"))
+        .filter(F.length("w") > 0)
+        .groupBy("w")
+        .agg(F.count("*").alias("c"))
+        .groupBy("c")
+        .agg(F.count("*").alias("n_words"))
+        .orderBy("c")
+    )
+
+
 def hash_split(
     docs: DataFrame, weights: dict[str, float], key_col: str = "doc_id"
 ) -> DataFrame:
