@@ -82,6 +82,10 @@ class Snapshot:
     files: list[str]       # table-relative parquet file paths
     schema: str            # DDL string of the committed DataFrame
     n_files: int
+    #: per-file footer statistics for manifest-level pruning:
+    #: {file: {"rows": n, "columns": {col: [min, max]}}} — absent on
+    #: manifests written before this field existed (no pruning then)
+    stats: dict | None = None
 
 
 def _manifest_dir(table_dir: str) -> str:
@@ -99,6 +103,74 @@ def _data_files(table_dir: str, snap_data_dir: str) -> list[str]:
             if f.endswith(".parquet") and not f.startswith((".", "_")):
                 out.append(os.path.relpath(os.path.join(root, f), table_dir))
     return out
+
+
+def _file_stats(table_dir: str, files: list[str]) -> dict:
+    """Footer-only per-file column stats (rows + top-level min/max) —
+    the manifest-level metadata Iceberg keeps so readers can skip whole
+    files without opening them.  Nested/binary columns are skipped; any
+    stat that isn't JSON-representable is dropped (pruning then simply
+    doesn't apply to that column)."""
+    import pyarrow.parquet as pq
+
+    out: dict = {}
+    for rel in files:
+        try:
+            md = pq.ParquetFile(os.path.join(table_dir, rel)).metadata
+        except Exception:
+            continue
+        agg: dict = {}
+        for rg in range(md.num_row_groups):
+            g = md.row_group(rg)
+            for c in range(g.num_columns):
+                col = g.column(c)
+                st = col.statistics
+                name = col.path_in_schema
+                if st is None or not st.has_min_max or "." in name:
+                    continue
+                mn, mx = st.min, st.max
+                if isinstance(mn, bytes):
+                    try:
+                        mn, mx = mn.decode(), mx.decode()
+                    except UnicodeDecodeError:
+                        continue
+                if not isinstance(mn, (str, int, float, bool)):
+                    continue
+                if name in agg:
+                    agg[name] = [min(agg[name][0], mn), max(agg[name][1], mx)]
+                else:
+                    agg[name] = [mn, mx]
+        out[rel] = {"rows": md.num_rows, "columns": agg}
+    return out
+
+
+def select_files(
+    table_dir: str, snapshot_id: str, prune: dict | None = None
+) -> list[str]:
+    """The snapshot's file list after manifest-level pruning.
+
+    ``prune`` maps column name → inclusive (lo, hi); a file is kept
+    unless its recorded [min, max] for that column provably excludes
+    the range.  Files (or manifests) without stats are always kept —
+    pruning is an optimization, never a filter.
+    """
+    manifest = read_manifest(table_dir, snapshot_id)
+    if not prune or not manifest.stats:
+        return manifest.files
+    kept = []
+    for f in manifest.files:
+        st = (manifest.stats.get(f) or {}).get("columns", {})
+        drop = False
+        for col, (lo, hi) in prune.items():
+            if col not in st:
+                continue
+            fmn, fmx = st[col]
+            if (lo is not None and fmx < lo) or (hi is not None and fmn > hi):
+                drop = True
+                break
+        if not drop:
+            kept.append(f)
+    return kept
 
 
 def current_snapshot_id(table_dir: str) -> str | None:
@@ -184,8 +256,11 @@ def commit_existing(
     try:
         parent = current_snapshot_id(table_dir)
         all_files = list(files)
+        stats = _file_stats(table_dir, files)
         if mode == "append" and parent is not None:
-            all_files = read_manifest(table_dir, parent).files + all_files
+            pm = read_manifest(table_dir, parent)
+            all_files = pm.files + all_files
+            stats = {**(pm.stats or {}), **stats}
         manifest = Snapshot(
             snapshot_id=snapshot_id,
             parent_id=parent,
@@ -194,6 +269,7 @@ def commit_existing(
             files=all_files,
             schema=schema,
             n_files=len(all_files),
+            stats=stats,
         )
         mpath = os.path.join(_manifest_dir(table_dir), f"snapshot-{snapshot_id}.json")
         try:
@@ -217,14 +293,27 @@ def commit_existing(
 
 
 def read(
-    spark: SparkSession, table_dir: str, snapshot_id: str | None = None
+    spark: SparkSession,
+    table_dir: str,
+    snapshot_id: str | None = None,
+    prune: dict | None = None,
 ) -> DataFrame:
-    """Read a snapshot (current by default; pass an id to time-travel)."""
+    """Read a snapshot (current by default; pass an id to time-travel).
+
+    ``prune`` maps column → inclusive (lo, hi) and skips files whose
+    manifest stats exclude the range BEFORE Spark ever lists them —
+    manifest-level pruning on top of parquet's own row-group pruning.
+    Callers must still apply the actual filter; pruning only shrinks
+    the scan.
+    """
     snapshot_id = snapshot_id or current_snapshot_id(table_dir)
     if snapshot_id is None:
         raise FileNotFoundError(f"{table_dir}: no committed snapshot")
-    manifest = read_manifest(table_dir, snapshot_id)
-    paths = [os.path.join(table_dir, f) for f in manifest.files]
+    files = select_files(table_dir, snapshot_id, prune)
+    if not files:
+        manifest = read_manifest(table_dir, snapshot_id)
+        return spark.createDataFrame([], manifest.schema)
+    paths = [os.path.join(table_dir, f) for f in files]
     return spark.read.parquet(*paths)
 
 

@@ -217,3 +217,54 @@ def test_stale_commit_lock_is_broken(spark, tokens, tmp_path):
     sid = table.commit(enc.limit(1), tdir)
     assert table.current_snapshot_id(tdir) == sid
     assert not os.path.exists(lock)
+
+
+def test_manifest_stats_and_pruned_read(spark, tmp_path):
+    from archive_spark import table
+
+    td = str(tmp_path / "t")
+    df = spark.range(0, 1000).selectExpr(
+        "cast(id as long) AS k", "cast(id % 7 as int) AS v"
+    ).repartitionByRange(4, "k")
+    snap = table.commit(df, td)
+    m = table.read_manifest(td, snap)
+    assert m.stats and len(m.stats) >= 4
+    # every file carries rows + k min/max
+    for f, st in m.stats.items():
+        assert st["rows"] > 0 and "k" in st["columns"]
+
+    # manifest-level pruning: a narrow k range hits a strict subset
+    pruned = table.select_files(td, snap, {"k": (0, 10)})
+    assert 0 < len(pruned) < len(m.files)
+    # pruned read still returns exactly the right rows once filtered
+    got = table.read(spark, td, prune={"k": (0, 10)}).filter("k <= 10").count()
+    assert got == 11
+    # a range outside all data prunes everything and yields empty
+    assert table.select_files(td, snap, {"k": (5000, 6000)}) == []
+    assert table.read(spark, td, prune={"k": (5000, 6000)}).count() == 0
+
+
+def test_manifest_stats_survive_append_and_old_manifests(spark, tmp_path):
+    from archive_spark import table
+
+    td = str(tmp_path / "t")
+    a = spark.range(0, 100).selectExpr("cast(id as long) AS k")
+    b = spark.range(1000, 1100).selectExpr("cast(id as long) AS k")
+    s1 = table.commit(a, td)
+    s2 = table.commit(b, td, mode="append")
+    m2 = table.read_manifest(td, s2)
+    # append carries the parent's per-file stats forward
+    assert set(m2.stats) == set(m2.files)
+    only_new = table.select_files(td, s2, {"k": (1000, 1100)})
+    assert 0 < len(only_new) < len(m2.files)
+    assert table.read(spark, td, prune={"k": (1050, 1060)}).filter(
+        "k between 1050 and 1060"
+    ).count() == 11
+    # a manifest missing the stats field (pre-upgrade) still reads fine
+    import json as _json
+    import os as _os
+    p = _os.path.join(td, "_manifests", f"snapshot-{s1}.json")
+    d = _json.load(open(p))
+    d.pop("stats")
+    _json.dump(d, open(p, "w"))
+    assert table.select_files(td, s1, {"k": (0, 1)}) == table.read_manifest(td, s1).files
