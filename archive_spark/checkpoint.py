@@ -346,7 +346,9 @@ def encode_job(
     )
 
 
-def read_encoded(spark: SparkSession, out_dir: str) -> DataFrame:
+def read_encoded(
+    spark: SparkSession, out_dir: str, doc_range: tuple | None = None
+) -> DataFrame:
     """Read an encode_job's output, resolving which snapshot to read:
 
     1. a published table manifest (current snapshot — all-or-nothing,
@@ -354,11 +356,22 @@ def read_encoded(spark: SparkSession, out_dir: str) -> DataFrame:
     2. the latest snapshot with ok ledger rows (per-snapshot data dir),
        else
     3. the raw data dir (legacy single-snapshot layout).
+
+    ``doc_range=(lo, hi)`` (published tables only): manifest-level file
+    pruning on the blocks' ``doc_min``/``doc_max`` zone-map columns — a
+    targeted decode at 10^12 sequences skips whole FILES from the
+    manifest stats before parquet row-group pruning even starts.
+    Callers still filter rows; pruning only shrinks the scan.
     """
     from . import table as snap_table
 
     if snap_table.current_snapshot_id(out_dir) is not None:
-        return snap_table.read(spark, out_dir)
+        prune = None
+        if doc_range is not None:
+            lo, hi = doc_range
+            # a block overlaps [lo, hi] iff doc_min <= hi and doc_max >= lo
+            prune = {"doc_min": (None, hi), "doc_max": (lo, None)}
+        return snap_table.read(spark, out_dir, prune=prune)
     t = read_ledger(out_dir)
     if t.num_rows:
         rows = [

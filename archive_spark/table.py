@@ -322,13 +322,25 @@ def compact(
     table_dir: str,
     target_partitions: int | None = None,
     parquet_codec: str = "snappy",
+    order_by: list[str] | None = None,
 ) -> str:
     """Rewrite the current snapshot's (possibly many small) files into
     one fresh overwrite snapshot — the maintenance pass for tables built
     from many streaming/append micro-commits.  Old snapshots remain
-    readable until ``expire_snapshots``."""
+    readable until ``expire_snapshots``.
+
+    ``order_by``: range-cluster the rewrite on these columns (Iceberg's
+    rewrite-with-sort-order).  Hash-sharded encode output has every
+    file spanning the whole doc_id space, so manifest stats can't prune
+    it; after a range-clustered compaction each file covers a narrow
+    range and ``read(prune=...)`` / ``read_encoded(doc_range=...)``
+    skip files wholesale."""
     df = read(spark, table_dir)
-    if target_partitions:
+    if order_by:
+        df = df.repartitionByRange(
+            target_partitions or df.rdd.getNumPartitions(), *order_by
+        ).sortWithinPartitions(*order_by)
+    elif target_partitions:
         df = df.coalesce(target_partitions)
     return commit(df, table_dir, mode="overwrite", parquet_codec=parquet_codec)
 

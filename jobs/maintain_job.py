@@ -3,7 +3,7 @@
 Usage:
   spark-submit --py-files dist/archive_spark.zip jobs/maintain_job.py \
       --table /path/to/table [--compact] [--target-partitions N] \
-      [--expire-keep-last K] [--vacuum]
+      [--cluster-by col1,col2] [--expire-keep-last K] [--vacuum]
 
 Compacts the current snapshot's small files (streaming micro-commits)
 into one overwrite snapshot, expires old snapshot manifests, and/or
@@ -21,6 +21,9 @@ def main() -> None:
     ap.add_argument("--table", required=True)
     ap.add_argument("--compact", action="store_true")
     ap.add_argument("--target-partitions", type=int, default=None)
+    ap.add_argument("--cluster-by", default=None,
+                    help="comma-separated columns: range-cluster the rewrite "
+                    "so manifest stats can prune files (e.g. doc_min)")
     ap.add_argument("--expire-keep-last", type=int, default=None)
     ap.add_argument("--vacuum", action="store_true")
     args = ap.parse_args()
@@ -35,7 +38,8 @@ def main() -> None:
     out: dict[str, object] = {"table": args.table}
     if args.compact:
         out["compacted_snapshot"] = table.compact(
-            spark, args.table, target_partitions=args.target_partitions
+            spark, args.table, target_partitions=args.target_partitions,
+            order_by=args.cluster_by.split(",") if args.cluster_by else None,
         )
     if args.expire_keep_last is not None:
         out["expired"] = table.expire_snapshots(

@@ -227,3 +227,40 @@ def test_encode_incremental_noop_when_nothing_new(spark, tmp_path):
     )
     assert r.shards_encoded == 0 and r.snapshot_id == snap_before
     assert snap_table.current_snapshot_id(out) == snap_before
+
+
+def test_doc_range_pruned_read_after_clustered_compaction(spark, tmp_path):
+    from archive_spark import table as snap_table
+
+    out = str(tmp_path / "enc")
+    toks = token_table(spark, 2000, seed=11)
+    checkpoint.encode_job(
+        spark, toks, out, "prune-1", n_shards=4,
+        target_block_values=1 << 13, publish_snapshot=True,
+    )
+    # hash-sharded layout: every file spans ~the whole doc space, so a
+    # narrow doc_range prunes nothing (correctness unaffected)
+    snap = snap_table.current_snapshot_id(out)
+    all_files = snap_table.read_manifest(out, snap).files
+    lo, hi = "textish-0000000100", "textish-0000000200"
+    assert len(
+        snap_table.select_files(
+            out, snap, {"doc_min": (None, hi), "doc_max": (lo, None)}
+        )
+    ) == len(all_files)
+
+    # range-clustered compaction -> narrow per-file ranges -> real pruning
+    snap2 = snap_table.compact(spark, out, target_partitions=8, order_by=["doc_min"])
+    pruned = snap_table.select_files(
+        out, snap2, {"doc_min": (None, hi), "doc_max": (lo, None)}
+    )
+    assert 0 < len(pruned) < len(snap_table.read_manifest(out, snap2).files)
+
+    # pruned read + actual filter returns exactly the targeted docs
+    df = checkpoint.read_encoded(spark, out, doc_range=(lo, hi))
+    decoded = engine.decode(df, targets=None)
+    got = decoded.filter(
+        (F.col("doc_id") >= lo) & (F.col("doc_id") <= hi)
+    ).count()
+    want = toks.filter((F.col("doc_id") >= lo) & (F.col("doc_id") <= hi)).count()
+    assert got == want > 0
