@@ -317,6 +317,49 @@ def read(
     return spark.read.parquet(*paths)
 
 
+def snapshot_diff(table_dir: str, from_id: str, to_id: str) -> dict:
+    """Manifest-only delta between two snapshots: which files (and how
+    many rows, from the recorded stats) were added/removed — answered
+    without touching any data file."""
+    a = read_manifest(table_dir, from_id)
+    b = read_manifest(table_dir, to_id)
+    fa, fb = set(a.files), set(b.files)
+
+    def rows(m: Snapshot, files) -> int | None:
+        if not m.stats:
+            return None
+        known = [m.stats.get(f, {}).get("rows") for f in files]
+        return sum(k for k in known if k is not None)
+
+    added = sorted(fb - fa)
+    removed = sorted(fa - fb)
+    return {
+        "from": from_id,
+        "to": to_id,
+        "added_files": added,
+        "removed_files": removed,
+        "added_rows": rows(b, added),
+        "removed_rows": rows(a, removed),
+    }
+
+
+def read_changes(
+    spark: SparkSession, table_dir: str, from_id: str, to_id: str | None = None
+) -> DataFrame:
+    """Incremental consumption: the rows ADDED between two snapshots
+    (CDC-style append feed).  Valid for append lineage — files present
+    in ``from_id`` are excluded, so a downstream job processes each
+    appended file exactly once.  ``to_id`` defaults to current."""
+    to_id = to_id or current_snapshot_id(table_dir)
+    diff = snapshot_diff(table_dir, from_id, to_id)
+    if not diff["added_files"]:
+        m = read_manifest(table_dir, to_id)
+        return spark.createDataFrame([], m.schema)
+    return spark.read.parquet(
+        *[os.path.join(table_dir, f) for f in diff["added_files"]]
+    )
+
+
 def compact(
     spark: SparkSession,
     table_dir: str,

@@ -268,3 +268,20 @@ def test_manifest_stats_survive_append_and_old_manifests(spark, tmp_path):
     d.pop("stats")
     _json.dump(d, open(p, "w"))
     assert table.select_files(td, s1, {"k": (0, 1)}) == table.read_manifest(td, s1).files
+
+
+def test_snapshot_diff_and_read_changes(spark, tmp_path):
+    from archive_spark import table
+
+    td = str(tmp_path / "t")
+    s1 = table.commit(spark.range(0, 100).selectExpr("id AS k"), td)
+    s2 = table.commit(
+        spark.range(100, 250).selectExpr("id AS k"), td, mode="append"
+    )
+    d = table.snapshot_diff(td, s1, s2)
+    assert d["removed_files"] == [] and d["added_rows"] == 150
+    changes = table.read_changes(spark, td, s1, s2)
+    assert changes.count() == 150
+    assert changes.agg({"k": "min"}).collect()[0][0] == 100
+    # no changes between a snapshot and itself -> empty with schema
+    assert table.read_changes(spark, td, s2, s2).count() == 0
