@@ -895,3 +895,56 @@ def test_hash_split_deterministic_and_growth_stable(spark):
     frac = {k: v / 2000 for k, v in Counter(a.values()).items()}
     assert abs(frac["train"] - 0.8) < 0.05
     assert abs(frac.get("val", 0) - 0.1) < 0.03
+
+
+# ---------------------------------------------------------------------------
+# property-based cross-checks (hypothesis)
+# ---------------------------------------------------------------------------
+
+
+def test_pack_sequences_property_random_inputs(spark):
+    from hypothesis import given, settings, strategies as st
+
+    @settings(max_examples=8, deadline=None)
+    @given(
+        lens=st.lists(st.integers(min_value=1, max_value=40), min_size=1, max_size=60),
+        L=st.integers(min_value=2, max_value=33),
+        eos=st.integers(min_value=-5, max_value=5),
+        parts=st.integers(min_value=1, max_value=5),
+    )
+    def check(lens, L, eos, parts):
+        rows = [
+            (f"d{i:04d}", list(range(i * 100, i * 100 + n)), n)
+            for i, n in enumerate(lens)
+        ]
+        df = spark.createDataFrame(rows, "doc_id string, tokens array<int>, n_tok int")
+        out = sorted(
+            (r.seq_id, r.tokens, r.n_pad)
+            for r in po.pack_sequences(df, seq_len=L, eos_token=eos, n_parts=parts).collect()
+        )
+        ref, pad = _pack_reference(rows, L, eos)
+        assert [t for _, t, _ in out] == ref
+        assert (out[-1][2] if out else 0) == pad
+
+    check()
+
+
+def test_bpe_learn_property_random_corpora(spark):
+    from hypothesis import given, settings, strategies as st
+
+    word = st.text(alphabet="abc", min_size=1, max_size=6)
+
+    @settings(max_examples=6, deadline=None)
+    @given(texts=st.lists(
+        st.lists(word, min_size=1, max_size=8).map(" ".join),
+        min_size=1, max_size=6,
+    ))
+    def check(texts):
+        docs = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+        )
+        got, _ = po.bpe_learn(docs, n_merges=6, min_count=2)
+        rows = [(r.step, r.left, r.right, r.merged, r.n_pairs) for r in got.collect()]
+        assert rows == _bpe_reference(texts, 6)
+
+    check()
