@@ -836,7 +836,11 @@ def _q_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _docs(spark, sf_dir)
     bench = docs.filter(F.col("doc_id") % 97 == 0)
-    return contamination_check(docs, bench, k=3).orderBy("doc_id", "bench_id")
+    # bench IS a subset of docs here, so excluding equal-id pairs is the
+    # correct semantics (the operator default keeps them — see docstring)
+    return contamination_check(docs, bench, k=3, exclude_self=True).orderBy(
+        "doc_id", "bench_id"
+    )
 
 
 def _q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1767,11 +1771,14 @@ def oracle_sql() -> dict[str, str]:
             "FROM documents), "
             "bg AS (SELECT doc_id, source, ws[u.i] || ' ' || ws[u.i+1] AS b "
             "FROM w, unnest(range(1, len(ws))) AS u(i)), "
-            "cnt AS (SELECT b, count(*) AS c FROM bg GROUP BY b) "
-            "SELECT doc_id, source, count(*)::BIGINT AS n_bigrams, "
-            "sum(CASE WHEN c < 2 THEN 1 ELSE 0 END)::BIGINT AS n_rare "
-            "FROM bg JOIN cnt USING (b) GROUP BY doc_id, source "
-            "ORDER BY doc_id"
+            "cnt AS (SELECT b, count(*) AS c FROM bg GROUP BY b), "
+            "sc AS (SELECT doc_id, source, count(*) AS nb, "
+            "sum(CASE WHEN c < 2 THEN 1 ELSE 0 END) AS nr "
+            "FROM bg JOIN cnt USING (b) GROUP BY doc_id, source) "
+            "SELECT d.doc_id, d.source, COALESCE(sc.nb, 0)::BIGINT AS n_bigrams, "
+            "COALESCE(sc.nr, 0)::BIGINT AS n_rare "
+            "FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id "
+            "ORDER BY d.doc_id"
         ),
         "pii_scrub": (
             "WITH t AS (SELECT source, CASE WHEN doc_id % 10 = 0 THEN "

@@ -208,7 +208,7 @@ def ngram_jaccard(docs: DataFrame, pairs: DataFrame, k: int = 3) -> DataFrame:
 
 
 def contamination_check(
-    docs: DataFrame, benchmark: DataFrame, k: int = 8
+    docs: DataFrame, benchmark: DataFrame, k: int = 8, exclude_self: bool = False
 ) -> DataFrame:
     """Train/test decontamination: for every corpus document, count the
     word ``k``-grams it shares with each benchmark document.
@@ -228,7 +228,11 @@ def contamination_check(
     longs.
 
     Returns (doc_id, bench_id, n_shared) — one row per contaminated
-    (corpus doc, benchmark doc) pair, self-pairs excluded.
+    (corpus doc, benchmark doc) pair.  ``exclude_self=True`` drops
+    pairs with equal ids — ONLY correct when the benchmark is a subset
+    of the corpus itself; with an independent benchmark table the id
+    spaces usually collide (both number from 0), so the default keeps
+    every pair.
     """
     def gram_hashes(df, id_out):
         return df.select(
@@ -240,12 +244,10 @@ def contamination_check(
 
     bench_sh = gram_hashes(benchmark, "bench_id").distinct()
     corpus_sh = gram_hashes(docs, "doc_id")
-    return (
-        corpus_sh.join(F.broadcast(bench_sh), "h")
-        .filter(F.col("doc_id") != F.col("bench_id"))
-        .groupBy("doc_id", "bench_id")
-        .agg(F.count("*").alias("n_shared"))
-    )
+    out = corpus_sh.join(F.broadcast(bench_sh), "h")
+    if exclude_self:
+        out = out.filter(F.col("doc_id") != F.col("bench_id"))
+    return out.groupBy("doc_id", "bench_id").agg(F.count("*").alias("n_shared"))
 
 
 def pack_sequences(
@@ -253,6 +255,7 @@ def pack_sequences(
     seq_len: int = 2048,
     eos_token: int = 0,
     n_parts: int | None = None,
+    materialize: bool = True,
 ) -> DataFrame:
     """Pack variable-length documents into fixed-length training
     sequences — the final layout step of an LLM data pipeline: each doc
@@ -373,13 +376,17 @@ def pack_sequences(
                 .alias("n_pad"),
             )
         )
-        # materialization note: callers that keep the result past this
-        # call's lazy frontier should persist it themselves; the input
-        # cache is released once the plan is resolved
-        assembled = assembled.localCheckpoint(eager=True)
+        # eager checkpoint is CORRECTNESS, not convenience: the result
+        # must materialize while the input cache still pins the exact
+        # partition layout the broadcast offsets were computed from
+        # (recomputing the range shuffle could re-sample boundaries).
+        # materialize=False is for plan inspection/tests only.
+        if materialize:
+            assembled = assembled.localCheckpoint(eager=True)
         return assembled
     finally:
-        df.unpersist()
+        if materialize:
+            df.unpersist()
 
 
 def _adjacent_pairs(syms):
@@ -468,6 +475,7 @@ def bpe_learn(
     )
     merges: list[tuple] = []
     steps: list[DataFrame] = []
+    cached: list[DataFrame] = [cur]
     for i in range(n_merges):
         if return_steps:
             steps.append(cur.select(F.lit(i).alias("step"), "syms", "cnt"))
@@ -490,13 +498,18 @@ def bpe_learn(
         nxt.count()
         if not return_steps:  # steps still reference cur's cache
             cur.unpersist()
+            cached.remove(cur)
         cur = nxt
+        cached.append(cur)
     merges_df = spark.createDataFrame(
         merges, "step int, left string, right string, merged string, n_pairs long"
     )
-    steps_df = (
-        reduce(DataFrame.unionByName, steps) if return_steps and steps else None
-    )
+    steps_df = None
+    if return_steps and steps:
+        # pin the union BEFORE releasing the per-round caches it reads
+        steps_df = reduce(DataFrame.unionByName, steps).localCheckpoint(eager=True)
+    for df in cached:  # release every round's cache (executor storage
+        df.unpersist()  # otherwise accumulates for the session lifetime)
     return merges_df, steps_df
 
 
@@ -679,12 +692,24 @@ def bigram_rarity(docs: DataFrame, min_count: int = 2) -> DataFrame:
         ).alias("b"),
     )
     model = bg.groupBy("b").agg(F.count("*").alias("c"))
-    return (
+    scored = (
         bg.join(model, "b")
         .groupBy("doc_id", "source")
         .agg(
             F.count("*").alias("n_bigrams"),
             F.sum((F.col("c") < min_count).cast("long")).alias("n_rare"),
+        )
+    )
+    # docs with fewer than two words have no transitions: emit (0, 0)
+    # instead of silently dropping the row ("for every doc")
+    return (
+        docs.select("doc_id", "source")
+        .join(scored, ["doc_id", "source"], "left")
+        .select(
+            "doc_id",
+            "source",
+            F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
+            F.coalesce("n_rare", F.lit(0)).alias("n_rare"),
         )
     )
 

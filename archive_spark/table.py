@@ -120,26 +120,37 @@ def _file_stats(table_dir: str, files: list[str]) -> dict:
         except Exception:
             continue
         agg: dict = {}
+        bad: set = set()  # a column missing usable stats in ANY row
+        # group must be invalid for the whole file — a narrowed range
+        # would let select_files prune a file that still has in-range
+        # rows (pruning must stay an optimization, never a filter)
         for rg in range(md.num_row_groups):
             g = md.row_group(rg)
             for c in range(g.num_columns):
                 col = g.column(c)
                 st = col.statistics
                 name = col.path_in_schema
-                if st is None or not st.has_min_max or "." in name:
+                if "." in name:
+                    continue
+                if st is None or not st.has_min_max:
+                    bad.add(name)
                     continue
                 mn, mx = st.min, st.max
                 if isinstance(mn, bytes):
                     try:
                         mn, mx = mn.decode(), mx.decode()
                     except UnicodeDecodeError:
+                        bad.add(name)
                         continue
                 if not isinstance(mn, (str, int, float, bool)):
+                    bad.add(name)
                     continue
                 if name in agg:
                     agg[name] = [min(agg[name][0], mn), max(agg[name][1], mx)]
                 else:
                     agg[name] = [mn, mx]
+        for name in bad:
+            agg.pop(name, None)
         out[rel] = {"rows": md.num_rows, "columns": agg}
     return out
 
@@ -326,10 +337,14 @@ def snapshot_diff(table_dir: str, from_id: str, to_id: str) -> dict:
     fa, fb = set(a.files), set(b.files)
 
     def rows(m: Snapshot, files) -> int | None:
+        # None (unknown) whenever ANY file lacks stats — a partial sum
+        # would silently under-report the delta
         if not m.stats:
             return None
         known = [m.stats.get(f, {}).get("rows") for f in files]
-        return sum(k for k in known if k is not None)
+        if any(k is None for k in known):
+            return None
+        return sum(known)
 
     added = sorted(fb - fa)
     removed = sorted(fa - fb)
@@ -351,6 +366,8 @@ def read_changes(
     in ``from_id`` are excluded, so a downstream job processes each
     appended file exactly once.  ``to_id`` defaults to current."""
     to_id = to_id or current_snapshot_id(table_dir)
+    if to_id is None:
+        raise FileNotFoundError(f"{table_dir}: no committed snapshot")
     diff = snapshot_diff(table_dir, from_id, to_id)
     if not diff["added_files"]:
         m = read_manifest(table_dir, to_id)

@@ -640,7 +640,7 @@ def test_contamination_check_flags_leaked_ngram(spark):
     ]
     docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
     bench = docs.filter(F.col("source") == "bench")
-    out = po.contamination_check(docs, bench, k=8).collect()
+    out = po.contamination_check(docs, bench, k=8, exclude_self=True).collect()
     hits = {(r.doc_id, r.bench_id): r.n_shared for r in out}
     assert (1, 100) in hits and hits[(1, 100)] == 1
     assert all(d != 2 and d != 3 for d, _ in hits)
@@ -656,7 +656,7 @@ def test_contamination_check_counts_distinct_shared_grams(spark):
     ]
     docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
     bench = docs.filter(F.col("source") == "bench")
-    out = po.contamination_check(docs, bench, k=2).collect()
+    out = po.contamination_check(docs, bench, k=2, exclude_self=True).collect()
     assert len(out) == 1 and out[0].n_shared == 1 and out[0].doc_id == 20
 
 

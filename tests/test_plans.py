@@ -231,10 +231,12 @@ def test_pack_sequences_plan_has_no_global_window(spark):
     from archive_spark import pipeline_ops as po
 
     toks = token_table(spark, 2000, seed=3)
-    out = po.pack_sequences(toks, seq_len=64, n_parts=4)
-    # out is localCheckpoint'ed; assert on what was executed: re-derive
-    # the pre-checkpoint plan shape by building the same frags pipeline
+    # materialize=False keeps the REAL pre-checkpoint plan inspectable
+    # (the shipped path eagerly checkpoints, which would reduce the
+    # plan to a Scan ExistingRDD and make this assertion vacuous)
+    out = po.pack_sequences(toks, seq_len=64, n_parts=4, materialize=False)
     plan = plan_of(out)
+    assert "Scan ExistingRDD" not in plan  # guard against vacuity
     assert "WindowExec" not in plan
     assert "window" not in plan.lower()
 
