@@ -856,6 +856,15 @@ def _q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return merges.orderBy("step")
 
 
+def _q_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted source mix (downsample two sources); the
+    oracle recomputes every keep/drop decision from the same md5."""
+    from archive_spark.pipeline_ops import mix_sources
+
+    out = mix_sources(_docs(spark, sf_dir), {"src0": 0.5, "src1": 0.25})
+    return out.groupBy("source").agg(F.count("*").alias("n_docs")).orderBy("source")
+
+
 def _q_frequency_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Good-Turing frequency-of-frequencies over the corpus vocabulary."""
     from archive_spark.pipeline_ops import frequency_spectrum
@@ -1339,6 +1348,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bigram_rarity": _q_bigram_rarity,
         "corpus_split": _q_corpus_split,
         "frequency_spectrum": _q_frequency_spectrum,
+        "source_mix": _q_source_mix,
         "word_length_hist": _q_word_length_hist,
         "multimodal_features": _q_multimodal_features,
         "events_asof_join": _q_events_asof_join,
@@ -1748,6 +1758,15 @@ def oracle_sql() -> dict[str, str]:
             'SELECT step::INT AS step, l AS "left", r AS "right", '
             'l || r AS merged, n::BIGINT AS n_pairs '
             "FROM ranked WHERE rn = 1 AND n >= 2 ORDER BY step"
+        ),
+        "source_mix": (
+            "WITH s AS (SELECT source, substr(md5(source || chr(31) || "
+            "doc_id::VARCHAR), 1, 8) AS b FROM documents) "
+            "SELECT source, count(*)::BIGINT AS n_docs FROM s "
+            f"WHERE (source = 'src0' AND b < '{format(min(int(0.5 * (1 << 32)), (1 << 32) - 1), '08x')}') "
+            f"OR (source = 'src1' AND b < '{format(min(int(0.25 * (1 << 32)), (1 << 32) - 1), '08x')}') "
+            "OR source NOT IN ('src0', 'src1') "
+            "GROUP BY source ORDER BY source"
         ),
         "frequency_spectrum": (
             "WITH wc AS (SELECT w, count(*) AS c FROM (SELECT "

@@ -615,6 +615,30 @@ def bpe_apply(docs: DataFrame, merges: DataFrame, return_vocab: bool = False):
     return tokens
 
 
+def mix_sources(
+    docs: DataFrame, rates: dict[str, float], key_col: str = "doc_id"
+) -> DataFrame:
+    """Deterministic training-mix construction: keep each source at its
+    configured sampling rate (0..1; sources absent from ``rates`` keep
+    everything).  Same md5-prefix bucketing as ``hash_split`` — no RNG,
+    stable under corpus growth, replayable by any engine with md5, and
+    composable with it (independent hash inputs: the split uses the key
+    alone, the mix salts it with the source name).
+    """
+    bucket = F.substring(
+        F.md5(F.concat_ws("\x1f", F.col("source"), F.col(key_col).cast("string"))),
+        1,
+        8,
+    )
+    keep = None
+    for src, rate in rates.items():
+        cut = format(min(int(rate * (1 << 32)), (1 << 32) - 1), "08x")
+        cond = (F.col("source") == src) & (bucket < F.lit(cut))
+        keep = cond if keep is None else keep | cond
+    others = ~F.col("source").isin(list(rates)) if rates else F.lit(True)
+    return docs.filter(others | keep if keep is not None else F.lit(True))
+
+
 def frequency_spectrum(docs: DataFrame) -> DataFrame:
     """Word frequency-of-frequencies: for each occurrence count c, how
     many distinct words occur exactly c times — the Good-Turing

@@ -948,3 +948,23 @@ def test_bpe_learn_property_random_corpora(spark):
         assert rows == _bpe_reference(texts, 6)
 
     check()
+
+
+def test_mix_sources_rates_and_determinism(spark):
+    docs = spark.createDataFrame(
+        [(i, "t", ["a", "b", "c"][i % 3]) for i in range(3000)],
+        "doc_id long, text string, source string",
+    )
+    rates = {"a": 0.5, "b": 0.1}
+    out = po.mix_sources(docs, rates)
+    from collections import Counter
+    n = Counter(r.source for r in out.collect())
+    assert n["c"] == 1000                      # unlisted source untouched
+    assert abs(n["a"] - 500) < 80 and abs(n["b"] - 100) < 50
+    # deterministic: same result again
+    assert Counter(r.source for r in po.mix_sources(docs, rates).collect()) == n
+    # kept set is a subset-stable function of (source, doc_id)
+    kept_a = {r.doc_id for r in out.filter("source = 'a'").collect()}
+    half = docs.filter("doc_id < 1500")
+    kept_half = {r.doc_id for r in po.mix_sources(half, rates).filter("source='a'").collect()}
+    assert kept_half == {d for d in kept_a if d < 1500}
