@@ -256,12 +256,17 @@ def pack_sequences(
     eos_token: int = 0,
     n_parts: int | None = None,
     materialize: bool = True,
+    shuffle: bool = False,
 ) -> DataFrame:
     """Pack variable-length documents into fixed-length training
     sequences — the final layout step of an LLM data pipeline: each doc
     contributes its tokens plus one EOS, docs are concatenated in
     ``doc_id`` order, and the stream is cut into rows of exactly
     ``seq_len`` tokens (the single trailing remainder is EOS-padded).
+
+    ``shuffle=True`` concatenates in ``md5(doc_id)`` order instead — a
+    deterministic global document shuffle (the order every real
+    pretraining run wants), still RNG-free and engine-replayable.
 
     Scale posture: the global concatenation offset of every document is
     computed WITHOUT a global window — docs are range-partitioned by
@@ -280,10 +285,14 @@ def pack_sequences(
 
     spark = tokens_df.sparkSession
     P = n_parts or int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    order = (
+        F.md5(F.col("doc_id").cast("string")) if shuffle else F.col("doc_id")
+    )
     df = (
         tokens_df.select("doc_id", "tokens", "n_tok")
-        .repartitionByRange(P, "doc_id")
-        .sortWithinPartitions("doc_id")
+        .withColumn("__ord", order)
+        .repartitionByRange(P, "__ord")
+        .sortWithinPartitions("__ord", "doc_id")
         .withColumn("pid", F.spark_partition_id())
         .persist()
     )

@@ -968,3 +968,20 @@ def test_mix_sources_rates_and_determinism(spark):
     half = docs.filter("doc_id < 1500")
     kept_half = {r.doc_id for r in po.mix_sources(half, rates).filter("source='a'").collect()}
     assert kept_half == {d for d in kept_a if d < 1500}
+
+
+def test_pack_sequences_shuffled_matches_md5_order_reference(spark):
+    import hashlib
+    rows = [(f"d{i:03d}", list(range(i * 10, i * 10 + 3 + i % 5)), 3 + i % 5)
+            for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id string, tokens array<int>, n_tok int")
+    out = sorted((r.seq_id, r.tokens, r.n_pad)
+                 for r in po.pack_sequences(df, seq_len=16, eos_token=-1,
+                                            n_parts=5, shuffle=True).collect())
+    stream = []
+    for _, toks, _ in sorted(rows, key=lambda r: (hashlib.md5(r[0].encode()).hexdigest(), r[0])):
+        stream += list(toks) + [-1]
+    import math
+    nseq = math.ceil(len(stream) / 16)
+    stream += [-1] * (nseq * 16 - len(stream))
+    assert [t for _, t, _ in out] == [stream[i*16:(i+1)*16] for i in range(nseq)]
