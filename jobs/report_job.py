@@ -1,0 +1,85 @@
+"""spark-submit entry point: dataset card for a documents table.
+
+One JSON object on stdout summarizing everything a training-data
+reviewer asks for before a run — sizes, length quantiles, language and
+quality distribution, duplication estimates, PII exposure, and the
+filter verdicts — all computed with the library's oracle-checked
+operators.
+
+Usage:
+  spark-submit --py-files dist/archive_spark.zip jobs/report_job.py \
+      --input /path/to/documents_parquet [--neardup]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", required=True)
+    ap.add_argument("--neardup", action="store_true",
+                    help="also run MinHash-LSH near-dup estimation (slower)")
+    args = ap.parse_args()
+
+    from pyspark.sql import SparkSession, functions as F
+
+    from archive_spark import pipeline_ops as po
+
+    spark = SparkSession.builder.appName("archive_spark_report").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    docs = spark.read.parquet(args.input).persist()
+    card: dict = {"input": args.input}
+
+    base = docs.agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct("source").alias("n_sources"),
+        F.sum(F.size(F.split("text", " "))).alias("n_words"),
+        F.sum(F.length("text")).alias("n_chars"),
+    ).collect()[0]
+    card["size"] = {k: int(v) for k, v in base.asDict().items()}
+
+    q = docs.select(F.size(F.split("text", " ")).alias("n")).agg(
+        F.expr("percentile(n, array(0.5, 0.9, 0.99))").alias("p")
+    ).collect()[0].p
+    card["words_per_doc_p50_p90_p99"] = [float(x) for x in q]
+
+    card["languages"] = {
+        r.detected_lang: r.n_docs
+        for r in po.detect_language(docs)
+        .groupBy("detected_lang").agg(F.count("*").alias("n_docs")).collect()
+    }
+
+    card["filter_verdicts"] = {
+        (r.reject_reason or "kept"): r.n
+        for r in po.filter_corpus(docs)
+        .groupBy("reject_reason").agg(F.count("*").alias("n")).collect()
+    }
+
+    exact = po.exact_dedup_groups(docs).agg(
+        F.count("*").alias("groups"), F.sum(F.col("n_copies") - 1).alias("extra")
+    ).collect()[0]
+    card["exact_duplicates"] = {
+        "groups": int(exact.groups or 0), "removable_docs": int(exact.extra or 0)
+    }
+
+    pii = po.scrub_pii(docs).agg(
+        F.sum("n_email").alias("email"),
+        F.sum("n_ipv4").alias("ipv4"),
+        F.sum("n_phone").alias("phone"),
+    ).collect()[0]
+    card["pii_spans"] = {k: int(v or 0) for k, v in pii.asDict().items()}
+
+    if args.neardup:
+        pairs = po.minhash_lsh_candidates(docs)
+        card["neardup_candidate_pairs"] = pairs.count()
+
+    print(json.dumps(card))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

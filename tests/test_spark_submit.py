@@ -199,3 +199,17 @@ def test_prepare_training_job_cli(zip_path, tmp_path):
     assert v["n_mismatch"] == 0 and v["conserved"]
     assert v["tokens_out"] == v["n_sequences"] * 256
     assert s["ratio"] and s["ratio"] < 0.5
+
+
+def test_report_job_cli(zip_path):
+    r = _spark_submit(
+        zip_path, "report_job.py",
+        "--input", "/root/testdata/sf0.001/documents.parquet",
+        timeout=300,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    card = json.loads(r.stdout.strip().splitlines()[-1])
+    assert card["size"]["n_docs"] == 500 and card["size"]["n_sources"] == 20
+    assert sum(card["languages"].values()) == 500
+    assert sum(card["filter_verdicts"].values()) == 500
+    assert set(card["pii_spans"]) == {"email", "ipv4", "phone"}
