@@ -2,7 +2,12 @@
 
   spark-submit --py-files dist/archive_spark.zip jobs/decode_job.py \
       --input /path/to/encoded --output /path/to/tokens_out \
-      [--targets doc1,doc2,...]
+      [--targets doc1,doc2,...] [--doc-range lo,hi]
+
+--doc-range additionally prunes whole FILES from the published
+manifest's zone-map stats before Spark lists them (most effective
+after `maintain_job --compact --cluster-by doc_min`); when --targets
+is also given, only targets inside the range survive.
 """
 
 from __future__ import annotations
@@ -15,9 +20,11 @@ def main() -> None:
     ap.add_argument("--input", required=True)
     ap.add_argument("--output", required=True)
     ap.add_argument("--targets", default=None, help="comma-separated doc_ids")
+    ap.add_argument("--doc-range", default=None,
+                    help="lo,hi doc_id bounds for manifest-level file pruning")
     args = ap.parse_args()
 
-    from pyspark.sql import SparkSession
+    from pyspark.sql import SparkSession, functions as F
 
     from archive_spark import checkpoint, engine
 
@@ -25,9 +32,14 @@ def main() -> None:
     spark.sparkContext.setLogLevel("WARN")
     # resolves published manifest → ledger snapshot → legacy flat layout
     # (reading {input}/data directly breaks on per-snapshot data dirs)
-    enc = checkpoint.read_encoded(spark, args.input)
+    doc_range = tuple(args.doc_range.split(",", 1)) if args.doc_range else None
+    enc = checkpoint.read_encoded(spark, args.input, doc_range=doc_range)
     targets = args.targets.split(",") if args.targets else None
-    engine.decode(enc, targets=targets).write.mode("overwrite").parquet(args.output)
+    out = engine.decode(enc, targets=targets)
+    if doc_range is not None:
+        lo, hi = doc_range
+        out = out.filter((F.col("doc_id") >= lo) & (F.col("doc_id") <= hi))
+    out.write.mode("overwrite").parquet(args.output)
     spark.stop()
 
 
