@@ -394,8 +394,11 @@ def pack_sequences(
             assembled = assembled.localCheckpoint(eager=True)
         return assembled
     finally:
-        if materialize:
-            df.unpersist()
+        # always release the input cache: with materialize=False the
+        # returned frame is for PLAN INSPECTION only (executing it
+        # would recompute the range shuffle, whose sampled boundaries
+        # may not match the broadcast offsets)
+        df.unpersist()
 
 
 def _adjacent_pairs(syms):
@@ -624,28 +627,43 @@ def bpe_apply(docs: DataFrame, merges: DataFrame, return_vocab: bool = False):
     return tokens
 
 
+def _md5_bucket(*cols):
+    """8-hex-digit md5 prefix of the \\x1f-joined columns — the shared
+    cross-engine sampling bucket (compare lexicographically against
+    ``_hex_cut``; lowercase hex order == numeric order)."""
+    return F.substring(F.md5(F.concat_ws("\x1f", *cols)), 1, 8)
+
+
+def _hex_cut(rate: float) -> str:
+    """``rate`` of the 2^32 bucket space as an 8-hex-digit cut.  This
+    exact formula is the oracle contract (the SQL replays it) — change
+    both together or not at all."""
+    return format(min(int(rate * (1 << 32)), (1 << 32) - 1), "08x")
+
+
 def mix_sources(
     docs: DataFrame, rates: dict[str, float], key_col: str = "doc_id"
 ) -> DataFrame:
     """Deterministic training-mix construction: keep each source at its
-    configured sampling rate (0..1; sources absent from ``rates`` keep
-    everything).  Same md5-prefix bucketing as ``hash_split`` — no RNG,
-    stable under corpus growth, replayable by any engine with md5, and
-    composable with it (independent hash inputs: the split uses the key
-    alone, the mix salts it with the source name).
+    configured sampling rate (0..1; sources absent from ``rates`` —
+    including NULL source — keep everything; rate >= 1.0 keeps the
+    source whole).  Same md5-prefix bucketing as ``hash_split`` — no
+    RNG, stable under corpus growth, replayable by any engine with md5,
+    and composable with it (independent hash inputs: the split uses
+    the key alone, the mix salts it with the source name).
     """
-    bucket = F.substring(
-        F.md5(F.concat_ws("\x1f", F.col("source"), F.col(key_col).cast("string"))),
-        1,
-        8,
-    )
+    sampled = {s: r for s, r in rates.items() if r < 1.0}
+    if not sampled:
+        return docs
+    bucket = _md5_bucket(F.col("source"), F.col(key_col).cast("string"))
     keep = None
-    for src, rate in rates.items():
-        cut = format(min(int(rate * (1 << 32)), (1 << 32) - 1), "08x")
-        cond = (F.col("source") == src) & (bucket < F.lit(cut))
+    for src, rate in sampled.items():
+        cond = (F.col("source") == src) & (bucket < F.lit(_hex_cut(rate)))
         keep = cond if keep is None else keep | cond
-    others = ~F.col("source").isin(list(rates)) if rates else F.lit(True)
-    return docs.filter(others | keep if keep is not None else F.lit(True))
+    # NULL-source rows must not be dropped by three-valued logic: an
+    # unlisted (or NULL) source is "keep everything"
+    others = F.col("source").isNull() | ~F.col("source").isin(list(sampled))
+    return docs.filter(others | keep)
 
 
 def frequency_spectrum(docs: DataFrame) -> DataFrame:
@@ -684,13 +702,12 @@ def hash_split(
     # compare the 8-hex-digit prefix LEXICOGRAPHICALLY against the cut
     # rendered in hex: identical to numeric comparison for lowercase hex
     # and portable to any engine with md5 (no hex→int builtin needed)
-    bucket = F.substring(F.md5(F.col(key_col).cast("string")), 1, 8)
+    bucket = _md5_bucket(F.col(key_col).cast("string"))
     expr, acc = None, 0.0
     items = list(weights.items())
     for name, w in items[:-1]:
         acc += w / total
-        cut = format(min(int(acc * (1 << 32)), (1 << 32) - 1), "08x")
-        cond = bucket < F.lit(cut)
+        cond = bucket < F.lit(_hex_cut(acc))
         expr = F.when(cond, name) if expr is None else expr.when(cond, name)
     last = items[-1][0]
     expr = F.lit(last) if expr is None else expr.otherwise(F.lit(last))

@@ -32,8 +32,19 @@ def main() -> None:
     spark.sparkContext.setLogLevel("WARN")
     # resolves published manifest → ledger snapshot → legacy flat layout
     # (reading {input}/data directly breaks on per-snapshot data dirs)
-    doc_range = tuple(args.doc_range.split(",", 1)) if args.doc_range else None
+    doc_range = None
+    if args.doc_range:
+        parts = args.doc_range.split(",")
+        if len(parts) != 2:
+            ap.error("--doc-range must be 'lo,hi'")
+        doc_range = (parts[0], parts[1])
     enc = checkpoint.read_encoded(spark, args.input, doc_range=doc_range)
+    if doc_range is not None:
+        # block-level zone-map prune BEFORE the decode UDF (same
+        # predicate the manifest pruning used, one level finer) — the
+        # parquet scan skips out-of-range row groups too
+        lo, hi = doc_range
+        enc = enc.filter((F.col("doc_min") <= hi) & (F.col("doc_max") >= lo))
     targets = args.targets.split(",") if args.targets else None
     out = engine.decode(enc, targets=targets)
     if doc_range is not None:

@@ -40,12 +40,13 @@ def main() -> None:
         F.sum(F.size(F.split("text", " "))).alias("n_words"),
         F.sum(F.length("text")).alias("n_chars"),
     ).collect()[0]
-    card["size"] = {k: int(v) for k, v in base.asDict().items()}
+    # empty tables: sums are NULL — the card must report zeros, not die
+    card["size"] = {k: int(v or 0) for k, v in base.asDict().items()}
 
     q = docs.select(F.size(F.split("text", " ")).alias("n")).agg(
         F.expr("percentile(n, array(0.5, 0.9, 0.99))").alias("p")
     ).collect()[0].p
-    card["words_per_doc_p50_p90_p99"] = [float(x) for x in q]
+    card["words_per_doc_p50_p90_p99"] = [float(x) for x in q] if q else None
 
     card["languages"] = {
         r.detected_lang: r.n_docs

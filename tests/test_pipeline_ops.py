@@ -985,3 +985,14 @@ def test_pack_sequences_shuffled_matches_md5_order_reference(spark):
     nseq = math.ceil(len(stream) / 16)
     stream += [-1] * (nseq * 16 - len(stream))
     assert [t for _, t, _ in out] == [stream[i*16:(i+1)*16] for i in range(nseq)]
+
+
+def test_mix_sources_null_source_and_full_rate(spark):
+    rows = [(1, "t", "a"), (2, "t", None), (3, "t", "b"), (4, "t", "a")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    # NULL source is never dropped; rate >= 1.0 keeps the source whole
+    out = po.mix_sources(docs, {"a": 1.0, "b": 0.0})
+    got = {(r.doc_id, r.source) for r in out.collect()}
+    assert (2, None) in got
+    assert {(1, "a"), (4, "a")} <= got
+    assert all(s != "b" for _, s in got)
