@@ -832,7 +832,17 @@ def _crc16_arc(data: bytes) -> int:
 #    tie rules all contradict one of the observations);
 #  - compressed sizes sit at deflate-class on the 80 KB member
 #    (22446 B vs zlib-9's 22547) and above lh1 on the 2 KB member —
-#    consistent with an adaptive-code-over-LZ design, not plain LZW.
+#    consistent with an adaptive-code-over-LZ design, not plain LZW;
+#  - ruled OUT by exhaustive checks: fixed-shape subtree-exchange
+#    models (a linear orientation-constraint solve proves codes stop
+#    being 7-bit at symbol ~7 in both members), Okumura LZHUF update
+#    at any N_CHAR (also mirrored layout/bit conventions), FGK with
+#    block-leader swaps, Jones splay-prefix (plain and semi), NYT
+#    escape schemes, per-symbol/periodic full-Huffman rebuilds under
+#    16 tie-break conventions.  The first six codewords ARE exactly
+#    reproduced by "exchange cur with sibling on weight ties while
+#    propagating" — the true rule is a shape-changing relative of
+#    that, likely recoverable only from the original PAK binary.
 ARC_METHODS = {
     1: "stored_old", 2: "stored", 3: "packed", 4: "squeezed",
     5: "crunched5", 6: "crunched6", 7: "crunched7", 8: "crunched",
