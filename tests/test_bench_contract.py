@@ -1,0 +1,38 @@
+"""bench.py is the driver's measurement contract: exactly one JSON line
+on stdout with the agreed keys.  A regression here silently costs a
+round, so smoke-run it small (sf0.001, 2k docs) through a subprocess
+the way the driver does."""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def test_bench_json_contract():
+    env = {
+        **os.environ,
+        "SPARK_GRAFT_SF_DIR": "/root/testdata/sf0.001",
+        "SPARK_GRAFT_CPUS": "4",
+        "BENCH_DOCS": "2000",
+    }
+    r = subprocess.run(
+        [sys.executable, os.path.join(REPO, "bench.py")],
+        capture_output=True, text=True, timeout=900, env=env, cwd=REPO,
+    )
+    assert r.returncode == 0, r.stderr[-3000:]
+    lines = [ln for ln in r.stdout.splitlines() if ln.startswith("{")]
+    assert lines, r.stdout[-2000:]
+    d = json.loads(lines[-1])
+    assert d["metric"] == "total_bench_wall" and d["unit"] == "sec"
+    for key in ("queries", "sf", "n_docs", "n_tokens", "effective_parallelism",
+                "encode_tokens_per_sec", "compression_ratio",
+                "decode_tokens_per_sec", "verify_mismatch", "codec_histogram"):
+        assert key in d, key
+    assert d["verify_mismatch"] == 0
+    assert 0 < d["compression_ratio"] < 1
+    assert d["queries"]["q_encode"] > 0
