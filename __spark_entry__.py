@@ -984,6 +984,31 @@ def _q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("seq_id")
 
 
+def _q_tpch_q3ish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: top-10 BUILDING-segment orders by revenue before
+    a date cutoff — broadcast dim, distributed TopK (no global sort)."""
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    cutoff = "1998-01-01"
+    return (
+        li.filter(F.col("l_shipdate") > cutoff)
+        .join(o.filter(F.col("o_orderdate") < cutoff), F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            F.broadcast(c.filter(F.col("c_mktsegment") == "BUILDING")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))))
+            .cast("long")
+            .alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), "l_orderkey")
+        .limit(10)
+    )
+
+
 def _q_tpch_q5ish(spark: SparkSession, sf_dir: str) -> DataFrame:
     r = spark.read.parquet(f"{sf_dir}/region.parquet")
     n = spark.read.parquet(f"{sf_dir}/nation.parquet")
@@ -1360,6 +1385,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # star-schema analytics
         "events_sessions": _q_events_sessions,
         "tpch_q5ish": _q_tpch_q5ish,
+        "tpch_q3ish": _q_tpch_q3ish,
         "part_stats": _q_part_stats,
         "supplier_nation": _q_supplier_nation,
         "tpch_q1": _q_tpch_q1,
@@ -1839,6 +1865,17 @@ def oracle_sql() -> dict[str, str]:
             "ft::INTEGER AS first_tok, "
             "(CASE WHEN c < 512 THEN 0 ELSE lt END)::INTEGER AS last_tok, "
             "(512 - c)::INTEGER AS n_pad FROM seqs ORDER BY seq_id"
+        ),
+        "tpch_q3ish": (
+            "SELECT l_orderkey, o_orderdate, o_orderpriority, "
+            "CAST(ROUND(SUM(l_extendedprice * (1 - l_discount))) AS BIGINT) "
+            "AS revenue "
+            "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+            "JOIN customer ON o_custkey = c_custkey "
+            "WHERE c_mktsegment = 'BUILDING' "
+            "AND o_orderdate < '1998-01-01' AND l_shipdate > '1998-01-01' "
+            "GROUP BY l_orderkey, o_orderdate, o_orderpriority "
+            "ORDER BY revenue DESC, l_orderkey LIMIT 10"
         ),
         "tpch_q5ish": (
             "SELECT r_name, count(*)::BIGINT AS n_orders, "
