@@ -256,21 +256,125 @@ def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
     if bytes(mv[:4]) != b"RIFF" or bytes(mv[8:12]) != b"WAVE":
         raise MediaDecodeError("not a WAV payload")
     pos, n = 12, len(payload)
-    rate, bits, fmt_tag = None, None, None
+    rate, bits, fmt_tag, balign = None, None, None, None
     data = None
     while pos + 8 <= n:
         cid, size = struct.unpack_from("<4sI", payload, pos)
         body = payload[pos + 8 : pos + 8 + size]
         if cid == b"fmt ":
-            fmt_tag, _ch, rate, _br, _ba, bits = struct.unpack_from("<HHIIHH", body, 0)
+            fmt_tag, _ch, rate, _br, balign, bits = struct.unpack_from(
+                "<HHIIHH", body, 0
+            )
         elif cid == b"data":
             data = body
         pos += 8 + size + (size & 1)  # chunks are word-aligned
     if data is None or rate is None:
         raise MediaDecodeError("WAV missing fmt/data chunk")
+    if fmt_tag == 0x11 and bits == 4:
+        # IMA/DVI ADPCM (format 0x11) — the DOS-era compressed WAV
+        return _decode_ima_adpcm(data, balign), int(rate)
     if fmt_tag != 1 or bits != 16:
         raise MediaDecodeError(f"unsupported WAV variant: fmt={fmt_tag} bits={bits}")
     return np.frombuffer(data, dtype="<i2"), int(rate)
+
+
+#: IMA/DVI ADPCM tables (public IMA spec)
+_IMA_STEPS = np.array([
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37,
+    41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173,
+    190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658,
+    724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+    2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894,
+    6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289,
+    16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767], dtype=np.int32)
+_IMA_INDEX = np.array([-1, -1, -1, -1, 2, 4, 6, 8], dtype=np.int32)
+
+
+def _ima_step(pred: int, index: int, nib: int) -> tuple[int, int]:
+    """One IMA ADPCM update (integer-exact per the spec's shift form)."""
+    step = int(_IMA_STEPS[index])
+    diff = step >> 3
+    if nib & 1:
+        diff += step >> 2
+    if nib & 2:
+        diff += step >> 1
+    if nib & 4:
+        diff += step
+    pred = pred - diff if nib & 8 else pred + diff
+    pred = max(-32768, min(32767, pred))
+    index = max(0, min(88, index + int(_IMA_INDEX[nib & 7])))
+    return pred, index
+
+
+def _decode_ima_adpcm(data: bytes, block_align: int) -> np.ndarray:
+    """IMA ADPCM mono blocks → int16 samples.  Each block: 4-byte
+    header (predictor i16, step index u8, reserved u8) then 4-bit
+    codes, low nibble first."""
+    import struct
+
+    if not block_align or block_align < 5:
+        raise MediaDecodeError("IMA ADPCM needs a valid block align")
+    out = []
+    for off in range(0, len(data) - (len(data) % block_align), block_align):
+        pred, index, _ = struct.unpack_from("<hBB", data, off)
+        index = max(0, min(88, index))
+        samples = [pred]
+        body = np.frombuffer(data, dtype=np.uint8,
+                             count=block_align - 4, offset=off + 4)
+        nibs = np.empty(body.size * 2, dtype=np.uint8)
+        nibs[0::2] = body & 0x0F
+        nibs[1::2] = body >> 4
+        for nib in nibs:
+            pred, index = _ima_step(pred, index, int(nib))
+            samples.append(pred)
+        out.append(np.asarray(samples, dtype=np.int16))
+    if not out:
+        raise MediaDecodeError("IMA ADPCM payload shorter than one block")
+    return np.concatenate(out)
+
+
+def encode_wav_adpcm(
+    samples: np.ndarray, sample_rate: int = 16_000, block_align: int = 256
+) -> bytes:
+    """int16 mono samples → RIFF/WAVE IMA-ADPCM (format 0x11).  Lossy;
+    the DECODER's reconstruction is the contract (deterministic per the
+    IMA spec), which the roundtrip test pins."""
+    import struct
+
+    s = np.asarray(samples, dtype=np.int16)
+    spb = (block_align - 4) * 2 + 1
+    blocks = []
+    pos = 0
+    while pos < len(s):
+        chunk = s[pos:pos + spb]
+        pred = int(chunk[0])
+        index = 0
+        nibs = []
+        for x in chunk[1:]:
+            # choose the nibble whose reconstruction lands closest
+            best, bn = None, 0
+            for nib in range(16):
+                p2, _ = _ima_step(pred, index, nib)
+                d = abs(int(x) - p2)
+                if best is None or d < best:
+                    best, bn = d, nib
+            pred, index = _ima_step(pred, index, bn)
+            nibs.append(bn)
+        nibs += [0] * ((block_align - 4) * 2 - len(nibs))
+        arr = np.asarray(nibs, dtype=np.uint8)
+        body = (arr[0::2] | (arr[1::2] << 4)).astype(np.uint8).tobytes()
+        blocks.append(struct.pack("<hBB", int(chunk[0]), 0, 0) + body)
+        pos += spb
+    data = b"".join(blocks)
+    # fmt body = standard 16 bytes + cbSize(2) + wSamplesPerBlock(2)
+    hdr = struct.pack(
+        "<4sI4s4sIHHIIHHHH4sI",
+        b"RIFF", 4 + 8 + 20 + 8 + len(data), b"WAVE",
+        b"fmt ", 20, 0x11, 1, sample_rate,
+        sample_rate * block_align // spb, block_align, 4, 2, spb,
+        b"data", len(data),
+    )
+    return hdr + data
 
 
 def encode_png(rgb: np.ndarray, filter_type: int = 0) -> bytes:

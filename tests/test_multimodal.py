@@ -356,3 +356,57 @@ def test_pcx_roundtrip_exact():
     from archive_spark.multimodal import decode_pcx, encode_pcx
 
     assert np.array_equal(decode_pcx(encode_pcx(rgb)), rgb)
+
+
+def test_ima_adpcm_decode_matches_independent_reference():
+    import struct
+
+    rng = np.random.default_rng(7)
+    t = np.arange(3000)
+    sig = (3000 * np.sin(t / 30) + rng.normal(0, 80, t.size)).astype(np.int16)
+    wav = mm.encode_wav_adpcm(sig, 8000, block_align=128)
+    dec, rate = mm.decode_wav(wav)
+    assert rate == 8000
+
+    # independent scalar re-implementation of the IMA spec
+    def ref(data, ba):
+        out = []
+        for off in range(0, len(data) - (len(data) % ba), ba):
+            pred, idx, _ = struct.unpack_from("<hBB", data, off)
+            out.append(pred)
+            for i in range(ba - 4):
+                byte = data[off + 4 + i]
+                for nib in (byte & 0xF, byte >> 4):
+                    step = int(mm._IMA_STEPS[idx])
+                    diff = step >> 3
+                    if nib & 1: diff += step >> 2
+                    if nib & 2: diff += step >> 1
+                    if nib & 4: diff += step
+                    pred = pred - diff if nib & 8 else pred + diff
+                    pred = max(-32768, min(32767, pred))
+                    idx = max(0, min(88, idx + int(mm._IMA_INDEX[nib & 7])))
+                    out.append(pred)
+        return np.array(out, dtype=np.int16)
+
+    pos, data, ba = 12, None, None
+    while pos + 8 <= len(wav):
+        cid, size = struct.unpack_from("<4sI", wav, pos)
+        if cid == b"fmt ":
+            ba = struct.unpack_from("<HHIIHH", wav[pos + 8:pos + 8 + size], 0)[4]
+        if cid == b"data":
+            data = wav[pos + 8:pos + 8 + size]
+        pos += 8 + size + (size & 1)
+    assert np.array_equal(ref(data, ba), dec)
+    # lossy but close: ADPCM should track this signal within ~2% FSR
+    n = len(sig)
+    err = np.abs(dec[:n].astype(np.int32) - sig.astype(np.int32))
+    assert err.mean() < 100 and err.max() < 1500
+    # and actually compress
+    assert len(wav) < (44 + 2 * n) // 3
+
+
+def test_ima_adpcm_rejects_garbage():
+    with pytest.raises(mm.MediaDecodeError):
+        mm._decode_ima_adpcm(b"\x00\x01", 128)  # shorter than one block
+    with pytest.raises(mm.MediaDecodeError):
+        mm._decode_ima_adpcm(b"\x00" * 64, 3)   # absurd block align
