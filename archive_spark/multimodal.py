@@ -108,13 +108,15 @@ def synth_media_table(
 
 
 def real_media_table(
-    spark: SparkSession, n: int, seed: int = 42, partitions: int = 4
+    spark: SparkSession, n: int, seed: int = 42, partitions: int = 4,
+    adpcm_audio: bool = False,
 ) -> DataFrame:
     """Media table whose payloads are REAL containers (BMP + PNG images,
     WAV audio) built by the stdlib encoders below — the ingest shape a
     production pipeline sees, exercising ``decoder="real"`` end-to-end.
     PNG rows cycle through all five scanline filters, so the compressed
-    decode path is exercised in every variant."""
+    decode path is exercised in every variant.  ``adpcm_audio`` swaps
+    the PCM16 audio rows for IMA-ADPCM (format 0x11) containers."""
 
     def gen(it: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         for batch in it:
@@ -147,8 +149,15 @@ def real_media_table(
                 else:
                     nf = int(rng.integers(500, 4_000))
                     samples = rng.integers(-32768, 32768, nf).astype(np.int16)
-                    payload = encode_wav(samples, 16_000)
-                    kind, fmt = "audio", "wav"
+                    if adpcm_audio:
+                        payload = encode_wav_adpcm(samples, 16_000)
+                        # the container carries the DECODED frame count
+                        nf = len(decode_wav(payload)[0])
+                        fmt = "wav_adpcm"
+                    else:
+                        payload = encode_wav(samples, 16_000)
+                        fmt = "wav"
+                    kind = "audio"
                     w = h = 0
                     c, sr = 1, 16_000
                 rows["media_id"].append(f"r-{int(i):08d}")

@@ -410,3 +410,13 @@ def test_ima_adpcm_rejects_garbage():
         mm._decode_ima_adpcm(b"\x00\x01", 128)  # shorter than one block
     with pytest.raises(mm.MediaDecodeError):
         mm._decode_ima_adpcm(b"\x00" * 64, 3)   # absurd block align
+
+
+def test_real_media_table_adpcm_features(spark):
+    media = mm.real_media_table(spark, 20, adpcm_audio=True)
+    rows = mm.extract_features(media, decoder="real").collect()
+    audio = [r for r in rows if r.kind == "audio"]
+    assert audio and all(r.n_bytes > 0 for r in audio)
+    assert all(r.std_intensity >= 0 for r in audio)
+    fmts = {r[0] for r in media.select("meta.format").collect()}
+    assert "wav_adpcm" in fmts
