@@ -931,25 +931,41 @@ def _q_bpe_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     apply them, detokenize, and gate on exact text reconstruction
     (n_detok_mismatch must be 0 — the oracle pins it, roundtrip_gate
     style, and independently recomputes the per-source char totals)."""
-    from itertools import chain
-
     from archive_spark.pipeline_ops import bpe_apply, bpe_learn
 
     docs = _docs(spark, sf_dir)
     merges, _ = bpe_learn(docs, n_merges=8, min_count=2)
     toks, vocab = bpe_apply(docs, merges, return_vocab=True)
-    vmap = {r.sym_id: r.sym for r in vocab.collect()}
-    mlit = F.create_map(*[F.lit(x) for x in chain.from_iterable(vmap.items())])
-    detok = toks.select(
-        "doc_id",
-        "source",
-        F.concat_ws("", F.transform("tokens", lambda t: mlit[t])).alias("detok"),
+    # detokenize via a BROADCAST JOIN on sym_id, not a create_map literal:
+    # an expression literal grows the plan with the vocabulary (blows up at
+    # real 30k+ vocab sizes); the join keeps the plan O(1) and the vocab
+    # rides the broadcast. Order is restored by sorting (pos, sym) structs.
+    exploded = toks.select("doc_id", F.posexplode("tokens").alias("pos", "sym_id"))
+    detok = (
+        exploded.join(F.broadcast(vocab), "sym_id")
+        .groupBy("doc_id")
+        .agg(
+            F.concat_ws(
+                "",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "sym"))),
+                    lambda s: s.sym,
+                ),
+            ).alias("detok")
+        )
     )
-    joined = detok.join(
-        _docs(spark, sf_dir).select(
-            "doc_id", F.replace(F.col("text"), F.lit(" "), F.lit("")).alias("squashed")
-        ),
-        "doc_id",
+    # LEFT join from documents: a doc that tokenizes to zero tokens
+    # (empty/whitespace-only) must still count in n_docs — its detok is
+    # the empty string, which correctly matches its squashed text.
+    joined = (
+        _docs(spark, sf_dir)
+        .select(
+            "doc_id",
+            "source",
+            F.replace(F.col("text"), F.lit(" "), F.lit("")).alias("squashed"),
+        )
+        .join(detok, "doc_id", "left")
+        .withColumn("detok", F.coalesce("detok", F.lit("")))
     )
     return (
         joined.groupBy("source")
@@ -986,11 +1002,18 @@ def _q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q_tpch_q3ish(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q3 shape: top-10 BUILDING-segment orders by revenue before
-    a date cutoff — broadcast dim, distributed TopK (no global sort)."""
+    a date cutoff — broadcast dim, distributed TopK (no global sort).
+
+    Revenue is summed in exact integer units (cents × basis-points:
+    price has 2 decimals, discount has 2), so the result is independent
+    of fp summation order — no ROUND(SUM(double)) tie sensitivity
+    between Spark and the DuckDB oracle."""
     c = spark.read.parquet(f"{sf_dir}/customer.parquet")
     o = spark.read.parquet(f"{sf_dir}/orders.parquet")
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
     cutoff = "1998-01-01"
+    cents = F.round(F.col("l_extendedprice") * 100).cast("long")
+    disc = F.round(F.col("l_discount") * 100).cast("long")
     return (
         li.filter(F.col("l_shipdate") > cutoff)
         .join(o.filter(F.col("o_orderdate") < cutoff), F.col("l_orderkey") == F.col("o_orderkey"))
@@ -999,11 +1022,7 @@ def _q_tpch_q3ish(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("o_custkey") == F.col("c_custkey"),
         )
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
-        .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))))
-            .cast("long")
-            .alias("revenue")
-        )
+        .agg(F.sum(cents * (100 - disc)).alias("revenue"))
         .orderBy(F.desc("revenue"), "l_orderkey")
         .limit(10)
     )
@@ -1328,7 +1347,32 @@ _README_USABILITY_ORACLE = (
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # NOTE: dict order is deliberate. The driver's correctness harness walks
+    # this dict in registration order under a budget (r01=34, r02=47, r03=50
+    # rows) — so queries that have never (or not recently) earned a driver
+    # row are registered FIRST: the 8 never-checked ones, then the 10 that
+    # were green in r02 but missed r03's window, then the 50 green in r03.
     return {
+        # -- never driver-checked before round 4 --
+        "readme_usability": _q_readme_usability,
+        "archive_ingest": _q_archive_ingest,
+        "bpe_token_stats": _q_bpe_token_stats,
+        "doc_length_quantiles": _q_doc_length_quantiles,
+        "repetition_stats": _q_repetition_stats,
+        "filter_histogram": _q_filter_histogram,
+        "distinctive_terms": _q_distinctive_terms,
+        "tpch_q3ish": _q_tpch_q3ish,
+        # -- green in r02, missed r03's budget window --
+        "tpch_q1": _q_tpch_q1,
+        "tpch_q6": _q_tpch_q6,
+        "tpch_q5ish": _q_tpch_q5ish,
+        "cust_order_join": _q_cust_order_join,
+        "events_top3": _q_events_top3,
+        "events_sessions": _q_events_sessions,
+        "events_user_activity": _q_events_user_activity,
+        "order_rollup": _q_order_rollup,
+        "part_stats": _q_part_stats,
+        "supplier_nation": _q_supplier_nation,
         # engine core (SURVEY.md §2)
         "roundtrip_gate": _q_roundtrip_gate,
         "enc_listing": _q_enc_listing,
@@ -1382,25 +1426,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # streaming
         "stream_windowed_counts": _q_stream_windowed_counts,
         "stream_running_stats": _q_stream_running_stats,
-        # star-schema analytics
-        "events_sessions": _q_events_sessions,
-        "tpch_q5ish": _q_tpch_q5ish,
-        "tpch_q3ish": _q_tpch_q3ish,
-        "part_stats": _q_part_stats,
-        "supplier_nation": _q_supplier_nation,
-        "tpch_q1": _q_tpch_q1,
-        "tpch_q6": _q_tpch_q6,
-        "order_rollup": _q_order_rollup,
-        "cust_order_join": _q_cust_order_join,
-        "events_top3": _q_events_top3,
-        "events_user_activity": _q_events_user_activity,
-        "readme_usability": _q_readme_usability,
-        "archive_ingest": _q_archive_ingest,
-        "bpe_token_stats": _q_bpe_token_stats,
-        "doc_length_quantiles": _q_doc_length_quantiles,
-        "repetition_stats": _q_repetition_stats,
-        "filter_histogram": _q_filter_histogram,
-        "distinctive_terms": _q_distinctive_terms,
     }
 
 
@@ -1867,8 +1892,11 @@ def oracle_sql() -> dict[str, str]:
             "(512 - c)::INTEGER AS n_pad FROM seqs ORDER BY seq_id"
         ),
         "tpch_q3ish": (
+            # exact integer revenue: cents * (100 - discount basis points);
+            # SUM(BIGINT) is HUGEINT in DuckDB — cast back (CLAUDE.md gotcha)
             "SELECT l_orderkey, o_orderdate, o_orderpriority, "
-            "CAST(ROUND(SUM(l_extendedprice * (1 - l_discount))) AS BIGINT) "
+            "SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT) * "
+            "(100 - CAST(ROUND(l_discount * 100) AS BIGINT)))::BIGINT "
             "AS revenue "
             "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
             "JOIN customer ON o_custkey = c_custkey "

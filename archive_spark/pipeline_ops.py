@@ -223,9 +223,13 @@ def contamination_check(
     **broadcast** — the corpus is ONE scan + generate-shingles +
     broadcast hash-join + two-level aggregate, with no corpus-side
     shuffle of text (only the surviving (doc_id, bench_id) hits, which
-    are tiny, reach the exchange).  Shingles compare as ``xxhash64``
-    (JVM, codegen) rather than strings so the join keys are fixed-width
-    longs.
+    are tiny, reach the exchange).  The join KEY is ``xxhash64`` (JVM,
+    codegen, fixed-width long), and every hash hit is then CONFIRMED by
+    comparing the gram strings — a 64-bit collision is birthday-plausible
+    over a 100 TB corpus' ~10^12 distinct shingles, and an unconfirmed
+    hit would silently drop a clean training document.  The confirm is
+    free at scale: it only runs on rows that already survived the
+    broadcast join.
 
     Returns (doc_id, bench_id, n_shared) — one row per contaminated
     (corpus doc, benchmark doc) pair.  ``exclude_self=True`` drops
@@ -234,17 +238,21 @@ def contamination_check(
     spaces usually collide (both number from 0), so the default keeps
     every pair.
     """
-    def gram_hashes(df, id_out):
+    def gram_hashes(df, id_out, gram_out):
         return df.select(
             F.col("doc_id").alias(id_out),
             F.explode(
                 F.array_distinct(_shingles(F.col("text"), k))
-            ).alias("g"),
-        ).select(id_out, F.xxhash64("g").alias("h"))
+            ).alias(gram_out),
+        ).select(id_out, gram_out, F.xxhash64(gram_out).alias("h"))
 
-    bench_sh = gram_hashes(benchmark, "bench_id").distinct()
-    corpus_sh = gram_hashes(docs, "doc_id")
-    out = corpus_sh.join(F.broadcast(bench_sh), "h")
+    bench_sh = gram_hashes(benchmark, "bench_id", "g_bench").distinct()
+    corpus_sh = gram_hashes(docs, "doc_id", "g")
+    out = (
+        corpus_sh.join(F.broadcast(bench_sh), "h")
+        # string confirm of the hash hit (collision guard, see docstring)
+        .filter(F.col("g") == F.col("g_bench"))
+    )
     if exclude_self:
         out = out.filter(F.col("doc_id") != F.col("bench_id"))
     return out.groupBy("doc_id", "bench_id").agg(F.count("*").alias("n_shared"))
@@ -878,7 +886,7 @@ def word_hash_table(docs: DataFrame) -> DataFrame:
     )
 
 
-def simhash(docs: DataFrame) -> DataFrame:
+def simhash(docs: DataFrame, hash_table: DataFrame | None = None) -> DataFrame:
     """SimHash fingerprint: per-word 64-bit hash, majority vote per bit
     (bit set iff strictly more set-votes than clear-votes).
 
@@ -890,28 +898,46 @@ def simhash(docs: DataFrame) -> DataFrame:
     import pyarrow as pa
     from typing import Iterator
 
+    # DRAM-lean vote kernel (VERDICT r3 #1: the old int64 bit matrix +
+    # int64 prefix sums moved ~1 KB of temporaries per 8-byte hash on a
+    # bandwidth-bound box). Here: a 256×8 uint8 LUT gather expands each
+    # hash to 64 one-byte bits (64 B/word), and segment sums accumulate
+    # straight into an int32 (n_docs, 64) output via np.add.reduceat —
+    # no (n_words, 64) wide-integer intermediate at all (~8× less
+    # traffic). reduceat quirks: an empty segment returns arr[start]
+    # (zeroed afterwards via the lens==0 mask), and a start == n raises —
+    # offsets are monotone so start == n only happens for a TRAILING run
+    # of empty docs, which is dropped from the index list (their rows
+    # stay zero). Results remain exact for empty docs.
+    lut = ((np.arange(256, dtype=np.uint8)[:, None]
+            >> np.arange(8, dtype=np.uint8)) & 1).astype(np.uint8)
+
     def vote(it: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
-        shifts = np.arange(64, dtype=np.uint64)
         for batch in it:
             lists = batch.column("hashes")
             offsets = np.asarray(lists.offsets, dtype=np.int64)
-            flat = np.asarray(lists.values).astype(np.uint64)
-            lens = np.diff(offsets)
-            # bit matrix (n_words_in_batch, 64), segment-summed per doc via
-            # prefix sums (exact for empty docs, unlike reduceat)
-            bits = ((flat[:, None] >> shifts) & np.uint64(1)).astype(np.int64)
-            csum = np.zeros((flat.size + 1, 64), dtype=np.int64)
-            np.cumsum(bits, axis=0, out=csum[1:])
-            ones = csum[offsets[1:]] - csum[offsets[:-1]]
+            flat = np.ascontiguousarray(np.asarray(lists.values)).view(np.uint64)
+            starts, ends = offsets[:-1], offsets[1:]
+            lens = ends - starts
+            ones = np.zeros((len(lens), 64), dtype=np.int32)
+            if flat.size:
+                # little-endian uint64 → 8 bytes → LUT → (n_words, 64)
+                # uint8 bits; column j*8+k is bit position j*8+k
+                bits = lut[flat.view(np.uint8).reshape(-1, 8)].reshape(-1, 64)
+                valid = starts < flat.size
+                ones[valid] = np.add.reduceat(
+                    bits, starts[valid], axis=0, dtype=np.int32
+                )
+                ones[lens == 0] = 0
             # majority: +1/-1 votes > 0  <=>  2*ones > len
-            setbits = (2 * ones > lens[:, None]).astype(np.uint64)
-            fp = (setbits << shifts).sum(axis=1, dtype=np.uint64)
+            setbits = (2 * ones.astype(np.int64) > lens[:, None]).astype(np.uint8)
+            fp = np.packbits(setbits, axis=1, bitorder="little").view(np.uint64)[:, 0]
             yield pa.RecordBatch.from_arrays(
                 [batch.column("doc_id"), pa.array(fp.view(np.int64), pa.int64())],
                 names=["doc_id", "simhash"],
             )
 
-    ht = word_hash_table(docs)
+    ht = hash_table if hash_table is not None else word_hash_table(docs)
     out_schema = f"doc_id {dict(ht.dtypes)['doc_id']}, simhash bigint"
     return ht.mapInArrow(vote, out_schema)
 
@@ -1441,14 +1467,24 @@ def ivf_ann(
     if train_iters > 0:
         C = ivf_train_centroids(emb, n_centroids, iters=train_iters, seed=seed)
     else:
+        # orderBy(vec_id) pins WHICH sampled rows survive the limit —
+        # without it, limit-without-order lets centroids shift across
+        # partitionings/Spark versions (reproducibility, VERDICT r3 #9).
+        # The sort runs over the ~10% sample, not the corpus.
         cent_rows = (
             emb.select("vec_id", "embedding")
             .sample(fraction=0.1, seed=seed)
+            .orderBy("vec_id")
             .limit(n_centroids)
             .collect()
         )
         if len(cent_rows) < n_centroids:
-            cent_rows = emb.select("vec_id", "embedding").limit(n_centroids).collect()
+            cent_rows = (
+                emb.select("vec_id", "embedding")
+                .orderBy("vec_id")
+                .limit(n_centroids)
+                .collect()
+            )
         C = np.asarray([r.embedding for r in cent_rows], dtype=np.float64)
         C /= np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-12)
 

@@ -176,9 +176,16 @@ def select_files(
             if col not in st:
                 continue
             fmn, fmx = st[col]
-            if (lo is not None and fmx < lo) or (hi is not None and fmn > hi):
-                drop = True
-                break
+            try:
+                if (lo is not None and fmx < lo) or (hi is not None and fmn > hi):
+                    drop = True
+                    break
+            except TypeError:
+                # bound/stat type mismatch (int bound vs string stat, or
+                # heterogeneous per-file stat types): the comparison is
+                # invalid, not the file — keep it. Pruning is an
+                # optimization, never a filter.
+                continue
         if not drop:
             kept.append(f)
     return kept

@@ -21,7 +21,11 @@ def main() -> None:
     ap.add_argument("--output", required=True)
     ap.add_argument("--targets", default=None, help="comma-separated doc_ids")
     ap.add_argument("--doc-range", default=None,
-                    help="lo,hi doc_id bounds for manifest-level file pruning")
+                    help="lo,hi doc_id bounds for manifest-level file pruning. "
+                         "Bounds compare as STRINGS (lexicographic), matching "
+                         "the zone-map stats — correct for the fixed-width/"
+                         "zero-padded doc_id layouts this engine writes; "
+                         "unpadded numeric ids would sort '10' < '9'.")
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession, functions as F
@@ -38,6 +42,15 @@ def main() -> None:
         if len(parts) != 2:
             ap.error("--doc-range must be 'lo,hi'")
         doc_range = (parts[0], parts[1])
+        if doc_range[0] > doc_range[1]:
+            ap.error("--doc-range lo > hi under string comparison "
+                     f"({doc_range[0]!r} > {doc_range[1]!r}); bounds are "
+                     "lexicographic — zero-pad numeric ids")
+        if any(p.isdigit() for p in parts) and len(parts[0]) != len(parts[1]):
+            import sys
+            print("warning: --doc-range bounds look like unpadded integers "
+                  "of different widths; comparison is lexicographic "
+                  "('10' < '9') — zero-pad to a fixed width", file=sys.stderr)
     enc = checkpoint.read_encoded(spark, args.input, doc_range=doc_range)
     if doc_range is not None:
         # block-level zone-map prune BEFORE the decode UDF (same

@@ -100,6 +100,27 @@ def test_simhash_matches_reference_vote(spark, docs):
         assert fps[r.doc_id] == fp, r.doc_id
 
 
+def test_simhash_empty_and_trailing_empty_docs(spark):
+    """The reduceat-based vote kernel's edge cases: empty hash arrays —
+    mid-batch (reduceat returns arr[start] for empty segments) and
+    TRAILING (start == n would raise) — must yield fingerprint 0, and
+    neighbours must be unaffected."""
+    ht = spark.createDataFrame(
+        [
+            (1, [0x0F0F0F0F0F0F0F0F, 0x0F0F0F0F0F0F0F0F, -1]),
+            (2, []),  # mid empty
+            (3, [1, 1, 2]),
+            (4, []),  # trailing empty run
+            (5, []),
+        ],
+        "doc_id long, hashes array<long>",
+    ).coalesce(1)
+    fps = {r.doc_id: r.simhash for r in po.simhash(None, hash_table=ht).collect()}
+    assert fps[2] == 0 and fps[4] == 0 and fps[5] == 0
+    assert fps[1] == 0x0F0F0F0F0F0F0F0F  # 2-of-3 majority per nibble bit
+    assert fps[3] == 1  # bit0: 2/3 votes; bit1: 1/3
+
+
 def test_lsh_candidate_count_matches_join(spark, docs):
     """The pure-aggregate slot count must equal the per-bucket k*(k-1)/2
     arithmetic done naively over the collected band table."""
