@@ -856,6 +856,24 @@ def _q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return merges.orderBy("step")
 
 
+def _q_bpe_merges_batched(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched BPE training (batch=4, two rounds for 8 merges): per
+    round, the top candidates are ranked and the first 4 that share no
+    symbol with ANY earlier-ranked candidate are applied in one pass —
+    the driver-roundtrip-per-merge fix (VERDICT r3 #4).  The per-round
+    states are persisted; the oracle replays ranking, the independence
+    rule (a plain self-join — deliberately non-recursive), the
+    per-round cap and the global merge budget."""
+    from archive_spark.pipeline_ops import bpe_learn
+
+    merges, steps = bpe_learn(
+        _docs(spark, sf_dir), n_merges=8, min_count=2, return_steps=True,
+        batch=4, window_mult=16,
+    )
+    _persist(steps, "bpe_steps_batched", sf_dir)
+    return merges.orderBy("step")
+
+
 def _q_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic weighted source mix (downsample two sources); the
     oracle recomputes every keep/drop decision from the same md5."""
@@ -1373,6 +1391,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "order_rollup": _q_order_rollup,
         "part_stats": _q_part_stats,
         "supplier_nation": _q_supplier_nation,
+        # -- new in round 4 --
+        "bpe_merges_batched": _q_bpe_merges_batched,
         # engine core (SURVEY.md §2)
         "roundtrip_gate": _q_roundtrip_gate,
         "enc_listing": _q_enc_listing,
@@ -1809,6 +1829,32 @@ def oracle_sql() -> dict[str, str]:
             'SELECT step::INT AS step, l AS "left", r AS "right", '
             'l || r AS merged, n::BIGINT AS n_pairs '
             "FROM ranked WHERE rn = 1 AND n >= 2 ORDER BY step"
+        ),
+        "bpe_merges_batched": (
+            # replay the batched selection from the persisted per-ROUND
+            # states: rank pairs (count desc, l, r) within the 64-wide
+            # window, keep candidates sharing no symbol with any
+            # earlier-ranked window candidate (non-recursive rule — a
+            # plain NOT EXISTS self-join), cap 4 per round and 8 global
+            # in (round, rank) order; global merge index = row_number-1
+            "WITH pr AS (SELECT step, syms[i] AS l, syms[i+1] AS r, "
+            "sum(cnt) AS n FROM (SELECT step, syms, cnt, "
+            "unnest(range(1, len(syms))) AS i FROM "
+            f"read_parquet('{_opath('bpe_steps_batched')}')) GROUP BY 1, 2, 3), "
+            "ranked AS (SELECT step, l, r, n, row_number() OVER "
+            "(PARTITION BY step ORDER BY n DESC, l, r) AS rn FROM pr), "
+            "win AS (SELECT * FROM ranked WHERE rn <= 64), "
+            "surv AS (SELECT w.* FROM win w WHERE w.n >= 2 AND NOT EXISTS "
+            "(SELECT 1 FROM win w2 WHERE w2.step = w.step AND w2.rn < w.rn "
+            "AND (w2.l IN (w.l, w.r) OR w2.r IN (w.l, w.r)))), "
+            "sel AS (SELECT *, row_number() OVER "
+            "(PARTITION BY step ORDER BY rn) AS k FROM surv), "
+            "cap AS (SELECT * FROM sel WHERE k <= 4), "
+            "gsel AS (SELECT *, row_number() OVER (ORDER BY step, k) AS g "
+            "FROM cap) "
+            'SELECT (g - 1)::INT AS step, l AS "left", r AS "right", '
+            "l || r AS merged, n::BIGINT AS n_pairs "
+            "FROM gsel WHERE g <= 8 ORDER BY step"
         ),
         "source_mix": (
             "WITH s AS (SELECT source, substr(md5(source || chr(31) || "

@@ -753,6 +753,91 @@ def test_bpe_learn_overlapping_pairs_greedy(spark):
     assert rows == [("a", "a", 9), ("aa", "aa", 3)]
 
 
+def _bpe_batched_reference(texts, n_merges, batch, window, min_count=2):
+    """Pure-Python mirror of bpe_learn's batched selection: rank by
+    (count desc, pair), keep candidates sharing no symbol with ANY
+    earlier-ranked window candidate, cap per round and globally, apply
+    sequentially in rank order."""
+    from collections import Counter
+
+    vocab = Counter()
+    for t in texts:
+        for w in t.split(" "):
+            if w:
+                vocab[tuple(w)] += 1
+
+    def apply(vocab, left, right):
+        out = Counter()
+        for syms, cnt in vocab.items():
+            merged, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == left and syms[i + 1] == right:
+                    merged.append(left + right)
+                    i += 2
+                else:
+                    merged.append(syms[i])
+                    i += 1
+            out[tuple(merged)] += cnt
+        return out
+
+    merges = []
+    while len(merges) < n_merges:
+        b = min(batch, n_merges - len(merges))
+        pairs = Counter()
+        for syms, cnt in vocab.items():
+            for i in range(len(syms) - 1):
+                pairs[(syms[i], syms[i + 1])] += cnt
+        if not pairs:
+            break
+        ranked = sorted(pairs.items(), key=lambda kv: (-kv[1], kv[0]))[:window]
+        if ranked[0][1] < min_count:
+            break
+        sel = []
+        for idx, ((l, r), n) in enumerate(ranked):
+            if n < min_count:
+                break
+            if any(l2 in (l, r) or r2 in (l, r) for (l2, r2), _ in ranked[:idx]):
+                continue
+            sel.append((l, r, n))
+            if len(sel) == b:
+                break
+        for l, r, n in sel:
+            merges.append((len(merges), l, r, l + r, n))
+        for l, r, _ in sel:
+            vocab = apply(vocab, l, r)
+    return merges
+
+
+def test_bpe_learn_batched_matches_reference(spark):
+    texts = [
+        "low lower lowest low low",
+        "newer newest new news low",
+        "aaaa aaab abab banana bandana",
+        "the the the them theme thematic",
+    ]
+    docs = spark.createDataFrame([(i, t) for i, t in enumerate(texts)],
+                                 "doc_id long, text string")
+    got, _ = po.bpe_learn(docs, n_merges=12, min_count=2, batch=4, window_mult=16)
+    got_rows = [(r.step, r.left, r.right, r.merged, r.n_pairs) for r in got.collect()]
+    assert got_rows == _bpe_batched_reference(texts, 12, batch=4, window=64)
+    # and batch=1 through the SAME code path equals the classic argmax
+    got1, _ = po.bpe_learn(docs, n_merges=6, min_count=2, batch=1)
+    rows1 = [(r.step, r.left, r.right, r.merged, r.n_pairs) for r in got1.collect()]
+    assert rows1 == _bpe_reference(texts, 6)
+
+
+def test_bpe_apply_roundtrips_with_batched_merges(spark):
+    texts = ["low lower lowest", "new newer newest low", "banana band bandana"]
+    docs = spark.createDataFrame([(i, t, "s") for i, t in enumerate(texts)],
+                                 "doc_id long, text string, source string")
+    merges, _ = po.bpe_learn(docs, n_merges=10, min_count=2, batch=4)
+    toks, vocab = po.bpe_apply(docs, merges, return_vocab=True)
+    id2sym = {r.sym_id: r.sym for r in vocab.collect()}
+    out = {r.doc_id: r.tokens for r in toks.collect()}
+    for i, t in enumerate(texts):
+        assert "".join(id2sym[x] for x in out[i]) == t.replace(" ", "")
+
+
 def test_bpe_learn_steps_replay_argmax(spark):
     docs = spark.createDataFrame(
         [(0, "low lower lowest"), (1, "new newer newest")],
