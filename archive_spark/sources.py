@@ -62,7 +62,7 @@ MAX_BYTES_DEFAULT = 150 * 2**20
 #: formats _walk_members can decode with the stdlib (+ zstd via the
 #: codec pyarrow bundles, + spec-implemented SEA ARC decoders)
 SUPPORTED = ("zip", "tar", "tar.gz", "gzip", "bzip2", "xz",
-             "zstd", "arc", "cab", "7z", "arj", "lha")
+             "zstd", "arc", "cab", "7z", "arj", "lha", "rar")
 
 
 def _zstd_decompress(buf: bytes) -> bytes:
@@ -230,6 +230,10 @@ def _walk_members(
             for row in _walk_lha(buf, want_payload, targets, max_bytes):
                 yield fmt, row
             return
+        if fmt == "rar":
+            for row in _walk_rar(buf, want_payload, targets, max_bytes):
+                yield fmt, row
+            return
         if fmt == "zip":
             with zipfile.ZipFile(io.BytesIO(buf)) as zf:
                 for info in zf.infolist():
@@ -242,7 +246,14 @@ def _walk_members(
                         info.compress_type, f"m{info.compress_type}"
                     )
                     payload, status = None, "ok"
-                    if want_payload and info.file_size > max_bytes:
+                    if info.flag_bits & 0x1:
+                        # general-purpose bit 0: password-protected member.
+                        # A dedicated typed status, not 'corrupt' — mirrors
+                        # the reference's decryption diagnostic
+                        # (pkzip/pkzip.go:92-117 BadDecryption(82),
+                        # ErrPassParse at pkzip.go:175-192).
+                        status = "encrypted"
+                    elif want_payload and info.file_size > max_bytes:
                         # zip-bomb guard: declared inflate size over the
                         # ExtractSource cap -> typed row, no decode
                         status = "too_large"
@@ -1360,6 +1371,76 @@ def _unarj_huff(data: bytes, expect: int) -> bytes:
             for _ in range(length):
                 out.append(out[-dist])
     return bytes(out[:expect])
+
+
+def _walk_rar(buf: bytes, want_payload: bool, targets: set[str] | None,
+              max_bytes: int = MAX_BYTES_DEFAULT):
+    """RAR 2.x container walk from the published block-header format
+    (the RAR technote / unrarlib header layout; reference lists via the
+    external unrar binary, rar.go:24-51 — this is a from-scratch parse,
+    not a decode port).
+
+    Layout: 7-byte signature ``Rar!\\x1a\\x07\\x00``, then blocks of
+    ``<HBHH`` = (head_crc, head_type, head_flags, head_size); flag
+    0x8000 appends a u32 ADD_SIZE (the packed data length for file
+    blocks).  File blocks (type 0x74) carry pack_size, unp_size,
+    host_os, file CRC-32, dos time, needed version, method byte
+    (0x30 stored … 0x35 best) and the member name.  head_crc is the low
+    16 bits of CRC-32 over head_type..header end.
+
+    STORED members (method 0x30) extract CRC-32-gated; the LZSS+PPM
+    compressed methods are proprietary and surface as typed
+    ``unsupported_method`` rows.  Password flag 0x04 → ``encrypted``;
+    volume-split members (0x01/0x02) → ``unsupported_method``."""
+    import struct
+    import zlib
+
+    pos, n = 7, len(buf)  # past the Rar!\x1a\x07\x00 signature
+    while pos + 7 <= n:
+        head_crc, btype, flags, hsize = struct.unpack_from("<HBHH", buf, pos)
+        if hsize < 7:
+            break
+        add_size = 0
+        if flags & 0x8000 and pos + 11 <= n:
+            add_size = struct.unpack_from("<I", buf, pos + 7)[0]
+        if btype == 0x74:
+            if pos + 32 > n:
+                break
+            (pack_size, unp_size, _host, fcrc, _ftime, unp_ver, method,
+             name_len, _attr) = struct.unpack_from("<IIBIIBBHI", buf, pos + 7)
+            add_size = pack_size
+            name = bytes(buf[pos + 32 : pos + 32 + name_len]).decode(
+                "latin-1").replace("\\", "/")
+            data = bytes(buf[pos + hsize : pos + hsize + pack_size])
+            is_dir = (flags & 0xE0) == 0xE0
+            if is_dir or (targets is not None and name not in targets):
+                pos += hsize + add_size
+                continue
+            mname = {0x30: "stored", 0x31: "rar1", 0x32: "rar2",
+                     0x33: "rar3", 0x34: "rar4", 0x35: "rar5"}.get(
+                method, f"m{method}")
+            payload, status = None, "ok"
+            hdr_ok = (zlib.crc32(bytes(buf[pos + 2 : pos + hsize]))
+                      & 0xFFFF) == head_crc
+            if not hdr_ok:
+                status = "corrupt"
+            elif flags & 0x04:
+                status = "encrypted"
+            elif want_payload and unp_size > max_bytes:
+                status = "too_large"
+            elif want_payload:
+                if flags & 0x03:
+                    status = "unsupported_method"  # split across volumes
+                elif method == 0x30:
+                    payload = data
+                    if len(payload) != unp_size or zlib.crc32(payload) != fcrc:
+                        payload, status = None, "corrupt"
+                else:
+                    status = "unsupported_method"
+            yield name, unp_size, pack_size, mname, status, payload
+        elif btype == 0x7B:  # end-of-archive block
+            break
+        pos += hsize + add_size
 
 
 def _walk_arj(buf: bytes, want_payload: bool, targets: set[str] | None,

@@ -64,9 +64,16 @@ def test_listing_reference_corpus(spark, ref_archives):
     # ancient methods list fine via the central directory
     assert {r.method for r in by_archive["HWSHRINK.ZIP"]} == {"shrink"}
     assert {r.status for r in by_archive["HWSHRINK.ZIP"]} == {"ok"}
-    # no stdlib decoder → one typed row, no crash
-    for a in ("RAR250.RAR",):
-        assert [r.status for r in by_archive[a]] == ["unsupported_format"], a
+    # RAR 2.x block headers list fine (rar.go:24-51 parity); payloads
+    # are proprietary-compressed so listing status stays ok
+    got = {r.member: (r.size_uncompressed, r.size_compressed, r.method)
+           for r in by_archive["RAR250.RAR"]}
+    assert got == {  # packed sizes measured from the corpus file itself
+        "TESTDAT1.TXT": (2009, 931, "rar3"),
+        "TESTDAT2.TXT": (469, 162, "rar3"),
+        "TESTDAT3.TXT": (81410, 21818, "rar3"),
+    }
+    assert {r.status for r in by_archive["RAR250.RAR"]} == {"ok"}
     for a in ("TEST.EXE", "TESTDAT1.TXT"):
         assert [r.status for r in by_archive[a]] == ["unknown_format"], a
 
@@ -112,6 +119,118 @@ def test_size_guard(spark, ref_archives):
     lst = sources.list_members(ref_archives, max_bytes=1000)
     big = lst.filter(F.col("archive") == "PKZ204EX.ZIP").collect()
     assert [r.status for r in big] == ["too_large"]
+
+
+def _rar2_block(btype: int, flags: int, body: bytes, data: bytes = b"") -> bytes:
+    """One RAR 2.x block: CRC-16(low bits of CRC-32) over
+    type..header-end, then the header, then optional packed data."""
+    import struct
+    import zlib
+
+    hsize = 7 + len(body)
+    hdr = struct.pack("<BHH", btype, flags, hsize) + body
+    crc = zlib.crc32(hdr) & 0xFFFF
+    return struct.pack("<H", crc) + hdr + data
+
+
+def _stored_rar(members: dict[str, bytes], encrypt: set[str] = frozenset()) -> bytes:
+    """Spec-crafted RAR 2.x archive with STORED members (method 0x30) —
+    built from the published header layout, the way the MSZIP/LZX tests
+    craft synthetic cabs."""
+    import struct
+    import zlib
+
+    out = b"Rar!\x1a\x07\x00"
+    out += _rar2_block(0x73, 0x0000, b"\x00" * 6)  # archive header
+    for name, data in members.items():
+        nb = name.encode("latin-1")
+        flags = 0x8000 | (0x04 if name in encrypt else 0)
+        body = struct.pack(
+            "<IIBIIBBHI", len(data), len(data), 0, zlib.crc32(data),
+            0, 20, 0x30, len(nb), 0x20,
+        ) + nb
+        out += _rar2_block(0x74, flags, body, data)
+    out += _rar2_block(0x7B, 0x4000, b"")  # end-of-archive
+    return out
+
+
+def test_rar_stored_members_extract(spark):
+    members = {"A.TXT": b"attack at dawn" * 20, "B.BIN": bytes(range(256))}
+    buf = _stored_rar(members)
+    assert sources.detect_format(buf, "x.rar") == "rar"
+    df = spark.createDataFrame([("x.rar", len(buf), buf)],
+                               "path string, length long, content binary")
+    ext = sources.extract_members(df).collect()
+    got = {r.member: bytes(r.payload) for r in ext if r.status == "ok"}
+    assert got == members
+    # corrupting a stored payload trips the CRC gate → typed, no bad bytes
+    bad = bytearray(buf)
+    bad[-8] ^= 0xFF  # last payload byte of B.BIN (end block is 7 bytes)
+    dfb = spark.createDataFrame([("y.rar", len(bad), bytes(bad))],
+                                "path string, length long, content binary")
+    stats = {r.member: r.status for r in sources.extract_members(dfb).collect()}
+    assert stats["B.BIN"] == "corrupt" and stats["A.TXT"] == "ok"
+
+
+def test_rar_encrypted_member_typed(spark):
+    buf = _stored_rar({"S.TXT": b"secret"}, encrypt={"S.TXT"})
+    df = spark.createDataFrame([("e.rar", len(buf), buf)],
+                               "path string, length long, content binary")
+    rows = sources.extract_members(df).collect()
+    assert [(r.member, r.status, r.payload) for r in rows] == [
+        ("S.TXT", "encrypted", None)]
+
+
+def test_rar_reference_compressed_members_typed(spark, ref_archives):
+    """RAR250.RAR's method-0x33 payloads are proprietary LZSS+PPM —
+    extraction surfaces typed unsupported_method, never garbage."""
+    ext = sources.extract_members(ref_archives).filter(
+        F.col("archive") == "RAR250.RAR")
+    rows = ext.collect()
+    assert sorted(r.member for r in rows) == [
+        "TESTDAT1.TXT", "TESTDAT2.TXT", "TESTDAT3.TXT"]
+    assert {r.status for r in rows} == {"unsupported_method"}
+    assert all(r.payload is None for r in rows)
+
+
+def _encrypted_zip() -> bytes:
+    """A zip whose member is marked password-protected: write a stored
+    member, then set general-purpose bit 0 in both the local and the
+    central headers and prepend the 12-byte ZipCrypto header that
+    PKWARE traditional encryption adds to the payload (APPNOTE 6.1)."""
+    import struct
+
+    bio = io.BytesIO()
+    with zipfile.ZipFile(bio, "w", zipfile.ZIP_STORED) as zf:
+        zf.writestr("secret.txt", b"attack at dawn")
+    raw = bytearray(bio.getvalue())
+    # local header: flag at offset 6; central header: flag at +8 of PK\x01\x02
+    assert raw[:4] == b"PK\x03\x04"
+    raw[6] |= 0x1
+    cd = raw.find(b"PK\x01\x02")
+    raw[cd + 8] |= 0x1
+    # compressed size fields grow by the 12-byte crypto header
+    lsize = struct.unpack("<I", raw[18:22])[0] + 12
+    raw[18:22] = struct.pack("<I", lsize)
+    raw[cd + 20:cd + 24] = struct.pack("<I", lsize)
+    # splice the fake crypto header before the payload
+    name_len = struct.unpack("<H", raw[26:28])[0]
+    extra_len = struct.unpack("<H", raw[28:30])[0]
+    data_off = 30 + name_len + extra_len
+    return bytes(raw[:data_off]) + b"\x00" * 12 + bytes(raw[data_off:])
+
+
+def test_encrypted_zip_member_typed(spark):
+    """A password-protected member must be typed 'encrypted' — the
+    reference's dedicated decryption diagnostic (pkzip/pkzip.go:92-117
+    BadDecryption(82), ErrPassParse 175-192) — not 'corrupt'."""
+    buf = _encrypted_zip()
+    df = spark.createDataFrame([("enc.zip", len(buf), buf)],
+                               "path string, length long, content binary")
+    rows = sources.list_members(df).collect()
+    assert [(r.member, r.status) for r in rows] == [("secret.txt", "encrypted")]
+    ext = sources.extract_members(df).collect()
+    assert [(r.status, r.payload) for r in ext] == [("encrypted", None)]
 
 
 def test_corrupt_archive_typed(spark):
@@ -266,7 +385,9 @@ def test_corpus_report(spark, ref_archives):
     shrink = rows[("zip", "shrink", "ok")]
     assert (shrink.n_archives, shrink.n_members) >= (2, 11)
     assert shrink.uncompressed_bytes > shrink.compressed_bytes
-    assert ("rar", None, "unsupported_format") in rows
+    # RAR lists real members now (round 4); payload decode stays typed
+    assert ("rar", "rar3", "ok") in rows
+    assert rows[("rar", "rar3", "ok")].n_members == 3
 
 
 def test_truncation_fuzz_yields_typed_rows_never_crashes():
