@@ -29,6 +29,8 @@ def main() -> None:
     ap.add_argument("--cpus", type=int, default=32)
     ap.add_argument("--keep", action="store_true", help="keep scratch dirs")
     ap.add_argument("--scratch", default="/tmp/spark_graft_anchor")
+    ap.add_argument("--no-targeted", action="store_true",
+                    help="skip the targeted-decode / pruning phase")
     args = ap.parse_args()
 
     from pyspark.sql import functions as F
@@ -88,6 +90,57 @@ def main() -> None:
     out["digest_match"] = (d_in.n_docs, d_in.content_digest) == (
         d_out.n_docs, d_out.content_digest
     )
+
+    # ---- targeted decode at scale: prove reads stay O(result), not
+    # O(corpus) (VERDICT r3 #7).  Publish the encoded parquet as a table
+    # snapshot, range-cluster it on doc_min (the maintenance pass a real
+    # deployment runs for point-lookup workloads), then decode a ~0.1%
+    # doc_id range and record what fraction of FILES the manifest
+    # zone-map stats skipped before Spark ever listed them.
+    if not args.no_targeted:
+        from archive_spark import checkpoint
+        from archive_spark import table as snap_table
+
+        enc_df = spark.read.parquet(enc_path)
+        rel = sorted(
+            f for f in os.listdir(enc_path) if f.endswith(".parquet")
+        )
+        snap_table.commit_existing(enc_path, rel, schema=enc_df.schema.simpleString())
+        t0 = time.perf_counter()
+        n_files = max(len(rel), 1)
+        snap = snap_table.compact(
+            spark, enc_path, target_partitions=n_files,
+            parquet_codec="none", order_by=["doc_min"],
+        )
+        out["cluster_compact_sec"] = round(time.perf_counter() - t0, 1)
+
+        manifest = snap_table.read_manifest(enc_path, snap)
+        # ~0.1% of doc ids: one source's idx window (ids are
+        # "<source>-<idx:010d>", so the range stays within 'textish')
+        width = max(args.docs // 1000, 10)
+        a = args.docs // 3
+        lo, hi = f"textish-{a:010d}", f"textish-{a + width:010d}"
+        kept = snap_table.select_files(enc_path, snap, {
+            "doc_min": (None, hi), "doc_max": (lo, None)})
+        out["targeted_files_total"] = len(manifest.files)
+        out["targeted_files_read"] = len(kept)
+        out["targeted_file_skip_frac"] = round(1 - len(kept) / len(manifest.files), 4)
+
+        expect = tokens.filter(
+            (F.col("doc_id") >= lo) & (F.col("doc_id") <= hi)
+        ).count()
+        t0 = time.perf_counter()
+        pruned = checkpoint.read_encoded(spark, enc_path, doc_range=(lo, hi))
+        cand = pruned.filter((F.col("doc_min") <= hi) & (F.col("doc_max") >= lo))
+        n_blocks_read = cand.count()
+        dec = engine.decode(cand).filter(
+            (F.col("doc_id") >= lo) & (F.col("doc_id") <= hi))
+        got = dec.count()
+        out["targeted_decode_sec"] = round(time.perf_counter() - t0, 1)
+        total_blocks = enc_df.count()
+        out["targeted_block_skip_frac"] = round(1 - n_blocks_read / total_blocks, 4)
+        out["targeted_docs"] = got
+        out["targeted_match"] = bool(got == expect)
 
     spark.stop()
     if not args.keep:

@@ -54,20 +54,41 @@ def main() -> None:
     from archive_spark.session import get_spark
     from archive_spark.tokengen import token_table
 
-    # host-weather probe: this box is a shared host whose delivered
-    # parallelism varies (measured 18-32 effective cores across a day).
-    # Record it so cross-round bench comparisons can be normalized.
+    # host-weather probe + GATE: this box is a shared host whose
+    # delivered parallelism varies (measured 12-32 effective cores
+    # across rounds — r3's bench artifact ran at 12.4/32 and looked 3x
+    # slower on identical code). A run below BENCH_MIN_EFF effective
+    # cores is not comparable across rounds, so probe first and
+    # loop-retry until the host clears the bar (or retries exhaust —
+    # then run anyway and mark the artifact 'degraded' so readers know
+    # the denominator).
     import multiprocessing as mp
 
-    base = min(_spin(3_000_000) for _ in range(3))
-    with mp.Pool(cpus) as pool:
-        t0 = time.perf_counter()
-        pool.map(_spin, [3_000_000] * cpus)
-        eff = cpus * base / (time.perf_counter() - t0)
+    def probe() -> float:
+        base = min(_spin(3_000_000) for _ in range(3))
+        with mp.Pool(cpus) as pool:
+            t0 = time.perf_counter()
+            pool.map(_spin, [3_000_000] * cpus)
+            return cpus * base / (time.perf_counter() - t0)
+
+    min_eff = float(os.environ.get("BENCH_MIN_EFF", "24"))
+    retries = int(os.environ.get("BENCH_WEATHER_RETRIES", "6"))
+    wait_s = float(os.environ.get("BENCH_WEATHER_WAIT", "60"))
+    probes = [probe()]
+    while probes[-1] < min_eff and len(probes) <= retries:
+        print(f"weather gate: {probes[-1]:.1f}/{cpus} effective cores "
+              f"< {min_eff}; waiting {wait_s:.0f}s", file=sys.stderr)
+        time.sleep(wait_s)
+        probes.append(probe())
+    eff = probes[-1]
 
     spark = get_spark(app="bench", cores=cpus, driver_memory="48g")
     queries: dict[str, float] = {}
-    extras: dict[str, object] = {"effective_parallelism": round(eff, 1)}
+    extras: dict[str, object] = {
+        "effective_parallelism": round(eff, 1),
+        "weather_probes": [round(p, 1) for p in probes],
+        "weather_gate": "clean" if eff >= min_eff else "degraded",
+    }
 
     scratch = f"/tmp/spark_graft_bench/sf{sf}-{n_docs}"
     tokens_path = os.path.join(scratch, "tokens")
@@ -192,6 +213,8 @@ def main() -> None:
 
     total = round(sum(queries.values()), 3)
     spark.stop()
+    # end-of-run probe: detect weather that turned mid-run
+    extras["effective_parallelism_end"] = round(probe(), 1)
 
     # ---- optional scaling evidence: delegate to scaling_bench.py, which
     # runs each level in a fresh CPU-pinned process (see BENCH_SCALING.md
