@@ -906,12 +906,229 @@ def _walk_arc(buf: bytes, want_payload: bool, targets: set[str] | None,
         yield name, usize, csize, mname, status, payload
 
 
+class _LzxBits:
+    """LZX bitstream: a sequence of little-endian 16-bit words, bits
+    consumed MSB-first within each word (MS-PATCH / [MS-CAB] LZX)."""
+
+    def __init__(self, data: bytes):
+        self.d, self.p, self.buf, self.n = data, 0, 0, 0
+
+    def bits(self, k: int) -> int:
+        while self.n < k:
+            lo = self.d[self.p] if self.p < len(self.d) else 0
+            hi = self.d[self.p + 1] if self.p + 1 < len(self.d) else 0
+            self.p += 2
+            self.buf = (self.buf << 16) | (lo | (hi << 8))
+            self.n += 16
+        self.n -= k
+        return (self.buf >> self.n) & ((1 << k) - 1)
+
+    def byte_pos(self) -> int:
+        """Byte offset of the next unconsumed 16-bit word boundary,
+        discarding any partial bits in the current word."""
+        return self.p - 2 * (self.n // 16)
+
+    def seek_bytes(self, pos: int) -> None:
+        self.p, self.buf, self.n = pos, 0, 0
+
+    def align16(self) -> None:
+        if self.n % 16:
+            self.bits(self.n % 16)
+
+
+def _lzx_make_tree(lengths) -> dict:
+    """Canonical MSB-first Huffman decode table {(len, code): sym}."""
+    out, code = {}, 0
+    for bl in range(1, 18):
+        for sym, ln in enumerate(lengths):
+            if ln == bl:
+                out[(bl, code)] = sym
+                code += 1
+        code <<= 1
+    return out
+
+
+def _lzx_huff(br: _LzxBits, tree: dict) -> int:
+    code, ln = 0, 0
+    while ln <= 17:
+        code = (code << 1) | br.bits(1)
+        ln += 1
+        sym = tree.get((ln, code))
+        if sym is not None:
+            return sym
+    raise ValueError("LZX: invalid Huffman code")
+
+
+def _lzx_read_lengths(br: _LzxBits, lens: list, first: int, last: int) -> None:
+    """Delta-decode a tree's path lengths against the previous block's
+    (20-symbol pretree of 4-bit lengths; codes 17/18 zero-runs, 19 a
+    short repeat of a delta)."""
+    pre = [br.bits(4) for _ in range(20)]
+    ptree = _lzx_make_tree(pre)
+    i = first
+    while i < last:
+        z = _lzx_huff(br, ptree)
+        if z == 17:
+            run = br.bits(4) + 4
+            for j in range(min(run, last - i)):
+                lens[i + j] = 0
+            i += run
+        elif z == 18:
+            run = br.bits(5) + 20
+            for j in range(min(run, last - i)):
+                lens[i + j] = 0
+            i += run
+        elif z == 19:
+            run = br.bits(1) + 4
+            z2 = _lzx_huff(br, ptree)
+            v = (lens[i] + 17 - z2) % 17
+            for j in range(min(run, last - i)):
+                lens[i + j] = v
+            i += run
+        else:
+            lens[i] = (lens[i] + 17 - z) % 17
+            i += 1
+
+
+_LZX_SLOTS = {15: 30, 16: 32, 17: 34, 18: 36, 19: 38, 20: 42, 21: 50}
+
+
+def _lzx_e8_decode(out: bytearray, intel_size: int) -> None:
+    """Inverse of the encoder's x86 CALL (0xE8) address translation,
+    applied per 32 KB frame over the first 32768 frames; the last 10
+    bytes of a frame are never translated (MS-PATCH E8 scanning rule)."""
+    import struct
+
+    n = len(out)
+    for frame in range(min((n + 32767) // 32768, 32768)):
+        start = frame * 32768
+        end = min(start + 32768, n)
+        if end - start <= 10:
+            continue
+        i = start
+        while i < end - 10:
+            if out[i] == 0xE8:
+                cur = i
+                abs_off = struct.unpack_from("<i", out, i + 1)[0]
+                if -cur <= abs_off < intel_size:
+                    rel = abs_off - cur if abs_off >= 0 else abs_off + intel_size
+                    struct.pack_into("<i", out, i + 1, rel)
+                i += 5
+            else:
+                i += 1
+
+
+def _unlzx(data: bytes, window_bits: int, out_len: int) -> bytes:
+    """LZX decompression (CAB compression type 3) from the published
+    MS-PATCH / [MS-CAB] specification — the reference reaches LZX cabs
+    only via the external gcab tool (cab.go:53-58); this is an
+    in-process from-spec decoder, not a port.
+
+    Stream model: one continuous bitstream per folder (CFDATA payloads
+    concatenated); 1-bit E8-translation header (+32-bit translation
+    size); blocks of (3-bit type, 24-bit uncompressed size).  Verbatim
+    and aligned-offset blocks carry delta-coded canonical Huffman trees
+    (main 256+8*slots, lengths 249, pretree 20, aligned 8x3); matches
+    use the slot/footer position encoding with the R0/R1/R2
+    repeated-offset LRU (formatted offset = base[slot]+footer, real
+    offset = formatted-2).  Uncompressed blocks realign to 16 bits and
+    carry byte-aligned R0-R2.  The input bitstream realigns to a 16-bit
+    boundary after every 32 KB output frame; E8 detranslation runs as a
+    per-frame post-pass."""
+    import struct
+
+    br = _LzxBits(data)
+    slots = _LZX_SLOTS[window_bits]
+    main_n = 256 + 8 * slots
+    extra = [min(17, max(0, (s >> 1) - 1)) for s in range(slots)]
+    base = [0] * slots
+    for i in range(1, slots):
+        base[i] = base[i - 1] + (1 << extra[i - 1])
+    main_lens = [0] * main_n
+    len_lens = [0] * 249
+    R = [1, 1, 1]
+    intel_size = 0
+    if br.bits(1):
+        intel_size = (br.bits(16) << 16) | br.bits(16)
+    out = bytearray()
+    block_remaining, btype = 0, 0
+    main_tree = length_tree = aligned_tree = None
+    next_frame = 32768
+    while len(out) < out_len:
+        if block_remaining == 0:
+            btype = br.bits(3)
+            block_remaining = br.bits(24)
+            if btype == 3:  # uncompressed
+                pos = br.byte_pos()
+                R = list(struct.unpack_from("<III", data, pos))
+                pos += 12
+                take = min(block_remaining, out_len - len(out))
+                out += data[pos : pos + take]
+                pos += block_remaining + (block_remaining & 1)
+                br.seek_bytes(pos)
+                block_remaining = 0
+                while len(out) >= next_frame:
+                    next_frame += 32768
+                continue
+            if btype == 2:  # aligned offset: its 8x3-bit tree first
+                aligned_tree = _lzx_make_tree([br.bits(3) for _ in range(8)])
+            elif btype != 1:
+                raise ValueError(f"LZX: bad block type {btype}")
+            _lzx_read_lengths(br, main_lens, 0, 256)
+            _lzx_read_lengths(br, main_lens, 256, main_n)
+            main_tree = _lzx_make_tree(main_lens)
+            _lzx_read_lengths(br, len_lens, 0, 249)
+            length_tree = _lzx_make_tree(len_lens)
+        while block_remaining > 0 and len(out) < out_len:
+            sym = _lzx_huff(br, main_tree)
+            if sym < 256:
+                out.append(sym)
+                block_remaining -= 1
+            else:
+                sym -= 256
+                slot, lhdr = sym >> 3, sym & 7
+                mlen = lhdr + 2
+                if lhdr == 7:
+                    mlen += _lzx_huff(br, length_tree)
+                if slot == 0:
+                    off = R[0]
+                elif slot == 1:
+                    off = R[1]
+                    R[0], R[1] = off, R[0]
+                elif slot == 2:
+                    off = R[2]
+                    R[0], R[2] = off, R[0]
+                else:
+                    eb = extra[slot]
+                    if btype == 2 and eb >= 3:
+                        fmt_off = base[slot] + (br.bits(eb - 3) << 3) \
+                            + _lzx_huff(br, aligned_tree)
+                    elif eb > 0:
+                        fmt_off = base[slot] + br.bits(eb)
+                    else:
+                        fmt_off = base[slot]
+                    off = fmt_off - 2
+                    R[2], R[1], R[0] = R[1], R[0], off
+                if off < 1 or off > len(out):
+                    raise ValueError("LZX: match offset outside window")
+                for _ in range(min(mlen, out_len - len(out))):
+                    out.append(out[-off])
+                block_remaining -= mlen
+            if len(out) >= next_frame:
+                br.align16()
+                next_frame += 32768
+    if intel_size:
+        _lzx_e8_decode(out, intel_size)
+    return bytes(out[:out_len])
+
+
 def _walk_cab(buf: bytes, want_payload: bool, targets: set[str] | None,
               max_bytes: int = MAX_BYTES_DEFAULT):
     """Microsoft Cabinet walk (MS CAB spec): CFHEADER → CFFOLDER →
     CFFILE → per-folder CFDATA chain.  Compression types: 0 none
-    (raw concat) and 1 MSZIP ('CK' + raw deflate, 32K history carried
-    across blocks via zdict) decode; Quantum/LZX surface typed."""
+    (raw concat), 1 MSZIP ('CK' + raw deflate, 32K history carried
+    across blocks via zdict) and 3 LZX (from-spec decoder, window bits
+    in the typeCompress high byte) decode; Quantum surfaces typed."""
     import struct
     import zlib
 
@@ -925,7 +1142,7 @@ def _walk_cab(buf: bytes, want_payload: bool, targets: set[str] | None,
     folders = []
     for _ in range(n_folders):
         co, nd, tc = struct.unpack_from("<IHH", buf, pos)
-        folders.append((co, nd, tc & 0x000F))
+        folders.append((co, nd, tc & 0x000F, (tc >> 8) & 0x1F))
         pos += 8 + cb_folder
     fpos = coff_files
     files = []
@@ -941,10 +1158,27 @@ def _walk_cab(buf: bytes, want_payload: bool, targets: set[str] | None,
     def folder_bytes(ifold: int) -> bytes | None:
         if ifold in decoded:
             return decoded[ifold]
-        co, nd, tc = folders[ifold]
-        if tc not in (0, 1):
+        co, nd, tc, wbits = folders[ifold]
+        if tc not in (0, 1, 3):
             decoded[ifold] = None
             return None
+        if tc == 3:
+            # LZX: one continuous bitstream per folder — concatenate the
+            # CFDATA payloads, decode once against the summed plain size
+            comp, total_u = bytearray(), 0
+            p = co
+            for _ in range(nd):
+                _csum, cbd, cbu = struct.unpack_from("<IHH", buf, p)
+                p += 8 + cb_data
+                comp += buf[p : p + cbd]
+                p += cbd
+                total_u += cbu
+            if total_u > max_bytes:
+                raise ValueError("CAB folder exceeds max_bytes")
+            if wbits not in _LZX_SLOTS:
+                raise ValueError(f"LZX: bad window bits {wbits}")
+            decoded[ifold] = _unlzx(bytes(comp), wbits, total_u)
+            return decoded[ifold]
         out = bytearray()
         p = co
         for _ in range(nd):
@@ -977,7 +1211,7 @@ def _walk_cab(buf: bytes, want_payload: bool, targets: set[str] | None,
         if want_payload and cb > max_bytes:
             status = "too_large"
         elif want_payload:
-            if tc not in (0, 1):
+            if tc not in (0, 1, 3):
                 status = "unsupported_method"
             else:
                 try:

@@ -379,6 +379,229 @@ def test_cab_mszip_synthetic_cross_block_history(spark):
     assert bytes(rows[0].payload) == body
 
 
+# ---------------------------------------------------------------------------
+# LZX (CAB compression type 3) — test-vector-first: the tests carry an
+# independent reference ENCODER (own canonical-code assignment, own
+# bit-writer) and the decoder must invert it bit-exactly.
+# ---------------------------------------------------------------------------
+
+
+class _LzxW:
+    """LZX bit-writer: MSB-first bits into little-endian 16-bit words."""
+
+    def __init__(self):
+        self.words, self.cur, self.n = [], 0, 0
+
+    def put(self, val, k):
+        for i in range(k - 1, -1, -1):
+            self.cur = (self.cur << 1) | ((val >> i) & 1)
+            self.n += 1
+            if self.n == 16:
+                self.words.append(self.cur)
+                self.cur, self.n = 0, 0
+
+    def to_bytes(self):
+        import struct
+
+        w = list(self.words)
+        if self.n:
+            w.append(self.cur << (16 - self.n))
+        return b"".join(struct.pack("<H", x) for x in w)
+
+
+def _lzx_codes(lengths):
+    """Independent canonical assignment: codes in (length, symbol)
+    order, MSB-first."""
+    syms = sorted((l, s) for s, l in enumerate(lengths) if l)
+    code, prev_len, out = 0, 0, {}
+    for l, s in syms:
+        code <<= (l - prev_len)
+        out[s] = (l, code)
+        code += 1
+        prev_len = l
+    return out
+
+
+def _emit_tree_lengths(w, lens, prev):
+    """Pretree (all-present symbols at 5 bits) + per-symbol deltas —
+    no run codes, the simplest spec-legal encoding."""
+    pre = [5 if s <= 16 else 0 for s in range(20)]
+    for p in pre:
+        w.put(p, 4)
+    codes = _lzx_codes(pre)
+    for i, ln in enumerate(lens):
+        z = (17 + prev[i] - ln) % 17
+        cl, c = codes[z]
+        w.put(c, cl)
+
+
+_LZX_EXTRA = [min(17, max(0, (s >> 1) - 1)) for s in range(30)]
+_LZX_BASE = [0] * 30
+for _i in range(1, 30):
+    _LZX_BASE[_i] = _LZX_BASE[_i - 1] + (1 << _LZX_EXTRA[_i - 1])
+
+
+def _lzx_encode_verbatim(tokens, aligned=False):
+    """Encode (literal | ('m', off, len) | ('r0', len)) tokens as one
+    LZX verbatim (or aligned-offset) block; returns (stream, plain)."""
+    plain = bytearray()
+    used_main, used_len = set(), set()
+    items = []
+    R0 = 1
+    for t in tokens:
+        if isinstance(t, int):
+            plain.append(t)
+            used_main.add(t)
+            items.append(("lit", t))
+            continue
+        kind = t[0]
+        if kind == "m":
+            _, off, mlen = t
+            fmt = off + 2
+            slot = max(s for s in range(3, 30) if _LZX_BASE[s] <= fmt)
+            R0 = off
+        else:
+            _, mlen = t[:2]
+            off, slot, fmt = R0, 0, None
+        lhdr = min(mlen - 2, 7)
+        sym = 256 + (slot << 3) + lhdr
+        used_main.add(sym)
+        if lhdr == 7:
+            used_len.add(mlen - 9)
+        items.append(("match", sym, slot, fmt, mlen, off))
+        start = len(plain)
+        for _ in range(mlen):
+            plain.append(plain[start - off + (len(plain) - start)])
+    main_lens = [0] * 496
+    for s in used_main:
+        main_lens[s] = 9
+    len_lens = [0] * 249
+    for s in used_len:
+        len_lens[s] = 6
+    w = _LzxW()
+    w.put(0, 1)  # no E8 translation
+    w.put(2 if aligned else 1, 3)
+    w.put(len(plain), 24)
+    if aligned:
+        for _ in range(8):
+            w.put(3, 3)  # uniform 3-bit aligned tree
+    _emit_tree_lengths(w, main_lens[:256], [0] * 256)
+    _emit_tree_lengths(w, main_lens[256:], [0] * 240)
+    mcodes = _lzx_codes(main_lens)
+    _emit_tree_lengths(w, len_lens, [0] * 249)
+    lcodes = _lzx_codes(len_lens)
+    acodes = _lzx_codes([3] * 8)
+    for it in items:
+        if it[0] == "lit":
+            cl, c = mcodes[it[1]]
+            w.put(c, cl)
+        else:
+            _, sym, slot, fmt, mlen, off = it
+            cl, c = mcodes[sym]
+            w.put(c, cl)
+            if mlen - 2 >= 7:
+                cl, c = lcodes[mlen - 9]
+                w.put(c, cl)
+            if slot >= 3:
+                eb = _LZX_EXTRA[slot]
+                foot = fmt - _LZX_BASE[slot]
+                if aligned and eb >= 3:
+                    w.put(foot >> 3, eb - 3)
+                    cl, c = acodes[foot & 7]
+                    w.put(c, cl)
+                elif eb:
+                    w.put(foot, eb)
+    return w.to_bytes(), bytes(plain)
+
+
+def test_lzx_verbatim_block_decodes():
+    toks = [ord(c) for c in "the quick brown fox. "]
+    toks += [("m", 21, 42)]          # two full copies of the phrase
+    toks += [ord(c) for c in "lazy dog "]
+    toks += [("r0", 12), ("m", 9, 9)]  # R0 reuse + a fresh short match
+    stream, plain = _lzx_encode_verbatim(toks)
+    assert sources._unlzx(stream, 15, len(plain)) == plain
+
+
+def test_lzx_aligned_block_decodes():
+    toks = [ord(c) for c in "abcdefgh" * 8]
+    toks += [("m", 64, 257)]          # max-length match, aligned offset path
+    toks += [("m", 40, 11), ("r0", 5)]
+    stream, plain = _lzx_encode_verbatim(toks, aligned=True)
+    assert sources._unlzx(stream, 15, len(plain)) == plain
+
+
+def test_lzx_uncompressed_block_decodes():
+    import struct
+
+    body = bytes(range(97, 122)) * 3  # odd length -> exercises pad byte
+    w = _LzxW()
+    w.put(0, 1)
+    w.put(3, 3)
+    w.put(len(body), 24)
+    head = w.to_bytes()
+    stream = head + struct.pack("<III", 1, 1, 1) + body + b"\0"
+    assert sources._unlzx(stream, 15, len(body)) == body
+
+
+def test_lzx_e8_translation_roundtrip():
+    import struct
+
+    filesize = 0x5000
+    plain = bytearray(b"\x90" * 400)
+    for pos, rel in ((10, 0x123), (60, -30), (200, 0x1000)):
+        plain[pos] = 0xE8
+        plain[pos + 1 : pos + 5] = struct.pack("<i", rel)
+    # encoder-side translation: rel -> abs (abs = rel + pos within file)
+    enc = bytearray(plain)
+    i = 0
+    while i < len(enc) - 10:
+        if enc[i] == 0xE8:
+            rel = struct.unpack_from("<i", enc, i + 1)[0]
+            absv = rel + i
+            if 0 <= absv < filesize:
+                struct.pack_into("<i", enc, i + 1, absv)
+            i += 5
+        else:
+            i += 1
+    out = bytearray(enc)
+    sources._lzx_e8_decode(out, filesize)
+    assert bytes(out) == bytes(plain)
+
+
+def test_cab_lzx_synthetic_end_to_end(spark):
+    """A synthetic LZX cab whose compressed stream is split across two
+    CFDATA blocks (the folder is ONE bitstream) must extract exactly."""
+    import struct
+
+    toks = [ord(c) for c in "Pack my box with five dozen liquor jugs! "]
+    toks += [("m", 41, 82), ("r0", 30)]
+    stream, body = _lzx_encode_verbatim(toks)
+    cut = len(stream) // 2
+    blocks = [(stream[:cut], len(body)), (stream[cut:], 0)]
+    cfdata = b"".join(
+        struct.pack("<IHH", 0, len(c), u) + c for c, u in blocks
+    )
+    name = b"JUGS.TXT\0"
+    cffile = struct.pack("<IIHHHH", len(body), 0, 0, 0, 0, 0x20) + name
+    coff_files = 36 + 8
+    co_data = coff_files + len(cffile)
+    hdr = struct.pack(
+        "<4sIIIIIBBHHHHH", b"MSCF", 0,
+        co_data + len(cfdata), 0, coff_files, 0, 3, 1, 1, 1, 0, 0, 0,
+    )
+    folder = struct.pack("<IHH", co_data, len(blocks), (15 << 8) | 3)  # LZX w=15
+    cab = hdr + folder + cffile + cfdata
+    df = spark.createDataFrame([("lzx.cab", len(cab), cab)],
+                               "path string, length long, content binary")
+    lst = sources.list_members(df).collect()
+    assert [(r.member, r.method, r.status) for r in lst] == [
+        ("JUGS.TXT", "lzx", "ok")]
+    rows = sources.extract_members(df).collect()
+    assert len(rows) == 1 and rows[0].status == "ok"
+    assert bytes(rows[0].payload) == body
+
+
 def test_corpus_report(spark, ref_archives):
     rows = {(r.fmt, r.method, r.status): r
             for r in sources.corpus_report(ref_archives).collect()}
