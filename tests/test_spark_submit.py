@@ -124,10 +124,10 @@ def test_ingest_job_end_to_end_and_resume(zip_path, tmp_path_factory):
     assert r1.returncode == 0, r1.stderr[-1500:]
     s1 = json.loads(r1.stdout.strip().splitlines()[-1])
     assert s1["archives"] == 24
-    # listing statuses: every walkable container lists ok; only RAR
-    # stays unsupported_format (proprietary)
-    assert s1["member_status"]["ok"] == 91
-    assert s1["member_status"]["unsupported_format"] == 1
+    # listing statuses: every container lists ok — round 4 added RAR
+    # block-header listing (+3 members), so nothing is unsupported_format
+    assert s1["member_status"]["ok"] == 94
+    assert "unsupported_format" not in s1["member_status"]
     assert s1["documents"] == 67
     assert (s1["shards_encoded"], s1["shards_skipped"]) == (4, 0)
     assert 0 < s1["bytes_out"] < s1["bytes_in"]
