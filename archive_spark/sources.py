@@ -146,15 +146,15 @@ def detect_format(buf: bytes, name: str = "") -> str:
 def _zip_ancient_read(buf: bytes, info) -> tuple[bytes | None, str]:
     """Fallback for the pkzip methods the stdlib refuses, implemented
     from the public APPNOTE.TXT spec: 1 shrink (_unshrink), 2-5 reduce
-    (_unreduce), 6 implode (_unimplode) — the reference's whole
-    era-corpus becomes extractable (Hamarsoft + PKZ80/110 zips,
-    archive_test.go).  Every payload is CRC-32-gated; anything else
-    stays typed unsupported_method."""
+    (_unreduce), 6 implode (_unimplode), 9 deflate64 (_inflate64) — the
+    reference's whole era-corpus becomes extractable (Hamarsoft +
+    PKZ80/110 zips, archive_test.go).  Every payload is CRC-32-gated;
+    anything else stays typed unsupported_method."""
     import struct
     import zlib
 
     method = info.compress_type
-    if method not in (1, 2, 3, 4, 5, 6):
+    if method not in (1, 2, 3, 4, 5, 6, 9):
         return None, "unsupported_method"
     off = info.header_offset
     nlen, elen = struct.unpack_from("<HH", buf, off + 26)
@@ -165,6 +165,8 @@ def _zip_ancient_read(buf: bytes, info) -> tuple[bytes | None, str]:
             payload = _unshrink(comp, info.file_size)
         elif method in (2, 3, 4, 5):
             payload = _unreduce(comp, info.file_size, method - 1)
+        elif method == 9:
+            payload = _inflate64(comp, info.file_size)
         else:
             payload = _unimplode(comp, info.file_size, info.flag_bits)
     except (ValueError, IndexError):
@@ -859,6 +861,115 @@ ARC_METHODS = {
     5: "crunched5", 6: "crunched6", 7: "crunched7", 8: "crunched",
     9: "squashed", 10: "crushed", 11: "distilled",
 }
+
+
+def _inflate64(data: bytes, expect: int) -> bytes:
+    """Zip method 9 'Deflate64' / Enhanced Deflate (APPNOTE 4.4.5 +
+    RFC 1951 block structure): classic DEFLATE with a 64 KiB history
+    window, length code 285 redefined as base 3 + 16 extra bits
+    (matches up to 65,538) and distance codes 30/31 (bases 32769/49153,
+    14 extra bits).  stdlib zlib is capped at the 32 KiB window and the
+    classic code meanings, so this is a from-spec inflate; the
+    reference reaches deflate64 members only through external 7zz in
+    its Zips cascade (archive.go:321-341)."""
+    pos = 0  # bit cursor, LSB-first within bytes
+
+    def bits(n: int) -> int:
+        nonlocal pos
+        v = 0
+        for k in range(n):
+            v |= ((data[(pos + k) >> 3] >> ((pos + k) & 7)) & 1) << k
+        pos += n
+        return v
+
+    def canon(lengths) -> dict:
+        out, code = {}, 0
+        for bl in range(1, 16):
+            for sym, ln in enumerate(lengths):
+                if ln == bl:
+                    out[(bl, code)] = sym
+                    code += 1
+            code <<= 1
+        return out
+
+    def huff(table: dict) -> int:
+        code, ln = 0, 0
+        while ln <= 15:  # deflate code bits arrive MSB-of-code first
+            code = (code << 1) | bits(1)
+            ln += 1
+            sym = table.get((ln, code))
+            if sym is not None:
+                return sym
+        raise ValueError("deflate64: invalid Huffman code")
+
+    # length codes 257-284 per RFC 1951; 285 is deflate64's 3+16-extra
+    lbase = [3, 4, 5, 6, 7, 8, 9, 10, 11, 13, 15, 17, 19, 23, 27, 31,
+             35, 43, 51, 59, 67, 83, 99, 115, 131, 163, 195, 227, 3]
+    lextra = [0] * 8 + [1] * 4 + [2] * 4 + [3] * 4 + [4] * 4 + [5] * 4 + [16]
+    dextra = [max(0, (c >> 1) - 1) for c in range(32)]
+    dbase = [1] * 32
+    for c in range(1, 32):
+        dbase[c] = dbase[c - 1] + (1 << dextra[c - 1])
+
+    fixed_lit = canon([8] * 144 + [9] * 112 + [7] * 24 + [8] * 8)
+    fixed_dist = canon([5] * 32)
+    clo = [16, 17, 18, 0, 8, 7, 9, 6, 10, 5, 11, 4, 12, 3, 13, 2, 14, 1, 15]
+
+    out = bytearray()
+    while True:
+        final, btype = bits(1), bits(2)
+        if btype == 0:  # stored: byte-align, LEN/NLEN, raw copy
+            pos = (pos + 7) & ~7
+            p = pos >> 3
+            ln = data[p] | (data[p + 1] << 8)
+            out += data[p + 4 : p + 4 + ln]
+            pos = (p + 4 + ln) << 3
+        elif btype in (1, 2):
+            if btype == 1:
+                lit_t, dist_t = fixed_lit, fixed_dist
+            else:
+                hlit, hdist, hclen = bits(5) + 257, bits(5) + 1, bits(4) + 4
+                cl = [0] * 19
+                for i in range(hclen):
+                    cl[clo[i]] = bits(3)
+                cl_t = canon(cl)
+                lens: list[int] = []
+                while len(lens) < hlit + hdist:
+                    s = huff(cl_t)
+                    if s < 16:
+                        lens.append(s)
+                    elif s == 16:
+                        lens += [lens[-1]] * (bits(2) + 3)
+                    elif s == 17:
+                        lens += [0] * (bits(3) + 3)
+                    else:
+                        lens += [0] * (bits(7) + 11)
+                lit_t = canon(lens[:hlit])
+                dist_t = canon(lens[hlit:])
+            while True:
+                sym = huff(lit_t)
+                if sym < 256:
+                    out.append(sym)
+                elif sym == 256:
+                    break
+                else:
+                    li = sym - 257
+                    if li >= len(lbase):
+                        raise ValueError("deflate64: bad length code")
+                    mlen = lbase[li] + bits(lextra[li])
+                    d = huff(dist_t)
+                    dist = dbase[d] + bits(dextra[d])
+                    if dist > len(out):
+                        raise ValueError("deflate64: distance too far")
+                    for _ in range(mlen):
+                        out.append(out[-dist])
+        else:
+            raise ValueError("deflate64: bad block type")
+        if final:
+            break
+        if len(out) > expect + 65538:
+            raise ValueError("deflate64: output overrun")
+    return bytes(out[:expect]) if expect else bytes(out)
 
 
 def _walk_arc(buf: bytes, want_payload: bool, targets: set[str] | None,

@@ -602,6 +602,150 @@ def test_cab_lzx_synthetic_end_to_end(spark):
     assert bytes(rows[0].payload) == body
 
 
+# ---------------------------------------------------------------------------
+# Deflate64 (zip method 9)
+# ---------------------------------------------------------------------------
+
+
+def test_inflate64_decodes_classic_deflate():
+    """A classic deflate stream without length code 285 is a valid
+    deflate64 stream (285 is the ONE reinterpreted code) — zlib output
+    on short-match data must decode identically."""
+    import random
+    import zlib
+
+    rng = random.Random(7)
+    # alternating random + short repeats keeps every match < 258
+    parts = []
+    for _ in range(200):
+        parts.append(bytes(rng.randrange(256) for _ in range(40)))
+        parts.append(b"segment-" + bytes([rng.randrange(65, 91)]) * 30)
+    plain = b"".join(parts)
+    comp = zlib.compress(plain, 9)[2:-4]  # raw deflate (strip zlib wrapper)
+    assert sources._inflate64(comp, len(plain)) == plain
+
+
+class _D64W:
+    """LSB-first deflate bit-writer (Huffman codes MSB-of-code first,
+    extra-bits fields LSB first — RFC 1951 packing)."""
+
+    def __init__(self):
+        self.bits = []
+
+    def put_lsb(self, v, n):
+        for i in range(n):
+            self.bits.append((v >> i) & 1)
+
+    def put_code(self, code, n):
+        for i in range(n - 1, -1, -1):
+            self.bits.append((code >> i) & 1)
+
+    def align(self):
+        while len(self.bits) % 8:
+            self.bits.append(0)
+
+    def raw(self, b: bytes):
+        self.align()
+        for x in b:
+            self.put_lsb(x, 8)
+
+    def to_bytes(self):
+        self.align()
+        out = bytearray()
+        for i in range(0, len(self.bits), 8):
+            v = 0
+            for k in range(8):
+                v |= self.bits[i + k] << k
+            out.append(v)
+        return bytes(out)
+
+
+def _fixed_lit_code(sym):
+    if sym < 144:
+        return 8, 0b00110000 + sym
+    if sym < 256:
+        return 9, 0b110010000 + (sym - 144)
+    if sym < 280:
+        return 7, sym - 256
+    return 8, 0b11000000 + (sym - 280)
+
+
+def _build_d64_fixture():
+    """Hand-crafted fixed-Huffman deflate64 stream exercising the
+    deflate64-only features: length code 285 with 16 extra bits (a
+    65,538-byte match) and distance codes 30/31 (window beyond
+    32 KiB).  Returns (stream, expected_plain)."""
+    stored = bytes((i * 7 + (i >> 8)) % 251 for i in range(60000))
+    w = _D64W()
+    # stored block (not final)
+    w.put_lsb(0, 1)
+    w.put_lsb(0, 2)
+    w.align()
+    w.put_lsb(len(stored), 16)
+    w.put_lsb(len(stored) ^ 0xFFFF, 16)
+    w.raw(stored)
+    # fixed-Huffman final block
+    w.put_lsb(1, 1)
+    w.put_lsb(1, 2)
+    # match 1: len 1000 via code 285 (base 3 + 16 extra), dist 35000 (code 30)
+    ln, c = _fixed_lit_code(285)
+    w.put_code(c, ln)
+    w.put_lsb(997, 16)
+    w.put_code(30, 5)
+    w.put_lsb(35000 - 32769, 14)
+    # match 2: len 65538 (max), dist 50000 (code 31)
+    ln, c = _fixed_lit_code(285)
+    w.put_code(c, ln)
+    w.put_lsb(65535, 16)
+    w.put_code(31, 5)
+    w.put_lsb(50000 - 49153, 14)
+    ln, c = _fixed_lit_code(256)
+    w.put_code(c, ln)
+    stream = w.to_bytes()
+
+    expect = bytearray(stored)
+    for _ in range(1000):
+        expect.append(expect[-35000])
+    for _ in range(65538):
+        expect.append(expect[-50000])
+    return stream, bytes(expect)
+
+
+def test_inflate64_extended_codes():
+    stream, expect = _build_d64_fixture()
+    assert sources._inflate64(stream, len(expect)) == expect
+
+
+def test_zip_deflate64_member_extracts(spark):
+    """A hand-built zip marking method 9 must extract through the
+    ancient-method fallback, CRC-gated."""
+    import struct
+    import zlib
+
+    stream, plain = _build_d64_fixture()
+    name = b"BIG.BIN"
+    crc = zlib.crc32(plain)
+    local = struct.pack(
+        "<4sHHHHHIIIHH", b"PK\x03\x04", 21, 0, 9, 0, 0, crc,
+        len(stream), len(plain), len(name), 0,
+    ) + name + stream
+    cd = struct.pack(
+        "<4sHHHHHHIIIHHHHHII", b"PK\x01\x02", 21, 21, 0, 9, 0, 0, crc,
+        len(stream), len(plain), len(name), 0, 0, 0, 0, 0x20, 0,
+    ) + name
+    eocd = struct.pack(
+        "<4sHHHHIIH", b"PK\x05\x06", 0, 0, 1, 1, len(cd), len(local), 0,
+    )
+    buf = local + cd + eocd
+    df = spark.createDataFrame([("d64.zip", len(buf), buf)],
+                               "path string, length long, content binary")
+    lst = sources.list_members(df).collect()
+    assert [(r.member, r.method, r.status) for r in lst] == [
+        ("BIG.BIN", "deflate64", "ok")]
+    rows = sources.extract_members(df).collect()
+    assert rows[0].status == "ok" and bytes(rows[0].payload) == plain
+
+
 def test_corpus_report(spark, ref_archives):
     rows = {(r.fmt, r.method, r.status): r
             for r in sources.corpus_report(ref_archives).collect()}
