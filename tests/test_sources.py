@@ -64,14 +64,13 @@ def test_listing_reference_corpus(spark, ref_archives):
     # ancient methods list fine via the central directory
     assert {r.method for r in by_archive["HWSHRINK.ZIP"]} == {"shrink"}
     assert {r.status for r in by_archive["HWSHRINK.ZIP"]} == {"ok"}
-    # RAR 2.x block headers list fine (rar.go:24-51 parity); payloads
-    # are proprietary-compressed so listing status stays ok
+    # RAR 2.x block headers list fine (rar.go:24-51 parity)
     got = {r.member: (r.size_uncompressed, r.size_compressed, r.method)
            for r in by_archive["RAR250.RAR"]}
     assert got == {  # packed sizes measured from the corpus file itself
-        "TESTDAT1.TXT": (2009, 931, "rar3"),
-        "TESTDAT2.TXT": (469, 162, "rar3"),
-        "TESTDAT3.TXT": (81410, 21818, "rar3"),
+        "TESTDAT1.TXT": (2009, 931, "normal"),
+        "TESTDAT2.TXT": (469, 162, "normal"),
+        "TESTDAT3.TXT": (81410, 21818, "normal"),
     }
     assert {r.status for r in by_archive["RAR250.RAR"]} == {"ok"}
     for a in ("TEST.EXE", "TESTDAT1.TXT"):
@@ -181,16 +180,31 @@ def test_rar_encrypted_member_typed(spark):
         ("S.TXT", "encrypted", None)]
 
 
-def test_rar_reference_compressed_members_typed(spark, ref_archives):
-    """RAR250.RAR's method-0x33 payloads are proprietary LZSS+PPM —
-    extraction surfaces typed unsupported_method, never garbage."""
+def test_rar_reference_compressed_members_bit_identical(spark, ref_archives):
+    """RAR250.RAR's method-0x33 (normal) members decode through the
+    from-spec RAR 2.0 decompressor — bit-identical to the same files
+    shipped as plain TESTDAT*.TXT, across the solid chain (members 2
+    and 3 carry flag 0x10 and continue member 1's window)."""
     ext = sources.extract_members(ref_archives).filter(
         F.col("archive") == "RAR250.RAR")
     rows = ext.collect()
     assert sorted(r.member for r in rows) == [
         "TESTDAT1.TXT", "TESTDAT2.TXT", "TESTDAT3.TXT"]
-    assert {r.status for r in rows} == {"unsupported_method"}
-    assert all(r.payload is None for r in rows)
+    assert {r.status for r in rows} == {"ok"}
+    for r in rows:
+        want = open(f"{TESTDATA}/{r.member}", "rb").read()
+        assert bytes(r.payload) == want, r.member
+
+
+def test_rar_solid_targeted_extract(spark, ref_archives):
+    """Targeting only the solid tail member must decode its chain
+    predecessors for window continuity and still return just the
+    target."""
+    ext = sources.extract_members(ref_archives, targets=["TESTDAT2.TXT"]) \
+        .filter(F.col("archive") == "RAR250.RAR").collect()
+    assert [(r.member, r.status) for r in ext] == [("TESTDAT2.TXT", "ok")]
+    want = open(f"{TESTDATA}/TESTDAT2.TXT", "rb").read()
+    assert bytes(ext[0].payload) == want
 
 
 def _encrypted_zip() -> bytes:
@@ -753,8 +767,8 @@ def test_corpus_report(spark, ref_archives):
     assert (shrink.n_archives, shrink.n_members) >= (2, 11)
     assert shrink.uncompressed_bytes > shrink.compressed_bytes
     # RAR lists real members now (round 4); payload decode stays typed
-    assert ("rar", "rar3", "ok") in rows
-    assert rows[("rar", "rar3", "ok")].n_members == 3
+    assert ("rar", "normal", "ok") in rows
+    assert rows[("rar", "normal", "ok")].n_members == 3
 
 
 def test_truncation_fuzz_yields_typed_rows_never_crashes():
