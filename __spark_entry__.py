@@ -874,6 +874,51 @@ def _q_bpe_merges_batched(spark: SparkSession, sf_dir: str) -> DataFrame:
     return merges.orderBy("step")
 
 
+def _q_dup_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide exact duplicate-span statistics (Lee-et-al-style
+    substring dedup signal): per-source totals of duplicated 5-gram
+    start positions and the merged word coverage they imply.  The
+    Spark side groups on xxhash64(gram) (8-byte shuffle keys); the
+    oracle replays on the gram strings — identical at this scale,
+    ~0.03 expected collisions at 10^12 shingles (documented in
+    pipeline_ops.duplicate_spans)."""
+    from archive_spark.pipeline_ops import duplicate_spans
+
+    return (
+        duplicate_spans(_docs(spark, sf_dir), k=5, min_df=2)
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("n_words").cast("bigint").alias("n_words"),
+            F.sum("n_dup_starts").cast("bigint").alias("n_dup_starts"),
+            F.sum("covered_words").cast("bigint").alias("covered_words"),
+        )
+        .orderBy("source")
+    )
+
+
+def _q_dup_span_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-span REMOVAL: every word covered by a corpus-duplicated
+    5-gram is dropped and the rebuilt texts are digest-compared
+    per-source (the archive_ingest digest pattern) — the oracle rebuilds
+    the same scrubbed corpus in SQL, so the whole shingle → count →
+    join → interval-merge → filter-with-index path must be lossless."""
+    from archive_spark.pipeline_ops import scrub_duplicate_spans
+
+    return (
+        scrub_duplicate_spans(_docs(spark, sf_dir), k=5, min_df=2)
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum(F.length("text")).cast("bigint").alias("total_chars"),
+            F.md5(
+                F.concat_ws("", F.sort_array(F.collect_list(F.md5("text"))))
+            ).alias("digest"),
+        )
+        .orderBy("source")
+    )
+
+
 def _q_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic weighted source mix (downsample two sources); the
     oracle recomputes every keep/drop decision from the same md5."""
@@ -1393,6 +1438,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "supplier_nation": _q_supplier_nation,
         # -- new in round 4 --
         "bpe_merges_batched": _q_bpe_merges_batched,
+        "dup_span_stats": _q_dup_span_stats,
+        "dup_span_scrub": _q_dup_span_scrub,
         # engine core (SURVEY.md §2)
         "roundtrip_gate": _q_roundtrip_gate,
         "enc_listing": _q_enc_listing,
@@ -1829,6 +1876,53 @@ def oracle_sql() -> dict[str, str]:
             'SELECT step::INT AS step, l AS "left", r AS "right", '
             'l || r AS merged, n::BIGINT AS n_pairs '
             "FROM ranked WHERE rn = 1 AND n >= 2 ORDER BY step"
+        ),
+        "dup_span_stats": (
+            "WITH w AS (SELECT doc_id, source, string_split(text, ' ') AS ws "
+            "FROM documents), "
+            "base AS (SELECT doc_id, source, len(ws) AS n, "
+            "least(5, len(ws)) AS keff FROM w), "
+            "sh AS (SELECT doc_id, i AS pos, "
+            "array_to_string(ws[i:i+4], ' ') AS gram "
+            "FROM w, unnest(generate_series(1, greatest(len(ws)-4, 1))) AS t(i)), "
+            "dup_g AS (SELECT gram FROM sh GROUP BY gram HAVING count(*) >= 2), "
+            "hits AS (SELECT s.doc_id, s.pos FROM sh s JOIN dup_g USING (gram)), "
+            "cov0 AS (SELECT h.doc_id, least(coalesce(lead(h.pos) OVER "
+            "(PARTITION BY h.doc_id ORDER BY h.pos) - h.pos, b.keff), b.keff) AS c "
+            "FROM hits h JOIN base b USING (doc_id)), "
+            "cov AS (SELECT doc_id, count(*) AS nds, sum(c) AS covered "
+            "FROM cov0 GROUP BY doc_id) "
+            "SELECT b.source, count(*)::BIGINT AS n_docs, "
+            "SUM(b.n)::BIGINT AS n_words, "
+            "COALESCE(SUM(cov.nds), 0)::BIGINT AS n_dup_starts, "
+            "COALESCE(SUM(cov.covered), 0)::BIGINT AS covered_words "
+            "FROM base b LEFT JOIN cov USING (doc_id) "
+            "GROUP BY b.source ORDER BY b.source"
+        ),
+        "dup_span_scrub": (
+            "WITH w AS (SELECT doc_id, source, string_split(text, ' ') AS ws "
+            "FROM documents), "
+            "base AS (SELECT doc_id, least(5, len(ws)) AS keff FROM w), "
+            "sh AS (SELECT doc_id, i AS pos, "
+            "array_to_string(ws[i:i+4], ' ') AS gram "
+            "FROM w, unnest(generate_series(1, greatest(len(ws)-4, 1))) AS t(i)), "
+            "dup_g AS (SELECT gram FROM sh GROUP BY gram HAVING count(*) >= 2), "
+            "hits AS (SELECT s.doc_id, s.pos FROM sh s JOIN dup_g USING (gram)), "
+            "covered AS (SELECT DISTINCT h.doc_id, h.pos + o.o AS i "
+            "FROM hits h JOIN base b USING (doc_id), "
+            "unnest(generate_series(0, b.keff - 1)) AS o(o)), "
+            "wordpos AS (SELECT doc_id, source, unnest(ws) AS word, "
+            "generate_subscripts(ws, 1) AS i FROM w), "
+            "scrubbed AS (SELECT wp.doc_id, wp.source, "
+            "COALESCE(string_agg(wp.word, ' ' ORDER BY wp.i) "
+            "FILTER (WHERE c.i IS NULL), '') AS text "
+            "FROM wordpos wp LEFT JOIN covered c "
+            "ON c.doc_id = wp.doc_id AND c.i = wp.i "
+            "GROUP BY wp.doc_id, wp.source) "
+            "SELECT source, count(*)::BIGINT AS n_docs, "
+            "SUM(length(text))::BIGINT AS total_chars, "
+            "md5(string_agg(md5(text), '' ORDER BY md5(text))) AS digest "
+            "FROM scrubbed GROUP BY source ORDER BY source"
         ),
         "bpe_merges_batched": (
             # replay the batched selection from the persisted per-ROUND

@@ -1854,3 +1854,122 @@ def distinctive_terms(docs: DataFrame, k: int = 5, max_df: int = 3) -> DataFrame
         .select("source", "rank", "word", "tf", "df")
         .orderBy("source", "rank")
     )
+
+
+def duplicate_spans(docs: DataFrame, k: int = 5, min_df: int = 2) -> DataFrame:
+    """Corpus-wide exact duplicate-span statistics — the training-data
+    "exact substring dedup" signal (Lee et al. 2022, *Deduplicating
+    Training Data Makes Language Models Better*): a word ``k``-gram
+    occurring ``min_df``-or-more times anywhere in the corpus marks the
+    ``k`` words it covers as duplicated, and overlapping marks merge.
+
+    Scale posture: the corpus is ONE scan producing (doc_id, pos,
+    xxhash64(gram)); duplicated grams come from a two-level hash count
+    (map-side partial combine), and the join back to positions is a
+    plain shuffle join co-partitioned on the 8-byte hash — no string
+    shuffles, no all-pairs anywhere.  Span merging is pure JVM array
+    arithmetic: per doc the sorted duplicate start positions ``ps``
+    cover ``sum(min(next_start - p, k))`` words, so no interval-merge
+    UDF is needed.  A 64-bit hash collision can only perturb the counts
+    (never corrupt text); at 10^12 distinct shingles the expected
+    number of colliding pairs is ~0.03 — document-level noise, not a
+    correctness hazard (the scrub variant confirms nothing because it
+    removes, never rewrites, bytes).
+
+    Returns one row per document: (doc_id, source, n_words,
+    n_dup_starts, covered_words) — integer-exact, SQL-replayable.
+    """
+    words = F.split("text", " ")
+    base = docs.select(
+        "doc_id",
+        "source",
+        F.size(words).alias("n_words"),
+        F.least(F.lit(k), F.size(words)).alias("keff"),
+    )
+    sh = docs.select(
+        "doc_id",
+        F.posexplode(_shingles(F.col("text"), k)).alias("pos", "gram"),
+    ).select("doc_id", "pos", F.xxhash64("gram").alias("h"))
+    dup_h = (
+        sh.groupBy("h")
+        .agg(F.count("*").alias("c"))
+        .filter(F.col("c") >= min_df)
+        .select("h")
+    )
+    per_doc = (
+        sh.join(dup_h, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.sort_array(F.collect_list("pos")).alias("ps"),
+            F.count("*").cast("bigint").alias("n_dup_starts"),
+        )
+    )
+    j = base.join(per_doc, "doc_id", "left")
+    ps = F.col("ps")
+    nxt = F.concat(
+        F.slice(ps, 2, F.greatest(F.size(ps) - 1, F.lit(0))),
+        F.array(F.lit(2**62)),
+    )
+    covered = F.aggregate(
+        F.zip_with(ps, nxt, lambda p, np: F.least(np - p, F.col("keff"))),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    return j.select(
+        "doc_id",
+        "source",
+        F.col("n_words").cast("bigint").alias("n_words"),
+        F.coalesce("n_dup_starts", F.lit(0)).cast("bigint").alias("n_dup_starts"),
+        F.coalesce(covered, F.lit(0)).cast("bigint").alias("covered_words"),
+    )
+
+
+def scrub_duplicate_spans(docs: DataFrame, k: int = 5, min_df: int = 2) -> DataFrame:
+    """Remove corpus-wide duplicated spans from every document: drop
+    each word covered by a ``k``-gram that occurs ``min_df``-or-more
+    times in the corpus (see `duplicate_spans`).  Removal — never
+    rewriting — so a hash collision can at worst drop a span, and the
+    whole rebuild stays JVM-side: covered indices come from
+    flatten/sequence over the duplicate start positions, and the kept
+    words from a single filter-with-index.  Returns (doc_id, source,
+    text) with the scrubbed text."""
+    words = F.split("text", " ")
+    base = docs.select(
+        "doc_id",
+        "source",
+        words.alias("w"),
+        F.least(F.lit(k), F.size(words)).alias("keff"),
+    )
+    sh = docs.select(
+        "doc_id",
+        F.posexplode(_shingles(F.col("text"), k)).alias("pos", "gram"),
+    ).select("doc_id", "pos", F.xxhash64("gram").alias("h"))
+    dup_h = (
+        sh.groupBy("h")
+        .agg(F.count("*").alias("c"))
+        .filter(F.col("c") >= min_df)
+        .select("h")
+    )
+    per_doc = (
+        sh.join(dup_h, "h")
+        .groupBy("doc_id")
+        .agg(F.collect_list("pos").alias("ps"))
+    )
+    j = base.join(per_doc, "doc_id", "left")
+    covered = F.array_distinct(
+        F.flatten(
+            F.transform(
+                F.coalesce("ps", F.array()),
+                lambda p: F.sequence(
+                    p, F.least(p + F.col("keff"), F.size("w")) - 1
+                ),
+            )
+        )
+    )
+    kept = F.filter(
+        F.col("w"), lambda w, i: ~F.array_contains(F.col("cov"), i)
+    )
+    return (
+        j.withColumn("cov", covered)
+        .select("doc_id", "source", F.concat_ws(" ", kept).alias("text"))
+    )

@@ -1102,3 +1102,74 @@ def test_mix_sources_null_source_and_full_rate(spark):
     assert (2, None) in got
     assert {(1, "a"), (4, "a")} <= got
     assert all(s != "b" for _, s in got)
+
+
+def _dup_span_brute(docs, k, min_df):
+    """Brute-force duplicate-span reference (stats + scrub)."""
+    from collections import Counter
+
+    def grams(text):
+        w = text.split(" ")
+        if len(w) < k:
+            return [(" ".join(w), 0)]
+        return [(" ".join(w[i:i + k]), i) for i in range(len(w) - k + 1)]
+
+    cnt = Counter(g for _, _, t in docs for g, _ in grams(t))
+    stats, scrub = {}, {}
+    for d, s, t in docs:
+        w = t.split(" ")
+        keff = min(k, len(w))
+        ps = sorted(p for g, p in grams(t) if cnt[g] >= min_df)
+        covered = set()
+        for p in ps:
+            covered.update(range(p, min(p + keff, len(w))))
+        stats[d] = (len(w), len(ps), len(covered))
+        scrub[d] = " ".join(x for i, x in enumerate(w) if i not in covered)
+    return stats, scrub
+
+
+def test_duplicate_spans_known_counts(spark):
+    docs = [
+        (1, "a", "the quick brown fox jumps over the lazy dog"),
+        (2, "a", "the quick brown fox sat still near the lazy dog"),
+        (3, "b", "completely unique text with no shared runs at all"),
+        (4, "b", "the quick brown fox jumps over a fence"),
+        (5, "b", ""),          # empty text: 1 pseudo-word, never duplicated
+        (6, "a", "tiny"),      # short-doc gram = whole text ...
+        (7, "a", "tiny"),      # ... duplicated across docs
+    ]
+    df = spark.createDataFrame(docs, "doc_id int, source string, text string")
+    exp_stats, exp_scrub = _dup_span_brute(docs, 3, 2)
+    got = {r.doc_id: (r.n_words, r.n_dup_starts, r.covered_words)
+           for r in po.duplicate_spans(df, k=3, min_df=2).collect()}
+    assert got == exp_stats
+    # overlapping spans merge: doc 1 has 5 dup starts but only 9 covered
+    assert got[1] == (9, 5, 9) and got[6] == (1, 1, 1)
+    gs = {r.doc_id: r.text
+          for r in po.scrub_duplicate_spans(df, k=3, min_df=2).collect()}
+    assert gs == exp_scrub
+
+
+def test_duplicate_spans_random_corpus_property(spark):
+    """Seeded random corpora with heavy word reuse — Spark must equal
+    the brute-force interval-merge on every doc, stats and scrub."""
+    import random
+
+    rng = random.Random(20260817)
+    vocab = [f"w{i}" for i in range(30)]
+    for trial in range(3):
+        docs = [
+            (i, f"s{i % 3}",
+             " ".join(rng.choice(vocab) for _ in range(rng.randrange(0, 25))))
+            for i in range(40)
+        ]
+        df = spark.createDataFrame(
+            docs, "doc_id int, source string, text string")
+        k = (2, 3, 5)[trial]
+        exp_stats, exp_scrub = _dup_span_brute(docs, k, 2)
+        got = {r.doc_id: (r.n_words, r.n_dup_starts, r.covered_words)
+               for r in po.duplicate_spans(df, k=k, min_df=2).collect()}
+        assert got == exp_stats, f"trial {trial}"
+        gs = {r.doc_id: r.text
+              for r in po.scrub_duplicate_spans(df, k=k, min_df=2).collect()}
+        assert gs == exp_scrub, f"trial {trial}"

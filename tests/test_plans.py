@@ -263,3 +263,25 @@ def test_hash_split_is_pure_projection(spark):
     # one narrow projection: no exchange, no join, no aggregate
     for bad in ("Exchange", "Join", "Aggregate", "WindowExec"):
         assert bad not in plan, f"{bad} in hash_split plan"
+
+
+def test_duplicate_spans_plan_scales(spark):
+    """Duplicate-span detection must stay two hash aggregates + a
+    shuffle join on the 8-byte gram hash: no cartesian/BNLJ anywhere,
+    map-side partial aggregation on the gram count, and no window
+    operator (interval merge is pure array arithmetic)."""
+    from archive_spark import pipeline_ops as po
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f", "s"), (2, "a b c d x y", "s")],
+        "doc_id long, text string, source string",
+    )
+    for df in (po.duplicate_spans(docs, k=3),
+               po.scrub_duplicate_spans(docs, k=3)):
+        plan = plan_of(df)
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "WindowExec" not in plan
+        assert "partial_count" in plan or "HashAggregate" in plan
+        # no Python in the hot path — whole pipeline is JVM expressions
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
