@@ -128,7 +128,8 @@ def test_ingest_job_end_to_end_and_resume(zip_path, tmp_path_factory):
     # block-header listing (+3 members), so nothing is unsupported_format
     assert s1["member_status"]["ok"] == 94
     assert "unsupported_format" not in s1["member_status"]
-    assert s1["documents"] == 67
+    # 70 = 67 + the 3 RAR members that now decode (RAR 2.0 decompressor)
+    assert s1["documents"] == 70
     assert (s1["shards_encoded"], s1["shards_skipped"]) == (4, 0)
     assert 0 < s1["bytes_out"] < s1["bytes_in"]
 
