@@ -180,6 +180,42 @@ def test_rar_encrypted_member_typed(spark):
         ("S.TXT", "encrypted", None)]
 
 
+def test_rar_corrupt_compressed_member_poisons_solid_chain():
+    """Flipping a byte inside member 1's packed stream must type member
+    1 corrupt (decode error or CRC gate) AND members 2/3 corrupt too —
+    they are solid continuations whose window history is now missing;
+    emitting bytes for them would be silent garbage."""
+    buf = bytearray(open(f"{TESTDATA}/RAR250.RAR", "rb").read())
+    buf[100] ^= 0xFF  # inside TESTDAT1.TXT's packed data (starts at 64)
+    rows = list(sources._walk_rar(bytes(buf), True, None))
+    assert [(r[0], r[4], r[5]) for r in rows] == [
+        ("TESTDAT1.TXT", "corrupt", None),
+        ("TESTDAT2.TXT", "corrupt", None),
+        ("TESTDAT3.TXT", "corrupt", None),
+    ]
+
+
+def test_rar_unpver_29_typed_unsupported():
+    """unpVer > 20 (RAR 2.9+ adds PPMd and the filter VM) must surface
+    typed unsupported_method, never attempt the 2.0 bitstream."""
+    import struct
+    import zlib
+
+    data = b"\x12\x34\x56"  # arbitrary packed bytes, never parsed
+    nb = b"N.BIN"
+    body = struct.pack(
+        "<IIBIIBBHI", len(data), 100, 0, zlib.crc32(b"x" * 100),
+        0, 29, 0x33, len(nb), 0x20,
+    ) + nb
+    buf = (b"Rar!\x1a\x07\x00"
+           + _rar2_block(0x73, 0x0000, b"\x00" * 6)
+           + _rar2_block(0x74, 0x8000, body, data)
+           + _rar2_block(0x7B, 0x4000, b""))
+    rows = list(sources._walk_rar(buf, True, None))
+    assert [(r[0], r[3], r[4], r[5]) for r in rows] == [
+        ("N.BIN", "normal", "unsupported_method", None)]
+
+
 def test_rar_reference_compressed_members_bit_identical(spark, ref_archives):
     """RAR250.RAR's method-0x33 (normal) members decode through the
     from-spec RAR 2.0 decompressor — bit-identical to the same files
