@@ -919,6 +919,25 @@ def _q_dup_span_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-snapshot incremental dedup: sources 0-9 are the already-
+    indexed corpus (persisted as its band index — three longs per doc
+    per band), sources 10-19 the new ingest batch; each new doc that
+    LSH-collides with history is flagged with its distinct-partner
+    count.  Shared-artifact oracle (round-2 pattern): the band tables
+    are persisted and DuckDB replays the skew-guarded join + aggregate;
+    the banding itself is oracle-checked by `minhash_lsh_pairs`."""
+    from archive_spark.pipeline_ops import incremental_dedup, minhash_band_table
+
+    docs = _docs(spark, sf_dir)
+    srcnum = F.regexp_extract("source", r"(\d+)", 1).cast("int")
+    old, new = docs.filter(srcnum < 10), docs.filter(srcnum >= 10)
+    index = minhash_band_table(old)
+    _persist(index, "incdedup_index", sf_dir)
+    _persist(minhash_band_table(new), "incdedup_new_bands", sf_dir)
+    return incremental_dedup(new, index).orderBy("doc_id")
+
+
 def _q_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic weighted source mix (downsample two sources); the
     oracle recomputes every keep/drop decision from the same md5."""
@@ -1440,6 +1459,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_merges_batched": _q_bpe_merges_batched,
         "dup_span_stats": _q_dup_span_stats,
         "dup_span_scrub": _q_dup_span_scrub,
+        "incremental_dedup": _q_incremental_dedup,
         # engine core (SURVEY.md §2)
         "roundtrip_gate": _q_roundtrip_gate,
         "enc_listing": _q_enc_listing,
@@ -1876,6 +1896,19 @@ def oracle_sql() -> dict[str, str]:
             'SELECT step::INT AS step, l AS "left", r AS "right", '
             'l || r AS merged, n::BIGINT AS n_pairs '
             "FROM ranked WHERE rn = 1 AND n >= 2 ORDER BY step"
+        ),
+        "incremental_dedup": (
+            "WITH ok AS (SELECT band, band_hash "
+            f"FROM read_parquet('{_opath('incdedup_index')}') "
+            "GROUP BY band, band_hash HAVING count(*) <= 256), "
+            "idx AS (SELECT i.doc_id AS old_id, i.band, i.band_hash "
+            f"FROM read_parquet('{_opath('incdedup_index')}') i "
+            "JOIN ok USING (band, band_hash)) "
+            "SELECT n.doc_id, count(DISTINCT idx.old_id)::BIGINT AS n_matches, "
+            "min(idx.old_id) AS first_match "
+            f"FROM read_parquet('{_opath('incdedup_new_bands')}') n "
+            "JOIN idx USING (band, band_hash) "
+            "GROUP BY n.doc_id ORDER BY n.doc_id"
         ),
         "dup_span_stats": (
             "WITH w AS (SELECT doc_id, source, string_split(text, ' ') AS ws "

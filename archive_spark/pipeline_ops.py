@@ -1973,3 +1973,54 @@ def scrub_duplicate_spans(docs: DataFrame, k: int = 5, min_df: int = 2) -> DataF
         j.withColumn("cov", covered)
         .select("doc_id", "source", F.concat_ws(" ", kept).alias("text"))
     )
+
+
+def incremental_dedup(
+    new_docs: DataFrame,
+    index: DataFrame,
+    n_perm: int = 32,
+    bands: int = 8,
+    k: int = 3,
+    max_bucket: int = 256,
+) -> DataFrame:
+    """Near-dup-flag NEW documents against an already-indexed corpus
+    without rescanning it — the continuously-updated-pipeline shape of
+    MinHash-LSH dedup: the historical corpus exists only as its
+    persisted band index (`minhash_band_table` output, (doc_id, band,
+    band_hash) — three longs per doc per band), so each ingest batch
+    costs O(|new| + matched buckets), never O(corpus).
+
+    Scale posture: one scan of the new batch (signature + banding, all
+    JVM hash expressions), one shuffle join on the (band, band_hash)
+    key against the index, and a two-level aggregate.  Pathological
+    index buckets (> ``max_bucket`` members — near-constant text) are
+    dropped before the join, the same skew guard as
+    ``lsh_distinct_pairs``; dropped buckets mean those historical docs
+    simply cannot flag new ones, a documented recall trade, never a
+    blow-up.
+
+    Returns (doc_id, n_matches, first_match): one row per NEW document
+    that shares at least one LSH bucket with the index, with the count
+    of distinct historical collision partners and the smallest
+    partner id.  Candidate-level by design (like `minhash_lsh_candidates`);
+    verify with `ngram_jaccard` against fetched texts if exactness is
+    needed downstream.
+    """
+    new_bands = minhash_band_table(new_docs, n_perm, bands, k)
+    ok_buckets = (
+        index.groupBy("band", "band_hash")
+        .agg(F.count("*").alias("c"))
+        .filter(F.col("c") <= max_bucket)
+        .select("band", "band_hash")
+    )
+    idx = index.join(ok_buckets, ["band", "band_hash"]).select(
+        F.col("doc_id").alias("old_id"), "band", "band_hash"
+    )
+    hits = new_bands.join(idx, ["band", "band_hash"])
+    return (
+        hits.groupBy("doc_id")
+        .agg(
+            F.countDistinct("old_id").cast("bigint").alias("n_matches"),
+            F.min("old_id").alias("first_match"),
+        )
+    )

@@ -1173,3 +1173,34 @@ def test_duplicate_spans_random_corpus_property(spark):
         gs = {r.doc_id: r.text
               for r in po.scrub_duplicate_spans(df, k=k, min_df=2).collect()}
         assert gs == exp_scrub, f"trial {trial}"
+
+
+def test_incremental_dedup_flags_only_matches(spark):
+    """A new doc that exactly duplicates an indexed doc collides in
+    every band; unrelated text collides in none.  The historical corpus
+    is consulted only through its band index."""
+    old = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog again and again"),
+         (101, "an entirely different historical document about spark engines")],
+        "doc_id long, text string")
+    new = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog again and again"),
+         (2, "completely novel content never indexed before at all here")],
+        "doc_id long, text string")
+    index = po.minhash_band_table(old)
+    got = {r.doc_id: (r.n_matches, r.first_match)
+           for r in po.incremental_dedup(new, index).collect()}
+    assert got == {1: (1, 100)}
+
+
+def test_incremental_dedup_skew_guard_drops_fat_buckets(spark):
+    """With max_bucket=1 a bucket holding two identical historical docs
+    is dropped, so even an exact-dup new doc cannot be flagged through
+    it — recall trade, never a join blow-up."""
+    text = "same constant boilerplate text repeated across the corpus"
+    old = spark.createDataFrame(
+        [(100, text), (101, text)], "doc_id long, text string")
+    new = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    index = po.minhash_band_table(old)
+    assert po.incremental_dedup(new, index, max_bucket=1).count() == 0
+    assert po.incremental_dedup(new, index, max_bucket=2).count() == 1
