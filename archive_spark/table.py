@@ -40,6 +40,62 @@ class CommitConflict(RuntimeError):
     """Another committer published this snapshot id first."""
 
 
+class SchemaEvolutionError(ValueError):
+    """Append schema is not a compatible (additive) evolution of the
+    parent snapshot's schema."""
+
+
+def _schema_fields(ddl: str) -> dict[str, str]:
+    """Parse a Spark ``simpleString`` schema (``struct<a:string,
+    b:array<int>,...>``) into {name: type} with a depth-aware split —
+    nested ``struct<>``/``array<>``/``map<>`` commas don't break
+    fields."""
+    body = ddl.strip()
+    if body.startswith("struct<") and body.endswith(">"):
+        body = body[len("struct<"):-1]
+    fields: dict[str, str] = {}
+    depth, start = 0, 0
+    parts = []
+    for i, ch in enumerate(body):
+        if ch == "<":
+            depth += 1
+        elif ch == ">":
+            depth -= 1
+        elif ch == "," and depth == 0:
+            parts.append(body[start:i])
+            start = i + 1
+    if body[start:]:
+        parts.append(body[start:])
+    for p in parts:
+        name, _, typ = p.partition(":")
+        fields[name.strip()] = typ.strip()
+    return fields
+
+
+def _is_struct_ddl(ddl: str) -> bool:
+    return ddl.strip().startswith("struct<") and ddl.strip().endswith(">")
+
+
+def _check_schema_evolution(parent_ddl: str, new_ddl: str) -> None:
+    """Additive evolution only (the Iceberg v1 guarantee this layer
+    supports): every parent column must survive with an identical type;
+    new columns may appear anywhere.  Drops, renames and type changes
+    raise — they would silently corrupt old readers.  Free-form schema
+    labels (``commit_existing`` callers may pass any string) are not
+    checkable and pass through."""
+    if not (_is_struct_ddl(parent_ddl) and _is_struct_ddl(new_ddl)):
+        return
+    parent, new = _schema_fields(parent_ddl), _schema_fields(new_ddl)
+    for name, typ in parent.items():
+        if name not in new:
+            raise SchemaEvolutionError(
+                f"append drops column {name!r} (use mode='overwrite' to "
+                "rewrite the table under a new schema)")
+        if new[name] != typ:
+            raise SchemaEvolutionError(
+                f"append changes column {name!r} type {typ} -> {new[name]}")
+
+
 class CommitLockTimeout(RuntimeError):
     """Could not acquire the table commit lock within the timeout."""
 
@@ -277,6 +333,11 @@ def commit_existing(
         stats = _file_stats(table_dir, files)
         if mode == "append" and parent is not None:
             pm = read_manifest(table_dir, parent)
+            # additive schema evolution: old columns must survive
+            # untouched; the manifest records the evolved (superset)
+            # schema and `read` projects old files through it (missing
+            # columns read as null — no footer merging at read time)
+            _check_schema_evolution(pm.schema, schema)
             all_files = pm.files + all_files
             stats = {**(pm.stats or {}), **stats}
         manifest = Snapshot(
@@ -327,11 +388,22 @@ def read(
     snapshot_id = snapshot_id or current_snapshot_id(table_dir)
     if snapshot_id is None:
         raise FileNotFoundError(f"{table_dir}: no committed snapshot")
+    manifest = read_manifest(table_dir, snapshot_id)
     files = select_files(table_dir, snapshot_id, prune)
     if not files:
-        manifest = read_manifest(table_dir, snapshot_id)
         return spark.createDataFrame([], manifest.schema)
     paths = [os.path.join(table_dir, f) for f in files]
+    # schema comes from the MANIFEST, not file footers (the Iceberg
+    # read contract): one metadata read instead of N footer merges, a
+    # stable column set under schema evolution, and files written
+    # before a column existed project it as null.  read.schema wants
+    # column-list DDL, not the stored simpleString; manifests whose
+    # schema is a free-form label fall back to footer inference.
+    if _is_struct_ddl(manifest.schema):
+        ddl = ", ".join(
+            f"`{n}` {t}" for n, t in _schema_fields(manifest.schema).items()
+        )
+        return spark.read.schema(ddl).parquet(*paths)
     return spark.read.parquet(*paths)
 
 

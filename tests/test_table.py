@@ -285,3 +285,51 @@ def test_snapshot_diff_and_read_changes(spark, tmp_path):
     assert changes.agg({"k": "min"}).collect()[0][0] == 100
     # no changes between a snapshot and itself -> empty with schema
     assert table.read_changes(spark, td, s2, s2).count() == 0
+
+
+def test_schema_evolution_additive_append(spark, tmp_path):
+    """Iceberg-style additive evolution: an append may ADD columns; the
+    manifest records the evolved schema and reads project old files
+    through it (missing column -> null) — current read sees the union,
+    time travel sees each snapshot's own schema."""
+    td = str(tmp_path / "t")
+    v1 = spark.createDataFrame(
+        [(1, "a"), (2, "b")], "k long, name string")
+    s1 = table.commit(v1, td)
+    v2 = spark.createDataFrame(
+        [(3, "c", 30)], "k long, name string, score int")
+    s2 = table.commit(v2, td, mode="append")
+
+    cur = table.read(spark, td).orderBy("k")
+    assert cur.columns == ["k", "name", "score"]
+    assert [(r.k, r.name, r.score) for r in cur.collect()] == [
+        (1, "a", None), (2, "b", None), (3, "c", 30)]
+    old = table.read(spark, td, snapshot_id=s1)
+    assert old.columns == ["k", "name"]
+    # pruning still bites across the mixed-schema file set
+    assert len(table.select_files(td, s2, {"k": (3, 3)})) < len(
+        table.read_manifest(td, s2).files)
+
+
+def test_schema_evolution_rejects_drops_and_type_changes(spark, tmp_path):
+    td = str(tmp_path / "t")
+    table.commit(spark.createDataFrame([(1, "a")], "k long, name string"), td)
+    with pytest.raises(table.SchemaEvolutionError, match="drops column"):
+        table.commit(spark.createDataFrame([(2,)], "k long"), td,
+                     mode="append")
+    with pytest.raises(table.SchemaEvolutionError, match="type"):
+        table.commit(
+            spark.createDataFrame([("x", "a")], "k string, name string"),
+            td, mode="append")
+    # overwrite is the explicit escape hatch for incompatible rewrites
+    s = table.commit(spark.createDataFrame([(9,)], "k long"), td)
+    assert table.read(spark, td, snapshot_id=s).columns == ["k"]
+
+
+def test_schema_fields_parser_nested_types():
+    got = table._schema_fields(
+        "struct<a:string,b:array<int>,c:struct<x:int,y:map<string,"
+        "array<bigint>>>,d:int>")
+    assert got == {
+        "a": "string", "b": "array<int>",
+        "c": "struct<x:int,y:map<string,array<bigint>>>", "d": "int"}
