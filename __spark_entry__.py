@@ -938,6 +938,28 @@ def _q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return incremental_dedup(new, index).orderBy("doc_id")
 
 
+def _q_normalize_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text-normalization stage (control chars, markup, whitespace),
+    digest-compared per source; the repeat-cap rule stays off here
+    because RE2 (DuckDB) has no backreferences — it is pytest-covered
+    instead."""
+    from archive_spark.pipeline_ops import normalize_text
+
+    return (
+        normalize_text(_docs(spark, sf_dir), strip_markup=True, max_repeat=0)
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("n_chars_in").cast("bigint").alias("chars_in"),
+            F.sum("n_chars_out").cast("bigint").alias("chars_out"),
+            F.md5(
+                F.concat_ws("", F.sort_array(F.collect_list(F.md5("text"))))
+            ).alias("digest"),
+        )
+        .orderBy("source")
+    )
+
+
 def _q_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic weighted source mix (downsample two sources); the
     oracle recomputes every keep/drop decision from the same md5."""
@@ -1460,6 +1482,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_span_stats": _q_dup_span_stats,
         "dup_span_scrub": _q_dup_span_scrub,
         "incremental_dedup": _q_incremental_dedup,
+        "normalize_text": _q_normalize_text,
         # engine core (SURVEY.md §2)
         "roundtrip_gate": _q_roundtrip_gate,
         "enc_listing": _q_enc_listing,
@@ -1896,6 +1919,17 @@ def oracle_sql() -> dict[str, str]:
             'SELECT step::INT AS step, l AS "left", r AS "right", '
             'l || r AS merged, n::BIGINT AS n_pairs '
             "FROM ranked WHERE rn = 1 AND n >= 2 ORDER BY step"
+        ),
+        "normalize_text": (
+            "WITH norm AS (SELECT source, length(text) AS n_in, "
+            "trim(regexp_replace(regexp_replace(regexp_replace(text, "
+            "'[\\x00-\\x1F\\x7F]', ' ', 'g'), '<[^<>]*>', ' ', 'g'), "
+            "'\\s+', ' ', 'g')) AS t FROM documents) "
+            "SELECT source, count(*)::BIGINT AS n_docs, "
+            "SUM(n_in)::BIGINT AS chars_in, "
+            "SUM(length(t))::BIGINT AS chars_out, "
+            "md5(string_agg(md5(t), '' ORDER BY md5(t))) AS digest "
+            "FROM norm GROUP BY source ORDER BY source"
         ),
         "incremental_dedup": (
             "WITH ok AS (SELECT band, band_hash "

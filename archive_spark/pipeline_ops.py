@@ -2024,3 +2024,44 @@ def incremental_dedup(
             F.min("old_id").alias("first_match"),
         )
     )
+
+
+def normalize_text(
+    docs: DataFrame,
+    strip_markup: bool = True,
+    max_repeat: int = 0,
+) -> DataFrame:
+    """Deterministic text normalization — the cleaning stage every
+    ingest pipeline runs before dedup/tokenization, kept rigorously
+    SQL-replayable (pure JVM ``regexp_replace`` chain, no locale or
+    unicode-table dependence, so the DuckDB oracle reproduces it
+    byte-for-byte):
+
+    1. drop control characters (C0 + DEL),
+    2. optionally strip ``<...>`` markup tags (non-greedy, single-line
+       — the cheap boilerplate pass, not an HTML parser),
+    3. optionally cap runs of one repeated non-space character at
+       ``max_repeat`` (0 = off) — kills ``=====`` banners,
+    4. collapse whitespace runs to single spaces and trim.
+
+    One scan, one projection — order-preserving, no shuffle.  Returns
+    (doc_id, source, text, n_chars_in, n_chars_out).
+    """
+    t = F.col("text")
+    n_in = F.length(t)
+    t = F.regexp_replace(t, r"[\x00-\x1F\x7F]", " ")
+    if strip_markup:
+        t = F.regexp_replace(t, r"<[^<>]*>", " ")
+    if max_repeat > 0:
+        t = F.regexp_replace(
+            t, r"([^\s])\1{" + str(max_repeat) + r",}",
+            "$1" * max_repeat,
+        )
+    t = F.trim(F.regexp_replace(t, r"\s+", " "))
+    return docs.select(
+        "doc_id",
+        "source",
+        t.alias("text"),
+        n_in.cast("bigint").alias("n_chars_in"),
+        F.length(t).cast("bigint").alias("n_chars_out"),
+    )

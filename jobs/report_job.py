@@ -74,6 +74,26 @@ def main() -> None:
     ).collect()[0]
     card["pii_spans"] = {k: int(v or 0) for k, v in pii.asDict().items()}
 
+    # corpus-duplicated spans (exact substring dedup signal): how much
+    # of the corpus is covered by k-grams that occur more than once
+    spans = po.duplicate_spans(docs).agg(
+        F.sum("n_words").alias("words"),
+        F.sum("covered_words").alias("covered"),
+    ).collect()[0]
+    card["duplicate_spans"] = {
+        "covered_words": int(spans.covered or 0),
+        "covered_frac": round(
+            (spans.covered or 0) / spans.words, 4) if spans.words else None,
+    }
+
+    # normalization headroom: chars the cleaning stage would remove
+    norm = po.normalize_text(docs).agg(
+        F.sum("n_chars_in").alias("n_in"), F.sum("n_chars_out").alias("n_out")
+    ).collect()[0]
+    card["normalization"] = {
+        "chars_removed": int((norm.n_in or 0) - (norm.n_out or 0)),
+    }
+
     if args.neardup:
         pairs = po.minhash_lsh_candidates(docs)
         card["neardup_candidate_pairs"] = pairs.count()

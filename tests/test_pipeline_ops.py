@@ -1204,3 +1204,31 @@ def test_incremental_dedup_skew_guard_drops_fat_buckets(spark):
     index = po.minhash_band_table(old)
     assert po.incremental_dedup(new, index, max_bucket=1).count() == 0
     assert po.incremental_dedup(new, index, max_bucket=2).count() == 1
+
+
+def test_normalize_text_rules(spark):
+    docs = spark.createDataFrame(
+        [(1, "s", "hello\x00\x01 <b>world</b>\tfoo\n\nbar  baz "),
+         (2, "s", "banner ======== end"),
+         (3, "s", "already clean text"),
+         (4, "s", "")],
+        "doc_id long, source string, text string")
+    out = {r.doc_id: (r.text, r.n_chars_in, r.n_chars_out)
+           for r in po.normalize_text(docs, max_repeat=3).collect()}
+    assert out[1][0] == "hello world foo bar baz"
+    assert out[2][0] == "banner === end"          # repeat run capped at 3
+    assert out[3] == ("already clean text", 18, 18)
+    assert out[4] == ("", 0, 0)
+    # idempotence: normalizing normalized text changes nothing
+    once = po.normalize_text(docs, max_repeat=3).select(
+        "doc_id", "source", "text")
+    twice = {r.doc_id: r.text
+             for r in po.normalize_text(once, max_repeat=3).collect()}
+    assert twice == {d: t for d, (t, _, _) in out.items()}
+
+
+def test_normalize_text_markup_off(spark):
+    docs = spark.createDataFrame(
+        [(1, "s", "keep <tags> here")], "doc_id long, source string, text string")
+    assert po.normalize_text(docs, strip_markup=False).collect()[0].text \
+        == "keep <tags> here"

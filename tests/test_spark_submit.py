@@ -214,3 +214,5 @@ def test_report_job_cli(zip_path):
     assert sum(card["languages"].values()) == 500
     assert sum(card["filter_verdicts"].values()) == 500
     assert set(card["pii_spans"]) == {"email", "ipv4", "phone"}
+    assert 0 <= card["duplicate_spans"]["covered_frac"] <= 1
+    assert card["normalization"]["chars_removed"] >= 0
