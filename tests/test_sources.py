@@ -843,3 +843,84 @@ def test_member_inflate_size_guard(spark):
     rows = {r.member: r.status
             for r in sources.extract_members(df, max_bytes=100_000).collect()}
     assert rows == {"small.txt": "ok", "big.bin": "too_large"}
+
+
+def test_rar_byteflip_fuzz_typed_or_crc_clean():
+    """Seeded byte-flip fuzz over the whole RAR container: every
+    mutation must produce typed rows, and any member still reported
+    'ok' must carry a payload whose CRC-32 matches its (possibly
+    mutated) header claim — the gate, not luck, decides 'ok'."""
+    import random
+    import struct
+    import zlib
+
+    base = open(f"{TESTDATA}/RAR250.RAR", "rb").read()
+    rng = random.Random(0x5AB)
+    statuses = set()
+    for _ in range(40):
+        buf = bytearray(base)
+        for _ in range(rng.randrange(1, 4)):
+            buf[rng.randrange(len(buf))] ^= 1 << rng.randrange(8)
+        rows = list(sources._walk_rar(bytes(buf), True, None))
+        for name, unp, pk, meth, status, payload in rows:
+            statuses.add(status)
+            if status == "ok" and payload is not None:
+                # re-read the mutated header's CRC claim for this member
+                pos = 7
+                while pos + 7 <= len(buf):
+                    _, bt, fl, hs = struct.unpack_from("<HBHH", buf, pos)
+                    if hs < 7:
+                        break
+                    if bt == 0x74:
+                        ps, us, _h, fcrc, _t, _v, _m, nl, _a = \
+                            struct.unpack_from("<IIBIIBBHI", buf, pos + 7)
+                        nm = bytes(buf[pos + 32:pos + 32 + nl]).decode(
+                            "latin-1")
+                        if nm == name:
+                            assert zlib.crc32(payload) == fcrc, name
+                        pos += hs + ps
+                    else:
+                        add = struct.unpack_from("<I", buf, pos + 7)[0] \
+                            if (fl & 0x8000) else 0
+                        if bt == 0x7B:
+                            break
+                        pos += hs + add
+    assert "corrupt" in statuses  # the fuzz actually exercised failures
+
+
+def test_inflate64_fuzz_never_crashes_walker():
+    """Mutated deflate64 members must surface typed statuses through
+    the zip walker (CRC gate), never uncaught exceptions."""
+    import random
+    import struct
+    import zlib
+
+    stream, plain = _build_d64_fixture()
+    name = b"BIG.BIN"
+    crc = zlib.crc32(plain)
+    local = struct.pack(
+        "<4sHHHHHIIIHH", b"PK\x03\x04", 21, 0, 9, 0, 0, crc,
+        len(stream), len(plain), len(name), 0,
+    ) + name + stream
+    cd = struct.pack(
+        "<4sHHHHHHIIIHHHHHII", b"PK\x01\x02", 21, 21, 0, 9, 0, 0, crc,
+        len(stream), len(plain), len(name), 0, 0, 0, 0, 0x20, 0,
+    ) + name
+    eocd = struct.pack(
+        "<4sHHHHIIH", b"PK\x05\x06", 0, 0, 1, 1, len(cd), len(local), 0,
+    )
+    base = local + cd + eocd
+    rng = random.Random(77)
+    statuses = set()
+    for _ in range(25):
+        buf = bytearray(base)
+        # mutate inside the compressed stream only (headers stay valid)
+        i = rng.randrange(30 + len(name), 30 + len(name) + len(stream))
+        buf[i] ^= 1 << rng.randrange(8)
+        rows = list(sources._iter_rows("f.zip", bytes(buf), True, None,
+                                       150 * 2**20))
+        statuses.update(r[1][4] for r in rows)
+        for r in rows:
+            if r[1][4] == "ok" and r[1][5] is not None:
+                assert zlib.crc32(r[1][5]) == crc
+    assert "corrupt" in statuses
