@@ -206,7 +206,8 @@ def main() -> None:
         "token_count_by_source", "minhash_lsh_pairs", "ann_bruteforce",
         "events_asof_join", "orders_range_join", "top_words",
         "readme_usability", "bpe_token_stats", "decontamination",
-        "sequence_packing",
+        "sequence_packing", "dup_span_stats", "incremental_dedup",
+        "normalize_text",
     ):
         q = entry_mod.queries()[name]
         timed(f"q_{name}", lambda q=q: q(spark, sf_dir).collect())
