@@ -236,3 +236,65 @@ def read_archive_stream(spark: SparkSession, input_dir: str) -> DataFrame:
         .select("path", "length", "content")
     )
     return sources.extract_members(raw)
+
+
+def start_incremental_dedup_sink(
+    stream: DataFrame,
+    index_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    n_perm: int = 32,
+    bands: int = 8,
+    k: int = 3,
+    max_bucket: int = 256,
+    trigger_once: bool = True,
+):
+    """Continuous-ingest near-dup gate: every micro-batch of documents
+    is LSH-flagged against the persisted band index of everything seen
+    before (`pipeline_ops.incremental_dedup`), clean docs land in
+    ``output_dir``, and the batch's own bands are APPENDED to the index
+    — so later batches dedup against earlier ones too.  foreachBatch
+    (not a stateful operator) because the state here is the index
+    *table*, which must outlive the query, feed batch jobs, and stay
+    O(3 longs per doc per band) — the streaming face of the
+    cross-snapshot incremental dedup lane.
+
+    Exactly-once posture: the parquet appends inside one batch are not
+    atomic together, but the checkpoint replays a failed batch whole
+    and flagging is idempotent (a doc re-flagged against an index that
+    already contains its own bands self-matches and is dropped —
+    conservative, never a duplicate admitted)."""
+    import os
+
+    from .pipeline_ops import incremental_dedup, minhash_band_table
+
+    def process(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        batch = batch.persist()
+        try:
+            if os.path.isdir(index_dir) and any(
+                f.endswith(".parquet")
+                for _, _, fs in os.walk(index_dir) for f in fs
+            ):
+                index = spark.read.parquet(index_dir)
+                flagged = incremental_dedup(
+                    batch, index, n_perm, bands, k, max_bucket
+                ).select("doc_id")
+                clean = batch.join(flagged, "doc_id", "left_anti")
+            else:
+                clean = batch
+            clean.persist()
+            clean.write.mode("append").parquet(output_dir)
+            minhash_band_table(clean, n_perm, bands, k).write.mode(
+                "append"
+            ).parquet(index_dir)
+            clean.unpersist()
+        finally:
+            batch.unpersist()
+
+    writer = stream.writeStream.foreachBatch(process).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

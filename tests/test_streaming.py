@@ -274,3 +274,41 @@ def test_archive_stream_incremental_exactly_once(spark, tmp_path):
     assert flat.count(("GZIP113.GZ", "TESTDAT3.TXT", 81410)) == 1
     assert flat.count(("BSDTAR37.TAR", "TESTDAT3.TXT", 81410)) == 1
     assert len(flat) == 4  # 1 gz member + 3 tar members, each once
+
+
+def test_incremental_dedup_sink_across_batches(spark, tmp_path):
+    """Continuous near-dup gate: batch 2's copy of a batch-1 document
+    is dropped (flagged via the index persisted by batch 1), novel text
+    passes, and the index grows with each batch's CLEAN docs only."""
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    idx = str(tmp_path / "idx")
+    ckpt = str(tmp_path / "ckpt")
+
+    b1 = spark.createDataFrame(
+        [("a", "s", "the quick brown fox jumps over the lazy dog today"),
+         ("b", "s", "an entirely different first-batch document about engines")],
+        "doc_id string, source string, text string")
+    b1.write.mode("append").parquet(src)
+
+    def run():
+        stream = (spark.readStream
+                  .schema("doc_id string, source string, text string")
+                  .parquet(src))
+        q = streaming.start_incremental_dedup_sink(stream, idx, out, ckpt)
+        q.awaitTermination(120)
+
+    run()
+    assert {r.doc_id for r in spark.read.parquet(out).collect()} == {"a", "b"}
+
+    b2 = spark.createDataFrame(
+        [("c", "s", "the quick brown fox jumps over the lazy dog today"),
+         ("d", "s", "completely novel second-batch content never seen before")],
+        "doc_id string, source string, text string")
+    b2.write.mode("append").parquet(src)
+    run()
+
+    kept = {r.doc_id for r in spark.read.parquet(out).collect()}
+    assert kept == {"a", "b", "d"}          # "c" flagged against the index
+    # index holds bands for clean docs only (3 docs x 8 bands)
+    assert spark.read.parquet(idx).count() == 3 * 8
