@@ -8,11 +8,15 @@ Usage:
 
 Pipeline (each stage's drop count lands in the summary JSON on stdout):
 
-  quality filter (filter_corpus, typed reject reasons)
+  optional text normalization (--normalize, canonical text first)
+    -> quality filter (filter_corpus, typed reject reasons)
     -> exact dedup (md5 keep-first)
     -> MinHash-LSH near-dup candidates -> n-gram Jaccard verify
     -> transitive clusters + keeper per cluster (neardup_dedup)
     -> optional benchmark decontamination (drop docs sharing k-grams)
+    -> optional PII redaction (--scrub-pii)
+    -> optional duplicate-span removal (--scrub-dup-spans, exact
+       substring dedup on the survivors)
 
 Output layout:
   <output>/clean/      the kept corpus (parquet)
@@ -43,6 +47,14 @@ def main() -> None:
     ap.add_argument("--contam-k", type=int, default=8)
     ap.add_argument("--scrub-pii", action="store_true",
                     help="redact email/IP/phone spans in the kept corpus")
+    ap.add_argument("--normalize", action="store_true",
+                    help="run the text-normalization stage first "
+                         "(control chars, markup, whitespace)")
+    ap.add_argument("--scrub-dup-spans", action="store_true",
+                    help="remove corpus-duplicated k-gram spans from the "
+                         "kept corpus (exact substring dedup)")
+    ap.add_argument("--dup-span-k", type=int, default=20,
+                    help="span gram size for --scrub-dup-spans")
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession, functions as F
@@ -55,6 +67,21 @@ def main() -> None:
     docs = spark.read.parquet(args.input)
     n_in = docs.count()
     rejects = []  # (DataFrame of doc_id, stage, reason)
+
+    # 0. optional normalization BEFORE everything: dedup and filters
+    # should see canonical text, not whitespace-variant near-copies
+    norm_chars_removed = None
+    if args.normalize:
+        normed = po.normalize_text(docs)
+        norm_chars_removed = int(
+            normed.agg(
+                F.sum(F.col("n_chars_in") - F.col("n_chars_out"))
+            ).collect()[0][0]
+            or 0
+        )
+        docs = docs.drop("text").join(
+            normed.select("doc_id", "text"), "doc_id"
+        )
 
     # 1. quality filter
     flagged = po.filter_corpus(docs).persist()
@@ -124,6 +151,23 @@ def main() -> None:
             "text_scrubbed", "text"
         )
 
+    # 6. optional duplicate-span removal on the survivors (content is
+    # REMOVED, never rewritten — see pipeline_ops.scrub_duplicate_spans)
+    dup_span_words_removed = None
+    if args.scrub_dup_spans:
+        before = kept.agg(
+            F.sum(F.size(F.split("text", " ")))
+        ).collect()[0][0] or 0
+        scrubbed = po.scrub_duplicate_spans(kept, k=args.dup_span_k)
+        kept = kept.drop("text", "source").join(
+            scrubbed.select("doc_id", "source", "text"), "doc_id"
+        )
+        after = kept.agg(
+            F.sum(F.when(F.col("text") == "", 0)
+                  .otherwise(F.size(F.split("text", " "))))
+        ).collect()[0][0] or 0
+        dup_span_words_removed = int(before - after)
+
     from functools import reduce
 
     from pyspark.sql import DataFrame
@@ -147,6 +191,10 @@ def main() -> None:
     }
     if pii_counts is not None:
         summary["pii_redactions"] = pii_counts
+    if norm_chars_removed is not None:
+        summary["normalize_chars_removed"] = norm_chars_removed
+    if dup_span_words_removed is not None:
+        summary["dup_span_words_removed"] = dup_span_words_removed
     print(json.dumps(summary))
     spark.stop()
 

@@ -165,6 +165,27 @@ def test_dedup_job_cli(zip_path, tmp_path):
     assert not (kept_ids & rej_ids)
 
 
+def test_dedup_job_cli_normalize_and_dup_spans(zip_path, tmp_path):
+    """The full curation lane with the round-4 stages switched on:
+    normalization first, duplicate-span removal on the survivors."""
+    out = str(tmp_path / "clean")
+    r = _spark_submit(
+        zip_path, "dedup_job.py",
+        "--input", "/root/testdata/sf0.001/documents.parquet",
+        "--output", out, "--jaccard", "0.6",
+        "--normalize", "--scrub-dup-spans", "--dup-span-k", "5",
+        timeout=300,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    summary = json.loads(r.stdout.strip().splitlines()[-1])
+    assert summary["docs_in"] == 500
+    assert summary["normalize_chars_removed"] >= 0
+    assert summary["dup_span_words_removed"] > 0
+    import pyarrow.parquet as pq
+    kept = pq.read_table(os.path.join(out, "clean"))
+    assert kept.num_rows == summary["docs_kept"]
+
+
 def test_incremental_encode_cli(zip_path, tokens_path, tmp_path):
     out = str(tmp_path / "enc")
     r1 = _spark_submit(
