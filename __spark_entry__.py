@@ -960,6 +960,21 @@ def _q_normalize_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_token_histogram_encoded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compressed-domain analytics: the exact top-20 token histogram
+    computed FROM THE ENCODED BLOCKS (constant O(1), rle O(runs), dict
+    bincount — `kernels.histogram_block`), never reconstructing the
+    row stream; the oracle recomputes from the persisted plain token
+    table, so any histogram shortcut that drops or double-counts a
+    token hash-mismatches."""
+    from archive_spark import analytics, engine
+
+    toks = _tokens(spark, sf_dir)
+    _persist(toks.select("doc_id", "tokens"), "hist_input", sf_dir)
+    enc = engine.encode(toks, target_block_values=1 << 14)
+    return analytics.token_histogram(enc, k=20)
+
+
 def _q_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic weighted source mix (downsample two sources); the
     oracle recomputes every keep/drop decision from the same md5."""
@@ -1483,6 +1498,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_span_scrub": _q_dup_span_scrub,
         "incremental_dedup": _q_incremental_dedup,
         "normalize_text": _q_normalize_text,
+        "token_histogram_encoded": _q_token_histogram_encoded,
         # engine core (SURVEY.md §2)
         "roundtrip_gate": _q_roundtrip_gate,
         "enc_listing": _q_enc_listing,
@@ -1919,6 +1935,14 @@ def oracle_sql() -> dict[str, str]:
             'SELECT step::INT AS step, l AS "left", r AS "right", '
             'l || r AS merged, n::BIGINT AS n_pairs '
             "FROM ranked WHERE rn = 1 AND n >= 2 ORDER BY step"
+        ),
+        "token_histogram_encoded": (
+            "SELECT token, n, rank FROM ("
+            "SELECT token::BIGINT AS token, count(*)::BIGINT AS n, "
+            "row_number() OVER (ORDER BY count(*) DESC, token)::BIGINT AS rank "
+            "FROM (SELECT unnest(tokens) AS token "
+            f"FROM read_parquet('{_opath('hist_input')}')) "
+            "GROUP BY token) WHERE rank <= 20 ORDER BY rank"
         ),
         "normalize_text": (
             "WITH norm AS (SELECT source, length(text) AS n_in, "

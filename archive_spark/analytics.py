@@ -173,3 +173,56 @@ def readme_usability(
         )
         .orderBy("archive")
     )
+
+
+def token_histogram(encoded: DataFrame, k: int | None = None) -> DataFrame:
+    """Exact corpus-wide token histogram computed in the COMPRESSED
+    domain — the analytics payoff of a self-describing block format:
+    constant blocks contribute O(1), rle blocks O(runs), dict blocks a
+    bincount over the code stream (see ``kernels.histogram_block``);
+    only the codecs with no structural shortcut decode at all.  The
+    map side emits one pre-merged (token, n) partial per Arrow batch,
+    so the shuffle carries vocabulary-sized partials, never token
+    streams.
+
+    With ``k`` set, returns the top-k rows (token, n, rank) with the
+    deterministic (count desc, token) tie-break (TakeOrdered — no
+    global sort); otherwise the full histogram ordered by token.
+    """
+    import numpy as np
+    import pyarrow as pa
+
+    from .codecs import kernels
+
+    def _hist(it):
+        for batch in it:
+            if batch.num_rows == 0:
+                continue
+            us, cs = [], []
+            for payload in batch.column("payload"):
+                u, c = kernels.histogram_block(memoryview(payload.as_buffer()))
+                us.append(u)
+                cs.append(c)
+            if not us:
+                continue
+            allu, allc = np.concatenate(us), np.concatenate(cs)
+            u, inv = np.unique(allu, return_inverse=True)
+            cnt = np.zeros(u.size, dtype=np.int64)
+            np.add.at(cnt, inv, allc)
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(u, pa.int64()), pa.array(cnt, pa.int64())],
+                ["token", "n"],
+            )
+
+    partials = encoded.select("payload").mapInArrow(_hist, "token long, n long")
+    agg = partials.groupBy("token").agg(F.sum("n").cast("bigint").alias("n"))
+    if k is None:
+        return agg.orderBy("token")
+    w = Window.orderBy(F.desc("n"), F.col("token"))
+    return (
+        agg.orderBy(F.desc("n"), F.col("token"))
+        .limit(k)
+        .withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .select("token", "n", "rank")
+        .orderBy("rank")
+    )

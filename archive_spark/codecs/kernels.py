@@ -693,3 +693,61 @@ def codec_of(buf: bytes | memoryview) -> str:
     if cid not in CODEC_NAMES:
         raise CodecError(f"unknown codec id {cid}")
     return CODEC_NAMES[cid]
+
+
+def histogram_block(buf: bytes | memoryview) -> tuple[np.ndarray, np.ndarray]:
+    """Exact (values, counts) histogram of one block WITHOUT
+    reconstructing the row stream where the format already carries the
+    answer — the payoff of a self-describing columnar layout:
+
+    - ``constant``: one (value, n) pair, O(1);
+    - ``rle``: run values + run lengths aggregated directly (never
+      ``np.repeat``-expanded) — O(runs), not O(n);
+    - ``dict``: ``bincount`` over the code stream against the stored
+      dictionary — counts come out in dictionary order, no row
+      materialization;
+    - everything else: full decode + ``np.unique`` (the fallback is
+      still one vectorized pass).
+
+    Returns (values int64 ascending-unique, counts int64 > 0); both
+    empty for an empty block.  Malformed payloads raise ``CodecError``
+    like ``decode``.
+    """
+    mv = memoryview(buf)
+    if len(mv) < HEADER_SIZE:
+        raise CodecError("truncated block header")
+    cid, n = _HDR.unpack_from(mv)
+    body = mv[HEADER_SIZE:]
+    if n == 0:
+        return (np.zeros(0, dtype=np.int64),) * 2
+    try:
+        if cid == CONSTANT:
+            (val,) = struct.unpack_from("<q", body)
+            return (np.array([val], dtype=np.int64),
+                    np.array([n], dtype=np.int64))
+        if cid == RLE:
+            n_runs, vlen = struct.unpack_from("<QQ", body)
+            vals = decode(body[16:16 + vlen]).astype(np.int64)
+            lens = decode(body[16 + vlen:]).astype(np.int64)
+            if int(lens.sum()) != n:
+                raise CodecError("rle length mismatch")
+            u, inv = np.unique(vals, return_inverse=True)
+            cnt = np.zeros(u.size, dtype=np.int64)
+            np.add.at(cnt, inv, lens)
+            return u, cnt
+        if cid == DICT:
+            n_dict, vlen = struct.unpack_from("<IQ", body)
+            uvals = decode(body[12:12 + vlen]).astype(np.int64)
+            idx = decode(body[12 + vlen:])
+            cnt = np.bincount(idx, minlength=uvals.size).astype(np.int64)
+            order = np.argsort(uvals, kind="stable")
+            u, c = uvals[order], cnt[order]
+            keep = c > 0
+            return u[keep], c[keep]
+        v = decode(mv).astype(np.int64)
+        u, c = np.unique(v, return_counts=True)
+        return u, c.astype(np.int64)
+    except CodecError:
+        raise
+    except (struct.error, ValueError, IndexError, OverflowError) as e:
+        raise CodecError(f"malformed block in histogram: {e}") from e

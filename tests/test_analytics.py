@@ -67,3 +67,29 @@ def test_readme_usability_counts_and_tiebreak(spark):
     assert (row.best_rank, row.best_file) == (3, "alpha.nfo")
     assert (row.n_candidates, row.l3, row.l6) == (3, 2, 1)
     assert row.l1 == row.l2 == row.l4 == row.l5 == row.l7 == 0
+
+
+def test_token_histogram_equals_decode_histogram(spark):
+    """The compressed-domain histogram must equal the decode-then-
+    explode histogram exactly, across whatever codec mix the selector
+    chooses, including the deterministic top-k ranking."""
+    from pyspark.sql import functions as F
+
+    from archive_spark import analytics, engine
+    from archive_spark.tokengen import token_table
+
+    toks = token_table(spark, 1500, seed=11)
+    enc = engine.encode(toks, target_block_values=1 << 13).cache()
+    assert enc.select("meta.codec").distinct().count() >= 3
+    ref = {
+        r.t: r["count"]
+        for r in engine.decode(enc)
+        .select(F.explode("tokens").alias("t"))
+        .groupBy("t").count().collect()
+    }
+    got = {r.token: r.n for r in analytics.token_histogram(enc).collect()}
+    assert got == ref
+    top = analytics.token_histogram(enc, k=7).collect()
+    exp = sorted(ref.items(), key=lambda kv: (-kv[1], kv[0]))[:7]
+    assert [(r.token, r.n) for r in top] == exp
+    assert [r.rank for r in top] == list(range(1, 8))

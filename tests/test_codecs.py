@@ -251,3 +251,51 @@ def test_pdelta_plan_counts_below_base_outliers_correctly():
     assert exc == true_exc
     # below-base rows must be exceptions, not silently "in frame"
     assert width < 32 and exc >= 900
+
+
+def test_histogram_block_matches_unique_for_every_codec():
+    """Compressed-domain histogram (constant O(1), rle O(runs), dict
+    bincount, decode fallback) must equal np.unique of the decoded
+    stream for every codec x shape combination that encodes."""
+    import numpy as np
+
+    from archive_spark.codecs import kernels
+
+    rng = np.random.default_rng(3)
+    shapes = {
+        "constant": np.full(1000, 7, np.int32),
+        "runs": np.repeat(rng.integers(0, 5, 40).astype(np.int32),
+                          rng.integers(1, 99, 40)),
+        "lowcard": rng.integers(0, 30, 5000).astype(np.int32),
+        "wide": rng.integers(-2**28, 2**28, 300).astype(np.int32),
+        "offset": (rng.integers(0, 50, 4000) + 1_000_000).astype(np.int32),
+        "monotone": np.cumsum(rng.integers(0, 3, 2000)).astype(np.int32),
+        "grammar": np.tile(rng.integers(0, 9, 60).astype(np.int32), 80),
+        "empty": np.zeros(0, np.int32),
+    }
+    checked = 0
+    for v in shapes.values():
+        for codec in kernels.CODEC_IDS:
+            try:
+                blk = kernels.encode(v, codec)
+            except Exception:
+                continue  # codec rejects this shape — not under test
+            u, c = kernels.histogram_block(blk)
+            eu, ec = np.unique(v.astype(np.int64), return_counts=True)
+            assert np.array_equal(u, eu) and np.array_equal(
+                c, ec.astype(np.int64)), codec
+            checked += 1
+    assert checked > 30  # the matrix actually exercised most codecs
+
+
+def test_histogram_block_malformed_raises_codec_error():
+    import pytest as _pytest
+
+    from archive_spark.codecs import kernels
+
+    with _pytest.raises(kernels.CodecError):
+        kernels.histogram_block(b"\x04")  # truncated header
+    bad = kernels.encode(
+        __import__("numpy").arange(10, dtype="int32"), "rle")
+    with _pytest.raises(kernels.CodecError):
+        kernels.histogram_block(bad[:12])  # truncated body
