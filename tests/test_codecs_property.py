@@ -103,3 +103,21 @@ def test_decode_corrupted_valid_blocks_never_hangs(v, pos, xor):
         decode(bytes(blk))
     except CodecError:
         pass  # single typed failure mode
+
+
+@settings(max_examples=120, deadline=None)
+@given(structured)
+def test_histogram_block_mass_and_equality_any_input(v):
+    """Compressed-domain histogram invariants under the auto-selected
+    codec for ANY input: counts sum to n (mass conservation), values
+    are unique-ascending, and the histogram equals np.unique of the
+    original."""
+    from archive_spark.codecs.kernels import histogram_block
+
+    blk, _ = encode_auto(v)
+    u, c = histogram_block(blk)
+    assert int(c.sum()) == v.size
+    assert np.all(np.diff(u) > 0)
+    eu, ec = np.unique(v.astype(np.int64), return_counts=True)
+    np.testing.assert_array_equal(u, eu)
+    np.testing.assert_array_equal(c, ec.astype(np.int64))
