@@ -333,3 +333,33 @@ def test_schema_fields_parser_nested_types():
     assert got == {
         "a": "string", "b": "array<int>",
         "c": "struct<x:int,y:map<string,array<bigint>>>", "d": "int"}
+
+
+def test_compact_after_schema_evolution_unifies_files(spark, tmp_path):
+    """compact() on an evolved table reads through the manifest schema
+    (old files project null) and rewrites ONE overwrite snapshot whose
+    files all carry the superset schema; nulls stay nulls, time travel
+    to the pre-compaction snapshots survives."""
+    td = str(tmp_path / "t")
+    s1 = table.commit(
+        spark.createDataFrame([(1, "a"), (2, "b")], "k long, name string"), td)
+    table.commit(
+        spark.createDataFrame([(3, "c", 30)],
+                              "k long, name string, score int"),
+        td, mode="append")
+    s3 = table.compact(spark, td, target_partitions=1)
+
+    cur = table.read(spark, td).orderBy("k")
+    assert cur.columns == ["k", "name", "score"]
+    assert [(r.k, r.name, r.score) for r in cur.collect()] == [
+        (1, "a", None), (2, "b", None), (3, "c", 30)]
+    # the rewrite unified the schema: every surviving file now carries
+    # all three columns in its own footer
+    import pyarrow.parquet as pq
+    m = table.read_manifest(td, s3)
+    for f in m.files:
+        names = pq.read_schema(os.path.join(td, f)).names
+        assert names == ["k", "name", "score"], f
+    # time travel to the narrow-schema snapshot is untouched
+    old = table.read(spark, td, snapshot_id=s1)
+    assert old.columns == ["k", "name"] and old.count() == 2
