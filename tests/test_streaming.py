@@ -312,3 +312,35 @@ def test_incremental_dedup_sink_across_batches(spark, tmp_path):
     assert kept == {"a", "b", "d"}          # "c" flagged against the index
     # index holds bands for clean docs only (3 docs x 8 bands)
     assert spark.read.parquet(idx).count() == 3 * 8
+
+
+def test_incremental_dedup_sink_replay_is_idempotent(spark, tmp_path):
+    """Losing the checkpoint (worst-case replay) must not re-admit
+    docs: a replayed batch self-matches against the index that already
+    holds its own bands — conservative, never a duplicate admitted."""
+    import shutil
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    idx = str(tmp_path / "idx")
+    ckpt = str(tmp_path / "ckpt")
+    spark.createDataFrame(
+        [("a", "s", "some perfectly unique text about archive engines"),
+         ("b", "s", "other equally unique content concerning parquet tables")],
+        "doc_id string, source string, text string").write.parquet(src)
+
+    def run():
+        s = (spark.readStream
+             .schema("doc_id string, source string, text string")
+             .parquet(src))
+        q = streaming.start_incremental_dedup_sink(s, idx, out, ckpt)
+        q.awaitTermination(120)
+
+    run()
+    assert spark.read.parquet(out).count() == 2
+    shutil.rmtree(ckpt)  # forget all progress -> full replay
+    run()
+    replayed = spark.read.parquet(out)
+    assert replayed.count() == 2  # nothing re-admitted
+    assert {r.doc_id for r in replayed.collect()} == {"a", "b"}
+    assert spark.read.parquet(idx).count() == 2 * 8  # index not doubled
