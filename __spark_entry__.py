@@ -148,6 +148,21 @@ def _q_token_range_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.agg(F.count("*").cast("bigint").alias("n_docs_in_range"))
 
 
+def _q_token_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compressed-domain inverted token probe (zone-map prune at the
+    scan + structural per-codec membership, analytics.token_membership).
+    The input token table is persisted so DuckDB recomputes the same
+    per-source hit counts straight from the raw token arrays."""
+    from archive_spark import engine
+    from archive_spark.analytics import token_membership
+    from archive_spark.tokengen import token_table
+
+    df = token_table(spark, 5_000, seed=42)
+    _persist(df.select("source", "tokens"), "membership_input", sf_dir)
+    enc = engine.encode(df, target_block_values=1 << 15)
+    return token_membership(enc, 1_000_100)
+
+
 def _blockmeta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flat per-block metadata of the encoded sf table (the shared-data
     oracle artifact for the metadata-analytics operators)."""
@@ -1493,6 +1508,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "part_stats": _q_part_stats,
         "supplier_nation": _q_supplier_nation,
         # -- new in round 4 --
+        "token_membership": _q_token_membership,
         "bpe_merges_batched": _q_bpe_merges_batched,
         "dup_span_stats": _q_dup_span_stats,
         "dup_span_scrub": _q_dup_span_scrub,
@@ -1715,6 +1731,17 @@ def oracle_sql() -> dict[str, str]:
             "SELECT count(*)::BIGINT AS n_docs_in_range "
             f"FROM read_parquet('{_opath('token_range_input')}') "
             "WHERE len(list_filter(tokens, t -> t >= 1000000 AND t <= 1000511)) > 0"
+        ),
+        "token_membership": (
+            "SELECT source, "
+            "COUNT(*) FILTER (WHERE list_contains(tokens, 1000100))::BIGINT "
+            "AS n_docs, "
+            "SUM(len(list_filter(tokens, t -> t = 1000100)))::BIGINT "
+            "AS n_occurrences "
+            f"FROM read_parquet('{_opath('membership_input')}') "
+            "GROUP BY source "
+            "HAVING SUM(len(list_filter(tokens, t -> t = 1000100))) > 0 "
+            "ORDER BY source"
         ),
         "codec_histogram": (
             "SELECT codec, count(*)::BIGINT AS n_blocks, "

@@ -226,3 +226,105 @@ def token_histogram(encoded: DataFrame, k: int | None = None) -> DataFrame:
         .select("token", "n", "rank")
         .orderBy("rank")
     )
+
+
+def token_membership(encoded: DataFrame, token: int) -> DataFrame:
+    """Compressed-domain inverted token probe: which documents contain
+    ``token``, answered from the encoded blocks without a corpus decode.
+
+    Three-tier read pruning — the 100 TB shape for a point lookup:
+
+    1. **zone maps at the scan**: ``vmin``/``vmax`` are top-level
+       columns, so the block filter reaches parquet row-group stats
+       (``PushedFilters``) — files/row groups whose token span excludes
+       the probe are never read;
+    2. **structural probe** (``kernels.occurrences_block``): surviving
+       blocks answer membership from the codec structure — constant
+       O(1), rle O(runs), dict O(log distinct) — without expanding the
+       row stream;
+    3. **attribution decode**: only blocks that actually contain the
+       token decode their lengths stream to attribute hits to documents
+       (per-doc counts via prefix-sum differences, CLAUDE.md gotcha).
+
+    The map side emits one pre-merged (source, n_docs, n_occ) partial
+    per Arrow batch, so the shuffle carries O(sources) rows.  Returns
+    (source, n_docs, n_occurrences) for sources with ≥1 occurrence,
+    ordered by source.
+    """
+    import numpy as np
+    import pyarrow as pa
+
+    from .codecs import kernels
+
+    tok = int(token)
+
+    def _probe(it):
+        for batch in it:
+            if batch.num_rows == 0:
+                continue
+            agg: dict[str, list[int]] = {}
+            src = batch.column("source").to_pylist()
+            pay = batch.column("payload")
+            lpay = batch.column("lengths_payload")
+            for i in range(batch.num_rows):
+                occ = kernels.occurrences_block(
+                    memoryview(pay[i].as_buffer()), tok
+                )
+                if occ == 0:
+                    continue
+                vals = kernels.decode(memoryview(pay[i].as_buffer()))
+                lens = kernels.decode(
+                    memoryview(lpay[i].as_buffer())
+                ).astype(np.int64)
+                csum = np.concatenate(
+                    ([0], np.cumsum(vals == np.int32(tok), dtype=np.int64))
+                )
+                ends = np.cumsum(lens)
+                per_doc = csum[ends] - csum[ends - lens]
+                cur = agg.setdefault(src[i], [0, 0])
+                cur[0] += int((per_doc > 0).sum())
+                cur[1] += occ
+            if not agg:
+                continue
+            ks = sorted(agg)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(ks, pa.string()),
+                    pa.array([agg[k][0] for k in ks], pa.int64()),
+                    pa.array([agg[k][1] for k in ks], pa.int64()),
+                ],
+                ["source", "n_docs", "n_occ"],
+            )
+
+    pruned = encoded.filter(
+        (F.col("vmin") <= F.lit(tok)) & (F.col("vmax") >= F.lit(tok))
+    )
+    partials = pruned.select("source", "payload", "lengths_payload").mapInArrow(
+        _probe, "source string, n_docs long, n_occ long"
+    )
+    return (
+        partials.groupBy("source")
+        .agg(
+            F.sum("n_docs").cast("bigint").alias("n_docs"),
+            F.sum("n_occ").cast("bigint").alias("n_occurrences"),
+        )
+        .filter(F.col("n_occurrences") > 0)
+        .orderBy("source")
+    )
+
+
+def token_membership_stats(encoded: DataFrame, token: int) -> dict:
+    """Prune accounting for ``token_membership`` — how much of the
+    corpus a point probe actually reads: total blocks, blocks surviving
+    the zone-map filter, and blocks whose structure confirms the token
+    (only those decode).  Driver-side ints (three tiny aggregates)."""
+    tok = int(token)
+    total = encoded.count()
+    survived = encoded.filter(
+        (F.col("vmin") <= F.lit(tok)) & (F.col("vmax") >= F.lit(tok))
+    ).count()
+    return {
+        "n_blocks": int(total),
+        "n_zone_survivors": int(survived),
+        "zone_skip_fraction": 1.0 - (survived / total if total else 0.0),
+    }

@@ -751,3 +751,54 @@ def histogram_block(buf: bytes | memoryview) -> tuple[np.ndarray, np.ndarray]:
         raise
     except (struct.error, ValueError, IndexError, OverflowError) as e:
         raise CodecError(f"malformed block in histogram: {e}") from e
+
+
+def occurrences_block(buf: bytes | memoryview, token: int) -> int:
+    """Occurrences of ``token`` in one block WITHOUT reconstructing the
+    row stream where the format already carries the answer — the
+    point-probe sibling of ``histogram_block`` (an inverted-index read
+    straight off the self-describing layout):
+
+    - ``constant``: one compare, O(1);
+    - ``rle``: probe the run *values* only — run lengths decode only on
+      a hit (O(runs), never ``np.repeat``-expanded);
+    - ``dict``: binary-search the sorted dictionary; the code stream is
+      scanned only when the value is actually in the dictionary;
+    - everything else: full decode + vectorized count.
+
+    Returns the occurrence count (0 when absent).  Malformed payloads
+    raise ``CodecError`` like ``decode``.
+    """
+    mv = memoryview(buf)
+    if len(mv) < HEADER_SIZE:
+        raise CodecError("truncated block header")
+    cid, n = _HDR.unpack_from(mv)
+    body = mv[HEADER_SIZE:]
+    if n == 0:
+        return 0
+    try:
+        if cid == CONSTANT:
+            (val,) = struct.unpack_from("<q", body)
+            return int(n) if val == token else 0
+        if cid == RLE:
+            n_runs, vlen = struct.unpack_from("<QQ", body)
+            vals = decode(body[16:16 + vlen])
+            hit = vals == np.int32(token)
+            if not hit.any():
+                return 0
+            lens = decode(body[16 + vlen:]).astype(np.int64)
+            return int(lens[hit].sum())
+        if cid == DICT:
+            n_dict, vlen = struct.unpack_from("<IQ", body)
+            uvals = decode(body[12:12 + vlen])
+            pos = int(np.searchsorted(uvals, np.int32(token)))
+            if pos >= uvals.size or int(uvals[pos]) != token:
+                return 0
+            idx = decode(body[12 + vlen:])
+            return int((idx == idx.dtype.type(pos)).sum())
+        v = decode(mv)
+        return int((v == np.int32(token)).sum())
+    except CodecError:
+        raise
+    except (struct.error, ValueError, IndexError, OverflowError) as e:
+        raise CodecError(f"malformed block in probe: {e}") from e

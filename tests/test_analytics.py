@@ -93,3 +93,70 @@ def test_token_histogram_equals_decode_histogram(spark):
     exp = sorted(ref.items(), key=lambda kv: (-kv[1], kv[0]))[:7]
     assert [(r.token, r.n) for r in top] == exp
     assert [r.rank for r in top] == list(range(1, 8))
+
+
+def test_token_membership_matches_decode(spark):
+    """Compressed-domain point probe == decode-then-filter truth, per
+    source, across the selector's codec mix; sources without the token
+    are absent; kernel tiers (constant/rle/dict/full) all exercised."""
+    from pyspark.sql import functions as F
+
+    from archive_spark import analytics, engine
+    from archive_spark.tokengen import token_table
+
+    toks = token_table(spark, 1500, seed=11).cache()
+    enc = engine.encode(toks, target_block_values=1 << 13).cache()
+
+    for probe in (1_000_100, 3, 0):
+        ref = (
+            toks.select(
+                "source",
+                F.size(
+                    F.filter("tokens", lambda t: t == F.lit(probe))
+                ).alias("occ"),
+            )
+            .groupBy("source")
+            .agg(
+                F.sum(F.when(F.col("occ") > 0, 1).otherwise(0)).alias("n_docs"),
+                F.sum("occ").alias("n_occurrences"),
+            )
+            .filter(F.col("n_occurrences") > 0)
+        )
+        want = {
+            r.source: (r.n_docs, r.n_occurrences) for r in ref.collect()
+        }
+        got = {
+            r.source: (r.n_docs, r.n_occurrences)
+            for r in analytics.token_membership(enc, probe).collect()
+        }
+        assert got == want, probe
+
+
+def test_token_membership_zone_maps_prune_and_push(spark):
+    """The offset-profile probe must skip most blocks via vmin/vmax
+    zone maps, and the block filter must reach the parquet scan as
+    PushedFilters when the encoded table is read from disk."""
+    import tempfile
+
+    from archive_spark import analytics, engine
+    from archive_spark.tokengen import token_table
+
+    toks = token_table(spark, 2000, seed=7)
+    enc = engine.encode(toks, target_block_values=1 << 13)
+    stats = analytics.token_membership_stats(enc, 1_000_100)
+    assert stats["n_blocks"] > 10
+    # 1_000_100 lives only in the 'offset' profile (plus rare 'random'
+    # hits): the zone maps must exclude the vast majority of blocks
+    assert stats["zone_skip_fraction"] >= 0.5, stats
+
+    with tempfile.TemporaryDirectory() as d:
+        enc.write.parquet(f"{d}/enc")
+        ondisk = spark.read.parquet(f"{d}/enc")
+        probed = analytics.token_membership(ondisk, 1_000_100)
+        plan = probed._jdf.queryExecution().executedPlan().toString()
+        pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln]
+        assert pushed and "vmin" in pushed[0] and "vmax" in pushed[0], plan
+        # and the result itself still matches the in-memory path
+        a = {tuple(r) for r in probed.collect()}
+        b = {tuple(r) for r in analytics.token_membership(enc, 1_000_100).collect()}
+        assert a == b
