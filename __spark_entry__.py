@@ -163,6 +163,23 @@ def _q_token_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
     return token_membership(enc, 1_000_100)
 
 
+def _q_token_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bulk inverted-index build over a token band
+    (analytics.token_postings_summary): zone-map-pruned scan, one
+    decode per surviving block, map-side (token, doc) merge, one
+    shuffle carrying only the postings.  DuckDB replays document
+    frequency / occurrence totals / the md5 posting-list digest from
+    the persisted raw token arrays."""
+    from archive_spark import engine
+    from archive_spark.analytics import token_postings_summary
+    from archive_spark.tokengen import token_table
+
+    df = token_table(spark, 5_000, seed=42)
+    _persist(df.select("doc_id", "tokens"), "postings_input", sf_dir)
+    enc = engine.encode(df, target_block_values=1 << 15)
+    return token_postings_summary(enc, 0, 40)
+
+
 def _blockmeta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flat per-block metadata of the encoded sf table (the shared-data
     oracle artifact for the metadata-analytics operators)."""
@@ -1509,6 +1526,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "supplier_nation": _q_supplier_nation,
         # -- new in round 4 --
         "token_membership": _q_token_membership,
+        "token_postings": _q_token_postings,
         "bpe_merges_batched": _q_bpe_merges_batched,
         "dup_span_stats": _q_dup_span_stats,
         "dup_span_scrub": _q_dup_span_scrub,
@@ -1742,6 +1760,17 @@ def oracle_sql() -> dict[str, str]:
             "GROUP BY source "
             "HAVING SUM(len(list_filter(tokens, t -> t = 1000100))) > 0 "
             "ORDER BY source"
+        ),
+        "token_postings": (
+            "WITH per AS ("
+            "SELECT token, doc_id, COUNT(*) AS occ FROM ("
+            "SELECT doc_id, unnest(tokens) AS token "
+            f"FROM read_parquet('{_opath('postings_input')}')"
+            ") WHERE token BETWEEN 0 AND 40 GROUP BY token, doc_id"
+            ") SELECT token::BIGINT AS token, COUNT(*)::BIGINT AS n_docs, "
+            "SUM(occ)::BIGINT AS n_occ, "
+            "md5(string_agg(doc_id, ',' ORDER BY doc_id)) AS postings_md5 "
+            "FROM per GROUP BY token ORDER BY token"
         ),
         "codec_histogram": (
             "SELECT codec, count(*)::BIGINT AS n_blocks, "

@@ -328,3 +328,91 @@ def token_membership_stats(encoded: DataFrame, token: int) -> dict:
         "n_zone_survivors": int(survived),
         "zone_skip_fraction": 1.0 - (survived / total if total else 0.0),
     }
+
+
+def token_postings(encoded: DataFrame, lo: int, hi: int) -> DataFrame:
+    """Bulk inverted-index build for the token band ``[lo, hi]`` — the
+    batch sibling of :func:`token_membership` (point probe → posting
+    lists).  Returns exploded postings ``(token, doc_id, occ)``, one
+    row per (token, document) with the in-document occurrence count.
+
+    Scale shape (the part that matters at 100 TB):
+
+    - **zone maps prune the scan**: blocks whose ``[vmin, vmax]`` span
+      misses the band are never read — for a narrow band this turns an
+      index build into a partial-corpus scan (``PushedFilters`` on
+      disk-backed tables, same as ``token_membership``);
+    - **one decode per surviving block**, then a fully vectorized
+      extract: band positions → owning doc via ``searchsorted`` on the
+      doc-length prefix sums, then a single ``np.unique`` over a
+      composite ``(token-lo)*n_docs+doc`` key merges duplicates
+      map-side — the shuffle carries exactly the postings being built
+      (pre-merged, never raw token streams);
+    - each document lives in exactly one block, so block-local merge IS
+      the global merge for (token, doc) rows — downstream aggregation
+      by token needs no second dedup.
+    """
+    import numpy as np
+    import pyarrow as pa
+
+    from .codecs import kernels
+
+    lo_i, hi_i = int(lo), int(hi)
+    if lo_i > hi_i:
+        raise ValueError("empty token band")
+
+    def _extract(it):
+        for batch in it:
+            for i in range(batch.num_rows):
+                pay = memoryview(batch.column("payload")[i].as_buffer())
+                vals = kernels.decode(pay)
+                mask = (vals >= np.int32(lo_i)) & (vals <= np.int32(hi_i))
+                if not mask.any():
+                    continue
+                lens = kernels.decode(
+                    memoryview(batch.column("lengths_payload")[i].as_buffer())
+                ).astype(np.int64)
+                ends = np.cumsum(lens)
+                pos = np.nonzero(mask)[0]
+                doc_ix = np.searchsorted(ends, pos, side="right")
+                nd = int(lens.size)
+                key = (vals[pos].astype(np.int64) - lo_i) * nd + doc_ix
+                ukey, counts = np.unique(key, return_counts=True)
+                doc_ids = np.asarray(
+                    batch.column("doc_ids")[i].as_py(), dtype=object
+                )
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        pa.array(lo_i + ukey // nd, pa.int64()),
+                        pa.array(doc_ids[ukey % nd], pa.string()),
+                        pa.array(counts, pa.int64()),
+                    ],
+                    ["token", "doc_id", "occ"],
+                )
+
+    pruned = encoded.filter(
+        (F.col("vmin") <= F.lit(hi_i)) & (F.col("vmax") >= F.lit(lo_i))
+    )
+    return pruned.select("doc_ids", "payload", "lengths_payload").mapInArrow(
+        _extract, "token long, doc_id string, occ long"
+    )
+
+
+def token_postings_summary(encoded: DataFrame, lo: int, hi: int) -> DataFrame:
+    """Per-token rollup of :func:`token_postings`: document frequency,
+    total occurrences, and an order-insensitive digest of the sorted
+    posting list (md5 over comma-joined doc_ids — comparable across
+    engines).  One shuffle: postings are map-side merged, so the
+    groupBy input is already one row per (token, doc)."""
+    return (
+        token_postings(encoded, lo, hi)
+        .groupBy("token")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("occ").cast("bigint").alias("n_occ"),
+            F.md5(
+                F.concat_ws(",", F.sort_array(F.collect_list("doc_id")))
+            ).alias("postings_md5"),
+        )
+        .orderBy("token")
+    )

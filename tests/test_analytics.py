@@ -160,3 +160,46 @@ def test_token_membership_zone_maps_prune_and_push(spark):
         a = {tuple(r) for r in probed.collect()}
         b = {tuple(r) for r in analytics.token_membership(enc, 1_000_100).collect()}
         assert a == b
+
+
+def test_token_postings_matches_decode(spark):
+    """Inverted-index build == explode-the-decoded-corpus truth for a
+    dense band (small tokens, every profile) and the offset band (only
+    one profile survives the zone maps); per-doc occ counts exact and
+    (token, doc) rows unique."""
+    from pyspark.sql import functions as F
+
+    from archive_spark import analytics, engine
+    from archive_spark.tokengen import token_table
+
+    toks = token_table(spark, 1200, seed=23).cache()
+    enc = engine.encode(toks, target_block_values=1 << 13).cache()
+
+    for lo, hi in ((0, 12), (1_000_090, 1_000_140)):
+        got = analytics.token_postings(enc, lo, hi)
+        rows = got.collect()
+        assert len({(r.token, r.doc_id) for r in rows}) == len(rows)
+        want = (
+            toks.select("doc_id", F.explode("tokens").alias("token"))
+            .filter((F.col("token") >= lo) & (F.col("token") <= hi))
+            .groupBy("token", "doc_id")
+            .agg(F.count("*").alias("occ"))
+        )
+        assert {(r.token, r.doc_id, r.occ) for r in rows} == {
+            (r.token, r.doc_id, r.occ) for r in want.collect()
+        }, (lo, hi)
+
+    summ = {
+        r.token: (r.n_docs, r.n_occ)
+        for r in analytics.token_postings_summary(enc, 0, 12).collect()
+    }
+    wsum = (
+        toks.select("doc_id", F.explode("tokens").alias("token"))
+        .filter((F.col("token") >= 0) & (F.col("token") <= 12))
+        .groupBy("token")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count("*").alias("n_occ"),
+        )
+    )
+    assert summ == {r.token: (r.n_docs, r.n_occ) for r in wsum.collect()}
