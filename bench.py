@@ -192,6 +192,21 @@ def main() -> None:
     targets = [r.doc_id for r in tokens.select("doc_id").limit(5).collect()]
     timed("q_targeted_decode", lambda: engine.decode(encoded, targets=targets).collect())
 
+    # ---- compressed-domain index reads: point probe + band index build
+    # (zone-map prune at the scan; only confirmed blocks decode)
+    from archive_spark.analytics import token_membership, token_postings_summary
+
+    timed(
+        "q_token_membership",
+        lambda: token_membership(encoded, 1_000_100).collect(),
+    )
+    timed(
+        "q_token_postings",
+        lambda: token_postings_summary(encoded, 0, 40)
+        .agg(F.count("*"), F.sum("n_occ"))
+        .collect(),
+    )
+
     # ---- q_simhash: single-pass numpy bit-vote over the documents table
     from archive_spark.pipeline_ops import simhash
 
