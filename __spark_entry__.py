@@ -180,6 +180,23 @@ def _q_token_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return token_postings_summary(enc, 0, 40)
 
 
+def _q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranked retrieval off the compressed corpus (analytics.bm25_topk):
+    query-set postings (zone-map pruned) + lengths-only doc stats →
+    Okapi BM25 top-15.  DuckDB replays the identical formula from the
+    persisted raw token arrays; scores integer-ized at 1e4 (CLAUDE.md
+    convention — ln/÷ are IEEE-double identical on both engines, the
+    coarse rounding absorbs sum-order ulps)."""
+    from archive_spark import engine
+    from archive_spark.analytics import bm25_topk
+    from archive_spark.tokengen import token_table
+
+    df = token_table(spark, 5_000, seed=42)
+    _persist(df.select("doc_id", "tokens"), "bm25_input", sf_dir)
+    enc = engine.encode(df, target_block_values=1 << 15)
+    return bm25_topk(enc, [3, 7, 19, 1_000_100], k=15)
+
+
 def _blockmeta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flat per-block metadata of the encoded sf table (the shared-data
     oracle artifact for the metadata-analytics operators)."""
@@ -1527,6 +1544,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- new in round 4 --
         "token_membership": _q_token_membership,
         "token_postings": _q_token_postings,
+        "bm25_topk": _q_bm25_topk,
         "bpe_merges_batched": _q_bpe_merges_batched,
         "dup_span_stats": _q_dup_span_stats,
         "dup_span_scrub": _q_dup_span_scrub,
@@ -1771,6 +1789,23 @@ def oracle_sql() -> dict[str, str]:
             "SUM(occ)::BIGINT AS n_occ, "
             "md5(string_agg(doc_id, ',' ORDER BY doc_id)) AS postings_md5 "
             "FROM per GROUP BY token ORDER BY token"
+        ),
+        "bm25_topk": (
+            "WITH inp AS (SELECT doc_id, tokens "
+            f"FROM read_parquet('{_opath('bm25_input')}')), "
+            "dl AS (SELECT doc_id, len(tokens)::DOUBLE AS dl FROM inp), "
+            "st AS (SELECT COUNT(*)::DOUBLE AS n, AVG(dl) AS avgdl FROM dl), "
+            "tf AS (SELECT doc_id, token, COUNT(*)::DOUBLE AS tf FROM ("
+            "SELECT doc_id, unnest(tokens) AS token FROM inp) "
+            "WHERE token IN (3, 7, 19, 1000100) GROUP BY doc_id, token), "
+            "dfq AS (SELECT token, COUNT(*)::DOUBLE AS df FROM tf GROUP BY token), "
+            "sc AS (SELECT tf.doc_id, "
+            "SUM(ln(1 + (st.n - dfq.df + 0.5)/(dfq.df + 0.5)) * "
+            "tf.tf*(1.2+1) / (tf.tf + 1.2*(1-0.75 + 0.75*dl.dl/st.avgdl))) AS s "
+            "FROM tf JOIN dfq USING(token) JOIN dl USING(doc_id) CROSS JOIN st "
+            "GROUP BY tf.doc_id) "
+            "SELECT doc_id, ROUND(s*1e4)::BIGINT AS score_x1e4 "
+            "FROM sc ORDER BY s DESC, doc_id LIMIT 15"
         ),
         "codec_histogram": (
             "SELECT codec, count(*)::BIGINT AS n_blocks, "

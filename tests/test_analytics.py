@@ -203,3 +203,59 @@ def test_token_postings_matches_decode(spark):
         )
     )
     assert summ == {r.token: (r.n_docs, r.n_occ) for r in wsum.collect()}
+
+
+def test_bm25_topk_matches_explode_truth(spark):
+    """BM25 off the compressed corpus == the same formula computed from
+    raw token arrays (explode path); sparse-token-set postings exact."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from archive_spark import analytics, engine
+    from archive_spark.tokengen import token_table
+
+    toks = token_table(spark, 1500, seed=31).cache()
+    enc = engine.encode(toks, target_block_values=1 << 13).cache()
+    q = [3, 7, 19, 1_000_100]
+    k1, b = 1.2, 0.75
+
+    got = [
+        (r.doc_id, r.score_x1e4)
+        for r in analytics.bm25_topk(enc, q, k=12, k1=k1, b=b).collect()
+    ]
+    assert len(got) == 12
+
+    # sparse postings path == band path filtered to the set
+    sparse = {
+        (r.token, r.doc_id, r.occ)
+        for r in analytics.token_postings(enc, tokens=q).collect()
+    }
+    band = {
+        (r.token, r.doc_id, r.occ)
+        for r in analytics.token_postings(enc, 0, 1_000_100).collect()
+        if r.token in set(q)
+    }
+    assert sparse == band and sparse
+
+    # driver-side truth from the raw arrays
+    rows = toks.select("doc_id", "tokens").collect()
+    n = float(len(rows))
+    avgdl = sum(len(r.tokens) for r in rows) / n
+    tf = {}
+    for r in rows:
+        for t in r.tokens:
+            if t in q:
+                tf[(t, r.doc_id)] = tf.get((t, r.doc_id), 0) + 1
+    dfreq = {t: sum(1 for (tt, _) in tf if tt == t) for t in q}
+    scores = {}
+    for (t, d), f_ in tf.items():
+        idf = math.log(1 + (n - dfreq[t] + 0.5) / (dfreq[t] + 0.5))
+        dl = next(len(r.tokens) for r in rows if r.doc_id == d)
+        scores[d] = scores.get(d, 0.0) + idf * f_ * (k1 + 1) / (
+            f_ + k1 * (1 - b + b * dl / avgdl)
+        )
+    want = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:12]
+    assert [d for d, _ in want] == [d for d, _ in got]
+    for (d, s), (_, sx) in zip(want, got):
+        assert abs(round(s * 1e4) - sx) <= 1, (d, s, sx)
