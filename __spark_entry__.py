@@ -197,6 +197,22 @@ def _q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_topk(enc, [3, 7, 19, 1_000_100], k=15)
 
 
+def _q_phrase_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Consecutive-sequence (phrase) search in the compressed domain
+    (analytics.phrase_count): zone-map-pruned scan, vectorized shifted-
+    equality match, per-source partials.  DuckDB replays the bigram
+    count with a 1-based list_filter over position ranges (overlapping
+    occurrences count on both engines)."""
+    from archive_spark import engine
+    from archive_spark.analytics import phrase_count
+    from archive_spark.tokengen import token_table
+
+    df = token_table(spark, 5_000, seed=42)
+    _persist(df.select("source", "tokens"), "phrase_input", sf_dir)
+    enc = engine.encode(df, target_block_values=1 << 15)
+    return phrase_count(enc, [3, 7])
+
+
 def _blockmeta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flat per-block metadata of the encoded sf table (the shared-data
     oracle artifact for the metadata-analytics operators)."""
@@ -1545,6 +1561,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_membership": _q_token_membership,
         "token_postings": _q_token_postings,
         "bm25_topk": _q_bm25_topk,
+        "phrase_count": _q_phrase_count,
         "bpe_merges_batched": _q_bpe_merges_batched,
         "dup_span_stats": _q_dup_span_stats,
         "dup_span_scrub": _q_dup_span_scrub,
@@ -1806,6 +1823,15 @@ def oracle_sql() -> dict[str, str]:
             "GROUP BY tf.doc_id) "
             "SELECT doc_id, ROUND(s*1e4)::BIGINT AS score_x1e4 "
             "FROM sc ORDER BY s DESC, doc_id LIMIT 15"
+        ),
+        "phrase_count": (
+            "SELECT source, "
+            "COUNT(*) FILTER (WHERE occ > 0)::BIGINT AS n_docs, "
+            "SUM(occ)::BIGINT AS n_occurrences FROM ("
+            "SELECT source, len(list_filter(range(1, len(tokens)), "
+            "i -> tokens[i] = 3 AND tokens[i+1] = 7)) AS occ "
+            f"FROM read_parquet('{_opath('phrase_input')}')"
+            ") GROUP BY source HAVING SUM(occ) > 0 ORDER BY source"
         ),
         "codec_histogram": (
             "SELECT codec, count(*)::BIGINT AS n_blocks, "

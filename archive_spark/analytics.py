@@ -510,3 +510,89 @@ def bm25_topk(
             F.round(F.col("score") * 1e4).cast("bigint").alias("score_x1e4"),
         )
     )
+
+
+def phrase_count(encoded: DataFrame, phrase: "list[int]") -> DataFrame:
+    """Consecutive-sequence (phrase) search over the compressed corpus:
+    occurrences of the exact token sequence ``phrase`` (length ≥ 1),
+    reported per source as ``(source, n_docs, n_occurrences)`` for
+    sources with ≥ 1 hit.
+
+    Scale shape: zone maps prune blocks that cannot contain BOTH the
+    phrase's min and max token (``vmin ≤ min(phrase) ∧ vmax ≥
+    max(phrase)`` — a necessary containment condition that reaches
+    ``PushedFilters`` on disk); surviving blocks decode once and match
+    fully vectorized — candidate positions of ``phrase[0]`` are
+    filtered by shifted equality per subsequent token, then constrained
+    to stay inside one document by comparing owning-doc indexes of the
+    first and last phrase position (documents never span blocks, so
+    block-local matching is exact).  Partials are per-batch pre-merged;
+    the shuffle carries O(sources) rows, as in
+    :func:`token_membership`.
+    """
+    import numpy as np
+    import pyarrow as pa
+
+    from .codecs import kernels
+
+    ph = np.asarray(list(phrase), dtype=np.int32)
+    if ph.size == 0:
+        raise ValueError("empty phrase")
+    L = int(ph.size)
+
+    def _match(it):
+        for batch in it:
+            agg: dict[str, list[int]] = {}
+            src = batch.column("source").to_pylist()
+            for i in range(batch.num_rows):
+                vals = kernels.decode(
+                    memoryview(batch.column("payload")[i].as_buffer())
+                )
+                cand = np.nonzero(vals == ph[0])[0]
+                cand = cand[cand + L <= vals.size]
+                for j in range(1, L):
+                    if cand.size == 0:
+                        break
+                    cand = cand[vals[cand + j] == ph[j]]
+                if cand.size == 0:
+                    continue
+                lens = kernels.decode(
+                    memoryview(batch.column("lengths_payload")[i].as_buffer())
+                ).astype(np.int64)
+                ends = np.cumsum(lens)
+                d0 = np.searchsorted(ends, cand, side="right")
+                same = d0 == np.searchsorted(ends, cand + (L - 1), side="right")
+                docs = d0[same]
+                if docs.size == 0:
+                    continue
+                cur = agg.setdefault(src[i], [0, 0])
+                cur[0] += int(np.unique(docs).size)
+                cur[1] += int(docs.size)
+            if not agg:
+                continue
+            ks = sorted(agg)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(ks, pa.string()),
+                    pa.array([agg[k][0] for k in ks], pa.int64()),
+                    pa.array([agg[k][1] for k in ks], pa.int64()),
+                ],
+                ["source", "n_docs", "n_occ"],
+            )
+
+    pruned = encoded.filter(
+        (F.col("vmin") <= F.lit(int(ph.min())))
+        & (F.col("vmax") >= F.lit(int(ph.max())))
+    )
+    partials = pruned.select("source", "payload", "lengths_payload").mapInArrow(
+        _match, "source string, n_docs long, n_occ long"
+    )
+    return (
+        partials.groupBy("source")
+        .agg(
+            F.sum("n_docs").cast("bigint").alias("n_docs"),
+            F.sum("n_occ").cast("bigint").alias("n_occurrences"),
+        )
+        .filter(F.col("n_occurrences") > 0)
+        .orderBy("source")
+    )

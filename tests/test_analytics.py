@@ -259,3 +259,43 @@ def test_bm25_topk_matches_explode_truth(spark):
     assert [d for d, _ in want] == [d for d, _ in got]
     for (d, s), (_, sx) in zip(want, got):
         assert abs(round(s * 1e4) - sx) <= 1, (d, s, sx)
+
+
+def test_phrase_count_matches_decode(spark):
+    """Compressed-domain phrase search == pure-Python truth over the
+    decoded corpus, for a bigram (textish adjacency), a trigram run
+    (overlapping occurrences count), and a singleton (== membership)."""
+    from archive_spark import analytics, engine
+    from archive_spark.tokengen import token_table
+
+    toks = token_table(spark, 1500, seed=47).cache()
+    enc = engine.encode(toks, target_block_values=1 << 13).cache()
+    rows = toks.select("source", "tokens").collect()
+
+    def truth(ph):
+        L = len(ph)
+        agg = {}
+        for r in rows:
+            t = r.tokens
+            occ = sum(
+                1
+                for i in range(len(t) - L + 1)
+                if all(t[i + j] == ph[j] for j in range(L))
+            )
+            if occ:
+                d, o = agg.get(r.source, (0, 0))
+                agg[r.source] = (d + 1, o + occ)
+        return agg
+
+    for ph in ([3, 7], [5, 5, 5], [1_000_100]):
+        got = {
+            r.source: (r.n_docs, r.n_occurrences)
+            for r in analytics.phrase_count(enc, ph).collect()
+        }
+        assert got == truth(ph), ph
+
+    m = {
+        r.source: (r.n_docs, r.n_occurrences)
+        for r in analytics.token_membership(enc, 1_000_100).collect()
+    }
+    assert m == truth([1_000_100])
