@@ -213,6 +213,25 @@ def _q_phrase_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return phrase_count(enc, [3, 7])
 
 
+def _q_concordance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KWIC context extraction (analytics.concordance) for a bigram:
+    one row per occurrence with 0-based position and the clipped
+    context window serialized as CSV (arrays compare as strings across
+    engines).  DuckDB replays positions via 1-based list_filter and
+    contexts via inclusive list slicing."""
+    from archive_spark import engine
+    from archive_spark.analytics import concordance
+    from archive_spark.tokengen import token_table
+
+    df = token_table(spark, 5_000, seed=42)
+    _persist(df.select("doc_id", "tokens"), "concordance_input", sf_dir)
+    enc = engine.encode(df, target_block_values=1 << 15)
+    out = concordance(enc, [3, 7], window=3)
+    return out.select(
+        "doc_id", "pos", F.concat_ws(",", F.col("context")).alias("context_csv")
+    ).orderBy("doc_id", "pos")
+
+
 def _blockmeta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flat per-block metadata of the encoded sf table (the shared-data
     oracle artifact for the metadata-analytics operators)."""
@@ -1562,6 +1581,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_postings": _q_token_postings,
         "bm25_topk": _q_bm25_topk,
         "phrase_count": _q_phrase_count,
+        "concordance": _q_concordance,
         "bpe_merges_batched": _q_bpe_merges_batched,
         "dup_span_stats": _q_dup_span_stats,
         "dup_span_scrub": _q_dup_span_scrub,
@@ -1832,6 +1852,15 @@ def oracle_sql() -> dict[str, str]:
             "i -> tokens[i] = 3 AND tokens[i+1] = 7)) AS occ "
             f"FROM read_parquet('{_opath('phrase_input')}')"
             ") GROUP BY source HAVING SUM(occ) > 0 ORDER BY source"
+        ),
+        "concordance": (
+            "SELECT doc_id, (i - 1)::BIGINT AS pos, "
+            "array_to_string(tokens[greatest(1, i - 3):least(len(tokens), i + 4)], ',') "
+            "AS context_csv FROM ("
+            "SELECT doc_id, tokens, unnest(list_filter(range(1, len(tokens)), "
+            "i -> tokens[i] = 3 AND tokens[i+1] = 7)) AS i "
+            f"FROM read_parquet('{_opath('concordance_input')}')"
+            ") ORDER BY doc_id, pos"
         ),
         "codec_histogram": (
             "SELECT codec, count(*)::BIGINT AS n_blocks, "

@@ -596,3 +596,88 @@ def phrase_count(encoded: DataFrame, phrase: "list[int]") -> DataFrame:
         .filter(F.col("n_occurrences") > 0)
         .orderBy("source")
     )
+
+
+def concordance(
+    encoded: DataFrame, phrase: "list[int]", window: int = 3
+) -> DataFrame:
+    """KWIC (keyword-in-context) extraction: for every occurrence of
+    the consecutive token sequence ``phrase``, return the owning doc,
+    the 0-based in-document start position, and the surrounding token
+    window (``window`` tokens each side, clipped to the document).
+    The retrieval tail of the search lane: histogram → membership →
+    postings → BM25 → phrase → context.
+
+    Same scan shape as :func:`phrase_count` (zone-map prune, one decode
+    per surviving block, vectorized shifted-equality match, same-doc
+    constraint); context slices are gathered block-side so the shuffle
+    carries only hit windows — O(hits × (|phrase| + 2·window)) values,
+    never the corpus.
+    """
+    import numpy as np
+    import pyarrow as pa
+
+    from .codecs import kernels
+
+    ph = np.asarray(list(phrase), dtype=np.int32)
+    if ph.size == 0:
+        raise ValueError("empty phrase")
+    L, W = int(ph.size), int(window)
+    if W < 0:
+        raise ValueError("negative window")
+
+    def _kwic(it):
+        for batch in it:
+            for i in range(batch.num_rows):
+                vals = kernels.decode(
+                    memoryview(batch.column("payload")[i].as_buffer())
+                )
+                cand = np.nonzero(vals == ph[0])[0]
+                cand = cand[cand + L <= vals.size]
+                for j in range(1, L):
+                    if cand.size == 0:
+                        break
+                    cand = cand[vals[cand + j] == ph[j]]
+                if cand.size == 0:
+                    continue
+                lens = kernels.decode(
+                    memoryview(batch.column("lengths_payload")[i].as_buffer())
+                ).astype(np.int64)
+                ends = np.cumsum(lens)
+                d0 = np.searchsorted(ends, cand, side="right")
+                same = d0 == np.searchsorted(ends, cand + (L - 1), side="right")
+                cand, docs = cand[same], d0[same]
+                if cand.size == 0:
+                    continue
+                starts = ends[docs] - lens[docs]
+                lo = np.maximum(starts, cand - W)
+                hi = np.minimum(ends[docs], cand + L + W)
+                # ragged gather: one flat take + offsets (no per-hit loop)
+                widths = hi - lo
+                offs = np.concatenate(([0], np.cumsum(widths)))
+                flat_ix = np.repeat(lo, widths) + (
+                    np.arange(offs[-1]) - np.repeat(offs[:-1], widths)
+                )
+                ctx = pa.ListArray.from_arrays(
+                    pa.array(offs, pa.int32()),
+                    pa.array(vals[flat_ix], pa.int32()),
+                )
+                doc_ids = np.asarray(
+                    batch.column("doc_ids")[i].as_py(), dtype=object
+                )
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        pa.array(doc_ids[docs], pa.string()),
+                        pa.array(cand - starts, pa.int64()),
+                        ctx,
+                    ],
+                    ["doc_id", "pos", "context"],
+                )
+
+    pruned = encoded.filter(
+        (F.col("vmin") <= F.lit(int(ph.min())))
+        & (F.col("vmax") >= F.lit(int(ph.max())))
+    )
+    return pruned.select(
+        "doc_ids", "payload", "lengths_payload"
+    ).mapInArrow(_kwic, "doc_id string, pos long, context array<int>")

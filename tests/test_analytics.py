@@ -299,3 +299,32 @@ def test_phrase_count_matches_decode(spark):
         for r in analytics.token_membership(enc, 1_000_100).collect()
     }
     assert m == truth([1_000_100])
+
+
+def test_concordance_matches_decode(spark):
+    """KWIC hits == Python truth: every phrase occurrence reported
+    once with exact 0-based position and clipped context window."""
+    from archive_spark import analytics, engine
+    from archive_spark.tokengen import token_table
+
+    toks = token_table(spark, 1200, seed=47).cache()
+    enc = engine.encode(toks, target_block_values=1 << 13).cache()
+    rows = toks.select("doc_id", "tokens").collect()
+
+    for ph, w in (([3, 7], 3), ([5, 5, 5], 0), ([1_000_100], 2)):
+        L = len(ph)
+        want = set()
+        for r in rows:
+            t = list(r.tokens)
+            for i in range(len(t) - L + 1):
+                if all(t[i + j] == ph[j] for j in range(L)):
+                    ctx = tuple(t[max(0, i - w):min(len(t), i + L + w)])
+                    want.add((r.doc_id, i, ctx))
+        got = {
+            (r.doc_id, r.pos, tuple(r.context))
+            for r in analytics.concordance(enc, ph, window=w).collect()
+        }
+        assert got == want, (ph, w)
+        assert len(got) == sum(
+            1 for _ in analytics.concordance(enc, ph, window=w).collect()
+        )
