@@ -232,6 +232,22 @@ def _q_concordance(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id", "pos")
 
 
+def _q_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed co-occurrence counts around a target token
+    (analytics.cooccurrence, target=3, window=3, top-50): the raw-count
+    substrate for PMI / word association, computed with a zone-map-
+    pruned scan and vocabulary-sized partials.  DuckDB replays the
+    window flatten and the center-position exclusion."""
+    from archive_spark import engine
+    from archive_spark.analytics import cooccurrence
+    from archive_spark.tokengen import token_table
+
+    df = token_table(spark, 5_000, seed=42)
+    _persist(df.select("tokens"), "cooccurrence_input", sf_dir)
+    enc = engine.encode(df, target_block_values=1 << 15)
+    return cooccurrence(enc, 3, window=3, k=50)
+
+
 def _blockmeta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flat per-block metadata of the encoded sf table (the shared-data
     oracle artifact for the metadata-analytics operators)."""
@@ -1582,6 +1598,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk": _q_bm25_topk,
         "phrase_count": _q_phrase_count,
         "concordance": _q_concordance,
+        "cooccurrence": _q_cooccurrence,
         "bpe_merges_batched": _q_bpe_merges_batched,
         "dup_span_stats": _q_dup_span_stats,
         "dup_span_scrub": _q_dup_span_scrub,
@@ -1861,6 +1878,21 @@ def oracle_sql() -> dict[str, str]:
             "i -> tokens[i] = 3 AND tokens[i+1] = 7)) AS i "
             f"FROM read_parquet('{_opath('concordance_input')}')"
             ") ORDER BY doc_id, pos"
+        ),
+        "cooccurrence": (
+            "WITH ctr AS (SELECT tokens, "
+            "unnest(list_filter(range(1, len(tokens)+1), i -> tokens[i] = 3)) AS i "
+            f"FROM read_parquet('{_opath('cooccurrence_input')}')), "
+            "win AS (SELECT unnest(tokens[greatest(1, i-3):least(len(tokens), i+3)]) "
+            "AS tok FROM ctr), "
+            "cnt AS (SELECT tok::BIGINT AS token, COUNT(*)::BIGINT AS n_cooc "
+            "FROM win GROUP BY tok), "
+            "adj AS (SELECT token, CASE WHEN token = 3 "
+            "THEN n_cooc - (SELECT COUNT(*) FROM ctr) ELSE n_cooc END AS n_cooc "
+            "FROM cnt) "
+            "SELECT token, n_cooc, "
+            "ROW_NUMBER() OVER (ORDER BY n_cooc DESC, token)::INT AS rank "
+            "FROM adj WHERE n_cooc > 0 ORDER BY n_cooc DESC, token LIMIT 50"
         ),
         "codec_histogram": (
             "SELECT codec, count(*)::BIGINT AS n_blocks, "

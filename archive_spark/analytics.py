@@ -681,3 +681,89 @@ def concordance(
     return pruned.select(
         "doc_ids", "payload", "lengths_payload"
     ).mapInArrow(_kwic, "doc_id string, pos long, context array<int>")
+
+
+def cooccurrence(
+    encoded: DataFrame, target: int, window: int = 3, k: int | None = None
+) -> DataFrame:
+    """Corpus-wide co-occurrence counts for ``target``: how often each
+    token appears within ``±window`` positions of an occurrence of
+    ``target`` (inside the same document).  Each (occurrence, neighbor
+    position) pair counts once — overlapping windows therefore count
+    multiply, and ``target`` co-occurring with itself counts (only the
+    center position of each occurrence is excluded).  The raw-count
+    substrate for PMI / word-association analytics.
+
+    Same scan shape as :func:`phrase_count`: zone maps prune to blocks
+    that can contain ``target``, one decode per surviving block, then a
+    ragged window gather + one ``np.unique`` per block — partials are
+    vocabulary-sized, the corpus never shuffles.  With ``k`` set,
+    returns top-k by (count desc, token) via TakeOrdered.
+    """
+    import numpy as np
+    import pyarrow as pa
+
+    from .codecs import kernels
+
+    tgt, W = int(target), int(window)
+    if W <= 0:
+        raise ValueError("window must be positive")
+
+    def _cooc(it):
+        for batch in it:
+            acc: dict[int, int] = {}
+            for i in range(batch.num_rows):
+                vals = kernels.decode(
+                    memoryview(batch.column("payload")[i].as_buffer())
+                )
+                pos = np.nonzero(vals == np.int32(tgt))[0]
+                if pos.size == 0:
+                    continue
+                lens = kernels.decode(
+                    memoryview(batch.column("lengths_payload")[i].as_buffer())
+                ).astype(np.int64)
+                ends = np.cumsum(lens)
+                docs = np.searchsorted(ends, pos, side="right")
+                starts = ends[docs] - lens[docs]
+                lo = np.maximum(starts, pos - W)
+                hi = np.minimum(ends[docs], pos + W + 1)
+                widths = hi - lo
+                offs = np.concatenate(([0], np.cumsum(widths)))
+                flat_ix = np.repeat(lo, widths) + (
+                    np.arange(offs[-1]) - np.repeat(offs[:-1], widths)
+                )
+                toks, counts = np.unique(vals[flat_ix], return_counts=True)
+                for t, c in zip(toks.tolist(), counts.tolist()):
+                    acc[t] = acc.get(t, 0) + c
+                # exclude each occurrence's own center position
+                acc[tgt] = acc.get(tgt, 0) - int(pos.size)
+            acc = {t: c for t, c in acc.items() if c > 0}
+            if not acc:
+                continue
+            ks = sorted(acc)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(ks, pa.int64()),
+                    pa.array([acc[t] for t in ks], pa.int64()),
+                ],
+                ["token", "n"],
+            )
+
+    pruned = encoded.filter(
+        (F.col("vmin") <= F.lit(tgt)) & (F.col("vmax") >= F.lit(tgt))
+    )
+    partials = pruned.select("payload", "lengths_payload").mapInArrow(
+        _cooc, "token long, n long"
+    )
+    out = partials.groupBy("token").agg(
+        F.sum("n").cast("bigint").alias("n_cooc")
+    )
+    if k is None:
+        return out.orderBy("token")
+    return (
+        out.orderBy(F.col("n_cooc").desc(), F.col("token"))
+        .limit(int(k))
+        .withColumn("rank", F.row_number().over(
+            Window.orderBy(F.col("n_cooc").desc(), F.col("token"))
+        ))
+    )

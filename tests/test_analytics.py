@@ -328,3 +328,37 @@ def test_concordance_matches_decode(spark):
         assert len(got) == sum(
             1 for _ in analytics.concordance(enc, ph, window=w).collect()
         )
+
+
+def test_cooccurrence_matches_decode(spark):
+    """Co-occurrence counts == Python window truth: overlapping windows
+    count multiply, self-co-occurrence counts, centers excluded."""
+    from archive_spark import analytics, engine
+    from archive_spark.tokengen import token_table
+
+    toks = token_table(spark, 1200, seed=47).cache()
+    enc = engine.encode(toks, target_block_values=1 << 13).cache()
+    rows = toks.select("tokens").collect()
+
+    for tgt, w in ((3, 3), (5, 1), (1_000_100, 2)):
+        want = {}
+        for r in rows:
+            t = list(r.tokens)
+            for p, v in enumerate(t):
+                if v != tgt:
+                    continue
+                for q in range(max(0, p - w), min(len(t), p + w + 1)):
+                    if q != p:
+                        want[t[q]] = want.get(t[q], 0) + 1
+        want = {t_: c for t_, c in want.items() if c > 0}
+        got = {
+            r.token: r.n_cooc
+            for r in analytics.cooccurrence(enc, tgt, window=w).collect()
+        }
+        assert got == want, (tgt, w)
+
+    topk = analytics.cooccurrence(enc, 3, window=3, k=5).collect()
+    full = analytics.cooccurrence(enc, 3, window=3).collect()
+    exp = sorted(((r.n_cooc, r.token) for r in full), key=lambda x: (-x[0], x[1]))[:5]
+    assert [(r.n_cooc, r.token) for r in topk] == exp
+    assert [r.rank for r in topk] == [1, 2, 3, 4, 5]
