@@ -248,6 +248,21 @@ def _q_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cooccurrence(enc, 3, window=3, k=50)
 
 
+def _q_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PMI-style collocation ranking (analytics.collocations, target=3,
+    window=3, min_count=2, top-40): windowed co-occurrence counts joined
+    against the compressed-domain histogram, scored with pure-BIGINT
+    ``score_ppm`` so the DuckDB replay is bit-exact (no fp ties)."""
+    from archive_spark import engine
+    from archive_spark.analytics import collocations
+    from archive_spark.tokengen import token_table
+
+    df = token_table(spark, 5_000, seed=42)
+    _persist(df.select("tokens"), "collocations_input", sf_dir)
+    enc = engine.encode(df, target_block_values=1 << 15)
+    return collocations(enc, 3, window=3, k=40, min_count=2)
+
+
 def _blockmeta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flat per-block metadata of the encoded sf table (the shared-data
     oracle artifact for the metadata-analytics operators)."""
@@ -1599,6 +1614,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phrase_count": _q_phrase_count,
         "concordance": _q_concordance,
         "cooccurrence": _q_cooccurrence,
+        "collocations": _q_collocations,
         "bpe_merges_batched": _q_bpe_merges_batched,
         "dup_span_stats": _q_dup_span_stats,
         "dup_span_scrub": _q_dup_span_scrub,
@@ -1893,6 +1909,33 @@ def oracle_sql() -> dict[str, str]:
             "SELECT token, n_cooc, "
             "ROW_NUMBER() OVER (ORDER BY n_cooc DESC, token)::INT AS rank "
             "FROM adj WHERE n_cooc > 0 ORDER BY n_cooc DESC, token LIMIT 50"
+        ),
+        "collocations": (
+            "WITH src AS (SELECT tokens "
+            f"FROM read_parquet('{_opath('collocations_input')}')), "
+            "ctr AS (SELECT tokens, "
+            "unnest(list_filter(range(1, len(tokens)+1), i -> tokens[i] = 3)) AS i "
+            "FROM src), "
+            "win AS (SELECT unnest(tokens[greatest(1, i-3):least(len(tokens), i+3)]) "
+            "AS tok FROM ctr), "
+            "cnt AS (SELECT tok::BIGINT AS token, COUNT(*)::BIGINT AS n_cooc "
+            "FROM win GROUP BY tok), "
+            "adj AS (SELECT token, CASE WHEN token = 3 "
+            "THEN n_cooc - (SELECT COUNT(*) FROM ctr) ELSE n_cooc END AS n_cooc "
+            "FROM cnt), "
+            "hist AS (SELECT tok::BIGINT AS token, COUNT(*)::BIGINT AS n_token "
+            "FROM (SELECT unnest(tokens) AS tok FROM src) GROUP BY 1), "
+            "tot AS (SELECT SUM(n_token)::BIGINT AS n_total, "
+            "SUM(CASE WHEN token = 3 THEN n_token ELSE 0 END)::BIGINT AS n_target "
+            "FROM hist), "
+            "scored AS (SELECT a.token, a.n_cooc, h.n_token, "
+            "((1000000 * a.n_cooc * t.n_total) // (t.n_target * h.n_token))::BIGINT "
+            "AS score_ppm FROM adj a JOIN hist h USING (token) CROSS JOIN tot t "
+            "WHERE a.n_cooc >= 2) "
+            "SELECT token, n_cooc, n_token, score_ppm, "
+            "ROW_NUMBER() OVER (ORDER BY score_ppm DESC, n_cooc DESC, token)::INT "
+            "AS rank FROM scored "
+            "ORDER BY score_ppm DESC, n_cooc DESC, token LIMIT 40"
         ),
         "codec_histogram": (
             "SELECT codec, count(*)::BIGINT AS n_blocks, "

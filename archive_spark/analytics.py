@@ -767,3 +767,65 @@ def cooccurrence(
             Window.orderBy(F.col("n_cooc").desc(), F.col("token"))
         ))
     )
+
+
+def collocations(
+    encoded: DataFrame,
+    target: int,
+    window: int = 3,
+    k: int | None = None,
+    min_count: int = 1,
+) -> DataFrame:
+    """PMI-style collocation ranking for ``target``: score each token by
+    how much more often it appears within ``±window`` of ``target`` than
+    corpus frequency predicts.  ``score_ppm`` is the association ratio
+    in parts-per-million, computed with pure BIGINT arithmetic so two
+    engines agree bit-for-bit::
+
+        score_ppm = (1_000_000 * n_cooc * n_total) div (n_target * n_token)
+
+    (``n_cooc`` = windowed co-occurrence count, ``n_token`` = corpus
+    count of the token, ``n_target`` = corpus count of the target,
+    ``n_total`` = corpus token count; log of score_ppm/1e6 is classic
+    PMI).  ``min_count`` drops rare-pair noise before ranking.
+
+    Plan shape: one zone-map-pruned decode scan (co-occurrence) + one
+    compressed-domain structural pass (histogram — O(block structure),
+    not O(tokens)); both reductions are vocabulary-sized, joined with
+    broadcast hash joins, so the corpus itself never shuffles.  The
+    BIGINT product ``1e6 * n_cooc * n_total`` bounds the exact-score
+    path to ~9.2e18; past that (trillion-token corpora) rank by the
+    equivalent double PMI instead.
+    """
+    cooc = cooccurrence(encoded, target, window)  # token, n_cooc
+    hist = token_histogram(encoded)  # token, n
+    totals = hist.agg(
+        F.sum("n").cast("bigint").alias("n_total"),
+        F.coalesce(
+            F.sum(F.when(F.col("token") == int(target), F.col("n"))),
+            F.lit(0),
+        ).cast("bigint").alias("n_target"),
+    )
+    scored = (
+        cooc.filter(F.col("n_cooc") >= int(min_count))
+        .join(F.broadcast(hist), "token")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "token",
+            "n_cooc",
+            F.col("n").alias("n_token"),
+            F.expr(
+                "(1000000 * n_cooc * n_total) div (n_target * n)"
+            ).cast("bigint").alias("score_ppm"),
+        )
+    )
+    order = [F.desc("score_ppm"), F.desc("n_cooc"), F.col("token")]
+    if k is None:
+        return scored.orderBy(*order)
+    return (
+        scored.orderBy(*order)
+        .limit(int(k))
+        .withColumn(
+            "rank", F.row_number().over(Window.orderBy(*order)).cast("int")
+        )
+    )

@@ -362,3 +362,44 @@ def test_cooccurrence_matches_decode(spark):
     exp = sorted(((r.n_cooc, r.token) for r in full), key=lambda x: (-x[0], x[1]))[:5]
     assert [(r.n_cooc, r.token) for r in topk] == exp
     assert [r.rank for r in topk] == [1, 2, 3, 4, 5]
+
+
+def test_collocations_matches_python(spark):
+    """Integer PMI scores == Python truth from raw token lists."""
+    from archive_spark import analytics, engine
+    from archive_spark.tokengen import token_table
+
+    toks = token_table(spark, 1200, seed=47).cache()
+    enc = engine.encode(toks, target_block_values=1 << 13).cache()
+    rows = [list(r.tokens) for r in toks.select("tokens").collect()]
+
+    tgt, w = 3, 3
+    cooc, hist = {}, {}
+    for t in rows:
+        for v in t:
+            hist[v] = hist.get(v, 0) + 1
+        for p, v in enumerate(t):
+            if v != tgt:
+                continue
+            for q in range(max(0, p - w), min(len(t), p + w + 1)):
+                if q != p:
+                    cooc[t[q]] = cooc.get(t[q], 0) + 1
+    n_total, n_target = sum(hist.values()), hist[tgt]
+    want = {
+        t_: (c, hist[t_], (1_000_000 * c * n_total) // (n_target * hist[t_]))
+        for t_, c in cooc.items()
+        if c >= 2
+    }
+    got = {
+        r.token: (r.n_cooc, r.n_token, r.score_ppm)
+        for r in analytics.collocations(enc, tgt, window=w, min_count=2).collect()
+    }
+    assert got == want
+
+    topk = analytics.collocations(enc, tgt, window=w, k=7, min_count=2).collect()
+    exp = sorted(
+        ((v[2], v[0], t_) for t_, v in want.items()),
+        key=lambda x: (-x[0], -x[1], x[2]),
+    )[:7]
+    assert [(r.score_ppm, r.n_cooc, r.token) for r in topk] == exp
+    assert [r.rank for r in topk] == list(range(1, 8))
