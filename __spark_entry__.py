@@ -263,6 +263,35 @@ def _q_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     return collocations(enc, 3, window=3, k=40, min_count=2)
 
 
+def _q_bigram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact bigram LM count table off the encoded corpus
+    (analytics.ngram_counts n=2, top-100): per-block distinct-gram
+    partials, grams never cross document boundaries.  DuckDB replays
+    via 1-based position unnest."""
+    from archive_spark import engine
+    from archive_spark.analytics import ngram_counts
+    from archive_spark.tokengen import token_table
+
+    df = token_table(spark, 5_000, seed=42)
+    _persist(df.select("tokens"), "ngram_input", sf_dir)
+    enc = engine.encode(df, target_block_values=1 << 15)
+    return ngram_counts(enc, n=2, k=100)
+
+
+def _q_trigram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact trigram LM count table (analytics.ngram_counts n=3,
+    top-100) — same scan shape as bigrams, structured-dtype unique per
+    block keeps counts exact without hashing."""
+    from archive_spark import engine
+    from archive_spark.analytics import ngram_counts
+    from archive_spark.tokengen import token_table
+
+    df = token_table(spark, 5_000, seed=42)
+    _persist(df.select("tokens"), "ngram_input", sf_dir)
+    enc = engine.encode(df, target_block_values=1 << 15)
+    return ngram_counts(enc, n=3, k=100)
+
+
 def _blockmeta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flat per-block metadata of the encoded sf table (the shared-data
     oracle artifact for the metadata-analytics operators)."""
@@ -1615,6 +1644,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "concordance": _q_concordance,
         "cooccurrence": _q_cooccurrence,
         "collocations": _q_collocations,
+        "bigram_counts": _q_bigram_counts,
+        "trigram_counts": _q_trigram_counts,
         "bpe_merges_batched": _q_bpe_merges_batched,
         "dup_span_stats": _q_dup_span_stats,
         "dup_span_scrub": _q_dup_span_scrub,
@@ -1936,6 +1967,28 @@ def oracle_sql() -> dict[str, str]:
             "ROW_NUMBER() OVER (ORDER BY score_ppm DESC, n_cooc DESC, token)::INT "
             "AS rank FROM scored "
             "ORDER BY score_ppm DESC, n_cooc DESC, token LIMIT 40"
+        ),
+        "bigram_counts": (
+            "WITH pos AS (SELECT tokens, unnest(range(1, len(tokens))) AS i "
+            f"FROM read_parquet('{_opath('ngram_input')}')), "
+            "pr AS (SELECT tokens[i]::BIGINT AS t0, tokens[i+1]::BIGINT AS t1 "
+            "FROM pos), "
+            "cnt AS (SELECT t0, t1, COUNT(*)::BIGINT AS n_gram "
+            "FROM pr GROUP BY t0, t1) "
+            "SELECT t0, t1, n_gram, "
+            "ROW_NUMBER() OVER (ORDER BY n_gram DESC, t0, t1)::INT AS rank "
+            "FROM cnt ORDER BY n_gram DESC, t0, t1 LIMIT 100"
+        ),
+        "trigram_counts": (
+            "WITH pos AS (SELECT tokens, unnest(range(1, len(tokens)-1)) AS i "
+            f"FROM read_parquet('{_opath('ngram_input')}')), "
+            "pr AS (SELECT tokens[i]::BIGINT AS t0, tokens[i+1]::BIGINT AS t1, "
+            "tokens[i+2]::BIGINT AS t2 FROM pos), "
+            "cnt AS (SELECT t0, t1, t2, COUNT(*)::BIGINT AS n_gram "
+            "FROM pr GROUP BY t0, t1, t2) "
+            "SELECT t0, t1, t2, n_gram, "
+            "ROW_NUMBER() OVER (ORDER BY n_gram DESC, t0, t1, t2)::INT AS rank "
+            "FROM cnt ORDER BY n_gram DESC, t0, t1, t2 LIMIT 100"
         ),
         "codec_histogram": (
             "SELECT codec, count(*)::BIGINT AS n_blocks, "

@@ -829,3 +829,77 @@ def collocations(
             "rank", F.row_number().over(Window.orderBy(*order)).cast("int")
         )
     )
+
+
+def ngram_counts(
+    encoded: DataFrame, n: int = 2, k: int | None = None
+) -> DataFrame:
+    """Exact corpus-wide n-gram count table (the raw material of an
+    n-gram language model), computed straight off the encoded blocks:
+    one decode per block, a ragged within-document window gather, and
+    one sorted-unique per block — so the shuffle carries per-block
+    DISTINCT-gram partials (bounded by block size), never the token
+    stream.  Grams never cross document boundaries.
+
+    Output columns ``t0..t{n-1}`` (the gram) and ``n_gram`` (count);
+    with ``k`` set, top-k by (count desc, t0, t1, ...) plus ``rank``.
+    Supports any small ``n`` (2 and 3 are the LM cases); the per-block
+    unique uses a structured dtype view, no hashing — counts are exact.
+    """
+    import numpy as np
+    import pyarrow as pa
+
+    from .codecs import kernels
+
+    N = int(n)
+    if N < 2:
+        raise ValueError("n must be >= 2 (use token_histogram for n=1)")
+    gram_cols = [f"t{j}" for j in range(N)]
+    schema = ", ".join(f"{c} long" for c in gram_cols) + ", n long"
+    vdt = np.dtype([(c, np.int64) for c in gram_cols])
+
+    def _grams(it):
+        for batch in it:
+            for i in range(batch.num_rows):
+                vals = kernels.decode(
+                    memoryview(batch.column("payload")[i].as_buffer())
+                ).astype(np.int64)
+                lens = kernels.decode(
+                    memoryview(batch.column("lengths_payload")[i].as_buffer())
+                ).astype(np.int64)
+                keep = lens >= N
+                widths = lens[keep] - (N - 1)
+                if widths.size == 0:
+                    continue
+                ends = np.cumsum(lens)
+                starts = (ends - lens)[keep]
+                offs = np.concatenate(([0], np.cumsum(widths)))
+                ix = np.repeat(starts, widths) + (
+                    np.arange(offs[-1]) - np.repeat(offs[:-1], widths)
+                )
+                stacked = np.empty(ix.size, dtype=vdt)
+                for j, c in enumerate(gram_cols):
+                    stacked[c] = vals[ix + j]
+                u, cnt = np.unique(stacked, return_counts=True)
+                yield pa.RecordBatch.from_arrays(
+                    [pa.array(u[c], pa.int64()) for c in gram_cols]
+                    + [pa.array(cnt.astype(np.int64), pa.int64())],
+                    gram_cols + ["n"],
+                )
+
+    partials = encoded.select("payload", "lengths_payload").mapInArrow(
+        _grams, schema
+    )
+    agg = partials.groupBy(*gram_cols).agg(
+        F.sum("n").cast("bigint").alias("n_gram")
+    )
+    if k is None:
+        return agg.orderBy(*gram_cols)
+    order = [F.desc("n_gram")] + [F.col(c) for c in gram_cols]
+    return (
+        agg.orderBy(*order)
+        .limit(int(k))
+        .withColumn(
+            "rank", F.row_number().over(Window.orderBy(*order)).cast("int")
+        )
+    )

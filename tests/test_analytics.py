@@ -403,3 +403,32 @@ def test_collocations_matches_python(spark):
     )[:7]
     assert [(r.score_ppm, r.n_cooc, r.token) for r in topk] == exp
     assert [r.rank for r in topk] == list(range(1, 8))
+
+
+def test_ngram_counts_matches_python(spark):
+    """Bigram/trigram counts == Python truth; doc-boundary grams never
+    appear; top-k tie-break deterministic."""
+    from archive_spark import analytics, engine
+    from archive_spark.tokengen import token_table
+
+    toks = token_table(spark, 800, seed=31).cache()
+    enc = engine.encode(toks, target_block_values=1 << 13).cache()
+    rows = [list(r.tokens) for r in toks.select("tokens").collect()]
+
+    for n in (2, 3):
+        want = {}
+        for t in rows:
+            for i in range(len(t) - n + 1):
+                g = tuple(t[i : i + n])
+                want[g] = want.get(g, 0) + 1
+        out = analytics.ngram_counts(enc, n=n).collect()
+        got = {tuple(r[f"t{j}"] for j in range(n)): r.n_gram for r in out}
+        assert got == want, n
+
+    top = analytics.ngram_counts(enc, n=2, k=6).collect()
+    full = analytics.ngram_counts(enc, n=2).collect()
+    exp = sorted(
+        ((r.n_gram, r.t0, r.t1) for r in full), key=lambda x: (-x[0], x[1], x[2])
+    )[:6]
+    assert [(r.n_gram, r.t0, r.t1) for r in top] == exp
+    assert [r.rank for r in top] == [1, 2, 3, 4, 5, 6]
