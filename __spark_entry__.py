@@ -292,6 +292,21 @@ def _q_trigram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_counts(enc, n=3, k=100)
 
 
+def _q_continuation_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kneser-Ney continuation counts (analytics.continuation_counts,
+    top-200 by unigram count): unigram count + distinct-left/right
+    neighbor counts per token, all-integer so the DuckDB replay is
+    exact."""
+    from archive_spark import engine
+    from archive_spark.analytics import continuation_counts
+    from archive_spark.tokengen import token_table
+
+    df = token_table(spark, 5_000, seed=42)
+    _persist(df.select("tokens"), "ngram_input", sf_dir)
+    enc = engine.encode(df, target_block_values=1 << 15)
+    return continuation_counts(enc, k=200)
+
+
 def _blockmeta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flat per-block metadata of the encoded sf table (the shared-data
     oracle artifact for the metadata-analytics operators)."""
@@ -1646,6 +1661,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "collocations": _q_collocations,
         "bigram_counts": _q_bigram_counts,
         "trigram_counts": _q_trigram_counts,
+        "continuation_counts": _q_continuation_counts,
         "bpe_merges_batched": _q_bpe_merges_batched,
         "dup_span_stats": _q_dup_span_stats,
         "dup_span_scrub": _q_dup_span_scrub,
@@ -1989,6 +2005,26 @@ def oracle_sql() -> dict[str, str]:
             "SELECT t0, t1, t2, n_gram, "
             "ROW_NUMBER() OVER (ORDER BY n_gram DESC, t0, t1, t2)::INT AS rank "
             "FROM cnt ORDER BY n_gram DESC, t0, t1, t2 LIMIT 100"
+        ),
+        "continuation_counts": (
+            "WITH src AS (SELECT tokens "
+            f"FROM read_parquet('{_opath('ngram_input')}')), "
+            "pos AS (SELECT tokens, unnest(range(1, len(tokens))) AS i FROM src), "
+            "pr AS (SELECT tokens[i]::BIGINT AS t0, tokens[i+1]::BIGINT AS t1 "
+            "FROM pos), "
+            "lft AS (SELECT t1 AS token, COUNT(DISTINCT t0)::BIGINT AS n_left "
+            "FROM pr GROUP BY t1), "
+            "rgt AS (SELECT t0 AS token, COUNT(DISTINCT t1)::BIGINT AS n_right "
+            "FROM pr GROUP BY t0), "
+            "hist AS (SELECT tok::BIGINT AS token, COUNT(*)::BIGINT AS n_token "
+            "FROM (SELECT unnest(tokens) AS tok FROM src) GROUP BY 1) "
+            "SELECT h.token, h.n_token, "
+            "COALESCE(l.n_left, 0)::BIGINT AS n_left, "
+            "COALESCE(r.n_right, 0)::BIGINT AS n_right, "
+            "ROW_NUMBER() OVER (ORDER BY h.n_token DESC, h.token)::INT AS rank "
+            "FROM hist h LEFT JOIN lft l USING (token) "
+            "LEFT JOIN rgt r USING (token) "
+            "ORDER BY h.n_token DESC, h.token LIMIT 200"
         ),
         "codec_histogram": (
             "SELECT codec, count(*)::BIGINT AS n_blocks, "

@@ -903,3 +903,45 @@ def ngram_counts(
             "rank", F.row_number().over(Window.orderBy(*order)).cast("int")
         )
     )
+
+
+def continuation_counts(encoded: DataFrame, k: int | None = None) -> DataFrame:
+    """Kneser-Ney smoothing substrate: for every token, its unigram
+    count plus the bigram *continuation* counts — ``n_left`` = how many
+    DISTINCT tokens precede it, ``n_right`` = how many DISTINCT tokens
+    follow it (N1+(·,w) and N1+(w,·) in KN notation).  All integers, so
+    the oracle replay is exact.
+
+    Plan shape: one :func:`ngram_counts` scan (per-block distinct-gram
+    partials) feeding two vocabulary-sized aggregates, joined with the
+    compressed-domain histogram via broadcast — post-scan work never
+    touches the corpus again.
+    """
+    bi = ngram_counts(encoded, n=2)  # t0, t1, n_gram
+    left = bi.groupBy(F.col("t1").alias("token")).agg(
+        F.count("*").cast("bigint").alias("n_left")
+    )
+    right = bi.groupBy(F.col("t0").alias("token")).agg(
+        F.count("*").cast("bigint").alias("n_right")
+    )
+    hist = token_histogram(encoded).withColumnRenamed("n", "n_token")
+    out = (
+        hist.join(left, "token", "left")
+        .join(right, "token", "left")
+        .select(
+            "token",
+            "n_token",
+            F.coalesce("n_left", F.lit(0)).cast("bigint").alias("n_left"),
+            F.coalesce("n_right", F.lit(0)).cast("bigint").alias("n_right"),
+        )
+    )
+    if k is None:
+        return out.orderBy("token")
+    order = [F.desc("n_token"), F.col("token")]
+    return (
+        out.orderBy(*order)
+        .limit(int(k))
+        .withColumn(
+            "rank", F.row_number().over(Window.orderBy(*order)).cast("int")
+        )
+    )

@@ -432,3 +432,37 @@ def test_ngram_counts_matches_python(spark):
     )[:6]
     assert [(r.n_gram, r.t0, r.t1) for r in top] == exp
     assert [r.rank for r in top] == [1, 2, 3, 4, 5, 6]
+
+
+def test_continuation_counts_matches_python(spark):
+    """KN continuation counts == Python truth; tokens that never lead
+    or never follow get 0, not null."""
+    from archive_spark import analytics, engine
+    from archive_spark.tokengen import token_table
+
+    toks = token_table(spark, 600, seed=13).cache()
+    enc = engine.encode(toks, target_block_values=1 << 13).cache()
+    rows = [list(r.tokens) for r in toks.select("tokens").collect()]
+
+    hist, lefts, rights = {}, {}, {}
+    for t in rows:
+        for v in t:
+            hist[v] = hist.get(v, 0) + 1
+        for a, b in zip(t, t[1:]):
+            lefts.setdefault(b, set()).add(a)
+            rights.setdefault(a, set()).add(b)
+    want = {
+        v: (c, len(lefts.get(v, ())), len(rights.get(v, ())))
+        for v, c in hist.items()
+    }
+    got = {
+        r.token: (r.n_token, r.n_left, r.n_right)
+        for r in analytics.continuation_counts(enc).collect()
+    }
+    assert got == want
+
+    top = analytics.continuation_counts(enc, k=4).collect()
+    exp = sorted(((c, v) for v, (c, _, _) in want.items()),
+                 key=lambda x: (-x[0], x[1]))[:4]
+    assert [(r.n_token, r.token) for r in top] == exp
+    assert [r.rank for r in top] == [1, 2, 3, 4]
