@@ -307,6 +307,21 @@ def _q_continuation_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return continuation_counts(enc, k=200)
 
 
+def _q_next_token_kn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser-Ney next-token distribution for context
+    token 3 (analytics.next_token_distribution, D=0.75, top-100):
+    integer-ppm probabilities that sum to exactly 1 over the support,
+    replayed bit-exact by DuckDB."""
+    from archive_spark import engine
+    from archive_spark.analytics import next_token_distribution
+    from archive_spark.tokengen import token_table
+
+    df = token_table(spark, 5_000, seed=42)
+    _persist(df.select("tokens"), "ngram_input", sf_dir)
+    enc = engine.encode(df, target_block_values=1 << 15)
+    return next_token_distribution(enc, 3, k=100)
+
+
 def _blockmeta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flat per-block metadata of the encoded sf table (the shared-data
     oracle artifact for the metadata-analytics operators)."""
@@ -1662,6 +1677,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bigram_counts": _q_bigram_counts,
         "trigram_counts": _q_trigram_counts,
         "continuation_counts": _q_continuation_counts,
+        "next_token_kn": _q_next_token_kn,
         "bpe_merges_batched": _q_bpe_merges_batched,
         "dup_span_stats": _q_dup_span_stats,
         "dup_span_scrub": _q_dup_span_scrub,
@@ -2025,6 +2041,28 @@ def oracle_sql() -> dict[str, str]:
             "FROM hist h LEFT JOIN lft l USING (token) "
             "LEFT JOIN rgt r USING (token) "
             "ORDER BY h.n_token DESC, h.token LIMIT 200"
+        ),
+        "next_token_kn": (
+            "WITH pos AS (SELECT tokens, unnest(range(1, len(tokens))) AS i "
+            f"FROM read_parquet('{_opath('ngram_input')}')), "
+            "pr AS (SELECT tokens[i]::BIGINT AS t0, tokens[i+1]::BIGINT AS t1 "
+            "FROM pos), "
+            "bi AS (SELECT t0, t1, COUNT(*)::BIGINT AS c FROM pr GROUP BY t0, t1), "
+            "tot AS (SELECT COUNT(*)::BIGINT AS nb FROM bi), "
+            "actx AS (SELECT COALESCE(SUM(c), 0)::BIGINT AS r_a, "
+            "COUNT(*)::BIGINT AS nr_a FROM bi WHERE t0 = 3), "
+            "lft AS (SELECT t1 AS token, COUNT(*)::BIGINT AS n_left "
+            "FROM bi GROUP BY t1), "
+            "cab AS (SELECT t1 AS token, c AS c_ab FROM bi WHERE t0 = 3), "
+            "scored AS (SELECT l.token, COALESCE(cb.c_ab, 0)::BIGINT AS c_ab, "
+            "l.n_left, ((1000000 * (greatest(4 * COALESCE(cb.c_ab, 0) - 3, 0) "
+            "* t.nb + 3 * x.nr_a * l.n_left)) // (4 * x.r_a * t.nb))::BIGINT "
+            "AS p_ppm FROM lft l LEFT JOIN cab cb USING (token) "
+            "CROSS JOIN tot t CROSS JOIN actx x WHERE x.r_a > 0) "
+            "SELECT token, c_ab, n_left, p_ppm, "
+            "ROW_NUMBER() OVER (ORDER BY p_ppm DESC, c_ab DESC, token)::INT "
+            "AS rank FROM scored "
+            "ORDER BY p_ppm DESC, c_ab DESC, token LIMIT 100"
         ),
         "codec_histogram": (
             "SELECT codec, count(*)::BIGINT AS n_blocks, "

@@ -945,3 +945,70 @@ def continuation_counts(encoded: DataFrame, k: int | None = None) -> DataFrame:
             "rank", F.row_number().over(Window.orderBy(*order)).cast("int")
         )
     )
+
+
+def next_token_distribution(
+    encoded: DataFrame,
+    context: int,
+    k: int | None = None,
+    discount_quarters: int = 3,
+) -> DataFrame:
+    """Interpolated Kneser-Ney bigram next-token distribution
+    P(token | context), served straight off the encoded corpus.  With
+    discount D = ``discount_quarters``/4 (default 0.75, the standard KN
+    discount), R_a = total bigrams starting at the context, N1+(a,·) its
+    distinct continuations, N1+(·,b) each token's distinct left
+    neighbors, and NB the distinct-bigram count::
+
+        p(b|a) = max(c(a,b) - D, 0)/R_a  +  D·N1+(a,·)/R_a · N1+(·,b)/NB
+
+    which sums to exactly 1 over the support.  ``p_ppm`` carries the
+    probability in parts-per-million via pure BIGINT arithmetic
+    (quarters trick: all counts ×4 so D is integral), so two engines
+    agree bit-for-bit.  Support = tokens that appear as some bigram
+    continuation; an unseen context yields an empty result.
+
+    Plan shape: one :func:`ngram_counts` decode scan materialized once
+    (persisted — the bigram table is distinct-gram-bounded, tiny next
+    to the corpus), then vocabulary-sized aggregates and broadcast
+    joins only.
+    """
+    a, d = int(context), int(discount_quarters)
+    if not 0 < d < 4:
+        raise ValueError("discount_quarters must be 1..3 (D = d/4)")
+    bi = ngram_counts(encoded, n=2).persist()
+    tot = bi.agg(F.count("*").cast("bigint").alias("nb"))
+    arow = bi.filter(F.col("t0") == a)
+    actx = arow.agg(
+        F.coalesce(F.sum("n_gram"), F.lit(0)).cast("bigint").alias("r_a"),
+        F.count("*").cast("bigint").alias("nr_a"),
+    )
+    left = bi.groupBy(F.col("t1").alias("token")).agg(
+        F.count("*").cast("bigint").alias("n_left")
+    )
+    cab = arow.select(F.col("t1").alias("token"), F.col("n_gram").alias("c0"))
+    out = (
+        left.join(F.broadcast(cab), "token", "left")
+        .crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(actx))
+        .filter(F.col("r_a") > 0)
+        .select(
+            "token",
+            F.coalesce("c0", F.lit(0)).cast("bigint").alias("c_ab"),
+            "n_left",
+            F.expr(
+                f"(1000000 * (greatest(4 * coalesce(c0, 0) - {d}, 0) * nb"
+                f" + {d} * nr_a * n_left)) div (4 * r_a * nb)"
+            ).cast("bigint").alias("p_ppm"),
+        )
+    )
+    order = [F.desc("p_ppm"), F.desc("c_ab"), F.col("token")]
+    if k is None:
+        return out.orderBy(*order)
+    return (
+        out.orderBy(*order)
+        .limit(int(k))
+        .withColumn(
+            "rank", F.row_number().over(Window.orderBy(*order)).cast("int")
+        )
+    )

@@ -466,3 +466,52 @@ def test_continuation_counts_matches_python(spark):
                  key=lambda x: (-x[0], x[1]))[:4]
     assert [(r.n_token, r.token) for r in top] == exp
     assert [r.rank for r in top] == [1, 2, 3, 4]
+
+
+def test_next_token_distribution_kn(spark):
+    """KN-smoothed p_ppm == Python rational truth; mass sums to ~1e6;
+    unseen context → empty."""
+    from archive_spark import analytics, engine
+    from archive_spark.tokengen import token_table
+
+    toks = token_table(spark, 600, seed=13).cache()
+    enc = engine.encode(toks, target_block_values=1 << 13).cache()
+    rows = [list(r.tokens) for r in toks.select("tokens").collect()]
+
+    bi, lefts = {}, {}
+    for t in rows:
+        for x, y in zip(t, t[1:]):
+            bi[(x, y)] = bi.get((x, y), 0) + 1
+            lefts.setdefault(y, set()).add(x)
+    nb = len(bi)
+    a, d = 3, 3
+    r_a = sum(c for (x, _), c in bi.items() if x == a)
+    nr_a = sum(1 for (x, _) in bi if x == a)
+    assert r_a > 0
+    want = {}
+    for b, ls in lefts.items():
+        c_ab = bi.get((a, b), 0)
+        num = max(4 * c_ab - d, 0) * nb + d * nr_a * len(ls)
+        want[b] = (c_ab, len(ls), (1_000_000 * num) // (4 * r_a * nb))
+    got = {
+        r.token: (r.c_ab, r.n_left, r.p_ppm)
+        for r in analytics.next_token_distribution(enc, a).collect()
+    }
+    assert got == want
+
+    # exact mass check on the rational (pre-floor) probabilities
+    total = sum(
+        max(4 * bi.get((a, b), 0) - d, 0) * nb + d * nr_a * len(ls)
+        for b, ls in lefts.items()
+    )
+    assert total == 4 * r_a * nb  # sums to exactly 1
+
+    assert analytics.next_token_distribution(enc, 999_999_937).count() == 0
+
+    top = analytics.next_token_distribution(enc, a, k=5).collect()
+    exp = sorted(
+        ((p, c, t_) for t_, (c, _, p) in want.items()),
+        key=lambda x: (-x[0], -x[1], x[2]),
+    )[:5]
+    assert [(r.p_ppm, r.c_ab, r.token) for r in top] == exp
+    assert [r.rank for r in top] == [1, 2, 3, 4, 5]
