@@ -207,6 +207,12 @@ def main() -> None:
         .collect(),
     )
 
+    # ---- compressed-domain n-gram LM build: decode + within-doc gram
+    # gather + per-block distinct-gram partials over the whole sf table
+    from archive_spark.analytics import ngram_counts
+
+    timed("q_bigram_counts", lambda: ngram_counts(encoded, n=2, k=100).collect())
+
     # ---- q_simhash: single-pass numpy bit-vote over the documents table
     from archive_spark.pipeline_ops import simhash
 
