@@ -213,6 +213,21 @@ def _q_phrase_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return phrase_count(enc, [3, 7])
 
 
+def _q_proximity_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directional NEAR/5 proximity search in the compressed domain
+    (analytics.proximity_count, first=3, second=7, max_gap=5): pair
+    counts via two-searchsorted differences, per-source partials.
+    DuckDB replays with per-center 1-based list_filter windows."""
+    from archive_spark import engine
+    from archive_spark.analytics import proximity_count
+    from archive_spark.tokengen import token_table
+
+    df = token_table(spark, 5_000, seed=42)
+    _persist(df.select("doc_id", "source", "tokens"), "proximity_input", sf_dir)
+    enc = engine.encode(df, target_block_values=1 << 15)
+    return proximity_count(enc, 3, 7, 5)
+
+
 def _q_concordance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KWIC context extraction (analytics.concordance) for a bigram:
     one row per occurrence with 0-based position and the clipped
@@ -1671,6 +1686,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_postings": _q_token_postings,
         "bm25_topk": _q_bm25_topk,
         "phrase_count": _q_phrase_count,
+        "proximity_count": _q_proximity_count,
         "concordance": _q_concordance,
         "cooccurrence": _q_cooccurrence,
         "collocations": _q_collocations,
@@ -1948,6 +1964,19 @@ def oracle_sql() -> dict[str, str]:
             "i -> tokens[i] = 3 AND tokens[i+1] = 7)) AS occ "
             f"FROM read_parquet('{_opath('phrase_input')}')"
             ") GROUP BY source HAVING SUM(occ) > 0 ORDER BY source"
+        ),
+        "proximity_count": (
+            "WITH ctr AS (SELECT doc_id, source, tokens, "
+            "unnest(list_filter(range(1, len(tokens)+1), i -> tokens[i] = 3)) AS i "
+            f"FROM read_parquet('{_opath('proximity_input')}')), "
+            "pc AS (SELECT doc_id, source, "
+            "len(list_filter(range(i+1, least(len(tokens), i+5)+1), "
+            "j -> tokens[j] = 7)) AS c FROM ctr), "
+            "perdoc AS (SELECT doc_id, source, SUM(c)::BIGINT AS occ "
+            "FROM pc GROUP BY doc_id, source) "
+            "SELECT source, COUNT(*) FILTER (WHERE occ > 0)::BIGINT AS n_docs, "
+            "SUM(occ)::BIGINT AS n_pairs FROM perdoc "
+            "GROUP BY source HAVING SUM(occ) > 0 ORDER BY source"
         ),
         "concordance": (
             "SELECT doc_id, (i - 1)::BIGINT AS pos, "

@@ -1012,3 +1012,87 @@ def next_token_distribution(
             "rank", F.row_number().over(Window.orderBy(*order)).cast("int")
         )
     )
+
+
+def proximity_count(
+    encoded: DataFrame, first: int, second: int, max_gap: int
+) -> DataFrame:
+    """Ordered proximity search over the compressed corpus: count pairs
+    where ``second`` occurs 1..``max_gap`` positions AFTER ``first``
+    inside the same document (the classic ``A NEAR/k B`` retrieval
+    predicate, directional).  Reported per source as ``(source, n_docs,
+    n_pairs)`` for sources with ≥ 1 pair; every qualifying (i, j)
+    position pair counts, so clustered occurrences count multiply.
+
+    Scale shape mirrors :func:`phrase_count`: zone maps prune blocks
+    that cannot contain both tokens, surviving blocks decode once, and
+    the pair count per first-occurrence is a two-``searchsorted``
+    difference over the second token's positions (clipped to the
+    document end) — no materialized pair list, partials are O(sources).
+    """
+    import numpy as np
+    import pyarrow as pa
+
+    from .codecs import kernels
+
+    a, b, G = int(first), int(second), int(max_gap)
+    if G <= 0:
+        raise ValueError("max_gap must be positive")
+
+    def _near(it):
+        for batch in it:
+            agg: dict[str, list[int]] = {}
+            src = batch.column("source").to_pylist()
+            for i in range(batch.num_rows):
+                vals = kernels.decode(
+                    memoryview(batch.column("payload")[i].as_buffer())
+                )
+                p1 = np.nonzero(vals == np.int32(a))[0]
+                if p1.size == 0:
+                    continue
+                p2 = np.nonzero(vals == np.int32(b))[0]
+                if p2.size == 0:
+                    continue
+                lens = kernels.decode(
+                    memoryview(batch.column("lengths_payload")[i].as_buffer())
+                ).astype(np.int64)
+                ends = np.cumsum(lens)
+                d1 = np.searchsorted(ends, p1, side="right")
+                hi = np.minimum(p1 + G, ends[d1] - 1)
+                cnt = np.searchsorted(p2, hi, side="right") - np.searchsorted(
+                    p2, p1, side="right"
+                )
+                hit = cnt > 0
+                if not hit.any():
+                    continue
+                cur = agg.setdefault(src[i], [0, 0])
+                cur[0] += int(np.unique(d1[hit]).size)
+                cur[1] += int(cnt.sum())
+            if not agg:
+                continue
+            ks = sorted(agg)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(ks, pa.string()),
+                    pa.array([agg[k][0] for k in ks], pa.int64()),
+                    pa.array([agg[k][1] for k in ks], pa.int64()),
+                ],
+                ["source", "n_docs", "n_pairs"],
+            )
+
+    pruned = encoded.filter(
+        (F.col("vmin") <= F.lit(min(a, b)))
+        & (F.col("vmax") >= F.lit(max(a, b)))
+    )
+    partials = pruned.select("source", "payload", "lengths_payload").mapInArrow(
+        _near, "source string, n_docs long, n_pairs long"
+    )
+    return (
+        partials.groupBy("source")
+        .agg(
+            F.sum("n_docs").cast("bigint").alias("n_docs"),
+            F.sum("n_pairs").cast("bigint").alias("n_pairs"),
+        )
+        .filter(F.col("n_pairs") > 0)
+        .orderBy("source")
+    )

@@ -515,3 +515,35 @@ def test_next_token_distribution_kn(spark):
     )[:5]
     assert [(r.p_ppm, r.c_ab, r.token) for r in top] == exp
     assert [r.rank for r in top] == [1, 2, 3, 4, 5]
+
+
+def test_proximity_count_matches_python(spark):
+    """NEAR/k pair counts == Python truth, incl. first==second and
+    gap-1 (adjacency) cases."""
+    from archive_spark import analytics, engine
+    from archive_spark.tokengen import token_table
+
+    toks = token_table(spark, 900, seed=29).cache()
+    enc = engine.encode(toks, target_block_values=1 << 13).cache()
+    rows = [(r.source, list(r.tokens)) for r in
+            toks.select("source", "tokens").collect()]
+
+    for a, b, g in ((3, 7, 5), (7, 3, 1), (3, 3, 4)):
+        want = {}
+        for src, t in rows:
+            occ = 0
+            for i, v in enumerate(t):
+                if v != a:
+                    continue
+                occ += sum(
+                    1 for j in range(i + 1, min(len(t), i + g + 1))
+                    if t[j] == b
+                )
+            if occ:
+                d, p = want.get(src, (0, 0))
+                want[src] = (d + 1, p + occ)
+        got = {
+            r.source: (r.n_docs, r.n_pairs)
+            for r in analytics.proximity_count(enc, a, b, g).collect()
+        }
+        assert got == want, (a, b, g)
