@@ -1288,6 +1288,26 @@ def _q_bpe_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_chunk_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window context chunking (pipeline_ops.chunk_sequences,
+    max_len=128, stride=64, min_len=16): GPT-style overlapping training
+    windows, pure JVM expression work.  DuckDB replays the window
+    starts with range() and 1-based list slicing."""
+    from archive_spark.pipeline_ops import chunk_sequences
+
+    toks = _tokens(spark, sf_dir)
+    _persist(toks.select("doc_id", "source", "tokens", "n_tok"),
+             "chunk_input", sf_dir)
+    out = chunk_sequences(toks, max_len=128, stride=64, min_len=16)
+    return out.select(
+        "doc_id",
+        "source",
+        "chunk_idx",
+        "n_chunk",
+        F.array_join("chunk", ",").alias("chunk_csv"),
+    ).orderBy("doc_id", "chunk_idx")
+
+
 def _q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pack the tokenized documents into fixed 512-token training
     sequences; per-sequence aggregates are replayed by a DuckDB window
@@ -1739,6 +1759,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontamination": _q_decontamination,
         "bpe_merges": _q_bpe_merges,
         "sequence_packing": _q_sequence_packing,
+        "chunk_sequences": _q_chunk_sequences,
         "bpe_pipeline": _q_bpe_pipeline,
         "pii_scrub": _q_pii_scrub,
         "bigram_rarity": _q_bigram_rarity,
@@ -2479,6 +2500,16 @@ def oracle_sql() -> dict[str, str]:
             "SUM(len(replace(text, ' ', '')))::BIGINT AS total_chars, "
             "0::BIGINT AS n_detok_mismatch "
             "FROM documents GROUP BY source ORDER BY source"
+        ),
+        "chunk_sequences": (
+            "WITH st AS (SELECT doc_id, source, tokens, n_tok, "
+            "unnest(range(0, n_tok::BIGINT, 64)) AS s "
+            f"FROM read_parquet('{_opath('chunk_input')}')), "
+            "ch AS (SELECT doc_id, source, (s // 64)::INT AS chunk_idx, "
+            "tokens[s+1 : least(n_tok, s+128)] AS chunk FROM st) "
+            "SELECT doc_id, source, chunk_idx, len(chunk)::INT AS n_chunk, "
+            "array_to_string(chunk, ',') AS chunk_csv FROM ch "
+            "WHERE len(chunk) >= 16 ORDER BY doc_id, chunk_idx"
         ),
         "sequence_packing": (
             # replay the deterministic doc_id-order concatenation (+1 EOS

@@ -2065,3 +2065,46 @@ def normalize_text(
         n_in.cast("bigint").alias("n_chars_in"),
         F.length(t).cast("bigint").alias("n_chars_out"),
     )
+
+
+def chunk_sequences(
+    tokens_df: DataFrame,
+    max_len: int = 1024,
+    stride: int | None = None,
+    min_len: int = 1,
+) -> DataFrame:
+    """Sliding-window context chunking — the *other* standard LLM
+    layout step (vs :func:`pack_sequences`' concatenate-and-cut): each
+    document is cut into windows ``tokens[s : s+max_len]`` for ``s = 0,
+    stride, 2·stride, …`` so consecutive chunks overlap by ``max_len -
+    stride`` tokens (the GPT-style stride trick that preserves context
+    at window boundaries).  Chunks never cross documents; trailing
+    chunks shorter than ``min_len`` are dropped.
+
+    Output: ``(doc_id, source, chunk_idx, n_chunk, chunk)``.  Entirely
+    JVM-side expression work (``sequence`` → ``transform(slice)`` →
+    ``posexplode``) — no Python, no shuffle, no window; output size is
+    input tokens × (max_len/stride) by construction, so the expansion
+    factor is explicit in the two parameters.
+    """
+    L = int(max_len)
+    s = L if stride is None else int(stride)
+    if L <= 0 or s <= 0:
+        raise ValueError("max_len and stride must be positive")
+    if s > L:
+        raise ValueError("stride must be <= max_len (gaps would drop tokens)")
+    starts = F.when(
+        F.col("n_tok") > 0,
+        F.sequence(F.lit(0), F.col("n_tok") - 1, F.lit(s)),
+    ).otherwise(F.array().cast("array<int>"))
+    chunks = F.transform(starts, lambda st: F.slice(F.col("tokens"), st + 1, L))
+    exploded = tokens_df.select(
+        "doc_id", "source", F.posexplode(chunks).alias("chunk_idx", "chunk")
+    )
+    return exploded.select(
+        "doc_id",
+        "source",
+        F.col("chunk_idx").cast("int").alias("chunk_idx"),
+        F.size("chunk").cast("int").alias("n_chunk"),
+        "chunk",
+    ).filter(F.col("n_chunk") >= int(min_len))

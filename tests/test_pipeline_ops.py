@@ -1232,3 +1232,39 @@ def test_normalize_text_markup_off(spark):
         [(1, "s", "keep <tags> here")], "doc_id long, source string, text string")
     assert po.normalize_text(docs, strip_markup=False).collect()[0].text \
         == "keep <tags> here"
+
+
+def test_chunk_sequences_matches_python(spark):
+    """Sliding windows == Python truth: overlap, short-tail drop,
+    empty docs, stride == max_len (disjoint), and token conservation
+    at stride == max_len."""
+    from archive_spark.tokengen import token_table
+
+    toks = token_table(spark, 300, seed=17).cache()
+    rows = [(r.doc_id, r.source, list(r.tokens))
+            for r in toks.select("doc_id", "source", "tokens").collect()]
+
+    for L, s, m in ((64, 32, 1), (64, 64, 1), (50, 20, 20)):
+        want = []
+        for did, src, t in rows:
+            idx = 0
+            for st in range(0, max(len(t), 1), s):
+                ch = t[st:st + L]
+                if st < len(t) and len(ch) >= m:
+                    want.append((did, src, idx, len(ch), tuple(ch)))
+                if st < len(t):
+                    idx += 1
+        got = [
+            (r.doc_id, r.source, r.chunk_idx, r.n_chunk, tuple(r.chunk))
+            for r in po.chunk_sequences(toks, L, s, m)
+            .orderBy("doc_id", "chunk_idx").collect()
+        ]
+        assert got == sorted(want, key=lambda x: (x[0], x[2])), (L, s, m)
+
+    # disjoint chunking conserves every token exactly once
+    total = sum(len(t) for _, _, t in rows)
+    n = po.chunk_sequences(toks, 64, 64).agg(F.sum("n_chunk")).collect()[0][0]
+    assert n == total
+
+    with pytest.raises(ValueError):
+        po.chunk_sequences(toks, 64, 128)
