@@ -1308,6 +1308,21 @@ def _q_chunk_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id", "chunk_idx")
 
 
+def _q_source_distinctive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source distinctive tokens off the compressed corpus
+    (analytics.source_distinctive_tokens, k=10, min_count=2): integer
+    lift_ppm over the per-source structural histogram; DuckDB replays
+    the full lift arithmetic and per-source ranking."""
+    from archive_spark import engine
+    from archive_spark.analytics import source_distinctive_tokens
+    from archive_spark.tokengen import token_table
+
+    df = token_table(spark, 5_000, seed=42)
+    _persist(df.select("source", "tokens"), "srcdist_input", sf_dir)
+    enc = engine.encode(df, target_block_values=1 << 15)
+    return source_distinctive_tokens(enc, k=10, min_count=2)
+
+
 def _q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pack the tokenized documents into fixed 512-token training
     sequences; per-sequence aggregates are replayed by a DuckDB window
@@ -1760,6 +1775,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_merges": _q_bpe_merges,
         "sequence_packing": _q_sequence_packing,
         "chunk_sequences": _q_chunk_sequences,
+        "source_distinctive": _q_source_distinctive,
         "bpe_pipeline": _q_bpe_pipeline,
         "pii_scrub": _q_pii_scrub,
         "bigram_rarity": _q_bigram_rarity,
@@ -2500,6 +2516,27 @@ def oracle_sql() -> dict[str, str]:
             "SUM(len(replace(text, ' ', '')))::BIGINT AS total_chars, "
             "0::BIGINT AS n_detok_mismatch "
             "FROM documents GROUP BY source ORDER BY source"
+        ),
+        "source_distinctive": (
+            "WITH per AS (SELECT source, tok::BIGINT AS token, "
+            "COUNT(*)::BIGINT AS n FROM (SELECT source, unnest(tokens) AS tok "
+            f"FROM read_parquet('{_opath('srcdist_input')}')) GROUP BY 1, 2), "
+            "tok_tot AS (SELECT token, SUM(n)::BIGINT AS n_token FROM per "
+            "GROUP BY token), "
+            "src_tot AS (SELECT source, SUM(n)::BIGINT AS n_source FROM per "
+            "GROUP BY source), "
+            "grand AS (SELECT SUM(n)::BIGINT AS n_total FROM per), "
+            "scored AS (SELECT p.source, p.token, p.n AS n_in_source, "
+            "t.n_token, ((1000000 * p.n * g.n_total) // "
+            "(t.n_token * s.n_source))::BIGINT AS lift_ppm "
+            "FROM per p JOIN tok_tot t USING (token) "
+            "JOIN src_tot s USING (source) CROSS JOIN grand g "
+            "WHERE p.n >= 2), "
+            "rk AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY source "
+            "ORDER BY lift_ppm DESC, n_in_source DESC, token)::INT AS rank "
+            "FROM scored) "
+            "SELECT source, token, n_in_source, n_token, lift_ppm, rank "
+            "FROM rk WHERE rank <= 10 ORDER BY source, rank"
         ),
         "chunk_sequences": (
             "WITH st AS (SELECT doc_id, source, tokens, n_tok, "

@@ -1096,3 +1096,99 @@ def proximity_count(
         .filter(F.col("n_pairs") > 0)
         .orderBy("source")
     )
+
+
+def token_histogram_by_source(encoded: DataFrame) -> DataFrame:
+    """Per-source exact token histogram in the COMPRESSED domain: same
+    structural shortcuts as :func:`token_histogram` (constant O(1), rle
+    O(runs), dict bincount), but partials are pre-merged per (batch,
+    source) — blocks are source-homogeneous, so no decode regrouping is
+    needed.  Shuffle carries |sources| × vocabulary partials.
+    """
+    import numpy as np
+    import pyarrow as pa
+
+    from .codecs import kernels
+
+    def _hist(it):
+        for batch in it:
+            per: dict[str, dict] = {}
+            src = batch.column("source").to_pylist()
+            for i in range(batch.num_rows):
+                u, c = kernels.histogram_block(
+                    memoryview(batch.column("payload")[i].as_buffer())
+                )
+                cur = per.setdefault(src[i], {})
+                us, cs = cur.setdefault("u", []), cur.setdefault("c", [])
+                us.append(u)
+                cs.append(c)
+            for s in sorted(per):
+                allu = np.concatenate(per[s]["u"])
+                allc = np.concatenate(per[s]["c"])
+                u, inv = np.unique(allu, return_inverse=True)
+                cnt = np.zeros(u.size, dtype=np.int64)
+                np.add.at(cnt, inv, allc)
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        pa.array([s] * u.size, pa.string()),
+                        pa.array(u, pa.int64()),
+                        pa.array(cnt, pa.int64()),
+                    ],
+                    ["source", "token", "n"],
+                )
+
+    partials = encoded.select("source", "payload").mapInArrow(
+        _hist, "source string, token long, n long"
+    )
+    return (
+        partials.groupBy("source", "token")
+        .agg(F.sum("n").cast("bigint").alias("n"))
+        .orderBy("source", "token")
+    )
+
+
+def source_distinctive_tokens(
+    encoded: DataFrame, k: int = 10, min_count: int = 2
+) -> DataFrame:
+    """Tokens that CHARACTERIZE each source: rank by integer lift
+    ``lift_ppm = (1e6 · n_in_source · N_total) div (n_token · N_source)``
+    (how over-represented the token is in the source vs the corpus,
+    in parts-per-million; > 1e6 ⇒ over-represented).  Top-``k`` per
+    source by (lift desc, n_in_source desc, token); ``min_count``
+    suppresses one-off noise.  The compressed-domain counterpart of the
+    text-side ``distinctive_terms`` — all counts come out of the block
+    structure, only vocabulary-sized tables shuffle.
+    """
+    # |sources| x vocabulary rows — materialize once, the four
+    # downstream aggregates must not re-run the corpus scan
+    per = token_histogram_by_source(encoded).persist()
+    tok_tot = per.groupBy("token").agg(
+        F.sum("n").cast("bigint").alias("n_token")
+    )
+    src_tot = per.groupBy("source").agg(
+        F.sum("n").cast("bigint").alias("n_source")
+    )
+    grand = per.agg(F.sum("n").cast("bigint").alias("n_total"))
+    scored = (
+        per.filter(F.col("n") >= int(min_count))
+        .join(F.broadcast(tok_tot), "token")
+        .join(F.broadcast(src_tot), "source")
+        .crossJoin(F.broadcast(grand))
+        .select(
+            "source",
+            "token",
+            F.col("n").alias("n_in_source"),
+            "n_token",
+            F.expr(
+                "(1000000 * n * n_total) div (n_token * n_source)"
+            ).cast("bigint").alias("lift_ppm"),
+        )
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.desc("lift_ppm"), F.desc("n_in_source"), F.col("token")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= int(k))
+        .orderBy("source", "rank")
+    )

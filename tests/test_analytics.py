@@ -547,3 +547,52 @@ def test_proximity_count_matches_python(spark):
             for r in analytics.proximity_count(enc, a, b, g).collect()
         }
         assert got == want, (a, b, g)
+
+
+def test_source_histogram_and_distinctive(spark):
+    """Per-source compressed-domain histogram == Python truth; lift
+    scores and per-source top-k replay exactly."""
+    from archive_spark import analytics, engine
+    from archive_spark.tokengen import token_table
+
+    toks = token_table(spark, 700, seed=23).cache()
+    enc = engine.encode(toks, target_block_values=1 << 13).cache()
+    rows = [(r.source, list(r.tokens))
+            for r in toks.select("source", "tokens").collect()]
+
+    per = {}
+    for src, t in rows:
+        d = per.setdefault(src, {})
+        for v in t:
+            d[v] = d.get(v, 0) + 1
+    want = {(s, t_): c for s, d in per.items() for t_, c in d.items()}
+    got = {
+        (r.source, r.token): r.n
+        for r in analytics.token_histogram_by_source(enc).collect()
+    }
+    assert got == want
+
+    n_total = sum(want.values())
+    tok_tot, src_tot = {}, {}
+    for (s, t_), c in want.items():
+        tok_tot[t_] = tok_tot.get(t_, 0) + c
+        src_tot[s] = src_tot.get(s, 0) + c
+    exp = {}
+    for (s, t_), c in want.items():
+        if c < 2:
+            continue
+        lift = (1_000_000 * c * n_total) // (tok_tot[t_] * src_tot[s])
+        exp.setdefault(s, []).append((lift, c, t_))
+    top = {}
+    for s, lst in exp.items():
+        lst.sort(key=lambda x: (-x[0], -x[1], x[2]))
+        top[s] = [(t_, c, lift) for lift, c, t_ in lst[:4]]
+    out = analytics.source_distinctive_tokens(enc, k=4, min_count=2).collect()
+    got_top = {}
+    for r in out:
+        got_top.setdefault(r.source, []).append(
+            (r.token, r.n_in_source, r.lift_ppm)
+        )
+    assert got_top == top
+    for r in out:
+        assert 1 <= r.rank <= 4
