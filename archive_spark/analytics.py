@@ -798,7 +798,8 @@ def collocations(
     equivalent double PMI instead.
     """
     cooc = cooccurrence(encoded, target, window)  # token, n_cooc
-    hist = token_histogram(encoded)  # token, n
+    # vocabulary-sized; persist so totals + join share one structural pass
+    hist = token_histogram(encoded).persist()  # token, n
     totals = hist.agg(
         F.sum("n").cast("bigint").alias("n_total"),
         F.coalesce(
@@ -941,7 +942,9 @@ def continuation_counts(encoded: DataFrame, k: int | None = None) -> DataFrame:
     compressed-domain histogram via broadcast — post-scan work never
     touches the corpus again.
     """
-    bi = ngram_counts(encoded, n=2)  # t0, t1, n_gram
+    # distinct-gram-bounded — materialize once so the left/right
+    # aggregates don't re-run the corpus decode scan
+    bi = ngram_counts(encoded, n=2).persist()
     left = bi.groupBy(F.col("t1").alias("token")).agg(
         F.count("*").cast("bigint").alias("n_left")
     )
