@@ -228,21 +228,40 @@ def token_histogram(encoded: DataFrame, k: int | None = None) -> DataFrame:
     )
 
 
+def _bloom_cols(encoded: DataFrame, cols: "list[str]") -> "tuple[list[str], bool]":
+    """Projection for a probe mapInArrow, plus whether the table carries
+    the ``token_bloom`` sidecar (pre-bloom snapshots lack the column —
+    probes must degrade to the structural path unchanged)."""
+    has = "token_bloom" in encoded.columns
+    return (cols + ["token_bloom"], True) if has else (cols, False)
+
+
+def _bloom_of(batch, i: int):
+    """Row ``i``'s bloom sidecar as bytes, or None (= maybe contains)."""
+    s = batch.column("token_bloom")[i]
+    return s.as_py() if s.is_valid else None
+
+
 def token_membership(encoded: DataFrame, token: int) -> DataFrame:
     """Compressed-domain inverted token probe: which documents contain
     ``token``, answered from the encoded blocks without a corpus decode.
 
-    Three-tier read pruning — the 100 TB shape for a point lookup:
+    Four-tier read pruning — the 100 TB shape for a point lookup:
 
     1. **zone maps at the scan**: ``vmin``/``vmax`` are top-level
        columns, so the block filter reaches parquet row-group stats
        (``PushedFilters``) — files/row groups whose token span excludes
        the probe are never read;
-    2. **structural probe** (``kernels.occurrences_block``): surviving
+    2. **bloom sidecar** (``codecs.bloom``): a rare token inside the
+       span still survives every zone map; the per-block SBBF answers
+       "definitely absent" without touching the payload — exactly the
+       miss that would otherwise full-decode for/pdelta/fsst/plain
+       blocks (absent on pre-bloom snapshots → skipped);
+    3. **structural probe** (``kernels.occurrences_block``): surviving
        blocks answer membership from the codec structure — constant
        O(1), rle O(runs), dict O(log distinct) — without expanding the
        row stream;
-    3. **attribution decode**: only blocks that actually contain the
+    4. **attribution decode**: only blocks that actually contain the
        token decode their lengths stream to attribute hits to documents
        (per-doc counts via prefix-sum differences, CLAUDE.md gotcha).
 
@@ -254,7 +273,7 @@ def token_membership(encoded: DataFrame, token: int) -> DataFrame:
     import numpy as np
     import pyarrow as pa
 
-    from .codecs import kernels
+    from .codecs import bloom, kernels
 
     tok = int(token)
 
@@ -262,11 +281,18 @@ def token_membership(encoded: DataFrame, token: int) -> DataFrame:
         for batch in it:
             if batch.num_rows == 0:
                 continue
+            has_bloom = "token_bloom" in batch.schema.names
             agg: dict[str, list[int]] = {}
             src = batch.column("source").to_pylist()
             pay = batch.column("payload")
             lpay = batch.column("lengths_payload")
             for i in range(batch.num_rows):
+                # bloom tier: "definitely absent" answers without
+                # touching the payload (rare-token probes skip the
+                # full decode that for/pdelta/fsst/plain blocks
+                # would otherwise pay on a miss)
+                if has_bloom and not bloom.maybe_contains(_bloom_of(batch, i), tok):
+                    continue
                 occ = kernels.occurrences_block(
                     memoryview(pay[i].as_buffer()), tok
                 )
@@ -299,7 +325,8 @@ def token_membership(encoded: DataFrame, token: int) -> DataFrame:
     pruned = encoded.filter(
         (F.col("vmin") <= F.lit(tok)) & (F.col("vmax") >= F.lit(tok))
     )
-    partials = pruned.select("source", "payload", "lengths_payload").mapInArrow(
+    cols, _ = _bloom_cols(encoded, ["source", "payload", "lengths_payload"])
+    partials = pruned.select(*cols).mapInArrow(
         _probe, "source string, n_docs long, n_occ long"
     )
     return (
@@ -320,14 +347,43 @@ def token_membership_stats(encoded: DataFrame, token: int) -> dict:
     (only those decode).  Driver-side ints (three tiny aggregates)."""
     tok = int(token)
     total = encoded.count()
-    survived = encoded.filter(
+    pruned = encoded.filter(
         (F.col("vmin") <= F.lit(tok)) & (F.col("vmax") >= F.lit(tok))
-    ).count()
-    return {
+    )
+    survived = pruned.count()
+    out = {
         "n_blocks": int(total),
         "n_zone_survivors": int(survived),
         "zone_skip_fraction": 1.0 - (survived / total if total else 0.0),
     }
+    if "token_bloom" in encoded.columns:
+        import pyarrow as pa
+
+        from .codecs import bloom
+
+        def _count(it):
+            for batch in it:
+                n = sum(
+                    1
+                    for i in range(batch.num_rows)
+                    if bloom.maybe_contains(_bloom_of(batch, i), tok)
+                )
+                yield pa.RecordBatch.from_arrays(
+                    [pa.array([n], pa.int64())], ["n"]
+                )
+
+        bloom_surv = (
+            pruned.select("token_bloom")
+            .mapInArrow(_count, "n long")
+            .agg(F.sum("n"))
+            .collect()[0][0]
+            or 0
+        )
+        out["n_bloom_survivors"] = int(bloom_surv)
+        out["bloom_skip_fraction"] = 1.0 - (
+            bloom_surv / survived if survived else 0.0
+        )
+    return out
 
 
 def token_postings(
@@ -382,8 +438,24 @@ def token_postings(
             raise ValueError("empty token band")
 
     def _extract(it):
+        from .codecs import bloom
+
         for batch in it:
+            has_bloom = "token_bloom" in batch.schema.names
             for i in range(batch.num_rows):
+                # sparse-set probes: skip the block when EVERY queried
+                # token is definitely absent (disjunctive — a band scan
+                # can't use the filter, an explicit vocabulary can)
+                if (
+                    q32 is not None
+                    and has_bloom
+                    and q32.size <= 64
+                ):
+                    blm = _bloom_of(batch, i)
+                    if blm is not None and not any(
+                        bloom.maybe_contains(blm, int(t)) for t in q32
+                    ):
+                        continue
                 pay = memoryview(batch.column("payload")[i].as_buffer())
                 vals = kernels.decode(pay)
                 mask = (vals >= np.int32(lo_i)) & (vals <= np.int32(hi_i))
@@ -415,7 +487,8 @@ def token_postings(
     pruned = encoded.filter(
         (F.col("vmin") <= F.lit(hi_i)) & (F.col("vmax") >= F.lit(lo_i))
     )
-    return pruned.select("doc_ids", "payload", "lengths_payload").mapInArrow(
+    cols, _ = _bloom_cols(encoded, ["doc_ids", "payload", "lengths_payload"])
+    return pruned.select(*cols).mapInArrow(
         _extract, "token long, doc_id string, occ long"
     )
 
@@ -533,18 +606,25 @@ def phrase_count(encoded: DataFrame, phrase: "list[int]") -> DataFrame:
     import numpy as np
     import pyarrow as pa
 
-    from .codecs import kernels
+    from .codecs import bloom, kernels
 
     ph = np.asarray(list(phrase), dtype=np.int32)
     if ph.size == 0:
         raise ValueError("empty phrase")
     L = int(ph.size)
+    ph_distinct = sorted({int(t) for t in ph})
 
     def _match(it):
         for batch in it:
             agg: dict[str, list[int]] = {}
             src = batch.column("source").to_pylist()
+            has_bloom = "token_bloom" in batch.schema.names
             for i in range(batch.num_rows):
+                # conjunctive bloom tier: a phrase needs EVERY one of
+                # its tokens present — one definite absence skips the
+                # block without decoding
+                if has_bloom and bloom.rejects_any(_bloom_of(batch, i), ph_distinct):
+                    continue
                 vals = kernels.decode(
                     memoryview(batch.column("payload")[i].as_buffer())
                 )
@@ -584,7 +664,8 @@ def phrase_count(encoded: DataFrame, phrase: "list[int]") -> DataFrame:
         (F.col("vmin") <= F.lit(int(ph.min())))
         & (F.col("vmax") >= F.lit(int(ph.max())))
     )
-    partials = pruned.select("source", "payload", "lengths_payload").mapInArrow(
+    cols, _ = _bloom_cols(encoded, ["source", "payload", "lengths_payload"])
+    partials = pruned.select(*cols).mapInArrow(
         _match, "source string, n_docs long, n_occ long"
     )
     return (
@@ -617,7 +698,7 @@ def concordance(
     import numpy as np
     import pyarrow as pa
 
-    from .codecs import kernels
+    from .codecs import bloom, kernels
 
     ph = np.asarray(list(phrase), dtype=np.int32)
     if ph.size == 0:
@@ -625,10 +706,14 @@ def concordance(
     L, W = int(ph.size), int(window)
     if W < 0:
         raise ValueError("negative window")
+    ph_distinct = sorted({int(t) for t in ph})
 
     def _kwic(it):
         for batch in it:
+            has_bloom = "token_bloom" in batch.schema.names
             for i in range(batch.num_rows):
+                if has_bloom and bloom.rejects_any(_bloom_of(batch, i), ph_distinct):
+                    continue
                 vals = kernels.decode(
                     memoryview(batch.column("payload")[i].as_buffer())
                 )
@@ -678,9 +763,10 @@ def concordance(
         (F.col("vmin") <= F.lit(int(ph.min())))
         & (F.col("vmax") >= F.lit(int(ph.max())))
     )
-    return pruned.select(
-        "doc_ids", "payload", "lengths_payload"
-    ).mapInArrow(_kwic, "doc_id string, pos long, context array<int>")
+    cols, _ = _bloom_cols(encoded, ["doc_ids", "payload", "lengths_payload"])
+    return pruned.select(*cols).mapInArrow(
+        _kwic, "doc_id string, pos long, context array<int>"
+    )
 
 
 def cooccurrence(
@@ -710,9 +796,14 @@ def cooccurrence(
         raise ValueError("window must be positive")
 
     def _cooc(it):
+        from .codecs import bloom
+
         for batch in it:
+            has_bloom = "token_bloom" in batch.schema.names
             acc: dict[int, int] = {}
             for i in range(batch.num_rows):
+                if has_bloom and not bloom.maybe_contains(_bloom_of(batch, i), tgt):
+                    continue
                 vals = kernels.decode(
                     memoryview(batch.column("payload")[i].as_buffer())
                 )
@@ -752,7 +843,8 @@ def cooccurrence(
     pruned = encoded.filter(
         (F.col("vmin") <= F.lit(tgt)) & (F.col("vmax") >= F.lit(tgt))
     )
-    partials = pruned.select("payload", "lengths_payload").mapInArrow(
+    cols, _ = _bloom_cols(encoded, ["payload", "lengths_payload"])
+    partials = pruned.select(*cols).mapInArrow(
         _cooc, "token long, n long"
     )
     out = partials.groupBy("token").agg(
@@ -1067,10 +1159,15 @@ def proximity_count(
         raise ValueError("max_gap must be positive")
 
     def _near(it):
+        from .codecs import bloom
+
         for batch in it:
+            has_bloom = "token_bloom" in batch.schema.names
             agg: dict[str, list[int]] = {}
             src = batch.column("source").to_pylist()
             for i in range(batch.num_rows):
+                if has_bloom and bloom.rejects_any(_bloom_of(batch, i), (a, b)):
+                    continue
                 vals = kernels.decode(
                     memoryview(batch.column("payload")[i].as_buffer())
                 )
@@ -1111,7 +1208,8 @@ def proximity_count(
         (F.col("vmin") <= F.lit(min(a, b)))
         & (F.col("vmax") >= F.lit(max(a, b)))
     )
-    partials = pruned.select("source", "payload", "lengths_payload").mapInArrow(
+    cols, _ = _bloom_cols(encoded, ["source", "payload", "lengths_payload"])
+    partials = pruned.select(*cols).mapInArrow(
         _near, "source string, n_docs long, n_pairs long"
     )
     return (

@@ -1,0 +1,144 @@
+"""Split-block Bloom filters over each block's token set.
+
+Zone maps (``vmin``/``vmax``) prune *range* probes, but a point probe
+for a rare mid-range token survives every block's span and — for codecs
+whose structure carries no membership answer (``for``/``delta``/
+``pdelta``/``fsst``/``plain``) — pays a full decode per block just to
+count zero hits.  The bloom sidecar closes exactly that gap: a compact
+bit set over the block's *distinct* tokens answers "definitely absent"
+without touching the payload.  This is the same design point as
+Parquet's column-index bloom filters and Iceberg's puffin blobs: an
+optional index artifact next to the data, never a substitute for it
+(no false negatives; a positive still decodes and counts).
+
+Filter shape: split-block Bloom filter (SBBF) as specified publicly in
+the Apache Parquet format spec (BloomFilter.md) — the filter is an
+array of 256-bit blocks (8 × 32-bit words); a key sets exactly one bit
+in each word of one block, the per-word bit picked by multiplying the
+key hash by one of eight fixed odd salt constants (the spec's values).
+Checking a key reads one cache line regardless of filter size.  Block
+index uses the multiply-shift range reduction from the same spec, so
+any multiple-of-32 byte size works (no power-of-two rounding waste).
+
+Hashing: splitmix64 finalizer (Steele et al., public domain reference
+sequence) over the int32 token widened to uint64 — deterministic
+across runs and platforms, no Python ``hash()``.
+
+Sizing policy (``target_bytes``): ~10 bits per distinct key (k=8 →
+~1% false-positive rate), rounded up to a whole number of 32-byte
+blocks.  Blocks with more than ``BLOOM_MAX_KEYS`` distinct tokens (or
+whose cardinality the selector only sampled) skip the filter entirely:
+at near-unique-per-value cardinality a useful filter would rival the
+payload in size, and a capped one saturates into a constant "maybe" —
+all cost, no pruning.  Absent filters read as "maybe contains", so
+every consumer degrades to the structural probe unchanged.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+# Eight odd 32-bit salts from the public Parquet SBBF specification.
+_SALT = np.array(
+    [
+        0x47B6137B,
+        0x44974D91,
+        0x8824AD5B,
+        0xA2B7289D,
+        0x705495C7,
+        0x2DF1424B,
+        0x9EFC4947,
+        0x5C6BFB31,
+    ],
+    dtype=np.uint32,
+)
+
+_U64 = np.uint64
+
+# Above this many distinct keys the filter is skipped (see module doc).
+BLOOM_MAX_KEYS = 1 << 16
+BITS_PER_KEY = 10
+_BLOCK_BYTES = 32  # 8 words x 32 bits
+
+
+def _mix64(x: np.ndarray) -> np.ndarray:
+    """splitmix64 finalizer over uint64 (vectorized, wraparound)."""
+    x = x + _U64(0x9E3779B97F4A7C15)
+    x = (x ^ (x >> _U64(30))) * _U64(0xBF58476D1CE4E5B9)
+    x = (x ^ (x >> _U64(27))) * _U64(0x94D049BB133111EB)
+    return x ^ (x >> _U64(31))
+
+
+def _hash_tokens(tokens: np.ndarray) -> np.ndarray:
+    # int32 -> uint32 bit pattern -> uint64, so negative tokens hash
+    # deterministically without sign-extension surprises
+    t = np.ascontiguousarray(tokens, dtype=np.int32).view(np.uint32)
+    return _mix64(t.astype(np.uint64))
+
+
+def target_bytes(n_keys: int) -> int:
+    """Filter size for ``n_keys`` distinct tokens (whole SBBF blocks)."""
+    bits = max(int(n_keys), 1) * BITS_PER_KEY
+    nblocks = -(-bits // (8 * _BLOCK_BYTES))  # ceil
+    return nblocks * _BLOCK_BYTES
+
+
+def build(tokens: np.ndarray, nbytes: int | None = None) -> bytes | None:
+    """Build an SBBF over ``tokens`` (need not be distinct — duplicate
+    keys set the same bits).  Returns ``None`` when the filter would be
+    useless (see sizing policy); callers store NULL and probes treat it
+    as "maybe contains"."""
+    toks = np.asarray(tokens)
+    if toks.size == 0:
+        return b""  # empty filter: definitely-absent for every probe
+    if nbytes is None:
+        # callers pass the *distinct* set when they have it; a raw
+        # value stream would oversize the filter, so distinct first
+        toks = np.unique(np.ascontiguousarray(toks, dtype=np.int32))
+        if toks.size > BLOOM_MAX_KEYS:
+            return None
+        nbytes = target_bytes(toks.size)
+    if nbytes % _BLOCK_BYTES:
+        raise ValueError("bloom size must be a multiple of 32 bytes")
+    nblocks = nbytes // _BLOCK_BYTES
+    h = _hash_tokens(toks)
+    # multiply-shift range reduction (Parquet spec): top 32 hash bits
+    blk = ((h >> _U64(32)) * _U64(nblocks)) >> _U64(32)
+    low = h.astype(np.uint32)
+    words = np.zeros(nblocks * 8, dtype=np.uint32)
+    base = (blk.astype(np.int64)) * 8
+    for i in range(8):
+        bit = (low * _SALT[i]) >> np.uint32(27)
+        np.bitwise_or.at(words, base + i, np.uint32(1) << bit)
+    return words.astype("<u4").tobytes()
+
+
+def maybe_contains(buf: bytes | memoryview | None, token: int) -> bool:
+    """False ⇒ ``token`` is definitely not in the block; True ⇒ decode
+    and check.  ``None`` (no filter stored) is always True."""
+    if buf is None:
+        return True
+    mv = memoryview(buf)
+    if len(mv) == 0:
+        return False  # empty block: nothing is present
+    nblocks = len(mv) // _BLOCK_BYTES
+    h = int(_hash_tokens(np.array([token], dtype=np.int32))[0])
+    blk = ((h >> 32) * nblocks) >> 32
+    words = struct.unpack_from("<8I", mv, blk * _BLOCK_BYTES)
+    low = h & 0xFFFFFFFF
+    for i in range(8):
+        bit = ((low * int(_SALT[i])) & 0xFFFFFFFF) >> 27
+        if not (words[i] >> bit) & 1:
+            return False
+    return True
+
+
+def rejects_any(buf: bytes | memoryview | None, tokens) -> bool:
+    """True ⇒ at least one of ``tokens`` is definitely absent from the
+    block — a conjunctive probe (phrase / co-occurrence / NEAR) can skip
+    it without decoding.  ``None`` filter ⇒ False (cannot reject)."""
+    if buf is None:
+        return False
+    return any(not maybe_contains(buf, int(t)) for t in tokens)

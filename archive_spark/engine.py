@@ -30,7 +30,7 @@ import pyarrow as pa
 
 from pyspark.sql import DataFrame, functions as F
 
-from .codecs import kernels
+from .codecs import bloom, kernels
 from .codecs.selector import encode_auto, encode_auto_ex
 
 TOKENS_SCHEMA = "doc_id string, tokens array<int>, n_tok int, source string"
@@ -38,7 +38,7 @@ TOKENS_SCHEMA = "doc_id string, tokens array<int>, n_tok int, source string"
 ENCODED_SCHEMA = (
     "block_id string, source string, doc_ids array<string>, "
     "doc_min string, doc_max string, vmin long, vmax long, "
-    "payload binary, lengths_payload binary, "
+    "payload binary, lengths_payload binary, token_bloom binary, "
     "meta struct<codec:string, n_values:bigint, n_docs:int, "
     "raw_bytes:bigint, enc_bytes:bigint, params:map<string,string>>"
 )
@@ -145,6 +145,14 @@ def _make_encoder(target_block_values: int, allow_fsst: bool, effort: str = "bal
                 # (pkzip central directory) — decode can verify content
                 # integrity without the original table
                 crc = zlib.crc32(np.ascontiguousarray(vals))
+                # token-set bloom sidecar (codecs.bloom): built from the
+                # selector's cached distinct set; skipped (NULL) at
+                # high cardinality where it cannot prune
+                if stats.distinct_exact and stats.n_distinct <= bloom.BLOOM_MAX_KEYS:
+                    uv = stats.uvals if stats.uvals is not None else np.unique(vals)
+                    blm = bloom.build(uv, bloom.target_bytes(uv.size)) if uv.size else b""
+                else:
+                    blm = None
                 rows.append(
                     {
                         "block_id": f"{docs[0].as_py()}#{len(docs)}",
@@ -153,6 +161,7 @@ def _make_encoder(target_block_values: int, allow_fsst: bool, effort: str = "bal
                         "payload": payload,
                         "lengths_payload": lens_payload,
                         "codec": codec,
+                        "bloom": blm,
                         "n_values": int(vals.size),
                         "n_docs": len(docs),
                         "raw_bytes": int(vals.size) * 4,
@@ -163,6 +172,7 @@ def _make_encoder(target_block_values: int, allow_fsst: bool, effort: str = "bal
                             "vmax": str(stats.vmax),
                             "n_runs": str(stats.n_runs),
                             "n_distinct": str(stats.n_distinct) if stats.distinct_exact else "",
+                            "bloom_bytes": str(len(blm)) if blm is not None else "0",
                             "crc32": str(crc),
                         },
                     }
@@ -201,10 +211,12 @@ def _make_encoder(target_block_values: int, allow_fsst: bool, effort: str = "bal
                     pa.array([int(r["params"]["vmax"]) for r in rows], pa.int64()),
                     pa.array([r["payload"] for r in rows], pa.binary()),
                     pa.array([r["lengths_payload"] for r in rows], pa.binary()),
+                    pa.array([r["bloom"] for r in rows], pa.binary()),
                     meta,
                 ],
                 names=["block_id", "source", "doc_ids", "doc_min", "doc_max",
-                       "vmin", "vmax", "payload", "lengths_payload", "meta"],
+                       "vmin", "vmax", "payload", "lengths_payload",
+                       "token_bloom", "meta"],
             )
 
         for batch in it:

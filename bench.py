@@ -200,6 +200,13 @@ def main() -> None:
         "q_token_membership",
         lambda: token_membership(encoded, 1_000_100).collect(),
     )
+    # rare-token probe: inside the corpus span (zone maps can't prune)
+    # but in no profile's vocabulary — the case the bloom sidecar
+    # exists for (pre-bloom: every for/pdelta/fsst/plain block decodes)
+    timed(
+        "q_token_membership_rare",
+        lambda: token_membership(encoded, 987_654_321).collect(),
+    )
     timed(
         "q_token_postings",
         lambda: token_postings_summary(encoded, 0, 40)
@@ -212,6 +219,13 @@ def main() -> None:
     from archive_spark.analytics import ngram_counts
 
     timed("q_bigram_counts", lambda: ngram_counts(encoded, n=2, k=100).collect())
+
+    # bloom-tier prune accounting for the rare probe (zone maps pass
+    # everything for an in-span rare token; the SBBF sidecar is what
+    # keeps the read O(result) instead of O(corpus decode))
+    from archive_spark.analytics import token_membership_stats
+
+    extras["bloom_prune_rare"] = token_membership_stats(encoded, 987_654_321)
 
     # ---- q_simhash: single-pass numpy bit-vote over the documents table
     from archive_spark.pipeline_ops import simhash

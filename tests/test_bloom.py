@@ -1,0 +1,190 @@
+"""Split-block bloom sidecar: kernel properties + probe integration.
+
+The contract that matters: NO FALSE NEGATIVES (a bloom "absent" answer
+must be exact — probes skip the block on its word), useful positive
+precision at the sizing policy's ~10 bits/key, and probe results
+bit-identical with and without the sidecar.
+"""
+
+import numpy as np
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from archive_spark.codecs import bloom
+
+
+class TestKernel:
+    def test_no_false_negatives_basic(self):
+        keys = np.array([0, 1, -5, 7_000_000, -2_147_483_648, 2_147_483_647], np.int32)
+        buf = bloom.build(keys, bloom.target_bytes(keys.size))
+        for k in keys.tolist():
+            assert bloom.maybe_contains(buf, k)
+
+    @settings(max_examples=50, deadline=None)
+    @given(st.lists(st.integers(-(2**31), 2**31 - 1), min_size=1, max_size=500))
+    def test_no_false_negatives_property(self, keys):
+        arr = np.unique(np.array(keys, dtype=np.int32))
+        buf = bloom.build(arr, bloom.target_bytes(arr.size))
+        assert all(bloom.maybe_contains(buf, int(k)) for k in arr)
+
+    def test_fpp_near_design_point(self):
+        rng = np.random.default_rng(7)
+        keys = np.unique(rng.integers(0, 1 << 30, 20_000).astype(np.int32))
+        buf = bloom.build(keys, bloom.target_bytes(keys.size))
+        probes = rng.integers(1 << 30, 1 << 31, 20_000).astype(np.int32)  # disjoint
+        fp = sum(bloom.maybe_contains(buf, int(p)) for p in probes.tolist())
+        # SBBF at 10 bits/key designs for ~1%; allow generous slack
+        assert fp / probes.size < 0.05
+
+    def test_empty_filter_rejects_everything(self):
+        buf = bloom.build(np.zeros(0, np.int32))
+        assert buf == b""
+        assert not bloom.maybe_contains(buf, 0)
+        assert not bloom.maybe_contains(buf, 12345)
+
+    def test_none_filter_is_maybe(self):
+        assert bloom.maybe_contains(None, 42)
+        assert not bloom.rejects_any(None, [1, 2, 3])
+
+    def test_auto_sizing_skips_high_cardinality(self):
+        vals = np.arange(bloom.BLOOM_MAX_KEYS + 1, dtype=np.int32)
+        assert bloom.build(vals) is None
+
+    def test_auto_sizing_dedupes(self):
+        vals = np.tile(np.arange(100, dtype=np.int32), 10_000)  # 1M values, 100 keys
+        buf = bloom.build(vals)
+        assert buf is not None and len(buf) == bloom.target_bytes(100)
+        assert all(bloom.maybe_contains(buf, k) for k in range(100))
+
+    def test_rejects_any_conjunctive(self):
+        keys = np.array([10, 20, 30], np.int32)
+        buf = bloom.build(keys, bloom.target_bytes(3))
+        assert not bloom.rejects_any(buf, [10, 20])
+        # 999999 is (almost surely) absent; if this ever flakes the salt
+        # constants changed — the filter is deterministic
+        assert bloom.rejects_any(buf, [10, 999_999])
+
+    def test_deterministic(self):
+        keys = np.array([5, 6, 7], np.int32)
+        assert bloom.build(keys, 64) == bloom.build(keys, 64)
+
+    def test_bad_size_raises(self):
+        with pytest.raises(ValueError):
+            bloom.build(np.array([1], np.int32), 33)
+
+
+@pytest.fixture(scope="module")
+def encoded_small(spark):
+    from archive_spark import engine
+    from archive_spark.tokengen import token_table
+
+    df = token_table(spark, n_docs=300, seed=11)
+    enc = engine.encode(df, target_block_values=1 << 12).cache()
+    enc.count()
+    yield enc
+    enc.unpersist()
+
+
+class TestIntegration:
+    def test_encode_emits_bloom_column(self, encoded_small):
+        assert "token_bloom" in encoded_small.columns
+        rows = encoded_small.select("token_bloom", "meta.params").collect()
+        n_present = sum(1 for r in rows if r[0] is not None)
+        assert n_present > 0  # the synthetic mix has low-card blocks
+        for blm, params in rows:
+            declared = int(params.get("bloom_bytes", "0"))
+            assert declared == (len(blm) if blm is not None else 0)
+            if blm is not None and len(blm):
+                assert len(blm) % 32 == 0
+
+    def test_bloom_has_no_false_negatives_vs_decode(self, encoded_small):
+        from archive_spark.codecs import kernels
+
+        rows = encoded_small.select("payload", "token_bloom").collect()
+        checked = 0
+        for payload, blm in rows:
+            if blm is None:
+                continue
+            vals = np.unique(kernels.decode(memoryview(payload)))
+            for v in vals[:: max(1, vals.size // 50)].tolist():
+                assert bloom.maybe_contains(blm, int(v))
+                checked += 1
+        assert checked > 0
+
+    def test_membership_identical_with_and_without_bloom(self, encoded_small, spark):
+        from archive_spark import analytics
+
+        # a token known present: take one from a decoded block
+        from archive_spark.codecs import kernels
+
+        payload = encoded_small.select("payload").first()[0]
+        tok = int(kernels.decode(memoryview(payload))[0])
+        stripped = encoded_small.drop("token_bloom")
+        a = analytics.token_membership(encoded_small, tok).collect()
+        b = analytics.token_membership(stripped, tok).collect()
+        assert [tuple(r) for r in a] == [tuple(r) for r in b]
+        assert len(a) > 0
+
+    def test_membership_rare_token_empty_both_ways(self, encoded_small):
+        from archive_spark import analytics
+
+        # mid-range value chosen to dodge every profile's vocabulary
+        rare = 987_654_321
+        a = analytics.token_membership(encoded_small, rare).collect()
+        b = analytics.token_membership(
+            encoded_small.drop("token_bloom"), rare
+        ).collect()
+        assert a == [] and b == []
+
+    def test_phrase_and_proximity_unaffected(self, encoded_small):
+        from archive_spark import analytics
+        from archive_spark.codecs import kernels
+
+        payload = encoded_small.select("payload").first()[0]
+        vals = kernels.decode(memoryview(payload))
+        ph = [int(vals[0]), int(vals[1])]
+        stripped = encoded_small.drop("token_bloom")
+        a = analytics.phrase_count(encoded_small, ph).collect()
+        b = analytics.phrase_count(stripped, ph).collect()
+        assert [tuple(r) for r in a] == [tuple(r) for r in b]
+        c = analytics.proximity_count(encoded_small, ph[0], ph[1], 4).collect()
+        d = analytics.proximity_count(stripped, ph[0], ph[1], 4).collect()
+        assert [tuple(r) for r in c] == [tuple(r) for r in d]
+
+    def test_postings_set_identical_with_and_without_bloom(self, encoded_small):
+        from archive_spark import analytics
+        from archive_spark.codecs import kernels
+
+        payload = encoded_small.select("payload").first()[0]
+        vals = kernels.decode(memoryview(payload))
+        toks = [int(vals[0]), int(vals[-1]), 987_654_321]
+        a = analytics.token_postings(encoded_small, tokens=toks)
+        b = analytics.token_postings(encoded_small.drop("token_bloom"), tokens=toks)
+        key = lambda r: (r[0], r[1], r[2])
+        assert sorted(map(tuple, a.collect()), key=key) == sorted(
+            map(tuple, b.collect()), key=key
+        )
+
+    def test_stats_report_bloom_tier(self, encoded_small):
+        from archive_spark import analytics
+
+        stats = analytics.token_membership_stats(encoded_small, 987_654_321)
+        assert "n_bloom_survivors" in stats
+        assert stats["n_bloom_survivors"] <= stats["n_zone_survivors"]
+        # rare token: bloom should prune essentially every block that
+        # carries a filter; tolerate bloomless (high-card) survivors
+        with_bloom = encoded_small.filter("token_bloom is not null").count()
+        total = encoded_small.count()
+        assert stats["n_bloom_survivors"] <= (total - with_bloom) + max(
+            1, with_bloom // 20
+        )
+
+    def test_streaming_schema_roundtrip(self, encoded_small, tmp_path):
+        # the widened ENCODED_SCHEMA must write/read through parquet
+        p = str(tmp_path / "enc")
+        encoded_small.write.parquet(p)
+        from archive_spark import engine
+
+        back = encoded_small.sparkSession.read.schema(engine.ENCODED_SCHEMA).parquet(p)
+        assert back.count() == encoded_small.count()
