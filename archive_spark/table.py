@@ -247,6 +247,82 @@ def select_files(
     return kept
 
 
+def select_files_for_token(
+    table_dir: str, snapshot_id: str, token: int
+) -> list[str]:
+    """File-level pruning for a point token probe — the planner-side
+    secondary-index read (Iceberg evaluates puffin/bloom blobs at plan
+    time the same way; Parquet keeps its SBBFs next to the footer for
+    exactly this use).
+
+    Two manifest-level tiers before Spark ever lists a file:
+
+    1. **zone stats**: drop files whose recorded ``[vmin, vmax]``
+       envelope excludes ``token`` (already-collected footer stats —
+       no file I/O at all);
+    2. **bloom column read**: for survivors, read ONLY the
+       ``token_bloom`` column (a few KiB per file vs the payload
+       gigabytes — on an object store this is one column-chunk ranged
+       read) and drop the file when every block's filter says
+       definitely-absent.  NULL filters (high-cardinality blocks) and
+       files without the column (pre-bloom snapshots) keep the file.
+
+    Pruning is an optimization, never a filter: any read error keeps
+    the file.  The block- and structural-level tiers inside
+    ``analytics.token_membership`` still apply to whatever survives.
+    """
+    import pyarrow.parquet as pq
+
+    from .codecs import bloom
+
+    tok = int(token)
+    files = select_files(
+        table_dir, snapshot_id, prune={"vmin": (None, tok), "vmax": (tok, None)}
+    )
+    kept = []
+    for rel in files:
+        try:
+            t = pq.read_table(
+                os.path.join(table_dir, rel), columns=["token_bloom"]
+            )
+            col = t.column("token_bloom")
+            keep = any(
+                bloom.maybe_contains(b.as_py() if b.is_valid else None, tok)
+                for chunk in col.chunks
+                for b in chunk
+            )
+        except Exception:
+            keep = True
+        if keep:
+            kept.append(rel)
+    return kept
+
+
+def read_for_token(
+    spark: SparkSession,
+    table_dir: str,
+    token: int,
+    snapshot_id: str | None = None,
+) -> DataFrame:
+    """Read a snapshot restricted to files that can contain ``token``
+    (``select_files_for_token``).  Callers must still apply the actual
+    probe — pruning only shrinks the scan."""
+    snapshot_id = snapshot_id or current_snapshot_id(table_dir)
+    if snapshot_id is None:
+        raise FileNotFoundError(f"{table_dir}: no committed snapshot")
+    manifest = read_manifest(table_dir, snapshot_id)
+    files = select_files_for_token(table_dir, snapshot_id, token)
+    if not files:
+        return spark.createDataFrame([], manifest.schema)
+    paths = [os.path.join(table_dir, f) for f in files]
+    if _is_struct_ddl(manifest.schema):
+        ddl = ", ".join(
+            f"`{n}` {t}" for n, t in _schema_fields(manifest.schema).items()
+        )
+        return spark.read.schema(ddl).parquet(*paths)
+    return spark.read.parquet(*paths)
+
+
 def current_snapshot_id(table_dir: str) -> str | None:
     try:
         with open(_current_path(table_dir)) as f:

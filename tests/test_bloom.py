@@ -180,6 +180,42 @@ class TestIntegration:
             1, with_bloom // 20
         )
 
+    def test_file_level_pruning_via_table(self, encoded_small, tmp_path, spark):
+        from archive_spark import analytics, table
+
+        tdir = str(tmp_path / "tbl")
+        snap = table.commit(encoded_small.repartition(8), tdir)
+        all_files = table.select_files(tdir, snap)
+        assert len(all_files) >= 4
+        # rare token: zone stats can't prune (in-span), blooms prune files
+        rare_files = table.select_files_for_token(tdir, snap, 987_654_321)
+        assert len(rare_files) < len(all_files)
+        # present token: result through the pruned read == full read
+        from archive_spark.codecs import kernels
+
+        payload = encoded_small.select("payload").first()[0]
+        tok = int(kernels.decode(memoryview(payload))[0])
+        pruned_df = table.read_for_token(spark, tdir, tok, snap)
+        full_df = table.read(spark, tdir, snap)
+        a = analytics.token_membership(pruned_df, tok).collect()
+        b = analytics.token_membership(full_df, tok).collect()
+        assert [tuple(r) for r in a] == [tuple(r) for r in b]
+        assert len(a) > 0
+
+    def test_file_pruning_keeps_bloomless_files(self, spark, tmp_path):
+        from archive_spark import table
+
+        # a table WITHOUT the sidecar column (pre-bloom snapshot shape):
+        # pruning must keep every file it can't disprove
+        df = spark.createDataFrame(
+            [(1, 0, 100), (2, 0, 100)], "block_id int, vmin long, vmax long"
+        )
+        tdir = str(tmp_path / "tbl2")
+        snap = table.commit(df, tdir)
+        assert table.select_files_for_token(tdir, snap, 50) == table.select_files(
+            tdir, snap
+        )
+
     def test_streaming_schema_roundtrip(self, encoded_small, tmp_path):
         # the widened ENCODED_SCHEMA must write/read through parquet
         p = str(tmp_path / "enc")
