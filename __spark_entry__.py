@@ -337,6 +337,23 @@ def _q_next_token_kn(spark: SparkSession, sf_dir: str) -> DataFrame:
     return next_token_distribution(enc, 3, k=100)
 
 
+def _q_lm_doc_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style LM quality filter (analytics.lm_doc_scores): every
+    document scored under the corpus's own interpolated Kneser-Ney
+    bigram LM — mean next-token probability in integer ppm plus an
+    integer surprisal-bits total (floor-log2 arithmetic, no fp ties).
+    DuckDB replays the whole LM build + scoring from the persisted
+    token arrays."""
+    from archive_spark import engine
+    from archive_spark.analytics import lm_doc_scores
+    from archive_spark.tokengen import token_table
+
+    df = token_table(spark, 5_000, seed=42)
+    _persist(df.select("doc_id", "tokens"), "lm_score_input", sf_dir)
+    enc = engine.encode(df, target_block_values=1 << 15)
+    return lm_doc_scores(enc)
+
+
 def _blockmeta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flat per-block metadata of the encoded sf table (the shared-data
     oracle artifact for the metadata-analytics operators)."""
@@ -1735,6 +1752,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_dedup": _q_incremental_dedup,
         "normalize_text": _q_normalize_text,
         "token_histogram_encoded": _q_token_histogram_encoded,
+        "lm_doc_scores": _q_lm_doc_scores,
         # engine core (SURVEY.md §2)
         "roundtrip_gate": _q_roundtrip_gate,
         "enc_listing": _q_enc_listing,
@@ -2129,6 +2147,34 @@ def oracle_sql() -> dict[str, str]:
             "ROW_NUMBER() OVER (ORDER BY p_ppm DESC, c_ab DESC, token)::INT "
             "AS rank FROM scored "
             "ORDER BY p_ppm DESC, c_ab DESC, token LIMIT 100"
+        ),
+        "lm_doc_scores": (
+            "WITH pos AS (SELECT doc_id, tokens, "
+            "unnest(range(1, len(tokens))) AS i "
+            f"FROM read_parquet('{_opath('lm_score_input')}')), "
+            "pr AS (SELECT doc_id, tokens[i]::BIGINT AS t0, "
+            "tokens[i+1]::BIGINT AS t1 FROM pos), "
+            "bi AS (SELECT t0, t1, COUNT(*)::BIGINT AS n_gram "
+            "FROM pr GROUP BY t0, t1), "
+            "tot AS (SELECT COUNT(*)::BIGINT AS nb FROM bi), "
+            "ctx AS (SELECT t0, SUM(n_gram)::BIGINT AS r_a, "
+            "COUNT(*)::BIGINT AS nr_a FROM bi GROUP BY t0), "
+            "lft AS (SELECT t1, COUNT(*)::BIGINT AS n_left "
+            "FROM bi GROUP BY t1), "
+            "lm AS (SELECT b.t0, b.t1, ((1000000 * "
+            "(greatest(4 * b.n_gram - 3, 0) * t.nb "
+            "+ 3 * c.nr_a * l.n_left)) // (4 * c.r_a * t.nb))::BIGINT "
+            "AS p_ppm FROM bi b JOIN ctx c USING (t0) "
+            "JOIN lft l USING (t1) CROSS JOIN tot t), "
+            "docbi AS (SELECT doc_id, t0, t1, COUNT(*)::BIGINT AS c "
+            "FROM pr GROUP BY doc_id, t0, t1), "
+            "sc AS (SELECT d.doc_id, d.c, m.p_ppm, "
+            "(length(bin((1024 * 1000000) // greatest(m.p_ppm, 1))) - 11)"
+            "::BIGINT AS sbits FROM docbi d JOIN lm m USING (t0, t1)) "
+            "SELECT doc_id, SUM(c)::BIGINT AS n_bigrams, "
+            "(SUM(c * p_ppm) // SUM(c))::BIGINT AS avg_p_ppm, "
+            "SUM(c * sbits)::BIGINT AS surprisal_bits "
+            "FROM sc GROUP BY doc_id ORDER BY doc_id"
         ),
         "codec_histogram": (
             "SELECT codec, count(*)::BIGINT AS n_blocks, "

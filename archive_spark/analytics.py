@@ -1133,6 +1133,149 @@ def next_token_distribution(
     )
 
 
+def doc_bigram_counts(encoded: DataFrame) -> DataFrame:
+    """Per-document bigram count table ``(doc_id, t0, t1, c)`` off the
+    encoded blocks — the document-resolution sibling of
+    :func:`ngram_counts` (corpus totals).
+
+    Scale shape: one decode per block, the same ragged within-document
+    pair gather, then ONE structured-dtype ``np.unique`` over
+    ``(gram-key, doc-index)`` per Arrow batch.  Documents never span
+    blocks, so the block-local merge already IS the global merge — the
+    emitted partials are final rows and no downstream aggregation is
+    needed (callers may still group defensively).
+    """
+    import numpy as np
+    import pyarrow as pa
+
+    from .codecs import kernels
+
+    vdt = np.dtype([("g", np.uint64), ("d", np.int64)])
+
+    def _grams(it):
+        for batch in it:
+            for i in range(batch.num_rows):
+                vals = kernels.decode(
+                    memoryview(batch.column("payload")[i].as_buffer())
+                )
+                lens = kernels.decode(
+                    memoryview(batch.column("lengths_payload")[i].as_buffer())
+                ).astype(np.int64)
+                keep = lens >= 2
+                widths = lens[keep] - 1
+                if widths.size == 0:
+                    continue
+                ends = np.cumsum(lens)
+                starts = (ends - lens)[keep]
+                offs = np.concatenate(([0], np.cumsum(widths)))
+                ix = np.repeat(starts, widths) + (
+                    np.arange(offs[-1]) - np.repeat(offs[:-1], widths)
+                )
+                u32 = vals.view(np.uint32)
+                rec = np.empty(ix.size, dtype=vdt)
+                rec["g"] = (u32[ix].astype(np.uint64) << np.uint64(32)) | u32[
+                    ix + 1
+                ].astype(np.uint64)
+                rec["d"] = np.repeat(
+                    np.flatnonzero(keep).astype(np.int64), widths
+                )
+                u, cnt = np.unique(rec, return_counts=True)
+                doc_ids = np.asarray(
+                    batch.column("doc_ids")[i].as_py(), dtype=object
+                )
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        pa.array(doc_ids[u["d"]], pa.string()),
+                        pa.array(
+                            (u["g"] >> np.uint64(32))
+                            .astype(np.uint32)
+                            .view(np.int32)
+                            .astype(np.int64),
+                            pa.int64(),
+                        ),
+                        pa.array(
+                            u["g"].astype(np.uint32).view(np.int32).astype(np.int64),
+                            pa.int64(),
+                        ),
+                        pa.array(cnt.astype(np.int64), pa.int64()),
+                    ],
+                    ["doc_id", "t0", "t1", "c"],
+                )
+
+    return encoded.select("doc_ids", "payload", "lengths_payload").mapInArrow(
+        _grams, "doc_id string, t0 long, t1 long, c long"
+    )
+
+
+def lm_doc_scores(
+    encoded: DataFrame, discount_quarters: int = 3
+) -> DataFrame:
+    """Per-document quality scores under the corpus's OWN interpolated
+    Kneser-Ney bigram LM — the CCNet-style perplexity filter of a
+    training-data pipeline (score every document by how predictable it
+    is under a corpus LM; drop the tails), computed entirely off the
+    encoded blocks with pure-BIGINT arithmetic so a second engine
+    replays it bit-for-bit.
+
+    Per document (over its ``n_bigrams`` within-doc adjacent pairs):
+
+    - ``avg_p_ppm``  — mean in-context next-token probability in parts
+      per million (``sum(c·p_ppm) div sum(c)``), p from the same
+      KN-ppm formula as :func:`next_token_distribution`;
+    - ``surprisal_bits`` — integer approximation of the total negative
+      log-likelihood in bits: per bigram ``floor(log2((2^10·10^6) div
+      max(p_ppm,1))) - 10`` (≈ -log2 p), summed with multiplicity.
+      ``floor(log2 x)`` is ``length(bin(x)) - 1`` — exact integer in
+      both engines, no fp ties.
+
+    Documents with fewer than 2 tokens have no bigrams and are absent.
+
+    Plan shape: one corpus decode for the bigram table (vocabulary²-
+    bounded, persisted), one decode for per-doc grams, one shuffle
+    join on the gram key (AQE broadcasts the LM side when it is
+    small), one groupBy doc_id carrying O(docs) rows.
+    """
+    d = int(discount_quarters)
+    if not 0 < d < 4:
+        raise ValueError("discount_quarters must be 1..3 (D = d/4)")
+    bi = ngram_counts(encoded, n=2).persist()
+    nb = bi.agg(F.count("*").cast("bigint").alias("nb"))
+    ctx = bi.groupBy("t0").agg(
+        F.sum("n_gram").cast("bigint").alias("r_a"),
+        F.count("*").cast("bigint").alias("nr_a"),
+    )
+    left = bi.groupBy("t1").agg(F.count("*").cast("bigint").alias("n_left"))
+    lm = (
+        bi.join(ctx, "t0")
+        .join(left, "t1")
+        .crossJoin(F.broadcast(nb))
+        .select(
+            "t0",
+            "t1",
+            F.expr(
+                f"(1000000 * (greatest(4 * n_gram - {d}, 0) * nb"
+                f" + {d} * nr_a * n_left)) div (4 * r_a * nb)"
+            ).cast("bigint").alias("p_ppm"),
+        )
+    )
+    scored = (
+        doc_bigram_counts(encoded)
+        .join(lm, ["t0", "t1"])  # inner: every doc bigram is a corpus bigram
+        .withColumn("p1", F.expr("greatest(p_ppm, 1)"))
+        .withColumn("q", F.expr("(1024 * 1000000) div p1"))
+        .withColumn("sbits", (F.length(F.expr("bin(q)")) - F.lit(11)).cast("bigint"))
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.sum("c").cast("bigint").alias("n_bigrams"),
+            F.expr("sum(c * p_ppm) div sum(c)").cast("bigint").alias("avg_p_ppm"),
+            F.sum(F.col("c") * F.col("sbits")).cast("bigint").alias("surprisal_bits"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 def proximity_count(
     encoded: DataFrame, first: int, second: int, max_gap: int
 ) -> DataFrame:

@@ -434,6 +434,75 @@ def test_ngram_counts_matches_python(spark):
     assert [r.rank for r in top] == [1, 2, 3, 4, 5, 6]
 
 
+def test_doc_bigram_counts_matches_python(spark):
+    """Per-doc bigram table == Python truth; summing docs reproduces
+    the corpus ngram_counts table exactly."""
+    from archive_spark import analytics, engine
+    from archive_spark.tokengen import token_table
+
+    toks = token_table(spark, 400, seed=17).cache()
+    enc = engine.encode(toks, target_block_values=1 << 12).cache()
+    want = {}
+    for r in toks.select("doc_id", "tokens").collect():
+        t = list(r.tokens)
+        for a, b in zip(t, t[1:]):
+            want[(r.doc_id, a, b)] = want.get((r.doc_id, a, b), 0) + 1
+    got = {
+        (r.doc_id, r.t0, r.t1): r.c
+        for r in analytics.doc_bigram_counts(enc).collect()
+    }
+    assert got == want
+    corpus = {
+        (r.t0, r.t1): r.n_gram for r in analytics.ngram_counts(enc, n=2).collect()
+    }
+    rollup = {}
+    for (_, a, b), c in got.items():
+        rollup[(a, b)] = rollup.get((a, b), 0) + c
+    assert rollup == corpus
+
+
+def test_lm_doc_scores_matches_python(spark):
+    """KN per-doc scores == independent Python replay, and every doc
+    with >= 2 tokens is scored (shorter docs have no bigrams)."""
+    from collections import Counter
+
+    from archive_spark import analytics, engine
+    from archive_spark.tokengen import token_table
+
+    toks = token_table(spark, 400, seed=23).cache()
+    enc = engine.encode(toks, target_block_values=1 << 12).cache()
+    seqs = {r.doc_id: list(r.tokens) for r in toks.select("doc_id", "tokens").collect()}
+    bi, ra, nra, nleft = Counter(), Counter(), Counter(), Counter()
+    for t in seqs.values():
+        for a, b in zip(t, t[1:]):
+            bi[(a, b)] += 1
+    for (a, b), c in bi.items():
+        ra[a] += c
+        nra[a] += 1
+        nleft[b] += 1
+    nb = len(bi)
+
+    def p_ppm(a, b):
+        return (
+            1000000 * (max(4 * bi[(a, b)] - 3, 0) * nb + 3 * nra[a] * nleft[b])
+        ) // (4 * ra[a] * nb)
+
+    rows = analytics.lm_doc_scores(enc).collect()
+    assert len(rows) == sum(1 for t in seqs.values() if len(t) >= 2)
+    for r in rows[:: max(1, len(rows) // 25)]:
+        pairs = list(zip(seqs[r.doc_id], seqs[r.doc_id][1:]))
+        sp = sum(p_ppm(a, b) for a, b in pairs)
+        sb = sum(
+            ((1024 * 1000000) // max(p_ppm(a, b), 1)).bit_length() - 11
+            for a, b in pairs
+        )
+        assert (r.n_bigrams, r.avg_p_ppm, r.surprisal_bits) == (
+            len(pairs),
+            sp // len(pairs),
+            sb,
+        ), r.doc_id
+
+
 def test_continuation_counts_matches_python(spark):
     """KN continuation counts == Python truth; tokens that never lead
     or never follow get 0, not null."""
