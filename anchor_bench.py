@@ -142,6 +142,29 @@ def main() -> None:
         out["targeted_docs"] = got
         out["targeted_match"] = bool(got == expect)
 
+        # ---- rare-token point probe at scale: an in-span rare token
+        # defeats every zone map (any block's [vmin, vmax] covers it),
+        # so pre-bloom this was an O(corpus-decode) read.  Record the
+        # planner-side file skip (manifest + token_bloom column reads)
+        # and the block-level bloom skip, then run the actual probe.
+        from archive_spark import analytics
+
+        rare = 987_654_321  # mid-range, in no tokengen profile's vocab
+        t0 = time.perf_counter()
+        rare_files = snap_table.select_files_for_token(enc_path, snap, rare)
+        out["rare_probe_plan_sec"] = round(time.perf_counter() - t0, 1)
+        out["rare_probe_files_read"] = len(rare_files)
+        out["rare_probe_file_skip_frac"] = round(
+            1 - len(rare_files) / max(len(manifest.files), 1), 4
+        )
+        stats = analytics.token_membership_stats(enc_df, rare)
+        out["rare_probe_block_stats"] = stats
+        t0 = time.perf_counter()
+        out["rare_probe_rows"] = len(
+            analytics.token_membership(enc_df, rare).collect()
+        )
+        out["rare_probe_sec"] = round(time.perf_counter() - t0, 1)
+
     spark.stop()
     if not args.keep:
         shutil.rmtree(scratch, ignore_errors=True)
