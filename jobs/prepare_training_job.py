@@ -35,6 +35,10 @@ def main() -> None:
     ap.add_argument("--bpe-merges", type=int, default=0,
                     help="0 = hashing tokenizer; N = learn N BPE merges first")
     ap.add_argument("--shards", type=int, default=16)
+    ap.add_argument("--lm-drop-ppm", type=int, default=0,
+                    help="drop docs whose mean KN next-token probability "
+                         "(ppm, lm_doc_scores) is below this — the "
+                         "CCNet-style perplexity filter; 0 = off")
     ap.add_argument("--no-verify", action="store_true")
     args = ap.parse_args()
 
@@ -61,6 +65,22 @@ def main() -> None:
     else:
         tokens = po.tokenize_documents(kept)
         tokenizer = "hash"
+    n_lm_dropped = 0
+    if args.lm_drop_ppm > 0:
+        # score under the corpus's own bigram LM (one throwaway encode —
+        # a mapInArrow pass, no shuffle — keeps scoring on the single
+        # compressed-domain code path) and drop the unpredictable tail
+        from archive_spark.analytics import lm_doc_scores
+
+        scores = lm_doc_scores(engine.encode(tokens))
+        # anti-join on the DROPPED ids: docs too short to score (no
+        # bigrams -> absent from scores) pass through unjudged
+        drop_ids = scores.filter(
+            F.col("avg_p_ppm") < args.lm_drop_ppm
+        ).select("doc_id")
+        before = tokens.count()
+        tokens = tokens.join(drop_ids, "doc_id", "left_anti").persist()
+        n_lm_dropped = before - tokens.count()
     n_tokens_in = tokens.agg(F.sum(F.col("n_tok") + 1)).collect()[0][0] or 0
 
     packed = po.pack_sequences(tokens, seq_len=args.seq_len, eos_token=args.eos)
@@ -81,6 +101,7 @@ def main() -> None:
         "docs_in": n_in,
         "docs_kept": n_kept,
         "tokenizer": tokenizer,
+        "lm_dropped": n_lm_dropped,
         "tokens_with_eos": int(n_tokens_in),
         "seq_len": args.seq_len,
         "snapshot_id": res.snapshot_id,

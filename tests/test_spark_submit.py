@@ -223,6 +223,23 @@ def test_prepare_training_job_cli(zip_path, tmp_path):
     assert s["ratio"] and s["ratio"] < 0.5
 
 
+def test_prepare_training_job_lm_filter_cli(zip_path, tmp_path):
+    out = str(tmp_path / "table_lm")
+    r = _spark_submit(
+        zip_path, "prepare_training_job.py",
+        "--input", "/root/testdata/sf0.001/documents.parquet",
+        "--output", out, "--seq-len", "256", "--shards", "4",
+        "--lm-drop-ppm", "2000",
+        timeout=420,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    s = json.loads(r.stdout.strip().splitlines()[-1])
+    assert s["lm_dropped"] >= 0
+    v = s["verify"]
+    # the pipeline invariants hold on the filtered corpus too
+    assert v["n_mismatch"] == 0 and v["conserved"]
+
+
 def test_report_job_cli(zip_path):
     r = _spark_submit(
         zip_path, "report_job.py",
