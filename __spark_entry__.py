@@ -337,6 +337,22 @@ def _q_next_token_kn(spark: SparkSession, sf_dir: str) -> DataFrame:
     return next_token_distribution(enc, 3, k=100)
 
 
+def _q_next_token_kn3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trigram interpolated Kneser-Ney next-token distribution with
+    bigram backoff (analytics.next_token_distribution3, D=0.75,
+    top-100) for the corpus's most frequent self-repeat bigram context.
+    Integer-ppm BIGINT arithmetic end to end; DuckDB replays both LM
+    levels from the persisted token arrays."""
+    from archive_spark import engine
+    from archive_spark.analytics import next_token_distribution3
+    from archive_spark.tokengen import token_table
+
+    df = token_table(spark, 5_000, seed=42)
+    _persist(df.select("tokens"), "kn3_input", sf_dir)
+    enc = engine.encode(df, target_block_values=1 << 15)
+    return next_token_distribution3(enc, (1466188195, 1466188195), k=100)
+
+
 def _q_lm_doc_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style LM quality filter (analytics.lm_doc_scores): every
     document scored under the corpus's own interpolated Kneser-Ney
@@ -1753,6 +1769,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "normalize_text": _q_normalize_text,
         "token_histogram_encoded": _q_token_histogram_encoded,
         "lm_doc_scores": _q_lm_doc_scores,
+        "next_token_kn3": _q_next_token_kn3,
         # engine core (SURVEY.md §2)
         "roundtrip_gate": _q_roundtrip_gate,
         "enc_listing": _q_enc_listing,
@@ -2147,6 +2164,48 @@ def oracle_sql() -> dict[str, str]:
             "ROW_NUMBER() OVER (ORDER BY p_ppm DESC, c_ab DESC, token)::INT "
             "AS rank FROM scored "
             "ORDER BY p_ppm DESC, c_ab DESC, token LIMIT 100"
+        ),
+        "next_token_kn3": (
+            "WITH pos3 AS (SELECT tokens, "
+            "unnest(range(1, len(tokens) - 1)) AS i "
+            f"FROM read_parquet('{_opath('kn3_input')}')), "
+            "tr AS (SELECT tokens[i]::BIGINT AS t0, tokens[i+1]::BIGINT "
+            "AS t1, tokens[i+2]::BIGINT AS t2 FROM pos3), "
+            "tri AS (SELECT t0, t1, t2, COUNT(*)::BIGINT AS n "
+            "FROM tr GROUP BY t0, t1, t2), "
+            "ctx3 AS (SELECT COALESCE(SUM(n), 0)::BIGINT AS r_ab, "
+            "COUNT(*)::BIGINT AS nr_ab FROM tri "
+            "WHERE t0 = 1466188195 AND t1 = 1466188195), "
+            "cabc AS (SELECT t2 AS token, n AS c_abc FROM tri "
+            "WHERE t0 = 1466188195 AND t1 = 1466188195), "
+            "pos AS (SELECT tokens, unnest(range(1, len(tokens))) AS i "
+            f"FROM read_parquet('{_opath('kn3_input')}')), "
+            "pr AS (SELECT tokens[i]::BIGINT AS t0, tokens[i+1]::BIGINT "
+            "AS t1 FROM pos), "
+            "bi AS (SELECT t0, t1, COUNT(*)::BIGINT AS c FROM pr "
+            "GROUP BY t0, t1), "
+            "tot AS (SELECT COUNT(*)::BIGINT AS nb FROM bi), "
+            "actx AS (SELECT COALESCE(SUM(c), 0)::BIGINT AS r_a, "
+            "COUNT(*)::BIGINT AS nr_a FROM bi WHERE t0 = 1466188195), "
+            "lft AS (SELECT t1 AS token, COUNT(*)::BIGINT AS n_left "
+            "FROM bi GROUP BY t1), "
+            "cab AS (SELECT t1 AS token, c AS c_ab FROM bi "
+            "WHERE t0 = 1466188195), "
+            "p1 AS (SELECT l.token, ((1000000 * "
+            "(greatest(4 * COALESCE(cb.c_ab, 0) - 3, 0) * t.nb "
+            "+ 3 * x.nr_a * l.n_left)) // (4 * x.r_a * t.nb))::BIGINT "
+            "AS p1_ppm FROM lft l LEFT JOIN cab cb USING (token) "
+            "CROSS JOIN tot t CROSS JOIN actx x WHERE x.r_a > 0), "
+            "scored AS (SELECT p.token, COALESCE(c.c_abc, 0)::BIGINT "
+            "AS c_abc, p.p1_ppm, ((1000000 * "
+            "greatest(4 * COALESCE(c.c_abc, 0) - 3, 0) "
+            "+ 3 * x.nr_ab * p.p1_ppm) // (4 * x.r_ab))::BIGINT AS p_ppm "
+            "FROM p1 p LEFT JOIN cabc c USING (token) "
+            "CROSS JOIN ctx3 x WHERE x.r_ab > 0) "
+            "SELECT token, c_abc, p1_ppm, p_ppm, "
+            "ROW_NUMBER() OVER (ORDER BY p_ppm DESC, c_abc DESC, token)"
+            "::INT AS rank FROM scored "
+            "ORDER BY p_ppm DESC, c_abc DESC, token LIMIT 100"
         ),
         "lm_doc_scores": (
             "WITH pos AS (SELECT doc_id, tokens, "

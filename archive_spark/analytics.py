@@ -1133,6 +1133,72 @@ def next_token_distribution(
     )
 
 
+def next_token_distribution3(
+    encoded: DataFrame,
+    context: "tuple[int, int]",
+    k: int | None = None,
+    discount_quarters: int = 3,
+) -> DataFrame:
+    """Trigram interpolated Kneser-Ney next-token distribution
+    P(token | a, b) with bigram backoff — the textbook KN chain one
+    level up from :func:`next_token_distribution`::
+
+        p2(c|ab) = max(c(abc) - D, 0)/R_ab  +  D·N1+(ab,·)/R_ab · p1(c|b)
+
+    where R_ab = total trigrams starting (a, b), N1+(ab,·) its distinct
+    continuations, and p1 is the bigram KN distribution for context
+    ``b``.  Integer ppm throughout: ``p_ppm = (10^6·(4·c_abc − d)⁺ +
+    d·N1·p1_ppm) div (4·R_ab)`` with the same quarters trick — fully
+    BIGINT, engine-replayable.  Because p1_ppm is itself floored, the
+    support sum is ≤ 10^6 by a few ppm (unlike the bigram level, which
+    normalizes exactly); determinism, not normalization, is the
+    contract here.  Unseen (a, b) contexts yield an empty result.
+
+    Plan shape: one trigram and one bigram :func:`ngram_counts` scan
+    (both distinct-gram-bounded, persisted), then vocabulary-sized
+    aggregates and broadcast joins only.
+    """
+    a, b = int(context[0]), int(context[1])
+    d = int(discount_quarters)
+    if not 0 < d < 4:
+        raise ValueError("discount_quarters must be 1..3 (D = d/4)")
+    tri = ngram_counts(encoded, n=3).persist()
+    ctx3 = tri.filter((F.col("t0") == a) & (F.col("t1") == b)).agg(
+        F.coalesce(F.sum("n_gram"), F.lit(0)).cast("bigint").alias("r_ab"),
+        F.count("*").cast("bigint").alias("nr_ab"),
+    )
+    cabc = tri.filter((F.col("t0") == a) & (F.col("t1") == b)).select(
+        F.col("t2").alias("token"), F.col("n_gram").alias("c_abc")
+    )
+    p1 = next_token_distribution(encoded, b, k=None, discount_quarters=d).select(
+        "token", F.col("p_ppm").alias("p1_ppm")
+    )
+    out = (
+        p1.join(F.broadcast(cabc), "token", "left")
+        .crossJoin(F.broadcast(ctx3))
+        .filter(F.col("r_ab") > 0)
+        .select(
+            "token",
+            F.coalesce("c_abc", F.lit(0)).cast("bigint").alias("c_abc"),
+            "p1_ppm",
+            F.expr(
+                f"(1000000 * greatest(4 * coalesce(c_abc, 0) - {d}, 0)"
+                f" + {d} * nr_ab * p1_ppm) div (4 * r_ab)"
+            ).cast("bigint").alias("p_ppm"),
+        )
+    )
+    order = [F.desc("p_ppm"), F.desc("c_abc"), F.col("token")]
+    if k is None:
+        return out.orderBy(*order)
+    return (
+        out.orderBy(*order)
+        .limit(int(k))
+        .withColumn(
+            "rank", F.row_number().over(Window.orderBy(*order)).cast("int")
+        )
+    )
+
+
 def doc_bigram_counts(encoded: DataFrame) -> DataFrame:
     """Per-document bigram count table ``(doc_id, t0, t1, c)`` off the
     encoded blocks — the document-resolution sibling of

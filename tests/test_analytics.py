@@ -503,6 +503,56 @@ def test_lm_doc_scores_matches_python(spark):
         ), r.doc_id
 
 
+def test_next_token_distribution3_matches_python(spark):
+    """Trigram KN with bigram backoff == independent Python replay;
+    unseen context -> empty; support sum within floor loss of 1."""
+    from collections import Counter
+
+    from archive_spark import analytics, engine
+    from archive_spark.tokengen import token_table
+
+    toks = token_table(spark, 300, seed=29).cache()
+    enc = engine.encode(toks, target_block_values=1 << 12).cache()
+    seqs = [list(r.tokens) for r in toks.select("tokens").collect()]
+    bi, tri = Counter(), Counter()
+    for t in seqs:
+        for a, b in zip(t, t[1:]):
+            bi[(a, b)] += 1
+        for a, b, c in zip(t, t[1:], t[2:]):
+            tri[(a, b, c)] += 1
+    ra, nra, nleft = Counter(), Counter(), Counter()
+    for (a, b), c in bi.items():
+        ra[a] += c
+        nra[a] += 1
+        nleft[b] += 1
+    nb = len(bi)
+    ctx = max(tri, key=lambda g: tri[g])[:2]
+    r_ab = sum(c for g, c in tri.items() if g[:2] == ctx)
+    nr_ab = sum(1 for g in tri if g[:2] == ctx)
+
+    def p1(tok):
+        c0 = bi.get((ctx[1], tok), 0)
+        return (
+            1000000 * (max(4 * c0 - 3, 0) * nb + 3 * nra[ctx[1]] * nleft[tok])
+        ) // (4 * ra[ctx[1]] * nb)
+
+    def p2(tok):
+        c3 = tri.get((ctx[0], ctx[1], tok), 0)
+        return (1000000 * max(4 * c3 - 3, 0) + 3 * nr_ab * p1(tok)) // (4 * r_ab)
+
+    rows = analytics.next_token_distribution3(enc, ctx).collect()
+    assert len(rows) == len(nleft)  # support = all bigram continuations
+    for r in rows[:: max(1, len(rows) // 40)]:
+        assert (r.c_abc, r.p1_ppm, r.p_ppm) == (
+            tri.get((ctx[0], ctx[1], r.token), 0),
+            p1(r.token),
+            p2(r.token),
+        ), r.token
+    total = sum(r.p_ppm for r in rows)
+    assert 990_000 <= total <= 1_000_000
+    assert analytics.next_token_distribution3(enc, (10**9 + 7, 10**9 + 9)).count() == 0
+
+
 def test_continuation_counts_matches_python(spark):
     """KN continuation counts == Python truth; tokens that never lead
     or never follow get 0, not null."""
