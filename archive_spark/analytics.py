@@ -925,7 +925,7 @@ def collocations(
 
 
 def ngram_counts(
-    encoded: DataFrame, n: int = 2, k: int | None = None
+    encoded: DataFrame, n: int = 2, k: int | None = None, ordered: bool = True
 ) -> DataFrame:
     """Exact corpus-wide n-gram count table (the raw material of an
     n-gram language model), computed straight off the encoded blocks:
@@ -1011,6 +1011,8 @@ def ngram_counts(
         F.sum("n").cast("bigint").alias("n_gram")
     )
     if k is None:
+        if not ordered:
+            return agg  # internal consumers (LM builds) skip the sort
         return agg.orderBy(*gram_cols)
     order = [F.desc("n_gram")] + [F.col(c) for c in gram_cols]
     return (
@@ -1036,7 +1038,7 @@ def continuation_counts(encoded: DataFrame, k: int | None = None) -> DataFrame:
     """
     # distinct-gram-bounded — materialize once so the left/right
     # aggregates don't re-run the corpus decode scan
-    bi = ngram_counts(encoded, n=2).persist()
+    bi = ngram_counts(encoded, n=2, ordered=False).persist()
     left = bi.groupBy(F.col("t1").alias("token")).agg(
         F.count("*").cast("bigint").alias("n_left")
     )
@@ -1095,7 +1097,7 @@ def next_token_distribution(
     a, d = int(context), int(discount_quarters)
     if not 0 < d < 4:
         raise ValueError("discount_quarters must be 1..3 (D = d/4)")
-    bi = ngram_counts(encoded, n=2).persist()
+    bi = ngram_counts(encoded, n=2, ordered=False).persist()
     tot = bi.agg(F.count("*").cast("bigint").alias("nb"))
     arow = bi.filter(F.col("t0") == a)
     actx = arow.agg(
@@ -1162,7 +1164,7 @@ def next_token_distribution3(
     d = int(discount_quarters)
     if not 0 < d < 4:
         raise ValueError("discount_quarters must be 1..3 (D = d/4)")
-    tri = ngram_counts(encoded, n=3).persist()
+    tri = ngram_counts(encoded, n=3, ordered=False).persist()
     ctx3 = tri.filter((F.col("t0") == a) & (F.col("t1") == b)).agg(
         F.coalesce(F.sum("n_gram"), F.lit(0)).cast("bigint").alias("r_ab"),
         F.count("*").cast("bigint").alias("nr_ab"),
@@ -1304,7 +1306,7 @@ def lm_doc_scores(
     d = int(discount_quarters)
     if not 0 < d < 4:
         raise ValueError("discount_quarters must be 1..3 (D = d/4)")
-    bi = ngram_counts(encoded, n=2).persist()
+    bi = ngram_counts(encoded, n=2, ordered=False).persist()
     nb = bi.agg(F.count("*").cast("bigint").alias("nb"))
     ctx = bi.groupBy("t0").agg(
         F.sum("n_gram").cast("bigint").alias("r_a"),
