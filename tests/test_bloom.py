@@ -216,6 +216,35 @@ class TestIntegration:
             tdir, snap
         )
 
+    def test_mixed_snapshot_prebloom_append(self, encoded_small, tmp_path, spark):
+        """A table whose history straddles the bloom rollout: the first
+        snapshot's files lack the column (pre-bloom writer), an append
+        adds bloom-era files.  File pruning must keep every old file
+        (can't disprove) while still pruning new ones; the probe result
+        must equal the full scan."""
+        from archive_spark import analytics, table
+
+        tdir = str(tmp_path / "tbl_mixed")
+        old = encoded_small.drop("token_bloom").limit(20)
+        table.commit(old.repartition(2), tdir)
+        snap = table.commit(
+            encoded_small.repartition(2), tdir, mode="append"
+        )
+        all_files = table.select_files(tdir, snap)
+        rare_files = table.select_files_for_token(tdir, snap, 987_654_321)
+        # bloomless legacy files are unprunable; bloom-era files prune
+        assert len(rare_files) < len(all_files)
+        assert len(rare_files) >= 2  # the two legacy files survive
+        from archive_spark.codecs import kernels
+
+        payload = encoded_small.select("payload").first()[0]
+        tok = int(kernels.decode(memoryview(payload))[0])
+        a = analytics.token_membership(
+            table.read_for_token(spark, tdir, tok, snap), tok
+        ).collect()
+        b = analytics.token_membership(table.read(spark, tdir, snap), tok).collect()
+        assert [tuple(r) for r in a] == [tuple(r) for r in b]
+
     def test_streaming_schema_roundtrip(self, encoded_small, tmp_path):
         # the widened ENCODED_SCHEMA must write/read through parquet
         p = str(tmp_path / "enc")
