@@ -1,0 +1,281 @@
+"""Spark encode/decode paths for float32 embedding columns.
+
+The float-column face of the engine: same block architecture as
+:mod:`engine` (one output row per *block*, self-describing payloads,
+per-block metadata ledger — rezip/rezip.go:33-119 re-expressed columnar)
+but over ``array<float>`` embedding vectors instead of int32 token
+streams.  Codecs live in :mod:`archive_spark.codecs.floatkernels`
+(ALP-style decimal promotion, byte-stream-split, Gorilla-XOR) and the
+roundtrip invariant is bitwise: every decoded vector reproduces the
+original float32 bit patterns exactly (the reference's `rezip.Test`
+roundtrip contract, rezip/rezip.go:123-151).
+
+No per-row Python: vectors move as flat numpy views over Arrow
+FixedSizeList/List buffers; iteration is per *block* (a few objects per
+million floats).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pyarrow as pa
+
+from pyspark.sql import DataFrame, functions as F
+
+from .codecs import kernels
+from .codecs.floatkernels import decode_floats, encode_floats, fcodec_of
+
+EMB_SCHEMA = "vec_id long, embedding array<float>"
+
+ENC_EMB_SCHEMA = (
+    "block_id string, vec_min long, vec_max long, n_vecs int, dim int, "
+    "codec string, ids_codec string, raw_bytes long, enc_bytes long, "
+    "ids_payload binary, payload binary"
+)
+
+DEFAULT_BLOCK_FLOATS = 1 << 21  # ~8 MiB of raw float32 per block
+
+
+def _encode_ids(ids: np.ndarray) -> tuple[str, bytes]:
+    """Pack the block's vec_ids: int-codec family over (id - min) offsets
+    when the span allows (pdelta/FOR shine on sorted ids), raw <i8
+    otherwise."""
+    if ids.size:
+        lo = int(ids.min())
+        span = int(ids.max()) - lo
+        if span <= 2**31 - 1:
+            from .codecs.selector import encode_auto
+
+            blk, _ = encode_auto((ids - lo).astype(np.int32), allow_fsst=False)
+            return "i32off", blk
+    return "raw64", ids.astype("<i8").tobytes()
+
+
+def _decode_ids(ids_codec: str, payload: memoryview, vec_min: int, n: int) -> np.ndarray:
+    if ids_codec == "i32off":
+        return kernels.decode(payload).astype(np.int64) + vec_min
+    if ids_codec == "raw64":
+        return np.frombuffer(payload, dtype="<i8", count=n).copy()
+    raise kernels.CodecError(f"unknown ids codec {ids_codec!r}")
+
+
+def _flatten_vectors(col: pa.Array) -> tuple[np.ndarray, np.ndarray]:
+    """(flat float32 values, per-row lengths) from an Arrow list column —
+    zero-copy on the values buffer."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    col = col.cast(pa.list_(pa.float32()))
+    if col.null_count:
+        raise kernels.CodecError("null embedding rows are not encodable")
+    offsets = col.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    values = col.values.to_numpy(zero_copy_only=False).astype(np.float32, copy=False)
+    lens = np.diff(offsets)
+    lo, hi = int(offsets[0]), int(offsets[-1])
+    return values[lo:hi], lens
+
+
+def _make_emb_encoder(target_block_floats: int):
+    def enc(it: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        # per-dim accumulators: (list[ids], list[flat], n_floats)
+        acc: dict[int, list] = {}
+
+        def emit(dim: int, ids_parts, flat_parts) -> dict:
+            ids = np.concatenate(ids_parts) if ids_parts else np.zeros(0, np.int64)
+            flat = (
+                np.concatenate(flat_parts)
+                if flat_parts
+                else np.zeros(0, np.float32)
+            )
+            blk = encode_floats(flat)
+            ids_codec, ids_blk = _encode_ids(ids)
+            vec_min = int(ids.min()) if ids.size else 0
+            vec_max = int(ids.max()) if ids.size else 0
+            return {
+                "block_id": f"{vec_min}-{vec_max}-{dim}-{ids.size}",
+                "vec_min": vec_min,
+                "vec_max": vec_max,
+                "n_vecs": int(ids.size),
+                "dim": dim,
+                "codec": fcodec_of(blk),
+                "ids_codec": ids_codec,
+                "raw_bytes": int(4 * flat.size),
+                "enc_bytes": int(len(blk)),
+                "ids_payload": ids_blk,
+                "payload": blk,
+            }
+
+        out_rows: list[dict] = []
+
+        def flush_rows():
+            nonlocal out_rows
+            if out_rows:
+                batch = pa.RecordBatch.from_pylist(
+                    out_rows,
+                    schema=pa.schema(
+                        [
+                            ("block_id", pa.string()),
+                            ("vec_min", pa.int64()),
+                            ("vec_max", pa.int64()),
+                            ("n_vecs", pa.int32()),
+                            ("dim", pa.int32()),
+                            ("codec", pa.string()),
+                            ("ids_codec", pa.string()),
+                            ("raw_bytes", pa.int64()),
+                            ("enc_bytes", pa.int64()),
+                            ("ids_payload", pa.binary()),
+                            ("payload", pa.binary()),
+                        ]
+                    ),
+                )
+                out_rows = []
+                return batch
+            return None
+
+        for rb in it:
+            ids = rb.column("vec_id").to_numpy(zero_copy_only=False).astype(np.int64)
+            flat, lens = _flatten_vectors(rb.column("embedding"))
+            if lens.size == 0:
+                continue
+            # embeddings are fixed-dim per model; split the (rare) mixed
+            # batch into per-dim runs so each block is rectangular
+            dims = np.unique(lens)
+            for dim in dims:
+                dim = int(dim)
+                if dims.size == 1:
+                    part_ids, part_flat = ids, flat
+                else:
+                    row_idx = np.flatnonzero(lens == dim)
+                    starts = np.concatenate([[0], np.cumsum(lens)])[:-1]
+                    take = (
+                        starts[row_idx][:, None] + np.arange(dim)[None, :]
+                    ).ravel()
+                    part_ids = ids[row_idx]
+                    part_flat = flat[take]
+                slot = acc.setdefault(dim, [[], [], 0])
+                slot[0].append(part_ids)
+                slot[1].append(part_flat)
+                slot[2] += part_flat.size
+                while slot[2] >= target_block_floats:
+                    all_ids = np.concatenate(slot[0])
+                    all_flat = np.concatenate(slot[1])
+                    n_keep = max((target_block_floats // dim) * dim, dim)
+                    out_rows.append(
+                        emit(dim, [all_ids[: n_keep // dim]], [all_flat[:n_keep]])
+                    )
+                    slot[0] = [all_ids[n_keep // dim :]]
+                    slot[1] = [all_flat[n_keep:]]
+                    slot[2] = all_flat.size - n_keep
+            b = flush_rows()
+            if b is not None:
+                yield b
+        for dim, (ids_parts, flat_parts, n) in acc.items():
+            if n:
+                out_rows.append(emit(dim, ids_parts, flat_parts))
+        b = flush_rows()
+        if b is not None:
+            yield b
+
+    return enc
+
+
+def encode_embeddings(
+    df: DataFrame,
+    target_block_floats: int = DEFAULT_BLOCK_FLOATS,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Encode an embeddings table into self-describing float blocks.
+
+    One output row per block; plan is scan → mapInArrow (no shuffle —
+    blocks are carved within each input partition, the same
+    shuffle-free shape as the token encoder)."""
+    src = df.select(
+        F.col(id_col).cast("long").alias("vec_id"),
+        F.col(vec_col).cast("array<float>").alias("embedding"),
+    )
+    return src.mapInArrow(_make_emb_encoder(target_block_floats), ENC_EMB_SCHEMA)
+
+
+def _dec_batches(it: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+    for rb in it:
+        tbl = rb.to_pylist()
+        for row in tbl:
+            flat = decode_floats(row["payload"])
+            dim = row["dim"]
+            n = row["n_vecs"]
+            ids = _decode_ids(
+                row["ids_codec"], memoryview(row["ids_payload"]), row["vec_min"], n
+            )
+            if flat.size != n * dim:
+                raise kernels.CodecError("embedding block size mismatch")
+            offs = np.arange(0, flat.size + 1, dim, dtype=np.int32)
+            arr = pa.ListArray.from_arrays(
+                pa.array(offs, pa.int32()), pa.array(flat, pa.float32())
+            )
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(ids, pa.int64()), arr], ["vec_id", "embedding"]
+            )
+
+
+def decode_embeddings(df_encoded: DataFrame) -> DataFrame:
+    """Inverse of :func:`encode_embeddings` — bit-identical vectors."""
+    return df_encoded.select(
+        "vec_min", "n_vecs", "dim", "ids_codec", "ids_payload", "payload"
+    ).mapInArrow(_dec_batches, EMB_SCHEMA)
+
+
+def embedding_codec_histogram(df_encoded: DataFrame) -> DataFrame:
+    """Per-codec block/vector/byte totals — the float-column analogue of
+    analytics.codec_histogram."""
+    return (
+        df_encoded.groupBy("codec")
+        .agg(
+            F.count("*").cast("bigint").alias("n_blocks"),
+            F.sum("n_vecs").cast("bigint").alias("n_vecs"),
+            F.sum("raw_bytes").cast("bigint").alias("raw_bytes"),
+            F.sum("enc_bytes").cast("bigint").alias("enc_bytes"),
+        )
+        .orderBy("codec")
+    )
+
+
+def embedding_table(spark, n_vecs: int, dim: int = 64, seed: int = 42) -> DataFrame:
+    """Deterministic synthetic embedding table for scale benchmarks —
+    vectors are a pure function of (seed, vec_id) regardless of
+    partitioning (Philox counter RNG keyed per row), the same
+    reproducibility contract as tokengen.token_table."""
+
+    def gen(it: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        mask = np.uint64(0xFFFFFFFFFFFFFFFF)
+        c1 = np.uint64(0xBF58476D1CE4E5B9)
+        c2 = np.uint64(0x94D049BB133111EB)
+        for rb in it:
+            ids = rb.column("id").to_numpy().astype(np.int64)
+            # splitmix64 over the (vec_id, lane) lattice — a pure function
+            # of (seed, vec_id, lane), so any partitioning yields the same
+            # vectors; fully vectorized, no per-row Python
+            seed_mix = np.uint64((seed * 0x9E3779B97F4A7C15) & 0xFFFFFFFFFFFFFFFF)
+            with np.errstate(over="ignore"):
+                lane = (
+                    ids[:, None].astype(np.uint64) * np.uint64(dim)
+                    + np.arange(dim, dtype=np.uint64)[None, :]
+                    + seed_mix
+                ) & mask
+            z = (lane + np.uint64(0x9E3779B97F4A7C15)) & mask
+            z = ((z ^ (z >> np.uint64(30))) * c1) & mask
+            z = ((z ^ (z >> np.uint64(27))) * c2) & mask
+            z = z ^ (z >> np.uint64(31))
+            # 24-bit mantissa → uniform in [-0.5, 0.5), scaled to ~N(0,0.1)-ish
+            u = (z >> np.uint64(40)).astype(np.float32) / np.float32(2**24)
+            out = ((u - np.float32(0.5)) * np.float32(0.35)).ravel()
+            offs = np.arange(0, ids.size * dim + 1, dim, dtype=np.int32)
+            arr = pa.ListArray.from_arrays(
+                pa.array(offs, pa.int32()), pa.array(out, pa.float32())
+            )
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(ids, pa.int64()), arr], ["vec_id", "embedding"]
+            )
+
+    return spark.range(n_vecs).mapInArrow(gen, EMB_SCHEMA)

@@ -1,0 +1,206 @@
+"""Float-column codec lane: bit-identical roundtrips (NaN payloads,
+signed zeros, infinities), auto-selection sanity, typed errors, and the
+Spark embedding encode/decode path.
+
+Mirrors the int-codec contract (rezip.Test roundtrip,
+rezip/rezip.go:123-151): equality is always on uint32 bit patterns.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from hypothesis import given, settings, strategies as st
+
+from archive_spark.codecs import floatkernels as fk
+from archive_spark.codecs.kernels import CodecError
+
+
+def _bits(v: np.ndarray) -> np.ndarray:
+    return v.view(np.uint32)
+
+
+def _roundtrip(v: np.ndarray, codec=None) -> str:
+    blk = fk.encode_floats(v, codec=codec)
+    out = fk.decode_floats(blk)
+    assert out.dtype == np.float32
+    assert out.size == v.size
+    assert (_bits(out) == _bits(v)).all()
+    return fk.fcodec_of(blk)
+
+
+RNG = np.random.default_rng(42)
+
+CASES = {
+    "embedding_noise": RNG.normal(0, 0.1, 4096).astype(np.float32),
+    "decimal_prices": (RNG.integers(0, 10**6, 4096) / 100.0).astype(np.float32),
+    "decimal_small_e": (RNG.integers(-999, 999, 4096) / 10.0).astype(np.float32),
+    "constant": np.full(1000, np.float32(-17.5)),
+    "nan_constant": np.full(64, np.nan, dtype=np.float32),
+    "smooth_series": np.sin(np.linspace(0, 30, 8192)).astype(np.float32),
+    "sorted_uniform": np.sort(RNG.random(4096, dtype=np.float32)),
+    "random_bits": RNG.integers(0, 2**32, 4096, dtype=np.uint32).view(np.float32),
+    "empty": np.array([], dtype=np.float32),
+    "single": np.array([2.5], dtype=np.float32),
+    "specials": np.array(
+        [np.nan, -0.0, 0.0, np.inf, -np.inf, 1e-38, -1e38], dtype=np.float32
+    ),
+}
+
+
+@pytest.mark.parametrize("name", sorted(CASES))
+def test_roundtrip_auto(name):
+    _roundtrip(CASES[name])
+
+
+@pytest.mark.parametrize("codec", ["fplain", "fbss", "fxor"])
+@pytest.mark.parametrize("name", sorted(CASES))
+def test_roundtrip_every_universal_codec(name, codec):
+    # fplain/fbss/fxor accept any bit pattern; falp/fconst are conditional
+    _roundtrip(CASES[name], codec=codec)
+
+
+def test_nan_payloads_preserved():
+    # distinct NaN payloads (incl. a signaling NaN) must survive bitwise
+    v = np.array(
+        [0x7FC00000, 0x7FC00001, 0xFFC00000, 0x7F800001], dtype=np.uint32
+    ).view(np.float32)
+    for codec in [None, "fplain", "fbss", "fxor"]:
+        _roundtrip(v, codec=codec)
+
+
+def test_negative_zero_through_falp():
+    # -0.0 must not lose its sign through the integer promotion — it
+    # rides the exception list (the int32 cast drops the sign bit)
+    v = np.array([1.5, -2.5] * 200 + [-0.0, 0.0], dtype=np.float32)
+    blk = fk.encode_floats(v, codec="falp")
+    out = fk.decode_floats(blk)
+    assert (_bits(out) == _bits(v)).all()
+
+
+def test_falp_rejects_exception_heavy_blocks():
+    # >1/8 non-conforming lanes (here 25% signed zeros) → typed rejection
+    v = np.array([-0.0, 0.0, 1.5, -2.5] * 100, dtype=np.float32)
+    with pytest.raises(CodecError):
+        fk.encode_floats(v, codec="falp")
+
+
+def test_selection_decimal_picks_falp():
+    assert _roundtrip(CASES["decimal_small_e"]) == "falp"
+
+
+def test_selection_constant_picks_fconst():
+    assert _roundtrip(CASES["constant"]) == "fconst"
+    assert _roundtrip(CASES["nan_constant"]) == "fconst"
+
+
+def test_selection_never_inflates_much():
+    # auto pick is by exact size: never worse than fplain + header
+    for v in CASES.values():
+        blk = fk.encode_floats(v)
+        assert len(blk) <= fk.HEADER_SIZE + 4 * v.size + 16
+
+
+def test_falp_rejects_random():
+    assert fk._alp_plan(CASES["random_bits"]) is None
+    with pytest.raises(CodecError):
+        fk.encode_floats(CASES["random_bits"], codec="falp")
+
+
+def test_fconst_rejects_nonconstant():
+    with pytest.raises(CodecError):
+        fk.encode_floats(np.array([1.0, 2.0], dtype=np.float32), codec="fconst")
+
+
+def test_typed_errors_on_corruption():
+    blk = bytearray(fk.encode_floats(CASES["embedding_noise"]))
+    blk[20] ^= 0xFF
+    with pytest.raises(CodecError):
+        fk.decode_floats(bytes(blk))
+    with pytest.raises(CodecError):
+        fk.decode_floats(b"\x63" + b"\x00" * 8)  # unknown codec id
+    with pytest.raises(CodecError):
+        fk.decode_floats(b"\x10")  # truncated header
+
+
+def test_float64_exact_input_ok_inexact_rejected():
+    ok64 = np.array([0.5, 0.25, 1.0], dtype=np.float64)
+    blk = fk.encode_floats(ok64)  # exactly float32-representable
+    out = fk.decode_floats(blk)
+    assert (_bits(out) == _bits(ok64.astype(np.float32))).all()
+    with pytest.raises(CodecError):
+        fk.encode_floats(np.array([0.1], dtype=np.float64))
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    data=st.lists(
+        st.one_of(
+            st.floats(width=32, allow_nan=True, allow_infinity=True),
+            st.integers(-9999, 9999).map(lambda i: i / 10.0),
+        ),
+        max_size=400,
+    ),
+    codec=st.sampled_from([None, "fplain", "fbss", "fxor"]),
+)
+def test_property_roundtrip(data, codec):
+    v = np.array(data, dtype=np.float32)
+    _roundtrip(v, codec=codec)
+
+
+# ---------------------------------------------------------------------------
+# Spark path
+# ---------------------------------------------------------------------------
+
+def test_spark_embedding_roundtrip(spark):
+    from pyspark.sql import functions as F
+
+    from archive_spark import embeddings as E
+
+    df = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    enc = E.encode_embeddings(df, target_block_floats=1 << 12).cache()
+    ledger = enc.select("codec", "n_vecs", "dim", "raw_bytes", "enc_bytes").collect()
+    assert sum(r.n_vecs for r in ledger) == df.count()
+    assert all(r.dim == 64 for r in ledger)
+    assert all(r.raw_bytes == 4 * 64 * r.n_vecs for r in ledger)
+
+    dec = E.decode_embeddings(enc)
+    j = df.alias("o").join(dec.alias("d"), "vec_id")
+    n_bad = j.where(~F.expr("o.embedding <=> d.embedding")).count()
+    assert n_bad == 0
+    assert j.count() == df.count()
+    enc.unpersist()
+
+
+def test_spark_embedding_encode_is_shuffle_free(spark):
+    from archive_spark import embeddings as E
+
+    df = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    plan = E.encode_embeddings(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_spark_synthetic_table_deterministic(spark):
+    from archive_spark import embeddings as E
+
+    a = E.embedding_table(spark, 500, dim=16, seed=9)
+    b = E.embedding_table(spark, 500, dim=16, seed=9).repartition(7)
+    ja = {r.vec_id: r.embedding for r in a.collect()}
+    jb = {r.vec_id: r.embedding for r in b.collect()}
+    assert ja == jb
+    assert len(ja) == 500
+    # different seed differs
+    c = {r.vec_id: r.embedding for r in E.embedding_table(spark, 500, dim=16, seed=10).collect()}
+    assert c != ja
+
+
+def test_spark_synthetic_roundtrip_and_histogram(spark):
+    from archive_spark import embeddings as E
+
+    syn = E.embedding_table(spark, 2000, dim=32, seed=3)
+    enc = E.encode_embeddings(syn, target_block_floats=1 << 14)
+    hist = E.embedding_codec_histogram(enc).collect()
+    assert sum(r.n_vecs for r in hist) == 2000
+    assert sum(r.raw_bytes for r in hist) == 2000 * 32 * 4
+    dec = E.decode_embeddings(enc)
+    assert dec.count() == 2000
