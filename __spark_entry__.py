@@ -1722,6 +1722,52 @@ _README_USABILITY_ORACLE = (
 )
 
 
+def _q_embedding_codec_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Float-column codec lane (floatkernels: ALP / byte-stream-split /
+    Gorilla-XOR): encode the embeddings table, persist the per-block
+    ledger, and return the per-codec histogram; the oracle replays the
+    aggregation over the SAME ledger, so any double-count or dropped
+    block hash-mismatches."""
+    from archive_spark import embeddings as E
+
+    df = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    enc = E.encode_embeddings(df, target_block_floats=1 << 13)
+    _persist(
+        enc.select("block_id", "codec", "n_vecs", "dim", "raw_bytes", "enc_bytes"),
+        "emb_ledger",
+        sf_dir,
+    )
+    from archive_spark.embeddings import embedding_codec_histogram
+
+    return embedding_codec_histogram(enc)
+
+
+def _q_embedding_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise roundtrip gate for the float codec lane: decode(encode(E))
+    joined back to the original by vec_id, per-label exact-vector counts.
+    The decoded table is persisted and the oracle re-joins it against the
+    pristine embeddings view — a decoder that flips any bit (or drops /
+    duplicates a vector) fails n_exact or n_vecs."""
+    from archive_spark import embeddings as E
+
+    df = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    enc = E.encode_embeddings(df, target_block_floats=1 << 13)
+    dec = E.decode_embeddings(enc)
+    _persist(dec, "emb_decoded", sf_dir)
+    j = df.alias("o").join(dec.alias("d"), "vec_id")
+    return (
+        j.groupBy("label")
+        .agg(
+            F.count("*").cast("bigint").alias("n_vecs"),
+            F.sum(F.expr("IF(o.embedding <=> d.embedding, 1, 0)"))
+            .cast("bigint")
+            .alias("n_exact"),
+            F.sum(F.size(F.col("o.embedding"))).cast("bigint").alias("n_floats"),
+        )
+        .orderBy("label")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # NOTE: dict order is deliberate. The driver's correctness harness walks
     # this dict in registration order under a budget (r01=34, r02=47, r03=50
@@ -1770,6 +1816,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_histogram_encoded": _q_token_histogram_encoded,
         "lm_doc_scores": _q_lm_doc_scores,
         "next_token_kn3": _q_next_token_kn3,
+        "embedding_codec_mix": _q_embedding_codec_mix,
+        "embedding_roundtrip": _q_embedding_roundtrip,
         # engine core (SURVEY.md §2)
         "roundtrip_gate": _q_roundtrip_gate,
         "enc_listing": _q_enc_listing,
@@ -2206,6 +2254,22 @@ def oracle_sql() -> dict[str, str]:
             "ROW_NUMBER() OVER (ORDER BY p_ppm DESC, c_abc DESC, token)"
             "::INT AS rank FROM scored "
             "ORDER BY p_ppm DESC, c_abc DESC, token LIMIT 100"
+        ),
+        "embedding_codec_mix": (
+            "SELECT codec, count(*)::BIGINT AS n_blocks, "
+            "SUM(n_vecs)::BIGINT AS n_vecs, "
+            "SUM(raw_bytes)::BIGINT AS raw_bytes, "
+            "SUM(enc_bytes)::BIGINT AS enc_bytes "
+            f"FROM read_parquet('{_opath('emb_ledger')}') "
+            "GROUP BY codec ORDER BY codec"
+        ),
+        "embedding_roundtrip": (
+            "SELECT e.label AS label, count(*)::BIGINT AS n_vecs, "
+            "SUM(CASE WHEN e.embedding = a.embedding THEN 1 ELSE 0 END)"
+            "::BIGINT AS n_exact, "
+            "SUM(len(e.embedding))::BIGINT AS n_floats "
+            f"FROM embeddings e JOIN read_parquet('{_opath('emb_decoded')}') a "
+            "USING (vec_id) GROUP BY e.label ORDER BY e.label"
         ),
         "lm_doc_scores": (
             "WITH pos AS (SELECT doc_id, tokens, "
