@@ -8,6 +8,7 @@ Env:
   SPARK_GRAFT_SF_DIR   default /root/testdata/sf0.1
   SPARK_GRAFT_CPUS     default 32 (local[N])
   BENCH_DOCS           override synthetic doc count
+  BENCH_EMB_VECS       override synthetic embedding vector count
   BENCH_SCALING=1      also run the encode at local[N/4] in a subprocess
                        and report scaling efficiency (N/4 -> N cores)
 
@@ -232,6 +233,31 @@ def main() -> None:
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     timed("q_simhash", lambda: simhash(docs).agg(F.count("*")).collect())
+
+    # ---- q_embedding_encode: float-column codec lane over a synthetic
+    # embedding table (sf0.1 -> 500k x 64 = 128 MB raw float32); ratio
+    # lands in extras["embedding_ratio"]
+    from archive_spark import embeddings as emb_mod
+
+    n_vecs = int(os.environ.get("BENCH_EMB_VECS", str(max(int(5_000_000 * sf), 10_000))))
+    emb_path = os.path.join(scratch, f"embeddings-{n_vecs}")
+    if not os.path.exists(emb_path):
+        emb_mod.embedding_table(spark, n_vecs, dim=64, seed=42).write.mode(
+            "overwrite"
+        ).parquet(emb_path)
+    emb_df = spark.read.parquet(emb_path)
+
+    def emb_encode():
+        h = (
+            emb_mod.embedding_codec_histogram(
+                emb_mod.encode_embeddings(emb_df)
+            )
+        ).collect()
+        extras["embedding_ratio"] = round(
+            sum(r.enc_bytes for r in h) / max(sum(r.raw_bytes for r in h), 1), 4
+        )
+
+    timed("q_embedding_encode", emb_encode)
 
     # ---- star-schema + pipeline queries at the sf dir
     import __spark_entry__ as entry_mod
