@@ -1722,6 +1722,20 @@ _README_USABILITY_ORACLE = (
 )
 
 
+def _q_ann_encoded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compressed-domain ANN: exact top-5 cosine neighbors computed
+    directly off the ENCODED embedding blocks (decode-in-kernel,
+    per-block partials) — must equal brute force over the plain table,
+    so the oracle is the same exact-top-k SQL as ann_bruteforce."""
+    from archive_spark import embeddings as E
+
+    df = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    enc = E.encode_embeddings(df, target_block_floats=1 << 13)
+    return E.cosine_topk_encoded(enc, [0, 1, 2], topk=5).select(
+        "query_id", "vec_id", F.col("rank").cast("bigint").alias("rank")
+    )
+
+
 def _q_embedding_codec_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Float-column codec lane (floatkernels: ALP / byte-stream-split /
     Gorilla-XOR): encode the embeddings table, persist the per-block
@@ -1818,6 +1832,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "next_token_kn3": _q_next_token_kn3,
         "embedding_codec_mix": _q_embedding_codec_mix,
         "embedding_roundtrip": _q_embedding_roundtrip,
+        "ann_encoded": _q_ann_encoded,
         # engine core (SURVEY.md §2)
         "roundtrip_gate": _q_roundtrip_gate,
         "enc_listing": _q_enc_listing,
@@ -2434,6 +2449,19 @@ def oracle_sql() -> dict[str, str]:
         # ann_ivf with n_probe == n_centroids is exhaustive → exact top-k,
         # same oracle as brute force
         "ann_ivf": (
+            "WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS q_emb "
+            "FROM embeddings WHERE vec_id IN (0,1,2)), "
+            "scored AS (SELECT q.query_id, e.vec_id, "
+            "list_cosine_similarity(e.embedding::DOUBLE[], q.q_emb) AS cosine "
+            "FROM embeddings e CROSS JOIN q WHERE e.vec_id != q.query_id), "
+            "ranked AS (SELECT query_id, vec_id, "
+            "row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rank "
+            "FROM scored) "
+            "SELECT query_id, vec_id, rank FROM ranked WHERE rank <= 5 "
+            "ORDER BY query_id, rank"
+        ),
+        # compressed-domain ANN is exact → same oracle as brute force
+        "ann_encoded": (
             "WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS q_emb "
             "FROM embeddings WHERE vec_id IN (0,1,2)), "
             "scored AS (SELECT q.query_id, e.vec_id, "

@@ -241,6 +241,95 @@ def embedding_codec_histogram(df_encoded: DataFrame) -> DataFrame:
     )
 
 
+def cosine_topk_encoded(
+    enc: DataFrame, query_ids: list[int], topk: int = 5
+) -> DataFrame:
+    """Exact top-k cosine neighbors computed directly off the ENCODED
+    blocks — the float-lane analogue of the compressed-domain token
+    analytics: no decoded table is ever materialized.
+
+    Plan shape: (1) zone-map prune `[vec_min, vec_max]` to decode only
+    the blocks that can contain a query id (O(queries), not O(corpus));
+    (2) broadcast the tiny query matrix into one mapInArrow scan that
+    decodes each block, GEMMs against the queries, and keeps a
+    per-block top-k partial; (3) a final exact rank over the
+    O(blocks * queries * k) partials.  Any global top-k member is by
+    construction in its own block's top-k, so the partial pass loses
+    nothing.  Same result contract as pipeline_ops.cosine_topk_bruteforce
+    (self excluded, ties broken by vec_id)."""
+    from pyspark.sql import Window
+
+    spark = enc.sparkSession
+    qset = sorted(int(q) for q in query_ids)
+
+    # (1) fetch query vectors: decode only zone-surviving blocks
+    cover = None
+    for q in qset:
+        c = (F.col("vec_min") <= F.lit(q)) & (F.col("vec_max") >= F.lit(q))
+        cover = c if cover is None else (cover | c)
+    q_rows = (
+        decode_embeddings(enc.where(cover))
+        .where(F.col("vec_id").isin(qset))
+        .collect()
+    )
+    if not q_rows:
+        return spark.createDataFrame(
+            [], "query_id long, vec_id long, cosine double, rank int"
+        )
+    dim = len(q_rows[0].embedding)
+    qids = np.array([r.vec_id for r in q_rows], dtype=np.int64)
+    Q = np.array([r.embedding for r in q_rows], dtype=np.float64)
+    qnorm = np.sqrt((Q * Q).sum(axis=1))
+
+    # (2) one scan over the blocks: decode -> GEMM -> per-block top-k
+    def scan(it: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for rb in it:
+            out_q, out_v, out_c = [], [], []
+            for row in rb.to_pylist():
+                if row["dim"] != dim or row["n_vecs"] == 0:
+                    continue
+                flat = decode_floats(row["payload"]).astype(np.float64)
+                ids = _decode_ids(
+                    row["ids_codec"],
+                    memoryview(row["ids_payload"]),
+                    row["vec_min"],
+                    row["n_vecs"],
+                )
+                X = flat.reshape(row["n_vecs"], dim)
+                norms = np.sqrt((X * X).sum(axis=1))
+                scores = (X @ Q.T) / (norms[:, None] * qnorm[None, :])
+                k = min(topk, ids.size)
+                for qi in range(qids.size):
+                    s = scores[:, qi].copy()
+                    s[ids == qids[qi]] = -np.inf  # exclude self
+                    order = np.lexsort((ids, -s))[:k]
+                    keep = order[np.isfinite(s[order])]
+                    out_q.append(np.full(keep.size, qids[qi], dtype=np.int64))
+                    out_v.append(ids[keep])
+                    out_c.append(s[keep])
+            if out_q:
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        pa.array(np.concatenate(out_q), pa.int64()),
+                        pa.array(np.concatenate(out_v), pa.int64()),
+                        pa.array(np.concatenate(out_c), pa.float64()),
+                    ],
+                    ["query_id", "vec_id", "cosine"],
+                )
+
+    partials = enc.select(
+        "vec_min", "n_vecs", "dim", "ids_codec", "ids_payload", "payload"
+    ).mapInArrow(scan, "query_id long, vec_id long, cosine double")
+
+    # (3) exact global rank over the tiny partial set
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.col("vec_id"))
+    return (
+        partials.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= topk)
+        .orderBy("query_id", "rank")
+    )
+
+
 def embedding_table(spark, n_vecs: int, dim: int = 64, seed: int = 42) -> DataFrame:
     """Deterministic synthetic embedding table for scale benchmarks —
     vectors are a pure function of (seed, vec_id) regardless of

@@ -194,6 +194,28 @@ def test_spark_synthetic_table_deterministic(spark):
     assert c != ja
 
 
+def test_spark_compressed_domain_ann_equals_bruteforce(spark):
+    from archive_spark import embeddings as E
+    from archive_spark.pipeline_ops import cosine_topk_bruteforce
+
+    df = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    enc = E.encode_embeddings(df, target_block_floats=1 << 12)
+    a = E.cosine_topk_encoded(enc, [0, 1, 2], topk=5)
+    b = cosine_topk_bruteforce(df, [0, 1, 2], topk=5)
+    sa = sorted((r.query_id, r.rank, r.vec_id) for r in a.collect())
+    sb = sorted((r.query_id, r.rank, r.vec_id) for r in b.collect())
+    assert sa == sb and len(sa) == 15
+
+
+def test_spark_compressed_domain_ann_empty_queries(spark):
+    from archive_spark import embeddings as E
+
+    df = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    enc = E.encode_embeddings(df, target_block_floats=1 << 12)
+    out = E.cosine_topk_encoded(enc, [10**12], topk=5)  # nonexistent id
+    assert out.count() == 0
+
+
 def test_spark_synthetic_roundtrip_and_histogram(spark):
     from archive_spark import embeddings as E
 
