@@ -216,6 +216,38 @@ def test_spark_compressed_domain_ann_empty_queries(spark):
     assert out.count() == 0
 
 
+def test_snapshot_table_hosts_encoded_embeddings(spark, tmp_path):
+    """The snapshot table layer is payload-agnostic: encoded embedding
+    blocks commit like token blocks, and vec_min/vec_max land in the
+    manifest stats so point probes prune whole files at plan time."""
+    from archive_spark import embeddings as E, table as T
+
+    tdir = str(tmp_path / "emb_table")
+    syn = E.embedding_table(spark, 4000, dim=16, seed=5)
+    # range-cluster on vec_id so each file covers a disjoint id range
+    clustered = syn.repartitionByRange(8, "vec_id").sortWithinPartitions("vec_id")
+    enc = E.encode_embeddings(clustered, target_block_floats=1 << 12)
+    snap = T.commit(enc, tdir)
+
+    all_files = T.select_files(tdir, snap)
+    assert len(all_files) >= 4
+    # a point probe for vec_id=17 keeps only files whose [vec_min,vec_max]
+    # span can cover it
+    kept = T.select_files(
+        tdir, snap, prune={"vec_min": (None, 17), "vec_max": (17, None)}
+    )
+    assert 0 < len(kept) < len(all_files)
+
+    # the pruned read still answers the query exactly
+    pruned = spark.read.parquet(*[f"{tdir}/{f}" for f in kept])
+    dec = E.decode_embeddings(pruned.where(
+        (pruned.vec_min <= 17) & (pruned.vec_max >= 17)))
+    row = dec.where("vec_id = 17").collect()
+    assert len(row) == 1
+    orig = syn.where("vec_id = 17").collect()[0].embedding
+    assert row[0].embedding == orig
+
+
 def test_spark_synthetic_roundtrip_and_histogram(spark):
     from archive_spark import embeddings as E
 
