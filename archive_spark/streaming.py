@@ -66,6 +66,34 @@ def start_encode_sink(
     return w.start()
 
 
+def read_embedding_stream(
+    spark: SparkSession, input_dir: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """File-source stream of embedding parquet drops (float lane)."""
+    from . import embeddings as emb
+
+    reader = spark.readStream.schema(emb.EMB_SCHEMA).format("parquet")
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    return reader.load(input_dir)
+
+
+def encode_embedding_stream(
+    emb_stream: DataFrame, target_block_floats: int | None = None
+) -> DataFrame:
+    """Streaming encoded float blocks — the same block encoder as the
+    batch path (embeddings._make_emb_encoder) inside a streaming
+    mapInArrow; the generic sinks (start_encode_sink /
+    start_encode_snapshot_sink) apply unchanged because the block
+    schema is self-describing."""
+    from . import embeddings as emb
+
+    target = target_block_floats or emb.DEFAULT_BLOCK_FLOATS
+    return emb_stream.mapInArrow(
+        emb._make_emb_encoder(target), emb.ENC_EMB_SCHEMA
+    )
+
+
 def read_encoded_stream(spark: SparkSession, input_dir: str) -> DataFrame:
     """File-source stream over an encoded-blocks directory."""
     return (

@@ -248,6 +248,46 @@ def test_snapshot_table_hosts_encoded_embeddings(spark, tmp_path):
     assert row[0].embedding == orig
 
 
+def test_streaming_embedding_encode_into_snapshot_table(spark, tmp_path):
+    """Float-lane streaming face: embedding drops stream through the
+    same block encoder and commit exactly-once into a snapshot table
+    via the generic foreachBatch sink."""
+    from pyspark.sql import functions as F
+
+    from archive_spark import embeddings as E, streaming as S, table as T
+
+    src = str(tmp_path / "drops")
+    tdir = str(tmp_path / "emb_table")
+    ckpt = str(tmp_path / "ckpt")
+    E.embedding_table(spark, 300, dim=16, seed=21).write.parquet(src)
+
+    stream = S.read_embedding_stream(spark, src)
+    enc_stream = S.encode_embedding_stream(stream, target_block_floats=1 << 10)
+    q = S.start_encode_snapshot_sink(enc_stream, tdir, ckpt)
+    q.awaitTermination(120)
+
+    snap = T.current_snapshot_id(tdir)
+    assert snap is not None
+    enc = T.read(spark, tdir, snap)
+    dec = E.decode_embeddings(enc)
+    orig = spark.read.parquet(src)
+    j = orig.alias("o").join(dec.alias("d"), "vec_id")
+    assert j.count() == 300
+    assert j.where(~F.expr("o.embedding <=> d.embedding")).count() == 0
+
+    # replaying the same batch (fresh checkpoint, same table) must not
+    # double-commit rows thanks to the batch-id snapshot guard… a fresh
+    # checkpoint gets a new batch id, so instead assert idempotence of
+    # the SAME checkpoint: restarting with nothing new appends nothing
+    q2 = S.start_encode_snapshot_sink(
+        S.encode_embedding_stream(S.read_embedding_stream(spark, src), 1 << 10),
+        tdir,
+        ckpt,
+    )
+    q2.awaitTermination(120)
+    assert E.decode_embeddings(T.read(spark, tdir)).count() == 300
+
+
 def test_spark_synthetic_roundtrip_and_histogram(spark):
     from archive_spark import embeddings as E
 
