@@ -1722,6 +1722,48 @@ _README_USABILITY_ORACLE = (
 )
 
 
+def _q_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-alpha source flattening (mT5/CC100-style downsample):
+    rates derive from the observed histogram driver-side; the derived
+    cuts are persisted and the oracle replays every md5 keep/drop
+    decision against them."""
+    from archive_spark.pipeline_ops import _hex_cut, temperature_mix, temperature_rates
+
+    docs = _docs(spark, sf_dir)
+    counts = {
+        r["source"]: r["n"]
+        for r in docs.groupBy("source").agg(F.count("*").alias("n")).collect()
+        if r["source"] is not None
+    }
+    rates = temperature_rates(counts, 0.5)
+    cuts = [(s, _hex_cut(r)) for s, r in sorted(rates.items()) if r < 1.0]
+    _persist(
+        spark.createDataFrame(cuts, "source string, cut string"), "temp_cuts", sf_dir
+    )
+    out = temperature_mix(docs, alpha=0.5)
+    return (
+        out.groupBy("source")
+        .agg(F.count("*").cast("bigint").alias("n_docs"))
+        .orderBy("source")
+    )
+
+
+def _q_corpus_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global training order (no single-node sort): the
+    oracle recomputes every position with one window over the same md5
+    key, so any off-by-one in the two-phase offset arithmetic or a
+    non-deterministic partition boundary mismatches."""
+    from archive_spark.pipeline_ops import corpus_shuffle
+
+    docs = _docs(spark, sf_dir)
+    out = corpus_shuffle(docs, seed=7)
+    return (
+        out.select("doc_id", F.col("position").cast("bigint").alias("position"))
+        .orderBy("position")
+        .limit(20)
+    )
+
+
 def _q_ann_encoded(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Compressed-domain ANN: exact top-5 cosine neighbors computed
     directly off the ENCODED embedding blocks (decode-in-kernel,
@@ -1833,6 +1875,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_codec_mix": _q_embedding_codec_mix,
         "embedding_roundtrip": _q_embedding_roundtrip,
         "ann_encoded": _q_ann_encoded,
+        "temperature_mix": _q_temperature_mix,
+        "corpus_shuffle": _q_corpus_shuffle,
         # engine core (SURVEY.md §2)
         "roundtrip_gate": _q_roundtrip_gate,
         "enc_listing": _q_enc_listing,
@@ -2269,6 +2313,23 @@ def oracle_sql() -> dict[str, str]:
             "ROW_NUMBER() OVER (ORDER BY p_ppm DESC, c_abc DESC, token)"
             "::INT AS rank FROM scored "
             "ORDER BY p_ppm DESC, c_abc DESC, token LIMIT 100"
+        ),
+        "temperature_mix": (
+            "WITH cuts AS (SELECT source, cut "
+            f"FROM read_parquet('{_opath('temp_cuts')}')), "
+            "s AS (SELECT d.source, substr(md5(d.source || chr(31) || "
+            "d.doc_id::VARCHAR), 1, 8) AS b, c.cut "
+            "FROM documents d LEFT JOIN cuts c ON d.source = c.source) "
+            "SELECT source, count(*)::BIGINT AS n_docs FROM s "
+            "WHERE cut IS NULL OR b < cut "
+            "GROUP BY source ORDER BY source"
+        ),
+        "corpus_shuffle": (
+            "WITH r AS (SELECT doc_id, row_number() OVER (ORDER BY "
+            "md5('7' || chr(31) || doc_id::VARCHAR), doc_id) AS position "
+            "FROM documents) "
+            "SELECT doc_id, position::BIGINT AS position FROM r "
+            "ORDER BY position LIMIT 20"
         ),
         "embedding_codec_mix": (
             "SELECT codec, count(*)::BIGINT AS n_blocks, "

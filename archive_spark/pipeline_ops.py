@@ -715,6 +715,79 @@ def mix_sources(
     return docs.filter(others | keep)
 
 
+def temperature_rates(counts: dict[str, int], alpha: float) -> dict[str, float]:
+    """Per-source keep rates for temperature-``alpha`` flattening:
+    ``rate_s = (n_min / n_s) ** (1 - alpha)`` — expected kept counts
+    ``n_s ** alpha * n_min ** (1 - alpha)``, i.e. alpha=1 keeps the
+    natural distribution, alpha=0 flattens every source to the
+    smallest one.  The downsample-only form of the temperature
+    resampling used for multilingual/multi-source LM mixes (mT5,
+    CC100: p_s proportional to n_s^alpha)."""
+    if not counts:
+        return {}
+    if not 0.0 <= alpha <= 1.0:
+        raise ValueError("alpha must be in [0, 1]")
+    n_min = min(counts.values())
+    return {s: (n_min / n) ** (1.0 - alpha) for s, n in counts.items()}
+
+
+def temperature_mix(
+    docs: DataFrame, alpha: float = 0.5, key_col: str = "doc_id"
+) -> DataFrame:
+    """Temperature-based source resampling: derive per-source rates from
+    the observed source histogram (one bounded aggregate, collected —
+    O(#sources), not O(corpus)) and apply them with the same
+    deterministic md5 bucketing as ``mix_sources`` — no RNG, stable
+    under reruns, replayable cross-engine given the derived cuts."""
+    counts = {
+        r["source"]: r["n"]
+        for r in docs.groupBy("source").agg(F.count("*").alias("n")).collect()
+        if r["source"] is not None
+    }
+    return mix_sources(docs, temperature_rates(counts, alpha), key_col=key_col)
+
+
+def corpus_shuffle(
+    docs: DataFrame, seed: int = 0, key_col: str = "doc_id", partitions: int | None = None
+) -> DataFrame:
+    """Deterministic global training order: every row gets its exact
+    1-based ``position`` in the order of ``md5(seed, key)`` — the
+    reproducible corpus shuffle a training run consumes.
+
+    No single-node sort: rows range-partition on the shuffle key (so
+    partitions are globally ordered), each partition ranks locally, and
+    partition offsets come from one bounded per-partition count
+    (O(partitions) at the driver — the same two-phase prefix-sum shape
+    as sequence_packing).  Positions are a pure function of (seed, key)
+    regardless of partitioning."""
+    from pyspark.sql import Window
+
+    k = F.md5(
+        F.concat_ws("\x1f", F.lit(str(seed)), F.col(key_col).cast("string"))
+    ).alias("_shuf_k")
+    P = partitions or docs.sparkSession.sparkContext.defaultParallelism
+    keyed = docs.withColumn("_shuf_k", k).repartitionByRange(P, "_shuf_k", key_col)
+    parted = keyed.withColumn("_shuf_p", F.spark_partition_id())
+    pc = parted.groupBy("_shuf_p").agg(F.count("*").alias("n")).collect()
+    offs = {}
+    run = 0
+    for r in sorted(pc, key=lambda r: r["_shuf_p"]):
+        offs[r["_shuf_p"]] = run
+        run += r["n"]
+    off_col = F.coalesce(
+        *[
+            F.when(F.col("_shuf_p") == p, F.lit(o))
+            for p, o in sorted(offs.items())
+        ],
+        F.lit(0),
+    ) if offs else F.lit(0)
+    w = Window.partitionBy("_shuf_p").orderBy("_shuf_k", key_col)
+    return (
+        parted.withColumn("position", (F.row_number().over(w) + off_col).cast("bigint"))
+        .drop("_shuf_k", "_shuf_p")
+    )
+
+
 def frequency_spectrum(docs: DataFrame) -> DataFrame:
     """Word frequency-of-frequencies: for each occurrence count c, how
     many distinct words occur exactly c times — the Good-Turing

@@ -1268,3 +1268,52 @@ def test_chunk_sequences_matches_python(spark):
 
     with pytest.raises(ValueError):
         po.chunk_sequences(toks, 64, 128)
+
+
+def test_temperature_rates_extremes():
+    counts = {"a": 1000, "b": 100, "c": 10}
+    # alpha=1: natural distribution — keep everything
+    assert po.temperature_rates(counts, 1.0) == {"a": 1.0, "b": 1.0, "c": 1.0}
+    # alpha=0: flatten to the smallest source
+    r0 = po.temperature_rates(counts, 0.0)
+    assert r0["c"] == 1.0 and abs(r0["a"] - 0.01) < 1e-12 and abs(r0["b"] - 0.1) < 1e-12
+    # monotone in size: bigger sources get smaller rates
+    r = po.temperature_rates(counts, 0.5)
+    assert r["a"] < r["b"] < r["c"] == 1.0
+    with pytest.raises(ValueError):
+        po.temperature_rates(counts, 1.5)
+
+
+def test_temperature_mix_flattens_and_is_deterministic(spark):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    before = {r.source: r.n for r in docs.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    out1 = {r.source: r.n for r in po.temperature_mix(docs, 0.0).groupBy("source").agg(F.count("*").alias("n")).collect()}
+    out2 = {r.source: r.n for r in po.temperature_mix(docs.repartition(13), 0.0).groupBy("source").agg(F.count("*").alias("n")).collect()}
+    assert out1 == out2  # md5 determinism under repartition
+    n_min = min(before.values())
+    for s, n in out1.items():
+        assert n <= before[s]
+        # expected n_min docs per source; md5 binomial noise is a few sigma
+        assert abs(n - n_min) < 6 * max(n_min ** 0.5, 3)
+    # alpha=1 keeps everything
+    assert po.temperature_mix(docs, 1.0).count() == docs.count()
+
+
+def test_corpus_shuffle_positions_exact(spark):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = po.corpus_shuffle(docs, seed=3, partitions=5)
+    rows = out.select("doc_id", "position").collect()
+    n = docs.count()
+    # positions are a permutation of 1..n
+    assert sorted(r.position for r in rows) == list(range(1, n + 1))
+    # and agree with the reference order computed driver-side
+    import hashlib
+
+    def key(doc_id):
+        return hashlib.md5(f"3\x1f{doc_id}".encode()).hexdigest()
+
+    expect = {d: i + 1 for i, (_, d) in enumerate(sorted((key(r.doc_id), r.doc_id) for r in rows))}
+    assert all(expect[r.doc_id] == r.position for r in rows)
+    # deterministic under different partitioning
+    again = {r.doc_id: r.position for r in po.corpus_shuffle(docs.repartition(17), seed=3, partitions=2).collect()}
+    assert all(again[r.doc_id] == r.position for r in rows)
