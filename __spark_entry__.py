@@ -1748,6 +1748,24 @@ def _q_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget corpus selection (keep the md5-priority prefix whose
+    cumulative token count fits 2000 per source); the oracle replays the
+    priority order, the running sum and the cut."""
+    from archive_spark.pipeline_ops import select_token_budget
+
+    docs = _docs(spark, sf_dir)
+    out = select_token_budget(docs, 2000)
+    return (
+        out.groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum(F.size(F.split("text", " "))).cast("bigint").alias("n_tokens"),
+        )
+        .orderBy("source")
+    )
+
+
 def _q_corpus_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic global training order (no single-node sort): the
     oracle recomputes every position with one window over the same md5
@@ -1877,6 +1895,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_encoded": _q_ann_encoded,
         "temperature_mix": _q_temperature_mix,
         "corpus_shuffle": _q_corpus_shuffle,
+        "token_budget": _q_token_budget,
         # engine core (SURVEY.md §2)
         "roundtrip_gate": _q_roundtrip_gate,
         "enc_listing": _q_enc_listing,
@@ -2322,6 +2341,18 @@ def oracle_sql() -> dict[str, str]:
             "FROM documents d LEFT JOIN cuts c ON d.source = c.source) "
             "SELECT source, count(*)::BIGINT AS n_docs FROM s "
             "WHERE cut IS NULL OR b < cut "
+            "GROUP BY source ORDER BY source"
+        ),
+        "token_budget": (
+            "WITH p AS (SELECT source, doc_id, "
+            "len(string_split(text, ' '))::BIGINT AS n_tok, "
+            "substr(md5(source || chr(31) || 'budget' || chr(31) || "
+            "doc_id::VARCHAR), 1, 8) AS prio FROM documents), "
+            "c AS (SELECT source, n_tok, SUM(n_tok) OVER ("
+            "PARTITION BY source ORDER BY prio, doc_id "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM p) "
+            "SELECT source, count(*)::BIGINT AS n_docs, "
+            "SUM(n_tok)::BIGINT AS n_tokens FROM c WHERE cum <= 2000 "
             "GROUP BY source ORDER BY source"
         ),
         "corpus_shuffle": (

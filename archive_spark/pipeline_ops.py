@@ -747,6 +747,46 @@ def temperature_mix(
     return mix_sources(docs, temperature_rates(counts, alpha), key_col=key_col)
 
 
+def select_token_budget(
+    docs: DataFrame, budget: int | dict[str, int], key_col: str = "doc_id"
+) -> DataFrame:
+    """Deterministic token-budget corpus selection: per source, keep
+    documents in md5-priority order until the source's token budget is
+    filled (the longest prefix whose cumulative whitespace-token count
+    fits).  ``budget`` is one int for every source or a per-source dict
+    (sources absent from the dict keep everything).
+
+    The cumulative sum is one per-source window over the priority
+    order — integer-exact, replayable in any engine with md5 and a
+    running SUM; no RNG, stable under corpus growth for the kept
+    prefix."""
+    from pyspark.sql import Window
+
+    n_tok = F.size(F.split(F.col("text"), " ")).cast("bigint")
+    prio = _md5_bucket(F.col("source"), F.lit("budget"), F.col(key_col).cast("string"))
+    w = (
+        Window.partitionBy("source")
+        .orderBy(prio, F.col(key_col))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum(n_tok).over(w)
+    if isinstance(budget, dict):
+        if not budget:
+            return docs
+        cap = None
+        for s, b in sorted(budget.items()):
+            c = F.when(F.col("source") == s, F.lit(int(b)))
+            cap = c if cap is None else cap.when(F.col("source") == s, F.lit(int(b)))
+        cap = cap.otherwise(F.lit(None))
+    else:
+        cap = F.lit(int(budget))
+    return (
+        docs.withColumn("_cum_tok", cum)
+        .filter(cap.isNull() | (F.col("_cum_tok") <= cap))
+        .drop("_cum_tok")
+    )
+
+
 def corpus_shuffle(
     docs: DataFrame, seed: int = 0, key_col: str = "doc_id", partitions: int | None = None
 ) -> DataFrame:

@@ -1317,3 +1317,32 @@ def test_corpus_shuffle_positions_exact(spark):
     # deterministic under different partitioning
     again = {r.doc_id: r.position for r in po.corpus_shuffle(docs.repartition(17), seed=3, partitions=2).collect()}
     assert all(again[r.doc_id] == r.position for r in rows)
+
+
+def test_select_token_budget(spark):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    n_tok = F.size(F.split("text", " ")).cast("bigint")
+    out = po.select_token_budget(docs, 500)
+    per = {r.source: r.t for r in out.groupBy("source").agg(F.sum(n_tok).alias("t")).collect()}
+    # every source's kept prefix fits the budget
+    assert all(t <= 500 for t in per.values())
+    # maximality: adding any dropped doc of that source would bust the
+    # budget, since the kept set is the longest fitting prefix — check
+    # via the per-source doc counts vs a budget large enough for all
+    total = docs.agg(F.sum(n_tok)).collect()[0][0]
+    assert po.select_token_budget(docs, int(total)).count() == docs.count()
+    # dict form: unlisted sources keep everything
+    one = {r.source for r in docs.select("source").distinct().collect()}
+    some = sorted(one)[0]
+    out2 = po.select_token_budget(docs, {some: 100})
+    kept2 = {r.source: r.n for r in out2.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    before = {r.source: r.n for r in docs.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    for s in one:
+        if s == some:
+            assert kept2.get(s, 0) <= before[s]
+        else:
+            assert kept2[s] == before[s]
+    # determinism under repartition
+    a = sorted(r.doc_id for r in po.select_token_budget(docs, 500).collect())
+    b = sorted(r.doc_id for r in po.select_token_budget(docs.repartition(11), 500).collect())
+    assert a == b
