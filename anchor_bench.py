@@ -31,6 +31,8 @@ def main() -> None:
     ap.add_argument("--scratch", default="/tmp/spark_graft_anchor")
     ap.add_argument("--no-targeted", action="store_true",
                     help="skip the targeted-decode / pruning phase")
+    ap.add_argument("--embeddings", type=int, default=0,
+                    help="also anchor the float lane with N synthetic vectors")
     args = ap.parse_args()
 
     from pyspark.sql import functions as F
@@ -164,6 +166,42 @@ def main() -> None:
             analytics.token_membership(enc_df, rare).collect()
         )
         out["rare_probe_sec"] = round(time.perf_counter() - t0, 1)
+
+    # ---- embedding-lane anchor: encode/decode a synthetic float table
+    # at scale, digest-gated (order-insensitive bitwise sum/xor — no
+    # join materialization at any size)
+    if args.embeddings:
+        from archive_spark import embeddings as emb_mod
+
+        emb_path = f"{scratch}/embeddings-{args.embeddings}"
+        t0 = time.perf_counter()
+        if not os.path.exists(emb_path):
+            emb_mod.embedding_table(
+                spark, args.embeddings, dim=64, seed=42
+            ).write.mode("overwrite").parquet(emb_path)
+        out["emb_generate_sec"] = round(time.perf_counter() - t0, 1)
+        emb_df = spark.read.parquet(emb_path)
+        enc_emb_path = f"{scratch}/emb_encoded"
+        t0 = time.perf_counter()
+        emb_mod.encode_embeddings(emb_df).write.mode("overwrite").option(
+            "compression", "none"
+        ).parquet(enc_emb_path)
+        dt = time.perf_counter() - t0
+        raw_mb = args.embeddings * 64 * 4 / 1e6
+        out["emb_encode_sec"] = round(dt, 1)
+        out["emb_encode_mb_per_sec"] = round(raw_mb / dt, 1)
+        enc_emb = spark.read.parquet(enc_emb_path)
+        row = enc_emb.agg(
+            F.sum("raw_bytes").alias("r"), F.sum("enc_bytes").alias("e")
+        ).collect()[0]
+        out["emb_ratio"] = round(row.e / row.r, 4)
+        t0 = time.perf_counter()
+        d_dec = emb_mod.embedding_digest_encoded(enc_emb).collect()[0]
+        dt = time.perf_counter() - t0
+        out["emb_decode_sec"] = round(dt, 1)
+        out["emb_decode_mb_per_sec"] = round(raw_mb / dt, 1)
+        d_src = emb_mod.embedding_digest(emb_df).collect()[0]
+        out["emb_digest_match"] = tuple(d_src) == tuple(d_dec)
 
     spark.stop()
     if not args.keep:

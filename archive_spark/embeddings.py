@@ -241,6 +241,83 @@ def embedding_codec_histogram(df_encoded: DataFrame) -> DataFrame:
     )
 
 
+_DIGEST_SCHEMA = (
+    "n_vecs long, n_floats long, bit_sum long, bit_xor long, id_sum long"
+)
+
+
+def _digest_rows(ids: np.ndarray, flat: np.ndarray) -> dict:
+    bits = flat.view(np.uint32)
+    return {
+        "n_vecs": int(ids.size),
+        "n_floats": int(flat.size),
+        # mask into signed-long space (Spark long); order-insensitive
+        "bit_sum": int(bits.astype(np.uint64).sum()) & 0x7FFFFFFFFFFFFFFF,
+        "bit_xor": int(np.bitwise_xor.reduce(bits)) if bits.size else 0,
+        "id_sum": int(ids.sum()) & 0x7FFFFFFFFFFFFFFF,
+    }
+
+
+def _digest_agg(df: DataFrame) -> DataFrame:
+    # DECIMAL(38) partials: a LONG sum of per-batch partials (each up to
+    # ~2^53) overflows around 2^10 batches, and Spark 4 ANSI errors on
+    # long overflow — decimal holds to ~1e38, then one exact mod back
+    return df.agg(
+        F.sum("n_vecs").cast("long").alias("n_vecs"),
+        F.sum("n_floats").cast("long").alias("n_floats"),
+        F.expr(
+            "CAST(sum(CAST(bit_sum AS DECIMAL(38,0))) % 9223372036854775807 AS LONG)"
+        ).alias("bit_sum"),
+        F.expr("CAST(bit_xor(bit_xor) AS LONG)").alias("bit_xor"),
+        F.expr(
+            "CAST(sum(CAST(id_sum AS DECIMAL(38,0))) % 9223372036854775807 AS LONG)"
+        ).alias("id_sum"),
+    )
+
+
+def embedding_digest(df: DataFrame) -> DataFrame:
+    """Order-insensitive bitwise content digest of a plain embeddings
+    table (sum/xor over the uint32 bit patterns + id sum) — the float
+    lane's roundtrip_digest: digest(decode(encode(E))) == digest(E)
+    proves bit-identity at any scale without a join."""
+
+    def scan(it: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for rb in it:
+            ids = rb.column("vec_id").to_numpy(zero_copy_only=False).astype(np.int64)
+            flat, _ = _flatten_vectors(rb.column("embedding"))
+            yield pa.RecordBatch.from_pylist([_digest_rows(ids, flat)])
+
+    parts = df.select(
+        F.col("vec_id").cast("long").alias("vec_id"),
+        F.col("embedding").cast("array<float>").alias("embedding"),
+    ).mapInArrow(scan, _DIGEST_SCHEMA)
+    return _digest_agg(parts)
+
+
+def embedding_digest_encoded(enc: DataFrame) -> DataFrame:
+    """Same digest computed straight off the encoded blocks."""
+
+    def scan(it: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for rb in it:
+            rows = []
+            for row in rb.to_pylist():
+                flat = decode_floats(row["payload"])
+                ids = _decode_ids(
+                    row["ids_codec"],
+                    memoryview(row["ids_payload"]),
+                    row["vec_min"],
+                    row["n_vecs"],
+                )
+                rows.append(_digest_rows(ids, flat))
+            if rows:
+                yield pa.RecordBatch.from_pylist(rows)
+
+    parts = enc.select(
+        "vec_min", "n_vecs", "ids_codec", "ids_payload", "payload"
+    ).mapInArrow(scan, _DIGEST_SCHEMA)
+    return _digest_agg(parts)
+
+
 def cosine_topk_encoded(
     enc: DataFrame, query_ids: list[int], topk: int = 5
 ) -> DataFrame:

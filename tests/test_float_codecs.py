@@ -288,6 +288,31 @@ def test_streaming_embedding_encode_into_snapshot_table(spark, tmp_path):
     assert E.decode_embeddings(T.read(spark, tdir)).count() == 300
 
 
+def test_embedding_digest_gates_roundtrip(spark):
+    from archive_spark import embeddings as E
+
+    df = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    enc = E.encode_embeddings(df, target_block_floats=1 << 12)
+    d_src = tuple(E.embedding_digest(df).collect()[0])
+    d_enc = tuple(E.embedding_digest_encoded(enc).collect()[0])
+    assert d_src == d_enc
+    # digest is partitioning-insensitive
+    d_re = tuple(E.embedding_digest(df.repartition(9)).collect()[0])
+    assert d_re == d_src
+    # and actually sensitive to content: flip one float's bits
+    from pyspark.sql import functions as F
+
+    tweaked = df.withColumn(
+        "embedding",
+        F.when(
+            F.col("vec_id") == 0,
+            F.concat(F.array(F.lit(999.25).cast("float")), F.slice("embedding", 2, 63)),
+        ).otherwise(F.col("embedding")),
+    )
+    d_tw = tuple(E.embedding_digest(tweaked).collect()[0])
+    assert d_tw != d_src
+
+
 def test_spark_synthetic_roundtrip_and_histogram(spark):
     from archive_spark import embeddings as E
 
