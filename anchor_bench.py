@@ -176,16 +176,18 @@ def main() -> None:
         emb_path = f"{scratch}/embeddings-{args.embeddings}"
         t0 = time.perf_counter()
         if not os.path.exists(emb_path):
-            emb_mod.embedding_table(
-                spark, args.embeddings, dim=64, seed=42
-            ).write.mode("overwrite").parquet(emb_path)
+            with emb_mod.arrow_batch(spark):
+                emb_mod.embedding_table(
+                    spark, args.embeddings, dim=64, seed=42
+                ).write.mode("overwrite").parquet(emb_path)
         out["emb_generate_sec"] = round(time.perf_counter() - t0, 1)
         emb_df = spark.read.parquet(emb_path)
         enc_emb_path = f"{scratch}/emb_encoded"
         t0 = time.perf_counter()
-        emb_mod.encode_embeddings(emb_df).write.mode("overwrite").option(
-            "compression", "none"
-        ).parquet(enc_emb_path)
+        with emb_mod.arrow_batch(spark):
+            emb_mod.encode_embeddings(emb_df).write.mode("overwrite").option(
+                "compression", "none"
+            ).parquet(enc_emb_path)
         dt = time.perf_counter() - t0
         raw_mb = args.embeddings * 64 * 4 / 1e6
         out["emb_encode_sec"] = round(dt, 1)
@@ -200,7 +202,8 @@ def main() -> None:
         dt = time.perf_counter() - t0
         out["emb_decode_sec"] = round(dt, 1)
         out["emb_decode_mb_per_sec"] = round(raw_mb / dt, 1)
-        d_src = emb_mod.embedding_digest(emb_df).collect()[0]
+        with emb_mod.arrow_batch(spark):
+            d_src = emb_mod.embedding_digest(emb_df).collect()[0]
         out["emb_digest_match"] = tuple(d_src) == tuple(d_dec)
 
     spark.stop()

@@ -198,9 +198,11 @@ def _enc_falp(v: np.ndarray, plan: tuple[int, np.ndarray] | None = None) -> byte
     )
 
 
-def _bss_split(raw: bytes, n: int) -> bytes:
-    planes = np.frombuffer(raw, dtype=np.uint8).reshape(n, 4).T
-    return np.ascontiguousarray(planes).tobytes()
+def _bss_planes(arr: np.ndarray) -> np.ndarray:
+    """Byte-plane transpose of any contiguous 4-byte-element array —
+    ONE copy (the transpose), no intermediate bytes objects."""
+    a = np.ascontiguousarray(arr)
+    return np.ascontiguousarray(a.view(np.uint8).reshape(a.size, 4).T)
 
 
 def _bss_join(raw: bytes, n: int) -> np.ndarray:
@@ -216,17 +218,15 @@ _ZSTD = pa.Codec("zstd", compression_level=3)
 
 
 def _enc_fbss(v: np.ndarray) -> bytes:
-    return _ZSTD.compress(
-        _bss_split(v.astype("<f4", copy=False).tobytes(), v.size), asbytes=True
-    )
+    return _ZSTD.compress(pa.py_buffer(_bss_planes(v)), asbytes=True)
 
 
 def _enc_fxor(v: np.ndarray) -> bytes:
-    b = _bits(v).astype(np.uint32)
+    b = _bits(v)
     x = np.empty_like(b)
     x[0:1] = b[0:1]
     np.bitwise_xor(b[1:], b[:-1], out=x[1:])
-    return _ZSTD.compress(_bss_split(x.astype("<u4").tobytes(), v.size), asbytes=True)
+    return _ZSTD.compress(pa.py_buffer(_bss_planes(x)), asbytes=True)
 
 
 # ---------------------------------------------------------------------------
@@ -264,14 +264,14 @@ def _dec_falp(body: memoryview, n: int) -> np.ndarray:
 
 
 def _dec_fbss(body: memoryview, n: int) -> np.ndarray:
-    raw = _ZSTD.decompress(bytes(body), decompressed_size=4 * n, asbytes=True)
+    raw = _ZSTD.decompress(pa.py_buffer(body), decompressed_size=4 * n, asbytes=True)
     if len(raw) != 4 * n:
         raise CodecError("fbss inflated size mismatch")
     return _bss_join(raw, n)
 
 
 def _dec_fxor(body: memoryview, n: int) -> np.ndarray:
-    raw = _ZSTD.decompress(bytes(body), decompressed_size=4 * n, asbytes=True)
+    raw = _ZSTD.decompress(pa.py_buffer(body), decompressed_size=4 * n, asbytes=True)
     if len(raw) != 4 * n:
         raise CodecError("fxor inflated size mismatch")
     x = _bss_join(raw, n).view(np.uint32)
@@ -295,10 +295,16 @@ _FDECODERS = {
 }
 
 
+_PICK_SAMPLE = 1 << 15  # floats used to pick fbss vs fxor on big blocks
+
+
 def encode_floats(values: np.ndarray, codec: int | str | None = None) -> bytes:
-    """Encode a flat float32 buffer; ``codec=None`` auto-selects by exact
-    encoded size (the same pick-the-smallest contract as the int
-    selector — estimates are never trusted over measured bytes)."""
+    """Encode a flat float32 buffer; ``codec=None`` auto-selects the
+    smallest of the materialized candidates (fplain's size is known
+    without materializing; on blocks >= 4x the sample size the
+    fbss-vs-fxor choice is made on a 128 KiB prefix sample so only one
+    full zstd pass runs — blocks are homogeneous enough that the sample
+    picks the full-block winner)."""
     v = _as_f32(values)
     if codec is not None:
         cid = FCODEC_IDS[codec] if isinstance(codec, str) else int(codec)
@@ -310,14 +316,26 @@ def encode_floats(values: np.ndarray, codec: int | str | None = None) -> bytes:
     bits = _bits(v)
     if int(bits.min()) == int(bits.max()):
         return _HDR.pack(FCONST, v.size) + _enc_fconst(v)
-    candidates: list[tuple[int, bytes]] = [(FPLAIN, _enc_fplain(v))]
+    best_cid, best_body, best_size = FPLAIN, None, 4 * v.size
     plan = _alp_plan(v)
     if plan is not None:
-        candidates.append((FALP, _enc_falp(v, plan)))
-    candidates.append((FBSS, _enc_fbss(v)))
-    candidates.append((FXOR, _enc_fxor(v)))
-    cid, body = min(candidates, key=lambda cb: len(cb[1]))
-    return _HDR.pack(cid, v.size) + body
+        body = _enc_falp(v, plan)
+        if len(body) < best_size:
+            best_cid, best_body, best_size = FALP, body, len(body)
+    if v.size >= 4 * _PICK_SAMPLE:
+        sv = v[:_PICK_SAMPLE]
+        zstd_cids = (
+            (FBSS,) if len(_enc_fbss(sv)) <= len(_enc_fxor(sv)) else (FXOR,)
+        )
+    else:
+        zstd_cids = (FBSS, FXOR)
+    for cid in zstd_cids:
+        body = _FENCODERS[cid](v)
+        if len(body) < best_size:
+            best_cid, best_body, best_size = cid, body, len(body)
+    if best_body is None:
+        best_body = _enc_fplain(v)
+    return _HDR.pack(best_cid, v.size) + best_body
 
 
 def decode_floats(buf: bytes | memoryview) -> np.ndarray:

@@ -37,6 +37,38 @@ ENC_EMB_SCHEMA = (
 
 DEFAULT_BLOCK_FLOATS = 1 << 21  # ~8 MiB of raw float32 per block
 
+# the session default (8192 rows, tuned for ~200-token documents) feeds
+# the float lane only ~2 MB per Arrow batch; embeddings rows are fixed
+# ~256 B so a much larger row count still bounds worker memory while
+# amortizing the JVM->Arrow conversion overhead (~25% measured)
+EMB_ARROW_BATCH_ROWS = 65536
+
+
+class arrow_batch:
+    """Scoped override of spark.sql.execution.arrow.maxRecordsPerBatch —
+    wrap the *action* that drives an embedding mapInArrow (the conf is
+    read at execution time, not plan time)."""
+
+    _KEY = "spark.sql.execution.arrow.maxRecordsPerBatch"
+
+    def __init__(self, spark, rows: int = EMB_ARROW_BATCH_ROWS):
+        self.spark, self.rows = spark, rows
+
+    def __enter__(self):
+        try:
+            self.old = self.spark.conf.get(self._KEY)
+        except Exception:
+            self.old = None
+        self.spark.conf.set(self._KEY, str(self.rows))
+        return self
+
+    def __exit__(self, *exc):
+        if self.old is None:
+            self.spark.conf.unset(self._KEY)
+        else:
+            self.spark.conf.set(self._KEY, self.old)
+        return False
+
 
 def _encode_ids(ids: np.ndarray) -> tuple[str, bytes]:
     """Pack the block's vec_ids: int-codec family over (id - min) offsets

@@ -248,11 +248,12 @@ def main() -> None:
     emb_df = spark.read.parquet(emb_path)
 
     def emb_encode():
-        h = (
-            emb_mod.embedding_codec_histogram(
-                emb_mod.encode_embeddings(emb_df)
-            )
-        ).collect()
+        with emb_mod.arrow_batch(spark):
+            h = (
+                emb_mod.embedding_codec_histogram(
+                    emb_mod.encode_embeddings(emb_df)
+                )
+            ).collect()
         extras["embedding_ratio"] = round(
             sum(r.enc_bytes for r in h) / max(sum(r.raw_bytes for r in h), 1), 4
         )

@@ -1,0 +1,96 @@
+"""spark-submit entry point: encode an embeddings table (float lane).
+
+Usage:
+  python jobs/package.py   # build dist/archive_spark.zip
+  spark-submit --py-files dist/archive_spark.zip jobs/encode_embeddings_job.py \
+      --input /path/to/embeddings_parquet --output /path/to/encoded \
+      [--block-floats 2097152] [--id-col vec_id] [--vec-col embedding]
+      [--verify] [--publish]
+
+The input must carry an integer id column and an array<float> vector
+column.  ``--verify`` gates the run on the order-insensitive bitwise
+digest (decode(encode(E)) == E); ``--publish`` commits the encoded
+blocks as an atomic snapshot-table manifest (vec_min/vec_max land in
+the manifest stats for file-level pruning).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", required=True)
+    ap.add_argument("--output", required=True)
+    ap.add_argument("--block-floats", type=int, default=1 << 21)
+    ap.add_argument("--id-col", default="vec_id")
+    ap.add_argument("--vec-col", default="embedding")
+    ap.add_argument("--verify", action="store_true",
+                    help="digest-gate the roundtrip after encode")
+    ap.add_argument("--publish", action="store_true",
+                    help="publish an atomic snapshot-table manifest")
+    args = ap.parse_args()
+
+    from pyspark.sql import SparkSession, functions as F
+
+    from archive_spark import embeddings as emb
+
+    spark = SparkSession.builder.appName("archive_spark_encode_emb").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    src = spark.read.parquet(args.input)
+    enc = emb.encode_embeddings(
+        src,
+        target_block_floats=args.block_floats,
+        id_col=args.id_col,
+        vec_col=args.vec_col,
+    )
+    with emb.arrow_batch(spark):
+        enc.write.mode("overwrite").parquet(args.output)
+
+    out = spark.read.parquet(args.output)
+    row = out.agg(
+        F.sum("raw_bytes").alias("r"),
+        F.sum("enc_bytes").alias("e"),
+        F.sum("n_vecs").alias("n"),
+    ).collect()[0]
+    report = {
+        "n_vecs": int(row.n or 0),
+        "raw_bytes": int(row.r or 0),
+        "enc_bytes": int(row.e or 0),
+        "ratio": round(row.e / row.r, 4) if row.r else None,
+    }
+
+    if args.verify:
+        named = src.select(
+            F.col(args.id_col).cast("long").alias("vec_id"),
+            F.col(args.vec_col).cast("array<float>").alias("embedding"),
+        )
+        d_src = tuple(emb.embedding_digest(named).collect()[0])
+        d_enc = tuple(emb.embedding_digest_encoded(out).collect()[0])
+        report["digest_match"] = d_src == d_enc
+        if not report["digest_match"]:
+            print(json.dumps(report))
+            raise SystemExit("roundtrip digest mismatch")
+
+    if args.publish:
+        import os
+
+        from archive_spark import table as snap_table
+
+        rel = sorted(
+            f for f in os.listdir(args.output) if f.endswith(".parquet")
+        )
+        sid = snap_table.commit_existing(
+            args.output, rel, schema=out.schema.simpleString()
+        )
+        report["snapshot_id"] = sid
+
+    print(json.dumps(report))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -254,3 +254,25 @@ def test_report_job_cli(zip_path):
     assert set(card["pii_spans"]) == {"email", "ipv4", "phone"}
     assert 0 <= card["duplicate_spans"]["covered_frac"] <= 1
     assert card["normalization"]["chars_removed"] >= 0
+
+
+def test_encode_embeddings_job_cli(zip_path, tmp_path):
+    out_dir = str(tmp_path / "emb_encoded")
+    r = _spark_submit(
+        zip_path,
+        "encode_embeddings_job.py",
+        "--input", "/root/testdata/sf0.001/embeddings.parquet",
+        "--output", out_dir,
+        "--block-floats", str(1 << 13),
+        "--verify", "--publish",
+    )
+    assert r.returncode == 0, r.stderr[-3000:]
+    rep = json.loads([l for l in r.stdout.splitlines() if l.startswith("{")][-1])
+    assert rep["n_vecs"] == 500
+    assert rep["digest_match"] is True
+    assert 0 < rep["ratio"] <= 1.01
+    assert rep["snapshot_id"]
+    # the published snapshot reads back
+    from archive_spark import table as T
+
+    assert T.current_snapshot_id(out_dir) == rep["snapshot_id"]
