@@ -260,6 +260,19 @@ def main() -> None:
 
     timed("q_embedding_encode", emb_encode)
 
+    # ---- q_embedding_decode: digest straight off the encoded blocks
+    emb_enc_path = os.path.join(scratch, f"emb_encoded-{n_vecs}")
+    if not os.path.exists(emb_enc_path):
+        with emb_mod.arrow_batch(spark):
+            emb_mod.encode_embeddings(emb_df).write.mode("overwrite").parquet(
+                emb_enc_path
+            )
+    emb_enc = spark.read.parquet(emb_enc_path)
+    timed(
+        "q_embedding_decode",
+        lambda: emb_mod.embedding_digest_encoded(emb_enc).collect(),
+    )
+
     # ---- star-schema + pipeline queries at the sf dir
     import __spark_entry__ as entry_mod
 
