@@ -439,7 +439,9 @@ def cosine_topk_encoded(
     )
 
 
-def embedding_table(spark, n_vecs: int, dim: int = 64, seed: int = 42) -> DataFrame:
+def embedding_table(
+    spark, n_vecs: int, dim: int = 64, seed: int = 42, partitions: int | None = None
+) -> DataFrame:
     """Deterministic synthetic embedding table for scale benchmarks —
     vectors are a pure function of (seed, vec_id) regardless of
     partitioning (Philox counter RNG keyed per row), the same
@@ -476,4 +478,8 @@ def embedding_table(spark, n_vecs: int, dim: int = 64, seed: int = 42) -> DataFr
                 [pa.array(ids, pa.int64()), arr], ["vec_id", "embedding"]
             )
 
-    return spark.range(n_vecs).mapInArrow(gen, EMB_SCHEMA)
+    # explicit split count: a 1-core generator session would otherwise
+    # write ONE parquet file, serializing every later reader regardless
+    # of its core count (~8 MB of vectors per split)
+    parts = partitions or max(32, (n_vecs * dim * 4) >> 23)
+    return spark.range(0, n_vecs, numPartitions=parts).mapInArrow(gen, EMB_SCHEMA)

@@ -52,8 +52,34 @@ spark.stop()
 """
 
 
-def run_level(cores: int, path: str, docs: int, pin: bool) -> tuple[int, float]:
-    cmd = [sys.executable, "-c", RUNNER, str(cores), path, str(docs)]
+EMB_RUNNER = r"""
+import sys, time, os
+from pyspark.sql import functions as F
+from archive_spark.session import get_spark
+from archive_spark import embeddings as emb
+
+cores = int(sys.argv[1]); path = sys.argv[2]; n_vecs = int(sys.argv[3])
+spark = get_spark(cores=cores, driver_memory="24g")
+with emb.arrow_batch(spark):
+    if not os.path.exists(path):
+        emb.embedding_table(spark, n_vecs, dim=64, seed=42).write.mode(
+            "overwrite").parquet(path)
+    df = spark.read.parquet(path)
+    emb.encode_embeddings(df.limit(20000)).agg(F.sum("enc_bytes")).collect()
+    best = 1e9
+    for _ in range(2):
+        t0 = time.perf_counter()
+        emb.encode_embeddings(df).agg(F.sum("enc_bytes")).collect()
+        best = min(best, time.perf_counter() - t0)
+print(f"RESULT {n_vecs * 64} {best:.3f}")  # unit: floats (4 B each)
+spark.stop()
+"""
+
+
+def run_level(
+    cores: int, path: str, docs: int, pin: bool, runner: str = RUNNER
+) -> tuple[int, float]:
+    cmd = [sys.executable, "-c", runner, str(cores), path, str(docs)]
     if pin and shutil.which("taskset"):
         # Pin to the TOP of the core range: the low cores service the
         # VM's interrupts/housekeeping (measured: the same 4-core encode
@@ -81,15 +107,22 @@ def main() -> None:
                     help="repeat each level this many times (interleaved "
                     "across levels to decorrelate machine drift), keep best")
     ap.add_argument("--no-pin", action="store_true")
+    ap.add_argument("--embeddings", action="store_true",
+                    help="scale the float lane instead (docs = n_vecs; "
+                    "throughput unit = values/s where a value is one float)")
     args = ap.parse_args()
 
-    path = f"/tmp/spark_graft_scaling/{args.docs}"
+    runner = EMB_RUNNER if args.embeddings else RUNNER
+    kind = "emb" if args.embeddings else "tok"
+    path = f"/tmp/spark_graft_scaling/{kind}-{args.docs}"
     levels = sorted({int(c) for p in args.pairs.split(",") for c in p.split(":")})
     tps: dict[int, float] = {}
     n_tokens = 0
     for rep in range(args.reps):
         for c in levels:
-            n_tokens, wall = run_level(c, path, args.docs, pin=not args.no_pin)
+            n_tokens, wall = run_level(
+                c, path, args.docs, pin=not args.no_pin, runner=runner
+            )
             cur = n_tokens / wall
             tps[c] = max(tps.get(c, 0.0), cur)
             print(
@@ -109,7 +142,9 @@ def main() -> None:
             }
         )
     result = {
-        "metric": "encode_scaling_efficiency",
+        "metric": "emb_encode_scaling_efficiency"
+        if args.embeddings
+        else "encode_scaling_efficiency",
         "n_tokens": n_tokens,
         "pinned": not args.no_pin and shutil.which("taskset") is not None,
         "levels_tokens_per_sec": {str(c): int(v) for c, v in tps.items()},
