@@ -258,6 +258,19 @@ def decode_embeddings(df_encoded: DataFrame) -> DataFrame:
     ).mapInArrow(_dec_batches, EMB_SCHEMA)
 
 
+def decode_vec_range(df_encoded: DataFrame, lo: int, hi: int) -> DataFrame:
+    """Targeted decode of a vec_id range: block pruning on the
+    [vec_min, vec_max] zone maps happens BEFORE the opaque decode UDF
+    (the one pushdown Catalyst cannot do for us — same shape as
+    engine.decode_token_range), then an exact post-filter."""
+    pruned = df_encoded.where(
+        (F.col("vec_min") <= F.lit(int(hi))) & (F.col("vec_max") >= F.lit(int(lo)))
+    )
+    return decode_embeddings(pruned).where(
+        F.col("vec_id").between(int(lo), int(hi))
+    )
+
+
 def embedding_codec_histogram(df_encoded: DataFrame) -> DataFrame:
     """Per-codec block/vector/byte totals — the float-column analogue of
     analytics.codec_histogram."""

@@ -288,6 +288,25 @@ def test_streaming_embedding_encode_into_snapshot_table(spark, tmp_path):
     assert E.decode_embeddings(T.read(spark, tdir)).count() == 300
 
 
+def test_decode_vec_range_prunes_before_udf(spark):
+    from archive_spark import embeddings as E
+
+    syn = E.embedding_table(spark, 2000, dim=16, seed=2).repartitionByRange(
+        8, "vec_id"
+    ).sortWithinPartitions("vec_id")
+    enc = E.encode_embeddings(syn, target_block_floats=1 << 12).cache()
+    out = E.decode_vec_range(enc, 100, 120)
+    rows = sorted(r.vec_id for r in out.collect())
+    assert rows == list(range(100, 121))
+    # the vec_min/vec_max zone filter must sit below (execute before)
+    # the Python mapInArrow barrier — plans print top-down from output
+    # to scan, so the zone filter appears AFTER the UDF node in text
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    udf_pos = plan.index("MapInArrow")
+    assert plan.index("vec_min", udf_pos) > udf_pos, plan
+    enc.unpersist()
+
+
 def test_embedding_digest_gates_roundtrip(spark):
     from archive_spark import embeddings as E
 
