@@ -1,0 +1,110 @@
+"""Python DataSource face (spark.read.format("archive_embeddings")):
+end-to-end correctness through Spark's scan planning, the pushdown
+pruning machinery unit-tested on the reader, and the measured Spark
+scan-info caching behavior pinned so the usage contract stays honest.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from archive_spark import datasource as D
+
+
+@pytest.fixture(scope="module")
+def emb_table(spark, tmp_path_factory):
+    from archive_spark import embeddings as E, table as T
+
+    tdir = str(tmp_path_factory.mktemp("ds") / "emb_table")
+    syn = E.embedding_table(spark, 2000, dim=16, seed=8).repartitionByRange(
+        8, "vec_id"
+    ).sortWithinPartitions("vec_id")
+    T.commit(E.encode_embeddings(syn, target_block_floats=1 << 11), tdir)
+    D.register(spark)
+    return tdir
+
+
+def _load(spark, tdir):
+    return spark.read.format("archive_embeddings").option("path", tdir).load()
+
+
+def test_datasource_full_scan(spark, emb_table):
+    df = _load(spark, emb_table)
+    assert df.count() == 2000
+    assert df.schema.simpleString() == (
+        "struct<vec_id:bigint,embedding:array<float>>"
+    )
+
+
+def test_datasource_filtered_read_exact(spark, emb_table):
+    from archive_spark import embeddings as E
+
+    sub = _load(spark, emb_table).where("vec_id >= 100 AND vec_id <= 120")
+    rows = {r.vec_id: r.embedding for r in sub.collect()}
+    assert sorted(rows) == list(range(100, 121))
+    expect = {
+        r.vec_id: r.embedding
+        for r in E.embedding_table(spark, 2000, dim=16, seed=8)
+        .where("vec_id between 100 and 120")
+        .collect()
+    }
+    assert rows == expect
+
+
+def test_datasource_sql_face(spark, emb_table):
+    _load(spark, emb_table).createOrReplaceTempView("emb_ds")
+    got = spark.sql(
+        "SELECT count(*) AS n, sum(size(embedding)) AS d FROM emb_ds "
+        "WHERE vec_id < 10"
+    ).collect()[0]
+    assert (got.n, got.d) == (10, 160)
+
+
+def test_reader_prunes_files_from_pushed_filters(spark, emb_table):
+    from pyspark.sql.datasource import GreaterThanOrEqual, LessThanOrEqual
+
+    r = D.ArchiveEmbeddingsReader({"path": emb_table})
+    all_parts = r.partitions()
+    assert len(all_parts) >= 4
+
+    r2 = D.ArchiveEmbeddingsReader({"path": emb_table})
+    leftover = list(
+        r2.pushFilters(
+            [
+                GreaterThanOrEqual(("vec_id",), 100),
+                LessThanOrEqual(("vec_id",), 120),
+            ]
+        )
+    )
+    assert len(leftover) == 2  # everything handed back: pruning only
+    pruned = r2.partitions()
+    assert 0 < len(pruned) < len(all_parts)
+    got = []
+    for p in pruned:
+        for rb in r2.read(p):
+            got.extend(rb.column("vec_id").to_pylist())
+    assert set(range(100, 121)) <= set(got)
+
+    # consume-once: a following partitions() without pushFilters must
+    # NOT inherit the previous query's pruning
+    assert len(r2.partitions()) == len(all_parts)
+
+
+def test_spark_caches_scan_info_per_load(spark, emb_table):
+    """Pins the measured Spark 4.1 behavior that motivates the
+    one-load-per-query contract: a reused DataFrame can silently reuse
+    the previous filtered query's pruned partitions.  If this test ever
+    FAILS, Spark fixed the caching and the contract can be relaxed."""
+    df = _load(spark, emb_table)
+    assert df.count() == 2000
+    assert df.where("vec_id < 50").count() == 50
+    stale = df.count()
+    fresh = _load(spark, emb_table).count()
+    assert fresh == 2000
+    if stale == 2000:
+        pytest.fail(
+            "Spark no longer caches python-datasource scan info across "
+            "queries — relax the one-load-per-query contract in "
+            "archive_spark/datasource.py"
+        )
