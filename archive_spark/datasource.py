@@ -198,9 +198,125 @@ class ArchiveEmbeddingsReader(DataSourceReader):
             )
 
 
+TOK_READ_SCHEMA = "doc_id string, tokens array<int>, n_tok int, source string"
+
+
+class ArchiveTokensDataSource(DataSource):
+    """format("archive_tokens"): decoded token documents out of an
+    encoded snapshot table (engine.encode + table.commit)."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "archive_tokens"
+
+    def schema(self) -> str:
+        return TOK_READ_SCHEMA
+
+    def reader(self, schema) -> "ArchiveTokensReader":
+        return ArchiveTokensReader(self.options)
+
+
+class ArchiveTokensReader(DataSourceReader):
+    """Same pruning contract as the embeddings reader, over string
+    doc_id zone maps (doc_min/doc_max manifest stats)."""
+
+    def __init__(self, options):
+        self.table_dir = options.get("path")
+        if not self.table_dir:
+            raise ValueError("archive_tokens requires .option('path', table_dir)")
+        self.snapshot = options.get("snapshot")
+        self.lo: str | None = None
+        self.hi: str | None = None
+
+    def pushFilters(self, filters):
+        self.lo = None
+        self.hi = None
+        filters = list(filters)
+        _trace(f"tok pushFilters id={id(self)} n={len(filters)}")
+        for f in filters:
+            try:
+                if _attr_name(f) == "doc_id":
+                    if isinstance(f, EqualTo):
+                        v = str(f.value)
+                        self.lo = v if self.lo is None else max(self.lo, v)
+                        self.hi = v if self.hi is None else min(self.hi, v)
+                    elif isinstance(f, (GreaterThan, GreaterThanOrEqual)):
+                        v = str(f.value)
+                        self.lo = v if self.lo is None else max(self.lo, v)
+                    elif isinstance(f, (LessThan, LessThanOrEqual)):
+                        v = str(f.value)
+                        self.hi = v if self.hi is None else min(self.hi, v)
+                    elif isinstance(f, In):
+                        vs = [str(v) for v in f.values]
+                        if vs:
+                            lo, hi = min(vs), max(vs)
+                            self.lo = lo if self.lo is None else max(self.lo, lo)
+                            self.hi = hi if self.hi is None else min(self.hi, hi)
+            except (TypeError, ValueError):
+                pass
+            yield f
+
+    def partitions(self):
+        from . import table as snap_table
+
+        lo, hi = self.lo, self.hi
+        self.lo = None
+        self.hi = None
+        _trace(f"tok partitions id={id(self)} lo={lo} hi={hi}")
+        snap = self.snapshot or snap_table.current_snapshot_id(self.table_dir)
+        if snap is None:
+            raise FileNotFoundError(f"no published snapshot under {self.table_dir}")
+        prune: dict = {}
+        if hi is not None:
+            prune["doc_min"] = (None, hi)
+        if lo is not None:
+            prune["doc_max"] = (lo, None)
+        files = snap_table.select_files(self.table_dir, snap, prune or None)
+        return [
+            InputPartition((os.path.join(self.table_dir, f), lo, hi))
+            for f in files
+        ]
+
+    def read(self, partition) -> Iterator:
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from .codecs import kernels
+
+        path, lo, hi = partition.value
+        tbl = pq.read_table(
+            path,
+            columns=["source", "doc_ids", "doc_min", "doc_max",
+                     "payload", "lengths_payload"],
+        )
+        for row in tbl.to_pylist():
+            if lo is not None and row["doc_max"] < lo:
+                continue
+            if hi is not None and row["doc_min"] > hi:
+                continue
+            flat = kernels.decode(row["payload"])
+            lens = kernels.decode(row["lengths_payload"]).astype(np.int64)
+            offsets = np.concatenate(([0], np.cumsum(lens)))
+            tokens = pa.ListArray.from_arrays(
+                pa.array(offsets, pa.int32()), pa.array(flat, pa.int32())
+            )
+            n = len(row["doc_ids"])
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(row["doc_ids"], pa.string()),
+                    tokens,
+                    pa.array(lens.astype(np.int32), pa.int32()),
+                    pa.array([row["source"]] * n, pa.string()),
+                ],
+                ["doc_id", "tokens", "n_tok", "source"],
+            )
+
+
 def register(spark) -> None:
     """Register all archive_spark data sources on a session (and enable
     Python filter pushdown — Spark errors on a pushFilters-implementing
     reader when the conf is off)."""
     spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     spark.dataSource.register(ArchiveEmbeddingsDataSource)
+    spark.dataSource.register(ArchiveTokensDataSource)

@@ -108,3 +108,59 @@ def test_spark_caches_scan_info_per_load(spark, emb_table):
             "queries — relax the one-load-per-query contract in "
             "archive_spark/datasource.py"
         )
+
+
+@pytest.fixture(scope="module")
+def tok_table(spark, tmp_path_factory):
+    from archive_spark import engine, table as T
+    from archive_spark.pipeline_ops import tokenize_documents
+
+    tdir = str(tmp_path_factory.mktemp("ds") / "tok_table")
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    toks = tokenize_documents(docs).repartitionByRange(4, "doc_id").sortWithinPartitions("doc_id")
+    T.commit(engine.encode(toks, target_block_values=1 << 13), tdir)
+    D.register(spark)
+    return tdir
+
+
+def test_tokens_datasource_full_and_filtered(spark, tok_table):
+    from archive_spark.pipeline_ops import tokenize_documents
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    expect = {r.doc_id: r.tokens for r in tokenize_documents(docs).collect()}
+
+    def load():
+        return spark.read.format("archive_tokens").option("path", tok_table).load()
+
+    assert load().count() == len(expect)
+    some = sorted(expect)[5]
+    got = load().where(F.col("doc_id") == some).collect()
+    assert len(got) == 1
+    assert got[0].tokens == expect[some]
+    assert got[0].n_tok == len(expect[some])
+
+    lo, hi = sorted(expect)[10], sorted(expect)[20]
+    sub = {r.doc_id: r.tokens for r in load().where(
+        (F.col("doc_id") >= lo) & (F.col("doc_id") <= hi)).collect()}
+    assert sub == {d: t for d, t in expect.items() if lo <= d <= hi}
+
+
+def test_tokens_reader_prunes_files(spark, tok_table):
+    from pyspark.sql.datasource import EqualTo
+
+    r = D.ArchiveTokensReader({"path": tok_table})
+    all_parts = r.partitions()
+    assert len(all_parts) >= 3
+    r2 = D.ArchiveTokensReader({"path": tok_table})
+    from archive_spark import table as T
+
+    # pick a real doc id out of the manifest stats
+    snap = T.read_manifest(tok_table, T.current_snapshot_id(tok_table))
+    some_min = sorted(
+        st["columns"]["doc_min"][0]
+        for st in snap.stats.values()
+        if "doc_min" in st.get("columns", {})
+    )[0]
+    list(r2.pushFilters([EqualTo(("doc_id",), some_min)]))
+    pruned = r2.partitions()
+    assert 0 < len(pruned) < len(all_parts)
