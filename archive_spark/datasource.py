@@ -227,15 +227,19 @@ class ArchiveTokensReader(DataSourceReader):
         self.snapshot = options.get("snapshot")
         self.lo: str | None = None
         self.hi: str | None = None
+        self.src: str | None = None
 
     def pushFilters(self, filters):
         self.lo = None
         self.hi = None
+        self.src = None
         filters = list(filters)
         _trace(f"tok pushFilters id={id(self)} n={len(filters)}")
         for f in filters:
             try:
-                if _attr_name(f) == "doc_id":
+                if _attr_name(f) == "source" and isinstance(f, EqualTo):
+                    self.src = str(f.value)
+                elif _attr_name(f) == "doc_id":
                     if isinstance(f, EqualTo):
                         v = str(f.value)
                         self.lo = v if self.lo is None else max(self.lo, v)
@@ -259,10 +263,11 @@ class ArchiveTokensReader(DataSourceReader):
     def partitions(self):
         from . import table as snap_table
 
-        lo, hi = self.lo, self.hi
+        lo, hi, src = self.lo, self.hi, self.src
         self.lo = None
         self.hi = None
-        _trace(f"tok partitions id={id(self)} lo={lo} hi={hi}")
+        self.src = None
+        _trace(f"tok partitions id={id(self)} lo={lo} hi={hi} src={src}")
         snap = self.snapshot or snap_table.current_snapshot_id(self.table_dir)
         if snap is None:
             raise FileNotFoundError(f"no published snapshot under {self.table_dir}")
@@ -271,6 +276,10 @@ class ArchiveTokensReader(DataSourceReader):
             prune["doc_min"] = (None, hi)
         if lo is not None:
             prune["doc_max"] = (lo, None)
+        if src is not None:
+            # source is a top-level string column: its per-file [min,max]
+            # prunes single-source files outside the predicate
+            prune["source"] = (src, src)
         files = snap_table.select_files(self.table_dir, snap, prune or None)
         return [
             InputPartition((os.path.join(self.table_dir, f), lo, hi))

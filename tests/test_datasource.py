@@ -164,3 +164,15 @@ def test_tokens_reader_prunes_files(spark, tok_table):
     list(r2.pushFilters([EqualTo(("doc_id",), some_min)]))
     pruned = r2.partitions()
     assert 0 < len(pruned) < len(all_parts)
+
+
+def test_tokens_source_pushdown(spark, tok_table):
+    def load():
+        return spark.read.format("archive_tokens").option("path", tok_table).load()
+
+    from archive_spark.pipeline_ops import tokenize_documents
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    expect = tokenize_documents(docs).where("source = 'src0'").count()
+    got = load().where("source = 'src0'").count()
+    assert got == expect
