@@ -31,8 +31,11 @@ from __future__ import annotations
 import os
 from typing import Iterator
 
+from dataclasses import dataclass
+
 from pyspark.sql.datasource import (
     DataSource,
+    DataSourceArrowWriter,
     DataSourceReader,
     EqualTo,
     GreaterThan,
@@ -41,6 +44,7 @@ from pyspark.sql.datasource import (
     InputPartition,
     LessThan,
     LessThanOrEqual,
+    WriterCommitMessage,
 )
 
 EMB_READ_SCHEMA = "vec_id long, embedding array<float>"
@@ -60,6 +64,78 @@ class ArchiveEmbeddingsDataSource(DataSource):
 
     def reader(self, schema) -> "ArchiveEmbeddingsReader":
         return ArchiveEmbeddingsReader(self.options)
+
+    def writer(self, schema, overwrite: bool) -> "ArchiveEmbeddingsWriter":
+        names = set(schema.fieldNames())
+        if not {"vec_id", "embedding"} <= names:
+            raise ValueError(
+                "archive_embeddings writes require (vec_id, embedding) "
+                f"columns, got {sorted(names)}"
+            )
+        return ArchiveEmbeddingsWriter(self.options, overwrite)
+
+
+@dataclass
+class _ShardCommit(WriterCommitMessage):
+    rel_path: str | None = None
+
+
+class ArchiveEmbeddingsWriter(DataSourceArrowWriter):
+    """df.write.format("archive_embeddings"): each task encodes its
+    Arrow batches into float blocks and writes one shard parquet under
+    the snapshot's own data dir; commit() publishes ONE atomic manifest
+    over all shards (table.commit_existing O_EXCL contract) — a crash
+    before commit leaves only an unreferenced data dir, invisible to
+    readers and vacuumable."""
+
+    def __init__(self, options, overwrite: bool):
+        import uuid
+
+        self.table_dir = options.get("path")
+        if not self.table_dir:
+            raise ValueError("archive_embeddings requires .option('path', table_dir)")
+        self.mode = "overwrite" if overwrite else "append"
+        self.block_floats = int(options.get("block_floats") or (1 << 21))
+        self.snapshot_id = uuid.uuid4().hex[:16]
+
+    def write(self, iterator) -> _ShardCommit:
+        import uuid
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from .embeddings import _make_emb_encoder
+
+        enc = _make_emb_encoder(self.block_floats)
+        batches = list(enc(iterator))
+        if not batches:
+            return _ShardCommit(None)
+        rel = f"data/{self.snapshot_id}/part-{uuid.uuid4().hex[:12]}.parquet"
+        path = os.path.join(self.table_dir, rel)
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        pq.write_table(pa.Table.from_batches(batches), path)
+        return _ShardCommit(rel)
+
+    def commit(self, messages):
+        from . import table as snap_table
+        from .embeddings import ENC_EMB_SIMPLE
+
+        files = [m.rel_path for m in messages if m and m.rel_path]
+        snap_table.commit_existing(
+            self.table_dir,
+            files,
+            schema=ENC_EMB_SIMPLE,
+            mode=self.mode,
+            snapshot_id=self.snapshot_id,
+        )
+
+    def abort(self, messages):
+        import shutil
+
+        shutil.rmtree(
+            os.path.join(self.table_dir, "data", self.snapshot_id),
+            ignore_errors=True,
+        )
 
 
 def _trace(msg: str) -> None:

@@ -35,6 +35,15 @@ ENC_EMB_SCHEMA = (
     "ids_payload binary, payload binary"
 )
 
+# simpleString form of ENC_EMB_SCHEMA — what table.commit records; kept
+# as a literal so snapshot commits work without an active SparkSession
+# (the DataSource writer's commit() runs in the bare Python runner)
+ENC_EMB_SIMPLE = (
+    "struct<block_id:string,vec_min:bigint,vec_max:bigint,n_vecs:int,"
+    "dim:int,codec:string,ids_codec:string,raw_bytes:bigint,"
+    "enc_bytes:bigint,ids_payload:binary,payload:binary>"
+)
+
 DEFAULT_BLOCK_FLOATS = 1 << 21  # ~8 MiB of raw float32 per block
 
 # the session default (8192 rows, tuned for ~200-token documents) feeds

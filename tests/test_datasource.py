@@ -176,3 +176,52 @@ def test_tokens_source_pushdown(spark, tok_table):
     expect = tokenize_documents(docs).where("source = 'src0'").count()
     got = load().where("source = 'src0'").count()
     assert got == expect
+
+
+def test_embeddings_writer_roundtrip_and_append(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from archive_spark import embeddings as E, table as T
+
+    D.register(spark)
+    tdir = str(tmp_path / "wt")
+    syn = E.embedding_table(spark, 1500, dim=16, seed=6)
+    syn.write.format("archive_embeddings").option("path", tdir).option(
+        "block_floats", str(1 << 11)
+    ).mode("overwrite").save()
+
+    back = spark.read.format("archive_embeddings").option("path", tdir).load()
+    assert back.count() == 1500
+    d1 = tuple(E.embedding_digest(syn).collect()[0])
+    d2 = tuple(E.embedding_digest(back).collect()[0])
+    assert d1 == d2  # bitwise content identity through write->read
+
+    more = E.embedding_table(spark, 100, dim=16, seed=7).withColumn(
+        "vec_id", F.col("vec_id") + 10_000
+    )
+    more.write.format("archive_embeddings").option("path", tdir).mode(
+        "append"
+    ).save()
+    assert (
+        spark.read.format("archive_embeddings").option("path", tdir).load().count()
+        == 1600
+    )
+    assert len(T.snapshots(tdir)) == 2
+    # time travel: the first snapshot still reads as 1500
+    first = T.snapshots(tdir)[0].snapshot_id
+    old = (
+        spark.read.format("archive_embeddings")
+        .option("path", tdir)
+        .option("snapshot", first)
+        .load()
+    )
+    assert old.count() == 1500
+
+
+def test_embeddings_writer_rejects_bad_schema(spark, tmp_path):
+    D.register(spark)
+    df = spark.range(5).withColumnRenamed("id", "x")
+    with pytest.raises(Exception, match="vec_id|embedding|PYTHON_DATA_SOURCE"):
+        df.write.format("archive_embeddings").option(
+            "path", str(tmp_path / "bad")
+        ).mode("overwrite").save()
