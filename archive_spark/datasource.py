@@ -37,6 +37,7 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceArrowWriter,
     DataSourceReader,
+    DataSourceStreamReader,
     EqualTo,
     GreaterThan,
     GreaterThanOrEqual,
@@ -277,6 +278,44 @@ class ArchiveEmbeddingsReader(DataSourceReader):
 TOK_READ_SCHEMA = "doc_id string, tokens array<int>, n_tok int, source string"
 
 
+def _read_token_blocks(partition) -> Iterator:
+    """Decode one encoded-table parquet file into document batches —
+    shared by the batch and streaming token readers."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from .codecs import kernels
+
+    path, lo, hi = partition.value
+    tbl = pq.read_table(
+        path,
+        columns=["source", "doc_ids", "doc_min", "doc_max",
+                 "payload", "lengths_payload"],
+    )
+    for row in tbl.to_pylist():
+        if lo is not None and row["doc_max"] < lo:
+            continue
+        if hi is not None and row["doc_min"] > hi:
+            continue
+        flat = kernels.decode(row["payload"])
+        lens = kernels.decode(row["lengths_payload"]).astype(np.int64)
+        offsets = np.concatenate(([0], np.cumsum(lens)))
+        tokens = pa.ListArray.from_arrays(
+            pa.array(offsets, pa.int32()), pa.array(flat, pa.int32())
+        )
+        n = len(row["doc_ids"])
+        yield pa.RecordBatch.from_arrays(
+            [
+                pa.array(row["doc_ids"], pa.string()),
+                tokens,
+                pa.array(lens.astype(np.int32), pa.int32()),
+                pa.array([row["source"]] * n, pa.string()),
+            ],
+            ["doc_id", "tokens", "n_tok", "source"],
+        )
+
+
 class ArchiveTokensDataSource(DataSource):
     """format("archive_tokens"): decoded token documents out of an
     encoded snapshot table (engine.encode + table.commit)."""
@@ -290,6 +329,9 @@ class ArchiveTokensDataSource(DataSource):
 
     def reader(self, schema) -> "ArchiveTokensReader":
         return ArchiveTokensReader(self.options)
+
+    def streamReader(self, schema) -> "ArchiveTokensStreamReader":
+        return ArchiveTokensStreamReader(self.options)
 
 
 class ArchiveTokensReader(DataSourceReader):
@@ -363,39 +405,62 @@ class ArchiveTokensReader(DataSourceReader):
         ]
 
     def read(self, partition) -> Iterator:
-        import numpy as np
-        import pyarrow as pa
-        import pyarrow.parquet as pq
+        return _read_token_blocks(partition)
 
-        from .codecs import kernels
 
-        path, lo, hi = partition.value
-        tbl = pq.read_table(
-            path,
-            columns=["source", "doc_ids", "doc_min", "doc_max",
-                     "payload", "lengths_payload"],
-        )
-        for row in tbl.to_pylist():
-            if lo is not None and row["doc_max"] < lo:
-                continue
-            if hi is not None and row["doc_min"] > hi:
-                continue
-            flat = kernels.decode(row["payload"])
-            lens = kernels.decode(row["lengths_payload"]).astype(np.int64)
-            offsets = np.concatenate(([0], np.cumsum(lens)))
-            tokens = pa.ListArray.from_arrays(
-                pa.array(offsets, pa.int32()), pa.array(flat, pa.int32())
-            )
-            n = len(row["doc_ids"])
-            yield pa.RecordBatch.from_arrays(
-                [
-                    pa.array(row["doc_ids"], pa.string()),
-                    tokens,
-                    pa.array(lens.astype(np.int32), pa.int32()),
-                    pa.array([row["source"]] * n, pa.string()),
-                ],
-                ["doc_id", "tokens", "n_tok", "source"],
-            )
+class ArchiveTokensStreamReader(DataSourceStreamReader):
+    """Structured-Streaming face of an encoded snapshot table: offsets
+    are the table's own commit timestamps, each micro-batch decodes
+    exactly the files ADDED by snapshots in (start, end] (append-lineage
+    CDC, the same delta rule as table.read_changes) — so a streaming
+    consumer processes every appended file exactly once, across
+    restarts, off the table's native lineage instead of a directory
+    listing."""
+
+    def __init__(self, options):
+        self.table_dir = options.get("path")
+        if not self.table_dir:
+            raise ValueError("archive_tokens stream requires .option('path', dir)")
+
+    def _snaps(self):
+        from . import table as snap_table
+
+        return snap_table.snapshots(self.table_dir)
+
+    def initialOffset(self) -> dict:
+        return {"ts_us": 0}
+
+    def latestOffset(self) -> dict:
+        snaps = self._snaps()
+        return {"ts_us": snaps[-1].ts_us if snaps else 0}
+
+    def partitions(self, start: dict, end: dict):
+        lo, hi = start["ts_us"], end["ts_us"]
+        seen: set = set()
+        parts = []
+        prev_files: set = set()
+        for s in self._snaps():
+            added = [f for f in s.files if f not in prev_files]
+            prev_files = set(s.files)
+            if lo < s.ts_us <= hi:
+                for f in added:
+                    if f not in seen:
+                        seen.add(f)
+                        parts.append(
+                            InputPartition(
+                                (os.path.join(self.table_dir, f), None, None)
+                            )
+                        )
+        return parts
+
+    def read(self, partition):
+        return _read_token_blocks(partition)
+
+    def commit(self, end: dict) -> None:
+        pass  # offsets are durable in the table's manifests
+
+    def stop(self) -> None:
+        pass
 
 
 def register(spark) -> None:

@@ -225,3 +225,46 @@ def test_embeddings_writer_rejects_bad_schema(spark, tmp_path):
         df.write.format("archive_embeddings").option(
             "path", str(tmp_path / "bad")
         ).mode("overwrite").save()
+
+
+def test_tokens_stream_source_exactly_once_per_append(spark, tmp_path):
+    from archive_spark import engine, table as T
+    from archive_spark.pipeline_ops import tokenize_documents
+
+    D.register(spark)
+    tdir = str(tmp_path / "tok")
+    out_dir, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    toks = tokenize_documents(docs).cache()
+    n = toks.count()
+    half = toks.limit(n // 2)
+    T.commit(engine.encode(half, target_block_values=1 << 13), tdir)
+
+    def run_once():
+        s = spark.readStream.format("archive_tokens").option("path", tdir).load()
+        q = (
+            s.writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    run_once()
+    assert spark.read.parquet(out_dir).count() == n // 2
+
+    T.commit(
+        engine.encode(toks.subtract(half), target_block_values=1 << 13),
+        tdir,
+        mode="append",
+    )
+    run_once()
+    out = spark.read.parquet(out_dir)
+    assert out.count() == n
+    assert out.select("doc_id").distinct().count() == n  # no replays
+
+    # a third run with nothing new appends nothing
+    run_once()
+    assert spark.read.parquet(out_dir).count() == n
+    toks.unpersist()
