@@ -1722,6 +1722,38 @@ _README_USABILITY_ORACLE = (
 )
 
 
+def _q_datasource_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Python DataSource read face end-to-end: encode the corpus
+    into a snapshot table, mount it via
+    spark.read.format('archive_tokens'), and aggregate per source —
+    the oracle recomputes from the plain documents, so a decode bug,
+    a dropped block or a double-read through the DataSource all
+    mismatch."""
+    import tempfile
+
+    from archive_spark import datasource, engine, table as T
+
+    base = os.path.basename(sf_dir.rstrip("/"))
+    tdir = f"/tmp/archive_spark_dsq/{base}/tok_table"
+    toks = _tokens(spark, sf_dir)
+    _persist(toks, "dsq_tokens", sf_dir)
+    if T.current_snapshot_id(tdir) is None:
+        T.commit(engine.encode(toks, target_block_values=1 << 14), tdir)
+    datasource.register(spark)
+    df = spark.read.format("archive_tokens").option("path", tdir).load()
+    return (
+        df.groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("n_tok").cast("bigint").alias("n_tokens"),
+            F.sum(F.expr("aggregate(tokens, 0L, (a, t) -> a + t)"))
+            .cast("bigint")
+            .alias("token_sum"),
+        )
+        .orderBy("source")
+    )
+
+
 def _q_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Temperature-alpha source flattening (mT5/CC100-style downsample):
     rates derive from the observed histogram driver-side; the derived
@@ -1893,6 +1925,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_codec_mix": _q_embedding_codec_mix,
         "embedding_roundtrip": _q_embedding_roundtrip,
         "ann_encoded": _q_ann_encoded,
+        "datasource_tokens": _q_datasource_tokens,
         "temperature_mix": _q_temperature_mix,
         "corpus_shuffle": _q_corpus_shuffle,
         "token_budget": _q_token_budget,
@@ -2332,6 +2365,13 @@ def oracle_sql() -> dict[str, str]:
             "ROW_NUMBER() OVER (ORDER BY p_ppm DESC, c_abc DESC, token)"
             "::INT AS rank FROM scored "
             "ORDER BY p_ppm DESC, c_abc DESC, token LIMIT 100"
+        ),
+        "datasource_tokens": (
+            "SELECT source, count(*)::BIGINT AS n_docs, "
+            "SUM(n_tok)::BIGINT AS n_tokens, "
+            "SUM(list_aggregate(tokens, 'sum'))::BIGINT AS token_sum "
+            f"FROM read_parquet('{_opath('dsq_tokens')}') "
+            "GROUP BY source ORDER BY source"
         ),
         "temperature_mix": (
             "WITH cuts AS (SELECT source, cut "
