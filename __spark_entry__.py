@@ -552,6 +552,35 @@ def _q_dedup_embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFram
     return lsh_n.crossJoin(exact_n)
 
 
+def _q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): k-means over the embedding space,
+    then within-cluster integer-cosine dup removal.  Both stages run in
+    exact integer space (int8 vectors × int32 centroids; scores are
+    exact-int dots over correctly-rounded sqrts — bit-identical doubles
+    on every engine), so the DuckDB oracle independently REPLAYS the
+    cell argmax, the pair threshold, and the connected components (via a
+    recursive CTE — a different algorithm than Spark's min-label
+    propagation) from the persisted quantized vectors + centroids.
+    Threshold 0.35 suits the synthetic corpus (real embedding dups sit
+    ~0.9+); the choice doesn't affect the cross-engine contract."""
+    from archive_spark.pipeline_ops import semdedup, semdedup_assign
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    assigned, Cq = semdedup_assign(emb, n_clusters=8, iters=2, seed=42)
+    apath = _persist(assigned, "semdedup_assign", sf_dir)
+    cent = spark.createDataFrame(
+        [(i, [int(x) for x in row]) for i, row in enumerate(Cq)],
+        "cell int, cvec array<int>",
+    )
+    _persist(cent, "semdedup_centroids", sf_dir)
+    out = semdedup(spark.read.parquet(apath), threshold=0.35)
+    return out.select(
+        F.col("vec_id").cast("bigint").alias("vec_id"),
+        F.col("cell").cast("int").alias("cell"),
+        "kept",
+    ).orderBy("vec_id")
+
+
 def _q_decode_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CRC-verified decode under the driver signal (rezip.Test's
     ``unzip -t`` integrity pass, rezip/rezip.go:123-151): every block's
@@ -1902,6 +1931,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "part_stats": _q_part_stats,
         "supplier_nation": _q_supplier_nation,
         # -- new in round 4 --
+        "semdedup": _q_semdedup,
         "token_membership": _q_token_membership,
         "token_postings": _q_token_postings,
         "bm25_topk": _q_bm25_topk,
@@ -2058,6 +2088,44 @@ def oracle_sql() -> dict[str, str]:
             "FROM e a JOIN e b ON a.vec_id < b.vec_id "
             "WHERE list_cosine_similarity(a.v, b.v) >= 0.35 "
             "ORDER BY vec_a, vec_b"
+        ),
+        "semdedup": (
+            # full replay of SemDeDup downstream of centroid training:
+            # cell argmax (exact-int dot / rounded sqrt — bit-identical
+            # doubles), cell-size cap, within-cell pair threshold, and
+            # connected components via recursive CTE (vs Spark's
+            # min-label propagation).  Recomputing `cell` from the
+            # quantized vectors also validates Spark's GEMM assignment.
+            "WITH RECURSIVE "
+            f"q AS (SELECT vec_id, qembedding FROM read_parquet('{_opath('semdedup_assign')}')), "
+            f"c AS (SELECT cell AS ccell, cvec, sqrt(list_dot_product(cvec, cvec)) AS cn "
+            f"FROM read_parquet('{_opath('semdedup_centroids')}')), "
+            "scored AS (SELECT q.vec_id, c.ccell, "
+            "list_dot_product(q.qembedding, c.cvec) / c.cn AS score "
+            "FROM q CROSS JOIN c), "
+            "assign AS (SELECT vec_id, ccell AS cell FROM ("
+            "SELECT vec_id, ccell, ROW_NUMBER() OVER ("
+            "PARTITION BY vec_id ORDER BY score DESC, ccell) AS rn FROM scored) "
+            "WHERE rn = 1), "
+            "okcells AS (SELECT cell FROM assign GROUP BY cell "
+            "HAVING count(*) <= 65536), "
+            "nz AS (SELECT a.vec_id, a.cell, q.qembedding, "
+            "list_dot_product(q.qembedding, q.qembedding) AS n2 "
+            "FROM assign a JOIN q USING (vec_id) JOIN okcells o USING (cell) "
+            "WHERE list_dot_product(q.qembedding, q.qembedding) > 0), "
+            "p AS (SELECT x.vec_id AS doc_a, y.vec_id AS doc_b "
+            "FROM nz x JOIN nz y ON x.cell = y.cell AND x.vec_id < y.vec_id "
+            "WHERE list_dot_product(x.qembedding, y.qembedding) / "
+            "(sqrt(x.n2) * sqrt(y.n2)) >= 0.35), "
+            "edges AS (SELECT doc_a AS s, doc_b AS d FROM p "
+            "UNION SELECT doc_b, doc_a FROM p), "
+            "reach(id, lbl) AS (SELECT DISTINCT s, s FROM edges "
+            "UNION SELECT e.d, r.lbl FROM reach r JOIN edges e ON e.s = r.id), "
+            "comp AS (SELECT id, min(lbl) AS lbl FROM reach GROUP BY id) "
+            "SELECT a.vec_id::BIGINT AS vec_id, a.cell::INT AS cell, "
+            "(comp.lbl IS NULL OR a.vec_id = comp.lbl) AS kept "
+            "FROM assign a LEFT JOIN comp ON a.vec_id = comp.id "
+            "ORDER BY vec_id"
         ),
         "dedup_embedding_neardup_lsh": (
             "WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v "

@@ -2221,3 +2221,138 @@ def chunk_sequences(
         F.size("chunk").cast("int").alias("n_chunk"),
         "chunk",
     ).filter(F.col("n_chunk") >= int(min_len))
+
+
+def _int_cos(a, b):
+    """Exact-integer cosine as a double: ``idot(a,b) / (sqrt(idot(a,a)) *
+    sqrt(idot(b,b)))``.  Every dot product is an exact integer (< 2^53),
+    and IEEE-754 sqrt / multiply / divide are correctly rounded, so the
+    resulting double is BIT-IDENTICAL across Spark, numpy and DuckDB —
+    the cross-engine determinism trick that lets fp-looking similarity
+    thresholds participate in hash-exact oracles."""
+
+    def idot(x, y):
+        return F.aggregate(
+            F.zip_with(x, y, lambda u, v: u.cast("long") * v.cast("long")),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        )
+
+    return idot(a, b).cast("double") / (
+        F.sqrt(idot(a, a).cast("double")) * F.sqrt(idot(b, b).cast("double"))
+    )
+
+
+def semdedup_assign(
+    emb: DataFrame,
+    n_clusters: int = 8,
+    iters: int = 2,
+    seed: int = 42,
+):
+    """K-means cell assignment for SemDeDup, split so the expensive
+    corpus pass is reusable: returns ``(assigned_df, centroids_int)``.
+
+    Centroids train in float (``ivf_train_centroids`` — Lloyd spherical
+    k-means over a sample), then both sides of the assignment are pushed
+    into exact integer space: vectors int8-quantized (per-vector scale
+    cancels in argmax), centroids scaled to int32 (``round(c · 32767)``).
+    ``score(v, c) = idot(q_v, C_c) / sqrt(idot(C_c, C_c))`` is an exact
+    integer divided by a correctly-rounded sqrt — deterministic across
+    engines, so a SQL oracle can replay the argmax bit-exactly (ties
+    break to the lowest cell id both sides).
+
+    The assignment itself is one ``mapInArrow`` integer GEMM per Arrow
+    batch over the full corpus — the same single-pass shape as
+    ``ivf_ann``; at 100 TB this is the only full scan SemDeDup needs.
+    """
+    import pyarrow as pa
+    from typing import Iterator
+
+    C = ivf_train_centroids(emb, n_clusters, iters=iters, seed=seed)
+    Cq = np.round(C * 32767.0).astype(np.int64)  # unit-norm → |c| <= 32767
+    cn = np.sqrt((Cq * Cq).sum(axis=1).astype(np.float64))  # exact ints → sqrt
+
+    q = quantize_embeddings(emb)  # (vec_id, qembedding int8[], scale)
+
+    def assign(it: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in it:
+            n = batch.num_rows
+            lists = batch.column("qembedding")
+            X = np.asarray(lists.values, dtype=np.int64).reshape(n, -1)
+            scores = (X @ Cq.T).astype(np.float64) / cn  # exact dot / rounded sqrt
+            cell = np.argmax(scores, axis=1).astype(np.int32)  # ties → lowest cell
+            yield pa.RecordBatch.from_arrays(
+                [batch.column("vec_id"), batch.column("qembedding"),
+                 pa.array(cell, pa.int32())],
+                names=["vec_id", "qembedding", "cell"],
+            )
+
+    assigned = q.select("vec_id", "qembedding").mapInArrow(
+        assign, "vec_id long, qembedding array<tinyint>, cell int"
+    )
+    return assigned, Cq
+
+
+def semdedup(
+    assigned: DataFrame,
+    threshold: float = 0.9,
+    max_cell: int = 65536,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): drop semantically
+    near-identical items by k-means-clustering the embedding space and
+    removing within-cluster high-cosine duplicates — the curation step
+    between exact/MinHash dedup (surface text) and quality filtering.
+
+    Input is ``semdedup_assign``'s output.  Within each cell, pairs with
+    integer-cosine >= ``threshold`` (see :func:`_int_cos`) form a dup
+    graph; transitive components resolve through the same min-label
+    propagation as text near-dup (:func:`neardup_clusters`) and exactly
+    one member per component (min vec_id) is kept.  The paper keeps the
+    member farthest from the centroid; min-id is the deterministic
+    variant (the choice only affects WHICH duplicate survives, never how
+    many).
+
+    Scale posture: the pair join is per-cell all-pairs — the paper's own
+    cost model, bounded because n_clusters scales with the corpus (LAION
+    runs use ~100k cells).  Cells larger than ``max_cell`` are excluded
+    from pair generation (conservative: their members are all kept), the
+    same fat-bucket guard as ``lsh_distinct_pairs`` — at real scale you
+    raise n_clusters instead of paying a quadratic cell.
+
+    Output: one row per vector — ``(vec_id, cell, kept)``.
+    """
+    sizes = assigned.groupBy("cell").agg(F.count("*").alias("n_cell"))
+    ok = assigned.join(
+        F.broadcast(sizes.filter(F.col("n_cell") <= max_cell).select("cell")),
+        "cell",
+    )
+    # zero vectors have no direction — a 0/0 cosine is NaN (which Spark
+    # orders ABOVE every threshold); exclude them from pairing up front
+    nonzero = F.exists(F.col("qembedding"), lambda v: v != 0)
+    a = ok.filter(nonzero).alias("a")
+    b = ok.filter(nonzero).alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.cell") == F.col("b.cell"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .filter(
+            _int_cos(F.col("a.qembedding"), F.col("b.qembedding"))
+            >= F.lit(float(threshold))
+        )
+        .select(
+            F.col("a.vec_id").alias("doc_a"), F.col("b.vec_id").alias("doc_b")
+        )
+    )
+    comps = neardup_clusters(pairs).select(
+        F.col("doc_id").alias("vec_id"), "is_keeper"
+    )
+    return (
+        assigned.join(comps, "vec_id", "left")
+        .select(
+            "vec_id",
+            "cell",
+            (F.col("is_keeper").isNull() | F.col("is_keeper")).alias("kept"),
+        )
+    )

@@ -1346,3 +1346,66 @@ def test_select_token_budget(spark):
     a = sorted(r.doc_id for r in po.select_token_budget(docs, 500).collect())
     b = sorted(r.doc_id for r in po.select_token_budget(docs.repartition(11), 500).collect())
     assert a == b
+
+
+def test_semdedup_drops_injected_duplicate_keeps_min_id(spark, emb):
+    # an exact copy of vec 7 lands in the same cell with cosine 1.0 and
+    # must be dropped; the original (min vec_id) survives
+    dup = emb.filter(F.col("vec_id") == 7).select(
+        (F.col("vec_id") + 10_000).alias("vec_id"), "embedding", "label"
+    )
+    assigned, _ = po.semdedup_assign(emb.union(dup), n_clusters=4, iters=1)
+    out = {r.vec_id: r for r in po.semdedup(assigned, threshold=0.999).collect()}
+    assert out[7].kept and not out[10_007].kept
+    assert out[7].cell == out[10_007].cell
+    # every input vector appears exactly once in the verdict table
+    assert len(out) == emb.count() + 1
+
+
+def test_semdedup_dropped_have_kept_neighbor(spark, emb):
+    assigned, _ = po.semdedup_assign(emb, n_clusters=8, iters=2)
+    assigned = assigned.cache()
+    out = po.semdedup(assigned, threshold=0.35).cache()
+    rows = {r.vec_id: r for r in out.collect()}
+    vecs = {
+        r.vec_id: __import__("numpy").asarray(r.qembedding, dtype="int64")
+        for r in assigned.collect()
+    }
+    import numpy as np
+
+    def cos(a, b):
+        return float(a @ b) / (np.sqrt(float(a @ a)) * np.sqrt(float(b @ b)))
+
+    dropped = [v for v, r in rows.items() if not r.kept]
+    assert dropped, "threshold 0.35 should produce drops on this corpus"
+    for v in dropped:
+        mates = [
+            u
+            for u, r in rows.items()
+            if r.cell == rows[v].cell and u != v
+            and cos(vecs[u], vecs[v]) >= 0.35
+        ]
+        # dup-graph component: some neighbor over the threshold exists
+        assert mates, f"dropped {v} has no over-threshold cellmate"
+    # kept + dropped partitions the corpus; drops are a strict minority
+    assert 0 < len(dropped) < len(rows) / 2
+
+
+def test_semdedup_zero_vector_is_kept_not_nan_matched(spark, emb):
+    zero = spark.createDataFrame(
+        [(99_991, [0.0] * 64, 0), (99_992, [0.0] * 64, 0)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    assigned, _ = po.semdedup_assign(emb.union(zero), n_clusters=4, iters=1)
+    out = {r.vec_id: r.kept for r in po.semdedup(assigned, threshold=0.35).collect()}
+    # 0/0 cosine is NaN (sorts above any threshold in Spark) — the
+    # nonzero guard must keep both zero vectors rather than pair them
+    assert out[99_991] and out[99_992]
+
+
+def test_semdedup_max_cell_guard_keeps_fat_cells(spark, emb):
+    assigned, _ = po.semdedup_assign(emb, n_clusters=4, iters=1)
+    # every cell is "fat" under a tiny cap: nothing may be dropped
+    out = po.semdedup(assigned, threshold=0.35, max_cell=3)
+    assert out.filter(~F.col("kept")).count() == 0
+    assert out.count() == emb.count()
