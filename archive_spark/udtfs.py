@@ -1,0 +1,85 @@
+"""SQL table-function faces over the archive walkers (Spark 4 Python
+UDTFs).
+
+The DataFrame faces (:func:`sources.list_members` /
+:func:`sources.extract_members`) stay the bulk path — ``mapInArrow``
+over a ``binaryFile`` scan.  These UDTFs expose the SAME walkers to
+plain SQL users::
+
+    SELECT m.* FROM archive_members('/data/FILE.ZIP') m
+
+    -- corpus form: Spark's binaryFile scan does the I/O (partition
+    -- planned), the UDTF only parses — LATERAL correlates per row
+    SELECT a.path, m.*
+    FROM archives a, LATERAL archive_members(a.path, a.content) m
+
+Reference capability: Content.Read listing (archive.go:199-252) and
+Extract (archive.go:285-312), surfaced as ANSI SQL table functions.
+
+Design notes for scale: with ``content`` supplied (the LATERAL form)
+the UDTF is a pure parser — bytes arrive through Spark's scan, so
+locality/pruning/parallelism are the planner's.  The path-only form
+reads the file on the executor (``local:`` / NFS / fuse mounts); it
+exists for interactive one-file inspection, not corpus scans.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql.functions import udtf
+
+from .sources import MAX_BYTES_DEFAULT, _iter_rows
+
+_MEMBER_RET = (
+    "archive string, fmt string, member string, size_uncompressed long, "
+    "size_compressed long, method string, status string"
+)
+_EXTRACT_RET = (
+    "archive string, fmt string, member string, payload binary, "
+    "size long, status string"
+)
+
+
+def _load(path: str, content) -> tuple[str, bytes]:
+    name = os.path.basename(path)
+    if content is None:
+        with open(path, "rb") as fh:
+            return name, fh.read()
+    return name, bytes(content)
+
+
+@udtf(returnType=_MEMBER_RET)
+class ArchiveMembersUDTF:
+    """One output row per archive member (no payload decode — zip walks
+    only the central directory, tar only headers), typed statuses for
+    dirty inputs instead of exceptions."""
+
+    def eval(self, path: str, content=None):  # noqa: D401 (UDTF contract)
+        name, buf = _load(path, content)
+        for fmt, (m, su, sc, meth, st, _pay) in _iter_rows(
+            name, buf, False, None, MAX_BYTES_DEFAULT
+        ):
+            yield name, fmt, m, su, sc, meth, st
+
+
+@udtf(returnType=_EXTRACT_RET)
+class ArchiveExtractUDTF:
+    """Full member extraction as a table function; pass ``target`` to
+    decode a single member (nonexistent targets yield no rows, like
+    unzip skipping missing members)."""
+
+    def eval(self, path: str, content=None, target: str | None = None):
+        name, buf = _load(path, content)
+        tset = {target} if target is not None else None
+        for fmt, (m, su, _sc, _meth, st, pay) in _iter_rows(
+            name, buf, True, tset, MAX_BYTES_DEFAULT
+        ):
+            size = len(pay) if pay is not None else su
+            yield name, fmt, m, pay, size, st
+
+
+def register_udtfs(spark) -> None:
+    """Register ``archive_members`` and ``archive_extract`` for SQL."""
+    spark.udtf.register("archive_members", ArchiveMembersUDTF)
+    spark.udtf.register("archive_extract", ArchiveExtractUDTF)

@@ -924,3 +924,72 @@ def test_inflate64_fuzz_never_crashes_walker():
             if r[1][4] == "ok" and r[1][5] is not None:
                 assert zlib.crc32(r[1][5]) == crc
     assert "corrupt" in statuses
+
+
+# ---- SQL table-function faces (Spark 4 Python UDTFs) ----------------
+
+
+@pytest.fixture(scope="module")
+def udtf_spark(spark):
+    from archive_spark.udtfs import register_udtfs
+
+    register_udtfs(spark)
+    return spark
+
+
+def test_udtf_members_matches_dataframe_face(udtf_spark):
+    spark = udtf_spark
+    got = sorted(
+        tuple(r) for r in spark.sql(
+            "SELECT * FROM archive_members('/root/reference/testdata/RAR250.RAR')"
+        ).collect()
+    )
+    arch = sources.read_archives(spark, "/root/reference/testdata", glob="RAR250.RAR")
+    want = sorted(tuple(r) for r in sources.list_members(arch).collect())
+    assert got == want and len(got) == 3
+
+
+def test_udtf_lateral_over_binaryfile_corpus(udtf_spark):
+    spark = udtf_spark
+    spark.read.format("binaryFile").load(
+        "/root/reference/testdata/*.ZIP"
+    ).createOrReplaceTempView("arch_corpus")
+    got = spark.sql(
+        "SELECT m.archive, m.member, m.status FROM arch_corpus a, "
+        "LATERAL archive_members(a.path, a.content) m"
+    )
+    arch = sources.read_archives(spark, "/root/reference/testdata", glob="*.ZIP")
+    want = sources.list_members(arch).select("archive", "member", "status")
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
+def test_udtf_extract_payload_crc_parity(udtf_spark):
+    spark = udtf_spark
+    rows = spark.sql(
+        "SELECT member, payload, status FROM "
+        "archive_extract('/root/reference/testdata/LH113.LZH')"
+    ).collect()
+    assert {r.status for r in rows} == {"ok"}
+    import zlib
+
+    arch = sources.read_archives(spark, "/root/reference/testdata", glob="LH113.LZH")
+    want = {
+        r.member: zlib.crc32(r.payload)
+        for r in sources.extract_members(arch).collect()
+    }
+    assert {r.member: zlib.crc32(r.payload) for r in rows} == want
+
+
+def test_udtf_extract_target_and_missing(udtf_spark):
+    spark = udtf_spark
+    one = spark.sql(
+        "SELECT member, size FROM archive_extract("
+        "'/root/reference/testdata/RAR250.RAR', NULL, 'TESTDAT2.TXT')"
+    ).collect()
+    assert [(r.member, r.size) for r in one] == [("TESTDAT2.TXT", 469)]
+    # nonexistent target: no rows, like unzip skipping missing members
+    none = spark.sql(
+        "SELECT * FROM archive_extract("
+        "'/root/reference/testdata/RAR250.RAR', NULL, 'NOPE.TXT')"
+    ).collect()
+    assert none == []
