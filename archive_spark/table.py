@@ -134,7 +134,7 @@ class Snapshot:
     snapshot_id: str
     parent_id: str | None
     ts_us: int
-    mode: str              # "overwrite" | "append"
+    mode: str              # "overwrite" | "append" | "delete"
     files: list[str]       # table-relative parquet file paths
     schema: str            # DDL string of the committed DataFrame
     n_files: int
@@ -142,6 +142,19 @@ class Snapshot:
     #: {file: {"rows": n, "columns": {col: [min, max]}}} — absent on
     #: manifests written before this field existed (no pruning then)
     stats: dict | None = None
+    #: commit sequence number (parent.seq + 1) — orders data files vs
+    #: delete files the way Iceberg v2 sequence numbers do
+    seq: int = 0
+    #: {data file: seq at which it was added}; files from manifests
+    #: written before this field existed are treated as seq 0
+    file_seq: dict | None = None
+    #: equality-delete entries, oldest first:
+    #: {"files": [rel parquet paths of key files], "key": col, "seq": n}
+    #: — an entry logically removes every row of any data file with
+    #: file_seq < entry seq whose `key` appears in the key files.  Rows
+    #: appended AFTER the delete (file_seq >= seq) are untouched, so a
+    #: re-ingested doc survives an earlier takedown of its id.
+    deletes: list | None = None
 
 
 def _manifest_dir(table_dir: str) -> str:
@@ -390,6 +403,7 @@ def commit_existing(
     schema: str,
     mode: str = "overwrite",
     snapshot_id: str | None = None,
+    delete_entries: list | None = None,
 ) -> str:
     """Publish a manifest over data files that already exist under
     ``table_dir`` (e.g. shard dirs written by a resumable job) — the
@@ -400,15 +414,22 @@ def commit_existing(
     table commit lock, so concurrent committers serialize: each one's
     parent is the true latest snapshot and append lineage never loses a
     racing commit's files (ADVICE r2)."""
+    if mode not in ("overwrite", "append", "delete"):
+        raise ValueError(f"unknown commit mode: {mode}")
     snapshot_id = snapshot_id or uuid.uuid4().hex[:16]
     os.makedirs(_manifest_dir(table_dir), exist_ok=True)
     lock = _acquire_commit_lock(table_dir)
     try:
         parent = current_snapshot_id(table_dir)
+        pm = read_manifest(table_dir, parent) if parent is not None else None
+        seq = (pm.seq + 1) if pm is not None else 0
         all_files = list(files)
         stats = _file_stats(table_dir, files)
-        if mode == "append" and parent is not None:
-            pm = read_manifest(table_dir, parent)
+        file_seq = {f: seq for f in files}
+        deletes = list(delete_entries or [])
+        for d in deletes:
+            d.setdefault("seq", seq)
+        if mode in ("append", "delete") and pm is not None:
             # additive schema evolution: old columns must survive
             # untouched; the manifest records the evolved (superset)
             # schema and `read` projects old files through it (missing
@@ -416,6 +437,14 @@ def commit_existing(
             _check_schema_evolution(pm.schema, schema)
             all_files = pm.files + all_files
             stats = {**(pm.stats or {}), **stats}
+            parent_seq = pm.file_seq or {}
+            file_seq = {
+                **{f: parent_seq.get(f, 0) for f in pm.files},
+                **file_seq,
+            }
+            # delete entries survive until a physical rewrite
+            # (compact/overwrite) applies them
+            deletes = list(pm.deletes or []) + deletes
         manifest = Snapshot(
             snapshot_id=snapshot_id,
             parent_id=parent,
@@ -425,6 +454,9 @@ def commit_existing(
             schema=schema,
             n_files=len(all_files),
             stats=stats,
+            seq=seq,
+            file_seq=file_seq,
+            deletes=deletes or None,
         )
         mpath = os.path.join(_manifest_dir(table_dir), f"snapshot-{snapshot_id}.json")
         try:
@@ -447,27 +479,8 @@ def commit_existing(
             pass
 
 
-def read(
-    spark: SparkSession,
-    table_dir: str,
-    snapshot_id: str | None = None,
-    prune: dict | None = None,
-) -> DataFrame:
-    """Read a snapshot (current by default; pass an id to time-travel).
-
-    ``prune`` maps column → inclusive (lo, hi) and skips files whose
-    manifest stats exclude the range BEFORE Spark ever lists them —
-    manifest-level pruning on top of parquet's own row-group pruning.
-    Callers must still apply the actual filter; pruning only shrinks
-    the scan.
-    """
-    snapshot_id = snapshot_id or current_snapshot_id(table_dir)
-    if snapshot_id is None:
-        raise FileNotFoundError(f"{table_dir}: no committed snapshot")
-    manifest = read_manifest(table_dir, snapshot_id)
-    files = select_files(table_dir, snapshot_id, prune)
-    if not files:
-        return spark.createDataFrame([], manifest.schema)
+def _read_files(spark: SparkSession, table_dir: str, manifest: Snapshot,
+                files: list[str]) -> DataFrame:
     paths = [os.path.join(table_dir, f) for f in files]
     # schema comes from the MANIFEST, not file footers (the Iceberg
     # read contract): one metadata read instead of N footer merges, a
@@ -481,6 +494,185 @@ def read(
         )
         return spark.read.schema(ddl).parquet(*paths)
     return spark.read.parquet(*paths)
+
+
+#: a delete-key set at most this many bytes on disk is broadcast into
+#: the anti-join (takedown lists are typically tiny next to the corpus;
+#: a corpus-sized delete set falls back to a shuffle anti-join)
+_BROADCAST_DELETE_BYTES = 64 << 20
+
+
+def _apply_deletes(
+    spark: SparkSession,
+    table_dir: str,
+    manifest: Snapshot,
+    files: list[str],
+    df_for,
+) -> DataFrame:
+    """Anti-join each data file's rows against the equality-delete
+    entries scoped to it (entry seq > file's add seq — Iceberg v2
+    sequence-number rule).  Files with the same applicable-delete
+    suffix are read as one group, so the plan stays one scan + one
+    anti-join per distinct delete epoch (takedown tables have a
+    handful of epochs, not one per file)."""
+    from pyspark.sql import functions as F
+
+    dels = manifest.deletes or []
+    fseq = manifest.file_seq or {}
+    groups: dict[tuple, list[str]] = {}
+    for f in files:
+        s = fseq.get(f, 0)
+        applicable = tuple(i for i, d in enumerate(dels) if d["seq"] > s)
+        groups.setdefault(applicable, []).append(f)
+    parts = []
+    for applicable, fl in groups.items():
+        part = df_for(fl)
+        # one anti-join per key column, over the union of that column's
+        # applicable key files
+        by_key: dict[str, list[str]] = {}
+        for i in applicable:
+            by_key.setdefault(dels[i]["key"], []).extend(dels[i]["files"])
+        for key, kfiles in by_key.items():
+            kpaths = [os.path.join(table_dir, k) for k in kfiles]
+            keys = spark.read.parquet(*kpaths).select(key).distinct()
+            try:
+                small = sum(os.path.getsize(p) for p in kpaths) \
+                    <= _BROADCAST_DELETE_BYTES
+            except OSError:
+                small = False
+            if small:
+                keys = F.broadcast(keys)
+            part = part.join(keys, on=key, how="left_anti")
+        parts.append(part)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def read(
+    spark: SparkSession,
+    table_dir: str,
+    snapshot_id: str | None = None,
+    prune: dict | None = None,
+    apply_deletes: bool = True,
+) -> DataFrame:
+    """Read a snapshot (current by default; pass an id to time-travel).
+
+    ``prune`` maps column → inclusive (lo, hi) and skips files whose
+    manifest stats exclude the range BEFORE Spark ever lists them —
+    manifest-level pruning on top of parquet's own row-group pruning.
+    Callers must still apply the actual filter; pruning only shrinks
+    the scan.
+
+    Equality-delete entries (``delete_rows`` / ``merge_upsert``) are
+    applied by default; ``apply_deletes=False`` exposes the raw data
+    files (e.g. for audits of what a takedown logically removed).
+    """
+    snapshot_id = snapshot_id or current_snapshot_id(table_dir)
+    if snapshot_id is None:
+        raise FileNotFoundError(f"{table_dir}: no committed snapshot")
+    manifest = read_manifest(table_dir, snapshot_id)
+    files = select_files(table_dir, snapshot_id, prune)
+    if not files:
+        return spark.createDataFrame([], manifest.schema)
+    if apply_deletes and manifest.deletes:
+        return _apply_deletes(
+            spark, table_dir, manifest, files,
+            lambda fl: _read_files(spark, table_dir, manifest, fl),
+        )
+    return _read_files(spark, table_dir, manifest, files)
+
+
+def _deletes_dir(table_dir: str) -> str:
+    return os.path.join(table_dir, "deletes")
+
+
+def _write_delete_keys(
+    spark: SparkSession, table_dir: str, snapshot_id: str, keys, key: str
+) -> list[str]:
+    """Materialize a delete-key set as parquet under
+    ``deletes/<snapshot_id>/`` and return the table-relative paths.
+    ``keys`` is a DataFrame containing ``key``, or a plain iterable of
+    values."""
+    if not isinstance(keys, DataFrame):
+        vals = [(v,) for v in keys]
+        keys = spark.createDataFrame(vals, f"`{key}` string") if all(
+            isinstance(v[0], str) for v in vals
+        ) else spark.createDataFrame(vals, [key])
+    kdir = os.path.join(_deletes_dir(table_dir), snapshot_id)
+    keys.select(key).distinct().coalesce(1).write.mode("errorifexists").parquet(kdir)
+    return [
+        os.path.relpath(os.path.join(r, f), table_dir)
+        for r, _, fs in os.walk(kdir)
+        for f in sorted(fs)
+        if f.endswith(".parquet") and not f.startswith((".", "_"))
+    ]
+
+
+def delete_rows(
+    spark: SparkSession,
+    table_dir: str,
+    keys,
+    key: str = "doc_id",
+    snapshot_id: str | None = None,
+) -> str:
+    """Takedown without rewrite: logically remove every CURRENT row
+    whose ``key`` is in ``keys`` by committing an equality-delete file
+    (Iceberg v2 style) — no data file is touched, the commit costs
+    O(|keys|) regardless of corpus size, and old snapshots still show
+    the rows (audit/time-travel).  Scoped by commit sequence: rows
+    appended AFTER this commit are untouched even if their key matches
+    (a re-ingested document survives an earlier takedown of its id).
+    ``compact`` applies deletes physically and drops the entries."""
+    snapshot_id = snapshot_id or uuid.uuid4().hex[:16]
+    parent = current_snapshot_id(table_dir)
+    if parent is None:
+        raise FileNotFoundError(f"{table_dir}: no committed snapshot")
+    kfiles = _write_delete_keys(spark, table_dir, snapshot_id, keys, key)
+    pm = read_manifest(table_dir, parent)
+    return commit_existing(
+        table_dir, [], schema=pm.schema, mode="delete",
+        snapshot_id=snapshot_id,
+        delete_entries=[{"files": kfiles, "key": key}],
+    )
+
+
+def merge_upsert(
+    spark: SparkSession,
+    df: DataFrame,
+    table_dir: str,
+    key: str = "doc_id",
+    snapshot_id: str | None = None,
+    parquet_codec: str = "snappy",
+) -> str:
+    """MERGE (upsert) in one atomic commit: every current row whose
+    ``key`` appears in ``df`` is equality-deleted and ``df``'s rows are
+    appended — matched keys are replaced, unmatched keys inserted.  The
+    new data files carry this commit's sequence number while the delete
+    entry targets strictly older files, so the delete can never eat the
+    rows it ships with.  Cost: O(|df|) writes + a key-set file; the
+    existing corpus is not rewritten."""
+    snapshot_id = snapshot_id or uuid.uuid4().hex[:16]
+    if current_snapshot_id(table_dir) is None:
+        # empty table: an upsert is just the first commit
+        return commit(df, table_dir, mode="overwrite",
+                      snapshot_id=snapshot_id, parquet_codec=parquet_codec)
+    kfiles = _write_delete_keys(
+        spark, table_dir, snapshot_id, df.select(key), key
+    )
+    snap_data = os.path.join(table_dir, "data", snapshot_id)
+    df.write.mode("errorifexists").option(
+        "compression", parquet_codec
+    ).parquet(snap_data)
+    return commit_existing(
+        table_dir,
+        _data_files(table_dir, snap_data),
+        schema=df.schema.simpleString(),
+        mode="delete",
+        snapshot_id=snapshot_id,
+        delete_entries=[{"files": kfiles, "key": key}],
+    )
 
 
 def snapshot_diff(table_dir: str, from_id: str, to_id: str) -> dict:
@@ -503,6 +695,7 @@ def snapshot_diff(table_dir: str, from_id: str, to_id: str) -> dict:
 
     added = sorted(fb - fa)
     removed = sorted(fa - fb)
+    n_del = lambda m: len(m.deletes or [])  # noqa: E731
     return {
         "from": from_id,
         "to": to_id,
@@ -510,6 +703,9 @@ def snapshot_diff(table_dir: str, from_id: str, to_id: str) -> dict:
         "removed_files": removed,
         "added_rows": rows(b, added),
         "removed_rows": rows(a, removed),
+        # equality-delete entries introduced between the two snapshots
+        # (a takedown shows up here even though no data file changed)
+        "added_delete_entries": max(0, n_del(b) - n_del(a)),
     }
 
 
@@ -532,26 +728,103 @@ def read_changes(
     )
 
 
+def zorder_key(df: DataFrame, cols: list[str], bits: int = 8) -> DataFrame:
+    """Append a ``_zkey`` column interleaving the bits of each row's
+    per-column range-bucket id — the Z-order (Morton) curve over
+    ``cols``.  Sorting by ``_zkey`` clusters rows so that EVERY listed
+    column gets a narrow min/max envelope per file, making manifest
+    zone stats selective for multi-predicate queries (a linear sort
+    only ever serves its leading column).
+
+    Bucket ids come from Spark's own range partitioner
+    (``repartitionByRange`` + ``spark_partition_id``, the Delta OSS
+    ``range_partition_id`` trick): type-generic (strings, timestamps,
+    ints), sample-based, and scale-safe — no global window, no driver
+    collect of data.  One extra shuffle per column plus one
+    ``approx_count_distinct`` pass; the bit interleave itself is a pure
+    codegen expression.
+
+    A low-cardinality column gets fewer buckets than ``2**bits`` and
+    its id is LEFT-ALIGNED into the common bit width — otherwise its
+    meaningful bits would sit below the high-cardinality columns' top
+    bits and the curve would collapse back to lead-column order (the
+    failure mode: 16-distinct ``g`` interleaved with 256-bucket
+    ``doc_id`` pruned nothing until aligned)."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    # one combined pass: per-column cardinality decides its bucket bits
+    distinct = df.agg(
+        *[F.approx_count_distinct(c).alias(c) for c in cols]
+    ).collect()[0]
+    col_bits = {
+        c: max(1, min(bits, math.ceil(math.log2(max(2, distinct[c])))))
+        for c in cols
+    }
+    idcols = []
+    for i, c in enumerate(cols):
+        idc = f"_zb{i}"
+        # partitions come out of a range repartition in sorted order,
+        # so spark_partition_id IS the range-bucket rank of the row;
+        # left-align so every column's MSB lands at the top of the
+        # common `bits`-wide space
+        df = df.repartitionByRange(1 << col_bits[c], F.col(c)).withColumn(
+            idc, F.shiftleft(F.spark_partition_id(), bits - col_bits[c])
+        )
+        idcols.append(idc)
+    n = len(idcols)
+    zbits = [
+        F.shiftleft(
+            F.shiftright(F.col(idc), b).bitwiseAND(F.lit(1)), b * n + j
+        )
+        for b in range(bits)
+        for j, idc in enumerate(idcols)
+    ]
+    key = zbits[0]
+    for z in zbits[1:]:
+        key = key.bitwiseOR(z)
+    return df.withColumn("_zkey", key).drop(*idcols)
+
+
 def compact(
     spark: SparkSession,
     table_dir: str,
     target_partitions: int | None = None,
     parquet_codec: str = "snappy",
     order_by: list[str] | None = None,
+    zorder: list[str] | None = None,
 ) -> str:
     """Rewrite the current snapshot's (possibly many small) files into
     one fresh overwrite snapshot — the maintenance pass for tables built
     from many streaming/append micro-commits.  Old snapshots remain
-    readable until ``expire_snapshots``.
+    readable until ``expire_snapshots``.  Pending equality-delete
+    entries are applied physically by the rewrite and dropped from the
+    new manifest.
 
     ``order_by``: range-cluster the rewrite on these columns (Iceberg's
     rewrite-with-sort-order).  Hash-sharded encode output has every
     file spanning the whole doc_id space, so manifest stats can't prune
     it; after a range-clustered compaction each file covers a narrow
     range and ``read(prune=...)`` / ``read_encoded(doc_range=...)``
-    skip files wholesale."""
+    skip files wholesale.
+
+    ``zorder``: multi-dimensional clustering instead — interleaved-bit
+    Morton key over the columns (``zorder_key``), so zone stats prune
+    on ANY of them, not just the sort leader.  Mutually exclusive with
+    ``order_by``."""
+    if order_by and zorder:
+        raise ValueError("pass order_by or zorder, not both")
     df = read(spark, table_dir)
-    if order_by:
+    if zorder:
+        # resolve the default target BEFORE zorder_key's bucket
+        # repartitions change the partition count
+        n_out = target_partitions or df.rdd.getNumPartitions()
+        df = zorder_key(df, zorder)
+        df = df.repartitionByRange(
+            n_out, "_zkey"
+        ).sortWithinPartitions("_zkey").drop("_zkey")
+    elif order_by:
         df = df.repartitionByRange(
             target_partitions or df.rdd.getNumPartitions(), *order_by
         ).sortWithinPartitions(*order_by)
@@ -580,19 +853,28 @@ def expire_snapshots(table_dir: str, keep_last: int = 1) -> list[str]:
 
 
 def vacuum(table_dir: str) -> list[str]:
-    """Delete data dirs not referenced by any committed manifest (crash
-    orphans from failed commits).  Returns the removed dirs."""
+    """Delete data/delete-key dirs not referenced by any committed
+    manifest (crash orphans from failed commits, or dirs whose last
+    referencing snapshot was expired).  Returns the removed dirs."""
     import shutil
 
     referenced: set[str] = set()
+    del_referenced: set[str] = set()
     for s in snapshots(table_dir):
         for f in s.files:
             referenced.add(f.split(os.sep)[1] if f.startswith("data") else "")
-    data_root = os.path.join(table_dir, "data")
+        for d in s.deletes or []:
+            for f in d.get("files", []):
+                if f.startswith("deletes"):
+                    del_referenced.add(f.split(os.sep)[1])
     removed = []
-    if os.path.isdir(data_root):
-        for d in os.listdir(data_root):
-            if d not in referenced:
-                shutil.rmtree(os.path.join(data_root, d))
-                removed.append(d)
+    for root, keep in (
+        (os.path.join(table_dir, "data"), referenced),
+        (_deletes_dir(table_dir), del_referenced),
+    ):
+        if os.path.isdir(root):
+            for d in os.listdir(root):
+                if d not in keep:
+                    shutil.rmtree(os.path.join(root, d))
+                    removed.append(d)
     return removed

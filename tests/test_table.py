@@ -363,3 +363,164 @@ def test_compact_after_schema_evolution_unifies_files(spark, tmp_path):
     # time travel to the narrow-schema snapshot is untouched
     old = table.read(spark, td, snapshot_id=s1)
     assert old.columns == ["k", "name"] and old.count() == 2
+
+
+# ---------------------------------------------------------------------------
+# equality deletes (takedown) + merge upsert — Iceberg v2 sequence rules
+
+
+@pytest.fixture()
+def docs(spark):
+    return spark.range(0, 200).selectExpr(
+        "format_string('doc%04d', id) AS doc_id",
+        "concat('text-', id) AS text",
+        "format_string('s%d', id % 4) AS source",
+    )
+
+
+def test_delete_rows_logical_takedown(spark, docs, tmp_path):
+    t = str(tmp_path / "t")
+    s1 = table.commit(docs, t)
+    victims = [f"doc{i:04d}" for i in range(0, 200, 10)]  # 20 ids
+    s2 = table.delete_rows(spark, t, victims, key="doc_id")
+    got = table.read(spark, t)
+    assert got.count() == 180
+    assert got.filter(F.col("doc_id").isin(victims)).count() == 0
+    # no data file was rewritten — same files, one delete entry
+    m1, m2 = table.read_manifest(t, s1), table.read_manifest(t, s2)
+    assert m2.files == m1.files and len(m2.deletes) == 1
+    # time travel: the pre-delete snapshot still shows everything
+    assert table.read(spark, t, snapshot_id=s1).count() == 200
+    # audit face: raw read ignores the delete entries
+    assert table.read(spark, t, apply_deletes=False).count() == 200
+
+
+def test_delete_scope_spares_later_appends(spark, docs, tmp_path):
+    """The subtle Iceberg v2 case: a doc re-ingested AFTER its takedown
+    must survive — the delete entry targets only files that existed at
+    delete time (sequence-number scoping)."""
+    t = str(tmp_path / "t")
+    table.commit(docs, t)
+    table.delete_rows(spark, t, ["doc0005"], key="doc_id")
+    reborn = spark.createDataFrame(
+        [("doc0005", "fresh text", "s1")], "doc_id string, text string, source string"
+    )
+    table.commit(reborn, t, mode="append")
+    got = table.read(spark, t).filter("doc_id = 'doc0005'").collect()
+    assert len(got) == 1 and got[0].text == "fresh text"
+    # and a SECOND delete after the re-ingest takes the new row too
+    table.delete_rows(spark, t, ["doc0005"], key="doc_id")
+    assert table.read(spark, t).filter("doc_id = 'doc0005'").count() == 0
+
+
+def test_merge_upsert_replaces_and_inserts(spark, docs, tmp_path):
+    t = str(tmp_path / "t")
+    table.commit(docs, t)
+    upserts = spark.createDataFrame(
+        [("doc0001", "UPDATED", "s1"), ("doc9999", "NEW", "s0")],
+        "doc_id string, text string, source string",
+    )
+    table.merge_upsert(spark, upserts, t, key="doc_id")
+    got = table.read(spark, t)
+    assert got.count() == 201  # 200 - 1 replaced + 1 replacement + 1 new
+    rows = {r.doc_id: r.text for r in got.filter(
+        F.col("doc_id").isin("doc0001", "doc9999")).collect()}
+    assert rows == {"doc0001": "UPDATED", "doc9999": "NEW"}
+    # upsert into an empty table is just the first commit
+    t2 = str(tmp_path / "t2")
+    table.merge_upsert(spark, upserts, t2, key="doc_id")
+    assert table.read(spark, t2).count() == 2
+
+
+def test_compact_applies_deletes_physically(spark, docs, tmp_path):
+    t = str(tmp_path / "t")
+    table.commit(docs, t)
+    table.delete_rows(spark, t, [f"doc{i:04d}" for i in range(50)], key="doc_id")
+    logical = sorted(r.doc_id for r in table.read(spark, t).collect())
+    table.compact(spark, t, target_partitions=2)
+    m = table.read_manifest(t, table.current_snapshot_id(t))
+    assert not m.deletes  # physical rewrite drops the entries
+    physical = sorted(
+        r.doc_id for r in table.read(spark, t, apply_deletes=False).collect()
+    )
+    assert physical == logical and len(physical) == 150
+
+
+def test_vacuum_keeps_then_drops_delete_files(spark, docs, tmp_path):
+    t = str(tmp_path / "t")
+    table.commit(docs, t)
+    table.delete_rows(spark, t, ["doc0000"], key="doc_id")
+    # delete-key files are referenced -> vacuum keeps them
+    assert table.vacuum(t) == []
+    assert table.read(spark, t).count() == 199
+    # compact + expire all old snapshots -> the delete dir is orphaned
+    table.compact(spark, t)
+    table.expire_snapshots(t, keep_last=1)
+    assert not os.path.isdir(os.path.join(t, "deletes")) or \
+        os.listdir(os.path.join(t, "deletes")) == []
+    assert table.read(spark, t).count() == 199
+
+
+def test_delete_with_pruned_read(spark, tmp_path):
+    """Deletes compose with manifest-level pruning: prune shrinks the
+    scan, the anti-join still removes its rows."""
+    t = str(tmp_path / "t")
+    df = spark.range(0, 1000).selectExpr("id AS k", "concat('v', id) AS v")
+    df = df.repartitionByRange(4, "k").sortWithinPartitions("k")
+    table.commit(df, t)
+    table.delete_rows(spark, t, df.filter("k < 10").selectExpr("k"), key="k")
+    got = table.read(spark, t, prune={"k": (0, 99)}).filter("k <= 99")
+    assert got.count() == 90
+
+
+# ---------------------------------------------------------------------------
+# Z-order compaction: multi-dimensional clustering for zone-map pruning
+
+
+def test_zorder_compact_prunes_both_dimensions(spark, tmp_path):
+    """A linear sort only makes zone stats selective on its leading
+    column; the Morton-key rewrite gives EVERY z-column a narrow
+    per-file envelope.  Pin that: after zorder on (k, g), single-column
+    prunes on either dimension skip most files, and results match the
+    unpruned read exactly."""
+    n_files = 16
+    df = spark.range(0, 4096).selectExpr("id AS k", "CAST(id % 64 AS INT) AS g")
+    # linear baseline: sorted by k only -> g spans the whole domain in
+    # every file, so a g-prune keeps everything
+    t_lin = str(tmp_path / "lin")
+    table.commit(df, t_lin)
+    table.compact(spark, t_lin, target_partitions=n_files, order_by=["k"])
+    lin_g = table.select_files(
+        t_lin, table.current_snapshot_id(t_lin), prune={"g": (7, 7)}
+    )
+    assert len(lin_g) == n_files  # no pruning possible
+
+    t_z = str(tmp_path / "z")
+    table.commit(df, t_z)
+    table.compact(spark, t_z, target_partitions=n_files, zorder=["k", "g"])
+    sid = table.current_snapshot_id(t_z)
+    m = table.read_manifest(t_z, sid)
+    assert len(m.files) == n_files
+    z_k = table.select_files(t_z, sid, prune={"k": (256, 511)})
+    z_g = table.select_files(t_z, sid, prune={"g": (7, 7)})
+    assert len(z_k) <= n_files // 2, f"k-prune kept {len(z_k)}/{n_files}"
+    assert len(z_g) <= n_files // 2, f"g-prune kept {len(z_g)}/{n_files}"
+    # correctness: pruned read + real filter == ground truth
+    got = (
+        table.read(spark, t_z, prune={"g": (7, 7)})
+        .filter("g = 7").agg(F.count("*"), F.sum("k")).collect()[0]
+    )
+    assert (got[0], got[1]) == (64, sum(r for r in range(4096) if r % 64 == 7))
+
+
+def test_zorder_key_is_deterministic_morton(spark):
+    """2x2 sanity: with two binary-ish columns the interleave must put
+    col0's bucket bit at position 0 etc. — pin low-order behaviour via
+    relative ordering of the four quadrant corners."""
+    df = spark.createDataFrame(
+        [(0, 0), (0, 1), (1, 0), (1, 1)], "a int, b int"
+    )
+    out = table.zorder_key(df, ["a", "b"], bits=1).collect()
+    key = {(r.a, r.b): r._zkey for r in out}
+    # quadrant order along the Z curve: (0,0) < (1,0) < (0,1) < (1,1)
+    assert key[(0, 0)] < key[(1, 0)] < key[(0, 1)] < key[(1, 1)]
