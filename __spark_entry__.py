@@ -1903,6 +1903,49 @@ def _q_embedding_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_takedown_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-lifecycle on the snapshot table, end to end: commit the
+    documents, equality-DELETE one md5 bucket of doc_ids (takedown
+    without rewrite — table.delete_rows), MERGE-upsert a second bucket
+    with rewritten text (table.merge_upsert), then Z-order-compact
+    (physical apply of the deletes) and read the final state.  The
+    oracle replays the same lifecycle relationally off the raw parquet:
+    drop bucket '0', uppercase bucket '1', aggregate.  Since the
+    compaction rewrite sits between the logical ops and the read, a
+    green row also proves compact changes no row."""
+    import shutil
+
+    from archive_spark import table as snap_table
+
+    docs = _docs(spark, sf_dir).select("doc_id", "source", "text")
+    bucket = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
+    t = "/tmp/archive_spark_takedown/" + os.path.basename(
+        os.path.normpath(sf_dir)
+    )
+    shutil.rmtree(t, ignore_errors=True)
+    snap_table.commit(docs, t)
+    snap_table.delete_rows(
+        spark, t, docs.filter(bucket == "0").select("doc_id"), key="doc_id"
+    )
+    ups = docs.filter(bucket == "1").withColumn("text", F.upper("text"))
+    snap_table.merge_upsert(spark, ups, t, key="doc_id")
+    snap_table.compact(
+        spark, t, target_partitions=4, zorder=["source", "doc_id"]
+    )
+    final = snap_table.read(spark, t)
+    return (
+        final.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.length("text")).cast("long").alias("total_chars"),
+            F.md5(
+                F.concat_ws("", F.sort_array(F.collect_list(F.md5("text"))))
+            ).alias("digest"),
+        )
+        .orderBy("source")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # NOTE: dict order is deliberate. The driver's correctness harness walks
     # this dict in registration order under a budget (r01=34, r02=47, r03=50
@@ -1911,6 +1954,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # were green in r02 but missed r03's window, then the 50 green in r03.
     return {
         # -- never driver-checked before round 4 --
+        "takedown_upsert": _q_takedown_upsert,
         "readme_usability": _q_readme_usability,
         "archive_ingest": _q_archive_ingest,
         "bpe_token_stats": _q_bpe_token_stats,
@@ -2074,6 +2118,20 @@ def _lang_detect_oracle() -> str:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "takedown_upsert": (
+            # replay of _q_takedown_upsert's table lifecycle: md5 bucket
+            # '0' deleted, bucket '1' upserted with upper(text), rest
+            # untouched; same md5-of-sorted-md5s digest idiom as the
+            # other corpus queries
+            "WITH f AS (SELECT source, CASE WHEN "
+            "substr(md5(doc_id::VARCHAR), 1, 1) = '1' THEN upper(text) "
+            "ELSE text END AS text FROM documents "
+            "WHERE substr(md5(doc_id::VARCHAR), 1, 1) <> '0') "
+            "SELECT source, count(*)::BIGINT AS n_docs, "
+            "sum(length(text))::BIGINT AS total_chars, "
+            "md5(string_agg(md5(text), '' ORDER BY md5(text))) AS digest "
+            "FROM f GROUP BY source ORDER BY source"
+        ),
         "readme_usability": _README_USABILITY_ORACLE,
         "archive_ingest": _ARCHIVE_INGEST_ORACLE,
         "bpe_token_stats": _BPE_ORACLE,
