@@ -519,3 +519,108 @@ def roundtrip_report(original: DataFrame, decoded: DataFrame) -> DataFrame:
             F.when(~F.col("tokens_o").eqNullSafe(F.col("tokens_d")), 1).otherwise(0)
         ).cast("bigint").alias("n_mismatch"),
     )
+
+
+def purge_docs(
+    spark,
+    table_dir: str,
+    victims,
+    target_block_values: int = DEFAULT_BLOCK_VALUES,
+    effort: str = "balanced",
+) -> dict:
+    """Physical takedown on an ENCODED snapshot table: remove the given
+    doc_ids from the compressed corpus by re-encoding ONLY the blocks
+    that contain them — cost O(affected blocks), never O(corpus).
+
+    Scale shape (the thing that matters at 100 TB):
+    - victim discovery is one scan of the ``doc_ids`` column alone
+      (parquet column pruning — payload bytes are never read) joined
+      against the broadcast victim set;
+    - files with no affected block keep their EXACT paths in the new
+      manifest — zero data movement, zero re-encode, and their
+      manifest stats carry over;
+    - inside an affected file, non-hit blocks pass through with their
+      payload bytes untouched (byte-identical copy); only hit blocks
+      decode → filter → re-encode.
+
+    The parent snapshot is untouched (time travel still shows the
+    purged docs — run ``table.expire_snapshots`` + ``vacuum`` to make
+    the takedown physical on disk).  Returns a report dict with the
+    new ``snapshot_id`` and rewrite accounting.
+    """
+    import os
+
+    from . import table as snap_table
+
+    parent = snap_table.current_snapshot_id(table_dir)
+    if parent is None:
+        raise FileNotFoundError(f"{table_dir}: no committed snapshot")
+    manifest = snap_table.read_manifest(table_dir, parent)
+
+    if not isinstance(victims, DataFrame):
+        victims = spark.createDataFrame(
+            [(str(v),) for v in victims], "doc_id string"
+        )
+    vic = victims.select("doc_id").distinct()
+
+    enc = snap_table.read(spark, table_dir).withColumn(
+        "_file", F.input_file_name()
+    )
+    # which files contain a victim: one pass over (file, doc_ids) only
+    hit_files = [
+        r._file
+        for r in enc.select("_file", F.explode("doc_ids").alias("doc_id"))
+        .join(F.broadcast(vic), "doc_id")
+        .select("_file")
+        .distinct()
+        .collect()
+    ]
+    report = {
+        "snapshot_id": parent,
+        "n_files": len(manifest.files),
+        "n_files_rewritten": len(hit_files),
+        "n_blocks_rewritten": 0,
+    }
+    if not hit_files:
+        return report
+
+    def _rel(uri: str) -> str:
+        p = uri[len("file:"):] if uri.startswith("file:") else uri
+        while p.startswith("//"):
+            p = p[1:]
+        return os.path.relpath(p, table_dir)
+
+    hit_rel = {_rel(u) for u in hit_files}
+    enc_aff = enc.filter(F.col("_file").isin(hit_files))
+    # which BLOCKS inside those files contain a victim
+    bh = (
+        enc_aff.select("block_id", F.explode("doc_ids").alias("doc_id"))
+        .join(F.broadcast(vic), "doc_id")
+        .select("block_id")
+        .distinct()
+    )
+    to_rewrite = enc_aff.join(F.broadcast(bh), "block_id", "left_semi").drop("_file")
+    passthrough = enc_aff.join(F.broadcast(bh), "block_id", "left_anti").drop("_file")
+    report["n_blocks_rewritten"] = to_rewrite.count()
+
+    clean = decode(to_rewrite).join(F.broadcast(vic), "doc_id", "left_anti")
+    reblocks = encode(
+        clean, target_block_values=target_block_values, effort=effort
+    )
+    new_df = passthrough.unionByName(reblocks, allowMissingColumns=True)
+
+    import uuid as _uuid
+
+    sid = _uuid.uuid4().hex[:16]
+    snap_data = os.path.join(table_dir, "data", sid)
+    new_df.write.mode("errorifexists").parquet(snap_data)
+    keep = [f for f in manifest.files if f not in hit_rel]
+    new_files = snap_table._data_files(table_dir, snap_data)
+    report["snapshot_id"] = snap_table.commit_existing(
+        table_dir,
+        keep + new_files,
+        schema=manifest.schema,
+        mode="overwrite",
+        snapshot_id=sid,
+    )
+    return report

@@ -295,3 +295,62 @@ def test_decode_verify_checksum_roundtrip_and_corruption(spark):
     with _pytest.raises(Exception) as ei:
         engine.decode(corrupted, verify_checksum=True).collect()
     assert "CRC-32 mismatch" in str(ei.value)
+
+
+# ---------------------------------------------------------------------------
+# physical purge on the encoded corpus (takedown at block granularity)
+
+
+def test_purge_docs_rewrites_only_affected_files(spark, tokens_df, tmp_path):
+    """Doc-level takedown on the COMPRESSED table: victims vanish, the
+    rest decodes bit-identical, and files without a victim keep their
+    exact paths (zero data movement — the O(affected) contract)."""
+    from archive_spark import table
+
+    t = str(tmp_path / "enc")
+    # doc-range clustering so victims (a contiguous id range) land in
+    # few files — the realistic layout after compact(order_by=doc_min)
+    enc = engine.encode(tokens_df, target_block_values=1 << 13)
+    table.commit(enc, t)
+    table.compact(spark, t, target_partitions=8, order_by=["doc_min"])
+    parent = table.current_snapshot_id(t)
+    old_files = set(table.read_manifest(t, parent).files)
+
+    # 20 lexicographically-adjacent doc_ids: contiguous under the
+    # doc_min clustering, so few files are affected
+    victims = [
+        r.doc_id for r in tokens_df.orderBy("doc_id").limit(20).collect()
+    ]
+    rep = engine.purge_docs(spark, t, victims, target_block_values=1 << 13)
+    assert rep["snapshot_id"] != parent
+    assert 0 < rep["n_files_rewritten"] < len(old_files), rep
+    assert rep["n_blocks_rewritten"] > 0
+
+    # untouched files keep their exact paths in the new manifest
+    new_files = set(table.read_manifest(t, rep["snapshot_id"]).files)
+    assert len(old_files & new_files) == len(old_files) - rep["n_files_rewritten"]
+
+    # victims gone; everything else bit-identical
+    decoded = engine.decode(table.read(spark, t))
+    assert decoded.filter(F.col("doc_id").isin(victims)).count() == 0
+    survivors = tokens_df.filter(~F.col("doc_id").isin(victims))
+    r = engine.roundtrip_report(survivors, decoded).collect()[0]
+    assert r.n_mismatch == 0 and r.n_decoded == N_DOCS - len(victims)
+
+    # targeted decode of a victim finds nothing
+    assert engine.decode(table.read(spark, t), targets=[victims[0]]).count() == 0
+
+    # time travel: the parent snapshot still holds the purged docs
+    old_dec = engine.decode(table.read(spark, t, snapshot_id=parent))
+    assert old_dec.filter(F.col("doc_id").isin(victims)).count() == len(victims)
+
+
+def test_purge_docs_no_victims_is_noop(spark, tokens_df, tmp_path):
+    from archive_spark import table
+
+    t = str(tmp_path / "enc")
+    table.commit(engine.encode(tokens_df, target_block_values=1 << 14), t)
+    parent = table.current_snapshot_id(t)
+    rep = engine.purge_docs(spark, t, ["doc_does_not_exist"])
+    assert rep["snapshot_id"] == parent and rep["n_files_rewritten"] == 0
+    assert table.current_snapshot_id(t) == parent
