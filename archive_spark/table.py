@@ -348,7 +348,13 @@ def read_manifest(table_dir: str, snapshot_id: str) -> Snapshot:
     path = os.path.join(_manifest_dir(table_dir), f"snapshot-{snapshot_id}.json")
     with open(path) as f:
         d = json.load(f)
-    return Snapshot(**d)
+    # forward compatibility (the Iceberg reader rule): a manifest
+    # written by a newer engine may carry fields this reader doesn't
+    # know — ignore them instead of refusing the whole table
+    import dataclasses
+
+    known = {f.name for f in dataclasses.fields(Snapshot)}
+    return Snapshot(**{k: v for k, v in d.items() if k in known})
 
 
 def snapshots(table_dir: str) -> list[Snapshot]:
