@@ -521,24 +521,72 @@ def roundtrip_report(original: DataFrame, decoded: DataFrame) -> DataFrame:
     )
 
 
+def decode_table(
+    spark,
+    table_dir: str,
+    snapshot_id: str | None = None,
+    targets: Sequence[str] | None = None,
+    verify_checksum: bool = False,
+) -> DataFrame:
+    """Decode an encoded snapshot table INCLUDING doc-level logical
+    deletes: ``table.delete_rows(key='doc_id')`` entries cannot be
+    applied to block rows (docs live inside compressed payloads), so
+    the raw ``table.read`` refuses them — this face reads the blocks
+    raw, decodes, and anti-joins the delete keys per delete epoch with
+    full sequence fidelity (a doc re-encoded AFTER its takedown
+    survives, exactly like the row-table rule).
+
+    This is the "instant takedown" read path: delete_rows makes the
+    docs invisible here immediately at O(|keys|) cost; a later
+    ``purge_docs()`` makes it physical."""
+    from . import table as snap_table
+
+    snapshot_id = snapshot_id or snap_table.current_snapshot_id(table_dir)
+    if snapshot_id is None:
+        raise FileNotFoundError(f"{table_dir}: no committed snapshot")
+    manifest = snap_table.read_manifest(table_dir, snapshot_id)
+    files = snap_table.select_files(table_dir, snapshot_id)
+    if not files:
+        return spark.createDataFrame([], TOKENS_SCHEMA)
+
+    def dec_for(fl):
+        return decode(
+            snap_table._read_files(spark, table_dir, manifest, fl),
+            targets=targets,
+            verify_checksum=verify_checksum,
+        )
+
+    if manifest.deletes:
+        return snap_table._apply_deletes(
+            spark, table_dir, manifest, files, dec_for
+        )
+    return dec_for(files)
+
+
 def purge_docs(
     spark,
     table_dir: str,
-    victims,
+    victims=None,
     target_block_values: int = DEFAULT_BLOCK_VALUES,
     effort: str = "balanced",
 ) -> dict:
-    """Physical takedown on an ENCODED snapshot table: remove the given
-    doc_ids from the compressed corpus by re-encoding ONLY the blocks
-    that contain them — cost O(affected blocks), never O(corpus).
+    """Physical takedown on an ENCODED snapshot table: remove doc_ids
+    from the compressed corpus by re-encoding ONLY the blocks that
+    contain them — cost O(affected blocks), never O(corpus).
+
+    ``victims``: doc_ids to remove (DataFrame or iterable).  Pending
+    logical delete entries (``table.delete_rows``) are ALWAYS applied
+    too — with per-epoch sequence fidelity, so a doc re-encoded after
+    its takedown entry survives — and the new snapshot carries no
+    delete entries (purge makes all outstanding logical state
+    physical).  ``victims=None`` purges just the pending entries.
 
     Scale shape (the thing that matters at 100 TB):
     - victim discovery is one scan of the ``doc_ids`` column alone
       (parquet column pruning — payload bytes are never read) joined
       against the broadcast victim set;
     - files with no affected block keep their EXACT paths in the new
-      manifest — zero data movement, zero re-encode, and their
-      manifest stats carry over;
+      manifest — zero data movement, zero re-encode;
     - inside an affected file, non-hit blocks pass through with their
       payload bytes untouched (byte-identical copy); only hit blocks
       decode → filter → re-encode.
@@ -556,32 +604,25 @@ def purge_docs(
     if parent is None:
         raise FileNotFoundError(f"{table_dir}: no committed snapshot")
     manifest = snap_table.read_manifest(table_dir, parent)
+    dels = manifest.deletes or []
+    fseq = manifest.file_seq or {}
 
-    if not isinstance(victims, DataFrame):
-        victims = spark.createDataFrame(
-            [(str(v),) for v in victims], "doc_id string"
-        )
-    vic = victims.select("doc_id").distinct()
+    vic_explicit = None
+    if victims is not None:
+        if not isinstance(victims, DataFrame):
+            victims = spark.createDataFrame(
+                [(str(v),) for v in victims], "doc_id string"
+            )
+        vic_explicit = victims.select("doc_id").distinct()
 
-    enc = snap_table.read(spark, table_dir).withColumn(
-        "_file", F.input_file_name()
-    )
-    # which files contain a victim: one pass over (file, doc_ids) only
-    hit_files = [
-        r._file
-        for r in enc.select("_file", F.explode("doc_ids").alias("doc_id"))
-        .join(F.broadcast(vic), "doc_id")
-        .select("_file")
-        .distinct()
-        .collect()
-    ]
     report = {
         "snapshot_id": parent,
         "n_files": len(manifest.files),
-        "n_files_rewritten": len(hit_files),
+        "n_files_rewritten": 0,
         "n_blocks_rewritten": 0,
+        "n_delete_entries_applied": len(dels),
     }
-    if not hit_files:
+    if vic_explicit is None and not dels:
         return report
 
     def _rel(uri: str) -> str:
@@ -590,32 +631,95 @@ def purge_docs(
             p = p[1:]
         return os.path.relpath(p, table_dir)
 
-    hit_rel = {_rel(u) for u in hit_files}
-    enc_aff = enc.filter(F.col("_file").isin(hit_files))
-    # which BLOCKS inside those files contain a victim
-    bh = (
-        enc_aff.select("block_id", F.explode("doc_ids").alias("doc_id"))
-        .join(F.broadcast(vic), "doc_id")
-        .select("block_id")
-        .distinct()
-    )
-    to_rewrite = enc_aff.join(F.broadcast(bh), "block_id", "left_semi").drop("_file")
-    passthrough = enc_aff.join(F.broadcast(bh), "block_id", "left_anti").drop("_file")
-    report["n_blocks_rewritten"] = to_rewrite.count()
+    # group files by their applicable-delete epoch (same rule as
+    # table._apply_deletes) — each group gets its own victim set =
+    # explicit victims + the keys of its applicable entries
+    groups: dict[tuple, list[str]] = {}
+    for f in manifest.files:
+        s = fseq.get(f, 0)
+        applicable = tuple(i for i, d in enumerate(dels) if d["seq"] > s)
+        groups.setdefault(applicable, []).append(f)
 
-    clean = decode(to_rewrite).join(F.broadcast(vic), "doc_id", "left_anti")
-    reblocks = encode(
-        clean, target_block_values=target_block_values, effort=effort
-    )
-    new_df = passthrough.unionByName(reblocks, allowMissingColumns=True)
+    keep: list[str] = []
+    clean_parts: list[DataFrame] = []
+    pass_parts: list[DataFrame] = []
+    for applicable, fl in groups.items():
+        vic = vic_explicit
+        kfiles = [
+            kf
+            for i in applicable
+            if dels[i]["key"] == "doc_id"
+            for kf in dels[i]["files"]
+        ]
+        if kfiles:
+            kdf = (
+                spark.read.parquet(
+                    *[os.path.join(table_dir, k) for k in kfiles]
+                )
+                .select("doc_id")
+                .distinct()
+            )
+            vic = kdf if vic is None else vic.unionByName(kdf).distinct()
+        if vic is None:
+            keep.extend(fl)
+            continue
+        enc = snap_table._read_files(spark, table_dir, manifest, fl).withColumn(
+            "_file", F.input_file_name()
+        )
+        hit_files = [
+            r._file
+            for r in enc.select("_file", F.explode("doc_ids").alias("doc_id"))
+            .join(F.broadcast(vic), "doc_id")
+            .select("_file")
+            .distinct()
+            .collect()
+        ]
+        hit_rel = {_rel(u) for u in hit_files}
+        keep.extend(f for f in fl if f not in hit_rel)
+        if not hit_files:
+            continue
+        report["n_files_rewritten"] += len(hit_files)
+        enc_aff = enc.filter(F.col("_file").isin(hit_files))
+        bh = (
+            enc_aff.select("block_id", F.explode("doc_ids").alias("doc_id"))
+            .join(F.broadcast(vic), "doc_id")
+            .select("block_id")
+            .distinct()
+        )
+        to_rewrite = enc_aff.join(F.broadcast(bh), "block_id", "left_semi").drop("_file")
+        pass_parts.append(
+            enc_aff.join(F.broadcast(bh), "block_id", "left_anti").drop("_file")
+        )
+        report["n_blocks_rewritten"] += to_rewrite.count()
+        clean_parts.append(
+            decode(to_rewrite).join(F.broadcast(vic), "doc_id", "left_anti")
+        )
+
+    if not clean_parts and not pass_parts and not dels:
+        return report  # nothing hit, nothing pending: true no-op
+    # (entries that matched nothing still get cleared by the fresh
+    # overwrite manifest below)
+    clean = None
+    for c in clean_parts:
+        clean = c if clean is None else clean.unionByName(c)
+    new_df = None
+    if clean is not None:
+        new_df = encode(
+            clean, target_block_values=target_block_values, effort=effort
+        )
+    for p in pass_parts:
+        new_df = p if new_df is None else new_df.unionByName(
+            p, allowMissingColumns=True
+        )
 
     import uuid as _uuid
 
     sid = _uuid.uuid4().hex[:16]
-    snap_data = os.path.join(table_dir, "data", sid)
-    new_df.write.mode("errorifexists").parquet(snap_data)
-    keep = [f for f in manifest.files if f not in hit_rel]
-    new_files = snap_table._data_files(table_dir, snap_data)
+    new_files: list[str] = []
+    if new_df is not None:
+        snap_data = os.path.join(table_dir, "data", sid)
+        new_df.write.mode("errorifexists").parquet(snap_data)
+        new_files = snap_table._data_files(table_dir, snap_data)
     report["snapshot_id"] = snap_table.commit_existing(
         table_dir,
         keep + new_files,

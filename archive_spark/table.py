@@ -539,6 +539,19 @@ def _apply_deletes(
         for i in applicable:
             by_key.setdefault(dels[i]["key"], []).extend(dels[i]["files"])
         for key, kfiles in by_key.items():
+            if key not in part.columns:
+                # a delete keyed by a column this physical layout doesn't
+                # carry (e.g. doc_id deletes against an ENCODED block
+                # table, where docs live inside payload blocks) cannot be
+                # applied here — refusing beats silently resurrecting
+                # deleted rows.  The lane's decode face applies these
+                # post-decode (engine.decode_table).
+                raise ValueError(
+                    f"delete entry keyed by {key!r} cannot be applied: not a "
+                    f"column of this table (columns: {part.columns}); read "
+                    "through the lane's decode face, or pass "
+                    "apply_deletes=False for the raw blocks"
+                )
             kpaths = [os.path.join(table_dir, k) for k in kfiles]
             keys = spark.read.parquet(*kpaths).select(key).distinct()
             try:

@@ -354,3 +354,74 @@ def test_purge_docs_no_victims_is_noop(spark, tokens_df, tmp_path):
     rep = engine.purge_docs(spark, t, ["doc_does_not_exist"])
     assert rep["snapshot_id"] == parent and rep["n_files_rewritten"] == 0
     assert table.current_snapshot_id(t) == parent
+
+
+def test_logical_delete_then_decode_then_purge_lifecycle(spark, tokens_df, tmp_path):
+    """The production takedown pattern on the compressed corpus:
+    delete_rows makes docs invisible to decode_table INSTANTLY
+    (O(|keys|), no data touched); purge_docs later makes it physical
+    and clears the entries.  Raw table.read refuses doc-keyed deletes
+    (docs live inside payloads) instead of resurrecting rows."""
+    from archive_spark import table
+
+    t = str(tmp_path / "enc")
+    table.commit(engine.encode(tokens_df, target_block_values=1 << 13), t)
+    victims = [r.doc_id for r in tokens_df.orderBy("doc_id").limit(15).collect()]
+    table.delete_rows(spark, t, victims, key="doc_id")
+
+    # instant: decode face hides them
+    dec = engine.decode_table(spark, t)
+    assert dec.filter(F.col("doc_id").isin(victims)).count() == 0
+    rep = engine.roundtrip_report(
+        tokens_df.filter(~F.col("doc_id").isin(victims)), dec
+    ).collect()[0]
+    assert rep.n_mismatch == 0 and rep.n_decoded == N_DOCS - 15
+
+    # raw read with deletes applied must refuse, not silently skip
+    with pytest.raises(Exception, match="doc_id"):
+        table.read(spark, t).count()
+    assert table.read(spark, t, apply_deletes=False).count() > 0
+
+    # physical purge applies the pending entries and clears them
+    prep = engine.purge_docs(spark, t, target_block_values=1 << 13)
+    assert prep["n_delete_entries_applied"] == 1
+    m = table.read_manifest(t, prep["snapshot_id"])
+    assert not m.deletes
+    dec2 = engine.decode_table(spark, t)
+    assert dec2.filter(F.col("doc_id").isin(victims)).count() == 0
+    rep2 = engine.roundtrip_report(
+        tokens_df.filter(~F.col("doc_id").isin(victims)), dec2
+    ).collect()[0]
+    assert rep2.n_mismatch == 0 and rep2.n_decoded == N_DOCS - 15
+
+
+def test_decode_table_seq_scoping_spares_reencoded_doc(spark, tokens_df, tmp_path):
+    """A doc appended to the encoded table AFTER its takedown entry must
+    decode (the row-table sequencing rule holds through the decode
+    face), and a pending-entry purge must not eat it either."""
+    from archive_spark import table
+
+    t = str(tmp_path / "enc")
+    table.commit(engine.encode(tokens_df, target_block_values=1 << 13), t)
+    victim = tokens_df.orderBy("doc_id").limit(1).collect()[0]
+    table.delete_rows(spark, t, [victim.doc_id], key="doc_id")
+    assert engine.decode_table(spark, t).filter(
+        F.col("doc_id") == victim.doc_id
+    ).count() == 0
+    # re-ingest the same doc id after the takedown
+    reborn = spark.createDataFrame(
+        [(victim.doc_id, [1, 2, 3], 3, victim.source)],
+        "doc_id string, tokens array<int>, n_tok int, source string",
+    )
+    table.commit(engine.encode(reborn, target_block_values=1 << 13), t,
+                 mode="append")
+    got = engine.decode_table(spark, t).filter(
+        F.col("doc_id") == victim.doc_id
+    ).collect()
+    assert len(got) == 1 and got[0].tokens == [1, 2, 3]
+    # pending-entry purge keeps the reborn doc
+    engine.purge_docs(spark, t, target_block_values=1 << 13)
+    got2 = engine.decode_table(spark, t).filter(
+        F.col("doc_id") == victim.doc_id
+    ).collect()
+    assert len(got2) == 1 and got2[0].tokens == [1, 2, 3]
