@@ -326,3 +326,60 @@ def start_incremental_dedup_sink(
     if trigger_once:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def start_upsert_sink(
+    stream: DataFrame,
+    table_dir: str,
+    checkpoint_dir: str,
+    key: str = "doc_id",
+    available_now: bool = True,
+):
+    """Stream row-level UPSERTS into a snapshot table: each micro-batch
+    runs ``table.merge_upsert`` — rows whose ``key`` already exists are
+    replaced (equality-delete entry scoped to older files), new keys
+    are inserted — as ONE atomic snapshot whose id is the batch id.
+    The Structured Streaming CDC-apply pattern: an updates feed folds
+    into a queryable latest-state table without ever rewriting it.
+
+    Exactly-once across restarts: a replayed batch finds its manifest
+    (or loses the O_EXCL race) and skips; a crash before manifest
+    publish leaves only unreferenced data/delete-key dirs, cleared on
+    replay and invisible to every reader.
+
+    Rows within one batch should be unique per ``key`` (upstream
+    ``dedup_stream`` / aggregation); duplicate in-batch keys all land
+    with the same sequence number and would all survive."""
+    from . import table as snap_table
+
+    def upsert_batch(df: DataFrame, batch_id: int) -> None:
+        import os
+        import shutil
+
+        sid = f"upsert-{batch_id:012d}"
+        try:
+            snap_table.read_manifest(table_dir, sid)
+            return  # replayed micro-batch: already committed
+        except FileNotFoundError:
+            pass
+        # crash replay: clear partial (unreferenced) staging dirs so
+        # the errorifexists writes succeed
+        shutil.rmtree(os.path.join(table_dir, "data", sid), ignore_errors=True)
+        shutil.rmtree(
+            os.path.join(table_dir, "deletes", sid), ignore_errors=True
+        )
+        try:
+            snap_table.merge_upsert(
+                df.sparkSession, df, table_dir, key=key, snapshot_id=sid
+            )
+        except snap_table.CommitConflict:
+            pass  # lost a concurrent-replay race: already committed
+
+    w = (
+        stream.writeStream.foreachBatch(upsert_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )
+    if available_now:
+        w = w.trigger(availableNow=True)
+    return w.start()
