@@ -3,7 +3,8 @@
 Usage:
   spark-submit --py-files dist/archive_spark.zip jobs/maintain_job.py \
       --table /path/to/table [--compact] [--target-partitions N] \
-      [--cluster-by col1,col2] [--expire-keep-last K] [--vacuum]
+      [--cluster-by col1,col2 | --zorder-by col1,col2] \
+      [--expire-keep-last K] [--vacuum]
 
 Compacts the current snapshot's small files (streaming micro-commits)
 into one overwrite snapshot, expires old snapshot manifests, and/or
@@ -24,6 +25,10 @@ def main() -> None:
     ap.add_argument("--cluster-by", default=None,
                     help="comma-separated columns: range-cluster the rewrite "
                     "so manifest stats can prune files (e.g. doc_min)")
+    ap.add_argument("--zorder-by", default=None,
+                    help="comma-separated columns: Morton-curve-cluster the "
+                    "rewrite so manifest stats prune on EVERY listed column "
+                    "(multi-predicate reads), not just a sort leader")
     ap.add_argument("--expire-keep-last", type=int, default=None)
     ap.add_argument("--vacuum", action="store_true")
     args = ap.parse_args()
@@ -40,6 +45,7 @@ def main() -> None:
         out["compacted_snapshot"] = table.compact(
             spark, args.table, target_partitions=args.target_partitions,
             order_by=args.cluster_by.split(",") if args.cluster_by else None,
+            zorder=args.zorder_by.split(",") if args.zorder_by else None,
         )
     if args.expire_keep_last is not None:
         out["expired"] = table.expire_snapshots(

@@ -1,0 +1,99 @@
+"""spark-submit entry point: right-to-be-forgotten takedown.
+
+Usage:
+  spark-submit --py-files dist/archive_spark.zip jobs/takedown_job.py \
+      --table /path/to/snapshot_table \
+      (--keys id1,id2,... | --keys-file /path/to/ids.txt) \
+      [--key-col doc_id] [--logical | --purge | --both (default)]
+
+Two-phase takedown, matching how a 100 TB platform actually operates:
+
+  --logical   commit an equality-delete entry (table.delete_rows):
+              O(|keys|) cost, instant — every read face hides the rows
+              from this moment (row tables via table.read's anti-join,
+              encoded token tables via engine.decode_table).
+  --purge     make it physical: encoded tables re-encode only the
+              blocks containing victims (engine.purge_docs); row
+              tables compact (applies pending entries in the rewrite).
+  --both      logical now, purge immediately after (single invocation
+              convenience; in production the purge typically runs in
+              the nightly maintenance window instead).
+
+The parent snapshots retain the rows until --expire-keep-last /
+--vacuum (maintain_job) — run those to make the takedown physical on
+disk, or keep them for the audit trail.
+
+Emits one summary JSON line on stdout.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--table", required=True)
+    ap.add_argument("--keys", default=None, help="comma-separated key values")
+    ap.add_argument("--keys-file", default=None,
+                    help="file with one key value per line")
+    ap.add_argument("--key-col", default="doc_id")
+    g = ap.add_mutually_exclusive_group()
+    g.add_argument("--logical", action="store_true")
+    g.add_argument("--purge", action="store_true")
+    args = ap.parse_args()
+    if not args.keys and not args.keys_file and not args.purge:
+        ap.error("need --keys or --keys-file (or bare --purge to apply "
+                 "pending entries)")
+
+    keys: list[str] = []
+    if args.keys:
+        keys += [k for k in args.keys.split(",") if k]
+    if args.keys_file:
+        with open(args.keys_file) as f:
+            keys += [ln.strip() for ln in f if ln.strip()]
+
+    from pyspark.sql import SparkSession
+
+    from archive_spark import engine, table
+
+    spark = SparkSession.builder.appName("archive_spark_takedown").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    sid = table.current_snapshot_id(args.table)
+    if sid is None:
+        raise SystemExit(f"{args.table}: no committed snapshot")
+    schema = table.read_manifest(args.table, sid).schema
+    encoded = "payload:binary" in schema.replace(" ", "") and "doc_ids" in schema
+
+    out: dict[str, object] = {
+        "table": args.table,
+        "n_keys": len(keys),
+        "encoded": encoded,
+    }
+    do_logical = args.logical or not args.purge
+    do_purge = args.purge or not args.logical
+
+    if do_logical and keys:
+        out["logical_snapshot"] = table.delete_rows(
+            spark, args.table, keys, key=args.key_col
+        )
+    if do_purge:
+        if encoded:
+            # purge applies pending entries; pass explicit keys only if
+            # no logical commit just recorded them
+            vic = None if do_logical else (keys or None)
+            rep = engine.purge_docs(spark, args.table, vic)
+            out["purge"] = rep
+        else:
+            # row table: the compaction rewrite applies every pending
+            # entry (and these keys' fresh entry) physically
+            if not do_logical and keys:
+                table.delete_rows(spark, args.table, keys, key=args.key_col)
+            out["purge_snapshot"] = table.compact(spark, args.table)
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -276,3 +276,54 @@ def test_encode_embeddings_job_cli(zip_path, tmp_path):
     from archive_spark import table as T
 
     assert T.current_snapshot_id(out_dir) == rep["snapshot_id"]
+
+
+def test_takedown_job_cli(spark, zip_path, tokens_path, tmp_path):
+    """Two-phase takedown through the shipping surface: logical delete
+    hides the docs instantly, purge rewrites only affected blocks, and
+    the decode CLI output no longer carries them."""
+    from archive_spark import engine, table
+    from archive_spark.tokengen import token_table
+
+    tdir = str(tmp_path / "enc")
+    toks = token_table(spark, 1_500, seed=13)
+    table.commit(engine.encode(toks, target_block_values=1 << 13), tdir)
+    victims = [r.doc_id for r in toks.orderBy("doc_id").limit(5).collect()]
+
+    r = _spark_submit(
+        zip_path, "takedown_job.py",
+        "--table", tdir, "--keys", ",".join(victims), "--logical",
+    )
+    assert r.returncode == 0, r.stderr[-3000:]
+    s = json.loads(r.stdout.strip().splitlines()[-1])
+    assert s["encoded"] is True and "logical_snapshot" in s
+    assert engine.decode_table(spark, tdir).filter(
+        F.col("doc_id").isin(victims)).count() == 0
+
+    r2 = _spark_submit(zip_path, "takedown_job.py", "--table", tdir, "--purge")
+    assert r2.returncode == 0, r2.stderr[-3000:]
+    s2 = json.loads(r2.stdout.strip().splitlines()[-1])
+    assert s2["purge"]["n_delete_entries_applied"] == 1
+    assert s2["purge"]["n_files_rewritten"] >= 1
+    assert not table.read_manifest(
+        tdir, table.current_snapshot_id(tdir)).deletes
+    dec = engine.decode_table(spark, tdir)
+    assert dec.count() == 1_495
+    assert dec.filter(F.col("doc_id").isin(victims)).count() == 0
+
+
+def test_maintain_job_zorder_cli(spark, zip_path, tmp_path):
+    from archive_spark import table
+
+    tdir = str(tmp_path / "t")
+    df = spark.range(0, 2048).selectExpr("id AS k", "CAST(id % 32 AS INT) AS g")
+    table.commit(df, tdir)
+    r = _spark_submit(
+        zip_path, "maintain_job.py",
+        "--table", tdir, "--compact", "--target-partitions", "8",
+        "--zorder-by", "k,g",
+    )
+    assert r.returncode == 0, r.stderr[-3000:]
+    sid = table.current_snapshot_id(tdir)
+    kept = table.select_files(tdir, sid, prune={"g": (3, 3)})
+    assert len(kept) <= 4, kept
