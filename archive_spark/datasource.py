@@ -201,7 +201,7 @@ class ArchiveEmbeddingsReader(DataSourceReader):
                         v = int(f.value)
                         self.hi = v if self.hi is None else min(self.hi, v)
                     elif isinstance(f, In):
-                        vs = [int(v) for v in f.values]
+                        vs = [int(v) for v in f.value]
                         if vs:
                             lo, hi = min(vs), max(vs)
                             self.lo = lo if self.lo is None else max(self.lo, lo)
@@ -230,10 +230,13 @@ class ArchiveEmbeddingsReader(DataSourceReader):
         if lo is not None:
             prune["vec_max"] = (lo, None)
         files = snap_table.select_files(self.table_dir, snap, prune or None)
+        manifest = snap_table.read_manifest(self.table_dir, snap)
+        dels = _delete_paths_for(self.table_dir, manifest, files, "vec_id")
         # one partition per surviving data file; carry the id window so
-        # the executor side can block-prune without re-reading state
+        # the executor side can block-prune without re-reading state,
+        # plus the file's applicable takedown key files
         return [
-            InputPartition((os.path.join(self.table_dir, f), lo, hi))
+            InputPartition((os.path.join(self.table_dir, f), lo, hi, dels[f]))
             for f in files
         ]
 
@@ -245,7 +248,9 @@ class ArchiveEmbeddingsReader(DataSourceReader):
         from .embeddings import _decode_ids
         from .codecs.floatkernels import decode_floats
 
-        path, lo, hi = partition.value
+        part = partition.value
+        path, lo, hi = part[0], part[1], part[2]
+        dset = _load_delete_keys(part[3] if len(part) > 3 else ())
         tbl = pq.read_table(
             path,
             columns=[
@@ -270,9 +275,58 @@ class ArchiveEmbeddingsReader(DataSourceReader):
             arr = pa.ListArray.from_arrays(
                 pa.array(offs, pa.int32()), pa.array(flat, pa.float32())
             )
-            yield pa.RecordBatch.from_arrays(
+            batch = pa.RecordBatch.from_arrays(
                 [pa.array(ids, pa.int64()), arr], ["vec_id", "embedding"]
             )
+            if dset is not None:
+                keep = [int(v) not in dset for v in ids]
+                if not any(keep):
+                    continue
+                batch = batch.filter(pa.array(keep))
+            yield batch
+
+
+def _delete_paths_for(
+    table_dir: str, manifest, files: list[str], key_col: str
+) -> dict[str, tuple]:
+    """Per selected data file: the delete-key parquet paths applicable
+    to it (entry seq > file add seq — the same sequence rule as
+    table._apply_deletes, evaluated at plan time so each scan partition
+    ships its own tiny key-file list).  Entries keyed by any other
+    column can't be honored by this reader and raise — refusing beats
+    resurrecting taken-down rows."""
+    dels = manifest.deletes or []
+    if not dels:
+        return {f: () for f in files}
+    for d in dels:
+        if d["key"] != key_col:
+            raise ValueError(
+                f"table has a delete entry keyed by {d['key']!r}; this "
+                f"reader can only apply {key_col!r}-keyed deletes"
+            )
+    fseq = manifest.file_seq or {}
+    return {
+        f: tuple(
+            os.path.join(table_dir, p)
+            for d in dels
+            if d["seq"] > fseq.get(f, 0)
+            for p in d["files"]
+        )
+        for f in files
+    }
+
+
+def _load_delete_keys(paths) -> set | None:
+    """Executor-side: the union of key values in the given delete-key
+    parquet files (a takedown list is KiB-scale next to the data)."""
+    if not paths:
+        return None
+    import pyarrow.parquet as pq
+
+    keys: set = set()
+    for p in paths:
+        keys.update(pq.read_table(p).column(0).to_pylist())
+    return keys or None
 
 
 TOK_READ_SCHEMA = "doc_id string, tokens array<int>, n_tok int, source string"
@@ -287,7 +341,9 @@ def _read_token_blocks(partition) -> Iterator:
 
     from .codecs import kernels
 
-    path, lo, hi = partition.value
+    part = partition.value
+    path, lo, hi = part[0], part[1], part[2]
+    dset = _load_delete_keys(part[3] if len(part) > 3 else ())
     tbl = pq.read_table(
         path,
         columns=["source", "doc_ids", "doc_min", "doc_max",
@@ -305,7 +361,7 @@ def _read_token_blocks(partition) -> Iterator:
             pa.array(offsets, pa.int32()), pa.array(flat, pa.int32())
         )
         n = len(row["doc_ids"])
-        yield pa.RecordBatch.from_arrays(
+        batch = pa.RecordBatch.from_arrays(
             [
                 pa.array(row["doc_ids"], pa.string()),
                 tokens,
@@ -314,6 +370,12 @@ def _read_token_blocks(partition) -> Iterator:
             ],
             ["doc_id", "tokens", "n_tok", "source"],
         )
+        if dset is not None:
+            keep = [d not in dset for d in row["doc_ids"]]
+            if not any(keep):
+                continue
+            batch = batch.filter(pa.array(keep))
+        yield batch
 
 
 class ArchiveTokensDataSource(DataSource):
@@ -369,7 +431,7 @@ class ArchiveTokensReader(DataSourceReader):
                         v = str(f.value)
                         self.hi = v if self.hi is None else min(self.hi, v)
                     elif isinstance(f, In):
-                        vs = [str(v) for v in f.values]
+                        vs = [str(v) for v in f.value]
                         if vs:
                             lo, hi = min(vs), max(vs)
                             self.lo = lo if self.lo is None else max(self.lo, lo)
@@ -399,8 +461,10 @@ class ArchiveTokensReader(DataSourceReader):
             # prunes single-source files outside the predicate
             prune["source"] = (src, src)
         files = snap_table.select_files(self.table_dir, snap, prune or None)
+        manifest = snap_table.read_manifest(self.table_dir, snap)
+        dels = _delete_paths_for(self.table_dir, manifest, files, "doc_id")
         return [
-            InputPartition((os.path.join(self.table_dir, f), lo, hi))
+            InputPartition((os.path.join(self.table_dir, f), lo, hi, dels[f]))
             for f in files
         ]
 

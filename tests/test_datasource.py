@@ -268,3 +268,59 @@ def test_tokens_stream_source_exactly_once_per_append(spark, tmp_path):
     run_once()
     assert spark.read.parquet(out_dir).count() == n
     toks.unpersist()
+
+
+def test_tokens_datasource_honors_takedown(spark, tmp_path):
+    """delete_rows entries must reach the DataSource scan: taken-down
+    docs disappear from format('archive_tokens') immediately, with the
+    same sequence fidelity as decode_table (a re-appended doc shows its
+    NEW content), and the filter composes with pushdown pruning."""
+    from archive_spark import engine, table
+    from archive_spark.tokengen import token_table
+
+    D.register(spark)
+    tdir = str(tmp_path / "tok_table")
+    toks = token_table(spark, 600, seed=21)
+    table.commit(engine.encode(toks, target_block_values=1 << 12), tdir)
+    victims = [r.doc_id for r in toks.orderBy("doc_id").limit(6).collect()]
+    table.delete_rows(spark, tdir, victims, key="doc_id")
+
+    df = spark.read.format("archive_tokens").option("path", tdir).load()
+    assert df.count() == 600 - 6
+    assert df.filter(F.col("doc_id").isin(victims)).count() == 0
+
+    # re-appended doc after the takedown: visible with its new payload
+    reborn = spark.createDataFrame(
+        [(victims[0], [9, 9], 2, victims[0].split("-")[0])],
+        "doc_id string, tokens array<int>, n_tok int, source string",
+    )
+    table.commit(engine.encode(reborn, target_block_values=1 << 12), tdir,
+                 mode="append")
+    got = (
+        spark.read.format("archive_tokens").option("path", tdir).load()
+        .filter(F.col("doc_id") == victims[0]).collect()
+    )
+    assert len(got) == 1 and got[0].tokens == [9, 9]
+
+    # pushdown path still correct under deletes (fresh load per query —
+    # the pinned Spark scan-cache contract)
+    one = (
+        spark.read.format("archive_tokens").option("path", tdir).load()
+        .filter(F.col("doc_id") == victims[1]).count()
+    )
+    assert one == 0
+
+
+def test_embeddings_datasource_honors_takedown(spark, tmp_path):
+    from archive_spark import embeddings as E, table as T
+
+    D.register(spark)
+    tdir = str(tmp_path / "emb_table")
+    syn = E.embedding_table(spark, 800, dim=8, seed=3).repartitionByRange(
+        4, "vec_id"
+    ).sortWithinPartitions("vec_id")
+    T.commit(E.encode_embeddings(syn, target_block_floats=1 << 10), tdir)
+    T.delete_rows(spark, tdir, [0, 1, 2, 3], key="vec_id")
+    df = spark.read.format("archive_embeddings").option("path", tdir).load()
+    assert df.count() == 796
+    assert df.filter(F.col("vec_id") < 4).count() == 0
