@@ -167,6 +167,38 @@ def main() -> None:
         )
         out["rare_probe_sec"] = round(time.perf_counter() - t0, 1)
 
+        # ---- takedown at scale (session 6): purge ~0.01% of docs from
+        # the clustered encoded table and record how little was touched
+        # — the evidence that a right-to-be-forgotten pass is
+        # O(affected blocks), never O(corpus).  Digest-gated: the
+        # post-purge decode must equal (original minus victims) under
+        # the order-insensitive content digest.
+        pw = max(args.docs // 10_000, 10)
+        pa_ = args.docs // 2
+        plo, phi = f"textish-{pa_:010d}", f"textish-{pa_ + pw:010d}"
+        vic_df = tokens.filter(
+            (F.col("doc_id") >= plo) & (F.col("doc_id") <= phi)
+        ).select("doc_id")
+        out["purge_docs"] = vic_df.count()
+        t0 = time.perf_counter()
+        prep = engine.purge_docs(spark, enc_path, vic_df)
+        out["purge_sec"] = round(time.perf_counter() - t0, 1)
+        out["purge_files_rewritten"] = prep["n_files_rewritten"]
+        out["purge_files_total"] = prep["n_files"]
+        out["purge_blocks_rewritten"] = prep["n_blocks_rewritten"]
+        out["purge_file_untouched_frac"] = round(
+            1 - prep["n_files_rewritten"] / max(prep["n_files"], 1), 4
+        )
+        d_after = engine.roundtrip_digest(
+            engine.decode_table(spark, enc_path)
+        ).collect()[0]
+        d_exp = engine.roundtrip_digest(
+            tokens.join(vic_df, "doc_id", "left_anti")
+        ).collect()[0]
+        out["purge_digest_match"] = (d_after.n_docs, d_after.content_digest) == (
+            d_exp.n_docs, d_exp.content_digest
+        )
+
     # ---- embedding-lane anchor: encode/decode a synthetic float table
     # at scale, digest-gated (order-insensitive bitwise sum/xor — no
     # join materialization at any size)
