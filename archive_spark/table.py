@@ -856,10 +856,15 @@ def expire_snapshots(table_dir: str, keep_last: int = 1) -> list[str]:
     """Drop all but the newest ``keep_last`` snapshots' manifests, then
     vacuum data dirs nothing references anymore (Iceberg's
     expire_snapshots + remove_orphan_files pair).  The current snapshot
-    is always kept."""
+    and every TAGGED snapshot (``tag``) are always kept — a tag is a
+    retention hold."""
     snaps = snapshots(table_dir)
     current = current_snapshot_id(table_dir)
-    keep = {s.snapshot_id for s in snaps[-keep_last:]} | ({current} if current else set())
+    keep = (
+        {s.snapshot_id for s in snaps[-keep_last:]}
+        | ({current} if current else set())
+        | set(refs(table_dir).values())
+    )
     removed = []
     for s in snaps:
         if s.snapshot_id not in keep:
@@ -897,3 +902,68 @@ def vacuum(table_dir: str) -> list[str]:
                     shutil.rmtree(os.path.join(root, d))
                     removed.append(d)
     return removed
+
+
+# ---------------------------------------------------------------------------
+# named refs (tags): pin a snapshot against retention
+
+
+def _refs_dir(table_dir: str) -> str:
+    return os.path.join(table_dir, "_refs")
+
+
+def tag(table_dir: str, name: str, snapshot_id: str | None = None) -> str:
+    """Pin ``name`` to a snapshot (current by default) — Iceberg-style
+    tags: human-addressable time travel (``read(snapshot_id=
+    resolve_ref(...))``) and a retention hold (``expire_snapshots``
+    never drops a tagged snapshot; an audit/legal hold on the
+    pre-takedown state is one ``tag`` call).  Atomic rename publish;
+    re-tagging the same name moves it."""
+    if "/" in name or name.startswith("."):
+        raise ValueError(f"invalid ref name: {name!r}")
+    snapshot_id = snapshot_id or current_snapshot_id(table_dir)
+    if snapshot_id is None:
+        raise FileNotFoundError(f"{table_dir}: no committed snapshot")
+    read_manifest(table_dir, snapshot_id)  # must exist
+    os.makedirs(_refs_dir(table_dir), exist_ok=True)
+    tmp = os.path.join(_refs_dir(table_dir), f".{name}.tmp-{uuid.uuid4().hex[:8]}")
+    with open(tmp, "w") as f:
+        f.write(snapshot_id)
+    os.rename(tmp, os.path.join(_refs_dir(table_dir), name))
+    return snapshot_id
+
+
+def resolve_ref(table_dir: str, name: str) -> str:
+    with open(os.path.join(_refs_dir(table_dir), name)) as f:
+        return f.read().strip()
+
+
+def refs(table_dir: str) -> dict[str, str]:
+    d = _refs_dir(table_dir)
+    if not os.path.isdir(d):
+        return {}
+    return {
+        n: resolve_ref(table_dir, n)
+        for n in sorted(os.listdir(d))
+        if not n.startswith(".")
+    }
+
+
+def delete_tag(table_dir: str, name: str) -> None:
+    os.unlink(os.path.join(_refs_dir(table_dir), name))
+
+
+def delete_where(
+    spark: SparkSession,
+    table_dir: str,
+    predicate: str,
+    key: str = "doc_id",
+) -> str:
+    """Predicate takedown sugar: materialize the CURRENT keys matching
+    a SQL predicate (one scan, key column only) and commit them as an
+    equality delete — ``delete_where(t, "source = 'bad' AND ts < ...")``.
+    Sequence semantics are delete_rows': later appends matching the
+    predicate are NOT affected (this is a one-shot delete, not a
+    standing policy)."""
+    keys = read(spark, table_dir).filter(predicate).select(key)
+    return delete_rows(spark, table_dir, keys, key=key)

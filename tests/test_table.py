@@ -524,3 +524,45 @@ def test_zorder_key_is_deterministic_morton(spark):
     key = {(r.a, r.b): r._zkey for r in out}
     # quadrant order along the Z curve: (0,0) < (1,0) < (0,1) < (1,1)
     assert key[(0, 0)] < key[(1, 0)] < key[(0, 1)] < key[(1, 1)]
+
+
+# ---------------------------------------------------------------------------
+# tags (named refs): addressable time travel + retention holds
+
+
+def test_tag_resolve_and_retention_hold(spark, docs, tmp_path):
+    t = str(tmp_path / "t")
+    s1 = table.commit(docs, t)
+    table.tag(t, "pre-takedown")
+    table.delete_rows(spark, t, ["doc0000", "doc0001"], key="doc_id")
+    table.compact(spark, t, target_partitions=2)
+    table.compact(spark, t, target_partitions=1)
+    # tag still resolves and reads the ORIGINAL state
+    assert table.resolve_ref(t, "pre-takedown") == s1
+    held = table.read(spark, t, snapshot_id=table.resolve_ref(t, "pre-takedown"))
+    assert held.count() == 200
+    # expiry keeps the tagged snapshot (audit hold) but drops the rest
+    removed = table.expire_snapshots(t, keep_last=1)
+    assert s1 not in removed and len(removed) >= 1
+    assert table.read(spark, t, snapshot_id=s1).count() == 200
+    assert table.read(spark, t).count() == 198
+    # dropping the tag releases the hold
+    table.delete_tag(t, "pre-takedown")
+    removed2 = table.expire_snapshots(t, keep_last=1)
+    assert s1 in removed2
+    assert table.refs(t) == {}
+
+
+def test_delete_where_predicate_takedown(spark, docs, tmp_path):
+    t = str(tmp_path / "t")
+    table.commit(docs, t)
+    table.delete_where(spark, t, "source = 's2'", key="doc_id")
+    got = table.read(spark, t)
+    assert got.count() == 150
+    assert got.filter("source = 's2'").count() == 0
+    # one-shot semantics: a later s2 append is untouched
+    extra = spark.createDataFrame(
+        [("doc9998", "late", "s2")], "doc_id string, text string, source string"
+    )
+    table.commit(extra, t, mode="append")
+    assert table.read(spark, t).filter("source = 's2'").count() == 1
