@@ -1903,6 +1903,71 @@ def _q_embedding_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_unigram_lm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM (SentencePiece-family) tokenizer, integer-exact: vocab
+    induction (singles + top-512 substrings by chars-saved, ties
+    lexicographic) and per-word Viterbi DP under ilog2 costs, rolled up
+    per source.  The oracle rebuilds the WHOLE pipeline independently —
+    vocabulary selection and a 20-level unrolled min-plus DP — in
+    generated DuckDB SQL (no shared artifacts): possible because every
+    quantity is an integer and the DP VALUE ((cost<<8)+pieces) is
+    unique even where the best path is not."""
+    from archive_spark.pipeline_ops import unigram_corpus_stats
+
+    return unigram_corpus_stats(_docs(spark, sf_dir), vocab_size=512)
+
+
+def _unigram_oracle_sql(vocab_size: int = 512, max_piece: int = 8,
+                        max_word: int = 20) -> str:
+    """Generate the unrolled-DP replay of _q_unigram_lm_stats."""
+    parts = [
+        "WITH words AS MATERIALIZED (SELECT w, count(*) AS c FROM (SELECT "
+        "unnest(string_split(text, ' ')) AS w FROM documents) "
+        f"WHERE len(w) > 0 AND len(w) <= {max_word} GROUP BY w)",
+        "subs AS MATERIALIZED (SELECT substr(w, i, l) AS piece, SUM(c)::BIGINT AS freq "
+        "FROM words, unnest(range(1, len(w)+1)) AS t(i), "
+        f"unnest(range(1, {max_piece + 1})) AS u(l) "
+        "WHERE i + l - 1 <= len(w) GROUP BY piece)",
+        "singles AS (SELECT piece, freq FROM subs WHERE len(piece) = 1)",
+        "multis AS MATERIALIZED (SELECT piece, freq FROM subs WHERE len(piece) >= 2 "
+        f"ORDER BY freq * (len(piece) - 1) DESC, piece ASC LIMIT {vocab_size})",
+        "vocab0 AS (SELECT * FROM singles UNION ALL SELECT * FROM multis)",
+        "tot AS (SELECT SUM(freq) AS tf FROM vocab0)",
+        "vocab AS MATERIALIZED (SELECT piece, ((length(bin((SELECT tf FROM tot))) - 1) "
+        "- (length(bin(freq)) - 1))::BIGINT AS cb FROM vocab0)",
+        "dp0 AS MATERIALIZED (SELECT w, 0::BIGINT AS enc FROM words)",
+    ]
+    for k in range(1, max_word + 1):
+        lo = max(0, k - max_piece)
+        srcs = " UNION ALL ".join(
+            f"SELECT w, {j} AS pos, enc FROM dp{j}" for j in range(lo, k)
+        )
+        parts.append(
+            f"dp{k} AS MATERIALIZED (SELECT d.w, MIN(d.enc + (v.cb * 256 + 1)) AS enc "
+            f"FROM ({srcs}) d JOIN vocab v "
+            f"ON v.piece = substr(d.w, d.pos + 1, {k} - d.pos) "
+            f"WHERE len(d.w) >= {k} GROUP BY d.w)"
+        )
+    finals = " UNION ALL ".join(
+        f"SELECT w, enc FROM dp{k} WHERE len(w) = {k}"
+        for k in range(1, max_word + 1)
+    )
+    parts.append(f"wc AS MATERIALIZED ({finals})")
+    parts.append(
+        "occ AS (SELECT source, w FROM (SELECT source, "
+        "unnest(string_split(text, ' ')) AS w FROM documents) "
+        f"WHERE len(w) > 0 AND len(w) <= {max_word})"
+    )
+    return (
+        ", ".join(parts)
+        + " SELECT source, count(*)::BIGINT AS n_words, "
+        "SUM(enc % 256)::BIGINT AS total_pieces, "
+        "SUM(enc // 256)::BIGINT AS total_cost_bits "
+        "FROM occ JOIN wc USING (w) "
+        "GROUP BY source ORDER BY source"
+    )
+
+
 def _q_takedown_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Row-lifecycle on the snapshot table, end to end: commit the
     documents, equality-DELETE one md5 bucket of doc_ids (takedown
@@ -1988,6 +2053,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- never driver-checked before round 4 --
         "takedown_upsert": _q_takedown_upsert,
         "purge_encoded": _q_purge_encoded,
+        "unigram_lm_stats": _q_unigram_lm_stats,
         "readme_usability": _q_readme_usability,
         "archive_ingest": _q_archive_ingest,
         "bpe_token_stats": _q_bpe_token_stats,
@@ -2165,6 +2231,7 @@ def oracle_sql() -> dict[str, str]:
             "md5(string_agg(md5(text), '' ORDER BY md5(text))) AS digest "
             "FROM f GROUP BY source ORDER BY source"
         ),
+        "unigram_lm_stats": _unigram_oracle_sql(),
         "purge_encoded": (
             "SELECT source, count(*)::BIGINT AS n_docs, "
             "SUM(len(string_split(text, ' ')))::BIGINT AS total_tokens "

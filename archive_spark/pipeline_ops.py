@@ -2356,3 +2356,237 @@ def semdedup(
             (F.col("is_keeper").isNull() | F.col("is_keeper")).alias("kept"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# unigram-LM tokenizer (SentencePiece family) — integer-exact
+# ---------------------------------------------------------------------------
+
+#: Viterbi DP value encoding: (cost_bits << 8) + n_pieces.  Additive
+#: over piece sequences and min-comparable, so the DP VALUE is unique
+#: (lexicographic (cost, pieces) minimum) even when the best path is
+#: not — which is what makes corpus cost statistics exactly replayable
+#: in SQL without materializing any segmentation path.
+UNIGRAM_MAX_PIECE = 8
+UNIGRAM_MAX_WORD = 20
+
+
+def unigram_vocab(
+    docs: DataFrame,
+    vocab_size: int = 512,
+    max_piece_len: int = UNIGRAM_MAX_PIECE,
+) -> DataFrame:
+    """Deterministic unigram-tokenizer vocabulary from the corpus: all
+    single characters (coverage — every word stays segmentable) plus
+    the ``vocab_size`` best multi-char substrings ranked by
+    ``freq * (len-1)`` (characters saved), ties broken lexicographically
+    so any engine reproduces the exact set.  Substring frequencies are
+    corpus-weighted occurrence counts (overlaps included) over the
+    distinct-word histogram — the bounded intermediate every tokenizer
+    trainer here works from (cf. bpe_learn).
+
+    Returns (piece, freq, cost_bits): ``cost_bits = ilog2(total_freq) -
+    ilog2(freq)`` with the ``length(bin(x)) - 1`` integer log2 that is
+    exact in both Spark and DuckDB — a Zipf-shaped integer surrogate
+    for -log p, no floating point anywhere."""
+    words = (
+        docs.select(F.explode(F.split("text", " ")).alias("w"))
+        .filter((F.length("w") > 0) & (F.length("w") <= UNIGRAM_MAX_WORD))
+        .groupBy("w")
+        .agg(F.count("*").alias("c"))
+    )
+    subs = (
+        words.withColumn("i", F.explode(F.sequence(F.lit(1), F.length("w"))))
+        .withColumn(
+            "l",
+            F.explode(
+                F.sequence(
+                    F.lit(1),
+                    F.least(F.lit(max_piece_len), F.length("w") - F.col("i") + 1),
+                )
+            ),
+        )
+        .select(F.expr("substr(w, i, l)").alias("piece"), "c")
+        .groupBy("piece")
+        .agg(F.sum("c").cast("long").alias("freq"))
+    )
+    singles = subs.filter(F.length("piece") == 1)
+    multis = (
+        subs.filter(F.length("piece") >= 2)
+        .withColumn("score", F.col("freq") * (F.length("piece") - 1))
+        .orderBy(F.col("score").desc(), F.col("piece").asc())
+        .limit(vocab_size)
+        .drop("score")
+    )
+    vocab = singles.unionByName(multis)
+    total = vocab.agg(F.sum("freq")).collect()[0][0]
+    ilog2_total = int(total).bit_length() - 1
+    return vocab.withColumn(
+        "cost_bits",
+        F.lit(ilog2_total) - (F.length(F.bin("freq")) - F.lit(1)),
+    ).select("piece", "freq", "cost_bits")
+
+
+def unigram_word_costs(
+    docs: DataFrame,
+    vocab: DataFrame,
+    max_piece_len: int = UNIGRAM_MAX_PIECE,
+) -> DataFrame:
+    """Viterbi (min-cost) segmentation DP over the distinct-word
+    histogram against a broadcast vocabulary: per word, the encoded
+    optimum ``(cost_bits << 8) + n_pieces`` — unique by construction
+    (see UNIGRAM encoding note).  The per-word loop runs in one
+    mapInPandas pass over the bounded histogram; the corpus-scale join
+    back to documents stays pure JVM.  Single-char coverage makes every
+    word segmentable, so no infinity handling is needed beyond the
+    in-word DP."""
+    import pandas as pd
+
+    words = (
+        docs.select(F.explode(F.split("text", " ")).alias("w"))
+        .filter((F.length("w") > 0) & (F.length("w") <= UNIGRAM_MAX_WORD))
+        .groupBy("w")
+        .agg(F.count("*").alias("n_occurrences"))
+    )
+    vpairs = {r.piece: int(r.cost_bits) for r in vocab.collect()}
+    spark = docs.sparkSession
+    bvocab = spark.sparkContext.broadcast(vpairs)
+    maxp = int(max_piece_len)
+
+    def seg(batches):
+        vc = bvocab.value
+        INF = 1 << 60
+        for pdf in batches:
+            encs = []
+            for w in pdf["w"]:
+                n = len(w)
+                dp = [0] + [INF] * n
+                for k in range(1, n + 1):
+                    best = INF
+                    for j in range(max(0, k - maxp), k):
+                        if dp[j] >= INF:
+                            continue
+                        cb = vc.get(w[j:k])
+                        if cb is None:
+                            continue
+                        cand = dp[j] + (cb << 8) + 1
+                        if cand < best:
+                            best = cand
+                    dp[k] = best
+                encs.append(dp[n])
+            pdf = pdf.assign(enc=pd.array(encs, dtype="int64"))
+            yield pdf
+
+    out = words.mapInPandas(
+        seg, "w string, n_occurrences bigint, enc bigint"
+    )
+    return out.select(
+        "w",
+        "n_occurrences",
+        F.shiftright("enc", 8).alias("cost_bits"),
+        (F.col("enc") % 256).alias("n_pieces"),
+    )
+
+
+def unigram_corpus_stats(
+    docs: DataFrame,
+    vocab_size: int = 512,
+) -> DataFrame:
+    """Per-source unigram-tokenization cost statistics, integer-exact:
+    total words, total Viterbi pieces, total cost bits (occurrence-
+    weighted).  The full pipeline — vocab induction + DP — is
+    deterministic, so an independent engine rebuilds the identical
+    numbers from the raw text (the driver oracle does exactly that in
+    generated unrolled-DP SQL)."""
+    vocab = unigram_vocab(docs, vocab_size=vocab_size)
+    costs = unigram_word_costs(docs, vocab)
+    per_word = (
+        docs.select(
+            "source", F.explode(F.split("text", " ")).alias("w")
+        )
+        .filter((F.length("w") > 0) & (F.length("w") <= UNIGRAM_MAX_WORD))
+        .join(F.broadcast(costs.drop("n_occurrences")), "w")
+    )
+    return (
+        per_word.groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_words"),
+            F.sum("n_pieces").cast("long").alias("total_pieces"),
+            F.sum("cost_bits").cast("long").alias("total_cost_bits"),
+        )
+        .orderBy("source")
+    )
+
+
+def unigram_tokenize(
+    docs: DataFrame,
+    vocab: DataFrame,
+    max_piece_len: int = UNIGRAM_MAX_PIECE,
+) -> DataFrame:
+    """Apply face: per document, the concatenated Viterbi piece
+    sequence (words segmented independently, left-to-right longest-j
+    tie-break so the PATH is deterministic too).  Segmentation runs
+    once per DISTINCT word, then joins back — the corpus pass never
+    enters Python.  Reconstruction invariant: concatenating a word's
+    pieces yields the word (tested), so detokenization is exact."""
+    import pandas as pd
+
+    words = (
+        docs.select(F.explode(F.split("text", " ")).alias("w"))
+        .filter((F.length("w") > 0) & (F.length("w") <= UNIGRAM_MAX_WORD))
+        .distinct()
+    )
+    vpairs = {r.piece: int(r.cost_bits) for r in vocab.collect()}
+    spark = docs.sparkSession
+    bvocab = spark.sparkContext.broadcast(vpairs)
+    maxp = int(max_piece_len)
+
+    def seg(batches):
+        vc = bvocab.value
+        INF = 1 << 60
+        for pdf in batches:
+            outp = []
+            for w in pdf["w"]:
+                n = len(w)
+                dp = [0] + [INF] * n
+                back = [0] * (n + 1)
+                for k in range(1, n + 1):
+                    best, bj = INF, -1
+                    for j in range(max(0, k - maxp), k):
+                        if dp[j] >= INF:
+                            continue
+                        cb = vc.get(w[j:k])
+                        if cb is None:
+                            continue
+                        cand = dp[j] + (cb << 8) + 1
+                        # strict < : on exact ties the SMALLEST j (the
+                        # longest final piece) wins — deterministic path
+                        if cand < best:
+                            best, bj = cand, j
+                    dp[k], back[k] = best, bj
+                pieces = []
+                k = n
+                while k > 0:
+                    pieces.append(w[back[k]:k])
+                    k = back[k]
+                outp.append(pieces[::-1])
+            yield pd.DataFrame({"w": pdf["w"], "pieces": outp})
+
+    segmented = words.mapInPandas(seg, "w string, pieces array<string>")
+    exploded = docs.select(
+        "doc_id", "source", F.posexplode(F.split("text", " ")).alias("pos", "w")
+    ).filter((F.length("w") > 0) & (F.length("w") <= UNIGRAM_MAX_WORD))
+    return (
+        exploded.join(F.broadcast(segmented), "w")
+        .groupBy("doc_id", "source")
+        .agg(
+            F.flatten(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("pos", "pieces"))
+                    ),
+                    lambda s: s["pieces"],
+                )
+            ).alias("pieces")
+        )
+    )

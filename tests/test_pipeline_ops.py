@@ -1409,3 +1409,67 @@ def test_semdedup_max_cell_guard_keeps_fat_cells(spark, emb):
     out = po.semdedup(assigned, threshold=0.35, max_cell=3)
     assert out.filter(~F.col("kept")).count() == 0
     assert out.count() == emb.count()
+
+
+# ---------------------------------------------------------------------------
+# unigram-LM tokenizer
+
+
+@pytest.fixture(scope="module")
+def uni_docs(spark):
+    return spark.createDataFrame(
+        [("1", "s0", "the cat sat on the mat"),
+         ("2", "s0", "the catapult catalog"),
+         ("3", "s1", "concatenate the data in the catalog"),
+         ("4", "s1", "supercalifragilisticexpialidocious word beyond cap"),
+         ("5", "s1", "")],
+        "doc_id string, source string, text string")
+
+
+def test_unigram_reconstruction_invariant(spark, uni_docs):
+    """Every segmented word's pieces concatenate back to the word —
+    detokenization is exact by construction (single-char coverage)."""
+    from archive_spark import pipeline_ops as P
+
+    vocab = P.unigram_vocab(uni_docs, vocab_size=16)
+    tok = P.unigram_tokenize(uni_docs, vocab)
+    per_doc = {r.doc_id: "".join(r.pieces) for r in tok.collect()}
+    for d in uni_docs.collect():
+        expect = "".join(w for w in d.text.split(" ") if 0 < len(w) <= 20)
+        assert per_doc.get(d.doc_id, "") == expect, d.doc_id
+
+
+def test_unigram_dp_beats_or_ties_char_segmentation(spark, uni_docs):
+    """The Viterbi optimum can never cost more than the all-singles
+    segmentation (it is one of the candidate paths)."""
+    from archive_spark import pipeline_ops as P
+    from pyspark.sql import functions as F2
+
+    vocab = P.unigram_vocab(uni_docs, vocab_size=16)
+    singles = {r.piece: r.cost_bits for r in vocab.collect() if len(r.piece) == 1}
+    costs = P.unigram_word_costs(uni_docs, vocab).collect()
+    assert costs
+    for r in costs:
+        char_cost = sum(singles[ch] for ch in r.w)
+        assert r.cost_bits <= char_cost
+        assert 1 <= r.n_pieces <= len(r.w)
+        # multi-char pieces only help: fewer or equal pieces than chars
+        if r.n_pieces < len(r.w):
+            assert r.cost_bits <= char_cost
+
+
+def test_unigram_vocab_deterministic_and_covering(spark, uni_docs):
+    from archive_spark import pipeline_ops as P
+
+    v1 = sorted((r.piece, r.freq, r.cost_bits)
+                for r in P.unigram_vocab(uni_docs, vocab_size=16).collect())
+    v2 = sorted((r.piece, r.freq, r.cost_bits)
+                for r in P.unigram_vocab(uni_docs, vocab_size=16).collect())
+    assert v1 == v2
+    singles = {p for p, _, _ in v1 if len(p) == 1}
+    corpus_chars = set()
+    for d in uni_docs.collect():
+        for w in d.text.split(" "):
+            if 0 < len(w) <= 20:
+                corpus_chars |= set(w)
+    assert corpus_chars <= singles  # full coverage
