@@ -34,6 +34,9 @@ def main() -> None:
     ap.add_argument("--eos", type=int, default=0)
     ap.add_argument("--bpe-merges", type=int, default=0,
                     help="0 = hashing tokenizer; N = learn N BPE merges first")
+    ap.add_argument("--unigram-vocab", type=int, default=0,
+                    help="N = unigram-LM tokenizer with N multi-char pieces "
+                         "(SentencePiece family); exclusive with --bpe-merges")
     ap.add_argument("--shards", type=int, default=16)
     ap.add_argument("--lm-drop-ppm", type=int, default=0,
                     help="drop docs whose mean KN next-token probability "
@@ -58,10 +61,16 @@ def main() -> None:
     kept = po.exact_dedup_keep_first(kept).persist()
     n_kept = kept.count()
 
+    if args.bpe_merges > 0 and args.unigram_vocab > 0:
+        raise SystemExit("--bpe-merges and --unigram-vocab are exclusive")
     if args.bpe_merges > 0:
         merges, _ = po.bpe_learn(kept, n_merges=args.bpe_merges, min_count=2)
         tokens = po.bpe_apply(kept, merges)
         tokenizer = f"bpe:{merges.count()}"
+    elif args.unigram_vocab > 0:
+        vocab = po.unigram_vocab(kept, vocab_size=args.unigram_vocab)
+        tokens = po.unigram_tokenize_ids(kept, vocab)
+        tokenizer = f"unigram:{vocab.count()}"
     else:
         tokens = po.tokenize_documents(kept)
         tokenizer = "hash"

@@ -327,3 +327,21 @@ def test_maintain_job_zorder_cli(spark, zip_path, tmp_path):
     sid = table.current_snapshot_id(tdir)
     kept = table.select_files(tdir, sid, prune={"g": (3, 3)})
     assert len(kept) <= 4, kept
+
+
+def test_prepare_training_job_unigram_cli(zip_path, tmp_path):
+    """Unigram tokenizer through the shipping surface: learned pieces,
+    dense ids, packing + encode + bit-identical roundtrip verify."""
+    out = str(tmp_path / "table")
+    r = _spark_submit(
+        zip_path, "prepare_training_job.py",
+        "--input", "/root/testdata/sf0.001/documents.parquet",
+        "--output", out, "--seq-len", "256", "--shards", "4",
+        "--unigram-vocab", "128",
+        timeout=420,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    s = json.loads(r.stdout.strip().splitlines()[-1])
+    assert s["tokenizer"].startswith("unigram:")
+    v = s["verify"]
+    assert v["n_mismatch"] == 0 and v["conserved"]
