@@ -852,12 +852,16 @@ def compact(
     return commit(df, table_dir, mode="overwrite", parquet_codec=parquet_codec)
 
 
-def expire_snapshots(table_dir: str, keep_last: int = 1) -> list[str]:
+def expire_snapshots(
+    table_dir: str, keep_last: int = 1, older_than_us: int | None = None
+) -> list[str]:
     """Drop all but the newest ``keep_last`` snapshots' manifests, then
     vacuum data dirs nothing references anymore (Iceberg's
     expire_snapshots + remove_orphan_files pair).  The current snapshot
     and every TAGGED snapshot (``tag``) are always kept — a tag is a
-    retention hold."""
+    retention hold.  ``older_than_us``: additionally keep every
+    snapshot committed at or after this microsecond timestamp (the
+    Iceberg retain-history-window policy), regardless of count."""
     snaps = snapshots(table_dir)
     current = current_snapshot_id(table_dir)
     keep = (
@@ -865,6 +869,8 @@ def expire_snapshots(table_dir: str, keep_last: int = 1) -> list[str]:
         | ({current} if current else set())
         | set(refs(table_dir).values())
     )
+    if older_than_us is not None:
+        keep |= {s.snapshot_id for s in snaps if s.ts_us >= older_than_us}
     removed = []
     for s in snaps:
         if s.snapshot_id not in keep:
@@ -967,3 +973,43 @@ def delete_where(
     standing policy)."""
     keys = read(spark, table_dir).filter(predicate).select(key)
     return delete_rows(spark, table_dir, keys, key=key)
+
+
+def describe(table_dir: str) -> dict:
+    """Metadata-only table report (no data file is opened): current
+    snapshot, lineage depth, file/row/byte totals from manifest stats,
+    pending delete entries, tags — what an operator checks before and
+    after a maintenance or takedown pass."""
+    current = current_snapshot_id(table_dir)
+    snaps = snapshots(table_dir)
+    out: dict = {
+        "table": table_dir,
+        "current_snapshot": current,
+        "n_snapshots": len(snaps),
+        "tags": refs(table_dir),
+    }
+    if current is None:
+        return out
+    m = read_manifest(table_dir, current)
+    rows = None
+    if m.stats:
+        known = [m.stats.get(f, {}).get("rows") for f in m.files]
+        if all(k is not None for k in known):
+            rows = sum(known)
+    try:
+        data_bytes = sum(
+            os.path.getsize(os.path.join(table_dir, f)) for f in m.files
+        )
+    except OSError:
+        data_bytes = None
+    out.update(
+        n_files=len(m.files),
+        n_rows=rows,
+        data_bytes=data_bytes,
+        schema=m.schema,
+        seq=m.seq,
+        pending_delete_entries=len(m.deletes or []),
+        mode=m.mode,
+        parent=m.parent_id,
+    )
+    return out

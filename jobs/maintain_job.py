@@ -31,6 +31,11 @@ def main() -> None:
                     "(multi-predicate reads), not just a sort leader")
     ap.add_argument("--expire-keep-last", type=int, default=None)
     ap.add_argument("--vacuum", action="store_true")
+    ap.add_argument("--expire-older-than-us", type=int, default=None,
+                    help="with --expire-keep-last: also keep every snapshot "
+                         "committed at/after this microsecond timestamp")
+    ap.add_argument("--describe", action="store_true",
+                    help="append a metadata-only table report to the summary")
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -49,11 +54,14 @@ def main() -> None:
         )
     if args.expire_keep_last is not None:
         out["expired"] = table.expire_snapshots(
-            args.table, keep_last=args.expire_keep_last
+            args.table, keep_last=args.expire_keep_last,
+            older_than_us=args.expire_older_than_us,
         )
     if args.vacuum:
         out["vacuumed"] = table.vacuum(args.table)
     out["snapshots"] = [s.snapshot_id for s in table.snapshots(args.table)]
+    if args.describe:
+        out["describe"] = table.describe(args.table)
     print(json.dumps(out))
     spark.stop()
 

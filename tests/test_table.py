@@ -566,3 +566,66 @@ def test_delete_where_predicate_takedown(spark, docs, tmp_path):
     )
     table.commit(extra, t, mode="append")
     assert table.read(spark, t).filter("source = 's2'").count() == 1
+
+
+def test_expire_older_than_window_and_describe(spark, docs, tmp_path):
+    import time as _time
+
+    t = str(tmp_path / "t")
+    s1 = table.commit(docs, t)
+    cut = int(_time.time() * 1_000_000)
+    s2 = table.commit(docs.limit(10), t, mode="append")
+    s3 = table.commit(docs.limit(5), t, mode="append")
+    # time-window retention: everything at/after `cut` survives even
+    # though keep_last=1 would otherwise drop s2
+    removed = table.expire_snapshots(t, keep_last=1, older_than_us=cut)
+    assert s1 in removed and s2 not in removed and s3 not in removed
+
+    d = table.describe(t)
+    assert d["current_snapshot"] == s3 and d["n_snapshots"] == 2
+    assert d["n_rows"] == 215 and d["pending_delete_entries"] == 0
+    table.delete_rows(spark, t, ["doc0000"], key="doc_id")
+    assert table.describe(t)["pending_delete_entries"] == 1
+
+
+def test_concurrent_append_vs_delete_consistent(spark, docs, tmp_path):
+    """An append racing a takedown must lose neither: whichever commit
+    wins the lock first becomes the other's parent, the delete entry
+    scopes to files present at ITS commit, and the final state is one
+    of the two serializations (append's rows always survive — either
+    they postdate the delete, or they predate a delete keyed on other
+    docs)."""
+    import threading
+
+    t = str(tmp_path / "t")
+    table.commit(docs, t)
+    extra = spark.createDataFrame(
+        [(f"x{i:04d}", f"new{i}", "s9") for i in range(20)],
+        "doc_id string, text string, source string",
+    )
+    errs = []
+
+    def do_append():
+        try:
+            table.commit(extra, t, mode="append")
+        except Exception as e:  # pragma: no cover
+            errs.append(e)
+
+    def do_delete():
+        try:
+            table.delete_rows(
+                spark, t, [f"doc{i:04d}" for i in range(30)], key="doc_id"
+            )
+        except Exception as e:  # pragma: no cover
+            errs.append(e)
+
+    th = [threading.Thread(target=do_append), threading.Thread(target=do_delete)]
+    for x in th:
+        x.start()
+    for x in th:
+        x.join()
+    assert not errs
+    got = table.read(spark, t)
+    assert got.count() == 200 - 30 + 20
+    assert got.filter("source = 's9'").count() == 20
+    assert got.filter(F.col("doc_id") < "doc0030").count() == 0
