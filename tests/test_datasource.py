@@ -324,3 +324,19 @@ def test_embeddings_datasource_honors_takedown(spark, tmp_path):
     df = spark.read.format("archive_embeddings").option("path", tdir).load()
     assert df.count() == 796
     assert df.filter(F.col("vec_id") < 4).count() == 0
+
+
+def test_datasource_refuses_unapplicable_delete_key(spark, tmp_path):
+    """A delete entry keyed by a column the reader cannot apply must
+    fail the scan loudly — silently ignoring it would resurrect
+    taken-down rows (same refusal contract as table.read)."""
+    from archive_spark import engine, table
+    from archive_spark.tokengen import token_table
+
+    D.register(spark)
+    tdir = str(tmp_path / "tok_table")
+    toks = token_table(spark, 100, seed=5)
+    table.commit(engine.encode(toks, target_block_values=1 << 12), tdir)
+    table.delete_rows(spark, tdir, ["textish"], key="source")
+    with pytest.raises(Exception, match="source"):
+        spark.read.format("archive_tokens").option("path", tdir).load().count()
