@@ -273,6 +273,35 @@ def main() -> None:
         lambda: emb_mod.embedding_digest_encoded(emb_enc).collect(),
     )
 
+    # ---- takedown lifecycle on the encoded snapshot table: logical
+    # delete (O(|keys|) commit + decode-time anti-join) then physical
+    # purge (rewrites only hit blocks).  Table rebuilt each run — the
+    # lifecycle mutates it.
+    import shutil as _sh
+
+    from archive_spark import table as snap_table
+
+    td_tbl = os.path.join(scratch, "takedown_tbl")
+    _sh.rmtree(td_tbl, ignore_errors=True)
+    snap_table.commit(encoded, td_tbl, parquet_codec="none")
+    snap_table.compact(spark, td_tbl, target_partitions=cpus, order_by=["doc_min"])
+    victims = [r.doc_id for r in tokens.select("doc_id").orderBy("doc_id").limit(50).collect()]
+
+    def takedown_logical():
+        snap_table.delete_rows(spark, td_tbl, victims, key="doc_id")
+        return engine.decode_table(spark, td_tbl).agg(F.count("*")).collect()
+
+    timed("q_takedown_logical", takedown_logical, reps=1)
+
+    def takedown_purge():
+        rep = engine.purge_docs(spark, td_tbl)
+        extras["purge_files_rewritten"] = (
+            f"{rep['n_files_rewritten']}/{rep['n_files']}"
+        )
+        return rep
+
+    timed("q_takedown_purge", takedown_purge, reps=1)
+
     # ---- star-schema + pipeline queries at the sf dir
     import __spark_entry__ as entry_mod
 
