@@ -527,6 +527,7 @@ def decode_table(
     snapshot_id: str | None = None,
     targets: Sequence[str] | None = None,
     verify_checksum: bool = False,
+    doc_range: tuple | None = None,
 ) -> DataFrame:
     """Decode an encoded snapshot table INCLUDING doc-level logical
     deletes: ``table.delete_rows(key='doc_id')`` entries cannot be
@@ -545,16 +546,24 @@ def decode_table(
     if snapshot_id is None:
         raise FileNotFoundError(f"{table_dir}: no committed snapshot")
     manifest = snap_table.read_manifest(table_dir, snapshot_id)
-    files = snap_table.select_files(table_dir, snapshot_id)
+    prune = None
+    if doc_range is not None:
+        lo, hi = doc_range
+        # a block overlaps [lo, hi] iff doc_min <= hi and doc_max >= lo
+        prune = {"doc_min": (None, hi), "doc_max": (lo, None)}
+    files = snap_table.select_files(table_dir, snapshot_id, prune)
     if not files:
         return spark.createDataFrame([], TOKENS_SCHEMA)
 
     def dec_for(fl):
-        return decode(
-            snap_table._read_files(spark, table_dir, manifest, fl),
-            targets=targets,
-            verify_checksum=verify_checksum,
-        )
+        enc = snap_table._read_files(spark, table_dir, manifest, fl)
+        if doc_range is not None:
+            lo, hi = doc_range
+            # block-level zone prune, one level finer than the manifest
+            enc = enc.filter(
+                (F.col("doc_min") <= hi) & (F.col("doc_max") >= lo)
+            )
+        return decode(enc, targets=targets, verify_checksum=verify_checksum)
 
     if manifest.deletes:
         return snap_table._apply_deletes(

@@ -51,15 +51,26 @@ def main() -> None:
             print("warning: --doc-range bounds look like unpadded integers "
                   "of different widths; comparison is lexicographic "
                   "('10' < '9') — zero-pad to a fixed width", file=sys.stderr)
-    enc = checkpoint.read_encoded(spark, args.input, doc_range=doc_range)
-    if doc_range is not None:
-        # block-level zone-map prune BEFORE the decode UDF (same
-        # predicate the manifest pruning used, one level finer) — the
-        # parquet scan skips out-of-range row groups too
-        lo, hi = doc_range
-        enc = enc.filter((F.col("doc_min") <= hi) & (F.col("doc_max") >= lo))
     targets = args.targets.split(",") if args.targets else None
-    out = engine.decode(enc, targets=targets)
+    from archive_spark import table as snap_table
+
+    if snap_table.current_snapshot_id(args.input) is not None:
+        # published table: the decode face applies pending doc-level
+        # takedown entries (delete_rows) with sequence fidelity —
+        # decoding a table mid-lifecycle yields the post-takedown state
+        # instead of erroring (or worse, resurrecting victims)
+        out = engine.decode_table(
+            spark, args.input, targets=targets, doc_range=doc_range
+        )
+    else:
+        enc = checkpoint.read_encoded(spark, args.input, doc_range=doc_range)
+        if doc_range is not None:
+            # block-level zone-map prune BEFORE the decode UDF (same
+            # predicate the manifest pruning used, one level finer) — the
+            # parquet scan skips out-of-range row groups too
+            lo, hi = doc_range
+            enc = enc.filter((F.col("doc_min") <= hi) & (F.col("doc_max") >= lo))
+        out = engine.decode(enc, targets=targets)
     if doc_range is not None:
         lo, hi = doc_range
         out = out.filter((F.col("doc_id") >= lo) & (F.col("doc_id") <= hi))

@@ -300,6 +300,17 @@ def test_takedown_job_cli(spark, zip_path, tokens_path, tmp_path):
     assert engine.decode_table(spark, tdir).filter(
         F.col("doc_id").isin(victims)).count() == 0
 
+    # decode_job mid-lifecycle (pending logical deletes): output is the
+    # post-takedown state, not an error and never the victims
+    dec_dir = str(tmp_path / "dec")
+    rd = _spark_submit(
+        zip_path, "decode_job.py", "--input", tdir, "--output", dec_dir,
+    )
+    assert rd.returncode == 0, rd.stderr[-3000:]
+    dec_df = spark.read.parquet(dec_dir)
+    assert dec_df.count() == 1_495
+    assert dec_df.filter(F.col("doc_id").isin(victims)).count() == 0
+
     r2 = _spark_submit(zip_path, "takedown_job.py", "--table", tdir, "--purge")
     assert r2.returncode == 0, r2.stderr[-3000:]
     s2 = json.loads(r2.stdout.strip().splitlines()[-1])
