@@ -96,6 +96,10 @@ def _check_schema_evolution(parent_ddl: str, new_ddl: str) -> None:
                 f"append changes column {name!r} type {typ} -> {new[name]}")
 
 
+class ConstraintViolation(ValueError):
+    """A commit-time expectation failed; nothing was published."""
+
+
 class CommitLockTimeout(RuntimeError):
     """Could not acquire the table commit lock within the timeout."""
 
@@ -376,12 +380,22 @@ def commit(
     mode: str = "overwrite",
     snapshot_id: str | None = None,
     parquet_codec: str = "snappy",
+    expect: list[str] | None = None,
 ) -> str:
     """Write ``df`` as a new snapshot and publish it atomically.
 
     Returns the snapshot id.  ``mode="append"`` keeps the parent
     snapshot's files visible alongside the new ones; ``"overwrite"``
     starts the file list fresh (old snapshots stay readable either way).
+
+    ``expect``: SQL predicates every row must satisfy (Delta-style
+    CHECK constraints, e.g. ``["n_tok >= 0", "doc_id IS NOT NULL"]``).
+    Validated AFTER the data write but BEFORE the manifest publish —
+    a violation raises ``ConstraintViolation`` with per-constraint
+    counts and publishes nothing; the staged dir is an ordinary crash
+    orphan (invisible to readers, reclaimed by ``vacuum``).  Checking
+    the written files costs one columnar read of the checked columns,
+    never a second computation of ``df``.
     """
     if mode not in ("overwrite", "append"):
         raise ValueError(f"unknown commit mode: {mode}")
@@ -394,6 +408,25 @@ def commit(
     # parent-read + pointer move under the table commit lock so
     # concurrent commits chain instead of overwriting each other.
     df.write.mode("errorifexists").option("compression", parquet_codec).parquet(snap_data)
+    if expect:
+        from pyspark.sql import functions as F
+
+        written = df.sparkSession.read.parquet(snap_data)
+        counts = written.agg(
+            *[
+                F.sum(
+                    F.when(~F.expr(e) | F.expr(e).isNull(), 1).otherwise(0)
+                ).alias(f"c{i}")
+                for i, e in enumerate(expect)
+            ]
+        ).collect()[0]
+        bad = {e: int(counts[i] or 0) for i, e in enumerate(expect)
+               if counts[i]}
+        if bad:
+            raise ConstraintViolation(
+                f"commit to {table_dir} violates expectations {bad}; "
+                "nothing published (staged dir is vacuumable)"
+            )
     return commit_existing(
         table_dir,
         _data_files(table_dir, snap_data),

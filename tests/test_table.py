@@ -629,3 +629,24 @@ def test_concurrent_append_vs_delete_consistent(spark, docs, tmp_path):
     assert got.count() == 200 - 30 + 20
     assert got.filter("source = 's9'").count() == 20
     assert got.filter(F.col("doc_id") < "doc0030").count() == 0
+
+
+def test_commit_expectations_gate_publish(spark, docs, tmp_path):
+    """CHECK-constraint commits: a violating batch publishes NOTHING
+    (its staged dir is an ordinary vacuumable orphan), NULL predicate
+    results count as violations, and a clean batch passes."""
+    t = str(tmp_path / "t")
+    table.commit(docs, t, expect=["doc_id IS NOT NULL", "length(text) >= 0"])
+    assert table.read(spark, t).count() == 200
+
+    bad = spark.createDataFrame(
+        [("x1", None, "s0"), ("x2", "ok", "s0")],
+        "doc_id string, text string, source string",
+    )
+    before = table.current_snapshot_id(t)
+    with pytest.raises(table.ConstraintViolation, match="length"):
+        table.commit(bad, t, mode="append", expect=["length(text) >= 1"])
+    assert table.current_snapshot_id(t) == before
+    assert table.read(spark, t).count() == 200
+    # the aborted staging dir is an orphan; vacuum reclaims it
+    assert len(table.vacuum(t)) == 1
