@@ -737,3 +737,60 @@ def purge_docs(
         snapshot_id=sid,
     )
     return report
+
+
+def recompact_blocks(
+    spark,
+    table_dir: str,
+    target_block_values: int = DEFAULT_BLOCK_VALUES,
+    target_partitions: int | None = None,
+    effort: str = "balanced",
+    order_by_doc: bool = True,
+    parquet_codec: str = "snappy",
+) -> dict:
+    """Maintenance OPTIMIZE for an encoded snapshot table: many small
+    appends (streaming micro-commits, incremental ingests) leave
+    undersized blocks that waste per-block overhead and weaken both
+    compression and zone-map pruning.  This pass decodes the CURRENT
+    state (pending takedown entries applied — they become physical for
+    free), re-encodes into full-size doc-range-clustered blocks, and
+    publishes one overwrite snapshot.
+
+    This is the heavyweight counterpart of ``purge_docs`` (which
+    touches only affected blocks): run it when block-size histograms
+    degrade, not per takedown.  Returns before/after accounting."""
+    from pyspark.sql import functions as F2
+
+    from . import table as snap_table
+
+    enc_before = snap_table.read(spark, table_dir, apply_deletes=False)
+    before = enc_before.agg(
+        F2.count("*").alias("blocks"),
+        F2.sum("meta.enc_bytes").alias("enc_bytes"),
+        F2.avg("meta.n_values").alias("avg_block_values"),
+    ).collect()[0]
+
+    docs = decode_table(spark, table_dir)
+    if order_by_doc:
+        docs = docs.repartitionByRange(
+            target_partitions or max(spark.sparkContext.defaultParallelism, 1),
+            "doc_id",
+        ).sortWithinPartitions("doc_id")
+    reenc = encode(docs, target_block_values=target_block_values, effort=effort)
+    sid = snap_table.commit(
+        reenc, table_dir, mode="overwrite", parquet_codec=parquet_codec
+    )
+    after = snap_table.read(spark, table_dir).agg(
+        F2.count("*").alias("blocks"),
+        F2.sum("meta.enc_bytes").alias("enc_bytes"),
+        F2.avg("meta.n_values").alias("avg_block_values"),
+    ).collect()[0]
+    return {
+        "snapshot_id": sid,
+        "blocks_before": int(before.blocks),
+        "blocks_after": int(after.blocks),
+        "enc_bytes_before": int(before.enc_bytes or 0),
+        "enc_bytes_after": int(after.enc_bytes or 0),
+        "avg_block_values_before": float(before.avg_block_values or 0),
+        "avg_block_values_after": float(after.avg_block_values or 0),
+    }

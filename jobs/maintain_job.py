@@ -36,6 +36,12 @@ def main() -> None:
                          "committed at/after this microsecond timestamp")
     ap.add_argument("--describe", action="store_true",
                     help="append a metadata-only table report to the summary")
+    ap.add_argument("--recompact-blocks", action="store_true",
+                    help="encoded tables: decode + re-encode into full-size "
+                         "doc-clustered blocks (applies pending takedown "
+                         "entries physically) — the OPTIMIZE pass after many "
+                         "small appends")
+    ap.add_argument("--target-block-values", type=int, default=None)
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -46,6 +52,15 @@ def main() -> None:
     spark.sparkContext.setLogLevel("WARN")
 
     out: dict[str, object] = {"table": args.table}
+    if args.recompact_blocks:
+        from archive_spark import engine
+
+        kw = {}
+        if args.target_block_values:
+            kw["target_block_values"] = args.target_block_values
+        if args.target_partitions:
+            kw["target_partitions"] = args.target_partitions
+        out["recompact"] = engine.recompact_blocks(spark, args.table, **kw)
     if args.compact:
         out["compacted_snapshot"] = table.compact(
             spark, args.table, target_partitions=args.target_partitions,

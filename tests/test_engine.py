@@ -425,3 +425,37 @@ def test_decode_table_seq_scoping_spares_reencoded_doc(spark, tokens_df, tmp_pat
         F.col("doc_id") == victim.doc_id
     ).collect()
     assert len(got2) == 1 and got2[0].tokens == [1, 2, 3]
+
+
+def test_recompact_blocks_after_small_appends(spark, tmp_path):
+    """Streaming-style micro-appends leave undersized blocks; the
+    OPTIMIZE pass consolidates them into full-size clustered blocks,
+    applies a pending takedown physically, and preserves content
+    exactly."""
+    from archive_spark import table
+
+    t = str(tmp_path / "enc")
+    full = token_table(spark, 1200, seed=17).cache()
+    ids = [r.doc_id for r in full.select("doc_id").orderBy("doc_id").collect()]
+    # 6 micro-appends of 200 docs with tiny blocks
+    for i in range(6):
+        batch = full.filter(F.col("doc_id").isin(ids[i * 200:(i + 1) * 200]))
+        table.commit(
+            engine.encode(batch, target_block_values=1 << 10), t,
+            mode="append" if i else "overwrite",
+        )
+    table.delete_rows(spark, t, ids[:10], key="doc_id")
+    n_before = table.read(spark, t, apply_deletes=False).count()
+
+    rep = engine.recompact_blocks(
+        spark, t, target_block_values=1 << 15, target_partitions=4
+    )
+    assert rep["blocks_after"] < rep["blocks_before"] // 2, rep
+    assert rep["avg_block_values_after"] > rep["avg_block_values_before"] * 2
+    m = table.read_manifest(t, rep["snapshot_id"])
+    assert not m.deletes  # takedown became physical
+    dec = engine.decode_table(spark, t)
+    expect = full.filter(~F.col("doc_id").isin(ids[:10]))
+    r = engine.roundtrip_report(expect, dec).collect()[0]
+    assert r.n_mismatch == 0 and r.n_decoded == 1190
+    assert n_before > 0
