@@ -650,3 +650,69 @@ def test_commit_expectations_gate_publish(spark, docs, tmp_path):
     assert table.read(spark, t).count() == 200
     # the aborted staging dir is an orphan; vacuum reclaims it
     assert len(table.vacuum(t)) == 1
+
+
+@pytest.mark.parametrize("seed", [7, 23])
+def test_lifecycle_random_program_matches_model(spark, tmp_path, seed):
+    """Model-based check of the delete/upsert sequencing semantics: a
+    seeded random program of append / delete / upsert / compact ops
+    runs against both the snapshot table and a plain in-memory model
+    (rows = list of (key, val); delete removes all current rows with
+    the key; upsert replaces current rows).  After every op the
+    table's visible state must equal the model exactly — the invariant
+    that makes takedown trustworthy under ANY interleaving."""
+    import random
+
+    rng = random.Random(seed)
+    t = str(tmp_path / f"t{seed}")
+    model: list[tuple[str, str]] = []
+    next_id = 0
+
+    def fresh_batch(n, reuse_prob=0.5):
+        nonlocal next_id
+        rows = []
+        used = set()
+        for _ in range(n):
+            existing = [k for k, _ in model]
+            if existing and rng.random() < reuse_prob:
+                k = rng.choice(existing)
+            else:
+                k = f"k{next_id:04d}"
+                next_id += 1
+            if k in used:
+                continue
+            used.add(k)
+            rows.append((k, f"v{rng.randrange(10_000)}"))
+        return rows
+
+    def df_of(rows):
+        return spark.createDataFrame(rows, "doc_id string, text string")
+
+    table.commit(df_of(fresh_batch(6, reuse_prob=0)), t)
+    model = [
+        (r.doc_id, r.text)
+        for r in table.read(spark, t).collect()
+    ]
+
+    for step in range(10):
+        op = rng.choice(["append", "delete", "upsert", "compact"])
+        if op == "append":
+            rows = fresh_batch(rng.randrange(1, 5), reuse_prob=0.3)
+            table.commit(df_of(rows), t, mode="append")
+            model.extend(rows)
+        elif op == "delete" and model:
+            keys = rng.sample([k for k, _ in model],
+                              min(len(model), rng.randrange(1, 4)))
+            table.delete_rows(spark, t, keys, key="doc_id")
+            model = [(k, v) for k, v in model if k not in set(keys)]
+        elif op == "upsert":
+            rows = fresh_batch(rng.randrange(1, 4), reuse_prob=0.7)
+            table.merge_upsert(spark, df_of(rows), t, key="doc_id")
+            ks = {k for k, _ in rows}
+            model = [(k, v) for k, v in model if k not in ks] + rows
+        elif op == "compact":
+            table.compact(spark, t, target_partitions=2)
+        got = sorted(
+            (r.doc_id, r.text) for r in table.read(spark, t).collect()
+        )
+        assert got == sorted(model), f"step {step} op {op} seed {seed}"
