@@ -64,15 +64,37 @@ def main() -> None:
     # then run anyway and mark the artifact 'degraded' so readers know
     # the denominator).
     import multiprocessing as mp
+    import statistics
+
+    # Probe v2 (round 4, session 7).  The v1 probe used
+    # base = min(single-run) against a COLD pool — two biases stacked:
+    # (a) min() catches sub-second turbo bursts (single-core speed on
+    # this host swings 2x: 115-230 ms per 3M spins), inflating the
+    # denominator; (b) the first pool.map pays 32-process spawn+IPC
+    # warmup inside the timed window.  Both push the reading DOWN —
+    # v1 read 13.9 on a freshly-booted idle VM whose warm interleaved
+    # measurement was 16-21.  v2 warms the pool, interleaves
+    # single-task and all-core timings in the same weather epoch, and
+    # uses medians.  A saturation study (BASELINE.md, session 7) shows
+    # the host's sustained all-core ceiling is ~16-21 core-equivalents
+    # regardless of idleness — the nominal 32 vCPUs are not deliverable
+    # (hypervisor quota), so v1's gate of 24 was structurally
+    # unreachable and every artifact read "degraded".
+    probe_singles: list[float] = []
 
     def probe() -> float:
-        base = min(_spin(3_000_000) for _ in range(3))
         with mp.Pool(cpus) as pool:
-            t0 = time.perf_counter()
-            pool.map(_spin, [3_000_000] * cpus)
-            return cpus * base / (time.perf_counter() - t0)
+            pool.map(_spin, [100_000] * cpus)  # warm spawn + IPC
+            singles, walls = [], []
+            for _ in range(3):
+                singles.append(pool.map(_spin, [6_000_000])[0] / 2.0)
+                t0 = time.perf_counter()
+                pool.map(_spin, [6_000_000] * cpus)
+                walls.append((time.perf_counter() - t0) / 2.0)
+        probe_singles.append(statistics.median(singles))
+        return cpus * statistics.median(singles) / statistics.median(walls)
 
-    min_eff = float(os.environ.get("BENCH_MIN_EFF", "24"))
+    min_eff = float(os.environ.get("BENCH_MIN_EFF", "16"))
     retries = int(os.environ.get("BENCH_WEATHER_RETRIES", "6"))
     wait_s = float(os.environ.get("BENCH_WEATHER_WAIT", "60"))
     probes = [probe()]
@@ -87,6 +109,8 @@ def main() -> None:
     queries: dict[str, float] = {}
     extras: dict[str, object] = {
         "effective_parallelism": round(eff, 1),
+        "probe_version": 2,
+        "single_core_ms_per_3mspin": round(probe_singles[-1] * 1000, 1),
         "weather_probes": [round(p, 1) for p in probes],
         "weather_gate": "clean" if eff >= min_eff else "degraded",
     }
