@@ -381,6 +381,7 @@ def commit(
     snapshot_id: str | None = None,
     parquet_codec: str = "snappy",
     expect: list[str] | None = None,
+    branch: str | None = None,
 ) -> str:
     """Write ``df`` as a new snapshot and publish it atomically.
 
@@ -433,6 +434,7 @@ def commit(
         schema=df.schema.simpleString(),
         mode=mode,
         snapshot_id=snapshot_id,
+        branch=branch,
     )
 
 
@@ -443,6 +445,7 @@ def commit_existing(
     mode: str = "overwrite",
     snapshot_id: str | None = None,
     delete_entries: list | None = None,
+    branch: str | None = None,
 ) -> str:
     """Publish a manifest over data files that already exist under
     ``table_dir`` (e.g. shard dirs written by a resumable job) — the
@@ -459,7 +462,16 @@ def commit_existing(
     os.makedirs(_manifest_dir(table_dir), exist_ok=True)
     lock = _acquire_commit_lock(table_dir)
     try:
-        parent = current_snapshot_id(table_dir)
+        if branch is not None and os.path.exists(
+            os.path.join(_refs_dir(table_dir), branch)
+        ):
+            if ref_kind(table_dir, branch) != "branch":
+                raise ValueError(f"ref {branch!r} is a tag, not a branch")
+            parent = resolve_ref(table_dir, branch)
+        else:
+            # a branch commit with no existing ref cuts the branch from
+            # the published current snapshot
+            parent = current_snapshot_id(table_dir)
         pm = read_manifest(table_dir, parent) if parent is not None else None
         seq = (pm.seq + 1) if pm is not None else 0
         all_files = list(files)
@@ -506,6 +518,12 @@ def commit_existing(
             json.dump(manifest.__dict__, f)
             f.flush()
             os.fsync(f.fileno())
+        if branch is not None:
+            # advance the branch head only; the published current
+            # snapshot (what plain readers see) is untouched until
+            # fast_forward — the write-audit-publish contract
+            _write_ref(table_dir, branch, snapshot_id, "branch")
+            return snapshot_id
         tmp = _current_path(table_dir) + f".tmp-{uuid.uuid4().hex[:8]}"
         with open(tmp, "w") as f:
             f.write(snapshot_id)
@@ -958,6 +976,12 @@ def tag(table_dir: str, name: str, snapshot_id: str | None = None) -> str:
     never drops a tagged snapshot; an audit/legal hold on the
     pre-takedown state is one ``tag`` call).  Atomic rename publish;
     re-tagging the same name moves it."""
+    return _write_ref(table_dir, name, snapshot_id, "tag")
+
+
+def _write_ref(
+    table_dir: str, name: str, snapshot_id: str | None, kind: str
+) -> str:
     if "/" in name or name.startswith("."):
         raise ValueError(f"invalid ref name: {name!r}")
     snapshot_id = snapshot_id or current_snapshot_id(table_dir)
@@ -967,14 +991,80 @@ def tag(table_dir: str, name: str, snapshot_id: str | None = None) -> str:
     os.makedirs(_refs_dir(table_dir), exist_ok=True)
     tmp = os.path.join(_refs_dir(table_dir), f".{name}.tmp-{uuid.uuid4().hex[:8]}")
     with open(tmp, "w") as f:
-        f.write(snapshot_id)
+        f.write(snapshot_id if kind == "tag" else f"{snapshot_id} {kind}")
     os.rename(tmp, os.path.join(_refs_dir(table_dir), name))
     return snapshot_id
 
 
+def branch(table_dir: str, name: str, snapshot_id: str | None = None) -> str:
+    """Create (or reset) a MUTABLE named head — Iceberg-style branches.
+    ``commit(..., branch=name)`` advances it without touching the
+    table's published current snapshot; ``fast_forward`` publishes it.
+    Together they are the write-audit-publish (WAP) pattern: stage a
+    batch on a branch, run audit queries against
+    ``read(snapshot_id=resolve_ref(dir, name))``, and only then make it
+    the readers' table.  Branch heads hold retention like tags
+    (``expire_snapshots`` keeps every ref'd snapshot)."""
+    if os.path.exists(os.path.join(_refs_dir(table_dir), name)) and (
+        ref_kind(table_dir, name) == "tag"
+    ):
+        raise ValueError(f"ref {name!r} is a tag (immutable); delete it first")
+    return _write_ref(table_dir, name, snapshot_id, "branch")
+
+
+def fast_forward(table_dir: str, name: str) -> str:
+    """Publish branch ``name``'s head as the table's current snapshot,
+    iff the current snapshot is an ancestor of the head (pure pointer
+    move — no data is rewritten and no history is lost).  Raises
+    ``CommitConflict`` when main has advanced past the branch point
+    (the branch must rebase: re-stage against the new current).
+    Returns the published snapshot id."""
+    lock = _acquire_commit_lock(table_dir)
+    try:
+        if ref_kind(table_dir, name) != "branch":
+            raise ValueError(f"ref {name!r} is not a branch")
+        head = resolve_ref(table_dir, name)
+        cur = current_snapshot_id(table_dir)
+        if cur is not None and cur != head:
+            # walk head's parent chain looking for cur
+            seen = head
+            while True:
+                try:
+                    parent = read_manifest(table_dir, seen).parent_id
+                except FileNotFoundError:
+                    parent = None
+                if parent is None:
+                    raise CommitConflict(
+                        f"fast_forward {name!r}: current snapshot {cur} is not "
+                        f"an ancestor of branch head {head} — main advanced "
+                        "since the branch was cut; re-stage and retry"
+                    )
+                if parent == cur:
+                    break
+                seen = parent
+        tmp = _current_path(table_dir) + f".tmp-{uuid.uuid4().hex[:8]}"
+        with open(tmp, "w") as f:
+            f.write(head)
+        os.rename(tmp, _current_path(table_dir))
+        return head
+    finally:
+        try:
+            os.unlink(lock)
+        except OSError:
+            pass
+
+
 def resolve_ref(table_dir: str, name: str) -> str:
     with open(os.path.join(_refs_dir(table_dir), name)) as f:
-        return f.read().strip()
+        return f.read().split()[0]
+
+
+def ref_kind(table_dir: str, name: str) -> str:
+    """``"tag"`` (immutable pin, the historical format: bare snapshot
+    id) or ``"branch"`` (mutable head: ``<id> branch``)."""
+    with open(os.path.join(_refs_dir(table_dir), name)) as f:
+        parts = f.read().split()
+    return parts[1] if len(parts) > 1 else "tag"
 
 
 def refs(table_dir: str) -> dict[str, str]:
@@ -1020,6 +1110,7 @@ def describe(table_dir: str) -> dict:
         "current_snapshot": current,
         "n_snapshots": len(snaps),
         "tags": refs(table_dir),
+        "ref_kinds": {n: ref_kind(table_dir, n) for n in refs(table_dir)},
     }
     if current is None:
         return out

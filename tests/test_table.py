@@ -716,3 +716,98 @@ def test_lifecycle_random_program_matches_model(spark, tmp_path, seed):
             (r.doc_id, r.text) for r in table.read(spark, t).collect()
         )
         assert got == sorted(model), f"step {step} op {op} seed {seed}"
+
+
+# ---------------------------------------------------------------------------
+# branches + write-audit-publish
+
+
+def test_branch_commit_does_not_move_current(spark, docs, tmp_path):
+    t = str(tmp_path / "t")
+    s1 = table.commit(docs, t)
+    extra = spark.range(200, 250).selectExpr(
+        "format_string('doc%04d', id) AS doc_id",
+        "concat('text-', id) AS text",
+        "format_string('s%d', id % 4) AS source",
+    )
+    s2 = table.commit(extra, t, mode="append", branch="staging")
+    # readers of the published table see nothing new
+    assert table.current_snapshot_id(t) == s1
+    assert table.read(spark, t).count() == 200
+    # the audit face reads the staged state through the ref
+    head = table.resolve_ref(t, "staging")
+    assert head == s2
+    assert table.read(spark, t, snapshot_id=head).count() == 250
+    assert table.ref_kind(t, "staging") == "branch"
+    # a second branch commit chains on the BRANCH head, not on current
+    extra2 = extra.withColumn("doc_id", F.concat(F.col("doc_id"), F.lit("b")))
+    s3 = table.commit(extra2, t, mode="append", branch="staging")
+    assert table.read_manifest(t, s3).parent_id == s2
+    assert table.read(spark, t, snapshot_id=s3).count() == 300
+    assert table.read(spark, t).count() == 200
+
+
+def test_fast_forward_publishes_and_rejects_divergence(spark, docs, tmp_path):
+    t = str(tmp_path / "t")
+    table.commit(docs, t)
+    extra = spark.range(200, 220).selectExpr(
+        "format_string('doc%04d', id) AS doc_id",
+        "concat('text-', id) AS text",
+        "'s0' AS source",
+    )
+    s2 = table.commit(extra, t, mode="append", branch="wap")
+    assert table.fast_forward(t, "wap") == s2
+    assert table.current_snapshot_id(t) == s2
+    assert table.read(spark, t).count() == 220
+    # branch again, then advance MAIN past the branch point -> divergence
+    table.commit(extra.limit(5), t, mode="append", branch="wap")
+    table.commit(extra.limit(3), t, mode="append")  # main moves
+    with pytest.raises(table.CommitConflict):
+        table.fast_forward(t, "wap")
+    # re-stage against the new current (rebase) and publish cleanly
+    s5 = table.commit(extra.limit(5), t, mode="append", branch="wap2")
+    assert table.fast_forward(t, "wap2") == s5
+
+
+def test_branch_vs_tag_namespace_rules(spark, docs, tmp_path):
+    t = str(tmp_path / "t")
+    table.commit(docs, t)
+    table.tag(t, "pin")
+    # committing to a tag is refused — tags are immutable
+    with pytest.raises(ValueError, match="tag"):
+        table.commit(docs, t, mode="append", branch="pin")
+    with pytest.raises(ValueError, match="not a branch"):
+        table.fast_forward(t, "pin")
+    # branch() refuses to overwrite a tag name
+    with pytest.raises(ValueError, match="tag"):
+        table.branch(t, "pin")
+    # but a branch can be re-pointed by branch()
+    table.branch(t, "b1")
+    table.branch(t, "b1")  # idempotent re-point is fine
+    kinds = table.describe(t)["ref_kinds"]
+    assert kinds == {"pin": "tag", "b1": "branch"}
+
+
+def test_branch_head_holds_retention_and_wap_constraint(spark, docs, tmp_path):
+    t = str(tmp_path / "t")
+    table.commit(docs, t)
+    bad = spark.range(0, 5).selectExpr(
+        "CAST(NULL AS STRING) AS doc_id", "'x' AS text", "'s0' AS source"
+    )
+    # audit gate built into the branch commit: expectations fail -> the
+    # branch never advances
+    with pytest.raises(table.ConstraintViolation):
+        table.commit(bad, t, mode="append", branch="staging",
+                     expect=["doc_id IS NOT NULL"])
+    assert "staging" not in table.refs(t)
+    good = spark.range(200, 230).selectExpr(
+        "format_string('doc%04d', id) AS doc_id",
+        "concat('text-', id) AS text",
+        "'s1' AS source",
+    )
+    s2 = table.commit(good, t, mode="append", branch="staging")
+    # expire: the un-published branch head survives (refs hold retention)
+    table.commit(good.limit(1), t, mode="append")  # make history to expire
+    removed = table.expire_snapshots(t, keep_last=1)
+    assert s2 not in removed
+    assert table.read(spark, t, snapshot_id=s2).count() == 230
