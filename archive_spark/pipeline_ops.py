@@ -2627,3 +2627,206 @@ def unigram_tokenize_ids(docs: DataFrame, vocab: DataFrame) -> DataFrame:
             "source",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# count-based text classification + importance resampling
+# ---------------------------------------------------------------------------
+# The two model-driven curation ops a pretraining pipeline runs after
+# dedup/filtering: a domain/quality classifier (CCNet trains fastText;
+# here a multinomial Naive Bayes whose training IS one groupBy) and
+# DSIR importance weighting (Xie et al. 2023, arXiv:2302.03169).  Both
+# score in integer "surprisal bits" via the cross-engine exact
+# floor-log2 — no floating point anywhere, so a DuckDB oracle can
+# replay every score bit-for-bit.
+
+
+def _ilog2(col):
+    """floor(log2 x) for x >= 1 — ``length(bin(x)) - 1`` is exact and
+    identical in Spark and DuckDB (the engine's standard integer
+    surrogate for log-probabilities, cf. unigram_vocab / lm_doc_scores)."""
+    return (F.length(F.bin(col)) - F.lit(1)).cast("long")
+
+
+def nb_train(
+    docs: DataFrame,
+    label_col: str = "source",
+    hash_buckets: int | None = None,
+):
+    """Multinomial Naive Bayes trainer: pure counting, one explode +
+    one groupBy (the map-side-combinable shape that scales to any
+    corpus).  Returns ``(model, classes)``:
+
+    - model   = (label, word, cnt)        — word counts per class
+    - classes = (label, n_docs, total_words)
+
+    ``hash_buckets`` caps the feature space fastText-style (word →
+    ``pmod(hash(word), B)``) so the model stays broadcastable at web
+    scale regardless of raw vocabulary growth; None keeps raw words
+    (the oracle-checked mode — murmur3 isn't replayable in SQL).
+    """
+    word = F.explode(F.split("text", " ")).alias("word")
+    words = docs.select(F.col(label_col).alias("label"), word).filter(
+        F.length("word") > 0
+    )
+    if hash_buckets is not None:
+        words = words.select(
+            "label", F.pmod(F.hash("word"), F.lit(hash_buckets)).cast("string").alias("word")
+        )
+    model = words.groupBy("label", "word").agg(
+        F.count("*").cast("long").alias("cnt")
+    )
+    classes = (
+        docs.groupBy(F.col(label_col).alias("label"))
+        .agg(F.count("*").cast("long").alias("n_docs"))
+        .join(
+            words.groupBy("label").agg(
+                F.count("*").cast("long").alias("total_words")
+            ),
+            "label",
+            "left",
+        )
+        .fillna(0, ["total_words"])
+    )
+    return model, classes
+
+
+def nb_classify(
+    docs: DataFrame,
+    model: DataFrame,
+    classes: DataFrame,
+    hash_buckets: int | None = None,
+) -> DataFrame:
+    """Score documents against an ``nb_train`` model; returns
+    (doc_id, predicted, score_bits) with the LOWEST total surprisal
+    winning (ties by label asc — deterministic in any engine).
+
+    Integer arithmetic throughout (Laplace add-one smoothing):
+
+    - ``bits(w|c) = ilog2(total_c + V) - ilog2(cnt(w,c) + 1)``
+    - unseen-in-class word costs ``d_bits_c = ilog2(total_c + V)``
+    - prior ``ilog2(N) - ilog2(n_docs_c)``
+    - words outside the training vocabulary are ignored (standard NB
+      practice — they carry no class signal).
+
+    Scale shape: the model and vocab are BROADCAST (bounded by
+    vocab x classes; cap vocab with ``hash_buckets``), so the corpus is
+    scanned once, the only shuffle is the per-(doc, class) partial-sum
+    aggregate, and per-class constants ride a tiny crossJoin — no
+    driver loop, no all-pairs anything.
+    """
+    spark = docs.sparkSession
+    # the model lineage re-scans the TRAINING corpus on every
+    # evaluation (v_size count + two joins below) — persist the bounded
+    # (vocab x classes) table so training scans once, not four times
+    model = model.persist()
+    v_size = model.select("word").distinct().count()
+    cls = sorted(classes.collect(), key=lambda r: r.label)
+    n_total = sum(r.n_docs for r in cls)
+    const = [
+        (
+            r.label,
+            int(r.total_words + v_size).bit_length() - 1,
+            (int(n_total).bit_length() - 1) - (int(r.n_docs).bit_length() - 1),
+        )
+        for r in cls
+    ]
+    const_df = spark.createDataFrame(
+        const, "label string, d_bits long, prior_bits long"
+    )
+    scored_model = model.join(
+        F.broadcast(const_df.select("label", "d_bits")), "label"
+    ).select(
+        "label",
+        "word",
+        (F.col("d_bits") - _ilog2(F.col("cnt") + 1)).cast("long").alias("w_bits"),
+    )
+    exploded = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("word")
+    ).filter(F.length("word") > 0)
+    if hash_buckets is not None:
+        exploded = exploded.select(
+            "doc_id",
+            F.pmod(F.hash("word"), F.lit(hash_buckets)).cast("string").alias("word"),
+        )
+    vocab = model.select("word").distinct()
+    invocab = exploded.join(F.broadcast(vocab), "word")
+    doc_nv = invocab.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_vw")
+    )
+    matched = invocab.join(F.broadcast(scored_model), "word").groupBy(
+        "doc_id", "label"
+    ).agg(
+        F.sum("w_bits").cast("long").alias("m_bits"),
+        F.count("*").cast("long").alias("m_cnt"),
+    )
+    grid = docs.select("doc_id").crossJoin(F.broadcast(const_df))
+    scores = (
+        grid.join(matched, ["doc_id", "label"], "left")
+        .join(doc_nv, "doc_id", "left")
+        .select(
+            "doc_id",
+            "label",
+            (
+                F.col("prior_bits")
+                + F.coalesce("m_bits", F.lit(0))
+                + (F.coalesce("n_vw", F.lit(0)) - F.coalesce("m_cnt", F.lit(0)))
+                * F.col("d_bits")
+            ).cast("long").alias("score_bits"),
+        )
+    )
+    best = scores.groupBy("doc_id").agg(
+        F.min(F.struct("score_bits", "label")).alias("b")
+    )
+    return best.select(
+        "doc_id",
+        F.col("b.label").alias("predicted"),
+        F.col("b.score_bits").alias("score_bits"),
+    )
+
+
+def dsir_weights(docs: DataFrame, target_predicate: str) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023, arXiv:2302.03169):
+    per-document ``weight_bits = sum over words of (bits_raw(w) -
+    bits_target(w))`` — how many fewer surprisal bits the TARGET
+    unigram LM spends on the document than the RAW-corpus LM.  Higher
+    = more target-like; rank-select the top slice to skew a mixture
+    toward the target domain without hard filtering.
+
+    ``bits_X(w) = ilog2(total_X + V) - ilog2(cnt_X(w) + 1)`` (Laplace),
+    V = raw vocabulary size, so every corpus word is scored.  Integer
+    exact → SQL-replayable.  Scale shape: two counting aggregates over
+    one corpus scan lineage, the per-word weight table is broadcast
+    back onto the exploded stream, and the only shuffle on the big
+    side is the per-doc sum.  Returns (doc_id, source, n_words,
+    weight_bits)."""
+    exploded = docs.select(
+        "doc_id",
+        "source",
+        F.expr(f"CASE WHEN {target_predicate} THEN 1 ELSE 0 END").alias("is_t"),
+        F.explode(F.split("text", " ")).alias("word"),
+    ).filter(F.length("word") > 0)
+    counts = exploded.groupBy("word").agg(
+        F.count("*").cast("long").alias("cnt_raw"),
+        F.sum("is_t").cast("long").alias("cnt_t"),
+    ).persist()  # vocab-sized; one corpus scan feeds totals AND wtab
+    v_size, total_raw, total_t = counts.agg(
+        F.count("*"), F.sum("cnt_raw"), F.sum("cnt_t")
+    ).collect()[0]
+    raw_d = int(total_raw + v_size).bit_length() - 1
+    t_d = int(total_t + v_size).bit_length() - 1
+    wtab = counts.select(
+        "word",
+        (
+            (F.lit(raw_d) - _ilog2(F.col("cnt_raw") + 1))
+            - (F.lit(t_d) - _ilog2(F.col("cnt_t") + 1))
+        ).cast("long").alias("w_bits"),
+    )
+    return (
+        exploded.join(F.broadcast(wtab), "word")
+        .groupBy("doc_id", "source")
+        .agg(
+            F.count("*").cast("long").alias("n_words"),
+            F.sum("w_bits").cast("long").alias("weight_bits"),
+        )
+    )

@@ -1473,3 +1473,81 @@ def test_unigram_vocab_deterministic_and_covering(spark, uni_docs):
             if 0 < len(w) <= 20:
                 corpus_chars |= set(w)
     assert corpus_chars <= singles  # full coverage
+
+
+# ---------------------------------------------------------------------------
+# Naive Bayes classifier + DSIR importance weights
+
+
+@pytest.fixture(scope="module")
+def separable(spark):
+    # two sources with disjoint vocabularies + one shared filler word
+    rows = [
+        (i,
+         ("alpha beta gamma shared " * 4).strip() if i % 2 == 0
+         else ("delta epsilon zeta shared " * 4).strip(),
+         "A" if i % 2 == 0 else "B")
+        for i in range(60)
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string, source string")
+
+
+def test_nb_classifies_separable_corpus(spark, separable):
+    model, classes = po.nb_train(separable.filter("doc_id < 40"))
+    pred = po.nb_classify(separable.filter("doc_id >= 40"), model, classes)
+    joined = pred.join(separable.select("doc_id", "source"), "doc_id")
+    assert joined.filter("predicted <> source").count() == 0
+    assert joined.count() == 20
+
+
+def test_nb_hashed_features_match_raw_predictions(spark, separable):
+    """fastText-style feature hashing (the web-scale vocab cap) must
+    reproduce the raw-vocab predictions when buckets don't collide on
+    the class-signal words."""
+    train, test = separable.filter("doc_id < 40"), separable.filter("doc_id >= 40")
+    m_raw, c_raw = po.nb_train(train)
+    m_h, c_h = po.nb_train(train, hash_buckets=1024)
+    p_raw = {r.doc_id: r.predicted
+             for r in po.nb_classify(test, m_raw, c_raw).collect()}
+    p_h = {r.doc_id: r.predicted
+           for r in po.nb_classify(test, m_h, c_h, hash_buckets=1024).collect()}
+    assert p_raw == p_h
+
+
+def test_nb_oov_and_empty_docs_fall_back_to_prior(spark, separable):
+    """A doc of only unseen words (and an empty doc) must score exactly
+    the class priors — the majority class wins deterministically."""
+    train = separable.filter("doc_id < 40").union(
+        spark.createDataFrame(
+            [(100, "alpha beta", "A")], "doc_id long, text string, source string"
+        )
+    )  # tilt the prior toward A (21 vs 20 docs)
+    model, classes = po.nb_train(train)
+    probe = spark.createDataFrame(
+        [(200, "unseenword otherunseen"), (201, "")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r.predicted for r in po.nb_classify(probe, model, classes).collect()}
+    assert out == {200: "A", 201: "A"}
+
+
+def test_nb_model_is_broadcast_single_corpus_scan(spark, separable):
+    """Scale shape: the model/vocab joins must be broadcast (no
+    shuffle of the corpus against the model)."""
+    model, classes = po.nb_train(separable.filter("doc_id < 40"))
+    plan = po.nb_classify(
+        separable.filter("doc_id >= 40"), model, classes
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_dsir_enriches_target_domain(spark, separable):
+    """Docs from the target domain must carry strictly higher
+    importance weight than off-domain docs (disjoint signal vocab)."""
+    w = po.dsir_weights(separable, "source = 'A'")
+    rows = w.collect()
+    wa = [r.weight_bits for r in rows if r.source == "A"]
+    wb = [r.weight_bits for r in rows if r.source == "B"]
+    assert min(wa) > max(wb)
+    # every doc got a weight (no doc has zero in-vocab words here)
+    assert len(rows) == separable.count()
