@@ -2830,3 +2830,35 @@ def dsir_weights(docs: DataFrame, target_predicate: str) -> DataFrame:
             F.sum("w_bits").cast("long").alias("weight_bits"),
         )
     )
+
+
+def dsir_select(
+    docs: DataFrame, target_predicate: str, keep_ppm: int
+) -> DataFrame:
+    """Keep the most target-like ``keep_ppm``/1e6 fraction of the corpus
+    by DSIR weight — WITHOUT a global sort: weights are small integers,
+    so selection is an exact histogram (a few hundred buckets), a
+    driver-side cumulative sum to find the threshold weight, and one
+    filter.  Tie-inclusive: every doc at the threshold weight is kept
+    (deterministic in any engine; the kept count is the smallest
+    tie-closed count >= the requested fraction).  Docs with no scorable
+    words have no weight and are dropped.  Scale shape: two corpus-scan
+    aggregates + a broadcast threshold — nothing driver-bound grows
+    with the corpus."""
+    if keep_ppm >= 1_000_000:
+        return docs
+    w = dsir_weights(docs, target_predicate).persist()
+    n = w.count()
+    n_keep = -(-n * keep_ppm // 1_000_000)  # ceil
+    hist = sorted(
+        w.groupBy("weight_bits").agg(F.count("*").alias("c")).collect(),
+        key=lambda r: -r.weight_bits,
+    )
+    kept, threshold = 0, None
+    for r in hist:
+        threshold = r.weight_bits
+        kept += r.c
+        if kept >= n_keep:
+            break
+    keep_ids = w.filter(F.col("weight_bits") >= threshold).select("doc_id")
+    return docs.join(keep_ids, "doc_id", "semi")

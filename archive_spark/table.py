@@ -1054,6 +1054,51 @@ def fast_forward(table_dir: str, name: str) -> str:
             pass
 
 
+def rollback(table_dir: str, snapshot_id: str) -> str:
+    """Point the table's current snapshot back at ``snapshot_id`` — the
+    Iceberg rollback: a pure pointer move that undoes bad commits
+    without rewriting data or erasing history (the rolled-back
+    snapshots stay readable by id until ``expire_snapshots`` drops
+    them, and a re-commit after rollback forks the lineage from the
+    restored snapshot).  ``snapshot_id`` must be an ancestor of the
+    current snapshot; rolling "back" to an unrelated or descendant
+    snapshot is refused — use a branch + ``fast_forward`` to move
+    forward."""
+    lock = _acquire_commit_lock(table_dir)
+    try:
+        read_manifest(table_dir, snapshot_id)  # must exist
+        cur = current_snapshot_id(table_dir)
+        if cur != snapshot_id:
+            seen = cur
+            while True:
+                try:
+                    parent = (
+                        read_manifest(table_dir, seen).parent_id
+                        if seen is not None
+                        else None
+                    )
+                except FileNotFoundError:
+                    parent = None
+                if parent is None:
+                    raise ValueError(
+                        f"rollback: {snapshot_id} is not an ancestor of the "
+                        f"current snapshot {cur}"
+                    )
+                if parent == snapshot_id:
+                    break
+                seen = parent
+        tmp = _current_path(table_dir) + f".tmp-{uuid.uuid4().hex[:8]}"
+        with open(tmp, "w") as f:
+            f.write(snapshot_id)
+        os.rename(tmp, _current_path(table_dir))
+        return snapshot_id
+    finally:
+        try:
+            os.unlink(lock)
+        except OSError:
+            pass
+
+
 def resolve_ref(table_dir: str, name: str) -> str:
     with open(os.path.join(_refs_dir(table_dir), name)) as f:
         return f.read().split()[0]

@@ -42,6 +42,14 @@ def main() -> None:
                     help="drop docs whose mean KN next-token probability "
                          "(ppm, lm_doc_scores) is below this — the "
                          "CCNet-style perplexity filter; 0 = off")
+    ap.add_argument("--dsir-target", default=None,
+                    help="SQL predicate defining the target domain (e.g. "
+                         "\"source IN ('wiki')\"); with --dsir-keep-ppm, "
+                         "keeps only the most target-like fraction of the "
+                         "corpus by DSIR importance weight")
+    ap.add_argument("--dsir-keep-ppm", type=int, default=1_000_000,
+                    help="corpus fraction (ppm) to keep under --dsir-target "
+                         "(tie-inclusive histogram threshold, no global sort)")
     ap.add_argument("--no-verify", action="store_true")
     args = ap.parse_args()
 
@@ -60,6 +68,15 @@ def main() -> None:
     kept = flagged.filter(F.col("reject_reason").isNull()).drop("reject_reason")
     kept = po.exact_dedup_keep_first(kept).persist()
     n_kept = kept.count()
+
+    n_dsir_dropped = 0
+    if args.dsir_target is not None and args.dsir_keep_ppm < 1_000_000:
+        kept = po.dsir_select(
+            kept, args.dsir_target, args.dsir_keep_ppm
+        ).persist()
+        n_after = kept.count()
+        n_dsir_dropped = n_kept - n_after
+        n_kept = n_after
 
     if args.bpe_merges > 0 and args.unigram_vocab > 0:
         raise SystemExit("--bpe-merges and --unigram-vocab are exclusive")
@@ -111,6 +128,7 @@ def main() -> None:
         "docs_kept": n_kept,
         "tokenizer": tokenizer,
         "lm_dropped": n_lm_dropped,
+        "dsir_dropped": n_dsir_dropped,
         "tokens_with_eos": int(n_tokens_in),
         "seq_len": args.seq_len,
         "snapshot_id": res.snapshot_id,

@@ -1551,3 +1551,14 @@ def test_dsir_enriches_target_domain(spark, separable):
     assert min(wa) > max(wb)
     # every doc got a weight (no doc has zero in-vocab words here)
     assert len(rows) == separable.count()
+
+
+def test_dsir_select_threshold_is_tie_inclusive(spark, separable):
+    """keep_ppm=500000 on a corpus whose A docs all share one weight and
+    B docs another: the tie-closed threshold keeps exactly the A half."""
+    sel = po.dsir_select(separable, "source = 'A'", 500_000)
+    rows = sel.select("source").collect()
+    assert {r.source for r in rows} == {"A"}
+    assert len(rows) == 30
+    # keep everything when ppm = 1e6 (no weight computation at all)
+    assert po.dsir_select(separable, "source = 'A'", 1_000_000).count() == 60

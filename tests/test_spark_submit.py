@@ -356,3 +356,26 @@ def test_prepare_training_job_unigram_cli(zip_path, tmp_path):
     assert s["tokenizer"].startswith("unigram:")
     v = s["verify"]
     assert v["n_mismatch"] == 0 and v["conserved"]
+
+
+def test_prepare_training_job_dsir_cli(zip_path, tmp_path):
+    out = str(tmp_path / "table_dsir")
+    r = _spark_submit(
+        zip_path, "prepare_training_job.py",
+        "--input", "/root/testdata/sf0.001/documents.parquet",
+        "--output", out, "--seq-len", "256", "--shards", "4",
+        "--dsir-target", "source IN ('src0','src1')",
+        "--dsir-keep-ppm", "500000",
+        timeout=420,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    s = json.loads(r.stdout.strip().splitlines()[-1])
+    # the synthetic corpus is distribution-uniform across sources, so
+    # all docs share one weight bucket and the tie-inclusive threshold
+    # keeps everything (documented semantics; actual dropping is proven
+    # by test_dsir_select_threshold_is_tie_inclusive on a separable
+    # corpus) — the CLI contract here is wiring + invariants
+    assert s["dsir_dropped"] >= 0
+    assert s["docs_kept"] <= s["docs_in"]
+    v = s["verify"]
+    assert v["n_mismatch"] == 0 and v["conserved"]

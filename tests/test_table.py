@@ -811,3 +811,29 @@ def test_branch_head_holds_retention_and_wap_constraint(spark, docs, tmp_path):
     removed = table.expire_snapshots(t, keep_last=1)
     assert s2 not in removed
     assert table.read(spark, t, snapshot_id=s2).count() == 230
+
+
+def test_rollback_restores_state_and_keeps_history(spark, docs, tmp_path):
+    t = str(tmp_path / "t")
+    s1 = table.commit(docs, t)
+    extra = spark.range(200, 240).selectExpr(
+        "format_string('doc%04d', id) AS doc_id",
+        "concat('text-', id) AS text",
+        "'s0' AS source",
+    )
+    s2 = table.commit(extra, t, mode="append")
+    assert table.read(spark, t).count() == 240
+    assert table.rollback(t, s1) == s1
+    assert table.read(spark, t).count() == 200
+    # the undone snapshot stays readable by id (history preserved)
+    assert table.read(spark, t, snapshot_id=s2).count() == 240
+    # a fresh commit after rollback forks from the restored snapshot
+    s3 = table.commit(extra.limit(10), t, mode="append")
+    assert table.read_manifest(t, s3).parent_id == s1
+    assert table.read(spark, t).count() == 210
+    # rolling back to a non-ancestor (the orphaned s2) is refused
+    with pytest.raises(ValueError, match="not an ancestor"):
+        table.rollback(t, s2)
+    # unknown snapshot is refused
+    with pytest.raises(FileNotFoundError):
+        table.rollback(t, "nope")
