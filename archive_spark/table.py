@@ -620,14 +620,37 @@ def _apply_deletes(
     return out
 
 
+def snapshot_as_of(table_dir: str, ts_us: int) -> str:
+    """Timestamp time travel (Iceberg ``FOR TIMESTAMP AS OF``): the
+    latest snapshot on the CURRENT lineage committed at or before
+    ``ts_us`` (microseconds).  Walks the current snapshot's ancestry so
+    rolled-back/orphaned forks never resolve."""
+    cur = current_snapshot_id(table_dir)
+    best = None
+    seen = cur
+    while seen is not None:
+        m = read_manifest(table_dir, seen)
+        if m.ts_us <= ts_us:
+            best = seen
+            break  # ancestry is monotone in ts — first hit is latest
+        seen = m.parent_id
+    if best is None:
+        raise FileNotFoundError(
+            f"{table_dir}: no snapshot at or before ts_us={ts_us}"
+        )
+    return best
+
+
 def read(
     spark: SparkSession,
     table_dir: str,
     snapshot_id: str | None = None,
     prune: dict | None = None,
     apply_deletes: bool = True,
+    as_of_us: int | None = None,
 ) -> DataFrame:
-    """Read a snapshot (current by default; pass an id to time-travel).
+    """Read a snapshot (current by default; pass an id — or a
+    microsecond timestamp via ``as_of_us`` — to time-travel).
 
     ``prune`` maps column → inclusive (lo, hi) and skips files whose
     manifest stats exclude the range BEFORE Spark ever lists them —
@@ -639,6 +662,10 @@ def read(
     applied by default; ``apply_deletes=False`` exposes the raw data
     files (e.g. for audits of what a takedown logically removed).
     """
+    if as_of_us is not None:
+        if snapshot_id is not None:
+            raise ValueError("pass snapshot_id OR as_of_us, not both")
+        snapshot_id = snapshot_as_of(table_dir, as_of_us)
     snapshot_id = snapshot_id or current_snapshot_id(table_dir)
     if snapshot_id is None:
         raise FileNotFoundError(f"{table_dir}: no committed snapshot")
@@ -1182,3 +1209,75 @@ def describe(table_dir: str) -> dict:
         parent=m.parent_id,
     )
     return out
+
+
+def history_df(spark: SparkSession, table_dir: str) -> DataFrame:
+    """The table's commit history as a DataFrame (Iceberg's
+    ``table.history`` metadata face): one row per committed snapshot,
+    oldest first, with lineage, mode, sequence number, file/delete
+    counts, whether it is the published current snapshot, and the refs
+    (tags/branches) pointing at it.  Driver-side metadata — manifests
+    are a few KiB each regardless of data volume."""
+    cur = current_snapshot_id(table_dir)
+    by_snap: dict[str, list[str]] = {}
+    for name, sid in refs(table_dir).items():
+        by_snap.setdefault(sid, []).append(name)
+    rows = [
+        (
+            s.snapshot_id,
+            s.parent_id,
+            s.ts_us,
+            s.mode,
+            s.seq,
+            s.n_files,
+            len(s.deletes or []),
+            s.snapshot_id == cur,
+            sorted(by_snap.get(s.snapshot_id, [])),
+        )
+        for s in snapshots(table_dir)
+    ]
+    return spark.createDataFrame(
+        rows,
+        "snapshot_id string, parent_id string, ts_us long, mode string, "
+        "seq long, n_files int, n_deletes int, is_current boolean, "
+        "refs array<string>",
+    )
+
+
+def files_df(
+    spark: SparkSession, table_dir: str, snapshot_id: str | None = None
+) -> DataFrame:
+    """A snapshot's data-file inventory as a DataFrame (Iceberg's
+    ``table.files``): path, the sequence number it was added at, bytes
+    on disk, manifest row count, and the per-column zone-map stats as
+    (mins, maxs) string maps — what the planner prunes with, exposed
+    for inspection/audit."""
+    snapshot_id = snapshot_id or current_snapshot_id(table_dir)
+    if snapshot_id is None:
+        raise FileNotFoundError(f"{table_dir}: no committed snapshot")
+    m = read_manifest(table_dir, snapshot_id)
+    stats = m.stats or {}
+    fseq = m.file_seq or {}
+    rows = []
+    for f in m.files:
+        st = stats.get(f) or {}
+        cols = st.get("columns") or {}
+        try:
+            size = os.path.getsize(os.path.join(table_dir, f))
+        except OSError:
+            size = None
+        rows.append(
+            (
+                f,
+                fseq.get(f, 0),
+                size,
+                st.get("rows"),
+                {c: str(v[0]) for c, v in cols.items() if v[0] is not None},
+                {c: str(v[1]) for c, v in cols.items() if v[1] is not None},
+            )
+        )
+    return spark.createDataFrame(
+        rows,
+        "file string, file_seq long, size_bytes long, n_rows long, "
+        "col_mins map<string,string>, col_maxs map<string,string>",
+    )

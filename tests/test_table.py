@@ -837,3 +837,45 @@ def test_rollback_restores_state_and_keeps_history(spark, docs, tmp_path):
     # unknown snapshot is refused
     with pytest.raises(FileNotFoundError):
         table.rollback(t, "nope")
+
+
+def test_timestamp_time_travel_and_metadata_faces(spark, docs, tmp_path):
+    t = str(tmp_path / "t")
+    s1 = table.commit(docs, t)
+    ts1 = table.read_manifest(t, s1).ts_us
+    extra = spark.range(200, 260).selectExpr(
+        "format_string('doc%04d', id) AS doc_id",
+        "concat('text-', id) AS text",
+        "'s0' AS source",
+    )
+    s2 = table.commit(extra, t, mode="append")
+    ts2 = table.read_manifest(t, s2).ts_us
+    # as-of between the commits resolves to s1; at/after s2 resolves s2
+    assert table.snapshot_as_of(t, (ts1 + ts2) // 2) == s1
+    assert table.snapshot_as_of(t, ts2) == s2
+    assert table.read(spark, t, as_of_us=(ts1 + ts2) // 2).count() == 200
+    with pytest.raises(FileNotFoundError):
+        table.snapshot_as_of(t, ts1 - 1)
+    with pytest.raises(ValueError, match="not both"):
+        table.read(spark, t, snapshot_id=s1, as_of_us=ts1)
+    # rollback orphans s2: as-of after ts2 now resolves s1 (current lineage)
+    table.rollback(t, s1)
+    assert table.snapshot_as_of(t, ts2 + 1) == s1
+
+    # history face: every snapshot, lineage + current flag + refs
+    table.tag(t, "pin", s1)
+    h = {r.snapshot_id: r for r in table.history_df(spark, t).collect()}
+    assert h[s1].is_current and not h[s2].is_current
+    assert h[s2].parent_id == s1 and h[s1].parent_id is None
+    assert h[s1].refs == ["pin"] and h[s1].n_deletes == 0
+    assert h[s1].mode == "overwrite" and h[s2].mode == "append"
+
+    # files face: inventory with sizes, rows and zone-map stats
+    fd = table.files_df(spark, t, s2).collect()
+    assert len(fd) == table.read_manifest(t, s2).n_files
+    assert all(r.size_bytes and r.size_bytes > 0 for r in fd)
+    assert sum(r.n_rows for r in fd) == 260
+    assert all("doc_id" in r.col_mins and "doc_id" in r.col_maxs for r in fd)
+    # stats agree with what the planner prunes on
+    lo = min(r.col_mins["doc_id"] for r in fd)
+    assert lo == "doc0000"
