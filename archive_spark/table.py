@@ -1281,3 +1281,85 @@ def files_df(
         "file string, file_seq long, size_bytes long, n_rows long, "
         "col_mins map<string,string>, col_maxs map<string,string>",
     )
+
+
+def changes_df(
+    spark: SparkSession, table_dir: str, from_id: str, to_id: str | None = None
+) -> DataFrame:
+    """Row-level change feed between two snapshots (Delta CDF /
+    Iceberg changelog): the table's columns plus ``_change_type``
+    (``insert`` | ``delete``) and ``_commit_seq``.
+
+    - ``insert`` rows are the contents of files ADDED in the window,
+      stamped with the sequence number they were committed at.
+    - ``delete`` rows are the equality-delete KEYS committed in the
+      window (O(|keys|) — the key column carries the value, every other
+      column is NULL; materializing full deleted rows would cost a scan
+      of the pre-image, which a consumer that needs it can do itself
+      via ``read(snapshot_id=from_id)``).
+
+    Replay rule (identical to the table's own sequence semantics): a
+    delete with ``_commit_seq`` N removes rows whose key matches and
+    whose ``_commit_seq`` < N; rows re-inserted after the delete
+    survive.  Valid along append/delete lineage — a window crossing a
+    file REWRITE (compaction/overwrite) is refused, since rewritten
+    rows are not changes."""
+    to_id = to_id or current_snapshot_id(table_dir)
+    if to_id is None:
+        raise FileNotFoundError(f"{table_dir}: no committed snapshot")
+    a = read_manifest(table_dir, from_id)
+    b = read_manifest(table_dir, to_id)
+    removed = set(a.files) - set(b.files)
+    if removed:
+        raise ValueError(
+            f"changes_df window {from_id}..{to_id} crosses a file rewrite "
+            f"({len(removed)} file(s) removed — compaction/overwrite); "
+            "change feeds are defined along append/delete lineage"
+        )
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import StructType
+
+    schema = StructType.fromDDL(
+        b.schema[len("struct<"):-1] if _is_struct_ddl(b.schema) else b.schema
+    )
+    cols = [f.name for f in schema.fields]
+    fseq = b.file_seq or {}
+    added = sorted(set(b.files) - set(a.files))
+    parts = []
+    by_seq: dict[int, list[str]] = {}
+    for f in added:
+        by_seq.setdefault(fseq.get(f, 0), []).append(f)
+    for seq, fl in sorted(by_seq.items()):
+        part = _read_files(spark, table_dir, b, fl).select(
+            *cols,
+            F.lit("insert").alias("_change_type"),
+            F.lit(seq).cast("long").alias("_commit_seq"),
+        )
+        parts.append(part)
+    n_from = len(a.deletes or [])
+    for entry in (b.deletes or [])[n_from:]:
+        key = entry["key"]
+        kpaths = [os.path.join(table_dir, k) for k in entry["files"]]
+        keys = spark.read.parquet(*kpaths).select(key).distinct()
+        sel = [
+            (keys[c] if c == key else F.lit(None).cast(schema[c].dataType)).alias(c)
+            for c in cols
+        ]
+        parts.append(
+            keys.select(
+                *sel,
+                F.lit("delete").alias("_change_type"),
+                F.lit(entry["seq"]).cast("long").alias("_commit_seq"),
+            )
+        )
+    if not parts:
+        empty = spark.createDataFrame([], schema)
+        return empty.select(
+            *cols,
+            F.lit("").alias("_change_type"),
+            F.lit(0).cast("long").alias("_commit_seq"),
+        ).limit(0)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

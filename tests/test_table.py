@@ -879,3 +879,47 @@ def test_timestamp_time_travel_and_metadata_faces(spark, docs, tmp_path):
     # stats agree with what the planner prunes on
     lo = min(r.col_mins["doc_id"] for r in fd)
     assert lo == "doc0000"
+
+
+def test_changes_df_emits_inserts_and_delete_keys(spark, docs, tmp_path):
+    t = str(tmp_path / "t")
+    s1 = table.commit(docs, t)
+    extra = spark.range(200, 230).selectExpr(
+        "format_string('doc%04d', id) AS doc_id",
+        "concat('text-', id) AS text",
+        "'s0' AS source",
+    )
+    s2 = table.commit(extra, t, mode="append")
+    table.delete_rows(spark, t, ["doc0001", "doc0202"], key="doc_id")
+    s3 = table.current_snapshot_id(t)
+    ch = table.changes_df(spark, t, s1, s3)
+    ins = ch.filter("_change_type = 'insert'").collect()
+    dels = ch.filter("_change_type = 'delete'").collect()
+    assert {r.doc_id for r in ins} == {f"doc{i:04d}" for i in range(200, 230)}
+    assert {r.doc_id for r in dels} == {"doc0001", "doc0202"}
+    assert all(r.text is None and r.source is None for r in dels)
+    # delete events outrank the window's inserts (replay rule holds)
+    ins_seq = {r.doc_id: r._commit_seq for r in ins}
+    del_seq = {r.doc_id: r._commit_seq for r in dels}
+    assert del_seq["doc0202"] > ins_seq["doc0202"]
+    # replaying the feed over read(s1) reproduces read(s3) exactly
+    base = {(r.doc_id, r.text) for r in table.read(spark, t, snapshot_id=s1).collect()}
+    state = {r.doc_id: (r.text, 0) for r in table.read(spark, t, snapshot_id=s1).collect()}
+    events = sorted(
+        ch.collect(), key=lambda r: (r._commit_seq, r._change_type != "delete")
+    )
+    for e in events:
+        if e._change_type == "insert":
+            state[e.doc_id] = (e.text, e._commit_seq)
+        else:
+            if e.doc_id in state and state[e.doc_id][1] < e._commit_seq:
+                del state[e.doc_id]
+    got = {(k, v[0]) for k, v in state.items()}
+    want = {(r.doc_id, r.text) for r in table.read(spark, t).collect()}
+    assert got == want and base != want
+    # empty window
+    assert table.changes_df(spark, t, s3, s3).count() == 0
+    # a window crossing compaction is refused
+    table.compact(spark, t, target_partitions=2)
+    with pytest.raises(ValueError, match="rewrite"):
+        table.changes_df(spark, t, s1)
