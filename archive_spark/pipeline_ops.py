@@ -2676,12 +2676,15 @@ def nb_train(
     model = words.groupBy("label", "word").agg(
         F.count("*").cast("long").alias("cnt")
     )
+    # classes derives total_words FROM the model (not from a second
+    # explode of the corpus) — when nb_classify persists the model, the
+    # training corpus is exploded exactly once end-to-end
     classes = (
         docs.groupBy(F.col(label_col).alias("label"))
         .agg(F.count("*").cast("long").alias("n_docs"))
         .join(
-            words.groupBy("label").agg(
-                F.count("*").cast("long").alias("total_words")
+            model.groupBy("label").agg(
+                F.sum("cnt").cast("long").alias("total_words")
             ),
             "label",
             "left",
@@ -2709,11 +2712,13 @@ def nb_classify(
     - words outside the training vocabulary are ignored (standard NB
       practice — they carry no class signal).
 
-    Scale shape: the model and vocab are BROADCAST (bounded by
-    vocab x classes; cap vocab with ``hash_buckets``), so the corpus is
-    scanned once, the only shuffle is the per-(doc, class) partial-sum
-    aggregate, and per-class constants ride a tiny crossJoin — no
-    driver loop, no all-pairs anything.
+    Scale shape: the model is BROADCAST (bounded by vocab x classes;
+    cap vocab with ``hash_buckets``) as one wide per-word row of
+    class-conditional bits, so scoring is a single corpus scan +
+    broadcast join + ONE groupBy(doc_id) with conditional per-class
+    partial sums (map-side combine collapses each partition to ~n_docs
+    rows before the shuffle); the argmin is a codegen array_min over
+    per-class structs — no per-(doc, class) grid, no driver loop.
     """
     spark = docs.sparkSession
     # the model lineage re-scans the TRAINING corpus on every
@@ -2749,39 +2754,51 @@ def nb_classify(
             "doc_id",
             F.pmod(F.hash("word"), F.lit(hash_buckets)).cast("string").alias("word"),
         )
-    vocab = model.select("word").distinct()
-    invocab = exploded.join(F.broadcast(vocab), "word")
-    doc_nv = invocab.groupBy("doc_id").agg(
-        F.count("*").cast("long").alias("n_vw")
+    # Classes are bounded and known driver-side, so score with
+    # CONDITIONAL AGGREGATION: broadcast-join the exploded stream to the
+    # per-word class-bit row and run ONE groupBy(doc_id) whose per-class
+    # partial sums collapse each partition to ~n_docs rows before the
+    # only shuffle — no per-(doc, class) grid, no second corpus pass,
+    # and the argmin is a pure codegen array_min over per-class structs.
+    # OOV words drop at the inner join; docs with no in-vocab words
+    # re-enter via the final left join and score exactly their priors.
+    labels = [c[0] for c in const]
+    per_label = scored_model.groupBy("word").agg(
+        *[
+            F.sum(F.when(F.col("label") == c, F.col("w_bits"))).alias(f"_b{i}")
+            for i, c in enumerate(labels)
+        ]
     )
-    matched = invocab.join(F.broadcast(scored_model), "word").groupBy(
-        "doc_id", "label"
-    ).agg(
-        F.sum("w_bits").cast("long").alias("m_bits"),
-        F.count("*").cast("long").alias("m_cnt"),
-    )
-    grid = docs.select("doc_id").crossJoin(F.broadcast(const_df))
-    scores = (
-        grid.join(matched, ["doc_id", "label"], "left")
-        .join(doc_nv, "doc_id", "left")
-        .select(
-            "doc_id",
-            "label",
-            (
-                F.col("prior_bits")
-                + F.coalesce("m_bits", F.lit(0))
-                + (F.coalesce("n_vw", F.lit(0)) - F.coalesce("m_cnt", F.lit(0)))
-                * F.col("d_bits")
-            ).cast("long").alias("score_bits"),
+    sums = (
+        exploded.join(F.broadcast(per_label), "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_vw"),
+            *[F.sum(f"_b{i}").alias(f"_mb{i}") for i in range(len(labels))],
+            *[
+                F.count(f"_b{i}").cast("long").alias(f"_mc{i}")
+                for i in range(len(labels))
+            ],
         )
     )
-    best = scores.groupBy("doc_id").agg(
-        F.min(F.struct("score_bits", "label")).alias("b")
-    )
-    return best.select(
+    scored = docs.select("doc_id").join(sums, "doc_id", "left")
+    structs = []
+    for i, (label, d_bits, prior_bits) in enumerate(const):
+        score = (
+            F.lit(prior_bits)
+            + F.coalesce(F.col(f"_mb{i}"), F.lit(0))
+            + (
+                F.coalesce("n_vw", F.lit(0))
+                - F.coalesce(F.col(f"_mc{i}"), F.lit(0))
+            )
+            * F.lit(d_bits)
+        ).cast("long")
+        structs.append(F.struct(score.alias("s"), F.lit(label).alias("l")))
+    best = F.array_min(F.array(*structs))
+    return scored.select(
         "doc_id",
-        F.col("b.label").alias("predicted"),
-        F.col("b.score_bits").alias("score_bits"),
+        best["l"].alias("predicted"),
+        best["s"].alias("score_bits"),
     )
 
 

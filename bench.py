@@ -335,7 +335,7 @@ def main() -> None:
         "events_asof_join", "orders_range_join", "top_words",
         "readme_usability", "bpe_token_stats", "decontamination",
         "sequence_packing", "dup_span_stats", "incremental_dedup",
-        "normalize_text",
+        "normalize_text", "nb_classify", "dsir_weights",
     ):
         q = entry_mod.queries()[name]
         timed(f"q_{name}", lambda q=q: q(spark, sf_dir).collect())
