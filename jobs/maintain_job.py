@@ -4,11 +4,15 @@ Usage:
   spark-submit --py-files dist/archive_spark.zip jobs/maintain_job.py \
       --table /path/to/table [--compact] [--target-partitions N] \
       [--cluster-by col1,col2 | --zorder-by col1,col2] \
-      [--expire-keep-last K] [--vacuum]
+      [--expire-keep-last K] [--vacuum] \
+      [--rollback-to ID] [--tag NAME[=ID]] [--branch NAME[=ID]] \
+      [--fast-forward NAME] [--history]
 
 Compacts the current snapshot's small files (streaming micro-commits)
-into one overwrite snapshot, expires old snapshot manifests, and/or
-vacuums unreferenced data dirs (crash orphans).
+into one overwrite snapshot, expires old snapshot manifests, vacuums
+unreferenced data dirs (crash orphans), and manages refs: immutable
+tags (retention holds), mutable branches + fast-forward publish
+(write-audit-publish), and rollback (undo bad commits, history kept).
 """
 
 from __future__ import annotations
@@ -42,6 +46,21 @@ def main() -> None:
                          "entries physically) — the OPTIMIZE pass after many "
                          "small appends")
     ap.add_argument("--target-block-values", type=int, default=None)
+    ap.add_argument("--rollback-to", default=None,
+                    help="undo commits: point current back at this ancestor "
+                         "snapshot id (pure pointer move, history kept)")
+    ap.add_argument("--tag", default=None,
+                    help="NAME[=SNAPSHOT_ID]: pin an immutable ref (retention "
+                         "hold); defaults to the current snapshot")
+    ap.add_argument("--branch", default=None,
+                    help="NAME[=SNAPSHOT_ID]: create/reset a mutable branch "
+                         "head (write-audit-publish staging)")
+    ap.add_argument("--fast-forward", default=None,
+                    help="publish this branch's head as current (refused if "
+                         "main advanced past the branch point)")
+    ap.add_argument("--history", action="store_true",
+                    help="append the commit history (history_df rows) to the "
+                         "summary")
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -74,9 +93,25 @@ def main() -> None:
         )
     if args.vacuum:
         out["vacuumed"] = table.vacuum(args.table)
+    if args.rollback_to:
+        out["rolled_back_to"] = table.rollback(args.table, args.rollback_to)
+    if args.tag:
+        name, _, sid = args.tag.partition("=")
+        out["tagged"] = {name: table.tag(args.table, name, sid or None)}
+    if args.branch:
+        name, _, sid = args.branch.partition("=")
+        out["branched"] = {name: table.branch(args.table, name, sid or None)}
+    if args.fast_forward:
+        out["fast_forwarded"] = {
+            args.fast_forward: table.fast_forward(args.table, args.fast_forward)
+        }
     out["snapshots"] = [s.snapshot_id for s in table.snapshots(args.table)]
     if args.describe:
         out["describe"] = table.describe(args.table)
+    if args.history:
+        out["history"] = [
+            r.asDict() for r in table.history_df(spark, args.table).collect()
+        ]
     print(json.dumps(out))
     spark.stop()
 

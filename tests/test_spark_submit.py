@@ -379,3 +379,36 @@ def test_prepare_training_job_dsir_cli(zip_path, tmp_path):
     assert s["docs_kept"] <= s["docs_in"]
     v = s["verify"]
     assert v["n_mismatch"] == 0 and v["conserved"]
+
+
+def test_maintain_job_branch_wap_rollback_cli(spark, zip_path, tmp_path):
+    """The ref-management faces through the shipping surface: branch,
+    fast-forward (WAP publish), history report, rollback."""
+    from archive_spark import table
+
+    tdir = str(tmp_path / "t")
+    df = spark.range(0, 100).selectExpr(
+        "format_string('d%04d', id) AS doc_id", "'x' AS text", "'s0' AS source"
+    )
+    s1 = table.commit(df, tdir)
+    s2 = table.commit(df.limit(10), tdir, mode="append", branch="wap")
+    # publish the staged branch through the CLI
+    r = _spark_submit(
+        zip_path, "maintain_job.py",
+        "--table", tdir, "--fast-forward", "wap", "--history",
+    )
+    assert r.returncode == 0, r.stderr[-3000:]
+    s = json.loads(r.stdout.strip().splitlines()[-1])
+    assert s["fast_forwarded"] == {"wap": s2}
+    assert table.current_snapshot_id(tdir) == s2
+    hist = {h["snapshot_id"]: h for h in s["history"]}
+    assert hist[s2]["is_current"] and hist[s2]["parent_id"] == s1
+    # roll back through the CLI, pinning the pre-rollback state first
+    r = _spark_submit(
+        zip_path, "maintain_job.py",
+        "--table", tdir, "--tag", f"pre-rollback={s2}", "--rollback-to", s1,
+    )
+    assert r.returncode == 0, r.stderr[-3000:]
+    s = json.loads(r.stdout.strip().splitlines()[-1])
+    assert s["rolled_back_to"] == s1 and s["tagged"] == {"pre-rollback": s2}
+    assert table.current_snapshot_id(tdir) == s1
