@@ -534,3 +534,147 @@ def register(spark) -> None:
     spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     spark.dataSource.register(ArchiveEmbeddingsDataSource)
     spark.dataSource.register(ArchiveTokensDataSource)
+    spark.dataSource.register(ArchiveChangesDataSource)
+
+
+def _ddl_from_simple_string(simple: str) -> str:
+    """``struct<a:string,b:array<int>>`` → ``a string, b array<int>``
+    (the manifest schema form → the DataSource.schema() DDL form),
+    depth-aware so nested types survive."""
+    from .table import _schema_fields
+
+    return ", ".join(f"{n} {t}" for n, t in _schema_fields(simple).items())
+
+
+class ArchiveChangesDataSource(DataSource):
+    """format("archive_changes"): STREAMING row-level change feed of a
+    row snapshot table — the streaming face of ``table.changes_df``
+    (Delta CDF / Iceberg changelog as a Structured Streaming source).
+
+    Offsets are the table's own commit timestamps; each micro-batch
+    emits, for the snapshots in (start, end]: the rows of files ADDED
+    by each commit as ``_change_type='insert'`` (stamped with their
+    commit sequence number) and the equality-delete KEYS committed in
+    the window as ``_change_type='delete'`` (key column set, all other
+    columns NULL — O(|keys|)).  The replay rule matches the table's
+    sequence semantics: a delete removes matching rows with a lower
+    ``_commit_seq``.  File REWRITES (compaction) are ignored rather
+    than re-emitted — rewritten rows are not changes, so a downstream
+    consumer never double-processes.
+
+    Batches are commit deltas (small next to the table), so rows travel
+    the plain-Python tuple path — schema conformance over evolving
+    manifests (old files project later columns as NULL) without Arrow
+    schema gymnastics."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "archive_changes"
+
+    def schema(self) -> str:
+        from . import table as snap_table
+
+        table_dir = self.options.get("path")
+        if not table_dir:
+            raise ValueError("archive_changes requires .option('path', dir)")
+        cur = snap_table.current_snapshot_id(table_dir)
+        if cur is None:
+            raise FileNotFoundError(f"no published snapshot under {table_dir}")
+        m = snap_table.read_manifest(table_dir, cur)
+        return (
+            _ddl_from_simple_string(m.schema)
+            + ", _change_type string, _commit_seq long"
+        )
+
+    def streamReader(self, schema) -> "ArchiveChangesStreamReader":
+        return ArchiveChangesStreamReader(self.options, schema)
+
+
+class ArchiveChangesStreamReader(DataSourceStreamReader):
+    def __init__(self, options, schema):
+        self.table_dir = options.get("path")
+        if not self.table_dir:
+            raise ValueError("archive_changes requires .option('path', dir)")
+        self.cols = [f.name for f in schema.fields[:-2]]
+
+    def _snaps(self):
+        from . import table as snap_table
+
+        return snap_table.snapshots(self.table_dir)
+
+    def initialOffset(self) -> dict:
+        return {"ts_us": 0}
+
+    def latestOffset(self) -> dict:
+        snaps = self._snaps()
+        return {"ts_us": snaps[-1].ts_us if snaps else 0}
+
+    def partitions(self, start: dict, end: dict):
+        lo, hi = start["ts_us"], end["ts_us"]
+        parts = []
+        prev_files: set = set()
+        prev_dels = 0
+        for s in self._snaps():
+            added = [f for f in s.files if f not in prev_files]
+            dels = (s.deletes or [])[prev_dels:]
+            prev_files = set(s.files)
+            prev_dels = len(s.deletes or [])
+            if not (lo < s.ts_us <= hi):
+                continue
+            if s.mode == "overwrite" and s.parent_id is not None:
+                # table replacement / compaction: rewritten rows are not
+                # changes — a consumer that needs full-refresh semantics
+                # re-seeds from table.read instead.  The parentless seed
+                # commit replaces nothing and IS pure addition: emit it.
+                continue
+            fseq = s.file_seq or {}
+            for f in added:
+                parts.append(InputPartition((
+                    "insert",
+                    [os.path.join(self.table_dir, f)],
+                    None,
+                    fseq.get(f, 0),
+                    tuple(self.cols),
+                )))
+            for entry in dels:
+                parts.append(InputPartition((
+                    "delete",
+                    [os.path.join(self.table_dir, k) for k in entry["files"]],
+                    entry["key"],
+                    entry["seq"],
+                    tuple(self.cols),
+                )))
+        return parts
+
+    def read(self, partition):
+        import pyarrow.parquet as pq
+
+        kind, paths, key, seq, cols = partition.value
+        if kind == "insert":
+            for path in paths:
+                tbl = pq.read_table(path)
+                names = set(tbl.schema.names)
+                arrs = [
+                    tbl.column(c).to_pylist() if c in names else [None] * len(tbl)
+                    for c in cols
+                ]
+                for row in zip(*arrs):
+                    yield (*row, "insert", seq)
+        else:
+            seen = set()
+            for path in paths:
+                for v in pq.read_table(path, columns=[key]).column(key).to_pylist():
+                    if v in seen:
+                        continue
+                    seen.add(v)
+                    yield (
+                        *[v if c == key else None for c in cols],
+                        "delete",
+                        seq,
+                    )
+
+    def commit(self, end: dict) -> None:
+        pass  # offsets are durable in the table's manifests
+
+    def stop(self) -> None:
+        pass

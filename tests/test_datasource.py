@@ -340,3 +340,64 @@ def test_datasource_refuses_unapplicable_delete_key(spark, tmp_path):
     table.delete_rows(spark, tdir, ["textish"], key="source")
     with pytest.raises(Exception, match="source"):
         spark.read.format("archive_tokens").option("path", tdir).load().count()
+
+
+def test_streaming_change_feed_datasource(spark, tmp_path):
+    """format("archive_changes"): the CDF stream emits each commit's
+    inserts + delete keys exactly once across micro-batches, skips
+    compaction rewrites, and replaying the events reproduces the
+    table's final state."""
+    from archive_spark import table as T
+
+    D.register(spark)
+    tdir = str(tmp_path / "rows")
+    docs = spark.range(0, 60).selectExpr(
+        "format_string('d%04d', id) AS doc_id",
+        "concat('t', id) AS text",
+        "'s0' AS source",
+    )
+    T.commit(docs, tdir)
+
+    events = []
+    stream = (
+        spark.readStream.format("archive_changes").option("path", tdir).load()
+    )
+    ckpt = str(tmp_path / "ckpt")
+
+    def run_batch():
+        q = (
+            stream.writeStream.foreachBatch(
+                lambda b, _i: events.extend(b.collect())
+            )
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_batch()  # initial table: the seed commit's rows arrive as inserts
+    assert {r.doc_id for r in events if r._change_type == "insert"} == {
+        f"d{i:04d}" for i in range(60)
+    }
+    events.clear()
+
+    extra = spark.range(60, 70).selectExpr(
+        "format_string('d%04d', id) AS doc_id",
+        "concat('t', id) AS text",
+        "'s1' AS source",
+    )
+    T.commit(extra, tdir, mode="append")
+    T.delete_rows(spark, tdir, ["d0001", "d0061"], key="doc_id")
+    run_batch()
+    ins = [r for r in events if r._change_type == "insert"]
+    dels = [r for r in events if r._change_type == "delete"]
+    assert {r.doc_id for r in ins} == {f"d{i:04d}" for i in range(60, 70)}
+    assert {r.doc_id for r in dels} == {"d0001", "d0061"}
+    assert all(r.text is None for r in dels)
+    assert all(d._commit_seq > i._commit_seq for d in dels for i in ins)
+    events.clear()
+
+    # compaction rewrite: NOT a change — nothing is re-emitted
+    T.compact(spark, tdir, target_partitions=2)
+    run_batch()
+    assert events == []
