@@ -2043,6 +2043,23 @@ def _q_purge_encoded(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_ann_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """recall@5 of product-quantization ADC (m=16 subspaces, k=64
+    codes = 16 bytes/vector) with exact-cosine rerank of a 4x
+    shortlist, vs exact top-5.  The PQ result is persisted; DuckDB
+    recomputes the exact top-5 independently plus the recall
+    arithmetic (the ann_ivf_recall pattern)."""
+    from archive_spark.pipeline_ops import (
+        ann_recall, cosine_topk_bruteforce, pq_ann,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    pq = pq_ann(emb, [0, 1, 2], topk=5, m=16, k=64, rerank=4)
+    _persist(pq.select("query_id", "vec_id"), "pq_pruned", sf_dir)
+    bf = cosine_topk_bruteforce(emb, [0, 1, 2], topk=5)
+    return ann_recall(pq, bf, topk=5)
+
+
 def _q_nb_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multinomial Naive Bayes domain classifier (the CCNet-style
     model-driven curation step): train on doc_id % 3 > 0 with source as
@@ -2100,6 +2117,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # were green in r02 but missed r03's window, then the 50 green in r03.
     return {
         # -- never driver-checked before round 4 --
+        "ann_pq_recall": _q_ann_pq_recall,
         "nb_classify": _q_nb_classify,
         "dsir_weights": _q_dsir_weights,
         "takedown_upsert": _q_takedown_upsert,
@@ -2363,6 +2381,7 @@ FROM d GROUP BY 1 ORDER BY 1
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "ann_pq_recall": _recall_oracle("pq_pruned"),
         "nb_classify": _NB_CLASSIFY_ORACLE,
         "dsir_weights": _DSIR_ORACLE,
         "takedown_upsert": (

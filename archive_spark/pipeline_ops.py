@@ -2879,3 +2879,202 @@ def dsir_select(
             break
     keep_ids = w.filter(F.col("weight_bits") >= threshold).select("doc_id")
     return docs.join(keep_ids, "doc_id", "semi")
+
+
+# ---------------------------------------------------------------------------
+# product quantization (PQ) ANN
+# ---------------------------------------------------------------------------
+
+def pq_train(
+    emb: DataFrame,
+    m: int = 8,
+    k: int = 16,
+    sample_limit: int = 8192,
+    iters: int = 5,
+) -> "np.ndarray":
+    """Product-quantization codebooks (Jégou et al. 2011, "Product
+    Quantization for Nearest Neighbor Search"): split the (normalized)
+    vector into ``m`` subspaces and k-means each independently.
+
+    Training is DRIVER-SIDE on a bounded deterministic sample (first
+    ``sample_limit`` vectors by vec_id) — codebooks are m*k*(d/m)
+    floats regardless of corpus size, so at 100 TB the trainer stays
+    O(sample) while encode/scan are the distributed passes.  Returns
+    float64 codebooks of shape (m, k, d//m)."""
+    rows = (
+        emb.select("vec_id", "embedding")
+        .orderBy("vec_id")
+        .limit(sample_limit)
+        .collect()
+    )
+    X = np.asarray([r.embedding for r in rows], dtype=np.float64)
+    X /= np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    n, d = X.shape
+    if d % m:
+        raise ValueError(f"dim {d} not divisible by m={m}")
+    sub = d // m
+    books = np.empty((m, k, sub), dtype=np.float64)
+    for j in range(m):
+        S = X[:, j * sub:(j + 1) * sub]
+        # deterministic init: the k most-spread rows by a stable order
+        C = S[np.linspace(0, n - 1, k).astype(np.int64)].copy()
+        for _ in range(iters):
+            d2 = ((S[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            assign = d2.argmin(axis=1)
+            for c in range(k):
+                pts = S[assign == c]
+                if len(pts):
+                    C[c] = pts.mean(axis=0)
+        books[j] = C
+    return books
+
+
+def pq_encode(emb: DataFrame, codebooks: "np.ndarray") -> DataFrame:
+    """Encode every vector into ``m`` one-byte codes (nearest codebook
+    entry per subspace) — m bytes/vector, a 16-32x memory cut at
+    m=8..16 over 64-dim float32.  One distributed ``mapInArrow`` pass;
+    the codebooks ride the closure (tiny)."""
+    import pyarrow as pa
+    from typing import Iterator
+
+    books = codebooks
+    m, k, sub = books.shape
+
+    def kernel(it: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in it:
+            ids = batch.column("vec_id")
+            flat = np.asarray(batch.column("embedding").values, dtype=np.float64)
+            X = flat.reshape(batch.num_rows, -1)
+            X /= np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+            codes = np.empty((batch.num_rows, m), dtype=np.int32)
+            for j in range(m):
+                S = X[:, j * sub:(j + 1) * sub]
+                # ||s-c||^2 = ||s||^2 - 2 s.c + ||c||^2 ; argmin over c
+                d2 = -2.0 * (S @ books[j].T) + (books[j] ** 2).sum(axis=1)[None, :]
+                codes[:, j] = d2.argmin(axis=1)
+            yield pa.RecordBatch.from_arrays(
+                [ids, pa.array(list(codes), pa.list_(pa.int32()))],
+                names=["vec_id", "codes"],
+            )
+
+    return emb.select("vec_id", "embedding").mapInArrow(
+        kernel, "vec_id long, codes array<int>"
+    )
+
+
+def pq_ann(
+    emb: DataFrame,
+    query_ids: list[int],
+    topk: int = 5,
+    m: int = 8,
+    k: int = 16,
+    sample_limit: int = 8192,
+    codes: DataFrame | None = None,
+    codebooks: "np.ndarray | None" = None,
+    rerank: int = 1,
+) -> DataFrame:
+    """ANN by asymmetric distance computation (ADC) over PQ codes: per
+    query, a per-subspace inner-product lookup table against the
+    codebooks (m*k floats, driver-built, closure-broadcast); the scan
+    gathers LUT[j, code_j] and sums — one pass over the m-byte codes
+    instead of the full vectors, with per-batch top-k partials and a
+    final exact rank over O(batches*q*k) rows (the cosine_topk_encoded
+    shape).  ``rerank > 1`` adds the standard two-stage refinement:
+    the ADC scan shortlists topk*rerank candidates and ONLY those
+    (O(queries*topk*rerank) rows, never O(corpus)) are re-scored with
+    exact cosine against the full vectors.  Returns
+    (query_id, vec_id, rank)."""
+    import pyarrow as pa
+    from typing import Iterator
+
+    if codebooks is None:
+        codebooks = pq_train(emb, m=m, k=k, sample_limit=sample_limit)
+    books = codebooks
+    m, k, sub = books.shape
+    if codes is None:
+        codes = pq_encode(emb, books)
+    qrows = emb.filter(F.col("vec_id").isin(query_ids)).select(
+        "vec_id", "embedding"
+    ).collect()
+    Q = np.asarray([r.embedding for r in qrows], dtype=np.float64)
+    Q /= np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-12)
+    qids = np.asarray([r.vec_id for r in qrows], dtype=np.int64)
+    # LUT[q, j, c] = <query_q subspace j, codebook entry c>
+    lut = np.einsum("qjs,jcs->qjc", Q.reshape(len(qids), m, sub), books)
+    keep = topk * max(1, rerank)  # per-batch shortlist width
+
+    def scan(it: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in it:
+            ids = np.asarray(batch.column("vec_id"), dtype=np.int64)
+            C = np.asarray(batch.column("codes").values, dtype=np.int64)
+            C = C.reshape(batch.num_rows, m)
+            out_q, out_v, out_s = [], [], []
+            for qi in range(len(qids)):
+                scores = lut[qi][np.arange(m)[None, :], C].sum(axis=1)
+                mask = ids != qids[qi]
+                cand = np.flatnonzero(mask)
+                if not len(cand):
+                    continue
+                top = cand[np.argsort(-scores[cand], kind="stable")[:keep]]
+                out_q.extend([qids[qi]] * len(top))
+                out_v.extend(ids[top].tolist())
+                out_s.extend(scores[top].tolist())
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(np.asarray(out_q, dtype=np.int64), pa.int64()),
+                    pa.array(np.asarray(out_v, dtype=np.int64), pa.int64()),
+                    pa.array(np.asarray(out_s, dtype=np.float64), pa.float64()),
+                ],
+                names=["query_id", "vec_id", "score"],
+            )
+
+    partials = codes.mapInArrow(
+        scan, "query_id long, vec_id long, score double"
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.col("vec_id")
+    )
+    short = (
+        partials.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= topk * rerank)
+    )
+    if rerank <= 1:
+        return short.select("query_id", "vec_id", "rank").orderBy(
+            "query_id", "rank"
+        )
+    # exact-cosine refinement on the shortlist only: fetch candidate
+    # vectors with a semi-joinable isin (zone-prunable point reads) and
+    # re-rank against the (already normalized, closure-held) queries
+    cand = short.select("query_id", "vec_id")
+    cand_vecs = emb.join(
+        F.broadcast(cand.select("vec_id").distinct()), "vec_id"
+    ).select("vec_id", "embedding")
+    q_map = {int(q): Q[i] for i, q in enumerate(qids)}
+    rows = cand_vecs.collect()
+    import pandas as pd
+
+    V = np.asarray([r.embedding for r in rows], dtype=np.float64)
+    V /= np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-12)
+    vid = np.asarray([r.vec_id for r in rows], dtype=np.int64)
+    vidx = {int(v): i for i, v in enumerate(vid)}
+    out = []
+    for r in cand.collect():
+        out.append(
+            (
+                int(r.query_id),
+                int(r.vec_id),
+                float(q_map[int(r.query_id)] @ V[vidx[int(r.vec_id)]]),
+            )
+        )
+    rdf = emb.sparkSession.createDataFrame(
+        pd.DataFrame(out, columns=["query_id", "vec_id", "cosine"])
+    )
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.col("vec_id")
+    )
+    return (
+        rdf.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= topk)
+        .select("query_id", "vec_id", "rank")
+        .orderBy("query_id", "rank")
+    )

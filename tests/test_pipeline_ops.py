@@ -1562,3 +1562,42 @@ def test_dsir_select_threshold_is_tie_inclusive(spark, separable):
     assert len(rows) == 30
     # keep everything when ppm = 1e6 (no weight computation at all)
     assert po.dsir_select(separable, "source = 'A'", 1_000_000).count() == 60
+
+
+# ---------------------------------------------------------------------------
+# product quantization
+
+
+def test_pq_ann_recall_vs_bruteforce(spark, emb):
+    queries = [0, 1, 2, 3, 4]
+    truth = _topk_sets(po.cosine_topk_bruteforce(emb, queries, topk=5))
+    approx = _topk_sets(po.pq_ann(emb, queries, topk=5, m=16, k=64, rerank=4))
+    recalls = [len(truth[q] & approx.get(q, set())) / 5 for q in queries]
+    assert sum(recalls) / len(recalls) >= 0.8, recalls
+
+
+def test_pq_codes_shape_and_determinism(spark, emb):
+    books = po.pq_train(emb, m=16, k=64)
+    assert books.shape == (16, 64, 4)
+    codes = po.pq_encode(emb, books)
+    rows = codes.orderBy("vec_id").limit(5).collect()
+    assert all(len(r.codes) == 16 for r in rows)
+    assert all(0 <= c < 64 for r in rows for c in r.codes)
+    # deterministic: same sample order -> same codebooks -> same codes
+    books2 = po.pq_train(emb, m=16, k=64)
+    import numpy as np
+    assert np.array_equal(books, books2)
+    rows2 = po.pq_encode(emb, books2).orderBy("vec_id").limit(5).collect()
+    assert [r.codes for r in rows] == [r.codes for r in rows2]
+
+
+def test_pq_rerank_shortlist_never_hurts(spark, emb):
+    """Exact rerank of a wider ADC shortlist must dominate the raw ADC
+    ranking (it re-scores a superset with the true metric)."""
+    queries = [0, 1, 2]
+    truth = _topk_sets(po.cosine_topk_bruteforce(emb, queries, topk=5))
+    raw = _topk_sets(po.pq_ann(emb, queries, topk=5, m=16, k=64, rerank=1))
+    rr = _topk_sets(po.pq_ann(emb, queries, topk=5, m=16, k=64, rerank=4))
+    raw_rec = sum(len(truth[q] & raw.get(q, set())) for q in queries)
+    rr_rec = sum(len(truth[q] & rr.get(q, set())) for q in queries)
+    assert rr_rec >= raw_rec
