@@ -109,7 +109,7 @@ def synth_media_table(
 
 def real_media_table(
     spark: SparkSession, n: int, seed: int = 42, partitions: int = 4,
-    adpcm_audio: bool = False,
+    adpcm_audio: bool = False, video_rows: bool = False,
 ) -> DataFrame:
     """Media table whose payloads are REAL containers (BMP + PNG images,
     WAV audio) built by the stdlib encoders below — the ingest shape a
@@ -128,8 +128,14 @@ def real_media_table(
             }
             for i in ids:
                 rng = np.random.default_rng(seed * 1_000_003 + int(i))
-                slot = int(i) % 5
-                if slot != 1:
+                slot = int(i) % (6 if video_rows else 5)
+                if slot == 5:  # video_rows only: real AVI containers
+                    w, h = int(rng.integers(8, 24)), int(rng.integers(8, 24))
+                    nf = int(rng.integers(2, 6))
+                    fr = rng.integers(0, 256, (nf, h, w, 3), dtype=np.uint8)
+                    payload, fmt, kind = encode_avi(fr), "avi", "video"
+                    c, sr = 3, 0
+                elif slot != 1:
                     w, h = int(rng.integers(8, 40)), int(rng.integers(8, 40))
                     rgb = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
                     if slot == 0:
@@ -766,6 +772,9 @@ def _decode_payload(payload: bytes, fmt: str, decoder: str) -> np.ndarray:
         if head == b"\x89PNG":
             return decode_png(payload)[:, :, :3].astype(np.float64).ravel()
         if head == b"RIFF":
+            form = bytes(memoryview(payload)[8:12])
+            if form == b"AVI ":
+                return decode_avi(payload).astype(np.float64).ravel()
             samples, _rate = decode_wav(payload)
             return samples.astype(np.float64) / 32768.0
         if head[:3] == b"GIF":
@@ -908,3 +917,100 @@ def sample_frames(media: DataFrame, every: int = 2, decoder: str = "fake") -> Da
             )
 
     return media.mapInArrow(frames, "media_id string, frame_idx int, frame binary")
+
+
+def encode_avi(frames: np.ndarray, fps: int = 10) -> bytes:
+    """(n_frames, h, w, 3) RGB uint8 → minimal AVI: RIFF 'AVI ' with one
+    'vids' stream of uncompressed 24-bit DIB frames ('00db' chunks,
+    bottom-up BGR rows padded to 4 bytes) + idx1.  Layout per the public
+    RIFF/AVI spec (AVIMAINHEADER / AVISTREAMHEADER / BITMAPINFOHEADER —
+    msdn "AVI RIFF File Reference"); pure struct+numpy, no libav."""
+    import struct
+
+    nf, h, w, _ = frames.shape
+    row_bytes = (w * 3 + 3) & ~3
+    dib_size = row_bytes * h
+
+    def dib(frame: np.ndarray) -> bytes:
+        bgr = frame[::-1, :, ::-1]  # bottom-up, RGB->BGR
+        padded = np.zeros((h, row_bytes), dtype=np.uint8)
+        padded[:, : w * 3] = bgr.reshape(h, w * 3)
+        return padded.tobytes()
+
+    avih = struct.pack(
+        "<IIIIIIIIIIIIII",
+        1_000_000 // fps, dib_size * fps, 0, 0x10,  # HASINDEX
+        nf, 0, 1, dib_size, w, h, 0, 0, 0, 0,
+    )
+    strh = struct.pack(
+        "<4s4sIHHIIIIIIIIhhhh",
+        b"vids", b"DIB ", 0, 0, 0, 0, 1, fps, 0, nf,
+        dib_size, 0xFFFFFFFF, 0, 0, 0, w, h,
+    )
+    strf = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, dib_size, 0, 0, 0, 0)
+
+    def chunk(tag: bytes, body: bytes) -> bytes:
+        pad = b"\x00" if len(body) % 2 else b""
+        return tag + struct.pack("<I", len(body)) + body + pad
+
+    def lst(kind: bytes, body: bytes) -> bytes:
+        return chunk(b"LIST", kind + body)
+
+    strl = lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf))
+    hdrl = lst(b"hdrl", chunk(b"avih", avih) + strl)
+    movi_frames = [chunk(b"00db", dib(frames[i])) for i in range(nf)]
+    movi = lst(b"movi", b"".join(movi_frames))
+    idx, off = [], 4  # offsets relative to the 'movi' fourcc
+    for i in range(nf):
+        idx.append(struct.pack("<4sIII", b"00db", 0x10, off, dib_size))
+        off += len(movi_frames[i])
+    body = b"AVI " + hdrl + movi + chunk(b"idx1", b"".join(idx))
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def decode_avi(payload: bytes) -> np.ndarray:
+    """Minimal AVI reader for the encoder above + any 24-bit DIB-frame
+    AVI: walks the RIFF tree, takes w/h from BITMAPINFOHEADER (strf) and
+    frame payloads from the movi '00db'/'00dc' chunks.  Returns
+    (n_frames, h, w, 3) RGB uint8.  Raises MediaDecodeError on other
+    codecs (compressed fourccs) — typed, not silent."""
+    import struct
+
+    buf = memoryview(payload)
+    if bytes(buf[:4]) != b"RIFF" or bytes(buf[8:12]) != b"AVI ":
+        raise MediaDecodeError("not a RIFF AVI")
+    w = h = None
+    bitcount = 24
+    frames = []
+
+    def walk(lo: int, hi: int) -> None:
+        nonlocal w, h, bitcount
+        pos = lo
+        while pos + 8 <= hi:
+            tag = bytes(buf[pos:pos + 4])
+            (size,) = struct.unpack_from("<I", buf, pos + 4)
+            body_lo = pos + 8
+            body_hi = min(body_lo + size, hi)
+            if tag == b"LIST":
+                walk(body_lo + 4, body_hi)
+            elif tag == b"strf" and w is None:
+                _, bw, bh, _, bc = struct.unpack_from("<IiiHH", buf, body_lo)
+                w, h, bitcount = bw, abs(bh), bc
+            elif tag[2:4] in (b"db", b"dc") and tag[:2].isdigit():
+                frames.append((body_lo, body_hi))
+            pos = body_hi + (size & 1)
+
+    walk(12, len(buf))
+    if w is None or not frames:
+        raise MediaDecodeError("AVI: no video stream found")
+    if bitcount != 24:
+        raise MediaDecodeError(f"AVI: unsupported bit depth {bitcount}")
+    row_bytes = (w * 3 + 3) & ~3
+    out = np.empty((len(frames), h, w, 3), dtype=np.uint8)
+    for i, (lo, hi) in enumerate(frames):
+        if hi - lo < row_bytes * h:
+            raise MediaDecodeError("AVI: truncated frame")
+        rows = np.frombuffer(buf[lo:lo + row_bytes * h], dtype=np.uint8)
+        rows = rows.reshape(h, row_bytes)[:, : w * 3].reshape(h, w, 3)
+        out[i] = rows[::-1, :, ::-1]  # bottom-up BGR -> top-down RGB
+    return out
