@@ -923,3 +923,82 @@ def test_changes_df_emits_inserts_and_delete_keys(spark, docs, tmp_path):
     table.compact(spark, t, target_partitions=2)
     with pytest.raises(ValueError, match="rewrite"):
         table.changes_df(spark, t, s1)
+
+
+@pytest.mark.parametrize("seed", [11, 37])
+def test_lifecycle_random_program_with_refs(spark, tmp_path, seed):
+    """Model-based check extended over the ref surface: random
+    append / delete / upsert / compact / WAP(branch+fast_forward) /
+    rollback programs, with the model snapshotted per commit so a
+    rollback's expected state is the model AS OF that snapshot.  After
+    every op the visible table equals the model."""
+    import random
+
+    rng = random.Random(seed)
+    t = str(tmp_path / f"t{seed}")
+    next_id = 0
+
+    def fresh_batch(n):
+        nonlocal next_id
+        rows = []
+        for _ in range(n):
+            rows.append((f"k{next_id:04d}", f"v{rng.randrange(10_000)}"))
+            next_id += 1
+        return rows
+
+    def df_of(rows):
+        return spark.createDataFrame(rows, "doc_id string, text string")
+
+    model: list[tuple[str, str]] = fresh_batch(5)
+    table.commit(df_of(model), t)
+    history = {table.current_snapshot_id(t): list(model)}
+    n_branch = 0
+
+    def ancestors():
+        out, seen = [], table.current_snapshot_id(t)
+        while seen is not None:
+            if seen in history:
+                out.append(seen)
+            seen = table.read_manifest(t, seen).parent_id
+        return out
+
+    for step in range(14):
+        op = rng.choice(
+            ["append", "delete", "upsert", "compact", "wap", "rollback"]
+        )
+        if op == "append":
+            rows = fresh_batch(rng.randrange(1, 4))
+            table.commit(df_of(rows), t, mode="append")
+            model.extend(rows)
+        elif op == "delete" and model:
+            keys = rng.sample([k for k, _ in model],
+                              min(len(model), rng.randrange(1, 3)))
+            table.delete_rows(spark, t, keys, key="doc_id")
+            model = [(k, v) for k, v in model if k not in set(keys)]
+        elif op == "upsert" and model:
+            k = rng.choice([k for k, _ in model])
+            rows = [(k, f"v{rng.randrange(10_000)}")] + fresh_batch(1)
+            table.merge_upsert(spark, df_of(rows), t, key="doc_id")
+            ks = {k2 for k2, _ in rows}
+            model = [(k2, v) for k2, v in model if k2 not in ks] + rows
+        elif op == "compact":
+            table.compact(spark, t, target_partitions=2)
+        elif op == "wap":
+            n_branch += 1
+            rows = fresh_batch(rng.randrange(1, 3))
+            name = f"b{n_branch}"
+            table.commit(df_of(rows), t, mode="append", branch=name)
+            # staging is invisible until publish
+            got = sorted((r.doc_id, r.text)
+                         for r in table.read(spark, t).collect())
+            assert got == sorted(model), f"step {step} WAP leak seed {seed}"
+            table.fast_forward(t, name)
+            model.extend(rows)
+        elif op == "rollback":
+            target = rng.choice(ancestors())
+            table.rollback(t, target)
+            model = list(history[target])
+        history[table.current_snapshot_id(t)] = list(model)
+        got = sorted((r.doc_id, r.text)
+                     for r in table.read(spark, t).collect())
+        assert got == sorted(model), f"step {step} op {op} seed {seed}"
