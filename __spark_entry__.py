@@ -2060,6 +2060,26 @@ def _q_ann_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_recall(pq, bf, topk=5)
 
 
+def _q_ann_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """recall@5 of the persisted IVF-PQ index (16 cells probe-8, PQ
+    m=16/k=64, exact rerank of a 4x shortlist) vs exact top-5.  The
+    index builds as a cell-clustered snapshot table (manifest zone maps
+    prune unprobed cells' files); the search result persists and DuckDB
+    replays exact top-5 + the recall arithmetic."""
+    from archive_spark.pipeline_ops import (
+        ann_recall, cosine_topk_bruteforce, ivfpq_build, ivfpq_search,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    base = os.path.basename(sf_dir.rstrip("/"))
+    idx_dir = f"{ORACLE_DIR}/{base}/ivfpq_index"
+    ivfpq_build(emb, idx_dir, n_centroids=16, m=16, k=64)
+    res = ivfpq_search(emb, idx_dir, [0, 1, 2], topk=5, n_probe=8, rerank=4)
+    _persist(res.select("query_id", "vec_id"), "ivfpq_pruned", sf_dir)
+    bf = cosine_topk_bruteforce(emb, [0, 1, 2], topk=5)
+    return ann_recall(res, bf, topk=5)
+
+
 def _q_nb_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multinomial Naive Bayes domain classifier (the CCNet-style
     model-driven curation step): train on doc_id % 3 > 0 with source as
@@ -2118,6 +2138,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # -- never driver-checked before round 4 --
         "ann_pq_recall": _q_ann_pq_recall,
+        "ann_ivfpq_recall": _q_ann_ivfpq_recall,
         "nb_classify": _q_nb_classify,
         "dsir_weights": _q_dsir_weights,
         "takedown_upsert": _q_takedown_upsert,
@@ -2382,6 +2403,7 @@ FROM d GROUP BY 1 ORDER BY 1
 def oracle_sql() -> dict[str, str]:
     return {
         "ann_pq_recall": _recall_oracle("pq_pruned"),
+        "ann_ivfpq_recall": _recall_oracle("ivfpq_pruned"),
         "nb_classify": _NB_CLASSIFY_ORACLE,
         "dsir_weights": _DSIR_ORACLE,
         "takedown_upsert": (

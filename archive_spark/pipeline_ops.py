@@ -12,6 +12,8 @@ whole-stage codegen.
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 
 from pyspark.sql import DataFrame, Window, functions as F
@@ -3072,6 +3074,190 @@ def pq_ann(
     w2 = Window.partitionBy("query_id").orderBy(
         F.desc("cosine"), F.col("vec_id")
     )
+    return (
+        rdf.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= topk)
+        .select("query_id", "vec_id", "rank")
+        .orderBy("query_id", "rank")
+    )
+
+
+def ivfpq_build(
+    emb: DataFrame,
+    table_dir: str,
+    n_centroids: int = 16,
+    m: int = 16,
+    k: int = 64,
+    train_iters: int = 2,
+    sample_limit: int = 8192,
+    seed: int = 42,
+) -> str:
+    """Build a persisted IVF-PQ index (the faiss-IVFPQ shape, the
+    billion-scale standard: coarse quantizer prunes cells, product
+    quantization compresses what remains): one ``mapInArrow`` pass
+    assigns every vector a cell (GEMM vs the spherical-k-means
+    centroids) and its m one-byte PQ codes, and the codes land in a
+    snapshot table CLUSTERED BY CELL — so ``ivfpq_search`` prunes
+    whole files through the manifest's cell zone maps and a probe
+    reads O(probed cells), never O(corpus).  Centroids + codebooks
+    (tiny, driver-side) persist as an ``_ann/index.npz`` sidecar.
+    Returns the committed snapshot id."""
+    import pyarrow as pa
+    from typing import Iterator
+
+    from . import table as snap_table
+
+    C = ivf_train_centroids(emb, n_centroids, iters=train_iters, seed=seed)
+    books = pq_train(emb, m=m, k=k, sample_limit=sample_limit)
+    mm_, kk_, sub = books.shape
+
+    def kernel(it: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in it:
+            ids = batch.column("vec_id")
+            flat = np.asarray(batch.column("embedding").values, dtype=np.float64)
+            X = flat.reshape(batch.num_rows, -1)
+            Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+            cell = np.argmax(Xn @ C.T, axis=1).astype(np.int32)
+            codes = np.empty((batch.num_rows, mm_), dtype=np.int32)
+            for j in range(mm_):
+                S = Xn[:, j * sub:(j + 1) * sub]
+                d2 = -2.0 * (S @ books[j].T) + (books[j] ** 2).sum(axis=1)[None, :]
+                codes[:, j] = d2.argmin(axis=1)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    ids,
+                    pa.array(cell, pa.int32()),
+                    pa.array(list(codes), pa.list_(pa.int32())),
+                ],
+                names=["vec_id", "cell", "codes"],
+            )
+
+    coded = emb.select("vec_id", "embedding").mapInArrow(
+        kernel, "vec_id long, cell int, codes array<int>"
+    )
+    # cluster by cell so each parquet file covers few cells — the
+    # manifest's cell [min,max] stats then prune files per probe
+    clustered = coded.repartitionByRange(
+        max(4, n_centroids // 4), "cell"
+    ).sortWithinPartitions("cell", "vec_id")
+    sid = snap_table.commit(clustered, table_dir)
+    ann_dir = os.path.join(table_dir, "_ann")
+    os.makedirs(ann_dir, exist_ok=True)
+    np.savez(os.path.join(ann_dir, "index.npz"), centroids=C, books=books)
+    return sid
+
+
+def ivfpq_search(
+    emb: DataFrame,
+    table_dir: str,
+    query_ids: list[int],
+    topk: int = 5,
+    n_probe: int = 4,
+    rerank: int = 4,
+) -> DataFrame:
+    """Search a persisted IVF-PQ index: per query, pick the ``n_probe``
+    nearest cells (driver GEMM vs the tiny centroid set), read ONLY the
+    code files whose cell zone maps intersect the probed cells
+    (manifest-level pruning — O(probed cells) IO), ADC-score with
+    per-query LUTs masked to each query's probe set, shortlist
+    topk*rerank, and exact-cosine-rerank the shortlist.  Returns
+    (query_id, vec_id, rank)."""
+    import pyarrow as pa
+    from typing import Iterator
+
+    from . import table as snap_table
+
+    idx = np.load(os.path.join(table_dir, "_ann", "index.npz"))
+    C, books = idx["centroids"], idx["books"]
+    m, k, sub = books.shape
+    qrows = emb.filter(F.col("vec_id").isin(query_ids)).select(
+        "vec_id", "embedding"
+    ).collect()
+    Q = np.asarray([r.embedding for r in qrows], dtype=np.float64)
+    Q /= np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-12)
+    qids = np.asarray([r.vec_id for r in qrows], dtype=np.int64)
+    sims = Q @ C.T
+    probe = np.argsort(-sims, axis=1, kind="stable")[:, :n_probe]
+    probe_sets = [frozenset(int(c) for c in row) for row in probe]
+    all_cells = sorted({c for s in probe_sets for c in s})
+    lut = np.einsum("qjs,jcs->qjc", Q.reshape(len(qids), m, sub), books)
+    keep = topk * max(1, rerank)
+
+    # read only files whose [cell_min, cell_max] intersects a probed
+    # cell — one pruned read per contiguous probed-cell run
+    spark = emb.sparkSession
+    runs = []
+    for c in all_cells:
+        if runs and c == runs[-1][1] + 1:
+            runs[-1][1] = c
+        else:
+            runs.append([c, c])
+    parts = [
+        snap_table.read(spark, table_dir, prune={"cell": (lo, hi)}).filter(
+            (F.col("cell") >= lo) & (F.col("cell") <= hi)
+        )
+        for lo, hi in runs
+    ]
+    codes = parts[0]
+    for p in parts[1:]:
+        codes = codes.unionByName(p)
+
+    def scan(it: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in it:
+            ids = np.asarray(batch.column("vec_id"), dtype=np.int64)
+            cells = np.asarray(batch.column("cell"), dtype=np.int64)
+            Cd = np.asarray(batch.column("codes").values, dtype=np.int64)
+            Cd = Cd.reshape(batch.num_rows, m)
+            out_q, out_v, out_s = [], [], []
+            for qi in range(len(qids)):
+                mask = np.isin(cells, list(probe_sets[qi])) & (ids != qids[qi])
+                cand = np.flatnonzero(mask)
+                if not len(cand):
+                    continue
+                scores = lut[qi][np.arange(m)[None, :], Cd[cand]].sum(axis=1)
+                top = cand[np.argsort(-scores, kind="stable")[:keep]]
+                sc = lut[qi][np.arange(m)[None, :], Cd[top]].sum(axis=1)
+                out_q.extend([qids[qi]] * len(top))
+                out_v.extend(ids[top].tolist())
+                out_s.extend(sc.tolist())
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(np.asarray(out_q, dtype=np.int64), pa.int64()),
+                    pa.array(np.asarray(out_v, dtype=np.int64), pa.int64()),
+                    pa.array(np.asarray(out_s, dtype=np.float64), pa.float64()),
+                ],
+                names=["query_id", "vec_id", "score"],
+            )
+
+    partials = codes.mapInArrow(scan, "query_id long, vec_id long, score double")
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.col("vec_id"))
+    short = (
+        partials.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= keep)
+        .select("query_id", "vec_id")
+    )
+    # exact-cosine rerank of the bounded shortlist (O(queries*shortlist))
+    cand_vecs = emb.join(
+        F.broadcast(short.select("vec_id").distinct()), "vec_id"
+    ).collect()
+    V = np.asarray([r.embedding for r in cand_vecs], dtype=np.float64)
+    V /= np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-12)
+    vidx = {int(r.vec_id): i for i, r in enumerate(cand_vecs)}
+    qmap = {int(q): Q[i] for i, q in enumerate(qids)}
+    import pandas as pd
+
+    out = [
+        (
+            int(r.query_id),
+            int(r.vec_id),
+            float(qmap[int(r.query_id)] @ V[vidx[int(r.vec_id)]]),
+        )
+        for r in short.collect()
+    ]
+    rdf = spark.createDataFrame(
+        pd.DataFrame(out, columns=["query_id", "vec_id", "cosine"])
+    )
+    w2 = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.col("vec_id"))
     return (
         rdf.withColumn("rank", F.row_number().over(w2))
         .filter(F.col("rank") <= topk)

@@ -1601,3 +1601,39 @@ def test_pq_rerank_shortlist_never_hurts(spark, emb):
     raw_rec = sum(len(truth[q] & raw.get(q, set())) for q in queries)
     rr_rec = sum(len(truth[q] & rr.get(q, set())) for q in queries)
     assert rr_rec >= raw_rec
+
+
+def test_ivfpq_recall_and_probe_monotonicity(spark, emb, tmp_path):
+    """Persisted IVF-PQ: recall grows with n_probe, and probing every
+    cell reproduces the pure-PQ ceiling."""
+    idx = str(tmp_path / "ivfpq")
+    po.ivfpq_build(emb, idx, n_centroids=16, m=16, k=64)
+    queries = [0, 1, 2, 3, 4]
+    truth = _topk_sets(po.cosine_topk_bruteforce(emb, queries, topk=5))
+
+    def rec(n_probe):
+        app = _topk_sets(
+            po.ivfpq_search(emb, idx, queries, topk=5, n_probe=n_probe, rerank=4)
+        )
+        return sum(len(truth[q] & app.get(q, set())) for q in queries)
+
+    r4, r16 = rec(4), rec(16)
+    assert r16 >= r4
+    assert r16 / (5 * len(queries)) >= 0.8
+    pq = _topk_sets(po.pq_ann(emb, queries, topk=5, m=16, k=64, rerank=4))
+    full = _topk_sets(po.ivfpq_search(emb, idx, queries, topk=5, n_probe=16, rerank=4))
+    # probing all cells == PQ over the whole corpus (same codebooks path)
+    assert sum(len(truth[q] & full[q]) for q in queries) >= \
+        sum(len(truth[q] & pq[q]) for q in queries) - 2
+
+
+def test_ivfpq_index_prunes_files_by_cell(spark, emb, tmp_path):
+    """The cell-clustered codes table prunes unprobed cells' files at
+    the MANIFEST level — the IO contract that makes probes O(probed)."""
+    from archive_spark import table as T
+
+    idx = str(tmp_path / "ivfpq")
+    sid = po.ivfpq_build(emb, idx, n_centroids=16, m=16, k=64)
+    all_files = T.select_files(idx, sid)
+    narrow = T.select_files(idx, sid, prune={"cell": (0, 1)})
+    assert len(narrow) < len(all_files)
