@@ -31,6 +31,9 @@ def main() -> None:
     ap.add_argument("--scratch", default="/tmp/spark_graft_anchor")
     ap.add_argument("--no-targeted", action="store_true",
                     help="skip the targeted-decode / pruning phase")
+    ap.add_argument("--dedup", action="store_true",
+                    help="also anchor the dedup lane (MinHash-LSH candidate "
+                         "aggregate + exact dedup over a text view)")
     ap.add_argument("--embeddings", type=int, default=0,
                     help="also anchor the float lane with N synthetic vectors")
     args = ap.parse_args()
@@ -198,6 +201,34 @@ def main() -> None:
         out["purge_digest_match"] = (d_after.n_docs, d_after.content_digest) == (
             d_exp.n_docs, d_exp.content_digest
         )
+
+    # ---- dedup-lane anchor: MinHash-LSH over a text view of the token
+    # table (words = token ids) — the evidence that the dedup lane's
+    # bucketed shape (no all-pairs join anywhere) holds at scale.
+    # Records the full candidate-count aggregate wall plus exact-dedup
+    # throughput on the same corpus.
+    if args.dedup:
+        from archive_spark import pipeline_ops as po
+
+        docs_view = tokens.select(
+            "doc_id",
+            F.array_join(
+                F.transform("tokens", lambda x: x.cast("string")), " "
+            ).alias("text"),
+            "source",
+        )
+        t0 = time.perf_counter()
+        banded = po.minhash_band_table(docs_view, n_perm=32, bands=8, k=3)
+        cand = po.lsh_candidate_count(banded).collect()[0]
+        dt = time.perf_counter() - t0
+        out["dedup_minhash_sec"] = round(dt, 1)
+        out["dedup_minhash_docs_per_sec"] = round(args.docs / dt)
+        out["dedup_candidate_pairs"] = int(cand[0]) if cand else 0
+        t0 = time.perf_counter()
+        n_groups = po.exact_dedup_groups(docs_view).count()
+        dt = time.perf_counter() - t0
+        out["dedup_exact_sec"] = round(dt, 1)
+        out["dedup_exact_groups"] = int(n_groups)
 
     # ---- embedding-lane anchor: encode/decode a synthetic float table
     # at scale, digest-gated (order-insensitive bitwise sum/xor — no
