@@ -2011,6 +2011,56 @@ def _q_takedown_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_wap_rollback(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ref lifecycle end to end, driver-checked: seed HALF the
+    documents (md5 bucket), stage the other half on a BRANCH under a
+    CHECK constraint (write-audit-publish: current must not move while
+    staged — asserted), fast-forward-publish, append junk rows, tag the
+    good state, ROLLBACK the junk away, and read the final table.  The
+    oracle is simply the full documents aggregate: a green row proves
+    branch isolation, the ancestry-checked publish, and that rollback
+    restored exactly the pre-junk state."""
+    import shutil
+
+    from archive_spark import table as snap_table
+
+    docs = _docs(spark, sf_dir).select("doc_id", "source", "text")
+    bucket = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
+    in_seed = bucket < "8"
+    t = "/tmp/archive_spark_wap/" + os.path.basename(os.path.normpath(sf_dir))
+    shutil.rmtree(t, ignore_errors=True)
+    s1 = snap_table.commit(docs.filter(in_seed), t)
+    snap_table.commit(
+        docs.filter(~in_seed), t, mode="append", branch="staging",
+        expect=["doc_id IS NOT NULL", "length(text) >= 0"],
+    )
+    assert snap_table.current_snapshot_id(t) == s1, "branch moved current"
+    staged = snap_table.read(
+        spark, t, snapshot_id=snap_table.resolve_ref(t, "staging")
+    ).count()
+    assert staged == docs.count(), "staged state incomplete"
+    s2 = snap_table.fast_forward(t, "staging")
+    snap_table.tag(t, "good", s2)
+    junk = docs.limit(7).withColumn(
+        "doc_id", F.col("doc_id") + F.lit(10_000_000)
+    )
+    snap_table.commit(junk, t, mode="append")
+    assert snap_table.read(spark, t).count() == docs.count() + 7
+    snap_table.rollback(t, snap_table.resolve_ref(t, "good"))
+    final = snap_table.read(spark, t)
+    return (
+        final.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.length("text")).cast("long").alias("total_chars"),
+            F.md5(
+                F.concat_ws("", F.sort_array(F.collect_list(F.md5("text"))))
+            ).alias("digest"),
+        )
+        .orderBy("source")
+    )
+
+
 def _q_purge_encoded(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Physical takedown on the ENCODED token corpus
     (engine.purge_docs): tokenize → encode → commit → doc-range-cluster
@@ -2139,6 +2189,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- never driver-checked before round 4 --
         "ann_pq_recall": _q_ann_pq_recall,
         "ann_ivfpq_recall": _q_ann_ivfpq_recall,
+        "wap_rollback": _q_wap_rollback,
         "nb_classify": _q_nb_classify,
         "dsir_weights": _q_dsir_weights,
         "takedown_upsert": _q_takedown_upsert,
@@ -2404,6 +2455,14 @@ def oracle_sql() -> dict[str, str]:
     return {
         "ann_pq_recall": _recall_oracle("pq_pruned"),
         "ann_ivfpq_recall": _recall_oracle("ivfpq_pruned"),
+        "wap_rollback": (
+            # rollback restored the full pre-junk corpus: the oracle is
+            # the plain documents aggregate with the digest idiom
+            "SELECT source, count(*)::BIGINT AS n_docs, "
+            "sum(length(text))::BIGINT AS total_chars, "
+            "md5(string_agg(md5(text), '' ORDER BY md5(text))) AS digest "
+            "FROM documents GROUP BY source ORDER BY source"
+        ),
         "nb_classify": _NB_CLASSIFY_ORACLE,
         "dsir_weights": _DSIR_ORACLE,
         "takedown_upsert": (
