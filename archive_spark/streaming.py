@@ -383,3 +383,52 @@ def start_upsert_sink(
     if available_now:
         w = w.trigger(availableNow=True)
     return w.start()
+
+
+def start_classify_sink(
+    stream: DataFrame,
+    model: DataFrame,
+    classes: DataFrame,
+    output_dir: str,
+    checkpoint_dir: str,
+    keep_labels: list[str] | None = None,
+    trigger_once: bool = True,
+):
+    """Streaming domain-classification gate: score every micro-batch of
+    documents against a TRAINED Naive Bayes model (pipeline_ops.nb_*),
+    stamp (predicted, score_bits), optionally keep only the listed
+    labels, and append to ``output_dir`` — the continuous-ingest face
+    of the classification lane (CCNet runs exactly this gate in front
+    of its pipeline).  The model/classes are batch DataFrames collected
+    ONCE driver-side here (bounded: vocab x classes) and rebroadcast
+    into each batch's plan; foreachBatch because nb_classify needs
+    batch joins/aggregates a stateful operator can't express.
+    Checkpoint replay re-scores a failed batch identically
+    (classification is deterministic), so the appended rows are
+    exactly-once per input file with a file-source upstream."""
+    from .pipeline_ops import nb_classify
+
+    # pin the model driver-side once — re-evaluating the lineage per
+    # micro-batch would re-scan the training corpus forever
+    model_rows = model.collect()
+    class_rows = classes.collect()
+
+    def process(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        if batch.isEmpty():
+            return
+        m = spark.createDataFrame(model_rows, model.schema)
+        c = spark.createDataFrame(class_rows, classes.schema)
+        pred = nb_classify(batch, m, c)
+        out = batch.join(pred, "doc_id", "left")
+        if keep_labels is not None:
+            out = out.filter(F.col("predicted").isin(keep_labels))
+        out.write.mode("append").parquet(output_dir)
+
+    writer = (
+        stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
