@@ -2186,7 +2186,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # row are registered FIRST: the 8 never-checked ones, then the 10 that
     # were green in r02 but missed r03's window, then the 50 green in r03.
     return {
-        # -- never driver-checked before round 4 --
+        # -- every query WITHOUT a driver correctness row (r01-r03 artifacts)
+        # -- comes first: the driver walks this dict in order under a budget --
         "ann_pq_recall": _q_ann_pq_recall,
         "ann_ivfpq_recall": _q_ann_ivfpq_recall,
         "wap_rollback": _q_wap_rollback,
@@ -2203,7 +2204,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "filter_histogram": _q_filter_histogram,
         "distinctive_terms": _q_distinctive_terms,
         "tpch_q3ish": _q_tpch_q3ish,
-        # -- green in r02, missed r03's budget window --
         "tpch_q1": _q_tpch_q1,
         "tpch_q6": _q_tpch_q6,
         "tpch_q5ish": _q_tpch_q5ish,
@@ -2214,7 +2214,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "order_rollup": _q_order_rollup,
         "part_stats": _q_part_stats,
         "supplier_nation": _q_supplier_nation,
-        # -- new in round 4 --
         "semdedup": _q_semdedup,
         "token_membership": _q_token_membership,
         "token_postings": _q_token_postings,
@@ -2243,7 +2242,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "temperature_mix": _q_temperature_mix,
         "corpus_shuffle": _q_corpus_shuffle,
         "token_budget": _q_token_budget,
-        # engine core (SURVEY.md §2)
+        "chunk_sequences": _q_chunk_sequences,
+        "source_distinctive": _q_source_distinctive,
+        # -- green driver rows in CORRECTNESS_r03 --
         "roundtrip_gate": _q_roundtrip_gate,
         "enc_listing": _q_enc_listing,
         "enc_total_values": _q_enc_total_values,
@@ -2257,7 +2258,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "best_block_per_source": _q_best_block_per_source,
         "synthetic_roundtrip": _q_synthetic_roundtrip,
         "skew_report": _q_skew_report,
-        # training-pipeline ops
         "dedup_prefix_groups": _q_dedup_prefix_groups,
         "dedup_exact_groups": _q_dedup_exact_groups,
         "dedup_embedding_neardup": _q_dedup_embedding_neardup,
@@ -2282,8 +2282,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontamination": _q_decontamination,
         "bpe_merges": _q_bpe_merges,
         "sequence_packing": _q_sequence_packing,
-        "chunk_sequences": _q_chunk_sequences,
-        "source_distinctive": _q_source_distinctive,
         "bpe_pipeline": _q_bpe_pipeline,
         "pii_scrub": _q_pii_scrub,
         "bigram_rarity": _q_bigram_rarity,
@@ -2295,7 +2293,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_asof_join": _q_events_asof_join,
         "orders_range_join": _q_orders_range_join,
         "events_rollup_sets": _q_events_rollup_sets,
-        # streaming
         "stream_windowed_counts": _q_stream_windowed_counts,
         "stream_running_stats": _q_stream_running_stats,
     }
