@@ -143,6 +143,114 @@ def detect_format(buf: bytes, name: str = "") -> str:
     return "unknown"
 
 
+def _crc32_table() -> list[int]:
+    tab = []
+    for i in range(256):
+        c = i
+        for _ in range(8):
+            c = (c >> 1) ^ (0xEDB88320 if c & 1 else 0)
+        tab.append(c)
+    return tab
+
+
+_ZC_CRCTAB = _crc32_table()
+
+
+class _ZipCrypto:
+    """PKWARE traditional ("ZipCrypto") stream cipher from the public
+    APPNOTE.TXT §6.1 spec: three 32-bit keys seeded from the password,
+    advanced per plaintext byte through a CRC-32 step, a linear
+    congruence, and a second CRC-32 step; each keystream byte derives
+    from key2 via the ``(t * (t ^ 1)) >> 8`` temp-product trick.  The
+    reference can only *diagnose* these members (BadDecryption(82),
+    pkzip/pkzip.go:92-117); with a caller-supplied password we decrypt
+    them in-process and CRC-gate the result like every other payload.
+    """
+
+    def __init__(self, password: bytes) -> None:
+        self.k0, self.k1, self.k2 = 0x12345678, 0x23456789, 0x34567890
+        for c in password:
+            self._update(c)
+
+    def _update(self, c: int) -> None:
+        self.k0 = (self.k0 >> 8) ^ _ZC_CRCTAB[(self.k0 ^ c) & 0xFF]
+        self.k1 = ((self.k1 + (self.k0 & 0xFF)) * 134775813 + 1) & 0xFFFFFFFF
+        self.k2 = (self.k2 >> 8) ^ _ZC_CRCTAB[(self.k2 ^ (self.k1 >> 24)) & 0xFF]
+
+    def decrypt(self, data: bytes) -> bytes:
+        out = bytearray(len(data))
+        for i, c in enumerate(data):
+            t = (self.k2 | 2) & 0xFFFF
+            p = c ^ (((t * (t ^ 1)) >> 8) & 0xFF)
+            out[i] = p
+            self._update(p)
+        return bytes(out)
+
+
+def _zip_decompress(comp: bytes, info) -> bytes:
+    """Dispatch one (already decrypted) zip member stream to its
+    decompressor: stored, stdlib deflate, or the from-spec era decoders
+    (APPNOTE.TXT methods 1-6, 9).  Raises ValueError on anything else;
+    the caller owns CRC gating and typed statuses."""
+    import zlib
+
+    method = info.compress_type
+    if method == 0:
+        return comp[: info.file_size]
+    if method == 8:
+        return zlib.decompressobj(-15).decompress(comp, info.file_size)
+    if method == 1:
+        return _unshrink(comp, info.file_size)
+    if method in (2, 3, 4, 5):
+        return _unreduce(comp, info.file_size, method - 1)
+    if method == 9:
+        return _inflate64(comp, info.file_size)
+    if method == 6:
+        return _unimplode(comp, info.file_size, info.flag_bits)
+    raise ValueError(f"unsupported zip method {method}")
+
+
+def _zip_encrypted_read(
+    buf: bytes, info, password: bytes
+) -> tuple[bytes | None, str]:
+    """Decrypt + decode one ZipCrypto member (APPNOTE.TXT §6.1).  The
+    12-byte encryption header's last byte must match the CRC high byte
+    (or the DOS-time high byte when bit 3 deferred the CRC) — the
+    spec's cheap wrong-password check; a mismatch is typed
+    ``bad_password``, never an exception.  AES-encrypted members
+    (method 99 / AE-x extra field) stay typed ``encrypted``."""
+    import struct
+    import zlib
+
+    if info.compress_type == 99:  # WinZip AE-x: real AES, out of scope
+        return None, "encrypted"
+    off = info.header_offset
+    nlen, elen = struct.unpack_from("<HH", buf, off + 26)
+    start = off + 30 + nlen + elen
+    raw = buf[start : start + info.compress_size]
+    if len(raw) < 12:
+        return None, "corrupt"
+    zc = _ZipCrypto(password)
+    hdr = zc.decrypt(raw[:12])
+    if info.flag_bits & 0x8:
+        # bit 3 defers the CRC to a data descriptor; the check byte is
+        # the DOS mod-time high byte instead (APPNOTE 6.1 note)
+        h, m = info.date_time[3], info.date_time[4]
+        check = ((h << 11 | m << 5) >> 8) & 0xFF
+    else:
+        check = (info.CRC >> 24) & 0xFF
+    if hdr[11] != check:
+        return None, "bad_password"
+    comp = zc.decrypt(raw[12:])
+    try:
+        payload = _zip_decompress(comp, info)
+    except (ValueError, IndexError, zlib.error):
+        return None, "corrupt"
+    if zlib.crc32(payload) != info.CRC:
+        return None, "bad_password"  # header byte collided (1/256) but CRC didn't
+    return payload, "ok"
+
+
 def _zip_ancient_read(buf: bytes, info) -> tuple[bytes | None, str]:
     """Fallback for the pkzip methods the stdlib refuses, implemented
     from the public APPNOTE.TXT spec: 1 shrink (_unshrink), 2-5 reduce
@@ -153,22 +261,14 @@ def _zip_ancient_read(buf: bytes, info) -> tuple[bytes | None, str]:
     import struct
     import zlib
 
-    method = info.compress_type
-    if method not in (1, 2, 3, 4, 5, 6, 9):
+    if info.compress_type not in (1, 2, 3, 4, 5, 6, 9):
         return None, "unsupported_method"
     off = info.header_offset
     nlen, elen = struct.unpack_from("<HH", buf, off + 26)
     start = off + 30 + nlen + elen
     comp = buf[start : start + info.compress_size]
     try:
-        if method == 1:
-            payload = _unshrink(comp, info.file_size)
-        elif method in (2, 3, 4, 5):
-            payload = _unreduce(comp, info.file_size, method - 1)
-        elif method == 9:
-            payload = _inflate64(comp, info.file_size)
-        else:
-            payload = _unimplode(comp, info.file_size, info.flag_bits)
+        payload = _zip_decompress(comp, info)
     except (ValueError, IndexError):
         return None, "corrupt"
     if zlib.crc32(payload) != info.CRC:
@@ -199,6 +299,7 @@ def _walk_members(
     want_payload: bool,
     targets: set[str] | None,
     max_bytes: int,
+    password: bytes | None = None,
 ):
     """Yield (member, size_u, size_c, method, status, payload) for one
     archive.  Shared by listing (want_payload=False → zip walks only
@@ -250,11 +351,19 @@ def _walk_members(
                     payload, status = None, "ok"
                     if info.flag_bits & 0x1:
                         # general-purpose bit 0: password-protected member.
-                        # A dedicated typed status, not 'corrupt' — mirrors
-                        # the reference's decryption diagnostic
-                        # (pkzip/pkzip.go:92-117 BadDecryption(82),
-                        # ErrPassParse at pkzip.go:175-192).
-                        status = "encrypted"
+                        # Without a password: a dedicated typed status, not
+                        # 'corrupt' — mirrors the reference's decryption
+                        # diagnostic (pkzip/pkzip.go:92-117 BadDecryption(82),
+                        # ErrPassParse at pkzip.go:175-192).  With one:
+                        # in-process ZipCrypto decrypt, CRC-gated.
+                        if not (want_payload and password):
+                            status = "encrypted"
+                        elif info.file_size > max_bytes:
+                            status = "too_large"
+                        else:
+                            payload, status = _zip_encrypted_read(
+                                buf, info, password
+                            )
                     elif want_payload and info.file_size > max_bytes:
                         # zip-bomb guard: declared inflate size over the
                         # ExtractSource cap -> typed row, no decode
@@ -314,14 +423,17 @@ def _walk_members(
         yield fmt, (None, None, None, None, "corrupt", None)
 
 
-def _iter_rows(archive, buf, want_payload, targets, max_bytes):
+def _iter_rows(archive, buf, want_payload, targets, max_bytes,
+               password: bytes | None = None):
     """Normalize _walk_members' tar fast-path tuples into the common
     6-tuple row shape.  A supported container that walks to zero rows
     (genuinely empty, or truncated to little more than its magic)
     yields one typed 'empty' row so every input file is accounted for
     in the output — unless a targets filter explains the absence."""
     n_rows = 0
-    for fmt, row in _walk_members(archive, buf, want_payload, targets, max_bytes):
+    for fmt, row in _walk_members(
+        archive, buf, want_payload, targets, max_bytes, password
+    ):
         n_rows += 1
         if len(row) == 3:  # tar member fast path (size, name, payload)
             size, name, payload = row
@@ -342,7 +454,7 @@ def read_archives(spark: SparkSession, path: str, glob: str | None = None) -> Da
     return reader.load(path).select("path", "length", "content")
 
 
-def _batch_iter(want_payload, targets, max_bytes):
+def _batch_iter(want_payload, targets, max_bytes, password=None):
     tset = set(targets) if targets is not None else None
 
     def run(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
@@ -356,7 +468,7 @@ def _batch_iter(want_payload, targets, max_bytes):
                 buf = contents[i].as_py()
                 name = os.path.basename(p)
                 for fmt, (m, su, sc, meth, st, pay) in _iter_rows(
-                    name, buf, want_payload, tset, max_bytes
+                    name, buf, want_payload, tset, max_bytes, password
                 ):
                     if want_payload:
                         rows.append((name, fmt, m, pay,
@@ -411,14 +523,22 @@ def extract_members(
     archives: DataFrame,
     targets: list[str] | None = None,
     max_bytes: int = MAX_BYTES_DEFAULT,
+    password: bytes | str | None = None,
 ) -> DataFrame:
     """Full member extraction (ExtractAll / Extract-with-targets X1/X15,
     archive.go:285-312).  Nonexistent targets are silently omitted,
     like unzip skipping missing members.  Typed statuses instead of
     exceptions: unsupported_format / unsupported_method / too_large /
-    corrupt rows keep the job running on a dirty corpus."""
+    corrupt rows keep the job running on a dirty corpus.
+
+    ``password`` (one per call, like ``unzip -P``) enables in-process
+    ZipCrypto decryption of password-protected zip members (APPNOTE
+    §6.1); a wrong password is typed ``bad_password`` per member, and
+    AES members stay typed ``encrypted``."""
+    if isinstance(password, str):
+        password = password.encode("utf-8")
     return archives.select("path", "content").mapInArrow(
-        _batch_iter(True, targets, max_bytes), EXTRACT_SCHEMA
+        _batch_iter(True, targets, max_bytes, password), EXTRACT_SCHEMA
     )
 
 

@@ -283,6 +283,99 @@ def test_encrypted_zip_member_typed(spark):
     assert [(r.status, r.payload) for r in ext] == [("encrypted", None)]
 
 
+def _zc_encrypt(plain: bytes, password: bytes, crc: int) -> bytes:
+    """Independent test-side PKWARE traditional encryptor (APPNOTE
+    §6.1) — written forward (keystream XOR, then key update on the
+    PLAINTEXT byte) so a decryptor bug can't cancel out in the
+    round-trip.  Returns 12-byte header + ciphertext."""
+    import zlib
+
+    k = [0x12345678, 0x23456789, 0x34567890]
+
+    def upd(c):
+        k[0] = zlib.crc32(bytes([c]), k[0] ^ 0xFFFFFFFF) ^ 0xFFFFFFFF
+        k[1] = ((k[1] + (k[0] & 0xFF)) * 134775813 + 1) & 0xFFFFFFFF
+        k[2] = zlib.crc32(bytes([k[1] >> 24]), k[2] ^ 0xFFFFFFFF) ^ 0xFFFFFFFF
+
+    for c in password:
+        upd(c)
+    hdr = bytes(range(1, 12)) + bytes([(crc >> 24) & 0xFF])
+    out = bytearray()
+    for p in hdr + plain:
+        t = (k[2] | 2) & 0xFFFF
+        out.append(p ^ (((t * (t ^ 1)) >> 8) & 0xFF))
+        upd(p)
+    return bytes(out)
+
+
+def _zipcrypto_zip(password: bytes, method=zipfile.ZIP_STORED,
+                   content: bytes = b"attack at dawn") -> bytes:
+    """A real ZipCrypto-encrypted zip: write a normal member, then set
+    GP bit 0 and splice in the encrypted stream (header + payload)."""
+    import struct
+    import zlib
+
+    bio = io.BytesIO()
+    with zipfile.ZipFile(bio, "w", method) as zf:
+        zf.writestr("secret.txt", content)
+    raw = bytearray(bio.getvalue())
+    raw[6] |= 0x1
+    cd = raw.find(b"PK\x01\x02")
+    raw[cd + 8] |= 0x1
+    name_len, extra_len = struct.unpack("<HH", raw[26:30])
+    data_off = 30 + name_len + extra_len
+    csize = struct.unpack("<I", raw[18:22])[0]
+    comp = bytes(raw[data_off:data_off + csize])
+    enc = _zc_encrypt(comp, password, zlib.crc32(content))
+    raw[18:22] = struct.pack("<I", len(enc))
+    raw[cd + 20:cd + 24] = struct.pack("<I", len(enc))
+    grow = len(enc) - csize
+    out = bytearray(raw[:data_off]) + enc + raw[data_off + csize:]
+    # the splice moved the central directory: fix the EOCD's cd offset
+    # (and cd size is unchanged) so header_offset stays exact
+    eocd = out.rfind(b"PK\x05\x06")
+    cd_off = struct.unpack("<I", out[eocd + 16:eocd + 20])[0]
+    out[eocd + 16:eocd + 20] = struct.pack("<I", cd_off + grow)
+    return bytes(out)
+
+
+@pytest.mark.parametrize("method", [zipfile.ZIP_STORED, zipfile.ZIP_DEFLATED])
+def test_zipcrypto_decrypt_roundtrip(spark, method):
+    """With the right password, ZipCrypto members decode CRC-exact
+    (stored and deflate); with a wrong one they type 'bad_password';
+    without one they stay 'encrypted'."""
+    content = b"the quick brown fox jumps over the lazy dog " * 30
+    buf = _zipcrypto_zip(b"hunter2", method, content)
+    df = spark.createDataFrame([("enc.zip", len(buf), buf)],
+                               "path string, length long, content binary")
+    ok = sources.extract_members(df, password=b"hunter2").collect()
+    assert [(r.member, r.status) for r in ok] == [("secret.txt", "ok")]
+    assert bytes(ok[0].payload) == content
+    bad = sources.extract_members(df, password="wrong").collect()
+    assert [(r.status, r.payload) for r in bad] == [("bad_password", None)]
+    none = sources.extract_members(df).collect()
+    assert [(r.status, r.payload) for r in none] == [("encrypted", None)]
+    # stdlib cross-check: CPython's own ZipCrypto agrees with ours
+    with zipfile.ZipFile(io.BytesIO(buf)) as zf:
+        assert zf.read("secret.txt", pwd=b"hunter2") == content
+
+
+def test_zip_aes_member_stays_encrypted(spark):
+    """Method 99 (WinZip AE-x, real AES) stays typed 'encrypted' even
+    when a password is supplied — ZipCrypto-only by design."""
+    import struct
+
+    buf = bytearray(_zipcrypto_zip(b"pw"))
+    # flip both method fields to 99
+    buf[8:10] = struct.pack("<H", 99)
+    cd = buf.find(b"PK\x01\x02")
+    buf[cd + 10:cd + 12] = struct.pack("<H", 99)
+    df = spark.createDataFrame([("aes.zip", len(buf), bytes(buf))],
+                               "path string, length long, content binary")
+    ext = sources.extract_members(df, password=b"pw").collect()
+    assert [(r.status, r.payload) for r in ext] == [("encrypted", None)]
+
+
 def test_corrupt_archive_typed(spark):
     buf = b"PK\x03\x04" + b"\x00" * 40  # zip magic, garbage body
     df = spark.createDataFrame([("bad.zip", len(buf) + 0, buf)],
