@@ -2179,6 +2179,51 @@ def _q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_TAG_KEYWORDS = ["spark", "table", "window", "hash", "stream", "vector"]
+
+
+def _q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source overlap matrix: exact Jaccard (integer ppm) between
+    every source pair's distinct word-5-gram sets.  Spark shuffles
+    8-byte xxhash64 keys; the oracle replays on the gram strings
+    (collision budget documented in pipeline_ops.source_overlap)."""
+    from archive_spark.pipeline_ops import source_overlap
+
+    return source_overlap(_docs(spark, sf_dir), k=5).orderBy("src_a", "src_b")
+
+
+def _q_keyword_tags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Taxonomy keyword tagging: per (source, keyword) doc hits +
+    occurrence counts via substring arithmetic — one scan, conditional
+    aggregation (no doc x keyword grid join)."""
+    from archive_spark.pipeline_ops import keyword_tags
+
+    return keyword_tags(_docs(spark, sf_dir), _TAG_KEYWORDS).orderBy(
+        "source", "keyword"
+    )
+
+
+def _q_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprints (MOSS, Schleimer et al. 2003) rolled up
+    per source; the oracle replays window selection bit-for-bit on md5
+    hex strings and digests the per-doc fingerprint sets."""
+    from archive_spark.pipeline_ops import winnowing_fingerprints
+
+    fp = winnowing_fingerprints(_docs(spark, sf_dir), k=4, w=4)
+    return (
+        fp.groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("n_grams").cast("bigint").alias("n_grams"),
+            F.sum("n_selected").cast("bigint").alias("n_selected"),
+            F.md5(
+                F.concat_ws("", F.sort_array(F.collect_list("fp_digest")))
+            ).alias("digest"),
+        )
+        .orderBy("source")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # NOTE: dict order is deliberate. The driver's correctness harness walks
     # this dict in registration order under a budget (r01=34, r02=47, r03=50
@@ -2188,6 +2233,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # -- every query WITHOUT a driver correctness row (r01-r03 artifacts)
         # -- comes first: the driver walks this dict in order under a budget --
+        "source_overlap": _q_source_overlap,
+        "keyword_tags": _q_keyword_tags,
+        "winnowing": _q_winnowing,
         "ann_pq_recall": _q_ann_pq_recall,
         "ann_ivfpq_recall": _q_ann_ivfpq_recall,
         "wap_rollback": _q_wap_rollback,
@@ -2449,7 +2497,61 @@ FROM d GROUP BY 1 ORDER BY 1
 
 
 def oracle_sql() -> dict[str, str]:
+    kw_list = ", ".join(f"('{k}')" for k in _TAG_KEYWORDS)
     return {
+        "source_overlap": (
+            # replay on gram STRINGS (Spark shuffles xxhash64 keys);
+            # sh materialized: it feeds both the totals and a self-join
+            "WITH w AS (SELECT source, string_split(text, ' ') AS ws "
+            "FROM documents), "
+            "sh AS MATERIALIZED (SELECT DISTINCT source, "
+            "array_to_string(ws[i:i+4], ' ') AS gram FROM w, "
+            "unnest(generate_series(1, greatest(len(ws)-4, 1))) AS t(i)), "
+            "tot AS (SELECT source, count(*) AS n FROM sh GROUP BY source), "
+            "inter AS (SELECT a.source AS src_a, b.source AS src_b, "
+            "count(*) AS i FROM sh a JOIN sh b USING (gram) "
+            "WHERE a.source < b.source GROUP BY 1, 2) "
+            "SELECT src_a, src_b, i::BIGINT AS inter, "
+            "(ta.n + tb.n - i)::BIGINT AS union_n, "
+            "((i * 1000000) // (ta.n + tb.n - i))::BIGINT AS jaccard_ppm "
+            "FROM inter JOIN tot ta ON ta.source = src_a "
+            "JOIN tot tb ON tb.source = src_b ORDER BY src_a, src_b"
+        ),
+        "keyword_tags": (
+            f"WITH kws(keyword) AS (VALUES {kw_list}), "
+            "per AS (SELECT d.source, k.keyword, "
+            "(length(d.text) - length(replace(d.text, k.keyword, ''))) "
+            "// length(k.keyword) AS occ FROM documents d CROSS JOIN kws k) "
+            "SELECT source, keyword, SUM(occ)::BIGINT AS n_occurrences, "
+            "SUM(CASE WHEN occ > 0 THEN 1 ELSE 0 END)::BIGINT AS n_docs_hit "
+            "FROM per GROUP BY source, keyword ORDER BY source, keyword"
+        ),
+        "winnowing": (
+            # bit-for-bit replay of robust winnowing (k=4 word grams,
+            # w=4 windows, rightmost min, md5-hex hash domain)
+            "WITH w AS (SELECT doc_id, source, string_split(text, ' ') "
+            "AS ws FROM documents), "
+            "g AS (SELECT doc_id, source, CASE WHEN len(ws) < 4 THEN "
+            "[array_to_string(ws, ' ')] ELSE "
+            "list_transform(generate_series(1, len(ws)-3), i -> "
+            "array_to_string(ws[i:i+3], ' ')) END AS grams FROM w), "
+            "h AS (SELECT doc_id, source, "
+            "list_transform(grams, x -> md5(x)) AS hs FROM g), "
+            "sel AS (SELECT doc_id, source, len(hs) AS n_grams, "
+            "list_sort(list_distinct(list_transform("
+            "generate_series(1, greatest(len(hs)-3, 1)), j -> "
+            "lpad(CAST(j + len(hs[j:j+3]) - "
+            "list_position(list_reverse(hs[j:j+3]), list_min(hs[j:j+3])) "
+            "AS VARCHAR), 6, '0') || ':' || list_min(hs[j:j+3])))) "
+            "AS sels FROM h), "
+            "per AS (SELECT source, n_grams, len(sels) AS n_selected, "
+            "md5(array_to_string(sels, ',')) AS fp_digest FROM sel) "
+            "SELECT source, count(*)::BIGINT AS n_docs, "
+            "SUM(n_grams)::BIGINT AS n_grams, "
+            "SUM(n_selected)::BIGINT AS n_selected, "
+            "md5(string_agg(fp_digest, '' ORDER BY fp_digest)) AS digest "
+            "FROM per GROUP BY source ORDER BY source"
+        ),
         "ann_pq_recall": _recall_oracle("pq_pruned"),
         "ann_ivfpq_recall": _recall_oracle("ivfpq_pruned"),
         "wap_rollback": (

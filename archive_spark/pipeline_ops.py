@@ -3264,3 +3264,155 @@ def ivfpq_search(
         .select("query_id", "vec_id", "rank")
         .orderBy("query_id", "rank")
     )
+
+
+def source_overlap(docs: DataFrame, k: int = 5) -> DataFrame:
+    """Cross-source overlap matrix: exact Jaccard similarity (integer
+    ppm) between every source pair's distinct word-``k``-gram sets —
+    the corpus-curation diagnostic behind "is source A a mirror /
+    superset of source B?" (the source-level cousin of the Lee-et-al
+    substring dedup signal in :func:`duplicate_spans`).
+
+    Scale posture: ONE corpus scan emits distinct (source,
+    xxhash64(gram)) pairs — 8-byte shuffle keys with map-side combine;
+    per-gram source sets are bounded by |sources| (a platform constant,
+    not data-sized), pair expansion is per-row JVM array arithmetic,
+    and the output matrix is at most |sources|^2 rows.  No doc-level
+    all-pairs join anywhere.  Hash collisions perturb counts by ~0.03
+    expected pairs at 10^12 distinct shingles (same budget as
+    duplicate_spans); the oracle replays on gram strings.
+
+    Returns (src_a, src_b, inter, union_n, jaccard_ppm) for pairs with
+    inter >= 1, src_a < src_b.
+    """
+    sg = (
+        docs.select(
+            "source", F.explode(_shingles(F.col("text"), k)).alias("gram")
+        )
+        .select("source", F.xxhash64("gram").alias("h"))
+        .distinct()
+    )
+    tot = sg.groupBy("source").agg(F.count("*").alias("n"))
+    ss = F.col("ss")
+    pairs = (
+        sg.groupBy("h")
+        .agg(F.sort_array(F.collect_set("source")).alias("ss"))
+        .filter(F.size(ss) >= 2)
+        .select(
+            F.explode(
+                F.flatten(
+                    F.transform(
+                        ss,
+                        lambda a, i: F.transform(
+                            F.slice(ss, i + F.lit(2), F.size(ss)),
+                            lambda b: F.struct(
+                                a.alias("src_a"), b.alias("src_b")
+                            ),
+                        ),
+                    )
+                )
+            ).alias("p")
+        )
+        .select("p.src_a", "p.src_b")
+    )
+    inter = pairs.groupBy("src_a", "src_b").agg(F.count("*").alias("inter"))
+    ta = tot.select(F.col("source").alias("src_a"), F.col("n").alias("na"))
+    tb = tot.select(F.col("source").alias("src_b"), F.col("n").alias("nb"))
+    return (
+        inter.join(F.broadcast(ta), "src_a")
+        .join(F.broadcast(tb), "src_b")
+        .select(
+            "src_a",
+            "src_b",
+            F.col("inter").cast("bigint").alias("inter"),
+            (F.col("na") + F.col("nb") - F.col("inter"))
+            .cast("bigint")
+            .alias("union_n"),
+            F.expr(
+                "CAST(inter * 1000000 DIV (na + nb - inter) AS BIGINT)"
+            ).alias("jaccard_ppm"),
+        )
+    )
+
+
+def keyword_tags(docs: DataFrame, keywords: list[str]) -> DataFrame:
+    """Taxonomy keyword tagging: per (source, keyword) document-hit and
+    occurrence counts — the bounded-keyword-list classifier stage every
+    curation pipeline runs (domain allow/deny lists, topic routing).
+
+    Occurrences are counted by substring arithmetic,
+    ``(len(text) - len(replace(text, kw, ''))) DIV len(kw)`` —
+    SUBSTRING matches (not word-boundary), identical semantics in both
+    engines.  Scale posture: one corpus scan with 2|K| conditional
+    aggregates in a SINGLE groupBy (map-side combine collapses to
+    |sources| rows — no doc x keyword grid join, the CLAUDE.md
+    conditional-aggregation rule), then a bounded-width ``stack`` to
+    long form.  |K| is a platform constant, so the expression tree
+    stays small.
+    """
+    aggs = []
+    for i, kw in enumerate(keywords):
+        if "'" in kw:
+            raise ValueError("keyword may not contain a quote")
+        occ = F.expr(
+            f"(length(text) - length(replace(text, '{kw}', ''))) "
+            f"DIV {len(kw)}"
+        )
+        aggs.append(F.sum(occ).cast("bigint").alias(f"_o{i}"))
+        aggs.append(
+            F.sum(F.when(occ > 0, 1).otherwise(0)).cast("bigint").alias(f"_d{i}")
+        )
+    g = docs.groupBy("source").agg(*aggs)
+    stack_args = ", ".join(
+        f"'{kw}', _o{i}, _d{i}" for i, kw in enumerate(keywords)
+    )
+    return g.selectExpr(
+        "source",
+        f"stack({len(keywords)}, {stack_args}) AS "
+        "(keyword, n_occurrences, n_docs_hit)",
+    )
+
+
+def winnowing_fingerprints(docs: DataFrame, k: int = 4, w: int = 4) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
+    SIGMOD 2003 — the MOSS algorithm): hash every word ``k``-gram,
+    slide a ``w``-window over the hash sequence, and select each
+    window's RIGHTMOST minimal hash; the distinct selected
+    (position, hash) set is the document's fingerprint sketch with a
+    guaranteed max coverage gap of ``w`` grams — the classic
+    local-similarity sketch (plagiarism / near-dup span detection)
+    that :func:`doc_fingerprints`'s whole-doc rolling hash can't give.
+
+    Hashes are md5 hex strings: fixed width makes lexicographic min ==
+    numeric min, and both engines produce identical digests, so the
+    DuckDB oracle replays window selection bit-for-bit.  Positions are
+    zero-padded into the selection strings for the same reason.
+
+    Scale posture: everything up to the final per-source aggregate is
+    per-row JVM array arithmetic inside one scan — no shuffle, no UDF;
+    per-doc cost is O(n_grams * w) string compares with w a small
+    constant.  Returns one row per document: (doc_id, source, n_grams,
+    n_selected, fp_digest).
+    """
+    grams = _shingles(F.col("text"), k)
+    hs = F.transform(grams, F.md5)
+    m = F.size(hs)
+    starts = F.sequence(F.lit(1), F.greatest(m - w + 1, F.lit(1)))
+
+    def pick(j):
+        slc = F.slice(hs, j, w)
+        minh = F.array_min(slc)
+        # rightmost occurrence of the window minimum (robust winnowing)
+        pos = j + F.size(slc) - F.array_position(F.reverse(slc), minh)
+        return F.concat(
+            F.lpad(pos.cast("string"), 6, "0"), F.lit(":"), minh
+        )
+
+    selected = F.sort_array(F.array_distinct(F.transform(starts, pick)))
+    return docs.select(
+        "doc_id",
+        "source",
+        m.cast("bigint").alias("n_grams"),
+        F.size(selected).cast("bigint").alias("n_selected"),
+        F.md5(F.concat_ws(",", selected)).alias("fp_digest"),
+    )

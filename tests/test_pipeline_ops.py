@@ -1637,3 +1637,87 @@ def test_ivfpq_index_prunes_files_by_cell(spark, emb, tmp_path):
     all_files = T.select_files(idx, sid)
     narrow = T.select_files(idx, sid, prune={"cell": (0, 1)})
     assert len(narrow) < len(all_files)
+
+
+def test_source_overlap_identical_and_disjoint(spark):
+    rows = [
+        ("a1", "sa", "one two three four five six"),
+        ("b1", "sb", "one two three four five six"),   # sb == sa's set
+        ("c1", "sc", "alpha beta gamma delta eps zeta"),  # disjoint
+        ("d1", "sd", "one two three four five seven"),  # partial vs sa
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, source string, text string")
+    out = {(r.src_a, r.src_b): r for r in po.source_overlap(df, k=5).collect()}
+    # sa: grams {12345, 23456}; sb identical -> jaccard exactly 1.0
+    r = out[("sa", "sb")]
+    assert (r.inter, r.union_n, r.jaccard_ppm) == (2, 2, 1_000_000)
+    # sd shares exactly its first 5-gram with sa: 1 of 3 distinct grams
+    rd = out[("sa", "sd")]
+    assert (rd.inter, rd.union_n, rd.jaccard_ppm) == (1, 3, 333_333)
+    # sc is fully disjoint -> no sc pair is emitted at all
+    assert not any("sc" in p for p in out)
+    # short doc (< k words) contributes its whole text as one gram
+    short = spark.createDataFrame(
+        [("x", "s1", "tiny doc"), ("y", "s2", "tiny doc")],
+        "doc_id string, source string, text string",
+    )
+    r2 = po.source_overlap(short, k=5).collect()[0]
+    assert (r2.src_a, r2.src_b, r2.jaccard_ppm) == ("s1", "s2", 1_000_000)
+
+
+def test_keyword_tags_counts_substrings(spark):
+    df = spark.createDataFrame(
+        [
+            ("a", "s0", "spark sparkly spark"),  # 'spark' x3 (substring!)
+            ("b", "s0", "no match here"),
+            ("c", "s1", "table of tables"),
+        ],
+        "doc_id string, source string, text string",
+    )
+    out = {
+        (r.source, r.keyword): (r.n_occurrences, r.n_docs_hit)
+        for r in po.keyword_tags(df, ["spark", "table"]).collect()
+    }
+    assert out[("s0", "spark")] == (3, 1)
+    assert out[("s0", "table")] == (0, 0)
+    assert out[("s1", "table")] == (2, 1)
+    assert out[("s1", "spark")] == (0, 0)
+
+
+def test_winnowing_guarantee_and_determinism(spark):
+    """Every w-window of the gram-hash sequence must contain a selected
+    position (the winnowing coverage guarantee), and identical texts
+    must produce identical fingerprints."""
+    import hashlib
+
+    text = "w%d " * 40 % tuple(i % 7 for i in range(40))
+    df = spark.createDataFrame(
+        [("a", "s0", text.strip()), ("b", "s1", text.strip()),
+         ("c", "s2", "just three words")],
+        "doc_id string, source string, text string",
+    )
+    k, w = 4, 4
+    rows = {r.doc_id: r for r in po.winnowing_fingerprints(df, k=k, w=w).collect()}
+    assert rows["a"].fp_digest == rows["b"].fp_digest
+    assert rows["a"].n_grams == 40 - k + 1
+    # independent python replay proves the selection + the guarantee
+    words = text.strip().split(" ")
+    grams = [" ".join(words[i : i + k]) for i in range(len(words) - k + 1)]
+    hs = [hashlib.md5(g.encode()).hexdigest() for g in grams]
+    sel = set()
+    for j in range(len(hs) - w + 1):
+        win = hs[j : j + w]
+        mn = min(win)
+        pos = j + max(i for i, h in enumerate(win) if h == mn)  # rightmost
+        sel.add((pos + 1, mn))
+    assert rows["a"].n_selected == len(sel)
+    digest = hashlib.md5(
+        ",".join(sorted(f"{p:06d}:{h}" for p, h in sel)).encode()
+    ).hexdigest()
+    assert rows["a"].fp_digest == digest
+    # guarantee: each window start has a selected pos within [j, j+w)
+    ps = sorted(p for p, _ in sel)
+    for j in range(1, len(hs) - w + 2):
+        assert any(j <= p < j + w for p in ps)
+    # short doc: one gram, one selected fingerprint
+    assert (rows["c"].n_grams, rows["c"].n_selected) == (1, 1)
