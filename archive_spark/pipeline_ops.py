@@ -3416,3 +3416,99 @@ def winnowing_fingerprints(docs: DataFrame, k: int = 4, w: int = 4) -> DataFrame
         F.size(selected).cast("bigint").alias("n_selected"),
         F.md5(F.concat_ws(",", selected)).alias("fp_digest"),
     )
+
+
+def doc_gram_edges(docs: DataFrame, k: int = 5, max_df: int = 8) -> DataFrame:
+    """Document-similarity edges: two docs are linked iff they share a
+    word ``k``-gram whose corpus document frequency is in [2, max_df]
+    (rare shared phrases — the high-precision link signal; frequent
+    grams are stopword-ish and would create megahubs).
+
+    Scale posture: one scan to distinct (doc_id, xxhash64(gram)); the
+    per-gram doc set is CAPPED at ``max_df`` (the skew guard — same
+    shape as lsh_distinct_pairs' bucket cap), so pair expansion is
+    <= C(max_df, 2) per gram, pure JVM array arithmetic.  Returns
+    distinct undirected edges (u, v) with u < v."""
+    sh = (
+        docs.select("doc_id", F.explode(_shingles(F.col("text"), k)).alias("gram"))
+        .select("doc_id", F.xxhash64("gram").alias("h"))
+        .distinct()
+    )
+    ds = F.col("ds")
+    return (
+        sh.groupBy("h")
+        .agg(F.sort_array(F.collect_set("doc_id")).alias("ds"))
+        .filter((F.size(ds) >= 2) & (F.size(ds) <= max_df))
+        .select(
+            F.explode(
+                F.flatten(
+                    F.transform(
+                        ds,
+                        lambda a, i: F.transform(
+                            F.slice(ds, i + F.lit(2), F.size(ds)),
+                            lambda b: F.struct(a.alias("u"), b.alias("v")),
+                        ),
+                    )
+                )
+            ).alias("e")
+        )
+        .select("e.u", "e.v")
+        .distinct()
+    )
+
+
+def pagerank_docs(
+    docs: DataFrame, iters: int = 5, k: int = 5, max_df: int = 8
+) -> DataFrame:
+    """PageRank over the shared-rare-gram document graph — the
+    iterative-join workload (centrality for curation: which documents
+    sit at the center of a near-duplication / boilerplate cluster).
+
+    All arithmetic is INTEGER (total mass 10^12, damping 85/100 via
+    floor division in a fixed order), so every iteration is
+    bit-reproducible and a SQL engine can replay the whole chain:
+    r0 = T DIV n; each round every node sends r DIV deg along each
+    incident edge and collects r' = (15*(T DIV n)) DIV 100 +
+    (85 * inbox) DIV 100.  Dangling (isolated) docs keep their base
+    share; their damped mass leaks (the standard simplification —
+    deterministic on both engines).
+
+    Scale posture: the edge list is built once (skew-capped, see
+    :func:`doc_gram_edges`) and each iteration is one co-partitioned
+    join + one aggregate on doc_id keys; ``iters`` is a small constant.
+    At cluster scale you'd persist+bucket the edge list by u so every
+    iteration reuses the partitioning; here AQE handles it.
+
+    Returns (doc_id, source, degree, rank) — rank in mass units of
+    10^-12 of the corpus total."""
+    TOTAL = 10**12
+    edges = doc_gram_edges(docs, k=k, max_df=max_df)
+    # undirected: send mass both ways
+    bidir = edges.union(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    deg = bidir.groupBy("u").agg(F.count("*").alias("deg"))
+    nodes = docs.select("doc_id", "source").join(
+        deg.select(F.col("u").alias("doc_id"), "deg"), "doc_id", "left"
+    ).select("doc_id", "source", F.coalesce("deg", F.lit(0)).alias("deg"))
+    n = docs.count()
+    base = (15 * (TOTAL // n)) // 100
+
+    r = nodes.select("doc_id", F.lit(TOTAL // n).cast("bigint").alias("rank"))
+    for _ in range(iters):
+        share = r.join(deg, r.doc_id == deg.u).select(
+            "u", F.expr("rank DIV deg").alias("c")
+        )
+        contrib = share.join(bidir, "u").select("v", "c")
+        inbox = contrib.groupBy("v").agg(F.sum("c").alias("s"))
+        r = nodes.select("doc_id").join(
+            inbox.select(F.col("v").alias("doc_id"), "s"), "doc_id", "left"
+        ).select(
+            "doc_id",
+            (F.lit(base) + F.expr("85 * coalesce(s, 0) DIV 100"))
+            .cast("bigint")
+            .alias("rank"),
+        )
+    return nodes.select("doc_id", "source", "deg").join(r, "doc_id").select(
+        "doc_id", "source", F.col("deg").cast("bigint").alias("degree"), "rank"
+    )

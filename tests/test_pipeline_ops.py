@@ -1721,3 +1721,34 @@ def test_winnowing_guarantee_and_determinism(spark):
         assert any(j <= p < j + w for p in ps)
     # short doc: one gram, one selected fingerprint
     assert (rows["c"].n_grams, rows["c"].n_selected) == (1, 1)
+
+
+def test_pagerank_matches_python_replay(spark):
+    """Hand graph: a,b,c form a triangle via one shared rare gram, d is
+    isolated — the integer-PageRank chain must match an independent
+    python replay exactly, and the isolated node must hold its base."""
+    shared = "alpha beta gamma delta eps"
+    rows = [
+        ("a", "s0", shared + " one two three four five"),
+        ("b", "s0", shared + " six seven eight nine ten"),
+        ("c", "s1", shared + " k l m n o"),
+        ("d", "s1", "completely different words here now"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, source string, text string")
+    out = {r.doc_id: r for r in po.pagerank_docs(df, iters=5, k=5, max_df=8).collect()}
+    assert {d: r.degree for d, r in out.items()} == {"a": 2, "b": 2, "c": 2, "d": 0}
+    T, n = 10**12, 4
+    base = (15 * (T // n)) // 100
+    r = {d: T // n for d in "abcd"}
+    edges = {"a": ["b", "c"], "b": ["a", "c"], "c": ["a", "b"], "d": []}
+    for _ in range(5):
+        inbox = {d: 0 for d in "abcd"}
+        for u, vs in edges.items():
+            for v in vs:
+                inbox[v] += r[u] // max(len(vs), 1)
+        r = {d: base + (85 * inbox[d]) // 100 for d in "abcd"}
+    assert {d: out[d].rank for d in "abcd"} == r
+    # the triangle is symmetric: a, b, c converge to the same rank
+    assert out["a"].rank == out["b"].rank == out["c"].rank
+    # isolated doc keeps exactly its damped base share
+    assert out["d"].rank == base
