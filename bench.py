@@ -336,6 +336,7 @@ def main() -> None:
         "readme_usability", "bpe_token_stats", "decontamination",
         "sequence_packing", "dup_span_stats", "incremental_dedup",
         "normalize_text", "nb_classify", "dsir_weights",
+        "source_overlap", "doc_pagerank",
     ):
         q = entry_mod.queries()[name]
         timed(f"q_{name}", lambda q=q: q(spark, sf_dir).collect())
