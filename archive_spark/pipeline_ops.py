@@ -2091,12 +2091,13 @@ def scrub_duplicate_spans(docs: DataFrame, k: int = 5, min_df: int = 2) -> DataF
 
 
 def incremental_dedup(
-    new_docs: DataFrame,
+    new_docs: DataFrame | None,
     index: DataFrame,
     n_perm: int = 32,
     bands: int = 8,
     k: int = 3,
     max_bucket: int = 256,
+    new_bands: DataFrame | None = None,
 ) -> DataFrame:
     """Near-dup-flag NEW documents against an already-indexed corpus
     without rescanning it — the continuously-updated-pipeline shape of
@@ -2120,8 +2121,15 @@ def incremental_dedup(
     partner id.  Candidate-level by design (like `minhash_lsh_candidates`);
     verify with `ngram_jaccard` against fetched texts if exactness is
     needed downstream.
+
+    ``new_bands``: pass the batch's band table directly when it is
+    already materialized (the streaming sink and the driver query both
+    persist it anyway) — ``index`` appears twice in the plan (bucket
+    census + join), so feeding PERSISTED band tables instead of live
+    lineages avoids recomputing the minhash expressions per plan use.
     """
-    new_bands = minhash_band_table(new_docs, n_perm, bands, k)
+    if new_bands is None:
+        new_bands = minhash_band_table(new_docs, n_perm, bands, k)
     ok_buckets = (
         index.groupBy("band", "band_hash")
         .agg(F.count("*").alias("c"))
