@@ -2297,6 +2297,63 @@ def _pagerank_oracle_sql(iters: int = 5) -> str:
     return "".join(parts)
 
 
+def _q_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval (lexical keyword lane + exact-int8-cosine
+    semantic lane) fused with integer Reciprocal Rank Fusion; the
+    oracle replays both lane rankings and the fusion from documents
+    plus the persisted quantized-embedding artifact."""
+    from archive_spark.pipeline_ops import hybrid_rrf, quantize_embeddings
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = quantize_embeddings(emb).select("vec_id", "qembedding")
+    qpath = _persist(q, "hybrid_qemb", sf_dir)
+    return hybrid_rrf(
+        _docs(spark, sf_dir),
+        spark.read.parquet(qpath),
+        _TAG_KEYWORDS[:3],
+        query_vec_id=7,
+        topk=10,
+    ).orderBy("rank")
+
+
+def _hybrid_oracle_sql() -> str:
+    kws = _TAG_KEYWORDS[:3]
+    lex_terms = " + ".join(
+        f"(length(text) - length(replace(text, '{k}', ''))) // {len(k)}"
+        for k in kws
+    )
+    qe = _opath("hybrid_qemb")
+    return (
+        f"WITH lexall AS (SELECT doc_id::BIGINT AS doc_id, ({lex_terms}) "
+        "AS score FROM documents), "
+        "lex AS (SELECT doc_id, ROW_NUMBER() OVER "
+        "(ORDER BY score DESC, doc_id) AS lex_rank FROM "
+        "(SELECT * FROM lexall WHERE score > 0 "
+        "ORDER BY score DESC, doc_id LIMIT 50)), "
+        f"q AS (SELECT qembedding AS qv FROM read_parquet('{qe}') "
+        "WHERE vec_id = 7), "
+        "semall AS (SELECT e.vec_id::BIGINT AS doc_id, "
+        "list_dot_product(e.qembedding, q.qv) / "
+        "(sqrt(list_dot_product(e.qembedding, e.qembedding)) * "
+        "sqrt(list_dot_product(q.qv, q.qv))) AS cos "
+        f"FROM read_parquet('{qe}') e CROSS JOIN q WHERE e.vec_id <> 7), "
+        "sem AS (SELECT doc_id, ROW_NUMBER() OVER "
+        "(ORDER BY cos DESC, doc_id) AS sem_rank FROM "
+        "(SELECT * FROM semall ORDER BY cos DESC, doc_id LIMIT 50)), "
+        "fused AS (SELECT COALESCE(l.doc_id, s.doc_id) AS doc_id, "
+        "COALESCE(l.lex_rank, 0)::INT AS lex_rank, "
+        "COALESCE(s.sem_rank, 0)::INT AS sem_rank, "
+        "(CASE WHEN l.lex_rank IS NULL THEN 0 "
+        "ELSE 1000000 // (60 + l.lex_rank) END + "
+        "CASE WHEN s.sem_rank IS NULL THEN 0 "
+        "ELSE 1000000 // (60 + s.sem_rank) END)::BIGINT AS rrf_ppm "
+        "FROM lex l FULL OUTER JOIN sem s ON l.doc_id = s.doc_id) "
+        "SELECT doc_id, lex_rank, sem_rank, rrf_ppm, "
+        "ROW_NUMBER() OVER (ORDER BY rrf_ppm DESC, doc_id)::INT AS rank "
+        "FROM fused ORDER BY rrf_ppm DESC, doc_id LIMIT 10"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # NOTE: dict order is deliberate. The driver's correctness harness walks
     # this dict in registration order under a budget (r01=34, r02=47, r03=50
@@ -2310,6 +2367,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "keyword_tags": _q_keyword_tags,
         "winnowing": _q_winnowing,
         "doc_pagerank": _q_doc_pagerank,
+        "hybrid_search": _q_hybrid_search,
         "ann_pq_recall": _q_ann_pq_recall,
         "ann_ivfpq_recall": _q_ann_ivfpq_recall,
         "wap_rollback": _q_wap_rollback,
@@ -2627,6 +2685,7 @@ def oracle_sql() -> dict[str, str]:
             "FROM per GROUP BY source ORDER BY source"
         ),
         "doc_pagerank": _pagerank_oracle_sql(5),
+        "hybrid_search": _hybrid_oracle_sql(),
         "ann_pq_recall": _recall_oracle("pq_pruned"),
         "ann_ivfpq_recall": _recall_oracle("ivfpq_pruned"),
         "wap_rollback": (

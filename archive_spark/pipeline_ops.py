@@ -3520,3 +3520,92 @@ def pagerank_docs(
     return nodes.select("doc_id", "source", "deg").join(r, "doc_id").select(
         "doc_id", "source", F.col("deg").cast("bigint").alias("degree"), "rank"
     )
+
+
+def hybrid_rrf(
+    docs: DataFrame,
+    qemb: DataFrame,
+    keywords: list[str],
+    query_vec_id: int,
+    topk: int = 10,
+    lane_depth: int = 50,
+    rrf_k: int = 60,
+) -> DataFrame:
+    """Hybrid retrieval with Reciprocal Rank Fusion (Cormack, Clarke &
+    Buettcher, SIGIR 2009): a lexical lane (integer keyword-occurrence
+    score over text) and a semantic lane (exact-integer cosine over the
+    int8-quantized embeddings, vec_id == doc_id) each produce a
+    top-``lane_depth`` ranking; the fused score is
+    ``sum over lanes of 1_000_000 DIV (rrf_k + rank)`` — pure integer,
+    so a SQL engine replays the whole fusion bit-exactly.
+
+    Scale posture: each lane reduces with orderBy+limit (Catalyst
+    TakeOrdered — per-partition top-L, driver merge; no global sort);
+    the rank-assigning window then runs over ``lane_depth`` rows, a
+    constant.  The semantic lane is one corpus scan against a broadcast
+    1-row query; the lexical lane is one scan of bounded keyword
+    arithmetic.  Ties break on doc_id everywhere (total order).
+
+    Returns the fused top-``topk``: (doc_id, lex_rank, sem_rank,
+    rrf_ppm, rank); a lane rank of 0 means "absent from that lane's
+    top-``lane_depth``"."""
+    lex_score = None
+    for kw in keywords:
+        if "'" in kw:
+            raise ValueError("keyword may not contain a quote")
+        t = F.expr(
+            f"(length(text) - length(replace(text, '{kw}', ''))) DIV {len(kw)}"
+        )
+        lex_score = t if lex_score is None else lex_score + t
+    lex_top = (
+        docs.select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            lex_score.cast("long").alias("score"),
+        )
+        .filter(F.col("score") > 0)
+        .orderBy(F.desc("score"), "doc_id")
+        .limit(lane_depth)
+    )
+    wl = Window.orderBy(F.desc("score"), "doc_id")
+    lex = lex_top.select("doc_id", F.row_number().over(wl).alias("lex_rank"))
+
+    qrow = qemb.filter(F.col("vec_id") == query_vec_id).select(
+        F.col("qembedding").alias("q_vec")
+    )
+    sem_top = (
+        qemb.filter(F.col("vec_id") != query_vec_id)
+        .crossJoin(F.broadcast(qrow))
+        .select(
+            F.col("vec_id").cast("long").alias("doc_id"),
+            _int_cos(F.col("qembedding"), F.col("q_vec")).alias("cos"),
+        )
+        .orderBy(F.desc("cos"), "doc_id")
+        .limit(lane_depth)
+    )
+    ws = Window.orderBy(F.desc("cos"), "doc_id")
+    sem = sem_top.select("doc_id", F.row_number().over(ws).alias("sem_rank"))
+
+    contrib = lambda rank_col: F.when(  # noqa: E731
+        F.col(rank_col).isNotNull(),
+        F.expr(f"1000000 DIV ({rrf_k} + {rank_col})"),
+    ).otherwise(F.lit(0))
+    fused = lex.join(sem, "doc_id", "full_outer").select(
+        "doc_id",
+        F.coalesce("lex_rank", F.lit(0)).cast("int").alias("lex_rank"),
+        F.coalesce("sem_rank", F.lit(0)).cast("int").alias("sem_rank"),
+        (contrib("lex_rank") + contrib("sem_rank"))
+        .cast("bigint")
+        .alias("rrf_ppm"),
+    )
+    wf = Window.orderBy(F.desc("rrf_ppm"), "doc_id")
+    return (
+        fused.orderBy(F.desc("rrf_ppm"), "doc_id")
+        .limit(topk)
+        .select(
+            "doc_id",
+            "lex_rank",
+            "sem_rank",
+            "rrf_ppm",
+            F.row_number().over(wf).alias("rank"),
+        )
+    )

@@ -1752,3 +1752,43 @@ def test_pagerank_matches_python_replay(spark):
     assert out["a"].rank == out["b"].rank == out["c"].rank
     # isolated doc keeps exactly its damped base share
     assert out["d"].rank == base
+
+
+def test_hybrid_rrf_fusion_arithmetic(spark):
+    """Hand corpus: lexical lane ranks by keyword occurrences, semantic
+    lane by exact-int cosine to the query vector; the fused ppm scores
+    must equal the hand-computed 1e6 DIV (60 + rank) sums."""
+    docs = spark.createDataFrame(
+        [
+            (0, "s", "spark spark spark engine"),   # lex rank 1
+            (1, "s", "spark engine of things"),     # lex rank 2
+            (2, "s", "nothing relevant here"),      # no lex hit
+            (3, "s", "query doc itself"),
+        ],
+        "doc_id long, source string, text string",
+    )
+    qemb = spark.createDataFrame(
+        [
+            (0, [0, 100]),    # orthogonal to query
+            (1, [60, 80]),    # cos 0.6
+            (2, [99, 10]),    # cos ~0.995 -> sem rank 1
+            (3, [100, 0]),    # the query vector
+        ],
+        "vec_id long, qembedding array<tinyint>",
+    )
+    out = {
+        r.doc_id: r
+        for r in po.hybrid_rrf(
+            docs, qemb, ["spark"], query_vec_id=3, topk=4
+        ).collect()
+    }
+    assert out[0].lex_rank == 1 and out[1].lex_rank == 2
+    assert out[2].sem_rank == 1 and out[1].sem_rank == 2
+    assert out[0].sem_rank == 3  # cos 0 still ranks (lane has no cutoff)
+    assert out[2].lex_rank == 0  # absent from the lexical lane
+    rrf = lambda r: 10**6 // (60 + r)  # noqa: E731
+    assert out[0].rrf_ppm == rrf(1) + rrf(3)
+    assert out[1].rrf_ppm == rrf(2) + rrf(2)
+    assert out[2].rrf_ppm == rrf(1)
+    # doc 1 (good in both lanes) must outrank doc 2 (one great lane)
+    assert out[1].rank < out[2].rank
