@@ -236,6 +236,13 @@ def choose(v: np.ndarray, allow_fsst: bool = True) -> tuple[str, int, ChunkStats
     est = estimate_sizes(stats)
     name = min(est, key=lambda k: (est[k], k))
     best = est[name]
+    # Elias-Fano: closed-form size like the est codecs, but valid only on
+    # monotone sequences — the one-pass monotonicity check runs lazily,
+    # only when EF's size would actually win (cheap-first probing).
+    if stats.n >= 2 and stats.n_distinct > 1:
+        _l, ef_size = kernels.ef_plan(stats.n, stats.vmax - stats.vmin)
+        if ef_size < best and bool(np.all(v[1:] >= v[:-1])):
+            name, best = "ef", ef_size
     p = _pdelta_trial(v, stats, best)
     if p is not None and p < best:
         name, best = "pdelta", p

@@ -1,0 +1,108 @@
+"""Elias-Fano codec: roundtrip, closed-form size exactness, selector gating.
+
+EF covers the monotone-sequence profile (sorted id sidecars, postings
+lists, offset ledgers) with the quasi-succinct n*(2 + log2(span/n))-bit
+bound (Elias 1974; Vigna WSDM 2013) — the case where delta+bitpack pays
+the max-gap width on every value.
+"""
+
+import numpy as np
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from archive_spark.codecs import kernels as K
+from archive_spark.codecs.selector import choose
+
+
+def _roundtrip(v):
+    blk = K.encode(v, "ef")
+    out = K.decode(blk)
+    assert out.dtype == np.int32
+    assert np.array_equal(out, v)
+    return blk
+
+
+@pytest.mark.parametrize(
+    "v",
+    [
+        np.array([42], dtype=np.int32),
+        np.array([0, 0, 0], dtype=np.int32),
+        np.arange(100000, dtype=np.int32),
+        np.repeat(np.arange(1000, dtype=np.int32), 7),
+        (np.cumsum(np.ones(5000)) - 2500).astype(np.int32),  # crosses zero
+        np.array([-(2**31), 2**31 - 1], dtype=np.int32),      # full span
+    ],
+    ids=["single", "const", "dense", "dupes", "neg-cross", "full-span"],
+)
+def test_ef_roundtrip_bitexact(v):
+    _roundtrip(v)
+
+
+def test_ef_plan_size_is_exact():
+    rng = np.random.default_rng(11)
+    for n, hi in [(1, 1), (17, 100), (5000, 10**6), (50000, 10**9)]:
+        v = np.sort(rng.integers(-hi, hi, n)).astype(np.int32)
+        blk = _roundtrip(v)
+        _l, size = K.ef_plan(n, int(v.max()) - int(v.min()))
+        assert size == len(blk)
+
+
+def test_ef_rejects_non_monotone_typed():
+    with pytest.raises(K.CodecError):
+        K.encode(np.array([3, 1, 2], dtype=np.int32), "ef")
+
+
+def test_ef_corrupt_payload_typed():
+    """A popcount change in the unary bitmap is a typed CodecError; a
+    truncated body likewise.  (Low-bit flips decode to different values —
+    integrity there is the block-CRC layer's job, as for every codec.)"""
+    v = np.sort(np.random.default_rng(3).integers(0, 10**7, 4096)).astype(np.int32)
+    blk = bytearray(K.encode(v, "ef"))
+    # the unary bitmap is the tail of the block; force extra ones into it
+    i = next(j for j in range(len(blk) - 1, 0, -1) if blk[j] != 0xFF)
+    blk[i] = 0xFF
+    with pytest.raises(K.CodecError):
+        K.decode(bytes(blk))
+    with pytest.raises(K.CodecError):
+        K.decode(bytes(blk[: K.HEADER_SIZE + 9 + 16]))  # truncation
+
+
+def test_selector_picks_ef_on_random_postings():
+    """Sorted distinct samples have geometric gaps: delta's bitpack pays
+    the max gap on every value; EF pays ~2 + log2(universe/n) bits."""
+    rng = np.random.default_rng(7)
+    v = np.sort(rng.choice(10_000_000, 50_000, replace=False)).astype(np.int32)
+    name, est, _ = choose(v)
+    assert name == "ef"
+    assert est == len(K.encode(v, "ef"))
+    # and the auto-encode path actually roundtrips through the selector pick
+    assert np.array_equal(K.decode(K.encode(v, "ef")), v)
+
+
+def test_selector_never_pays_monotone_check_unless_winning():
+    # reversed (non-monotone) data must not error and must not pick ef
+    v = np.arange(100000, dtype=np.int32)[::-1].copy()
+    name, _, _ = choose(v)
+    assert name != "ef"
+
+
+def test_ef_histogram_and_occurrences_fallback():
+    v = np.repeat(np.arange(257, dtype=np.int32), 3)
+    blk = K.encode(v, "ef")
+    u, c = K.histogram_block(blk)
+    assert u.size == 257 and int(c.sum()) == v.size and set(c.tolist()) == {3}
+    assert K.occurrences_block(blk, 5) == 3
+    assert K.occurrences_block(blk, 999) == 0
+    assert K.codec_of(blk) == "ef"
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.lists(st.integers(min_value=-(2**31), max_value=2**31 - 1), min_size=1, max_size=400)
+)
+def test_ef_roundtrip_property(vals):
+    v = np.sort(np.array(vals, dtype=np.int32))
+    blk = _roundtrip(v)
+    _l, size = K.ef_plan(v.size, int(v.max()) - int(v.min()))
+    assert size == len(blk)
