@@ -210,6 +210,70 @@ def _zip_decompress(comp: bytes, info) -> bytes:
     raise ValueError(f"unsupported zip method {method}")
 
 
+def _zip_aes_read(
+    buf: bytes, info, password: bytes
+) -> tuple[bytes | None, str]:
+    """Decrypt + decode one WinZip AE-x member (method 99) per the
+    published WinZip AES specification: the 0x9901 extra field carries
+    (AE version, strength, real method); member data is
+    ``salt || 2-byte password verifier || AES-CTR ciphertext ||
+    10-byte HMAC-SHA1 auth code``.  Wrong verifier → ``bad_password``;
+    failed HMAC → ``corrupt``; AE-1 additionally CRC-gates the
+    plaintext (AE-2 zeroes the CRC field by spec — authentication is
+    the HMAC).  AES/CTR/PBKDF2 live in cryptokit (FIPS-197 from spec,
+    vectorized)."""
+    import struct
+    import zlib
+
+    from .cryptokit import AE_STRENGTH, ae_auth_code, ae_derive_keys, aes_ctr_zip
+
+    def _find_ae(extra: bytes):
+        i = 0
+        while i + 4 <= len(extra):
+            hid, sz = struct.unpack_from("<HH", extra, i)
+            if hid == 0x9901 and sz >= 7 and i + 4 + 7 <= len(extra):
+                return struct.unpack_from("<H2sBH", extra, i + 4)
+            i += 4 + sz
+        return None
+
+    off = info.header_offset
+    nlen, elen = struct.unpack_from("<HH", buf, off + 26)
+    found = _find_ae(info.extra or b"") or _find_ae(
+        buf[off + 30 + nlen : off + 30 + nlen + elen]
+    )
+    if found is None:
+        return None, "corrupt"
+    ae_ver, vendor, strength, real_method = found
+    if vendor != b"AE" or ae_ver not in (1, 2) or strength not in AE_STRENGTH:
+        return None, "corrupt"
+    salt_len, key_len = AE_STRENGTH[strength]
+    start = off + 30 + nlen + elen
+    raw = buf[start : start + info.compress_size]
+    if len(raw) < salt_len + 2 + 10:
+        return None, "corrupt"
+    salt, verifier = raw[:salt_len], raw[salt_len : salt_len + 2]
+    ct, auth = raw[salt_len + 2 : -10], raw[-10:]
+    key, mac_key, pv = ae_derive_keys(password, salt, key_len)
+    if pv != verifier:
+        return None, "bad_password"
+    if ae_auth_code(mac_key, ct) != auth:
+        return None, "corrupt"
+    comp = aes_ctr_zip(key, ct)
+
+    class _Shim:
+        compress_type = real_method
+        file_size = info.file_size
+        flag_bits = info.flag_bits
+
+    try:
+        payload = _zip_decompress(comp, _Shim)
+    except (ValueError, IndexError, zlib.error, NotImplementedError):
+        return None, "corrupt"
+    if ae_ver == 1 and zlib.crc32(payload) != info.CRC:
+        return None, "corrupt"
+    return payload, "ok"
+
+
 def _zip_encrypted_read(
     buf: bytes, info, password: bytes
 ) -> tuple[bytes | None, str]:
@@ -218,12 +282,12 @@ def _zip_encrypted_read(
     (or the DOS-time high byte when bit 3 deferred the CRC) — the
     spec's cheap wrong-password check; a mismatch is typed
     ``bad_password``, never an exception.  AES-encrypted members
-    (method 99 / AE-x extra field) stay typed ``encrypted``."""
+    (method 99 / AE-x extra field) route to the WinZip-AE decryptor."""
     import struct
     import zlib
 
-    if info.compress_type == 99:  # WinZip AE-x: real AES, out of scope
-        return None, "encrypted"
+    if info.compress_type == 99:  # WinZip AE-x: AES-CTR + HMAC-SHA1
+        return _zip_aes_read(buf, info, password)
     off = info.header_offset
     nlen, elen = struct.unpack_from("<HH", buf, off + 26)
     start = off + 30 + nlen + elen

@@ -360,9 +360,12 @@ def test_zipcrypto_decrypt_roundtrip(spark, method):
         assert zf.read("secret.txt", pwd=b"hunter2") == content
 
 
-def test_zip_aes_member_stays_encrypted(spark):
-    """Method 99 (WinZip AE-x, real AES) stays typed 'encrypted' even
-    when a password is supplied — ZipCrypto-only by design."""
+def test_zip_aes_method_without_ae_extra_is_corrupt(spark):
+    """Method 99 claims WinZip AE, whose 0x9901 extra field is
+    mandatory (WinZip AES spec §III) — a member lacking it is malformed
+    metadata: typed 'corrupt' when we actually try to decrypt, and
+    plain 'encrypted' when no password was supplied.  (Real AE members
+    decrypt in-process now — tests/test_sources_aes.py.)"""
     import struct
 
     buf = bytearray(_zipcrypto_zip(b"pw"))
@@ -373,7 +376,9 @@ def test_zip_aes_member_stays_encrypted(spark):
     df = spark.createDataFrame([("aes.zip", len(buf), bytes(buf))],
                                "path string, length long, content binary")
     ext = sources.extract_members(df, password=b"pw").collect()
-    assert [(r.status, r.payload) for r in ext] == [("encrypted", None)]
+    assert [(r.status, r.payload) for r in ext] == [("corrupt", None)]
+    none = sources.extract_members(df).collect()
+    assert [(r.status, r.payload) for r in none] == [("encrypted", None)]
 
 
 def test_corrupt_archive_typed(spark):

@@ -1,0 +1,153 @@
+"""WinZip AE-x (method 99) members: in-process AES-CTR + HMAC decrypt.
+
+The fixture builds the zip byte-for-byte from the published layouts
+(APPNOTE.TXT local/central/EOCD + the WinZip AES spec's 0x9901 extra
+field and salt||verifier||ct||auth member data), with the member
+payload encrypted by archive_spark.cryptokit — whose AES core is pinned
+against FIPS-197 Appendix C in test_cryptokit_vectors below, so an
+encrypt/decrypt bug cannot cancel out.
+"""
+
+import struct
+import zlib
+
+import pytest
+
+from archive_spark import sources
+from archive_spark.cryptokit import (
+    AE_STRENGTH,
+    ae_auth_code,
+    ae_derive_keys,
+    aes_ctr_zip,
+    aes_encrypt_block,
+)
+
+
+def test_cryptokit_vectors():
+    """FIPS-197 Appendix C.1-C.3 (the spec's own conformance vectors)."""
+    pt = bytes.fromhex("00112233445566778899aabbccddeeff")
+    for key_hex, ct_hex in [
+        ("000102030405060708090a0b0c0d0e0f",
+         "69c4e0d86a7b0430d8cdb78070b4c55a"),
+        ("000102030405060708090a0b0c0d0e0f1011121314151617",
+         "dda97ca4864cdfe06eaf70a0ec0d7191"),
+        ("000102030405060708090a0b0c0d0e0f101112131415161718191a1b1c1d1e1f",
+         "8ea2b7ca516745bfeafc49904b496089"),
+    ]:
+        assert aes_encrypt_block(bytes.fromhex(key_hex), pt).hex() == ct_hex
+    # CTR is an involution under the same key
+    data = bytes(range(256)) * 33 + b"tail"
+    key = bytes.fromhex("000102030405060708090a0b0c0d0e0f")
+    assert aes_ctr_zip(key, aes_ctr_zip(key, data)) == data
+
+
+def _ae_zip(
+    password: bytes,
+    content: bytes,
+    strength: int = 3,
+    ae_ver: int = 2,
+    stored: bool = False,
+    name: bytes = b"secret.txt",
+) -> bytes:
+    """Hand-built single-member AE zip (deterministic salt)."""
+    salt_len, key_len = AE_STRENGTH[strength]
+    salt = bytes(range(1, salt_len + 1))
+    key, mac_key, pv = ae_derive_keys(password, salt, key_len)
+    if stored:
+        comp, real_method = content, 0
+    else:
+        c = zlib.compressobj(6, zlib.DEFLATED, -15)
+        comp, real_method = c.compress(content) + c.flush(), 8
+    ct = aes_ctr_zip(key, comp)
+    data = salt + pv + ct + ae_auth_code(mac_key, ct)
+    crc = zlib.crc32(content) if ae_ver == 1 else 0  # AE-2 zeroes the CRC
+    extra = struct.pack("<HHH2sBH", 0x9901, 7, ae_ver, b"AE", strength, real_method)
+    lh = (
+        b"PK\x03\x04"
+        + struct.pack(
+            "<HHHHHIIIHH", 51, 0x1, 99, 0, 0x5821, crc, len(data), len(content),
+            len(name), len(extra),
+        )
+        + name + extra
+    )
+    cd = (
+        b"PK\x01\x02"
+        + struct.pack(
+            "<HHHHHHIIIHHHHHII", 51, 51, 0x1, 99, 0, 0x5821, crc, len(data),
+            len(content), len(name), len(extra), 0, 0, 0, 0, 0,
+        )
+        + name + extra
+    )
+    cd_off = len(lh) + len(data)
+    eocd = b"PK\x05\x06" + struct.pack("<HHHHIIH", 0, 0, 1, 1, len(cd), cd_off, 0)
+    return lh + data + cd + eocd
+
+
+def _one(spark, buf: bytes, password=None):
+    df = spark.createDataFrame(
+        [("ae.zip", len(buf), buf)], "path string, length long, content binary"
+    )
+    rows = sources.extract_members(df, password=password).collect()
+    assert len(rows) == 1
+    return rows[0]
+
+
+CONTENT = b"the magic words are squeamish ossifrage " * 64
+
+
+@pytest.mark.parametrize("strength", [1, 2, 3], ids=["aes128", "aes192", "aes256"])
+def test_ae2_roundtrip_all_strengths(spark, strength):
+    buf = _ae_zip(b"hunter2", CONTENT, strength=strength)
+    r = _one(spark, buf, b"hunter2")
+    assert (r.member, r.status) == ("secret.txt", "ok")
+    assert bytes(r.payload) == CONTENT
+
+
+def test_ae1_crc_gate_and_stored(spark):
+    buf = _ae_zip(b"pw", CONTENT, ae_ver=1, stored=True)
+    r = _one(spark, buf, b"pw")
+    assert r.status == "ok" and bytes(r.payload) == CONTENT
+    # AE-1 carries the CRC: corrupt it -> typed corrupt (HMAC passes,
+    # plaintext gate fails)
+    bad = bytearray(buf)
+    pat = struct.pack("<I", zlib.crc32(CONTENT))
+    i = bad.index(pat)            # local header CRC
+    j = bad.index(pat, i + 4)     # central directory CRC (what zipfile reads)
+    bad[i] ^= 0xFF
+    bad[j] ^= 0xFF
+    assert _one(spark, bytes(bad), b"pw").status == "corrupt"
+
+
+def test_ae_wrong_password_and_no_password(spark):
+    buf = _ae_zip(b"right", CONTENT)
+    assert _one(spark, buf, b"wrong").status == "bad_password"
+    r = _one(spark, buf)  # no password at all
+    assert (r.status, r.payload) == ("encrypted", None)
+
+
+def test_ae_tampered_ciphertext_fails_hmac(spark):
+    buf = bytearray(_ae_zip(b"pw", CONTENT))
+    # flip one ciphertext byte (after local header + salt + verifier)
+    data_off = 30 + len(b"secret.txt") + 11
+    buf[data_off + 16 + 2 + 5] ^= 0x01
+    assert _one(spark, bytes(buf), b"pw").status == "corrupt"
+
+
+def test_ae_missing_extra_field_typed_corrupt(spark):
+    """Method 99 without a 0x9901 extra field is malformed metadata."""
+    buf = bytearray(_ae_zip(b"pw", CONTENT))
+    # blank the extra id in both headers (leaves lengths consistent)
+    for sig in (b"PK\x03\x04", b"PK\x01\x02"):
+        i = buf.index(sig)
+        j = buf.index(struct.pack("<HH", 0x9901, 7), i)
+        buf[j:j + 2] = b"\x00\x00"
+    assert _one(spark, bytes(buf), b"pw").status == "corrupt"
+
+
+def test_ae_listing_names_method(spark):
+    buf = _ae_zip(b"pw", CONTENT)
+    df = spark.createDataFrame(
+        [("ae.zip", len(buf), buf)], "path string, length long, content binary"
+    )
+    rows = sources.list_members(df).collect()
+    assert [(r.member, r.status) for r in rows] == [("secret.txt", "encrypted")]
