@@ -180,6 +180,39 @@ def _q_token_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return token_postings_summary(enc, 0, 40)
 
 
+def _q_postings_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Posting-list compression audit (analytics.postings_codec_roundtrip):
+    each band token's sorted doc-id list runs through the int-codec
+    auto-selector (Elias-Fano's natural profile) and back; every
+    aggregate is computed from the DECODED ids, rolled up per winning
+    codec.  DuckDB recomputes n_tokens/n_postings/sum_ids/id bounds
+    independently from the persisted raw token arrays and takes the
+    per-token codec pick from the shared artifact (engine-internal, like
+    codec_histogram)."""
+    from archive_spark import engine
+    from archive_spark.analytics import postings_codec_roundtrip
+    from archive_spark.tokengen import token_table
+
+    df = token_table(spark, 5_000, seed=42)
+    _persist(df.select("doc_id", "tokens"), "postings_codec_input", sf_dir)
+    enc = engine.encode(df, target_block_values=1 << 15)
+    path = _persist(
+        postings_codec_roundtrip(enc, 0, 40), "postings_codec_map", sf_dir
+    )
+    per_tok = spark.read.parquet(path)
+    return (
+        per_tok.groupBy("codec")
+        .agg(
+            F.count("*").cast("bigint").alias("n_tokens"),
+            F.sum("n_docs").cast("bigint").alias("n_postings"),
+            F.sum("sum_ids").cast("bigint").alias("sum_ids"),
+            F.min("id_min").cast("bigint").alias("id_min"),
+            F.max("id_max").cast("bigint").alias("id_max"),
+        )
+        .orderBy("codec")
+    )
+
+
 def _q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ranked retrieval off the compressed corpus (analytics.bm25_topk):
     query-set postings (zone-map pruned) + lengths-only doc stats →
@@ -2363,6 +2396,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # -- every query WITHOUT a driver correctness row (r01-r03 artifacts)
         # -- comes first: the driver walks this dict in order under a budget --
+        "postings_codec": _q_postings_codec,
         "source_overlap": _q_source_overlap,
         "keyword_tags": _q_keyword_tags,
         "winnowing": _q_winnowing,
@@ -2631,6 +2665,23 @@ FROM d GROUP BY 1 ORDER BY 1
 def oracle_sql() -> dict[str, str]:
     kw_list = ", ".join(f"('{k}')" for k in _TAG_KEYWORDS)
     return {
+        "postings_codec": (
+            "WITH per AS ("
+            "SELECT token, CAST(regexp_extract(doc_id, '(\\d+)$', 1) AS BIGINT) AS doc_num "
+            "FROM ("
+            "SELECT doc_id, unnest(tokens) AS token "
+            f"FROM read_parquet('{_opath('postings_codec_input')}')"
+            ") WHERE token BETWEEN 0 AND 40 GROUP BY 1, 2"
+            "), tok AS ("
+            "SELECT token, COUNT(*)::BIGINT AS n_docs, SUM(doc_num)::BIGINT AS sum_ids, "
+            "MIN(doc_num)::BIGINT AS id_min, MAX(doc_num)::BIGINT AS id_max "
+            "FROM per GROUP BY token) "
+            "SELECT m.codec, COUNT(*)::BIGINT AS n_tokens, "
+            "SUM(t.n_docs)::BIGINT AS n_postings, SUM(t.sum_ids)::BIGINT AS sum_ids, "
+            "MIN(t.id_min)::BIGINT AS id_min, MAX(t.id_max)::BIGINT AS id_max "
+            f"FROM tok t JOIN read_parquet('{_opath('postings_codec_map')}') m "
+            "USING (token) GROUP BY m.codec ORDER BY m.codec"
+        ),
         "source_overlap": (
             # replay on gram STRINGS (Spark shuffles xxhash64 keys);
             # sh materialized: it feeds both the totals and a self-join

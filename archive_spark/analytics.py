@@ -1528,3 +1528,64 @@ def source_distinctive_tokens(
         .filter(F.col("rank") <= int(k))
         .orderBy("source", "rank")
     )
+
+
+def postings_codec_roundtrip(
+    encoded: DataFrame, lo: int, hi: int
+) -> DataFrame:
+    """Posting-list compression audit for the token band ``[lo, hi]``:
+    each token's sorted doc-id list is run through the int-codec
+    auto-selector (Elias-Fano competes here — monotone ids are its
+    profile), decoded back, and every reported aggregate is computed
+    from the DECODED array, so a wrong roundtrip cannot produce the
+    right row.  Returns one row per token:
+
+    ``(token, codec, n_docs, sum_ids, id_min, id_max, raw_bytes,
+    enc_bytes)``
+
+    ``n_docs/sum_ids/id_min/id_max`` are independently derivable from
+    the raw corpus (the DuckDB oracle recomputes them from the persisted
+    input); ``codec``/``enc_bytes`` are engine-internal and verified via
+    the shared-artifact pattern.  Scale shape: postings build is the
+    zone-map-pruned :func:`token_postings` scan; the per-token encode is
+    an ``applyInPandas`` over posting lists — state per group is one
+    id array, never the corpus."""
+    import numpy as np
+    import pandas as pd
+
+    from .codecs import kernels
+    from .codecs.selector import encode_auto
+
+    # doc ids are strings ("<source>-<%010d global index>"); the numeric
+    # suffix is the unique integer identity (tokengen.py doc_id contract)
+    post = token_postings(encoded, lo, hi).select(
+        "token",
+        F.regexp_extract("doc_id", r"(\d+)$", 1).cast("long").alias("doc_num"),
+    )
+
+    def enc_dec(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        ids = np.sort(pdf["doc_num"].to_numpy(np.int64))
+        base = int(ids[0])
+        off = ids - base
+        if off[-1] > np.iinfo(np.int32).max:
+            raise kernels.CodecError("doc-id span exceeds i32 offsets")
+        blk, codec = encode_auto(off.astype(np.int32), allow_fsst=False)
+        dec = kernels.decode(blk).astype(np.int64) + base
+        return pd.DataFrame(
+            {
+                "token": [int(pdf["token"].iloc[0])],
+                "codec": [codec],
+                "n_docs": [int(dec.size)],
+                "sum_ids": [int(dec.sum())],
+                "id_min": [int(dec.min())],
+                "id_max": [int(dec.max())],
+                "raw_bytes": [int(8 * dec.size)],
+                "enc_bytes": [len(blk)],
+            }
+        )
+
+    schema = (
+        "token bigint, codec string, n_docs bigint, sum_ids bigint, "
+        "id_min bigint, id_max bigint, raw_bytes bigint, enc_bytes bigint"
+    )
+    return post.groupBy("token").applyInPandas(enc_dec, schema)
