@@ -284,6 +284,19 @@ def encode_auto_ex(
         blk = kernels.encode_fsst(v, uvals=stats.uvals, **preset)
     else:
         blk = kernels.encode(v, name, uvals=stats.uvals if name == "dict" else None)
+    if name == "zstd":
+        # zstd won on a PROJECTED size (prefix sample extrapolated to the
+        # block); a block whose head compresses better than its tail can
+        # mispredict.  The closed-form estimates are exact, so a missed
+        # projection falls back to the best deterministic codec — the
+        # selection can be suboptimal only by the trial margin, never by
+        # the projection error.
+        est = estimate_sizes(stats)
+        alt = min(est, key=lambda k: (est[k], k))
+        if len(blk) > est[alt]:
+            blk, name = kernels.encode(
+                v, alt, uvals=stats.uvals if alt == "dict" else None
+            ), alt
     plain_size = HEADER + 4 * v.size
     if len(blk) > plain_size:
         return kernels.encode(v, PLAIN), "plain", stats

@@ -211,6 +211,23 @@ def test_zstd_not_tried_on_good_lightweight_data():
     assert codec == "rle"
 
 
+def test_zstd_misprediction_falls_back_to_exact_codec():
+    """The zstd trial projects full-block size from a 64 KiB prefix; a
+    block whose head is ultra-compressible but whose tail is random
+    mispredicts.  encode_auto must catch the miss against the exact
+    closed-form estimates and fall back — the emitted block is never
+    larger than the best deterministic codec."""
+    head = np.zeros(1 << 16, dtype=np.int32)  # sampled prefix: ~free
+    tail = np.cumsum(RNG.integers(0, 5, size=1 << 19)).astype(np.int32)
+    v = np.concatenate([head, tail])
+    codec, projected, stats = choose(v)
+    assert codec == "zstd" and projected < 1 << 12  # the misprediction
+    blk, chosen = encode_auto(v)
+    np.testing.assert_array_equal(decode(blk), v)
+    est = estimate_sizes(stats)
+    assert chosen != "zstd" and len(blk) <= min(est.values()), (chosen, len(blk), est)
+
+
 def test_legacy_deflate_blocks_still_decode():
     """Blocks written before the zstd fallback existed (codec id 7)
     must keep decoding bit-identically — the on-disk format is append-
