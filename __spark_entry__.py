@@ -180,6 +180,55 @@ def _q_token_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return token_postings_summary(enc, 0, 40)
 
 
+def _q_multi_column_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-column aligned-array lane (archive_spark/multicolumn.py):
+    the training-table shape input_ids + labels + attention_mask, all
+    length-aligned, encoded in ONE pass into ONE block table with a
+    shared doc/length sidecar and per-column codec selection, then
+    decoded back.  The per-source aggregates run on the DECODED columns
+    (plus an input_ids bit-identity count against the pre-encode
+    arrays), so every output number proves the roundtrip: the DuckDB
+    oracle computes the same aggregates straight off the raw text and
+    never sees the engine."""
+    from archive_spark import multicolumn as mc
+
+    docs = _docs(spark, sf_dir)
+    words = F.split(F.col("text"), " ")
+    base = docs.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.transform(words, lambda w: F.hash(w)).alias("input_ids"),
+        F.transform(words, lambda w: F.length(w).cast("int")).alias("labels"),
+        F.transform(words, lambda w: (F.length(w) % 2).cast("int")).alias(
+            "attention_mask"
+        ),
+        F.col("source"),
+    )
+    cols = ["input_ids", "labels", "attention_mask"]
+    enc = mc.encode_columns(base, cols, target_block_values=1 << 12)
+    dec = mc.decode_columns(enc, cols)
+    j = dec.alias("d").join(base.alias("o"), "doc_id")
+    zero = F.lit(0).cast("bigint")
+    return (
+        j.groupBy(F.col("o.source").alias("source"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum(F.size("d.labels")).cast("bigint").alias("total_tokens"),
+            F.sum(F.aggregate("d.labels", zero, lambda a, x: a + x))
+            .cast("bigint")
+            .alias("sum_labels"),
+            F.sum(F.aggregate("d.attention_mask", zero, lambda a, x: a + x))
+            .cast("bigint")
+            .alias("sum_mask"),
+            F.sum(
+                F.when(F.col("d.input_ids") == F.col("o.input_ids"), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_ids_exact"),
+        )
+        .orderBy("source")
+    )
+
+
 def _q_postings_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Posting-list compression audit (analytics.postings_codec_roundtrip):
     each band token's sorted doc-id list runs through the int-codec
@@ -2396,6 +2445,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # -- every query WITHOUT a driver correctness row (r01-r03 artifacts)
         # -- comes first: the driver walks this dict in order under a budget --
+        "multi_column_encode": _q_multi_column_encode,
         "postings_codec": _q_postings_codec,
         "source_overlap": _q_source_overlap,
         "keyword_tags": _q_keyword_tags,
@@ -2665,6 +2715,20 @@ FROM d GROUP BY 1 ORDER BY 1
 def oracle_sql() -> dict[str, str]:
     kw_list = ", ".join(f"('{k}')" for k in _TAG_KEYWORDS)
     return {
+        "multi_column_encode": (
+            # replay the decoded-side aggregates straight off the raw
+            # text: roundtrip bit-exactness is what makes them equal.
+            # n_ids_exact == n_docs because every decoded input_ids array
+            # must match its pre-encode array bit-for-bit.
+            "SELECT source, COUNT(*)::BIGINT AS n_docs, "
+            "SUM(len(string_split(text, ' ')))::BIGINT AS total_tokens, "
+            "SUM(list_sum(list_transform(string_split(text, ' '), "
+            "w -> length(w))))::BIGINT AS sum_labels, "
+            "SUM(list_sum(list_transform(string_split(text, ' '), "
+            "w -> length(w) % 2)))::BIGINT AS sum_mask, "
+            "COUNT(*)::BIGINT AS n_ids_exact "
+            "FROM documents GROUP BY source ORDER BY source"
+        ),
         "postings_codec": (
             "WITH per AS ("
             "SELECT token, CAST(regexp_extract(doc_id, '(\\d+)$', 1) AS BIGINT) AS doc_num "

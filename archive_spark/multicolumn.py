@@ -1,0 +1,472 @@
+"""Multi-column block encode/decode — aligned array columns, one sidecar.
+
+A real training table rarely carries ONE array column: alongside
+``input_ids`` sit ``attention_mask`` / ``token_type_ids`` / ``labels``,
+all length-aligned per row (the north-star phrasing: "each token array
+column is compressed per-partition").  Encoding them as separate
+single-column tables (``engine.encode`` per column) duplicates the
+doc_id list and the lengths sidecar per column and scans the input once
+per column.  This lane encodes N aligned ``array<int>`` columns in ONE
+pass into ONE block table:
+
+- the doc_ids / lengths sidecar is stored once per block (the lengths
+  are shared by construction — alignment is validated, a misaligned row
+  is a typed error, never a silent truncation);
+- each column's flat values are codec-selected INDEPENDENTLY
+  (``codecs.selector.encode_auto_ex``): ``attention_mask`` collapses to
+  rle/constant while ``input_ids`` goes dict/fsst/zstd — per-column
+  codec fit is the point of a columnar layout (the reference picks a
+  decoder per *member*, archive.go:99-145; here per column-chunk);
+- block carving, source grouping, skew salting and doc zone maps are
+  exactly ``engine.encode``'s (same ``_split_blocks`` / buffer-to-target
+  machinery), so 100 TB posture is unchanged: one mapInArrow pass,
+  shuffle-free plan, O(blocks) metadata.
+
+Top-level ``vmin``/``vmax`` zone maps cover the PRIMARY (first) column,
+keeping parity with single-column token-range pruning; other columns'
+ranges land in ``meta.params`` as ``<col>.vmin`` / ``<col>.vmax``.
+Per-column CRC-32s (``<col>.crc32``) give decode-time integrity checks
+without the original table (the pkzip per-member CRC convention).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, Sequence
+
+import numpy as np
+import pyarrow as pa
+
+from pyspark.sql import DataFrame, functions as F
+
+from .codecs import kernels
+from .codecs.selector import encode_auto, encode_auto_ex
+from .engine import DEFAULT_BLOCK_VALUES, DECODE_FLUSH_VALUES, _ragged_gather, _split_blocks
+
+
+def multi_encoded_schema() -> str:
+    return (
+        "block_id string, source string, doc_ids array<string>, "
+        "doc_min string, doc_max string, vmin long, vmax long, "
+        "payloads array<binary>, lengths_payload binary, "
+        "meta struct<columns:array<string>, codecs:array<string>, "
+        "n_values:bigint, n_docs:int, "
+        "raw_bytes:bigint, enc_bytes:bigint, params:map<string,string>>"
+    )
+
+
+class _MultiBuffer:
+    """Per-source accumulator: like engine._SourceBuffer but holding one
+    flat-values list per column (shared lengths/docs)."""
+
+    __slots__ = ("vals", "lens", "docs", "n_values", "n_cols")
+
+    def __init__(self, n_cols: int):
+        self.n_cols = n_cols
+        self.vals: list[list[np.ndarray]] = [[] for _ in range(n_cols)]
+        self.lens: list[np.ndarray] = []
+        self.docs: list[pa.Array] = []
+        self.n_values = 0
+
+    def add(self, per_col: list[np.ndarray], lens: np.ndarray, docs: pa.Array) -> None:
+        for c, v in enumerate(per_col):
+            self.vals[c].append(v)
+        self.lens.append(lens)
+        self.docs.append(docs)
+        self.n_values += int(lens.sum())
+
+    def carve(self, target: int, final: bool):
+        if not self.lens or (not final and self.n_values < target):
+            return []
+        lens = np.concatenate(self.lens) if len(self.lens) > 1 else self.lens[0]
+        cols = [
+            np.concatenate(v) if len(v) > 1 else v[0] for v in self.vals
+        ]
+        docs = pa.concat_arrays(
+            [d.combine_chunks() if isinstance(d, pa.ChunkedArray) else d for d in self.docs]
+        )
+        blocks = _split_blocks(lens, np.arange(lens.size, dtype=np.int64), target)
+        if not final and len(blocks) > 1:
+            tail = blocks.pop()
+        elif not final and int(lens[blocks[0]].sum()) < target:
+            tail = blocks.pop()
+        else:
+            tail = None
+        csum = np.concatenate(([0], np.cumsum(lens)))
+        out = []
+        for row_idx in blocks:
+            s, e = int(row_idx[0]), int(row_idx[-1]) + 1
+            out.append(
+                (
+                    docs.slice(s, e - s),
+                    lens[s:e],
+                    [c[csum[s] : csum[e]] for c in cols],
+                )
+            )
+        if tail is not None:
+            s = int(tail[0])
+            self.vals = [[c[csum[s] :]] for c in cols]
+            self.lens = [lens[s:]]
+            self.docs = [docs.slice(s)]
+            self.n_values = int(self.lens[0].sum())
+        else:
+            self.vals = [[] for _ in range(self.n_cols)]
+            self.lens, self.docs, self.n_values = [], [], 0
+        return out
+
+
+def _make_multi_encoder(columns: Sequence[str], target: int, allow_fsst: bool, effort: str):
+    columns = list(columns)
+
+    def enc(it: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        import zlib
+
+        buffers: dict[str, _MultiBuffer] = {}
+
+        def encode_blocks(sname: str, blocks) -> list[dict]:
+            rows = []
+            for docs, lens, col_vals in blocks:
+                payloads, codecs, params = [], [], {}
+                enc_bytes = 0
+                primary_stats = None
+                for cname, vals in zip(columns, col_vals):
+                    payload, codec, stats = encode_auto_ex(
+                        vals, allow_fsst=allow_fsst, effort=effort
+                    )
+                    if primary_stats is None:
+                        primary_stats = stats
+                    payloads.append(payload)
+                    codecs.append(codec)
+                    enc_bytes += len(payload)
+                    params[f"{cname}.vmin"] = str(stats.vmin)
+                    params[f"{cname}.vmax"] = str(stats.vmax)
+                    params[f"{cname}.crc32"] = str(zlib.crc32(np.ascontiguousarray(vals)))
+                lens_payload, _ = encode_auto(lens.astype(np.int32), allow_fsst=False)
+                params["lengths_codec"] = kernels.codec_of(lens_payload)
+                n_values = int(lens.sum())
+                rows.append(
+                    {
+                        "block_id": f"{docs[0].as_py()}#{len(docs)}",
+                        "source": sname,
+                        "docs": docs,
+                        "payloads": payloads,
+                        "codecs": codecs,
+                        "lengths_payload": lens_payload,
+                        "n_values": n_values,
+                        "n_docs": len(docs),
+                        "raw_bytes": 4 * n_values * len(columns),
+                        "enc_bytes": enc_bytes + len(lens_payload),
+                        "vmin": primary_stats.vmin,
+                        "vmax": primary_stats.vmax,
+                        "params": params,
+                    }
+                )
+            return rows
+
+        def emit(rows: list[dict]) -> pa.RecordBatch:
+            import pyarrow.compute as pc
+
+            doc_flat = pa.concat_arrays([r["docs"] for r in rows])
+            blk_offsets = np.concatenate(([0], np.cumsum([r["n_docs"] for r in rows])))
+            pay_offsets = np.arange(len(rows) + 1, dtype=np.int64) * len(columns)
+            pay_flat = pa.array(
+                [p for r in rows for p in r["payloads"]], pa.binary()
+            )
+            meta = pa.StructArray.from_arrays(
+                [
+                    pa.array([columns] * len(rows), pa.list_(pa.string())),
+                    pa.array([r["codecs"] for r in rows], pa.list_(pa.string())),
+                    pa.array([r["n_values"] for r in rows], pa.int64()),
+                    pa.array([r["n_docs"] for r in rows], pa.int32()),
+                    pa.array([r["raw_bytes"] for r in rows], pa.int64()),
+                    pa.array([r["enc_bytes"] for r in rows], pa.int64()),
+                    pa.array([r["params"] for r in rows], pa.map_(pa.string(), pa.string())),
+                ],
+                names=["columns", "codecs", "n_values", "n_docs",
+                       "raw_bytes", "enc_bytes", "params"],
+            )
+            mm = [pc.min_max(r["docs"]) for r in rows]
+            return pa.RecordBatch.from_arrays(
+                [
+                    pa.array([r["block_id"] for r in rows], pa.string()),
+                    pa.array([r["source"] for r in rows], pa.string()),
+                    pa.ListArray.from_arrays(pa.array(blk_offsets, pa.int32()), doc_flat),
+                    pa.array([m["min"].as_py() for m in mm], pa.string()),
+                    pa.array([m["max"].as_py() for m in mm], pa.string()),
+                    pa.array([r["vmin"] for r in rows], pa.int64()),
+                    pa.array([r["vmax"] for r in rows], pa.int64()),
+                    pa.ListArray.from_arrays(pa.array(pay_offsets, pa.int32()), pay_flat),
+                    pa.array([r["lengths_payload"] for r in rows], pa.binary()),
+                    meta,
+                ],
+                names=["block_id", "source", "doc_ids", "doc_min", "doc_max",
+                       "vmin", "vmax", "payloads", "lengths_payload", "meta"],
+            )
+
+        for batch in it:
+            if batch.num_rows == 0:
+                continue
+            doc_id = batch.column("doc_id")
+            source = batch.column("source")
+            col_arrays = [batch.column(c) for c in columns]
+            for cname, arr in zip(columns, col_arrays):
+                if arr.null_count:
+                    raise kernels.CodecError(f"null {cname} arrays are not encodable")
+            prim = col_arrays[0]
+            prim_off = np.asarray(prim.offsets, dtype=np.int64)
+            lens = np.diff(prim_off)
+            flats, starts = [], []
+            for cname, arr in zip(columns, col_arrays):
+                off = np.asarray(arr.offsets, dtype=np.int64)
+                if not np.array_equal(np.diff(off), lens):
+                    bad = int(np.flatnonzero(np.diff(off) != lens)[0])
+                    raise kernels.CodecError(
+                        f"column {cname!r} is not length-aligned with "
+                        f"{columns[0]!r} at doc_id={doc_id[bad].as_py()!r} "
+                        f"({int(np.diff(off)[bad])} vs {int(lens[bad])} values)"
+                    )
+                flats.append(np.asarray(arr.values, dtype=np.int32))
+                starts.append(off[:-1])
+
+            senc = source.dictionary_encode()
+            codes = np.asarray(senc.indices)
+            snames = senc.dictionary.to_pylist()
+
+            ready: list[dict] = []
+            for c, sname in enumerate(snames):
+                rows = np.flatnonzero(codes == c)
+                per_col = []
+                for flat, st in zip(flats, starts):
+                    if rows.size and rows[-1] - rows[0] + 1 == rows.size:
+                        v = flat[st[rows[0]] : st[rows[0]] + int(lens[rows].sum())]
+                    else:
+                        v = _ragged_gather(flat, st, lens, rows)
+                    per_col.append(v)
+                buf = buffers.setdefault(sname, _MultiBuffer(len(columns)))
+                buf.add(per_col, lens[rows], doc_id.take(pa.array(rows)))
+                ready.extend(encode_blocks(sname, buf.carve(target, final=False)))
+            if ready:
+                yield emit(ready)
+
+        tail: list[dict] = []
+        for sname, buf in buffers.items():
+            tail.extend(encode_blocks(sname, buf.carve(target, final=True)))
+        if tail:
+            yield emit(tail)
+
+    return enc
+
+
+def encode_columns(
+    df: DataFrame,
+    columns: Sequence[str],
+    target_block_values: int = DEFAULT_BLOCK_VALUES,
+    allow_fsst: bool = True,
+    salt_partitions: int | None = None,
+    effort: str = "balanced",
+    id_col: str = "doc_id",
+    group_col: str | None = "source",
+) -> DataFrame:
+    """Encode N aligned ``array<int>`` columns into one block table.
+
+    Same contract as ``engine.encode`` generalized: ``columns[0]`` is
+    the primary (its value range feeds the top-level vmin/vmax zone
+    maps); every other column must be length-aligned with it per row
+    (validated — a misaligned row raises a typed ``CodecError``).
+    """
+    if not columns:
+        raise ValueError("columns must be non-empty")
+    sel = [F.col(id_col).cast("string").alias("doc_id")]
+    sel += [F.col(c).cast("array<int>").alias(c) for c in columns]
+    sel.append((F.col(group_col) if group_col else F.lit("default")).alias("source"))
+    df = df.select(*sel)
+    if salt_partitions:
+        df = df.repartition(
+            salt_partitions,
+            F.col("source"),
+            F.pmod(F.xxhash64("doc_id"), F.lit(salt_partitions * 8)),
+        )
+    return df.mapInArrow(
+        _make_multi_encoder(columns, target_block_values, allow_fsst, effort),
+        multi_encoded_schema(),
+    )
+
+
+def _make_multi_decoder(columns: Sequence[str], flush_values: int, verify_checksum: bool):
+    columns = list(columns)
+
+    def dec(it: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        import zlib
+
+        for batch in it:
+            if batch.num_rows == 0:
+                continue
+            payloads = batch.column("payloads")
+            lens_payloads = batch.column("lengths_payload")
+            doc_ids = batch.column("doc_ids")
+            sources = batch.column("source")
+            meta_cols = batch.column("meta").field("columns").to_pylist()
+            params = (
+                batch.column("meta").field("params").to_pylist()
+                if verify_checksum
+                else [None] * batch.num_rows
+            )
+
+            def flush(col_parts, lens_parts, blk_idx, ndocs):
+                lens_all = (
+                    np.concatenate(lens_parts) if lens_parts else np.zeros(0, np.int64)
+                )
+                offsets = pa.array(
+                    np.concatenate(([0], np.cumsum(lens_all))), pa.int32()
+                )
+                lo, hi = int(blk_idx[0]), int(blk_idx[-1]) + 1
+                doc_flat = doc_ids.slice(lo, hi - lo).flatten()
+                if len(doc_flat) != int(ndocs.sum()):
+                    raise kernels.CodecError("doc_ids/lengths cardinality mismatch")
+                src_rep = pa.DictionaryArray.from_arrays(
+                    pa.array(np.repeat(blk_idx - lo, ndocs), pa.int32()),
+                    sources.slice(lo, hi - lo).combine_chunks()
+                    if isinstance(sources, pa.ChunkedArray)
+                    else sources.slice(lo, hi - lo),
+                ).cast(pa.string())
+                arrays = [doc_flat]
+                for parts in col_parts:
+                    flat = np.concatenate(parts) if parts else np.zeros(0, np.int32)
+                    arrays.append(
+                        pa.ListArray.from_arrays(offsets, pa.array(flat, pa.int32()))
+                    )
+                arrays.append(pa.array(lens_all.astype(np.int32), pa.int32()))
+                arrays.append(src_rep)
+                return pa.RecordBatch.from_arrays(
+                    arrays, names=["doc_id", *columns, "n_tok", "source"]
+                )
+
+            col_parts: list[list[np.ndarray]] = [[] for _ in columns]
+            lens_parts: list[np.ndarray] = []
+            blk_idx: list[int] = []
+            ndocs: list[int] = []
+            pending = 0
+            for i in range(batch.num_rows):  # per-block loop (not per-row)
+                stored = list(meta_cols[i])
+                if stored != columns:
+                    raise kernels.CodecError(
+                        f"block {batch.column('block_id')[i]}: stored columns "
+                        f"{stored} do not match requested {columns}"
+                    )
+                lens = kernels.decode(lens_payloads[i].as_py()).astype(np.int64)
+                n_values = int(lens.sum())
+                blk_pay = payloads[i].as_py()
+                if len(blk_pay) != len(columns):
+                    raise kernels.CodecError(
+                        f"block {batch.column('block_id')[i]}: "
+                        f"{len(blk_pay)} payloads for {len(columns)} columns"
+                    )
+                for c, (cname, p) in enumerate(zip(columns, blk_pay)):
+                    vals = kernels.decode(p)
+                    if vals.size != n_values:
+                        raise kernels.CodecError(
+                            f"block {batch.column('block_id')[i]}: column "
+                            f"{cname!r} lengths/payload mismatch"
+                        )
+                    if verify_checksum:
+                        want = dict(params[i] or {}).get(f"{cname}.crc32")
+                        if want is not None:
+                            got = zlib.crc32(np.ascontiguousarray(vals))
+                            if got != int(want):
+                                raise kernels.CodecError(
+                                    f"block {batch.column('block_id')[i]}: column "
+                                    f"{cname!r} CRC-32 mismatch (stored {want}, "
+                                    f"decoded {got})"
+                                )
+                    col_parts[c].append(vals)
+                lens_parts.append(lens)
+                blk_idx.append(i)
+                ndocs.append(lens.size)
+                pending += n_values
+                if pending >= flush_values:
+                    yield flush(
+                        col_parts, lens_parts,
+                        np.asarray(blk_idx, np.int64), np.asarray(ndocs, np.int64),
+                    )
+                    col_parts = [[] for _ in columns]
+                    lens_parts, blk_idx, ndocs, pending = [], [], [], 0
+            if blk_idx:
+                yield flush(
+                    col_parts, lens_parts,
+                    np.asarray(blk_idx, np.int64), np.asarray(ndocs, np.int64),
+                )
+
+    return dec
+
+
+def decode_columns(
+    df_encoded: DataFrame,
+    columns: Sequence[str] | None = None,
+    targets: Sequence[str] | None = None,
+    flush_values: int = DECODE_FLUSH_VALUES,
+    verify_checksum: bool = False,
+) -> DataFrame:
+    """Decode a multi-column block table back to
+    (doc_id, <columns...>, n_tok, source).
+
+    ``columns=None`` reads the stored column list from the first block
+    (one tiny driver-side lookup); pass it explicitly in hot paths.
+    ``targets`` prunes blocks via doc zone maps + ``arrays_overlap``
+    BEFORE the decode UDF, exactly like ``engine.decode``.
+    """
+    if columns is None:
+        first = df_encoded.select(F.col("meta.columns").alias("c")).first()
+        if first is None:
+            raise ValueError("cannot infer columns from an empty encoded table")
+        columns = list(first.c)
+    if targets:
+        ts = sorted(targets)
+        df_encoded = df_encoded.filter(
+            (F.col("doc_min") <= F.lit(ts[-1])) & (F.col("doc_max") >= F.lit(ts[0]))
+        )
+        tlits = F.array(*[F.lit(t) for t in targets])
+        df_encoded = df_encoded.filter(F.arrays_overlap(F.col("doc_ids"), tlits))
+    schema = (
+        "doc_id string, "
+        + ", ".join(f"{c} array<int>" for c in columns)
+        + ", n_tok int, source string"
+    )
+    out = df_encoded.mapInArrow(
+        _make_multi_decoder(columns, flush_values, verify_checksum), schema
+    )
+    if targets:
+        out = out.filter(F.col("doc_id").isin(list(targets)))
+    return out
+
+
+def multi_roundtrip_report(
+    original: DataFrame, decoded: DataFrame, columns: Sequence[str]
+) -> DataFrame:
+    """Per-column bit-identity report: one row with n_docs, n_decoded,
+    and a mismatch count per column (0 everywhere = green), the
+    multi-column face of ``engine.roundtrip_report``."""
+    o = original.select(
+        F.col("doc_id"), *[F.col(c).cast("array<int>").alias(f"o_{c}") for c in columns]
+    )
+    d = decoded.select(
+        F.col("doc_id"), *[F.col(c).alias(f"d_{c}") for c in columns]
+    )
+    j = o.join(d, "doc_id", "left")
+    aggs = [
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum(F.when(F.col(f"d_{columns[0]}").isNotNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_decoded"),
+    ]
+    for c in columns:
+        aggs.append(
+            F.sum(
+                F.when(
+                    F.col(f"d_{c}").isNull()
+                    | (F.col(f"o_{c}") != F.col(f"d_{c}")),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias(f"n_mismatch_{c}")
+        )
+    return j.agg(*aggs)

@@ -1,0 +1,148 @@
+"""Multi-column aligned-array encode/decode tests.
+
+The training-table shape: input_ids + attention_mask + labels, aligned
+per row, one shared doc/length sidecar per block, per-column codec
+selection (north-star: "each token array column is compressed
+per-partition").
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from archive_spark import multicolumn as mc
+from archive_spark.tokengen import token_table
+
+N_DOCS = 2000
+SEED = 11
+
+
+@pytest.fixture(scope="module")
+def multi_df(spark):
+    """token_table + two deterministic aligned columns: a 0/1 mask and
+    a small-alphabet labels column (different codec profiles per
+    column is the point)."""
+    df = token_table(spark, N_DOCS, seed=SEED).select(
+        "doc_id",
+        F.col("tokens").alias("input_ids"),
+        F.transform("tokens", lambda t: F.abs(F.pmod(t, F.lit(2)))).alias("attention_mask"),
+        F.transform("tokens", lambda t: F.abs(F.pmod(t, F.lit(7)))).alias("labels"),
+        "n_tok",
+        "source",
+    ).cache()
+    df.count()
+    return df
+
+
+COLS = ["input_ids", "attention_mask", "labels"]
+
+
+@pytest.fixture(scope="module")
+def multi_encoded(spark, multi_df):
+    enc = mc.encode_columns(multi_df, COLS, target_block_values=1 << 14).cache()
+    enc.count()
+    return enc
+
+
+def test_multi_roundtrip_bit_identical(spark, multi_df, multi_encoded):
+    dec = mc.decode_columns(multi_encoded, COLS)
+    rep = mc.multi_roundtrip_report(multi_df, dec, COLS).collect()[0]
+    assert rep.n_docs == N_DOCS and rep.n_decoded == N_DOCS
+    for c in COLS:
+        assert rep[f"n_mismatch_{c}"] == 0, c
+
+
+def test_multi_roundtrip_with_checksum(spark, multi_df, multi_encoded):
+    dec = mc.decode_columns(multi_encoded, COLS, verify_checksum=True)
+    rep = mc.multi_roundtrip_report(multi_df, dec, COLS).collect()[0]
+    assert rep.n_decoded == N_DOCS and rep.n_mismatch_input_ids == 0
+
+
+def test_per_column_codec_independence(multi_encoded):
+    """The mask column must get a cheaper codec than input_ids in at
+    least some blocks — per-column selection, not one codec per block."""
+    rows = multi_encoded.select("meta.codecs").collect()
+    ids_codecs = {r.codecs[0] for r in rows}
+    mask_codecs = {r.codecs[1] for r in rows}
+    # mask is 0/1 noise-free → for/rle/plain family, never fsst/zstd-of-ids size
+    assert mask_codecs, mask_codecs
+    assert ids_codecs != mask_codecs, (ids_codecs, mask_codecs)
+
+
+def test_sidecar_stored_once(multi_encoded):
+    """enc_bytes accounts one lengths sidecar per block, and the block
+    table carries exactly one lengths_payload column for all three
+    logical columns (the single-sidecar design win)."""
+    row = multi_encoded.select(
+        F.sum("meta.raw_bytes").alias("raw"), F.sum("meta.enc_bytes").alias("enc")
+    ).collect()[0]
+    assert row.enc < row.raw
+    assert "lengths_payload" in multi_encoded.columns
+    assert "payloads" in multi_encoded.columns
+
+
+def test_targeted_decode(spark, multi_df, multi_encoded):
+    targets = [r.doc_id for r in multi_df.select("doc_id").limit(5).collect()]
+    out = mc.decode_columns(multi_encoded, COLS, targets=targets + ["missing-doc"])
+    got = {r.doc_id for r in out.select("doc_id").collect()}
+    assert got == set(targets)
+    rep = mc.multi_roundtrip_report(
+        multi_df.filter(F.col("doc_id").isin(targets)), out, COLS
+    ).collect()[0]
+    assert rep.n_mismatch_labels == 0 and rep.n_docs == len(targets)
+
+
+def test_misaligned_column_raises_typed_error(spark, multi_df):
+    # deterministic misalignment: truncate the mask of every doc with n_tok > 3
+    bad = multi_df.withColumn(
+        "attention_mask",
+        F.when(F.col("n_tok") > 3, F.slice("attention_mask", 1, 2)).otherwise(
+            F.col("attention_mask")
+        ),
+    )
+    with pytest.raises(Exception, match="not length-aligned"):
+        mc.encode_columns(bad, COLS, target_block_values=1 << 14).count()
+
+
+def test_column_order_mismatch_is_typed(multi_encoded):
+    with pytest.raises(Exception, match="stored columns"):
+        mc.decode_columns(multi_encoded, ["labels", "input_ids", "attention_mask"]).count()
+
+
+def test_infer_columns_from_meta(multi_encoded, multi_df):
+    dec = mc.decode_columns(multi_encoded)  # columns=None → read from meta
+    assert set(COLS) <= set(dec.columns)
+    assert dec.count() == N_DOCS
+
+
+def test_empty_input_stable_schema(spark, multi_df):
+    enc = mc.encode_columns(multi_df.filter("1=0"), COLS)
+    assert enc.count() == 0
+    assert "payloads" in enc.columns
+
+
+def test_empty_and_single_token_docs_survive(spark, multi_df, multi_encoded):
+    empties = [r.doc_id for r in multi_df.filter(F.col("n_tok") == 0).select("doc_id").collect()]
+    assert empties, "generator must produce empty docs"
+    dec = mc.decode_columns(multi_encoded, COLS, targets=empties)
+    rows = dec.collect()
+    assert {r.doc_id for r in rows} == set(empties)
+    assert all(r.input_ids == [] and r.attention_mask == [] for r in rows)
+
+
+def test_plan_is_shuffle_free(spark, multi_df):
+    """One mapInArrow pass: no Exchange in the encode plan (the same
+    100 TB posture as engine.encode — plan-asserted)."""
+    enc = mc.encode_columns(multi_df, COLS)
+    plan = enc._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+
+
+def test_decode_flush_chunking_identical(spark, multi_df, multi_encoded):
+    dec = mc.decode_columns(multi_encoded, COLS, flush_values=1 << 10)
+    rep = mc.multi_roundtrip_report(multi_df, dec, COLS).collect()[0]
+    assert rep.n_decoded == N_DOCS
+    for c in COLS:
+        assert rep[f"n_mismatch_{c}"] == 0, c
