@@ -172,6 +172,30 @@ def main() -> None:
     ).collect()[0]
     extras["compression_ratio"] = round(row.enc / row.raw, 4)
 
+    # ---- q_multi_encode: the training-table shape — 3 aligned array
+    # columns (ids + mask + labels) into ONE block table with a shared
+    # sidecar and per-column codecs (multicolumn.py); ratio in extras
+    from archive_spark import multicolumn as mc
+
+    multi = tokens.select(
+        "doc_id",
+        F.col("tokens").alias("input_ids"),
+        F.transform("tokens", lambda t: F.abs(F.pmod(t, F.lit(2)))).alias("mask"),
+        F.transform("tokens", lambda t: F.abs(F.pmod(t, F.lit(7)))).alias("labels"),
+        "source",
+    )
+    mrow = [None]
+
+    def _multi():
+        mrow[0] = (
+            mc.encode_columns(multi, ["input_ids", "mask", "labels"])
+            .agg(F.sum("meta.enc_bytes").alias("e"), F.sum("meta.raw_bytes").alias("r"))
+            .collect()[0]
+        )
+
+    timed_pre("q_multi_encode", _multi)
+    extras["multi_column_ratio"] = round(mrow[0].e / mrow[0].r, 4)
+
     def timed(name: str, fn, reps: int = 2):
         """best-of-N: this host shows 2x run-to-run drift and a large
         first-touch (page cache / Python worker spin-up) penalty."""
