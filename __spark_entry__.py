@@ -2182,6 +2182,38 @@ def _q_purge_encoded(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_manifest_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O(manifest) aggregate pushdown: tokenize → encode → commit, then
+    answer count/sum/range WITHOUT any Spark scan — total docs/tokens
+    come from per-file column sums recorded in the manifest at commit
+    time (table.SUM_STAT_COLUMNS), the doc range from the manifest zone
+    maps.  Iceberg answers count(*) this way; at 100 TB this is a
+    driver-side JSON read.  The oracle recomputes ground truth from the
+    raw documents (tokenize_documents preserves word count), so a green
+    row proves the manifest numbers survive the whole encode path."""
+    import shutil
+
+    from archive_spark import engine as eng
+    from archive_spark import table as snap_table
+
+    toks = _tokens(spark, sf_dir)
+    t = "/tmp/archive_spark_magg/" + os.path.basename(os.path.normpath(sf_dir))
+    shutil.rmtree(t, ignore_errors=True)
+    snap_table.commit(eng.encode(toks, target_block_values=1 << 14), t)
+    s = snap_table.stats_summary(t)
+    if s["sums_source"] != "manifest":
+        raise RuntimeError("expected fully manifest-recorded sums")
+    row = [(
+        int(s["sums"]["meta.n_docs"]),
+        int(s["sums"]["meta.n_values"]),
+        str(s["columns"]["doc_min"][0]),
+        str(s["columns"]["doc_max"][1]),
+    )]
+    return spark.createDataFrame(
+        row, "total_docs bigint, total_tokens bigint, doc_min string, doc_max string"
+    )
+
+
 def _q_ann_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """recall@5 of product-quantization ADC (m=16 subspaces, k=64
     codes = 16 bytes/vector) with exact-cosine rerank of a 4x
@@ -2445,6 +2477,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # -- every query WITHOUT a driver correctness row (r01-r03 artifacts)
         # -- comes first: the driver walks this dict in order under a budget --
+        "manifest_aggregates": _q_manifest_aggregates,
         "multi_column_encode": _q_multi_column_encode,
         "postings_codec": _q_postings_codec,
         "source_overlap": _q_source_overlap,
@@ -3373,6 +3406,12 @@ def oracle_sql() -> dict[str, str]:
         "enc_total_values": (
             "SELECT SUM(len(string_split(text, ' ')))::BIGINT AS total_tokens, "
             "count(*)::BIGINT AS total_docs FROM documents"
+        ),
+        "manifest_aggregates": (
+            "SELECT count(*)::BIGINT AS total_docs, "
+            "SUM(len(string_split(text, ' ')))::BIGINT AS total_tokens, "
+            "min(CAST(doc_id AS VARCHAR)) AS doc_min, "
+            "max(CAST(doc_id AS VARCHAR)) AS doc_max FROM documents"
         ),
         "targeted_decode": (
             "SELECT CAST(doc_id AS VARCHAR) AS doc_id, "

@@ -178,12 +178,27 @@ def _data_files(table_dir: str, snap_data_dir: str) -> list[str]:
     return out
 
 
+#: Columns whose per-file SUM is recorded in the manifest at commit time
+#: (when present in the file schema).  Iceberg keeps row counts in
+#: manifests so ``count(*)`` never touches data; recording these sums
+#: extends the same idea to the engine's sidecar counters, so
+#: ``total_tokens`` / ``total_docs`` over a 100 TB encoded table are
+#: answered from the manifest alone (``stats_summary``).  Computing a
+#: sum costs one tiny column read per file at commit — payload columns
+#: are never touched.
+SUM_STAT_COLUMNS = ("meta.n_values", "meta.n_docs", "n_tok")
+
+
 def _file_stats(table_dir: str, files: list[str]) -> dict:
     """Footer-only per-file column stats (rows + top-level min/max) —
     the manifest-level metadata Iceberg keeps so readers can skip whole
     files without opening them.  Nested/binary columns are skipped; any
     stat that isn't JSON-representable is dropped (pruning then simply
-    doesn't apply to that column)."""
+    doesn't apply to that column).
+
+    Additionally records ``sums`` for ``SUM_STAT_COLUMNS`` present in
+    the file (reading only those leaf columns) — the manifest-level
+    aggregates behind ``stats_summary``."""
     import pyarrow.parquet as pq
 
     out: dict = {}
@@ -194,6 +209,7 @@ def _file_stats(table_dir: str, files: list[str]) -> dict:
             continue
         agg: dict = {}
         bad: set = set()  # a column missing usable stats in ANY row
+        leaves: set = set()
         # group must be invalid for the whole file — a narrowed range
         # would let select_files prune a file that still has in-range
         # rows (pruning must stay an optimization, never a filter)
@@ -203,6 +219,7 @@ def _file_stats(table_dir: str, files: list[str]) -> dict:
                 col = g.column(c)
                 st = col.statistics
                 name = col.path_in_schema
+                leaves.add(name)
                 if "." in name:
                     continue
                 if st is None or not st.has_min_max:
@@ -224,7 +241,26 @@ def _file_stats(table_dir: str, files: list[str]) -> dict:
                     agg[name] = [mn, mx]
         for name in bad:
             agg.pop(name, None)
+        sums: dict = {}
+        for path in SUM_STAT_COLUMNS:
+            if path not in leaves:
+                continue
+            try:
+                # one leaf path per read so the (flattened) output name
+                # maps back unambiguously even if a top-level column
+                # shares a nested leaf's name
+                col = pq.read_table(
+                    os.path.join(table_dir, rel), columns=[path]
+                ).column(0)
+                import pyarrow.compute as pc
+
+                s = pc.sum(col).as_py()
+                sums[path] = int(s or 0)
+            except Exception:
+                continue  # sums are an optimization, never required
         out[rel] = {"rows": md.num_rows, "columns": agg}
+        if sums:
+            out[rel]["sums"] = sums
     return out
 
 
@@ -262,6 +298,132 @@ def select_files(
         if not drop:
             kept.append(f)
     return kept
+
+
+class StatsUnavailable(RuntimeError):
+    """Manifest-level aggregates cannot answer for this snapshot
+    (pending equality-delete entries would make them overcount)."""
+
+
+def stats_summary(
+    table_dir: str,
+    snapshot_id: str | None = None,
+    *,
+    compute_missing: bool = True,
+) -> dict:
+    """O(manifest) aggregates over a snapshot — Iceberg answers
+    ``count(*)`` from manifest row counts without opening a single data
+    file; this extends the pattern to min/max (from the recorded zone
+    maps) and to the sums recorded for ``SUM_STAT_COLUMNS`` at commit
+    time.  On a 100 TB table this is a driver-side JSON read, not a
+    cluster scan.
+
+    Returns ``{snapshot_id, n_files, n_rows, columns: {col: [min,max]},
+    sums: {leaf_path: int}, sums_source}``.  ``n_rows`` / a column's
+    range is ``None``/absent when any file lacks the stat (and
+    ``compute_missing`` is off) — absent beats wrong.  Files written
+    before sum recording existed get their sum computed on demand by
+    reading only that leaf column (``compute_missing=True``, the
+    default); a file whose schema lacks the column contributes 0 (the
+    additive-evolution read contract projects it as null).
+
+    Raises ``StatsUnavailable`` when the snapshot carries pending
+    equality-delete entries: manifest numbers would count logically
+    deleted rows.  Purge/compact first, or run a real scan.
+    """
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    snapshot_id = snapshot_id or current_snapshot_id(table_dir)
+    if snapshot_id is None:
+        raise FileNotFoundError(f"no current snapshot in {table_dir}")
+    m = read_manifest(table_dir, snapshot_id)
+    if m.deletes:
+        raise StatsUnavailable(
+            f"snapshot {snapshot_id} has {len(m.deletes)} pending "
+            "equality-delete entries; manifest aggregates would "
+            "overcount — purge/compact first or scan"
+        )
+    stats = m.stats or {}
+    n_rows: int | None = 0
+    col_ranges: dict | None = None
+    sums: dict = {}
+    sums_recorded = True
+    want_sums = [c for c in SUM_STAT_COLUMNS if _schema_has_leaf(m.schema, c)]
+    for rel in m.files:
+        st = stats.get(rel)
+        if st is None:
+            if not compute_missing:
+                return {
+                    "snapshot_id": snapshot_id,
+                    "n_files": len(m.files),
+                    "n_rows": None,
+                    "columns": {},
+                    "sums": {},
+                    "sums_source": "unavailable",
+                }
+            st = _file_stats(table_dir, [rel]).get(rel)
+            if st is None:
+                raise StatsUnavailable(f"unreadable data file {rel}")
+            sums_recorded = False
+        if n_rows is not None:
+            n_rows += int(st.get("rows", 0))
+        # a column's table-level range exists only if every file records
+        # it (a missing per-file stat could hide the true extreme)
+        cols = st.get("columns", {})
+        if col_ranges is None:
+            col_ranges = {k: list(v) for k, v in cols.items()}
+        else:
+            for k in list(col_ranges):
+                if k not in cols:
+                    del col_ranges[k]
+                else:
+                    try:
+                        col_ranges[k][0] = min(col_ranges[k][0], cols[k][0])
+                        col_ranges[k][1] = max(col_ranges[k][1], cols[k][1])
+                    except TypeError:
+                        del col_ranges[k]
+        fsums = st.get("sums", {})
+        for path in want_sums:
+            if path in fsums:
+                sums[path] = sums.get(path, 0) + int(fsums[path])
+                continue
+            # not recorded at this file's commit: compute from the one
+            # leaf column, or 0 if the file predates the column
+            if not compute_missing:
+                sums.pop(path, None)
+                want_sums = [c for c in want_sums if c != path]
+                continue
+            sums_recorded = False
+            fpath = os.path.join(table_dir, rel)
+            try:
+                md = pq.ParquetFile(fpath).metadata
+                leaves = {
+                    md.row_group(0).column(c).path_in_schema
+                    for c in range(md.num_columns)
+                } if md.num_row_groups else set()
+            except Exception:
+                raise StatsUnavailable(f"unreadable data file {rel}")
+            if path not in leaves:
+                sums[path] = sums.get(path, 0)
+                continue
+            col = pq.read_table(fpath, columns=[path]).column(0)
+            sums[path] = sums.get(path, 0) + int(pc.sum(col).as_py() or 0)
+    return {
+        "snapshot_id": snapshot_id,
+        "n_files": len(m.files),
+        "n_rows": n_rows,
+        "columns": col_ranges or {},
+        "sums": sums,
+        "sums_source": "manifest" if sums_recorded else "mixed",
+    }
+
+
+def _schema_has_leaf(ddl: str, path: str) -> bool:
+    """True if the committed DDL contains the (possibly nested) leaf —
+    a cheap textual containment check: every path segment must appear
+    as a field name."""
+    return all(seg in ddl for seg in path.split("."))
 
 
 def select_files_for_token(

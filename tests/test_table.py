@@ -1002,3 +1002,82 @@ def test_lifecycle_random_program_with_refs(spark, tmp_path, seed):
         got = sorted((r.doc_id, r.text)
                      for r in table.read(spark, t).collect())
         assert got == sorted(model), f"step {step} op {op} seed {seed}"
+
+
+# ---------------------------------------------------------------------------
+# manifest-level aggregates (stats_summary)
+# ---------------------------------------------------------------------------
+
+def test_stats_summary_raw_tokens_manifest_only(spark, tokens, tmp_path):
+    t = str(tmp_path / "t")
+    table.commit(tokens, t)
+    s = table.stats_summary(t)
+    truth = tokens.agg(
+        F.count("*").alias("n"), F.sum("n_tok").alias("tok"),
+        F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi"),
+    ).collect()[0]
+    assert s["n_rows"] == truth.n == 500
+    assert s["sums"]["n_tok"] == truth.tok
+    assert s["columns"]["doc_id"] == [truth.lo, truth.hi]
+    assert s["sums_source"] == "manifest"   # zero data-file reads needed
+
+
+def test_stats_summary_encoded_table_and_append(spark, tokens, tmp_path):
+    t = str(tmp_path / "t")
+    table.commit(engine.encode(tokens.limit(300), target_block_values=1 << 12), t)
+    table.commit(
+        engine.encode(
+            tokens.subtract(tokens.limit(300)), target_block_values=1 << 12
+        ),
+        t, mode="append",
+    )
+    s = table.stats_summary(t)
+    enc = table.read(spark, t)
+    truth = enc.agg(
+        F.count("*").alias("blocks"),
+        F.sum("meta.n_values").alias("vals"),
+        F.sum("meta.n_docs").alias("docs"),
+    ).collect()[0]
+    assert s["n_rows"] == truth.blocks
+    assert s["sums"]["meta.n_values"] == truth.vals
+    assert s["sums"]["meta.n_docs"] == truth.docs == 500
+    assert s["sums_source"] == "manifest"
+    # vmin/vmax zone maps fold to the table-wide token range
+    tok_range = engine.decode(enc).select(F.explode("tokens").alias("v")).agg(
+        F.min("v"), F.max("v")).collect()[0]
+    assert s["columns"]["vmin"][0] == tok_range[0]
+    assert s["columns"]["vmax"][1] == tok_range[1]
+
+
+def test_stats_summary_pre_upgrade_snapshot_computes_sums(spark, tokens, tmp_path):
+    import json as _json
+
+    t = str(tmp_path / "t")
+    sid = table.commit(tokens, t)
+    # simulate a manifest written before sum recording existed
+    mpath = os.path.join(t, "_manifests", f"snapshot-{sid}.json")
+    m = _json.load(open(mpath))
+    for st in m["stats"].values():
+        st.pop("sums", None)
+    _json.dump(m, open(mpath, "w"))
+    s = table.stats_summary(t)
+    assert s["sums"]["n_tok"] == tokens.agg(F.sum("n_tok")).collect()[0][0]
+    assert s["sums_source"] == "mixed"      # computed on demand, flagged
+    s2 = table.stats_summary(t, compute_missing=False)
+    assert "n_tok" not in s2["sums"]        # absent beats wrong
+    assert s2["n_rows"] == 500              # rows still pure-manifest
+
+
+def test_stats_summary_refuses_pending_deletes_then_compact_clears(
+    spark, tokens, tmp_path
+):
+    t = str(tmp_path / "t")
+    table.commit(tokens, t)
+    victims = [r.doc_id for r in tokens.limit(7).select("doc_id").collect()]
+    table.delete_rows(spark, t, victims)
+    with pytest.raises(table.StatsUnavailable):
+        table.stats_summary(t)
+    table.compact(spark, t, target_partitions=2)   # applies deletes physically
+    s = table.stats_summary(t)
+    assert s["n_rows"] == 493
+    assert s["sums_source"] == "manifest"          # compact re-recorded sums
