@@ -2182,6 +2182,46 @@ def _q_purge_encoded(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_vocab_remap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compressed-domain vocabulary remap (engine.remap_vocab): encode the
+    token table, rewrite every block under an id->id map (tokenizer
+    migration) by splicing ONLY the value sidecar of dict/fsst/rle/
+    constant blocks — packed code streams, symbol tables and run-length
+    streams stay byte-identical, so the rewrite skips all selector and
+    encoder work — then decode WITH checksum verification (the CRCs are
+    refreshed by the remap) and aggregate the mapped values.  The oracle
+    replays the same map arithmetically over the persisted raw token
+    table, so any sidecar mis-splice, stale CRC, or dropped id
+    hash-mismatches."""
+    from archive_spark import engine
+
+    toks = _tokens(spark, sf_dir)
+    _persist(toks.select("doc_id", "tokens", "source"), "remap_input", sf_dir)
+    mapping = (
+        toks.select(F.explode("tokens").alias("t"))
+        .distinct()
+        .select(
+            F.col("t").alias("old_id"),
+            F.col("t").bitwiseAND(F.lit(32767)).alias("new_id"),
+        )
+    )
+    enc = engine.encode(toks, target_block_values=1 << 16)
+    dec = engine.decode(engine.remap_vocab(enc, mapping), verify_checksum=True)
+    return (
+        dec.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tok").cast("long").alias("n_values"),
+            F.sum(
+                F.expr("aggregate(tokens, 0L, (a, x) -> a + cast(x as long))")
+            ).cast("long").alias("tok_sum"),
+            F.min(F.array_min("tokens")).cast("long").alias("tok_min"),
+            F.max(F.array_max("tokens")).cast("long").alias("tok_max"),
+        )
+        .orderBy("source")
+    )
+
+
 def _q_manifest_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O(manifest) aggregate pushdown: tokenize → encode → commit, then
     answer count/sum/range WITHOUT any Spark scan — total docs/tokens
@@ -2477,6 +2517,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # -- every query WITHOUT a driver correctness row (r01-r03 artifacts)
         # -- comes first: the driver walks this dict in order under a budget --
+        "vocab_remap": _q_vocab_remap,
         "manifest_aggregates": _q_manifest_aggregates,
         "multi_column_encode": _q_multi_column_encode,
         "postings_codec": _q_postings_codec,
@@ -3406,6 +3447,18 @@ def oracle_sql() -> dict[str, str]:
         "enc_total_values": (
             "SELECT SUM(len(string_split(text, ' ')))::BIGINT AS total_tokens, "
             "count(*)::BIGINT AS total_docs FROM documents"
+        ),
+        "vocab_remap": (
+            "WITH m AS (SELECT source, len(tokens)::BIGINT AS n_tok, "
+            "list_transform(tokens, t -> (t & 32767)::BIGINT) AS mt "
+            f"FROM read_parquet('{_opath('remap_input')}')) "
+            "SELECT source, count(*)::BIGINT AS n_docs, "
+            "COALESCE(SUM(n_tok), 0)::BIGINT AS n_values, "
+            "COALESCE(SUM(COALESCE(list_aggregate(mt, 'sum'), 0)), 0)::BIGINT "
+            "AS tok_sum, "
+            "MIN(list_aggregate(mt, 'min'))::BIGINT AS tok_min, "
+            "MAX(list_aggregate(mt, 'max'))::BIGINT AS tok_max "
+            "FROM m GROUP BY source ORDER BY source"
         ),
         "manifest_aggregates": (
             "SELECT count(*)::BIGINT AS total_docs, "

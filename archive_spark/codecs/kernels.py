@@ -824,8 +824,12 @@ def histogram_block(buf: bytes | memoryview) -> tuple[np.ndarray, np.ndarray]:
             uvals = decode(body[12:12 + vlen]).astype(np.int64)
             idx = decode(body[12 + vlen:])
             cnt = np.bincount(idx, minlength=uvals.size).astype(np.int64)
-            order = np.argsort(uvals, kind="stable")
-            u, c = uvals[order], cnt[order]
+            # a vocab-remapped dictionary (codecs.remap) may be unsorted
+            # and carry duplicate values — merge counts by value, never
+            # assume the encoder's sorted-unique layout
+            u, inv = np.unique(uvals, return_inverse=True)
+            c = np.zeros(u.size, dtype=np.int64)
+            np.add.at(c, inv, cnt)
             keep = c > 0
             return u[keep], c[keep]
         v = decode(mv).astype(np.int64)
@@ -846,7 +850,8 @@ def occurrences_block(buf: bytes | memoryview, token: int) -> int:
     - ``constant``: one compare, O(1);
     - ``rle``: probe the run *values* only — run lengths decode only on
       a hit (O(runs), never ``np.repeat``-expanded);
-    - ``dict``: binary-search the sorted dictionary; the code stream is
+    - ``dict``: probe the dictionary values only (vectorized equality —
+      remapped dictionaries may be unsorted); the code stream is
       scanned only when the value is actually in the dictionary;
     - everything else: full decode + vectorized count.
 
@@ -875,11 +880,15 @@ def occurrences_block(buf: bytes | memoryview, token: int) -> int:
         if cid == DICT:
             n_dict, vlen = struct.unpack_from("<IQ", body)
             uvals = decode(body[12:12 + vlen])
-            pos = int(np.searchsorted(uvals, np.int32(token)))
-            if pos >= uvals.size or int(uvals[pos]) != token:
+            # vectorized equality, not binary search: a vocab-remapped
+            # dictionary (codecs.remap) may be unsorted with duplicates
+            hits = np.flatnonzero(uvals == np.int32(token))
+            if hits.size == 0:
                 return 0
             idx = decode(body[12 + vlen:])
-            return int((idx == idx.dtype.type(pos)).sum())
+            if hits.size == 1:
+                return int((idx == idx.dtype.type(hits[0])).sum())
+            return int(np.isin(idx, hits.astype(idx.dtype)).sum())
         v = decode(mv)
         return int((v == np.int32(token)).sum())
     except CodecError:

@@ -1,0 +1,174 @@
+"""Compressed-domain vocabulary remap over encoded blocks.
+
+A tokenizer migration (vocab compaction, id renumbering, merging two
+vocabularies) rewrites every token id in the corpus.  The naive plan is
+decode -> map -> re-encode: two full codec passes over 100 TB.  But the
+value-heavy codecs in this engine keep the *distinct values* in a small
+sidecar inside the block — dict and fsst gather ``uvals[codes]`` at
+decode time (kernels.py `_dec_dict`/`_dec_fsst`), rle stores run values
+as a nested block, constant stores one value — so an arbitrary id->id
+map applies by rewriting ONLY the value sidecar and splicing it back
+in front of the untouched code/run-length streams.  The expensive part
+of an encode (selector trials, FSST symbol-table search, bit-packing
+the code stream) is skipped entirely; position-structure codecs
+(for/delta/pdelta/ef/plain/zstd/deflate) fall back to decode ->
+re-select, which is exactly as expensive as a fresh encode and just as
+correct.
+
+The reference's analogue is rezip's re-pack (rezip/rezip.go:81-121):
+rewrite an archive's *members* without touching the ones already in
+the target form.  Here the "member" is the value sidecar.
+
+Contract notes:
+
+- Remapped dictionaries are NOT re-sorted and MAY contain duplicates
+  (a non-injective map can collapse two ids).  Decode is a pure gather,
+  so roundtrip stays bit-exact; the block-level probe helpers
+  (``kernels.histogram_block`` / ``kernels.occurrences_block``) handle
+  unsorted/duplicated dictionaries explicitly.
+- Ids absent from the mapping pass through unchanged (identity).
+- Mapped values must stay in int32 (CodecError otherwise) — the block
+  format is an int32 token domain end to end.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+from . import kernels
+from .kernels import (
+    CONSTANT,
+    DICT,
+    FSST,
+    HEADER_SIZE,
+    PLAIN,
+    RLE,
+    CodecError,
+    _HDR,
+)
+from .selector import encode_auto_ex
+
+
+def normalize_mapping(keys, vals) -> tuple[np.ndarray, np.ndarray]:
+    """Validate + sort an (old_id, new_id) mapping into int32 arrays.
+
+    Raises CodecError on duplicate keys with conflicting targets or on
+    values outside the int32 token domain.
+    """
+    k = np.asarray(keys)
+    v = np.asarray(vals)
+    if k.shape != v.shape or k.ndim != 1:
+        raise CodecError("mapping keys/vals must be equal-length 1-d arrays")
+    for a, what in ((k, "keys"), (v, "values")):
+        a64 = a.astype(np.int64, copy=False)
+        if a64.size and (
+            a64.min() < np.iinfo(np.int32).min or a64.max() > np.iinfo(np.int32).max
+        ):
+            raise CodecError(f"mapping {what} out of int32 range")
+    k = k.astype(np.int32, copy=False)
+    v = v.astype(np.int32, copy=False)
+    order = np.argsort(k, kind="stable")
+    k, v = k[order], v[order]
+    dup = k[1:] == k[:-1]
+    if dup.any() and (v[1:][dup] != v[:-1][dup]).any():
+        raise CodecError("mapping has conflicting targets for one key")
+    return k, v
+
+
+def remap_values(a: np.ndarray, keys: np.ndarray, vals: np.ndarray) -> np.ndarray:
+    """Apply the sorted (keys -> vals) map to an int32 array; ids not in
+    ``keys`` pass through unchanged.  One searchsorted + two gathers —
+    no per-element Python."""
+    a = np.asarray(a, dtype=np.int32)
+    if a.size == 0 or keys.size == 0:
+        return a.copy()
+    pos = np.searchsorted(keys, a)
+    np.minimum(pos, keys.size - 1, out=pos)
+    hit = keys[pos] == a
+    out = a.copy()
+    out[hit] = vals[pos[hit]]
+    return out
+
+
+def _splice_dict(body: memoryview, keys, vals):
+    n_dict, vlen = struct.unpack_from("<IQ", body)
+    uvals = kernels.decode(body[12 : 12 + vlen])
+    new_uvals = remap_values(uvals, keys, vals)
+    new_blk = kernels.encode_simple(new_uvals)
+    new_body = (
+        struct.pack("<IQ", n_dict, len(new_blk))
+        + new_blk
+        + bytes(body[12 + vlen :])
+    )
+    return new_body, new_uvals
+
+
+def _splice_fsst(body: memoryview, keys, vals):
+    n_base, n_sym, alpha_width, vlen = struct.unpack_from("<IHBQ", body)
+    uvals = kernels.decode(body[15 : 15 + vlen])
+    new_uvals = remap_values(uvals, keys, vals)
+    new_blk = kernels.encode_simple(new_uvals)
+    new_body = (
+        struct.pack("<IHBQ", n_base, n_sym, alpha_width, len(new_blk))
+        + new_blk
+        + bytes(body[15 + vlen :])
+    )
+    return new_body, new_uvals
+
+
+def _splice_rle(body: memoryview, keys, vals):
+    n_runs, vlen = struct.unpack_from("<QQ", body)
+    sub_buf, _, sub_vals = remap_block(bytes(body[16 : 16 + vlen]), keys, vals)
+    new_body = (
+        struct.pack("<QQ", n_runs, len(sub_buf)) + sub_buf + bytes(body[16 + vlen :])
+    )
+    return new_body, sub_vals
+
+
+def remap_block(
+    buf: bytes | memoryview,
+    keys: np.ndarray,
+    vals: np.ndarray,
+    allow_fsst: bool = True,
+) -> tuple[bytes, str, np.ndarray]:
+    """Rewrite one encoded block under the (keys -> vals) id map.
+
+    Returns ``(new_block, mode, sidecar_values)`` where mode is
+    ``"splice"`` (value sidecar rewritten, code/run streams byte-
+    identical) or ``"reencode"`` (full decode + codec re-selection), and
+    ``sidecar_values`` is the remapped value sidecar (dict/fsst uvals,
+    rle run values, the constant, or the full mapped array for
+    reencode) — every distinct value of the block appears in it, so the
+    caller derives zone maps and bloom filters without another decode.
+    """
+    mv = memoryview(buf)
+    if len(mv) < HEADER_SIZE:
+        raise CodecError("truncated block header")
+    cid, n = _HDR.unpack_from(mv)
+    body = mv[HEADER_SIZE:]
+    if n == 0:
+        return bytes(mv), "splice", np.zeros(0, dtype=np.int32)
+    if cid == CONSTANT:
+        (val,) = struct.unpack_from("<q", body)
+        new = remap_values(np.array([val], dtype=np.int32), keys, vals)
+        return _HDR.pack(CONSTANT, n) + struct.pack("<q", int(new[0])), "splice", new
+    if cid == DICT:
+        new_body, sidecar = _splice_dict(body, keys, vals)
+        return _HDR.pack(DICT, n) + new_body, "splice", sidecar
+    if cid == FSST:
+        new_body, sidecar = _splice_fsst(body, keys, vals)
+        return _HDR.pack(FSST, n) + new_body, "splice", sidecar
+    if cid == RLE:
+        new_body, sidecar = _splice_rle(body, keys, vals)
+        return _HDR.pack(RLE, n) + new_body, "splice", sidecar
+    # position-structure codecs: the map destroys the structure the codec
+    # exploits (monotonicity, frame span, byte-level redundancy) — decode
+    # and let the selector pick again.
+    mapped = remap_values(kernels.decode(mv), keys, vals)
+    new_buf, _, _ = encode_auto_ex(mapped, allow_fsst=allow_fsst)
+    return new_buf, "reencode", mapped
+
+
+__all__ = ["normalize_mapping", "remap_values", "remap_block"]

@@ -794,3 +794,152 @@ def recompact_blocks(
         "avg_block_values_before": float(before.avg_block_values or 0),
         "avg_block_values_after": float(after.avg_block_values or 0),
     }
+
+
+# ---------------------------------------------------------------------------
+# compressed-domain vocabulary remap
+# ---------------------------------------------------------------------------
+
+MAX_MAPPING_ROWS = 1 << 24  # driver-side broadcast cap (~128 MiB of int32 pairs)
+
+
+def _mapping_arrays(mapping, max_rows: int = MAX_MAPPING_ROWS):
+    """Normalize a mapping argument — dict[int, int], an (old, new)
+    ndarray pair, or a DataFrame with (old_id, new_id) columns — into
+    sorted driver-side int32 arrays ready to broadcast in a closure.
+    Vocab-bounded by contract (like the NB model / BPE vocab broadcasts);
+    ``max_rows`` guards the driver against an unbounded collect."""
+    from .codecs.remap import normalize_mapping
+
+    if isinstance(mapping, DataFrame):
+        n = mapping.count()
+        if n > max_rows:
+            raise kernels.CodecError(
+                f"mapping has {n} rows > cap {max_rows}: a vocab map must be "
+                "driver-broadcastable (raise max_rows only with executor "
+                "memory to match)"
+            )
+        pdf = mapping.select(
+            F.col(mapping.columns[0]).cast("long").alias("k"),
+            F.col(mapping.columns[1]).cast("long").alias("v"),
+        ).toPandas()
+        return normalize_mapping(pdf["k"].to_numpy(), pdf["v"].to_numpy())
+    if isinstance(mapping, dict):
+        if len(mapping) > max_rows:
+            raise kernels.CodecError(f"mapping has {len(mapping)} entries > cap {max_rows}")
+        k = np.fromiter(mapping.keys(), dtype=np.int64, count=len(mapping))
+        v = np.fromiter(mapping.values(), dtype=np.int64, count=len(mapping))
+        return normalize_mapping(k, v)
+    k, v = mapping
+    return normalize_mapping(np.asarray(k), np.asarray(v))
+
+
+def remap_vocab(
+    df_encoded: DataFrame,
+    mapping,
+    allow_fsst: bool = True,
+    max_mapping_rows: int = MAX_MAPPING_ROWS,
+) -> DataFrame:
+    """Rewrite every encoded block under an id -> id vocabulary map
+    WITHOUT re-encoding where the codec layout allows it.
+
+    dict / fsst / rle / constant blocks — the overwhelming majority on
+    token data — rewrite only their value sidecar (``codecs.remap``):
+    the packed code stream, FSST symbol table, and run-length stream are
+    byte-identical in the output, so the cost per block is one decode
+    pass (for the refreshed CRC) with zero selector/encoder work.
+    Position-structure codecs (for/delta/pdelta/ef/plain/zstd) re-select
+    honestly.  Block identity, doc sidecars, and the lengths payload are
+    preserved; zone maps (vmin/vmax), token blooms, CRC-32, and codec
+    metadata are refreshed so every downstream face (targeted decode,
+    membership pruning, verify_checksum) stays exact.
+
+    Ids absent from the mapping pass through unchanged.  The plan is
+    shuffle-free: one mapInArrow over the block table.
+    """
+    keys, vals = _mapping_arrays(mapping, max_mapping_rows)
+
+    def _remap(it: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        import zlib
+
+        from .codecs import remap as remap_mod
+
+        for batch in it:
+            if batch.num_rows == 0:
+                continue
+            payloads = batch.column("payload")
+            lens_payloads = batch.column("lengths_payload")
+            meta = batch.column("meta")
+            params_in = meta.field("params")
+            new_payload, new_vmin, new_vmax = [], [], []
+            new_bloom, new_codec, new_enc_bytes, new_params = [], [], [], []
+            for i in range(batch.num_rows):
+                buf = memoryview(payloads[i].as_buffer())
+                new_buf, mode, sidecar = remap_mod.remap_block(
+                    buf, keys, vals, allow_fsst=allow_fsst
+                )
+                mapped = (
+                    sidecar if mode == "reencode" else kernels.decode(new_buf)
+                )
+                distinct = np.unique(sidecar)
+                crc = zlib.crc32(np.ascontiguousarray(mapped, dtype=np.int32))
+                if distinct.size == 0:
+                    blm, vmn, vmx = b"", 0, 0
+                else:
+                    vmn, vmx = int(distinct[0]), int(distinct[-1])
+                    if distinct.size <= bloom.BLOOM_MAX_KEYS:
+                        blm = bloom.build(distinct, bloom.target_bytes(distinct.size))
+                    else:
+                        blm = None
+                lp_len = lens_payloads[i].as_buffer().size
+                p = dict(params_in[i].as_py() or [])
+                p.update(
+                    {
+                        "vmin": str(vmn),
+                        "vmax": str(vmx),
+                        "n_distinct": str(int(distinct.size)),
+                        "bloom_bytes": str(len(blm)) if blm is not None else "0",
+                        "crc32": str(crc),
+                        "remap": mode,
+                    }
+                )
+                new_payload.append(new_buf)
+                new_vmin.append(vmn)
+                new_vmax.append(vmx)
+                new_bloom.append(blm)
+                new_codec.append(kernels.codec_of(new_buf))
+                new_enc_bytes.append(len(new_buf) + lp_len)
+                new_params.append(p)
+            new_meta = pa.StructArray.from_arrays(
+                [
+                    pa.array(new_codec, pa.string()),
+                    meta.field("n_values").combine_chunks()
+                    if isinstance(meta.field("n_values"), pa.ChunkedArray)
+                    else meta.field("n_values"),
+                    meta.field("n_docs"),
+                    meta.field("raw_bytes"),
+                    pa.array(new_enc_bytes, pa.int64()),
+                    pa.array(new_params, pa.map_(pa.string(), pa.string())),
+                ],
+                names=["codec", "n_values", "n_docs", "raw_bytes", "enc_bytes", "params"],
+            )
+            yield pa.RecordBatch.from_arrays(
+                [
+                    batch.column("block_id"),
+                    batch.column("source"),
+                    batch.column("doc_ids"),
+                    batch.column("doc_min"),
+                    batch.column("doc_max"),
+                    pa.array(new_vmin, pa.int64()),
+                    pa.array(new_vmax, pa.int64()),
+                    pa.array(new_payload, pa.binary()),
+                    batch.column("lengths_payload"),
+                    pa.array(new_bloom, pa.binary()),
+                    new_meta,
+                ],
+                names=["block_id", "source", "doc_ids", "doc_min", "doc_max",
+                       "vmin", "vmax", "payload", "lengths_payload",
+                       "token_bloom", "meta"],
+            )
+
+    return df_encoded.mapInArrow(_remap, ENCODED_SCHEMA)

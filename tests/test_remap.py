@@ -1,0 +1,211 @@
+"""Compressed-domain vocabulary remap (codecs.remap / engine.remap_vocab).
+
+The invariant under test is the reference's roundtrip contract
+(rezip/rezip.go:123-151) lifted to a rewrite: for every codec,
+decode(remap_block(encode(v))) == map(v) bit-identical, with the
+value-sidecar codecs (constant/dict/fsst/rle) rewriting ONLY the
+sidecar — code and run-length streams byte-for-byte unchanged.
+"""
+
+import struct
+
+import numpy as np
+import pytest
+
+from archive_spark.codecs import bloom, kernels, remap
+from archive_spark.codecs.selector import encode_auto_ex
+
+RNG = np.random.default_rng(1234)
+
+MAP_KEYS = np.array([0, 2, 4, 6, 8, 5, 1000], dtype=np.int64)
+MAP_VALS = np.array([-10, -12, -14, -16, -18, 5_000_000, 0], dtype=np.int64)
+
+
+def _map():
+    return remap.normalize_mapping(MAP_KEYS, MAP_VALS)
+
+
+def _expect(arr):
+    k, v = _map()
+    return remap.remap_values(arr, k, v)
+
+
+CASES = {
+    "constant": np.full(1000, 4, np.int32),
+    "dict": RNG.choice(np.arange(10, dtype=np.int32), 5000),
+    "rle": np.repeat(np.arange(10, dtype=np.int32), 500),
+    "fsst": np.tile(np.array([1, 2, 3, 4, 5, 6, 7, 8] * 4, np.int32), 2000),
+    "for": RNG.integers(0, 9, 4000).astype(np.int32),
+    "delta": np.arange(10000, dtype=np.int32),
+    "ef": np.sort(RNG.choice(100000, 5000, replace=False)).astype(np.int32),
+    "plain": RNG.integers(-(2**31), 2**31 - 1, 300).astype(np.int32),
+    "zstd": np.frombuffer(bytes(range(256)) * 1000, dtype=np.int32)[:8000].copy(),
+}
+SPLICE = {"constant", "dict", "rle", "fsst"}
+
+
+@pytest.mark.parametrize("name", sorted(CASES))
+def test_remap_block_roundtrip(name):
+    arr = CASES[name]
+    if name == "fsst":
+        blk = kernels.encode_fsst(arr)
+    elif name in SPLICE:
+        blk = kernels.encode(arr, name)
+    else:
+        blk, picked, _ = encode_auto_ex(arr)
+        assert picked == name, f"case {name} drifted to {picked}"
+    k, v = _map()
+    new_blk, mode, sidecar = remap.remap_block(blk, k, v)
+    expect = _expect(arr)
+    assert np.array_equal(kernels.decode(new_blk), expect)
+    assert mode == ("splice" if name in SPLICE else "reencode")
+    # sidecar covers every distinct value (zone map / bloom material)
+    assert set(np.unique(expect).tolist()) <= set(np.unique(sidecar).tolist())
+
+
+def test_dict_code_stream_byte_identical():
+    arr = CASES["dict"]
+    blk = kernels.encode(arr, "dict")
+    k, v = _map()
+    new_blk, mode, _ = remap.remap_block(blk, k, v)
+    assert mode == "splice"
+    h = kernels.HEADER_SIZE
+    _, vlen = struct.unpack_from("<IQ", memoryview(blk)[h:])
+    _, vlen2 = struct.unpack_from("<IQ", memoryview(new_blk)[h:])
+    assert bytes(memoryview(blk)[h + 12 + vlen:]) == bytes(
+        memoryview(new_blk)[h + 12 + vlen2:]
+    )
+
+
+def test_fsst_symbol_and_code_stream_byte_identical():
+    arr = CASES["fsst"]
+    blk = kernels.encode_fsst(arr)
+    assert kernels.codec_of(blk) == "fsst"
+    k, v = _map()
+    new_blk, mode, _ = remap.remap_block(blk, k, v)
+    assert mode == "splice"
+    h = kernels.HEADER_SIZE
+    _, _, _, vlen = struct.unpack_from("<IHBQ", memoryview(blk)[h:])
+    _, _, _, vlen2 = struct.unpack_from("<IHBQ", memoryview(new_blk)[h:])
+    assert bytes(memoryview(blk)[h + 15 + vlen:]) == bytes(
+        memoryview(new_blk)[h + 15 + vlen2:]
+    )
+
+
+def test_rle_length_stream_byte_identical():
+    arr = CASES["rle"]
+    blk = kernels.encode(arr, "rle")
+    k, v = _map()
+    new_blk, mode, _ = remap.remap_block(blk, k, v)
+    assert mode == "splice"
+    h = kernels.HEADER_SIZE
+    _, vlen = struct.unpack_from("<QQ", memoryview(blk)[h:])
+    _, vlen2 = struct.unpack_from("<QQ", memoryview(new_blk)[h:])
+    assert bytes(memoryview(blk)[h + 16 + vlen:]) == bytes(
+        memoryview(new_blk)[h + 16 + vlen2:]
+    )
+
+
+def test_non_injective_map_merges_dict_entries():
+    """Collapsing two ids leaves a duplicated dictionary — decode stays a
+    pure gather, and the block-level probes merge counts by value."""
+    arr = CASES["dict"]
+    k, v = remap.normalize_mapping(np.array([8]), np.array([3]))
+    new_blk, _, _ = remap.remap_block(kernels.encode(arr, "dict"), k, v)
+    raw = remap.remap_values(arr, k, v)
+    u, c = kernels.histogram_block(new_blk)
+    ur, cr = np.unique(raw, return_counts=True)
+    assert np.array_equal(u, ur.astype(np.int64))
+    assert np.array_equal(c, cr.astype(np.int64))
+    assert kernels.occurrences_block(new_blk, 3) == int((raw == 3).sum())
+    assert kernels.occurrences_block(new_blk, 8) == 0
+
+
+def test_remap_values_identity_and_validation():
+    k, v = _map()
+    a = np.array([100, 101, 102], dtype=np.int32)  # none mapped
+    assert np.array_equal(remap.remap_values(a, k, v), a)
+    with pytest.raises(kernels.CodecError):
+        remap.normalize_mapping(np.array([1]), np.array([2**40]))
+    with pytest.raises(kernels.CodecError):
+        remap.normalize_mapping(np.array([1, 1]), np.array([2, 3]))
+    # duplicate key with SAME target is fine
+    k2, v2 = remap.normalize_mapping(np.array([1, 1]), np.array([2, 2]))
+    assert np.array_equal(
+        remap.remap_values(np.array([1], np.int32), k2, v2), [2]
+    )
+
+
+def test_empty_block_passthrough():
+    blk = kernels.encode(np.zeros(0, np.int32), "plain")
+    k, v = _map()
+    new_blk, mode, sidecar = remap.remap_block(blk, k, v)
+    assert new_blk == blk and sidecar.size == 0
+
+
+@pytest.fixture(scope="module")
+def _spark_bits(spark):
+    import pyspark.sql.functions as F
+
+    from archive_spark import engine
+    from archive_spark.pipeline_ops import tokenize_documents
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    toks = tokenize_documents(docs).cache()
+    enc = engine.encode(toks, target_block_values=1 << 14).cache()
+    mapping = (
+        toks.select(F.explode("tokens").alias("t"))
+        .distinct()
+        .select(
+            F.col("t").alias("old_id"),
+            F.col("t").bitwiseAND(F.lit(32767)).alias("new_id"),
+        )
+    )
+    rem = engine.remap_vocab(enc, mapping).cache()
+    return toks, enc, rem
+
+
+def test_remap_vocab_end_to_end(spark, _spark_bits):
+    import pyspark.sql.functions as F
+
+    from archive_spark import engine
+
+    toks, enc, rem = _spark_bits
+    dec = engine.decode(rem, verify_checksum=True)  # CRC refreshed => passes
+    got = dec.select(
+        "doc_id", F.expr("aggregate(tokens, 0L, (a,x)->a+x)").alias("s"), "n_tok"
+    )
+    exp = toks.select(
+        "doc_id",
+        F.expr(
+            "aggregate(transform(tokens, t -> t & 32767), 0L, (a,x)->a+cast(x as long))"
+        ).alias("s"),
+        "n_tok",
+    )
+    j = got.alias("g").join(exp.alias("e"), "doc_id")
+    assert j.filter("g.s <> e.s or g.n_tok <> e.n_tok").count() == 0
+    assert got.count() == toks.count()
+
+
+def test_remap_vocab_refreshes_block_metadata(spark, _spark_bits):
+    _, _, rem = _spark_bits
+    rows = rem.collect()
+    assert rows
+    for row in rows:
+        vals = kernels.decode(row.payload)
+        assert int(vals.min()) == row.vmin and int(vals.max()) == row.vmax
+        assert row.meta.params["remap"] in ("splice", "reencode")
+        assert int(row.meta.params["crc32"]) >= 0
+        if row.token_bloom:
+            for t in np.unique(vals)[:64]:
+                assert bloom.maybe_contains(row.token_bloom, int(t))
+
+
+def test_remap_vocab_plan_shuffle_free(spark, _spark_bits):
+    _, enc, _ = _spark_bits
+    from archive_spark import engine
+    from tests.test_plans import plan_of
+
+    rem = engine.remap_vocab(enc, {1: 2})
+    plan = plan_of(rem)
+    assert "Exchange" not in plan, plan
