@@ -943,3 +943,47 @@ def remap_vocab(
             )
 
     return df_encoded.mapInArrow(_remap, ENCODED_SCHEMA)
+
+
+def remap_table(
+    spark,
+    table_dir: str,
+    mapping,
+    parquet_codec: str = "snappy",
+    allow_fsst: bool = True,
+    branch: str | None = None,
+) -> str:
+    """Tokenizer-migration maintenance pass: rewrite the current snapshot
+    of an encoded block table under an id -> id vocabulary map and
+    publish the result as a fresh overwrite snapshot (old snapshots stay
+    readable / time-travelable — the pre-migration state is one
+    ``read(snapshot_id=...)`` away).
+
+    The rewrite is ``remap_vocab`` (value-sidecar splice for dict/fsst/
+    rle/constant blocks, honest re-selection otherwise), one shuffle-free
+    pass; the commit recomputes manifest zone maps from the rewritten
+    files, so post-migration range scans prune against the NEW id space.
+
+    Refuses a snapshot with pending equality deletes: a remap preserves
+    block identity, so logically-deleted rows would be remapped and
+    carried forward — run ``purge_encoded`` / ``recompact_blocks`` first
+    (same refuse-never-skip contract as ``stats_summary``).
+    """
+    from . import table as snap_table
+
+    sid = snap_table.current_snapshot_id(table_dir)
+    if sid is None:
+        raise FileNotFoundError(f"{table_dir}: no committed snapshot")
+    manifest = snap_table.read_manifest(table_dir, sid)
+    if getattr(manifest, "deletes", None):
+        raise ValueError(
+            f"remap_table({table_dir}): snapshot {sid} has pending equality "
+            "deletes; make them physical first (purge_encoded / "
+            "recompact_blocks), then remap"
+        )
+    df = snap_table.read(spark, table_dir)
+    out = remap_vocab(df, mapping, allow_fsst=allow_fsst)
+    return snap_table.commit(
+        out, table_dir, mode="overwrite",
+        parquet_codec=parquet_codec, branch=branch,
+    )

@@ -6,7 +6,7 @@ Usage:
       [--cluster-by col1,col2 | --zorder-by col1,col2] \
       [--expire-keep-last K] [--vacuum] \
       [--rollback-to ID] [--tag NAME[=ID]] [--branch NAME[=ID]] \
-      [--fast-forward NAME] [--history]
+      [--fast-forward NAME] [--history] [--remap-vocab MAPPING_PARQUET]
 
 Compacts the current snapshot's small files (streaming micro-commits)
 into one overwrite snapshot, expires old snapshot manifests, vacuums
@@ -61,6 +61,12 @@ def main() -> None:
     ap.add_argument("--history", action="store_true",
                     help="append the commit history (history_df rows) to the "
                          "summary")
+    ap.add_argument("--remap-vocab", default=None,
+                    help="parquet path of an (old_id, new_id) mapping: rewrite "
+                         "the current snapshot's blocks under the id map "
+                         "(engine.remap_table — value-sidecar splice, no "
+                         "re-encode for dict/fsst/rle/constant blocks) and "
+                         "publish an overwrite snapshot")
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -80,6 +86,12 @@ def main() -> None:
         if args.target_partitions:
             kw["target_partitions"] = args.target_partitions
         out["recompact"] = engine.recompact_blocks(spark, args.table, **kw)
+    if args.remap_vocab:
+        from archive_spark import engine
+
+        out["remapped_snapshot"] = engine.remap_table(
+            spark, args.table, spark.read.parquet(args.remap_vocab)
+        )
     if args.compact:
         out["compacted_snapshot"] = table.compact(
             spark, args.table, target_partitions=args.target_partitions,

@@ -209,3 +209,68 @@ def test_remap_vocab_plan_shuffle_free(spark, _spark_bits):
     rem = engine.remap_vocab(enc, {1: 2})
     plan = plan_of(rem)
     assert "Exchange" not in plan, plan
+
+
+def test_remap_table_lifecycle(spark, tmp_path):
+    """Table-level tokenizer migration: remap publishes an overwrite
+    snapshot, the old snapshot time-travels to pre-migration values, and
+    a pending equality delete refuses the remap (refuse-never-skip)."""
+    import pyspark.sql.functions as F
+
+    from archive_spark import engine
+    from archive_spark import table as snap_table
+    from archive_spark.tokengen import token_table
+
+    tdir = str(tmp_path / "tbl")
+    toks = token_table(spark, 300, seed=21).cache()
+    enc = engine.encode(toks, target_block_values=1 << 12)
+    sid0 = snap_table.commit(enc, tdir, mode="overwrite")
+
+    mapping = (
+        toks.select(F.explode("tokens").alias("t"))
+        .distinct()
+        .select(
+            F.col("t").alias("old_id"),
+            F.col("t").bitwiseAND(F.lit(4095)).alias("new_id"),
+        )
+    )
+    sid1 = engine.remap_table(spark, tdir, mapping)
+    assert sid1 != sid0
+
+    dec = engine.decode(snap_table.read(spark, tdir), verify_checksum=True)
+    got = dec.select(
+        "doc_id", F.expr("aggregate(tokens, 0L, (a,x)->a+cast(x as long))").alias("s")
+    )
+    exp = toks.select(
+        "doc_id",
+        F.expr(
+            "aggregate(transform(tokens, t -> t & 4095), 0L, (a,x)->a+cast(x as long))"
+        ).alias("s"),
+    )
+    assert (
+        got.alias("g").join(exp.alias("e"), "doc_id").filter("g.s <> e.s").count()
+        == 0
+    )
+    # time travel: the pre-migration snapshot still decodes the OLD ids
+    old = engine.decode(snap_table.read(spark, tdir, snapshot_id=sid0))
+    exp_old = toks.select(
+        "doc_id", F.expr("aggregate(tokens, 0L, (a,x)->a+cast(x as long))").alias("s")
+    )
+    gold = old.select(
+        "doc_id", F.expr("aggregate(tokens, 0L, (a,x)->a+cast(x as long))").alias("s")
+    )
+    assert (
+        gold.alias("g").join(exp_old.alias("e"), "doc_id").filter("g.s <> e.s").count()
+        == 0
+    )
+    # manifest zone maps refreshed: every file's vmax stat is in the new space
+    for f in snap_table.read_manifest(tdir, sid1).files:
+        stats = snap_table.read_manifest(tdir, sid1).stats.get(f, {})
+        if "vmax" in stats.get("max", {}):
+            assert int(stats["max"]["vmax"]) <= 4095
+
+    # pending equality delete -> refuse
+    blk = snap_table.read(spark, tdir).select("block_id").first().block_id
+    snap_table.delete_rows(spark, tdir, [blk], key="block_id")
+    with pytest.raises(ValueError, match="pending equality deletes"):
+        engine.remap_table(spark, tdir, mapping)

@@ -412,3 +412,50 @@ def test_maintain_job_branch_wap_rollback_cli(spark, zip_path, tmp_path):
     s = json.loads(r.stdout.strip().splitlines()[-1])
     assert s["rolled_back_to"] == s1 and s["tagged"] == {"pre-rollback": s2}
     assert table.current_snapshot_id(tdir) == s1
+
+
+def test_maintain_job_remap_vocab_cli(spark, zip_path, tmp_path):
+    """Tokenizer migration through the shipped surface: encode+publish,
+    then maintain_job --remap-vocab rewrites the snapshot under an id
+    map and the decoded table carries the NEW ids, bit-exact."""
+    from archive_spark import engine
+    from archive_spark import table as snap_table
+    from archive_spark.tokengen import token_table
+
+    tdir = str(tmp_path / "tbl")
+    toks = token_table(spark, 400, seed=31).cache()
+    snap_table.commit(
+        engine.encode(toks, target_block_values=1 << 12), tdir, mode="overwrite"
+    )
+    map_path = str(tmp_path / "mapping")
+    (
+        toks.select(F.explode("tokens").alias("t"))
+        .distinct()
+        .select(
+            F.col("t").alias("old_id"),
+            F.col("t").bitwiseAND(F.lit(1023)).alias("new_id"),
+        )
+        .write.parquet(map_path)
+    )
+    r = _spark_submit(
+        zip_path, "maintain_job.py",
+        "--table", tdir, "--remap-vocab", map_path,
+    )
+    assert r.returncode == 0, r.stderr[-3000:]
+    summary = json.loads(r.stdout.strip().splitlines()[-1])
+    assert summary["remapped_snapshot"] in summary["snapshots"]
+
+    dec = engine.decode(snap_table.read(spark, tdir), verify_checksum=True)
+    got = dec.select(
+        "doc_id", F.expr("aggregate(tokens, 0L, (a,x)->a+cast(x as long))").alias("s")
+    )
+    exp = toks.select(
+        "doc_id",
+        F.expr(
+            "aggregate(transform(tokens, t -> t & 1023), 0L, (a,x)->a+cast(x as long))"
+        ).alias("s"),
+    )
+    assert (
+        got.alias("g").join(exp.alias("e"), "doc_id").filter("g.s <> e.s").count()
+        == 0
+    )
