@@ -214,6 +214,28 @@ def main() -> None:
     extras["decode_tokens_per_sec"] = int(n_dec / dt)
     assert n_dec == n_values, f"decode lost tokens: {n_dec} != {n_values}"
 
+    # ---- q_vocab_remap: compressed-domain vocabulary remap (value-
+    # sidecar splice) vs the naive decode -> re-encode rewrite it avoids.
+    # The 100k-key map covers the generator's dense vocab ranges; ids
+    # outside pass through (identity).
+    import numpy as np
+
+    mkeys = np.arange(0, 100_000, dtype=np.int64)
+    mvals = mkeys[::-1].copy()
+    (_, dt_remap) = timed(
+        "q_vocab_remap",
+        lambda: engine.remap_vocab(encoded, (mkeys, mvals))
+        .agg(F.sum("meta.enc_bytes"))
+        .collect(),
+    )
+    (_, dt_reenc) = timed(
+        "q_remap_reencode_path",
+        lambda: engine.encode(engine.decode(encoded))
+        .agg(F.sum("meta.enc_bytes"))
+        .collect(),
+    )
+    extras["remap_splice_speedup"] = round(dt_reenc / dt_remap, 2)
+
     # ---- q_verify: roundtrip identity via order-insensitive content
     # digests (no token-array shuffle; see engine.roundtrip_digest)
     def verify():
