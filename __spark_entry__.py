@@ -2222,6 +2222,22 @@ def _q_vocab_remap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_distinct_tokens_encoded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compressed-domain vocabulary stats: per-source exact distinct
+    token count + range computed from the encoded blocks' value
+    sidecars (kernels.distinct_block — dict/fsst blocks contribute
+    O(dict), rle O(runs), constant O(1); the row stream is never
+    reconstructed for them).  The oracle recomputes COUNT(DISTINCT)
+    from the persisted raw token table, so a sidecar that drops or
+    invents a value hash-mismatches."""
+    from archive_spark import analytics, engine
+
+    toks = _tokens(spark, sf_dir)
+    _persist(toks.select("tokens", "source"), "distinct_input", sf_dir)
+    enc = engine.encode(toks, target_block_values=1 << 16)
+    return analytics.distinct_tokens(enc)
+
+
 def _q_manifest_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O(manifest) aggregate pushdown: tokenize → encode → commit, then
     answer count/sum/range WITHOUT any Spark scan — total docs/tokens
@@ -2518,6 +2534,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- every query WITHOUT a driver correctness row (r01-r03 artifacts)
         # -- comes first: the driver walks this dict in order under a budget --
         "vocab_remap": _q_vocab_remap,
+        "distinct_tokens_encoded": _q_distinct_tokens_encoded,
         "manifest_aggregates": _q_manifest_aggregates,
         "multi_column_encode": _q_multi_column_encode,
         "postings_codec": _q_postings_codec,
@@ -3459,6 +3476,13 @@ def oracle_sql() -> dict[str, str]:
             "MIN(list_aggregate(mt, 'min'))::BIGINT AS tok_min, "
             "MAX(list_aggregate(mt, 'max'))::BIGINT AS tok_max "
             "FROM m GROUP BY source ORDER BY source"
+        ),
+        "distinct_tokens_encoded": (
+            "SELECT source, count(DISTINCT token)::BIGINT AS n_distinct, "
+            "MIN(token)::BIGINT AS tok_min, MAX(token)::BIGINT AS tok_max "
+            "FROM (SELECT source, unnest(tokens) AS token "
+            f"FROM read_parquet('{_opath('distinct_input')}')) "
+            "GROUP BY source ORDER BY source"
         ),
         "manifest_aggregates": (
             "SELECT count(*)::BIGINT AS total_docs, "

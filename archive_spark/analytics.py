@@ -1589,3 +1589,60 @@ def postings_codec_roundtrip(
         "id_min bigint, id_max bigint, raw_bytes bigint, enc_bytes bigint"
     )
     return post.groupBy("token").applyInPandas(enc_dec, schema)
+
+
+def distinct_tokens(encoded: DataFrame, by_source: bool = True) -> DataFrame:
+    """Exact vocabulary statistics computed in the COMPRESSED domain —
+    distinct token count and token range per source (or corpus-wide)
+    from the encoded blocks' value sidecars (``kernels.distinct_block``):
+    constant blocks contribute O(1), rle O(runs), dict/fsst O(dict) —
+    the row stream is reconstructed only for position-structure codecs.
+
+    The map side pre-merges each Arrow batch's per-source distinct sets,
+    so the shuffle carries vocabulary-sized partials, never token
+    streams; the reduce is one count_distinct groupBy.  At 100 TB this
+    is the cheap way to answer "how big is each source's vocabulary" —
+    the payload bytes of dict-heavy sources are mostly never touched.
+    """
+    import numpy as np
+    import pyarrow as pa
+
+    from .codecs import kernels
+
+    def _dist(it):
+        for batch in it:
+            if batch.num_rows == 0:
+                continue
+            per_source: dict[str, list] = {}
+            srcs = batch.column("source")
+            payloads = batch.column("payload")
+            for i in range(batch.num_rows):
+                s = srcs[i].as_py()
+                per_source.setdefault(s, []).append(
+                    kernels.distinct_block(memoryview(payloads[i].as_buffer()))
+                )
+            names, toks = [], []
+            for s, parts in per_source.items():
+                u = np.unique(np.concatenate(parts)) if parts else np.zeros(0, np.int32)
+                names.append(np.full(u.size, s, dtype=object))
+                toks.append(u.astype(np.int64))
+            if not names:
+                continue
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(np.concatenate(names), pa.string()),
+                    pa.array(np.concatenate(toks), pa.int64()),
+                ],
+                ["source", "token"],
+            )
+
+    partials = encoded.select("source", "payload").mapInArrow(
+        _dist, "source string, token long"
+    )
+    keys = ["source"] if by_source else []
+    agg = partials.groupBy(*keys).agg(
+        F.count_distinct("token").cast("bigint").alias("n_distinct"),
+        F.min("token").cast("bigint").alias("tok_min"),
+        F.max("token").cast("bigint").alias("tok_max"),
+    )
+    return agg.orderBy("source") if by_source else agg

@@ -895,3 +895,48 @@ def occurrences_block(buf: bytes | memoryview, token: int) -> int:
         raise
     except (struct.error, ValueError, IndexError, OverflowError) as e:
         raise CodecError(f"malformed block in probe: {e}") from e
+
+
+def distinct_block(buf: bytes | memoryview) -> np.ndarray:
+    """Exact sorted distinct values of one block WITHOUT reconstructing
+    the row stream where the format already carries the answer — the
+    vocabulary sibling of ``histogram_block``:
+
+    - ``constant``: one value, O(1);
+    - ``rle``: distinct of the run *values* sub-block (run lengths are
+      never touched) — O(runs);
+    - ``dict`` / ``fsst``: distinct of the stored value table — O(dict).
+      Every entry is referenced by construction (the encoder builds the
+      table from the block's uniques, kernels.py ``_enc_dict``; a vocab
+      remap keeps the code stream intact, codecs/remap.py), so the
+      table IS the distinct set;
+    - everything else: full decode + ``np.unique``.
+
+    Returns ascending int32 values; empty for an empty block.
+    Malformed payloads raise ``CodecError`` like ``decode``.
+    """
+    mv = memoryview(buf)
+    if len(mv) < HEADER_SIZE:
+        raise CodecError("truncated block header")
+    cid, n = _HDR.unpack_from(mv)
+    body = mv[HEADER_SIZE:]
+    if n == 0:
+        return np.zeros(0, dtype=np.int32)
+    try:
+        if cid == CONSTANT:
+            (val,) = struct.unpack_from("<q", body)
+            return np.array([val], dtype=np.int32)
+        if cid == RLE:
+            n_runs, vlen = struct.unpack_from("<QQ", body)
+            return np.unique(decode(body[16:16 + vlen]))
+        if cid == DICT:
+            n_dict, vlen = struct.unpack_from("<IQ", body)
+            return np.unique(decode(body[12:12 + vlen]))
+        if cid == FSST:
+            n_base, n_sym, alpha_width, vlen = struct.unpack_from("<IHBQ", body)
+            return np.unique(decode(body[15:15 + vlen]))
+        return np.unique(decode(mv))
+    except CodecError:
+        raise
+    except (struct.error, ValueError, IndexError, OverflowError) as e:
+        raise CodecError(f"malformed block in distinct: {e}") from e

@@ -274,3 +274,57 @@ def test_remap_table_lifecycle(spark, tmp_path):
     snap_table.delete_rows(spark, tdir, [blk], key="block_id")
     with pytest.raises(ValueError, match="pending equality deletes"):
         engine.remap_table(spark, tdir, mapping)
+
+
+def test_distinct_block_kernel_all_codecs():
+    from archive_spark.codecs.selector import encode_auto_ex as _enc_auto
+
+    for name, arr in CASES.items():
+        if name == "fsst":
+            blk = kernels.encode_fsst(arr)
+        elif name in SPLICE:
+            blk = kernels.encode(arr, name)
+        else:
+            blk, _, _ = _enc_auto(arr)
+        got = kernels.distinct_block(blk)
+        assert np.array_equal(got, np.unique(arr)), name
+    assert kernels.distinct_block(kernels.encode(np.zeros(0, np.int32), "plain")).size == 0
+
+
+def test_distinct_tokens_matches_decode(spark, _spark_bits):
+    import pyspark.sql.functions as F
+
+    from archive_spark import engine
+    from archive_spark.analytics import distinct_tokens
+
+    toks, enc, _ = _spark_bits
+    got = {r.source: (r.n_distinct, r.tok_min, r.tok_max)
+           for r in distinct_tokens(enc).collect()}
+    exp = {
+        r.source: (r.n, r.lo, r.hi)
+        for r in (
+            toks.select("source", F.explode("tokens").alias("t"))
+            .groupBy("source")
+            .agg(
+                F.count_distinct("t").alias("n"),
+                F.min("t").cast("long").alias("lo"),
+                F.max("t").cast("long").alias("hi"),
+            )
+            .collect()
+        )
+    }
+    assert got == exp
+    # remapped table agrees too (sidecar-only distinct survives a remap)
+    _, _, rem = _spark_bits
+    got2 = {r.source: r.n_distinct for r in distinct_tokens(rem).collect()}
+    exp2 = {
+        r.source: r.n
+        for r in (
+            toks.select("source", F.explode("tokens").alias("t"))
+            .select("source", F.col("t").bitwiseAND(F.lit(32767)).alias("t"))
+            .groupBy("source")
+            .agg(F.count_distinct("t").alias("n"))
+            .collect()
+        )
+    }
+    assert got2 == exp2
