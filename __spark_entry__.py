@@ -2222,6 +2222,32 @@ def _q_vocab_remap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-quota stratified sampling (pipeline_ops.stratified_sample):
+    deterministically the first 25 docs per source under md5 order,
+    chosen by an analytic uniform-hash threshold prune + a window over
+    only the ~margin*k candidates (never a rank-everything window).
+    The oracle replays the EXACT selection with QUALIFY row_number over
+    the same md5 order, and the digest pins every selected doc_id."""
+    from archive_spark.pipeline_ops import stratified_sample
+
+    s = stratified_sample(_docs(spark, sf_dir), k=25)
+    return (
+        s.groupBy("source")
+        .agg(
+            F.count("*").alias("n_sampled"),
+            F.sum("n_chars").cast("long").alias("chars"),
+            F.md5(
+                F.concat_ws(
+                    ",",
+                    F.sort_array(F.collect_list(F.col("doc_id").cast("string"))),
+                )
+            ).alias("digest"),
+        )
+        .orderBy("source")
+    )
+
+
 def _q_distinct_tokens_encoded(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Compressed-domain vocabulary stats: per-source exact distinct
     token count + range computed from the encoded blocks' value
@@ -2535,6 +2561,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- comes first: the driver walks this dict in order under a budget --
         "vocab_remap": _q_vocab_remap,
         "distinct_tokens_encoded": _q_distinct_tokens_encoded,
+        "stratified_sample": _q_stratified_sample,
         "manifest_aggregates": _q_manifest_aggregates,
         "multi_column_encode": _q_multi_column_encode,
         "postings_codec": _q_postings_codec,
@@ -3476,6 +3503,15 @@ def oracle_sql() -> dict[str, str]:
             "MIN(list_aggregate(mt, 'min'))::BIGINT AS tok_min, "
             "MAX(list_aggregate(mt, 'max'))::BIGINT AS tok_max "
             "FROM m GROUP BY source ORDER BY source"
+        ),
+        "stratified_sample": (
+            "WITH s AS (SELECT source, doc_id, n_chars, "
+            "row_number() OVER (PARTITION BY source "
+            "ORDER BY md5(doc_id::VARCHAR), doc_id) AS rk FROM documents) "
+            "SELECT source, count(*)::BIGINT AS n_sampled, "
+            "SUM(n_chars)::BIGINT AS chars, "
+            "md5(string_agg(doc_id::VARCHAR, ',' ORDER BY doc_id::VARCHAR)) "
+            "AS digest FROM s WHERE rk <= 25 GROUP BY source ORDER BY source"
         ),
         "distinct_tokens_encoded": (
             "SELECT source, count(DISTINCT token)::BIGINT AS n_distinct, "

@@ -3609,3 +3609,75 @@ def hybrid_rrf(
             F.row_number().over(wf).alias("rank"),
         )
     )
+
+
+def stratified_sample(
+    docs: DataFrame,
+    k: int,
+    by: str = "source",
+    key_col: str = "doc_id",
+    margin: float = 4.0,
+) -> DataFrame:
+    """EXACT-quota stratified sampling: the deterministic first-``k``
+    docs per stratum under md5 order — eval-set / ablation-corpus
+    construction where "exactly k per source" matters (fraction-based
+    ``mix_sources`` can't pin counts).
+
+    Scale shape (the reason this isn't one window over the corpus): a
+    rank-everything window shuffles and sorts ALL rows of the dominant
+    stratum on one task.  Instead:
+
+    1. one aggregate computes each stratum's size; md5 is uniform, so
+       the ``margin * k / n`` quantile of its 60-bit numeric proxy
+       (first 15 hex digits — numeric order == md5-string order
+       whenever the proxy differs) is ``frac * 2^60`` analytically, no
+       percentile pass needed;
+    2. the broadcast threshold prunes the corpus to ~margin*k candidate
+       rows per stratum at the scan;
+    3. the exact row_number window ranks only the candidates —
+       O(strata * margin * k), independent of corpus size.
+
+    Exactness is verified, never assumed: if a stratum's candidate set
+    came up short (margin too tight for a hash-uniformity fluke),
+    raises ValueError naming the stratum — rerun with a larger margin
+    (refuse-never-skip).  Fully replayable: md5 order, no RNG, and any
+    engine with md5 reproduces the exact same sample.
+    """
+    if k <= 0:
+        raise ValueError("k must be positive")
+    h = F.md5(F.col(key_col).cast("string"))
+    proxy = F.conv(F.substring(h, 1, 15), 16, 10).cast("long")
+    d = docs.withColumn("_h", h).withColumn("_hp", proxy)
+    hp_max = F.lit((1 << 60) - 1).cast("long")
+    thr = (
+        d.groupBy(by)
+        .agg(F.count("*").alias("_n"))
+        .withColumn(
+            "_frac",
+            F.least(F.lit(1.0), F.lit(float(margin) * k) / F.col("_n")),
+        )
+        .withColumn(
+            "_thr",
+            F.when(F.col("_frac") >= 1.0, hp_max).otherwise(
+                (F.col("_frac") * hp_max.cast("double")).cast("long")
+            ),
+        )
+        .drop("_frac")
+    )
+    cand = d.join(F.broadcast(thr), by).filter(F.col("_hp") <= F.col("_thr"))
+    w = Window.partitionBy(by).orderBy("_h", key_col)
+    ranked = cand.withColumn("_rk", F.row_number().over(w))
+    # exactness gate: every stratum must have yielded min(k, n) rows
+    short = (
+        ranked.groupBy(by, "_n")
+        .agg(F.count("*").alias("_c"))
+        .filter(F.col("_c") < F.least(F.lit(k), F.col("_n")))
+        .collect()
+    )
+    if short:
+        bad = {getattr(r, by): (r._c, r._n) for r in short}
+        raise ValueError(
+            f"stratified_sample: candidate pruning came up short for "
+            f"{bad} (got, total); rerun with margin > {margin}"
+        )
+    return ranked.filter(F.col("_rk") <= k).select(*docs.columns)

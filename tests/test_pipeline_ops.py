@@ -1792,3 +1792,38 @@ def test_hybrid_rrf_fusion_arithmetic(spark):
     assert out[2].rrf_ppm == rrf(1)
     # doc 1 (good in both lanes) must outrank doc 2 (one great lane)
     assert out[1].rank < out[2].rank
+
+
+def test_stratified_sample_exact_vs_bruteforce(spark):
+    """stratified_sample's threshold-pruned rank must equal the
+    rank-everything window, row for row; schema/order preserved;
+    strata smaller than k come back whole; k<=0 refused."""
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    from archive_spark.pipeline_ops import stratified_sample
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    s = stratified_sample(docs, 10)
+    assert s.columns == docs.columns
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    brute = (
+        docs.withColumn("_rk", F.row_number().over(w))
+        .filter("_rk <= 10")
+        .groupBy("source")
+        .agg(F.sort_array(F.collect_list(F.col("doc_id").cast("string"))).alias("ids"))
+    )
+    mine = s.groupBy("source").agg(
+        F.sort_array(F.collect_list(F.col("doc_id").cast("string"))).alias("ids")
+    )
+    assert (
+        brute.alias("b").join(mine.alias("m"), "source").filter("b.ids <> m.ids").count()
+        == 0
+    )
+    assert stratified_sample(docs.limit(37), 1000).count() == 37
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="k must be positive"):
+        stratified_sample(docs, 0)
