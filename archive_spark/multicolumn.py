@@ -31,10 +31,13 @@ without the original table (the pkzip per-member CRC convention).
 
 from __future__ import annotations
 
+import re
 from typing import Iterator, Sequence
 
 import numpy as np
 import pyarrow as pa
+
+_FIELD_RE = re.compile(r"^[A-Za-z_][A-Za-z0-9_]*$")
 
 from pyspark.sql import DataFrame, functions as F
 
@@ -43,11 +46,23 @@ from .codecs.selector import encode_auto, encode_auto_ex
 from .engine import DEFAULT_BLOCK_VALUES, DECODE_FLUSH_VALUES, _ragged_gather, _split_blocks
 
 
-def multi_encoded_schema() -> str:
+def multi_encoded_schema(columns: Sequence[str]) -> str:
+    """Block schema with ONE TOP-LEVEL STRUCT FIELD PER COLUMN's payload
+    (``payloads.input_ids``, ``payloads.labels``, ...).  Struct fields —
+    unlike the array<binary> layout this replaces — are independently
+    prunable at the parquet scan (Spark nested-schema pruning), so a
+    projection decode of one column never reads the other columns'
+    payload BYTES: the 100 TB training read (``input_ids`` only) scans
+    a fraction of the table.  Legacy array<binary> tables stay
+    decodable (``decode_columns`` dispatches on the stored type)."""
+    for c in columns:
+        if not _FIELD_RE.match(c):
+            raise ValueError(f"column name {c!r} is not a valid field name")
+    pay = ", ".join(f"{c}:binary" for c in columns)
     return (
         "block_id string, source string, doc_ids array<string>, "
         "doc_min string, doc_max string, vmin long, vmax long, "
-        "payloads array<binary>, lengths_payload binary, "
+        f"payloads struct<{pay}>, lengths_payload binary, "
         "meta struct<columns:array<string>, codecs:array<string>, "
         "n_values:bigint, n_docs:int, "
         "raw_bytes:bigint, enc_bytes:bigint, params:map<string,string>>"
@@ -167,9 +182,12 @@ def _make_multi_encoder(columns: Sequence[str], target: int, allow_fsst: bool, e
 
             doc_flat = pa.concat_arrays([r["docs"] for r in rows])
             blk_offsets = np.concatenate(([0], np.cumsum([r["n_docs"] for r in rows])))
-            pay_offsets = np.arange(len(rows) + 1, dtype=np.int64) * len(columns)
-            pay_flat = pa.array(
-                [p for r in rows for p in r["payloads"]], pa.binary()
+            pay_struct = pa.StructArray.from_arrays(
+                [
+                    pa.array([r["payloads"][ci] for r in rows], pa.binary())
+                    for ci in range(len(columns))
+                ],
+                names=list(columns),
             )
             meta = pa.StructArray.from_arrays(
                 [
@@ -194,7 +212,7 @@ def _make_multi_encoder(columns: Sequence[str], target: int, allow_fsst: bool, e
                     pa.array([m["max"].as_py() for m in mm], pa.string()),
                     pa.array([r["vmin"] for r in rows], pa.int64()),
                     pa.array([r["vmax"] for r in rows], pa.int64()),
-                    pa.ListArray.from_arrays(pa.array(pay_offsets, pa.int32()), pay_flat),
+                    pay_struct,
                     pa.array([r["lengths_payload"] for r in rows], pa.binary()),
                     meta,
                 ],
@@ -287,7 +305,7 @@ def encode_columns(
         )
     return df.mapInArrow(
         _make_multi_encoder(columns, target_block_values, allow_fsst, effort),
-        multi_encoded_schema(),
+        multi_encoded_schema(columns),
     )
 
 
@@ -301,6 +319,7 @@ def _make_multi_decoder(columns: Sequence[str], flush_values: int, verify_checks
             if batch.num_rows == 0:
                 continue
             payloads = batch.column("payloads")
+            is_struct = pa.types.is_struct(payloads.type)
             lens_payloads = batch.column("lengths_payload")
             doc_ids = batch.column("doc_ids")
             sources = batch.column("source")
@@ -347,19 +366,26 @@ def _make_multi_decoder(columns: Sequence[str], flush_values: int, verify_checks
             pending = 0
             for i in range(batch.num_rows):  # per-block loop (not per-row)
                 stored = list(meta_cols[i])
-                if stored != columns:
+                missing = [c for c in columns if c not in stored]
+                if missing:
                     raise kernels.CodecError(
-                        f"block {batch.column('block_id')[i]}: stored columns "
-                        f"{stored} do not match requested {columns}"
+                        f"block {batch.column('block_id')[i]}: requested "
+                        f"columns {missing} not in stored {stored}"
                     )
                 lens = kernels.decode(lens_payloads[i].as_py()).astype(np.int64)
                 n_values = int(lens.sum())
-                blk_pay = payloads[i].as_py()
-                if len(blk_pay) != len(columns):
-                    raise kernels.CodecError(
-                        f"block {batch.column('block_id')[i]}: "
-                        f"{len(blk_pay)} payloads for {len(columns)} columns"
-                    )
+                if is_struct:
+                    blk_pay = [payloads.field(c)[i].as_py() for c in columns]
+                else:
+                    # legacy array<binary> layout: payloads are positional
+                    # against meta.columns
+                    full = payloads[i].as_py()
+                    if len(full) != len(stored):
+                        raise kernels.CodecError(
+                            f"block {batch.column('block_id')[i]}: "
+                            f"{len(full)} payloads for {len(stored)} columns"
+                        )
+                    blk_pay = [full[stored.index(c)] for c in columns]
                 for c, (cname, p) in enumerate(zip(columns, blk_pay)):
                     vals = kernels.decode(p)
                     if vals.size != n_values:
@@ -409,10 +435,16 @@ def decode_columns(
     (doc_id, <columns...>, n_tok, source).
 
     ``columns=None`` reads the stored column list from the first block
-    (one tiny driver-side lookup); pass it explicitly in hot paths.
-    ``targets`` prunes blocks via doc zone maps + ``arrays_overlap``
-    BEFORE the decode UDF, exactly like ``engine.decode``.
+    (one tiny driver-side lookup); pass a SUBSET to projection-decode:
+    with the struct payload layout only the requested columns' payload
+    bytes are scanned (nested-schema pruning reaches the parquet reader)
+    and only they are decoded — the ``input_ids``-only training read
+    never touches ``labels``/``mask`` bytes.  ``targets`` prunes blocks
+    via doc zone maps + ``arrays_overlap`` BEFORE the decode UDF,
+    exactly like ``engine.decode``.
     """
+    from pyspark.sql.types import StructType
+
     if columns is None:
         first = df_encoded.select(F.col("meta.columns").alias("c")).first()
         if first is None:
@@ -425,6 +457,23 @@ def decode_columns(
         )
         tlits = F.array(*[F.lit(t) for t in targets])
         df_encoded = df_encoded.filter(F.arrays_overlap(F.col("doc_ids"), tlits))
+    if isinstance(df_encoded.schema["payloads"].dataType, StructType):
+        stored_fields = [f.name for f in df_encoded.schema["payloads"].dataType.fields]
+        missing = [c for c in columns if c not in stored_fields]
+        if missing:
+            raise kernels.CodecError(
+                f"requested columns {missing} not in stored payload fields "
+                f"{stored_fields}"
+            )
+        # narrow the payload struct to the requested fields so parquet's
+        # nested-schema pruning skips the other columns' payload BYTES
+        df_encoded = df_encoded.select(
+            "block_id", "source", "doc_ids",
+            F.struct(
+                *[F.col(f"payloads.{c}").alias(c) for c in columns]
+            ).alias("payloads"),
+            "lengths_payload", "meta",
+        )
     schema = (
         "doc_id string, "
         + ", ".join(f"{c} array<int>" for c in columns)

@@ -106,9 +106,59 @@ def test_misaligned_column_raises_typed_error(spark, multi_df):
         mc.encode_columns(bad, COLS, target_block_values=1 << 14).count()
 
 
-def test_column_order_mismatch_is_typed(multi_encoded):
-    with pytest.raises(Exception, match="stored columns"):
-        mc.decode_columns(multi_encoded, ["labels", "input_ids", "attention_mask"]).count()
+def test_column_reorder_and_subset_projection(multi_encoded, multi_df):
+    """Struct payload layout: any subset in any order decodes — only the
+    requested fields' payloads are read and decoded."""
+    dec = mc.decode_columns(multi_encoded, ["labels", "input_ids"])
+    assert dec.columns == ["doc_id", "labels", "input_ids", "n_tok", "source"]
+    j = (
+        dec.alias("d")
+        .join(multi_df.alias("o"), "doc_id")
+        .filter("d.labels <> o.labels or d.input_ids <> o.input_ids")
+    )
+    assert j.count() == 0 and dec.count() == N_DOCS
+
+
+def test_unknown_column_is_typed(multi_encoded):
+    with pytest.raises(Exception, match="not in stored"):
+        mc.decode_columns(multi_encoded, ["input_ids", "nope"]).count()
+
+
+def test_projection_prunes_payload_bytes_at_scan(spark, multi_encoded, tmp_path):
+    """The point of the struct layout: an input_ids-only decode over a
+    PERSISTED table must not read the other columns' payload bytes —
+    ReadSchema carries only the requested struct field."""
+    p = str(tmp_path / "multi")
+    multi_encoded.write.parquet(p)
+    enc = spark.read.parquet(p)
+    dec = mc.decode_columns(enc, ["input_ids"])
+    from tests.test_plans import plan_of
+
+    plan = plan_of(dec, "formatted")
+    scan = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert scan, plan
+    assert "input_ids" in scan[0], scan[0]
+    assert "attention_mask" not in scan[0] and "labels" not in scan[0], scan[0]
+    assert dec.agg(F.sum("n_tok")).collect()[0][0] == mc.decode_columns(enc).agg(
+        F.sum("n_tok")
+    ).collect()[0][0]
+
+
+def test_legacy_list_payload_layout_still_decodes(multi_encoded, multi_df):
+    """Tables written before the struct layout (payloads array<binary>,
+    positional against meta.columns) decode unchanged, including a
+    projected subset."""
+    legacy = multi_encoded.withColumn(
+        "payloads",
+        F.array(*[F.col(f"payloads.{c}") for c in COLS]),
+    )
+    dec = mc.decode_columns(legacy, ["attention_mask"])
+    j = (
+        dec.alias("d")
+        .join(multi_df.alias("o"), "doc_id")
+        .filter("d.attention_mask <> o.attention_mask")
+    )
+    assert j.count() == 0 and dec.count() == N_DOCS
 
 
 def test_infer_columns_from_meta(multi_encoded, multi_df):
