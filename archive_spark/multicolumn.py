@@ -519,3 +519,139 @@ def multi_roundtrip_report(
             .alias(f"n_mismatch_{c}")
         )
     return j.agg(*aggs)
+
+
+def remap_column(
+    df_encoded: DataFrame,
+    column: str,
+    mapping,
+    allow_fsst: bool = True,
+) -> DataFrame:
+    """Vocabulary-remap ONE column of a multi-column block table (the
+    tokenizer-migration case: ``input_ids`` changes id space, ``labels``
+    / ``attention_mask`` untouched) — the multi-column face of
+    ``engine.remap_vocab``: value-sidecar splice where the codec layout
+    allows (codecs/remap.py), honest re-selection otherwise, one
+    shuffle-free mapInArrow pass.
+
+    Only the named column's payload struct field is rewritten; every
+    other field passes through as its original Arrow array (their bytes
+    are never even copied row-by-row).  Refreshed per block:
+    ``meta.codecs`` for the column, ``<col>.vmin/.vmax/.crc32`` params,
+    ``meta.enc_bytes``, and the top-level vmin/vmax zone maps when the
+    column is the primary (first stored).  Requires the struct payload
+    layout (legacy array<binary> tables: run through decode/encode).
+    """
+    from pyspark.sql.types import StructType
+
+    from .codecs import remap as remap_mod
+    from .engine import _mapping_arrays
+
+    if not isinstance(df_encoded.schema["payloads"].dataType, StructType):
+        raise kernels.CodecError(
+            "remap_column requires the struct payload layout; "
+            "legacy array<binary> tables must decode/re-encode"
+        )
+    stored_fields = [f.name for f in df_encoded.schema["payloads"].dataType.fields]
+    if column not in stored_fields:
+        raise kernels.CodecError(
+            f"column {column!r} not in stored payload fields {stored_fields}"
+        )
+    keys, vals = _mapping_arrays(mapping)
+    out_schema = df_encoded.schema
+
+    def _remap(it: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        import zlib
+
+        for batch in it:
+            if batch.num_rows == 0:
+                continue
+            payloads = batch.column("payloads")
+            meta = batch.column("meta")
+            meta_cols = meta.field("columns").to_pylist()
+            meta_codecs = meta.field("codecs").to_pylist()
+            params_in = meta.field("params")
+            enc_bytes_in = meta.field("enc_bytes")
+            vmin_in = batch.column("vmin")
+            vmax_in = batch.column("vmax")
+            new_pay, new_codecs_col, new_params = [], [], []
+            new_enc_bytes, new_vmin, new_vmax = [], [], []
+            col_pos = stored_fields.index(column)
+            old_field = payloads.field(column)
+            for i in range(batch.num_rows):
+                stored = list(meta_cols[i])
+                if column not in stored:
+                    raise kernels.CodecError(
+                        f"block {batch.column('block_id')[i]}: column "
+                        f"{column!r} not in stored {stored}"
+                    )
+                buf = memoryview(old_field[i].as_buffer())
+                new_buf, mode, sidecar = remap_mod.remap_block(
+                    buf, keys, vals, allow_fsst=allow_fsst
+                )
+                mapped = (
+                    sidecar if mode == "reencode" else kernels.decode(new_buf)
+                )
+                distinct = np.unique(sidecar)
+                p = dict(params_in[i].as_py() or [])
+                vmn = int(distinct[0]) if distinct.size else 0
+                vmx = int(distinct[-1]) if distinct.size else 0
+                p[f"{column}.vmin"] = str(vmn)
+                p[f"{column}.vmax"] = str(vmx)
+                p[f"{column}.crc32"] = str(
+                    zlib.crc32(np.ascontiguousarray(mapped, dtype=np.int32))
+                )
+                p[f"{column}.remap"] = mode
+                cds = list(meta_codecs[i])
+                cds[stored.index(column)] = kernels.codec_of(new_buf)
+                new_pay.append(new_buf)
+                new_codecs_col.append(cds)
+                new_params.append(p)
+                new_enc_bytes.append(
+                    int(enc_bytes_in[i].as_py()) - len(bytes(buf)) + len(new_buf)
+                )
+                if stored.index(column) == 0:
+                    new_vmin.append(vmn)
+                    new_vmax.append(vmx)
+                else:
+                    new_vmin.append(vmin_in[i].as_py())
+                    new_vmax.append(vmax_in[i].as_py())
+            pay_struct = pa.StructArray.from_arrays(
+                [
+                    pa.array(new_pay, pa.binary())
+                    if f == column
+                    else payloads.field(f)
+                    for f in stored_fields
+                ],
+                names=stored_fields,
+            )
+            new_meta = pa.StructArray.from_arrays(
+                [
+                    meta.field("columns"),
+                    pa.array(new_codecs_col, pa.list_(pa.string())),
+                    meta.field("n_values"),
+                    meta.field("n_docs"),
+                    meta.field("raw_bytes"),
+                    pa.array(new_enc_bytes, pa.int64()),
+                    pa.array(new_params, pa.map_(pa.string(), pa.string())),
+                ],
+                names=["columns", "codecs", "n_values", "n_docs",
+                       "raw_bytes", "enc_bytes", "params"],
+            )
+            yield pa.RecordBatch.from_arrays(
+                [
+                    batch.column("block_id"),
+                    batch.column("source"),
+                    batch.column("doc_ids"),
+                    batch.column("doc_min"),
+                    batch.column("doc_max"),
+                    pa.array(new_vmin, pa.int64()),
+                    pa.array(new_vmax, pa.int64()),
+                    pay_struct,
+                    batch.column("lengths_payload"),
+                    new_meta,
+                ],
+                names=[f.name for f in out_schema.fields],
+            )
+
+    return df_encoded.mapInArrow(_remap, out_schema)

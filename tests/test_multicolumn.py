@@ -196,3 +196,45 @@ def test_decode_flush_chunking_identical(spark, multi_df, multi_encoded):
     assert rep.n_decoded == N_DOCS
     for c in COLS:
         assert rep[f"n_mismatch_{c}"] == 0, c
+
+
+def test_remap_column_single_column_splice(spark, multi_df, multi_encoded):
+    """remap_column rewrites ONE column's id space (input_ids) and leaves
+    the others bit-identical; checksum-verified decode passes (CRCs
+    refreshed); vmin/vmax follow the primary column's new space."""
+    mapping = (
+        multi_df.select(F.explode("input_ids").alias("t"))
+        .distinct()
+        .select(
+            F.col("t").alias("old_id"),
+            F.col("t").bitwiseAND(F.lit(8191)).alias("new_id"),
+        )
+    )
+    rem = mc.remap_column(multi_encoded, "input_ids", mapping)
+    dec = mc.decode_columns(rem, COLS, verify_checksum=True)
+    exp = multi_df.select(
+        "doc_id",
+        F.transform("input_ids", lambda t: t.bitwiseAND(F.lit(8191))).alias("e_ids"),
+        F.col("attention_mask").alias("e_mask"),
+        F.col("labels").alias("e_lab"),
+    )
+    bad = (
+        dec.alias("d")
+        .join(exp.alias("o"), "doc_id")
+        .filter(
+            "d.input_ids <> o.e_ids or d.attention_mask <> o.e_mask "
+            "or d.labels <> o.e_lab"
+        )
+        .count()
+    )
+    assert bad == 0 and dec.count() == N_DOCS
+    # primary zone maps follow the new id space
+    row = rem.agg(F.max("vmax").alias("m")).collect()[0]
+    assert row.m <= 8191
+    # non-primary remap leaves top-level zone maps untouched
+    rem2 = mc.remap_column(multi_encoded, "labels", {0: 0})
+    a = multi_encoded.select("block_id", "vmin", "vmax").collect()
+    b = rem2.select("block_id", "vmin", "vmax").collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    with pytest.raises(Exception, match="not in stored"):
+        mc.remap_column(multi_encoded, "nope", {0: 0}).count()
