@@ -2248,6 +2248,63 @@ def _q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_multi_column_remap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-column vocab remap + projection decode on a multi-column
+    block table (multicolumn.remap_column / decode_columns subset):
+    input_ids migrate to a new id space by value-sidecar splice, labels
+    stay untouched, and the decode reads ONLY (input_ids, labels) —
+    the attention_mask payload bytes are pruned at the parquet scan by
+    the struct layout.  Checksum verification is ON (remap refreshed
+    the CRCs).  The oracle replays the id map arithmetically over the
+    persisted raw table."""
+    from archive_spark import multicolumn as mc
+
+    docs = _docs(spark, sf_dir)
+    words = F.split(F.col("text"), " ")
+    base = docs.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.transform(words, lambda w: F.hash(w)).alias("input_ids"),
+        F.transform(words, lambda w: F.length(w).cast("int")).alias("labels"),
+        F.transform(words, lambda w: (F.length(w) % 2).cast("int")).alias(
+            "attention_mask"
+        ),
+        F.col("source"),
+    )
+    _persist(
+        base.select("doc_id", "input_ids", "labels", "source"),
+        "mc_remap_input",
+        sf_dir,
+    )
+    cols = ["input_ids", "labels", "attention_mask"]
+    enc = mc.encode_columns(base, cols, target_block_values=1 << 12)
+    mapping = (
+        base.select(F.explode("input_ids").alias("t"))
+        .distinct()
+        .select(
+            F.col("t").alias("old_id"),
+            F.col("t").bitwiseAND(F.lit(16383)).alias("new_id"),
+        )
+    )
+    rem = mc.remap_column(enc, "input_ids", mapping)
+    dec = mc.decode_columns(rem, ["input_ids", "labels"], verify_checksum=True)
+    zero = F.lit(0).cast("bigint")
+    return (
+        dec.groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum(F.aggregate("input_ids", zero, lambda a, x: a + x))
+            .cast("bigint")
+            .alias("sum_ids"),
+            F.sum(F.aggregate("labels", zero, lambda a, x: a + x))
+            .cast("bigint")
+            .alias("sum_labels"),
+            F.min(F.array_min("input_ids")).cast("long").alias("id_min"),
+            F.max(F.array_max("input_ids")).cast("long").alias("id_max"),
+        )
+        .orderBy("source")
+    )
+
+
 def _q_distinct_tokens_encoded(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Compressed-domain vocabulary stats: per-source exact distinct
     token count + range computed from the encoded blocks' value
@@ -2562,6 +2619,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_remap": _q_vocab_remap,
         "distinct_tokens_encoded": _q_distinct_tokens_encoded,
         "stratified_sample": _q_stratified_sample,
+        "multi_column_remap": _q_multi_column_remap,
         "manifest_aggregates": _q_manifest_aggregates,
         "multi_column_encode": _q_multi_column_encode,
         "postings_codec": _q_postings_codec,
@@ -3502,6 +3560,20 @@ def oracle_sql() -> dict[str, str]:
             "AS tok_sum, "
             "MIN(list_aggregate(mt, 'min'))::BIGINT AS tok_min, "
             "MAX(list_aggregate(mt, 'max'))::BIGINT AS tok_max "
+            "FROM m GROUP BY source ORDER BY source"
+        ),
+        "multi_column_remap": (
+            "WITH m AS (SELECT source, "
+            "list_transform(input_ids, t -> (t & 16383)::BIGINT) AS mi, "
+            "labels "
+            f"FROM read_parquet('{_opath('mc_remap_input')}')) "
+            "SELECT source, count(*)::BIGINT AS n_docs, "
+            "COALESCE(SUM(COALESCE(list_aggregate(mi, 'sum'), 0)), 0)::BIGINT "
+            "AS sum_ids, "
+            "COALESCE(SUM(COALESCE(list_aggregate(labels, 'sum'), 0)), 0)::BIGINT "
+            "AS sum_labels, "
+            "MIN(list_aggregate(mi, 'min'))::BIGINT AS id_min, "
+            "MAX(list_aggregate(mi, 'max'))::BIGINT AS id_max "
             "FROM m GROUP BY source ORDER BY source"
         ),
         "stratified_sample": (
