@@ -2248,6 +2248,36 @@ def _q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_fim_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fill-in-the-middle training transform (pipeline_ops.fim_transform):
+    md5-derived cut points, [PRE]prefix[SUF]suffix[MID]middle reorder as
+    one JVM slice/concat projection.  The digest pins every transformed
+    array element-for-element: the oracle re-derives the same cut points
+    from md5 and replays the slicing with DuckDB list operators over the
+    persisted raw token table."""
+    from archive_spark.pipeline_ops import fim_transform
+
+    toks = _tokens(spark, sf_dir)
+    _persist(toks.select("doc_id", "tokens", "source"), "fim_input", sf_dir)
+    out = fim_transform(toks)
+    dd = F.md5(
+        F.concat_ws(",", F.transform("tokens", lambda t: t.cast("string")))
+    )
+    return (
+        out.withColumn("_dd", dd)
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum(F.col("fim").cast("int")).cast("bigint").alias("n_fim"),
+            F.sum("n_tok").cast("bigint").alias("total_tokens"),
+            F.md5(F.concat_ws("", F.sort_array(F.collect_list("_dd")))).alias(
+                "digest"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
 def _q_multi_column_remap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Single-column vocab remap + projection decode on a multi-column
     block table (multicolumn.remap_column / decode_columns subset):
@@ -2620,6 +2650,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "distinct_tokens_encoded": _q_distinct_tokens_encoded,
         "stratified_sample": _q_stratified_sample,
         "multi_column_remap": _q_multi_column_remap,
+        "fim_transform": _q_fim_transform,
         "manifest_aggregates": _q_manifest_aggregates,
         "multi_column_encode": _q_multi_column_encode,
         "postings_codec": _q_postings_codec,
@@ -3561,6 +3592,25 @@ def oracle_sql() -> dict[str, str]:
             "MIN(list_aggregate(mt, 'min'))::BIGINT AS tok_min, "
             "MAX(list_aggregate(mt, 'max'))::BIGINT AS tok_max "
             "FROM m GROUP BY source ORDER BY source"
+        ),
+        "fim_transform": (
+            "WITH t AS (SELECT doc_id, source, tokens, len(tokens) AS n, "
+            "('0x' || substring(md5(doc_id), 1, 8))::BIGINT AS h1, "
+            "('0x' || substring(md5(doc_id), 9, 8))::BIGINT AS h2 "
+            f"FROM read_parquet('{_opath('fim_input')}')), "
+            "c AS (SELECT *, h1 % (n + 1) AS a, "
+            "(h1 % (n + 1)) + (h2 % (n - (h1 % (n + 1)) + 1)) AS b FROM t), "
+            "o AS (SELECT source, CASE WHEN n >= 4 THEN "
+            "[-1] || tokens[1:a] || [-2] || tokens[b+1:n] || [-3] || tokens[a+1:b] "
+            "ELSE tokens END AS out_toks, "
+            "CASE WHEN n >= 4 THEN n + 3 ELSE n END AS n_out, "
+            "(n >= 4)::INT AS fim FROM c) "
+            "SELECT source, count(*)::BIGINT AS n_docs, "
+            "SUM(fim)::BIGINT AS n_fim, "
+            "COALESCE(SUM(n_out), 0)::BIGINT AS total_tokens, "
+            "md5(string_agg(md5(array_to_string(out_toks, ',')), '' "
+            "ORDER BY md5(array_to_string(out_toks, ',')))) AS digest "
+            "FROM o GROUP BY source ORDER BY source"
         ),
         "multi_column_remap": (
             "WITH m AS (SELECT source, "

@@ -3681,3 +3681,62 @@ def stratified_sample(
             f"{bad} (got, total); rerun with margin > {margin}"
         )
     return ranked.filter(F.col("_rk") <= k).select(*docs.columns)
+
+
+def fim_transform(
+    toks: DataFrame,
+    sentinel_pre: int = -1,
+    sentinel_suf: int = -2,
+    sentinel_mid: int = -3,
+    min_len: int = 4,
+    key_col: str = "doc_id",
+    tokens_col: str = "tokens",
+) -> DataFrame:
+    """Fill-in-the-middle (PSM) training transform: deterministically cut
+    each token array at two points (a, b) and reorder to
+    ``[PRE] prefix [SUF] suffix [MID] middle`` — the FIM objective of
+    code/infilling LMs (Bayer et al. 2022, "Efficient Training of
+    Language Models to Fill in the Middle"), applied corpus-wide as one
+    JVM-only projection (slice/concat — no Python, no shuffle).
+
+    Cut points derive from md5(``key_col``) (a = H1 mod (n+1),
+    b = a + H2 mod (n-a+1)): no RNG, stable under corpus growth, and
+    replayable by any engine with md5 — the same determinism contract
+    as ``hash_split``/``mix_sources``.  Docs shorter than ``min_len``
+    pass through untransformed (``fim`` = false); transformed docs grow
+    by exactly the 3 sentinel tokens (``n_tok`` updated).
+    """
+    n = F.size(F.col(tokens_col))
+    h = F.md5(F.col(key_col).cast("string"))
+    d = (
+        toks.withColumn("_n", n)
+        .withColumn("_a", F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % (n + 1))
+        .withColumn(
+            "_b",
+            F.col("_a")
+            + F.conv(F.substring(h, 9, 8), 16, 10).cast("long")
+            % (n - F.col("_a") + 1),
+        )
+    )
+    sent = [
+        F.array(F.lit(int(s)).cast("int"))
+        for s in (sentinel_pre, sentinel_suf, sentinel_mid)
+    ]
+    out = F.concat(
+        sent[0],
+        F.expr(f"slice({tokens_col}, 1, cast(_a as int))"),
+        sent[1],
+        F.expr(f"slice({tokens_col}, cast(_b + 1 as int), cast(_n - _b as int))"),
+        sent[2],
+        F.expr(f"slice({tokens_col}, cast(_a + 1 as int), cast(_b - _a as int))"),
+    )
+    do = F.col("_n") >= min_len
+    return (
+        d.withColumn(tokens_col, F.when(do, out).otherwise(F.col(tokens_col)))
+        .withColumn("fim", do)
+        .withColumn(
+            "n_tok",
+            F.when(do, F.col("_n") + 3).otherwise(F.col("_n")).cast("int"),
+        )
+        .drop("_n", "_a", "_b")
+    )

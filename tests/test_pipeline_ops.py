@@ -1827,3 +1827,34 @@ def test_stratified_sample_exact_vs_bruteforce(spark):
 
     with _pytest.raises(ValueError, match="k must be positive"):
         stratified_sample(docs, 0)
+
+
+def test_fim_transform_invariants(spark):
+    """FIM reorder: transformed length = n+3, the non-sentinel token
+    multiset is preserved exactly, short docs pass through, prefix/
+    suffix/middle order matches the PSM layout."""
+    import pyspark.sql.functions as F
+
+    from archive_spark.pipeline_ops import fim_transform, tokenize_documents
+
+    toks = tokenize_documents(
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    )
+    out = fim_transform(toks)
+    chk = out.join(toks.select("doc_id", F.col("tokens").alias("orig")), "doc_id")
+    bad = chk.filter(
+        "(fim AND (size(tokens) <> size(orig) + 3 OR n_tok <> size(orig) + 3 OR "
+        " sort_array(filter(tokens, t -> t NOT IN (-1,-2,-3))) <> sort_array(orig))) "
+        "OR (NOT fim AND (tokens <> orig OR n_tok <> size(orig)))"
+    ).count()
+    assert bad == 0
+    # PSM structure: first element is the PRE sentinel on transformed docs
+    assert (
+        out.filter("fim AND element_at(tokens, 1) <> -1").count() == 0
+    )
+    # deterministic: two invocations agree digest-for-digest
+    d1 = out.select(F.md5(F.concat_ws(",", F.transform("tokens", lambda t: t.cast("string")))).alias("d"))
+    d2 = fim_transform(toks).select(
+        F.md5(F.concat_ws(",", F.transform("tokens", lambda t: t.cast("string")))).alias("d")
+    )
+    assert d1.subtract(d2).count() == 0 and d2.subtract(d1).count() == 0
