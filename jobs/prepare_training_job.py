@@ -14,7 +14,8 @@ The whole platform in one resumable job:
 Usage:
   spark-submit --py-files dist/archive_spark.zip jobs/prepare_training_job.py \
       --input /path/to/documents_parquet --output /path/to/table \
-      [--seq-len 2048] [--eos 0] [--bpe-merges 0] [--shards 16] [--no-verify]
+      [--seq-len 2048] [--eos 0] [--bpe-merges 0] [--shards 16] \
+      [--fim-rate-ppm 0] [--no-verify]
 
 Prints one JSON summary line (doc/sequence/token accounting, ratio,
 verify result).
@@ -50,6 +51,10 @@ def main() -> None:
     ap.add_argument("--dsir-keep-ppm", type=int, default=1_000_000,
                     help="corpus fraction (ppm) to keep under --dsir-target "
                          "(tie-inclusive histogram threshold, no global sort)")
+    ap.add_argument("--fim-rate-ppm", type=int, default=0,
+                    help="apply the fill-in-the-middle (PSM) transform to "
+                         "this deterministic md5-bucketed fraction of docs "
+                         "(ppm; 1000000 = all) before packing; 0 = off")
     ap.add_argument("--no-verify", action="store_true")
     args = ap.parse_args()
 
@@ -107,6 +112,25 @@ def main() -> None:
         before = tokens.count()
         tokens = tokens.join(drop_ids, "doc_id", "left_anti").persist()
         n_lm_dropped = before - tokens.count()
+    n_fim = 0
+    if args.fim_rate_ppm > 0:
+        # deterministic md5-bucketed FIM fraction (salted independently of
+        # the split/mix hashes); applied AFTER the LM filter so scoring
+        # sees natural-order text
+        pick = (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit("fim|"), F.col("doc_id"))), 1, 8
+                ),
+                16, 10,
+            ).cast("long")
+            % 1_000_000
+        ) < args.fim_rate_ppm
+        chosen = tokens.filter(pick)
+        n_fim = chosen.count()
+        tokens = po.fim_transform(chosen).drop("fim").unionByName(
+            tokens.filter(~pick)
+        )
     n_tokens_in = tokens.agg(F.sum(F.col("n_tok") + 1)).collect()[0][0] or 0
 
     packed = po.pack_sequences(tokens, seq_len=args.seq_len, eos_token=args.eos)
@@ -129,6 +153,7 @@ def main() -> None:
         "tokenizer": tokenizer,
         "lm_dropped": n_lm_dropped,
         "dsir_dropped": n_dsir_dropped,
+        "fim_docs": n_fim,
         "tokens_with_eos": int(n_tokens_in),
         "seq_len": args.seq_len,
         "snapshot_id": res.snapshot_id,

@@ -459,3 +459,22 @@ def test_maintain_job_remap_vocab_cli(spark, zip_path, tmp_path):
         got.alias("g").join(exp.alias("e"), "doc_id").filter("g.s <> e.s").count()
         == 0
     )
+
+
+def test_prepare_training_job_fim_cli(zip_path, tmp_path):
+    """--fim-rate-ppm: a deterministic half of the docs get the PSM
+    reorder before packing; token conservation still holds (FIM adds
+    exactly 3 sentinels per transformed doc, counted as input tokens)."""
+    out = str(tmp_path / "table")
+    r = _spark_submit(
+        zip_path, "prepare_training_job.py",
+        "--input", "/root/testdata/sf0.001/documents.parquet",
+        "--output", out, "--seq-len", "256", "--shards", "4",
+        "--fim-rate-ppm", "500000",
+        timeout=420,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    s = json.loads(r.stdout.strip().splitlines()[-1])
+    assert 0 < s["fim_docs"] < s["docs_kept"]
+    v = s["verify"]
+    assert v["n_mismatch"] == 0 and v["conserved"]
