@@ -2248,6 +2248,40 @@ def _q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_pack_boundaries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document-boundary sidecar for packed training sequences
+    (pipeline_ops.doc_boundaries): every doc's (seq, offset) in the
+    seq_len=128 packed layout, computed with the per-partition-sums +
+    driver-cumsum trick (no global window).  The digest pins every
+    (doc_id, global_off) pair; the oracle replays the exclusive prefix
+    sum with a SQL window over the same doc order."""
+    from archive_spark.pipeline_ops import doc_boundaries
+
+    b = doc_boundaries(_tokens(spark, sf_dir), seq_len=128)
+    per_seq = b.groupBy("seq_id").agg(F.count("*").alias("c"))
+    left = b.agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("global_off").cast("bigint").alias("sum_off"),
+        F.count_distinct("seq_id").cast("bigint").alias("n_seqs_with_starts"),
+        F.md5(
+            F.concat_ws(
+                "",
+                F.sort_array(
+                    F.collect_list(
+                        F.concat_ws(
+                            ":", "doc_id", F.col("global_off").cast("string")
+                        )
+                    )
+                ),
+            )
+        ).alias("digest"),
+    )
+    right = per_seq.agg(F.max("c").cast("bigint").alias("max_starts"))
+    return left.crossJoin(right).select(
+        "n_docs", "sum_off", "n_seqs_with_starts", "max_starts", "digest"
+    )
+
+
 def _q_fim_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fill-in-the-middle training transform (pipeline_ops.fim_transform):
     md5-derived cut points, [PRE]prefix[SUF]suffix[MID]middle reorder as
@@ -2651,6 +2685,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": _q_stratified_sample,
         "multi_column_remap": _q_multi_column_remap,
         "fim_transform": _q_fim_transform,
+        "pack_boundaries": _q_pack_boundaries,
         "manifest_aggregates": _q_manifest_aggregates,
         "multi_column_encode": _q_multi_column_encode,
         "postings_codec": _q_postings_codec,
@@ -3592,6 +3627,20 @@ def oracle_sql() -> dict[str, str]:
             "MIN(list_aggregate(mt, 'min'))::BIGINT AS tok_min, "
             "MAX(list_aggregate(mt, 'max'))::BIGINT AS tok_max "
             "FROM m GROUP BY source ORDER BY source"
+        ),
+        "pack_boundaries": (
+            "WITH t AS (SELECT doc_id::VARCHAR AS did, "
+            "len(string_split(text, ' '))::BIGINT + 1 AS m FROM documents), "
+            "o AS (SELECT did, COALESCE(SUM(m) OVER (ORDER BY did "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS g "
+            "FROM t), "
+            "s AS (SELECT g // 128 AS sid, count(*) AS c FROM o GROUP BY 1) "
+            "SELECT (SELECT count(*) FROM o)::BIGINT AS n_docs, "
+            "(SELECT COALESCE(SUM(g), 0) FROM o)::BIGINT AS sum_off, "
+            "(SELECT count(*) FROM s)::BIGINT AS n_seqs_with_starts, "
+            "(SELECT MAX(c) FROM s)::BIGINT AS max_starts, "
+            "(SELECT md5(string_agg(did || ':' || g::VARCHAR, '' "
+            "ORDER BY did || ':' || g::VARCHAR)) FROM o) AS digest"
         ),
         "fim_transform": (
             "WITH t AS (SELECT doc_id, source, tokens, len(tokens) AS n, "

@@ -3740,3 +3740,75 @@ def fim_transform(
         )
         .drop("_n", "_a", "_b")
     )
+
+
+def doc_boundaries(
+    tokens_df: DataFrame,
+    seq_len: int = 2048,
+    shuffle: bool = False,
+) -> DataFrame:
+    """Document-boundary sidecar for ``pack_sequences``: for every doc,
+    the (sequence, in-sequence offset) where it starts in the packed
+    layout — what a trainer needs to reset attention at doc boundaries
+    (blockwise / document-masked attention) without re-deriving offsets
+    from the token stream.
+
+    Same global-offset machinery as ``pack_sequences`` (range partition
+    on the same order, per-partition totals collected, driver cumsum
+    broadcast, vectorized prefix sums — never a global window), and the
+    same determinism: offsets depend only on the total (order, doc_id)
+    order, not on partition boundaries, so this composes with a
+    separately-executed ``pack_sequences`` run bit-for-bit.
+
+    Returns (doc_id, global_off, seq_id, seq_off); the doc occupies
+    ``n_tok + 1`` positions (its EOS included) from ``global_off``.
+    """
+    import pyarrow as pa
+
+    spark = tokens_df.sparkSession
+    P = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    order = (
+        F.md5(F.col("doc_id").cast("string")) if shuffle else F.col("doc_id")
+    )
+    df = (
+        tokens_df.select("doc_id", "n_tok")
+        .withColumn("__ord", order)
+        .repartitionByRange(P, "__ord")
+        .sortWithinPartitions("__ord", "doc_id")
+        .withColumn("pid", F.spark_partition_id())
+        .persist()
+    )
+    sizes = {
+        r.pid: r.m
+        for r in df.groupBy("pid")
+        .agg(F.sum(F.col("n_tok") + 1).alias("m"))
+        .collect()
+    }
+    starts, acc = {}, 0
+    for pid in range(max(sizes, default=-1) + 1):
+        starts[pid] = acc
+        acc += sizes.get(pid, 0)
+    bc = spark.sparkContext.broadcast(starts)
+
+    def emit(it):
+        pos = None
+        for batch in it:
+            if batch.num_rows == 0:
+                continue
+            if pos is None:
+                pos = bc.value[batch.column("pid")[0].as_py()]
+            lens = batch.column("n_tok").to_numpy(zero_copy_only=False).astype(np.int64) + 1
+            gstart = pos + np.concatenate(([0], np.cumsum(lens)[:-1]))
+            yield pa.RecordBatch.from_arrays(
+                [batch.column("doc_id"), pa.array(gstart, pa.int64())],
+                names=["doc_id", "global_off"],
+            )
+            pos += int(lens.sum())
+
+    out = df.mapInArrow(emit, "doc_id string, global_off long")
+    return out.select(
+        "doc_id",
+        "global_off",
+        (F.col("global_off") / seq_len).cast("long").alias("seq_id"),
+        (F.col("global_off") % seq_len).cast("long").alias("seq_off"),
+    )

@@ -1858,3 +1858,50 @@ def test_fim_transform_invariants(spark):
         F.md5(F.concat_ws(",", F.transform("tokens", lambda t: t.cast("string")))).alias("d")
     )
     assert d1.subtract(d2).count() == 0 and d2.subtract(d1).count() == 0
+
+
+def test_doc_boundaries_match_packed_layout(spark):
+    """doc_boundaries must agree with pack_sequences' actual layout: the
+    packed token at each doc's (seq_id, seq_off) is the doc's first
+    token; offsets equal the brute-force window prefix sum."""
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    from archive_spark.pipeline_ops import (
+        doc_boundaries,
+        pack_sequences,
+        tokenize_documents,
+    )
+
+    toks = tokenize_documents(
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    ).cache()
+    L = 128
+    b = doc_boundaries(toks, seq_len=L).cache()
+    packed = pack_sequences(toks, seq_len=L, eos_token=0)
+    first = toks.filter("n_tok > 0").select(
+        "doc_id", F.element_at("tokens", 1).alias("t0")
+    )
+    j = (
+        b.join(first, "doc_id")
+        .join(packed.select("seq_id", "tokens"), "seq_id")
+        .select(
+            F.element_at("tokens", (F.col("seq_off") + 1).cast("int")).alias("at"),
+            "t0",
+        )
+    )
+    assert j.filter("at <> t0").count() == 0
+    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, -1)
+    brute = toks.select(
+        "doc_id", F.coalesce(F.sum(F.col("n_tok") + 1).over(w), F.lit(0)).alias("g")
+    )
+    assert b.join(brute, "doc_id").filter("global_off <> g").count() == 0
+    # shuffle=True uses the md5 order (must match pack_sequences shuffle)
+    b2 = doc_boundaries(toks, seq_len=L, shuffle=True)
+    w2 = Window.orderBy(F.md5(F.col("doc_id").cast("string")), "doc_id").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    brute2 = toks.select(
+        "doc_id", F.coalesce(F.sum(F.col("n_tok") + 1).over(w2), F.lit(0)).alias("g")
+    )
+    assert b2.join(brute2, "doc_id").filter("global_off <> g").count() == 0
