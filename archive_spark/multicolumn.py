@@ -608,7 +608,7 @@ def remap_column(
                 new_codecs_col.append(cds)
                 new_params.append(p)
                 new_enc_bytes.append(
-                    int(enc_bytes_in[i].as_py()) - len(bytes(buf)) + len(new_buf)
+                    int(enc_bytes_in[i].as_py()) - buf.nbytes + len(new_buf)
                 )
                 if stored.index(column) == 0:
                     new_vmin.append(vmn)
