@@ -2248,6 +2248,51 @@ def _q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_vocab_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus merge across tokenizer id spaces — the remap lane's real
+    workflow: half the corpus is encoded under a foreign id space
+    (every id XOR'd), then migrated back with remap_vocab (value-sidecar
+    splice) and unioned with the natively-encoded half into ONE block
+    table; the decoded union must equal the raw token table exactly.
+    The oracle aggregates the persisted pre-encode tokens — any remap
+    error, dropped block, or double-counted doc hash-mismatches."""
+    from archive_spark import engine
+
+    toks = _tokens(spark, sf_dir)
+    _persist(toks.select("doc_id", "tokens", "source"), "merge_input", sf_dir)
+    half = F.pmod(F.xxhash64("doc_id"), F.lit(2)) == 0
+    a = toks.filter(half)
+    b_foreign = toks.filter(~half).withColumn(
+        "tokens",
+        F.transform("tokens", lambda t: t.bitwiseXOR(F.lit(21845))),
+    )
+    enc_a = engine.encode(a, target_block_values=1 << 16)
+    enc_b = engine.encode(b_foreign, target_block_values=1 << 16)
+    mapping = (
+        b_foreign.select(F.explode("tokens").alias("t"))
+        .distinct()
+        .select(
+            F.col("t").alias("old_id"),
+            F.col("t").bitwiseXOR(F.lit(21845)).alias("new_id"),
+        )
+    )
+    merged = enc_a.unionByName(engine.remap_vocab(enc_b, mapping))
+    dec = engine.decode(merged, verify_checksum=True)
+    return (
+        dec.groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("n_tok").cast("bigint").alias("n_values"),
+            F.sum(
+                F.expr("aggregate(tokens, 0L, (a, x) -> a + cast(x as long))")
+            ).cast("bigint").alias("tok_sum"),
+            F.min(F.array_min("tokens")).cast("long").alias("tok_min"),
+            F.max(F.array_max("tokens")).cast("long").alias("tok_max"),
+        )
+        .orderBy("source")
+    )
+
+
 def _q_pack_boundaries(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document-boundary sidecar for packed training sequences
     (pipeline_ops.doc_boundaries): every doc's (seq, offset) in the
@@ -2686,6 +2731,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multi_column_remap": _q_multi_column_remap,
         "fim_transform": _q_fim_transform,
         "pack_boundaries": _q_pack_boundaries,
+        "vocab_merge": _q_vocab_merge,
         "manifest_aggregates": _q_manifest_aggregates,
         "multi_column_encode": _q_multi_column_encode,
         "postings_codec": _q_postings_codec,
@@ -3620,6 +3666,18 @@ def oracle_sql() -> dict[str, str]:
             "WITH m AS (SELECT source, len(tokens)::BIGINT AS n_tok, "
             "list_transform(tokens, t -> (t & 32767)::BIGINT) AS mt "
             f"FROM read_parquet('{_opath('remap_input')}')) "
+            "SELECT source, count(*)::BIGINT AS n_docs, "
+            "COALESCE(SUM(n_tok), 0)::BIGINT AS n_values, "
+            "COALESCE(SUM(COALESCE(list_aggregate(mt, 'sum'), 0)), 0)::BIGINT "
+            "AS tok_sum, "
+            "MIN(list_aggregate(mt, 'min'))::BIGINT AS tok_min, "
+            "MAX(list_aggregate(mt, 'max'))::BIGINT AS tok_max "
+            "FROM m GROUP BY source ORDER BY source"
+        ),
+        "vocab_merge": (
+            "WITH m AS (SELECT source, len(tokens)::BIGINT AS n_tok, "
+            "list_transform(tokens, t -> t::BIGINT) AS mt "
+            f"FROM read_parquet('{_opath('merge_input')}')) "
             "SELECT source, count(*)::BIGINT AS n_docs, "
             "COALESCE(SUM(n_tok), 0)::BIGINT AS n_values, "
             "COALESCE(SUM(COALESCE(list_aggregate(mt, 'sum'), 0)), 0)::BIGINT "
