@@ -121,3 +121,52 @@ def test_histogram_block_mass_and_equality_any_input(v):
     eu, ec = np.unique(v.astype(np.int64), return_counts=True)
     np.testing.assert_array_equal(u, eu)
     np.testing.assert_array_equal(c, ec.astype(np.int64))
+
+
+# --- vocabulary remap properties (codecs/remap.py) ---
+
+_map_pairs = st.lists(
+    st.tuples(I32, I32), min_size=0, max_size=32, unique_by=lambda t: t[0]
+)
+
+
+@given(structured, _map_pairs, st.sampled_from(
+    ["auto", "plain", "dict", "rle", "fsst", "delta", "pdelta"]))
+@settings(max_examples=150, deadline=None)
+def test_remap_block_equals_mapped_roundtrip(arr, pairs, codec):
+    """decode(remap_block(encode(v))) == map(v) for arbitrary arrays,
+    arbitrary (conflict-free) mappings, every encodable codec — and the
+    sidecar covers every distinct output value (zone-map material)."""
+    from archive_spark.codecs import kernels
+    from archive_spark.codecs.remap import normalize_mapping, remap_block, remap_values
+
+    if codec == "auto":
+        blk, _ = encode_auto(arr)
+    elif codec == "fsst":
+        blk = kernels.encode_fsst(arr)
+    else:
+        try:
+            blk = encode(arr, codec)
+        except Exception:
+            return  # codec not applicable to this array shape
+    keys = np.array([p[0] for p in pairs], dtype=np.int64)
+    vals = np.array([p[1] for p in pairs], dtype=np.int64)
+    k, v = normalize_mapping(keys, vals)
+    new_blk, mode, sidecar = remap_block(blk, k, v)
+    expect = remap_values(arr, k, v)
+    got = decode(new_blk)
+    assert np.array_equal(got, expect)
+    assert set(np.unique(expect).tolist()) <= set(np.unique(sidecar).tolist())
+    # block-level probes agree on the remapped block for a mapped value
+    if expect.size:
+        probe = int(expect[0])
+        assert kernels.occurrences_block(new_blk, probe) == int(
+            (expect == probe).sum()
+        )
+        u, c = kernels.histogram_block(new_blk)
+        eu, ec = np.unique(expect, return_counts=True)
+        assert np.array_equal(u, eu.astype(np.int64))
+        assert np.array_equal(c, ec.astype(np.int64))
+        assert np.array_equal(
+            kernels.distinct_block(new_blk), np.unique(expect)
+        )

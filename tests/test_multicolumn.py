@@ -238,3 +238,32 @@ def test_remap_column_single_column_splice(spark, multi_df, multi_encoded):
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
     with pytest.raises(Exception, match="not in stored"):
         mc.remap_column(multi_encoded, "nope", {0: 0}).count()
+
+
+def test_multicolumn_table_snapshot_integration(spark, multi_df, tmp_path):
+    """Multi-column block tables flow through the snapshot-table layer:
+    doc-clustered commit, manifest doc_min/doc_max stats prune files for
+    a targeted read, and the pruned projection-decode returns exactly
+    the targets — the 100 TB point-lookup shape on the training table."""
+    from archive_spark import table as snap_table
+
+    tdir = str(tmp_path / "mtbl")
+    enc = mc.encode_columns(multi_df, COLS, target_block_values=1 << 12)
+    # doc-cluster so each file covers a narrow doc range (what compact
+    # with order_by does for the single-column path)
+    clustered = enc.repartitionByRange(8, "doc_min").sortWithinPartitions("doc_min")
+    sid = snap_table.commit(clustered, tdir, mode="overwrite")
+
+    target = multi_df.select("doc_id").orderBy("doc_id").limit(1).collect()[0].doc_id
+    kept = snap_table.select_files(tdir, sid, {"doc_min": (None, target),
+                                               "doc_max": (target, None)})
+    total = len(snap_table.read_manifest(tdir, sid).files)
+    assert 0 < len(kept) < total, (len(kept), total)
+
+    pruned = snap_table.read(spark, tdir, prune={"doc_min": (None, target),
+                                                 "doc_max": (target, None)})
+    dec = mc.decode_columns(pruned, ["input_ids"], targets=[target])
+    rows = dec.collect()
+    assert [r.doc_id for r in rows] == [target]
+    exp = multi_df.filter(F.col("doc_id") == target).collect()[0]
+    assert rows[0].input_ids == exp.input_ids
