@@ -51,6 +51,10 @@ def main() -> None:
     ap.add_argument("--dsir-keep-ppm", type=int, default=1_000_000,
                     help="corpus fraction (ppm) to keep under --dsir-target "
                          "(tie-inclusive histogram threshold, no global sort)")
+    ap.add_argument("--boundaries", action="store_true",
+                    help="also write the doc-boundary sidecar "
+                         "(<output>/_boundaries parquet: doc_id, global_off, "
+                         "seq_id, seq_off) for document-masked attention")
     ap.add_argument("--fim-rate-ppm", type=int, default=0,
                     help="apply the fill-in-the-middle (PSM) transform to "
                          "this deterministic md5-bucketed fraction of docs "
@@ -141,6 +145,16 @@ def main() -> None:
         F.lit("packed").alias("source"),
     )
 
+    n_boundary_rows = 0
+    if args.boundaries:
+        # doc-boundary sidecar: where each ORIGINAL doc starts in the
+        # packed layout (document-masked attention needs this); offsets
+        # depend only on the total doc order, so this composes with the
+        # pack above bit-for-bit (pipeline_ops.doc_boundaries contract)
+        b = po.doc_boundaries(tokens, seq_len=args.seq_len)
+        b.write.mode("overwrite").parquet(f"{args.output}/_boundaries")
+        n_boundary_rows = spark.read.parquet(f"{args.output}/_boundaries").count()
+
     res = checkpoint.encode_job(
         spark, seqs, args.output,
         snapshot_id=checkpoint.snapshot_id_of_path(args.input),
@@ -154,6 +168,7 @@ def main() -> None:
         "lm_dropped": n_lm_dropped,
         "dsir_dropped": n_dsir_dropped,
         "fim_docs": n_fim,
+        "boundary_rows": n_boundary_rows,
         "tokens_with_eos": int(n_tokens_in),
         "seq_len": args.seq_len,
         "snapshot_id": res.snapshot_id,

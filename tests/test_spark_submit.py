@@ -478,3 +478,30 @@ def test_prepare_training_job_fim_cli(zip_path, tmp_path):
     assert 0 < s["fim_docs"] < s["docs_kept"]
     v = s["verify"]
     assert v["n_mismatch"] == 0 and v["conserved"]
+
+
+def test_prepare_training_job_boundaries_cli(zip_path, tmp_path):
+    """--boundaries writes the doc-boundary sidecar alongside the packed
+    table; every boundary points at an in-range (seq, offset) and the
+    row count equals the docs that were packed."""
+    out = str(tmp_path / "table")
+    r = _spark_submit(
+        zip_path, "prepare_training_job.py",
+        "--input", "/root/testdata/sf0.001/documents.parquet",
+        "--output", out, "--seq-len", "256", "--shards", "4",
+        "--boundaries",
+        timeout=420,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    s = json.loads(r.stdout.strip().splitlines()[-1])
+    assert s["boundary_rows"] == s["docs_kept"]
+    import pyspark.sql as _  # noqa: F401
+    from archive_spark.session import get_spark
+
+    spark = get_spark(app="bnd_check", cores=2, shuffle_partitions=4)
+    b = spark.read.parquet(f"{out}/_boundaries")
+    n_seq = s["verify"]["n_sequences"]
+    assert b.filter(
+        (F.col("seq_id") < 0) | (F.col("seq_id") >= n_seq)
+        | (F.col("seq_off") < 0) | (F.col("seq_off") >= 256)
+    ).count() == 0
