@@ -159,6 +159,10 @@ def encode_job(
     skip_staging: bool = False,  # input dir already laid out as shard=K
     publish_snapshot: bool = False,  # atomic whole-job commit via table.py
     publish_mode: str = "overwrite",  # "append": keep prior snapshot's files
+    columns: "list[str] | None" = None,  # multi-column mode: encode these
+    # aligned array columns via multicolumn.encode_columns (one shared
+    # sidecar, per-column codecs); the ledger's codec histogram records
+    # the PRIMARY column's codec per block
 ) -> EncodeJobResult:
     """Stage → encode-per-shard → publish, resumable at shard granularity.
 
@@ -253,15 +257,27 @@ def encode_job(
         shard_path = os.path.join(data_dir, f"shard={shard}")
         try:
             part = staged.filter(F.col("shard") == shard).drop("shard")
-            enc = engine.encode(
-                part, target_block_values=target_block_values, allow_fsst=allow_fsst
-            )
+            if columns:
+                from . import multicolumn as mc
+
+                enc = mc.encode_columns(
+                    part, columns,
+                    target_block_values=target_block_values,
+                    allow_fsst=allow_fsst,
+                )
+                codec_col = F.col("meta.codecs").getItem(0).alias("codec")
+            else:
+                enc = engine.encode(
+                    part, target_block_values=target_block_values,
+                    allow_fsst=allow_fsst,
+                )
+                codec_col = F.col("meta.codec").alias("codec")
             # default "none": the engine's codecs are the compressor and the
             # ledger's ratio is theirs; "zstd" stacks entropy coding on top
             enc.write.mode("overwrite").option("compression", parquet_codec).parquet(shard_path)
             stats = (
                 spark.read.parquet(shard_path)
-                .groupBy("meta.codec")
+                .groupBy(codec_col)
                 .agg(
                     F.count("*").alias("blocks"),
                     F.sum("meta.n_docs").alias("docs"),

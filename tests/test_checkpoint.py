@@ -264,3 +264,50 @@ def test_doc_range_pruned_read_after_clustered_compaction(spark, tmp_path):
     ).count()
     want = toks.filter((F.col("doc_id") >= lo) & (F.col("doc_id") <= hi)).count()
     assert got == want > 0
+
+
+def test_multicolumn_encode_job_crash_resume(spark, tmp_path):
+    """columns=[...] runs the sharded/ledgered job through
+    multicolumn.encode_columns: crash at shard 2, resume skips completed
+    shards, publish + projection decode roundtrips bit-identical."""
+    import pyspark.sql.functions as F
+
+    from archive_spark import multicolumn as mc
+    from archive_spark import table as snap_table
+    from archive_spark.tokengen import token_table
+
+    df = token_table(spark, 600, seed=77).select(
+        "doc_id",
+        F.col("tokens").alias("input_ids"),
+        F.transform("tokens", lambda t: F.abs(F.pmod(t, F.lit(2)))).alias("mask"),
+        "n_tok", "source",
+    ).cache()
+    out = str(tmp_path / "menc")
+    cols = ["input_ids", "mask"]
+    with pytest.raises(RuntimeError, match="injected failure"):
+        checkpoint.encode_job(
+            spark, df, out, SNAP, n_shards=4, fail_on_shard=2, columns=cols,
+            target_block_values=1 << 12,
+        )
+    assert checkpoint.completed_shards(out, SNAP) == {0, 1}
+    res = checkpoint.encode_job(
+        spark, df, out, SNAP, n_shards=4, columns=cols,
+        target_block_values=1 << 12, publish_snapshot=True,
+    )
+    assert res.shards_skipped == 2 and res.shards_encoded == 2
+    enc = snap_table.read(spark, out)
+    dec = mc.decode_columns(enc, cols)
+    rep = mc.multi_roundtrip_report(df, dec, cols).collect()[0]
+    assert rep.n_decoded == 600
+    for c in cols:
+        assert rep[f"n_mismatch_{c}"] == 0, c
+    # ledger codec histogram carries the PRIMARY column's codec per block
+    import json as _json
+
+    led = checkpoint.read_ledger(out).to_pylist()
+    hists = [
+        _json.loads(r["codec_histogram"])
+        for r in led
+        if r["stage"] == "encoded" and r["status"] == "ok"
+    ]
+    assert hists and all(h for h in hists)
