@@ -615,6 +615,10 @@ def purge_docs(
     manifest = snap_table.read_manifest(table_dir, parent)
     dels = manifest.deletes or []
     fseq = manifest.file_seq or {}
+    # multi-column block tables (multicolumn.py) carry a payloads struct;
+    # the purge machinery is identical — only the decode/re-encode of hit
+    # blocks dispatches to the multi-column codecs
+    is_multi = "payloads" in manifest.schema
 
     vic_explicit = None
     if victims is not None:
@@ -700,9 +704,13 @@ def purge_docs(
             enc_aff.join(F.broadcast(bh), "block_id", "left_anti").drop("_file")
         )
         report["n_blocks_rewritten"] += to_rewrite.count()
-        clean_parts.append(
-            decode(to_rewrite).join(F.broadcast(vic), "doc_id", "left_anti")
-        )
+        if is_multi:
+            from . import multicolumn as mc
+
+            dec = mc.decode_columns(to_rewrite)
+        else:
+            dec = decode(to_rewrite)
+        clean_parts.append(dec.join(F.broadcast(vic), "doc_id", "left_anti"))
 
     if not clean_parts and not pass_parts and not dels:
         return report  # nothing hit, nothing pending: true no-op
@@ -713,9 +721,20 @@ def purge_docs(
         clean = c if clean is None else clean.unionByName(c)
     new_df = None
     if clean is not None:
-        new_df = encode(
-            clean, target_block_values=target_block_values, effort=effort
-        )
+        if is_multi:
+            from . import multicolumn as mc
+
+            cols = [
+                c for c in clean.columns if c not in ("doc_id", "n_tok", "source")
+            ]
+            new_df = mc.encode_columns(
+                clean, cols, target_block_values=target_block_values,
+                effort=effort,
+            )
+        else:
+            new_df = encode(
+                clean, target_block_values=target_block_values, effort=effort
+            )
     for p in pass_parts:
         new_df = p if new_df is None else new_df.unionByName(
             p, allowMissingColumns=True

@@ -267,3 +267,28 @@ def test_multicolumn_table_snapshot_integration(spark, multi_df, tmp_path):
     assert [r.doc_id for r in rows] == [target]
     exp = multi_df.filter(F.col("doc_id") == target).collect()[0]
     assert rows[0].input_ids == exp.input_ids
+
+
+def test_multicolumn_purge_rewrites_only_hit_blocks(spark, multi_df, tmp_path):
+    """Takedown on a multi-column table: purge_docs dispatches hit-block
+    rewrites through the multi-column codecs — victims gone from every
+    column, survivors bit-identical, non-hit files byte-untouched."""
+    from archive_spark import engine
+    from archive_spark import table as snap_table
+
+    tdir = str(tmp_path / "ptbl")
+    enc = mc.encode_columns(multi_df, COLS, target_block_values=1 << 12)
+    clustered = enc.repartitionByRange(8, "doc_min").sortWithinPartitions("doc_min")
+    snap_table.commit(clustered, tdir, mode="overwrite")
+
+    victims = [r.doc_id for r in multi_df.select("doc_id").orderBy("doc_id").limit(3).collect()]
+    rep = engine.purge_docs(spark, tdir, victims, target_block_values=1 << 12)
+    assert 0 < rep["n_files_rewritten"] < rep["n_files"]
+
+    dec = mc.decode_columns(snap_table.read(spark, tdir), COLS, verify_checksum=True)
+    assert dec.filter(F.col("doc_id").isin(victims)).count() == 0
+    survivors = multi_df.filter(~F.col("doc_id").isin(victims))
+    r = mc.multi_roundtrip_report(survivors, dec, COLS).collect()[0]
+    assert r.n_docs == N_DOCS - 3 and r.n_decoded == N_DOCS - 3
+    for c in COLS:
+        assert r[f"n_mismatch_{c}"] == 0, c
