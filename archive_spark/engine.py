@@ -789,13 +789,29 @@ def recompact_blocks(
         F2.avg("meta.n_values").alias("avg_block_values"),
     ).collect()[0]
 
-    docs = decode_table(spark, table_dir)
+    is_multi = "payloads" in enc_before.columns
+    if is_multi:
+        # multi-column table: decode through the struct-payload codecs;
+        # read() applies (or refuses) pending delete entries as usual
+        from . import multicolumn as mc
+
+        docs = mc.decode_columns(snap_table.read(spark, table_dir))
+    else:
+        docs = decode_table(spark, table_dir)
     if order_by_doc:
         docs = docs.repartitionByRange(
             target_partitions or max(spark.sparkContext.defaultParallelism, 1),
             "doc_id",
         ).sortWithinPartitions("doc_id")
-    reenc = encode(docs, target_block_values=target_block_values, effort=effort)
+    if is_multi:
+        from . import multicolumn as mc
+
+        cols = [c for c in docs.columns if c not in ("doc_id", "n_tok", "source")]
+        reenc = mc.encode_columns(
+            docs, cols, target_block_values=target_block_values, effort=effort
+        )
+    else:
+        reenc = encode(docs, target_block_values=target_block_values, effort=effort)
     sid = snap_table.commit(
         reenc, table_dir, mode="overwrite", parquet_codec=parquet_codec
     )

@@ -292,3 +292,23 @@ def test_multicolumn_purge_rewrites_only_hit_blocks(spark, multi_df, tmp_path):
     assert r.n_docs == N_DOCS - 3 and r.n_decoded == N_DOCS - 3
     for c in COLS:
         assert r[f"n_mismatch_{c}"] == 0, c
+
+
+def test_multicolumn_recompact_blocks(spark, multi_df, tmp_path):
+    """Block-level OPTIMIZE on a multi-column table: micro-append-sized
+    blocks consolidate, content digest (all columns) preserved."""
+    from archive_spark import engine
+    from archive_spark import table as snap_table
+
+    tdir = str(tmp_path / "rtbl")
+    tiny = mc.encode_columns(multi_df, COLS, target_block_values=1 << 10)
+    snap_table.commit(tiny, tdir, mode="overwrite")
+    rep = engine.recompact_blocks(
+        spark, tdir, target_block_values=1 << 16, target_partitions=4
+    )
+    assert rep["blocks_after"] < rep["blocks_before"]
+    dec = mc.decode_columns(snap_table.read(spark, tdir), COLS, verify_checksum=True)
+    r = mc.multi_roundtrip_report(multi_df, dec, COLS).collect()[0]
+    assert r.n_decoded == N_DOCS
+    for c in COLS:
+        assert r[f"n_mismatch_{c}"] == 0, c
