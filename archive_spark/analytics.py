@@ -175,7 +175,9 @@ def readme_usability(
     )
 
 
-def token_histogram(encoded: DataFrame, k: int | None = None) -> DataFrame:
+def token_histogram(
+    encoded: DataFrame, k: int | None = None, payload_col: str = "payload"
+) -> DataFrame:
     """Exact corpus-wide token histogram computed in the COMPRESSED
     domain — the analytics payoff of a self-describing block format:
     constant blocks contribute O(1), rle blocks O(runs), dict blocks a
@@ -214,7 +216,12 @@ def token_histogram(encoded: DataFrame, k: int | None = None) -> DataFrame:
                 ["token", "n"],
             )
 
-    partials = encoded.select("payload").mapInArrow(_hist, "token long, n long")
+    # payload_col: pass e.g. "payloads.input_ids" to run the same
+    # compressed-domain histogram over ONE column of a multi-column
+    # block table (the struct field prunes at the scan)
+    partials = encoded.select(
+        F.col(payload_col).alias("payload")
+    ).mapInArrow(_hist, "token long, n long")
     agg = partials.groupBy("token").agg(F.sum("n").cast("bigint").alias("n"))
     if k is None:
         return agg.orderBy("token")
@@ -1591,7 +1598,9 @@ def postings_codec_roundtrip(
     return post.groupBy("token").applyInPandas(enc_dec, schema)
 
 
-def distinct_tokens(encoded: DataFrame, by_source: bool = True) -> DataFrame:
+def distinct_tokens(
+    encoded: DataFrame, by_source: bool = True, payload_col: str = "payload"
+) -> DataFrame:
     """Exact vocabulary statistics computed in the COMPRESSED domain —
     distinct token count and token range per source (or corpus-wide)
     from the encoded blocks' value sidecars (``kernels.distinct_block``):
@@ -1636,9 +1645,11 @@ def distinct_tokens(encoded: DataFrame, by_source: bool = True) -> DataFrame:
                 ["source", "token"],
             )
 
-    partials = encoded.select("source", "payload").mapInArrow(
-        _dist, "source string, token long"
-    )
+    # payload_col: e.g. "payloads.input_ids" runs the same sidecar-only
+    # distinct over one column of a multi-column block table
+    partials = encoded.select(
+        "source", F.col(payload_col).alias("payload")
+    ).mapInArrow(_dist, "source string, token long")
     keys = ["source"] if by_source else []
     agg = partials.groupBy(*keys).agg(
         F.count_distinct("token").cast("bigint").alias("n_distinct"),

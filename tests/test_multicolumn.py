@@ -312,3 +312,39 @@ def test_multicolumn_recompact_blocks(spark, multi_df, tmp_path):
     assert r.n_decoded == N_DOCS
     for c in COLS:
         assert r[f"n_mismatch_{c}"] == 0, c
+
+
+def test_compressed_domain_analytics_on_multicolumn(spark, multi_df, multi_encoded):
+    """token_histogram / distinct_tokens run over ONE column of a
+    multi-column table via payload_col — sidecar-only reads, results
+    equal the raw aggregates."""
+    from archive_spark.analytics import distinct_tokens, token_histogram
+
+    got = {
+        r.source: r.n_distinct
+        for r in distinct_tokens(
+            multi_encoded, payload_col="payloads.labels"
+        ).collect()
+    }
+    exp = {
+        r.source: r.n
+        for r in multi_df.select("source", F.explode("labels").alias("t"))
+        .groupBy("source")
+        .agg(F.count_distinct("t").alias("n"))
+        .collect()
+    }
+    assert got == exp
+    hist = {
+        r.token: r.n
+        for r in token_histogram(
+            multi_encoded, payload_col="payloads.labels"
+        ).collect()
+    }
+    exp_h = {
+        r.t: r.n
+        for r in multi_df.select(F.explode("labels").alias("t"))
+        .groupBy("t")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert hist == {int(k): v for k, v in exp_h.items()}
