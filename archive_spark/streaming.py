@@ -432,3 +432,26 @@ def start_classify_sink(
     if trigger_once:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def encode_multi_stream(
+    multi_stream: DataFrame,
+    columns: "list[str]",
+    target_block_values: int = engine.DEFAULT_BLOCK_VALUES,
+    allow_fsst: bool = True,
+    effort: str = "balanced",
+) -> DataFrame:
+    """Streaming multi-column block encode — the batch
+    ``multicolumn.encode_columns`` inside a streaming mapInArrow: N
+    length-aligned array columns per micro-batch into one block table
+    with a shared sidecar and per-column codecs.  The generic sinks
+    (``start_encode_sink`` / snapshot sink) apply unchanged because the
+    multi block schema is self-describing.  Input rows must carry
+    (doc_id string, <columns> array<int>, source string) — cast
+    upstream; alignment violations are typed errors per batch."""
+    from . import multicolumn as mc
+
+    return multi_stream.mapInArrow(
+        mc._make_multi_encoder(list(columns), target_block_values, allow_fsst, effort),
+        mc.multi_encoded_schema(columns),
+    )

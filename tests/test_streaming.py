@@ -436,3 +436,42 @@ def test_classify_sink_gates_by_domain(spark, tmp_path):
     # checkpoint nothing reprocesses
     run()
     assert spark.read.parquet(out).count() == 2
+
+
+def test_streaming_multicolumn_encode(spark, tmp_path):
+    """File-source stream → encode_multi_stream → parquet sink with a
+    checkpoint; the landed multi-column blocks projection-decode back
+    bit-identical."""
+    import pyspark.sql.functions as F
+
+    from archive_spark import multicolumn as mc
+    from archive_spark import streaming as stx
+    from archive_spark.tokengen import token_table
+
+    df = token_table(spark, 400, seed=19).select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.col("tokens").cast("array<int>").alias("input_ids"),
+        F.transform("tokens", lambda t: F.abs(F.pmod(t, F.lit(2))))
+        .cast("array<int>").alias("mask"),
+        "source",
+    ).cache()
+    src = str(tmp_path / "src")
+    df.write.parquet(src)
+    stream = (
+        spark.readStream.schema(
+            "doc_id string, input_ids array<int>, mask array<int>, source string"
+        ).format("parquet").load(src)
+    )
+    enc_stream = stx.encode_multi_stream(
+        stream, ["input_ids", "mask"], target_block_values=1 << 12
+    )
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    q = stx.start_encode_sink(enc_stream, out, ckpt, available_now=True)
+    q.awaitTermination(120)
+    enc = spark.read.parquet(out)
+    dec = mc.decode_columns(enc, ["input_ids", "mask"], verify_checksum=True)
+    rep = mc.multi_roundtrip_report(
+        df.withColumn("n_tok", F.size("input_ids")), dec, ["input_ids", "mask"]
+    ).collect()[0]
+    assert rep.n_decoded == 400
+    assert rep.n_mismatch_input_ids == 0 and rep.n_mismatch_mask == 0
