@@ -5,7 +5,7 @@ Usage:
   spark-submit --py-files dist/archive_spark.zip jobs/encode_job.py \
       --input /path/to/tokens_parquet --output /path/to/encoded \
       [--shards 64] [--block-values 2097152] [--no-fsst] [--no-resume]
-      [--publish] [--incremental]
+      [--publish] [--incremental] [--columns input_ids,mask,labels]
 
 The input must be a parquet table with columns
 (doc_id string, tokens array<int>, n_tok int, source string).
@@ -36,7 +36,17 @@ def main() -> None:
         help="encode only docs absent from the current published snapshot "
         "and publish the result as an append snapshot (implies --publish)",
     )
+    ap.add_argument(
+        "--columns", default=None,
+        help="comma-separated aligned array<int> columns for MULTI-COLUMN "
+        "mode (e.g. input_ids,attention_mask,labels): one block table, "
+        "shared sidecar, per-column codecs; first column is primary. "
+        "Not combinable with --incremental or --verify (single-column "
+        "roundtrip faces)",
+    )
     args = ap.parse_args()
+    if args.columns and (args.incremental or args.verify):
+        raise SystemExit("--columns is not combinable with --incremental/--verify")
 
     from pyspark.sql import SparkSession
 
@@ -69,6 +79,7 @@ def main() -> None:
             allow_fsst=not args.no_fsst,
             resume=not args.no_resume,
             publish_snapshot=args.publish,
+            columns=args.columns.split(",") if args.columns else None,
         )
     summary = {
         "snapshot_id": res.snapshot_id,

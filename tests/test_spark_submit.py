@@ -505,3 +505,36 @@ def test_prepare_training_job_boundaries_cli(zip_path, tmp_path):
         (F.col("seq_id") < 0) | (F.col("seq_id") >= n_seq)
         | (F.col("seq_off") < 0) | (F.col("seq_off") >= 256)
     ).count() == 0
+
+
+def test_encode_job_multicolumn_cli(spark, zip_path, tmp_path):
+    """--columns runs the sharded/ledgered encode in multi-column mode
+    through the shipped surface; the published table projection-decodes
+    back bit-identical."""
+    from archive_spark import multicolumn as mc
+    from archive_spark import table as snap_table
+    from archive_spark.tokengen import token_table
+
+    df = token_table(spark, 500, seed=23).select(
+        "doc_id",
+        F.col("tokens").alias("input_ids"),
+        F.transform("tokens", lambda t: F.abs(F.pmod(t, F.lit(2)))).alias("mask"),
+        "n_tok", "source",
+    ).cache()
+    src = str(tmp_path / "src")
+    df.write.parquet(src)
+    out = str(tmp_path / "enc")
+    r = _spark_submit(
+        zip_path, "encode_job.py",
+        "--input", src, "--output", out, "--shards", "4",
+        "--columns", "input_ids,mask", "--publish",
+    )
+    assert r.returncode == 0, r.stderr[-3000:]
+    s = json.loads(r.stdout.strip().splitlines()[-1])
+    assert s["shards_total"] == 4 and s["ratio"] < 1.0
+    dec = mc.decode_columns(
+        snap_table.read(spark, out), ["input_ids", "mask"], verify_checksum=True
+    )
+    rep = mc.multi_roundtrip_report(df, dec, ["input_ids", "mask"]).collect()[0]
+    assert rep.n_decoded == 500
+    assert rep.n_mismatch_input_ids == 0 and rep.n_mismatch_mask == 0
