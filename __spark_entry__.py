@@ -2327,6 +2327,43 @@ def _q_pack_boundaries(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_dataloader_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic training dataloader (archive_spark/dataloader.py):
+    publish the md5-shuffled, seq_len=128-packed corpus ONCE as an
+    encoded snapshot table clustered by sequence id, then serve training
+    steps [10, 14) at batch_size=8 through the pruned read path
+    (manifest zone maps skip files, block zone maps skip blocks, CRC
+    verification on).  The oracle replays the whole contract — md5
+    shuffle order, EOS-joined concatenation, the 128-grid cut, and the
+    step arithmetic — as one DuckDB window query over the persisted raw
+    token table, so a wrong shuffle order, a mis-cut sequence, or an
+    over-pruned file all hash-mismatch."""
+    import shutil
+
+    from archive_spark import dataloader
+
+    toks = _tokens(spark, sf_dir)
+    _persist(toks.select("doc_id", "tokens", "n_tok"), "dl_input", sf_dir)
+    t = "/tmp/archive_spark_dl/" + os.path.basename(os.path.normpath(sf_dir))
+    shutil.rmtree(t, ignore_errors=True)
+    dataloader.publish_training_order(
+        toks, t, seq_len=128, eos_token=0, n_parts=8,
+        target_block_values=1 << 12,
+    )
+    batch = dataloader.read_batches(
+        spark, t, 10, end_step=14, batch_size=8, verify_checksum=True
+    )
+    return batch.select(
+        "step",
+        "seq_id",
+        F.aggregate(
+            "tokens", F.lit(0).cast("long"), lambda a, x: a + x.cast("long")
+        ).alias("tok_sum"),
+        F.element_at("tokens", 1).alias("first_tok"),
+        F.element_at("tokens", -1).alias("last_tok"),
+    ).orderBy("seq_id")
+
+
 def _q_fim_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fill-in-the-middle training transform (pipeline_ops.fim_transform):
     md5-derived cut points, [PRE]prefix[SUF]suffix[MID]middle reorder as
@@ -2725,6 +2762,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # -- every query WITHOUT a driver correctness row (r01-r03 artifacts)
         # -- comes first: the driver walks this dict in order under a budget --
+        "dataloader_batch": _q_dataloader_batch,
         "vocab_remap": _q_vocab_remap,
         "distinct_tokens_encoded": _q_distinct_tokens_encoded,
         "stratified_sample": _q_stratified_sample,
@@ -4085,6 +4123,27 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, source, chunk_idx, len(chunk)::INT AS n_chunk, "
             "array_to_string(chunk, ',') AS chunk_csv FROM ch "
             "WHERE len(chunk) >= 16 ORDER BY doc_id, chunk_idx"
+        ),
+        "dataloader_batch": (
+            # full-contract replay: md5(doc_id) shuffle order (+doc_id
+            # tiebreak), +1 EOS per doc, window prefix sum for each doc's
+            # global offset, cut at the 128 grid, then steps [10,14) at
+            # batch_size=8 = seq_id in [80, 112); the trailing partial
+            # sequence (if it ever landed in range) mirrors the Spark
+            # side's EOS(0) padding via the CASE on last_tok
+            "WITH d AS (SELECT doc_id, list_concat(tokens, [0]) AS te, "
+            "COALESCE(sum(n_tok + 1) OVER (ORDER BY md5(doc_id), doc_id "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS st "
+            f"FROM read_parquet('{_opath('dl_input')}')), "
+            "tok AS (SELECT d.st + u.i - 1 AS pos, d.te[u.i] AS tok "
+            "FROM d, unnest(range(1, len(d.te) + 1)) AS u(i)), "
+            "seqs AS (SELECT pos // 128 AS seq_id, sum(tok) AS s, "
+            "count(*) AS c, arg_min(tok, pos) AS ft, arg_max(tok, pos) AS lt "
+            "FROM tok GROUP BY 1) "
+            "SELECT (seq_id // 8)::BIGINT AS step, seq_id::BIGINT AS seq_id, "
+            "s::BIGINT AS tok_sum, ft::INTEGER AS first_tok, "
+            "(CASE WHEN c < 128 THEN 0 ELSE lt END)::INTEGER AS last_tok "
+            "FROM seqs WHERE seq_id >= 80 AND seq_id < 112 ORDER BY seq_id"
         ),
         "sequence_packing": (
             # replay the deterministic doc_id-order concatenation (+1 EOS

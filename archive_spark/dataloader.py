@@ -1,0 +1,203 @@
+"""Deterministic training dataloader over the encoded corpus.
+
+A pretraining run consumes the corpus as a reproducible stream of
+fixed-size batches: deterministic global shuffle -> pack to ``seq_len``
+-> batch ``t`` = sequences ``[t*B, (t+1)*B)``.  This module publishes
+that order ONCE as an encoded, sequence-clustered snapshot table and
+then serves any batch — or a resume-from-step suffix — with O(batch)
+IO: the batch's sequence range prunes whole files through the manifest
+zone maps and whole blocks through the block zone maps before a single
+payload byte is decoded.
+
+This is the reference's targeted-extraction capability
+(`Extractor.Extract(targets...)`, /root/reference/archive.go:301 — point
+reads out of a compressed corpus) lifted to training-order ranges: the
+"target" is a step interval, and because the table is clustered by
+sequence id the interval is exactly a zone-map range probe.
+
+Why it matters at 100 TB: a training job that restarts at step S must
+not re-scan the corpus prefix.  Here resume-from-S reads only the files
+whose [seq_min, seq_max] overlap [S*B, inf) — the skipped prefix is
+never opened (`resume_plan` reports the exact accounting, and the whole
+plan is computed from the manifest, no Spark job).
+
+Batch contents are a pure function of (corpus, seq_len, eos, B): the
+shuffle is md5-order (no RNG), packing is deterministic, and sequence
+ids are dense — so any engine can replay a batch for audit (the DuckDB
+oracle in __spark_entry__ does exactly that).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import engine
+from . import table as snap_table
+from .pipeline_ops import pack_sequences
+
+#: zero-padded decimal width of the sequence-id key — lexicographic
+#: order == numeric order up to 10^12 sequences (the north-star scale).
+SEQ_KEY_WIDTH = 12
+
+META_FILE = "dataloader.json"
+
+
+def seq_key(col):
+    """Sequence id -> fixed-width string key (lexicographic == numeric)."""
+    return F.lpad(col.cast("string"), SEQ_KEY_WIDTH, "0")
+
+
+def _seq_key_py(i: int) -> str:
+    return str(int(i)).zfill(SEQ_KEY_WIDTH)
+
+
+def publish_training_order(
+    docs: DataFrame,
+    table_dir: str,
+    seq_len: int = 2048,
+    eos_token: int = 0,
+    n_parts: int | None = None,
+    target_block_values: int = engine.DEFAULT_BLOCK_VALUES,
+    effort: str = "balanced",
+) -> dict:
+    """Shuffle + pack ``docs`` and publish the training order as an
+    encoded snapshot table clustered by sequence id.
+
+    ``docs``: (doc_id, tokens, n_tok) — the tokenized corpus.
+    Returns a report dict: snapshot_id, n_seqs, n_files, plus the
+    dataloader metadata persisted alongside the table (``dataloader.json``)
+    so any later reader knows the packing contract without re-deriving it.
+
+    Scale shape: pack_sequences is the existing two-phase prefix-sum
+    packer (no global window); the only additions are one range
+    repartition on the sequence key (what clusters blocks/files into
+    disjoint seq ranges — the thing pruning needs) and the ordinary
+    shuffle-free block encode.
+    """
+    packed = pack_sequences(
+        docs, seq_len=seq_len, eos_token=eos_token, n_parts=n_parts, shuffle=True
+    )
+    keyed = packed.select(seq_key(F.col("seq_id")).alias("seq_id"), "tokens")
+    spark = docs.sparkSession
+    P = n_parts or int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    clustered = keyed.repartitionByRange(P, "seq_id").sortWithinPartitions("seq_id")
+    enc = engine.encode(
+        clustered,
+        target_block_values=target_block_values,
+        effort=effort,
+        id_col="seq_id",
+        tokens_col="tokens",
+        group_col=None,
+    )
+    snapshot_id = snap_table.commit(enc, table_dir, mode="overwrite")
+
+    manifest = snap_table.read_manifest(table_dir, snapshot_id)
+    n_seqs = 0
+    for st in (manifest.stats or {}).values():
+        cols = (st or {}).get("columns", {})
+        if "doc_max" in cols:
+            n_seqs = max(n_seqs, int(cols["doc_max"][1]) + 1)
+    meta = {
+        "seq_len": int(seq_len),
+        "eos_token": int(eos_token),
+        "seq_key_width": SEQ_KEY_WIDTH,
+        "n_seqs": int(n_seqs),
+        "snapshot_id": snapshot_id,
+    }
+    tmp = os.path.join(table_dir, f".{META_FILE}.tmp")
+    with open(tmp, "w") as f:
+        json.dump(meta, f)
+    os.replace(tmp, os.path.join(table_dir, META_FILE))
+    return {
+        "snapshot_id": snapshot_id,
+        "n_seqs": n_seqs,
+        "n_files": len(manifest.files),
+        **{k: meta[k] for k in ("seq_len", "eos_token")},
+    }
+
+
+def loader_meta(table_dir: str) -> dict:
+    with open(os.path.join(table_dir, META_FILE)) as f:
+        return json.load(f)
+
+
+def n_steps(table_dir: str, batch_size: int) -> int:
+    """Number of FULL batches the published order serves (the standard
+    pretraining contract drops the trailing partial batch)."""
+    return loader_meta(table_dir)["n_seqs"] // int(batch_size)
+
+
+def read_batches(
+    spark: SparkSession,
+    table_dir: str,
+    start_step: int,
+    end_step: int | None = None,
+    batch_size: int = 256,
+    snapshot_id: str | None = None,
+    verify_checksum: bool = False,
+) -> DataFrame:
+    """Serve training batches ``[start_step, end_step)`` as
+    (step, seq_id, tokens) — bit-identical to the published order.
+
+    IO is O(batches served): the sequence interval becomes a doc_range
+    probe that prunes files at the manifest and blocks at their zone
+    maps (engine.decode_table); everything outside the interval is never
+    read.  ``end_step=None`` serves the single batch ``start_step``.
+    Pass ``end_step`` beyond the table's last step to read a
+    resume-to-end suffix (the trailing partial batch, if any, is served
+    with fewer than ``batch_size`` rows — drop it with
+    ``n_steps(table_dir, B)`` if the run wants full batches only).
+    """
+    B = int(batch_size)
+    if end_step is None:
+        end_step = start_step + 1
+    if end_step <= start_step:
+        raise ValueError(f"empty step range [{start_step}, {end_step})")
+    lo, hi = start_step * B, end_step * B
+    out = engine.decode_table(
+        spark,
+        table_dir,
+        snapshot_id=snapshot_id,
+        verify_checksum=verify_checksum,
+        doc_range=(_seq_key_py(lo), _seq_key_py(hi - 1)),
+    )
+    seq = F.col("doc_id").cast("long")
+    return out.filter((seq >= lo) & (seq < hi)).select(
+        F.floor(seq / B).cast("long").alias("step"),
+        seq.alias("seq_id"),
+        "tokens",
+    )
+
+
+def resume_plan(
+    table_dir: str,
+    step: int,
+    batch_size: int,
+    snapshot_id: str | None = None,
+) -> dict:
+    """Accounting for a resume-from-``step``: which fraction of the
+    table's files the suffix read must open.  Pure manifest arithmetic —
+    no Spark job, no file opened.
+    """
+    snapshot_id = snapshot_id or snap_table.current_snapshot_id(table_dir)
+    if snapshot_id is None:
+        raise FileNotFoundError(f"{table_dir}: no committed snapshot")
+    manifest = snap_table.read_manifest(table_dir, snapshot_id)
+    lo = _seq_key_py(int(step) * int(batch_size))
+    kept = snap_table.select_files(
+        table_dir, snapshot_id, {"doc_max": (lo, None)}
+    )
+    total = len(manifest.files)
+    return {
+        "snapshot_id": snapshot_id,
+        "step": int(step),
+        "batch_size": int(batch_size),
+        "files_total": total,
+        "files_read": len(kept),
+        "files_skipped": total - len(kept),
+        "skip_frac": (total - len(kept)) / total if total else 0.0,
+    }

@@ -1,0 +1,125 @@
+"""Deterministic training dataloader over the encoded corpus
+(archive_spark/dataloader.py): publish-once training order, O(batch)
+batch serving, resume accounting."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from archive_spark import dataloader
+from archive_spark.pipeline_ops import pack_sequences
+
+
+SEQ_LEN = 64
+B = 4
+
+
+def _docs(spark, n=160, seed=7):
+    """Small synthetic corpus with variable doc lengths."""
+    rows = []
+    for i in range(n):
+        ln = 3 + (i * 37 + seed) % 90
+        toks = [((i + 1) * 1009 + j * 97) % 50021 for j in range(ln)]
+        rows.append((f"d{i:05d}", toks, ln))
+    return spark.createDataFrame(
+        rows, "doc_id string, tokens array<int>, n_tok int"
+    )
+
+
+@pytest.fixture(scope="module")
+def published(spark, tmp_path_factory):
+    tdir = str(tmp_path_factory.mktemp("dl") / "order")
+    docs = _docs(spark)
+    rep = dataloader.publish_training_order(
+        docs, tdir, seq_len=SEQ_LEN, eos_token=0, n_parts=8,
+        target_block_values=256,  # tiny blocks => many files/blocks to prune
+    )
+    return tdir, docs, rep
+
+
+def _expected_packed(spark, docs):
+    packed = pack_sequences(docs, seq_len=SEQ_LEN, eos_token=0, shuffle=True, n_parts=8)
+    return {
+        r["seq_id"]: r["tokens"]
+        for r in packed.select("seq_id", "tokens").collect()
+    }
+
+
+def test_publish_report_and_meta(published):
+    tdir, docs, rep = published
+    meta = dataloader.loader_meta(tdir)
+    assert rep["n_seqs"] == meta["n_seqs"] > 0
+    assert meta["seq_len"] == SEQ_LEN
+    assert rep["n_files"] >= 2  # tiny blocks spread over >= 2 files
+    assert dataloader.n_steps(tdir, B) == meta["n_seqs"] // B
+
+
+def test_batches_bit_identical_to_pack(spark, published):
+    tdir, docs, rep = published
+    exp = _expected_packed(spark, docs)
+    got = {
+        r["seq_id"]: (r["step"], r["tokens"])
+        for r in dataloader.read_batches(
+            spark, tdir, 0, end_step=10**9, batch_size=B,
+            verify_checksum=True,
+        ).collect()
+    }
+    assert set(got) == set(exp)
+    for sid, toks in exp.items():
+        step, got_toks = got[sid]
+        assert step == sid // B
+        assert got_toks == toks, f"seq {sid} tokens diverge"
+
+
+def test_single_batch_exact_rows(spark, published):
+    tdir, _, rep = published
+    full = dataloader.n_steps(tdir, B)
+    assert full >= 3
+    step = full // 2
+    rows = dataloader.read_batches(spark, tdir, step, batch_size=B).collect()
+    assert sorted(r["seq_id"] for r in rows) == list(
+        range(step * B, (step + 1) * B)
+    )
+    assert all(r["step"] == step for r in rows)
+    assert all(len(r["tokens"]) == SEQ_LEN for r in rows)
+
+
+def test_batch_read_prunes_files(spark, published):
+    tdir, _, rep = published
+    # resume from the last step: everything before it must be skipped at
+    # the manifest (pure metadata arithmetic — no Spark job)
+    last = dataloader.n_steps(tdir, B) - 1
+    plan = dataloader.resume_plan(tdir, last, B)
+    assert plan["files_total"] == rep["n_files"]
+    assert plan["files_read"] < plan["files_total"]
+    assert plan["skip_frac"] > 0.5
+    # resume from 0 reads everything
+    assert dataloader.resume_plan(tdir, 0, B)["files_read"] == plan["files_total"]
+
+
+def test_beyond_end_is_empty_and_bad_range_raises(spark, published):
+    tdir, _, _ = published
+    n = dataloader.n_steps(tdir, B)
+    assert (
+        dataloader.read_batches(spark, tdir, n + 5, batch_size=B).count() == 0
+    )
+    with pytest.raises(ValueError):
+        dataloader.read_batches(spark, tdir, 3, end_step=3, batch_size=B)
+
+
+def test_republish_is_deterministic(spark, published, tmp_path):
+    tdir, docs, _ = published
+    tdir2 = str(tmp_path / "order2")
+    dataloader.publish_training_order(
+        docs, tdir2, seq_len=SEQ_LEN, eos_token=0, n_parts=4,
+        target_block_values=512,  # different physical layout on purpose
+    )
+    dig = lambda d: (  # noqa: E731
+        dataloader.read_batches(spark, d, 0, 10**9, batch_size=B)
+        .select(F.md5(F.concat_ws(",", F.col("seq_id"), F.concat_ws(" ", "tokens"))).alias("h"))
+        .agg(F.count("*").alias("n"), F.sum(F.conv(F.substring("h", 1, 8), 16, 10).cast("long")).alias("s"))
+        .collect()[0]
+    )
+    a, b = dig(tdir), dig(tdir2)
+    assert (a["n"], a["s"]) == (b["n"], b["s"])
