@@ -2364,6 +2364,36 @@ def _q_dataloader_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("seq_id")
 
 
+def _q_bucketed_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic batching (pipeline_ops.length_bucketed_batches): docs
+    bucket by length, rank in md5 order per bucket WITHOUT a per-bucket
+    global window (two-phase prefix sums), batch = fixed-size slice of
+    the rank order.  Per-batch digest pins every doc→batch assignment;
+    pad_ppm is exact integer arithmetic.  The oracle replays the whole
+    layout with one SQL window."""
+    from archive_spark.pipeline_ops import (
+        batch_pad_stats,
+        length_bucketed_batches,
+    )
+
+    toks = _tokens(spark, sf_dir)
+    _persist(toks.select("doc_id", "n_tok"), "bucketed_input", sf_dir)
+    assign = length_bucketed_batches(toks, 32, [16, 32, 64, 128])
+    digest = (
+        assign.groupBy("bucket", "batch_idx")
+        .agg(
+            F.md5(F.concat_ws("", F.sort_array(F.collect_list("key")))).alias(
+                "digest"
+            )
+        )
+    )
+    return (
+        batch_pad_stats(assign, 32)
+        .join(digest, ["bucket", "batch_idx"])
+        .orderBy("bucket", "batch_idx")
+    )
+
+
 def _q_fim_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fill-in-the-middle training transform (pipeline_ops.fim_transform):
     md5-derived cut points, [PRE]prefix[SUF]suffix[MID]middle reorder as
@@ -2763,6 +2793,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- every query WITHOUT a driver correctness row (r01-r03 artifacts)
         # -- comes first: the driver walks this dict in order under a budget --
         "dataloader_batch": _q_dataloader_batch,
+        "bucketed_batches": _q_bucketed_batches,
         "vocab_remap": _q_vocab_remap,
         "distinct_tokens_encoded": _q_distinct_tokens_encoded,
         "stratified_sample": _q_stratified_sample,
@@ -4144,6 +4175,28 @@ def oracle_sql() -> dict[str, str]:
             "s::BIGINT AS tok_sum, ft::INTEGER AS first_tok, "
             "(CASE WHEN c < 128 THEN 0 ELSE lt END)::INTEGER AS last_tok "
             "FROM seqs WHERE seq_id >= 80 AND seq_id < 112 ORDER BY seq_id"
+        ),
+        "bucketed_batches": (
+            # one window replays the layout: bucket = #boundaries <= len,
+            # rank = md5 order per bucket (doc_id tiebreak), batch =
+            # (rank-1) // 32; integer floor-div pad accounting; the digest
+            # pins every doc's batch assignment
+            "WITH a AS (SELECT doc_id, n_tok, "
+            "len(list_filter([16, 32, 64, 128], b -> b <= n_tok))::INT "
+            "AS bucket "
+            f"FROM read_parquet('{_opath('bucketed_input')}')), "
+            "r AS (SELECT doc_id, n_tok, bucket, row_number() OVER "
+            "(PARTITION BY bucket ORDER BY md5(doc_id), doc_id) AS rk "
+            "FROM a), "
+            "g AS (SELECT bucket, (rk - 1) // 32 AS batch_idx, "
+            "count(*) AS n, max(n_tok) AS mx, sum(n_tok) AS s, "
+            "md5(string_agg(doc_id, '' ORDER BY doc_id)) AS dg "
+            "FROM r GROUP BY 1, 2) "
+            "SELECT bucket::INT AS bucket, batch_idx::BIGINT AS batch_idx, "
+            "n::BIGINT AS n_docs, mx::BIGINT AS max_len, s::BIGINT AS sum_len, "
+            "(CASE WHEN n * mx = 0 THEN 0 ELSE (n * mx - s) * 1000000 "
+            "// (n * mx) END)::BIGINT AS pad_ppm, dg AS digest "
+            "FROM g ORDER BY bucket, batch_idx"
         ),
         "sequence_packing": (
             # replay the deterministic doc_id-order concatenation (+1 EOS

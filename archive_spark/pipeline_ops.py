@@ -830,6 +830,115 @@ def corpus_shuffle(
     )
 
 
+def length_bucketed_batches(
+    docs: DataFrame,
+    batch_size: int,
+    boundaries,
+    key_col: str = "doc_id",
+    len_col: str = "n_tok",
+    partitions: int | None = None,
+) -> DataFrame:
+    """Dynamic batching for variable-length training (the SFT/eval-time
+    counterpart of ``pack_sequences``): assign every doc to a length
+    bucket (``bucket`` = number of ``boundaries`` <= length) and, inside
+    each bucket, to a deterministic fixed-size batch in ``md5(key)``
+    order — batches then pad only to their own max length, not the
+    global one, which is what cuts pad waste.
+
+    Deterministic and engine-replayable: the assignment is a pure
+    function of (key, length, boundaries, batch_size) — rank within a
+    bucket is md5 order with a key tiebreak, ``batch_idx`` =
+    (rank-1) // batch_size — so a SQL window replays it exactly.
+
+    Scale shape: NO per-bucket global window.  Rows range-partition on
+    (bucket, md5) so each partition holds a contiguous rank slice; the
+    per-(bucket, partition) row counts (O(buckets × partitions) tiny
+    rows) are prefix-summed at the driver and broadcast-joined back, and
+    the window that remains is per (bucket, partition) — bounded by a
+    partition, never by a bucket.  Same two-phase shape as
+    ``corpus_shuffle``; the eager checkpoint pins the sampled range
+    boundaries the offsets were computed from (see pack_sequences).
+
+    Returns (key, len, bucket, rank, batch_idx).
+    """
+    bs = sorted(int(b) for b in boundaries)
+    barr = F.array(*[F.lit(b) for b in bs]) if bs else F.array().cast("array<int>")
+    bucket = F.size(F.filter(barr, lambda b: b <= F.col(len_col)))
+    spark = docs.sparkSession
+    sel = docs.select(
+        F.col(key_col).cast("string").alias("key"),
+        F.col(len_col).cast("int").alias("len"),
+        bucket.cast("int").alias("bucket"),
+        F.md5(F.col(key_col).cast("string")).alias("_k"),
+    )
+    P = partitions or spark.sparkContext.defaultParallelism
+    parted = (
+        sel.repartitionByRange(P, "bucket", "_k", "key")
+        .withColumn("_p", F.spark_partition_id())
+        .persist()
+    )
+    try:
+        pc = parted.groupBy("bucket", "_p").agg(F.count("*").alias("n")).collect()
+        by_bucket: dict[int, list[tuple[int, int]]] = {}
+        for r in pc:
+            by_bucket.setdefault(r["bucket"], []).append((r["_p"], r["n"]))
+        rows = []
+        for b, lst in by_bucket.items():
+            run = 0
+            for p, n in sorted(lst):
+                rows.append((b, p, run))
+                run += n
+        off_df = spark.createDataFrame(
+            rows or [(0, 0, 0)], "bucket int, _p int, _off bigint"
+        )
+        w = Window.partitionBy("bucket", "_p").orderBy("_k", "key")
+        out = (
+            parted.withColumn("_r", F.row_number().over(w))
+            .join(F.broadcast(off_df), ["bucket", "_p"], "left")
+            .withColumn(
+                "rank",
+                (F.col("_r") + F.coalesce(F.col("_off"), F.lit(0))).cast("bigint"),
+            )
+            .select(
+                "key",
+                "len",
+                "bucket",
+                "rank",
+                F.expr(f"CAST((rank - 1) DIV {int(batch_size)} AS BIGINT)").alias(
+                    "batch_idx"
+                ),
+            )
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        parted.unpersist()
+
+
+def batch_pad_stats(assign: DataFrame, batch_size: int) -> DataFrame:
+    """Per-batch padding accounting over a ``length_bucketed_batches``
+    assignment: each batch pads its docs to the batch max, so
+    ``pad_ppm`` = wasted slots / total slots in integer ppm (exact in
+    any engine — no fp).  One map-side-combined aggregate."""
+    return (
+        assign.groupBy("bucket", "batch_idx")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.max("len").cast("bigint").alias("max_len"),
+            F.sum("len").cast("bigint").alias("sum_len"),
+        )
+        .withColumn(
+            "pad_ppm",
+            # all-zero-length batch => no slots => no waste (and no ANSI
+            # division-by-zero)
+            F.expr(
+                "CASE WHEN n_docs * max_len = 0 THEN CAST(0 AS BIGINT) "
+                "ELSE CAST((n_docs * max_len - sum_len) * 1000000 "
+                "DIV (n_docs * max_len) AS BIGINT) END"
+            ),
+        )
+    )
+
+
 def frequency_spectrum(docs: DataFrame) -> DataFrame:
     """Word frequency-of-frequencies: for each occurrence count c, how
     many distinct words occur exactly c times — the Good-Turing

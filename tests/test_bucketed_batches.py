@@ -1,0 +1,84 @@
+"""length_bucketed_batches / batch_pad_stats (pipeline_ops): dynamic
+batching with deterministic md5-order assignment and exact integer pad
+accounting."""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import functions as F
+
+from archive_spark.pipeline_ops import batch_pad_stats, length_bucketed_batches
+
+BOUNDS = [16, 32, 64, 128]
+B = 8
+
+
+def _docs(spark, n=300):
+    rows = [
+        (f"d{i:04d}", 1 + (i * 53) % 200)  # lengths 1..200 across buckets
+        for i in range(n)
+    ]
+    return spark.createDataFrame(rows, "doc_id string, n_tok int")
+
+
+def _brute(rows, batch_size, bounds):
+    """Single-threaded reference: per-bucket md5 order, fixed batches."""
+    out = {}
+    buckets: dict[int, list] = {}
+    for key, ln in rows:
+        b = sum(1 for x in bounds if x <= ln)
+        buckets.setdefault(b, []).append((hashlib.md5(key.encode()).hexdigest(), key, ln))
+    for b, lst in buckets.items():
+        lst.sort()
+        for r, (_, key, ln) in enumerate(lst, start=1):
+            out[key] = (ln, b, r, (r - 1) // batch_size)
+    return out
+
+
+def test_assignment_matches_bruteforce(spark):
+    docs = _docs(spark)
+    rows = [(r["doc_id"], r["n_tok"]) for r in docs.collect()]
+    exp = _brute(rows, B, BOUNDS)
+    got = {
+        r["key"]: (r["len"], r["bucket"], r["rank"], r["batch_idx"])
+        for r in length_bucketed_batches(docs, B, BOUNDS, partitions=5).collect()
+    }
+    assert got == exp
+
+
+def test_partitioning_invariance(spark):
+    docs = _docs(spark, n=157)
+    a = {
+        r["key"]: (r["bucket"], r["rank"])
+        for r in length_bucketed_batches(docs, B, BOUNDS, partitions=2).collect()
+    }
+    b = {
+        r["key"]: (r["bucket"], r["rank"])
+        for r in length_bucketed_batches(
+            docs.repartition(11), B, BOUNDS, partitions=7
+        ).collect()
+    }
+    assert a == b
+
+
+def test_bucketing_cuts_pad_waste(spark):
+    docs = _docs(spark)
+    waste = lambda bounds: (  # noqa: E731
+        batch_pad_stats(length_bucketed_batches(docs, B, bounds), B)
+        .agg(
+            F.sum(F.col("n_docs") * F.col("max_len") - F.col("sum_len")).alias("w")
+        )
+        .collect()[0]["w"]
+    )
+    assert waste(BOUNDS) < waste([])  # one global bucket pads far more
+
+
+def test_batch_sizes_and_trailing_partial(spark):
+    docs = _docs(spark, n=101)
+    stats = batch_pad_stats(length_bucketed_batches(docs, B, BOUNDS), B).collect()
+    assert sum(r["n_docs"] for r in stats) == 101
+    for r in stats:
+        assert 1 <= r["n_docs"] <= B
+        assert 0 <= r["pad_ppm"] < 1_000_000
+        assert r["sum_len"] <= r["n_docs"] * r["max_len"]
