@@ -2364,6 +2364,41 @@ def _q_dataloader_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("seq_id")
 
 
+def _q_doc_compressibility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compression-ratio quality signal (pipeline_ops.
+    compressibility_scores): per-doc zstd ratio over utf-8 text bytes —
+    the cheap repetition/boilerplate/noise filter.  Shared-data oracle
+    pattern: the per-doc (raw_len, enc_len) pairs persist to parquet and
+    DuckDB replays the ppm arithmetic, aggregates, and the per-doc
+    digest over the SAME bytes (DuckDB has no zstd; the compression
+    itself is pinned by tests/test_compressibility.py against direct
+    pyarrow zstd calls)."""
+    from archive_spark.pipeline_ops import compressibility_scores
+
+    sc = compressibility_scores(_docs(spark, sf_dir))
+    _persist(
+        sc.select("doc_id", "source", "raw_len", "enc_len"),
+        "compress_scores",
+        sf_dir,
+    )
+    tag = F.concat_ws(":", "doc_id", F.col("ratio_ppm").cast("string"))
+    return (
+        sc.withColumn("_t", tag)
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("raw_len").cast("bigint").alias("sum_raw"),
+            F.sum("enc_len").cast("bigint").alias("sum_enc"),
+            F.min("ratio_ppm").cast("bigint").alias("min_ppm"),
+            F.max("ratio_ppm").cast("bigint").alias("max_ppm"),
+            F.md5(F.concat_ws("", F.sort_array(F.collect_list("_t")))).alias(
+                "digest"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
 def _q_bucketed_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dynamic batching (pipeline_ops.length_bucketed_batches): docs
     bucket by length, rank in md5 order per bucket WITHOUT a per-bucket
@@ -2794,6 +2829,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- comes first: the driver walks this dict in order under a budget --
         "dataloader_batch": _q_dataloader_batch,
         "bucketed_batches": _q_bucketed_batches,
+        "doc_compressibility": _q_doc_compressibility,
         "vocab_remap": _q_vocab_remap,
         "distinct_tokens_encoded": _q_distinct_tokens_encoded,
         "stratified_sample": _q_stratified_sample,
@@ -4175,6 +4211,20 @@ def oracle_sql() -> dict[str, str]:
             "s::BIGINT AS tok_sum, ft::INTEGER AS first_tok, "
             "(CASE WHEN c < 128 THEN 0 ELSE lt END)::INTEGER AS last_tok "
             "FROM seqs WHERE seq_id >= 80 AND seq_id < 112 ORDER BY seq_id"
+        ),
+        "doc_compressibility": (
+            # shared-data replay of the ppm arithmetic + aggregates; the
+            # digest sorts the SAME doc_id:ppm tag string Spark sorts
+            "SELECT source, count(*)::BIGINT AS n_docs, "
+            "sum(raw_len)::BIGINT AS sum_raw, sum(enc_len)::BIGINT AS sum_enc, "
+            "min(ppm)::BIGINT AS min_ppm, max(ppm)::BIGINT AS max_ppm, "
+            "md5(string_agg(tag, '' ORDER BY tag)) AS digest FROM ("
+            "SELECT source, raw_len, enc_len, ppm, "
+            "doc_id || ':' || ppm::VARCHAR AS tag FROM ("
+            "SELECT *, CASE WHEN raw_len = 0 THEN 1000000 "
+            "ELSE enc_len * 1000000 // raw_len END AS ppm "
+            f"FROM read_parquet('{_opath('compress_scores')}'))) "
+            "GROUP BY source ORDER BY source"
         ),
         "bucketed_batches": (
             # one window replays the layout: bucket = #boundaries <= len,

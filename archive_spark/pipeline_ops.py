@@ -1279,6 +1279,59 @@ def quality_scores(docs: DataFrame) -> DataFrame:
     )
 
 
+def compressibility_scores(docs: DataFrame, level: int = 3) -> DataFrame:
+    """Compression-ratio quality/repetition signal: zstd over each doc's
+    utf-8 bytes.  Templated, boilerplate, or self-repeating documents
+    compress far below natural text, and near-random noise barely
+    compresses at all — both tails are the ones a pretraining corpus
+    wants flagged (the classic cheap filter used alongside the
+    perplexity and heuristic signals this module already carries).
+
+    Runs as one Arrow-batched pass (the per-doc loop is Python, but the
+    C zstd call dominates; no JVM→Python per-row round trips).  The
+    level is a closure parameter (module globals never reach Python
+    workers).  Returns (doc_id, source, raw_len, enc_len, ratio_ppm);
+    ``ratio_ppm`` is exact integer arithmetic; empty docs get the
+    1_000_000 "no signal" sentinel.
+    """
+    import pyarrow as pa
+
+    lvl = int(level)
+
+    def score(it):
+        codec = pa.Codec("zstd", compression_level=lvl)
+        for batch in it:
+            texts = batch.column("text")
+            raw, enc = [], []
+            for t in texts:
+                b = (t.as_py() or "").encode("utf-8")
+                raw.append(len(b))
+                enc.append(len(codec.compress(b)) if b else 0)
+            # parquet scans can hand these in as dictionary-encoded /
+            # large_string arrays — cast to plain string so the declared
+            # output schema holds
+            yield pa.RecordBatch.from_arrays(
+                [
+                    batch.column("doc_id").cast(pa.string()),
+                    batch.column("source").cast(pa.string()),
+                    pa.array(raw, pa.int64()),
+                    pa.array(enc, pa.int64()),
+                ],
+                names=["doc_id", "source", "raw_len", "enc_len"],
+            )
+
+    out = docs.select("doc_id", "source", "text").mapInArrow(
+        score, "doc_id string, source string, raw_len long, enc_len long"
+    )
+    return out.withColumn(
+        "ratio_ppm",
+        F.expr(
+            "CASE WHEN raw_len = 0 THEN CAST(1000000 AS BIGINT) "
+            "ELSE CAST(enc_len * 1000000 DIV raw_len AS BIGINT) END"
+        ),
+    )
+
+
 def doc_fingerprints(docs: DataFrame) -> DataFrame:
     """Order-sensitive document fingerprint: xxhash64 rolling combination
     of word hashes (content-defined identity, cheaper than md5 of text

@@ -1,0 +1,49 @@
+"""compressibility_scores (pipeline_ops): zstd-ratio quality signal."""
+
+from __future__ import annotations
+
+import base64
+import hashlib
+
+import pyarrow as pa
+
+from archive_spark.pipeline_ops import compressibility_scores
+
+
+def _rand_text(n_blocks=100):
+    """High-entropy printable text (sha256-chained, base64)."""
+    raw = b"".join(
+        hashlib.sha256(bytes([i % 256]) + b"s10").digest() for i in range(n_blocks)
+    )
+    return base64.b64encode(raw).decode()
+
+
+def _df(spark):
+    rows = [
+        ("rep", "a", "spam ham " * 400),  # templated/repetitive
+        ("nat", "a", " ".join(f"w{i * 37 % 997}x{i % 13}" for i in range(800))),
+        ("rnd", "a", _rand_text()),
+        ("empty", "b", ""),
+    ]
+    return spark.createDataFrame(rows, "doc_id string, source string, text string")
+
+
+def test_ratio_ordering_and_sentinel(spark):
+    got = {r["doc_id"]: r for r in compressibility_scores(_df(spark)).collect()}
+    # repetitive << natural << near-random
+    assert got["rep"]["ratio_ppm"] < got["nat"]["ratio_ppm"] < got["rnd"]["ratio_ppm"]
+    assert got["rep"]["ratio_ppm"] < 100_000  # boilerplate compresses ~100x
+    assert got["rnd"]["ratio_ppm"] > 700_000  # noise barely compresses
+    assert got["empty"]["ratio_ppm"] == 1_000_000
+    assert got["empty"]["raw_len"] == 0 and got["empty"]["enc_len"] == 0
+
+
+def test_enc_len_matches_direct_zstd(spark):
+    codec = pa.Codec("zstd", compression_level=3)
+    df = _df(spark)
+    texts = {r["doc_id"]: r["text"] for r in df.collect()}
+    for r in compressibility_scores(df, level=3).collect():
+        b = texts[r["doc_id"]].encode("utf-8")
+        assert r["raw_len"] == len(b)
+        exp = len(codec.compress(b)) if b else 0
+        assert r["enc_len"] == exp, r["doc_id"]
