@@ -1373,6 +1373,144 @@ def describe(table_dir: str) -> dict:
     return out
 
 
+def fsck(
+    spark: SparkSession | None,
+    table_dir: str,
+    snapshot_id: str | None = None,
+    check_blocks: bool = False,
+) -> dict:
+    """Audit a snapshot table and return a typed findings report — the
+    table-level counterpart of the reference's validity probe
+    (`filearchive`, /root/reference/archive.go:194): say what is wrong,
+    loudly and precisely, without throwing.
+
+    Metadata phase (no Spark job, no data file read beyond footers):
+    - the current pointer resolves and its manifest parses;
+    - every manifest data file exists, opens as parquet, and its row
+      count matches the recorded manifest stats;
+    - every delete entry's key files exist and its key column is a
+      top-level column of the schema (a reader could apply it);
+    - every ref points at a readable manifest;
+    - data dirs referenced by NO snapshot are reported as vacuumable
+      orphans (info — an ordinary crash artifact, never an error).
+
+    ``check_blocks=True`` (encoded block tables): one typed Spark pass
+    (`engine.audit_blocks`) re-decodes every block and re-proves its
+    CRC-32 — per-status counts land in ``checked["block_status"]`` and
+    any non-ok block becomes an error finding.
+
+    Returns ``{"ok": bool, "findings": [{"level", "kind", "detail"}],
+    "checked": {...}}``; ``ok`` means no error-level finding.
+    """
+    import pyarrow.parquet as pq
+
+    findings: list[dict] = []
+    checked: dict = {}
+
+    def err(kind: str, detail: str) -> None:
+        findings.append({"level": "error", "kind": kind, "detail": detail})
+
+    def info(kind: str, detail: str) -> None:
+        findings.append({"level": "info", "kind": kind, "detail": detail})
+
+    sid = snapshot_id or current_snapshot_id(table_dir)
+    if sid is None:
+        err("no_current_snapshot", f"{table_dir}: no committed snapshot")
+        return {"ok": False, "findings": findings, "checked": checked}
+    try:
+        m = read_manifest(table_dir, sid)
+    except Exception as e:
+        err("manifest_unreadable", f"{sid}: {e}")
+        return {"ok": False, "findings": findings, "checked": checked}
+
+    checked["snapshot_id"] = sid
+    checked["n_files"] = len(m.files)
+    for f in m.files:
+        p = os.path.join(table_dir, f)
+        if not os.path.isfile(p):
+            err("missing_data_file", f)
+            continue
+        try:
+            md = pq.ParquetFile(p).metadata
+        except Exception as e:
+            err("unreadable_parquet", f"{f}: {e}")
+            continue
+        rec = (m.stats or {}).get(f, {}).get("rows")
+        if rec is not None and rec != md.num_rows:
+            err(
+                "row_count_mismatch",
+                f"{f}: manifest says {rec} rows, footer says {md.num_rows}",
+            )
+
+    top_cols = set(_schema_fields(m.schema))
+    for entry in m.deletes or []:
+        if entry.get("key") not in top_cols:
+            err(
+                "delete_key_not_in_schema",
+                f"entry seq {entry.get('seq')}: key column "
+                f"{entry.get('key')!r} is not a top-level column",
+            )
+        for kf in entry.get("files", []):
+            if not os.path.isfile(os.path.join(table_dir, kf)):
+                err("missing_delete_file", kf)
+    checked["n_delete_entries"] = len(m.deletes or [])
+
+    for name, rid in refs(table_dir).items():
+        try:
+            read_manifest(table_dir, rid)
+        except Exception:
+            err("dangling_ref", f"{name} -> {rid}: manifest unreadable")
+    checked["n_refs"] = len(refs(table_dir))
+
+    data_root = os.path.join(table_dir, "data")
+    if os.path.isdir(data_root):
+        referenced: set[str] = set()
+        for s in snapshots(table_dir):
+            for f in s.files:
+                parts = f.split(os.sep)
+                if len(parts) >= 2 and parts[0] == "data":
+                    referenced.add(parts[1])
+        orphans = sorted(
+            d for d in os.listdir(data_root)
+            if os.path.isdir(os.path.join(data_root, d)) and d not in referenced
+        )
+        if orphans:
+            info(
+                "orphan_data_dirs",
+                f"{len(orphans)} dir(s) referenced by no snapshot "
+                f"(vacuumable): {', '.join(orphans[:5])}"
+                + ("…" if len(orphans) > 5 else ""),
+            )
+        checked["n_orphan_dirs"] = len(orphans)
+
+    if check_blocks:
+        if spark is None:
+            raise ValueError("check_blocks=True needs a SparkSession")
+        if "payload" not in _schema_fields(m.schema):
+            err("not_a_block_table", "check_blocks on a non-encoded table")
+        else:
+            from . import engine
+
+            enc = _read_files(spark, table_dir, m, m.files)
+            stat_rows = (
+                engine.audit_blocks(enc)
+                .groupBy("status")
+                .count()
+                .collect()
+            )
+            status = {r["status"]: r["count"] for r in stat_rows}
+            checked["block_status"] = status
+            bad = {k: v for k, v in status.items() if k != "ok"}
+            if bad:
+                err("corrupt_blocks", f"non-ok blocks: {bad}")
+
+    return {
+        "ok": not any(f["level"] == "error" for f in findings),
+        "findings": findings,
+        "checked": checked,
+    }
+
+
 def history_df(spark: SparkSession, table_dir: str) -> DataFrame:
     """The table's commit history as a DataFrame (Iceberg's
     ``table.history`` metadata face): one row per committed snapshot,

@@ -6,7 +6,8 @@ Usage:
       [--cluster-by col1,col2 | --zorder-by col1,col2] \
       [--expire-keep-last K] [--vacuum] \
       [--rollback-to ID] [--tag NAME[=ID]] [--branch NAME[=ID]] \
-      [--fast-forward NAME] [--history] [--remap-vocab MAPPING_PARQUET]
+      [--fast-forward NAME] [--history] [--remap-vocab MAPPING_PARQUET] \
+      [--fsck [--fsck-blocks]]
 
 Compacts the current snapshot's small files (streaming micro-commits)
 into one overwrite snapshot, expires old snapshot manifests, vacuums
@@ -58,6 +59,13 @@ def main() -> None:
     ap.add_argument("--fast-forward", default=None,
                     help="publish this branch's head as current (refused if "
                          "main advanced past the branch point)")
+    ap.add_argument("--fsck", action="store_true",
+                    help="audit the table: manifest/file/ref/delete-entry "
+                         "integrity (metadata-only) — see --fsck-blocks")
+    ap.add_argument("--fsck-blocks", action="store_true",
+                    help="with --fsck on an encoded block table: also "
+                         "re-decode every block and re-prove its CRC-32 "
+                         "(one typed Spark pass, corruption never throws)")
     ap.add_argument("--history", action="store_true",
                     help="append the commit history (history_df rows) to the "
                          "summary")
@@ -117,6 +125,10 @@ def main() -> None:
         out["fast_forwarded"] = {
             args.fast_forward: table.fast_forward(args.table, args.fast_forward)
         }
+    if args.fsck:
+        out["fsck"] = table.fsck(
+            spark, args.table, check_blocks=args.fsck_blocks
+        )
     out["snapshots"] = [s.snapshot_id for s in table.snapshots(args.table)]
     if args.describe:
         out["describe"] = table.describe(args.table)

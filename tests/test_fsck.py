@@ -1,0 +1,96 @@
+"""table.fsck + engine.audit_blocks: the typed corpus/table fsck."""
+
+from __future__ import annotations
+
+import os
+
+from archive_spark import engine
+from archive_spark import table as snap_table
+
+
+def _encoded(spark, n=40):
+    rows = [
+        (f"d{i:03d}", [(i * 31 + j) % 1000 for j in range(20 + i % 7)], 20 + i % 7, "s")
+        for i in range(n)
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id string, tokens array<int>, n_tok int, source string"
+    )
+    return engine.encode(df, target_block_values=128)
+
+
+def test_audit_blocks_all_ok(spark):
+    enc = _encoded(spark)
+    stat = {r["status"]: r["count"] for r in engine.audit_blocks(enc).groupBy("status").count().collect()}
+    assert list(stat) == ["ok"]
+    assert stat["ok"] == enc.count()
+
+
+def _tamper(spark, enc, fn):
+    """Collect, apply fn to the first block's row dict, rebuild the DF."""
+    rows = [r.asDict(recursive=True) for r in enc.collect()]
+    fn(rows[0])
+    return spark.createDataFrame(rows, schema=enc.schema)
+
+
+def test_audit_blocks_typed_corruption(spark):
+    enc = _encoded(spark)
+
+    def chop(r):
+        r["payload"] = r["payload"][: max(1, len(r["payload"]) - 5)]
+
+    bad = engine.audit_blocks(_tamper(spark, enc, chop)).filter("status <> 'ok'").collect()
+    assert len(bad) == 1
+    assert bad[0]["status"] in ("corrupt_payload", "length_mismatch")
+    assert bad[0]["detail"]
+
+    def lie_crc(r):
+        p = dict(r["meta"]["params"])
+        if "crc32" in p:
+            p["crc32"] = str((int(p["crc32"]) + 1) % (1 << 32))
+        r["meta"] = {**r["meta"], "params": p}
+
+    bad = engine.audit_blocks(_tamper(spark, enc, lie_crc)).filter("status <> 'ok'").collect()
+    assert [b["status"] for b in bad] == ["crc_mismatch"]
+
+
+def test_fsck_clean_table(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    snap_table.commit(_encoded(spark), t)
+    rep = snap_table.fsck(spark, t, check_blocks=True)
+    assert rep["ok"], rep["findings"]
+    assert list(rep["checked"]["block_status"]) == ["ok"]
+    assert rep["checked"]["n_files"] >= 1
+
+
+def test_fsck_flags_missing_file_and_orphan_and_ref(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    snap_table.commit(_encoded(spark), t)
+    # orphan data dir (crash artifact): info finding, ok stays true
+    os.makedirs(os.path.join(t, "data", "deadbeef"), exist_ok=True)
+    rep = snap_table.fsck(None, t)
+    assert rep["ok"]
+    assert any(f["kind"] == "orphan_data_dirs" for f in rep["findings"])
+    # dangling ref: error
+    snap_table.tag(t, "hold")
+    with open(os.path.join(t, "_refs", "hold"), "w") as f:
+        f.write("nope tag")
+    rep = snap_table.fsck(None, t)
+    assert not rep["ok"]
+    assert any(f["kind"] == "dangling_ref" for f in rep["findings"])
+    # missing data file: error naming the file
+    m = snap_table.read_manifest(t, snap_table.current_snapshot_id(t))
+    victim = m.files[0]
+    os.unlink(os.path.join(t, victim))
+    rep = snap_table.fsck(None, t)
+    assert not rep["ok"]
+    assert any(
+        f["kind"] == "missing_data_file" and f["detail"] == victim
+        for f in rep["findings"]
+    )
+
+
+def test_fsck_empty_dir(tmp_path):
+    rep = snap_table.fsck(None, str(tmp_path / "nothing"))
+    assert not rep["ok"]
+    assert rep["findings"][0]["kind"] == "no_current_snapshot"
