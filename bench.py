@@ -372,6 +372,31 @@ def main() -> None:
 
     timed("q_takedown_purge", takedown_purge, reps=1)
 
+    # ---- training dataloader: publish the shuffled/packed order once,
+    # then serve a mid-training batch with O(batch) IO (manifest + block
+    # zone pruning, CRC-verified) — the resume path a restarted run takes
+    from archive_spark import dataloader as dl_mod
+
+    dl_tbl = os.path.join(scratch, "dl_table")
+    _sh.rmtree(dl_tbl, ignore_errors=True)
+    timed(
+        "q_dataloader_publish",
+        lambda: dl_mod.publish_training_order(tokens, dl_tbl, seq_len=2048),
+        reps=1,
+    )
+    dl_B = 256
+    dl_step = max(dl_mod.n_steps(dl_tbl, dl_B) - 2, 0)
+    plan = dl_mod.resume_plan(dl_tbl, dl_step, dl_B)
+    extras["dataloader_resume_skip_frac"] = round(plan["skip_frac"], 4)
+    timed(
+        "q_dataloader_batch",
+        lambda: dl_mod.read_batches(
+            spark, dl_tbl, dl_step, batch_size=dl_B, verify_checksum=True
+        )
+        .agg(F.count("*"), F.sum(F.element_at("tokens", 1)))
+        .collect(),
+    )
+
     # ---- star-schema + pipeline queries at the sf dir
     import __spark_entry__ as entry_mod
 
@@ -382,7 +407,8 @@ def main() -> None:
         "readme_usability", "bpe_token_stats", "decontamination",
         "sequence_packing", "dup_span_stats", "incremental_dedup",
         "normalize_text", "nb_classify", "dsir_weights",
-        "source_overlap", "doc_pagerank",
+        "source_overlap", "doc_pagerank", "bucketed_batches",
+        "doc_compressibility",
     ):
         q = entry_mod.queries()[name]
         timed(f"q_{name}", lambda q=q: q(spark, sf_dir).collect())
