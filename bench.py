@@ -94,7 +94,11 @@ def main() -> None:
         probe_singles.append(statistics.median(singles))
         return cpus * statistics.median(singles) / statistics.median(walls)
 
-    min_eff = float(os.environ.get("BENCH_MIN_EFF", "16"))
+    # default gate: 16/32 on the full box, but proportional below it —
+    # a 4-cpu contract smoke must not sleep through 6 futile retries
+    # waiting for 16 effective cores it can never have (and a healthy
+    # small budget probes just under its nominal count, so leave margin)
+    min_eff = float(os.environ.get("BENCH_MIN_EFF", str(min(16.0, cpus * 0.6))))
     retries = int(os.environ.get("BENCH_WEATHER_RETRIES", "6"))
     wait_s = float(os.environ.get("BENCH_WEATHER_WAIT", "60"))
     probes = [probe()]
