@@ -15,7 +15,8 @@ Usage:
   spark-submit --py-files dist/archive_spark.zip jobs/prepare_training_job.py \
       --input /path/to/documents_parquet --output /path/to/table \
       [--seq-len 2048] [--eos 0] [--bpe-merges 0] [--shards 16] \
-      [--fim-rate-ppm 0] [--no-verify]
+      [--fim-rate-ppm 0] [--compress-min-ppm 0] [--compress-max-ppm 0] \
+      [--no-verify]
 
 Prints one JSON summary line (doc/sequence/token accounting, ratio,
 verify result).
@@ -51,6 +52,13 @@ def main() -> None:
     ap.add_argument("--dsir-keep-ppm", type=int, default=1_000_000,
                     help="corpus fraction (ppm) to keep under --dsir-target "
                          "(tie-inclusive histogram threshold, no global sort)")
+    ap.add_argument("--compress-min-ppm", type=int, default=0,
+                    help="drop docs whose zstd compression ratio (ppm) is "
+                         "below this — the boilerplate/templated tail "
+                         "(compressibility_scores); 0 = off")
+    ap.add_argument("--compress-max-ppm", type=int, default=0,
+                    help="drop docs whose zstd compression ratio (ppm) is "
+                         "above this — the near-random/noise tail; 0 = off")
     ap.add_argument("--boundaries", action="store_true",
                     help="also write the doc-boundary sidecar "
                          "(<output>/_boundaries parquet: doc_id, global_off, "
@@ -85,6 +93,22 @@ def main() -> None:
         ).persist()
         n_after = kept.count()
         n_dsir_dropped = n_kept - n_after
+        n_kept = n_after
+
+    n_compress_dropped = 0
+    if args.compress_min_ppm > 0 or args.compress_max_ppm > 0:
+        # compression-ratio quality gate on the TEXT stage (both tails):
+        # anti-join on the dropped ids, like the LM filter below
+        cs = po.compressibility_scores(kept)
+        bad = F.lit(False)
+        if args.compress_min_ppm > 0:
+            bad = bad | (F.col("ratio_ppm") < args.compress_min_ppm)
+        if args.compress_max_ppm > 0:
+            bad = bad | (F.col("ratio_ppm") > args.compress_max_ppm)
+        drop_ids = cs.filter(bad).select("doc_id")
+        kept = kept.join(drop_ids, "doc_id", "left_anti").persist()
+        n_after = kept.count()
+        n_compress_dropped = n_kept - n_after
         n_kept = n_after
 
     if args.bpe_merges > 0 and args.unigram_vocab > 0:
@@ -167,6 +191,7 @@ def main() -> None:
         "tokenizer": tokenizer,
         "lm_dropped": n_lm_dropped,
         "dsir_dropped": n_dsir_dropped,
+        "compress_dropped": n_compress_dropped,
         "fim_docs": n_fim,
         "boundary_rows": n_boundary_rows,
         "tokens_with_eos": int(n_tokens_in),

@@ -507,6 +507,25 @@ def test_prepare_training_job_boundaries_cli(zip_path, tmp_path):
     ).count() == 0
 
 
+def test_prepare_training_job_compress_filter_cli(zip_path, tmp_path):
+    """--compress-max-ppm drops the near-random tail by zstd ratio
+    (compressibility_scores); pipeline invariants hold on the survivors."""
+    out = str(tmp_path / "table")
+    r = _spark_submit(
+        zip_path, "prepare_training_job.py",
+        "--input", "/root/testdata/sf0.001/documents.parquet",
+        "--output", out, "--seq-len", "256", "--shards", "4",
+        "--compress-max-ppm", "500000",
+        timeout=420,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    s = json.loads(r.stdout.strip().splitlines()[-1])
+    assert s["compress_dropped"] >= 0
+    assert s["docs_kept"] + s["compress_dropped"] <= s["docs_in"]
+    v = s["verify"]
+    assert v["n_mismatch"] == 0 and v["conserved"]
+
+
 def test_encode_job_multicolumn_cli(spark, zip_path, tmp_path):
     """--columns runs the sharded/ledgered encode in multi-column mode
     through the shipped surface; the published table projection-decodes
