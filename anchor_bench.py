@@ -39,6 +39,11 @@ def main() -> None:
                          "aggregate + exact dedup over a text view)")
     ap.add_argument("--embeddings", type=int, default=0,
                     help="also anchor the float lane with N synthetic vectors")
+    ap.add_argument("--dataloader", action="store_true",
+                    help="also anchor the training dataloader: publish the "
+                         "shuffled/packed order as an encoded seq-clustered "
+                         "table, then serve a resume-at-90%% batch with "
+                         "O(batch) IO (skip fractions recorded)")
     args = ap.parse_args()
 
     from pyspark.sql import functions as F
@@ -148,6 +153,43 @@ def main() -> None:
         )
         if not args.keep:
             shutil.rmtree(remap_path, ignore_errors=True)
+
+    # ---- training dataloader at scale: publish the md5-shuffled packed
+    # order ONCE as an encoded table clustered by sequence id, then serve
+    # a resume-at-90% batch — the restart path a real run takes.  The
+    # skip fractions are the evidence that batch reads stay O(batch).
+    if args.dataloader:
+        from archive_spark import dataloader as dl
+
+        dl_tbl = f"{scratch}/dl_table"
+        shutil.rmtree(dl_tbl, ignore_errors=True)
+        t0 = time.perf_counter()
+        pub = dl.publish_training_order(
+            tokens, dl_tbl, seq_len=2048,
+            n_parts=max(args.cpus, args.docs // 100_000),
+        )
+        dt = time.perf_counter() - t0
+        out["dataloader_publish_sec"] = round(dt, 1)
+        out["dataloader_publish_mtok_per_sec"] = round(n_tok / dt / 1e6, 1)
+        out["dataloader_n_seqs"] = pub["n_seqs"]
+        out["dataloader_n_files"] = pub["n_files"]
+        B = 256
+        step = max(dl.n_steps(dl_tbl, B) * 9 // 10, 0)
+        plan = dl.resume_plan(dl_tbl, step, B)
+        out["dataloader_resume_skip_frac"] = round(plan["skip_frac"], 4)
+        t0 = time.perf_counter()
+        got = (
+            dl.read_batches(spark, dl_tbl, step, batch_size=B,
+                            verify_checksum=True)
+            .agg(F.count("*").alias("n"), F.sum(F.size("tokens")).alias("tk"))
+            .collect()[0]
+        )
+        out["dataloader_batch_read_sec"] = round(time.perf_counter() - t0, 2)
+        out["dataloader_batch_ok"] = (
+            got["n"] == B and got["tk"] == B * 2048
+        )
+        if not args.keep:
+            shutil.rmtree(dl_tbl, ignore_errors=True)
 
     # ---- targeted decode at scale: prove reads stay O(result), not
     # O(corpus) (VERDICT r3 #7).  Publish the encoded parquet as a table

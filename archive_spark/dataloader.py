@@ -63,11 +63,15 @@ def publish_training_order(
     n_parts: int | None = None,
     target_block_values: int = engine.DEFAULT_BLOCK_VALUES,
     effort: str = "balanced",
+    shuffle_seed: int | None = None,
 ) -> dict:
     """Shuffle + pack ``docs`` and publish the training order as an
     encoded snapshot table clustered by sequence id.
 
     ``docs``: (doc_id, tokens, n_tok) — the tokenized corpus.
+    ``shuffle_seed``: salt the deterministic shuffle — publish one
+    table per epoch (seed = epoch number) and every epoch consumes an
+    independent, individually replayable order.
     Returns a report dict: snapshot_id, n_seqs, n_files, plus the
     dataloader metadata persisted alongside the table (``dataloader.json``)
     so any later reader knows the packing contract without re-deriving it.
@@ -79,7 +83,8 @@ def publish_training_order(
     shuffle-free block encode.
     """
     packed = pack_sequences(
-        docs, seq_len=seq_len, eos_token=eos_token, n_parts=n_parts, shuffle=True
+        docs, seq_len=seq_len, eos_token=eos_token, n_parts=n_parts,
+        shuffle=True, shuffle_seed=shuffle_seed,
     )
     keyed = packed.select(seq_key(F.col("seq_id")).alias("seq_id"), "tokens")
     spark = docs.sparkSession
@@ -107,6 +112,7 @@ def publish_training_order(
         "seq_key_width": SEQ_KEY_WIDTH,
         "n_seqs": int(n_seqs),
         "snapshot_id": snapshot_id,
+        "shuffle_seed": shuffle_seed,
     }
     tmp = os.path.join(table_dir, f".{META_FILE}.tmp")
     with open(tmp, "w") as f:

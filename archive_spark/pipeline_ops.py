@@ -260,6 +260,21 @@ def contamination_check(
     return out.groupBy("doc_id", "bench_id").agg(F.count("*").alias("n_shared"))
 
 
+def _shuffle_order(shuffle: bool, seed: int | None):
+    """The deterministic concatenation-order key shared by
+    ``pack_sequences`` and ``doc_boundaries`` (they must agree bit-for-
+    bit): plain ``doc_id``, ``md5(doc_id)``, or the seed-salted
+    ``md5(seed || '|' || doc_id)`` — one independent order per training
+    epoch, RNG-free and replayable by any engine with md5."""
+    if not shuffle:
+        return F.col("doc_id")
+    if seed is None:
+        return F.md5(F.col("doc_id").cast("string"))
+    return F.md5(
+        F.concat_ws("|", F.lit(str(int(seed))), F.col("doc_id").cast("string"))
+    )
+
+
 def pack_sequences(
     tokens_df: DataFrame,
     seq_len: int = 2048,
@@ -267,6 +282,7 @@ def pack_sequences(
     n_parts: int | None = None,
     materialize: bool = True,
     shuffle: bool = False,
+    shuffle_seed: int | None = None,
 ) -> DataFrame:
     """Pack variable-length documents into fixed-length training
     sequences — the final layout step of an LLM data pipeline: each doc
@@ -277,6 +293,9 @@ def pack_sequences(
     ``shuffle=True`` concatenates in ``md5(doc_id)`` order instead — a
     deterministic global document shuffle (the order every real
     pretraining run wants), still RNG-free and engine-replayable.
+    ``shuffle_seed``: salt the shuffle as ``md5(seed || '|' || doc_id)``
+    — each value is an independent deterministic order (one per
+    training epoch); ``None`` keeps the unsalted ``md5(doc_id)`` order.
 
     Scale posture: the global concatenation offset of every document is
     computed WITHOUT a global window — docs are range-partitioned by
@@ -295,9 +314,7 @@ def pack_sequences(
 
     spark = tokens_df.sparkSession
     P = n_parts or int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
-    order = (
-        F.md5(F.col("doc_id").cast("string")) if shuffle else F.col("doc_id")
-    )
+    order = _shuffle_order(shuffle, shuffle_seed)
     df = (
         tokens_df.select("doc_id", "tokens", "n_tok")
         .withColumn("__ord", order)
@@ -3908,6 +3925,7 @@ def doc_boundaries(
     tokens_df: DataFrame,
     seq_len: int = 2048,
     shuffle: bool = False,
+    shuffle_seed: int | None = None,
 ) -> DataFrame:
     """Document-boundary sidecar for ``pack_sequences``: for every doc,
     the (sequence, in-sequence offset) where it starts in the packed
@@ -3929,9 +3947,7 @@ def doc_boundaries(
 
     spark = tokens_df.sparkSession
     P = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
-    order = (
-        F.md5(F.col("doc_id").cast("string")) if shuffle else F.col("doc_id")
-    )
+    order = _shuffle_order(shuffle, shuffle_seed)
     df = (
         tokens_df.select("doc_id", "n_tok")
         .withColumn("__ord", order)

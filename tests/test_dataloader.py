@@ -108,6 +108,33 @@ def test_beyond_end_is_empty_and_bad_range_raises(spark, published):
         dataloader.read_batches(spark, tdir, 3, end_step=3, batch_size=B)
 
 
+def test_epoch_seeds_give_independent_orders(spark, published, tmp_path):
+    """Each shuffle_seed (epoch) publishes a different but individually
+    deterministic order over the SAME content."""
+    _, docs, _ = published
+    t1 = str(tmp_path / "e1")
+    t2 = str(tmp_path / "e2")
+    dataloader.publish_training_order(
+        docs, t1, seq_len=SEQ_LEN, n_parts=4, shuffle_seed=1,
+        target_block_values=512,
+    )
+    dataloader.publish_training_order(
+        docs, t2, seq_len=SEQ_LEN, n_parts=4, shuffle_seed=2,
+        target_block_values=512,
+    )
+    assert dataloader.loader_meta(t1)["shuffle_seed"] == 1
+    seqs = lambda d: {  # noqa: E731
+        r["seq_id"]: tuple(r["tokens"])
+        for r in dataloader.read_batches(spark, d, 0, 10**9, batch_size=B).collect()
+    }
+    a, b = seqs(t1), seqs(t2)
+    # same token multiset (conservation across epochs)...
+    flat = lambda m: sorted(t for ts in m.values() for t in ts)  # noqa: E731
+    assert flat(a) == flat(b)
+    # ...but a different order
+    assert a != b
+
+
 def test_republish_is_deterministic(spark, published, tmp_path):
     tdir, docs, _ = published
     tdir2 = str(tmp_path / "order2")
