@@ -1,0 +1,100 @@
+"""spark-submit entry point: publish + serve deterministic training
+batches (archive_spark/dataloader.py).
+
+Publish an epoch's training order (shuffle + pack + encode + commit):
+
+  spark-submit --py-files dist/archive_spark.zip jobs/dataloader_job.py \
+      --tokens /path/to/tokens_parquet --table /path/to/order \
+      [--seq-len 2048] [--eos 0] [--epoch 0] [--shards N]
+
+Serve batches out of a published order (O(batch) IO via manifest +
+block zone pruning; omit --publish inputs to serve only):
+
+  ... dataloader_job.py --table /path/to/order \
+      --serve-steps 100:104 --batch-size 256 [--out /path/batches_parquet]
+
+Prints one JSON summary line.  A resume plan (--plan-step S) is pure
+manifest arithmetic — no Spark job touches data files.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--table", required=True)
+    ap.add_argument("--tokens", default=None,
+                    help="tokenized corpus parquet (doc_id, tokens, n_tok): "
+                         "publish this epoch's training order to --table")
+    ap.add_argument("--seq-len", type=int, default=2048)
+    ap.add_argument("--eos", type=int, default=0)
+    ap.add_argument("--epoch", type=int, default=None,
+                    help="shuffle seed — one independent deterministic "
+                         "order per epoch (default: unsalted md5 order)")
+    ap.add_argument("--shards", type=int, default=None,
+                    help="range partitions for the pack/cluster stage")
+    ap.add_argument("--batch-size", type=int, default=256)
+    ap.add_argument("--serve-steps", default=None,
+                    help="START:END step range to read (END exclusive); "
+                         "a bare integer serves that single step")
+    ap.add_argument("--out", default=None,
+                    help="write served batches (step, seq_id, tokens) here "
+                         "as parquet; otherwise only counts are reported")
+    ap.add_argument("--plan-step", type=int, default=None,
+                    help="report the file-skip accounting for a resume at "
+                         "this step (metadata only)")
+    ap.add_argument("--no-verify", action="store_true",
+                    help="skip CRC verification on served batches")
+    args = ap.parse_args()
+
+    from pyspark.sql import SparkSession, functions as F
+
+    from archive_spark import dataloader
+
+    spark = SparkSession.builder.appName("archive_spark_dataloader").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    out: dict[str, object] = {"table": args.table}
+    if args.tokens:
+        docs = spark.read.parquet(args.tokens)
+        out["published"] = dataloader.publish_training_order(
+            docs, args.table, seq_len=args.seq_len, eos_token=args.eos,
+            n_parts=args.shards, shuffle_seed=args.epoch,
+        )
+    out["n_steps"] = dataloader.n_steps(args.table, args.batch_size)
+    if args.plan_step is not None:
+        out["resume_plan"] = dataloader.resume_plan(
+            args.table, args.plan_step, args.batch_size
+        )
+    if args.serve_steps is not None:
+        lo, _, hi = args.serve_steps.partition(":")
+        start = int(lo)
+        end = int(hi) if hi else start + 1
+        batches = dataloader.read_batches(
+            spark, args.table, start, end_step=end,
+            batch_size=args.batch_size,
+            verify_checksum=not args.no_verify,
+        )
+        if args.out:
+            batches.write.mode("overwrite").parquet(args.out)
+            batches = spark.read.parquet(args.out)
+        agg = batches.agg(
+            F.count("*").alias("n_seqs"),
+            F.count_distinct("step").alias("n_steps_served"),
+            F.sum(F.size("tokens")).alias("n_tokens"),
+        ).collect()[0]
+        out["served"] = {
+            "steps": [start, end],
+            "n_seqs": int(agg["n_seqs"]),
+            "n_steps_served": int(agg["n_steps_served"]),
+            "n_tokens": int(agg["n_tokens"] or 0),
+        }
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -507,6 +507,42 @@ def test_prepare_training_job_boundaries_cli(zip_path, tmp_path):
     ).count() == 0
 
 
+def test_dataloader_job_cli(zip_path, tokens_path, tmp_path):
+    """Publish an epoch's training order, then serve a step range and a
+    resume plan through the shipped surface."""
+    tbl = str(tmp_path / "order")
+    r = _spark_submit(
+        zip_path, "dataloader_job.py",
+        "--tokens", tokens_path, "--table", tbl,
+        "--seq-len", "128", "--epoch", "1", "--shards", "4",
+        "--batch-size", "8",
+        timeout=300,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    s = json.loads(r.stdout.strip().splitlines()[-1])
+    assert s["published"]["n_seqs"] > 16 and s["n_steps"] >= 2
+    # serve steps [1, 3) from a separate process (a training restart)
+    out = str(tmp_path / "batches")
+    r2 = _spark_submit(
+        zip_path, "dataloader_job.py",
+        "--table", tbl, "--serve-steps", "1:3", "--batch-size", "8",
+        "--plan-step", "1", "--out", out,
+        timeout=300,
+    )
+    assert r2.returncode == 0, r2.stderr[-2000:]
+    s2 = json.loads(r2.stdout.strip().splitlines()[-1])
+    assert s2["served"]["n_seqs"] == 16
+    assert s2["served"]["n_steps_served"] == 2
+    assert s2["served"]["n_tokens"] == 16 * 128
+    assert s2["resume_plan"]["files_total"] >= 1
+    import pyspark.sql as _  # noqa: F401
+    from archive_spark.session import get_spark
+
+    spark = get_spark(app="dl_check", cores=2, shuffle_partitions=4)
+    b = spark.read.parquet(out)
+    assert sorted(r["seq_id"] for r in b.collect()) == list(range(8, 24))
+
+
 def test_prepare_training_job_compress_filter_cli(zip_path, tmp_path):
     """--compress-max-ppm drops the near-random tail by zstd ratio
     (compressibility_scores); pipeline invariants hold on the survivors."""
