@@ -94,6 +94,20 @@ def main() -> None:
         "chars_removed": int((norm.n_in or 0) - (norm.n_out or 0)),
     }
 
+    # compressibility (zstd ratio) distribution: the boilerplate tail
+    # (low ppm) and noise tail (high ppm) a quality gate would drop
+    comp = po.compressibility_scores(docs).agg(
+        F.expr(
+            "percentile(ratio_ppm, array(0.01, 0.5, 0.99))"
+        ).alias("p"),
+        F.sum("enc_len").alias("e"),
+        F.sum("raw_len").alias("r"),
+    ).collect()[0]
+    card["compressibility"] = {
+        "ratio_ppm_p01_p50_p99": [int(x) for x in comp.p] if comp.p else None,
+        "corpus_ratio": round(comp.e / comp.r, 4) if comp.r else None,
+    }
+
     if args.neardup:
         pairs = po.minhash_lsh_candidates(docs)
         card["neardup_candidate_pairs"] = pairs.count()

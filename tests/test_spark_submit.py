@@ -254,6 +254,9 @@ def test_report_job_cli(zip_path):
     assert set(card["pii_spans"]) == {"email", "ipv4", "phone"}
     assert 0 <= card["duplicate_spans"]["covered_frac"] <= 1
     assert card["normalization"]["chars_removed"] >= 0
+    p01, p50, p99 = card["compressibility"]["ratio_ppm_p01_p50_p99"]
+    assert 0 < p01 <= p50 <= p99
+    assert 0 < card["compressibility"]["corpus_ratio"] < 1
 
 
 def test_encode_embeddings_job_cli(zip_path, tmp_path):
