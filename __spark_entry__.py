@@ -2364,6 +2364,25 @@ def _q_dataloader_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("seq_id")
 
 
+def _q_block_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus fsck (engine.audit_blocks): every encoded block re-decodes
+    and re-proves its CRC-32 with a typed status, corruption never
+    throws.  The persisted block inventory lets the oracle assert the
+    exact (source, status='ok', count) breakdown — any non-ok status on
+    the Spark side breaks the row-count/hash match (tampered-block
+    statuses are pinned by tests/test_fsck.py)."""
+    from archive_spark.engine import audit_blocks
+
+    enc = _encoded(spark, sf_dir)
+    _persist(enc.select("block_id", "source"), "audit_blocks_input", sf_dir)
+    return (
+        audit_blocks(enc)
+        .groupBy("source", "status")
+        .agg(F.count("*").cast("bigint").alias("n_blocks"))
+        .orderBy("source", "status")
+    )
+
+
 def _q_doc_compressibility(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Compression-ratio quality signal (pipeline_ops.
     compressibility_scores): per-doc zstd ratio over utf-8 text bytes —
@@ -2830,6 +2849,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dataloader_batch": _q_dataloader_batch,
         "bucketed_batches": _q_bucketed_batches,
         "doc_compressibility": _q_doc_compressibility,
+        "block_audit": _q_block_audit,
         "vocab_remap": _q_vocab_remap,
         "distinct_tokens_encoded": _q_distinct_tokens_encoded,
         "stratified_sample": _q_stratified_sample,
@@ -4211,6 +4231,14 @@ def oracle_sql() -> dict[str, str]:
             "s::BIGINT AS tok_sum, ft::INTEGER AS first_tok, "
             "(CASE WHEN c < 128 THEN 0 ELSE lt END)::INTEGER AS last_tok "
             "FROM seqs WHERE seq_id >= 80 AND seq_id < 112 ORDER BY seq_id"
+        ),
+        "block_audit": (
+            # the audit must find every inventoried block exactly once,
+            # all 'ok' — a corrupt/mismatched block surfaces as a different
+            # status row on the Spark side and fails the compare
+            "SELECT source, 'ok' AS status, count(*)::BIGINT AS n_blocks "
+            f"FROM read_parquet('{_opath('audit_blocks_input')}') "
+            "GROUP BY source ORDER BY source, status"
         ),
         "doc_compressibility": (
             # shared-data replay of the ppm arithmetic + aggregates; the
