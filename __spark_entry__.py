@@ -2327,6 +2327,80 @@ def _q_pack_boundaries(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed integer Lloyd k-means (pipeline_ops.kmeans_int): the
+    full-corpus iterative-algorithm pattern under a BIT-EXACT contract —
+    int8-quantized vectors, md5-order deterministic init, exact-int64
+    squared distances (ties to lowest cell), floor-integer centroid
+    updates, empty cells carried.  Each iteration is one corpus scan
+    (per-task partial sums, k-row JVM reduce).  The DuckDB oracle
+    independently REPLAYS all three iterations (assignment + centroid
+    update as MATERIALIZED CTE pairs) plus the final assignment from the
+    persisted quantized vectors, so a wrong init order, a mis-rounded
+    update, or a tie broken the other way all hash-mismatch on the
+    per-vector (cell, dist) rows."""
+    from archive_spark.pipeline_ops import kmeans_int, quantize_embeddings
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = quantize_embeddings(emb).select("vec_id", "qembedding")
+    qpath = _persist(q, "kmeans_qvecs", sf_dir)
+    assign, _C, _hist = kmeans_int(
+        spark.read.parquet(qpath), k=8, iters=3, scale=256
+    )
+    return assign.select(
+        F.col("vec_id").cast("bigint").alias("vec_id"),
+        F.col("cell").cast("int").alias("cell"),
+        F.col("dist").cast("bigint").alias("dist"),
+    ).orderBy("vec_id")
+
+
+def _kmeans_oracle(k: int = 8, iters: int = 3, scale: int = 256) -> str:
+    """Generated iteration-CTE replay of kmeans_int (see _q_kmeans_lloyd).
+
+    MATERIALIZED on every CTE: the assignment→update chain references
+    each level repeatedly and plain CTEs inline exponentially (the
+    unigram-DP lesson).  Positions come from generate_subscripts (zipped
+    with unnest), sv = scale·component, and the centroid update's
+    FLOOR(SUM::DOUBLE / n) is the same correctly-rounded IEEE division
+    numpy evaluates driver-side."""
+    parts = [
+        f"q AS MATERIALIZED (SELECT vec_id, qembedding FROM read_parquet('{_opath('kmeans_qvecs')}'))",
+        "dims AS MATERIALIZED (SELECT vec_id, generate_subscripts(qembedding, 1) AS pos, "
+        f"(unnest(qembedding))::BIGINT * {scale} AS sv FROM q)",
+        "init AS MATERIALIZED (SELECT vec_id, rn - 1 AS cell FROM "
+        "(SELECT vec_id, ROW_NUMBER() OVER (ORDER BY md5(vec_id::VARCHAR), vec_id) AS rn FROM q) "
+        f"WHERE rn <= {k})",
+        "cent0 AS MATERIALIZED (SELECT i.cell, d.pos, d.sv AS c "
+        "FROM init i JOIN dims d USING (vec_id))",
+    ]
+    for t in range(iters):
+        parts += [
+            f"s{t} AS MATERIALIZED (SELECT d.vec_id, c.cell, "
+            "SUM((d.sv - c.c) * (d.sv - c.c))::BIGINT AS dist "
+            f"FROM dims d JOIN cent{t} c USING (pos) GROUP BY d.vec_id, c.cell)",
+            f"a{t} AS MATERIALIZED (SELECT vec_id, cell FROM ("
+            "SELECT vec_id, cell, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS rn "
+            f"FROM s{t}) WHERE rn = 1)",
+            f"u{t} AS MATERIALIZED (SELECT a.cell, d.pos, "
+            "FLOOR(SUM(d.sv)::DOUBLE / COUNT(*))::BIGINT AS c "
+            f"FROM a{t} a JOIN dims d USING (vec_id) GROUP BY a.cell, d.pos)",
+            f"cent{t + 1} AS MATERIALIZED (SELECT p.cell, p.pos, COALESCE(u.c, p.c) AS c "
+            f"FROM cent{t} p LEFT JOIN u{t} u ON u.cell = p.cell AND u.pos = p.pos)",
+        ]
+    parts.append(
+        "sfin AS MATERIALIZED (SELECT d.vec_id, c.cell, "
+        "SUM((d.sv - c.c) * (d.sv - c.c))::BIGINT AS dist "
+        f"FROM dims d JOIN cent{iters} c USING (pos) GROUP BY d.vec_id, c.cell)"
+    )
+    return (
+        "WITH " + ", ".join(parts) + " "
+        "SELECT vec_id::BIGINT AS vec_id, cell::INT AS cell, dist::BIGINT AS dist "
+        "FROM (SELECT vec_id, cell, dist, "
+        "ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS rn "
+        "FROM sfin) WHERE rn = 1 ORDER BY vec_id"
+    )
+
+
 def _q_dataloader_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic training dataloader (archive_spark/dataloader.py):
     publish the md5-shuffled, seq_len=128-packed corpus ONCE as an
@@ -2846,6 +2920,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # -- every query WITHOUT a driver correctness row (r01-r03 artifacts)
         # -- comes first: the driver walks this dict in order under a budget --
+        "kmeans_lloyd": _q_kmeans_lloyd,
         "dataloader_batch": _q_dataloader_batch,
         "bucketed_batches": _q_bucketed_batches,
         "doc_compressibility": _q_doc_compressibility,
@@ -4211,6 +4286,7 @@ def oracle_sql() -> dict[str, str]:
             "array_to_string(chunk, ',') AS chunk_csv FROM ch "
             "WHERE len(chunk) >= 16 ORDER BY doc_id, chunk_idx"
         ),
+        "kmeans_lloyd": _kmeans_oracle(k=8, iters=3, scale=256),
         "dataloader_batch": (
             # full-contract replay: md5(doc_id) shuffle order (+doc_id
             # tiebreak), +1 EOS per doc, window prefix sum for each doc's

@@ -2547,6 +2547,155 @@ def semdedup(
     )
 
 
+def kmeans_int(
+    qemb: DataFrame,
+    k: int = 8,
+    iters: int = 3,
+    scale: int = 256,
+):
+    """Distributed Lloyd k-means in EXACT integer arithmetic — the
+    iterative-algorithm pattern at 100 TB with a bit-exact cross-engine
+    contract (``ivf_train_centroids`` is the float/sample variant; this
+    one trains on the FULL corpus and every number it produces is an
+    integer an independent SQL engine reproduces exactly).
+
+    Contract (all engines agree bit-for-bit):
+      * input vectors are int8-quantized components (``quantize_embeddings``);
+      * initial centroids = the ``k`` vectors with the lowest
+        ``(md5(vec_id), vec_id)`` order, scaled by ``scale``
+        (deterministic, sample-free spread);
+      * distance = squared Euclidean between ``scale·x`` and the integer
+        centroid — exact int64 (|scale·x| ≤ 32512, dim ≤ 1024 keeps every
+        sum far under 2^53); argmin ties break to the lowest cell id;
+      * update = ``floor(scale · Σx / n)`` per component.  The floor is
+        evaluated as ``floor((scale·Σx)::double / n)`` — both operands are
+        exact doubles (< 2^53) and 1/n is orders of magnitude above the
+        quotient's half-ulp, so the correctly-rounded IEEE division can
+        never cross the floor boundary: numpy and DuckDB agree exactly;
+      * empty cells keep their previous centroid.
+
+    Scale posture: each iteration is ONE corpus scan — a ``mapInArrow``
+    kernel GEMMs every Arrow batch against the broadcast centroids and
+    accumulates per-cell partial (count, component-sums, inertia) across
+    its whole task, emitting ≤ k rows per task; a k-row JVM ``groupBy``
+    finishes the reduction (map-side combine shape — the collect is k
+    rows of dim longs, never O(corpus)).  The final pass emits one
+    assignment row per vector.
+
+    Returns ``(assign_df, centroids, inertia_history)`` where
+    ``assign_df`` = (vec_id, cell, dist) with ``dist`` the exact int64
+    squared distance to the final centroid, ``centroids`` the final
+    (k, dim) int64 array, and ``inertia_history`` the exact total
+    inertia after each assignment pass (monotone non-increasing)."""
+    import pyarrow as pa
+    from typing import Iterator
+
+    S = int(scale)
+    init = (
+        qemb.select("vec_id", "qembedding")
+        .withColumn("h", F.md5(F.col("vec_id").cast("string")))
+        .orderBy("h", "vec_id")
+        .limit(k)
+        .select("qembedding")
+        .collect()
+    )
+    if len(init) < k:
+        raise ValueError(f"kmeans_int: corpus has {len(init)} < k={k} vectors")
+    C = np.asarray([list(r[0]) for r in init], dtype=np.int64) * S
+    dim = C.shape[1]
+    src = qemb.select("vec_id", "qembedding")
+
+    def _cells(X: "np.ndarray", Cb: "np.ndarray"):
+        # exact int64 squared distances; np.argmin = first min = lowest cell
+        D = (
+            (X * X).sum(axis=1)[:, None]
+            - 2 * (X @ Cb.T)
+            + (Cb * Cb).sum(axis=1)[None, :]
+        )
+        cell = np.argmin(D, axis=1)
+        return cell, D[np.arange(X.shape[0]), cell]
+
+    def _partials(Cb: "np.ndarray"):
+        def fn(it: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+            sums = np.zeros((k, dim), dtype=np.int64)
+            cnt = np.zeros(k, dtype=np.int64)
+            inert = np.zeros(k, dtype=np.int64)
+            for batch in it:
+                n = batch.num_rows
+                if n == 0:
+                    continue
+                X = (
+                    np.asarray(batch.column("qembedding").values, dtype=np.int64)
+                    .reshape(n, -1)
+                    * S
+                )
+                cell, d = _cells(X, Cb)
+                np.add.at(sums, cell, X // S)  # raw component values
+                np.add.at(cnt, cell, 1)
+                np.add.at(inert, cell, d)
+            live = np.flatnonzero(cnt)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(live.astype(np.int32), pa.int32()),
+                    pa.array(cnt[live], pa.int64()),
+                    pa.array(list(sums[live]), pa.list_(pa.int64())),
+                    pa.array(inert[live], pa.int64()),
+                ],
+                names=["cell", "n", "sumvec", "inertia"],
+            )
+
+        return fn
+
+    history: list[int] = []
+    for _ in range(iters):
+        part = src.mapInArrow(
+            _partials(C.copy()), "cell int, n long, sumvec array<long>, inertia long"
+        )
+        rows = (
+            part.groupBy("cell")
+            .agg(
+                F.sum("n").alias("n"),
+                F.sum("inertia").alias("inertia"),
+                *[
+                    F.sum(F.col("sumvec")[i]).alias(f"s{i}")
+                    for i in range(dim)
+                ],
+            )
+            .collect()
+        )
+        history.append(int(sum(r.inertia for r in rows)))
+        for r in rows:
+            s = np.asarray([r[f"s{i}"] for i in range(dim)], dtype=np.int64)
+            # floor((S·Σx)/n) in correctly-rounded double — exact, see contract
+            C[r.cell] = np.floor(
+                (S * s).astype(np.float64) / float(r.n)
+            ).astype(np.int64)
+
+    def _assign(it: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        Cb = C  # final centroids, captured
+        for batch in it:
+            n = batch.num_rows
+            if n == 0:
+                continue
+            X = (
+                np.asarray(batch.column("qembedding").values, dtype=np.int64)
+                .reshape(n, -1)
+                * S
+            )
+            cell, d = _cells(X, Cb)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    batch.column("vec_id"),
+                    pa.array(cell.astype(np.int32), pa.int32()),
+                    pa.array(d, pa.int64()),
+                ],
+                names=["vec_id", "cell", "dist"],
+            )
+
+    assign = src.mapInArrow(_assign, "vec_id long, cell int, dist long")
+    return assign, C, history
+
+
 # ---------------------------------------------------------------------------
 # unigram-LM tokenizer (SentencePiece family) — integer-exact
 # ---------------------------------------------------------------------------

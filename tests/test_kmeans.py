@@ -1,0 +1,116 @@
+"""Distributed integer Lloyd k-means (pipeline_ops.kmeans_int).
+
+The contract under test: bit-exact integer arithmetic (init order,
+distances, tie-breaks, floor centroid updates, empty-cell carry) —
+verified against an independent single-machine numpy replay — plus the
+Lloyd monotonicity invariant and plan shape (one mapInArrow scan per
+iteration, no shuffle of corpus rows).
+"""
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+
+def _ref_kmeans(vecs: dict[int, np.ndarray], k: int, iters: int, scale: int):
+    """Brute-force replay of the kmeans_int contract in plain numpy."""
+    ids = sorted(vecs)
+    order = sorted(ids, key=lambda i: (hashlib.md5(str(i).encode()).hexdigest(), i))
+    C = np.asarray([vecs[i] for i in order[:k]], dtype=np.int64) * scale
+    X = np.asarray([vecs[i] for i in ids], dtype=np.int64) * scale
+    hist = []
+    for _ in range(iters):
+        D = (X * X).sum(1)[:, None] - 2 * (X @ C.T) + (C * C).sum(1)[None, :]
+        cell = np.argmin(D, axis=1)
+        hist.append(int(D[np.arange(len(ids)), cell].sum()))
+        for c in range(k):
+            m = cell == c
+            if m.any():
+                s = (X[m] // scale).sum(0)
+                C[c] = np.floor((scale * s).astype(np.float64) / m.sum()).astype(
+                    np.int64
+                )
+    D = (X * X).sum(1)[:, None] - 2 * (X @ C.T) + (C * C).sum(1)[None, :]
+    cell = D.argmin(axis=1)
+    dist = D[np.arange(len(ids)), cell]
+    return (
+        {i: (int(c), int(d)) for i, c, d in zip(ids, cell, dist)},
+        C,
+        hist,
+    )
+
+
+@pytest.fixture(scope="module")
+def qvecs(spark):
+    rng = np.random.default_rng(7)
+    dim, n = 16, 120
+    # three planted blobs + noise so clustering is non-trivial
+    centers = rng.integers(-80, 80, size=(3, dim))
+    rows = []
+    for i in range(n):
+        base = centers[i % 3] + rng.integers(-15, 16, size=dim)
+        rows.append((i, [int(x) for x in np.clip(base, -127, 127)]))
+    df = spark.createDataFrame(rows, "vec_id long, qembedding array<tinyint>")
+    return df, {i: np.asarray(v, dtype=np.int64) for i, v in rows}
+
+
+def test_kmeans_matches_numpy_replay(spark, qvecs):
+    from archive_spark.pipeline_ops import kmeans_int
+
+    df, raw = qvecs
+    assign, C, hist = kmeans_int(df, k=4, iters=3, scale=256)
+    got = {r.vec_id: (r.cell, r.dist) for r in assign.collect()}
+    want, C_ref, hist_ref = _ref_kmeans(raw, k=4, iters=3, scale=256)
+    assert got == want
+    assert hist == hist_ref
+    assert np.array_equal(C, C_ref)
+
+
+def test_kmeans_inertia_monotone_and_deterministic(spark, qvecs):
+    from archive_spark.pipeline_ops import kmeans_int
+
+    df, _ = qvecs
+    a1, C1, h1 = kmeans_int(df, k=4, iters=4, scale=256)
+    a2, C2, h2 = kmeans_int(df.repartition(7), k=4, iters=4, scale=256)
+    assert h1 == h2 and np.array_equal(C1, C2)  # partitioning-invariant
+    assert all(a >= b for a, b in zip(h1, h1[1:]))  # Lloyd monotonicity
+    r1 = sorted((r.vec_id, r.cell, r.dist) for r in a1.collect())
+    r2 = sorted((r.vec_id, r.cell, r.dist) for r in a2.collect())
+    assert r1 == r2
+
+
+def test_kmeans_empty_cell_carries_centroid(spark):
+    from archive_spark.pipeline_ops import kmeans_int
+
+    # two tight blobs, k=3: one centroid starves and must carry over
+    rows = [(i, [10, 10]) for i in range(5)] + [(i, [-90, -90]) for i in range(5, 10)]
+    df = spark.createDataFrame(rows, "vec_id long, qembedding array<tinyint>")
+    assign, C, hist = kmeans_int(df, k=3, iters=3, scale=256)
+    cells = {r.cell for r in assign.collect()}
+    assert len(cells) <= 2  # a starved cell attracts nobody
+    raw = {i: np.asarray(v, dtype=np.int64) for i, v in rows}
+    want, C_ref, _ = _ref_kmeans(raw, k=3, iters=3, scale=256)
+    assert np.array_equal(C, C_ref)  # incl. the carried (never-updated) row
+
+
+def test_kmeans_requires_k_vectors(spark):
+    from archive_spark.pipeline_ops import kmeans_int
+
+    df = spark.createDataFrame(
+        [(0, [1, 2]), (1, [3, 4])], "vec_id long, qembedding array<tinyint>"
+    )
+    with pytest.raises(ValueError, match="< k"):
+        kmeans_int(df, k=5, iters=1)
+
+
+def test_kmeans_plan_no_corpus_shuffle(spark, qvecs):
+    from archive_spark.pipeline_ops import kmeans_int
+
+    df, _ = qvecs
+    assign, _, _ = kmeans_int(df, k=4, iters=1, scale=256)
+    plan = assign._jdf.queryExecution().executedPlan().toString()
+    # the per-vector assignment pass is scan → mapInArrow, no Exchange
+    assert "Exchange" not in plan
