@@ -2327,6 +2327,45 @@ def _q_pack_boundaries(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_fuzzy_link(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked fuzzy record linkage (pipeline_ops.fuzzy_link): every
+    part name is deterministically corrupted (delete the character at
+    an md5-derived position, re-key +1e6) and the linker must re-attach
+    each dirty record to its best clean match — word blocking (fat
+    blocks capped), banded JVM levenshtein, per-record argmin window
+    over candidates only.  The corruption, the blocking rule, the cap,
+    the edit distances, and the tie-breaks are all replayed end-to-end
+    in DuckDB SQL (its ``levenshtein`` agrees with Spark's), so the
+    per-record link table hash-matches exactly."""
+    from archive_spark.pipeline_ops import fuzzy_link
+
+    part = spark.read.parquet(f"{sf_dir}/part.parquet")
+    clean = part.select(
+        F.col("p_partkey").cast("long").alias("key"),
+        F.col("p_name").alias("text"),
+    )
+    pos = (
+        F.conv(
+            F.substring(F.md5(F.col("p_partkey").cast("string")), 1, 8), 16, 10
+        ).cast("long")
+        % F.length("p_name")
+        + 1
+    )
+    dirty = part.select(
+        (F.col("p_partkey").cast("long") + 1000000).alias("key"),
+        F.concat(
+            F.col("p_name").substr(F.lit(1), pos - 1),
+            F.col("p_name").substr(pos + 1, F.lit(1000)),
+        ).alias("text"),
+    )
+    out = fuzzy_link(dirty, clean, max_dist=2, max_block=4096)
+    return out.select(
+        F.col("dirty_key").cast("bigint").alias("dirty_key"),
+        F.col("clean_key").cast("bigint").alias("clean_key"),
+        F.col("dist").cast("int").alias("dist"),
+    ).orderBy("dirty_key")
+
+
 def _q_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed integer Lloyd k-means (pipeline_ops.kmeans_int): the
     full-corpus iterative-algorithm pattern under a BIT-EXACT contract —
@@ -2921,6 +2960,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- every query WITHOUT a driver correctness row (r01-r03 artifacts)
         # -- comes first: the driver walks this dict in order under a budget --
         "kmeans_lloyd": _q_kmeans_lloyd,
+        "fuzzy_link": _q_fuzzy_link,
         "dataloader_batch": _q_dataloader_batch,
         "bucketed_batches": _q_bucketed_batches,
         "doc_compressibility": _q_doc_compressibility,
@@ -4287,6 +4327,27 @@ def oracle_sql() -> dict[str, str]:
             "WHERE len(chunk) >= 16 ORDER BY doc_id, chunk_idx"
         ),
         "kmeans_lloyd": _kmeans_oracle(k=8, iters=3, scale=256),
+        "fuzzy_link": (
+            # end-to-end replay: md5-positioned char deletion, word
+            # blocking with the 4096 fat-block cap, levenshtein <= 2,
+            # per-dirty-record argmin (ties -> lowest clean key)
+            "WITH clean AS (SELECT p_partkey::BIGINT AS cid, p_name AS ct FROM part), "
+            "d0 AS (SELECT p_partkey::BIGINT + 1000000 AS did, p_name AS t, "
+            "((('0x' || substring(md5(p_partkey::VARCHAR), 1, 8))::BIGINT "
+            "% length(p_name)) + 1)::INT AS p FROM part), "
+            "dirty AS (SELECT did, substring(t, 1, p - 1) || substring(t, p + 1, 1000) AS dt FROM d0), "
+            "dw AS (SELECT did, dt, unnest(list_distinct(string_split(dt, ' '))) AS w FROM dirty), "
+            "cw AS (SELECT cid, ct, unnest(list_distinct(string_split(ct, ' '))) AS w FROM clean), "
+            "sz AS (SELECT w, count(*) AS nb FROM cw GROUP BY w), "
+            "cwok AS (SELECT cw.* FROM cw JOIN sz USING (w) WHERE sz.nb <= 4096), "
+            "cand AS (SELECT DISTINCT did, dt, cid, ct FROM dw JOIN cwok USING (w)), "
+            "scored AS (SELECT did, cid, levenshtein(dt, ct) AS dist FROM cand "
+            "WHERE levenshtein(dt, ct) <= 2) "
+            "SELECT did::BIGINT AS dirty_key, cid::BIGINT AS clean_key, dist::INT AS dist "
+            "FROM (SELECT did, cid, dist, ROW_NUMBER() OVER ("
+            "PARTITION BY did ORDER BY dist, cid) AS rn FROM scored) "
+            "WHERE rn = 1 ORDER BY dirty_key"
+        ),
         "dataloader_batch": (
             # full-contract replay: md5(doc_id) shuffle order (+doc_id
             # tiebreak), +1 EOS per doc, window prefix sum for each doc's

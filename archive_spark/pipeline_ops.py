@@ -2547,6 +2547,67 @@ def semdedup(
     )
 
 
+def fuzzy_link(
+    dirty: DataFrame,
+    clean: DataFrame,
+    max_dist: int = 2,
+    max_block: int = 4096,
+) -> DataFrame:
+    """Blocked fuzzy record linkage: link every ``dirty`` record to its
+    best-matching ``clean`` record under Levenshtein edit distance —
+    the entity-resolution operator (Fellegi-Sunter blocking family) the
+    training-data lane uses to re-attach corrupted / re-keyed metadata.
+
+    Inputs are ``(key, text)`` DataFrames with those exact column names.
+
+    Blocking: candidate pairs must share at least one whitespace word —
+    never an all-pairs cartesian.  For multi-word strings this survives
+    any single-character corruption of one word (the other word's block
+    key is intact); a corrupted *separator* merges two words and the
+    record drops out of candidacy — the classic blocking-recall
+    tradeoff, deterministic and therefore oracle-replayable.  Blocks
+    larger than ``max_block`` clean records are excluded (the
+    ``lsh_distinct_pairs`` fat-bucket guard: at real scale you sharpen
+    the blocking key instead of paying a quadratic block).
+
+    Verify + resolve: surviving pairs score with the JVM's banded
+    ``levenshtein(_, _, threshold)`` (stops at ``max_dist``), and a
+    per-dirty-record window over *candidates only* (the
+    ``stratified_sample`` shape, never a global rank) keeps the single
+    best link — lowest distance, ties to the lowest clean key.
+
+    Returns ``(dirty_key, clean_key, dist)``; dirty records with no
+    in-threshold candidate are absent."""
+    dw = dirty.select(
+        F.col("key").alias("dirty_key"),
+        F.col("text").alias("dt"),
+        F.explode(F.array_distinct(F.split(F.col("text"), " "))).alias("w"),
+    )
+    cw = clean.select(
+        F.col("key").alias("clean_key"),
+        F.col("text").alias("ct"),
+        F.explode(F.array_distinct(F.split(F.col("text"), " "))).alias("w"),
+    )
+    sizes = cw.groupBy("w").agg(F.count("*").alias("nb"))
+    cw_ok = cw.join(sizes.filter(F.col("nb") <= max_block).select("w"), "w")
+    cand = (
+        dw.join(cw_ok, "w")
+        .select("dirty_key", "dt", "clean_key", "ct")
+        .distinct()
+    )
+    scored = cand.select(
+        "dirty_key",
+        "clean_key",
+        F.levenshtein("dt", "ct", max_dist).alias("dist"),
+    ).filter(F.col("dist") >= 0)  # threshold form returns -1 above max_dist
+    w = Window.partitionBy("dirty_key").orderBy("dist", "clean_key")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("dirty_key", "clean_key", "dist")
+    )
+
+
 def kmeans_int(
     qemb: DataFrame,
     k: int = 8,

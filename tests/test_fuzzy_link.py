@@ -1,0 +1,68 @@
+"""Blocked fuzzy record linkage (pipeline_ops.fuzzy_link)."""
+from __future__ import annotations
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "key long, text string")
+
+
+def test_links_corrupted_records(spark):
+    from archive_spark.pipeline_ops import fuzzy_link
+
+    clean = _df(
+        spark,
+        [(1, "red widget"), (2, "blue bolt"), (3, "green gear"), (4, "hot plate")],
+    )
+    dirty = _df(
+        spark,
+        [
+            (101, "red widgt"),   # deletion in word 2 -> word 1 blocks
+            (102, "blu bolt"),    # deletion in word 1 -> word 2 blocks
+            (103, "green gears"), # insertion
+        ],
+    )
+    got = {
+        r.dirty_key: (r.clean_key, r.dist)
+        for r in fuzzy_link(dirty, clean, max_dist=2).collect()
+    }
+    assert got == {101: (1, 1), 102: (2, 1), 103: (3, 1)}
+
+
+def test_no_candidate_when_all_words_corrupted(spark):
+    from archive_spark.pipeline_ops import fuzzy_link
+
+    clean = _df(spark, [(1, "red widget")])
+    dirty = _df(spark, [(101, "redd widgett"), (102, "redwidget")])
+    # 101 shares no exact word; 102 merged the separator — both unlinkable
+    assert fuzzy_link(dirty, clean, max_dist=3).count() == 0
+
+
+def test_tie_breaks_to_lowest_clean_key(spark):
+    from archive_spark.pipeline_ops import fuzzy_link
+
+    clean = _df(spark, [(7, "red widget"), (3, "red widget"), (9, "red widget")])
+    dirty = _df(spark, [(101, "red widge")])
+    rows = fuzzy_link(dirty, clean, max_dist=2).collect()
+    assert [(r.dirty_key, r.clean_key, r.dist) for r in rows] == [(101, 3, 1)]
+
+
+def test_fat_block_cap_excludes_block(spark):
+    from archive_spark.pipeline_ops import fuzzy_link
+
+    clean = _df(spark, [(i, f"common word{i}") for i in range(10)])
+    dirty = _df(spark, [(101, "common wordX")])
+    # "common" blocks 10 clean records > cap 4 -> excluded; "wordX"
+    # matches no clean word exactly -> no candidates at all
+    assert fuzzy_link(dirty, clean, max_dist=2, max_block=4).count() == 0
+    # with the cap lifted the block is allowed and the link resolves
+    got = fuzzy_link(dirty, clean, max_dist=2, max_block=100).collect()
+    assert got[0].dist == 1 and got[0].clean_key == 0
+
+
+def test_distance_threshold_enforced(spark):
+    from archive_spark.pipeline_ops import fuzzy_link
+
+    clean = _df(spark, [(1, "red widget")])
+    dirty = _df(spark, [(101, "red wi")])  # distance 5 from "red widget"
+    assert fuzzy_link(dirty, clean, max_dist=2).count() == 0
+    assert fuzzy_link(dirty, clean, max_dist=5).count() == 1
