@@ -159,10 +159,119 @@ class Snapshot:
     #: appended AFTER the delete (file_seq >= seq) are untouched, so a
     #: re-ingested doc survives an earlier takedown of its id.
     deletes: list | None = None
+    #: sharded-metadata form (the Iceberg manifest-list pattern): a list
+    #: of shard entries {"path", "n_files", "rows", "bounds", "sums"},
+    #: each pointing at an immutable `_manifests/shard-*.json` holding
+    #: that shard's {files, stats, file_seq}.  When present, `files` /
+    #: `stats` / `file_seq` are stored EMPTY on disk and materialized by
+    #: ``read_manifest(resolve=True)``; an append to a sharded snapshot
+    #: reuses the parent's shard entries by reference and writes ONE new
+    #: shard for its own files — commit metadata is O(new files), not
+    #: O(table), and planners prune whole shards via `bounds` before
+    #: reading them (``select_files`` / ``plan_report``).
+    manifests: list | None = None
 
 
 def _manifest_dir(table_dir: str) -> str:
     return os.path.join(table_dir, "_manifests")
+
+
+#: Snapshots with more data files than this shard their file metadata
+#: into `_manifests/shard-*.json` files (see ``Snapshot.manifests``).
+#: Small tables keep the simpler inline form; at 10^8-file scale the
+#: inline form would make every commit rewrite O(table) metadata and
+#: every plan parse it — sharding brings commits to O(new files) and
+#: lets planners skip whole shards by their aggregated column bounds.
+MANIFEST_INLINE_MAX = 64
+
+
+def _read_shard(table_dir: str, rel_path: str) -> dict:
+    with open(os.path.join(table_dir, rel_path)) as f:
+        return json.load(f)
+
+
+def _write_manifest_shard(
+    table_dir: str, files: list[str], stats: dict, file_seq: dict
+) -> dict:
+    """Write one immutable manifest shard and return its list entry.
+
+    The entry carries the aggregates a planner needs WITHOUT opening
+    the shard: file count, total rows (None if any file lacks a row
+    count), per-column [min, max] bounds (only for columns every file
+    in the shard records — a partial bound could prune a shard that
+    still has matching files), and additive sums for
+    ``SUM_STAT_COLUMNS`` (omitted per-path when any file lacks it).
+    """
+    shard_id = uuid.uuid4().hex[:16]
+    rel = os.path.join("_manifests", f"shard-{shard_id}.json")
+    body = {
+        "files": list(files),
+        "stats": {f: stats[f] for f in files if f in stats},
+        "file_seq": {f: int(file_seq.get(f, 0)) for f in files},
+    }
+    bounds: dict | None = None
+    rows: int | None = 0
+    sums: dict = {}
+    sums_ok: set = set(SUM_STAT_COLUMNS)
+    for f in files:
+        st = stats.get(f)
+        if st is None:
+            rows = None
+            bounds = {}
+            sums_ok = set()
+            continue
+        if rows is not None:
+            r = st.get("rows")
+            rows = None if r is None else rows + int(r)
+        cols = st.get("columns", {})
+        if bounds is None:
+            bounds = {k: list(v) for k, v in cols.items()}
+        else:
+            for k in list(bounds):
+                if k not in cols:
+                    del bounds[k]
+                else:
+                    try:
+                        bounds[k][0] = min(bounds[k][0], cols[k][0])
+                        bounds[k][1] = max(bounds[k][1], cols[k][1])
+                    except TypeError:
+                        del bounds[k]
+        fs = st.get("sums", {})
+        for path in list(sums_ok):
+            if path in fs:
+                sums[path] = sums.get(path, 0) + int(fs[path])
+            else:
+                sums_ok.discard(path)
+                sums.pop(path, None)
+    path = os.path.join(table_dir, rel)
+    fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+    with os.fdopen(fd, "w") as f:
+        json.dump(body, f)
+        f.flush()
+        os.fsync(f.fileno())
+    return {
+        "path": rel,
+        "n_files": len(files),
+        "rows": rows,
+        "bounds": bounds or {},
+        "sums": sums,
+    }
+
+
+def _bounds_exclude(bounds: dict, prune: dict) -> bool:
+    """True if the shard-level [min, max] bounds provably exclude every
+    pruned range.  Missing columns / type mismatches keep the shard —
+    pruning is an optimization, never a filter."""
+    for col, (lo, hi) in prune.items():
+        if col not in bounds:
+            continue
+        bmn, bmx = bounds[col]
+        try:
+            if (lo is not None and bmx < lo) or (hi is not None and bmn > hi):
+                return True
+        except TypeError:
+            continue
+    return False
 
 
 def _current_path(table_dir: str) -> str:
@@ -264,22 +373,10 @@ def _file_stats(table_dir: str, files: list[str]) -> dict:
     return out
 
 
-def select_files(
-    table_dir: str, snapshot_id: str, prune: dict | None = None
-) -> list[str]:
-    """The snapshot's file list after manifest-level pruning.
-
-    ``prune`` maps column name → inclusive (lo, hi); a file is kept
-    unless its recorded [min, max] for that column provably excludes
-    the range.  Files (or manifests) without stats are always kept —
-    pruning is an optimization, never a filter.
-    """
-    manifest = read_manifest(table_dir, snapshot_id)
-    if not prune or not manifest.stats:
-        return manifest.files
+def _prune_file_list(files: list[str], stats: dict, prune: dict) -> list[str]:
     kept = []
-    for f in manifest.files:
-        st = (manifest.stats.get(f) or {}).get("columns", {})
+    for f in files:
+        st = (stats.get(f) or {}).get("columns", {})
         drop = False
         for col, (lo, hi) in prune.items():
             if col not in st:
@@ -298,6 +395,77 @@ def select_files(
         if not drop:
             kept.append(f)
     return kept
+
+
+def _plan_files(
+    table_dir: str, snapshot_id: str, prune: dict | None
+) -> tuple[list[str], dict]:
+    meta = read_manifest(table_dir, snapshot_id, resolve=False)
+    if meta.manifests:
+        loaded = 0
+        kept: list[str] = []
+        for ent in meta.manifests:
+            if prune and _bounds_exclude(ent.get("bounds") or {}, prune):
+                continue  # whole shard skipped without opening it
+            sh = _read_shard(table_dir, ent["path"])
+            loaded += 1
+            if prune:
+                kept.extend(
+                    _prune_file_list(sh["files"], sh.get("stats", {}), prune)
+                )
+            else:
+                kept.extend(sh["files"])
+        return kept, {
+            "sharded": True,
+            "shards_total": len(meta.manifests),
+            "shards_loaded": loaded,
+            "files_total": meta.n_files,
+            "files_kept": len(kept),
+        }
+    files = list(meta.files)
+    kept = (
+        _prune_file_list(files, meta.stats, prune)
+        if prune and meta.stats
+        else files
+    )
+    return kept, {
+        "sharded": False,
+        "shards_total": 0,
+        "shards_loaded": 0,
+        "files_total": len(files),
+        "files_kept": len(kept),
+    }
+
+
+def select_files(
+    table_dir: str, snapshot_id: str, prune: dict | None = None
+) -> list[str]:
+    """The snapshot's file list after manifest-level pruning.
+
+    ``prune`` maps column name → inclusive (lo, hi); a file is kept
+    unless its recorded [min, max] for that column provably excludes
+    the range.  Files (or manifests) without stats are always kept —
+    pruning is an optimization, never a filter.
+
+    Sharded snapshots prune in two levels: shard entries whose
+    aggregated column bounds exclude the range are skipped without
+    opening the shard file at all (the Iceberg manifest-list plan), then
+    per-file stats prune within the surviving shards.
+    """
+    return _plan_files(table_dir, snapshot_id, prune)[0]
+
+
+def plan_report(
+    table_dir: str, snapshot_id: str | None = None, prune: dict | None = None
+) -> dict:
+    """Planning accounting for a (possibly pruned) read: how many
+    manifest shards the plan opened vs skipped by shard-level bounds,
+    and how many files survived — the metadata-scale counterpart of the
+    zone-map skip fractions ``anchor_bench`` records."""
+    snapshot_id = snapshot_id or current_snapshot_id(table_dir)
+    if snapshot_id is None:
+        raise FileNotFoundError(f"no current snapshot in {table_dir}")
+    return _plan_files(table_dir, snapshot_id, prune)[1]
 
 
 class StatsUnavailable(RuntimeError):
@@ -510,7 +678,15 @@ def current_snapshot_id(table_dir: str) -> str | None:
         return None
 
 
-def read_manifest(table_dir: str, snapshot_id: str) -> Snapshot:
+def read_manifest(
+    table_dir: str, snapshot_id: str, resolve: bool = True
+) -> Snapshot:
+    """Load a snapshot manifest.  For sharded snapshots
+    (``Snapshot.manifests``), ``resolve=True`` (the default) loads every
+    shard and materializes ``files`` / ``stats`` / ``file_seq`` so every
+    consumer sees the same view as an inline manifest; ``resolve=False``
+    returns just the snapshot meta (shard entries unopened) — the O(1)
+    read commit and planning paths use."""
     path = os.path.join(_manifest_dir(table_dir), f"snapshot-{snapshot_id}.json")
     with open(path) as f:
         d = json.load(f)
@@ -520,7 +696,20 @@ def read_manifest(table_dir: str, snapshot_id: str) -> Snapshot:
     import dataclasses
 
     known = {f.name for f in dataclasses.fields(Snapshot)}
-    return Snapshot(**{k: v for k, v in d.items() if k in known})
+    snap = Snapshot(**{k: v for k, v in d.items() if k in known})
+    if snap.manifests and resolve:
+        files: list[str] = []
+        stats: dict = {}
+        file_seq: dict = {}
+        for ent in snap.manifests:
+            sh = _read_shard(table_dir, ent["path"])
+            files.extend(sh["files"])
+            stats.update(sh.get("stats", {}))
+            file_seq.update(sh.get("file_seq", {}))
+        snap.files = files
+        snap.stats = stats
+        snap.file_seq = file_seq
+    return snap
 
 
 def snapshots(table_dir: str) -> list[Snapshot]:
@@ -634,11 +823,22 @@ def commit_existing(
             # a branch commit with no existing ref cuts the branch from
             # the published current snapshot
             parent = current_snapshot_id(table_dir)
-        pm = read_manifest(table_dir, parent) if parent is not None else None
+        # resolve=False: an append to a sharded parent must stay
+        # O(new files) — the parent's shards are reused by reference,
+        # never re-read or re-written
+        pm = (
+            read_manifest(table_dir, parent, resolve=False)
+            if parent is not None
+            else None
+        )
         seq = (pm.seq + 1) if pm is not None else 0
         all_files = list(files)
-        stats = _file_stats(table_dir, files)
-        file_seq = {f: seq for f in files}
+        new_stats = _file_stats(table_dir, files)
+        new_seq = {f: seq for f in files}
+        stats: dict | None = new_stats
+        file_seq: dict | None = new_seq
+        n_files = len(files)
+        manifests_entries: list | None = None
         deletes = list(delete_entries or [])
         for d in deletes:
             d.setdefault("seq", seq)
@@ -648,16 +848,56 @@ def commit_existing(
             # schema and `read` projects old files through it (missing
             # columns read as null — no footer merging at read time)
             _check_schema_evolution(pm.schema, schema)
-            all_files = pm.files + all_files
-            stats = {**(pm.stats or {}), **stats}
-            parent_seq = pm.file_seq or {}
-            file_seq = {
-                **{f: parent_seq.get(f, 0) for f in pm.files},
-                **file_seq,
-            }
             # delete entries survive until a physical rewrite
             # (compact/overwrite) applies them
             deletes = list(pm.deletes or []) + deletes
+            if pm.manifests:
+                manifests_entries = list(pm.manifests)
+                if files:
+                    manifests_entries.append(
+                        _write_manifest_shard(table_dir, files, new_stats, new_seq)
+                    )
+                n_files = sum(e["n_files"] for e in manifests_entries)
+            else:
+                all_files = pm.files + all_files
+                n_files = len(all_files)
+                if n_files > MANIFEST_INLINE_MAX:
+                    # the table just outgrew inline metadata: convert
+                    # the parent's inline stats into one shard (a
+                    # one-time O(table) write) + one shard for the new
+                    # files; every later append is O(new files)
+                    manifests_entries = []
+                    pseq = pm.file_seq or {}
+                    if pm.files:
+                        manifests_entries.append(
+                            _write_manifest_shard(
+                                table_dir,
+                                pm.files,
+                                pm.stats or {},
+                                {f: pseq.get(f, 0) for f in pm.files},
+                            )
+                        )
+                    if files:
+                        manifests_entries.append(
+                            _write_manifest_shard(
+                                table_dir, files, new_stats, new_seq
+                            )
+                        )
+                else:
+                    stats = {**(pm.stats or {}), **new_stats}
+                    pseq = pm.file_seq or {}
+                    file_seq = {
+                        **{f: pseq.get(f, 0) for f in pm.files},
+                        **new_seq,
+                    }
+        elif len(files) > MANIFEST_INLINE_MAX:
+            manifests_entries = [
+                _write_manifest_shard(table_dir, files, new_stats, new_seq)
+            ]
+        if manifests_entries is not None:
+            # sharded form: the snapshot JSON stays O(shards); the
+            # per-file detail lives in the immutable shard files
+            all_files, stats, file_seq = [], None, None
         manifest = Snapshot(
             snapshot_id=snapshot_id,
             parent_id=parent,
@@ -665,11 +905,12 @@ def commit_existing(
             mode=mode,
             files=all_files,
             schema=schema,
-            n_files=len(all_files),
+            n_files=n_files,
             stats=stats,
             seq=seq,
             file_seq=file_seq,
             deletes=deletes or None,
+            manifests=manifests_entries,
         )
         mpath = os.path.join(_manifest_dir(table_dir), f"snapshot-{snapshot_id}.json")
         try:
@@ -1125,11 +1366,14 @@ def expire_snapshots(
 def vacuum(table_dir: str) -> list[str]:
     """Delete data/delete-key dirs not referenced by any committed
     manifest (crash orphans from failed commits, or dirs whose last
-    referencing snapshot was expired).  Returns the removed dirs."""
+    referencing snapshot was expired), plus manifest shard files no
+    surviving snapshot's manifest list points at.  Returns the removed
+    dirs/files."""
     import shutil
 
     referenced: set[str] = set()
     del_referenced: set[str] = set()
+    shard_referenced: set[str] = set()
     for s in snapshots(table_dir):
         for f in s.files:
             referenced.add(f.split(os.sep)[1] if f.startswith("data") else "")
@@ -1137,7 +1381,19 @@ def vacuum(table_dir: str) -> list[str]:
             for f in d.get("files", []):
                 if f.startswith("deletes"):
                     del_referenced.add(f.split(os.sep)[1])
+        for ent in s.manifests or []:
+            shard_referenced.add(os.path.basename(ent["path"]))
     removed = []
+    mdir = _manifest_dir(table_dir)
+    if os.path.isdir(mdir):
+        for f in os.listdir(mdir):
+            if (
+                f.startswith("shard-")
+                and f.endswith(".json")
+                and f not in shard_referenced
+            ):
+                os.unlink(os.path.join(mdir, f))
+                removed.append(f)
     for root, keep in (
         (os.path.join(table_dir, "data"), referenced),
         (_deletes_dir(table_dir), del_referenced),
@@ -1417,6 +1673,45 @@ def fsck(
     if sid is None:
         err("no_current_snapshot", f"{table_dir}: no committed snapshot")
         return {"ok": False, "findings": findings, "checked": checked}
+    try:
+        meta = read_manifest(table_dir, sid, resolve=False)
+    except Exception as e:
+        err("manifest_unreadable", f"{sid}: {e}")
+        return {"ok": False, "findings": findings, "checked": checked}
+
+    if meta.manifests:
+        checked["n_manifest_shards"] = len(meta.manifests)
+        shard_files_seen = 0
+        for ent in meta.manifests:
+            sp = os.path.join(table_dir, ent["path"])
+            if not os.path.isfile(sp):
+                err("missing_manifest_shard", ent["path"])
+                continue
+            try:
+                sh = _read_shard(table_dir, ent["path"])
+            except Exception as e:
+                err("unreadable_manifest_shard", f"{ent['path']}: {e}")
+                continue
+            shard_files_seen += len(sh.get("files", []))
+            if ent.get("n_files") is not None and ent["n_files"] != len(
+                sh.get("files", [])
+            ):
+                err(
+                    "shard_file_count_mismatch",
+                    f"{ent['path']}: entry says {ent['n_files']} files, "
+                    f"shard lists {len(sh.get('files', []))}",
+                )
+        if not any(
+            f["kind"].endswith("manifest_shard") for f in findings
+        ) and shard_files_seen != meta.n_files:
+            err(
+                "manifest_file_count_drift",
+                f"{sid}: snapshot says {meta.n_files} files, shards "
+                f"list {shard_files_seen}",
+            )
+        if any(f["level"] == "error" for f in findings):
+            return {"ok": False, "findings": findings, "checked": checked}
+
     try:
         m = read_manifest(table_dir, sid)
     except Exception as e:

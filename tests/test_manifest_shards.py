@@ -1,0 +1,162 @@
+"""Sharded-manifest tests (the Iceberg manifest-list pattern).
+
+Snapshots above ``MANIFEST_INLINE_MAX`` data files store per-file
+metadata in immutable `_manifests/shard-*.json` files; the snapshot
+JSON holds only the shard list with aggregated bounds.  The contracts
+under test:
+
+- an append to a sharded snapshot reuses the parent's shard entries BY
+  REFERENCE and writes exactly one new shard — commit metadata is
+  O(new files), never O(table);
+- planning prunes whole shards by their column bounds without opening
+  them (``plan_report`` accounting), and within surviving shards by
+  per-file stats — with results identical to the inline path;
+- every existing read face (read / stats_summary / fsck / deletes /
+  time travel / expire+vacuum) behaves identically on sharded tables.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from archive_spark import table
+
+
+def _docs(spark, lo: int, hi: int, n_files: int):
+    return (
+        spark.range(lo, hi)
+        .select(
+            F.format_string("%06d", F.col("id")).alias("doc_id"),
+            (F.col("id") % 97).alias("v"),
+        )
+        .repartition(n_files, "doc_id")
+    )
+
+
+@pytest.fixture()
+def sharded(spark, tmp_path):
+    """70-file overwrite (1 shard) + two range-disjoint appends."""
+    t = str(tmp_path / "t")
+    s1 = table.commit(_docs(spark, 0, 7000, 70), t)
+    s2 = table.commit(_docs(spark, 10000, 12000, 10), t, mode="append")
+    s3 = table.commit(_docs(spark, 20000, 21000, 5), t, mode="append")
+    return t, (s1, s2, s3)
+
+
+def test_sharded_form_and_reuse(spark, sharded):
+    t, (s1, s2, s3) = sharded
+    m1 = table.read_manifest(t, s1, resolve=False)
+    m2 = table.read_manifest(t, s2, resolve=False)
+    m3 = table.read_manifest(t, s3, resolve=False)
+    assert m1.manifests and len(m1.manifests) == 1
+    assert m1.files == [] and m1.stats is None  # detail lives in shards
+    # each append adds exactly ONE shard and reuses the parent's
+    assert [e["path"] for e in m3.manifests][:2] == [
+        e["path"] for e in m2.manifests
+    ]
+    assert [e["path"] for e in m2.manifests][:1] == [
+        e["path"] for e in m1.manifests
+    ]
+    assert m3.n_files == 85
+    # the snapshot JSON itself stays O(shards): no per-file entries
+    raw = json.load(
+        open(os.path.join(t, "_manifests", f"snapshot-{s3}.json"))
+    )
+    assert raw["files"] == [] and raw["stats"] is None
+    assert len(raw["manifests"]) == 3
+
+
+def test_resolved_read_matches_data(spark, sharded):
+    t, (_, _, s3) = sharded
+    got = table.read(spark, t)
+    assert got.count() == 10000
+    assert got.agg(F.sum("v")).collect()[0][0] == sum(
+        i % 97 for i in list(range(7000)) + list(range(10000, 12000))
+        + list(range(20000, 21000))
+    )
+    m = table.read_manifest(t, s3)  # resolved
+    assert len(m.files) == 85 and len(m.stats) == 85
+    assert set(m.file_seq.values()) == {0, 1, 2}
+
+
+def test_shard_level_pruning(sharded):
+    t, (_, s2, s3) = sharded
+    rep = table.plan_report(t, s3, {"doc_id": ("020000", "020999")})
+    assert rep["sharded"] and rep["shards_total"] == 3
+    assert rep["shards_loaded"] == 1  # two shards skipped UNOPENED
+    assert rep["files_kept"] == 5
+    files = table.select_files(t, s3, {"doc_id": ("020000", "020999")})
+    assert len(files) == 5
+    # unpruned plan returns everything
+    assert len(table.select_files(t, s3)) == 85
+    # pruning never filters: a bound no shard matches keeps 0 files but
+    # loads nothing
+    rep2 = table.plan_report(t, s3, {"doc_id": ("999000", "999999")})
+    assert rep2["shards_loaded"] == 0 and rep2["files_kept"] == 0
+
+
+def test_inline_to_sharded_conversion(spark, tmp_path):
+    t = str(tmp_path / "t")
+    s1 = table.commit(_docs(spark, 0, 1000, 10), t)
+    m1 = table.read_manifest(t, s1, resolve=False)
+    assert not m1.manifests and len(m1.files) == 10  # inline below cap
+    s2 = table.commit(_docs(spark, 1000, 8000, 60), t, mode="append")
+    m2 = table.read_manifest(t, s2, resolve=False)
+    assert m2.manifests and len(m2.manifests) == 2  # converted + new
+    assert m2.n_files == 70
+    assert table.read(spark, t).count() == 8000
+    # the converted shard preserves the parent's commit seq per file
+    m2r = table.read_manifest(t, s2)
+    assert sorted(set(m2r.file_seq.values())) == [0, 1]
+
+
+def test_stats_summary_and_fsck_on_sharded(spark, sharded):
+    t, (_, _, s3) = sharded
+    ss = table.stats_summary(t, s3)
+    assert ss["n_rows"] == 10000 and ss["n_files"] == 85
+    r = table.fsck(None, t)
+    assert r["ok"], r["findings"]
+    assert r["checked"]["n_manifest_shards"] == 3
+
+
+def test_fsck_flags_missing_shard(spark, sharded):
+    t, (_, _, s3) = sharded
+    m = table.read_manifest(t, s3, resolve=False)
+    os.unlink(os.path.join(t, m.manifests[0]["path"]))
+    r = table.fsck(None, t)
+    assert not r["ok"]
+    assert any(f["kind"] == "missing_manifest_shard" for f in r["findings"])
+
+
+def test_deletes_apply_on_sharded(spark, sharded):
+    t, _ = sharded
+    keys = spark.createDataFrame([("010005",), ("020007",)], "doc_id string")
+    s4 = table.delete_rows(spark, t, keys, key="doc_id")
+    assert table.read(spark, t).count() == 9998
+    m = table.read_manifest(t, s4, resolve=False)
+    assert len(m.manifests) == 3  # delete commit adds no shard
+
+
+def test_expire_vacuum_keeps_referenced_shards(spark, sharded):
+    t, (s1, s2, s3) = sharded
+    shard_dir = os.path.join(t, "_manifests")
+    n_before = len([f for f in os.listdir(shard_dir) if f.startswith("shard-")])
+    assert n_before == 3
+    # replace everything: the overwrite's shard is the only live one
+    table.commit(_docs(spark, 0, 500, 70), t, mode="overwrite")
+    table.expire_snapshots(t, keep_last=1)
+    left = [f for f in os.listdir(shard_dir) if f.startswith("shard-")]
+    assert len(left) == 1  # s1-s3's shards vacuumed, current's kept
+    assert table.read(spark, t).count() == 500
+    assert table.fsck(None, t)["ok"]
+
+
+def test_time_travel_across_shard_history(spark, sharded):
+    t, (s1, s2, s3) = sharded
+    assert table.read(spark, t, s1).count() == 7000
+    assert table.read(spark, t, s2).count() == 9000
+    assert table.read(spark, t, s3).count() == 10000
