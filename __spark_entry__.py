@@ -180,6 +180,33 @@ def _q_token_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return token_postings_summary(enc, 0, 40)
 
 
+def _q_token_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persisted inverted token index (analytics.build_token_index):
+    posting lists compressed with the engine's OWN int codecs
+    (Elias-Fano / delta compete on monotone doc numbers), committed as
+    a token-range-clustered snapshot table; the lookup is answered
+    ENTIRELY from the index — manifest stats prune to the files whose
+    token range covers the probes, and every reported aggregate is
+    computed from the DECODED posting lists, so a wrong index cannot
+    produce the right row.  DuckDB replays document frequency /
+    occurrence totals / the md5 postings digest straight from the
+    persisted raw token arrays."""
+    import shutil
+
+    from archive_spark import engine
+    from archive_spark.analytics import build_token_index, token_index_summary
+    from archive_spark.tokengen import token_table
+
+    df = token_table(spark, 5_000, seed=42)
+    _persist(df.select("doc_id", "tokens"), "token_index_input", sf_dir)
+    enc = engine.encode(df, target_block_values=1 << 15)
+    base = os.path.basename(sf_dir.rstrip("/"))
+    idx_dir = f"{ORACLE_DIR}/{base}/token_index_table"
+    shutil.rmtree(idx_dir, ignore_errors=True)
+    build_token_index(enc, idx_dir, n_files=4)
+    return token_index_summary(spark, idx_dir, list(range(0, 41)))
+
+
 def _q_multi_column_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-column aligned-array lane (archive_spark/multicolumn.py):
     the training-table shape input_ids + labels + attention_mask, all
@@ -2959,6 +2986,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # -- every query WITHOUT a driver correctness row (r01-r03 artifacts)
         # -- comes first: the driver walks this dict in order under a budget --
+        "token_index": _q_token_index,
         "kmeans_lloyd": _q_kmeans_lloyd,
         "fuzzy_link": _q_fuzzy_link,
         "dataloader_batch": _q_dataloader_batch,
@@ -3514,6 +3542,19 @@ def oracle_sql() -> dict[str, str]:
             "GROUP BY source "
             "HAVING SUM(len(list_filter(tokens, t -> t = 1000100))) > 0 "
             "ORDER BY source"
+        ),
+        "token_index": (
+            "WITH per AS ("
+            "SELECT token, "
+            "CAST(regexp_extract(doc_id, '(\\d+)$', 1) AS BIGINT) AS doc_num, "
+            "COUNT(*) AS occ FROM ("
+            "SELECT doc_id, unnest(tokens) AS token "
+            f"FROM read_parquet('{_opath('token_index_input')}')"
+            ") WHERE token BETWEEN 0 AND 40 GROUP BY 1, 2"
+            ") SELECT token::BIGINT AS token, COUNT(*)::BIGINT AS df, "
+            "SUM(occ)::BIGINT AS occ_total, "
+            "md5(string_agg(doc_num, ',' ORDER BY doc_num)) AS postings_md5 "
+            "FROM per GROUP BY token ORDER BY token"
         ),
         "token_postings": (
             "WITH per AS ("

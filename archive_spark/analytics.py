@@ -1657,3 +1657,177 @@ def distinct_tokens(
         F.max("token").cast("bigint").alias("tok_max"),
     )
     return agg.orderBy("source") if by_source else agg
+
+
+# ---------------------------------------------------------------------------
+# persisted inverted token index — the search-engine face of the codec
+# stack: posting lists compressed with the engine's OWN int codecs
+# (Elias-Fano / delta / bit-pack compete on monotone doc ids), committed
+# as a token-clustered snapshot table so a lookup is O(postings), never
+# O(corpus).
+
+
+def build_token_index(
+    encoded: DataFrame,
+    index_dir: str,
+    n_files: int = 8,
+    doc_pattern: str = r"(\d+)$",
+) -> str:
+    """Build and commit a persisted inverted index over an encoded
+    token table.  One row per token::
+
+        (token, df, occ_total, id_min, id_max, codec,
+         ids_payload, occ_payload)
+
+    ``ids_payload`` is the token's sorted doc-number list stored as
+    offsets from ``id_min`` through the int-codec auto-selector (the
+    classic postings profile: monotone ids → Elias-Fano/delta win);
+    ``occ_payload`` is the aligned per-doc occurrence counts.  Doc
+    numbers come from the corpus doc-id contract (``doc_pattern``
+    extracts the unique numeric suffix — tokengen.py's layout, same
+    contract as :func:`postings_codec_roundtrip`).
+
+    Scale shape:
+
+    - the postings build is the zone-map-pruned
+      :func:`token_postings` scan — one decode per block, map-side
+      (token, doc) merge, the shuffle carries postings, never tokens;
+    - per-token encode state is one id array (``applyInPandas`` group),
+      never the corpus;
+    - rows are range-clustered by token into ``n_files`` files, so the
+      committed table's parquet footers and manifest stats carry tight
+      ``token`` ranges — a lookup prunes to O(1) files at PLAN time
+      (``table.plan_report``), and above the sharding threshold whole
+      manifest shards are skipped unopened.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from . import table as snap_table
+    from .codecs import kernels
+    from .codecs.selector import encode_auto
+
+    band = encoded.agg(
+        F.min("vmin").alias("lo"), F.max("vmax").alias("hi")
+    ).collect()[0]
+    post = token_postings(encoded, int(band["lo"]), int(band["hi"])).select(
+        "token",
+        F.regexp_extract("doc_id", doc_pattern, 1).cast("long").alias("doc_num"),
+        "occ",
+    )
+
+    def _enc(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        order = np.argsort(pdf["doc_num"].to_numpy(np.int64), kind="stable")
+        ids = pdf["doc_num"].to_numpy(np.int64)[order]
+        occ = pdf["occ"].to_numpy(np.int64)[order]
+        base = int(ids[0])
+        off = ids - base
+        if off.size and int(off[-1]) > np.iinfo(np.int32).max:
+            raise kernels.CodecError("doc-number span exceeds i32 offsets")
+        ids_blk, codec = encode_auto(off.astype(np.int32), allow_fsst=False)
+        occ_blk, _ = encode_auto(
+            np.minimum(occ, np.iinfo(np.int32).max).astype(np.int32),
+            allow_fsst=False,
+        )
+        return pd.DataFrame(
+            {
+                "token": [int(pdf["token"].iloc[0])],
+                "df": [int(ids.size)],
+                "occ_total": [int(occ.sum())],
+                "id_min": [base],
+                "id_max": [int(ids[-1])],
+                "codec": [codec],
+                "ids_payload": [bytes(ids_blk)],
+                "occ_payload": [bytes(occ_blk)],
+            }
+        )
+
+    schema = (
+        "token bigint, df bigint, occ_total bigint, id_min bigint, "
+        "id_max bigint, codec string, ids_payload binary, occ_payload binary"
+    )
+    rows = post.groupBy("token").applyInPandas(_enc, schema)
+    clustered = rows.repartitionByRange(n_files, "token").sortWithinPartitions(
+        "token"
+    )
+    # the engine's codecs are the compressor — parquet stays uncompressed
+    # so the measured index size is theirs (engine.encode contract)
+    return snap_table.commit(clustered, index_dir, parquet_codec="uncompressed")
+
+
+def token_index_lookup(
+    spark, index_dir: str, tokens: "list[int]"
+) -> DataFrame:
+    """Exploded postings ``(token, doc_num, occ)`` for a token set,
+    answered ENTIRELY from the persisted index: manifest stats prune to
+    the files whose token range covers the probes (plan-time, before
+    Spark lists anything), parquet row-group stats prune within, and
+    only the surviving rows' payloads are decoded.  Absent tokens
+    simply return no rows."""
+    import numpy as np
+    import pyarrow as pa
+
+    from . import table as snap_table
+    from .codecs import kernels
+
+    toks = sorted({int(t) for t in tokens})
+    if not toks:
+        raise ValueError("empty token set")
+    df = snap_table.read(
+        spark, index_dir, prune={"token": (toks[0], toks[-1])}
+    ).filter(F.col("token").isin(toks))
+
+    def _dec(it):
+        for batch in it:
+            out_tok, out_ids, out_occ = [], [], []
+            for i in range(batch.num_rows):
+                base = batch.column("id_min")[i].as_py()
+                ids = kernels.decode(
+                    memoryview(batch.column("ids_payload")[i].as_buffer())
+                ).astype(np.int64) + base
+                occ = kernels.decode(
+                    memoryview(batch.column("occ_payload")[i].as_buffer())
+                ).astype(np.int64)
+                out_tok.append(
+                    np.full(ids.size, batch.column("token")[i].as_py(), np.int64)
+                )
+                out_ids.append(ids)
+                out_occ.append(occ)
+            if out_tok:
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        pa.array(np.concatenate(out_tok), pa.int64()),
+                        pa.array(np.concatenate(out_ids), pa.int64()),
+                        pa.array(np.concatenate(out_occ), pa.int64()),
+                    ],
+                    ["token", "doc_num", "occ"],
+                )
+
+    return df.select("token", "id_min", "ids_payload", "occ_payload").mapInArrow(
+        _dec, "token long, doc_num long, occ long"
+    )
+
+
+def token_index_summary(
+    spark, index_dir: str, tokens: "list[int]"
+) -> DataFrame:
+    """Per-token rollup of :func:`token_index_lookup` with an
+    order-insensitive postings digest — every aggregate is computed
+    from the DECODED posting lists, so a wrong index cannot produce the
+    right row (same proof shape as :func:`token_postings_summary`, but
+    reading the index, not the corpus)."""
+    return (
+        token_index_lookup(spark, index_dir, tokens)
+        .groupBy("token")
+        .agg(
+            F.count("*").cast("bigint").alias("df"),
+            F.sum("occ").cast("bigint").alias("occ_total"),
+            F.md5(
+                F.concat_ws(
+                    ",",
+                    F.sort_array(F.collect_list(F.col("doc_num"))),
+                )
+            ).alias("postings_md5"),
+        )
+        .orderBy("token")
+    )
