@@ -180,6 +180,51 @@ def _q_token_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return token_postings_summary(enc, 0, 40)
 
 
+def _q_matview_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incrementally-maintained materialized view (archive_spark/
+    matview.py): a token-histogram view materialized at a base
+    snapshot, then advanced through an append AND a takedown using
+    ONLY the row-level change feed — O(changed rows), never O(corpus).
+    The final visible corpus state is persisted so DuckDB recomputes
+    the same histogram from scratch: the incremental path must land on
+    the full-recompute answer exactly.  Returns the top tokens by
+    occurrence (ties broken by token)."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from archive_spark import matview, table
+    from archive_spark.tokengen import token_table
+
+    base = os.path.basename(sf_dir.rstrip("/"))
+    src = f"{ORACLE_DIR}/{base}/matview_src"
+    view = f"{ORACLE_DIR}/{base}/matview_view"
+    shutil.rmtree(src, ignore_errors=True)
+    shutil.rmtree(view, ignore_errors=True)
+
+    df = token_table(spark, 3_000, seed=42)
+    table.commit(df, src)
+    matview.materialize_token_histogram(spark, src, view)
+    extra = token_table(spark, 800, seed=43).withColumn(
+        "doc_id", F.concat(F.lit("b-"), F.col("doc_id"))
+    )
+    table.commit(extra, src, mode="append")
+    victims = df.select("doc_id").orderBy("doc_id").limit(100)
+    table.delete_rows(spark, src, victims, key="doc_id")
+    matview.refresh_token_histogram(spark, src, view)
+    _persist(
+        table.read(spark, src).select("doc_id", "tokens"),
+        "matview_state",
+        sf_dir,
+    )
+    return (
+        table.read(spark, view)
+        .orderBy(F.desc("occ"), "token")
+        .limit(25)
+        .select("token", "occ", "df")
+    )
+
+
 def _q_token_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Persisted inverted token index (analytics.build_token_index):
     posting lists compressed with the engine's OWN int codecs
@@ -2987,6 +3032,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- every query WITHOUT a driver correctness row (r01-r03 artifacts)
         # -- comes first: the driver walks this dict in order under a budget --
         "token_index": _q_token_index,
+        "matview_refresh": _q_matview_refresh,
         "kmeans_lloyd": _q_kmeans_lloyd,
         "fuzzy_link": _q_fuzzy_link,
         "dataloader_batch": _q_dataloader_batch,
@@ -3542,6 +3588,17 @@ def oracle_sql() -> dict[str, str]:
             "GROUP BY source "
             "HAVING SUM(len(list_filter(tokens, t -> t = 1000100))) > 0 "
             "ORDER BY source"
+        ),
+        "matview_refresh": (
+            "WITH per AS ("
+            "SELECT doc_id, unnest(tokens) AS token "
+            f"FROM read_parquet('{_opath('matview_state')}')"
+            "), per_doc AS ("
+            "SELECT doc_id, token, COUNT(*) AS c FROM per GROUP BY 1, 2"
+            ") SELECT token::BIGINT AS token, SUM(c)::BIGINT AS occ, "
+            "COUNT(*)::BIGINT AS df "
+            "FROM per_doc GROUP BY token "
+            "ORDER BY occ DESC, token LIMIT 25"
         ),
         "token_index": (
             "WITH per AS ("

@@ -1,0 +1,96 @@
+"""Incremental materialized-view maintenance (archive_spark/matview.py):
+refresh via the change feed must equal a full recompute — byte-equal
+rows — across appends, takedowns, re-ingests, and the rewrite fallback."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Window, functions as F
+
+from archive_spark import matview, table
+from archive_spark.tokengen import token_table
+
+
+def _full(spark, table_dir):
+    return sorted(
+        tuple(r)
+        for r in matview._contrib(table.read(spark, table_dir), 1).collect()
+    )
+
+
+def _view(spark, view_dir):
+    return sorted(tuple(r) for r in table.read(spark, view_dir).collect())
+
+
+@pytest.fixture()
+def dirs(tmp_path):
+    return str(tmp_path / "src"), str(tmp_path / "view")
+
+
+def test_refresh_equals_full_recompute(spark, dirs):
+    src, view = dirs
+    base = token_table(spark, 400, seed=21)
+    table.commit(base, src)
+    matview.materialize_token_histogram(spark, src, view)
+    assert _view(spark, view) == _full(spark, src)
+
+    # append new docs
+    extra = token_table(spark, 150, seed=22).withColumn(
+        "doc_id", F.concat(F.lit("b-"), F.col("doc_id"))
+    )
+    table.commit(extra, src, mode="append")
+    matview.refresh_token_histogram(spark, src, view)
+    assert _view(spark, view) == _full(spark, src)
+
+    # takedown 30 docs
+    victims = base.select("doc_id").orderBy("doc_id").limit(30)
+    table.delete_rows(spark, src, victims, key="doc_id")
+    matview.refresh_token_histogram(spark, src, view)
+    assert _view(spark, view) == _full(spark, src)
+
+
+def test_reingest_after_takedown(spark, dirs):
+    src, view = dirs
+    base = token_table(spark, 200, seed=31)
+    table.commit(base, src)
+    matview.materialize_token_histogram(spark, src, view)
+    victims = base.select("doc_id").orderBy("doc_id").limit(10)
+    table.delete_rows(spark, src, victims, key="doc_id")
+    # re-ingest the same ids with DIFFERENT content: the re-insert is
+    # after the delete, so it must survive (sequence rule)
+    w = Window.orderBy("doc_id")
+    reborn = (
+        token_table(spark, 10, seed=77)
+        .withColumn("rn", F.row_number().over(w))
+        .join(
+            victims.withColumn("rn", F.row_number().over(w))
+            .withColumnRenamed("doc_id", "new_id"),
+            "rn",
+        )
+        .select(F.col("new_id").alias("doc_id"), "tokens", "n_tok", "source")
+    )
+    table.commit(reborn, src, mode="append")
+    matview.refresh_token_histogram(spark, src, view)
+    assert _view(spark, view) == _full(spark, src)
+
+
+def test_noop_refresh_returns_same_snapshot(spark, dirs):
+    src, view = dirs
+    table.commit(token_table(spark, 100, seed=41), src)
+    v1 = matview.materialize_token_histogram(spark, src, view)
+    assert matview.refresh_token_histogram(spark, src, view) == v1
+
+
+def test_rewrite_falls_back_to_full(spark, dirs):
+    src, view = dirs
+    table.commit(token_table(spark, 150, seed=51), src)
+    matview.materialize_token_histogram(spark, src, view)
+    table.commit(token_table(spark, 60, seed=52).withColumn(
+        "doc_id", F.concat(F.lit("x-"), F.col("doc_id"))), src, mode="append")
+    table.compact(spark, src)  # rewrite: no change feed across it
+    with pytest.raises(ValueError):
+        matview.refresh_token_histogram(spark, src, view, full_on_rewrite=False)
+    matview.refresh_token_histogram(spark, src, view)  # full fallback
+    assert _view(spark, view) == _full(spark, src)
+    assert matview.view_meta(view)["base_snapshot"] == \
+        table.current_snapshot_id(src)
