@@ -180,6 +180,19 @@ def _q_token_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return token_postings_summary(enc, 0, 40)
 
 
+def _q_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-minimum-values distinct sketch per source (pipeline_ops.
+    kmv_distinct, Bar-Yossef et al. 2002): deterministic (md5 60-bit),
+    mergeable (partial aggregation IS the merge — O(k) state per
+    source, never a vocabulary shuffle).  k=16 < the per-source
+    vocabulary, so the ESTIMATION path is exercised; DuckDB replays the
+    entire sketch — k-th hash and integer estimate included — from the
+    same md5 arithmetic."""
+    from archive_spark.pipeline_ops import kmv_distinct
+
+    return kmv_distinct(_docs(spark, sf_dir), k=16)
+
+
 def _q_matview_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incrementally-maintained materialized view (archive_spark/
     matview.py): a token-histogram view materialized at a base
@@ -3033,6 +3046,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- comes first: the driver walks this dict in order under a budget --
         "token_index": _q_token_index,
         "matview_refresh": _q_matview_refresh,
+        "kmv_distinct": _q_kmv_distinct,
         "kmeans_lloyd": _q_kmeans_lloyd,
         "fuzzy_link": _q_fuzzy_link,
         "dataloader_batch": _q_dataloader_batch,
@@ -3588,6 +3602,24 @@ def oracle_sql() -> dict[str, str]:
             "GROUP BY source "
             "HAVING SUM(len(list_filter(tokens, t -> t = 1000100))) > 0 "
             "ORDER BY source"
+        ),
+        "kmv_distinct": (
+            "WITH w AS ("
+            "SELECT DISTINCT source, "
+            "('0x' || substring(md5(word), 1, 15))::BIGINT AS h "
+            "FROM (SELECT source, unnest(string_split(text, ' ')) AS word "
+            "FROM documents)"
+            "), r AS ("
+            "SELECT source, h, "
+            "row_number() OVER (PARTITION BY source ORDER BY h) AS rn, "
+            "count(*) OVER (PARTITION BY source) AS n FROM w"
+            ") SELECT source, LEAST(n, 16)::BIGINT AS k_used, "
+            "MAX(CASE WHEN rn = LEAST(n, 16) THEN h END)::BIGINT AS kth_hash, "
+            "(CASE WHEN n < 16 THEN n::HUGEINT "
+            "ELSE (15::HUGEINT * 1152921504606846976::HUGEINT) / "
+            "MAX(CASE WHEN rn = 16 THEN h END) END)::BIGINT AS est_distinct, "
+            "(CASE WHEN n < 16 THEN 1 ELSE 0 END)::BIGINT AS is_exact "
+            "FROM r GROUP BY source, n ORDER BY source"
         ),
         "matview_refresh": (
             "WITH per AS ("

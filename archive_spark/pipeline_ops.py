@@ -4200,3 +4200,89 @@ def doc_boundaries(
         (F.col("global_off") / seq_len).cast("long").alias("seq_id"),
         (F.col("global_off") % seq_len).cast("long").alias("seq_off"),
     )
+
+
+def kmv_distinct(docs: DataFrame, k: int = 256) -> DataFrame:
+    """K-minimum-values distinct-count sketch per source (Bar-Yossef et
+    al., "Counting distinct elements in a data stream", RANDOM 2002):
+    keep the ``k`` smallest 60-bit hashes of the words seen; the k-th
+    smallest ``h_k`` estimates ``n_distinct ≈ (k-1) * 2^60 / h_k``.
+
+    Why this sketch: it is DETERMINISTIC given the hash (md5, truncated
+    to 15 hex digits = 60 bits — bit-identical in Spark and DuckDB, so
+    the driver oracle replays the whole sketch exactly, estimate
+    included) and MERGEABLE — the union sketch is the k smallest of the
+    concatenated partials, so partial aggregation IS the merge: the
+    Arrow kernel emits ≤ k hashes per source per batch (O(k) state),
+    and a tiny per-source reduce finishes.  No vocabulary-sized shuffle
+    anywhere — exact ``count_distinct`` shuffles the vocabulary, the
+    sketch shuffles ``partitions × k`` longs.  At 10^12 sequences that
+    is the difference between a global distinct and a few KB per
+    source.
+
+    A source with fewer than ``k`` distinct words yields its full
+    distinct set: the estimate is exact and ``is_exact = 1``.
+
+    Returns ``(source, k_used, kth_hash, est_distinct, is_exact)``.
+    """
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    hashed = docs.select(
+        "source", F.explode(F.split("text", " ")).alias("word")
+    ).select(
+        "source",
+        F.conv(F.substring(F.md5("word"), 1, 15), 16, 10)
+        .cast("long")
+        .alias("h"),
+    )
+
+    def _partial(it):
+        for batch in it:
+            pdf = batch.to_pandas()
+            out_s: list = []
+            out_h: list = []
+            for s, grp in pdf.groupby("source"):
+                u = np.unique(grp["h"].to_numpy(np.int64))  # sorted
+                u = u[:k]
+                out_s.append(np.full(u.size, s, dtype=object))
+                out_h.append(u)
+            if out_s:
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        pa.array(np.concatenate(out_s), pa.string()),
+                        pa.array(np.concatenate(out_h), pa.int64()),
+                    ],
+                    ["source", "h"],
+                )
+
+    partials = hashed.mapInArrow(_partial, "source string, h long")
+
+    def _final(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        u = np.unique(pdf["h"].to_numpy(np.int64))
+        k_used = min(k, int(u.size))
+        kth = int(u[k_used - 1])
+        exact = u.size < k
+        # Python ints: (k-1) << 60 overflows int64 for k > 8 — the
+        # division result is what fits (n_distinct ≤ 2^60)
+        est = int(u.size) if exact else ((k - 1) * (1 << 60)) // kth
+        return pd.DataFrame(
+            {
+                "source": [pdf["source"].iloc[0]],
+                "k_used": [k_used],
+                "kth_hash": [kth],
+                "est_distinct": [est],
+                "is_exact": [1 if exact else 0],
+            }
+        )
+
+    return (
+        partials.groupBy("source")
+        .applyInPandas(
+            _final,
+            "source string, k_used bigint, kth_hash bigint, "
+            "est_distinct bigint, is_exact bigint",
+        )
+        .orderBy("source")
+    )

@@ -1,0 +1,65 @@
+"""KMV distinct sketch: exact below k, ~1/sqrt(k) error above, and
+deterministic under any partitioning (the merge property)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from archive_spark.pipeline_ops import kmv_distinct
+
+
+def _docs(spark, n_words: int, words_per_doc: int = 50):
+    # n_words distinct words spread over docs, one source
+    return (
+        spark.range(n_words)
+        .select(
+            F.concat(F.lit("w"), F.col("id")).alias("w"),
+            (F.col("id") / words_per_doc).cast("long").alias("doc"),
+        )
+        .groupBy("doc")
+        .agg(F.concat_ws(" ", F.collect_list("w")).alias("text"))
+        .select(
+            F.concat(F.lit("d"), F.col("doc")).alias("doc_id"),
+            "text",
+            F.lit("s0").alias("source"),
+        )
+    )
+
+
+def test_exact_mode_below_k(spark):
+    docs = _docs(spark, 100)
+    row = kmv_distinct(docs, k=256).collect()[0]
+    assert row["is_exact"] == 1
+    assert row["est_distinct"] == 100 == row["k_used"]
+
+
+def test_estimator_accuracy(spark):
+    docs = _docs(spark, 20_000)
+    row = kmv_distinct(docs, k=256).collect()[0]
+    assert row["is_exact"] == 0 and row["k_used"] == 256
+    # std error ~ 1/sqrt(k) = 6.25%; 20% is > 3 sigma and deterministic
+    # anyway (md5 is fixed) — this pins the estimator, not luck
+    assert abs(row["est_distinct"] - 20_000) / 20_000 < 0.20
+
+
+def test_partitioning_invariance(spark):
+    docs = _docs(spark, 5_000)
+    a = [tuple(r) for r in kmv_distinct(docs.repartition(1), k=64).collect()]
+    b = [tuple(r) for r in kmv_distinct(docs.repartition(7), k=64).collect()]
+    assert a == b
+
+
+def test_matches_exact_distinct_when_exact(spark):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    sk = {r["source"]: r for r in kmv_distinct(docs, k=1024).collect()}
+    exact = {
+        r["source"]: r["n"]
+        for r in docs.select(
+            "source", F.explode(F.split("text", " ")).alias("w")
+        )
+        .groupBy("source")
+        .agg(F.count_distinct("w").alias("n"))
+        .collect()
+    }
+    for s, n in exact.items():
+        assert sk[s]["is_exact"] == 1 and sk[s]["est_distinct"] == n
