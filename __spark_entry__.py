@@ -180,6 +180,41 @@ def _q_token_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return token_postings_summary(enc, 0, 40)
 
 
+def _q_export_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic tar-shard export (archive_spark/export.py,
+    webdataset layout) CLOSED BY THE ENGINE'S OWN ARCHIVE WALKER: the
+    corpus is packed into POSIX tar shards, read back via
+    sources.extract_members, and the returned aggregates are computed
+    from the EXPORTED BYTES — doc count, token totals, and the md5 over
+    the sorted doc-id list must equal DuckDB's view of the raw
+    documents table (token count == word count, the tokenizer
+    contract).  A doc dropped, duplicated, or corrupted anywhere in the
+    pack/unpack loop breaks the row."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from archive_spark import export
+
+    base = os.path.basename(sf_dir.rstrip("/"))
+    out = f"{ORACLE_DIR}/{base}/export_shards"
+    shutil.rmtree(out, ignore_errors=True)
+    toks = _tokens(spark, sf_dir)
+    export.export_tar_shards(toks, out, n_shards=4).collect()
+    back = export.read_tar_shards(spark, out)
+    # documents.parquet doc ids are numeric — sort numerically on both
+    # engines (lexicographic would order "10" before "2")
+    return back.agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("n_tok").cast("bigint").alias("total_tokens"),
+        F.md5(
+            F.concat_ws(
+                ",", F.sort_array(F.collect_list(F.col("doc_id").cast("long")))
+            )
+        ).alias("ids_md5"),
+    )
+
+
 def _q_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """K-minimum-values distinct sketch per source (pipeline_ops.
     kmv_distinct, Bar-Yossef et al. 2002): deterministic (md5 60-bit),
@@ -3047,6 +3082,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_index": _q_token_index,
         "matview_refresh": _q_matview_refresh,
         "kmv_distinct": _q_kmv_distinct,
+        "export_shards": _q_export_shards,
         "kmeans_lloyd": _q_kmeans_lloyd,
         "fuzzy_link": _q_fuzzy_link,
         "dataloader_batch": _q_dataloader_batch,
@@ -3602,6 +3638,12 @@ def oracle_sql() -> dict[str, str]:
             "GROUP BY source "
             "HAVING SUM(len(list_filter(tokens, t -> t = 1000100))) > 0 "
             "ORDER BY source"
+        ),
+        "export_shards": (
+            "SELECT count(*)::BIGINT AS n_docs, "
+            "SUM(len(string_split(text, ' ')))::BIGINT AS total_tokens, "
+            "md5(string_agg(doc_id, ',' ORDER BY doc_id)) AS ids_md5 "
+            "FROM documents"
         ),
         "kmv_distinct": (
             "WITH w AS ("

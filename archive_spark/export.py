@@ -1,0 +1,214 @@
+"""Deterministic tar-shard export of training data (webdataset layout).
+
+The serving-side interop face: pack a (doc_id, tokens, …) corpus into
+POSIX tar shards — each sample is two members, ``<doc_id>.tokens``
+(raw little-endian token array) and ``<doc_id>.json`` (metadata) — the
+layout tarfile-based training loaders (webdataset et al.) consume.
+
+Determinism contract (byte-identical output for identical input, at
+any cluster size): shard assignment is ``pmod(xxhash64(doc_id),
+n_shards)``, members are sorted by doc_id within a shard, tar headers
+carry zeroed mtime/uid/gid and empty owner names, and JSON metadata is
+key-sorted with compact separators.
+
+Scale shape: ONE shuffle (repartition by shard id — all rows of a
+shard hash to the same task), then each task streams its shards
+straight into tar files (temp + atomic rename); the returned manifest
+is one row per shard.  The round trip is closed by the engine's own
+archive walker — ``sources.read_archives`` + ``extract_members`` read
+the shards back bit-identical (the reference's pack/unpack loop,
+rezip.go Compress/Test, re-expressed at corpus scale).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, functions as F
+
+#: tar member layout constants — fixed so exports are reproducible
+_MODE = 0o644
+
+
+def export_tar_shards(
+    df: DataFrame,
+    out_dir: str,
+    n_shards: int = 8,
+    id_col: str = "doc_id",
+    tokens_col: str = "tokens",
+    dtype: str = "i4",
+) -> DataFrame:
+    """Export ``df`` to ``out_dir/shard-%05d.tar`` and return the shard
+    manifest ``(shard, path, n_docs, n_tokens, bytes, payload_crc32)``.
+
+    ``payload_crc32`` is the running CRC-32 over the concatenated token
+    payloads in doc_id order — the same gate every archive decoder in
+    ``sources.py`` proves itself against, so readers can verify a shard
+    without trusting the writer.  ``dtype``: ``i4`` (default, raises on
+    overflow) or ``i8`` token storage.
+    """
+    import json as _json
+    import tarfile
+    import zlib
+
+    import numpy as np
+    import pyarrow as pa
+
+    if dtype not in ("i4", "i8"):
+        raise ValueError(f"unsupported token dtype {dtype!r}")
+    os.makedirs(out_dir, exist_ok=True)
+
+    cols = [id_col, tokens_col]
+    extra = [c for c in ("source", "n_tok") if c in df.columns]
+    parted = (
+        df.select(
+            F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_shards))
+            .cast("long")
+            .alias("_shard"),
+            *[F.col(c) for c in cols + extra],
+        )
+        .repartition(n_shards, "_shard")
+        .sortWithinPartitions("_shard", id_col)
+    )
+
+    np_dtype = np.dtype("<i4") if dtype == "i4" else np.dtype("<i8")
+
+    def _write(it):
+        state: dict = {}  # shard -> [tarfile, tmp_path, n_docs, n_tokens, crc]
+
+        def _finish(shard):
+            tf, tmp, n_docs, n_tokens, crc = state.pop(shard)
+            tf.close()
+            final = os.path.join(out_dir, f"shard-{shard:05d}.tar")
+            os.replace(tmp, final)
+            return (
+                shard,
+                final,
+                n_docs,
+                n_tokens,
+                os.path.getsize(final),
+                crc,
+            )
+
+        done = []
+        for batch in it:
+            d = batch.to_pydict()
+            for i in range(batch.num_rows):
+                shard = d["_shard"][i]
+                if shard not in state:
+                    tmp = os.path.join(
+                        out_dir, f".shard-{shard:05d}.tar.tmp-{os.getpid()}"
+                    )
+                    state[shard] = [
+                        tarfile.open(tmp, "w", format=tarfile.USTAR_FORMAT),
+                        tmp,
+                        0,
+                        0,
+                        0,
+                    ]
+                ent = state[shard]
+                doc_id = d[id_col][i]
+                toks = np.asarray(d[tokens_col][i])
+                if dtype == "i4" and toks.size and (
+                    toks.max(initial=0) > np.iinfo(np.int32).max
+                    or toks.min(initial=0) < np.iinfo(np.int32).min
+                ):
+                    raise ValueError(
+                        f"token out of i4 range in {doc_id!r}; use dtype='i8'"
+                    )
+                payload = np.ascontiguousarray(toks, dtype=np_dtype).tobytes()
+                meta = {
+                    "doc_id": doc_id,
+                    "n_tok": int(toks.size),
+                    "dtype": dtype,
+                }
+                for c in extra:
+                    if c != "n_tok":
+                        meta[c] = d[c][i]
+                mbytes = _json.dumps(
+                    meta, sort_keys=True, separators=(",", ":")
+                ).encode()
+                for name, data in (
+                    (f"{doc_id}.tokens", payload),
+                    (f"{doc_id}.json", mbytes),
+                ):
+                    ti = tarfile.TarInfo(name)
+                    ti.size = len(data)
+                    ti.mtime = 0
+                    ti.uid = ti.gid = 0
+                    ti.uname = ti.gname = ""
+                    ti.mode = _MODE
+                    import io
+
+                    ent[0].addfile(ti, io.BytesIO(data))
+                ent[2] += 1
+                ent[3] += int(toks.size)
+                ent[4] = zlib.crc32(payload, ent[4])
+        for shard in sorted(state):
+            done.append(_finish(shard))
+        if done:
+            arrays = list(zip(*done))
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(arrays[0], pa.int64()),
+                    pa.array(arrays[1], pa.string()),
+                    pa.array(arrays[2], pa.int64()),
+                    pa.array(arrays[3], pa.int64()),
+                    pa.array(arrays[4], pa.int64()),
+                    pa.array(arrays[5], pa.int64()),
+                ],
+                ["shard", "path", "n_docs", "n_tokens", "bytes", "payload_crc32"],
+            )
+
+    return parted.mapInArrow(
+        _write,
+        "shard long, path string, n_docs long, n_tokens long, "
+        "bytes long, payload_crc32 long",
+    )
+
+
+def read_tar_shards(spark, out_dir: str, dtype: str = "i4") -> DataFrame:
+    """Read an exported shard directory back into (doc_id, tokens,
+    n_tok) THROUGH the engine's own archive walker — the export is only
+    done when the generic unarchive path reproduces it bit-identical.
+    Metadata members are ignored here; ``.tokens`` payloads decode by
+    the declared dtype."""
+    from . import sources
+
+    members = sources.extract_members(
+        sources.read_archives(spark, out_dir, glob="shard-*.tar")
+    ).filter(
+        (F.col("status") == "ok") & F.col("member").endswith(".tokens")
+    )
+
+    import numpy as np
+    import pyarrow as pa
+
+    np_dtype = np.dtype("<i4") if dtype == "i4" else np.dtype("<i8")
+
+    def _decode(it):
+        for batch in it:
+            ids, toks = [], []
+            for i in range(batch.num_rows):
+                name = batch.column("member")[i].as_py()
+                pay = batch.column("payload")[i].as_py()
+                ids.append(name[: -len(".tokens")])
+                toks.append(np.frombuffer(pay, np_dtype).tolist())
+            if ids:
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        pa.array(ids, pa.string()),
+                        pa.array(
+                            toks,
+                            pa.list_(
+                                pa.int32() if dtype == "i4" else pa.int64()
+                            ),
+                        ),
+                    ],
+                    ["doc_id", "tokens"],
+                )
+
+    tok_t = "array<int>" if dtype == "i4" else "array<bigint>"
+    return members.select("member", "payload").mapInArrow(
+        _decode, f"doc_id string, tokens {tok_t}"
+    ).withColumn("n_tok", F.size("tokens"))
