@@ -1692,8 +1692,10 @@ def build_token_index(
     - the postings build is the zone-map-pruned
       :func:`token_postings` scan — one decode per block, map-side
       (token, doc) merge, the shuffle carries postings, never tokens;
-    - per-token encode state is one id array (``applyInPandas`` group),
-      never the corpus;
+    - the per-token encode is ONE sorted-stream segment walk per
+      range-partition (vectorized boundary detection; per-token state is
+      one id array, never the corpus) — df=1 tokens, the long tail of a
+      zipfian vocabulary, skip the codec entirely (codec "single");
     - rows are range-clustered by token into ``n_files`` files, so the
       committed table's parquet footers and manifest stats carry tight
       ``token`` ranges — a lookup prunes to O(1) files at PLAN time
@@ -1701,7 +1703,6 @@ def build_token_index(
       manifest shards are skipped unopened.
     """
     import numpy as np
-    import pandas as pd
 
     from . import table as snap_table
     from .codecs import kernels
@@ -1716,40 +1717,110 @@ def build_token_index(
         "occ",
     )
 
-    def _enc(pdf: "pd.DataFrame") -> "pd.DataFrame":
-        order = np.argsort(pdf["doc_num"].to_numpy(np.int64), kind="stable")
-        ids = pdf["doc_num"].to_numpy(np.int64)[order]
-        occ = pdf["occ"].to_numpy(np.int64)[order]
+    # one range shuffle clusters each token's postings contiguously; the
+    # encoder is then a single sorted-stream segment walk per partition
+    # (np.diff boundaries), NOT a per-token pandas group — the per-group
+    # overhead of applyInPandas at vocabulary scale (~100 µs × |vocab|)
+    # is the difference between seconds and minutes.  df=1 tokens (the
+    # long tail of any zipfian vocabulary) skip the codec entirely:
+    # payload b"", codec "single" — id_min/occ_total carry the posting.
+    parted = post.repartitionByRange(n_files, "token").sortWithinPartitions(
+        "token", "doc_num"
+    )
+
+    def _enc_rows(tok, ids, occ):
         base = int(ids[0])
+        if ids.size == 1:
+            return (int(tok), 1, int(occ[0]), base, base, "single", b"", b"")
         off = ids - base
-        if off.size and int(off[-1]) > np.iinfo(np.int32).max:
+        if int(off[-1]) > np.iinfo(np.int32).max:
             raise kernels.CodecError("doc-number span exceeds i32 offsets")
         ids_blk, codec = encode_auto(off.astype(np.int32), allow_fsst=False)
         occ_blk, _ = encode_auto(
             np.minimum(occ, np.iinfo(np.int32).max).astype(np.int32),
             allow_fsst=False,
         )
-        return pd.DataFrame(
-            {
-                "token": [int(pdf["token"].iloc[0])],
-                "df": [int(ids.size)],
-                "occ_total": [int(occ.sum())],
-                "id_min": [base],
-                "id_max": [int(ids[-1])],
-                "codec": [codec],
-                "ids_payload": [bytes(ids_blk)],
-                "occ_payload": [bytes(occ_blk)],
-            }
+        return (
+            int(tok),
+            int(ids.size),
+            int(occ.sum()),
+            base,
+            int(ids[-1]),
+            codec,
+            bytes(ids_blk),
+            bytes(occ_blk),
         )
+
+    names = [
+        "token", "df", "occ_total", "id_min", "id_max",
+        "codec", "ids_payload", "occ_payload",
+    ]
+
+    def _encode_stream(it):
+        import pyarrow as pa
+
+        pend = None  # (token, [id arrays], [occ arrays]) spanning batches
+
+        def _emit(rows):
+            cols = list(zip(*rows))
+            return pa.RecordBatch.from_arrays(
+                [
+                    pa.array(cols[0], pa.int64()),
+                    pa.array(cols[1], pa.int64()),
+                    pa.array(cols[2], pa.int64()),
+                    pa.array(cols[3], pa.int64()),
+                    pa.array(cols[4], pa.int64()),
+                    pa.array(cols[5], pa.string()),
+                    pa.array(cols[6], pa.binary()),
+                    pa.array(cols[7], pa.binary()),
+                ],
+                names,
+            )
+
+        for batch in it:
+            tok = batch.column("token").to_numpy(zero_copy_only=False)
+            ids = batch.column("doc_num").to_numpy(zero_copy_only=False)
+            occ = batch.column("occ").to_numpy(zero_copy_only=False)
+            if tok.size == 0:
+                continue
+            starts = np.concatenate(
+                ([0], np.flatnonzero(np.diff(tok)) + 1)
+            )
+            ends = np.concatenate((starts[1:], [tok.size]))
+            rows = []
+            for s, e in zip(starts, ends):
+                t = int(tok[s])
+                if pend is not None and pend[0] == t:
+                    pend[1].append(ids[s:e])
+                    pend[2].append(occ[s:e])
+                    continue
+                if pend is not None:
+                    rows.append(
+                        _enc_rows(
+                            pend[0],
+                            np.concatenate(pend[1]),
+                            np.concatenate(pend[2]),
+                        )
+                    )
+                pend = (t, [ids[s:e]], [occ[s:e]])
+            if rows:
+                yield _emit(rows)
+        if pend is not None:
+            yield _emit(
+                [
+                    _enc_rows(
+                        pend[0],
+                        np.concatenate(pend[1]),
+                        np.concatenate(pend[2]),
+                    )
+                ]
+            )
 
     schema = (
         "token bigint, df bigint, occ_total bigint, id_min bigint, "
         "id_max bigint, codec string, ids_payload binary, occ_payload binary"
     )
-    rows = post.groupBy("token").applyInPandas(_enc, schema)
-    clustered = rows.repartitionByRange(n_files, "token").sortWithinPartitions(
-        "token"
-    )
+    clustered = parted.mapInArrow(_encode_stream, schema)
     # the engine's codecs are the compressor — parquet stays uncompressed
     # so the measured index size is theirs (engine.encode contract)
     return snap_table.commit(clustered, index_dir, parquet_codec="uncompressed")
@@ -1782,12 +1853,19 @@ def token_index_lookup(
             out_tok, out_ids, out_occ = [], [], []
             for i in range(batch.num_rows):
                 base = batch.column("id_min")[i].as_py()
-                ids = kernels.decode(
-                    memoryview(batch.column("ids_payload")[i].as_buffer())
-                ).astype(np.int64) + base
-                occ = kernels.decode(
-                    memoryview(batch.column("occ_payload")[i].as_buffer())
-                ).astype(np.int64)
+                if batch.column("codec")[i].as_py() == "single":
+                    # df=1 fast path: the posting IS (id_min, occ_total)
+                    ids = np.array([base], np.int64)
+                    occ = np.array(
+                        [batch.column("occ_total")[i].as_py()], np.int64
+                    )
+                else:
+                    ids = kernels.decode(
+                        memoryview(batch.column("ids_payload")[i].as_buffer())
+                    ).astype(np.int64) + base
+                    occ = kernels.decode(
+                        memoryview(batch.column("occ_payload")[i].as_buffer())
+                    ).astype(np.int64)
                 out_tok.append(
                     np.full(ids.size, batch.column("token")[i].as_py(), np.int64)
                 )
@@ -1803,7 +1881,9 @@ def token_index_lookup(
                     ["token", "doc_num", "occ"],
                 )
 
-    return df.select("token", "id_min", "ids_payload", "occ_payload").mapInArrow(
+    return df.select(
+        "token", "id_min", "occ_total", "codec", "ids_payload", "occ_payload"
+    ).mapInArrow(
         _dec, "token long, doc_num long, occ long"
     )
 

@@ -401,6 +401,76 @@ def main() -> None:
         .collect(),
     )
 
+    # ---- persisted inverted token index: build once over the encoded
+    # corpus, then answer a multi-token probe ENTIRELY from the index
+    # (manifest prune to the covering files — O(postings), not O(corpus))
+    from archive_spark import analytics as an_mod
+
+    idx_dir = os.path.join(scratch, "token_index")
+    _sh.rmtree(idx_dir, ignore_errors=True)
+    timed(
+        "q_token_index_build",
+        lambda: an_mod.build_token_index(encoded, idx_dir, n_files=max(cpus // 2, 4)),
+        reps=1,
+    )
+    probe_toks = [
+        r["token"]
+        for r in snap_table.read(spark, idx_dir)
+        .orderBy(F.desc("df"))
+        .limit(8)
+        .collect()
+    ]
+    timed(
+        "q_token_index_lookup",
+        lambda: an_mod.token_index_summary(spark, idx_dir, probe_toks).collect(),
+    )
+    _rep = snap_table.plan_report(
+        idx_dir, None, {"token": (min(probe_toks), max(probe_toks))}
+    )
+    extras["token_index_plan"] = f"{_rep['files_kept']}/{_rep['files_total']}"
+
+    # ---- incremental materialized view: histogram refresh off the
+    # change feed (O(delta)) vs the full recompute it must equal
+    from archive_spark import matview as mv_mod
+
+    mv_src = os.path.join(scratch, "mv_src")
+    mv_view = os.path.join(scratch, "mv_view")
+    _sh.rmtree(mv_src, ignore_errors=True)
+    _sh.rmtree(mv_view, ignore_errors=True)
+    snap_table.commit(tokens, mv_src, parquet_codec="none")
+    t0 = time.perf_counter()
+    mv_mod.materialize_token_histogram(spark, mv_src, mv_view)
+    dt_full = time.perf_counter() - t0
+    delta_docs = tokens.limit(max(n_docs // 100, 100)).withColumn(
+        "doc_id", F.concat(F.lit("mvb-"), F.col("doc_id"))
+    )
+    snap_table.commit(delta_docs, mv_src, mode="append")
+    snap_table.delete_rows(
+        spark, mv_src,
+        [r.doc_id for r in tokens.select("doc_id").orderBy("doc_id").limit(64).collect()],
+        key="doc_id",
+    )
+    timed(
+        "q_matview_refresh",
+        lambda: mv_mod.refresh_token_histogram(spark, mv_src, mv_view),
+        reps=1,
+    )
+    extras["matview_full_recompute_sec"] = round(dt_full, 3)
+
+    # ---- tar-shard export: pack the corpus for tarfile-based loaders,
+    # deterministic bytes, one shuffle
+    from archive_spark import export as ex_mod
+
+    exp_dir = os.path.join(scratch, "export_shards")
+    _sh.rmtree(exp_dir, ignore_errors=True)
+    timed(
+        "q_export_shards",
+        lambda: ex_mod.export_tar_shards(
+            tokens, exp_dir, n_shards=max(cpus // 2, 4)
+        ).agg(F.sum("n_docs"), F.sum("bytes")).collect(),
+        reps=1,
+    )
+
     # ---- star-schema + pipeline queries at the sf dir
     import __spark_entry__ as entry_mod
 

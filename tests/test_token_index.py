@@ -70,6 +70,21 @@ def test_absent_token_empty(spark, indexed):
     assert analytics.token_index_lookup(spark, idx, [99_999_999]).count() == 0
 
 
+def test_single_doc_token_fast_path(spark, indexed):
+    enc, idx, _ = indexed
+    rare = [
+        r["token"]
+        for r in table.read(spark, idx)
+        .filter(F.col("codec") == "single")
+        .limit(3)
+        .collect()
+    ]
+    assert rare, "corpus should have df=1 tokens"
+    got = [tuple(r) for r in analytics.token_index_summary(spark, idx, rare).collect()]
+    want = [tuple(r) for r in _brute(enc, rare).collect()]
+    assert got == want
+
+
 def test_postings_codecs_are_monotone_friendly(spark, indexed):
     _, idx, _ = indexed
     codecs = {
