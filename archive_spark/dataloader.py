@@ -64,6 +64,7 @@ def publish_training_order(
     target_block_values: int = engine.DEFAULT_BLOCK_VALUES,
     effort: str = "balanced",
     shuffle_seed: int | None = None,
+    curriculum_col: str | None = None,
 ) -> dict:
     """Shuffle + pack ``docs`` and publish the training order as an
     encoded snapshot table clustered by sequence id.
@@ -72,6 +73,11 @@ def publish_training_order(
     ``shuffle_seed``: salt the deterministic shuffle — publish one
     table per epoch (seed = epoch number) and every epoch consumes an
     independent, individually replayable order.
+    ``curriculum_col``: name of a non-negative integer column of
+    ``docs`` (quality/difficulty tier): the published order streams
+    tiers in ASCENDING bucket — early training steps serve bucket 0 —
+    md5-shuffled within each tier (``pipeline_ops.curriculum_order_key``).
+    Still fully deterministic and replayable.
     Returns a report dict: snapshot_id, n_seqs, n_files, plus the
     dataloader metadata persisted alongside the table (``dataloader.json``)
     so any later reader knows the packing contract without re-deriving it.
@@ -82,9 +88,14 @@ def publish_training_order(
     disjoint seq ranges — the thing pruning needs) and the ordinary
     shuffle-free block encode.
     """
+    order_key = None
+    if curriculum_col is not None:
+        from .pipeline_ops import curriculum_order_key
+
+        order_key = curriculum_order_key(curriculum_col, shuffle_seed)
     packed = pack_sequences(
         docs, seq_len=seq_len, eos_token=eos_token, n_parts=n_parts,
-        shuffle=True, shuffle_seed=shuffle_seed,
+        shuffle=True, shuffle_seed=shuffle_seed, order_key=order_key,
     )
     keyed = packed.select(seq_key(F.col("seq_id")).alias("seq_id"), "tokens")
     spark = docs.sparkSession
@@ -113,6 +124,7 @@ def publish_training_order(
         "n_seqs": int(n_seqs),
         "snapshot_id": snapshot_id,
         "shuffle_seed": shuffle_seed,
+        "curriculum_col": curriculum_col,
     }
     tmp = os.path.join(table_dir, f".{META_FILE}.tmp")
     with open(tmp, "w") as f:

@@ -275,6 +275,19 @@ def _shuffle_order(shuffle: bool, seed: int | None):
     )
 
 
+def curriculum_order_key(bucket_col: str, shuffle_seed: int | None = None,
+                         width: int = 6):
+    """Concatenation-order key for curriculum training schedules: docs
+    stream in ascending ``bucket_col`` (a NON-NEGATIVE integer tier —
+    e.g. a quality or difficulty bucket), deterministically
+    md5-shuffled within each tier.  A plain string expression
+    (zero-padded bucket || '|' || md5 shuffle key), so any engine can
+    replay the exact order; pass the same key to ``pack_sequences`` AND
+    ``doc_boundaries`` so offsets agree bit-for-bit."""
+    b = F.lpad(F.col(bucket_col).cast("string"), width, "0")
+    return F.concat_ws("|", b, _shuffle_order(True, shuffle_seed))
+
+
 def pack_sequences(
     tokens_df: DataFrame,
     seq_len: int = 2048,
@@ -283,6 +296,7 @@ def pack_sequences(
     materialize: bool = True,
     shuffle: bool = False,
     shuffle_seed: int | None = None,
+    order_key=None,
 ) -> DataFrame:
     """Pack variable-length documents into fixed-length training
     sequences — the final layout step of an LLM data pipeline: each doc
@@ -314,10 +328,17 @@ def pack_sequences(
 
     spark = tokens_df.sparkSession
     P = n_parts or int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
-    order = _shuffle_order(shuffle, shuffle_seed)
+    # order_key: caller-supplied concatenation-order Column (curriculum
+    # schedules etc.); must be deterministic and engine-replayable, and
+    # any separately-run doc_boundaries must pass the SAME key
+    order = order_key if order_key is not None else _shuffle_order(
+        shuffle, shuffle_seed
+    )
     df = (
-        tokens_df.select("doc_id", "tokens", "n_tok")
-        .withColumn("__ord", order)
+        # order first, then project: the key may reference columns
+        # (curriculum buckets) outside the packer's own three
+        tokens_df.withColumn("__ord", order)
+        .select("doc_id", "tokens", "n_tok", "__ord")
         .repartitionByRange(P, "__ord")
         .sortWithinPartitions("__ord", "doc_id")
         .withColumn("pid", F.spark_partition_id())
@@ -4136,6 +4157,7 @@ def doc_boundaries(
     seq_len: int = 2048,
     shuffle: bool = False,
     shuffle_seed: int | None = None,
+    order_key=None,
 ) -> DataFrame:
     """Document-boundary sidecar for ``pack_sequences``: for every doc,
     the (sequence, in-sequence offset) where it starts in the packed
@@ -4157,10 +4179,12 @@ def doc_boundaries(
 
     spark = tokens_df.sparkSession
     P = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
-    order = _shuffle_order(shuffle, shuffle_seed)
+    order = order_key if order_key is not None else _shuffle_order(
+        shuffle, shuffle_seed
+    )
     df = (
-        tokens_df.select("doc_id", "n_tok")
-        .withColumn("__ord", order)
+        tokens_df.withColumn("__ord", order)
+        .select("doc_id", "n_tok", "__ord")
         .repartitionByRange(P, "__ord")
         .sortWithinPartitions("__ord", "doc_id")
         .withColumn("pid", F.spark_partition_id())

@@ -1,0 +1,74 @@
+"""Export a token corpus to deterministic tar shards (webdataset
+layout, archive_spark/export.py) — the serving-side interop CLI.
+
+    spark-submit --py-files dist/archive_spark.zip jobs/export_job.py \
+        --input /data/tokens_parquet_or_snapshot_table \
+        --out /data/shards --shards 64 [--dtype i4] [--verify]
+
+``--input`` accepts a plain parquet directory OR a snapshot table dir
+(detected by its ``_current`` pointer; the current snapshot is read,
+takedowns applied).  ``--verify`` reads every shard back through the
+engine's own archive walker and proves doc count and token totals
+against the input — the reference's pack-then-test loop (rezip.Test).
+Prints ONE JSON line.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", required=True)
+    ap.add_argument("--out", required=True)
+    ap.add_argument("--shards", type=int, default=8)
+    ap.add_argument("--dtype", choices=("i4", "i8"), default="i4")
+    ap.add_argument("--verify", action="store_true")
+    args = ap.parse_args()
+
+    from pyspark.sql import SparkSession, functions as F
+
+    from archive_spark import export, table
+
+    spark = SparkSession.builder.appName("archive_spark_export").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    if os.path.exists(os.path.join(args.input, "_current")):
+        df = table.read(spark, args.input)
+    else:
+        df = spark.read.parquet(args.input)
+
+    man = export.export_tar_shards(
+        df, args.out, n_shards=args.shards, dtype=args.dtype
+    ).collect()
+    out: dict = {
+        "out": args.out,
+        "n_shards": len(man),
+        "n_docs": sum(r["n_docs"] for r in man),
+        "n_tokens": sum(r["n_tokens"] for r in man),
+        "bytes": sum(r["bytes"] for r in man),
+    }
+    if args.verify:
+        back = export.read_tar_shards(spark, args.out, dtype=args.dtype)
+        chk = back.agg(
+            F.count("*").alias("n_docs"), F.sum("n_tok").alias("n_tokens")
+        ).collect()[0]
+        src = df.agg(
+            F.count("*").alias("n_docs"), F.sum(F.size("tokens")).alias("n_tokens")
+        ).collect()[0]
+        out["verify"] = {
+            "readback_docs": chk["n_docs"],
+            "readback_tokens": chk["n_tokens"],
+            "match": tuple(chk) == tuple(src),
+        }
+        if not out["verify"]["match"]:
+            raise SystemExit(f"export verify FAILED: {out}")
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

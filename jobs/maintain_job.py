@@ -75,6 +75,15 @@ def main() -> None:
                          "(engine.remap_table — value-sidecar splice, no "
                          "re-encode for dict/fsst/rle/constant blocks) and "
                          "publish an overwrite snapshot")
+    ap.add_argument("--materialize-view", default=None,
+                    help="view table dir: full-compute the token-histogram "
+                         "materialized view of --table at its current "
+                         "snapshot (archive_spark.matview)")
+    ap.add_argument("--refresh-view", default=None,
+                    help="view table dir: advance the materialized view to "
+                         "--table's current snapshot using only the change "
+                         "feed (O(changed rows); falls back to a full "
+                         "recompute across a compaction)")
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -129,6 +138,19 @@ def main() -> None:
         out["fsck"] = table.fsck(
             spark, args.table, check_blocks=args.fsck_blocks
         )
+    if args.materialize_view:
+        from archive_spark import matview
+
+        out["materialized_view"] = matview.materialize_token_histogram(
+            spark, args.table, args.materialize_view
+        )
+    if args.refresh_view:
+        from archive_spark import matview
+
+        out["refreshed_view"] = matview.refresh_token_histogram(
+            spark, args.table, args.refresh_view
+        )
+        out["view_meta"] = matview.view_meta(args.refresh_view)
     out["snapshots"] = [s.snapshot_id for s in table.snapshots(args.table)]
     if args.describe:
         out["describe"] = table.describe(args.table)

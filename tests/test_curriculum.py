@@ -1,0 +1,104 @@
+"""Curriculum training order: ascending quality/difficulty buckets,
+md5-shuffled within a bucket, deterministic and bit-replayable —
+through pack_sequences, doc_boundaries, and the published dataloader."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from archive_spark import dataloader, engine
+from archive_spark.pipeline_ops import (
+    curriculum_order_key,
+    doc_boundaries,
+    pack_sequences,
+)
+from archive_spark.tokengen import token_table
+
+
+@pytest.fixture(scope="module")
+def bucketed(spark):
+    # difficulty tier by length: 0 short / 1 medium / 2 long
+    df = token_table(spark, 600, seed=13).withColumn(
+        "bucket",
+        F.when(F.col("n_tok") < 64, 0)
+        .when(F.col("n_tok") < 256, 1)
+        .otherwise(2),
+    )
+    return df.persist()
+
+
+def test_buckets_stream_in_order(spark, bucketed):
+    key = curriculum_order_key("bucket", shuffle_seed=7)
+    bounds = doc_boundaries(bucketed, seq_len=512, order_key=key)
+    j = bounds.join(bucketed.select("doc_id", "bucket"), "doc_id")
+    spans = (
+        j.groupBy("bucket")
+        .agg(F.min("global_off").alias("lo"), F.max("global_off").alias("hi"))
+        .orderBy("bucket")
+        .collect()
+    )
+    assert len(spans) == 3
+    for prev, nxt in zip(spans, spans[1:]):
+        assert prev["hi"] < nxt["lo"]  # tiers never interleave
+
+
+def test_pack_deterministic_under_partitioning(spark, bucketed):
+    key = curriculum_order_key("bucket", shuffle_seed=7)
+
+    def digest(df):
+        return sorted(
+            tuple(r)
+            for r in pack_sequences(df, seq_len=512, order_key=key)
+            .select("seq_id", F.md5(F.concat_ws(",", "tokens")).alias("d"))
+            .collect()
+        )
+
+    assert digest(bucketed.repartition(3)) == digest(bucketed.repartition(11))
+
+
+def test_boundaries_agree_with_pack(spark, bucketed):
+    key = curriculum_order_key("bucket", shuffle_seed=3)
+    packed = pack_sequences(bucketed, seq_len=512, eos_token=0, order_key=key)
+    bounds = doc_boundaries(bucketed, seq_len=512, order_key=key)
+    # the first token of every doc must sit exactly at (seq_id, seq_off)
+    first = bucketed.select(
+        "doc_id", F.element_at("tokens", 1).alias("t0"), "n_tok"
+    ).filter(F.col("n_tok") > 0)
+    j = (
+        bounds.join(first, "doc_id")
+        .join(packed.withColumnRenamed("tokens", "seq_toks"), "seq_id")
+        .select(
+            "doc_id",
+            (
+                F.element_at(
+                    "seq_toks", (F.col("seq_off") + 1).cast("int")
+                )
+                == F.col("t0")
+            )
+            .alias("ok"),
+        )
+    )
+    assert j.filter(~F.col("ok")).count() == 0
+
+
+def test_dataloader_curriculum_publish(spark, bucketed, tmp_path):
+    t = str(tmp_path / "dl")
+    rep = dataloader.publish_training_order(
+        bucketed, t, seq_len=512, shuffle_seed=7, curriculum_col="bucket"
+    )
+    assert dataloader.loader_meta(t)["curriculum_col"] == "bucket"
+    # early sequences must be built from bucket-0 docs: the first doc of
+    # the stream is bucket 0 (ascending-tier contract)
+    key = curriculum_order_key("bucket", shuffle_seed=7)
+    bounds = doc_boundaries(bucketed, seq_len=512, order_key=key)
+    first_doc = (
+        bounds.orderBy("global_off").limit(1)
+        .join(bucketed.select("doc_id", "bucket"), "doc_id")
+        .collect()[0]
+    )
+    assert first_doc["bucket"] == 0
+    # batch 0 decodes and matches the packed prefix
+    b0 = dataloader.read_batches(spark, t, 0, batch_size=4).collect()
+    assert len(b0) == 4 and all(len(r["tokens"]) == 512 for r in b0)
+    assert rep["n_seqs"] > 8

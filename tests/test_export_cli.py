@@ -1,0 +1,102 @@
+"""CLI faces for the session's lanes, driven through spark-submit
+--py-files (the shipping surface): export_job and the maintain_job
+materialized-view flags."""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _spark_submit(zip_path: str, job: str, *args: str, timeout: int = 240):
+    return subprocess.run(
+        [
+            "spark-submit",
+            "--master", "local[4]",
+            "--conf", "spark.sql.shuffle.partitions=8",
+            "--py-files", zip_path,
+            os.path.join(REPO, "jobs", job),
+            *args,
+        ],
+        capture_output=True, text=True, timeout=timeout,
+    )
+
+
+@pytest.fixture(scope="module")
+def zip_path():
+    out = subprocess.run(
+        [sys.executable, os.path.join(REPO, "jobs", "package.py")],
+        capture_output=True, text=True, check=True,
+    )
+    return out.stdout.strip().splitlines()[-1]
+
+
+@pytest.fixture(scope="module")
+def tokens_path(spark, tmp_path_factory):
+    from archive_spark.tokengen import token_table
+
+    p = str(tmp_path_factory.mktemp("cli") / "tokens")
+    token_table(spark, 600, seed=5).write.parquet(p)
+    return p
+
+
+def test_export_job_cli_verify(zip_path, tokens_path, tmp_path):
+    out_dir = str(tmp_path / "shards")
+    r = _spark_submit(
+        zip_path, "export_job.py",
+        "--input", tokens_path, "--out", out_dir,
+        "--shards", "3", "--verify",
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    rep = json.loads(r.stdout.strip().splitlines()[-1])
+    assert rep["n_docs"] == 600 and rep["verify"]["match"]
+    assert rep["n_shards"] == 3
+    assert sorted(os.listdir(out_dir)) == [
+        "shard-00000.tar", "shard-00001.tar", "shard-00002.tar"
+    ]
+
+
+def test_maintain_job_matview_cli(spark, zip_path, tokens_path, tmp_path):
+    from pyspark.sql import functions as F
+
+    from archive_spark import table
+    from archive_spark.tokengen import token_table
+
+    src = str(tmp_path / "src")
+    view = str(tmp_path / "view")
+    table.commit(spark.read.parquet(tokens_path), src)
+    r = _spark_submit(
+        zip_path, "maintain_job.py",
+        "--table", src, "--materialize-view", view,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+
+    table.commit(
+        token_table(spark, 100, seed=6).withColumn(
+            "doc_id", F.concat(F.lit("n-"), F.col("doc_id"))
+        ),
+        src,
+        mode="append",
+    )
+    r = _spark_submit(
+        zip_path, "maintain_job.py",
+        "--table", src, "--refresh-view", view,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    rep = json.loads(r.stdout.strip().splitlines()[-1])
+    assert rep["view_meta"]["base_snapshot"] == table.current_snapshot_id(src)
+
+    from archive_spark import matview
+
+    got = sorted(tuple(x) for x in table.read(spark, view).collect())
+    want = sorted(
+        tuple(x)
+        for x in matview._contrib(table.read(spark, src), 1).collect()
+    )
+    assert got == want
