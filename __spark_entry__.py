@@ -215,6 +215,30 @@ def _q_export_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_bm25_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 served ENTIRELY from the persisted inverted index
+    (analytics.bm25_topk_indexed): postings + document frequencies off
+    the index rows, lengths from the doc-stats sidecar, corpus stats
+    from the frozen index metadata — the corpus is never opened at
+    query time.  DuckDB replays the full Okapi formula from the raw
+    token arrays (the same oracle shape as bm25_topk): the index path
+    must land on the corpus-scan answer exactly."""
+    import shutil
+
+    from archive_spark import engine
+    from archive_spark.analytics import bm25_topk_indexed, build_token_index
+    from archive_spark.tokengen import token_table
+
+    df = token_table(spark, 5_000, seed=42)
+    _persist(df.select("doc_id", "tokens"), "bm25_idx_input", sf_dir)
+    enc = engine.encode(df, target_block_values=1 << 15)
+    base = os.path.basename(sf_dir.rstrip("/"))
+    idx_dir = f"{ORACLE_DIR}/{base}/bm25_index_table"
+    shutil.rmtree(idx_dir, ignore_errors=True)
+    build_token_index(enc, idx_dir, n_files=4)
+    return bm25_topk_indexed(spark, idx_dir, [3, 7, 19, 1_000_100], k=15)
+
+
 def _q_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """K-minimum-values distinct sketch per source (pipeline_ops.
     kmv_distinct, Bar-Yossef et al. 2002): deterministic (md5 60-bit),
@@ -3083,6 +3107,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "matview_refresh": _q_matview_refresh,
         "kmv_distinct": _q_kmv_distinct,
         "export_shards": _q_export_shards,
+        "bm25_indexed": _q_bm25_indexed,
         "kmeans_lloyd": _q_kmeans_lloyd,
         "fuzzy_link": _q_fuzzy_link,
         "dataloader_batch": _q_dataloader_batch,
@@ -3638,6 +3663,23 @@ def oracle_sql() -> dict[str, str]:
             "GROUP BY source "
             "HAVING SUM(len(list_filter(tokens, t -> t = 1000100))) > 0 "
             "ORDER BY source"
+        ),
+        "bm25_indexed": (
+            "WITH inp AS (SELECT doc_id, tokens "
+            f"FROM read_parquet('{_opath('bm25_idx_input')}')), "
+            "dl AS (SELECT doc_id, len(tokens)::DOUBLE AS dl FROM inp), "
+            "st AS (SELECT COUNT(*)::DOUBLE AS n, AVG(dl) AS avgdl FROM dl), "
+            "tf AS (SELECT doc_id, token, COUNT(*)::DOUBLE AS tf FROM ("
+            "SELECT doc_id, unnest(tokens) AS token FROM inp) "
+            "WHERE token IN (3, 7, 19, 1000100) GROUP BY doc_id, token), "
+            "dfq AS (SELECT token, COUNT(*)::DOUBLE AS df FROM tf GROUP BY token), "
+            "sc AS (SELECT tf.doc_id, "
+            "SUM(ln(1 + (st.n - dfq.df + 0.5)/(dfq.df + 0.5)) * "
+            "tf.tf*(1.2+1) / (tf.tf + 1.2*(1-0.75 + 0.75*dl.dl/st.avgdl))) AS s "
+            "FROM tf JOIN dfq USING(token) JOIN dl USING(doc_id) CROSS JOIN st "
+            "GROUP BY tf.doc_id) "
+            "SELECT doc_id, ROUND(s*1e4)::BIGINT AS score_x1e4 "
+            "FROM sc ORDER BY s DESC, doc_id LIMIT 15"
         ),
         "export_shards": (
             "SELECT count(*)::BIGINT AS n_docs, "

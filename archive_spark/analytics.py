@@ -1823,7 +1823,114 @@ def build_token_index(
     clustered = parted.mapInArrow(_encode_stream, schema)
     # the engine's codecs are the compressor — parquet stays uncompressed
     # so the measured index size is theirs (engine.encode contract)
-    return snap_table.commit(clustered, index_dir, parquet_codec="uncompressed")
+    sid = snap_table.commit(clustered, index_dir, parquet_codec="uncompressed")
+
+    # doc-stats sidecar + frozen corpus stats: BM25 (and any length-
+    # normalized ranker) can then be served ENTIRELY from the index dir
+    # — lengths come from the tiny lengths stream (listing_with_sizes
+    # never decodes token payloads), N/total_dl land in index_meta.json
+    import json as _json
+    import os as _os
+
+    from . import engine as _engine
+
+    dl = _engine.listing_with_sizes(encoded).select(
+        F.regexp_extract("doc_id", doc_pattern, 1).cast("long").alias("doc_num"),
+        "doc_id",
+        F.col("n_tok").cast("long").alias("dl"),
+    )
+    snap_table.commit(
+        dl.repartitionByRange(n_files, "doc_num").sortWithinPartitions("doc_num"),
+        _os.path.join(index_dir, "docstats"),
+        parquet_codec="uncompressed",
+    )
+    tot = dl.agg(
+        F.count("*").alias("n"), F.sum("dl").alias("t")
+    ).collect()[0]
+    tmp = _os.path.join(index_dir, ".index_meta.json.tmp")
+    with open(tmp, "w") as f:
+        _json.dump(
+            {
+                "snapshot_id": sid,
+                "n_docs": int(tot["n"]),
+                "total_dl": int(tot["t"] or 0),
+                "doc_pattern": doc_pattern,
+            },
+            f,
+        )
+    _os.replace(tmp, _os.path.join(index_dir, "index_meta.json"))
+    return sid
+
+
+def index_meta(index_dir: str) -> dict:
+    import json as _json
+    import os as _os
+
+    with open(_os.path.join(index_dir, "index_meta.json")) as f:
+        return _json.load(f)
+
+
+def bm25_topk_indexed(
+    spark,
+    index_dir: str,
+    query_tokens: "list[int]",
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Okapi BM25 served ENTIRELY from the persisted index: postings
+    via :func:`token_index_lookup` (manifest-pruned, O(postings)),
+    document frequencies straight off the index rows, lengths from the
+    doc-stats sidecar, corpus stats (N, avgdl) from the frozen
+    ``index_meta.json`` — the corpus itself is never opened.  Identical
+    formula and output shape to :func:`bm25_topk` (Lucene-style idf,
+    scores integer-ized at 1e4): on the same corpus the two must return
+    the same rows — the corpus-scan path is the oracle for the index
+    path.  dl sums are integers, so avgdl is bit-identical between the
+    two computations."""
+    import os as _os
+
+    from . import table as snap_table
+
+    meta = index_meta(index_dir)
+    n_corpus = float(meta["n_docs"])
+    avgdl = float(meta["total_dl"]) / n_corpus
+    toks = sorted({int(t) for t in query_tokens})
+    post = token_index_lookup(spark, index_dir, toks)
+    dfs = (
+        snap_table.read(
+            spark, index_dir, prune={"token": (toks[0], toks[-1])}
+        )
+        .filter(F.col("token").isin(toks))
+        .select("token", "df")
+    )
+    dl = snap_table.read(spark, _os.path.join(index_dir, "docstats")).select(
+        "doc_num", "doc_id", F.col("dl").cast("double").alias("dl")
+    )
+    idf = F.log(
+        F.lit(1.0)
+        + (F.lit(n_corpus) - F.col("df") + F.lit(0.5))
+        / (F.col("df") + F.lit(0.5))
+    )
+    tf_term = (F.col("occ").cast("double") * F.lit(k1 + 1.0)) / (
+        F.col("occ").cast("double")
+        + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.lit(avgdl))
+    )
+    scored = (
+        post.join(F.broadcast(dfs), "token")
+        .join(dl, "doc_num")
+        .select("doc_id", (idf * tf_term).alias("term_score"))
+        .groupBy("doc_id")
+        .agg(F.sum("term_score").alias("score"))
+    )
+    return (
+        scored.orderBy(F.col("score").desc(), F.col("doc_id"))
+        .limit(int(k))
+        .select(
+            "doc_id",
+            F.round(F.col("score") * 1e4).cast("bigint").alias("score_x1e4"),
+        )
+    )
 
 
 def token_index_lookup(

@@ -96,6 +96,38 @@ def test_postings_codecs_are_monotone_friendly(spark, indexed):
     assert codecs & {"ef", "delta", "for"}
 
 
+def test_bm25_indexed_matches_corpus_scan(spark, indexed):
+    enc, idx, _ = indexed
+    # busiest + a rare token as the query bag
+    top = [
+        r["token"]
+        for r in table.read(spark, idx).orderBy(F.desc("df")).limit(2).collect()
+    ]
+    rare = [
+        r["token"]
+        for r in table.read(spark, idx)
+        .filter(F.col("codec") == "single")
+        .limit(1)
+        .collect()
+    ]
+    q = top + rare
+    a = [tuple(r) for r in analytics.bm25_topk(enc, q, k=10).collect()]
+    b = [
+        tuple(r)
+        for r in analytics.bm25_topk_indexed(spark, idx, q, k=10).collect()
+    ]
+    assert a == b and len(a) == 10
+
+
+def test_index_meta_recorded(spark, indexed):
+    enc, idx, _ = indexed
+    meta = analytics.index_meta(idx)
+    n, t = enc.agg(
+        F.sum("meta.n_docs"), F.sum("meta.n_values")
+    ).collect()[0]
+    assert meta["n_docs"] == n and meta["total_dl"] == t
+
+
 def test_df_occ_consistency(spark, indexed):
     enc, idx, _ = indexed
     # sum of df over all tokens == total distinct (token, doc) pairs;
