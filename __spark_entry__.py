@@ -215,6 +215,72 @@ def _q_export_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_clustering_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clustering-depth advisory (table.clustering_report): how many
+    files a point read must open, computed from manifest [min, max]
+    spans alone.  Two layouts of the SAME corpus — an unclustered
+    hash-partitioned commit vs a doc-ordered compaction — audited by
+    one sweep (running +1/-1 over span boundaries); the compacted
+    variant must be disjoint (max_depth 1).  The per-file spans are
+    persisted, and DuckDB replays the identical sweep window."""
+    import shutil
+
+    from pyspark.sql import Window
+
+    from archive_spark import engine, table
+    from archive_spark.tokengen import token_table
+
+    base = os.path.basename(sf_dir.rstrip("/"))
+    tdir = f"{ORACLE_DIR}/{base}/clustering_tbl"
+    shutil.rmtree(tdir, ignore_errors=True)
+    df = token_table(spark, 3_000, seed=42)
+    enc = engine.encode(df, target_block_values=1 << 14)
+    # unclustered: hash-partitioned on doc_id → every file spans the
+    # whole doc range
+    s1 = table.commit(enc.repartition(8, "doc_min"), tdir)
+    s2 = table.compact(spark, tdir, target_partitions=8, order_by=["doc_min"])
+
+    spans = None
+    for variant, sid in (("hash", s1), ("compacted", s2)):
+        m = table.read_manifest(tdir, sid)
+        rows = []
+        for f in m.files:
+            st = ((m.stats or {}).get(f) or {}).get("columns", {})
+            if "doc_min" in st:
+                rows.append((variant, f, st["doc_min"][0], st["doc_min"][1]))
+        part = spark.createDataFrame(
+            rows, "variant string, file string, lo string, hi string"
+        )
+        spans = part if spans is None else spans.unionByName(part)
+    _persist(spans, "clustering_spans", sf_dir)
+
+    ev = spans.select(
+        "variant", F.col("lo").alias("p"), F.lit(0).alias("tie"),
+        F.lit(1).alias("d"),
+    ).unionByName(
+        spans.select(
+            "variant", F.col("hi").alias("p"), F.lit(1).alias("tie"),
+            F.lit(-1).alias("d"),
+        )
+    )
+    w = (
+        Window.partitionBy("variant")
+        .orderBy("p", "tie")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    depth = ev.withColumn("run", F.sum("d").over(w))
+    nf = spans.groupBy("variant").agg(
+        F.count("*").cast("bigint").alias("n_files")
+    )
+    return (
+        depth.groupBy("variant")
+        .agg(F.max("run").cast("bigint").alias("max_depth"))
+        .join(nf, "variant")
+        .select("variant", "n_files", "max_depth")
+        .orderBy("variant")
+    )
+
+
 def _q_bm25_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25 served ENTIRELY from the persisted inverted index
     (analytics.bm25_topk_indexed): postings + document frequencies off
@@ -3108,6 +3174,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmv_distinct": _q_kmv_distinct,
         "export_shards": _q_export_shards,
         "bm25_indexed": _q_bm25_indexed,
+        "clustering_audit": _q_clustering_audit,
         "kmeans_lloyd": _q_kmeans_lloyd,
         "fuzzy_link": _q_fuzzy_link,
         "dataloader_batch": _q_dataloader_batch,
@@ -3663,6 +3730,23 @@ def oracle_sql() -> dict[str, str]:
             "GROUP BY source "
             "HAVING SUM(len(list_filter(tokens, t -> t = 1000100))) > 0 "
             "ORDER BY source"
+        ),
+        "clustering_audit": (
+            "WITH spans AS (SELECT variant, file, lo, hi "
+            f"FROM read_parquet('{_opath('clustering_spans')}')), "
+            "ev AS ("
+            "SELECT variant, lo AS p, 0 AS tie, 1 AS d FROM spans "
+            "UNION ALL SELECT variant, hi, 1, -1 FROM spans"
+            "), r AS ("
+            "SELECT variant, SUM(d) OVER ("
+            "PARTITION BY variant ORDER BY p, tie "
+            "ROWS UNBOUNDED PRECEDING) AS run FROM ev"
+            "), nf AS ("
+            "SELECT variant, COUNT(*)::BIGINT AS n_files FROM spans "
+            "GROUP BY variant"
+            ") SELECT r.variant, nf.n_files, MAX(r.run)::BIGINT AS max_depth "
+            "FROM r JOIN nf USING(variant) "
+            "GROUP BY r.variant, nf.n_files ORDER BY r.variant"
         ),
         "bm25_indexed": (
             "WITH inp AS (SELECT doc_id, tokens "

@@ -468,6 +468,70 @@ def plan_report(
     return _plan_files(table_dir, snapshot_id, prune)[1]
 
 
+def clustering_report(
+    table_dir: str, column: str, snapshot_id: str | None = None
+) -> dict:
+    """How well the table's files are clustered on ``column`` — the
+    Iceberg/Delta "clustering depth" advisory that tells an operator
+    when OPTIMIZE is due, computed ENTIRELY from manifest stats (a
+    driver-side sweep over [min, max] ranges; no data file opened).
+
+    ``max_depth`` is the largest number of files whose ranges overlap
+    at any point: a point read must open up to that many files.  1
+    means perfectly disjoint (compacted with ``order_by``/``zorder``);
+    ≈ n_files means the layout is unclustered and every range probe
+    degrades to a full-file-list read.  ``mean_overlap`` averages, per
+    file, how many files (itself included) its range overlaps.
+
+    Returns ``{column, n_files, n_with_stats, max_depth, mean_overlap,
+    disjoint}``; files lacking the stat are excluded from the sweep
+    (and counted in ``n_files - n_with_stats``).
+    """
+    snapshot_id = snapshot_id or current_snapshot_id(table_dir)
+    if snapshot_id is None:
+        raise FileNotFoundError(f"no current snapshot in {table_dir}")
+    m = read_manifest(table_dir, snapshot_id)
+    spans = []
+    for f in m.files:
+        st = ((m.stats or {}).get(f) or {}).get("columns", {})
+        if column in st:
+            spans.append((st[column][0], st[column][1]))
+    out = {
+        "column": column,
+        "n_files": len(m.files),
+        "n_with_stats": len(spans),
+        "max_depth": 0,
+        "mean_overlap": 0.0,
+        "disjoint": True,
+    }
+    if not spans:
+        return out
+    # max depth: sweep over (+1 at lo, -1 after hi); inclusive ranges,
+    # so at equal points starts count before ends
+    events = sorted(
+        [(lo, 0, 1) for lo, _ in spans] + [(hi, 1, -1) for _, hi in spans]
+    )
+    depth = peak = 0
+    for _, _, d in events:
+        depth += d
+        peak = max(peak, depth)
+    # per-file overlap: n - (#ends < lo_i) - (#starts > hi_i)
+    import bisect
+
+    starts = sorted(lo for lo, _ in spans)
+    ends = sorted(hi for _, hi in spans)
+    n = len(spans)
+    total = 0
+    for lo, hi in spans:
+        total += n - bisect.bisect_left(ends, lo) - (
+            n - bisect.bisect_right(starts, hi)
+        )
+    out["max_depth"] = peak
+    out["mean_overlap"] = round(total / n, 4)
+    out["disjoint"] = peak <= 1
+    return out
+
+
 class StatsUnavailable(RuntimeError):
     """Manifest-level aggregates cannot answer for this snapshot
     (pending equality-delete entries would make them overcount)."""

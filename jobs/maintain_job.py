@@ -75,6 +75,10 @@ def main() -> None:
                          "(engine.remap_table — value-sidecar splice, no "
                          "re-encode for dict/fsst/rle/constant blocks) and "
                          "publish an overwrite snapshot")
+    ap.add_argument("--clustering-report", default=None,
+                    help="column name: report how well files are clustered "
+                         "on it (max overlap depth from manifest spans — "
+                         "the when-to-OPTIMIZE advisory; no data file read)")
     ap.add_argument("--materialize-view", default=None,
                     help="view table dir: full-compute the token-histogram "
                          "materialized view of --table at its current "
@@ -137,6 +141,10 @@ def main() -> None:
     if args.fsck:
         out["fsck"] = table.fsck(
             spark, args.table, check_blocks=args.fsck_blocks
+        )
+    if args.clustering_report:
+        out["clustering"] = table.clustering_report(
+            args.table, args.clustering_report
         )
     if args.materialize_view:
         from archive_spark import matview

@@ -160,3 +160,24 @@ def test_time_travel_across_shard_history(spark, sharded):
     assert table.read(spark, t, s1).count() == 7000
     assert table.read(spark, t, s2).count() == 9000
     assert table.read(spark, t, s3).count() == 10000
+
+
+def test_clustering_report(spark, tmp_path):
+    from archive_spark import engine
+    from archive_spark.tokengen import token_table
+
+    t = str(tmp_path / "t")
+    enc = engine.encode(token_table(spark, 1500, seed=9),
+                        target_block_values=1 << 14)
+    table.commit(enc.repartition(8, "doc_min"), t)
+    rep = table.clustering_report(t, "doc_min")
+    assert rep["n_with_stats"] == rep["n_files"] > 1
+    assert rep["max_depth"] > 1 and not rep["disjoint"]
+
+    table.compact(spark, t, target_partitions=8, order_by=["doc_min"])
+    rep2 = table.clustering_report(t, "doc_min")
+    assert rep2["disjoint"] and rep2["max_depth"] == 1
+    assert rep2["mean_overlap"] == 1.0
+    # a column no file records: empty sweep, not a crash
+    rep3 = table.clustering_report(t, "nope")
+    assert rep3["n_with_stats"] == 0 and rep3["max_depth"] == 0
