@@ -215,6 +215,38 @@ def _q_export_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_index_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental index maintenance (analytics.refresh_token_index):
+    the index is built over the corpus's FIRST 3000 docs, then the
+    remaining 2000 are merged in WITHOUT re-scanning the old corpus
+    (old postings decode from the index itself; new postings are one
+    zone-map-pruned scan of the new batch only).  DuckDB recomputes
+    the postings of the probe band from the full union corpus: the
+    incrementally-refreshed index must land on the from-scratch truth
+    exactly — df, occurrence totals, and the md5 postings digest."""
+    import shutil
+
+    from archive_spark import engine
+    from archive_spark.analytics import (
+        build_token_index,
+        refresh_token_index,
+        token_index_summary,
+    )
+    from archive_spark.tokengen import token_table
+
+    full = token_table(spark, 5_000, seed=42)
+    _persist(full.select("doc_id", "tokens"), "index_refresh_input", sf_dir)
+    num = F.regexp_extract("doc_id", r"(\d+)$", 1).cast("long")
+    enc_a = engine.encode(full.filter(num < 3_000), target_block_values=1 << 15)
+    enc_b = engine.encode(full.filter(num >= 3_000), target_block_values=1 << 15)
+    base = os.path.basename(sf_dir.rstrip("/"))
+    idx_dir = f"{ORACLE_DIR}/{base}/index_refresh_table"
+    shutil.rmtree(idx_dir, ignore_errors=True)
+    build_token_index(enc_a, idx_dir, n_files=4)
+    refresh_token_index(spark, idx_dir, enc_b)
+    return token_index_summary(spark, idx_dir, list(range(0, 41)))
+
+
 def _q_clustering_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Clustering-depth advisory (table.clustering_report): how many
     files a point read must open, computed from manifest [min, max]
@@ -3175,6 +3207,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "export_shards": _q_export_shards,
         "bm25_indexed": _q_bm25_indexed,
         "clustering_audit": _q_clustering_audit,
+        "index_refresh": _q_index_refresh,
         "kmeans_lloyd": _q_kmeans_lloyd,
         "fuzzy_link": _q_fuzzy_link,
         "dataloader_batch": _q_dataloader_batch,
@@ -3730,6 +3763,19 @@ def oracle_sql() -> dict[str, str]:
             "GROUP BY source "
             "HAVING SUM(len(list_filter(tokens, t -> t = 1000100))) > 0 "
             "ORDER BY source"
+        ),
+        "index_refresh": (
+            "WITH per AS ("
+            "SELECT token, "
+            "CAST(regexp_extract(doc_id, '(\\d+)$', 1) AS BIGINT) AS doc_num, "
+            "COUNT(*) AS occ FROM ("
+            "SELECT doc_id, unnest(tokens) AS token "
+            f"FROM read_parquet('{_opath('index_refresh_input')}')"
+            ") WHERE token BETWEEN 0 AND 40 GROUP BY 1, 2"
+            ") SELECT token::BIGINT AS token, COUNT(*)::BIGINT AS df, "
+            "SUM(occ)::BIGINT AS occ_total, "
+            "md5(string_agg(doc_num, ',' ORDER BY doc_num)) AS postings_md5 "
+            "FROM per GROUP BY token ORDER BY token"
         ),
         "clustering_audit": (
             "WITH spans AS (SELECT variant, file, lo, hi "

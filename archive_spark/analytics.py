@@ -1702,11 +1702,7 @@ def build_token_index(
       (``table.plan_report``), and above the sharding threshold whole
       manifest shards are skipped unopened.
     """
-    import numpy as np
-
     from . import table as snap_table
-    from .codecs import kernels
-    from .codecs.selector import encode_auto
 
     band = encoded.agg(
         F.min("vmin").alias("lo"), F.max("vmax").alias("hi")
@@ -1716,14 +1712,30 @@ def build_token_index(
         F.regexp_extract("doc_id", doc_pattern, 1).cast("long").alias("doc_num"),
         "occ",
     )
+    clustered = _postings_to_index_rows(post, n_files)
+    # the engine's codecs are the compressor — parquet stays uncompressed
+    # so the measured index size is theirs (engine.encode contract)
+    sid = snap_table.commit(clustered, index_dir, parquet_codec="uncompressed")
+    _commit_doc_stats(encoded, index_dir, n_files, doc_pattern, sid)
+    return sid
 
-    # one range shuffle clusters each token's postings contiguously; the
-    # encoder is then a single sorted-stream segment walk per partition
-    # (np.diff boundaries), NOT a per-token pandas group — the per-group
-    # overhead of applyInPandas at vocabulary scale (~100 µs × |vocab|)
-    # is the difference between seconds and minutes.  df=1 tokens (the
-    # long tail of any zipfian vocabulary) skip the codec entirely:
-    # payload b"", codec "single" — id_min/occ_total carry the posting.
+
+def _postings_to_index_rows(post: DataFrame, n_files: int) -> DataFrame:
+    """(token, doc_num, occ) postings → encoded index rows.
+
+    One range shuffle clusters each token's postings contiguously; the
+    encoder is then a single sorted-stream segment walk per partition
+    (np.diff boundaries), NOT a per-token pandas group — the per-group
+    overhead of applyInPandas at vocabulary scale (~100 µs × |vocab|)
+    is the difference between seconds and minutes.  df=1 tokens (the
+    long tail of any zipfian vocabulary) skip the codec entirely:
+    payload b"", codec "single" — id_min/occ_total carry the posting.
+    """
+    import numpy as np
+
+    from .codecs import kernels
+    from .codecs.selector import encode_auto
+
     parted = post.repartitionByRange(n_files, "token").sortWithinPartitions(
         "token", "doc_num"
     )
@@ -1820,19 +1832,28 @@ def build_token_index(
         "token bigint, df bigint, occ_total bigint, id_min bigint, "
         "id_max bigint, codec string, ids_payload binary, occ_payload binary"
     )
-    clustered = parted.mapInArrow(_encode_stream, schema)
-    # the engine's codecs are the compressor — parquet stays uncompressed
-    # so the measured index size is theirs (engine.encode contract)
-    sid = snap_table.commit(clustered, index_dir, parquet_codec="uncompressed")
+    return parted.mapInArrow(_encode_stream, schema)
 
-    # doc-stats sidecar + frozen corpus stats: BM25 (and any length-
-    # normalized ranker) can then be served ENTIRELY from the index dir
-    # — lengths come from the tiny lengths stream (listing_with_sizes
-    # never decodes token payloads), N/total_dl land in index_meta.json
+
+def _commit_doc_stats(
+    encoded: DataFrame,
+    index_dir: str,
+    n_files: int,
+    doc_pattern: str,
+    sid: str,
+    mode: str = "overwrite",
+) -> None:
+    """Doc-stats sidecar + frozen corpus stats: BM25 (and any length-
+    normalized ranker) can then be served ENTIRELY from the index dir —
+    lengths come from the tiny lengths stream (listing_with_sizes never
+    decodes token payloads), N/total_dl land in index_meta.json.  With
+    ``mode="append"`` the new batch's rows extend the sidecar and the
+    frozen stats update additively."""
     import json as _json
     import os as _os
 
     from . import engine as _engine
+    from . import table as snap_table
 
     dl = _engine.listing_with_sizes(encoded).select(
         F.regexp_extract("doc_id", doc_pattern, 1).cast("long").alias("doc_num"),
@@ -1843,22 +1864,98 @@ def build_token_index(
         dl.repartitionByRange(n_files, "doc_num").sortWithinPartitions("doc_num"),
         _os.path.join(index_dir, "docstats"),
         parquet_codec="uncompressed",
+        mode=mode,
     )
     tot = dl.agg(
         F.count("*").alias("n"), F.sum("dl").alias("t")
     ).collect()[0]
+    n_docs, total_dl = int(tot["n"]), int(tot["t"] or 0)
+    if mode == "append":
+        old = index_meta(index_dir)
+        n_docs += old["n_docs"]
+        total_dl += old["total_dl"]
     tmp = _os.path.join(index_dir, ".index_meta.json.tmp")
     with open(tmp, "w") as f:
         _json.dump(
             {
                 "snapshot_id": sid,
-                "n_docs": int(tot["n"]),
-                "total_dl": int(tot["t"] or 0),
+                "n_docs": n_docs,
+                "total_dl": total_dl,
                 "doc_pattern": doc_pattern,
+                "n_files": int(n_files),
             },
             f,
         )
     _os.replace(tmp, _os.path.join(index_dir, "index_meta.json"))
+
+
+def refresh_token_index(
+    spark,
+    index_dir: str,
+    new_encoded: DataFrame,
+) -> str:
+    """Merge a NEW encoded batch's postings into the persisted index
+    WITHOUT re-scanning the old corpus: the old postings are decoded
+    from the index itself (O(index), cheap — posting lists, not token
+    streams), unioned with the new batch's zone-map-pruned postings
+    scan, and re-encoded through the same sorted-stream kernel.  The
+    doc-stats sidecar appends the new docs and the frozen corpus stats
+    update additively, so ``bm25_topk_indexed`` keeps working.
+
+    Contract pinned by tests: refresh(A-index, B) is row-identical to
+    build(A ∪ B) from scratch.  A batch containing a doc number the
+    index already has is REFUSED (refusing beats double-counting — the
+    postings merge has no per-doc replace semantics; takedowns go
+    through the corpus lifecycle and a rebuild)."""
+    import os as _os
+
+    from . import table as snap_table
+
+    meta = index_meta(index_dir)
+    doc_pattern = meta["doc_pattern"]
+    n_files = int(meta.get("n_files", 8))
+
+    band = new_encoded.agg(
+        F.min("vmin").alias("lo"), F.max("vmax").alias("hi")
+    ).collect()[0]
+    new_post = token_postings(
+        new_encoded, int(band["lo"]), int(band["hi"])
+    ).select(
+        "token",
+        F.regexp_extract("doc_id", doc_pattern, 1).cast("long").alias("doc_num"),
+        "occ",
+    )
+    # guard on the batch's DOC LISTING, not its postings — an empty doc
+    # has no postings but would still land a duplicate docstats row
+    from . import engine as _engine
+
+    new_nums = (
+        _engine.listing_with_sizes(new_encoded)
+        .select(
+            F.regexp_extract("doc_id", doc_pattern, 1)
+            .cast("long")
+            .alias("doc_num")
+        )
+        .distinct()
+    )
+    ds = snap_table.read(spark, _os.path.join(index_dir, "docstats"))
+    dup = ds.join(new_nums, "doc_num").count()
+    if dup:
+        raise ValueError(
+            f"refresh batch contains {dup} doc number(s) already indexed — "
+            "rebuild the index (or purge first); merging would double-count"
+        )
+    old_post = _decode_index_rows(snap_table.read(spark, index_dir))
+    merged = old_post.unionByName(new_post)
+    sid = snap_table.commit(
+        _postings_to_index_rows(merged, n_files),
+        index_dir,
+        parquet_codec="uncompressed",
+        mode="overwrite",
+    )
+    _commit_doc_stats(
+        new_encoded, index_dir, n_files, doc_pattern, sid, mode="append"
+    )
     return sid
 
 
@@ -1942,11 +2039,7 @@ def token_index_lookup(
     Spark lists anything), parquet row-group stats prune within, and
     only the surviving rows' payloads are decoded.  Absent tokens
     simply return no rows."""
-    import numpy as np
-    import pyarrow as pa
-
     from . import table as snap_table
-    from .codecs import kernels
 
     toks = sorted({int(t) for t in tokens})
     if not toks:
@@ -1954,6 +2047,16 @@ def token_index_lookup(
     df = snap_table.read(
         spark, index_dir, prune={"token": (toks[0], toks[-1])}
     ).filter(F.col("token").isin(toks))
+    return _decode_index_rows(df)
+
+
+def _decode_index_rows(df: DataFrame) -> DataFrame:
+    """Encoded index rows → exploded ``(token, doc_num, occ)`` postings
+    (the inverse of ``_postings_to_index_rows``)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from .codecs import kernels
 
     def _dec(it):
         for batch in it:
@@ -1990,9 +2093,7 @@ def token_index_lookup(
 
     return df.select(
         "token", "id_min", "occ_total", "codec", "ids_payload", "occ_payload"
-    ).mapInArrow(
-        _dec, "token long, doc_num long, occ long"
-    )
+    ).mapInArrow(_dec, "token long, doc_num long, occ long")
 
 
 def token_index_summary(

@@ -139,3 +139,37 @@ def test_df_occ_consistency(spark, indexed):
     n_tokens = enc.agg(F.sum("meta.n_values")).collect()[0][0]
     assert totals["occ"] == n_tokens
     assert totals["pairs"] <= totals["occ"]
+
+
+def test_refresh_equals_rebuild(spark, tmp_path):
+    from archive_spark.tokengen import token_table
+
+    full = token_table(spark, 1500, seed=5)
+    num = F.regexp_extract("doc_id", r"(\d+)$", 1).cast("long")
+    enc_a = engine.encode(full.filter(num < 1000))
+    enc_b = engine.encode(full.filter(num >= 1000))
+    enc_all = engine.encode(full)
+
+    ia, ib = str(tmp_path / "a"), str(tmp_path / "b")
+    analytics.build_token_index(enc_a, ia, n_files=4)
+    analytics.refresh_token_index(spark, ia, enc_b)
+    analytics.build_token_index(enc_all, ib, n_files=4)
+
+    pa_ = sorted(
+        tuple(r)
+        for r in analytics._decode_index_rows(table.read(spark, ia)).collect()
+    )
+    pb_ = sorted(
+        tuple(r)
+        for r in analytics._decode_index_rows(table.read(spark, ib)).collect()
+    )
+    assert pa_ == pb_ and len(pa_) > 1000
+    ma, mb = analytics.index_meta(ia), analytics.index_meta(ib)
+    assert (ma["n_docs"], ma["total_dl"]) == (mb["n_docs"], mb["total_dl"])
+    # the old index snapshot is still time-travelable (overwrite keeps it)
+    snaps = table.snapshots(ia)
+    assert len(snaps) == 2
+
+    # re-refreshing the same batch is refused (double-count protection)
+    with pytest.raises(ValueError, match="already indexed"):
+        analytics.refresh_token_index(spark, ia, enc_b)
