@@ -1842,13 +1842,16 @@ def _commit_doc_stats(
     doc_pattern: str,
     sid: str,
     mode: str = "overwrite",
+    snapshot_id: str | None = None,
 ) -> None:
     """Doc-stats sidecar + frozen corpus stats: BM25 (and any length-
     normalized ranker) can then be served ENTIRELY from the index dir —
     lengths come from the tiny lengths stream (listing_with_sizes never
     decodes token payloads), N/total_dl land in index_meta.json.  With
-    ``mode="append"`` the new batch's rows extend the sidecar and the
-    frozen stats update additively."""
+    ``mode="append"`` the new batch's rows extend the sidecar.  The
+    frozen stats are RECOMPUTED from the committed docstats manifest
+    (row counts + the recorded ``dl`` sums), so the meta file is always
+    consistent with the table even across a crash between commits."""
     import json as _json
     import os as _os
 
@@ -1860,27 +1863,33 @@ def _commit_doc_stats(
         "doc_id",
         F.col("n_tok").cast("long").alias("dl"),
     )
+    ds_dir = _os.path.join(index_dir, "docstats")
     snap_table.commit(
         dl.repartitionByRange(n_files, "doc_num").sortWithinPartitions("doc_num"),
-        _os.path.join(index_dir, "docstats"),
+        ds_dir,
         parquet_codec="uncompressed",
         mode=mode,
+        snapshot_id=snapshot_id,
     )
-    tot = dl.agg(
-        F.count("*").alias("n"), F.sum("dl").alias("t")
-    ).collect()[0]
-    n_docs, total_dl = int(tot["n"]), int(tot["t"] or 0)
-    if mode == "append":
-        old = index_meta(index_dir)
-        n_docs += old["n_docs"]
-        total_dl += old["total_dl"]
+    _rewrite_index_meta(index_dir, sid, doc_pattern, n_files)
+
+
+def _rewrite_index_meta(
+    index_dir: str, sid: str, doc_pattern: str, n_files: int
+) -> None:
+    import json as _json
+    import os as _os
+
+    from . import table as snap_table
+
+    ss = snap_table.stats_summary(_os.path.join(index_dir, "docstats"))
     tmp = _os.path.join(index_dir, ".index_meta.json.tmp")
     with open(tmp, "w") as f:
         _json.dump(
             {
                 "snapshot_id": sid,
-                "n_docs": n_docs,
-                "total_dl": total_dl,
+                "n_docs": int(ss["n_rows"]),
+                "total_dl": int(ss["sums"].get("dl", 0)),
                 "doc_pattern": doc_pattern,
                 "n_files": int(n_files),
             },
@@ -1893,6 +1902,8 @@ def refresh_token_index(
     spark,
     index_dir: str,
     new_encoded: DataFrame,
+    snapshot_id: str | None = None,
+    docstats_snapshot_id: str | None = None,
 ) -> str:
     """Merge a NEW encoded batch's postings into the persisted index
     WITHOUT re-scanning the old corpus: the old postings are decoded
@@ -1918,6 +1929,8 @@ def refresh_token_index(
     band = new_encoded.agg(
         F.min("vmin").alias("lo"), F.max("vmax").alias("hi")
     ).collect()[0]
+    if band["lo"] is None:  # empty batch: nothing to merge
+        return snap_table.current_snapshot_id(index_dir)
     new_post = token_postings(
         new_encoded, int(band["lo"]), int(band["hi"])
     ).select(
@@ -1952,9 +1965,11 @@ def refresh_token_index(
         index_dir,
         parquet_codec="uncompressed",
         mode="overwrite",
+        snapshot_id=snapshot_id,
     )
     _commit_doc_stats(
-        new_encoded, index_dir, n_files, doc_pattern, sid, mode="append"
+        new_encoded, index_dir, n_files, doc_pattern, sid,
+        mode="append", snapshot_id=docstats_snapshot_id,
     )
     return sid
 

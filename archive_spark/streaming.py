@@ -455,3 +455,88 @@ def encode_multi_stream(
         mc._make_multi_encoder(list(columns), target_block_values, allow_fsst, effort),
         mc.multi_encoded_schema(columns),
     )
+
+
+def start_index_refresh_sink(
+    stream: DataFrame,
+    index_dir: str,
+    checkpoint_dir: str,
+    available_now: bool = True,
+    target_block_values: int | None = None,
+):
+    """Maintain the persisted inverted token index from a document
+    stream: each micro-batch of (doc_id, tokens, n_tok, source) rows is
+    block-encoded and merged via ``analytics.refresh_token_index`` —
+    new documents become searchable (lookups, indexed BM25) one batch
+    after ingest, and the old corpus is never re-scanned.
+
+    Exactly-once across restarts, in the upsert-sink style: the index
+    overwrite and the doc-stats append use DETERMINISTIC snapshot ids
+    derived from the batch id, so a replayed batch finds its manifests
+    and skips; a crash BETWEEN the two commits is repaired on replay by
+    re-running only the doc-stats leg (the frozen corpus stats are
+    recomputed from the committed docstats manifest, never trusted from
+    a possibly-stale meta file).  After a full CHECKPOINT LOSS, replays
+    that preserve the original batching skip cleanly; a replay that
+    REGROUPS already-applied docs into a new batch id hits the index's
+    duplicate-doc refusal — a loud ValueError, never a silent
+    double-count."""
+    from . import analytics as an
+    from . import engine
+    from . import table as snap_table
+
+    def refresh_batch(df: DataFrame, batch_id: int) -> None:
+        import os
+        import shutil
+
+        sid = f"idxr-{batch_id:012d}"
+        dsid = f"idxrds-{batch_id:012d}"
+        ds_dir = os.path.join(index_dir, "docstats")
+
+        def _committed(tdir: str, snap: str) -> bool:
+            try:
+                snap_table.read_manifest(tdir, snap, resolve=False)
+                return True
+            except FileNotFoundError:
+                return False
+
+        if _committed(index_dir, sid) and _committed(ds_dir, dsid):
+            return  # replayed micro-batch: fully applied
+        if df.isEmpty():
+            return
+        kw = {}
+        if target_block_values:
+            kw["target_block_values"] = target_block_values
+        enc = engine.encode(df, **kw)
+        meta = an.index_meta(index_dir)
+        if _committed(index_dir, sid):
+            # crash between the index overwrite and the docstats append:
+            # repair the docstats leg only
+            shutil.rmtree(os.path.join(ds_dir, "data", dsid),
+                          ignore_errors=True)
+            an._commit_doc_stats(
+                enc, index_dir, int(meta.get("n_files", 8)),
+                meta["doc_pattern"], sid, mode="append", snapshot_id=dsid,
+            )
+            return
+        # crash replay: clear partial (unreferenced) staging dirs
+        shutil.rmtree(os.path.join(index_dir, "data", sid),
+                      ignore_errors=True)
+        shutil.rmtree(os.path.join(ds_dir, "data", dsid),
+                      ignore_errors=True)
+        try:
+            an.refresh_token_index(
+                df.sparkSession, index_dir, enc,
+                snapshot_id=sid, docstats_snapshot_id=dsid,
+            )
+        except snap_table.CommitConflict:
+            pass  # lost a concurrent-replay race: already committed
+
+    w = (
+        stream.writeStream.foreachBatch(refresh_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )
+    if available_now:
+        w = w.trigger(availableNow=True)
+    return w.start()

@@ -295,7 +295,7 @@ def _data_files(table_dir: str, snap_data_dir: str) -> list[str]:
 #: answered from the manifest alone (``stats_summary``).  Computing a
 #: sum costs one tiny column read per file at commit — payload columns
 #: are never touched.
-SUM_STAT_COLUMNS = ("meta.n_values", "meta.n_docs", "n_tok")
+SUM_STAT_COLUMNS = ("meta.n_values", "meta.n_docs", "n_tok", "dl")
 
 
 def _file_stats(table_dir: str, files: list[str]) -> dict:

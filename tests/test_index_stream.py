@@ -1,0 +1,79 @@
+"""Streaming index maintenance: new document batches merge into the
+persisted inverted index exactly once — across restarts and even a
+full checkpoint loss (deterministic batch snapshot ids)."""
+
+from __future__ import annotations
+
+import shutil
+
+from pyspark.sql import functions as F
+
+from archive_spark import analytics, engine, streaming, table
+from archive_spark.tokengen import token_table
+
+
+def _num(col="doc_id"):
+    return F.regexp_extract(col, r"(\d+)$", 1).cast("long")
+
+
+def test_stream_refresh_equals_rebuild(spark, tmp_path):
+    full = token_table(spark, 1200, seed=8).cache()
+    a = full.filter(_num() < 600)
+    b = full.filter((_num() >= 600) & (_num() < 900))
+    c = full.filter(_num() >= 900)
+
+    idx = str(tmp_path / "idx")
+    analytics.build_token_index(engine.encode(a), idx, n_files=4)
+
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    b.write.mode("append").parquet(src)
+    c.write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema(full.schema).format("parquet")
+        .option("maxFilesPerTrigger", "1").load(src)
+    )
+    q = streaming.start_index_refresh_sink(stream, idx, ckpt)
+    q.awaitTermination(240)
+
+    ref = str(tmp_path / "ref")
+    analytics.build_token_index(engine.encode(full), ref, n_files=4)
+    got = sorted(
+        tuple(r)
+        for r in analytics._decode_index_rows(table.read(spark, idx)).collect()
+    )
+    want = sorted(
+        tuple(r)
+        for r in analytics._decode_index_rows(table.read(spark, ref)).collect()
+    )
+    assert got == want
+    ma, mb = analytics.index_meta(idx), analytics.index_meta(ref)
+    assert (ma["n_docs"], ma["total_dl"]) == (mb["n_docs"], mb["total_dl"])
+
+    # restart on the same checkpoint: nothing new, index untouched
+    cur = table.current_snapshot_id(idx)
+    q2 = streaming.start_index_refresh_sink(
+        spark.readStream.schema(full.schema).format("parquet")
+        .option("maxFilesPerTrigger", "1").load(src),
+        idx, ckpt,
+    )
+    q2.awaitTermination(120)
+    assert table.current_snapshot_id(idx) == cur
+
+    # checkpoint LOSS: batch ids replay from 0 — the deterministic
+    # snapshot ids find their manifests and skip (a failed skip would
+    # raise the duplicate-doc refusal, so surviving IS the proof)
+    shutil.rmtree(ckpt)
+    q3 = streaming.start_index_refresh_sink(
+        spark.readStream.schema(full.schema).format("parquet")
+        .option("maxFilesPerTrigger", "1").load(src),
+        idx, ckpt,
+    )
+    q3.awaitTermination(120)
+    assert table.current_snapshot_id(idx) == cur
+    got2 = sorted(
+        tuple(r)
+        for r in analytics._decode_index_rows(table.read(spark, idx)).collect()
+    )
+    assert got2 == want
