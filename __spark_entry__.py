@@ -215,6 +215,30 @@ def _q_export_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_phrase_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Phrase search served from the POSITIONAL inverted index
+    (analytics.phrase_count_indexed): per-token position lists stored
+    as a third codec payload (occ is the ragged-split sidecar), query =
+    explode + one groupBy over the query tokens' postings — the corpus
+    is never opened.  DuckDB replays the per-source bigram count from
+    the raw token arrays (same oracle shape as phrase_count): the index
+    path must land on the corpus truth exactly."""
+    import shutil
+
+    from archive_spark import engine
+    from archive_spark.analytics import build_token_index, phrase_count_indexed
+    from archive_spark.tokengen import token_table
+
+    df = token_table(spark, 5_000, seed=42)
+    _persist(df.select("source", "tokens"), "phrase_idx_input", sf_dir)
+    enc = engine.encode(df, target_block_values=1 << 15)
+    base = os.path.basename(sf_dir.rstrip("/"))
+    idx_dir = f"{ORACLE_DIR}/{base}/phrase_index_table"
+    shutil.rmtree(idx_dir, ignore_errors=True)
+    build_token_index(enc, idx_dir, n_files=4, positions=True)
+    return phrase_count_indexed(spark, idx_dir, [3, 7])
+
+
 def _q_index_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental index maintenance (analytics.refresh_token_index):
     the index is built over the corpus's FIRST 3000 docs, then the
@@ -3208,6 +3232,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_indexed": _q_bm25_indexed,
         "clustering_audit": _q_clustering_audit,
         "index_refresh": _q_index_refresh,
+        "phrase_indexed": _q_phrase_indexed,
         "kmeans_lloyd": _q_kmeans_lloyd,
         "fuzzy_link": _q_fuzzy_link,
         "dataloader_batch": _q_dataloader_batch,
@@ -3763,6 +3788,15 @@ def oracle_sql() -> dict[str, str]:
             "GROUP BY source "
             "HAVING SUM(len(list_filter(tokens, t -> t = 1000100))) > 0 "
             "ORDER BY source"
+        ),
+        "phrase_indexed": (
+            "SELECT source, "
+            "COUNT(*) FILTER (WHERE occ > 0)::BIGINT AS n_docs, "
+            "SUM(occ)::BIGINT AS n_occurrences FROM ("
+            "SELECT source, len(list_filter(range(1, len(tokens)), "
+            "i -> tokens[i] = 3 AND tokens[i+1] = 7)) AS occ "
+            f"FROM read_parquet('{_opath('phrase_idx_input')}')"
+            ") GROUP BY source HAVING SUM(occ) > 0 ORDER BY source"
         ),
         "index_refresh": (
             "WITH per AS ("

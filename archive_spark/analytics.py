@@ -520,6 +520,99 @@ def token_postings_summary(encoded: DataFrame, lo: int, hi: int) -> DataFrame:
     )
 
 
+def token_postings_positional(
+    encoded: DataFrame,
+    tokens: "list[int] | None" = None,
+    lo: int | None = None,
+    hi: int | None = None,
+) -> DataFrame:
+    """Positional postings for a sparse token set (``tokens``) or a
+    contiguous band (``lo``/``hi``): one row per (token, document)
+    carrying the occurrence count AND the sorted within-document
+    positions — the substrate of index-served phrase search.  Same scan
+    shape as :func:`token_postings` (zone-map prune, bloom rejection,
+    one decode per surviving block, block-local merge == global merge);
+    the extra output is one int per occurrence."""
+    import numpy as np
+    import pyarrow as pa
+
+    from .codecs import kernels
+
+    if tokens is not None:
+        if lo is not None or hi is not None:
+            raise ValueError("pass a band or a token set, not both")
+        qarr = np.unique(np.asarray(list(tokens), dtype=np.int64))
+        if qarr.size == 0:
+            raise ValueError("empty token set")
+        lo_i, hi_i = int(qarr[0]), int(qarr[-1])
+        q32 = qarr.astype(np.int32)
+    else:
+        lo_i, hi_i = int(lo), int(hi)
+        q32 = None
+        if lo_i > hi_i:
+            raise ValueError("empty token band")
+
+    def _extract(it):
+        from .codecs import bloom
+
+        for batch in it:
+            has_bloom = "token_bloom" in batch.schema.names
+            for i in range(batch.num_rows):
+                if q32 is not None and has_bloom and q32.size <= 64:
+                    blm = _bloom_of(batch, i)
+                    if blm is not None and not any(
+                        bloom.maybe_contains(blm, int(t)) for t in q32
+                    ):
+                        continue
+                pay = memoryview(batch.column("payload")[i].as_buffer())
+                vals = kernels.decode(pay)
+                mask = (vals >= np.int32(lo_i)) & (vals <= np.int32(hi_i))
+                if q32 is not None:
+                    mask &= np.isin(vals, q32)
+                if not mask.any():
+                    continue
+                lens = kernels.decode(
+                    memoryview(batch.column("lengths_payload")[i].as_buffer())
+                ).astype(np.int64)
+                ends = np.cumsum(lens)
+                doc_starts = ends - lens
+                pos = np.nonzero(mask)[0]
+                doc_ix = np.searchsorted(ends, pos, side="right")
+                within = (pos - doc_starts[doc_ix]).astype(np.int64)
+                nd = int(lens.size)
+                key = (vals[pos].astype(np.int64) - lo_i) * nd + doc_ix
+                order = np.argsort(key, kind="stable")
+                k = key[order]
+                w = within[order]
+                bnd = np.concatenate(
+                    ([0], np.flatnonzero(np.diff(k)) + 1, [k.size])
+                )
+                doc_ids = np.asarray(
+                    batch.column("doc_ids")[i].as_py(), dtype=object
+                )
+                heads = k[bnd[:-1]]
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        pa.array(lo_i + heads // nd, pa.int64()),
+                        pa.array(doc_ids[heads % nd], pa.string()),
+                        pa.array(np.diff(bnd), pa.int64()),
+                        pa.ListArray.from_arrays(
+                            pa.array(bnd, pa.int32()),
+                            pa.array(w, pa.int32()),
+                        ),
+                    ],
+                    ["token", "doc_id", "occ", "positions"],
+                )
+
+    pruned = encoded.filter(
+        (F.col("vmin") <= F.lit(hi_i)) & (F.col("vmax") >= F.lit(lo_i))
+    )
+    cols, _ = _bloom_cols(encoded, ["doc_ids", "payload", "lengths_payload"])
+    return pruned.select(*cols).mapInArrow(
+        _extract, "token long, doc_id string, occ long, positions array<int>"
+    )
+
+
 def bm25_topk(
     encoded: DataFrame,
     query_tokens: "list[int]",
@@ -1672,6 +1765,7 @@ def build_token_index(
     index_dir: str,
     n_files: int = 8,
     doc_pattern: str = r"(\d+)$",
+    positions: bool = False,
 ) -> str:
     """Build and commit a persisted inverted index over an encoded
     token table.  One row per token::
@@ -1707,20 +1801,28 @@ def build_token_index(
     band = encoded.agg(
         F.min("vmin").alias("lo"), F.max("vmax").alias("hi")
     ).collect()[0]
-    post = token_postings(encoded, int(band["lo"]), int(band["hi"])).select(
-        "token",
-        F.regexp_extract("doc_id", doc_pattern, 1).cast("long").alias("doc_num"),
-        "occ",
-    )
-    clustered = _postings_to_index_rows(post, n_files)
+    num = F.regexp_extract("doc_id", doc_pattern, 1).cast("long").alias("doc_num")
+    if positions:
+        post = token_postings_positional(
+            encoded, lo=int(band["lo"]), hi=int(band["hi"])
+        ).select("token", num, "occ", "positions")
+    else:
+        post = token_postings(
+            encoded, int(band["lo"]), int(band["hi"])
+        ).select("token", num, "occ")
+    clustered = _postings_to_index_rows(post, n_files, positional=positions)
     # the engine's codecs are the compressor — parquet stays uncompressed
     # so the measured index size is theirs (engine.encode contract)
     sid = snap_table.commit(clustered, index_dir, parquet_codec="uncompressed")
-    _commit_doc_stats(encoded, index_dir, n_files, doc_pattern, sid)
+    _commit_doc_stats(
+        encoded, index_dir, n_files, doc_pattern, sid, positions=positions
+    )
     return sid
 
 
-def _postings_to_index_rows(post: DataFrame, n_files: int) -> DataFrame:
+def _postings_to_index_rows(
+    post: DataFrame, n_files: int, positional: bool = False
+) -> DataFrame:
     """(token, doc_num, occ) postings → encoded index rows.
 
     One range shuffle clusters each token's postings contiguously; the
@@ -1740,10 +1842,19 @@ def _postings_to_index_rows(post: DataFrame, n_files: int) -> DataFrame:
         "token", "doc_num"
     )
 
-    def _enc_rows(tok, ids, occ):
+    def _enc_rows(tok, ids, occ, pos=None):
+        # positional payloads: the concatenated within-doc position
+        # lists in doc order; `occ` IS the ragged split sidecar, so no
+        # extra lengths stream is stored
+        pos_blk = (
+            bytes(encode_auto(pos.astype(np.int32), allow_fsst=False)[0])
+            if pos is not None
+            else None
+        )
         base = int(ids[0])
         if ids.size == 1:
-            return (int(tok), 1, int(occ[0]), base, base, "single", b"", b"")
+            row = (int(tok), 1, int(occ[0]), base, base, "single", b"", b"")
+            return row + ((pos_blk,) if pos is not None else ())
         off = ids - base
         if int(off[-1]) > np.iinfo(np.int32).max:
             raise kernels.CodecError("doc-number span exceeds i32 offsets")
@@ -1752,7 +1863,7 @@ def _postings_to_index_rows(post: DataFrame, n_files: int) -> DataFrame:
             np.minimum(occ, np.iinfo(np.int32).max).astype(np.int32),
             allow_fsst=False,
         )
-        return (
+        row = (
             int(tok),
             int(ids.size),
             int(occ.sum()),
@@ -1762,32 +1873,41 @@ def _postings_to_index_rows(post: DataFrame, n_files: int) -> DataFrame:
             bytes(ids_blk),
             bytes(occ_blk),
         )
+        return row + ((pos_blk,) if pos is not None else ())
 
     names = [
         "token", "df", "occ_total", "id_min", "id_max",
         "codec", "ids_payload", "occ_payload",
-    ]
+    ] + (["pos_payload"] if positional else [])
 
     def _encode_stream(it):
         import pyarrow as pa
 
-        pend = None  # (token, [id arrays], [occ arrays]) spanning batches
+        # pend: (token, [id arrays], [occ arrays], [pos arrays]) for the
+        # segment spanning batch boundaries
+        pend = None
 
         def _emit(rows):
             cols = list(zip(*rows))
-            return pa.RecordBatch.from_arrays(
-                [
-                    pa.array(cols[0], pa.int64()),
-                    pa.array(cols[1], pa.int64()),
-                    pa.array(cols[2], pa.int64()),
-                    pa.array(cols[3], pa.int64()),
-                    pa.array(cols[4], pa.int64()),
-                    pa.array(cols[5], pa.string()),
-                    pa.array(cols[6], pa.binary()),
-                    pa.array(cols[7], pa.binary()),
-                ],
-                names,
-            )
+            arrays = [
+                pa.array(cols[0], pa.int64()),
+                pa.array(cols[1], pa.int64()),
+                pa.array(cols[2], pa.int64()),
+                pa.array(cols[3], pa.int64()),
+                pa.array(cols[4], pa.int64()),
+                pa.array(cols[5], pa.string()),
+                pa.array(cols[6], pa.binary()),
+                pa.array(cols[7], pa.binary()),
+            ]
+            if positional:
+                arrays.append(pa.array(cols[8], pa.binary()))
+            return pa.RecordBatch.from_arrays(arrays, names)
+
+        def _flush(p):
+            args = [p[0], np.concatenate(p[1]), np.concatenate(p[2])]
+            if positional:
+                args.append(np.concatenate(p[3]))
+            return _enc_rows(*args)
 
         for batch in it:
             tok = batch.column("token").to_numpy(zero_copy_only=False)
@@ -1795,6 +1915,13 @@ def _postings_to_index_rows(post: DataFrame, n_files: int) -> DataFrame:
             occ = batch.column("occ").to_numpy(zero_copy_only=False)
             if tok.size == 0:
                 continue
+            if positional:
+                plist = batch.column("positions")
+                if isinstance(plist, pa.ChunkedArray):
+                    plist = plist.combine_chunks()
+                pflat = plist.flatten().to_numpy(zero_copy_only=False)
+                poffs = plist.offsets.to_numpy(zero_copy_only=False)
+                pbase = poffs[0]
             starts = np.concatenate(
                 ([0], np.flatnonzero(np.diff(tok)) + 1)
             )
@@ -1802,35 +1929,29 @@ def _postings_to_index_rows(post: DataFrame, n_files: int) -> DataFrame:
             rows = []
             for s, e in zip(starts, ends):
                 t = int(tok[s])
+                seg_pos = (
+                    [pflat[poffs[s] - pbase: poffs[e] - pbase]]
+                    if positional
+                    else []
+                )
                 if pend is not None and pend[0] == t:
                     pend[1].append(ids[s:e])
                     pend[2].append(occ[s:e])
+                    if positional:
+                        pend[3].extend(seg_pos)
                     continue
                 if pend is not None:
-                    rows.append(
-                        _enc_rows(
-                            pend[0],
-                            np.concatenate(pend[1]),
-                            np.concatenate(pend[2]),
-                        )
-                    )
-                pend = (t, [ids[s:e]], [occ[s:e]])
+                    rows.append(_flush(pend))
+                pend = (t, [ids[s:e]], [occ[s:e]], seg_pos)
             if rows:
                 yield _emit(rows)
         if pend is not None:
-            yield _emit(
-                [
-                    _enc_rows(
-                        pend[0],
-                        np.concatenate(pend[1]),
-                        np.concatenate(pend[2]),
-                    )
-                ]
-            )
+            yield _emit([_flush(pend)])
 
     schema = (
         "token bigint, df bigint, occ_total bigint, id_min bigint, "
         "id_max bigint, codec string, ids_payload binary, occ_payload binary"
+        + (", pos_payload binary" if positional else "")
     )
     return parted.mapInArrow(_encode_stream, schema)
 
@@ -1843,6 +1964,7 @@ def _commit_doc_stats(
     sid: str,
     mode: str = "overwrite",
     snapshot_id: str | None = None,
+    positions: bool | None = None,
 ) -> None:
     """Doc-stats sidecar + frozen corpus stats: BM25 (and any length-
     normalized ranker) can then be served ENTIRELY from the index dir —
@@ -1871,11 +1993,17 @@ def _commit_doc_stats(
         mode=mode,
         snapshot_id=snapshot_id,
     )
-    _rewrite_index_meta(index_dir, sid, doc_pattern, n_files)
+    if positions is None:
+        try:
+            positions = bool(index_meta(index_dir).get("positions", False))
+        except FileNotFoundError:
+            positions = False
+    _rewrite_index_meta(index_dir, sid, doc_pattern, n_files, positions)
 
 
 def _rewrite_index_meta(
-    index_dir: str, sid: str, doc_pattern: str, n_files: int
+    index_dir: str, sid: str, doc_pattern: str, n_files: int,
+    positions: bool = False,
 ) -> None:
     import json as _json
     import os as _os
@@ -1892,6 +2020,7 @@ def _rewrite_index_meta(
                 "total_dl": int(ss["sums"].get("dl", 0)),
                 "doc_pattern": doc_pattern,
                 "n_files": int(n_files),
+                "positions": bool(positions),
             },
             f,
         )
@@ -1925,19 +2054,22 @@ def refresh_token_index(
     meta = index_meta(index_dir)
     doc_pattern = meta["doc_pattern"]
     n_files = int(meta.get("n_files", 8))
+    positional = bool(meta.get("positions", False))
 
     band = new_encoded.agg(
         F.min("vmin").alias("lo"), F.max("vmax").alias("hi")
     ).collect()[0]
     if band["lo"] is None:  # empty batch: nothing to merge
         return snap_table.current_snapshot_id(index_dir)
-    new_post = token_postings(
-        new_encoded, int(band["lo"]), int(band["hi"])
-    ).select(
-        "token",
-        F.regexp_extract("doc_id", doc_pattern, 1).cast("long").alias("doc_num"),
-        "occ",
-    )
+    num = F.regexp_extract("doc_id", doc_pattern, 1).cast("long").alias("doc_num")
+    if positional:
+        new_post = token_postings_positional(
+            new_encoded, lo=int(band["lo"]), hi=int(band["hi"])
+        ).select("token", num, "occ", "positions")
+    else:
+        new_post = token_postings(
+            new_encoded, int(band["lo"]), int(band["hi"])
+        ).select("token", num, "occ")
     # guard on the batch's DOC LISTING, not its postings — an empty doc
     # has no postings but would still land a duplicate docstats row
     from . import engine as _engine
@@ -1958,10 +2090,12 @@ def refresh_token_index(
             f"refresh batch contains {dup} doc number(s) already indexed — "
             "rebuild the index (or purge first); merging would double-count"
         )
-    old_post = _decode_index_rows(snap_table.read(spark, index_dir))
+    old_post = _decode_index_rows(
+        snap_table.read(spark, index_dir), positional=positional
+    )
     merged = old_post.unionByName(new_post)
     sid = snap_table.commit(
-        _postings_to_index_rows(merged, n_files),
+        _postings_to_index_rows(merged, n_files, positional=positional),
         index_dir,
         parquet_codec="uncompressed",
         mode="overwrite",
@@ -2065,9 +2199,11 @@ def token_index_lookup(
     return _decode_index_rows(df)
 
 
-def _decode_index_rows(df: DataFrame) -> DataFrame:
-    """Encoded index rows → exploded ``(token, doc_num, occ)`` postings
-    (the inverse of ``_postings_to_index_rows``)."""
+def _decode_index_rows(df: DataFrame, positional: bool = False) -> DataFrame:
+    """Encoded index rows → exploded ``(token, doc_num, occ[,
+    positions])`` postings (the inverse of ``_postings_to_index_rows``).
+    Positional rows split the concatenated position payload by the occ
+    sidecar (``occ`` IS the ragged lengths)."""
     import numpy as np
     import pyarrow as pa
 
@@ -2076,6 +2212,7 @@ def _decode_index_rows(df: DataFrame) -> DataFrame:
     def _dec(it):
         for batch in it:
             out_tok, out_ids, out_occ = [], [], []
+            out_pos, out_cnt = [], []
             for i in range(batch.num_rows):
                 base = batch.column("id_min")[i].as_py()
                 if batch.column("codec")[i].as_py() == "single":
@@ -2096,19 +2233,43 @@ def _decode_index_rows(df: DataFrame) -> DataFrame:
                 )
                 out_ids.append(ids)
                 out_occ.append(occ)
+                if positional:
+                    out_pos.append(
+                        kernels.decode(
+                            memoryview(
+                                batch.column("pos_payload")[i].as_buffer()
+                            )
+                        )
+                    )
+                    out_cnt.append(occ)
             if out_tok:
-                yield pa.RecordBatch.from_arrays(
-                    [
-                        pa.array(np.concatenate(out_tok), pa.int64()),
-                        pa.array(np.concatenate(out_ids), pa.int64()),
-                        pa.array(np.concatenate(out_occ), pa.int64()),
-                    ],
-                    ["token", "doc_num", "occ"],
-                )
+                arrays = [
+                    pa.array(np.concatenate(out_tok), pa.int64()),
+                    pa.array(np.concatenate(out_ids), pa.int64()),
+                    pa.array(np.concatenate(out_occ), pa.int64()),
+                ]
+                names_ = ["token", "doc_num", "occ"]
+                if positional:
+                    cnt = np.concatenate(out_cnt)
+                    offs = np.concatenate(([0], np.cumsum(cnt)))
+                    arrays.append(
+                        pa.ListArray.from_arrays(
+                            pa.array(offs, pa.int32()),
+                            pa.array(
+                                np.concatenate(out_pos).astype(np.int32),
+                                pa.int32(),
+                            ),
+                        )
+                    )
+                    names_.append("positions")
+                yield pa.RecordBatch.from_arrays(arrays, names_)
 
-    return df.select(
-        "token", "id_min", "occ_total", "codec", "ids_payload", "occ_payload"
-    ).mapInArrow(_dec, "token long, doc_num long, occ long")
+    cols = ["token", "id_min", "occ_total", "codec", "ids_payload",
+            "occ_payload"] + (["pos_payload"] if positional else [])
+    schema = "token long, doc_num long, occ long" + (
+        ", positions array<int>" if positional else ""
+    )
+    return df.select(*cols).mapInArrow(_dec, schema)
 
 
 def token_index_summary(
@@ -2133,4 +2294,70 @@ def token_index_summary(
             ).alias("postings_md5"),
         )
         .orderBy("token")
+    )
+
+
+def phrase_count_indexed(
+    spark, index_dir: str, phrase: "list[int]"
+) -> DataFrame:
+    """Phrase search served from a POSITIONAL index (built with
+    ``build_token_index(positions=True)``): occurrences of the exact
+    consecutive token sequence, reported per source as
+    ``(source, n_docs, n_occurrences)`` — same contract as the
+    corpus-scan :func:`phrase_count`, which is its oracle.
+
+    Plan: each phrase slot i fetches its token's positional postings
+    (manifest-pruned index read), shifts positions by -i, and an
+    occurrence is a (doc, shifted-position) cell hit by ALL slots —
+    one groupBy over the exploded positions of the query tokens only
+    (O(sum of query-token postings), the corpus is never opened).
+    Repeated tokens in the phrase work: slots are distinct rows."""
+    if len(phrase) < 1:
+        raise ValueError("empty phrase")
+    import os as _os
+
+    from . import table as snap_table
+
+    meta = index_meta(index_dir)
+    if not meta.get("positions", False):
+        raise ValueError(
+            f"{index_dir} was built without positions — rebuild with "
+            "build_token_index(positions=True) for phrase search"
+        )
+    toks = sorted(set(int(t) for t in phrase))
+    rows = snap_table.read(
+        spark, index_dir, prune={"token": (toks[0], toks[-1])}
+    ).filter(F.col("token").isin(toks))
+    post = _decode_index_rows(rows, positional=True)
+    L = len(phrase)
+    slots = None
+    for i, t in enumerate(phrase):
+        part = (
+            post.filter(F.col("token") == int(t))
+            .select("doc_num", F.explode("positions").alias("p"))
+            .select(
+                "doc_num",
+                (F.col("p") - F.lit(i)).alias("ap"),
+                F.lit(i).alias("slot"),
+            )
+        )
+        slots = part if slots is None else slots.unionByName(part)
+    hits = (
+        slots.groupBy("doc_num", "ap")
+        .agg(F.count_distinct("slot").alias("k"))
+        .filter(F.col("k") == L)
+    )
+    per_doc = hits.groupBy("doc_num").agg(F.count("*").alias("occ"))
+    ds = snap_table.read(spark, _os.path.join(index_dir, "docstats")).select(
+        "doc_num",
+        F.regexp_extract("doc_id", r"^(.+)-\d+$", 1).alias("source"),
+    )
+    return (
+        per_doc.join(ds, "doc_num")
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("occ").cast("bigint").alias("n_occurrences"),
+        )
+        .orderBy("source")
     )

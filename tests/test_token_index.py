@@ -173,3 +173,66 @@ def test_refresh_equals_rebuild(spark, tmp_path):
     # re-refreshing the same batch is refused (double-count protection)
     with pytest.raises(ValueError, match="already indexed"):
         analytics.refresh_token_index(spark, ia, enc_b)
+
+
+def test_positional_phrase_matches_corpus_scan(spark, tmp_path):
+    from archive_spark.tokengen import token_table
+
+    df = token_table(spark, 2000, seed=42)
+    enc = engine.encode(df, target_block_values=1 << 15).persist()
+    idx = str(tmp_path / "pos")
+    analytics.build_token_index(enc, idx, n_files=4, positions=True)
+    assert analytics.index_meta(idx)["positions"] is True
+    for phrase in ([3, 7], [3, 7, 19], [7, 7]):
+        a = sorted(tuple(r) for r in analytics.phrase_count(enc, phrase).collect())
+        b = sorted(
+            tuple(r)
+            for r in analytics.phrase_count_indexed(spark, idx, phrase).collect()
+        )
+        assert a == b, phrase
+    # positional postings decode back exactly
+    got = {
+        (r["token"], r["doc_num"]): list(r["positions"])
+        for r in analytics._decode_index_rows(
+            table.read(spark, idx).filter(F.col("token").isin([3, 7])),
+            positional=True,
+        ).collect()
+    }
+    want = {
+        (r["token"], _numeric(r["doc_id"])): list(r["positions"])
+        for r in analytics.token_postings_positional(enc, [3, 7]).collect()
+    }
+    assert got == want
+    enc.unpersist()
+
+
+def _numeric(doc_id: str) -> int:
+    import re
+
+    return int(re.search(r"(\d+)$", doc_id).group(1))
+
+
+def test_positional_refresh_and_refusal(spark, tmp_path):
+    from archive_spark.tokengen import token_table
+
+    full = token_table(spark, 1200, seed=6)
+    num = F.regexp_extract("doc_id", r"(\d+)$", 1).cast("long")
+    idx = str(tmp_path / "pos")
+    analytics.build_token_index(
+        engine.encode(full.filter(num < 800)), idx, n_files=4, positions=True
+    )
+    analytics.refresh_token_index(
+        spark, idx, engine.encode(full.filter(num >= 800))
+    )
+    enc_all = engine.encode(full)
+    a = sorted(tuple(r) for r in analytics.phrase_count(enc_all, [3, 7]).collect())
+    b = sorted(
+        tuple(r)
+        for r in analytics.phrase_count_indexed(spark, idx, [3, 7]).collect()
+    )
+    assert a == b
+    # a non-positional index refuses phrase search loudly
+    idx2 = str(tmp_path / "nopos")
+    analytics.build_token_index(engine.encode(full), idx2, n_files=4)
+    with pytest.raises(ValueError, match="without positions"):
+        analytics.phrase_count_indexed(spark, idx2, [3, 7])
