@@ -1783,9 +1783,11 @@ def build_token_index(
 
     Scale shape:
 
-    - the postings build is the zone-map-pruned
-      :func:`token_postings` scan — one decode per block, map-side
-      (token, doc) merge, the shuffle carries postings, never tokens;
+    - the postings build is the packed-blob path
+      (:func:`_index_rows_blob`): one decode per block, map-side
+      (token, doc) merge, doc_id → doc_num once per DOCUMENT, and the
+      shuffle carries ~20-byte/posting numpy buffers in one row per
+      (block, token-range) — never per-posting Spark rows;
     - the per-token encode is ONE sorted-stream segment walk per
       range-partition (vectorized boundary detection; per-token state is
       one id array, never the corpus) — df=1 tokens, the long tail of a
@@ -1801,16 +1803,14 @@ def build_token_index(
     band = encoded.agg(
         F.min("vmin").alias("lo"), F.max("vmax").alias("hi")
     ).collect()[0]
-    num = F.regexp_extract("doc_id", doc_pattern, 1).cast("long").alias("doc_num")
-    if positions:
-        post = token_postings_positional(
-            encoded, lo=int(band["lo"]), hi=int(band["hi"])
-        ).select("token", num, "occ", "positions")
-    else:
-        post = token_postings(
-            encoded, int(band["lo"]), int(band["hi"])
-        ).select("token", num, "occ")
-    clustered = _postings_to_index_rows(post, n_files, positional=positions)
+    clustered = _index_rows_blob(
+        encoded,
+        int(band["lo"]),
+        int(band["hi"]),
+        n_files,
+        doc_pattern,
+        positional=positions,
+    )
     # the engine's codecs are the compressor — parquet stays uncompressed
     # so the measured index size is theirs (engine.encode contract)
     sid = snap_table.commit(clustered, index_dir, parquet_codec="uncompressed")
@@ -1818,6 +1818,60 @@ def build_token_index(
         encoded, index_dir, n_files, doc_pattern, sid, positions=positions
     )
     return sid
+
+
+def _enc_index_row(tok, ids, occ, pos=None):
+    """One token's sorted posting arrays → one encoded index row tuple.
+
+    ``ids`` ascending doc numbers, ``occ`` per-doc occurrence counts;
+    optional ``pos`` = the concatenated within-doc position lists in doc
+    order (``occ`` IS the ragged split sidecar, so no extra lengths
+    stream is stored).  df=1 tokens (the long tail of any zipfian
+    vocabulary) skip the codec entirely: payload b"", codec "single" —
+    id_min/occ_total carry the posting."""
+    import numpy as np
+
+    from .codecs import kernels
+    from .codecs.selector import encode_auto
+
+    pos_blk = (
+        bytes(encode_auto(pos.astype(np.int32), allow_fsst=False)[0])
+        if pos is not None
+        else None
+    )
+    base = int(ids[0])
+    if ids.size == 1:
+        row = (int(tok), 1, int(occ[0]), base, base, "single", b"", b"")
+        return row + ((pos_blk,) if pos is not None else ())
+    off = ids - base
+    if int(off[-1]) > np.iinfo(np.int32).max:
+        raise kernels.CodecError("doc-number span exceeds i32 offsets")
+    ids_blk, codec = encode_auto(off.astype(np.int32), allow_fsst=False)
+    occ_blk, _ = encode_auto(
+        np.minimum(occ, np.iinfo(np.int32).max).astype(np.int32),
+        allow_fsst=False,
+    )
+    row = (
+        int(tok),
+        int(ids.size),
+        int(occ.sum()),
+        base,
+        int(ids[-1]),
+        codec,
+        bytes(ids_blk),
+        bytes(occ_blk),
+    )
+    return row + ((pos_blk,) if pos is not None else ())
+
+
+_INDEX_ROW_NAMES = [
+    "token", "df", "occ_total", "id_min", "id_max",
+    "codec", "ids_payload", "occ_payload",
+]
+_INDEX_ROW_SCHEMA = (
+    "token bigint, df bigint, occ_total bigint, id_min bigint, "
+    "id_max bigint, codec string, ids_payload binary, occ_payload binary"
+)
 
 
 def _postings_to_index_rows(
@@ -1835,45 +1889,11 @@ def _postings_to_index_rows(
     """
     import numpy as np
 
-    from .codecs import kernels
-    from .codecs.selector import encode_auto
-
     parted = post.repartitionByRange(n_files, "token").sortWithinPartitions(
         "token", "doc_num"
     )
 
-    def _enc_rows(tok, ids, occ, pos=None):
-        # positional payloads: the concatenated within-doc position
-        # lists in doc order; `occ` IS the ragged split sidecar, so no
-        # extra lengths stream is stored
-        pos_blk = (
-            bytes(encode_auto(pos.astype(np.int32), allow_fsst=False)[0])
-            if pos is not None
-            else None
-        )
-        base = int(ids[0])
-        if ids.size == 1:
-            row = (int(tok), 1, int(occ[0]), base, base, "single", b"", b"")
-            return row + ((pos_blk,) if pos is not None else ())
-        off = ids - base
-        if int(off[-1]) > np.iinfo(np.int32).max:
-            raise kernels.CodecError("doc-number span exceeds i32 offsets")
-        ids_blk, codec = encode_auto(off.astype(np.int32), allow_fsst=False)
-        occ_blk, _ = encode_auto(
-            np.minimum(occ, np.iinfo(np.int32).max).astype(np.int32),
-            allow_fsst=False,
-        )
-        row = (
-            int(tok),
-            int(ids.size),
-            int(occ.sum()),
-            base,
-            int(ids[-1]),
-            codec,
-            bytes(ids_blk),
-            bytes(occ_blk),
-        )
-        return row + ((pos_blk,) if pos is not None else ())
+    _enc_rows = _enc_index_row
 
     names = [
         "token", "df", "occ_total", "id_min", "id_max",
@@ -1954,6 +1974,377 @@ def _postings_to_index_rows(
         + (", pos_payload binary" if positional else "")
     )
     return parted.mapInArrow(_encode_stream, schema)
+
+
+def _token_split_points(
+    encoded: DataFrame, lo: int, hi: int, n_files: int
+) -> "list[int]":
+    """Postings-balanced token split points for the blob index build:
+    histogram postings over a deterministic ~6% block sample into 8192
+    uniform token bins, then cut the cumulative mass into ``n_files``
+    equal shares.  Token distributions are zipfian — uniform token-id
+    splits would put the whole head in one partition; sampling the
+    postings themselves balances the SHUFFLE, which is what matters.
+    Falls back to uniform splits when the sample is empty (tiny
+    tables, where balance is irrelevant anyway)."""
+    import numpy as np
+
+    if n_files <= 1 or hi <= lo:
+        return []
+    # 2^20 bins: hash-profile tokens stretch the band across the whole
+    # int32 span while the dense vocabulary sits in a few-million-wide
+    # region — coarse uniform bins put the entire head in one bin and
+    # the split degenerates.  Partials are sparse (nonzero bins only,
+    # ≤ vocabulary size), so bin count costs nothing on the wire.
+    nbins = 1 << 20
+    span = hi - lo + 1
+
+    def _hist(it):
+        import pyarrow as pa
+
+        from .codecs import kernels
+
+        acc = np.zeros(nbins, dtype=np.int64)  # dense per task: 8 MB
+        seen = False
+        for batch in it:
+            for i in range(batch.num_rows):
+                vals = kernels.decode(
+                    memoryview(batch.column("payload")[i].as_buffer())
+                )
+                if vals.size == 0:
+                    continue
+                seen = True
+                lens = kernels.decode(
+                    memoryview(
+                        batch.column("lengths_payload")[i].as_buffer()
+                    )
+                ).astype(np.int64)
+                ends = np.cumsum(lens)
+                doc_ix = np.searchsorted(
+                    ends, np.arange(vals.size), side="right"
+                )
+                key = (vals.astype(np.int64) - lo) * int(lens.size) + doc_ix
+                ukey = np.unique(key)
+                toks = ukey // int(lens.size)
+                bins, cnts = np.unique(
+                    toks * nbins // span, return_counts=True
+                )
+                acc[bins] += cnts
+        if seen:
+            nz = np.flatnonzero(acc)
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(nz, pa.int64()), pa.array(acc[nz], pa.int64())],
+                ["bin", "cnt"],
+            )
+
+    # adaptive deterministic sample: ~64 blocks regardless of corpus
+    # size (at 28 blocks a 1/16 sample is 1-2 blocks and the histogram
+    # misestimates the head badly; at 10^5 blocks, 64 is plenty for
+    # n_files-way balance)
+    n_blocks = encoded.count()
+    rate = max(1, int(n_blocks) // 64)
+    sample = encoded.filter(
+        F.pmod(F.xxhash64("block_id"), F.lit(rate)) == 0
+    ).select("payload", "lengths_payload", "block_id")
+    rows = (
+        sample.mapInArrow(_hist, "bin long, cnt long")
+        .groupBy("bin")
+        .agg(F.sum("cnt").alias("cnt"))
+        .collect()
+    )
+    hist = np.zeros(nbins, dtype=np.int64)
+    for r in rows:
+        hist[int(r["bin"])] = int(r["cnt"])
+    total = int(hist.sum())
+    if total == 0:
+        # uniform fallback: no sampled blocks (or empty ones)
+        step = span / n_files
+        pts = sorted({lo + int(step * k) for k in range(1, n_files)})
+        return [p for p in pts if lo <= p < hi]
+    csum = np.cumsum(hist)
+    targets = (np.arange(1, n_files) * total) // n_files
+    bins = np.searchsorted(csum, targets, side="left")
+    # strictly increasing in bin space: when several equal-mass targets
+    # land in one hot bin (zipfian head), advance — a bin cannot be
+    # split further, and collapsing points would collapse output files
+    mono, last = [], -1
+    for b in bins:
+        b = int(b) if int(b) > last else last + 1
+        if b >= nbins - 1:
+            break
+        mono.append(b)
+        last = b
+    # split AFTER the bin that crosses the target: tokens <= point go left
+    pts = sorted({lo + int((b + 1) * span // nbins) - 1 for b in mono})
+    return [p for p in pts if lo <= p < hi]
+
+
+def _index_rows_blob(
+    encoded: DataFrame,
+    lo: int,
+    hi: int,
+    n_files: int,
+    doc_pattern: str,
+    positional: bool = False,
+) -> DataFrame:
+    """Corpus blocks → encoded index rows via packed-blob merge — the
+    full-build fast path (the row path, :func:`_postings_to_index_rows`,
+    stays for incremental refresh merges).
+
+    The row path shuffles one Spark row per (token, document) posting —
+    a doc_id STRING, two longs, and Tungsten row overhead per posting —
+    then sorts them.  At 10x-anchor scale that is ~10^8 rows through a
+    range shuffle; the shuffle + sort dominated the build (1.9 Mtok/s
+    vs 30+ for encode).  This path instead:
+
+    - extracts each block's postings fully vectorized (same composite
+      (token-lo)*n_docs+doc key as :func:`token_postings`), converts
+      doc_id → doc_num ONCE PER DOCUMENT (not per posting), and
+    - packs each block's postings, pre-sorted by (token, doc_num), into
+      ONE shuffle row per (block, token-range part): int32/int64 numpy
+      buffers — ~20 bytes/posting and ~10^4× fewer shuffle rows;
+    - a range shuffle on the part id (postings-balanced split points
+      from :func:`_token_split_points`) co-locates each token range;
+      the reducer concatenates blobs, one lexsort per part replaces the
+      row sort, and the per-token segment walk emits the same rows as
+      the row path ((token, doc) pairs are unique ACROSS blocks — each
+      document lives in exactly one block — so concatenation needs no
+      occurrence merging).
+    """
+    import numpy as np
+
+    splits = _token_split_points(encoded, lo, hi, n_files)
+    lo_i, hi_i = int(lo), int(hi)
+
+    def _pack(it):
+        import re as _re
+
+        import pyarrow as pa
+
+        from .codecs import kernels
+
+        pat = _re.compile(doc_pattern)
+        bounds = np.asarray(splits, dtype=np.int64)
+        for batch in it:
+            for i in range(batch.num_rows):
+                vals = kernels.decode(
+                    memoryview(batch.column("payload")[i].as_buffer())
+                )
+                mask = (vals >= np.int32(lo_i)) & (vals <= np.int32(hi_i))
+                full = bool(mask.all())
+                if not full and not mask.any():
+                    continue
+                lens = kernels.decode(
+                    memoryview(
+                        batch.column("lengths_payload")[i].as_buffer()
+                    )
+                ).astype(np.int64)
+                ends = np.cumsum(lens)
+                pos = (
+                    np.arange(vals.size, dtype=np.int64)
+                    if full
+                    else np.nonzero(mask)[0]
+                )
+                if pos.size == 0:
+                    continue
+                doc_ix = np.searchsorted(ends, pos, side="right")
+                nd = int(lens.size)
+                key = (vals[pos].astype(np.int64) - lo_i) * nd + doc_ix
+                order = np.argsort(key, kind="stable")
+                k = key[order]
+                bnd = np.concatenate(
+                    ([0], np.flatnonzero(np.diff(k)) + 1, [k.size])
+                )
+                heads = k[bnd[:-1]]
+                occ = np.diff(bnd).astype(np.int32)
+                tok = (lo_i + heads // nd).astype(np.int64)
+                dix = (heads % nd).astype(np.int64)
+                doc_ids = batch.column("doc_ids")[i].as_py()
+                dnum = np.empty(nd, dtype=np.int64)
+                for j, d in enumerate(doc_ids):
+                    m = pat.search(d)
+                    if m is None:
+                        raise ValueError(
+                            f"doc_id {d!r} does not match doc_pattern "
+                            f"{doc_pattern!r}"
+                        )
+                    dnum[j] = int(m.group(1))
+                doc = dnum[dix]
+                if positional:
+                    doc_starts = ends - lens
+                    within = (pos - doc_starts[doc_ix]).astype(np.int32)[
+                        order
+                    ]
+                # postings are key-sorted = (token, block-local doc ix);
+                # re-sort by (token, GLOBAL doc_num) for the merge
+                perm = np.lexsort((doc, tok))
+                tok = tok[perm]
+                doc = doc[perm]
+                if positional:
+                    cnt = occ.astype(np.int64)
+                    pstart = np.concatenate(([0], np.cumsum(cnt)))[:-1]
+                    sel_s = pstart[perm]
+                    sel_c = cnt[perm]
+                    tot = int(sel_c.sum())
+                    idx = np.repeat(sel_s, sel_c) + (
+                        np.arange(tot, dtype=np.int64)
+                        - np.repeat(
+                            np.concatenate(([0], np.cumsum(sel_c)))[:-1],
+                            sel_c,
+                        )
+                    )
+                    within = within[idx]
+                occ = occ[perm]
+                part = np.searchsorted(bounds, tok, side="left").astype(
+                    np.int64
+                )
+                runs = np.concatenate(
+                    ([0], np.flatnonzero(np.diff(part)) + 1, [part.size])
+                )
+                parts_out, toks_out, docs_out, occs_out, pos_out = (
+                    [], [], [], [], []
+                )
+                if positional:
+                    poffs = np.concatenate(([0], np.cumsum(occ)))
+                for s, e in zip(runs[:-1], runs[1:]):
+                    parts_out.append(int(part[s]))
+                    toks_out.append(tok[s:e].astype(np.int32).tobytes())
+                    docs_out.append(doc[s:e].tobytes())
+                    occs_out.append(occ[s:e].tobytes())
+                    if positional:
+                        pos_out.append(
+                            within[poffs[s]: poffs[e]].tobytes()
+                        )
+                arrays = [
+                    pa.array(parts_out, pa.int64()),
+                    pa.array(toks_out, pa.binary()),
+                    pa.array(docs_out, pa.binary()),
+                    pa.array(occs_out, pa.binary()),
+                ]
+                names = ["part", "tok_blob", "doc_blob", "occ_blob"]
+                if positional:
+                    arrays.append(pa.array(pos_out, pa.binary()))
+                    names.append("pos_blob")
+                yield pa.RecordBatch.from_arrays(arrays, names)
+
+    pruned = encoded.filter(
+        (F.col("vmin") <= F.lit(hi_i)) & (F.col("vmax") >= F.lit(lo_i))
+    ).select("doc_ids", "payload", "lengths_payload", "block_id")
+    blob_schema = "part long, tok_blob binary, doc_blob binary, occ_blob binary"
+    if positional:
+        blob_schema += ", pos_blob binary"
+    blobs = pruned.mapInArrow(_pack, blob_schema)
+    # identity-partition on part: exactly one reducer per token range
+    # (repartitionByRange samples and MERGES low-cardinality keys —
+    # n_files distinct part ids routinely collapse to fewer partitions,
+    # making one reducer do 2× the work and widening file token spans).
+    # The blob rows already live in Python workers, so the RDD hop adds
+    # one pickle pass over the packed buffers, not a format change.
+    spark_ = encoded.sparkSession
+    n_parts = max(len(splits) + 1, 1)
+    parted = spark_.createDataFrame(
+        blobs.rdd.map(lambda r: (r["part"], r))
+        .partitionBy(n_parts, lambda k: int(k))
+        .values(),
+        schema=blobs.schema,
+    )
+
+    def _merge(it):
+        import pyarrow as pa
+
+        bufs: dict = {}
+        for batch in it:
+            parts = batch.column("part").to_numpy(zero_copy_only=False)
+            for i in range(batch.num_rows):
+                b = bufs.setdefault(int(parts[i]), ([], [], [], []))
+                b[0].append(
+                    np.frombuffer(
+                        batch.column("tok_blob")[i].as_buffer(),
+                        dtype=np.int32,
+                    )
+                )
+                b[1].append(
+                    np.frombuffer(
+                        batch.column("doc_blob")[i].as_buffer(),
+                        dtype=np.int64,
+                    )
+                )
+                b[2].append(
+                    np.frombuffer(
+                        batch.column("occ_blob")[i].as_buffer(),
+                        dtype=np.int32,
+                    )
+                )
+                if positional:
+                    b[3].append(
+                        np.frombuffer(
+                            batch.column("pos_blob")[i].as_buffer(),
+                            dtype=np.int32,
+                        )
+                    )
+
+        def _emit(rows):
+            cols = list(zip(*rows))
+            arrays = [
+                pa.array(cols[0], pa.int64()),
+                pa.array(cols[1], pa.int64()),
+                pa.array(cols[2], pa.int64()),
+                pa.array(cols[3], pa.int64()),
+                pa.array(cols[4], pa.int64()),
+                pa.array(cols[5], pa.string()),
+                pa.array(cols[6], pa.binary()),
+                pa.array(cols[7], pa.binary()),
+            ]
+            names = list(_INDEX_ROW_NAMES)
+            if positional:
+                arrays.append(pa.array(cols[8], pa.binary()))
+                names.append("pos_payload")
+            return pa.RecordBatch.from_arrays(arrays, names)
+
+        for p in sorted(bufs):
+            toks, docs, occs, poss = bufs.pop(p)
+            tok = np.concatenate(toks).astype(np.int64)
+            doc = np.concatenate(docs)
+            occ = np.concatenate(occs).astype(np.int64)
+            perm = np.lexsort((doc, tok))
+            tok, doc, occ = tok[perm], doc[perm], occ[perm]
+            if positional:
+                # gather position segments (split sidecar = pre-perm
+                # occ) into the merged (token, doc) order
+                pflat = np.concatenate(poss)
+                occ0 = np.concatenate(occs).astype(np.int64)
+                start0 = np.concatenate(([0], np.cumsum(occ0)))[:-1]
+                sel_s = start0[perm]
+                sel_c = occ0[perm]
+                tot = int(sel_c.sum())
+                idx = np.repeat(sel_s, sel_c) + (
+                    np.arange(tot, dtype=np.int64)
+                    - np.repeat(
+                        np.concatenate(([0], np.cumsum(sel_c)))[:-1], sel_c
+                    )
+                )
+                pflat = pflat[idx]
+                poffs = np.concatenate(([0], np.cumsum(occ)))
+            starts = np.concatenate(
+                ([0], np.flatnonzero(np.diff(tok)) + 1)
+            )
+            ends_ = np.concatenate((starts[1:], [tok.size]))
+            rows = []
+            for s, e in zip(starts, ends_):
+                args = [int(tok[s]), doc[s:e], occ[s:e]]
+                if positional:
+                    args.append(pflat[poffs[s]: poffs[e]])
+                rows.append(_enc_index_row(*args))
+                if len(rows) >= 4096:
+                    yield _emit(rows)
+                    rows = []
+            if rows:
+                yield _emit(rows)
+
+    schema = _INDEX_ROW_SCHEMA + (
+        ", pos_payload binary" if positional else ""
+    )
+    return parted.mapInArrow(_merge, schema)
 
 
 def _commit_doc_stats(
