@@ -239,6 +239,33 @@ def _q_phrase_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return phrase_count_indexed(spark, idx_dir, [3, 7])
 
 
+def _q_proximity_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directional NEAR/5 served from the POSITIONAL inverted index
+    (analytics.proximity_count_indexed, first=3, second=7, max_gap=5):
+    the two tokens' position lists join on doc_num and a JVM
+    higher-order aggregate counts the window pairs — the corpus is
+    never opened.  DuckDB replays the per-center 1-based list_filter
+    window count from the raw token arrays (same oracle shape as
+    proximity_count)."""
+    import shutil
+
+    from archive_spark import engine
+    from archive_spark.analytics import (
+        build_token_index,
+        proximity_count_indexed,
+    )
+    from archive_spark.tokengen import token_table
+
+    df = token_table(spark, 5_000, seed=42)
+    _persist(df.select("doc_id", "source", "tokens"), "prox_idx_input", sf_dir)
+    enc = engine.encode(df, target_block_values=1 << 15)
+    base = os.path.basename(sf_dir.rstrip("/"))
+    idx_dir = f"{ORACLE_DIR}/{base}/prox_index_table"
+    shutil.rmtree(idx_dir, ignore_errors=True)
+    build_token_index(enc, idx_dir, n_files=4, positions=True)
+    return proximity_count_indexed(spark, idx_dir, 3, 7, 5)
+
+
 def _q_index_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental index maintenance (analytics.refresh_token_index):
     the index is built over the corpus's FIRST 3000 docs, then the
@@ -3233,6 +3260,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clustering_audit": _q_clustering_audit,
         "index_refresh": _q_index_refresh,
         "phrase_indexed": _q_phrase_indexed,
+        "proximity_indexed": _q_proximity_indexed,
         "kmeans_lloyd": _q_kmeans_lloyd,
         "fuzzy_link": _q_fuzzy_link,
         "dataloader_batch": _q_dataloader_batch,
@@ -3797,6 +3825,19 @@ def oracle_sql() -> dict[str, str]:
             "i -> tokens[i] = 3 AND tokens[i+1] = 7)) AS occ "
             f"FROM read_parquet('{_opath('phrase_idx_input')}')"
             ") GROUP BY source HAVING SUM(occ) > 0 ORDER BY source"
+        ),
+        "proximity_indexed": (
+            "WITH ctr AS (SELECT doc_id, source, tokens, "
+            "unnest(list_filter(range(1, len(tokens)+1), i -> tokens[i] = 3)) AS i "
+            f"FROM read_parquet('{_opath('prox_idx_input')}')), "
+            "pc AS (SELECT doc_id, source, "
+            "len(list_filter(range(i+1, least(len(tokens), i+5)+1), "
+            "j -> tokens[j] = 7)) AS c FROM ctr), "
+            "perdoc AS (SELECT doc_id, source, SUM(c)::BIGINT AS occ "
+            "FROM pc GROUP BY doc_id, source) "
+            "SELECT source, COUNT(*) FILTER (WHERE occ > 0)::BIGINT AS n_docs, "
+            "SUM(occ)::BIGINT AS n_pairs FROM perdoc "
+            "GROUP BY source HAVING SUM(occ) > 0 ORDER BY source"
         ),
         "index_refresh": (
             "WITH per AS ("

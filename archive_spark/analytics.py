@@ -2752,3 +2752,68 @@ def phrase_count_indexed(
         )
         .orderBy("source")
     )
+
+
+def proximity_count_indexed(
+    spark, index_dir: str, first: int, second: int, max_gap: int
+) -> DataFrame:
+    """Directional ``A NEAR/k B`` served from a POSITIONAL index — same
+    contract as the corpus-scan :func:`proximity_count` (its oracle):
+    per source, documents with ≥ 1 pair and the total count of pairs
+    where ``second`` occurs 1..``max_gap`` positions after ``first``.
+
+    Plan: the two tokens' positional postings come from a manifest-
+    pruned index read; one join on doc_num pairs the position arrays,
+    and the pair count is a JVM higher-order aggregate (per ``first``
+    position, size of the filtered ``second`` window) — no exploded
+    pair list, no corpus scan, O(postings of the two query tokens).
+    Positions are within-document, so document-boundary clipping is
+    structural."""
+    import os as _os
+
+    from . import table as snap_table
+
+    a, b, G = int(first), int(second), int(max_gap)
+    if G <= 0:
+        raise ValueError("max_gap must be positive")
+    meta = index_meta(index_dir)
+    if not meta.get("positions", False):
+        raise ValueError(
+            f"{index_dir} was built without positions — rebuild with "
+            "build_token_index(positions=True) for proximity search"
+        )
+    toks = sorted({a, b})
+    rows = snap_table.read(
+        spark, index_dir, prune={"token": (toks[0], toks[-1])}
+    ).filter(F.col("token").isin(toks))
+    post = _decode_index_rows(rows, positional=True)
+    pa_ = post.filter(F.col("token") == a).select(
+        "doc_num", F.col("positions").alias("pa")
+    )
+    pb_ = post.filter(F.col("token") == b).select(
+        "doc_num", F.col("positions").alias("pb")
+    )
+    occ = F.aggregate(
+        "pa",
+        F.lit(0).cast("long"),
+        lambda acc, p: acc
+        + F.size(F.filter("pb", lambda x: (x > p) & (x <= p + F.lit(G)))),
+    )
+    per_doc = (
+        pa_.join(pb_, "doc_num")
+        .select("doc_num", occ.alias("occ"))
+        .filter(F.col("occ") > 0)
+    )
+    ds = snap_table.read(spark, _os.path.join(index_dir, "docstats")).select(
+        "doc_num",
+        F.regexp_extract("doc_id", r"^(.+)-\d+$", 1).alias("source"),
+    )
+    return (
+        per_doc.join(ds, "doc_num")
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("occ").cast("bigint").alias("n_pairs"),
+        )
+        .orderBy("source")
+    )

@@ -212,6 +212,29 @@ def _numeric(doc_id: str) -> int:
     return int(re.search(r"(\d+)$", doc_id).group(1))
 
 
+def test_proximity_indexed_matches_corpus_scan(spark, tmp_path):
+    from archive_spark.tokengen import token_table
+
+    df = token_table(spark, 2000, seed=42)
+    enc = engine.encode(df, target_block_values=1 << 15).persist()
+    idx = str(tmp_path / "pos")
+    analytics.build_token_index(enc, idx, n_files=4, positions=True)
+    for a, b, g in ((3, 7, 5), (7, 3, 2), (7, 7, 4)):
+        want = sorted(
+            tuple(r) for r in analytics.proximity_count(enc, a, b, g).collect()
+        )
+        got = sorted(
+            tuple(r)
+            for r in analytics.proximity_count_indexed(
+                spark, idx, a, b, g
+            ).collect()
+        )
+        assert want == got, (a, b, g)
+    with pytest.raises(ValueError, match="max_gap"):
+        analytics.proximity_count_indexed(spark, idx, 3, 7, 0)
+    enc.unpersist()
+
+
 def test_positional_refresh_and_refusal(spark, tmp_path):
     from archive_spark.tokengen import token_table
 
