@@ -266,6 +266,76 @@ def _q_proximity_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return proximity_count_indexed(spark, idx_dir, 3, 7, 5)
 
 
+def _q_boolean_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean retrieval served from the inverted index
+    (analytics.boolean_search_indexed: must=[3], any_of=[7,11],
+    none_of=[13]) — AND is one groupBy over the query tokens' postings,
+    OR a distinct union, NOT an anti join; the corpus is never opened.
+    Per source: matching-doc count + md5 digest of the sorted doc-id
+    list, so a wrong result SET cannot hash right.  DuckDB replays the
+    predicate from the raw token arrays with list_contains."""
+    import shutil
+
+    from archive_spark import engine
+    from archive_spark.analytics import (
+        boolean_search_indexed,
+        build_token_index,
+    )
+    from archive_spark.tokengen import token_table
+
+    df = token_table(spark, 5_000, seed=42)
+    _persist(df.select("doc_id", "source", "tokens"), "boolsearch_input", sf_dir)
+    enc = engine.encode(df, target_block_values=1 << 15)
+    base = os.path.basename(sf_dir.rstrip("/"))
+    idx_dir = f"{ORACLE_DIR}/{base}/bool_index_table"
+    shutil.rmtree(idx_dir, ignore_errors=True)
+    build_token_index(enc, idx_dir, n_files=4)
+    out = boolean_search_indexed(
+        spark, idx_dir, must=[3], any_of=[7, 11], none_of=[13]
+    )
+    return (
+        out.select(
+            "doc_id",
+            F.regexp_extract("doc_id", r"^(.+)-\d+$", 1).alias("source"),
+        )
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.md5(
+                F.concat_ws(",", F.sort_array(F.collect_list("doc_id")))
+            ).alias("ids_md5"),
+        )
+        .orderBy("source")
+    )
+
+
+def _q_concordance_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index-served KWIC (analytics.concordance_indexed, phrase [3,7],
+    window=3): occurrences located via the positional inverted index,
+    corpus decode pruned to the hit documents' blocks (zone range +
+    arrays_overlap — the search-engine fetch path), context windows
+    identical to the corpus-scan concordance.  DuckDB replays from the
+    raw token arrays with 1-based list_filter positions and inclusive
+    list slicing (same oracle shape as concordance)."""
+    import shutil
+
+    from archive_spark import engine
+    from archive_spark.analytics import build_token_index, concordance_indexed
+    from archive_spark.tokengen import token_table
+
+    df = token_table(spark, 5_000, seed=42)
+    _persist(df.select("doc_id", "tokens"), "conc_idx_input", sf_dir)
+    enc = engine.encode(df, target_block_values=1 << 15)
+    base = os.path.basename(sf_dir.rstrip("/"))
+    idx_dir = f"{ORACLE_DIR}/{base}/conc_index_table"
+    shutil.rmtree(idx_dir, ignore_errors=True)
+    build_token_index(enc, idx_dir, n_files=4, positions=True)
+    out = concordance_indexed(spark, idx_dir, enc, [3, 7], window=3)
+    return out.select(
+        "doc_id", "pos", F.concat_ws(",", F.col("context")).alias("context_csv")
+    ).orderBy("doc_id", "pos")
+
+
 def _q_index_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental index maintenance (analytics.refresh_token_index):
     the index is built over the corpus's FIRST 3000 docs, then the
@@ -3261,6 +3331,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "index_refresh": _q_index_refresh,
         "phrase_indexed": _q_phrase_indexed,
         "proximity_indexed": _q_proximity_indexed,
+        "concordance_indexed": _q_concordance_indexed,
+        "boolean_search": _q_boolean_search,
         "kmeans_lloyd": _q_kmeans_lloyd,
         "fuzzy_link": _q_fuzzy_link,
         "dataloader_batch": _q_dataloader_batch,
@@ -3838,6 +3910,24 @@ def oracle_sql() -> dict[str, str]:
             "SELECT source, COUNT(*) FILTER (WHERE occ > 0)::BIGINT AS n_docs, "
             "SUM(occ)::BIGINT AS n_pairs FROM perdoc "
             "GROUP BY source HAVING SUM(occ) > 0 ORDER BY source"
+        ),
+        "boolean_search": (
+            "SELECT source, COUNT(*)::BIGINT AS n_docs, "
+            "md5(string_agg(doc_id, ',' ORDER BY doc_id)) AS ids_md5 "
+            f"FROM read_parquet('{_opath('boolsearch_input')}') "
+            "WHERE list_contains(tokens, 3) "
+            "AND (list_contains(tokens, 7) OR list_contains(tokens, 11)) "
+            "AND NOT list_contains(tokens, 13) "
+            "GROUP BY source ORDER BY source"
+        ),
+        "concordance_indexed": (
+            "SELECT doc_id, (i - 1)::BIGINT AS pos, "
+            "array_to_string(tokens[greatest(1, i - 3):least(len(tokens), i + 4)], ',') "
+            "AS context_csv FROM ("
+            "SELECT doc_id, tokens, unnest(list_filter(range(1, len(tokens)), "
+            "i -> tokens[i] = 3 AND tokens[i+1] = 7)) AS i "
+            f"FROM read_parquet('{_opath('conc_idx_input')}')"
+            ") ORDER BY doc_id, pos"
         ),
         "index_refresh": (
             "WITH per AS ("

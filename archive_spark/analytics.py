@@ -2590,6 +2590,65 @@ def token_index_lookup(
     return _decode_index_rows(df)
 
 
+def boolean_search_indexed(
+    spark,
+    index_dir: str,
+    must: "list[int]" = (),
+    any_of: "list[int]" = (),
+    none_of: "list[int]" = (),
+) -> DataFrame:
+    """Boolean document retrieval served ENTIRELY from the inverted
+    index: docs containing every ``must`` token AND at least one
+    ``any_of`` token AND no ``none_of`` token.  Returns
+    ``(doc_num, doc_id)``.
+
+    Plan: one manifest-pruned index read for the query tokens'
+    postings; AND = one groupBy(doc_num) counting distinct must-tokens,
+    OR = distinct union, NOT = anti join — all O(query-token postings),
+    the corpus is never opened.  With no positive clause the universe
+    comes from the doc-stats sidecar (still no corpus scan)."""
+    import os as _os
+
+    from . import table as snap_table
+
+    must = sorted({int(t) for t in must})
+    any_of = sorted({int(t) for t in any_of})
+    none_of = sorted({int(t) for t in none_of})
+    probe = sorted(set(must) | set(any_of) | set(none_of))
+    post = (
+        token_index_lookup(spark, index_dir, probe) if probe else None
+    )
+    base = None
+    if must:
+        base = (
+            post.filter(F.col("token").isin(must))
+            .groupBy("doc_num")
+            .agg(F.count_distinct("token").alias("k"))
+            .filter(F.col("k") == len(must))
+            .select("doc_num")
+        )
+    if any_of:
+        hits = (
+            post.filter(F.col("token").isin(any_of))
+            .select("doc_num")
+            .distinct()
+        )
+        base = hits if base is None else base.join(hits, "doc_num", "semi")
+    ds = snap_table.read(spark, _os.path.join(index_dir, "docstats")).select(
+        "doc_num", "doc_id"
+    )
+    if base is None:
+        base = ds.select("doc_num")
+    if none_of:
+        neg = (
+            post.filter(F.col("token").isin(none_of))
+            .select("doc_num")
+            .distinct()
+        )
+        base = base.join(neg, "doc_num", "anti")
+    return base.join(ds, "doc_num").select("doc_num", "doc_id")
+
+
 def _decode_index_rows(df: DataFrame, positional: bool = False) -> DataFrame:
     """Encoded index rows → exploded ``(token, doc_num, occ[,
     positions])`` postings (the inverse of ``_postings_to_index_rows``).
@@ -2688,6 +2747,54 @@ def token_index_summary(
     )
 
 
+def _phrase_hit_positions(
+    spark, index_dir: str, phrase: "list[int]"
+) -> DataFrame:
+    """Exact phrase occurrences from a POSITIONAL index:
+    ``(doc_num, ap)`` rows, one per occurrence, ``ap`` = 0-based
+    in-document start position.  Each phrase slot i fetches its token's
+    positional postings (manifest-pruned index read), shifts positions
+    by -i, and an occurrence is a (doc, shifted-position) cell hit by
+    ALL slots — one groupBy over the exploded positions of the query
+    tokens only (O(sum of query-token postings); the corpus is never
+    opened).  Repeated tokens in the phrase work: slots are distinct
+    rows."""
+    from . import table as snap_table
+
+    if len(phrase) < 1:
+        raise ValueError("empty phrase")
+    meta = index_meta(index_dir)
+    if not meta.get("positions", False):
+        raise ValueError(
+            f"{index_dir} was built without positions — rebuild with "
+            "build_token_index(positions=True) for phrase search"
+        )
+    toks = sorted(set(int(t) for t in phrase))
+    rows = snap_table.read(
+        spark, index_dir, prune={"token": (toks[0], toks[-1])}
+    ).filter(F.col("token").isin(toks))
+    post = _decode_index_rows(rows, positional=True)
+    L = len(phrase)
+    slots = None
+    for i, t in enumerate(phrase):
+        part = (
+            post.filter(F.col("token") == int(t))
+            .select("doc_num", F.explode("positions").alias("p"))
+            .select(
+                "doc_num",
+                (F.col("p") - F.lit(i)).alias("ap"),
+                F.lit(i).alias("slot"),
+            )
+        )
+        slots = part if slots is None else slots.unionByName(part)
+    return (
+        slots.groupBy("doc_num", "ap")
+        .agg(F.count_distinct("slot").alias("k"))
+        .filter(F.col("k") == L)
+        .select("doc_num", "ap")
+    )
+
+
 def phrase_count_indexed(
     spark, index_dir: str, phrase: "list[int]"
 ) -> DataFrame:
@@ -2715,29 +2822,7 @@ def phrase_count_indexed(
             f"{index_dir} was built without positions — rebuild with "
             "build_token_index(positions=True) for phrase search"
         )
-    toks = sorted(set(int(t) for t in phrase))
-    rows = snap_table.read(
-        spark, index_dir, prune={"token": (toks[0], toks[-1])}
-    ).filter(F.col("token").isin(toks))
-    post = _decode_index_rows(rows, positional=True)
-    L = len(phrase)
-    slots = None
-    for i, t in enumerate(phrase):
-        part = (
-            post.filter(F.col("token") == int(t))
-            .select("doc_num", F.explode("positions").alias("p"))
-            .select(
-                "doc_num",
-                (F.col("p") - F.lit(i)).alias("ap"),
-                F.lit(i).alias("slot"),
-            )
-        )
-        slots = part if slots is None else slots.unionByName(part)
-    hits = (
-        slots.groupBy("doc_num", "ap")
-        .agg(F.count_distinct("slot").alias("k"))
-        .filter(F.col("k") == L)
-    )
+    hits = _phrase_hit_positions(spark, index_dir, phrase)
     per_doc = hits.groupBy("doc_num").agg(F.count("*").alias("occ"))
     ds = snap_table.read(spark, _os.path.join(index_dir, "docstats")).select(
         "doc_num",
@@ -2817,3 +2902,51 @@ def proximity_count_indexed(
         )
         .orderBy("source")
     )
+
+
+def concordance_indexed(
+    spark,
+    index_dir: str,
+    encoded: DataFrame,
+    phrase: "list[int]",
+    window: int = 3,
+) -> DataFrame:
+    """KWIC served by the index: occurrences come from the POSITIONAL
+    inverted index, and the corpus decode is pruned to ONLY the hit
+    documents' blocks — the classic search-engine fetch path
+    (index → doc ids → targeted block decode → context slice), vs the
+    corpus-scan :func:`concordance` which is its oracle (identical
+    output contract: one row per occurrence, 0-based position, clipped
+    context window).
+
+    Plan: index read is O(query-token postings); the hit doc-id set is
+    O(result rows) — the same driver-side bound as
+    ``engine.decode(targets=...)``, whose two-level pruning this
+    reuses (doc_min/doc_max zone range pushes into the parquet scan,
+    ``arrays_overlap`` prunes the survivors exactly); the decode +
+    context gather then touch only hit blocks, so the read stays
+    O(result), never O(corpus)."""
+    import os as _os
+
+    from . import table as snap_table
+
+    hits = _phrase_hit_positions(spark, index_dir, phrase)
+    ds = snap_table.read(spark, _os.path.join(index_dir, "docstats")).select(
+        "doc_num", "doc_id"
+    )
+    hit_ids = sorted(
+        r.doc_id
+        for r in hits.select("doc_num").distinct().join(ds, "doc_num")
+        .select("doc_id").collect()
+    )
+    if not hit_ids:
+        return concordance(encoded.filter(F.lit(False)), phrase, window)
+    pruned = encoded.filter(
+        (F.col("doc_min") <= F.lit(hit_ids[-1]))
+        & (F.col("doc_max") >= F.lit(hit_ids[0]))
+    ).filter(
+        F.arrays_overlap(
+            F.col("doc_ids"), F.array(*[F.lit(t) for t in hit_ids])
+        )
+    )
+    return concordance(pruned, phrase, window)

@@ -3500,6 +3500,82 @@ def pq_ann(
     )
 
 
+def _ivfpq_code_df(emb: DataFrame, C: "np.ndarray", books: "np.ndarray"):
+    """One ``mapInArrow`` pass over (vec_id, embedding): assign each
+    vector its IVF cell (GEMM vs the centroids) and its m one-byte PQ
+    codes, then cluster by cell so each parquet file covers few cells
+    (the manifest's cell [min,max] stats prune files per probe).
+    Shared by :func:`ivfpq_build` (fresh params) and
+    :func:`ivfpq_append` (frozen sidecar params)."""
+    import pyarrow as pa
+    from typing import Iterator
+
+    mm_, kk_, sub = books.shape
+    n_centroids = C.shape[0]
+
+    def kernel(it: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in it:
+            ids = batch.column("vec_id")
+            flat = np.asarray(batch.column("embedding").values, dtype=np.float64)
+            X = flat.reshape(batch.num_rows, -1)
+            Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+            cell = np.argmax(Xn @ C.T, axis=1).astype(np.int32)
+            codes = np.empty((batch.num_rows, mm_), dtype=np.int32)
+            for j in range(mm_):
+                S = Xn[:, j * sub:(j + 1) * sub]
+                d2 = -2.0 * (S @ books[j].T) + (books[j] ** 2).sum(axis=1)[None, :]
+                codes[:, j] = d2.argmin(axis=1)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    ids,
+                    pa.array(cell, pa.int32()),
+                    pa.array(list(codes), pa.list_(pa.int32())),
+                ],
+                names=["vec_id", "cell", "codes"],
+            )
+
+    coded = emb.select("vec_id", "embedding").mapInArrow(
+        kernel, "vec_id long, cell int, codes array<int>"
+    )
+    return coded.repartitionByRange(
+        max(4, n_centroids // 4), "cell"
+    ).sortWithinPartitions("cell", "vec_id")
+
+
+def ivfpq_append(new_emb: DataFrame, table_dir: str) -> str:
+    """Incremental IVF-PQ maintenance: encode a NEW embedding batch
+    with the index's FROZEN sidecar parameters (centroids + codebooks
+    stay fixed — the faiss ``add`` contract: recall for old vectors is
+    untouched, new vectors are immediately searchable) and append the
+    cell-clustered code files as one snapshot — O(new batch), the
+    existing code files are never rewritten and keep pruning through
+    their manifest cell stats.
+
+    A batch containing an already-indexed vec_id is refused (search
+    assumes unique ids; refusing beats returning the same vector
+    twice) — the same rule as the token index's
+    ``refresh_token_index``.  Returns the committed snapshot id."""
+    from . import table as snap_table
+
+    spark = new_emb.sparkSession
+    idx = np.load(os.path.join(table_dir, "_ann", "index.npz"))
+    C, books = idx["centroids"], idx["books"]
+    dup = (
+        snap_table.read(spark, table_dir)
+        .select("vec_id")
+        .join(F.broadcast(new_emb.select("vec_id").distinct()), "vec_id")
+        .limit(1)
+        .collect()
+    )
+    if dup:
+        raise ValueError(
+            f"vec_id {dup[0].vec_id} is already indexed in {table_dir} — "
+            "ivfpq_append has no per-vector replace semantics"
+        )
+    clustered = _ivfpq_code_df(new_emb, C, books)
+    return snap_table.commit(clustered, table_dir, mode="append")
+
+
 def ivfpq_build(
     emb: DataFrame,
     table_dir: str,
@@ -3527,37 +3603,7 @@ def ivfpq_build(
 
     C = ivf_train_centroids(emb, n_centroids, iters=train_iters, seed=seed)
     books = pq_train(emb, m=m, k=k, sample_limit=sample_limit)
-    mm_, kk_, sub = books.shape
-
-    def kernel(it: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
-        for batch in it:
-            ids = batch.column("vec_id")
-            flat = np.asarray(batch.column("embedding").values, dtype=np.float64)
-            X = flat.reshape(batch.num_rows, -1)
-            Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
-            cell = np.argmax(Xn @ C.T, axis=1).astype(np.int32)
-            codes = np.empty((batch.num_rows, mm_), dtype=np.int32)
-            for j in range(mm_):
-                S = Xn[:, j * sub:(j + 1) * sub]
-                d2 = -2.0 * (S @ books[j].T) + (books[j] ** 2).sum(axis=1)[None, :]
-                codes[:, j] = d2.argmin(axis=1)
-            yield pa.RecordBatch.from_arrays(
-                [
-                    ids,
-                    pa.array(cell, pa.int32()),
-                    pa.array(list(codes), pa.list_(pa.int32())),
-                ],
-                names=["vec_id", "cell", "codes"],
-            )
-
-    coded = emb.select("vec_id", "embedding").mapInArrow(
-        kernel, "vec_id long, cell int, codes array<int>"
-    )
-    # cluster by cell so each parquet file covers few cells — the
-    # manifest's cell [min,max] stats then prune files per probe
-    clustered = coded.repartitionByRange(
-        max(4, n_centroids // 4), "cell"
-    ).sortWithinPartitions("cell", "vec_id")
+    clustered = _ivfpq_code_df(emb, C, books)
     sid = snap_table.commit(clustered, table_dir)
     ann_dir = os.path.join(table_dir, "_ann")
     os.makedirs(ann_dir, exist_ok=True)

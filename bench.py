@@ -424,6 +424,16 @@ def main() -> None:
         "q_token_index_lookup",
         lambda: an_mod.token_index_summary(spark, idx_dir, probe_toks).collect(),
     )
+    timed(
+        "q_boolean_search_indexed",
+        lambda: an_mod.boolean_search_indexed(
+            spark,
+            idx_dir,
+            must=probe_toks[:2],
+            any_of=probe_toks[2:4],
+            none_of=probe_toks[4:5],
+        ).count(),
+    )
     _rep = snap_table.plan_report(
         idx_dir, None, {"token": (min(probe_toks), max(probe_toks))}
     )

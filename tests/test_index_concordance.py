@@ -1,0 +1,127 @@
+"""Index-served KWIC (analytics.concordance_indexed): occurrences from
+the positional inverted index, corpus decode pruned to hit blocks —
+must be row-identical to the corpus-scan concordance (its oracle)."""
+
+import pytest
+
+from archive_spark import analytics, engine
+
+
+def _rows(df):
+    return sorted(
+        (r.doc_id, r.pos, tuple(r.context)) for r in df.collect()
+    )
+
+
+def test_concordance_indexed_matches_corpus_scan(spark, tmp_path):
+    from archive_spark.tokengen import token_table
+
+    df = token_table(spark, 2000, seed=42)
+    enc = engine.encode(df, target_block_values=1 << 15).persist()
+    idx = str(tmp_path / "pos")
+    analytics.build_token_index(enc, idx, n_files=4, positions=True)
+    for phrase, win in (([3, 7], 3), ([7], 0), ([3, 7], 5)):
+        want = _rows(analytics.concordance(enc, phrase, window=win))
+        got = _rows(
+            analytics.concordance_indexed(spark, idx, enc, phrase, window=win)
+        )
+        assert want == got, (phrase, win)
+        assert len(got) > 0, (phrase, win)
+    enc.unpersist()
+
+
+def test_concordance_indexed_no_hits_and_refusal(spark, tmp_path):
+    from archive_spark.tokengen import token_table
+
+    df = token_table(spark, 500, seed=7)
+    enc = engine.encode(df, target_block_values=1 << 15).persist()
+    idx = str(tmp_path / "pos")
+    analytics.build_token_index(enc, idx, n_files=2, positions=True)
+    # a phrase containing an absent token — empty result, stable schema
+    out = analytics.concordance_indexed(spark, idx, enc, [3, 999_999_999])
+    assert out.count() == 0
+    assert out.columns == ["doc_id", "pos", "context"]
+    # unpositional index refuses positional service, typed
+    idx2 = str(tmp_path / "nopos")
+    analytics.build_token_index(enc, idx2, n_files=2, positions=False)
+    with pytest.raises(ValueError, match="positions"):
+        analytics.concordance_indexed(spark, idx2, enc, [3, 7])
+    enc.unpersist()
+
+
+def test_boolean_search_indexed_matches_raw_predicate(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from archive_spark.analytics import (
+        boolean_search_indexed,
+        build_token_index,
+    )
+    from archive_spark.tokengen import token_table
+
+    df = token_table(spark, 2000, seed=42).persist()
+    enc = engine.encode(df, target_block_values=1 << 15)
+    idx = str(tmp_path / "idx")
+    build_token_index(enc, idx, n_files=4)
+
+    def raw(pred):
+        return {r.doc_id for r in df.filter(pred).select("doc_id").collect()}
+
+    def served(**kw):
+        return {
+            r.doc_id
+            for r in boolean_search_indexed(spark, idx, **kw).collect()
+        }
+
+    has = lambda t: F.array_contains("tokens", t)
+    cases = [
+        (dict(must=[3, 7]), has(3) & has(7)),
+        (dict(any_of=[3, 11]), has(3) | has(11)),
+        (dict(none_of=[3]), ~has(3)),
+        (
+            dict(must=[3], any_of=[7, 11], none_of=[13]),
+            has(3) & (has(7) | has(11)) & ~has(13),
+        ),
+        (dict(must=[3, 3]), has(3)),  # duplicate must-tokens collapse
+    ]
+    for kw, pred in cases:
+        assert served(**kw) == raw(pred), kw
+    # no clauses at all = the universe (docstats, still no corpus scan)
+    assert served() == raw(F.lit(True))
+    # an absent must-token empties the result; an absent none_of is a no-op
+    assert served(must=[3, 10**9]) == set()
+    assert served(must=[3], none_of=[10**9]) == raw(has(3))
+    df.unpersist()
+
+
+def test_concordance_indexed_unique_phrase_prunes(spark, tmp_path):
+    """A phrase occurring in ONE crafted doc: the indexed path finds
+    exactly that occurrence, and its block prune (the decode input)
+    keeps only blocks holding the hit doc."""
+    from pyspark.sql import functions as F
+
+    from archive_spark.tokengen import token_table
+
+    base = token_table(spark, 1000, seed=11)
+    special = spark.createDataFrame(
+        [("zz-special-0", [500100, 500200, 500300], 3, "zz")],
+        "doc_id string, tokens array<int>, n_tok int, source string",
+    )
+    df = base.unionByName(special)
+    enc = engine.encode(df, target_block_values=1 << 14).persist()
+    idx = str(tmp_path / "pos")
+    analytics.build_token_index(enc, idx, n_files=4, positions=True)
+    got = _rows(
+        analytics.concordance_indexed(
+            spark, idx, enc, [500100, 500200, 500300], window=2
+        )
+    )
+    assert got == [("zz-special-0", 0, (500100, 500200, 500300))]
+    # the prune that concordance_indexed applies keeps only the hit
+    # doc's blocks — replicate it to show the fetch is O(result)
+    hit = enc.filter(
+        (F.col("doc_min") <= "zz-special-0")
+        & (F.col("doc_max") >= "zz-special-0")
+        & F.arrays_overlap(F.col("doc_ids"), F.array(F.lit("zz-special-0")))
+    ).count()
+    assert 0 < hit < enc.count()
+    enc.unpersist()

@@ -1,0 +1,74 @@
+"""Incremental IVF-PQ maintenance (pipeline_ops.ivfpq_append): a new
+batch encodes under the FROZEN sidecar params and appends as one
+snapshot — search must equal a one-shot encode of the union under the
+same params, old code files must stay byte-untouched, and duplicate
+vec_ids must be refused."""
+
+import glob
+import os
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from archive_spark import pipeline_ops as po
+from archive_spark import table as snap_table
+
+SF = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    df = spark.read.parquet(f"{SF}/embeddings.parquet").cache()
+    df.count()
+    return df
+
+
+def _topk(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_ivfpq_append_equals_union_encode(spark, emb, tmp_path):
+    old = emb.filter(F.col("vec_id") % 5 != 0)
+    new = emb.filter(F.col("vec_id") % 5 == 0)
+    idx = str(tmp_path / "ivfpq")
+    po.ivfpq_build(old, idx, n_centroids=16, m=16, k=64)
+    before = {
+        p: os.path.getmtime(p)
+        for p in glob.glob(os.path.join(idx, "data", "*", "*.parquet"))
+    }
+    po.ivfpq_append(new, idx)
+    # old code files byte-untouched (append never rewrites)
+    for p, mt in before.items():
+        assert os.path.getmtime(p) == mt, p
+    # reference: one-shot encode of the union under the SAME frozen
+    # params, committed to a fresh dir sharing the sidecar
+    sidecar = np.load(os.path.join(idx, "_ann", "index.npz"))
+    ref_dir = str(tmp_path / "ref")
+    snap_table.commit(
+        po._ivfpq_code_df(emb, sidecar["centroids"], sidecar["books"]),
+        ref_dir,
+    )
+    os.makedirs(os.path.join(ref_dir, "_ann"), exist_ok=True)
+    np.savez(
+        os.path.join(ref_dir, "_ann", "index.npz"),
+        centroids=sidecar["centroids"],
+        books=sidecar["books"],
+    )
+    queries = [1, 7, 20, 35]
+    got = _topk(po.ivfpq_search(emb, idx, queries, topk=5, n_probe=8, rerank=4))
+    want = _topk(
+        po.ivfpq_search(emb, ref_dir, queries, topk=5, n_probe=8, rerank=4)
+    )
+    assert got == want
+    # an appended (vec_id % 5 == 0) vector is immediately searchable:
+    # it appears somewhere in the results for at least one query
+    appended = {int(r.vec_id) for r in new.select("vec_id").collect()}
+    assert any(v in appended for _, v, _ in got)
+
+
+def test_ivfpq_append_refuses_duplicate_ids(spark, emb, tmp_path):
+    idx = str(tmp_path / "ivfpq")
+    po.ivfpq_build(emb.filter(F.col("vec_id") < 200), idx, n_centroids=8, m=16, k=32)
+    with pytest.raises(ValueError, match="already indexed"):
+        po.ivfpq_append(emb.filter(F.col("vec_id") < 10), idx)
