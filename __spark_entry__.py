@@ -266,6 +266,55 @@ def _q_proximity_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return proximity_count_indexed(spark, idx_dir, 3, 7, 5)
 
 
+def _q_index_takedown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-be-forgotten on the search index
+    (analytics.takedown_index_docs): docs with doc_num % 7 == 0 are
+    tombstoned via an O(|keys|) equality-delete on the doc-stats
+    sidecar — no index rewrite — then boolean retrieval (must=[3],
+    none_of=[13]) is served from the tombstoned index.  Result must
+    equal a query over the surviving corpus only: DuckDB replays the
+    predicate from the raw token arrays WHERE the doc is NOT a victim,
+    digest-pinning the exact doc-id set per source."""
+    import shutil
+
+    from archive_spark import engine
+    from archive_spark.analytics import (
+        boolean_search_indexed,
+        build_token_index,
+        takedown_index_docs,
+    )
+    from archive_spark.tokengen import token_table
+
+    df = token_table(spark, 5_000, seed=42)
+    _persist(df.select("doc_id", "source", "tokens"), "idx_takedown_input", sf_dir)
+    enc = engine.encode(df, target_block_values=1 << 15)
+    base = os.path.basename(sf_dir.rstrip("/"))
+    idx_dir = f"{ORACLE_DIR}/{base}/takedown_index_table"
+    shutil.rmtree(idx_dir, ignore_errors=True)
+    build_token_index(enc, idx_dir, n_files=4)
+    num = F.regexp_extract("doc_id", r"(\d+)$", 1).cast("long")
+    victims = [
+        r.doc_id
+        for r in df.filter(num % 7 == 0).select("doc_id").collect()
+    ]
+    takedown_index_docs(spark, idx_dir, victims)
+    out = boolean_search_indexed(spark, idx_dir, must=[3], none_of=[13])
+    return (
+        out.select(
+            "doc_id",
+            F.regexp_extract("doc_id", r"^(.+)-\d+$", 1).alias("source"),
+        )
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.md5(
+                F.concat_ws(",", F.sort_array(F.collect_list("doc_id")))
+            ).alias("ids_md5"),
+        )
+        .orderBy("source")
+    )
+
+
 def _q_boolean_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Boolean retrieval served from the inverted index
     (analytics.boolean_search_indexed: must=[3], any_of=[7,11],
@@ -3333,6 +3382,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "proximity_indexed": _q_proximity_indexed,
         "concordance_indexed": _q_concordance_indexed,
         "boolean_search": _q_boolean_search,
+        "index_takedown": _q_index_takedown,
         "kmeans_lloyd": _q_kmeans_lloyd,
         "fuzzy_link": _q_fuzzy_link,
         "dataloader_batch": _q_dataloader_batch,
@@ -3910,6 +3960,15 @@ def oracle_sql() -> dict[str, str]:
             "SELECT source, COUNT(*) FILTER (WHERE occ > 0)::BIGINT AS n_docs, "
             "SUM(occ)::BIGINT AS n_pairs FROM perdoc "
             "GROUP BY source HAVING SUM(occ) > 0 ORDER BY source"
+        ),
+        "index_takedown": (
+            "SELECT source, COUNT(*)::BIGINT AS n_docs, "
+            "md5(string_agg(doc_id, ',' ORDER BY doc_id)) AS ids_md5 "
+            f"FROM read_parquet('{_opath('idx_takedown_input')}') "
+            "WHERE list_contains(tokens, 3) "
+            "AND NOT list_contains(tokens, 13) "
+            "AND regexp_extract(doc_id, '(\\d+)$', 1)::BIGINT % 7 <> 0 "
+            "GROUP BY source ORDER BY source"
         ),
         "boolean_search": (
             "SELECT source, COUNT(*)::BIGINT AS n_docs, "

@@ -2389,26 +2389,48 @@ def _commit_doc_stats(
             positions = bool(index_meta(index_dir).get("positions", False))
         except FileNotFoundError:
             positions = False
-    _rewrite_index_meta(index_dir, sid, doc_pattern, n_files, positions)
+    _rewrite_index_meta(
+        index_dir, sid, doc_pattern, n_files, positions,
+        spark=encoded.sparkSession,
+    )
 
 
 def _rewrite_index_meta(
     index_dir: str, sid: str, doc_pattern: str, n_files: int,
-    positions: bool = False,
+    positions: bool = False, spark=None,
 ) -> None:
     import json as _json
     import os as _os
 
     from . import table as snap_table
 
-    ss = snap_table.stats_summary(_os.path.join(index_dir, "docstats"))
+    ds_dir = _os.path.join(index_dir, "docstats")
+    m = snap_table.read_manifest(
+        ds_dir, snap_table.current_snapshot_id(ds_dir)
+    )
+    if m.deletes:
+        # pending equality deletes (takedown_index_docs): manifest sums
+        # include the masked rows — aggregate the LIVE read instead so
+        # N/total_dl stay exact for BM25's frozen corpus stats
+        if spark is None:
+            raise ValueError(
+                "docstats has pending delete entries — a SparkSession is "
+                "required to recompute live corpus stats"
+            )
+        row = snap_table.read(spark, ds_dir).agg(
+            F.count("*").alias("n"), F.sum("dl").alias("dl")
+        ).collect()[0]
+        n_docs, total_dl = int(row["n"]), int(row["dl"] or 0)
+    else:
+        ss = snap_table.stats_summary(ds_dir)
+        n_docs, total_dl = int(ss["n_rows"]), int(ss["sums"].get("dl", 0))
     tmp = _os.path.join(index_dir, ".index_meta.json.tmp")
     with open(tmp, "w") as f:
         _json.dump(
             {
                 "snapshot_id": sid,
-                "n_docs": int(ss["n_rows"]),
-                "total_dl": int(ss["sums"].get("dl", 0)),
+                "n_docs": n_docs,
+                "total_dl": total_dl,
                 "doc_pattern": doc_pattern,
                 "n_files": int(n_files),
                 "positions": bool(positions),
@@ -2416,6 +2438,46 @@ def _rewrite_index_meta(
             f,
         )
     _os.replace(tmp, _os.path.join(index_dir, "index_meta.json"))
+
+
+def takedown_index_docs(
+    spark, index_dir: str, doc_ids: "list[str]"
+) -> str:
+    """Right-to-be-forgotten on the SEARCH INDEX without a rebuild:
+    O(|keys|) equality-delete entry on the doc-stats sidecar (the table
+    layer's sequence-scoped takedown — audit trail, time travel and
+    re-ingest semantics come for free) + an exact live recompute of the
+    frozen BM25 corpus stats.  Every retrieval face joins postings to
+    the live doc-stats read, so tombstoned docs stop serving the moment
+    this commits: BM25 (live df + adjusted N/avgdl), boolean, phrase,
+    proximity and KWIC all answer as if the index had been rebuilt over
+    the surviving corpus — pinned by tests against exactly that
+    rebuild.  Physical posting purge happens at the next
+    :func:`refresh_token_index` (which drops tombstoned doc numbers
+    during its merge); until then the postings are masked, not gone —
+    the same logical-then-physical lifecycle as the corpus table's
+    ``delete_rows`` → ``purge_docs``.  Returns the docstats snapshot
+    id."""
+    import os as _os
+
+    from . import table as snap_table
+
+    meta = index_meta(index_dir)
+    sid = snap_table.delete_rows(
+        spark,
+        _os.path.join(index_dir, "docstats"),
+        sorted(set(doc_ids)),
+        key="doc_id",
+    )
+    _rewrite_index_meta(
+        index_dir,
+        meta["snapshot_id"],
+        meta["doc_pattern"],
+        int(meta.get("n_files", 8)),
+        bool(meta.get("positions", False)),
+        spark=spark,
+    )
+    return sid
 
 
 def refresh_token_index(
@@ -2474,7 +2536,8 @@ def refresh_token_index(
         )
         .distinct()
     )
-    ds = snap_table.read(spark, _os.path.join(index_dir, "docstats"))
+    ds_dir = _os.path.join(index_dir, "docstats")
+    ds = snap_table.read(spark, ds_dir)
     dup = ds.join(new_nums, "doc_num").count()
     if dup:
         raise ValueError(
@@ -2484,6 +2547,21 @@ def refresh_token_index(
     old_post = _decode_index_rows(
         snap_table.read(spark, index_dir), positional=positional
     )
+    ds_manifest = snap_table.read_manifest(
+        ds_dir, snap_table.current_snapshot_id(ds_dir)
+    )
+    if ds_manifest.deletes:
+        # takedown_index_docs tombstones become PHYSICAL here: doc
+        # numbers masked from the live docstats read are dropped from
+        # the old postings before the merge — so a taken-down doc can
+        # re-enter through this very batch (the table layer's sequence
+        # scoping resurrects its docstats row with a newer seq)
+        tomb = (
+            snap_table.read(spark, ds_dir, apply_deletes=False)
+            .select("doc_num")
+            .subtract(ds.select("doc_num"))
+        )
+        old_post = old_post.join(tomb, "doc_num", "anti")
     merged = old_post.unionByName(new_post)
     sid = snap_table.commit(
         _postings_to_index_rows(merged, n_files, positional=positional),
@@ -2534,16 +2612,16 @@ def bm25_topk_indexed(
     avgdl = float(meta["total_dl"]) / n_corpus
     toks = sorted({int(t) for t in query_tokens})
     post = token_index_lookup(spark, index_dir, toks)
-    dfs = (
-        snap_table.read(
-            spark, index_dir, prune={"token": (toks[0], toks[-1])}
-        )
-        .filter(F.col("token").isin(toks))
-        .select("token", "df")
-    )
     dl = snap_table.read(spark, _os.path.join(index_dir, "docstats")).select(
         "doc_num", "doc_id", F.col("dl").cast("double").alias("dl")
     )
+    # the dl join is INNER against the live doc-stats read, so postings
+    # of tombstoned docs (takedown_index_docs) drop here; df is then
+    # counted over the SURVIVORS — together with the live-recomputed
+    # N/avgdl in index_meta this makes the ranking identical to an
+    # index rebuilt over the surviving corpus
+    live = post.join(dl, "doc_num")
+    dfs = live.groupBy("token").agg(F.count("*").alias("df"))
     idf = F.log(
         F.lit(1.0)
         + (F.lit(n_corpus) - F.col("df") + F.lit(0.5))
@@ -2554,8 +2632,7 @@ def bm25_topk_indexed(
         + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.lit(avgdl))
     )
     scored = (
-        post.join(F.broadcast(dfs), "token")
-        .join(dl, "doc_num")
+        live.join(F.broadcast(dfs), "token")
         .select("doc_id", (idf * tf_term).alias("term_score"))
         .groupBy("doc_id")
         .agg(F.sum("term_score").alias("score"))
@@ -2949,4 +3026,10 @@ def concordance_indexed(
             F.col("doc_ids"), F.array(*[F.lit(t) for t in hit_ids])
         )
     )
-    return concordance(pruned, phrase, window)
+    # the block scan re-finds matches in EVERY doc of a surviving block
+    # — keep only the index-confirmed hit docs (load-bearing after
+    # takedown_index_docs: a tombstoned doc sharing a block with a live
+    # hit must not serve)
+    return concordance(pruned, phrase, window).filter(
+        F.col("doc_id").isin(hit_ids)
+    )

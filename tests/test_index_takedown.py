@@ -1,0 +1,130 @@
+"""Index takedown parity (analytics.takedown_index_docs): after an
+O(|keys|) tombstone on the doc-stats sidecar, every retrieval face must
+answer exactly like an index REBUILT over the surviving corpus — and
+the next refresh makes the purge physical (refresh(tombstoned-A, B)
+== build((A - T) ∪ B)), including re-ingest of a taken-down doc."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from archive_spark import analytics, engine, table
+from archive_spark.tokengen import token_table
+
+def NUM():
+    return F.regexp_extract("doc_id", r"(\d+)$", 1).cast("long")
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_takedown_serves_like_rebuild(spark, tmp_path):
+    full = token_table(spark, 1500, seed=9).persist()
+    victims = [
+        r.doc_id for r in full.filter(NUM() % 7 == 0).select("doc_id").collect()
+    ]
+    enc_full = engine.encode(full, target_block_values=1 << 14).persist()
+    enc_surv = engine.encode(
+        full.filter(NUM() % 7 != 0), target_block_values=1 << 14
+    ).persist()
+    idx, ref = str(tmp_path / "idx"), str(tmp_path / "ref")
+    analytics.build_token_index(enc_full, idx, n_files=4, positions=True)
+    analytics.build_token_index(enc_surv, ref, n_files=4, positions=True)
+    analytics.takedown_index_docs(spark, idx, victims)
+
+    # frozen corpus stats adjusted exactly
+    mi, mr = analytics.index_meta(idx), analytics.index_meta(ref)
+    assert (mi["n_docs"], mi["total_dl"]) == (mr["n_docs"], mr["total_dl"])
+
+    probes = [
+        r["token"]
+        for r in table.read(spark, ref).orderBy(F.desc("df")).limit(4).collect()
+    ]
+    # BM25: live df + adjusted N/avgdl == rebuild
+    assert _rows(
+        analytics.bm25_topk_indexed(spark, idx, probes, k=10)
+    ) == _rows(analytics.bm25_topk_indexed(spark, ref, probes, k=10))
+    # boolean retrieval
+    assert _rows(
+        analytics.boolean_search_indexed(
+            spark, idx, must=probes[:1], none_of=probes[1:2]
+        ).select("doc_id")
+    ) == _rows(
+        analytics.boolean_search_indexed(
+            spark, ref, must=probes[:1], none_of=probes[1:2]
+        ).select("doc_id")
+    )
+    # phrase + proximity (per-source aggregates)
+    assert _rows(
+        analytics.phrase_count_indexed(spark, idx, [3, 7])
+    ) == _rows(analytics.phrase_count_indexed(spark, ref, [3, 7]))
+    assert _rows(
+        analytics.proximity_count_indexed(spark, idx, 3, 7, 5)
+    ) == _rows(analytics.proximity_count_indexed(spark, ref, 3, 7, 5))
+    # KWIC: the tombstoned docs share blocks with live hits in the FULL
+    # corpus encoding — the index-confirmed filter must drop them
+    got = _rows(
+        analytics.concordance_indexed(spark, idx, enc_full, [3, 7], 2)
+        .select("doc_id", "pos", F.concat_ws(",", "context").alias("ctx"))
+    )
+    want = _rows(
+        analytics.concordance(enc_surv, [3, 7], 2)
+        .select("doc_id", "pos", F.concat_ws(",", "context").alias("ctx"))
+    )
+    assert got == want and len(got) > 0
+    assert not any(d in set(victims) for d, _, _ in got)
+    for e in (enc_full, enc_surv, full):
+        e.unpersist()
+
+
+def test_refresh_after_takedown_purges_and_resurrects(spark, tmp_path):
+    full = token_table(spark, 1500, seed=5).persist()
+    a = full.filter(NUM() < 1000)
+    b = full.filter(NUM() >= 1000)
+    enc_a = engine.encode(a)
+    # victims: a slice of A, one of which re-enters with batch B
+    victims = [
+        r.doc_id
+        for r in a.filter(NUM() % 11 == 0).select("doc_id").collect()
+    ]
+    back = victims[0]
+    enc_b_plus = engine.encode(
+        b.unionByName(full.filter(F.col("doc_id") == back))
+    )
+    idx, ref = str(tmp_path / "idx"), str(tmp_path / "ref")
+    analytics.build_token_index(enc_a, idx, n_files=4)
+    analytics.takedown_index_docs(spark, idx, victims)
+    analytics.refresh_token_index(spark, idx, enc_b_plus)
+
+    # reference: built from scratch over (A - T) ∪ (B + back)
+    surv = full.filter(
+        (~F.col("doc_id").isin(victims)) | (F.col("doc_id") == back)
+    )
+    analytics.build_token_index(engine.encode(surv), ref, n_files=4)
+    pa_ = sorted(
+        tuple(r)
+        for r in analytics._decode_index_rows(table.read(spark, idx)).collect()
+    )
+    pb_ = sorted(
+        tuple(r)
+        for r in analytics._decode_index_rows(table.read(spark, ref)).collect()
+    )
+    assert pa_ == pb_ and len(pa_) > 100
+    mi, mr = analytics.index_meta(idx), analytics.index_meta(ref)
+    assert (mi["n_docs"], mi["total_dl"]) == (mr["n_docs"], mr["total_dl"])
+    # a doc that is tombstoned and NOT re-ingested stays refused-free:
+    # its doc_num is gone physically, so re-ingesting it NOW works too
+    back2 = victims[1]
+    analytics.refresh_token_index(
+        spark, idx, engine.encode(full.filter(F.col("doc_id") == back2))
+    )
+    live = {
+        r.doc_id
+        for r in table.read(spark, str(tmp_path / "idx" / "docstats"))
+        .select("doc_id")
+        .collect()
+    }
+    assert back2 in live and set(victims[2:]).isdisjoint(live)
+    full.unpersist()
