@@ -3542,7 +3542,9 @@ def _ivfpq_code_df(emb: DataFrame, C: "np.ndarray", books: "np.ndarray"):
     ).sortWithinPartitions("cell", "vec_id")
 
 
-def ivfpq_append(new_emb: DataFrame, table_dir: str) -> str:
+def ivfpq_append(
+    new_emb: DataFrame, table_dir: str, snapshot_id: str | None = None
+) -> str:
     """Incremental IVF-PQ maintenance: encode a NEW embedding batch
     with the index's FROZEN sidecar parameters (centroids + codebooks
     stay fixed — the faiss ``add`` contract: recall for old vectors is
@@ -3573,7 +3575,9 @@ def ivfpq_append(new_emb: DataFrame, table_dir: str) -> str:
             "ivfpq_append has no per-vector replace semantics"
         )
     clustered = _ivfpq_code_df(new_emb, C, books)
-    return snap_table.commit(clustered, table_dir, mode="append")
+    return snap_table.commit(
+        clustered, table_dir, mode="append", snapshot_id=snapshot_id
+    )
 
 
 def ivfpq_build(

@@ -540,3 +540,56 @@ def start_index_refresh_sink(
     if available_now:
         w = w.trigger(availableNow=True)
     return w.start()
+
+
+def start_ann_append_sink(
+    stream: DataFrame,
+    table_dir: str,
+    checkpoint_dir: str,
+    available_now: bool = True,
+):
+    """Maintain a persisted IVF-PQ index from an embedding stream: each
+    micro-batch of (vec_id, embedding) rows encodes under the index's
+    FROZEN sidecar parameters (``pipeline_ops.ivfpq_append`` — the
+    faiss ``add`` contract) and appends one cell-clustered snapshot, so
+    new vectors are searchable one batch after ingest and existing code
+    files are never rewritten.
+
+    Exactly-once in the upsert-sink style: the append uses a
+    DETERMINISTIC snapshot id derived from the batch id — a replayed
+    micro-batch finds its committed manifest and skips; a crash replay
+    clears the partial (unreferenced) staging dir first.  After a full
+    checkpoint loss, a replay that preserves the original batching
+    skips cleanly; one that REGROUPS already-indexed vec_ids hits
+    ``ivfpq_append``'s duplicate refusal — a loud ValueError, never a
+    silently double-indexed vector."""
+    from . import pipeline_ops as po
+    from . import table as snap_table
+
+    def append_batch(df: DataFrame, batch_id: int) -> None:
+        import os
+        import shutil
+
+        sid = f"annapp-{batch_id:012d}"
+        try:
+            snap_table.read_manifest(table_dir, sid, resolve=False)
+            return  # replayed micro-batch: already committed
+        except FileNotFoundError:
+            pass
+        if df.isEmpty():
+            return
+        shutil.rmtree(os.path.join(table_dir, "data", sid),
+                      ignore_errors=True)
+        try:
+            po.ivfpq_append(df, table_dir, snapshot_id=sid)
+        except snap_table.CommitConflict:
+            pass  # lost a concurrent-replay race: already committed
+
+    w = (
+        stream.writeStream.foreachBatch(append_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )
+    if available_now:
+        w = w.trigger(availableNow=True)
+    return w.start()

@@ -72,3 +72,84 @@ def test_ivfpq_append_refuses_duplicate_ids(spark, emb, tmp_path):
     po.ivfpq_build(emb.filter(F.col("vec_id") < 200), idx, n_centroids=8, m=16, k=32)
     with pytest.raises(ValueError, match="already indexed"):
         po.ivfpq_append(emb.filter(F.col("vec_id") < 10), idx)
+
+
+def test_ivfpq_takedown_via_table_deletes(spark, emb, tmp_path):
+    """delete_rows(key=vec_id) on the code table: ivfpq_search reads
+    through the live snapshot read, so tombstoned vectors stop serving
+    immediately — identical to a table that never indexed them (the
+    sidecar params are frozen either way)."""
+    idx = str(tmp_path / "ivfpq")
+    po.ivfpq_build(emb, idx, n_centroids=16, m=16, k=64)
+    sidecar = np.load(os.path.join(idx, "_ann", "index.npz"))
+    victims = [r.vec_id for r in emb.filter(F.col("vec_id") % 9 == 0)
+               .select("vec_id").collect()]
+    snap_table.delete_rows(spark, idx, victims, key="vec_id")
+
+    ref = str(tmp_path / "ref")
+    snap_table.commit(
+        po._ivfpq_code_df(
+            emb.filter(F.col("vec_id") % 9 != 0),
+            sidecar["centroids"], sidecar["books"],
+        ),
+        ref,
+    )
+    os.makedirs(os.path.join(ref, "_ann"), exist_ok=True)
+    np.savez(os.path.join(ref, "_ann", "index.npz"),
+             centroids=sidecar["centroids"], books=sidecar["books"])
+    queries = [1, 7, 20]
+    got = _topk(po.ivfpq_search(emb, idx, queries, topk=5, n_probe=8, rerank=4))
+    want = _topk(po.ivfpq_search(emb, ref, queries, topk=5, n_probe=8, rerank=4))
+    assert got == want and len(got) == 15
+    assert not any(v in set(victims) for _, v, _ in got)
+
+
+def test_ann_append_sink_exactly_once(spark, emb, tmp_path):
+    from archive_spark import streaming
+
+    old = emb.filter(F.col("vec_id") % 4 != 0)
+    new = emb.filter(F.col("vec_id") % 4 == 0)
+    idx = str(tmp_path / "ivfpq")
+    po.ivfpq_build(old, idx, n_centroids=16, m=16, k=64)
+
+    src, ckpt = str(tmp_path / "src"), str(tmp_path / "ckpt")
+    new.filter(F.col("vec_id") % 8 == 0).write.mode("append").parquet(src)
+    new.filter(F.col("vec_id") % 8 != 0).write.mode("append").parquet(src)
+    stream = (
+        spark.readStream.schema(new.schema).format("parquet")
+        .option("maxFilesPerTrigger", "1").load(src)
+    )
+    q = streaming.start_ann_append_sink(stream, idx, ckpt)
+    q.awaitTermination(240)
+
+    # equal to a one-shot append of the whole batch under frozen params
+    sidecar = np.load(os.path.join(idx, "_ann", "index.npz"))
+    ref = str(tmp_path / "ref")
+    snap_table.commit(
+        po._ivfpq_code_df(emb, sidecar["centroids"], sidecar["books"]), ref
+    )
+    os.makedirs(os.path.join(ref, "_ann"), exist_ok=True)
+    np.savez(os.path.join(ref, "_ann", "index.npz"),
+             centroids=sidecar["centroids"], books=sidecar["books"])
+    queries = [1, 7, 20, 32]
+    got = _topk(po.ivfpq_search(emb, idx, queries, topk=5, n_probe=8, rerank=4))
+    want = _topk(po.ivfpq_search(emb, ref, queries, topk=5, n_probe=8, rerank=4))
+    assert got == want
+
+    # restart on the same checkpoint: no new snapshot
+    import shutil as _sh
+    from archive_spark import table as _t
+
+    cur = _t.current_snapshot_id(idx)
+    q2 = streaming.start_ann_append_sink(
+        spark.readStream.schema(new.schema).format("parquet")
+        .option("maxFilesPerTrigger", "1").load(src), idx, ckpt)
+    q2.awaitTermination(120)
+    assert _t.current_snapshot_id(idx) == cur
+    # checkpoint loss: deterministic snapshot ids skip the replay
+    _sh.rmtree(ckpt)
+    q3 = streaming.start_ann_append_sink(
+        spark.readStream.schema(new.schema).format("parquet")
+        .option("maxFilesPerTrigger", "1").load(src), idx, ckpt)
+    q3.awaitTermination(120)
+    assert _t.current_snapshot_id(idx) == cur
