@@ -1,0 +1,125 @@
+"""spark-submit entry point: the retrieval lane over a persisted
+inverted token index — build/refresh the index, then serve BM25,
+boolean, phrase, proximity and KWIC queries and takedowns, all without
+ever scanning the corpus (KWIC decodes only the hit documents' blocks).
+
+One JSON object on stdout.
+
+Usage:
+  spark-submit --py-files dist/archive_spark.zip jobs/search_job.py \
+      --index /path/idx \
+      [--build-from /path/tokens_parquet [--positions]] \
+      [--bm25 "3,7" --topk 10] \
+      [--boolean-must "3" --boolean-any "7,11" --boolean-none "13"] \
+      [--phrase "3,7"] [--near "3,7,5"] \
+      [--kwic "3,7" --window 3] \
+      [--takedown "doc-a,doc-b"]
+
+``--kwic`` requires ``--build-from`` (it needs the encoded corpus for
+the targeted block decode; the encode is cached in-session).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+
+
+def _ints(s: str) -> list[int]:
+    return [int(t) for t in s.split(",") if t.strip() != ""]
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--index", required=True)
+    ap.add_argument("--build-from",
+                    help="tokens parquet (doc_id, tokens, n_tok, source): "
+                         "encode + build the index before serving")
+    ap.add_argument("--positions", action="store_true",
+                    help="positional index (phrase/near/kwic need this)")
+    ap.add_argument("--n-files", type=int, default=8)
+    ap.add_argument("--bm25", help="query tokens, comma-separated")
+    ap.add_argument("--topk", type=int, default=10)
+    ap.add_argument("--boolean-must", default="")
+    ap.add_argument("--boolean-any", default="")
+    ap.add_argument("--boolean-none", default="")
+    ap.add_argument("--phrase", help="consecutive tokens, comma-separated")
+    ap.add_argument("--near", help="A,B,max_gap")
+    ap.add_argument("--kwic", help="phrase tokens (needs --build-from)")
+    ap.add_argument("--window", type=int, default=3)
+    ap.add_argument("--takedown",
+                    help="comma-separated doc_ids to tombstone FIRST")
+    args = ap.parse_args()
+
+    from pyspark.sql import SparkSession
+
+    from archive_spark import analytics as an
+    from archive_spark import engine
+
+    spark = SparkSession.builder.appName("archive_spark_search").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    out: dict = {"index": args.index}
+
+    enc = None
+    if args.build_from:
+        docs = spark.read.parquet(args.build_from)
+        enc = engine.encode(docs).persist()
+        an.build_token_index(
+            enc, args.index, n_files=args.n_files, positions=args.positions
+        )
+        out["built_from"] = args.build_from
+    meta = an.index_meta(args.index)
+    out["n_docs"] = meta["n_docs"]
+
+    if args.takedown:
+        victims = [d for d in args.takedown.split(",") if d]
+        an.takedown_index_docs(spark, args.index, victims)
+        out["takedown"] = {
+            "n_keys": len(victims),
+            "n_docs_live": an.index_meta(args.index)["n_docs"],
+        }
+
+    if args.bm25:
+        rows = an.bm25_topk_indexed(
+            spark, args.index, _ints(args.bm25), k=args.topk
+        ).collect()
+        out["bm25"] = [[r.doc_id, int(r.score_x1e4)] for r in rows]
+    if args.boolean_must or args.boolean_any or args.boolean_none:
+        hits = an.boolean_search_indexed(
+            spark, args.index,
+            must=_ints(args.boolean_must),
+            any_of=_ints(args.boolean_any),
+            none_of=_ints(args.boolean_none),
+        )
+        out["boolean"] = {
+            "n_docs": hits.count(),
+            "sample": [r.doc_id for r in hits.orderBy("doc_id").limit(10).collect()],
+        }
+    if args.phrase:
+        rows = an.phrase_count_indexed(
+            spark, args.index, _ints(args.phrase)
+        ).collect()
+        out["phrase"] = [[r.source, int(r.n_docs), int(r.n_occurrences)]
+                         for r in rows]
+    if args.near:
+        a, b, g = _ints(args.near)
+        rows = an.proximity_count_indexed(spark, args.index, a, b, g).collect()
+        out["near"] = [[r.source, int(r.n_docs), int(r.n_pairs)] for r in rows]
+    if args.kwic:
+        if enc is None:
+            raise SystemExit("--kwic requires --build-from (encoded corpus)")
+        rows = (
+            an.concordance_indexed(
+                spark, args.index, enc, _ints(args.kwic), window=args.window
+            )
+            .orderBy("doc_id", "pos")
+            .limit(20)
+            .collect()
+        )
+        out["kwic"] = [[r.doc_id, int(r.pos), list(r.context)] for r in rows]
+
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

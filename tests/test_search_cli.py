@@ -1,0 +1,82 @@
+"""search_job CLI driven through spark-submit --py-files (the shipping
+surface): build a positional index from a tokens parquet, serve BM25 /
+boolean / phrase / NEAR / KWIC, then tombstone docs and prove the
+serve set shrank — all in two CLI invocations."""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _spark_submit(zip_path: str, job: str, *args: str, timeout: int = 300):
+    return subprocess.run(
+        [
+            "spark-submit",
+            "--master", "local[4]",
+            "--conf", "spark.sql.shuffle.partitions=8",
+            "--py-files", zip_path,
+            os.path.join(REPO, "jobs", job),
+            *args,
+        ],
+        capture_output=True, text=True, timeout=timeout,
+    )
+
+
+@pytest.fixture(scope="module")
+def zip_path():
+    out = subprocess.run(
+        [sys.executable, os.path.join(REPO, "jobs", "package.py")],
+        capture_output=True, text=True, check=True,
+    )
+    return out.stdout.strip().splitlines()[-1]
+
+
+@pytest.fixture(scope="module")
+def tokens_path(spark, tmp_path_factory):
+    from archive_spark.tokengen import token_table
+
+    p = str(tmp_path_factory.mktemp("searchcli") / "tokens")
+    token_table(spark, 600, seed=5).write.parquet(p)
+    return p
+
+
+def test_search_job_build_and_serve(zip_path, tokens_path, tmp_path):
+    idx = str(tmp_path / "idx")
+    r = _spark_submit(
+        zip_path, "search_job.py",
+        "--index", idx, "--build-from", tokens_path, "--positions",
+        "--n-files", "4",
+        "--bm25", "3,7", "--topk", "5",
+        "--boolean-must", "3", "--boolean-none", "13",
+        "--phrase", "3,7", "--near", "3,7,5",
+        "--kwic", "3,7", "--window", "2",
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    rep = json.loads(r.stdout.strip().splitlines()[-1])
+    assert rep["n_docs"] == 600
+    assert len(rep["bm25"]) == 5 and all(s > 0 for _, s in rep["bm25"])
+    assert rep["boolean"]["n_docs"] > 0
+    assert sum(n for _, _, n in rep["phrase"]) > 0
+    assert sum(n for _, _, n in rep["near"]) > 0
+    assert rep["kwic"] and all(len(c) >= 2 for _, _, c in rep["kwic"])
+
+    # second invocation: tombstone the boolean sample, re-serve
+    victims = rep["boolean"]["sample"][:5]
+    r2 = _spark_submit(
+        zip_path, "search_job.py",
+        "--index", idx,
+        "--takedown", ",".join(victims),
+        "--boolean-must", "3", "--boolean-none", "13",
+    )
+    assert r2.returncode == 0, r2.stderr[-2000:]
+    rep2 = json.loads(r2.stdout.strip().splitlines()[-1])
+    assert rep2["takedown"]["n_docs_live"] == 600 - len(victims)
+    assert rep2["boolean"]["n_docs"] == rep["boolean"]["n_docs"] - len(victims)
+    assert not set(victims) & set(rep2["boolean"]["sample"])
