@@ -266,6 +266,27 @@ def _q_proximity_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return proximity_count_indexed(spark, idx_dir, 3, 7, 5)
 
 
+def _q_cdc_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking dedup (pipeline_ops.cdc_chunks +
+    cdc_dedup_stats, FastCDC-style gear hash, min/avg/max =
+    64/256/1024 over the documents' utf-8 bytes): per source, chunk
+    and byte totals plus the distinct chunks / bytes a chunk-hash-keyed
+    store would hold (each distinct chunk charged to its first holder
+    in doc_id order).  Shared-artifact oracle: the chunk table persists
+    and DuckDB replays both aggregates (totals by own source; uniques
+    via arg_min(source, doc_id) per chunk_hash) from the same rows —
+    the chunker itself is pinned by partition/bounds/locality pytests."""
+    from archive_spark.pipeline_ops import cdc_chunks, cdc_dedup_stats
+
+    docs = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("string").alias("doc_id"), "source", "text"
+    )
+    chunks = cdc_chunks(docs, col="text", min_size=64, avg_size=256,
+                        max_size=1024)
+    path = _persist(chunks, "cdc_chunks", sf_dir)
+    return cdc_dedup_stats(spark.read.parquet(path))
+
+
 def _q_index_takedown(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Right-to-be-forgotten on the search index
     (analytics.takedown_index_docs): docs with doc_num % 7 == 0 are
@@ -3383,6 +3404,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "concordance_indexed": _q_concordance_indexed,
         "boolean_search": _q_boolean_search,
         "index_takedown": _q_index_takedown,
+        "cdc_dedup": _q_cdc_dedup,
         "kmeans_lloyd": _q_kmeans_lloyd,
         "fuzzy_link": _q_fuzzy_link,
         "dataloader_batch": _q_dataloader_batch,
@@ -3960,6 +3982,19 @@ def oracle_sql() -> dict[str, str]:
             "SELECT source, COUNT(*) FILTER (WHERE occ > 0)::BIGINT AS n_docs, "
             "SUM(occ)::BIGINT AS n_pairs FROM perdoc "
             "GROUP BY source HAVING SUM(occ) > 0 ORDER BY source"
+        ),
+        "cdc_dedup": (
+            f"WITH ch AS (SELECT * FROM read_parquet('{_opath('cdc_chunks')}')), "
+            "t AS (SELECT source, COUNT(*)::BIGINT AS n_chunks, "
+            "SUM(length)::BIGINT AS total_bytes FROM ch GROUP BY source), "
+            "u AS (SELECT chunk_hash, MIN(length) AS length, "
+            "arg_min(source, doc_id) AS source FROM ch GROUP BY chunk_hash), "
+            "u2 AS (SELECT source, COUNT(*)::BIGINT AS n_unique, "
+            "SUM(length)::BIGINT AS unique_bytes FROM u GROUP BY source) "
+            "SELECT t.source, n_chunks, total_bytes, "
+            "COALESCE(n_unique, 0)::BIGINT AS n_unique, "
+            "COALESCE(unique_bytes, 0)::BIGINT AS unique_bytes "
+            "FROM t LEFT JOIN u2 USING (source) ORDER BY source"
         ),
         "index_takedown": (
             "SELECT source, COUNT(*)::BIGINT AS n_docs, "

@@ -1,0 +1,128 @@
+"""Content-defined chunking (pipeline_ops.cdc_cut_points / cdc_chunks /
+cdc_dedup_stats): partition + size-bound properties, the locality
+property that makes chunk-hash dedup shift-robust, and the Spark face
+agreeing with the driver-side kernel."""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pytest
+from hypothesis import given, settings, strategies as st
+
+from archive_spark import pipeline_ops as po
+
+
+def _chunks_of(b: bytes, **kw) -> list[bytes]:
+    cuts = po.cdc_cut_points(b, **kw)
+    prev, out = 0, []
+    for end in cuts:
+        out.append(b[prev:end])
+        prev = int(end)
+    return out
+
+
+def _rand(n: int, seed: int) -> bytes:
+    return np.random.default_rng(seed).integers(0, 256, n, dtype=np.uint8).tobytes()
+
+
+def test_partition_and_bounds():
+    b = _rand(100_000, 1)
+    ch = _chunks_of(b, min_size=512, avg_size=2048, max_size=8192)
+    assert b"".join(ch) == b
+    assert all(len(c) <= 8192 for c in ch)
+    assert all(len(c) > 512 for c in ch[:-1])
+    assert 1 <= len(ch[-1]) <= 8192
+    # content-defined: distinctly more chunks than the max-size floor,
+    # i.e. the gear candidates actually fire
+    assert len(ch) > (len(b) // 8192) * 1.5
+    # deterministic
+    assert _chunks_of(b, min_size=512, avg_size=2048, max_size=8192) == ch
+
+
+def test_edge_inputs():
+    assert po.cdc_cut_points(b"").size == 0
+    assert list(po.cdc_cut_points(b"x" * 100)) == [100]  # <= min: one chunk
+    with pytest.raises(ValueError):
+        po.cdc_cut_points(b"x" * 100, min_size=0)
+    with pytest.raises(ValueError):
+        po.cdc_cut_points(b"x" * 100, min_size=10, avg_size=4, max_size=2)
+
+
+def test_locality_shift_realignment():
+    """Prepend an edit to the buffer: all but the first few chunks must
+    realign — the shift-robustness that byte-offset chunking lacks."""
+    b = _rand(200_000, 2)
+    shifted = _rand(1337, 3) + b
+    h1 = [hashlib.md5(c).hexdigest() for c in _chunks_of(b)]
+    h2 = {hashlib.md5(c).hexdigest() for c in _chunks_of(shifted)}
+    # everything after the perturbation horizon (a few max_size spans)
+    # reappears identically in the shifted buffer's chunk set
+    tail = h1[4:]
+    assert tail and all(h in h2 for h in tail)
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    data=st.binary(min_size=0, max_size=30_000),
+    params=st.sampled_from([(64, 256, 1024), (128, 512, 2048), (512, 2048, 8192)]),
+)
+def test_partition_property_fuzz(data, params):
+    lo, av, hi = params
+    cuts = po.cdc_cut_points(data, lo, av, hi)
+    if len(data) == 0:
+        assert cuts.size == 0
+        return
+    assert cuts[-1] == len(data)
+    assert (np.diff(np.concatenate(([0], cuts))) > 0).all()
+    widths = np.diff(np.concatenate(([0], cuts)))
+    assert (widths <= hi).all()
+    assert (widths[:-1] > lo).all() or len(widths) == 1
+
+
+def test_spark_face_and_dedup_stats(spark):
+    from pyspark.sql import functions as F
+
+    rows = []
+    shared = _rand(6000, 7)
+    for s, seed in (("aa", 10), ("bb", 11)):
+        for i in range(3):
+            # every doc carries the shared slab + a unique tail
+            payload = shared + _rand(2000, 100 * seed + i)
+            rows.append((f"{s}-{i}", s, payload.decode("latin-1")))
+    docs = spark.createDataFrame(rows, "doc_id string, source string, text string")
+    chunks = po.cdc_chunks(
+        docs.select("doc_id", "source",
+                    F.encode("text", "iso-8859-1").alias("data")),
+        col="data", min_size=128, avg_size=512, max_size=2048,
+    ).persist()
+    got = {r.doc_id: r for r in chunks.groupBy("doc_id")
+           .agg(F.sum("length").alias("n")).collect()}
+    assert all(got[f"{s}-{i}"].n == 8000 for s in ("aa", "bb") for i in range(3))
+    # Spark kernel == driver kernel for one doc
+    want = po.cdc_cut_points(shared + _rand(2000, 1000 + 0),
+                             128, 512, 2048)
+    drv = sorted(
+        (r.offset, r.length)
+        for r in chunks.filter(F.col("doc_id") == "aa-0").collect()
+    )
+    prev = 0
+    exp = []
+    for end in want:
+        exp.append((prev, int(end) - prev))
+        prev = int(end)
+    assert drv == sorted(exp)
+    # dedup stats: the shared slab's chunks dedupe across all 6 docs
+    stats = {r.source: r for r in po.cdc_dedup_stats(chunks).collect()}
+    for s in ("aa", "bb"):
+        assert stats[s].total_bytes == 3 * 8000
+        assert stats[s].unique_bytes < stats[s].total_bytes
+    # globally: stored ~= one shared slab + 6 unique tails + per-doc
+    # slab/tail boundary chunks (the chunk crossing into the unique
+    # tail differs per doc, costing up to max_size each)
+    stored = sum(r.unique_bytes for r in stats.values())
+    assert stored <= 6000 + 6 * (2000 + 2048)
+    assert stored >= 6000 + 6 * 2000 - 2048
+    assert stored < 0.8 * sum(r.total_bytes for r in stats.values())
+    chunks.unpersist()
