@@ -2490,6 +2490,74 @@ def _unigram_oracle_sql(vocab_size: int = 512, max_piece: int = 8,
     )
 
 
+def _q_wordpiece_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WordPiece tokenizer (the BERT runtime family), integer-exact:
+    deterministic vocab induction (single chars in initial AND
+    ##-continuation form + top-512 multi-char pieces by chars-saved,
+    ties lexicographic) and greedy longest-match-first segmentation,
+    rolled up per source.  The oracle rebuilds the WHOLE pipeline
+    independently in generated DuckDB SQL — vocabulary selection and an
+    unrolled greedy loop, one level per consumed piece (the
+    unigram_lm_stats pattern, arg-max instead of min-plus)."""
+    from archive_spark.pipeline_ops import wordpiece_corpus_stats
+
+    return wordpiece_corpus_stats(_docs(spark, sf_dir), vocab_size=24)
+
+
+def _wordpiece_oracle_sql(vocab_size: int = 512, max_piece: int = 8,
+                          max_word: int = 20) -> str:
+    """Generate the unrolled-greedy replay of _q_wordpiece_stats."""
+    flt = (f"len(w) > 0 AND len(w) <= {max_word} AND w NOT LIKE '%#%'")
+    parts = [
+        "WITH words AS MATERIALIZED (SELECT w, count(*) AS c FROM (SELECT "
+        "unnest(string_split(text, ' ')) AS w FROM documents) "
+        f"WHERE {flt} GROUP BY w)",
+        "subs AS MATERIALIZED (SELECT CASE WHEN i = 1 THEN substr(w, i, l) "
+        "ELSE '##' || substr(w, i, l) END AS piece, l AS llen, "
+        "SUM(c)::BIGINT AS freq "
+        "FROM words, unnest(range(1, len(w)+1)) AS t(i), "
+        f"unnest(range(1, {max_piece + 1})) AS u(l) "
+        "WHERE i + l - 1 <= len(w) GROUP BY piece, llen)",
+        "singles AS (SELECT piece FROM subs WHERE llen = 1)",
+        "multis AS MATERIALIZED (SELECT piece FROM subs WHERE llen >= 2 "
+        f"ORDER BY freq * (llen - 1) DESC, piece ASC LIMIT {vocab_size})",
+        "vocab AS MATERIALIZED (SELECT piece FROM singles "
+        "UNION ALL SELECT piece FROM multis)",
+        "s0 AS MATERIALIZED (SELECT w, 0::BIGINT AS pos, 0::BIGINT AS pieces "
+        "FROM words)",
+    ]
+    for k in range(1, max_word + 1):
+        parts.append(
+            f"s{k} AS MATERIALIZED ("
+            f"SELECT w, pos, pieces FROM s{k - 1} WHERE pos >= len(w) "
+            "UNION ALL "
+            "SELECT w, pos + best_l AS pos, pieces + 1 AS pieces FROM ("
+            "SELECT d.w AS w, d.pos AS pos, d.pieces AS pieces, "
+            "MAX(u.l) AS best_l "
+            f"FROM s{k - 1} d "
+            f"CROSS JOIN unnest(range(1, {max_piece + 1})) AS u(l) "
+            "JOIN vocab v ON v.piece = CASE WHEN d.pos = 0 "
+            "THEN substr(d.w, 1, u.l::INT) "
+            "ELSE '##' || substr(d.w, d.pos::INT + 1, u.l::INT) END "
+            "WHERE d.pos < len(d.w) AND d.pos + u.l <= len(d.w) "
+            "GROUP BY d.w, d.pos, d.pieces))"
+        )
+    parts.append(f"wc AS MATERIALIZED (SELECT w, pieces FROM s{max_word})")
+    parts.append(
+        "occ AS (SELECT source, w FROM (SELECT source, "
+        "unnest(string_split(text, ' ')) AS w FROM documents) "
+        f"WHERE {flt})"
+    )
+    return (
+        ", ".join(parts)
+        + " SELECT source, count(*)::BIGINT AS n_words, "
+        "SUM(len(w))::BIGINT AS total_chars, "
+        "SUM(pieces)::BIGINT AS total_pieces "
+        "FROM occ JOIN wc USING (w) "
+        "GROUP BY source ORDER BY source"
+    )
+
+
 def _q_takedown_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Row-lifecycle on the snapshot table, end to end: commit the
     documents, equality-DELETE one md5 bucket of doc_ids (takedown
@@ -3405,6 +3473,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "boolean_search": _q_boolean_search,
         "index_takedown": _q_index_takedown,
         "cdc_dedup": _q_cdc_dedup,
+        "wordpiece_stats": _q_wordpiece_stats,
         "kmeans_lloyd": _q_kmeans_lloyd,
         "fuzzy_link": _q_fuzzy_link,
         "dataloader_batch": _q_dataloader_batch,
@@ -3802,6 +3871,7 @@ def oracle_sql() -> dict[str, str]:
             "FROM f GROUP BY source ORDER BY source"
         ),
         "unigram_lm_stats": _unigram_oracle_sql(),
+        "wordpiece_stats": _wordpiece_oracle_sql(vocab_size=24),
         "purge_encoded": (
             "SELECT source, count(*)::BIGINT AS n_docs, "
             "SUM(len(string_split(text, ' ')))::BIGINT AS total_tokens "

@@ -4536,3 +4536,170 @@ def cdc_dedup_stats(chunks: DataFrame) -> DataFrame:
         .fillna(0, subset=["n_unique", "unique_bytes"])
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# WordPiece tokenizer (the BERT runtime family) — completes the trainer
+# triad next to bpe_learn (merge-based) and unigram_* (likelihood DP):
+# greedy longest-match-first segmentation with ##-marked continuations
+# and whole-word [UNK] fallback.  Written from the published algorithm
+# (Wu et al. 2016 / BERT repo tokenization).
+# ---------------------------------------------------------------------------
+
+
+def wordpiece_vocab(
+    docs: DataFrame,
+    vocab_size: int = 512,
+    max_piece_len: int = UNIGRAM_MAX_PIECE,
+) -> DataFrame:
+    """Deterministic WordPiece vocabulary: every single character in
+    word-initial form and every ``##``-marked single character in
+    continuation form (coverage — greedy can always fall back to one
+    char, so corpus words never hit [UNK]), plus the ``vocab_size``
+    best multi-char pieces ranked by ``freq * (logical_len - 1)``
+    (characters saved), ties lexicographic — the same integer-exact
+    selection rule as :func:`unigram_vocab`, so any engine rebuilds the
+    identical set.  Word-initial and continuation occurrences of the
+    same surface string are DISTINCT vocabulary entries (the ``##``
+    marking), exactly as in BERT.  Words containing ``#`` are excluded
+    from induction (the marker must stay unambiguous)."""
+    words = (
+        docs.select(F.explode(F.split("text", " ")).alias("w"))
+        .filter(
+            (F.length("w") > 0)
+            & (F.length("w") <= UNIGRAM_MAX_WORD)
+            & (~F.col("w").contains("#"))
+        )
+        .groupBy("w")
+        .agg(F.count("*").alias("c"))
+    )
+    subs = (
+        words.withColumn("i", F.explode(F.sequence(F.lit(1), F.length("w"))))
+        .withColumn(
+            "l",
+            F.explode(
+                F.sequence(
+                    F.lit(1),
+                    F.least(F.lit(max_piece_len), F.length("w") - F.col("i") + 1),
+                )
+            ),
+        )
+        .select(
+            F.when(F.col("i") == 1, F.expr("substr(w, i, l)"))
+            .otherwise(F.concat(F.lit("##"), F.expr("substr(w, i, l)")))
+            .alias("piece"),
+            F.col("l").alias("llen"),
+            "c",
+        )
+        .groupBy("piece", "llen")
+        .agg(F.sum("c").cast("long").alias("freq"))
+    )
+    singles = subs.filter(F.col("llen") == 1)
+    multis = (
+        subs.filter(F.col("llen") >= 2)
+        .withColumn("score", F.col("freq") * (F.col("llen") - 1))
+        .orderBy(F.col("score").desc(), F.col("piece").asc())
+        .limit(vocab_size)
+        .drop("score")
+    )
+    return singles.unionByName(multis).select("piece", "freq")
+
+
+def wordpiece_tokenize_words(
+    docs: DataFrame,
+    vocab: DataFrame,
+    max_piece_len: int = UNIGRAM_MAX_PIECE,
+) -> DataFrame:
+    """Greedy longest-match-first WordPiece segmentation over the
+    distinct-word histogram (the bounded intermediate all tokenizer
+    lanes here work from): per word, repeatedly take the LONGEST vocab
+    piece at the cursor (word-initial table at position 0, ``##``
+    continuations after); a position with no match makes the whole
+    word ``[UNK]`` (the BERT rule).  Returns
+    ``(w, n_occurrences, n_pieces, pieces_csv, unk)`` — ``n_pieces`` is
+    1 for [UNK] words."""
+    words = (
+        docs.select(F.explode(F.split("text", " ")).alias("w"))
+        .filter(
+            (F.length("w") > 0)
+            & (F.length("w") <= UNIGRAM_MAX_WORD)
+            & (~F.col("w").contains("#"))
+        )
+        .groupBy("w")
+        .agg(F.count("*").alias("n_occurrences"))
+    )
+    vset = {r.piece for r in vocab.select("piece").collect()}
+    bvocab = docs.sparkSession.sparkContext.broadcast(vset)
+    maxp = int(max_piece_len)
+
+    def seg(batches):
+        import pandas as pd
+
+        vc = bvocab.value
+        for pdf in batches:
+            n_pieces, pieces_csv, unks = [], [], []
+            for w in pdf["w"]:
+                pos, out, dead = 0, [], False
+                while pos < len(w):
+                    for l in range(min(maxp, len(w) - pos), 0, -1):
+                        cand = (
+                            w[pos:pos + l] if pos == 0
+                            else "##" + w[pos:pos + l]
+                        )
+                        if cand in vc:
+                            out.append(cand)
+                            pos += l
+                            break
+                    else:
+                        dead = True
+                        break
+                if dead:
+                    n_pieces.append(1)
+                    pieces_csv.append("[UNK]")
+                    unks.append(True)
+                else:
+                    n_pieces.append(len(out))
+                    pieces_csv.append(",".join(out))
+                    unks.append(False)
+            yield pdf.assign(
+                n_pieces=pd.array(n_pieces, dtype="int64"),
+                pieces_csv=pieces_csv,
+                unk=unks,
+            )
+
+    return words.mapInPandas(
+        seg,
+        "w string, n_occurrences bigint, n_pieces bigint, "
+        "pieces_csv string, unk boolean",
+    )
+
+
+def wordpiece_corpus_stats(
+    docs: DataFrame, vocab_size: int = 512
+) -> DataFrame:
+    """Per-source WordPiece segmentation statistics, integer-exact:
+    occurrence-weighted word / char / piece totals under the corpus's
+    own deterministically induced vocabulary.  The whole pipeline —
+    induction + greedy longest-match — is deterministic and
+    integer-only, so an independent engine replays it exactly (the
+    driver oracle: an unrolled greedy loop in generated DuckDB SQL,
+    one level per consumed piece)."""
+    vocab = wordpiece_vocab(docs, vocab_size=vocab_size)
+    seg = wordpiece_tokenize_words(docs, vocab)
+    occ = docs.select(
+        "source", F.explode(F.split("text", " ")).alias("w")
+    ).filter(
+        (F.length("w") > 0)
+        & (F.length("w") <= UNIGRAM_MAX_WORD)
+        & (~F.col("w").contains("#"))
+    )
+    return (
+        occ.join(seg.select("w", "n_pieces"), "w")
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_words"),
+            F.sum(F.length("w")).cast("bigint").alias("total_chars"),
+            F.sum("n_pieces").cast("bigint").alias("total_pieces"),
+        )
+        .orderBy("source")
+    )

@@ -1,0 +1,109 @@
+"""WordPiece lane (pipeline_ops.wordpiece_*): deterministic induction,
+greedy longest-match-first segmentation (independent reference
+implementation), reconstruction, [UNK] fallback, corpus stats."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from archive_spark import pipeline_ops as po
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        ("d-0", "aa", "the quick brown fox jumps over the lazy dog"),
+        ("d-1", "aa", "the quicker the better the quickest wins"),
+        ("d-2", "bb", "pack my box with five dozen liquor jugs"),
+        ("d-3", "bb", "quick brown dogs jump over lazy foxes"),
+        ("d-4", "cc", "the the the quick quick brown"),
+    ]
+    return spark.createDataFrame(
+        rows, "doc_id string, source string, text string"
+    ).cache()
+
+
+def _ref_greedy(w: str, vset: set, maxp: int = 8):
+    """Independent greedy longest-match reference."""
+    pos, out = 0, []
+    while pos < len(w):
+        for l in range(min(maxp, len(w) - pos), 0, -1):
+            cand = w[pos:pos + l] if pos == 0 else "##" + w[pos:pos + l]
+            if cand in vset:
+                out.append(cand)
+                pos += l
+                break
+        else:
+            return ["[UNK]"], True
+    return out, False
+
+
+def test_vocab_coverage_and_marking(spark, docs):
+    vocab = po.wordpiece_vocab(docs, vocab_size=32)
+    pieces = {r.piece for r in vocab.collect()}
+    words = [w for _, _, t in docs.collect() for w in t.split(" ") if w]
+    # coverage is per position class — exactly what greedy needs:
+    # an initial single for every word-first char, a ##-single for
+    # every char seen past position 0
+    for c in {w[0] for w in words}:
+        assert c in pieces, c
+    for c in {ch for w in words for ch in w[1:]}:
+        assert f"##{c}" in pieces, c
+    # initial and continuation multis are distinct entries
+    assert any(p.startswith("##") and len(p) > 3 for p in pieces)
+
+
+def test_greedy_matches_reference_and_reconstructs(spark, docs):
+    vocab = po.wordpiece_vocab(docs, vocab_size=32)
+    vset = {r.piece for r in vocab.collect()}
+    seg = po.wordpiece_tokenize_words(docs, vocab).collect()
+    assert seg and not any(r.unk for r in seg)  # corpus words never UNK
+    for r in seg:
+        want, unk = _ref_greedy(r.w, vset)
+        assert not unk
+        got = r.pieces_csv.split(",")
+        assert got == want, r.w
+        assert r.n_pieces == len(want)
+        # reconstruction: strip ## and concatenate
+        assert "".join(p.removeprefix("##") for p in got) == r.w
+        # longest-match-first: no piece could have been longer
+        pos = 0
+        for p in got:
+            body = p.removeprefix("##")
+            for l in range(len(body) + 1, min(8, len(r.w) - pos) + 1):
+                longer = (
+                    r.w[pos:pos + l] if pos == 0 else "##" + r.w[pos:pos + l]
+                )
+                assert longer not in vset, (r.w, p, longer)
+            pos += len(body)
+
+
+def test_unk_on_unseen_char(spark, docs):
+    vocab = po.wordpiece_vocab(docs, vocab_size=32)
+    alien = spark.createDataFrame(
+        [("x-0", "xx", "fox zebra9 dog")],
+        "doc_id string, source string, text string",
+    )
+    seg = {r.w: r for r in po.wordpiece_tokenize_words(alien, vocab).collect()}
+    assert seg["zebra9"].unk and seg["zebra9"].n_pieces == 1
+    assert seg["zebra9"].pieces_csv == "[UNK]"
+    assert not seg["fox"].unk and not seg["dog"].unk
+
+
+def test_corpus_stats_integer_exact(spark, docs):
+    stats = {r.source: r for r in
+             po.wordpiece_corpus_stats(docs, vocab_size=32).collect()}
+    vocab = po.wordpiece_vocab(docs, vocab_size=32)
+    vset = {r.piece for r in vocab.collect()}
+    for src in ("aa", "bb", "cc"):
+        words = [
+            w
+            for _, s, t in docs.collect() if s == src
+            for w in t.split(" ") if w
+        ]
+        assert stats[src].n_words == len(words)
+        assert stats[src].total_chars == sum(len(w) for w in words)
+        assert stats[src].total_pieces == sum(
+            len(_ref_greedy(w, vset)[0]) for w in words
+        )
