@@ -308,6 +308,30 @@ def main() -> None:
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     timed("q_simhash", lambda: simhash(docs).agg(F.count("*")).collect())
 
+    # ---- q_cdc_dedup: content-defined chunking + chunk-hash dedup
+    # accounting (one Arrow pass + two aggregates)
+    from archive_spark.pipeline_ops import cdc_chunks, cdc_dedup_stats
+
+    cdocs = docs.select(
+        F.col("doc_id").cast("string").alias("doc_id"), "source", "text"
+    )
+    timed(
+        "q_cdc_dedup",
+        lambda: cdc_dedup_stats(
+            cdc_chunks(cdocs, col="text", min_size=64, avg_size=256,
+                       max_size=1024)
+        ).collect(),
+    )
+
+    # ---- q_wordpiece: tokenizer-triad third lane (induction + greedy
+    # longest-match over the distinct-word histogram)
+    from archive_spark.pipeline_ops import wordpiece_corpus_stats
+
+    timed(
+        "q_wordpiece",
+        lambda: wordpiece_corpus_stats(docs, vocab_size=512).collect(),
+    )
+
     # ---- q_embedding_encode: float-column codec lane over a synthetic
     # embedding table (sf0.1 -> 500k x 64 = 128 MB raw float32); ratio
     # lands in extras["embedding_ratio"]
