@@ -3451,6 +3451,127 @@ def _hybrid_oracle_sql() -> str:
     )
 
 
+# -- data-quality lane (deequ-style; archive_spark/quality.py) ------------
+
+_LINEITEM_CONSTRAINTS = [
+    ("discount_range", "l_discount >= 0.0 AND l_discount <= 0.1"),
+    ("line_no_range", "l_linenumber BETWEEN 1 AND 7"),
+    ("qty_range", "l_quantity >= 1 AND l_quantity <= 50"),
+    ("returnflag_domain", "l_returnflag IN ('A', 'N', 'R')"),
+    ("shipdate_not_null", "l_shipdate IS NOT NULL"),
+    ("tax_low", "l_tax <= 0.05"),  # deliberately violated (~31% of rows)
+]
+
+
+def _q_data_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-pass table profile (deequ pattern): every metric for every
+    orders column in ONE aggregate scan, all values BIGINT-exact."""
+    from archive_spark.quality import profile_table
+
+    return profile_table(spark.read.parquet(f"{sf_dir}/orders.parquet"))
+
+
+def _q_constraint_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHECK-constraint validation over lineitem in one aggregate pass;
+    NULL predicate results count as violations (table.commit(expect=)
+    semantics).  One constraint (tax_low) is deliberately violated."""
+    from archive_spark.quality import validate_constraints
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return validate_constraints(li, _LINEITEM_CONSTRAINTS)
+
+
+def _q_constraint_suggest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Constraint suggestion from the profile alone (no second data
+    pass): not_null / unique / non_negative rules over documents."""
+    from archive_spark.quality import profile_table, suggest_constraints
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return suggest_constraints(profile_table(docs))
+
+
+def _q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-stage funnel (view → click → purchase): one shuffle, the
+    per-user sorted event list walked by a JVM F.aggregate; oracle is
+    the equivalent chain of sequential-min CTEs."""
+    from archive_spark.pipeline_ops import funnel_stages
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return funnel_stages(ev, ["view", "click", "purchase"])
+
+
+_PROFILE_ORDERS_COLS = [
+    ("o_custkey", "int"),
+    ("o_orderdate", "ts"),
+    ("o_orderkey", "int"),
+    ("o_orderpriority", "str"),
+    ("o_orderstatus", "str"),
+    ("o_totalprice", "fp"),
+]
+
+
+def _profile_oracle(table: str, cols) -> str:
+    """Generate the DuckDB replay of quality.profile_table: one stats
+    CTE, one UNION ALL unpivot per (column, metric)."""
+    stats, rows = [], []
+    for c, kind in cols:
+        stats += [
+            f"count(*) AS {c}__n_rows",
+            f"sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS {c}__n_null",
+            f"count(DISTINCT {c}) AS {c}__n_distinct",
+        ]
+        mm = {
+            "int": [("min_v", f"min({c})"), ("max_v", f"max({c})")],
+            "fp": [
+                ("min_cents", f"round(min({c}) * 100)"),
+                ("max_cents", f"round(max({c}) * 100)"),
+            ],
+            "str": [
+                ("min_len", f"min(length({c}))"),
+                ("max_len", f"max(length({c}))"),
+                ("sum_len", f"sum(length({c}))"),
+            ],
+            "ts": [
+                ("min_ms", f"epoch_ms(min({c}))"),
+                ("max_ms", f"epoch_ms(max({c}))"),
+            ],
+        }[kind]
+        stats += [f"{expr} AS {c}__{m}" for m, expr in mm]
+        for m in ["n_rows", "n_null", "n_distinct"] + [m for m, _ in mm]:
+            rows.append(
+                f"SELECT '{c}' AS col_name, '{m}' AS metric, "
+                f"{c}__{m} AS value FROM s"
+            )
+    return (
+        "WITH s AS (SELECT " + ", ".join(stats) + f" FROM {table}) "
+        "SELECT col_name, metric, value::BIGINT AS value FROM ("
+        + " UNION ALL ".join(rows)
+        + ") ORDER BY col_name, metric"
+    )
+
+
+def _constraint_oracle(table: str, constraints) -> str:
+    """DuckDB replay of quality.validate_constraints: CASE WHEN (pred)
+    THEN 0 ELSE 1 — NULL predicates fall into ELSE, i.e. violations."""
+    stats = ["count(*) AS n"] + [
+        f"sum(CASE WHEN ({pred}) THEN 0 ELSE 1 END) AS v{i}"
+        for i, (_, pred) in enumerate(constraints)
+    ]
+    rows = []
+    for i, (name, pred) in enumerate(constraints):
+        lit = pred.replace("'", "''")
+        rows.append(
+            f"SELECT '{name}' AS constraint_name, '{lit}' AS predicate, "
+            f"n::BIGINT AS n_checked, v{i}::BIGINT AS n_violations, "
+            f"(CASE WHEN v{i} = 0 THEN 1 ELSE 0 END)::INT AS passed FROM s"
+        )
+    return (
+        "WITH s AS (SELECT " + ", ".join(stats) + f" FROM {table}) "
+        "SELECT * FROM (" + " UNION ALL ".join(rows)
+        + ") ORDER BY constraint_name"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # NOTE: dict order is deliberate. The driver's correctness harness walks
     # this dict in registration order under a budget (r01=34, r02=47, r03=50
@@ -3460,6 +3581,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # -- every query WITHOUT a driver correctness row (r01-r03 artifacts)
         # -- comes first: the driver walks this dict in order under a budget --
+        "data_profile": _q_data_profile,
+        "constraint_check": _q_constraint_check,
+        "constraint_suggest": _q_constraint_suggest,
+        "events_funnel": _q_events_funnel,
         "token_index": _q_token_index,
         "matview_refresh": _q_matview_refresh,
         "kmv_distinct": _q_kmv_distinct,
@@ -3758,6 +3883,66 @@ FROM d GROUP BY 1 ORDER BY 1
 def oracle_sql() -> dict[str, str]:
     kw_list = ", ".join(f"('{k}')" for k in _TAG_KEYWORDS)
     return {
+        "data_profile": _profile_oracle("orders", _PROFILE_ORDERS_COLS),
+        "constraint_check": _constraint_oracle(
+            "lineitem", _LINEITEM_CONSTRAINTS
+        ),
+        "constraint_suggest": (
+            # replay of quality.suggest_constraints' three rules from
+            # per-column stats over documents (strings carry NULL mins
+            # so non_negative never fires on them)
+            "WITH s AS ("
+            "SELECT 'doc_id' AS col_name, count(*) AS n, "
+            "sum(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END) AS nn, "
+            "count(DISTINCT doc_id) AS nd, min(doc_id) AS mn FROM documents "
+            "UNION ALL SELECT 'lang', count(*), "
+            "sum(CASE WHEN lang IS NULL THEN 1 ELSE 0 END), "
+            "count(DISTINCT lang), NULL::BIGINT FROM documents "
+            "UNION ALL SELECT 'n_chars', count(*), "
+            "sum(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END), "
+            "count(DISTINCT n_chars), min(n_chars) FROM documents "
+            "UNION ALL SELECT 'source', count(*), "
+            "sum(CASE WHEN source IS NULL THEN 1 ELSE 0 END), "
+            "count(DISTINCT source), NULL::BIGINT FROM documents "
+            "UNION ALL SELECT 'text', count(*), "
+            "sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END), "
+            "count(DISTINCT text), NULL::BIGINT FROM documents) "
+            "SELECT col_name, kind, predicate FROM ("
+            "SELECT col_name, 'not_null' AS kind, "
+            "col_name || ' IS NOT NULL' AS predicate FROM s WHERE nn = 0 "
+            "UNION ALL SELECT col_name, 'unique', "
+            "'count_distinct(' || col_name || ') = count(*)' FROM s "
+            "WHERE nn = 0 AND nd = n "
+            "UNION ALL SELECT col_name, 'non_negative', "
+            "col_name || ' >= 0' FROM s WHERE mn >= 0"
+            ") ORDER BY col_name, kind"
+        ),
+        "events_funnel": (
+            # sequential-min chain == the Spark sorted-walk (stage i
+            # counts only STRICTLY after stage i-1, ms precision)
+            "WITH base AS (SELECT DISTINCT user_id FROM events "
+            "WHERE event_type IN ('view', 'click', 'purchase')), "
+            "u1 AS (SELECT user_id, min(epoch_ms(ts)) AS t1 FROM events "
+            "WHERE event_type = 'view' GROUP BY 1), "
+            "u2 AS (SELECT e.user_id, min(epoch_ms(e.ts)) AS t2 "
+            "FROM events e JOIN u1 USING (user_id) "
+            "WHERE e.event_type = 'click' AND epoch_ms(e.ts) > u1.t1 "
+            "GROUP BY 1), "
+            "u3 AS (SELECT e.user_id, min(epoch_ms(e.ts)) AS t3 "
+            "FROM events e JOIN u2 USING (user_id) "
+            "WHERE e.event_type = 'purchase' AND epoch_ms(e.ts) > u2.t2 "
+            "GROUP BY 1) "
+            "SELECT b.user_id, "
+            "(CASE WHEN t1 IS NOT NULL THEN 1 ELSE 0 END + "
+            "CASE WHEN t2 IS NOT NULL THEN 1 ELSE 0 END + "
+            "CASE WHEN t3 IS NOT NULL THEN 1 ELSE 0 END)::INT AS stage_reached, "
+            "COALESCE(t1, -1)::BIGINT AS t1_ms, "
+            "COALESCE(t2, -1)::BIGINT AS t2_ms, "
+            "COALESCE(t3, -1)::BIGINT AS t3_ms "
+            "FROM base b LEFT JOIN u1 USING (user_id) "
+            "LEFT JOIN u2 USING (user_id) LEFT JOIN u3 USING (user_id) "
+            "ORDER BY user_id"
+        ),
         "multi_column_encode": (
             # replay the decoded-side aggregates straight off the raw
             # text: roundtrip bit-exactness is what makes them equal.

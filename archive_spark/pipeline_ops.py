@@ -4703,3 +4703,80 @@ def wordpiece_corpus_stats(
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# funnel analysis — ordered-stage conversion over an event stream
+# ---------------------------------------------------------------------------
+
+def funnel_stages(
+    events: DataFrame,
+    stages: list[str],
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Ordered funnel: per user, the earliest completion time of each
+    successive stage (stage i counts only STRICTLY after stage i-1's
+    completion, millisecond precision; same-ms events do not advance).
+
+    One shuffle total: events filtered to the stage set, ONE
+    groupBy(user), the per-user event list sorted and walked by a JVM
+    ``F.aggregate`` whose accumulator is the k stage-completion times —
+    no self-joins, no window over the full stream, and the walk is
+    whole-stage-codegen'd.  Per-user state is k BIGINTs, so the shuffle
+    carries only users × their stage events.  Equivalent relational
+    form (the driver oracle): k chained sequential-min CTEs.
+
+    Returns (user_id, stage_reached, t1_ms..tk_ms) — unreached stages
+    emit -1 (sentinel; None breaks row-tuple sorting in harnesses).
+    Only users with at least one stage event appear.
+    """
+    if len(stages) < 2:
+        raise ValueError("funnel_stages: need at least 2 stages")
+    k = len(stages)
+    ev = events.filter(F.col(type_col).isin(list(stages))).select(
+        F.col(user_col).alias("user_id"),
+        # NTZ→timestamp cast: session tz is UTC, matches DuckDB epoch_ms
+        F.unix_millis(F.col(ts_col).cast("timestamp")).alias("ts_ms"),
+        F.col(type_col).alias("etype"),
+    )
+    arr = ev.groupBy("user_id").agg(
+        F.sort_array(F.collect_list(F.struct("ts_ms", "etype"))).alias("evs")
+    )
+
+    def step(acc, e):
+        fields = []
+        for i, st in enumerate(stages):
+            cond = (e["etype"] == F.lit(st)) & acc[f"t{i}"].isNull()
+            if i > 0:
+                cond = cond & acc[f"t{i-1}"].isNotNull() & (
+                    e["ts_ms"] > acc[f"t{i-1}"]
+                )
+            fields.append(
+                F.coalesce(acc[f"t{i}"], F.when(cond, e["ts_ms"])).alias(
+                    f"t{i}"
+                )
+            )
+        return F.struct(*fields)
+
+    zero = F.struct(
+        *[F.lit(None).cast("bigint").alias(f"t{i}") for i in range(k)]
+    )
+    walked = arr.select(
+        "user_id", F.aggregate("evs", zero, step).alias("fin")
+    )
+    reached = sum(
+        (F.col(f"fin.t{i}").isNotNull().cast("int") for i in range(k)),
+        F.lit(0),
+    )
+    return walked.select(
+        "user_id",
+        reached.alias("stage_reached"),
+        *[
+            F.coalesce(F.col(f"fin.t{i}"), F.lit(-1))
+            .cast("bigint")
+            .alias(f"t{i+1}_ms")
+            for i in range(k)
+        ],
+    ).orderBy("user_id")

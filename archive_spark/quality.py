@@ -1,0 +1,215 @@
+"""Data-quality lane: single-pass profiling, constraint suggestion, and
+constraint validation (the Deequ pattern — Schelter et al., "Automating
+large-scale data quality verification", VLDB 2018 — re-expressed as
+plain Spark aggregates).
+
+Scale notes (100 TB posture):
+- ``profile_table`` computes EVERY metric for every column in ONE
+  ``df.agg(...)`` pass — one scan, map-side partial aggregation, a
+  single-row result.  The only multi-pass hazard is exact
+  ``count_distinct`` over many columns (Catalyst plans k distinct
+  aggregates via an Expand that replicates scan rows k times);
+  ``exact_distinct=False`` switches to ``approx_count_distinct``
+  (HyperLogLog++, no Expand) — the 100 TB path.  Exact is the default
+  because the driver oracle replays the numbers bit-for-bit.
+- Every metric is a BIGINT (lengths, counts, epoch millis, price
+  cents via ROUND(x*100)) so cross-engine comparison is exact — no
+  float formatting or fp-summation-order hazards.  Double columns
+  deliberately expose min/max only (order-independent); their SUM is
+  fp-order-dependent and therefore not a metric.
+- ``validate_constraints`` is one aggregate pass over arbitrary SQL
+  predicates; a NULL predicate result counts as a violation, matching
+  ``table.commit(expect=...)``'s CHECK semantics.
+
+The reference repo has no data-quality surface; this lane is part of
+the training-data platform layer (SURVEY.md §2.6 extension).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import types as T
+
+_NUMERIC_INT = (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
+_NUMERIC_FP = (T.FloatType, T.DoubleType)
+
+
+def _metric_exprs(field: T.StructField, exact_distinct: bool):
+    """(aggregate expressions, (metric_name, alias) emit list) for one column."""
+    c = field.name
+    a = lambda m: f"__{c}__{m}"  # noqa: E731
+    col = F.col(c)
+    aggs = [
+        F.count(F.lit(1)).cast("bigint").alias(a("n_rows")),
+        F.sum(col.isNull().cast("bigint")).cast("bigint").alias(a("n_null")),
+        (
+            F.count_distinct(col)
+            if exact_distinct
+            else F.approx_count_distinct(col)
+        ).cast("bigint").alias(a("n_distinct")),
+    ]
+    emits = [("n_rows", a("n_rows")), ("n_null", a("n_null")),
+             ("n_distinct", a("n_distinct"))]
+    dt = field.dataType
+    if isinstance(dt, _NUMERIC_INT):
+        aggs += [
+            F.min(col).cast("bigint").alias(a("min_v")),
+            F.max(col).cast("bigint").alias(a("max_v")),
+        ]
+        emits += [("min_v", a("min_v")), ("max_v", a("max_v"))]
+    elif isinstance(dt, _NUMERIC_FP):
+        # integer cents: ROUND over the SAME IEEE double in both engines
+        aggs += [
+            F.round(F.min(col) * 100).cast("bigint").alias(a("min_cents")),
+            F.round(F.max(col) * 100).cast("bigint").alias(a("max_cents")),
+        ]
+        emits += [("min_cents", a("min_cents")), ("max_cents", a("max_cents"))]
+    elif isinstance(dt, T.StringType):
+        ln = F.length(col)
+        aggs += [
+            F.min(ln).cast("bigint").alias(a("min_len")),
+            F.max(ln).cast("bigint").alias(a("max_len")),
+            F.sum(ln.cast("bigint")).cast("bigint").alias(a("sum_len")),
+        ]
+        emits += [("min_len", a("min_len")), ("max_len", a("max_len")),
+                  ("sum_len", a("sum_len"))]
+    elif isinstance(dt, (T.TimestampType, T.TimestampNTZType)):
+        # parquet timestamps arrive as NTZ in Spark 4; the session tz is
+        # UTC (session.py), so the cast matches DuckDB's epoch_ms
+        ts = col.cast("timestamp")
+        aggs += [
+            F.unix_millis(F.min(ts)).cast("bigint").alias(a("min_ms")),
+            F.unix_millis(F.max(ts)).cast("bigint").alias(a("max_ms")),
+        ]
+        emits += [("min_ms", a("min_ms")), ("max_ms", a("max_ms"))]
+    return aggs, emits
+
+
+def profile_table(
+    df: DataFrame,
+    columns: list[str] | None = None,
+    exact_distinct: bool = True,
+) -> DataFrame:
+    """Long-format profile: one row per (col_name, metric), value BIGINT.
+
+    Metrics per type — all columns: n_rows, n_null, n_distinct; integer:
+    min_v/max_v; float/double: min_cents/max_cents (ROUND(x*100));
+    string: min_len/max_len/sum_len; timestamp: min_ms/max_ms (epoch).
+    One aggregate pass over the table regardless of column count.
+    """
+    fields = [
+        f for f in df.schema.fields
+        if columns is None or f.name in set(columns)
+    ]
+    if not fields:
+        raise ValueError("profile_table: no matching columns")
+    all_aggs: list = []
+    all_emits: list[tuple[str, str, str]] = []  # (col, metric, alias)
+    for f in fields:
+        aggs, emits = _metric_exprs(f, exact_distinct)
+        all_aggs += aggs
+        all_emits += [(f.name, m, al) for m, al in emits]
+    row = df.agg(*all_aggs)
+    entries = [
+        F.struct(
+            F.lit(c).alias("col_name"),
+            F.lit(m).alias("metric"),
+            F.coalesce(F.col(al), F.lit(None).cast("bigint")).alias("value"),
+        )
+        for c, m, al in all_emits
+    ]
+    return (
+        row.select(F.explode(F.array(*entries)).alias("e"))
+        .select("e.col_name", "e.metric", "e.value")
+        .orderBy("col_name", "metric")
+    )
+
+
+def suggest_constraints(profile: DataFrame) -> DataFrame:
+    """Deequ-style constraint suggestion from a ``profile_table`` result.
+
+    Rules (each fires from profile metrics alone — no second data pass):
+    - ``not_null``      when n_null == 0
+    - ``unique``        when n_null == 0 and n_distinct == n_rows
+    - ``non_negative``  when a numeric min (min_v or min_cents) >= 0
+
+    Returns (col_name, kind, predicate) — predicate is a SQL string
+    ready for :func:`validate_constraints` / ``table.commit(expect=)``.
+    """
+    wide = profile.groupBy("col_name").agg(
+        *[
+            F.max(F.when(F.col("metric") == m, F.col("value"))).alias(m)
+            for m in ("n_rows", "n_null", "n_distinct", "min_v", "min_cents")
+        ]
+    )
+    c = F.col("col_name")
+    rules = [
+        (
+            F.col("n_null") == 0,
+            F.lit("not_null"),
+            F.concat(c, F.lit(" IS NOT NULL")),
+        ),
+        (
+            (F.col("n_null") == 0) & (F.col("n_distinct") == F.col("n_rows")),
+            F.lit("unique"),
+            F.concat(F.lit("count_distinct("), c, F.lit(") = count(*)")),
+        ),
+        (
+            F.coalesce(F.col("min_v"), F.col("min_cents")) >= 0,
+            F.lit("non_negative"),
+            F.concat(c, F.lit(" >= 0")),
+        ),
+    ]
+    parts = [
+        wide.filter(cond).select(
+            "col_name", kind.alias("kind"), pred.alias("predicate")
+        )
+        for cond, kind, pred in rules
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("col_name", "kind")
+
+
+def validate_constraints(
+    df: DataFrame, constraints: list[tuple[str, str]]
+) -> DataFrame:
+    """Check named SQL predicates in ONE aggregate pass.
+
+    ``constraints``: [(name, sql_predicate)]; a row where the predicate
+    is false OR NULL counts as a violation (CHECK semantics, identical
+    to ``table.commit(expect=)``).  Returns one row per constraint:
+    (constraint_name, predicate, n_checked, n_violations, passed).
+    """
+    if not constraints:
+        raise ValueError("validate_constraints: empty constraint list")
+    aggs = [F.count(F.lit(1)).cast("bigint").alias("__n")]
+    for i, (_, pred) in enumerate(constraints):
+        aggs.append(
+            F.sum(F.when(F.expr(pred), 0).otherwise(1))
+            .cast("bigint")
+            .alias(f"__v{i}")
+        )
+    row = df.agg(*aggs)
+    entries = [
+        F.struct(
+            F.lit(name).alias("constraint_name"),
+            F.lit(pred).alias("predicate"),
+            F.col("__n").alias("n_checked"),
+            F.col(f"__v{i}").alias("n_violations"),
+            (F.col(f"__v{i}") == 0).cast("int").alias("passed"),
+        )
+        for i, (name, pred) in enumerate(constraints)
+    ]
+    return (
+        row.select(F.explode(F.array(*entries)).alias("e"))
+        .select(
+            "e.constraint_name",
+            "e.predicate",
+            "e.n_checked",
+            "e.n_violations",
+            "e.passed",
+        )
+        .orderBy("constraint_name")
+    )

@@ -1,0 +1,189 @@
+"""Data-quality lane: profiling, constraint suggestion/validation, and
+funnel analysis — edge-case pins the sf-table oracles can't exercise
+(nulls, NULL predicates, out-of-order funnel stages, ms ties)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F, types as T
+
+from archive_spark.pipeline_ops import funnel_stages
+from archive_spark.quality import (
+    profile_table,
+    suggest_constraints,
+    validate_constraints,
+)
+
+
+def _profile_map(df, **kw):
+    return {
+        (r.col_name, r.metric): r.value for r in profile_table(df, **kw).collect()
+    }
+
+
+def test_profile_nulls_and_metrics(spark):
+    schema = T.StructType(
+        [
+            T.StructField("k", T.LongType()),
+            T.StructField("s", T.StringType()),
+            T.StructField("x", T.DoubleType()),
+        ]
+    )
+    df = spark.createDataFrame(
+        [(1, "ab", 1.25), (2, None, -0.515), (2, "wxyz", None), (None, "", 2.0)],
+        schema,
+    )
+    m = _profile_map(df)
+    assert m[("k", "n_rows")] == 4
+    assert m[("k", "n_null")] == 1
+    assert m[("k", "n_distinct")] == 2  # distinct ignores NULL
+    assert m[("k", "min_v")] == 1 and m[("k", "max_v")] == 2
+    assert m[("s", "n_null")] == 1
+    assert m[("s", "min_len")] == 0 and m[("s", "max_len")] == 4
+    assert m[("s", "sum_len")] == 6
+    # cents are ROUND(x*100): -0.515*100 rounds away from the .5 tie the
+    # same way both engines do on the identical double (-51.5 → -51/-52
+    # is engine-defined only at exact .5 doubles; -0.515 is not exactly
+    # representable, so the product is deterministic)
+    assert m[("x", "max_cents")] == 200
+    assert m[("x", "n_null")] == 1
+
+
+def test_profile_column_subset_and_unknown(spark):
+    df = spark.range(5).select(F.col("id").alias("a"), F.col("id").alias("b"))
+    m = _profile_map(df, columns=["b"])
+    assert {c for c, _ in m} == {"b"}
+    import pytest
+
+    with pytest.raises(ValueError):
+        profile_table(df, columns=["nope"])
+
+
+def test_profile_approx_mode_runs(spark):
+    df = spark.range(1000).select(F.col("id").alias("v"))
+    m = _profile_map(df, exact_distinct=False)
+    # HLL estimate is within a few percent at this cardinality
+    assert abs(m[("v", "n_distinct")] - 1000) < 100
+
+
+def test_suggest_constraints_rules(spark):
+    schema = T.StructType(
+        [
+            T.StructField("uid", T.LongType()),  # unique, non-neg, not-null
+            T.StructField("grp", T.LongType()),  # dup values, has a negative
+            T.StructField("name", T.StringType()),  # has a NULL
+        ]
+    )
+    df = spark.createDataFrame(
+        [(1, -5, "a"), (2, -5, None), (3, 7, "c")], schema
+    )
+    sugg = {
+        (r.col_name, r.kind): r.predicate
+        for r in suggest_constraints(profile_table(df)).collect()
+    }
+    assert ("uid", "not_null") in sugg
+    assert ("uid", "unique") in sugg
+    assert sugg[("uid", "non_negative")] == "uid >= 0"
+    assert ("grp", "unique") not in sugg
+    assert ("grp", "non_negative") not in sugg  # min is -5
+    assert ("grp", "not_null") in sugg
+    assert ("name", "not_null") not in sugg
+    assert ("name", "unique") not in sugg  # NULL blocks uniqueness
+
+
+def test_validate_constraints_null_is_violation(spark):
+    schema = T.StructType([T.StructField("v", T.LongType())])
+    df = spark.createDataFrame([(1,), (None,), (-3,)], schema)
+    out = {
+        r.constraint_name: r
+        for r in validate_constraints(
+            df, [("pos", "v > 0"), ("notnull", "v IS NOT NULL")]
+        ).collect()
+    }
+    # v > 0 is NULL for the NULL row and false for -3 → 2 violations
+    assert out["pos"].n_violations == 2 and out["pos"].passed == 0
+    assert out["notnull"].n_violations == 1
+    assert out["pos"].n_checked == 3
+
+
+def test_validate_constraints_empty_list(spark):
+    import pytest
+
+    with pytest.raises(ValueError):
+        validate_constraints(spark.range(1), [])
+
+
+def _ev(spark, rows):
+    schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("event_type", T.StringType()),
+        ]
+    )
+    base = dt.datetime(2026, 1, 1)
+    return spark.createDataFrame(
+        [(u, base + dt.timedelta(milliseconds=ms), t) for u, ms, t in rows],
+        schema,
+    )
+
+
+def test_funnel_orders_stages_strictly(spark):
+    ev = _ev(
+        spark,
+        [
+            # user 1: full funnel in order
+            (1, 0, "view"),
+            (1, 10, "click"),
+            (1, 20, "purchase"),
+            # user 2: click BEFORE the first view — stage 2 not reached
+            (2, 0, "click"),
+            (2, 10, "view"),
+            # user 3: click at the SAME ms as view — strict > blocks it,
+            # a later click counts
+            (3, 5, "view"),
+            (3, 5, "click"),
+            (3, 9, "click"),
+            # user 4: purchase before click — only view+click reached
+            (4, 0, "view"),
+            (4, 1, "purchase"),
+            (4, 2, "click"),
+            # user 5: stage-set event but never the first stage
+            (5, 0, "purchase"),
+        ],
+    )
+    out = {
+        r.user_id: r
+        for r in funnel_stages(ev, ["view", "click", "purchase"]).collect()
+    }
+    assert out[1].stage_reached == 3 and out[1].t3_ms > out[1].t2_ms
+    assert out[2].stage_reached == 1 and out[2].t2_ms == -1
+    assert out[3].stage_reached == 2 and out[3].t2_ms - out[3].t1_ms == 4
+    assert out[4].stage_reached == 2
+    assert out[5].stage_reached == 0 and out[5].t1_ms == -1
+    assert set(out) == {1, 2, 3, 4, 5}
+
+
+def test_funnel_earliest_completion_wins(spark):
+    # two full pass-throughs: the EARLIEST chain is reported
+    ev = _ev(
+        spark,
+        [
+            (7, 0, "view"),
+            (7, 100, "click"),
+            (7, 200, "purchase"),
+            (7, 300, "view"),
+            (7, 400, "click"),
+            (7, 500, "purchase"),
+        ],
+    )
+    r = funnel_stages(ev, ["view", "click", "purchase"]).collect()[0]
+    assert (r.t1_ms % 1000, r.t2_ms % 1000, r.t3_ms % 1000) == (0, 100, 200)
+
+
+def test_funnel_requires_two_stages(spark):
+    import pytest
+
+    with pytest.raises(ValueError):
+        funnel_stages(_ev(spark, [(1, 0, "view")]), ["view"])
