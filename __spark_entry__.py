@@ -3500,6 +3500,55 @@ def _q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return funnel_stages(ev, ["view", "click", "purchase"])
 
 
+def _q_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked stream-stream interval join: view→click attribution
+    within 30 minutes per user, two file-source streams joined with a
+    bounded time-range condition (state expires at the watermark — the
+    forever-running shape).  availableNow delivers everything in one
+    batch, so the inner join emits exactly the relational interval
+    join, which DuckDB replays directly."""
+    import shutil
+
+    from archive_spark import streaming as st
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    base = os.path.basename(sf_dir.rstrip("/"))
+    scratch = f"/tmp/archive_spark_stream_ij/{base}"
+    shutil.rmtree(scratch, ignore_errors=True)
+    ev.write.parquet(f"{scratch}/in")
+
+    def src(etype: str) -> DataFrame:
+        return (
+            spark.readStream.schema(ev.schema)
+            .format("parquet")
+            .load(f"{scratch}/in")
+            .filter(F.col("event_type") == etype)
+        )
+
+    out = st.interval_join_stream(
+        src("view"), src("click"), within="30 minutes", watermark="1 hour"
+    )
+    q = (
+        out.select(
+            "user_id",
+            F.col("left_id").cast("bigint").alias("view_id"),
+            F.col("right_id").cast("bigint").alias("click_id"),
+            F.col("lag_ms").cast("bigint").alias("lag_ms"),
+        )
+        .writeStream.format("parquet")
+        .option("path", f"{scratch}/out")
+        .option("checkpointLocation", f"{scratch}/ck")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(600)
+    q.stop()
+    return spark.read.parquet(f"{scratch}/out").orderBy(
+        "user_id", "view_id", "click_id"
+    )
+
+
 _PROFILE_ORDERS_COLS = [
     ("o_custkey", "int"),
     ("o_orderdate", "ts"),
@@ -3585,6 +3634,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "constraint_check": _q_constraint_check,
         "constraint_suggest": _q_constraint_suggest,
         "events_funnel": _q_events_funnel,
+        "stream_interval_join": _q_stream_interval_join,
         "token_index": _q_token_index,
         "matview_refresh": _q_matview_refresh,
         "kmv_distinct": _q_kmv_distinct,
@@ -3916,6 +3966,19 @@ def oracle_sql() -> dict[str, str]:
             "UNION ALL SELECT col_name, 'non_negative', "
             "col_name || ' >= 0' FROM s WHERE mn >= 0"
             ") ORDER BY col_name, kind"
+        ),
+        "stream_interval_join": (
+            # at availableNow (one batch) the watermarked stream-stream
+            # inner join == the relational interval join, ms precision,
+            # inclusive bounds
+            "SELECT v.user_id AS user_id, v.event_id AS view_id, "
+            "c.event_id AS click_id, "
+            "(epoch_ms(c.ts) - epoch_ms(v.ts))::BIGINT AS lag_ms "
+            "FROM events v JOIN events c ON v.user_id = c.user_id "
+            "AND c.ts >= v.ts "
+            "AND epoch_ms(c.ts) <= epoch_ms(v.ts) + 1800000 "
+            "WHERE v.event_type = 'view' AND c.event_type = 'click' "
+            "ORDER BY 1, 2, 3"
         ),
         "events_funnel": (
             # sequential-min chain == the Spark sorted-walk (stage i

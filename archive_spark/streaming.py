@@ -593,3 +593,51 @@ def start_ann_append_sink(
     if available_now:
         w = w.trigger(availableNow=True)
     return w.start()
+
+
+def interval_join_stream(
+    left_stream: DataFrame,
+    right_stream: DataFrame,
+    within: str = "30 minutes",
+    watermark: str = "1 hour",
+    key: str = "user_id",
+) -> DataFrame:
+    """Watermarked stream-stream interval join (event attribution):
+    each right event joins the left events of the same key that precede
+    it by at most ``within`` (inclusive bounds, ms precision).
+
+    Both sides carry watermarks AND the join condition is a bounded
+    time range, so Spark can expire buffered state once the watermark
+    passes — per-executor state is O(events inside the horizon), never
+    O(stream), which is what makes the join run forever at 100 TB/day
+    (Structured Streaming guide, stream-stream inner join with time
+    constraint).  Emitted columns: key, left_id, right_id, lag_ms.
+
+    Expects (key, ts, event_id) on both inputs; ts may be NTZ (cast to
+    session-tz timestamp — UTC per session.py, matching DuckDB
+    epoch_ms in the driver oracle).
+    """
+    lhs = left_stream.select(
+        F.col(key).alias("k"),
+        F.col("ts").cast("timestamp").alias("l_ts"),
+        F.col("event_id").alias("left_id"),
+    ).withWatermark("l_ts", watermark)
+    rhs = right_stream.select(
+        F.col(key).alias("rk"),
+        F.col("ts").cast("timestamp").alias("r_ts"),
+        F.col("event_id").alias("right_id"),
+    ).withWatermark("r_ts", watermark)
+    cond = (
+        (lhs["k"] == rhs["rk"])
+        & (rhs["r_ts"] >= lhs["l_ts"])
+        & (rhs["r_ts"] <= lhs["l_ts"] + F.expr(f"INTERVAL {within}"))
+    )
+    return (
+        lhs.join(rhs, cond, "inner")
+        .select(
+            F.col("k").alias(key),
+            "left_id",
+            "right_id",
+            (F.unix_millis("r_ts") - F.unix_millis("l_ts")).alias("lag_ms"),
+        )
+    )

@@ -475,3 +475,110 @@ def test_streaming_multicolumn_encode(spark, tmp_path):
     ).collect()[0]
     assert rep.n_decoded == 400
     assert rep.n_mismatch_input_ids == 0 and rep.n_mismatch_mask == 0
+
+
+def _ij_events(spark, rows):
+    """rows: (event_id, user_id, ms_offset, event_type) → events DF."""
+    import datetime as dt
+
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("event_type", T.StringType()),
+        ]
+    )
+    base = dt.datetime(2026, 1, 1)
+    return spark.createDataFrame(
+        [
+            (eid, uid, base + dt.timedelta(milliseconds=ms), et)
+            for eid, uid, ms, et in rows
+        ],
+        schema,
+    )
+
+
+def _run_interval_join(spark, src, out, ck):
+    schema = spark.read.parquet(src).schema
+
+    def side(et):
+        return (
+            spark.readStream.schema(schema).format("parquet").load(src)
+            .filter(F.col("event_type") == et)
+        )
+
+    q = (
+        streaming.interval_join_stream(
+            side("view"), side("click"), within="30 minutes", watermark="1 hour"
+        )
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ck)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(600)
+    q.stop()
+
+
+def test_interval_join_bounds_inclusive(spark, tmp_path):
+    src = str(tmp_path / "ijsrc")
+    out = str(tmp_path / "ijout")
+    ck = str(tmp_path / "ijck")
+    half_hour = 30 * 60 * 1000
+    _ij_events(
+        spark,
+        [
+            (1, 7, 0, "view"),
+            (2, 7, half_hour, "click"),        # exactly at bound: kept
+            (3, 7, half_hour + 1, "click"),    # 1 ms past: dropped
+            (4, 7, 0, "click"),                # same ms as view: kept (>=)
+            (5, 8, 10, "click"),               # other user: dropped
+            (6, 9, 5, "view"),                 # view with no click
+        ],
+    ).write.parquet(src)
+    _run_interval_join(spark, src, out, ck)
+    got = {
+        (r.left_id, r.right_id, r.lag_ms)
+        for r in spark.read.parquet(out).collect()
+    }
+    assert got == {(1, 2, half_hour), (1, 4, 0)}
+
+
+def test_interval_join_late_data_dropped_after_watermark(spark, tmp_path):
+    """State expiry: a click arriving (in a later micro-batch) with an
+    event time far behind the advanced watermark is dropped, even
+    though it would match relationally — the bounded-state contract."""
+    src = str(tmp_path / "ljsrc")
+    out = str(tmp_path / "ljout")
+    ck = str(tmp_path / "ljck")
+    hour = 3600 * 1000
+    # batch 1: a view at t=0 plus recent traffic on BOTH sides at t=6h,
+    # advancing both watermarks to ~5h
+    _ij_events(
+        spark,
+        [
+            (1, 7, 0, "view"),
+            (2, 8, 6 * hour, "view"),
+            (3, 8, 6 * hour + 1000, "click"),
+        ],
+    ).write.parquet(src)
+    _run_interval_join(spark, src, out, ck)
+    first = {
+        (r.left_id, r.right_id) for r in spark.read.parquet(out).collect()
+    }
+    assert first == {(2, 3)}
+    # batch 2: a click at t=10min matching view 1 — but its event time is
+    # ~5h behind the watermark, so the join must NOT emit it
+    _ij_events(spark, [(9, 7, 10 * 60 * 1000, "click")]).write.mode(
+        "append"
+    ).parquet(src)
+    _run_interval_join(spark, src, out, ck)
+    after = {
+        (r.left_id, r.right_id) for r in spark.read.parquet(out).collect()
+    }
+    assert after == first
