@@ -3549,6 +3549,49 @@ def _q_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming SESSION windows (dynamic gap merging, session_window):
+    per-user 30-min-gap sessions finalize in append mode once the
+    watermark (max ts − 15 min) passes session_end = last event + gap.
+    Boundary semantics pinned by test: events exactly gap apart MERGE;
+    a session ending exactly at the watermark EMITS.  The oracle
+    replays sessionization at µs precision + the ms emission rule."""
+    import shutil
+
+    from archive_spark import streaming as st
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    base = os.path.basename(sf_dir.rstrip("/"))
+    scratch = f"/tmp/archive_spark_stream_ssw/{base}"
+    shutil.rmtree(scratch, ignore_errors=True)
+    ev.write.parquet(f"{scratch}/in")
+    stream = (
+        spark.readStream.schema(ev.schema).format("parquet").load(f"{scratch}/in")
+    )
+    out = st.sessionized_event_counts(
+        stream, gap="30 minutes", watermark="15 minutes"
+    )
+    q = (
+        out.select(
+            "user_id",
+            "session_start",
+            "session_end",
+            F.col("n_events").cast("bigint").alias("n_events"),
+        )
+        .writeStream.format("parquet")
+        .option("path", f"{scratch}/out")
+        .option("checkpointLocation", f"{scratch}/ck")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(600)
+    q.stop()
+    return spark.read.parquet(f"{scratch}/out").orderBy(
+        "user_id", "session_start"
+    )
+
+
 _PROFILE_ORDERS_COLS = [
     ("o_custkey", "int"),
     ("o_orderdate", "ts"),
@@ -3635,6 +3678,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "constraint_suggest": _q_constraint_suggest,
         "events_funnel": _q_events_funnel,
         "stream_interval_join": _q_stream_interval_join,
+        "stream_session_windows": _q_stream_session_windows,
         "token_index": _q_token_index,
         "matview_refresh": _q_matview_refresh,
         "kmv_distinct": _q_kmv_distinct,
@@ -3966,6 +4010,26 @@ def oracle_sql() -> dict[str, str]:
             "UNION ALL SELECT col_name, 'non_negative', "
             "col_name || ' >= 0' FROM s WHERE mn >= 0"
             ") ORDER BY col_name, kind"
+        ),
+        "stream_session_windows": (
+            # session merging at µs precision (events exactly gap apart
+            # MERGE: break only when diff > gap), session_end = last
+            # event + gap; append emits sessions with session_end <=
+            # max(ts) - 15 min (ms floor; boundary-EMIT pinned by test)
+            "WITH lagged AS (SELECT user_id, ts, event_id, "
+            "CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000 "
+            "OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_s "
+            "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)), "
+            "sess AS (SELECT user_id, ts, "
+            "sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS sid "
+            "FROM lagged), "
+            "agg AS (SELECT user_id, min(ts) AS session_start, "
+            "max(ts) + INTERVAL 30 MINUTE AS session_end, "
+            "count(*)::BIGINT AS n_events FROM sess GROUP BY user_id, sid), "
+            "wm AS (SELECT max(epoch_ms(ts)) - 900000 AS w FROM events) "
+            "SELECT user_id, session_start, session_end, n_events "
+            "FROM agg, wm WHERE epoch_ms(session_end) <= wm.w "
+            "ORDER BY user_id, session_start"
         ),
         "stream_interval_join": (
             # at availableNow (one batch) the watermarked stream-stream

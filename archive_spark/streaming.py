@@ -641,3 +641,31 @@ def interval_join_stream(
             (F.unix_millis("r_ts") - F.unix_millis("l_ts")).alias("lag_ms"),
         )
     )
+
+
+def sessionized_event_counts(
+    events_stream: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "1 hour",
+    key: str = "user_id",
+) -> DataFrame:
+    """Event-time SESSION windows (dynamic-gap merging) per key: events
+    within ``gap`` of each other merge into one session; a session
+    finalizes (append mode) once the watermark passes its end
+    (last event + gap).  State is O(open sessions), bounded by the
+    watermark horizon — the Structured Streaming session_window
+    operator, the streaming face of the batch sessionization query.
+
+    Returns (key, session_start, session_end, n_events)."""
+    ev = events_stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    return (
+        ev.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("win"), F.col(key))
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            key,
+            F.col("win.start").alias("session_start"),
+            F.col("win.end").alias("session_end"),
+            "n_events",
+        )
+    )

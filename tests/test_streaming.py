@@ -582,3 +582,58 @@ def test_interval_join_late_data_dropped_after_watermark(spark, tmp_path):
         (r.left_id, r.right_id) for r in spark.read.parquet(out).collect()
     }
     assert after == first
+
+
+def test_session_window_boundary_semantics(spark, tmp_path):
+    """Pins session_window's edge rules (the oracle encodes them):
+    events exactly gap apart MERGE; a session ending exactly at the
+    watermark EMITS; one ending 1 ms past it is held back."""
+    import datetime as dt
+
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [T.StructField("user_id", T.LongType()), T.StructField("ts", T.TimestampType())]
+    )
+    base = dt.datetime(2026, 1, 1)
+    MIN = 60 * 1000
+    horizon = 48 * 60 * MIN  # max ts; wm = horizon - 60min
+    rows = [
+        (1, 0), (1, 30 * MIN),          # exactly gap apart: one session of 2
+        (2, 0), (2, 30 * MIN + 1),      # 1 ms past gap: two sessions
+        (3, horizon),                   # sets the watermark
+        (4, horizon - 90 * MIN),        # end == wm exactly → emits
+        (6, horizon - 90 * MIN + 1),    # end 1 ms past wm → held
+    ]
+    df = spark.createDataFrame(
+        [(u, base + dt.timedelta(milliseconds=ms)) for u, ms in rows], schema
+    )
+    src, out, ck = (str(tmp_path / d) for d in ("in", "out", "ck"))
+    df.write.parquet(src)
+    stream = spark.readStream.schema(df.schema).format("parquet").load(src)
+    q = (
+        streaming.sessionized_event_counts(
+            stream, gap="30 minutes", watermark="60 minutes"
+        )
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ck)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(600)
+    q.stop()
+    got = {
+        (r.user_id, r.n_events)
+        for r in spark.read.parquet(out).collect()
+    }
+    sessions_u2 = sorted(
+        r.n_events
+        for r in spark.read.parquet(out).collect()
+        if r.user_id == 2
+    )
+    assert (1, 2) in got            # exact-gap events merged
+    assert sessions_u2 == [1, 1]    # 1 ms past gap split
+    assert (4, 1) in got            # boundary session emitted
+    assert all(u != 6 for u, _ in got)  # past-watermark session held
