@@ -3592,6 +3592,73 @@ def _q_stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured extraction: parse the JSON props column
+    (get_json_object — JVM Jackson path, no Python) and aggregate the
+    extracted field per event type; DuckDB replays via its JSON
+    operators.  The schema-on-read pattern for log/event pipelines."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n_events"),
+            F.sum("k").cast("bigint").alias("sum_k"),
+            F.count_distinct(F.col("k")).cast("bigint").alias("n_distinct_k"),
+            F.min("k").cast("bigint").alias("min_k"),
+            F.max("k").cast("bigint").alias("max_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def _q_jsonl_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSONL ingest with corrupt-record quarantine: documents staged as
+    JSON lines with every doc_id % 37 == 0 line deliberately mangled;
+    parseable rows aggregate per source, mangled lines land in a
+    quarantine row instead of failing the job.  The oracle replays the
+    partition arithmetic straight off the documents table."""
+    import shutil
+
+    from pyspark.sql import types as T
+
+    from archive_spark.pipeline_ops import ingest_jsonl
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    base = os.path.basename(sf_dir.rstrip("/"))
+    scratch = f"/tmp/archive_spark_jsonl/{base}"
+    shutil.rmtree(scratch, ignore_errors=True)
+    line = F.to_json(F.struct("doc_id", "lang", "source", "n_chars"))
+    # prepend the garbage: JSON parsers ignore TRAILING junk after a
+    # complete object, so a trailing mangle would not quarantine
+    staged = docs.select(
+        F.when(F.col("doc_id") % 37 == 0, F.concat(F.lit("%%%"), line))
+        .otherwise(line)
+        .alias("value")
+    )
+    staged.write.text(f"{scratch}/in")
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("lang", T.StringType()),
+            T.StructField("source", T.StringType()),
+            T.StructField("n_chars", T.LongType()),
+        ]
+    )
+    good, quarantine = ingest_jsonl(spark, f"{scratch}/in", schema)
+    per_source = good.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("sum_chars"),
+    )
+    qrow = quarantine.agg(
+        F.lit("_quarantine").alias("source"),
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.lit(0).cast("bigint").alias("sum_chars"),
+    )
+    return per_source.unionByName(qrow).orderBy("source")
+
+
 _PROFILE_ORDERS_COLS = [
     ("o_custkey", "int"),
     ("o_orderdate", "ts"),
@@ -3679,6 +3746,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_funnel": _q_events_funnel,
         "stream_interval_join": _q_stream_interval_join,
         "stream_session_windows": _q_stream_session_windows,
+        "events_json_props": _q_events_json_props,
+        "jsonl_ingest": _q_jsonl_ingest,
         "token_index": _q_token_index,
         "matview_refresh": _q_matview_refresh,
         "kmv_distinct": _q_kmv_distinct,
@@ -4010,6 +4079,25 @@ def oracle_sql() -> dict[str, str]:
             "UNION ALL SELECT col_name, 'non_negative', "
             "col_name || ' >= 0' FROM s WHERE mn >= 0"
             ") ORDER BY col_name, kind"
+        ),
+        "jsonl_ingest": (
+            # quarantine arithmetic replayed off documents directly:
+            # doc_id % 37 == 0 lines were mangled at staging time
+            "SELECT source, count(*)::BIGINT AS n_docs, "
+            "sum(n_chars)::BIGINT AS sum_chars FROM documents "
+            "WHERE doc_id % 37 != 0 GROUP BY source "
+            "UNION ALL SELECT '_quarantine', count(*)::BIGINT, 0::BIGINT "
+            "FROM documents WHERE doc_id % 37 = 0 "
+            "ORDER BY source"
+        ),
+        "events_json_props": (
+            "WITH p AS (SELECT event_type, "
+            "(props ->> '$.k')::BIGINT AS k FROM events) "
+            "SELECT event_type, count(*)::BIGINT AS n_events, "
+            "sum(k)::BIGINT AS sum_k, "
+            "count(DISTINCT k)::BIGINT AS n_distinct_k, "
+            "min(k)::BIGINT AS min_k, max(k)::BIGINT AS max_k "
+            "FROM p GROUP BY event_type ORDER BY event_type"
         ),
         "stream_session_windows": (
             # session merging at µs precision (events exactly gap apart

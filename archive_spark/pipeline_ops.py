@@ -4780,3 +4780,47 @@ def funnel_stages(
             for i in range(k)
         ],
     ).orderBy("user_id")
+
+
+# ---------------------------------------------------------------------------
+# JSONL ingest — schema-on-read with corrupt-record quarantine
+# ---------------------------------------------------------------------------
+
+def ingest_jsonl(spark, path: str, schema) -> tuple[DataFrame, DataFrame]:
+    """PERMISSIVE JSONL ingest: rows that parse land in the typed good
+    table; unparseable lines land in a quarantine table verbatim (the
+    _corrupt_record pattern) instead of failing the job or silently
+    vanishing — the web-corpus ingest contract where a 100 TB crawl
+    always contains malformed lines.
+
+    Returns (good, quarantine): good has exactly ``schema``'s columns;
+    quarantine is (raw_line string).  Reads as TEXT + ``from_json``
+    rather than the native JSON source: the native source forbids
+    queries projecting only ``_corrupt_record`` unless the whole parse
+    is cached — a non-starter at crawl scale — while from_json over a
+    text scan has no such restriction and keeps both branches pure
+    column pruning over the same relation.
+    """
+    from pyspark.sql import types as T
+
+    full = T.StructType(
+        list(schema.fields) + [T.StructField("_corrupt_record", T.StringType())]
+    )
+    # blank lines are conventional in hand-edited JSONL — skip, don't
+    # quarantine (from_json would otherwise yield an all-null good row)
+    raw = spark.read.text(path).filter(F.trim("value") != "")
+    parsed = raw.select(
+        "value",
+        F.from_json(
+            "value",
+            full,
+            {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": "_corrupt_record"},
+        ).alias("j"),
+    )
+    good = parsed.filter(F.col("j._corrupt_record").isNull()).select(
+        *[F.col(f"j.{f.name}").alias(f.name) for f in schema.fields]
+    )
+    quarantine = parsed.filter(
+        F.col("j._corrupt_record").isNotNull()
+    ).select(F.col("value").alias("raw_line"))
+    return good, quarantine

@@ -187,3 +187,38 @@ def test_funnel_requires_two_stages(spark):
 
     with pytest.raises(ValueError):
         funnel_stages(_ev(spark, [(1, 0, "view")]), ["view"])
+
+
+def test_ingest_jsonl_quarantine(spark, tmp_path):
+    """JSONL ingest contract: parseable rows land typed (missing fields
+    null, extra fields ignored), malformed or type-mismatched lines
+    quarantine verbatim, blank lines are skipped."""
+    p = tmp_path / "in.jsonl"
+    p.write_text(
+        "\n".join(
+            [
+                '{"a": 1, "b": "x"}',
+                '%%%{"a": 2, "b": "y"}',
+                '{"a": "notanint", "b": "z"}',
+                "",
+                '{"a": 3}',
+                '{"a": 4, "b": "w", "extra": 9}',
+            ]
+        )
+        + "\n"
+    )
+    from archive_spark.pipeline_ops import ingest_jsonl
+
+    schema = T.StructType(
+        [T.StructField("a", T.LongType()), T.StructField("b", T.StringType())]
+    )
+    good, bad = ingest_jsonl(spark, str(p), schema)
+    assert sorted([tuple(r) for r in good.collect()], key=str) == [
+        (1, "x"),
+        (3, None),
+        (4, "w"),
+    ]
+    assert sorted(r.raw_line for r in bad.collect()) == [
+        '%%%{"a": 2, "b": "y"}',
+        '{"a": "notanint", "b": "z"}',
+    ]
