@@ -3659,6 +3659,35 @@ def _q_jsonl_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_source.unionByName(qrow).orderBy("source")
 
 
+def _q_crypto_shred(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crypto-shredding lifecycle: encode → encrypt per-source →
+    shred two sources' keys → decrypt-what-remains → decode →
+    aggregate.  Shredded sources vanish without touching a data byte;
+    the oracle replays the surviving aggregate off raw documents."""
+    from archive_spark import engine
+    from archive_spark.cryptoshred import (
+        decrypt_table,
+        encrypt_table,
+        new_keystore,
+    )
+
+    enc = engine.encode(_tokens(spark, sf_dir), target_block_values=1 << 15)
+    sources = [r.source for r in enc.select("source").distinct().collect()]
+    ks = new_keystore(sources)
+    encrypted = encrypt_table(enc, ks)
+    for victim in ("src3", "src7"):
+        ks.pop(victim, None)
+    survivors = engine.decode(decrypt_table(encrypted, ks))
+    return (
+        survivors.groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum(F.size("tokens")).cast("bigint").alias("total_tokens"),
+        )
+        .orderBy("source")
+    )
+
+
 _PROFILE_ORDERS_COLS = [
     ("o_custkey", "int"),
     ("o_orderdate", "ts"),
@@ -3748,6 +3777,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_session_windows": _q_stream_session_windows,
         "events_json_props": _q_events_json_props,
         "jsonl_ingest": _q_jsonl_ingest,
+        "crypto_shred": _q_crypto_shred,
         "token_index": _q_token_index,
         "matview_refresh": _q_matview_refresh,
         "kmv_distinct": _q_kmv_distinct,
@@ -4079,6 +4109,15 @@ def oracle_sql() -> dict[str, str]:
             "UNION ALL SELECT col_name, 'non_negative', "
             "col_name || ' >= 0' FROM s WHERE mn >= 0"
             ") ORDER BY col_name, kind"
+        ),
+        "crypto_shred": (
+            # the survivors' aggregate straight off raw documents: the
+            # decode of every un-shredded source must be bit-exact, and
+            # shredded sources must contribute nothing
+            "SELECT source, count(*)::BIGINT AS n_docs, "
+            "sum(len(string_split(text, ' ')))::BIGINT AS total_tokens "
+            "FROM documents WHERE source NOT IN ('src3', 'src7') "
+            "GROUP BY source ORDER BY source"
         ),
         "jsonl_ingest": (
             # quarantine arithmetic replayed off documents directly:

@@ -1,0 +1,183 @@
+"""Crypto-shredding for encoded block tables: encrypt every block's
+payload under its source's key; deleting the key makes the data
+cryptographically unrecoverable (GDPR erasure without touching a byte
+of the data files) — the Parquet-modular-encryption / envelope-key
+pattern re-expressed over the engine's own block layout.
+
+Design:
+- Key granularity = ``source`` (blocks are single-source by
+  construction, see engine.ENCODED_SCHEMA), i.e. tenant-level erasure.
+  Row-level erasure within a block stays the job of equality deletes +
+  ``engine.purge_docs``; crypto-shredding complements them when even a
+  rewrite pass over 100 TB is too slow for the deletion SLA.
+- Cipher: AES-128-CTR from :mod:`archive_spark.cryptokit` (FIPS-197,
+  numpy-vectorized).  CTR keystream reuse across blocks under one key
+  would be fatal, so every block encrypts under a distinct subkey
+  ``SHA-256(source_key || block_id)[:16]`` — block_ids are unique, the
+  per-block counter can then safely start at 1 (aes_ctr_zip).
+- Both ``payload`` and ``lengths_payload`` encrypt (lengths leak doc
+  sizes); zone maps / blooms / doc_ids stay plaintext so PLANNING
+  (pruning, membership) still works on an encrypted table — the
+  standard footer-plaintext trade; shred the key and the payloads are
+  noise.
+- ``decrypt_table(on_missing="drop")`` silently drops blocks whose key
+  was shredded (the erasure semantics); ``"error"`` refuses loudly for
+  pipelines that expect every key present.
+
+The keystore is a tiny driver-side JSON file {source: hex key} — at
+100 TB it is O(sources), not O(data); production would hold it in a
+KMS, the table format is unchanged either way.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+
+from pyspark.sql import DataFrame
+
+ENC_PARAM = "encrypted"  # meta.params key marking an encrypted block
+
+
+def new_keystore(sources, seed: int = 0) -> dict[str, str]:
+    """Deterministic per-source AES-128 keys (hex).  Deterministic so
+    tests and oracles can regenerate; production would use os.urandom."""
+    return {
+        s: hashlib.sha256(f"archive_spark-key-{seed}-{s}".encode()).hexdigest()[:32]
+        for s in sources
+    }
+
+
+def save_keystore(ks: dict[str, str], path: str) -> None:
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(ks, f, indent=0, sort_keys=True)
+    os.replace(tmp, path)
+
+
+def load_keystore(path: str) -> dict[str, str]:
+    with open(path) as f:
+        return json.load(f)
+
+
+def shred_key(path: str, source: str) -> bool:
+    """Delete one source's key — the O(1) erasure act.  Returns whether
+    the key existed.  An audit line is appended next to the keystore
+    (the erasure proof a DPO wants)."""
+    ks = load_keystore(path)
+    existed = source in ks
+    ks.pop(source, None)
+    save_keystore(ks, path)
+    with open(path + ".audit", "a") as f:
+        f.write(json.dumps({"shredded": source, "existed": existed}) + "\n")
+    return existed
+
+
+def _subkey(key_hex: str, block_id: str) -> bytes:
+    return hashlib.sha256(bytes.fromhex(key_hex) + block_id.encode()).digest()[:16]
+
+
+def _apply_ctr(df: DataFrame, keys: dict[str, str], encrypting: bool) -> DataFrame:
+    """Shared encrypt/decrypt pass (CTR is symmetric): one mapInArrow,
+    payload + lengths_payload transformed, meta.params flag toggled."""
+    import pyarrow as pa
+
+    from pyspark.sql import functions as F  # noqa: F401  (schema reuse)
+
+    schema_str = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
+    )
+
+    def work(batches):
+        from archive_spark.cryptokit import aes_ctr_zip
+
+        for batch in batches:
+            tbl = batch.to_pydict()
+            n = len(tbl["block_id"])
+            keep = []
+            for i in range(n):
+                src = tbl["source"][i]
+                params = dict(tbl["meta"][i]["params"] or {})
+                flagged = params.get(ENC_PARAM) == "1"
+                if encrypting:
+                    if flagged:
+                        raise ValueError(
+                            f"block {tbl['block_id'][i]} already encrypted"
+                        )
+                    if src not in keys:
+                        raise KeyError(f"no key for source {src!r}")
+                else:
+                    if not flagged:
+                        raise ValueError(
+                            f"block {tbl['block_id'][i]} is not encrypted"
+                        )
+                    if src not in keys:
+                        continue  # shredded: cryptographically erased
+                sk = _subkey(keys[src], tbl["block_id"][i])
+                for col in ("payload", "lengths_payload"):
+                    v = tbl[col][i]
+                    if v is not None and len(v):
+                        tbl[col][i] = aes_ctr_zip(sk, bytes(v))
+                params[ENC_PARAM] = "1" if encrypting else "0"
+                if not encrypting:
+                    params.pop(ENC_PARAM, None)
+                m = dict(tbl["meta"][i])
+                m["params"] = params
+                tbl["meta"][i] = m
+                keep.append(i)
+            if len(keep) != n:
+                tbl = {k: [v[i] for i in keep] for k, v in tbl.items()}
+            yield pa.RecordBatch.from_pydict(tbl, schema=batch.schema)
+
+    return df.mapInArrow(work, schema_str)
+
+
+def encrypt_table(enc: DataFrame, keystore: dict[str, str]) -> DataFrame:
+    """Encrypt every block's payloads under its source's key.  Fails
+    loudly on a source with no key (an unencryptable block must never
+    ship silently) and on double encryption."""
+    return _apply_ctr(enc, dict(keystore), encrypting=True)
+
+
+def decrypt_table(
+    enc: DataFrame, keystore: dict[str, str], on_missing: str = "drop"
+) -> DataFrame:
+    """Decrypt blocks whose key is present.  ``on_missing='drop'``
+    (default) silently omits shredded sources — the erasure semantics;
+    ``'error'`` raises if any block's key is gone."""
+    if on_missing not in ("drop", "error"):
+        raise ValueError("on_missing must be 'drop' or 'error'")
+    if on_missing == "error":
+        from pyspark.sql import functions as F
+
+        missing = (
+            enc.select("source").distinct()
+            .filter(~F.col("source").isin(list(keystore)))
+            .limit(1)
+            .collect()
+        )
+        if missing:
+            raise KeyError(f"key shredded for source {missing[0][0]!r}")
+    return _apply_ctr(enc, dict(keystore), encrypting=False)
+
+
+def shredded_report(enc: DataFrame, keystore: dict[str, str]) -> DataFrame:
+    """Per-source accounting of what a shredded keystore can no longer
+    decrypt: (source, recoverable, n_blocks, n_docs, enc_bytes)."""
+    from pyspark.sql import functions as F
+
+    return (
+        enc.groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_blocks"),
+            F.sum("meta.n_docs").cast("bigint").alias("n_docs"),
+            F.sum("meta.enc_bytes").cast("bigint").alias("enc_bytes"),
+        )
+        .withColumn(
+            "recoverable",
+            F.col("source").isin(list(keystore)).cast("int"),
+        )
+        .select("source", "recoverable", "n_blocks", "n_docs", "enc_bytes")
+        .orderBy("source")
+    )

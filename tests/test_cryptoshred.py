@@ -1,0 +1,110 @@
+"""Crypto-shredding: encrypt/decrypt roundtrip is bitwise, per-block
+subkeys prevent CTR keystream reuse, shredding a key erases exactly
+that source, and misuse fails loudly."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from archive_spark import engine
+from archive_spark.cryptoshred import (
+    decrypt_table,
+    encrypt_table,
+    load_keystore,
+    new_keystore,
+    save_keystore,
+    shred_key,
+    shredded_report,
+)
+from archive_spark.tokengen import token_table
+
+
+@pytest.fixture(scope="module")
+def enc(spark):
+    tokens = token_table(spark, 400, seed=7)
+    df = engine.encode(tokens, target_block_values=1 << 12)
+    df.persist().count()
+    yield df
+    df.unpersist()
+
+
+def _keystore(enc):
+    sources = [r.source for r in enc.select("source").distinct().collect()]
+    return new_keystore(sources)
+
+
+def test_roundtrip_bitwise_and_decode(spark, enc):
+    ks = _keystore(enc)
+    back = decrypt_table(encrypt_table(enc, ks), ks)
+    orig = {r.block_id: r for r in enc.collect()}
+    got = {r.block_id: r for r in back.collect()}
+    assert set(orig) == set(got)
+    for bid, r in got.items():
+        assert bytes(r.payload) == bytes(orig[bid].payload)
+        assert bytes(r.lengths_payload) == bytes(orig[bid].lengths_payload)
+        assert dict(r.meta.params or {}) == dict(orig[bid].meta.params or {})
+    # and the decoded table is intact end-to-end
+    n = engine.decode(decrypt_table(encrypt_table(enc, ks), ks)).count()
+    assert n == engine.decode(enc).count()
+
+
+def test_ciphertext_differs_and_subkeys_unique(spark, enc):
+    ks = _keystore(enc)
+    ct = {r.block_id: bytes(r.payload) for r in encrypt_table(enc, ks).collect()}
+    pt = {r.block_id: bytes(r.payload) for r in enc.collect()}
+    assert all(ct[b] != pt[b] for b in ct if len(pt[b]) >= 16)
+    # two blocks of the SAME source must not share a keystream: XOR of
+    # ciphertexts must not equal XOR of plaintexts on any source pair
+    by_src: dict[str, list[str]] = {}
+    for r in enc.collect():
+        by_src.setdefault(r.source, []).append(r.block_id)
+    pairs = [(v[0], v[1]) for v in by_src.values() if len(v) >= 2]
+    assert pairs, "fixture must produce multi-block sources"
+    for a, b in pairs:
+        k = min(len(pt[a]), len(pt[b]), 64)
+        if k == 0:
+            continue
+        xor_ct = bytes(x ^ y for x, y in zip(ct[a][:k], ct[b][:k]))
+        xor_pt = bytes(x ^ y for x, y in zip(pt[a][:k], pt[b][:k]))
+        assert xor_ct != xor_pt
+
+
+def test_shred_erases_one_source(spark, enc, tmp_path):
+    ks = _keystore(enc)
+    path = str(tmp_path / "keys.json")
+    save_keystore(ks, path)
+    victim = sorted(ks)[0]
+    encd = encrypt_table(enc, ks)
+    encd.persist().count()
+    try:
+        assert shred_key(path, victim) is True
+        assert shred_key(path, victim) is False  # idempotent, audited
+        ks2 = load_keystore(path)
+        back = decrypt_table(encd, ks2)
+        assert back.filter(F.col("source") == victim).count() == 0
+        survivors = engine.decode(back)
+        assert survivors.filter(F.col("source") == victim).count() == 0
+        # every other source decodes in full
+        want = engine.decode(enc).filter(F.col("source") != victim).count()
+        assert survivors.count() == want
+        with pytest.raises(Exception, match="shredded|key"):
+            decrypt_table(encd, ks2, on_missing="error").count()
+        rep = {r.source: r for r in shredded_report(encd, ks2).collect()}
+        assert rep[victim].recoverable == 0
+        assert all(v.recoverable == 1 for s, v in rep.items() if s != victim)
+    finally:
+        encd.unpersist()
+
+
+def test_misuse_fails_loudly(spark, enc):
+    ks = _keystore(enc)
+    encd = encrypt_table(enc, ks)
+    with pytest.raises(Exception, match="already encrypted"):
+        encrypt_table(encd, ks).count()
+    with pytest.raises(Exception, match="not encrypted"):
+        decrypt_table(enc, ks).count()
+    missing = dict(ks)
+    missing.pop(sorted(missing)[0])
+    with pytest.raises(Exception, match="no key"):
+        encrypt_table(enc, missing).count()
