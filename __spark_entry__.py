@@ -3659,6 +3659,28 @@ def _q_jsonl_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_source.unionByName(qrow).orderBy("source")
 
 
+def _q_ann_mrl_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """recall@5 of Matryoshka adaptive retrieval — truncated-prefix
+    search (first 16 of 64 dims, 4× less memory/bandwidth) proposes a
+    shortlist, exact full-dim cosine reranks it (two-stage MRL serving;
+    prefix-only recall starves on these near-random synthetic vectors
+    exactly as PQ-ADC did).  The reranked result is persisted; DuckDB
+    recomputes the exact top-5 and the recall arithmetic."""
+    from archive_spark.pipeline_ops import (
+        ann_recall,
+        cosine_topk_bruteforce,
+        mrl_truncate,
+        rerank_exact,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    short = cosine_topk_bruteforce(mrl_truncate(emb, 16), [0, 1, 2], topk=120)
+    mrl = rerank_exact(emb, short.select("query_id", "vec_id"), topk=5)
+    _persist(mrl.select("query_id", "vec_id"), "mrl_pruned", sf_dir)
+    bf = cosine_topk_bruteforce(emb, [0, 1, 2], topk=5)
+    return ann_recall(mrl, bf, topk=5)
+
+
 def _q_crypto_shred(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Crypto-shredding lifecycle: encode → encrypt per-source →
     shred two sources' keys → decrypt-what-remains → decode →
@@ -3778,6 +3800,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_json_props": _q_events_json_props,
         "jsonl_ingest": _q_jsonl_ingest,
         "crypto_shred": _q_crypto_shred,
+        "ann_mrl_recall": _q_ann_mrl_recall,
         "token_index": _q_token_index,
         "matview_refresh": _q_matview_refresh,
         "kmv_distinct": _q_kmv_distinct,
@@ -4110,6 +4133,7 @@ def oracle_sql() -> dict[str, str]:
             "col_name || ' >= 0' FROM s WHERE mn >= 0"
             ") ORDER BY col_name, kind"
         ),
+        "ann_mrl_recall": _recall_oracle("mrl_pruned"),
         "crypto_shred": (
             # the survivors' aggregate straight off raw documents: the
             # decode of every un-shredded source must be bit-exact, and

@@ -4824,3 +4824,54 @@ def ingest_jsonl(spark, path: str, schema) -> tuple[DataFrame, DataFrame]:
         F.col("j._corrupt_record").isNotNull()
     ).select(F.col("value").alias("raw_line"))
     return good, quarantine
+
+
+def mrl_truncate(
+    emb: DataFrame, dims: int, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Matryoshka truncation (Kusupati et al. 2022): keep the first
+    ``dims`` coordinates of each embedding.  With MRL-trained models
+    the prefix is itself a valid lower-dim embedding, so search runs
+    on dims/D of the memory and bandwidth; cosine renormalization is
+    implicit (the scorer normalizes).  One JVM slice — no Python."""
+    if dims < 1:
+        raise ValueError("mrl_truncate: dims must be >= 1")
+    return emb.select(
+        F.col(id_col), F.slice(F.col(vec_col), 1, dims).alias(vec_col)
+    )
+
+
+def rerank_exact(
+    emb: DataFrame,
+    shortlist: DataFrame,
+    topk: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact-cosine rerank of per-query candidate shortlists (the
+    second stage of every two-stage ANN: coarse scorer proposes,
+    full-precision cosine disposes).  Cost is O(queries × shortlist)
+    full-dim dots — independent of corpus size; the queries' own
+    vectors broadcast.  shortlist: (query_id, vec_id)."""
+    q = (
+        emb.join(
+            shortlist.select(F.col("query_id").alias(id_col)).distinct(),
+            id_col,
+        )
+        .select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_emb"))
+    )
+    cand = shortlist.select("query_id", id_col).join(
+        emb.select(id_col, vec_col), id_col
+    )
+    joined = cand.join(F.broadcast(q), "query_id")
+    cos = (
+        _dot(F.col(vec_col), F.col("q_emb"))
+        / (_norm(F.col(vec_col)) * _norm(F.col("q_emb")))
+    ).alias("cosine")
+    scored = joined.select("query_id", id_col, cos)
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.col(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= topk)
+        .orderBy("query_id", "rank")
+    )
