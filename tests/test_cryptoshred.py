@@ -108,3 +108,30 @@ def test_misuse_fails_loudly(spark, enc):
     missing.pop(sorted(missing)[0])
     with pytest.raises(Exception, match="no key"):
         encrypt_table(enc, missing).count()
+
+
+def test_encrypted_blocks_through_snapshot_table(spark, enc, tmp_path):
+    """Encrypted blocks commit/plan/read through table.py unchanged:
+    zone maps stay plaintext so manifest pruning works on an encrypted
+    table, and a shred after publish erases that source from the read
+    path without touching the table."""
+    from archive_spark import table
+
+    ks = _keystore(enc)
+    t = str(tmp_path / "enc_table")
+    sid = table.commit(encrypt_table(enc, ks), t)
+    got = table.read(spark, t)
+    assert got.count() == enc.count()
+    # manifest doc-range pruning still applies (plaintext zone maps)
+    lo = min(r.doc_min for r in enc.select("doc_min").collect())
+    plan = table.select_files(t, sid, prune={"doc_min": (lo, lo)})
+    all_files = table.select_files(t, sid)
+    assert 1 <= len(plan) <= len(all_files)
+    # decrypt-after-read: full roundtrip through the published table
+    back = engine.decode(decrypt_table(got, ks))
+    assert back.count() == engine.decode(enc).count()
+    # shred one source: its docs vanish from the table's decode path
+    victim = sorted(ks)[0]
+    ks.pop(victim)
+    survivors = engine.decode(decrypt_table(table.read(spark, t), ks))
+    assert survivors.filter(F.col("source") == victim).count() == 0
