@@ -4875,3 +4875,42 @@ def rerank_exact(
         .filter(F.col("rank") <= topk)
         .orderBy("query_id", "rank")
     )
+
+
+def ingest_csv(
+    spark, path: str, schema, sep: str = ",", header: bool = False
+) -> tuple[DataFrame, DataFrame]:
+    """CSV twin of :func:`ingest_jsonl`: text scan + ``from_csv`` with
+    PERMISSIVE corrupt-record capture — parseable rows typed, malformed
+    lines quarantined verbatim, blank lines skipped.  ``header=True``
+    drops lines equal to the schema's own header rendering (the text
+    source has no per-file first-line notion, so the header is matched
+    by content — correct for homogeneous exports)."""
+    from pyspark.sql import types as T
+
+    full = T.StructType(
+        list(schema.fields) + [T.StructField("_corrupt_record", T.StringType())]
+    )
+    raw = spark.read.text(path).filter(F.trim("value") != "")
+    if header:
+        head_line = sep.join(f.name for f in schema.fields)
+        raw = raw.filter(F.col("value") != head_line)
+    parsed = raw.select(
+        "value",
+        F.from_csv(
+            "value",
+            full.simpleString(),
+            {
+                "mode": "PERMISSIVE",
+                "columnNameOfCorruptRecord": "_corrupt_record",
+                "sep": sep,
+            },
+        ).alias("j"),
+    )
+    good = parsed.filter(F.col("j._corrupt_record").isNull()).select(
+        *[F.col(f"j.{f.name}").alias(f.name) for f in schema.fields]
+    )
+    quarantine = parsed.filter(
+        F.col("j._corrupt_record").isNotNull()
+    ).select(F.col("value").alias("raw_line"))
+    return good, quarantine

@@ -222,3 +222,34 @@ def test_ingest_jsonl_quarantine(spark, tmp_path):
         '%%%{"a": 2, "b": "y"}',
         '{"a": "notanint", "b": "z"}',
     ]
+
+
+def test_ingest_csv_quarantine(spark, tmp_path):
+    """CSV ingest: typed rows land, malformed lines quarantine, the
+    header line (by content) and blank lines are skipped."""
+    p = tmp_path / "in.csv"
+    p.write_text(
+        "\n".join(
+            [
+                "a,b",            # header
+                "1,x",
+                "notanint,y",     # type mismatch → quarantine
+                "",
+                "3,",             # empty second field → NULL, still good
+                "4,w",
+            ]
+        )
+        + "\n"
+    )
+    from archive_spark.pipeline_ops import ingest_csv
+
+    schema = T.StructType(
+        [T.StructField("a", T.LongType()), T.StructField("b", T.StringType())]
+    )
+    good, bad = ingest_csv(spark, str(p), schema, header=True)
+    assert sorted([tuple(r) for r in good.collect()], key=str) == [
+        (1, "x"),
+        (3, None),
+        (4, "w"),
+    ]
+    assert [r.raw_line for r in bad.collect()] == ["notanint,y"]
