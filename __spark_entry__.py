@@ -3681,6 +3681,19 @@ def _q_ann_mrl_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_recall(mrl, bf, topk=5)
 
 
+def _q_hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-bucket rollup with gap-fill + LOCF (hypertable pattern):
+    1-hour buckets per user (users < 20), every bucket in each user's
+    span emitted, last observed sum carried across gaps — integer
+    cents end to end."""
+    from archive_spark.pipeline_ops import hypertable_rollup
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").filter(
+        F.col("user_id") < 20
+    )
+    return hypertable_rollup(ev, bucket_ms=3_600_000)
+
+
 def _q_crypto_shred(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Crypto-shredding lifecycle: encode → encrypt per-source →
     shred two sources' keys → decrypt-what-remains → decode →
@@ -3801,6 +3814,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jsonl_ingest": _q_jsonl_ingest,
         "crypto_shred": _q_crypto_shred,
         "ann_mrl_recall": _q_ann_mrl_recall,
+        "hypertable_rollup": _q_hypertable_rollup,
         "token_index": _q_token_index,
         "matview_refresh": _q_matview_refresh,
         "kmv_distinct": _q_kmv_distinct,
@@ -4134,6 +4148,28 @@ def oracle_sql() -> dict[str, str]:
             ") ORDER BY col_name, kind"
         ),
         "ann_mrl_recall": _recall_oracle("mrl_pruned"),
+        "hypertable_rollup": (
+            # gap-fill grid = range(lo, hi] per user; LOCF via
+            # IGNORE NULLS last_value; cents per event then BIGINT sum
+            "WITH per AS (SELECT user_id, "
+            "epoch_ms(ts) - epoch_ms(ts) % 3600000 AS bucket_ms, "
+            "count(*)::BIGINT AS n_events, "
+            "sum(round(value * 100)::BIGINT)::BIGINT AS sum_cents "
+            "FROM events WHERE user_id < 20 GROUP BY 1, 2), "
+            "spans AS (SELECT user_id, min(bucket_ms) AS lo, "
+            "max(bucket_ms) AS hi FROM per GROUP BY 1), "
+            "grid AS (SELECT user_id, unnest(range(lo, hi + 1, 3600000)) "
+            "AS bucket_ms FROM spans), "
+            "filled AS (SELECT g.user_id, g.bucket_ms, "
+            "COALESCE(p.n_events, 0)::BIGINT AS n_events, "
+            "COALESCE(p.sum_cents, 0)::BIGINT AS sum_cents, "
+            "p.sum_cents AS raw_sum FROM grid g LEFT JOIN per p "
+            "USING (user_id, bucket_ms)) "
+            "SELECT user_id, bucket_ms, n_events, sum_cents, "
+            "(last_value(raw_sum IGNORE NULLS) OVER (PARTITION BY user_id "
+            "ORDER BY bucket_ms ROWS UNBOUNDED PRECEDING))::BIGINT "
+            "AS locf_cents FROM filled ORDER BY user_id, bucket_ms"
+        ),
         "crypto_shred": (
             # the survivors' aggregate straight off raw documents: the
             # decode of every un-shredded source must be bit-exact, and

@@ -4914,3 +4914,61 @@ def ingest_csv(
         F.col("j._corrupt_record").isNotNull()
     ).select(F.col("value").alias("raw_line"))
     return good, quarantine
+
+
+def hypertable_rollup(
+    events: DataFrame,
+    bucket_ms: int = 3_600_000,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Time-bucket rollup with gap-fill and LOCF (the timescale-style
+    hypertable query): per key, aggregate into fixed buckets, emit a
+    row for EVERY bucket between the key's first and last event (gaps
+    get n_events = 0), and carry the last observed bucket sum forward
+    (``locf_cents`` — last-observation-carried-forward).
+
+    Values integerize to cents (ROUND(v*100) per event, summed as
+    BIGINT) so the result is bit-exact across engines — never
+    SUM(double).  Plan: one bucket aggregate (map-side combined), one
+    per-key span aggregate, a sequence-explode for the grid (output is
+    keys × span-buckets — inherent to gap-fill semantics; bound the key
+    set or bucket width accordingly at scale), and one LOCF window per
+    key.  Returns (user_id, bucket_ms, n_events, sum_cents, locf_cents).
+    """
+    ms = F.unix_millis(F.col(ts_col).cast("timestamp"))
+    per = (
+        events.select(
+            F.col(user_col).alias("user_id"),
+            (ms - ms % bucket_ms).alias("bucket_ms"),
+            F.round(F.col(value_col) * 100).cast("bigint").alias("cents"),
+        )
+        .groupBy("user_id", "bucket_ms")
+        .agg(
+            F.count("*").cast("bigint").alias("n_events"),
+            F.sum("cents").cast("bigint").alias("sum_cents"),
+        )
+    )
+    spans = per.groupBy("user_id").agg(
+        F.min("bucket_ms").alias("lo"), F.max("bucket_ms").alias("hi")
+    )
+    grid = spans.select(
+        "user_id",
+        F.explode(
+            F.sequence(F.col("lo"), F.col("hi"), F.lit(int(bucket_ms)))
+        ).alias("bucket_ms"),
+    )
+    filled = grid.join(per, ["user_id", "bucket_ms"], "left")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("bucket_ms")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return filled.select(
+        "user_id",
+        "bucket_ms",
+        F.coalesce("n_events", F.lit(0)).cast("bigint").alias("n_events"),
+        F.coalesce("sum_cents", F.lit(0)).cast("bigint").alias("sum_cents"),
+        F.last("sum_cents", ignorenulls=True).over(w).cast("bigint").alias("locf_cents"),
+    ).orderBy("user_id", "bucket_ms")

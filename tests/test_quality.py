@@ -253,3 +253,40 @@ def test_ingest_csv_quarantine(spark, tmp_path):
         (4, "w"),
     ]
     assert [r.raw_line for r in bad.collect()] == ["notanint,y"]
+
+
+def test_hypertable_rollup_gapfill_locf(spark):
+    """Gap buckets appear with n_events=0 and carry the last observed
+    sum; spans are per user; bucket assignment is floor(ms/bucket)."""
+    from archive_spark.pipeline_ops import hypertable_rollup
+
+    schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    base = dt.datetime(2026, 1, 1)
+    H = 3_600_000
+    rows = [
+        (1, 0, 1.5),            # bucket 0: 150 cents
+        (1, H - 1, 2.0),        # same bucket: +200
+        (1, 3 * H + 5, 4.0),    # bucket 3 (buckets 1-2 are gaps)
+        (2, 10 * H, 7.25),      # single-event user: one bucket, no gaps
+    ]
+    df = spark.createDataFrame(
+        [(u, base + dt.timedelta(milliseconds=ms), v) for u, ms, v in rows],
+        schema,
+    )
+    out = {
+        (r.user_id, r.bucket_ms): r
+        for r in hypertable_rollup(df, bucket_ms=H).collect()
+    }
+    base_ms = int(base.replace(tzinfo=dt.timezone.utc).timestamp() * 1000)
+    u1 = [out[(1, base_ms + i * H)] for i in range(4)]
+    assert [r.n_events for r in u1] == [2, 0, 0, 1]
+    assert [r.sum_cents for r in u1] == [350, 0, 0, 400]
+    assert [r.locf_cents for r in u1] == [350, 350, 350, 400]
+    assert len([k for k in out if k[0] == 2]) == 1
+    assert out[(2, base_ms + 10 * H)].sum_cents == 725
