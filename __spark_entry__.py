@@ -3694,6 +3694,16 @@ def _q_hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hypertable_rollup(ev, bucket_ms=3_600_000)
 
 
+def _q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention over events: users bucketed by first-
+    activity week, counted in each later week they return — integer
+    day/period arithmetic, exact distinct counts."""
+    from archive_spark.pipeline_ops import cohort_retention
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return cohort_retention(ev, period_days=7)
+
+
 def _q_crypto_shred(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Crypto-shredding lifecycle: encode → encrypt per-source →
     shred two sources' keys → decrypt-what-remains → decode →
@@ -3815,6 +3825,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crypto_shred": _q_crypto_shred,
         "ann_mrl_recall": _q_ann_mrl_recall,
         "hypertable_rollup": _q_hypertable_rollup,
+        "cohort_retention": _q_cohort_retention,
         "token_index": _q_token_index,
         "matview_refresh": _q_matview_refresh,
         "kmv_distinct": _q_kmv_distinct,
@@ -4148,6 +4159,17 @@ def oracle_sql() -> dict[str, str]:
             ") ORDER BY col_name, kind"
         ),
         "ann_mrl_recall": _recall_oracle("mrl_pruned"),
+        "cohort_retention": (
+            "WITH acts AS (SELECT DISTINCT user_id, "
+            "(epoch_ms(ts) // 86400000) // 7 AS pd FROM events), "
+            "first AS (SELECT user_id, min(pd) AS cohort_period "
+            "FROM acts GROUP BY 1) "
+            "SELECT cohort_period::BIGINT AS cohort_period, "
+            "(pd - cohort_period)::BIGINT AS period_offset, "
+            "count(DISTINCT a.user_id)::BIGINT AS n_users "
+            "FROM acts a JOIN first USING (user_id) "
+            "GROUP BY 1, 2 ORDER BY 1, 2"
+        ),
         "hypertable_rollup": (
             # gap-fill grid = range(lo, hi] per user; LOCF via
             # IGNORE NULLS last_value; cents per event then BIGINT sum

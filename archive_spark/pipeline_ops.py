@@ -4972,3 +4972,40 @@ def hypertable_rollup(
         F.coalesce("sum_cents", F.lit(0)).cast("bigint").alias("sum_cents"),
         F.last("sum_cents", ignorenulls=True).over(w).cast("bigint").alias("locf_cents"),
     ).orderBy("user_id", "bucket_ms")
+
+
+def cohort_retention(
+    events: DataFrame,
+    period_days: int = 7,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Cohort retention matrix: users grouped by their first-activity
+    period (cohort), counted in every later period they return
+    (period = whole ``period_days`` blocks since epoch; integer day
+    arithmetic end to end).  Two aggregates + one key join — the
+    classic retention query, all counts exact.
+
+    Returns (cohort_period, period_offset, n_users): of the users whose
+    first activity fell in ``cohort_period``, ``n_users`` were active
+    ``period_offset`` periods later (offset 0 = the cohort size itself
+    when every user is active in their first period, which holds by
+    construction)."""
+    ms = F.unix_millis(F.col(ts_col).cast("timestamp"))
+    day = F.floor(ms / 86_400_000)
+    acts = events.select(
+        F.col(user_col).alias("user_id"),
+        F.floor(day / period_days).cast("bigint").alias("pd"),
+    ).distinct()
+    first = acts.groupBy("user_id").agg(F.min("pd").alias("cohort_period"))
+    return (
+        acts.join(first, "user_id")
+        .groupBy(
+            "cohort_period",
+            (F.col("pd") - F.col("cohort_period")).cast("bigint").alias(
+                "period_offset"
+            ),
+        )
+        .agg(F.count_distinct("user_id").cast("bigint").alias("n_users"))
+        .orderBy("cohort_period", "period_offset")
+    )

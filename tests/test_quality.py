@@ -290,3 +290,34 @@ def test_hypertable_rollup_gapfill_locf(spark):
     assert [r.locf_cents for r in u1] == [350, 350, 350, 400]
     assert len([k for k in out if k[0] == 2]) == 1
     assert out[(2, base_ms + 10 * H)].sum_cents == 725
+
+
+def test_cohort_retention_offsets(spark):
+    """A user returning after skipping a period lands at the right
+    offset; one-shot users only contribute offset 0; cohorts are keyed
+    by FIRST activity."""
+    from archive_spark.pipeline_ops import cohort_retention
+
+    schema = T.StructType(
+        [T.StructField("user_id", T.LongType()), T.StructField("ts", T.TimestampType())]
+    )
+    D = 86_400_000
+    base = dt.datetime(2026, 1, 1)  # epoch day 20454, period 2922
+    rows = [
+        (1, 0), (1, 1 * D),          # twice in cohort week → one offset-0 count
+        (1, 15 * D),                 # returns at offset 2 (skipped week 1)
+        (2, 0),                      # one-shot user, same cohort
+        (3, 7 * D), (3, 14 * D),     # later cohort, returns at offset 1
+    ]
+    df = spark.createDataFrame(
+        [(u, base + dt.timedelta(milliseconds=ms)) for u, ms in rows], schema
+    )
+    out = {
+        (r.cohort_period, r.period_offset): r.n_users
+        for r in cohort_retention(df, period_days=7).collect()
+    }
+    c0 = min(k[0] for k in out)
+    assert out[(c0, 0)] == 2          # users 1 and 2
+    assert out[(c0, 2)] == 1          # user 1 returns two weeks later
+    assert (c0, 1) not in out         # nobody came back in week 1
+    assert out[(c0 + 1, 0)] == 1 and out[(c0 + 1, 1)] == 1  # user 3
