@@ -516,7 +516,8 @@ def main() -> None:
         "sequence_packing", "dup_span_stats", "incremental_dedup",
         "normalize_text", "nb_classify", "dsir_weights",
         "source_overlap", "doc_pagerank", "bucketed_batches",
-        "doc_compressibility",
+        "doc_compressibility", "data_profile", "events_funnel",
+        "hypertable_rollup", "cohort_retention", "jsonl_ingest",
     ):
         q = entry_mod.queries()[name]
         timed(f"q_{name}", lambda q=q: q(spark, sf_dir).collect())
