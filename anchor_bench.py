@@ -43,6 +43,11 @@ def main() -> None:
                     help="also anchor the persisted inverted index: build "
                          "over the encoded corpus, probe lookups with plan "
                          "accounting, BM25 served off the index")
+    ap.add_argument("--shred", action="store_true",
+                    help="also anchor crypto-shredding: encrypt every "
+                         "block per-source, shred one source's key, and "
+                         "digest-gate the surviving decode against the "
+                         "plaintext path")
     ap.add_argument("--dataloader", action="store_true",
                     help="also anchor the training dataloader: publish the "
                          "shuffled/packed order as an encoded seq-clustered "
@@ -409,6 +414,46 @@ def main() -> None:
         with emb_mod.arrow_batch(spark):
             d_src = emb_mod.embedding_digest(emb_df).collect()[0]
         out["emb_digest_match"] = tuple(d_src) == tuple(d_dec)
+
+    # ---- crypto-shredding at scale: AES-CTR every block under its
+    # source key (one subkey per block), delete one source's key, and
+    # prove the surviving decode is digest-identical to the plaintext
+    # path minus the victim — erasure without touching a data byte.
+    if args.shred:
+        from archive_spark.cryptoshred import (
+            decrypt_table,
+            encrypt_table,
+            new_keystore,
+        )
+
+        srcs = [r.source for r in enc.select("source").distinct().collect()]
+        ks = new_keystore(srcs)
+        crypt_path = f"{scratch}/encrypted_aes"
+        t0 = time.perf_counter()
+        encrypt_table(enc, ks).write.mode("overwrite").option(
+            "compression", "none"
+        ).parquet(crypt_path)
+        dt = time.perf_counter() - t0
+        out["shred_encrypt_sec"] = round(dt, 1)
+        out["shred_encrypt_mtok_per_sec"] = round(n_tok / dt / 1e6, 1)
+        victim = sorted(srcs)[0]
+        kept = dict(ks)
+        kept.pop(victim)
+        crypt = spark.read.parquet(crypt_path)
+        t0 = time.perf_counter()
+        d_surv = engine.roundtrip_digest(
+            engine.decode(decrypt_table(crypt, kept))
+        ).collect()[0]
+        dt = time.perf_counter() - t0
+        out["shred_decrypt_decode_sec"] = round(dt, 1)
+        d_plain = engine.roundtrip_digest(
+            engine.decode(enc).filter(F.col("source") != victim)
+        ).collect()[0]
+        out["shred_victim"] = victim
+        out["shred_survivor_docs"] = int(d_surv.n_docs)
+        out["shred_digest_match"] = (d_surv.n_docs, d_surv.content_digest) == (
+            d_plain.n_docs, d_plain.content_digest
+        )
 
     spark.stop()
     if not args.keep:
