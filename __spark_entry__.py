@@ -3694,6 +3694,23 @@ def _q_hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hypertable_rollup(ev, bucket_ms=3_600_000)
 
 
+def _q_bitext_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Margin-criterion bitext mining over two embedding 'languages'
+    (even/odd vec_ids < 200): mutual margin-best pairs.  Embeddings
+    pre-cast to double so both engines do double products left-to-right
+    (float32 products would diverge past the ppm rounding)."""
+    from archive_spark.pipeline_ops import bitext_margin_pairs
+
+    emb = (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .filter(F.col("vec_id") < 200)
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("embedding"))
+    )
+    side_a = emb.filter(F.col("vec_id") % 2 == 0)
+    side_b = emb.filter(F.col("vec_id") % 2 == 1)
+    return bitext_margin_pairs(side_a, side_b, k=4)
+
+
 def _q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weekly cohort retention over events: users bucketed by first-
     activity week, counted in each later week they return — integer
@@ -3826,6 +3843,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_mrl_recall": _q_ann_mrl_recall,
         "hypertable_rollup": _q_hypertable_rollup,
         "cohort_retention": _q_cohort_retention,
+        "bitext_mining": _q_bitext_mining,
         "token_index": _q_token_index,
         "matview_refresh": _q_matview_refresh,
         "kmv_distinct": _q_kmv_distinct,
@@ -4159,6 +4177,36 @@ def oracle_sql() -> dict[str, str]:
             ") ORDER BY col_name, kind"
         ),
         "ann_mrl_recall": _recall_oracle("mrl_pruned"),
+        "bitext_mining": (
+            # the margin criterion replayed: list_cosine_similarity on
+            # DOUBLE[] (matching the Spark side's double pre-cast),
+            # identical rank tie-breaks, mutual top-1 intersection
+            "WITH a AS (SELECT vec_id AS va, embedding::DOUBLE[] AS ea "
+            "FROM embeddings WHERE vec_id < 200 AND vec_id % 2 = 0), "
+            "b AS (SELECT vec_id AS vb, embedding::DOUBLE[] AS eb "
+            "FROM embeddings WHERE vec_id < 200 AND vec_id % 2 = 1), "
+            "scored AS (SELECT va, vb, "
+            "list_cosine_similarity(ea, eb) AS cos FROM a CROSS JOIN b), "
+            "ranked AS (SELECT va, vb, cos, "
+            "row_number() OVER (PARTITION BY va ORDER BY cos DESC, vb) AS ra, "
+            "row_number() OVER (PARTITION BY vb ORDER BY cos DESC, va) AS rb "
+            "FROM scored), "
+            "ka AS (SELECT va, avg(cos) AS knn_a FROM ranked "
+            "WHERE ra <= 4 GROUP BY 1), "
+            "kb AS (SELECT vb, avg(cos) AS knn_b FROM ranked "
+            "WHERE rb <= 4 GROUP BY 1), "
+            "m AS (SELECT s.va, s.vb, s.cos, "
+            "2 * s.cos / (knn_a + knn_b) AS margin FROM scored s "
+            "JOIN ka USING (va) JOIN kb USING (vb)), "
+            "f AS (SELECT va, vb, cos, margin, "
+            "row_number() OVER (PARTITION BY va ORDER BY margin DESC, vb) AS fa, "
+            "row_number() OVER (PARTITION BY vb ORDER BY margin DESC, va) AS fb "
+            "FROM m) "
+            "SELECT va AS vec_a, vb AS vec_b, "
+            "round(cos * 1e6)::BIGINT AS cos_ppm, "
+            "round(margin * 1e6)::BIGINT AS margin_ppm "
+            "FROM f WHERE fa = 1 AND fb = 1 ORDER BY vec_a"
+        ),
         "cohort_retention": (
             "WITH acts AS (SELECT DISTINCT user_id, "
             "(epoch_ms(ts) // 86400000) // 7 AS pd FROM events), "

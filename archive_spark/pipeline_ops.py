@@ -5009,3 +5009,76 @@ def cohort_retention(
         .agg(F.count_distinct("user_id").cast("bigint").alias("n_users"))
         .orderBy("cohort_period", "period_offset")
     )
+
+
+def bitext_margin_pairs(
+    side_a: DataFrame,
+    side_b: DataFrame,
+    k: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Parallel-corpus mining by the margin criterion (Artetxe &
+    Schwenk 2019, ratio variant): score(x,y) = 2·cos(x,y) /
+    (avg-top-k-cos(x→B) + avg-top-k-cos(y→A)); a pair is emitted only
+    when x and y are EACH OTHER's margin-best match (forward∩backward,
+    the "max" strategy) — the standard bitext miner for assembling
+    multilingual training corpora.
+
+    This implementation scores all A×B candidates (exact, for bounded
+    sides — the correctness baseline the driver oracle replays); at
+    100 TB the candidate set comes from the ANN index family
+    (ivfpq_search shortlists per side) and this same scorer runs on
+    O(|A|·k) pairs.  Scores surface as ppm BIGINTs (round(x·1e6)) so
+    cross-engine comparison is exact at any realistic fp divergence.
+
+    Returns (vec_a, vec_b, cos_ppm, margin_ppm), mutual pairs only.
+    """
+    a = side_a.select(
+        F.col(id_col).alias("vec_a"), F.col(vec_col).alias("ea")
+    )
+    b = side_b.select(
+        F.col(id_col).alias("vec_b"), F.col(vec_col).alias("eb")
+    )
+    cos = (
+        _dot(F.col("ea"), F.col("eb"))
+        / (_norm(F.col("ea")) * _norm(F.col("eb")))
+    ).alias("cos")
+    scored = a.crossJoin(F.broadcast(b)).select("vec_a", "vec_b", cos)
+    wa = Window.partitionBy("vec_a").orderBy(F.desc("cos"), F.col("vec_b"))
+    wb = Window.partitionBy("vec_b").orderBy(F.desc("cos"), F.col("vec_a"))
+    ranked = scored.withColumn("ra", F.row_number().over(wa)).withColumn(
+        "rb", F.row_number().over(wb)
+    )
+    avg_a = ranked.filter(F.col("ra") <= k).groupBy("vec_a").agg(
+        F.avg("cos").alias("knn_a")
+    )
+    avg_b = ranked.filter(F.col("rb") <= k).groupBy("vec_b").agg(
+        F.avg("cos").alias("knn_b")
+    )
+    margined = (
+        scored.join(avg_a, "vec_a")
+        .join(avg_b, "vec_b")
+        .select(
+            "vec_a",
+            "vec_b",
+            "cos",
+            (2 * F.col("cos") / (F.col("knn_a") + F.col("knn_b"))).alias(
+                "margin"
+            ),
+        )
+    )
+    ma = Window.partitionBy("vec_a").orderBy(F.desc("margin"), F.col("vec_b"))
+    mb = Window.partitionBy("vec_b").orderBy(F.desc("margin"), F.col("vec_a"))
+    return (
+        margined.withColumn("fa", F.row_number().over(ma))
+        .withColumn("fb", F.row_number().over(mb))
+        .filter((F.col("fa") == 1) & (F.col("fb") == 1))
+        .select(
+            "vec_a",
+            "vec_b",
+            F.round(F.col("cos") * 1e6).cast("bigint").alias("cos_ppm"),
+            F.round(F.col("margin") * 1e6).cast("bigint").alias("margin_ppm"),
+        )
+        .orderBy("vec_a")
+    )

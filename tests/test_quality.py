@@ -321,3 +321,45 @@ def test_cohort_retention_offsets(spark):
     assert out[(c0, 2)] == 1          # user 1 returns two weeks later
     assert (c0, 1) not in out         # nobody came back in week 1
     assert out[(c0 + 1, 0)] == 1 and out[(c0 + 1, 1)] == 1  # user 3
+
+
+def test_bitext_margin_mutual_only(spark):
+    """Only MUTUAL margin-best pairs emit: a one-directional best is
+    excluded; the planted near-duplicate pair wins with a high margin."""
+    from archive_spark.pipeline_ops import bitext_margin_pairs
+
+    def df(rows):
+        schema = T.StructType(
+            [
+                T.StructField("vec_id", T.LongType()),
+                T.StructField("embedding", T.ArrayType(T.DoubleType())),
+            ]
+        )
+        return spark.createDataFrame(rows, schema)
+
+    # a0 ≈ b0 (planted pair); a2/a4 both point at b2 (only one can win);
+    # b4 is background noise
+    side_a = df(
+        [
+            (0, [1.0, 0.0, 0.0, 0.1]),
+            (2, [0.0, 1.0, 0.2, 0.0]),
+            (4, [0.0, 0.9, 0.3, 0.0]),
+        ]
+    )
+    side_b = df(
+        [
+            (1, [0.99, 0.0, 0.0, 0.12]),
+            (3, [0.0, 0.95, 0.25, 0.0]),
+            (5, [0.3, 0.3, 0.3, 0.3]),
+        ]
+    )
+    out = bitext_margin_pairs(side_a, side_b, k=2).collect()
+    pairs = {(r.vec_a, r.vec_b) for r in out}
+    assert (0, 1) in pairs
+    # a2 and a4 cannot both pair with b3
+    assert len([p for p in pairs if p[1] == 3]) <= 1
+    # every vec appears at most once per side (mutual top-1 property)
+    assert len({p[0] for p in pairs}) == len(pairs)
+    assert len({p[1] for p in pairs}) == len(pairs)
+    for r in out:
+        assert r.margin_ppm > 0 and -1_000_000 <= r.cos_ppm <= 1_000_000
