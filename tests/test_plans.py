@@ -285,3 +285,40 @@ def test_duplicate_spans_plan_scales(spark):
         assert "partial_count" in plan or "HashAggregate" in plan
         # no Python in the hot path — whole pipeline is JVM expressions
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_profile_is_single_scan_single_aggregate(spark):
+    """profile_table computes every metric in ONE scan: exactly one
+    relation in the optimized plan, no join, no second pass."""
+    from archive_spark.quality import profile_table
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = plan_of(profile_table(docs), mode="simple")
+    assert plan.count("FileScan") == 1, plan
+    assert "Join" not in plan
+
+
+def test_validate_constraints_is_single_scan(spark):
+    from archive_spark.quality import validate_constraints
+
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    plan = plan_of(
+        validate_constraints(li, [("a", "l_quantity >= 1"), ("b", "l_tax <= 1")]),
+        mode="simple",
+    )
+    assert plan.count("FileScan") == 1, plan
+    assert "Join" not in plan
+
+
+def test_funnel_is_one_shuffle_one_scan(spark):
+    """funnel_stages: one scan of events, one aggregate exchange plus
+    the final orderBy's range exchange — the sorted-walk happens inside
+    the aggregate, no self-joins."""
+    from archive_spark.pipeline_ops import funnel_stages
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    df = funnel_stages(ev, ["view", "click", "purchase"])
+    plan = plan_of(df, mode="simple")
+    assert plan.count("FileScan") == 1, plan
+    assert "Join" not in plan
+    assert plan.count("Exchange") <= 2, plan
