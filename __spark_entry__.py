@@ -3711,6 +3711,23 @@ def _q_bitext_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bitext_margin_pairs(side_a, side_b, k=4)
 
 
+def _q_dup_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle counts on the MinHash-LSH candidate graph (dup clusters
+    are cliques, chance collisions are isolated edges).  The band table
+    persists; DuckDB re-derives the edges AND the triangle joins."""
+    from archive_spark.pipeline_ops import (
+        lsh_distinct_pairs,
+        minhash_band_table,
+        triangle_counts,
+    )
+
+    docs = _docs(spark, sf_dir)
+    banded = minhash_band_table(docs, n_perm=16, bands=4)
+    _persist(banded, "tri_bands", sf_dir)
+    edges = lsh_distinct_pairs(banded, max_bucket=256)
+    return triangle_counts(edges)
+
+
 def _q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weekly cohort retention over events: users bucketed by first-
     activity week, counted in each later week they return — integer
@@ -3844,6 +3861,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hypertable_rollup": _q_hypertable_rollup,
         "cohort_retention": _q_cohort_retention,
         "bitext_mining": _q_bitext_mining,
+        "dup_graph_triangles": _q_dup_graph_triangles,
         "token_index": _q_token_index,
         "matview_refresh": _q_matview_refresh,
         "kmv_distinct": _q_kmv_distinct,
@@ -4177,6 +4195,24 @@ def oracle_sql() -> dict[str, str]:
             ") ORDER BY col_name, kind"
         ),
         "ann_mrl_recall": _recall_oracle("mrl_pruned"),
+        "dup_graph_triangles": (
+            # edges re-derived from the persisted bands (skew cap 256),
+            # then the a<b<c wedge-close joins — each triangle once
+            f"WITH b AS (SELECT * FROM read_parquet('{_opath('tri_bands')}')), "
+            "sz AS (SELECT band, band_hash, count(*) AS k FROM b GROUP BY 1, 2), "
+            "keep AS (SELECT band, band_hash FROM sz WHERE k <= 256), "
+            "e AS (SELECT DISTINCT a.doc_id AS a, c.doc_id AS b "
+            "FROM b a JOIN keep k2 ON a.band = k2.band AND a.band_hash = k2.band_hash "
+            "JOIN b c ON a.band = c.band AND a.band_hash = c.band_hash "
+            "AND a.doc_id < c.doc_id), "
+            "tri AS (SELECT e1.a, e1.b, e2.b AS c FROM e e1 "
+            "JOIN e e2 ON e1.b = e2.a JOIN e e3 "
+            "ON e3.a = e1.a AND e3.b = e2.b), "
+            "nodes AS (SELECT a AS node FROM tri UNION ALL "
+            "SELECT b FROM tri UNION ALL SELECT c FROM tri) "
+            "SELECT node, count(*)::BIGINT AS n_triangles "
+            "FROM nodes GROUP BY node ORDER BY node"
+        ),
         "bitext_mining": (
             # the margin criterion replayed: list_cosine_similarity on
             # DOUBLE[] (matching the Spark side's double pre-cast),

@@ -5082,3 +5082,38 @@ def bitext_margin_pairs(
         )
         .orderBy("vec_a")
     )
+
+
+def triangle_counts(
+    edges: DataFrame, src: str = "doc_a", dst: str = "doc_b"
+) -> DataFrame:
+    """Per-node triangle counts on an undirected graph given as ordered
+    edges (src < dst, the near-dup candidate graph's shape): the
+    join-based node-iterator — wedges a<b<c from two edge joins, closed
+    by the third edge, each triangle found exactly once.  Two shuffles
+    on edge keys; no vertex ever sees more than its neighborhood
+    (the skew guard belongs upstream in the edge builder, e.g.
+    ``lsh_distinct_pairs``'s max_bucket).  Triangle density separates
+    true duplicate clusters (cliques) from chance hash collisions
+    (isolated edges) in the candidate graph.
+
+    Returns (node, n_triangles) for nodes in >= 1 triangle."""
+    e = edges.select(
+        F.col(src).alias("a"), F.col(dst).alias("b")
+    ).distinct()
+    wedge = e.join(
+        e.select(F.col("a").alias("b2"), F.col("b").alias("c")),
+        F.col("b") == F.col("b2"),
+    ).select("a", "b", "c")
+    tri = wedge.join(
+        e.select(F.col("a").alias("a2"), F.col("b").alias("c2")),
+        (F.col("a") == F.col("a2")) & (F.col("c") == F.col("c2")),
+    ).select("a", "b", "c")
+    return (
+        tri.select(
+            F.explode(F.array("a", "b", "c")).alias("node")
+        )
+        .groupBy("node")
+        .agg(F.count("*").cast("bigint").alias("n_triangles"))
+        .orderBy("node")
+    )

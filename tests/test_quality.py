@@ -363,3 +363,21 @@ def test_bitext_margin_mutual_only(spark):
     assert len({p[1] for p in pairs}) == len(pairs)
     for r in out:
         assert r.margin_ppm > 0 and -1_000_000 <= r.cos_ppm <= 1_000_000
+
+
+def test_triangle_counts_known_graph(spark):
+    """4-clique: C(3,2)=3 triangles per node; pendant edges contribute
+    nothing; a disjoint triangle counts once per node."""
+    from archive_spark.pipeline_ops import triangle_counts
+
+    edges = [
+        # 4-clique on 1-4
+        (1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4),
+        # pendant
+        (4, 9),
+        # disjoint triangle 10-12
+        (10, 11), (10, 12), (11, 12),
+    ]
+    df = spark.createDataFrame(edges, ["doc_a", "doc_b"])
+    out = {r.node: r.n_triangles for r in triangle_counts(df).collect()}
+    assert out == {1: 3, 2: 3, 3: 3, 4: 3, 10: 1, 11: 1, 12: 1}
