@@ -1907,6 +1907,71 @@ def _q_source_distinctive(spark: SparkSession, sf_dir: str) -> DataFrame:
     return source_distinctive_tokens(enc, k=10, min_count=2)
 
 
+def _q_sft_render(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chat-template render with loss masks (sft.render_chat): docs →
+    4-turn conversations → [HDR] content [EOT] per turn, mask = 1 on
+    assistant content + its EOT only.  The DuckDB oracle re-derives
+    every per-conversation stat (incl. the exact token sum with the
+    special-token contributions) from the persisted per-turn token
+    table — the render arithmetic replayed in SQL."""
+    from archive_spark.sft import assemble_conversations, render_chat
+
+    convs = assemble_conversations(_tokens(spark, sf_dir), turns=4)
+    _persist(convs, "sft_turns", sf_dir)
+    return (
+        render_chat(convs)
+        .select(
+            "conv_id",
+            "n_turns",
+            "n_tok",
+            "n_train",
+            F.aggregate(
+                "tokens",
+                F.lit(0).cast("long"),
+                lambda a, x: a + x.cast("long"),
+            ).alias("tok_sum"),
+        )
+        .orderBy("conv_id")
+    )
+
+
+def _q_sft_pack_masked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mask-aware packing (sft.pack_masked_sequences): rendered
+    conversations cut into 256-token training sequences with the loss
+    mask packed in lockstep via the invertible 2t+m pair encoding.
+    Oracle: the same window-prefix-sum grid replay as
+    sequence_packing, extended to the aligned mask list."""
+    from archive_spark.sft import (
+        assemble_conversations,
+        pack_masked_sequences,
+        render_chat,
+    )
+
+    convs = assemble_conversations(_tokens(spark, sf_dir), turns=4)
+    rendered = render_chat(convs).select("conv_id", "tokens", "mask", "n_tok")
+    path = _persist(rendered, "sft_rendered", sf_dir)
+    packed = pack_masked_sequences(spark.read.parquet(path), seq_len=256)
+    zl = F.lit(0).cast("long")
+    return packed.select(
+        "seq_id",
+        F.aggregate(
+            "tokens", zl, lambda a, x: a + x.cast("long")
+        ).alias("tok_sum"),
+        F.aggregate(
+            "mask", zl, lambda a, x: a + x.cast("long")
+        ).alias("n_train"),
+        F.element_at("tokens", 1).alias("first_tok"),
+        "n_pad",
+    ).orderBy("seq_id")
+
+
+def _q_ngram_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-3 corpus diversity per source, exact integer ppm."""
+    from archive_spark.pipeline_ops import ngram_diversity
+
+    return ngram_diversity(_docs(spark, sf_dir), k=3)
+
+
 def _q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pack the tokenized documents into fixed 512-token training
     sequences; per-sequence aggregates are replayed by a DuckDB window
@@ -3848,6 +3913,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # -- every query WITHOUT a driver correctness row (r01-r03 artifacts)
         # -- comes first: the driver walks this dict in order under a budget --
+        "sft_render": _q_sft_render,
+        "sft_pack_masked": _q_sft_pack_masked,
+        "ngram_diversity": _q_ngram_diversity,
         "data_profile": _q_data_profile,
         "constraint_check": _q_constraint_check,
         "constraint_suggest": _q_constraint_suggest,
@@ -4160,6 +4228,57 @@ FROM d GROUP BY 1 ORDER BY 1
 def oracle_sql() -> dict[str, str]:
     kw_list = ", ".join(f"('{k}')" for k in _TAG_KEYWORDS)
     return {
+        "sft_render": (
+            # replay sft.render_chat's arithmetic from the persisted
+            # per-turn token table: each turn adds HDR + content + EOT
+            # (n_tok + 2 tokens), trains role_flag * (n_tok + 1)
+            # positions (content + EOT, assistant only), and the exact
+            # token sum adds the role-dependent header id and the EOT id
+            "SELECT conv_id::BIGINT AS conv_id, "
+            "count(*)::INT AS n_turns, "
+            "(sum(n_tok) + 2 * count(*))::INT AS n_tok, "
+            "sum(role_flag * (n_tok + 1))::BIGINT AS n_train, "
+            "(sum(list_aggregate(tokens, 'sum')) "
+            "+ sum(CASE WHEN role_flag = 1 THEN -1001002 "
+            "ELSE -1001001 END) + count(*) * -1001003)::BIGINT AS tok_sum "
+            f"FROM read_parquet('{_opath('sft_turns')}') "
+            "GROUP BY conv_id ORDER BY conv_id"
+        ),
+        "sft_pack_masked": (
+            # the sequence_packing window-grid replay on the rendered
+            # stream, with the loss-mask list unnested in lockstep (same
+            # index into both aligned lists); packer EOS/pad = (0, 0)
+            "WITH d AS (SELECT conv_id, list_concat(tokens, [0]) AS te, "
+            "list_concat(mask, [0]) AS me, "
+            "COALESCE(sum(n_tok + 1) OVER (ORDER BY conv_id "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS st "
+            f"FROM read_parquet('{_opath('sft_rendered')}')), "
+            "tok AS (SELECT d.st + u.i - 1 AS pos, d.te[u.i] AS tok, "
+            "d.me[u.i] AS m "
+            "FROM d, unnest(range(1, len(d.te) + 1)) AS u(i)), "
+            "seqs AS (SELECT pos // 256 AS seq_id, sum(tok) AS s, "
+            "sum(m) AS ms, count(*) AS c, arg_min(tok, pos) AS ft "
+            "FROM tok GROUP BY 1) "
+            "SELECT seq_id::BIGINT AS seq_id, s::BIGINT AS tok_sum, "
+            "ms::BIGINT AS n_train, ft::INTEGER AS first_tok, "
+            "(256 - c)::INTEGER AS n_pad FROM seqs ORDER BY seq_id"
+        ),
+        "ngram_diversity": (
+            # mirror of pipeline_ops._shingles at k=3 incl. the
+            # sub-k-word whole-text fallback; ALL occurrences counted
+            # (no per-doc dedup), integer ppm via truncating division
+            "WITH sh AS (SELECT source, unnest("
+            "CASE WHEN len(words) < 3 THEN [array_to_string(words, ' ')] "
+            "ELSE [array_to_string(words[i:i+2], ' ') "
+            "for i in range(1, greatest(len(words)-2, 0)+1)] END) AS g "
+            "FROM (SELECT source, string_split(text, ' ') AS words "
+            "FROM documents)) "
+            "SELECT source, count(*)::BIGINT AS n_grams, "
+            "count(DISTINCT g)::BIGINT AS n_distinct, "
+            "(count(DISTINCT g) * 1000000 // count(*))::BIGINT "
+            "AS diversity_ppm "
+            "FROM sh GROUP BY source ORDER BY source"
+        ),
         "data_profile": _profile_oracle("orders", _PROFILE_ORDERS_COLS),
         "constraint_check": _constraint_oracle(
             "lineitem", _LINEITEM_CONSTRAINTS

@@ -297,6 +297,7 @@ def pack_sequences(
     shuffle: bool = False,
     shuffle_seed: int | None = None,
     order_key=None,
+    wide: bool = False,
 ) -> DataFrame:
     """Pack variable-length documents into fixed-length training
     sequences — the final layout step of an LLM data pipeline: each doc
@@ -323,6 +324,12 @@ def pack_sequences(
     partition and the assembly — both inherent to packing.
 
     Returns (seq_id, tokens array<int> of length seq_len, n_pad).
+
+    ``wide=True`` keeps 64-bit token values end to end (array<bigint>
+    output) — for streams whose elements exceed int32, e.g. the
+    pair-encoded (token, loss-mask) stream of
+    ``sft.pack_masked_sequences``.  Default stays int32 (bit-identical
+    to the historical layout).
     """
     import pyarrow as pa
 
@@ -388,7 +395,10 @@ def pack_sequences(
                     frag_off.append(frag_off[-1] + len(fr))
                 frag_arr = pa.ListArray.from_arrays(
                     pa.array(frag_off, type=pa.int32()),
-                    pa.array(np.concatenate(frags), type=pa.int32()),
+                    pa.array(
+                        np.concatenate(frags),
+                        type=pa.int64() if wide else pa.int32(),
+                    ),
                 )
                 yield pa.RecordBatch.from_arrays(
                     [
@@ -400,8 +410,9 @@ def pack_sequences(
                 )
                 pos += total
 
+        vt = "bigint" if wide else "int"
         frags = df.mapInArrow(
-            emit, "seq_id long, frag_pos int, frag array<int>"
+            emit, f"seq_id long, frag_pos int, frag array<{vt}>"
         )
         assembled = (
             frags.groupBy("seq_id")
@@ -421,7 +432,7 @@ def pack_sequences(
                     F.concat(
                         "tokens",
                         F.array_repeat(
-                            F.lit(eos_token).cast("int"), L - F.size("tokens")
+                            F.lit(eos_token).cast(vt), L - F.size("tokens")
                         ),
                     ),
                 )
@@ -5116,4 +5127,38 @@ def triangle_counts(
         .groupBy("node")
         .agg(F.count("*").cast("bigint").alias("n_triangles"))
         .orderBy("node")
+    )
+
+
+def ngram_diversity(docs: DataFrame, k: int = 3) -> DataFrame:
+    """Distinct-n corpus diversity per source (Li et al. 2016's
+    distinct-n, the standard text-generation diversity metric applied
+    corpus-side): distinct word k-grams over total k-gram occurrences,
+    in exact integer ppm — a low ratio flags template/boilerplate
+    sources worth downweighting before training.
+
+    One corpus scan + one groupBy(source); the distinct count is
+    Spark's partial-aggregated count(DISTINCT) (map-side dedup per
+    partition before the shuffle), no window, no join — the shape that
+    survives 100 TB.  Sub-k-word docs contribute one whole-text gram
+    (``_shingles`` fallback), so every document counts.
+    """
+    grams = docs.select(
+        "source", F.explode(_shingles(F.col("text"), k)).alias("g")
+    )
+    return (
+        grams.groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_grams"),
+            F.countDistinct("g").cast("bigint").alias("n_distinct"),
+        )
+        .select(
+            "source",
+            "n_grams",
+            "n_distinct",
+            F.expr("CAST(n_distinct * 1000000 DIV n_grams AS BIGINT)").alias(
+                "diversity_ppm"
+            ),
+        )
+        .orderBy("source")
     )

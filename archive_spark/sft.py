@@ -1,0 +1,173 @@
+"""SFT / chat-format training-data preparation.
+
+The supervised-fine-tuning layout step a training-data platform needs
+beyond plain pretraining packing (`pipeline_ops.pack_sequences`):
+documents become multi-turn conversations, a chat template renders each
+conversation into one token stream with special role/turn markers, and a
+per-token **loss mask** records which positions train (assistant
+content + its end-of-turn) and which are context only (user content,
+role headers, padding).  The masked stream then packs into fixed-length
+training sequences with masks kept exactly aligned.
+
+Everything is deterministic and engine-replayable (the DuckDB oracle
+replays the render and the packing arithmetic from persisted per-turn
+token tables), and everything stays JVM-side: rendering is
+concat/array_repeat/flatten higher-order expressions, packing rides the
+existing `pack_sequences` Arrow kernel via an invertible pair encoding
+(see ``pack_masked_sequences``) so tokens and masks cannot drift apart —
+alignment is arithmetic, not a re-run of the range partitioner.
+
+Scope note: the reference (Defacto2/archive) has no SFT lane; this
+extends the training-data platform the same way the dedup/packing ops
+do (brief: "operations a large-scale training-data pipeline would
+need").
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+# Reserved special-token ids.  The corpus tokenizer is Murmur3 over
+# words (pipeline_ops.tokenize_documents), so *any* int32 value can in
+# principle collide with these — harmless: the loss mask and all turn
+# structure are carried STRUCTURALLY (parallel arrays / struct fields),
+# never recovered by scanning token values.
+ROLE_USER = 0
+ROLE_ASSISTANT = 1
+USER_HDR_TOK = -1001001
+ASST_HDR_TOK = -1001002
+EOT_TOK = -1001003
+
+
+def assemble_conversations(tokens_df: DataFrame, turns: int = 4) -> DataFrame:
+    """Group tokenized documents into deterministic multi-turn
+    conversations: conversation ``doc_id DIV turns``, turn order
+    ``doc_id`` ascending, roles alternating user → assistant from the
+    first turn.  A stand-in for real conversation ids — the point is a
+    replayable corpus → conversation mapping (plain integer arithmetic
+    both engines agree on), not a data model.
+
+    Returns (conv_id, turn_idx, role_flag, tokens, n_tok);
+    role_flag: 0 = user, 1 = assistant (= turn_idx % 2).
+
+    Non-numeric doc_ids degrade deterministically instead of erroring
+    (ANSI CAST would throw): they group by a 62-bit hash pseudo-id,
+    which in practice yields singleton conversations — typed, not
+    wrong.  Numeric ids are assumed non-negative (our tables' layout).
+    """
+    t = int(turns)
+    base = (
+        "COALESCE(TRY_CAST(doc_id AS BIGINT), "
+        "XXHASH64(doc_id) & 4611686018427387903)"
+    )
+    turn = F.expr(f"CAST(PMOD(({base}), {t}) AS INT)")
+    return tokens_df.select(
+        F.expr(f"({base}) DIV {t}").alias("conv_id"),
+        turn.alias("turn_idx"),
+        (turn % 2).cast("int").alias("role_flag"),
+        "tokens",
+        F.col("n_tok").cast("int").alias("n_tok"),
+    )
+
+
+def render_chat(convs: DataFrame) -> DataFrame:
+    """Render each conversation into one token stream + aligned loss
+    mask (the chat-template step).  Per turn:
+
+        [HDR(role)] content... [EOT]
+
+    mask 0 on the header, ``role_flag`` on every content token AND the
+    EOT — i.e. assistant-only training including the assistant's
+    end-of-turn (the token that teaches the model to stop), the
+    standard SFT masking rule.
+
+    One shuffle (groupBy conv_id); per-conversation assembly is pure
+    JVM higher-order expressions (array_sort of struct-packed turns →
+    flatten), no Python.  Conversations are bounded (a handful of
+    turns), so collect_list per group is O(turns), never O(corpus).
+
+    Returns (conv_id, tokens, mask, n_turns, n_tok, n_train).
+    """
+    hdr = (
+        F.when(F.col("role_flag") == 1, F.lit(ASST_HDR_TOK))
+        .otherwise(F.lit(USER_HDR_TOK))
+        .cast("int")
+    )
+    flag = F.col("role_flag").cast("int")
+    t = F.concat(
+        F.array(hdr), F.col("tokens"), F.array(F.lit(EOT_TOK).cast("int"))
+    )
+    m = F.concat(
+        F.array(F.lit(0).cast("int")),
+        F.array_repeat(flag, F.col("n_tok")),
+        F.array(flag),
+    )
+    per = convs.select("conv_id", "turn_idx", t.alias("t"), m.alias("m"))
+    return (
+        per.groupBy("conv_id")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("turn_idx", "t", "m"))
+            ).alias("ts")
+        )
+        .select(
+            "conv_id",
+            F.flatten(F.transform("ts", lambda s: s.t)).alias("tokens"),
+            F.flatten(F.transform("ts", lambda s: s.m)).alias("mask"),
+            F.size("ts").cast("int").alias("n_turns"),
+        )
+        .withColumn("n_tok", F.size("tokens").cast("int"))
+        .withColumn(
+            "n_train",
+            F.aggregate(
+                "mask", F.lit(0).cast("long"), lambda a, x: a + x.cast("long")
+            ),
+        )
+    )
+
+
+def pack_masked_sequences(
+    rendered: DataFrame, seq_len: int = 2048, **pack_kwargs
+) -> DataFrame:
+    """Pack rendered conversations into fixed ``seq_len`` training
+    sequences with the loss mask packed in lockstep.
+
+    Mechanism: each (token t, mask m ∈ {0,1}) pair becomes the single
+    int64 value ``2t + m`` — an invertible encoding (m = x & 1, exact
+    for negative t under two's complement; t = (x - m) >> 1, exact
+    arithmetic shift) — and the combined stream rides
+    ``pack_sequences(wide=True)`` unchanged.  One packing pass, and
+    token/mask alignment holds by construction: there is no second
+    partitioning whose sampled range boundaries could disagree.  The
+    packer's inter-document EOS and tail padding are combined value 0,
+    which decodes to (token 0, mask 0): untrained padding, the right
+    semantics for SFT.
+
+    Returns (seq_id, tokens array<int>, mask array<int>, n_pad).
+    """
+    from .pipeline_ops import pack_sequences
+
+    comb = rendered.select(
+        F.col("conv_id").alias("doc_id"),
+        F.zip_with(
+            "tokens",
+            "mask",
+            lambda t, m: t.cast("long") * 2 + m.cast("long"),
+        ).alias("tokens"),
+        F.col("n_tok"),
+    )
+    packed = pack_sequences(
+        comb, seq_len=seq_len, eos_token=0, wide=True, **pack_kwargs
+    )
+    one = F.lit(1).cast("long")
+    return packed.select(
+        "seq_id",
+        F.transform(
+            "tokens",
+            lambda x: F.shiftright(x - x.bitwiseAND(one), 1).cast("int"),
+        ).alias("tokens"),
+        F.transform("tokens", lambda x: x.bitwiseAND(one).cast("int")).alias(
+            "mask"
+        ),
+        "n_pad",
+    )

@@ -1,0 +1,160 @@
+"""SFT / chat-format lane: conversation assembly, template render with
+loss masks, mask-aware packing (archive_spark.sft)."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from archive_spark.sft import (
+    ASST_HDR_TOK,
+    EOT_TOK,
+    USER_HDR_TOK,
+    assemble_conversations,
+    pack_masked_sequences,
+    render_chat,
+)
+
+
+def _toks(spark, rows):
+    """rows: list of (doc_id, [token ids])."""
+    return spark.createDataFrame(
+        [(str(d), t, len(t)) for d, t in rows],
+        "doc_id string, tokens array<int>, n_tok int",
+    )
+
+
+@pytest.fixture(scope="module")
+def tiny(spark):
+    # two 2-turn conversations with known token ids (incl. negatives —
+    # murmur ids are full-range int32)
+    return _toks(
+        spark,
+        [
+            (0, [10, 20, 30]),       # conv 0 turn 0 (user)
+            (1, [-5, 7]),            # conv 0 turn 1 (assistant)
+            (2, [2147483647]),       # conv 1 turn 0 (user)
+            (3, [-2147483648, 0]),   # conv 1 turn 1 (assistant)
+        ],
+    )
+
+
+def test_assemble_roles_and_grouping(spark, tiny):
+    rows = {
+        r.turn_idx: r
+        for r in assemble_conversations(tiny, turns=2)
+        .filter(F.col("conv_id") == 0)
+        .collect()
+    }
+    assert set(rows) == {0, 1}
+    assert rows[0].role_flag == 0 and rows[1].role_flag == 1
+    assert rows[0].tokens == [10, 20, 30]
+
+
+def test_render_exact_stream_and_mask(spark, tiny):
+    out = {
+        r.conv_id: r
+        for r in render_chat(assemble_conversations(tiny, turns=2)).collect()
+    }
+    c0 = out[0]
+    assert c0.tokens == (
+        [USER_HDR_TOK, 10, 20, 30, EOT_TOK]
+        + [ASST_HDR_TOK, -5, 7, EOT_TOK]
+    )
+    # mask: header 0, user content+EOT 0, assistant content+EOT 1
+    assert c0.mask == [0, 0, 0, 0, 0, 0, 1, 1, 1]
+    assert (c0.n_turns, c0.n_tok, c0.n_train) == (2, 9, 3)
+    c1 = out[1]
+    assert c1.tokens == (
+        [USER_HDR_TOK, 2147483647, EOT_TOK]
+        + [ASST_HDR_TOK, -2147483648, 0, EOT_TOK]
+    )
+    assert c1.mask == [0, 0, 0, 0, 1, 1, 1]
+
+
+def test_pack_masked_alignment_and_inverse(spark, tiny):
+    """The 2t+m pair encoding must invert exactly (incl. INT_MIN/MAX
+    and negative ids) and the packed mask must mark exactly the
+    assistant positions of the concatenated stream."""
+    rendered = render_chat(assemble_conversations(tiny, turns=2))
+    packed = pack_masked_sequences(rendered, seq_len=4).orderBy("seq_id")
+    rows = packed.collect()
+    # expected concatenated stream: conv 0 render + EOS, conv 1 + EOS
+    r = {x.conv_id: x for x in rendered.collect()}
+    stream, mask = [], []
+    for cid in (0, 1):
+        stream += list(r[cid].tokens) + [0]
+        mask += list(r[cid].mask) + [0]
+    # pad tail to the 4-grid
+    pad = (-len(stream)) % 4
+    stream += [0] * pad
+    mask += [0] * pad
+    got_t = [t for row in rows for t in row.tokens]
+    got_m = [m for row in rows for m in row.mask]
+    assert got_t == stream
+    assert got_m == mask
+    assert all(len(row.tokens) == 4 and len(row.mask) == 4 for row in rows)
+    assert rows[-1].n_pad == pad
+
+
+def test_pack_masked_trains_only_assistant(spark, tiny):
+    rendered = render_chat(assemble_conversations(tiny, turns=2))
+    packed = pack_masked_sequences(rendered, seq_len=4)
+    total_train = packed.select(
+        F.sum(
+            F.aggregate(
+                "mask", F.lit(0).cast("long"), lambda a, x: a + x.cast("long")
+            )
+        ).alias("s")
+    ).collect()[0].s
+    expected = rendered.select(F.sum("n_train").alias("s")).collect()[0].s
+    assert total_train == expected
+
+
+def test_pack_sequences_default_stays_int32(spark, tiny):
+    """wide=False regression pin: historical int32 output schema."""
+    from archive_spark.pipeline_ops import pack_sequences
+
+    df = tiny.select(
+        "doc_id", "tokens", F.col("n_tok").cast("int").alias("n_tok")
+    )
+    out = pack_sequences(df, seq_len=4)
+    assert dict(out.dtypes)["tokens"] == "array<int>"
+    wide = pack_sequences(
+        df.select(
+            "doc_id",
+            F.transform("tokens", lambda x: x.cast("long") * 2).alias(
+                "tokens"
+            ),
+            "n_tok",
+        ),
+        seq_len=4,
+        wide=True,
+    )
+    assert dict(wide.dtypes)["tokens"] == "array<bigint>"
+    # 2x-scaled wide stream halves back to the narrow one exactly
+    narrow = {
+        r.seq_id: [t * 2 for t in r.tokens] for r in out.collect()
+    }
+    assert {r.seq_id: list(r.tokens) for r in wide.collect()} == narrow
+
+
+def test_sft_scale_invariants(spark):
+    """A bigger corpus: conversation count, train fraction, and packed
+    mask/token conservation all hold."""
+    docs = _toks(
+        spark,
+        [(i, [(i * 37 + j) % 97 - 48 for j in range(1 + i % 5)])
+         for i in range(40)],
+    )
+    convs = assemble_conversations(docs, turns=4)
+    rendered = render_chat(convs)
+    assert rendered.count() == 10
+    packed = pack_masked_sequences(rendered, seq_len=16)
+    n_tok_total = rendered.select(F.sum("n_tok")).collect()[0][0]
+    n_seq = packed.count()
+    # every sequence exactly 16 long; total cells = tokens + EOS/doc + pad
+    cells = packed.select(F.sum(F.size("tokens"))).collect()[0][0]
+    assert cells == n_seq * 16
+    assert cells >= n_tok_total + 10  # +1 EOS per conversation
