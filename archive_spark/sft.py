@@ -127,7 +127,10 @@ def render_chat(convs: DataFrame) -> DataFrame:
 
 
 def pack_masked_sequences(
-    rendered: DataFrame, seq_len: int = 2048, **pack_kwargs
+    rendered: DataFrame,
+    seq_len: int = 2048,
+    eos_token: int = 0,
+    **pack_kwargs,
 ) -> DataFrame:
     """Pack rendered conversations into fixed ``seq_len`` training
     sequences with the loss mask packed in lockstep.
@@ -139,9 +142,9 @@ def pack_masked_sequences(
     ``pack_sequences(wide=True)`` unchanged.  One packing pass, and
     token/mask alignment holds by construction: there is no second
     partitioning whose sampled range boundaries could disagree.  The
-    packer's inter-document EOS and tail padding are combined value 0,
-    which decodes to (token 0, mask 0): untrained padding, the right
-    semantics for SFT.
+    packer's inter-document EOS and tail padding are the combined value
+    ``2*eos_token``, which decodes to (eos_token, mask 0): untrained
+    padding, the right semantics for SFT.
 
     Returns (seq_id, tokens array<int>, mask array<int>, n_pad).
     """
@@ -157,7 +160,11 @@ def pack_masked_sequences(
         F.col("n_tok"),
     )
     packed = pack_sequences(
-        comb, seq_len=seq_len, eos_token=0, wide=True, **pack_kwargs
+        comb,
+        seq_len=seq_len,
+        eos_token=int(eos_token) * 2,
+        wide=True,
+        **pack_kwargs,
     )
     one = F.lit(1).cast("long")
     return packed.select(

@@ -16,7 +16,11 @@ Usage:
       --input /path/to/documents_parquet --output /path/to/table \
       [--seq-len 2048] [--eos 0] [--bpe-merges 0] [--shards 16] \
       [--fim-rate-ppm 0] [--compress-min-ppm 0] [--compress-max-ppm 0] \
-      [--no-verify]
+      [--sft-turns 0] [--no-verify]
+
+--sft-turns N switches to the SFT layout: N-turn conversations, chat
+render with per-token loss masks, mask-aware packing, tokens + mask
+encoded as aligned multi-column blocks.
 
 Prints one JSON summary line (doc/sequence/token accounting, ratio,
 verify result).
@@ -63,6 +67,13 @@ def main() -> None:
                     help="also write the doc-boundary sidecar "
                          "(<output>/_boundaries parquet: doc_id, global_off, "
                          "seq_id, seq_off) for document-masked attention")
+    ap.add_argument("--sft-turns", type=int, default=0,
+                    help="N > 0: SFT layout instead of pretraining — group "
+                         "docs into N-turn conversations, render with role "
+                         "headers + per-token loss masks (assistant-only "
+                         "training), pack tokens AND mask in lockstep, and "
+                         "encode both columns (multi-column blocks); "
+                         "exclusive with --fim-rate-ppm/--boundaries")
     ap.add_argument("--fim-rate-ppm", type=int, default=0,
                     help="apply the fill-in-the-middle (PSM) transform to "
                          "this deterministic md5-bucketed fraction of docs "
@@ -140,6 +151,10 @@ def main() -> None:
         before = tokens.count()
         tokens = tokens.join(drop_ids, "doc_id", "left_anti").persist()
         n_lm_dropped = before - tokens.count()
+    if args.sft_turns > 0 and (args.fim_rate_ppm > 0 or args.boundaries):
+        raise SystemExit(
+            "--sft-turns is exclusive with --fim-rate-ppm/--boundaries"
+        )
     n_fim = 0
     if args.fim_rate_ppm > 0:
         # deterministic md5-bucketed FIM fraction (salted independently of
@@ -159,15 +174,44 @@ def main() -> None:
         tokens = po.fim_transform(chosen).drop("fim").unionByName(
             tokens.filter(~pick)
         )
-    n_tokens_in = tokens.agg(F.sum(F.col("n_tok") + 1)).collect()[0][0] or 0
+    sft_cols = None
+    n_train = 0
+    if args.sft_turns > 0:
+        # SFT layout: conversations -> chat render with loss masks ->
+        # mask-aware packing; tokens + mask ship as aligned multi-column
+        # blocks (one shared doc/length sidecar, per-column codecs)
+        from archive_spark import sft
 
-    packed = po.pack_sequences(tokens, seq_len=args.seq_len, eos_token=args.eos)
-    seqs = packed.select(
-        F.format_string("seq-%09d", F.col("seq_id")).alias("doc_id"),
-        "tokens",
-        F.lit(args.seq_len).cast("int").alias("n_tok"),
-        F.lit("packed").alias("source"),
-    )
+        rendered = sft.render_chat(
+            sft.assemble_conversations(tokens, turns=args.sft_turns)
+        ).persist()
+        # the packer adds one EOS per CONVERSATION (render already holds
+        # the per-turn EOTs), so conservation counts rendered tokens + 1
+        n_tokens_in = rendered.agg(F.sum(F.col("n_tok") + 1)).collect()[0][0] or 0
+        n_train = int(rendered.agg(F.sum("n_train")).collect()[0][0] or 0)
+        packed = sft.pack_masked_sequences(
+            rendered, seq_len=args.seq_len, eos_token=args.eos
+        )
+        seqs = packed.select(
+            F.format_string("seq-%09d", F.col("seq_id")).alias("doc_id"),
+            "tokens",
+            "mask",
+            F.lit(args.seq_len).cast("int").alias("n_tok"),
+            F.lit("sft").alias("source"),
+        )
+        sft_cols = ["tokens", "mask"]
+    else:
+        n_tokens_in = tokens.agg(F.sum(F.col("n_tok") + 1)).collect()[0][0] or 0
+
+        packed = po.pack_sequences(
+            tokens, seq_len=args.seq_len, eos_token=args.eos
+        )
+        seqs = packed.select(
+            F.format_string("seq-%09d", F.col("seq_id")).alias("doc_id"),
+            "tokens",
+            F.lit(args.seq_len).cast("int").alias("n_tok"),
+            F.lit("packed").alias("source"),
+        )
 
     n_boundary_rows = 0
     if args.boundaries:
@@ -183,6 +227,7 @@ def main() -> None:
         spark, seqs, args.output,
         snapshot_id=checkpoint.snapshot_id_of_path(args.input),
         n_shards=args.shards, publish_snapshot=True,
+        columns=sft_cols,
     )
 
     summary = {
@@ -194,6 +239,8 @@ def main() -> None:
         "compress_dropped": n_compress_dropped,
         "fim_docs": n_fim,
         "boundary_rows": n_boundary_rows,
+        "sft_turns": args.sft_turns,
+        "train_tokens": n_train,
         "tokens_with_eos": int(n_tokens_in),
         "seq_len": args.seq_len,
         "snapshot_id": res.snapshot_id,
@@ -204,20 +251,39 @@ def main() -> None:
 
     if not args.no_verify:
         enc = checkpoint.read_encoded(spark, args.output)
-        decoded = engine.decode(enc)
-        rep = engine.roundtrip_report(seqs, decoded).collect()[0]
-        n_seq = rep.n_docs
+        if sft_cols:
+            from archive_spark import multicolumn as mc
+
+            decoded = mc.decode_columns(enc, sft_cols)
+            rep = mc.multi_roundtrip_report(seqs, decoded, sft_cols).collect()[0]
+            n_seq, n_mis = rep.n_docs, rep.n_mismatch_tokens + rep.n_mismatch_mask
+            # trained-position conservation through pack + encode + decode
+            train_out = decoded.agg(
+                F.sum(
+                    F.aggregate(
+                        "mask",
+                        F.lit(0).cast("long"),
+                        lambda a, x: a + x.cast("long"),
+                    )
+                )
+            ).collect()[0][0] or 0
+            summary["verify_train_conserved"] = int(train_out) == n_train
+            assert summary["verify_train_conserved"], "loss-mask conservation"
+        else:
+            decoded = engine.decode(enc)
+            rep = engine.roundtrip_report(seqs, decoded).collect()[0]
+            n_seq, n_mis = rep.n_docs, rep.n_mismatch
         # conservation: packed grid size == tokens + pad
         total_out = n_seq * args.seq_len
         n_pad = packed.agg(F.sum("n_pad")).collect()[0][0] or 0
         summary["verify"] = {
             "n_sequences": n_seq,
-            "n_mismatch": rep.n_mismatch,
+            "n_mismatch": int(n_mis),
             "tokens_out": total_out,
             "pad": int(n_pad),
             "conserved": total_out - int(n_pad) == int(n_tokens_in),
         }
-        assert rep.n_mismatch == 0, "roundtrip mismatch"
+        assert n_mis == 0, "roundtrip mismatch"
         assert summary["verify"]["conserved"], "token conservation failed"
 
     print(json.dumps(summary))

@@ -1,0 +1,69 @@
+"""SFT mode of the prepare-training CLI through spark-submit
+(--sft-turns: conversations -> loss-mask render -> mask-aware packing
+-> multi-column encode -> decode verify)."""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+@pytest.fixture(scope="module")
+def zip_path():
+    out = subprocess.run(
+        [sys.executable, os.path.join(REPO, "jobs", "package.py")],
+        capture_output=True, text=True, check=True,
+    )
+    return out.stdout.strip().splitlines()[-1]
+
+
+def _submit(zip_path: str, *args: str, timeout: int = 420):
+    return subprocess.run(
+        [
+            "spark-submit",
+            "--master", "local[4]",
+            "--conf", "spark.sql.shuffle.partitions=8",
+            "--py-files", zip_path,
+            os.path.join(REPO, "jobs", "prepare_training_job.py"),
+            *args,
+        ],
+        capture_output=True, text=True, timeout=timeout,
+    )
+
+
+def test_prepare_training_job_sft_cli(zip_path, tmp_path):
+    out = str(tmp_path / "table_sft")
+    r = _submit(
+        zip_path,
+        "--input", "/root/testdata/sf0.001/documents.parquet",
+        "--output", out, "--seq-len", "256", "--shards", "4",
+        "--sft-turns", "4",
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    s = json.loads(r.stdout.strip().splitlines()[-1])
+    assert s["sft_turns"] == 4
+    assert s["train_tokens"] > 0
+    v = s["verify"]
+    assert v["n_mismatch"] == 0 and v["conserved"]
+    assert v["tokens_out"] == v["n_sequences"] * 256
+    assert s["verify_train_conserved"] is True
+    # roughly half the content tokens should train (alternating roles)
+    assert 0.2 < s["train_tokens"] / v["tokens_out"] < 0.8
+
+
+def test_sft_excludes_pretraining_flags(zip_path, tmp_path):
+    r = _submit(
+        zip_path,
+        "--input", "/root/testdata/sf0.001/documents.parquet",
+        "--output", str(tmp_path / "t"), "--sft-turns", "2",
+        "--fim-rate-ppm", "1000",
+        timeout=120,
+    )
+    assert r.returncode != 0
+    assert "exclusive" in (r.stderr + r.stdout)
