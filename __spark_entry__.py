@@ -1640,6 +1640,38 @@ def _q_bpe_merges_batched(spark: SparkSession, sf_dir: str) -> DataFrame:
     return merges.orderBy("step")
 
 
+def _q_dup_span_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-span LOSS MASK (train-time alternative to scrubbing):
+    per-source masked-word totals plus a position-weighted checksum
+    (sum of 1-based masked positions) that pins every mask element, not
+    just the counts.  Oracle: full DuckDB replay from raw documents —
+    gram df >= 2, overlap-merged coverage, positional weights."""
+    from archive_spark.pipeline_ops import dup_span_loss_mask
+
+    m = dup_span_loss_mask(_docs(spark, sf_dir), k=5, min_df=2)
+    zl = F.lit(0).cast("long")
+    poswt = F.aggregate(
+        F.zip_with(
+            "mask",
+            F.sequence(F.lit(1), F.size("mask")),
+            lambda mk, i: (1 - mk.cast("long")) * i.cast("long"),
+        ),
+        zl,
+        lambda a, x: a + x,
+    )
+    return (
+        m.withColumn("pw", poswt)
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("n_words").cast("bigint").alias("n_words"),
+            F.sum("n_masked").cast("bigint").alias("n_masked"),
+            F.sum("pw").cast("bigint").alias("masked_poswt"),
+        )
+        .orderBy("source")
+    )
+
+
 def _q_dup_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-wide exact duplicate-span statistics (Lee-et-al-style
     substring dedup signal): per-source totals of duplicated 5-gram
@@ -3916,6 +3948,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sft_render": _q_sft_render,
         "sft_pack_masked": _q_sft_pack_masked,
         "ngram_diversity": _q_ngram_diversity,
+        "dup_span_mask": _q_dup_span_mask,
         "data_profile": _q_data_profile,
         "constraint_check": _q_constraint_check,
         "constraint_suggest": _q_constraint_suggest,
@@ -4278,6 +4311,32 @@ def oracle_sql() -> dict[str, str]:
             "(count(DISTINCT g) * 1000000 // count(*))::BIGINT "
             "AS diversity_ppm "
             "FROM sh GROUP BY source ORDER BY source"
+        ),
+        "dup_span_mask": (
+            # dup_span_stats' gram-df>=2 replay, extended to per-position
+            # coverage: DISTINCT (doc, pos+o) covered cells (1-based), so
+            # n_masked counts merged overlaps once and masked_poswt pins
+            # every mask element's position
+            "WITH w AS (SELECT doc_id, source, string_split(text, ' ') AS ws "
+            "FROM documents), "
+            "base AS (SELECT doc_id, source, len(ws) AS n, "
+            "least(5, len(ws)) AS keff FROM w), "
+            "sh AS (SELECT doc_id, i AS pos, "
+            "array_to_string(ws[i:i+4], ' ') AS gram "
+            "FROM w, unnest(generate_series(1, greatest(len(ws)-4, 1))) AS t(i)), "
+            "dup_g AS (SELECT gram FROM sh GROUP BY gram HAVING count(*) >= 2), "
+            "hits AS (SELECT s.doc_id, s.pos FROM sh s JOIN dup_g USING (gram)), "
+            "covered AS (SELECT DISTINCT h.doc_id, h.pos + o.o AS i "
+            "FROM hits h JOIN base b USING (doc_id), "
+            "unnest(generate_series(0, b.keff - 1)) AS o(o)), "
+            "per AS (SELECT doc_id, count(*) AS nm, sum(i) AS pw "
+            "FROM covered GROUP BY doc_id) "
+            "SELECT b.source, count(*)::BIGINT AS n_docs, "
+            "SUM(b.n)::BIGINT AS n_words, "
+            "COALESCE(SUM(per.nm), 0)::BIGINT AS n_masked, "
+            "COALESCE(SUM(per.pw), 0)::BIGINT AS masked_poswt "
+            "FROM base b LEFT JOIN per USING (doc_id) "
+            "GROUP BY b.source ORDER BY b.source"
         ),
         "data_profile": _profile_oracle("orders", _PROFILE_ORDERS_COLS),
         "constraint_check": _constraint_oracle(

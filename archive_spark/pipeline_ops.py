@@ -2301,6 +2301,76 @@ def scrub_duplicate_spans(docs: DataFrame, k: int = 5, min_df: int = 2) -> DataF
     )
 
 
+def dup_span_loss_mask(docs: DataFrame, k: int = 5, min_df: int = 2) -> DataFrame:
+    """Word-aligned loss mask over corpus-duplicated spans (0 = do not
+    train on this word) — the train-time alternative to
+    ``scrub_duplicate_spans``: memorization-prone duplicated text stays
+    visible as context but takes no loss, so nothing is memorized twice
+    and nothing is torn out of the middle of a document.  Same span
+    definition as ``duplicate_spans`` (word ``k``-grams occurring
+    ``min_df``-or-more times corpus-wide; overlaps merge).
+
+    Under the word-level hashing tokenizer the mask is token-aligned
+    as-is; multiply elementwise with the SFT role mask
+    (``sft.render_chat``) for a combined training mask.
+
+    Scale posture identical to ``duplicate_spans``: one corpus scan to
+    (doc_id, pos, hash), two-level hash count, one co-partitioned join
+    back, per-doc JVM array arithmetic — no UDFs, no all-pairs.
+
+    Returns (doc_id, source, mask array<int>, n_words, n_masked).
+    """
+    words = F.split("text", " ")
+    base = docs.select(
+        "doc_id",
+        "source",
+        words.alias("w"),
+        F.least(F.lit(k), F.size(words)).alias("keff"),
+    )
+    sh = docs.select(
+        "doc_id",
+        F.posexplode(_shingles(F.col("text"), k)).alias("pos", "gram"),
+    ).select("doc_id", "pos", F.xxhash64("gram").alias("h"))
+    dup_h = (
+        sh.groupBy("h")
+        .agg(F.count("*").alias("c"))
+        .filter(F.col("c") >= min_df)
+        .select("h")
+    )
+    per_doc = (
+        sh.join(dup_h, "h")
+        .groupBy("doc_id")
+        .agg(F.collect_list("pos").alias("ps"))
+    )
+    j = base.join(per_doc, "doc_id", "left")
+    covered = F.array_distinct(
+        F.flatten(
+            F.transform(
+                F.coalesce("ps", F.array()),
+                lambda p: F.sequence(
+                    p, F.least(p + F.col("keff"), F.size("w")) - 1
+                ),
+            )
+        )
+    )
+    mask = F.transform(
+        F.col("w"),
+        lambda _, i: F.when(F.array_contains(F.col("cov"), i), 0)
+        .otherwise(1)
+        .cast("int"),
+    )
+    return (
+        j.withColumn("cov", covered)
+        .select(
+            "doc_id",
+            "source",
+            mask.alias("mask"),
+            F.size("w").cast("bigint").alias("n_words"),
+            F.size("cov").cast("bigint").alias("n_masked"),
+        )
+    )
+
+
 def incremental_dedup(
     new_docs: DataFrame | None,
     index: DataFrame,

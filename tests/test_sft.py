@@ -140,6 +140,47 @@ def test_pack_sequences_default_stays_int32(spark, tiny):
     assert {r.seq_id: list(r.tokens) for r in wide.collect()} == narrow
 
 
+def test_dup_span_loss_mask_matches_scrub(spark):
+    """mask==1 words re-joined must equal scrub_duplicate_spans' text,
+    and n_masked must equal duplicate_spans' covered_words — the three
+    faces of one span definition."""
+    from archive_spark.pipeline_ops import (
+        dup_span_loss_mask,
+        duplicate_spans,
+        scrub_duplicate_spans,
+    )
+
+    dup = "x y z w v"
+    docs = spark.createDataFrame(
+        [
+            (0, f"a b {dup} c d", "s0"),
+            (1, f"e f g {dup} h", "s0"),
+            (2, "unique words only here now", "s1"),
+            (3, "tiny", "s1"),
+            (4, "tiny", "s1"),  # whole-doc dup (sub-k fallback gram)
+        ],
+        "doc_id long, text string, source string",
+    )
+    m = dup_span_loss_mask(docs, k=5, min_df=2)
+    kept_from_mask = {
+        r.doc_id: " ".join(
+            w for w, keep in zip(r.text.split(" "), r.mask) if keep
+        )
+        for r in m.join(docs.select("doc_id", "text"), "doc_id").collect()
+    }
+    scrubbed = {
+        r.doc_id: r.text for r in scrub_duplicate_spans(docs, k=5, min_df=2).collect()
+    }
+    assert kept_from_mask == scrubbed
+    covered = {
+        r.doc_id: r.covered_words
+        for r in duplicate_spans(docs, k=5, min_df=2).collect()
+    }
+    got = {r.doc_id: r.n_masked for r in m.collect()}
+    assert got == covered
+    assert got[2] == 0 and got[3] == 1 and got[4] == 1
+
+
 def test_sft_scale_invariants(spark):
     """A bigger corpus: conversation count, train fraction, and packed
     mask/token conservation all hold."""
