@@ -39,7 +39,9 @@ ASST_HDR_TOK = -1001002
 EOT_TOK = -1001003
 
 
-def assemble_conversations(tokens_df: DataFrame, turns: int = 4) -> DataFrame:
+def assemble_conversations(
+    tokens_df: DataFrame, turns: int = 4, carry: tuple[str, ...] = ()
+) -> DataFrame:
     """Group tokenized documents into deterministic multi-turn
     conversations: conversation ``doc_id DIV turns``, turn order
     ``doc_id`` ascending, roles alternating user → assistant from the
@@ -47,7 +49,9 @@ def assemble_conversations(tokens_df: DataFrame, turns: int = 4) -> DataFrame:
     replayable corpus → conversation mapping (plain integer arithmetic
     both engines agree on), not a data model.
 
-    Returns (conv_id, turn_idx, role_flag, tokens, n_tok);
+    Returns (conv_id, turn_idx, role_flag, tokens, n_tok) plus any
+    ``carry`` passthrough columns (e.g. a per-token content mask for
+    ``render_chat(content_mask_col=...)``);
     role_flag: 0 = user, 1 = assistant (= turn_idx % 2).
 
     Non-numeric doc_ids degrade deterministically instead of erroring
@@ -67,10 +71,11 @@ def assemble_conversations(tokens_df: DataFrame, turns: int = 4) -> DataFrame:
         (turn % 2).cast("int").alias("role_flag"),
         "tokens",
         F.col("n_tok").cast("int").alias("n_tok"),
+        *[F.col(c) for c in carry],
     )
 
 
-def render_chat(convs: DataFrame) -> DataFrame:
+def render_chat(convs: DataFrame, content_mask_col: str | None = None) -> DataFrame:
     """Render each conversation into one token stream + aligned loss
     mask (the chat-template step).  Per turn:
 
@@ -80,6 +85,13 @@ def render_chat(convs: DataFrame) -> DataFrame:
     EOT — i.e. assistant-only training including the assistant's
     end-of-turn (the token that teaches the model to stop), the
     standard SFT masking rule.
+
+    ``content_mask_col``: optional per-turn array<int> column aligned
+    with ``tokens`` (e.g. ``pipeline_ops.dup_span_loss_mask`` joined on
+    doc_id — token-aligned under the word-level hashing tokenizer);
+    content positions train only where BOTH the role rule and the
+    content mask allow (elementwise AND).  The EOT keeps the plain role
+    flag: stopping is never a memorized span.
 
     One shuffle (groupBy conv_id); per-conversation assembly is pure
     JVM higher-order expressions (array_sort of struct-packed turns →
@@ -94,12 +106,19 @@ def render_chat(convs: DataFrame) -> DataFrame:
         .cast("int")
     )
     flag = F.col("role_flag").cast("int")
+    content = (
+        F.array_repeat(flag, F.col("n_tok"))
+        if content_mask_col is None
+        else F.transform(
+            F.col(content_mask_col), lambda c: flag * c.cast("int")
+        )
+    )
     t = F.concat(
         F.array(hdr), F.col("tokens"), F.array(F.lit(EOT_TOK).cast("int"))
     )
     m = F.concat(
         F.array(F.lit(0).cast("int")),
-        F.array_repeat(flag, F.col("n_tok")),
+        content,
         F.array(flag),
     )
     per = convs.select("conv_id", "turn_idx", t.alias("t"), m.alias("m"))

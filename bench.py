@@ -518,6 +518,7 @@ def main() -> None:
         "source_overlap", "doc_pagerank", "bucketed_batches",
         "doc_compressibility", "data_profile", "events_funnel",
         "hypertable_rollup", "cohort_retention", "jsonl_ingest",
+        "sft_pack_masked", "dup_span_mask",
     ):
         q = entry_mod.queries()[name]
         timed(f"q_{name}", lambda q=q: q(spark, sf_dir).collect())

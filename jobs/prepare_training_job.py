@@ -74,6 +74,12 @@ def main() -> None:
                          "training), pack tokens AND mask in lockstep, and "
                          "encode both columns (multi-column blocks); "
                          "exclusive with --fim-rate-ppm/--boundaries")
+    ap.add_argument("--sft-mask-dup-spans", action="store_true",
+                    help="with --sft-turns: additionally zero the loss "
+                         "mask on corpus-duplicated 5-gram spans "
+                         "(dup_span_loss_mask) so memorization-prone text "
+                         "stays visible but takes no loss; requires the "
+                         "hash tokenizer (word == token alignment)")
     ap.add_argument("--fim-rate-ppm", type=int, default=0,
                     help="apply the fill-in-the-middle (PSM) transform to "
                          "this deterministic md5-bucketed fraction of docs "
@@ -155,6 +161,8 @@ def main() -> None:
         raise SystemExit(
             "--sft-turns is exclusive with --fim-rate-ppm/--boundaries"
         )
+    if args.sft_mask_dup_spans and args.sft_turns <= 0:
+        raise SystemExit("--sft-mask-dup-spans requires --sft-turns")
     n_fim = 0
     if args.fim_rate_ppm > 0:
         # deterministic md5-bucketed FIM fraction (salted independently of
@@ -182,8 +190,26 @@ def main() -> None:
         # blocks (one shared doc/length sidecar, per-column codecs)
         from archive_spark import sft
 
+        cmask_col = None
+        if args.sft_mask_dup_spans:
+            if tokenizer != "hash":
+                raise SystemExit(
+                    "--sft-mask-dup-spans needs the hash tokenizer "
+                    "(word == token alignment)"
+                )
+            wm = po.dup_span_loss_mask(kept).select(
+                F.col("doc_id").cast("string").alias("doc_id"),
+                F.col("mask").alias("cmask"),
+            )
+            tokens = tokens.join(wm, "doc_id")
+            cmask_col = "cmask"
         rendered = sft.render_chat(
-            sft.assemble_conversations(tokens, turns=args.sft_turns)
+            sft.assemble_conversations(
+                tokens,
+                turns=args.sft_turns,
+                carry=(cmask_col,) if cmask_col else (),
+            ),
+            content_mask_col=cmask_col,
         ).persist()
         # the packer adds one EOS per CONVERSATION (render already holds
         # the per-turn EOTs), so conservation counts rendered tokens + 1

@@ -140,6 +140,31 @@ def test_pack_sequences_default_stays_int32(spark, tiny):
     assert {r.seq_id: list(r.tokens) for r in wide.collect()} == narrow
 
 
+def test_render_with_content_mask(spark, tiny):
+    """content_mask_col ANDs into the role rule: assistant content
+    trains only where the content mask allows; headers/user/EOT keep
+    the plain rule."""
+    from archive_spark.sft import assemble_conversations, render_chat
+
+    cm = spark.createDataFrame(
+        [("0", [1, 0, 1]), ("1", [0, 1]), ("2", [1]), ("3", [1, 0])],
+        "doc_id string, cmask array<int>",
+    )
+    convs = assemble_conversations(
+        tiny.join(cm, "doc_id"), turns=2, carry=("cmask",)
+    )
+    out = {
+        r.conv_id: r
+        for r in render_chat(convs, content_mask_col="cmask").collect()
+    }
+    # conv 0: user turn all 0 regardless; assistant content [0,1] -> only
+    # second token trains; EOT stays 1
+    assert out[0].mask == [0, 0, 0, 0, 0, 0, 0, 1, 1]
+    assert out[0].n_train == 2
+    # conv 1: assistant content [1,0] -> first trains; EOT trains
+    assert out[1].mask == [0, 0, 0, 0, 1, 0, 1]
+
+
 def test_dup_span_loss_mask_matches_scrub(spark):
     """mask==1 words re-joined must equal scrub_duplicate_spans' text,
     and n_masked must equal duplicate_spans' covered_words — the three

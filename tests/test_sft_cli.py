@@ -57,6 +57,30 @@ def test_prepare_training_job_sft_cli(zip_path, tmp_path):
     assert 0.2 < s["train_tokens"] / v["tokens_out"] < 0.8
 
 
+def test_sft_mask_dup_spans_cli(zip_path, tmp_path):
+    """--sft-mask-dup-spans can only shrink the trained-token count,
+    and the pipeline invariants still hold."""
+    base, masked = {}, {}
+    for flag, dst in ((False, base), (True, masked)):
+        out = str(tmp_path / ("m" if flag else "b"))
+        args = [
+            "--input", "/root/testdata/sf0.001/documents.parquet",
+            "--output", out, "--seq-len", "256", "--shards", "2",
+            "--sft-turns", "4",
+        ]
+        if flag:
+            args.append("--sft-mask-dup-spans")
+        r = _submit(zip_path, *args)
+        assert r.returncode == 0, r.stderr[-2000:]
+        dst.update(json.loads(r.stdout.strip().splitlines()[-1]))
+    assert masked["train_tokens"] < base["train_tokens"]
+    assert masked["verify"]["n_mismatch"] == 0
+    assert masked["verify"]["conserved"]
+    assert masked["verify_train_conserved"] is True
+    # the token stream itself is unchanged — only the mask shrinks
+    assert masked["verify"]["tokens_out"] == base["verify"]["tokens_out"]
+
+
 def test_sft_excludes_pretraining_flags(zip_path, tmp_path):
     r = _submit(
         zip_path,
