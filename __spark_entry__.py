@@ -1640,6 +1640,30 @@ def _q_bpe_merges_batched(spark: SparkSession, sf_dir: str) -> DataFrame:
     return merges.orderBy("step")
 
 
+def _q_preference_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DPO preference-pair mining off the near-dup lane: LSH candidates
+    → Jaccard-verified edges (persisted) → clusters → (chosen,
+    rejected) by exact integer quality with embedded tie-breaks.  The
+    DuckDB oracle recomputes components over the same persisted edges
+    with a recursive CTE and replays the quality + pick arithmetic from
+    raw documents."""
+    from archive_spark.pipeline_ops import (
+        minhash_lsh_candidates,
+        ngram_jaccard,
+        preference_pairs,
+    )
+
+    docs = _docs(spark, sf_dir)
+    cands = minhash_lsh_candidates(docs, n_perm=16, bands=4)
+    verified = (
+        ngram_jaccard(docs, cands, k=3)
+        .filter(F.col("jaccard") >= 0.5)
+        .select("doc_a", "doc_b")
+    )
+    edges_path = _persist(verified, "pref_edges", sf_dir)
+    return preference_pairs(docs, spark.read.parquet(edges_path), min_gap=0)
+
+
 def _q_dup_span_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicate-span LOSS MASK (train-time alternative to scrubbing):
     per-source masked-word totals plus a position-weighted checksum
@@ -3949,6 +3973,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sft_pack_masked": _q_sft_pack_masked,
         "ngram_diversity": _q_ngram_diversity,
         "dup_span_mask": _q_dup_span_mask,
+        "preference_pairs": _q_preference_pairs,
         "data_profile": _q_data_profile,
         "constraint_check": _q_constraint_check,
         "constraint_suggest": _q_constraint_suggest,
@@ -4311,6 +4336,44 @@ def oracle_sql() -> dict[str, str]:
             "(count(DISTINCT g) * 1000000 // count(*))::BIGINT "
             "AS diversity_ppm "
             "FROM sh GROUP BY source ORDER BY source"
+        ),
+        "preference_pairs": (
+            # components over the persisted verified edges (recursive
+            # CTE, the dedup_clusters oracle's algorithm), quality
+            # replayed from raw documents in exact integer ppm, picks
+            # replayed as windows with the same tie-breaks
+            "WITH RECURSIVE "
+            f"p AS (SELECT doc_a, doc_b FROM read_parquet('{_opath('pref_edges')}')), "
+            "edges AS (SELECT doc_a AS s, doc_b AS d FROM p "
+            "UNION SELECT doc_b, doc_a FROM p), "
+            "reach(id, lbl) AS ("
+            "SELECT DISTINCT s, s FROM edges "
+            "UNION "
+            "SELECT e.d, r.lbl FROM reach r JOIN edges e ON e.s = r.id), "
+            "comp AS (SELECT id AS doc_id, min(lbl) AS cluster_id "
+            "FROM reach GROUP BY id), "
+            "q AS (SELECT doc_id, "
+            "(len(list_filter(string_split(text, ' '), w -> lower(w) IN "
+            "('the','a','of','and','to','in','is','it','on','for'))) "
+            "* 1000000 // len(string_split(text, ' '))) "
+            "- ((length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))) "
+            "* 1000000 // greatest(length(text), 1)) AS q "
+            "FROM documents), "
+            "m AS (SELECT c.cluster_id, c.doc_id, q.q, "
+            "row_number() OVER (PARTITION BY c.cluster_id "
+            "ORDER BY q.q DESC, c.doc_id ASC) AS rc, "
+            "row_number() OVER (PARTITION BY c.cluster_id "
+            "ORDER BY q.q ASC, c.doc_id DESC) AS rr, "
+            "count(*) OVER (PARTITION BY c.cluster_id) AS nm "
+            "FROM comp c JOIN q USING (doc_id)) "
+            "SELECT cluster_id::BIGINT AS cluster_id, "
+            "max(CASE WHEN rc = 1 THEN doc_id END)::BIGINT AS chosen_id, "
+            "max(CASE WHEN rr = 1 THEN doc_id END)::BIGINT AS rejected_id, "
+            "max(CASE WHEN rc = 1 THEN q END)::BIGINT AS chosen_q, "
+            "max(CASE WHEN rr = 1 THEN q END)::BIGINT AS rejected_q, "
+            "max(nm)::BIGINT AS n_members "
+            "FROM m GROUP BY cluster_id HAVING max(nm) >= 2 "
+            "ORDER BY cluster_id"
         ),
         "dup_span_mask": (
             # dup_span_stats' gram-df>=2 replay, extended to per-position

@@ -2301,6 +2301,68 @@ def scrub_duplicate_spans(docs: DataFrame, k: int = 5, min_df: int = 2) -> DataF
     )
 
 
+def preference_pairs(
+    docs: DataFrame, pairs: DataFrame, min_gap: int = 0
+) -> DataFrame:
+    """DPO-style preference-pair construction from near-duplicate
+    clusters: within each cluster of near-identical documents the
+    highest-quality variant becomes ``chosen`` and the lowest-quality
+    one ``rejected`` — the standard way to mine implicit preference
+    data from a raw corpus (near-dups are the same content, so the
+    quality delta is the only signal).  Quality is exact integer ppm:
+    stopword density minus digit density (natural text up, boilerplate
+    down), so both engines agree bit-for-bit.
+
+    Deterministic tie-breaks are embedded in the aggregation ordering:
+    chosen = (max q, then min doc_id), rejected = (min q, then max
+    doc_id) via max/min over (q, -id) structs — one groupBy, no
+    windows, no all-pairs.  Clusters come from ``neardup_clusters``
+    (min-label propagation, O(log diameter) rounds of built-in joins).
+
+    ``pairs``: verified near-dup edges (doc_a, doc_b).  ``min_gap``:
+    minimum chosen_q - rejected_q to emit (0 keeps every >=2 cluster;
+    ties still resolve to distinct docs).
+
+    Returns (cluster_id, chosen_id, rejected_id, chosen_q, rejected_q,
+    n_members).
+    """
+    clusters = neardup_clusters(pairs).select("doc_id", "cluster_id")
+    qc = quality_counts(docs)
+    q = qc.select(
+        "doc_id",
+        (
+            F.expr("CAST(n_stopwords * 1000000 DIV n_words AS BIGINT)")
+            - F.expr(
+                "CAST(n_digit_chars * 1000000 DIV GREATEST(n_chars, 1) "
+                "AS BIGINT)"
+            )
+        ).alias("q"),
+    )
+    j = clusters.join(q, "doc_id").select(
+        "cluster_id", "q", F.col("doc_id").cast("bigint").alias("id")
+    )
+    g = j.groupBy("cluster_id").agg(
+        F.count("*").cast("bigint").alias("n_members"),
+        F.max(F.struct(F.col("q"), (-F.col("id")).alias("nid"))).alias("mx"),
+        F.min(F.struct(F.col("q"), (-F.col("id")).alias("nid"))).alias("mn"),
+    )
+    return (
+        g.filter(
+            (F.col("n_members") >= 2)
+            & (F.col("mx.q") - F.col("mn.q") >= min_gap)
+        )
+        .select(
+            F.col("cluster_id").cast("bigint").alias("cluster_id"),
+            (-F.col("mx.nid")).cast("bigint").alias("chosen_id"),
+            (-F.col("mn.nid")).cast("bigint").alias("rejected_id"),
+            F.col("mx.q").cast("bigint").alias("chosen_q"),
+            F.col("mn.q").cast("bigint").alias("rejected_q"),
+            "n_members",
+        )
+        .orderBy("cluster_id")
+    )
+
+
 def dup_span_loss_mask(docs: DataFrame, k: int = 5, min_df: int = 2) -> DataFrame:
     """Word-aligned loss mask over corpus-duplicated spans (0 = do not
     train on this word) — the train-time alternative to

@@ -1905,3 +1905,38 @@ def test_doc_boundaries_match_packed_layout(spark):
         "doc_id", F.coalesce(F.sum(F.col("n_tok") + 1).over(w2), F.lit(0)).alias("g")
     )
     assert b2.join(brute2, "doc_id").filter("global_off <> g").count() == 0
+
+
+def test_preference_pairs_picks_and_tiebreaks(spark):
+    """chosen = (max q, min id), rejected = (min q, max id); singleton
+    clusters never emit; min_gap filters."""
+    from archive_spark.pipeline_ops import preference_pairs
+
+    docs = spark.createDataFrame(
+        [
+            # cluster {0,1,2}: 0 is digit-heavy (low q), 1 is stopword-
+            # heavy (high q), 2 neutral
+            (0, "call 555 1234 now 99", "s"),
+            (1, "the best of the best in it", "s"),
+            (2, "plain neutral words here", "s"),
+            # cluster {10,11}: identical text -> q tie -> chosen=min id,
+            # rejected=max id
+            (10, "same exact words here", "s"),
+            (11, "same exact words here", "s"),
+            # no edges: never appears
+            (20, "lonely document", "s"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (10, 11)], "doc_a long, doc_b long"
+    )
+    out = {r.cluster_id: r for r in preference_pairs(docs, edges).collect()}
+    assert set(out) == {0, 10}
+    assert (out[0].chosen_id, out[0].rejected_id) == (1, 0)
+    assert out[0].n_members == 3
+    assert out[0].chosen_q > out[0].rejected_q
+    assert (out[10].chosen_id, out[10].rejected_id) == (10, 11)
+    assert out[10].chosen_q == out[10].rejected_q
+    # a gap larger than any delta silences everything
+    assert preference_pairs(docs, edges, min_gap=10_000_000).count() == 0
