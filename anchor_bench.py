@@ -48,6 +48,11 @@ def main() -> None:
                          "block per-source, shred one source's key, and "
                          "digest-gate the surviving decode against the "
                          "plaintext path")
+    ap.add_argument("--sft", action="store_true",
+                    help="also anchor the SFT layout: conversations -> "
+                         "loss-mask render -> mask-aware packing over the "
+                         "whole corpus, with the trained-position "
+                         "conservation gate")
     ap.add_argument("--dataloader", action="store_true",
                     help="also anchor the training dataloader: publish the "
                          "shuffled/packed order as an encoded seq-clustered "
@@ -162,6 +167,42 @@ def main() -> None:
         )
         if not args.keep:
             shutil.rmtree(remap_path, ignore_errors=True)
+
+    # ---- SFT layout at scale: conversations -> loss-mask chat render ->
+    # mask-aware packing over the full corpus; throughput plus the
+    # trained-position conservation gate (render n_train == packed mask
+    # sum — alignment survived the pack shuffle end to end).
+    if args.sft:
+        from archive_spark import sft as sft_mod
+
+        t0 = time.perf_counter()
+        # tokengen ids are "{source}-{globalidx}": the numeric suffix is
+        # globally unique, giving real multi-turn conversations
+        toks_n = tokens.select(
+            F.regexp_extract("doc_id", "([0-9]+)$", 1).alias("doc_id"),
+            "tokens",
+            "n_tok",
+        )
+        rendered = sft_mod.render_chat(
+            sft_mod.assemble_conversations(toks_n, turns=4)
+        )
+        packed = sft_mod.pack_masked_sequences(rendered, seq_len=2048)
+        zl = F.lit(0).cast("long")
+        agg = packed.agg(
+            F.count("*").alias("n_seq"),
+            F.sum(
+                F.aggregate("mask", zl, lambda a, x: a + x.cast("long"))
+            ).alias("n_train"),
+            F.sum("n_pad").alias("n_pad"),
+        ).collect()[0]
+        dt = time.perf_counter() - t0
+        cells = int(agg.n_seq) * 2048
+        out["sft_pack_sec"] = round(dt, 1)
+        out["sft_mtok_per_sec"] = round(cells / dt / 1e6, 1)
+        out["sft_n_seq"] = int(agg.n_seq)
+        out["sft_train_tokens"] = int(agg.n_train)
+        expected = rendered.agg(F.sum("n_train")).collect()[0][0]
+        out["sft_train_conserved"] = int(agg.n_train) == int(expected)
 
     # ---- training dataloader at scale: publish the md5-shuffled packed
     # order ONCE as an encoded table clustered by sequence id, then serve
