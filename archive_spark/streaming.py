@@ -328,6 +328,76 @@ def start_incremental_dedup_sink(
     return writer.start()
 
 
+def start_sft_sink(
+    docs_stream: DataFrame,
+    table_dir: str,
+    checkpoint_dir: str,
+    turns: int = 4,
+    seq_len: int = 512,
+    available_now: bool = True,
+):
+    """Continuous SFT data production: each micro-batch of documents is
+    tokenized, grouped into conversations, rendered with loss masks
+    (``sft.render_chat``), mask-aware packed, multi-column encoded
+    (tokens + mask, shared sidecar) and committed as one append
+    snapshot — the streaming face of ``prepare_training_job
+    --sft-turns``.
+
+    Conversations never span micro-batches (grouping is within the
+    batch): the streaming contract is per-arrival-unit conversations,
+    matching how chat logs actually arrive.  Sequence ids are
+    batch-scoped and prefixed with the batch id, so the global layout
+    is append-only and deterministic per batch.
+
+    Exactly-once: snapshot id = batch id; a replayed batch finds its
+    manifest (or loses the CommitConflict race) and skips — the same
+    idempotent-sink pattern as ``start_encode_snapshot_sink``.
+    ``pack_masked_sequences`` runs inside foreachBatch where its
+    driver-side offset broadcast is a plain batch job."""
+    from . import multicolumn as mc
+    from . import table as snap_table
+    from .pipeline_ops import tokenize_documents
+    from .sft import assemble_conversations, pack_masked_sequences, render_chat
+
+    def process(batch: DataFrame, batch_id: int) -> None:
+        import os
+        import shutil
+
+        sid = f"batch-{batch_id:012d}"
+        try:
+            snap_table.read_manifest(table_dir, sid)
+            return  # replayed micro-batch: already committed
+        except FileNotFoundError:
+            pass
+        rendered = render_chat(
+            assemble_conversations(tokenize_documents(batch), turns=turns)
+        )
+        packed = pack_masked_sequences(rendered, seq_len=seq_len)
+        seqs = packed.select(
+            F.format_string(f"{sid}-seq-%09d", F.col("seq_id")).alias(
+                "doc_id"
+            ),
+            "tokens",
+            "mask",
+            F.lit("sft").alias("source"),
+        )
+        enc = mc.encode_columns(seqs, ["tokens", "mask"])
+        shutil.rmtree(os.path.join(table_dir, "data", sid), ignore_errors=True)
+        try:
+            snap_table.commit(enc, table_dir, mode="append", snapshot_id=sid)
+        except snap_table.CommitConflict:
+            pass  # lost a concurrent-replay race: already committed
+
+    w = (
+        docs_stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        w = w.trigger(availableNow=True)
+    return w.start()
+
+
 def start_upsert_sink(
     stream: DataFrame,
     table_dir: str,

@@ -206,6 +206,68 @@ def test_dup_span_loss_mask_matches_scrub(spark):
     assert got[2] == 0 and got[3] == 1 and got[4] == 1
 
 
+def test_start_sft_sink_exactly_once(spark, tmp_path):
+    """Streaming SFT production: two micro-batches append two
+    snapshots whose decoded (tokens, mask) match the batch-path
+    render+pack exactly; a restart with nothing new commits nothing."""
+    from archive_spark import multicolumn as mc
+    from archive_spark import streaming
+    from archive_spark import table as snap_table
+    from archive_spark.pipeline_ops import tokenize_documents
+
+    src = str(tmp_path / "src")
+    tdir = str(tmp_path / "table")
+    ckpt = str(tmp_path / "ckpt")
+
+    def docs(lo, hi):
+        return spark.createDataFrame(
+            [(str(i), f"word{i} alpha beta gamma t{i} delta", "s")
+             for i in range(lo, hi)],
+            "doc_id string, text string, source string",
+        )
+
+    def run():
+        stream = (
+            spark.readStream
+            .schema("doc_id string, text string, source string")
+            .parquet(src)
+        )
+        q = streaming.start_sft_sink(stream, tdir, ckpt, turns=2, seq_len=8)
+        q.awaitTermination(120)
+
+    docs(0, 4).write.mode("append").parquet(src)
+    run()
+    docs(4, 8).write.mode("append").parquet(src)
+    run()
+
+    dec = mc.decode_columns(snap_table.read(spark, tdir), ["tokens", "mask"])
+    got_train = dec.agg(
+        F.sum(
+            F.aggregate(
+                "mask", F.lit(0).cast("long"), lambda a, x: a + x.cast("long")
+            )
+        )
+    ).collect()[0][0]
+    # batch-path recompute over the SAME per-batch conversation grouping
+    expected = 0
+    for lo, hi in ((0, 4), (4, 8)):
+        r = render_chat(
+            assemble_conversations(tokenize_documents(docs(lo, hi)), turns=2)
+        )
+        expected += r.agg(F.sum("n_train")).collect()[0][0]
+    assert got_train == expected
+    # every sequence is exactly seq_len long and batch-prefixed
+    rows = dec.collect()
+    assert all(len(r.tokens) == 8 and len(r.mask) == 8 for r in rows)
+    assert {r.doc_id.split("-seq-")[0] for r in rows} == {
+        "batch-000000000000", "batch-000000000001"
+    }
+    # restart with nothing new: no third snapshot
+    n_before = len(snap_table.snapshots(tdir))
+    run()
+    assert len(snap_table.snapshots(tdir)) == n_before
+
+
 def test_sft_scale_invariants(spark):
     """A bigger corpus: conversation count, train fraction, and packed
     mask/token conservation all hold."""
