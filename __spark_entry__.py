@@ -1664,6 +1664,45 @@ def _q_preference_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return preference_pairs(docs, spark.read.parquet(edges_path), min_gap=0)
 
 
+def _q_sft_dataloader(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SFT dataloader end to end: publish the md5-shuffled mask-aware
+    pack as a seq-clustered MULTI-COLUMN snapshot table, then serve
+    steps [5, 9) at batch_size=8 through the pruned read (manifest +
+    block zone maps, CRC on).  The oracle replays the whole contract —
+    shuffle order, per-turn render stream, the 128-grid cut, the
+    lockstep mask, and the step slice — from the persisted rendered
+    table."""
+    import shutil
+
+    from archive_spark import dataloader
+    from archive_spark.sft import assemble_conversations, render_chat
+
+    convs = assemble_conversations(_tokens(spark, sf_dir), turns=4)
+    rendered = render_chat(convs).select("conv_id", "tokens", "mask", "n_tok")
+    path = _persist(rendered, "sft_dl_input", sf_dir)
+    t = "/tmp/archive_spark_dl_sft/" + os.path.basename(os.path.normpath(sf_dir))
+    shutil.rmtree(t, ignore_errors=True)
+    dataloader.publish_sft_training_order(
+        spark.read.parquet(path), t, seq_len=128, n_parts=8,
+        target_block_values=1 << 12,
+    )
+    batch = dataloader.read_sft_batches(
+        spark, t, 5, end_step=9, batch_size=8, verify_checksum=True
+    )
+    zl = F.lit(0).cast("long")
+    return batch.select(
+        "step",
+        "seq_id",
+        F.aggregate(
+            "tokens", zl, lambda a, x: a + x.cast("long")
+        ).alias("tok_sum"),
+        F.aggregate("mask", zl, lambda a, x: a + x.cast("long")).alias(
+            "n_train"
+        ),
+        F.element_at("tokens", 1).alias("first_tok"),
+    ).orderBy("seq_id")
+
+
 def _q_dup_span_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicate-span LOSS MASK (train-time alternative to scrubbing):
     per-source masked-word totals plus a position-weighted checksum
@@ -3974,6 +4013,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_diversity": _q_ngram_diversity,
         "dup_span_mask": _q_dup_span_mask,
         "preference_pairs": _q_preference_pairs,
+        "sft_dataloader": _q_sft_dataloader,
         "data_profile": _q_data_profile,
         "constraint_check": _q_constraint_check,
         "constraint_suggest": _q_constraint_suggest,
@@ -4336,6 +4376,29 @@ def oracle_sql() -> dict[str, str]:
             "(count(DISTINCT g) * 1000000 // count(*))::BIGINT "
             "AS diversity_ppm "
             "FROM sh GROUP BY source ORDER BY source"
+        ),
+        "sft_dataloader": (
+            # full-contract replay: md5(conv_id) shuffle order (+conv_id
+            # tiebreak), +1 packer EOS per conversation, window prefix
+            # sum, the 128-grid cut with the mask list unnested in
+            # lockstep, then steps [5,9) at batch_size=8 = seq_id in
+            # [40, 72)
+            "WITH d AS (SELECT conv_id, list_concat(tokens, [0]) AS te, "
+            "list_concat(mask, [0]) AS me, "
+            "COALESCE(sum(n_tok + 1) OVER (ORDER BY md5(conv_id::VARCHAR), "
+            "conv_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) "
+            "AS st "
+            f"FROM read_parquet('{_opath('sft_dl_input')}')), "
+            "tok AS (SELECT d.st + u.i - 1 AS pos, d.te[u.i] AS tok, "
+            "d.me[u.i] AS m "
+            "FROM d, unnest(range(1, len(d.te) + 1)) AS u(i)), "
+            "seqs AS (SELECT pos // 128 AS seq_id, sum(tok) AS s, "
+            "sum(m) AS ms, count(*) AS c, arg_min(tok, pos) AS ft "
+            "FROM tok GROUP BY 1) "
+            "SELECT (seq_id // 8)::BIGINT AS step, seq_id::BIGINT AS seq_id, "
+            "s::BIGINT AS tok_sum, ms::BIGINT AS n_train, "
+            "ft::INTEGER AS first_tok "
+            "FROM seqs WHERE seq_id >= 40 AND seq_id < 72 ORDER BY seq_id"
         ),
         "preference_pairs": (
             # components over the persisted verified edges (recursive

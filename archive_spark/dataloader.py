@@ -138,6 +138,116 @@ def publish_training_order(
     }
 
 
+def publish_sft_training_order(
+    rendered: DataFrame,
+    table_dir: str,
+    seq_len: int = 2048,
+    n_parts: int | None = None,
+    target_block_values: int = engine.DEFAULT_BLOCK_VALUES,
+    effort: str = "balanced",
+    shuffle_seed: int | None = None,
+) -> dict:
+    """SFT face of ``publish_training_order``: md5-shuffle the rendered
+    conversations (``sft.render_chat`` output: conv_id, tokens, mask,
+    n_tok), mask-aware pack (tokens and loss mask in lockstep), cluster
+    by sequence key and publish as a MULTI-COLUMN encoded snapshot
+    table — serve with ``read_sft_batches``; ``resume_plan`` /
+    ``n_steps`` / ``loader_meta`` apply unchanged."""
+    from . import multicolumn as mc
+    from .sft import pack_masked_sequences
+
+    spark = rendered.sparkSession
+    packed = pack_masked_sequences(
+        rendered,
+        seq_len=seq_len,
+        n_parts=n_parts,
+        shuffle=True,
+        shuffle_seed=shuffle_seed,
+    )
+    keyed = packed.select(
+        seq_key(F.col("seq_id")).alias("seq_id"), "tokens", "mask"
+    )
+    P = n_parts or int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    clustered = keyed.repartitionByRange(P, "seq_id").sortWithinPartitions(
+        "seq_id"
+    )
+    enc = mc.encode_columns(
+        clustered,
+        ["tokens", "mask"],
+        target_block_values=target_block_values,
+        effort=effort,
+        id_col="seq_id",
+        group_col=None,
+    )
+    snapshot_id = snap_table.commit(enc, table_dir, mode="overwrite")
+    manifest = snap_table.read_manifest(table_dir, snapshot_id)
+    n_seqs = 0
+    for st in (manifest.stats or {}).values():
+        cols = (st or {}).get("columns", {})
+        if "doc_max" in cols:
+            n_seqs = max(n_seqs, int(cols["doc_max"][1]) + 1)
+    meta = {
+        "seq_len": int(seq_len),
+        "eos_token": 0,
+        "seq_key_width": SEQ_KEY_WIDTH,
+        "n_seqs": int(n_seqs),
+        "snapshot_id": snapshot_id,
+        "shuffle_seed": shuffle_seed,
+        "columns": ["tokens", "mask"],
+    }
+    tmp = os.path.join(table_dir, f".{META_FILE}.tmp")
+    with open(tmp, "w") as f:
+        json.dump(meta, f)
+    os.replace(tmp, os.path.join(table_dir, META_FILE))
+    return {
+        "snapshot_id": snapshot_id,
+        "n_seqs": n_seqs,
+        "n_files": len(manifest.files),
+        "seq_len": int(seq_len),
+    }
+
+
+def read_sft_batches(
+    spark: SparkSession,
+    table_dir: str,
+    start_step: int,
+    end_step: int | None = None,
+    batch_size: int = 256,
+    snapshot_id: str | None = None,
+    verify_checksum: bool = False,
+) -> DataFrame:
+    """Serve SFT training batches as (step, seq_id, tokens, mask) —
+    bit-identical to the published order, IO O(batches served): the
+    step interval prunes files at the manifest stats AND blocks at
+    their zone maps before the decode kernel runs; payload bytes
+    outside the interval are never read."""
+    from . import multicolumn as mc
+
+    B = int(batch_size)
+    if end_step is None:
+        end_step = start_step + 1
+    if end_step <= start_step:
+        raise ValueError(f"empty step range [{start_step}, {end_step})")
+    lo, hi = start_step * B, end_step * B
+    klo, khi = _seq_key_py(lo), _seq_key_py(hi - 1)
+    enc = snap_table.read(
+        spark,
+        table_dir,
+        snapshot_id=snapshot_id,
+        prune={"doc_min": (None, khi), "doc_max": (klo, None)},
+    ).filter((F.col("doc_min") <= khi) & (F.col("doc_max") >= klo))
+    out = mc.decode_columns(
+        enc, ["tokens", "mask"], verify_checksum=verify_checksum
+    )
+    seq = F.col("doc_id").cast("long")
+    return out.filter((seq >= lo) & (seq < hi)).select(
+        F.floor(seq / B).cast("long").alias("step"),
+        seq.alias("seq_id"),
+        "tokens",
+        "mask",
+    )
+
+
 def loader_meta(table_dir: str) -> dict:
     with open(os.path.join(table_dir, META_FILE)) as f:
         return json.load(f)

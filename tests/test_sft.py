@@ -268,6 +268,48 @@ def test_start_sft_sink_exactly_once(spark, tmp_path):
     assert len(snap_table.snapshots(tdir)) == n_before
 
 
+def test_sft_dataloader_roundtrip_and_resume(spark, tmp_path):
+    """Published SFT order serves (tokens, mask) bit-identical to the
+    packer's output, resume reads prune files, and the loader meta
+    records the multi-column contract."""
+    from archive_spark import dataloader as dl
+    from archive_spark.pipeline_ops import tokenize_documents
+
+    docs = spark.createDataFrame(
+        [(str(i), " ".join(f"w{i}_{j}" for j in range(1 + i % 7)), "s")
+         for i in range(64)],
+        "doc_id string, text string, source string",
+    )
+    rendered = render_chat(
+        assemble_conversations(tokenize_documents(docs), turns=4)
+    )
+    tdir = str(tmp_path / "sft_table")
+    rep = dl.publish_sft_training_order(
+        rendered, tdir, seq_len=16, shuffle_seed=3, n_parts=4
+    )
+    assert rep["n_seqs"] > 4
+    assert dl.loader_meta(tdir)["columns"] == ["tokens", "mask"]
+    # the same deterministic pack, recomputed directly
+    expect = {
+        r.seq_id: (list(r.tokens), list(r.mask))
+        for r in pack_masked_sequences(
+            rendered, seq_len=16, shuffle=True, shuffle_seed=3, n_parts=4
+        ).collect()
+    }
+    served = dl.read_sft_batches(spark, tdir, 0, end_step=10**6, batch_size=4)
+    got = {
+        r.seq_id: (list(r.tokens), list(r.mask)) for r in served.collect()
+    }
+    assert got == expect
+    # single-step read: exactly batch_size rows of that step
+    one = dl.read_sft_batches(spark, tdir, 1, batch_size=4).collect()
+    assert [r.seq_id for r in one] == [4, 5, 6, 7]
+    assert all(r.step == 1 for r in one)
+    # resume accounting: a late-step suffix skips files
+    plan = dl.resume_plan(tdir, rep["n_seqs"] // 4 - 1, 4)
+    assert plan["files_skipped"] > 0
+
+
 def test_sft_scale_invariants(spark):
     """A bigger corpus: conversation count, train fraction, and packed
     mask/token conservation all hold."""
