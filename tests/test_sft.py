@@ -310,6 +310,44 @@ def test_sft_dataloader_roundtrip_and_resume(spark, tmp_path):
     assert plan["files_skipped"] > 0
 
 
+def test_pack_masked_property_fuzz(spark):
+    """Hypothesis: arbitrary int32 token arrays (full range) and doc
+    counts — the packed (tokens, mask) streams always reconstruct the
+    exact rendered concatenation with EOS/pad (0, 0) fill."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    tok = st.integers(min_value=-(2**31), max_value=2**31 - 1)
+
+    @settings(max_examples=12, deadline=None)
+    @given(
+        docs=st.lists(st.lists(tok, min_size=0, max_size=9),
+                      min_size=1, max_size=7),
+        seq_len=st.integers(min_value=2, max_value=8),
+    )
+    def run(docs, seq_len):
+        df = _toks(spark, list(enumerate(docs)))
+        rendered = render_chat(assemble_conversations(df, turns=2))
+        rows = sorted(rendered.collect(), key=lambda r: r.conv_id)
+        stream, mask = [], []
+        for r in rows:
+            stream += list(r.tokens) + [0]
+            mask += list(r.mask) + [0]
+        pad = (-len(stream)) % seq_len
+        stream += [0] * pad
+        mask += [0] * pad
+        packed = pack_masked_sequences(rendered, seq_len=seq_len).orderBy(
+            "seq_id"
+        )
+        got_t, got_m = [], []
+        for row in packed.collect():
+            got_t += list(row.tokens)
+            got_m += list(row.mask)
+        assert got_t == stream and got_m == mask
+
+    run()
+
+
 def test_sft_scale_invariants(spark):
     """A bigger corpus: conversation count, train fraction, and packed
     mask/token conservation all hold."""
