@@ -1,0 +1,652 @@
+"""WARC web-archive ingest lane (the Common Crawl shape).
+
+A 100 TB training corpus starts life as web archives: WARC files of
+HTTP responses, one ~1 GB file per crawl segment.  This module gives
+the engine that front door — all from public specs, no external libs:
+
+- **WARC 1.1 record framing** (ISO 28500 / IIPC warc-specifications):
+  ``WARC/1.1`` version line, named headers, a ``Content-Length``-sized
+  block, and the CRLF CRLF record separator; ``.warc.gz`` files use the
+  one-gzip-member-per-record convention so readers can split them.
+- **HTTP/1.1 response parsing** (RFC 9112): status line, headers,
+  identity and ``chunked`` transfer codings, charset from the
+  ``Content-Type`` parameter.
+- **Deterministic HTML → text extraction**: comments and
+  script/style subtrees are dropped, block-level tags break lines,
+  inline tags vanish, character references (named subset + decimal +
+  hex, single pass per the HTML rule) decode, and each line is
+  whitespace-collapsed / stripped with blank lines removed.
+
+Failure typing follows the reference's archive-walker contract
+(``/root/reference/archive.go`` filearchive: probe, type the failure,
+never crash the job): a record whose WARC framing is broken yields one
+``warc_malformed`` row and the parser RESYNCS at the next record
+boundary; a well-framed record whose HTTP payload will not parse
+yields an ``http_malformed`` row with its URI preserved.
+
+Scale shape: one WARC file = one task (``binaryFile`` scan →
+``mapInArrow``), the same per-container parallelism as ``sources.py``;
+parsing is Python because the format is byte-oriented (the tar/zip
+walker precedent), but batches flow through Arrow and the downstream
+analytics stay JVM-side.
+"""
+
+from __future__ import annotations
+
+import gzip
+import hashlib
+import io
+import re
+
+from pyspark.sql import DataFrame, functions as F
+
+# ---------------------------------------------------------------------------
+# HTML → text
+# ---------------------------------------------------------------------------
+
+#: tags that force a line break when they open or close; everything else
+#: (inline: b, i, em, span, a, code, …) is removed without a break.
+_BLOCK_TAGS = frozenset(
+    """html head body title meta link p div br hr h1 h2 h3 h4 h5 h6 ul ol
+    li dl dt dd table thead tbody tfoot tr td th blockquote pre section
+    article aside header footer nav main form fieldset select option
+    textarea figure figcaption address doctype""".split()
+)
+
+_COMMENT_RE = re.compile(r"<!--.*?-->", re.S)
+_SCRIPT_STYLE_RE = re.compile(
+    r"<(script|style)\b[^>]*>.*?</\1\s*>", re.S | re.I
+)
+_TAG_RE = re.compile(r"</?!?\s*([a-zA-Z][a-zA-Z0-9]*)[^>]*>|<![^>]*>")
+_ENTITY_RE = re.compile(r"&(#[xX]?[0-9a-fA-F]+|[a-zA-Z]+[0-9]*);")
+_WS_RE = re.compile(r"[ \t\r\f\v]+")
+
+#: named character references we decode (the common subset; unknown
+#: names pass through verbatim, the browser error-recovery rule).
+_NAMED_ENTITIES = {
+    "amp": "&",
+    "lt": "<",
+    "gt": ">",
+    "quot": '"',
+    "apos": "'",
+    "nbsp": "\xa0",
+    "copy": "\xa9",
+    "reg": "\xae",
+    "shy": "\xad",
+    "mdash": "—",
+    "ndash": "–",
+    "hellip": "…",
+}
+
+
+def html_escape(s: str) -> str:
+    """Escape text for embedding in an HTML element (writer side)."""
+    return s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+
+
+def _decode_entities(s: str) -> str:
+    def rep(m: re.Match) -> str:
+        body = m.group(1)
+        try:
+            if body[0] == "#":
+                if body[1] in "xX":
+                    return chr(int(body[2:], 16))
+                return chr(int(body[1:]))
+        except (ValueError, OverflowError):
+            return m.group(0)
+        return _NAMED_ENTITIES.get(body, m.group(0))
+
+    return _ENTITY_RE.sub(rep, s)
+
+
+def html_to_text(html: str) -> str:
+    """Deterministic HTML → text: the boilerplate-free extraction every
+    crawl pipeline runs before quality filtering.  Rules (in order):
+    comments out, script/style subtrees out, block tags → newline /
+    inline tags → nothing, character references decode in ONE pass
+    (``&amp;lt;`` → ``&lt;``, never double-decoded — the HTML rule),
+    then per-line whitespace collapse + strip with blank lines dropped.
+    """
+
+    s = _COMMENT_RE.sub("\n", html)
+    s = _SCRIPT_STYLE_RE.sub("\n", s)
+
+    def tag_rep(m: re.Match) -> str:
+        name = m.group(1)
+        if name is None:  # <!DOCTYPE …> and other declarations
+            return "\n"
+        return "\n" if name.lower() in _BLOCK_TAGS else ""
+
+    s = _TAG_RE.sub(tag_rep, s)
+    s = _decode_entities(s)
+    lines = (_WS_RE.sub(" ", ln).strip() for ln in s.split("\n"))
+    return "\n".join(ln for ln in lines if ln)
+
+
+# ---------------------------------------------------------------------------
+# HTTP/1.1 response framing (RFC 9112)
+# ---------------------------------------------------------------------------
+
+_STATUS_RE = re.compile(rb"^HTTP/\d\.\d (\d{3})(?: (.*))?$")
+
+
+def _chunk_body(body: bytes) -> bytes:
+    """Encode ``body`` as two chunks + terminator (RFC 9112 §7.1)."""
+    mid = len(body) // 2
+    out = bytearray()
+    for part in (body[:mid], body[mid:]):
+        if part:
+            out += format(len(part), "x").encode("ascii")
+            out += b"\r\n" + part + b"\r\n"
+    out += b"0\r\n\r\n"
+    return bytes(out)
+
+
+def _dechunk(data: bytes) -> bytes:
+    """Decode a chunked transfer-coding stream; raises ValueError on
+    malformed framing (bad size line, short chunk, missing CRLF)."""
+    out = bytearray()
+    pos = 0
+    while True:
+        eol = data.find(b"\r\n", pos)
+        if eol < 0:
+            raise ValueError("chunked: missing size line")
+        size_tok = data[pos:eol].split(b";", 1)[0].strip()
+        try:
+            size = int(size_tok, 16)
+        except ValueError:
+            raise ValueError(f"chunked: bad size {size_tok!r}")
+        pos = eol + 2
+        if size == 0:
+            # optional trailer fields, then a blank line
+            while True:
+                eol = data.find(b"\r\n", pos)
+                if eol < 0:
+                    raise ValueError("chunked: unterminated trailer")
+                if eol == pos:
+                    return bytes(out)
+                pos = eol + 2
+        if pos + size + 2 > len(data):
+            raise ValueError("chunked: short chunk")
+        out += data[pos : pos + size]
+        if data[pos + size : pos + size + 2] != b"\r\n":
+            raise ValueError("chunked: missing chunk CRLF")
+        pos += size + 2
+
+
+def build_http_response(
+    body: bytes,
+    status: int = 200,
+    reason: str = "OK",
+    content_type: str = "text/html; charset=utf-8",
+    chunked: bool = False,
+) -> bytes:
+    """Frame ``body`` as an HTTP/1.1 response (identity or chunked)."""
+    head = f"HTTP/1.1 {status} {reason}\r\nContent-Type: {content_type}\r\n"
+    if chunked:
+        head += "Transfer-Encoding: chunked\r\n\r\n"
+        payload = _chunk_body(body)
+    else:
+        head += f"Content-Length: {len(body)}\r\n\r\n"
+        payload = body
+    return head.encode("ascii") + payload
+
+
+def parse_http_response(data: bytes) -> tuple[int, dict, bytes]:
+    """Parse an HTTP/1.1 response; returns (status, headers, body).
+    Raises ValueError on malformed framing.  Headers are lower-cased;
+    chunked transfer-coding is decoded; an identity body is cut to
+    Content-Length (short payload = malformed)."""
+    sep = data.find(b"\r\n\r\n")
+    if sep < 0:
+        raise ValueError("http: no header terminator")
+    head_lines = data[:sep].split(b"\r\n")
+    m = _STATUS_RE.match(head_lines[0])
+    if m is None:
+        raise ValueError(f"http: bad status line {head_lines[0][:40]!r}")
+    status = int(m.group(1))
+    headers: dict[str, str] = {}
+    for ln in head_lines[1:]:
+        k, _, v = ln.partition(b":")
+        if not _:
+            raise ValueError(f"http: bad header line {ln[:40]!r}")
+        headers[k.strip().decode("latin-1").lower()] = v.strip().decode(
+            "latin-1"
+        )
+    raw = data[sep + 4 :]
+    if headers.get("transfer-encoding", "").lower() == "chunked":
+        body = _dechunk(raw)
+    elif "content-length" in headers:
+        try:
+            n = int(headers["content-length"])
+        except ValueError:
+            raise ValueError("http: bad Content-Length")
+        if n > len(raw):
+            raise ValueError("http: short body")
+        body = raw[:n]
+    else:
+        body = raw
+    return status, headers, body
+
+
+def _charset_of(content_type: str) -> str:
+    for part in content_type.split(";")[1:]:
+        k, _, v = part.strip().partition("=")
+        if k.strip().lower() == "charset":
+            return v.strip().strip('"').lower() or "utf-8"
+    return "utf-8"
+
+
+# ---------------------------------------------------------------------------
+# WARC 1.1 record framing (ISO 28500)
+# ---------------------------------------------------------------------------
+
+
+def _record_id(seed: str) -> str:
+    """Deterministic RFC-4122-shaped record id from a seed string."""
+    h = hashlib.md5(seed.encode("utf-8")).hexdigest()
+    return (
+        f"<urn:uuid:{h[0:8]}-{h[8:12]}-{h[12:16]}-{h[16:20]}-{h[20:32]}>"
+    )
+
+
+def build_warc_record(
+    rec_type: str, headers: list[tuple[str, str]], block: bytes
+) -> bytes:
+    """One WARC 1.1 record: version line, headers, Content-Length,
+    block, and the two-CRLF record separator."""
+    head = f"WARC/1.1\r\nWARC-Type: {rec_type}\r\n"
+    head += "".join(f"{k}: {v}\r\n" for k, v in headers)
+    head += f"Content-Length: {len(block)}\r\n\r\n"
+    return head.encode("ascii") + block + b"\r\n\r\n"
+
+
+def build_warcinfo(filename: str, date: str = "2026-01-01T00:00:00Z") -> bytes:
+    fields = b"software: archive_spark\r\nformat: WARC file version 1.1\r\n"
+    return build_warc_record(
+        "warcinfo",
+        [
+            ("WARC-Record-ID", _record_id("warcinfo:" + filename)),
+            ("WARC-Date", date),
+            ("WARC-Filename", filename),
+            ("Content-Type", "application/warc-fields"),
+        ],
+        fields,
+    )
+
+
+def build_response_record(uri: str, date: str, http: bytes) -> bytes:
+    return build_warc_record(
+        "response",
+        [
+            ("WARC-Record-ID", _record_id(f"{uri}@{date}")),
+            ("WARC-Date", date),
+            ("WARC-Target-URI", uri),
+            ("Content-Type", "application/http; msgtype=response"),
+        ],
+        http,
+    )
+
+
+def gzip_member(record: bytes) -> bytes:
+    """One record as one gzip member (the ``.warc.gz`` convention);
+    mtime pinned to 0 so output is byte-deterministic."""
+    return gzip.compress(record, compresslevel=6, mtime=0)
+
+
+_WARC_VERSION_RE = re.compile(rb"^WARC/\d+\.\d+$")
+
+
+def iter_warc_records(data: bytes):
+    """Yield one dict per record (or per framing failure) from a WARC
+    byte stream.  ``.warc.gz`` input (leading gzip magic) is inflated
+    first — Python's gzip handles the concatenated-member layout.
+
+    Yields dicts with ``status`` ∈ ``ok`` (WARC framing parsed; carries
+    rec_type / headers / block bytes) or ``warc_malformed`` (framing
+    broken; the parser resyncs at the next ``CRLF CRLF WARC/`` boundary
+    so one bad record costs one quarantine row, not the rest of the
+    file — the filearchive typed-failure contract)."""
+    if data[:2] == b"\x1f\x8b":
+        data = gzip.decompress(data)
+    pos = 0
+    n = len(data)
+
+    def resync(p: int):
+        idx = data.find(b"\r\n\r\nWARC/", p)
+        return idx + 4 if idx >= 0 else -1
+
+    while pos < n:
+        eol = data.find(b"\r\n", pos)
+        if eol < 0:
+            yield {"status": "warc_malformed", "reason": "truncated header"}
+            return
+        if not _WARC_VERSION_RE.match(data[pos:eol]):
+            yield {
+                "status": "warc_malformed",
+                "reason": f"bad version line {data[pos:min(eol, pos + 24)]!r}",
+            }
+            pos = resync(pos)
+            if pos < 0:
+                return
+            continue
+        # named headers until blank line
+        headers: dict[str, str] = {}
+        hpos = eol + 2
+        bad = None
+        while True:
+            eol = data.find(b"\r\n", hpos)
+            if eol < 0:
+                bad = "truncated headers"
+                break
+            if eol == hpos:  # blank line: end of headers
+                hpos += 2
+                break
+            ln = data[hpos:eol]
+            k, sep, v = ln.partition(b":")
+            if not sep:
+                bad = f"bad header line {ln[:40]!r}"
+                break
+            headers[k.strip().decode("latin-1").lower()] = v.strip().decode(
+                "latin-1"
+            )
+            hpos = eol + 2
+        if bad is None and "content-length" not in headers:
+            bad = "missing Content-Length"
+        if bad is None:
+            try:
+                clen = int(headers["content-length"])
+            except ValueError:
+                bad = "bad Content-Length"
+        if bad is None and (clen < 0 or hpos + clen + 4 > n):
+            bad = "block overruns file"
+        if bad is None and data[hpos + clen : hpos + clen + 4] != b"\r\n\r\n":
+            bad = "missing record separator"
+        if bad is not None:
+            yield {"status": "warc_malformed", "reason": bad}
+            pos = resync(pos)
+            if pos < 0:
+                return
+            continue
+        yield {
+            "status": "ok",
+            "rec_type": headers.get("warc-type", ""),
+            "record_id": headers.get("warc-record-id", ""),
+            "target_uri": headers.get("warc-target-uri", ""),
+            "warc_date": headers.get("warc-date", ""),
+            "content_type": headers.get("content-type", ""),
+            "block": data[hpos : hpos + clen],
+        }
+        pos = hpos + clen + 4
+
+
+def extract_pages(data: bytes) -> list[dict]:
+    """WARC bytes → one typed row per record.
+
+    Row fields: rec_type, record_id, target_uri, warc_date, http_status
+    (None unless an HTTP response parsed), mime, text (extracted for
+    ``text/html`` / ``text/plain`` payloads), n_body_bytes, status.
+    ``status`` ∈ ok | http_malformed | warc_malformed | skipped (a
+    well-formed record that is not an HTTP response — warcinfo,
+    request, metadata …)."""
+    rows: list[dict] = []
+    for rec in iter_warc_records(data):
+        base = {
+            "rec_type": rec.get("rec_type"),
+            "record_id": rec.get("record_id"),
+            "target_uri": rec.get("target_uri"),
+            "warc_date": rec.get("warc_date"),
+            "http_status": None,
+            "mime": None,
+            "text": None,
+            "n_body_bytes": 0,
+            "status": rec["status"],
+        }
+        if rec["status"] != "ok":
+            rows.append(base)
+            continue
+        is_http = rec["rec_type"] == "response" and rec[
+            "content_type"
+        ].lower().startswith("application/http")
+        if not is_http:
+            base["status"] = "skipped"
+            rows.append(base)
+            continue
+        try:
+            status, headers, body = parse_http_response(rec["block"])
+        except ValueError:
+            base["status"] = "http_malformed"
+            rows.append(base)
+            continue
+        ctype = headers.get("content-type", "")
+        mime = ctype.split(";")[0].strip().lower()
+        base.update(
+            status="ok",
+            http_status=status,
+            mime=mime or None,
+            n_body_bytes=len(body),
+        )
+        if mime in ("text/html", "text/plain"):
+            charset = _charset_of(ctype)
+            try:
+                decoded = body.decode(charset, errors="replace")
+            except LookupError:  # unknown charset label
+                decoded = body.decode("utf-8", errors="replace")
+            base["text"] = (
+                html_to_text(decoded) if mime == "text/html" else decoded
+            )
+        rows.append(base)
+    return rows
+
+
+# ---------------------------------------------------------------------------
+# Spark faces
+# ---------------------------------------------------------------------------
+
+_INGEST_SCHEMA = (
+    "warc_file string, rec_type string, record_id string, "
+    "target_uri string, warc_date string, http_status int, mime string, "
+    "text string, n_body_bytes bigint, status string"
+)
+
+
+def ingest_warc(spark, path: str) -> DataFrame:
+    """Distributed WARC ingest: every file under ``path`` (glob ok)
+    parses in its own task — the Common Crawl unit of parallelism (one
+    ~1 GB segment per task) — into typed page rows.  Malformed records
+    quarantine typed instead of failing the job."""
+    import pyarrow as pa
+
+    files = spark.read.format("binaryFile").load(path).select(
+        "path", "content"
+    )
+
+    def parse(batches):
+        for batch in batches:
+            d = batch.to_pydict()
+            out = {
+                k: []
+                for k in (
+                    "warc_file",
+                    "rec_type",
+                    "record_id",
+                    "target_uri",
+                    "warc_date",
+                    "http_status",
+                    "mime",
+                    "text",
+                    "n_body_bytes",
+                    "status",
+                )
+            }
+            for path_, content in zip(d["path"], d["content"]):
+                name = path_.rsplit("/", 1)[-1]
+                for row in extract_pages(bytes(content)):
+                    out["warc_file"].append(name)
+                    for k in (
+                        "rec_type",
+                        "record_id",
+                        "target_uri",
+                        "warc_date",
+                        "http_status",
+                        "mime",
+                        "text",
+                        "status",
+                    ):
+                        out[k].append(row[k])
+                    out["n_body_bytes"].append(row["n_body_bytes"])
+            yield pa.RecordBatch.from_pydict(
+                out,
+                schema=pa.schema(
+                    [
+                        ("warc_file", pa.string()),
+                        ("rec_type", pa.string()),
+                        ("record_id", pa.string()),
+                        ("target_uri", pa.string()),
+                        ("warc_date", pa.string()),
+                        ("http_status", pa.int32()),
+                        ("mime", pa.string()),
+                        ("text", pa.string()),
+                        ("n_body_bytes", pa.int64()),
+                        ("status", pa.string()),
+                    ]
+                ),
+            )
+
+    return files.mapInArrow(parse, _INGEST_SCHEMA)
+
+
+#: page template for export_crawl_warc — title / h1 / p / footer map to
+#: extracted lines "doc-<id>", source, text, and the entity footer.
+_FOOTER_HTML = '<div class="footer">copy &amp; paste &#169; &#x2603;</div>'
+#: what html_to_text recovers from _FOOTER_HTML
+FOOTER_TEXT = "copy & paste \xa9 ☃"
+
+
+def wrap_page(doc_id, lang: str, source: str, n_chars, text: str) -> str:
+    """Deterministic HTML page around a document — the synthetic crawl
+    generator (TESTDATA contract: no external data).  Extraction
+    inverts it exactly: html_to_text(wrap_page(…)) ==
+    ``doc-<id>\\n<source>\\n<text>\\n`` + FOOTER_TEXT."""
+    return (
+        "<!DOCTYPE html>\n"
+        f'<html lang="{lang}">\n<head>\n<meta charset="utf-8"/>\n'
+        f"<title>doc-{doc_id}</title>\n"
+        "<style>\nbody { margin: 0; }\n</style>\n"
+        f"<script>\nvar n = {n_chars};\n</script>\n</head>\n<body>\n"
+        f"<h1>{source}</h1>\n<p>{html_escape(text)}</p>\n"
+        f"{_FOOTER_HTML}\n<!-- end of page -->\n</body>\n</html>\n"
+    )
+
+
+_EXPORT_COLS = (
+    "file_name",
+    "uri",
+    "warc_date",
+    "doc_id",
+    "lang",
+    "source",
+    "n_chars",
+    "text",
+    "http_status",
+    "chunked",
+    "mangle_http",
+    "mangle_warc",
+)
+
+
+def export_crawl_warc(df: DataFrame, out_dir: str) -> DataFrame:
+    """Write a deterministic synthetic crawl: one WARC file per
+    ``file_name`` (gzip per-record members when the name ends
+    ``.gz``), each document rendered through :func:`wrap_page` and
+    framed as an HTTP response record.
+
+    Required columns: file_name, uri, warc_date, doc_id, lang, source,
+    n_chars, text, http_status, chunked (bool — use chunked
+    transfer-coding), mangle_http (bool — corrupt the HTTP status
+    line: well-formed WARC, quarantinable payload), mangle_warc (bool —
+    corrupt the WARC version line: framing-level quarantine + resync).
+
+    Scale shape mirrors ``export.export_tar_shards``: ONE shuffle
+    (repartition by file_name), rows stream into temp files, atomic
+    rename, manifest row per file.
+    """
+    import os
+
+    import pyarrow as pa
+
+    os.makedirs(out_dir, exist_ok=True)
+    n_files = max(df.select("file_name").distinct().count(), 1)
+    parted = (
+        df.select(*[F.col(c) for c in _EXPORT_COLS])
+        .repartition(n_files, "file_name")
+        .sortWithinPartitions("file_name", "doc_id")
+    )
+
+    def write(batches):
+        state: dict[str, list] = {}  # name -> [buf, n_records]
+
+        def get(name: str) -> list:
+            if name not in state:
+                buf = io.BytesIO()
+                rec = build_warcinfo(name)
+                buf.write(gzip_member(rec) if name.endswith(".gz") else rec)
+                state[name] = [buf, 1]
+            return state[name]
+
+        for batch in batches:
+            d = batch.to_pydict()
+            for i in range(batch.num_rows):
+                name = d["file_name"][i]
+                ent = get(name)
+                html = wrap_page(
+                    d["doc_id"][i],
+                    d["lang"][i],
+                    d["source"][i],
+                    d["n_chars"][i],
+                    d["text"][i],
+                ).encode("utf-8")
+                status = int(d["http_status"][i])
+                http = build_http_response(
+                    html,
+                    status=status,
+                    reason="OK" if status == 200 else "Not Found",
+                    chunked=bool(d["chunked"][i]),
+                )
+                if d["mangle_http"][i]:
+                    http = b"GARBAGE " + http
+                rec = build_response_record(
+                    d["uri"][i], d["warc_date"][i], http
+                )
+                if d["mangle_warc"][i]:
+                    rec = b"NOT-A-WARC-HEADER" + rec[len(b"WARC/1.1") :]
+                ent[0].write(
+                    gzip_member(rec) if name.endswith(".gz") else rec
+                )
+                ent[1] += 1
+        rows = {"file_name": [], "path": [], "n_records": [], "n_bytes": []}
+        for name, (buf, n_rec) in sorted(state.items()):
+            tmp = os.path.join(out_dir, f".{name}.tmp-{os.getpid()}")
+            with open(tmp, "wb") as f:
+                f.write(buf.getvalue())
+            final = os.path.join(out_dir, name)
+            os.replace(tmp, final)
+            rows["file_name"].append(name)
+            rows["path"].append(final)
+            rows["n_records"].append(n_rec)
+            rows["n_bytes"].append(os.path.getsize(final))
+        yield pa.RecordBatch.from_pydict(
+            rows,
+            schema=pa.schema(
+                [
+                    ("file_name", pa.string()),
+                    ("path", pa.string()),
+                    ("n_records", pa.int64()),
+                    ("n_bytes", pa.int64()),
+                ]
+            ),
+        )
+
+    return parted.mapInArrow(
+        write, "file_name string, path string, n_records bigint, n_bytes bigint"
+    )

@@ -1,0 +1,228 @@
+"""WARC ingest lane: framing, HTTP parsing, HTML extraction, and the
+distributed export → re-ingest roundtrip (the Common Crawl front door).
+
+Capability parity: the reference's archive walker types failures and
+never crashes the job (/root/reference/archive.go filearchive); the
+WARC lane follows the same contract at the web-archive layer.
+"""
+from __future__ import annotations
+
+import gzip
+
+import pytest
+
+from archive_spark import warc
+
+
+# ---------------------------------------------------------------------------
+# HTML → text
+# ---------------------------------------------------------------------------
+
+
+def test_html_block_vs_inline():
+    out = warc.html_to_text("<p>a <b>bold</b> word</p><p>next</p>")
+    assert out == "a bold word\nnext"
+
+
+def test_html_drops_comments_and_script_style():
+    html = (
+        "<p>keep</p><!-- secret --><script>var x = '<p>no</p>';</script>"
+        "<style>p { color: red }</style><p>also</p>"
+    )
+    assert warc.html_to_text(html) == "keep\nalso"
+
+
+def test_html_entities_decode_single_pass():
+    # &amp;lt; must become the literal text "&lt;", never "<" (the HTML
+    # one-pass rule); unknown names pass through verbatim.
+    out = warc.html_to_text("<p>&amp;lt; &#65;&#x42; &unknown; end</p>")
+    assert out == "&lt; AB &unknown; end"
+
+
+def test_html_whitespace_collapse():
+    out = warc.html_to_text("<p>  a\t\tb  </p>\n\n<p>   </p><p>c</p>")
+    assert out == "a b\nc"
+
+
+def test_wrap_page_inverts_exactly():
+    text = "hello world & <tags> stay put"
+    page = warc.wrap_page(7, "en", "src3", len(text), text)
+    assert (
+        warc.html_to_text(page)
+        == f"doc-7\nsrc3\n{text}\n" + warc.FOOTER_TEXT
+    )
+
+
+# ---------------------------------------------------------------------------
+# HTTP/1.1 framing
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("chunked", [False, True])
+def test_http_roundtrip(chunked):
+    body = b"0123456789abcdef" * 7 + b"tail"
+    raw = warc.build_http_response(body, status=404, reason="Not Found",
+                                   chunked=chunked)
+    status, headers, got = warc.parse_http_response(raw)
+    assert status == 404 and got == body
+    assert headers["content-type"].startswith("text/html")
+
+
+def test_http_malformed_raises():
+    ok = warc.build_http_response(b"abc")
+    with pytest.raises(ValueError):
+        warc.parse_http_response(b"GARBAGE " + ok)  # bad status line
+    with pytest.raises(ValueError):
+        warc.parse_http_response(ok[:-2])  # short body
+    chunked = warc.build_http_response(b"abcdef", chunked=True)
+    with pytest.raises(ValueError):
+        warc.parse_http_response(chunked[:-5])  # broken chunk framing
+    with pytest.raises(ValueError):
+        warc.parse_http_response(b"HTTP/1.1 200 OK\r\nX: y")  # no blank line
+
+
+def test_http_charset_selection():
+    raw = warc.build_http_response(
+        "caf\xe9".encode("latin-1"), content_type="text/plain; charset=latin-1"
+    )
+    _, headers, body = warc.parse_http_response(raw)
+    assert body.decode(warc._charset_of(headers["content-type"])) == "caf\xe9"
+
+
+# ---------------------------------------------------------------------------
+# WARC record framing
+# ---------------------------------------------------------------------------
+
+
+def _mk_records(n=4, mangle_http=(), mangle_warc=()):
+    recs = [warc.build_warcinfo("t.warc")]
+    for i in range(n):
+        page = warc.wrap_page(i, "en", "s", 1, f"text {i}").encode()
+        http = warc.build_http_response(page, chunked=(i % 2 == 0))
+        if i in mangle_http:
+            http = b"GARBAGE " + http
+        rec = warc.build_response_record(
+            f"http://t/{i}", "2026-01-01T00:00:00Z", http
+        )
+        if i in mangle_warc:
+            rec = b"NOT-A-WARC-HEADER" + rec[len(b"WARC/1.1"):]
+        recs.append(rec)
+    return recs
+
+
+def test_warc_roundtrip_plain_and_gz():
+    recs = _mk_records(3)
+    plain = warc.extract_pages(b"".join(recs))
+    gz = warc.extract_pages(b"".join(warc.gzip_member(r) for r in recs))
+    assert [r["status"] for r in plain] == ["skipped", "ok", "ok", "ok"]
+    assert plain == gz  # one-gzip-member-per-record convention is lossless
+    assert plain[1]["text"].startswith("doc-0\ns\ntext 0\n")
+    assert plain[1]["target_uri"] == "http://t/0"
+    assert plain[1]["http_status"] == 200 and plain[1]["mime"] == "text/html"
+
+
+def test_warc_mangled_http_is_typed_not_fatal():
+    rows = warc.extract_pages(b"".join(_mk_records(3, mangle_http={1})))
+    assert [r["status"] for r in rows] == [
+        "skipped", "ok", "http_malformed", "ok"]
+    assert rows[2]["target_uri"] == "http://t/1"  # URI survives quarantine
+
+
+def test_warc_mangled_framing_resyncs():
+    # record 1's WARC version line is destroyed: one warc_malformed row,
+    # then the parser recovers records 2 and 3 intact.
+    rows = warc.extract_pages(b"".join(_mk_records(4, mangle_warc={1})))
+    assert [r["status"] for r in rows] == [
+        "skipped", "ok", "warc_malformed", "ok", "ok"]
+    assert rows[3]["text"].startswith("doc-2\n")
+
+
+def test_warc_truncated_tail_typed():
+    data = b"".join(_mk_records(2))
+    rows = warc.extract_pages(data[:-10])  # cut the record separator
+    assert rows[-1]["status"] == "warc_malformed"
+    assert [r["status"] for r in rows[:-1]] == ["skipped", "ok"]
+
+
+def test_warc_bad_content_length_typed():
+    rec = warc.build_warc_record(
+        "response", [("WARC-Record-ID", "<urn:x>")], b"abc"
+    ).replace(b"Content-Length: 3", b"Content-Length: zz")
+    rows = warc.extract_pages(rec)
+    assert [r["status"] for r in rows] == ["warc_malformed"]
+
+
+def test_gzip_members_are_individually_splittable():
+    # the .warc.gz convention exists so a reader can start at any member
+    # boundary: each member alone must inflate to exactly one record.
+    recs = _mk_records(2)
+    for rec in recs:
+        assert gzip.decompress(warc.gzip_member(rec)) == rec
+
+
+# ---------------------------------------------------------------------------
+# Spark faces: export → ingest roundtrip
+# ---------------------------------------------------------------------------
+
+
+def _crawl_df(spark, n=30):
+    rows = []
+    for i in range(n):
+        ext = ".warc.gz" if i % 2 == 0 else ".warc"
+        rows.append((
+            f"seg{i % 3}{ext}",
+            f"http://crawl.test/{i}",
+            "2026-01-01T00:00:00Z",
+            i,
+            "en",
+            f"src{i % 4}",
+            20,
+            f"body text {i} with words",
+            404 if i % 13 == 0 else 200,
+            i % 3 == 0,       # chunked
+            i % 7 == 0,       # mangle_http
+            i % 11 == 0,      # mangle_warc
+        ))
+    return spark.createDataFrame(
+        rows,
+        "file_name string, uri string, warc_date string, doc_id long, "
+        "lang string, source string, n_chars long, text string, "
+        "http_status int, chunked boolean, mangle_http boolean, "
+        "mangle_warc boolean",
+    )
+
+
+def test_export_ingest_roundtrip(spark, tmp_path):
+    out = str(tmp_path / "crawl")
+    n = 30
+    manifest = {r["file_name"]: r for r in
+                warc.export_crawl_warc(_crawl_df(spark, n), out).collect()}
+    assert len(manifest) == 6  # 3 segments × {.warc.gz, .warc}
+    # each file: warcinfo + its documents
+    assert sum(r["n_records"] for r in manifest.values()) == n + 6
+
+    pages = warc.ingest_warc(spark, out).collect()
+    by_status = {}
+    for r in pages:
+        by_status.setdefault(r["status"], []).append(r)
+    # mangle_warc (0,11,22) beats mangle_http (0,7,14,21,28) on overlap 0
+    assert len(by_status["warc_malformed"]) == 3
+    assert len(by_status["http_malformed"]) == 4
+    assert len(by_status["skipped"]) == 6  # one warcinfo per file
+    ok = {int(r["target_uri"].rsplit("/", 1)[1]): r for r in by_status["ok"]}
+    assert len(ok) == n - 7
+    for i, r in ok.items():
+        exp = (f"doc-{i}\nsrc{i % 4}\nbody text {i} with words\n"
+               + warc.FOOTER_TEXT)
+        assert r["text"] == exp
+        assert r["http_status"] == (404 if i % 13 == 0 else 200)
+        assert r["warc_file"] == f"seg{i % 3}" + (
+            ".warc.gz" if i % 2 == 0 else ".warc")
+    # determinism: re-export lands byte-identical files
+    import hashlib, os
+    h1 = {f: hashlib.md5(open(os.path.join(out, f), "rb").read()).hexdigest()
+          for f in sorted(os.listdir(out))}
+    warc.export_crawl_warc(_crawl_df(spark, n), out).collect()
+    h2 = {f: hashlib.md5(open(os.path.join(out, f), "rb").read()).hexdigest()
+          for f in sorted(os.listdir(out))}
+    assert h1 == h2
