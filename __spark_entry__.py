@@ -215,6 +215,72 @@ def _q_export_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_warc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WARC crawl front door (archive_spark/warc.py) closed end-to-end:
+    the documents table is exported as a deterministic synthetic crawl
+    (one WARC file per segment, gzip members on even doc ids, chunked
+    transfer-coding on doc_id%3==0, a deliberate HTTP-mangle lane on
+    %43 and a WARC-framing-mangle lane on %41), then ingested back
+    distributed (one file per task — the Common Crawl unit) and
+    aggregated per typed status.  The DuckDB oracle is FULLY
+    INDEPENDENT: it re-derives every lane from the raw documents table
+    — quarantine counts from the modulo rule, extracted-text char sums
+    from the wrap_page inversion contract (title/h1/p/footer lines),
+    and HTTP body byte sums by rebuilding the exact HTML template
+    (escapes included) in SQL.  A framing bug, a dechunking bug, a
+    charset/entity bug, or a quarantine row that leaks into 'ok'
+    breaks a row."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from archive_spark import warc
+
+    base = os.path.basename(sf_dir.rstrip("/"))
+    out = f"{ORACLE_DIR}/{base}/warc_crawl"
+    shutil.rmtree(out, ignore_errors=True)
+    docs = _docs(spark, sf_dir)
+    norm = F.trim(F.regexp_replace(F.col("text"), r"\s+", " "))
+    did = F.col("doc_id").cast("long")
+    crawl = docs.select(
+        F.concat(
+            F.lit("seg"),
+            (did % 5).cast("string"),
+            F.when(did % 2 == 0, ".warc.gz").otherwise(".warc"),
+        ).alias("file_name"),
+        F.concat(F.lit("http://crawl.test/"), did.cast("string")).alias("uri"),
+        F.lit("2026-01-01T00:00:00Z").alias("warc_date"),
+        did.alias("doc_id"),
+        F.col("lang"),
+        F.col("source"),
+        F.length(norm).cast("long").alias("n_chars"),
+        norm.alias("text"),
+        F.when(did % 13 == 0, 404).otherwise(200).cast("int").alias("http_status"),
+        (did % 3 == 0).alias("chunked"),
+        (did % 43 == 0).alias("mangle_http"),
+        (did % 41 == 0).alias("mangle_warc"),
+    )
+    warc.export_crawl_warc(crawl, out).collect()
+    pages = warc.ingest_warc(spark, out)
+    page_id = F.when(
+        F.col("target_uri").startswith("http://crawl.test/"),
+        F.element_at(F.split(F.col("target_uri"), "/"), -1).cast("long"),
+    )
+    return (
+        pages.groupBy("status")
+        .agg(
+            F.count("*").cast("bigint").alias("n_pages"),
+            F.sum("http_status").cast("bigint").alias("sum_status"),
+            F.sum(F.length("text")).cast("bigint").alias("sum_chars"),
+            F.sum("n_body_bytes").cast("bigint").alias("sum_body_bytes"),
+            F.md5(
+                F.concat_ws(",", F.sort_array(F.collect_list(page_id)))
+            ).alias("ids_md5"),
+        )
+        .orderBy("status")
+    )
+
+
 def _q_phrase_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Phrase search served from the POSITIONAL inverted index
     (analytics.phrase_count_indexed): per-token position lists stored
@@ -4008,6 +4074,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # -- every query WITHOUT a driver correctness row (r01-r03 artifacts)
         # -- comes first: the driver walks this dict in order under a budget --
+        "warc_ingest": _q_warc_ingest,
         "sft_render": _q_sft_render,
         "sft_pack_masked": _q_sft_pack_masked,
         "ngram_diversity": _q_ngram_diversity,
@@ -5048,6 +5115,61 @@ def oracle_sql() -> dict[str, str]:
             "GROUP BY tf.doc_id) "
             "SELECT doc_id, ROUND(s*1e4)::BIGINT AS score_x1e4 "
             "FROM sc ORDER BY s DESC, doc_id LIMIT 15"
+        ),
+        "warc_ingest": (
+            # Fully independent replay of the WARC export→ingest loop from
+            # the raw documents table: quarantine lanes from the modulo
+            # rule, extracted text from the wrap_page inversion contract
+            # (doc-<id> \n source \n text \n footer), HTTP body bytes by
+            # rebuilding the exact HTML template (escapes included), and
+            # one warcinfo 'skipped' row per distinct (segment, ext) file.
+            "WITH d AS MATERIALIZED ("
+            "SELECT doc_id, lang, source, "
+            "trim(regexp_replace(text, '\\s+', ' ', 'g')) AS norm, "
+            "CASE WHEN doc_id % 41 = 0 THEN 'warc_malformed' "
+            "WHEN doc_id % 43 = 0 THEN 'http_malformed' "
+            "ELSE 'ok' END AS status, "
+            "CASE WHEN doc_id % 13 = 0 THEN 404 ELSE 200 END AS http_status "
+            "FROM documents"
+            "), pages AS MATERIALIZED ("
+            "SELECT *, "
+            "'doc-' || doc_id || chr(10) || source || chr(10) "
+            "|| CASE WHEN norm = '' THEN '' ELSE norm || chr(10) END "
+            "|| 'copy & paste ' || chr(169) || ' ' || chr(9731) AS out_text, "
+            "octet_length(encode("
+            "'<!DOCTYPE html>' || chr(10) "
+            "|| '<html lang=\"' || lang || '\">' || chr(10) "
+            "|| '<head>' || chr(10) || '<meta charset=\"utf-8\"/>' || chr(10) "
+            "|| '<title>doc-' || doc_id || '</title>' || chr(10) "
+            "|| '<style>' || chr(10) || 'body { margin: 0; }' || chr(10) "
+            "|| '</style>' || chr(10) "
+            "|| '<script>' || chr(10) || 'var n = ' || length(norm) || ';' "
+            "|| chr(10) || '</script>' || chr(10) "
+            "|| '</head>' || chr(10) || '<body>' || chr(10) "
+            "|| '<h1>' || source || '</h1>' || chr(10) "
+            "|| '<p>' || replace(replace(replace(norm, '&', '&amp;'), "
+            "'<', '&lt;'), '>', '&gt;') || '</p>' || chr(10) "
+            "|| '<div class=\"footer\">copy &amp; paste &#169; &#x2603;</div>' "
+            "|| chr(10) || '<!-- end of page -->' || chr(10) "
+            "|| '</body>' || chr(10) || '</html>' || chr(10)"
+            ")) AS body_bytes "
+            "FROM d"
+            "), by_status AS ("
+            "SELECT status, count(*)::BIGINT AS n_pages, "
+            "CASE WHEN status = 'ok' THEN SUM(http_status)::BIGINT END "
+            "AS sum_status, "
+            "CASE WHEN status = 'ok' THEN SUM(length(out_text))::BIGINT END "
+            "AS sum_chars, "
+            "CASE WHEN status = 'ok' THEN SUM(body_bytes)::BIGINT "
+            "ELSE 0::BIGINT END AS sum_body_bytes, "
+            "md5(coalesce(string_agg(CASE WHEN status IN ('ok', "
+            "'http_malformed') THEN doc_id::VARCHAR END, ',' "
+            "ORDER BY doc_id), '')) AS ids_md5 "
+            "FROM pages GROUP BY status "
+            "UNION ALL "
+            "SELECT 'skipped', count(DISTINCT doc_id % 10)::BIGINT, "
+            "NULL, NULL, 0::BIGINT, md5('') FROM d"
+            ") SELECT * FROM by_status ORDER BY status"
         ),
         "export_shards": (
             "SELECT count(*)::BIGINT AS n_docs, "
