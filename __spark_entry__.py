@@ -281,6 +281,127 @@ def _q_warc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_pagerank_hosts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-integer PageRank (archive_spark/graph.py) over a host
+    graph derived deterministically from the documents table (doc i on
+    host h(i%17) links to docs (i*7+j)%n, j=1..3).  Every iteration is
+    floor-division integer arithmetic, so the DuckDB oracle replays
+    all four rounds as chained MATERIALIZED CTEs and must match to the
+    last unit.  Self-edges kept (they are well-defined under the
+    arithmetic); dangling mass dropped — both documented in
+    graph.pagerank."""
+    from pyspark.sql import functions as F
+
+    from archive_spark import graph
+
+    docs = _docs(spark, sf_dir)
+    n = docs.count()
+    did = F.col("doc_id").cast("long")
+    host = lambda c: F.concat(  # noqa: E731
+        F.lit("h"), (c % 17).cast("string"), F.lit(".test")
+    )
+    e = (
+        docs.select(
+            host(did).alias("src"),
+            F.explode(
+                F.array(*[(did * 7 + j) % n for j in (1, 2, 3)])
+            ).alias("dd"),
+        )
+        .select("src", host(F.col("dd")).alias("dst"))
+    )
+    return graph.pagerank(e, n_iter=4).orderBy("host")
+
+
+def _q_link_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The crawl link-graph loop end-to-end: documents export as a
+    synthetic crawl whose pages carry <a href> nav links (absolute,
+    scheme-relative, path-absolute, plus mailto/fragment refs a
+    crawler drops), ingest extracts + RFC-3986-resolves them, and the
+    host graph aggregates per source host.  The DuckDB oracle is fully
+    independent: it re-derives pages, extracted-char sums (empty-anchor
+    nav adds no text — the wrap_page contract), resolved link counts,
+    and the distinct out-host set per host from the raw documents
+    table's modulo arithmetic."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from archive_spark import graph, warc
+
+    base = os.path.basename(sf_dir.rstrip("/"))
+    out = f"{ORACLE_DIR}/{base}/warc_links"
+    shutil.rmtree(out, ignore_errors=True)
+    docs = _docs(spark, sf_dir)
+    n = docs.count()
+    norm = F.trim(F.regexp_replace(F.col("text"), r"\s+", " "))
+    did = F.col("doc_id").cast("long")
+    dst = (did * 7 + 1) % n
+    crawl = docs.select(
+        F.concat(
+            F.lit("seg"),
+            (did % 4).cast("string"),
+            F.when(did % 2 == 0, ".warc.gz").otherwise(".warc"),
+        ).alias("file_name"),
+        F.concat(
+            F.lit("http://h"),
+            (did % 17).cast("string"),
+            F.lit(".test/page/"),
+            did.cast("string"),
+        ).alias("uri"),
+        F.lit("2026-01-01T00:00:00Z").alias("warc_date"),
+        did.alias("doc_id"),
+        F.col("lang"),
+        F.col("source"),
+        F.length(norm).cast("long").alias("n_chars"),
+        norm.alias("text"),
+        F.lit(200).cast("int").alias("http_status"),
+        (did % 3 == 0).alias("chunked"),
+        F.lit(False).alias("mangle_http"),
+        F.lit(False).alias("mangle_warc"),
+        F.array(
+            F.concat(
+                F.lit("http://h"),
+                (dst % 17).cast("string"),
+                F.lit(".test/page/"),
+                dst.cast("string"),
+            ),
+            F.concat(
+                F.lit("//h"),
+                ((dst + 1) % 17).cast("string"),
+                F.lit(".test/page/x"),
+            ),
+            F.lit("/local"),
+            F.lit("mailto:x@y"),
+            F.lit("#frag"),
+        ).alias("links"),
+    )
+    warc.export_crawl_warc(crawl, out).collect()
+    pages = warc.ingest_warc(spark, out)
+    edges = graph.page_link_edges(pages).groupBy("src_host").agg(
+        F.count("*").cast("bigint").alias("n_out_hosts"),
+        F.md5(
+            F.concat_ws(",", F.sort_array(F.collect_list("dst_host")))
+        ).alias("dsts_md5"),
+    )
+    summary = graph.host_summary(pages)
+    return (
+        summary.join(
+            edges, summary.host == edges.src_host, "left"
+        )
+        .select(
+            "host",
+            "n_pages",
+            "total_chars",
+            "total_links",
+            F.coalesce("n_out_hosts", F.lit(0)).cast("bigint").alias(
+                "n_out_hosts"
+            ),
+            F.coalesce("dsts_md5", F.md5(F.lit(""))).alias("dsts_md5"),
+        )
+        .orderBy("host")
+    )
+
+
 def _q_phrase_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Phrase search served from the POSITIONAL inverted index
     (analytics.phrase_count_indexed): per-token position lists stored
@@ -4075,6 +4196,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- every query WITHOUT a driver correctness row (r01-r03 artifacts)
         # -- comes first: the driver walks this dict in order under a budget --
         "warc_ingest": _q_warc_ingest,
+        "pagerank_hosts": _q_pagerank_hosts,
+        "link_graph": _q_link_graph,
         "sft_render": _q_sft_render,
         "sft_pack_masked": _q_sft_pack_masked,
         "ngram_diversity": _q_ngram_diversity,
@@ -4300,6 +4423,73 @@ def _lang_detect_oracle() -> str:
 #: unseen-word/OOV split, prior bits, and min-(score, label) argmax —
 #: every CTE MATERIALIZED (the chain references earlier CTEs repeatedly;
 #: plain CTEs inline exponentially, CLAUDE.md round-4 gotcha).
+def _pagerank_oracle_sql(n_iter: int = 4, scale: int = 10**9, d: int = 85) -> str:
+    """Generated DuckDB replay of graph.pagerank over the derived host
+    graph: every iteration unrolled as a MATERIALIZED CTE (plain CTEs
+    inline exponentially through DP chains — CLAUDE.md), floor-division
+    arithmetic identical to the Spark expression."""
+    base = (100 - d) * scale // 100
+    parts = [
+        "WITH nn AS MATERIALIZED (SELECT count(*) AS n FROM documents), "
+        "e AS MATERIALIZED ("
+        "SELECT DISTINCT 'h' || (doc_id % 17) || '.test' AS src, "
+        "'h' || (((doc_id * 7 + j.j) % (SELECT n FROM nn)) % 17) || '.test' "
+        "AS dst FROM documents, (VALUES (1), (2), (3)) j(j)"
+        "), nodes AS MATERIALIZED ("
+        "SELECT src AS host FROM e UNION SELECT dst FROM e"
+        "), deg AS MATERIALIZED ("
+        "SELECT src, count(*)::BIGINT AS outdeg FROM e GROUP BY src"
+        f"), p0 AS MATERIALIZED (SELECT host, {scale}::BIGINT AS pr "
+        "FROM nodes)"
+    ]
+    for t in range(1, n_iter + 1):
+        parts.append(
+            f", p{t} AS MATERIALIZED ("
+            f"SELECT nodes.host, ({base} + ({d} * coalesce(s.m, 0)) // 100)"
+            "::BIGINT AS pr FROM nodes LEFT JOIN ("
+            f"SELECT e.dst AS host, SUM(p{t - 1}.pr // deg.outdeg)::BIGINT "
+            f"AS m FROM e JOIN p{t - 1} ON e.src = p{t - 1}.host "
+            "JOIN deg ON e.src = deg.src GROUP BY e.dst) s USING (host))"
+        )
+    parts.append(f" SELECT host, pr FROM p{n_iter} ORDER BY host")
+    return "".join(parts)
+
+
+_LINK_GRAPH_ORACLE = (
+    # Independent replay of the WARC link-graph loop: pages, extracted
+    # chars (empty-anchor nav adds no text), resolved-link counts, and
+    # the distinct out-host set — all from documents' modulo arithmetic.
+    "WITH nn AS MATERIALIZED (SELECT count(*) AS n FROM documents), "
+    "d AS MATERIALIZED ("
+    "SELECT doc_id, source, "
+    "trim(regexp_replace(text, '\\s+', ' ', 'g')) AS norm, "
+    "'h' || (doc_id % 17) || '.test' AS host, "
+    "((doc_id * 7 + 1) % (SELECT n FROM nn)) AS dd FROM documents"
+    "), pages AS MATERIALIZED ("
+    "SELECT host, length('doc-' || doc_id || chr(10) || source || chr(10) "
+    "|| CASE WHEN norm = '' THEN '' ELSE norm || chr(10) END "
+    "|| 'copy & paste ' || chr(169) || ' ' || chr(9731)) AS n_chars FROM d"
+    "), summ AS ("
+    "SELECT host, count(*)::BIGINT AS n_pages, "
+    "SUM(n_chars)::BIGINT AS total_chars, "
+    "(3 * count(*))::BIGINT AS total_links FROM pages GROUP BY host"
+    "), edges AS MATERIALIZED ("
+    "SELECT DISTINCT host AS src_host, dst_host FROM ("
+    "SELECT host, 'h' || (dd % 17) || '.test' AS dst_host FROM d "
+    "UNION ALL SELECT host, 'h' || ((dd + 1) % 17) || '.test' FROM d "
+    "UNION ALL SELECT host, host FROM d"
+    ") WHERE dst_host <> host"
+    "), eagg AS ("
+    "SELECT src_host, count(*)::BIGINT AS n_out_hosts, "
+    "md5(string_agg(dst_host, ',' ORDER BY dst_host)) AS dsts_md5 "
+    "FROM edges GROUP BY src_host"
+    ") SELECT s.host, s.n_pages, s.total_chars, s.total_links, "
+    "coalesce(e.n_out_hosts, 0)::BIGINT AS n_out_hosts, "
+    "coalesce(e.dsts_md5, md5('')) AS dsts_md5 "
+    "FROM summ s LEFT JOIN eagg e ON s.host = e.src_host ORDER BY host"
+)
+
+
 _NB_CLASSIFY_ORACLE = """
 WITH tr AS MATERIALIZED (SELECT * FROM documents WHERE doc_id % 3 > 0),
 te AS MATERIALIZED (SELECT * FROM documents WHERE doc_id % 3 = 0),
@@ -5116,6 +5306,8 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, ROUND(s*1e4)::BIGINT AS score_x1e4 "
             "FROM sc ORDER BY s DESC, doc_id LIMIT 15"
         ),
+        "pagerank_hosts": _pagerank_oracle_sql(),
+        "link_graph": _LINK_GRAPH_ORACLE,
         "warc_ingest": (
             # Fully independent replay of the WARC export→ingest loop from
             # the raw documents table: quarantine lanes from the modulo

@@ -1,0 +1,144 @@
+"""Link-graph analytics over a crawled corpus (the CommonCrawl ranking
+shape: pages → host graph → centrality → per-document quality signal).
+
+Everything is exact-integer so a DuckDB oracle can replay it bit-for-bit:
+
+- :func:`host_expr` — host of an absolute URL as a pure JVM regexp
+  (the same RE2-compatible pattern the oracles use; codegen, no UDF).
+- :func:`page_link_edges` — ingested WARC pages (``warc.ingest_warc``)
+  → distinct (src_host, dst_host) edges; one explode + one distinct,
+  both keyed on the edge so the shuffle carries only edges.
+- :func:`pagerank` — damped PageRank in scaled integer arithmetic
+  (``pr0 = scale``; ``pr' = (15·scale)//100 + (85·Σ pr//outdeg)//100``,
+  floor division throughout, dangling mass dropped — the "no
+  redistribution" variant, documented).  Deterministic across engines
+  and partitionings: no floats anywhere.
+
+Scale shape: each iteration is one join (edges ⋈ rank, keyed on src —
+rank is ~|hosts| rows, broadcastable for host graphs) and one
+aggregation keyed on dst with map-side partials.  The iteration count
+is small and fixed (centrality needs 4-10 rounds); each round's rank
+is persisted so the plan stays linear, not exponential, in rounds.
+
+Reference scope parity: the reference (/root/reference/archive.go)
+stops at container listing; this lane is part of the training-data
+platform on top (SURVEY.md §2.6 analytics tier).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+#: host of an absolute URL: scheme ``://`` [userinfo ``@``] HOST
+#: [``:port``] — RE2-compatible (works verbatim in Spark and DuckDB).
+HOST_RE = r"^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/@?#]*@)?([^/:?#]+)"
+
+
+def host_expr(url: Column) -> Column:
+    """Lowercased host of an absolute URL, NULL when not absolute —
+    pure JVM regexp_extract (whole-stage codegen, no Python)."""
+    h = F.lower(F.regexp_extract(url, HOST_RE, 1))
+    return F.when(h != "", h)
+
+
+def page_link_edges(pages: DataFrame) -> DataFrame:
+    """(src_host, dst_host) edges from ingested WARC pages: explode the
+    resolved ``links`` column, host both ends, drop self-edges and
+    unparseable hosts, distinct.  Columns: src_host, dst_host."""
+    e = (
+        pages.where(F.col("status") == "ok")
+        .where(F.col("links").isNotNull())
+        .select(
+            host_expr(F.col("target_uri")).alias("src_host"),
+            F.explode("links").alias("dst"),
+        )
+        .select("src_host", host_expr(F.col("dst")).alias("dst_host"))
+        .where(F.col("src_host").isNotNull() & F.col("dst_host").isNotNull())
+        .where(F.col("src_host") != F.col("dst_host"))
+        .distinct()
+    )
+    return e
+
+
+def pagerank(
+    edges: DataFrame,
+    n_iter: int = 4,
+    scale: int = 10**9,
+    damping_pct: int = 85,
+) -> DataFrame:
+    """Damped PageRank over a distinct edge set, exact scaled-integer
+    arithmetic (floor division, no floats — replayable in any engine).
+
+    ``pr_0(v) = scale``;
+    ``pr_{t+1}(v) = (100-d)·scale // 100 + (d · Σ_{u→v} pr_t(u)//outdeg(u)) // 100``.
+
+    Dangling-node mass is dropped (the no-redistribution variant), so
+    ranks are comparable, not a probability distribution — standard
+    for link-quality signals.  Overflow bound: d·Σ ≤ d·|V|·scale must
+    stay under 2^63 (|V| ≤ 1e8 at the default scale).
+
+    Columns in: src, dst (any string/primitive key).
+    Columns out: host (the node key), pr (bigint).
+    """
+    base = (100 - damping_pct) * scale // 100
+    e = edges.select(
+        F.col(edges.columns[0]).alias("src"),
+        F.col(edges.columns[1]).alias("dst"),
+    ).distinct()
+    nodes = (
+        e.select(F.col("src").alias("host"))
+        .union(e.select(F.col("dst").alias("host")))
+        .distinct()
+    )
+    outdeg = e.groupBy("src").agg(F.count("*").alias("outdeg"))
+    pr = nodes.select("host", F.lit(scale).cast("long").alias("pr"))
+    prev = None
+    for _ in range(n_iter):
+        contrib = (
+            e.join(pr.withColumnRenamed("host", "src"), "src")
+            .join(outdeg, "src")
+            .select("dst", F.expr("pr DIV outdeg").alias("share"))
+        )
+        in_sum = contrib.groupBy("dst").agg(
+            F.sum("share").cast("long").alias("in_sum")
+        )
+        pr = (
+            nodes.join(in_sum.withColumnRenamed("dst", "host"), "host", "left")
+            .select(
+                "host",
+                (
+                    F.lit(base)
+                    + F.expr(
+                        f"({damping_pct} * coalesce(in_sum, 0L)) DIV 100"
+                    )
+                )
+                .cast("long")
+                .alias("pr"),
+            )
+            .persist()
+        )
+        pr.count()  # materialize: keeps the next round's plan linear
+        if prev is not None:
+            prev.unpersist()
+        prev = pr
+    return pr
+
+
+def host_summary(pages: DataFrame) -> DataFrame:
+    """Per-host crawl summary off ingested pages: page count, total
+    extracted chars, out-link count — the crawl-side quality join key."""
+    return (
+        pages.where(F.col("status") == "ok")
+        .select(
+            host_expr(F.col("target_uri")).alias("host"),
+            F.length("text").alias("n_chars"),
+            F.size(F.coalesce("links", F.array())).alias("n_links"),
+        )
+        .where(F.col("host").isNotNull())
+        .groupBy("host")
+        .agg(
+            F.count("*").cast("bigint").alias("n_pages"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+            F.sum("n_links").cast("bigint").alias("total_links"),
+        )
+    )

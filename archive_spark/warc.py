@@ -84,6 +84,105 @@ def html_escape(s: str) -> str:
     return s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
 
 
+# ---------------------------------------------------------------------------
+# Links (the crawl-graph front door)
+# ---------------------------------------------------------------------------
+
+#: href attribute of an <a> tag — double-quoted, single-quoted, or bare
+#: (HTML attribute value syntax); attribute values are entity-decoded
+#: after extraction (the HTML rule: attributes carry references too).
+_HREF_RE = re.compile(
+    r"<a\b[^>]*?\bhref\s*=\s*(\"([^\"]*)\"|'([^']*)'|([^\s\"'>]+))",
+    re.I | re.S,
+)
+
+#: scheme://host splitter (RFC 3986 §3): scheme, authority, rest.
+_URL_RE = re.compile(r"^([a-zA-Z][a-zA-Z0-9+.-]*)://([^/?#]*)(.*)$", re.S)
+
+
+def extract_links(html: str) -> list[str]:
+    """All ``<a href>`` values in document order, entity-decoded,
+    comments and script/style subtrees excluded (a commented-out link
+    is not a link).  Raw values — resolve against the page URI with
+    :func:`resolve_url`."""
+    s = _COMMENT_RE.sub("\n", html)
+    s = _SCRIPT_STYLE_RE.sub("\n", s)
+    out = []
+    for m in _HREF_RE.finditer(s):
+        raw = m.group(2) if m.group(2) is not None else (
+            m.group(3) if m.group(3) is not None else m.group(4)
+        )
+        out.append(_decode_entities(raw))
+    return out
+
+
+def resolve_url(base: str, href: str) -> str | None:
+    """RFC 3986 §5.2 reference resolution, the crawl subset: absolute
+    refs pass through, ``//host/...`` takes the base scheme, ``/path``
+    takes the base authority, relative paths merge with the base
+    path's directory; fragments drop (a crawl frontier is
+    fragment-free).  Returns None for refs a crawler skips
+    (``mailto:``, ``javascript:``, empty, or an unparseable base for a
+    relative ref)."""
+    href = href.split("#", 1)[0].strip()
+    if not href:
+        return None
+    low = href.lower()
+    if low.startswith(("mailto:", "javascript:", "data:", "tel:")):
+        return None
+    m = _URL_RE.match(href)
+    if m:  # absolute
+        return href
+    b = _URL_RE.match(base or "")
+    if not b:
+        return None
+    scheme, auth, rest = b.group(1), b.group(2), b.group(3)
+    if href.startswith("//"):
+        return f"{scheme}:{href}"
+    if href.startswith("/"):
+        return f"{scheme}://{auth}{href}"
+    # merge with the base path's directory (RFC 3986 §5.3 merge)
+    path = rest.split("?", 1)[0].split("#", 1)[0]
+    pdir = path.rsplit("/", 1)[0] if "/" in path else ""
+    return f"{scheme}://{auth}{pdir}/{href}"
+
+
+def host_of(url: str) -> str | None:
+    """Lowercased host of an absolute URL — userinfo and port stripped
+    (RFC 3986 §3.2.2 host component).  None when not absolute."""
+    m = _URL_RE.match(url or "")
+    if not m:
+        return None
+    auth = m.group(2)
+    if "@" in auth:
+        auth = auth.rsplit("@", 1)[1]
+    host = auth.rsplit(":", 1)[0] if ":" in auth else auth
+    return host.lower() or None
+
+
+def canonical_url(url: str) -> str | None:
+    """Canonical form of an absolute URL: scheme and host lowercase,
+    default port dropped (``:80`` http / ``:443`` https), fragment
+    dropped, empty path → ``/``.  None when not absolute — the dedup
+    key a crawl frontier uses."""
+    url = (url or "").split("#", 1)[0]
+    m = _URL_RE.match(url)
+    if not m:
+        return None
+    scheme = m.group(1).lower()
+    auth, rest = m.group(2), m.group(3)
+    user = ""
+    if "@" in auth:
+        user, auth = auth.rsplit("@", 1)
+        user += "@"
+    hostport = auth.lower()
+    if ":" in hostport:
+        host, port = hostport.rsplit(":", 1)
+        if (scheme, port) in (("http", "80"), ("https", "443")) or port == "":
+            hostport = host
+    return f"{scheme}://{user}{hostport}{rest or '/'}"
+
+
 def _decode_entities(s: str) -> str:
     def rep(m: re.Match) -> str:
         body = m.group(1)
@@ -399,6 +498,7 @@ def extract_pages(data: bytes) -> list[dict]:
             "http_status": None,
             "mime": None,
             "text": None,
+            "links": None,
             "n_body_bytes": 0,
             "status": rec["status"],
         }
@@ -432,9 +532,18 @@ def extract_pages(data: bytes) -> list[dict]:
                 decoded = body.decode(charset, errors="replace")
             except LookupError:  # unknown charset label
                 decoded = body.decode("utf-8", errors="replace")
-            base["text"] = (
-                html_to_text(decoded) if mime == "text/html" else decoded
-            )
+            if mime == "text/html":
+                base["text"] = html_to_text(decoded)
+                uri = rec["target_uri"]
+                base["links"] = [
+                    r
+                    for r in (
+                        resolve_url(uri, h) for h in extract_links(decoded)
+                    )
+                    if r is not None
+                ]
+            else:
+                base["text"] = decoded
         rows.append(base)
     return rows
 
@@ -446,7 +555,7 @@ def extract_pages(data: bytes) -> list[dict]:
 _INGEST_SCHEMA = (
     "warc_file string, rec_type string, record_id string, "
     "target_uri string, warc_date string, http_status int, mime string, "
-    "text string, n_body_bytes bigint, status string"
+    "text string, links array<string>, n_body_bytes bigint, status string"
 )
 
 
@@ -475,6 +584,7 @@ def ingest_warc(spark, path: str) -> DataFrame:
                     "http_status",
                     "mime",
                     "text",
+                    "links",
                     "n_body_bytes",
                     "status",
                 )
@@ -491,6 +601,7 @@ def ingest_warc(spark, path: str) -> DataFrame:
                         "http_status",
                         "mime",
                         "text",
+                        "links",
                         "status",
                     ):
                         out[k].append(row[k])
@@ -507,6 +618,7 @@ def ingest_warc(spark, path: str) -> DataFrame:
                         ("http_status", pa.int32()),
                         ("mime", pa.string()),
                         ("text", pa.string()),
+                        ("links", pa.list_(pa.string())),
                         ("n_body_bytes", pa.int64()),
                         ("status", pa.string()),
                     ]
@@ -523,17 +635,31 @@ _FOOTER_HTML = '<div class="footer">copy &amp; paste &#169; &#x2603;</div>'
 FOOTER_TEXT = "copy & paste \xa9 ☃"
 
 
-def wrap_page(doc_id, lang: str, source: str, n_chars, text: str) -> str:
+def wrap_page(
+    doc_id, lang: str, source: str, n_chars, text: str, links=None
+) -> str:
     """Deterministic HTML page around a document — the synthetic crawl
     generator (TESTDATA contract: no external data).  Extraction
     inverts it exactly: html_to_text(wrap_page(…)) ==
-    ``doc-<id>\\n<source>\\n<text>\\n`` + FOOTER_TEXT."""
+    ``doc-<id>\\n<source>\\n<text>\\n`` + FOOTER_TEXT — links render as
+    EMPTY-ANCHOR nav entries (``<li><a href=…></a></li>``), so the
+    extracted text is identical with or without them (nav boilerplate
+    carries no text, like the real web)."""
+    nav = ""
+    if links:
+        items = "\n".join(
+            f'<li><a href="{html_escape(h).replace(chr(34), "&quot;")}">'
+            "</a></li>"
+            for h in links
+        )
+        nav = f'<ul class="nav">\n{items}\n</ul>\n'
     return (
         "<!DOCTYPE html>\n"
         f'<html lang="{lang}">\n<head>\n<meta charset="utf-8"/>\n'
         f"<title>doc-{doc_id}</title>\n"
         "<style>\nbody { margin: 0; }\n</style>\n"
         f"<script>\nvar n = {n_chars};\n</script>\n</head>\n<body>\n"
+        f"{nav}"
         f"<h1>{source}</h1>\n<p>{html_escape(text)}</p>\n"
         f"{_FOOTER_HTML}\n<!-- end of page -->\n</body>\n</html>\n"
     )
@@ -576,9 +702,12 @@ def export_crawl_warc(df: DataFrame, out_dir: str) -> DataFrame:
     import pyarrow as pa
 
     os.makedirs(out_dir, exist_ok=True)
+    cols = list(_EXPORT_COLS) + (
+        ["links"] if "links" in df.columns else []
+    )
     n_files = max(df.select("file_name").distinct().count(), 1)
     parted = (
-        df.select(*[F.col(c) for c in _EXPORT_COLS])
+        df.select(*[F.col(c) for c in cols])
         .repartition(n_files, "file_name")
         .sortWithinPartitions("file_name", "doc_id")
     )
@@ -596,6 +725,7 @@ def export_crawl_warc(df: DataFrame, out_dir: str) -> DataFrame:
 
         for batch in batches:
             d = batch.to_pydict()
+            links_col = d.get("links")
             for i in range(batch.num_rows):
                 name = d["file_name"][i]
                 ent = get(name)
@@ -605,6 +735,7 @@ def export_crawl_warc(df: DataFrame, out_dir: str) -> DataFrame:
                     d["source"][i],
                     d["n_chars"][i],
                     d["text"][i],
+                    links=links_col[i] if links_col is not None else None,
                 ).encode("utf-8")
                 status = int(d["http_status"][i])
                 http = build_http_response(

@@ -1,0 +1,222 @@
+"""Link extraction, URL resolution, and exact-integer PageRank.
+
+The crawl-graph lane: warc.extract_links / resolve_url / canonical_url
+(RFC 3986 subset) and graph.pagerank (scaled-integer, floor-division
+arithmetic a DuckDB oracle replays bit-for-bit)."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from archive_spark import graph, warc
+
+
+# ---------------------------------------------------------------------------
+# extract_links
+# ---------------------------------------------------------------------------
+
+
+def test_extract_links_quoting_forms():
+    html = (
+        '<a href="http://a.test/x">one</a>'
+        "<a href='http://b.test/y'>two</a>"
+        "<a href=http://c.test/z>three</a>"
+        '<a class="k" href="/rel">four</a>'
+    )
+    assert warc.extract_links(html) == [
+        "http://a.test/x",
+        "http://b.test/y",
+        "http://c.test/z",
+        "/rel",
+    ]
+
+
+def test_extract_links_entity_decoded_and_excluded_subtrees():
+    html = (
+        '<a href="http://a.test/?x=1&amp;y=2">q</a>'
+        '<!-- <a href="http://gone.test/">c</a> -->'
+        '<script>var s = \'<a href="http://js.test/">\';</script>'
+        '<p><a href="http://keep.test/">k</a></p>'
+    )
+    assert warc.extract_links(html) == [
+        "http://a.test/?x=1&y=2",
+        "http://keep.test/",
+    ]
+
+
+# ---------------------------------------------------------------------------
+# resolve_url / canonical_url / host_of
+# ---------------------------------------------------------------------------
+
+BASE = "http://h1.test/page/sub/doc.html?q=1"
+
+
+@pytest.mark.parametrize(
+    "href,expected",
+    [
+        ("http://other.test/a", "http://other.test/a"),
+        ("//h2.test/a", "http://h2.test/a"),
+        ("/top", "http://h1.test/top"),
+        ("rel.html", "http://h1.test/page/sub/rel.html"),
+        ("a/b", "http://h1.test/page/sub/a/b"),
+        ("#frag", None),
+        ("", None),
+        ("mailto:x@y.test", None),
+        ("javascript:void(0)", None),
+        ("http://a.test/x#sec", "http://a.test/x"),
+    ],
+)
+def test_resolve_url(href, expected):
+    assert warc.resolve_url(BASE, href) == expected
+
+
+def test_resolve_relative_without_base_is_none():
+    assert warc.resolve_url("not a url", "rel.html") is None
+
+
+@pytest.mark.parametrize(
+    "url,expected",
+    [
+        ("HTTP://Example.TEST:80/a", "http://example.test/a"),
+        ("https://example.test:443/", "https://example.test/"),
+        ("https://example.test:8443/x", "https://example.test:8443/x"),
+        ("http://example.test", "http://example.test/"),
+        ("http://u:p@Host.TEST/a#f", "http://u:p@host.test/a"),
+        ("not-a-url", None),
+    ],
+)
+def test_canonical_url(url, expected):
+    assert warc.canonical_url(url) == expected
+
+
+@pytest.mark.parametrize(
+    "url,expected",
+    [
+        ("http://A.Test:8080/x", "a.test"),
+        ("https://u@B.test/x", "b.test"),
+        ("/relative", None),
+        ("", None),
+    ],
+)
+def test_host_of(url, expected):
+    assert warc.host_of(url) == expected
+
+
+# ---------------------------------------------------------------------------
+# Spark faces: links through the export → ingest loop
+# ---------------------------------------------------------------------------
+
+
+def _crawl_with_links(spark, n=24):
+    rows = []
+    for i in range(n):
+        dst = (i * 7 + 1) % n
+        links = [
+            f"http://h{dst % 5}.test/page/{dst}",   # absolute
+            f"//h{(dst + 1) % 5}.test/page/x",       # scheme-relative
+            "/local",                                 # path-absolute
+            "mailto:x@y",                             # dropped
+            "#frag",                                  # dropped
+        ]
+        rows.append((
+            "links.warc.gz", f"http://h{i % 5}.test/page/{i}",
+            "2026-01-01T00:00:00Z", i, "en", f"src{i % 3}", 10,
+            f"text {i}", 200, False, False, False, links,
+        ))
+    return spark.createDataFrame(
+        rows,
+        "file_name string, uri string, warc_date string, doc_id long, "
+        "lang string, source string, n_chars long, text string, "
+        "http_status int, chunked boolean, mangle_http boolean, "
+        "mangle_warc boolean, links array<string>",
+    )
+
+
+def test_links_roundtrip_and_text_unchanged(spark, tmp_path):
+    out = str(tmp_path / "crawl")
+    n = 24
+    warc.export_crawl_warc(_crawl_with_links(spark, n), out).collect()
+    pages = {
+        int(r["target_uri"].rsplit("/", 1)[1]): r
+        for r in warc.ingest_warc(spark, out).collect()
+        if r["status"] == "ok"
+    }
+    assert len(pages) == n
+    for i, r in pages.items():
+        dst = (i * 7 + 1) % n
+        # nav anchors are empty: extracted text identical to a linkless page
+        assert r["text"] == f"doc-{i}\nsrc{i % 3}\ntext {i}\n" + warc.FOOTER_TEXT
+        # links come back resolved, mailto/fragment dropped
+        assert r["links"] == [
+            f"http://h{dst % 5}.test/page/{dst}",
+            f"http://h{(dst + 1) % 5}.test/page/x",
+            f"http://h{i % 5}.test/local",
+        ]
+
+
+def test_page_link_edges(spark, tmp_path):
+    out = str(tmp_path / "crawl")
+    n = 24
+    warc.export_crawl_warc(_crawl_with_links(spark, n), out).collect()
+    edges = graph.page_link_edges(warc.ingest_warc(spark, out))
+    got = {(r["src_host"], r["dst_host"]) for r in edges.collect()}
+    exp = set()
+    for i in range(n):
+        dst = (i * 7 + 1) % n
+        src_h = f"h{i % 5}.test"
+        for dst_h in (f"h{dst % 5}.test", f"h{(dst + 1) % 5}.test", src_h):
+            if dst_h != src_h:
+                exp.add((src_h, dst_h))
+    assert got == exp
+
+
+# ---------------------------------------------------------------------------
+# pagerank: exact-integer arithmetic vs an independent reference
+# ---------------------------------------------------------------------------
+
+
+def _pagerank_ref(edges, n_iter, scale=10**9, d=85):
+    nodes = sorted({u for u, _ in edges} | {v for _, v in edges})
+    out = {}
+    for u, _ in edges:
+        out[u] = out.get(u, 0) + 1
+    pr = {v: scale for v in nodes}
+    base = (100 - d) * scale // 100
+    for _ in range(n_iter):
+        acc = {v: 0 for v in nodes}
+        for u, v in edges:
+            acc[v] += pr[u] // out[u]
+        pr = {v: base + (d * acc[v]) // 100 for v in nodes}
+    return pr
+
+
+def test_pagerank_matches_reference(spark):
+    edges = [
+        ("a", "b"), ("a", "c"), ("b", "c"), ("c", "a"),
+        ("d", "c"), ("d", "a"), ("e", "d"),  # e is never linked to
+    ]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    got = {r["host"]: r["pr"] for r in graph.pagerank(df, n_iter=4).collect()}
+    assert got == _pagerank_ref(edges, 4)
+    # the no-inlink node sits at the base rank after round 1
+    assert got["e"] == 150_000_000
+
+
+def test_pagerank_duplicate_edges_collapse(spark):
+    # pagerank() runs on the DISTINCT edge set — duplicates are no-ops
+    df = spark.createDataFrame(
+        [("a", "b"), ("a", "b"), ("b", "a")], "src string, dst string"
+    )
+    got = {r["host"]: r["pr"] for r in graph.pagerank(df, n_iter=3).collect()}
+    assert got == _pagerank_ref([("a", "b"), ("b", "a")], 3)
+
+
+def test_host_summary(spark, tmp_path):
+    out = str(tmp_path / "crawl")
+    n = 10
+    warc.export_crawl_warc(_crawl_with_links(spark, n), out).collect()
+    s = {
+        r["host"]: r
+        for r in graph.host_summary(warc.ingest_warc(spark, out)).collect()
+    }
+    assert sum(r["n_pages"] for r in s.values()) == n
+    assert all(r["total_links"] == 3 * r["n_pages"] for r in s.values())
