@@ -4423,7 +4423,7 @@ def _lang_detect_oracle() -> str:
 #: unseen-word/OOV split, prior bits, and min-(score, label) argmax —
 #: every CTE MATERIALIZED (the chain references earlier CTEs repeatedly;
 #: plain CTEs inline exponentially, CLAUDE.md round-4 gotcha).
-def _pagerank_oracle_sql(n_iter: int = 4, scale: int = 10**9, d: int = 85) -> str:
+def _host_pagerank_oracle_sql(n_iter: int = 4, scale: int = 10**9, d: int = 85) -> str:
     """Generated DuckDB replay of graph.pagerank over the derived host
     graph: every iteration unrolled as a MATERIALIZED CTE (plain CTEs
     inline exponentially through DP chains — CLAUDE.md), floor-division
@@ -5306,7 +5306,7 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, ROUND(s*1e4)::BIGINT AS score_x1e4 "
             "FROM sc ORDER BY s DESC, doc_id LIMIT 15"
         ),
-        "pagerank_hosts": _pagerank_oracle_sql(),
+        "pagerank_hosts": _host_pagerank_oracle_sql(),
         "link_graph": _LINK_GRAPH_ORACLE,
         "warc_ingest": (
             # Fully independent replay of the WARC export→ingest loop from
