@@ -519,6 +519,7 @@ def main() -> None:
         "doc_compressibility", "data_profile", "events_funnel",
         "hypertable_rollup", "cohort_retention", "jsonl_ingest",
         "sft_pack_masked", "dup_span_mask",
+        "warc_ingest", "link_graph", "pagerank_hosts",
     ):
         q = entry_mod.queries()[name]
         timed(f"q_{name}", lambda q=q: q(spark, sf_dir).collect())
