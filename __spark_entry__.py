@@ -402,6 +402,47 @@ def _q_link_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_url_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-frontier URL dedup: messy URL variants (upper-case scheme
+    and host, explicit default ports, fragments, userinfo, bare-host
+    paths) canonicalize through graph.canonical_url_expr — a pure JVM
+    codegen expression, the billions-of-URLs dedup key — then distinct
+    + per-host rollup.  The DuckDB oracle is GROUND TRUTH, not a
+    parallel implementation: it writes the expected canonical forms
+    directly from the documents table, so any canonicalizer deviation
+    (missed port, kept fragment, case leak, collapsed dup) breaks the
+    count or the digest."""
+    from pyspark.sql import functions as F
+
+    from archive_spark import graph
+
+    docs = _docs(spark, sf_dir)
+    did = F.col("doc_id").cast("long")
+    k = (did % 17).cast("string")
+    i = did.cast("string")
+    variants = F.array(
+        F.concat(F.lit("HTTP://H"), k, F.lit(".TEST:80/page/"), i, F.lit("#frag")),
+        F.concat(F.lit("http://h"), k, F.lit(".test/page/"), i),
+        F.concat(F.lit("https://u@h"), k, F.lit(".test:443/s/"), i),
+        F.concat(F.lit("http://h"), k, F.lit(".TEST")),
+    )
+    urls = docs.select(F.explode(variants).alias("url"))
+    canon = urls.select(
+        graph.canonical_url_expr(F.col("url")).alias("cu")
+    ).where(F.col("cu").isNotNull()).distinct()
+    return (
+        canon.select("cu", graph.host_expr(F.col("cu")).alias("host"))
+        .groupBy("host")
+        .agg(
+            F.count("*").cast("bigint").alias("n_urls"),
+            F.md5(
+                F.concat_ws(",", F.sort_array(F.collect_list("cu")))
+            ).alias("urls_md5"),
+        )
+        .orderBy("host")
+    )
+
+
 def _q_phrase_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Phrase search served from the POSITIONAL inverted index
     (analytics.phrase_count_indexed): per-token position lists stored
@@ -4198,6 +4239,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "warc_ingest": _q_warc_ingest,
         "pagerank_hosts": _q_pagerank_hosts,
         "link_graph": _q_link_graph,
+        "url_frontier": _q_url_frontier,
         "sft_render": _q_sft_render,
         "sft_pack_masked": _q_sft_pack_masked,
         "ngram_diversity": _q_ngram_diversity,
@@ -5308,6 +5350,22 @@ def oracle_sql() -> dict[str, str]:
         ),
         "pagerank_hosts": _host_pagerank_oracle_sql(),
         "link_graph": _LINK_GRAPH_ORACLE,
+        "url_frontier": (
+            # ground-truth canonical forms written directly: variants 1+2
+            # collapse to one canonical, variant 3 keeps userinfo and drops
+            # :443, variant 4 is the shared bare-host URL (one per host)
+            "WITH d AS (SELECT doc_id, doc_id % 17 AS k FROM documents), "
+            "u AS ("
+            "SELECT DISTINCT 'http://h' || k || '.test/page/' || doc_id "
+            "AS cu, 'h' || k || '.test' AS host FROM d "
+            "UNION SELECT DISTINCT 'https://u@h' || k || '.test/s/' "
+            "|| doc_id, 'h' || k || '.test' FROM d "
+            "UNION SELECT DISTINCT 'http://h' || k || '.test/', "
+            "'h' || k || '.test' FROM d"
+            ") SELECT host, count(*)::BIGINT AS n_urls, "
+            "md5(string_agg(cu, ',' ORDER BY cu)) AS urls_md5 "
+            "FROM u GROUP BY host ORDER BY host"
+        ),
         "warc_ingest": (
             # Fully independent replay of the WARC export→ingest loop from
             # the raw documents table: quarantine lanes from the modulo

@@ -41,6 +41,40 @@ def host_expr(url: Column) -> Column:
     return F.when(h != "", h)
 
 
+#: RE2-compatible URL part extractors (shared verbatim with the DuckDB
+#: oracles — identical regex semantics on both engines).
+SCHEME_RE = r"^([A-Za-z][A-Za-z0-9+.-]*)://"
+AUTH_RE = r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)"
+REST_RE = r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*(.*)$"
+
+
+def canonical_url_expr(url: Column) -> Column:
+    """Canonical URL as a pure JVM expression (whole-stage codegen —
+    the frontier-dedup key at billions of URLs, no Python worker):
+    fragment dropped, scheme + host lowercased, default port dropped
+    (``:80`` http / ``:443`` https, plus a bare trailing ``:``), empty
+    path → ``/``; NULL when not absolute.  Semantics identical to
+    :func:`archive_spark.warc.canonical_url` (pinned by test) and
+    replayable in DuckDB with the same regexes."""
+    u = F.regexp_replace(url, "#.*$", "")
+    scheme = F.lower(F.regexp_extract(u, SCHEME_RE, 1))
+    auth = F.regexp_extract(u, AUTH_RE, 1)
+    rest = F.regexp_extract(u, REST_RE, 1)
+    user = F.regexp_extract(auth, r"^(.*@)", 1)  # greedy: up to last @
+    hostport = F.lower(F.regexp_extract(auth, r"([^@]*)$", 1))
+    host = F.when(
+        ((scheme == "http") & hostport.rlike(":80$")),
+        F.regexp_replace(hostport, ":80$", ""),
+    ).when(
+        ((scheme == "https") & hostport.rlike(":443$")),
+        F.regexp_replace(hostport, ":443$", ""),
+    ).otherwise(F.regexp_replace(hostport, ":$", ""))
+    path = F.when(rest == "", "/").otherwise(rest)
+    return F.when(
+        scheme != "", F.concat(scheme, F.lit("://"), user, host, path)
+    )
+
+
 def page_link_edges(pages: DataFrame) -> DataFrame:
     """(src_host, dst_host) edges from ingested WARC pages: explode the
     resolved ``links`` column, host both ends, drop self-edges and

@@ -220,3 +220,40 @@ def test_host_summary(spark, tmp_path):
     }
     assert sum(r["n_pages"] for r in s.values()) == n
     assert all(r["total_links"] == 3 * r["n_pages"] for r in s.values())
+
+
+# ---------------------------------------------------------------------------
+# canonical_url_expr: JVM canonicalizer == Python reference
+# ---------------------------------------------------------------------------
+
+
+def test_canonical_url_expr_matches_python(spark):
+    urls = [
+        "HTTP://Example.TEST:80/a",
+        "https://example.test:443/",
+        "https://example.test:8443/x",
+        "http://example.test",
+        "http://u:p@Host.TEST/a#f",
+        "http://U:P@Host.TEST:80/a?q=1#f",
+        "ftp://Files.TEST:21/pub",
+        "http://h.test:/odd",
+        "http://h.test?bare=query",
+        "not-a-url",
+        "/relative/only",
+        "",
+    ]
+    # composed variants: scheme x host-case x port x path x fragment
+    for s in ("http", "HTTPS"):
+        for h in ("A.test", "b.TEST:80", "c.test:443", "u@D.test"):
+            for p in ("", "/x/y", "/x?q=2"):
+                for f in ("", "#frag"):
+                    urls.append(f"{s}://{h}{p}{f}")
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    got = {
+        r["url"]: r["cu"]
+        for r in df.select(
+            "url", graph.canonical_url_expr(F.col("url")).alias("cu")
+        ).collect()
+    }
+    for u in urls:
+        assert got[u] == warc.canonical_url(u), u
