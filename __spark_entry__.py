@@ -443,6 +443,69 @@ def _q_url_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """robots.txt frontier filtering (archive_spark/robots.py, RFC
+    9309) end-to-end: per-host robots files exercise group selection
+    (a catch-all ``*`` group that disallows everything must LOSE to
+    the exact agent group), prefix rules, longest-match allow
+    overrides, and ``*``/``$`` wildcards.  The per-URL decision is a
+    pure JVM expression over LIKE-compiled rules.  The DuckDB oracle
+    is ground truth: it writes each URL's expected verdict directly
+    from the modulo arithmetic (prefix/suffix string tests), so any
+    parser, compiler, or decision-expression bug breaks a count or
+    digest."""
+    from pyspark.sql import functions as F
+
+    from archive_spark import robots
+
+    docs = _docs(spark, sf_dir)
+    did = F.col("doc_id").cast("long")
+    ks = (did % 17).cast("string")
+    i = did.cast("string")
+    host = F.concat(F.lit("h"), ks, F.lit(".test"))
+    robots_df = (
+        docs.select(host.alias("host"), ks.alias("ks"))
+        .distinct()
+        .select(
+            "host",
+            F.concat(
+                F.lit("User-agent: *\nDisallow: /\n\nUser-agent: graft\n"),
+                F.lit("Disallow: /page/"), F.col("ks"), F.lit("\n"),
+                F.lit("Allow: /page/"), F.col("ks"), F.col("ks"), F.lit("\n"),
+                F.lit("Disallow: /s/*"), F.col("ks"), F.lit("$\n"),
+            ).alias("robots_txt"),
+        )
+    )
+    rules = robots.robots_rules(robots_df, "graft")
+    urls = docs.select(
+        F.explode(
+            F.array(
+                F.concat(F.lit("http://"), host, F.lit("/page/"), i),
+                F.concat(F.lit("http://"), host, F.lit("/s/"), i),
+            )
+        ).alias("url")
+    )
+    dec = robots.filter_frontier(urls, rules, keep_blocked=True)
+    return (
+        dec.groupBy("host")
+        .agg(
+            F.count("*").cast("bigint").alias("n_urls"),
+            F.sum(F.col("allowed").cast("int")).cast("bigint").alias(
+                "n_allowed"
+            ),
+            F.md5(
+                F.concat_ws(
+                    ",",
+                    F.sort_array(
+                        F.collect_list(F.when(F.col("allowed"), F.col("url")))
+                    ),
+                )
+            ).alias("urls_md5"),
+        )
+        .orderBy("host")
+    )
+
+
 def _q_phrase_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Phrase search served from the POSITIONAL inverted index
     (analytics.phrase_count_indexed): per-token position lists stored
@@ -4240,6 +4303,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank_hosts": _q_pagerank_hosts,
         "link_graph": _q_link_graph,
         "url_frontier": _q_url_frontier,
+        "robots_filter": _q_robots_filter,
         "sft_render": _q_sft_render,
         "sft_pack_masked": _q_sft_pack_masked,
         "ngram_diversity": _q_ngram_diversity,
@@ -5350,6 +5414,26 @@ def oracle_sql() -> dict[str, str]:
         ),
         "pagerank_hosts": _host_pagerank_oracle_sql(),
         "link_graph": _LINK_GRAPH_ORACLE,
+        "robots_filter": (
+            # ground-truth verdicts from the modulo arithmetic: /page/<i>
+            # is blocked when i starts with k unless it starts with kk
+            # (longest-match allow), /s/<i> is blocked when i ends with k
+            # ($-anchored wildcard rule); the * group must lose to graft
+            "WITH d AS (SELECT doc_id, (doc_id % 17)::VARCHAR AS ks, "
+            "'h' || (doc_id % 17) || '.test' AS host FROM documents), "
+            "u AS ("
+            "SELECT host, 'http://' || host || '/page/' || doc_id AS url, "
+            "(NOT starts_with(doc_id::VARCHAR, ks)) "
+            "OR starts_with(doc_id::VARCHAR, ks || ks) AS allowed FROM d "
+            "UNION ALL "
+            "SELECT host, 'http://' || host || '/s/' || doc_id, "
+            "NOT ends_with(doc_id::VARCHAR, ks) FROM d"
+            ") SELECT host, count(*)::BIGINT AS n_urls, "
+            "SUM(allowed::INT)::BIGINT AS n_allowed, "
+            "md5(coalesce(string_agg(CASE WHEN allowed THEN url END, ',' "
+            "ORDER BY url), '')) AS urls_md5 "
+            "FROM u GROUP BY host ORDER BY host"
+        ),
         "url_frontier": (
             # ground-truth canonical forms written directly: variants 1+2
             # collapse to one canonical, variant 3 keeps userinfo and drops

@@ -1,0 +1,195 @@
+"""robots.txt (RFC 9309) — crawl-politeness filtering for a URL frontier.
+
+The missing piece between the WARC front door (``warc.py``) and the
+frontier dedup (``graph.canonical_url_expr``): parse each host's
+robots.txt once, compile its rules to SQL ``LIKE`` patterns, and decide
+allow/deny for billions of URLs entirely JVM-side.
+
+Spec subset (RFC 9309, written from the RFC — no external libs):
+
+- groups = one or more ``User-agent`` lines followed by ``Allow`` /
+  ``Disallow`` rules; rules before any group are ignored; unknown
+  directives (Sitemap, Crawl-delay, …) are ignored; ``#`` comments.
+- agent selection: the MOST SPECIFIC match wins — an exact
+  (case-insensitive) product-token match beats the ``*`` group; all
+  groups with the winning token merge (§2.2.1).
+- rule matching: longest-octet rule wins; on a tie ``Allow`` wins; no
+  matching rule = allowed; an empty ``Disallow:`` value is no rule.
+- wildcards: ``*`` matches any octets, a trailing ``$`` anchors the
+  match at the end; otherwise a rule is a prefix match.
+
+Scale shape: rules compile ONCE per host (a hosts-sized table) into
+``array<struct<pat,len,allow>>``; the frontier joins on host and the
+decision is a pure JVM higher-order expression over the rule array
+(``filter`` by ``LIKE``, ``array_max`` over (len, allow) structs) —
+whole-stage codegen, no Python in the per-URL path, and the same
+arithmetic a DuckDB oracle replays with its own ``list_*`` functions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from archive_spark.graph import REST_RE, host_expr
+
+# ---------------------------------------------------------------------------
+# parsing + rule compilation (driver/executor-side Python, hosts-sized)
+# ---------------------------------------------------------------------------
+
+
+def parse_robots(txt: str, agent: str) -> list[tuple[str, bool]]:
+    """Rules [(rule, allow)] that apply to ``agent`` per RFC 9309 group
+    selection: exact product-token groups beat the ``*`` group; all
+    groups with the winning token merge; empty-value Disallow is
+    dropped."""
+    agent = agent.lower()
+    groups: list[tuple[list[str], list[tuple[str, bool]]]] = []
+    cur_agents: list[str] | None = None
+    cur_rules: list[tuple[str, bool]] | None = None
+    in_agent_run = False
+    for raw in (txt or "").splitlines():
+        line = raw.split("#", 1)[0].strip()
+        if not line or ":" not in line:
+            continue
+        key, _, val = line.partition(":")
+        key = key.strip().lower()
+        val = val.strip()
+        if key == "user-agent":
+            if not in_agent_run:
+                cur_agents, cur_rules = [], []
+                groups.append((cur_agents, cur_rules))
+                in_agent_run = True
+            cur_agents.append(val.lower())
+        else:
+            in_agent_run = False
+            if key in ("allow", "disallow") and cur_rules is not None:
+                if val == "":
+                    continue  # empty value = no rule (RFC 9309 §2.2.2)
+                cur_rules.append((val, key == "allow"))
+    exact = [r for a, rs in groups if agent in a for r in rs]
+    if exact or any(agent in a for a, _ in groups):
+        return exact
+    return [r for a, rs in groups if "*" in a for r in rs]
+
+
+def rule_to_like(rule: str) -> str:
+    """Compile a robots rule to a SQL LIKE pattern (ESCAPE ``\\``):
+    ``*`` → ``%``, a trailing ``$`` anchors (no trailing ``%``),
+    literal ``%``/``_``/``\\`` escape — semantics shared verbatim by
+    Spark and DuckDB."""
+    anchored = rule.endswith("$")
+    body = rule[:-1] if anchored else rule
+    out = []
+    for ch in body:
+        if ch in ("%", "_", "\\"):
+            out.append("\\" + ch)
+        elif ch == "*":
+            out.append("%")
+        else:
+            out.append(ch)
+    if not anchored:
+        out.append("%")
+    return "".join(out)
+
+
+_RULES_SCHEMA = (
+    "host string, rules array<struct<pat: string, len: int, allow: boolean>>"
+)
+
+
+def robots_rules(robots_df: DataFrame, agent: str) -> DataFrame:
+    """(host, robots_txt) → (host, rules) with rules compiled to LIKE
+    patterns; one Arrow pass over the hosts-sized table."""
+    import pyarrow as pa
+
+    def compile_batches(batches):
+        for batch in batches:
+            d = batch.to_pydict()
+            hosts, rules = [], []
+            for host, txt in zip(d["host"], d["robots_txt"]):
+                rs = parse_robots(txt, agent)
+                hosts.append(host)
+                rules.append(
+                    [
+                        {
+                            "pat": rule_to_like(r),
+                            "len": len(r),
+                            "allow": allow,
+                        }
+                        for r, allow in rs
+                    ]
+                )
+            yield pa.RecordBatch.from_pydict(
+                {"host": hosts, "rules": rules},
+                schema=pa.schema(
+                    [
+                        ("host", pa.string()),
+                        (
+                            "rules",
+                            pa.list_(
+                                pa.struct(
+                                    [
+                                        ("pat", pa.string()),
+                                        ("len", pa.int32()),
+                                        ("allow", pa.bool_()),
+                                    ]
+                                )
+                            ),
+                        ),
+                    ]
+                ),
+            )
+
+    return robots_df.select("host", "robots_txt").mapInArrow(
+        compile_batches, _RULES_SCHEMA
+    )
+
+
+# ---------------------------------------------------------------------------
+# frontier decision (pure JVM per-URL path)
+# ---------------------------------------------------------------------------
+
+
+def path_expr(url: Column) -> Column:
+    """path-and-query of an absolute URL (what robots rules match
+    against); empty path → ``/``."""
+    rest = F.regexp_extract(url, REST_RE, 1)
+    return F.when(rest == "", "/").otherwise(rest)
+
+
+def allowed_expr(path: Column, rules: Column) -> Column:
+    """RFC 9309 decision as one JVM expression: keep rules whose LIKE
+    pattern matches the path, rank by (rule length, allow) — longest
+    rule wins, Allow wins ties — no match (or no rules row) = allowed.
+    Encoded as max over ``len*2 + allow``: odd verdict = allowed."""
+    matched = F.filter(
+        F.coalesce(rules, F.array()), lambda r: F.like(path, r["pat"])
+    )
+    verdict = F.array_max(
+        F.transform(
+            matched,
+            lambda r: r["len"] * F.lit(2) + r["allow"].cast("int"),
+        )
+    )
+    return F.coalesce(verdict % 2 == 1, F.lit(True))
+
+
+def filter_frontier(
+    urls: DataFrame, rules_df: DataFrame, keep_blocked: bool = False
+) -> DataFrame:
+    """Join a URL frontier (column ``url``, absolute) against compiled
+    per-host rules and decide each URL.  One join keyed on host (the
+    rules side is hosts-sized — broadcastable for moderate crawls,
+    keyed shuffle join beyond), decision fully JVM.  Returns
+    url/host/allowed; hosts with no robots row are allowed (RFC: no
+    robots.txt = no restrictions)."""
+    u = urls.withColumn("host", host_expr(F.col("url")))
+    j = u.join(rules_df, "host", "left")
+    out = j.select(
+        "url",
+        "host",
+        allowed_expr(path_expr(F.col("url")), F.col("rules")).alias(
+            "allowed"
+        ),
+    )
+    return out if keep_blocked else out.where(F.col("allowed"))

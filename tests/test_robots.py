@@ -1,0 +1,170 @@
+"""robots.txt (RFC 9309): parsing, LIKE compilation, frontier decisions."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from archive_spark import robots
+
+ROBOTS = """\
+# politeness file
+User-agent: *
+Disallow: /
+
+User-agent: graft
+User-agent: other-bot
+Disallow: /private/
+Allow: /private/ok$
+Disallow: /tmp*
+Allow:
+Crawl-delay: 10
+Sitemap: http://h.test/sitemap.xml
+
+User-agent: graft
+Disallow: /extra
+"""
+
+
+# ---------------------------------------------------------------------------
+# parse_robots
+# ---------------------------------------------------------------------------
+
+
+def test_exact_agent_groups_merge_and_beat_star():
+    rules = robots.parse_robots(ROBOTS, "Graft")
+    assert rules == [
+        ("/private/", False),
+        ("/private/ok$", True),
+        ("/tmp*", False),
+        ("/extra", False),  # second graft group merges (RFC 9309 §2.2.1)
+    ]
+
+
+def test_star_group_fallback():
+    assert robots.parse_robots(ROBOTS, "unknown-bot") == [("/", False)]
+
+
+def test_blank_lines_do_not_split_a_user_agent_run():
+    # RFC 9309: only rules end a user-agent run — consecutive UA lines
+    # merge into one group even across blank lines
+    txt = "User-agent: graft\n\nUser-agent: *\nDisallow: /\n"
+    assert robots.parse_robots(txt, "graft") == [("/", False)]
+
+
+def test_agent_group_with_no_rules_does_not_fall_back():
+    # an exact group that exists but carries no rules (trailing group)
+    # means "graft unrestricted" — not a fallback to the * group
+    txt = "User-agent: *\nDisallow: /\n\nUser-agent: graft\n"
+    assert robots.parse_robots(txt, "graft") == []
+
+
+def test_rules_before_any_group_ignored():
+    assert robots.parse_robots("Disallow: /x\nUser-agent: *\nAllow: /a\n", "g") == [
+        ("/a", True)
+    ]
+
+
+def test_empty_and_comment_robustness():
+    assert robots.parse_robots("", "g") == []
+    assert robots.parse_robots(None, "g") == []
+    assert robots.parse_robots("# only a comment\nnonsense line\n", "g") == []
+
+
+# ---------------------------------------------------------------------------
+# rule_to_like
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize(
+    "rule,pat",
+    [
+        ("/a", "/a%"),
+        ("/a$", "/a"),
+        ("/a*b$", "/a%b"),
+        ("/fish*", "/fish%%"),  # trailing * then prefix-% (harmless)
+        ("/100%_x", "/100\\%\\_x%"),
+        ("/back\\slash", "/back\\\\slash%"),
+    ],
+)
+def test_rule_to_like(rule, pat):
+    assert robots.rule_to_like(rule) == pat
+
+
+# ---------------------------------------------------------------------------
+# Spark faces
+# ---------------------------------------------------------------------------
+
+
+def _decisions(spark, txt, agent, urls):
+    rdf = robots.robots_rules(
+        spark.createDataFrame([("h.test", txt)], "host string, robots_txt string"),
+        agent,
+    )
+    udf = spark.createDataFrame([(u,) for u in urls], "url string")
+    return {
+        r["url"]: r["allowed"]
+        for r in robots.filter_frontier(udf, rdf, keep_blocked=True).collect()
+    }
+
+
+def test_frontier_decisions(spark):
+    urls = [
+        "http://h.test/",                  # matches Disallow:/ only for *
+        "http://h.test/private/page",      # disallowed for graft
+        "http://h.test/private/ok",        # allow beats (longer rule)
+        "http://h.test/private/okno",      # $-anchor: allow does NOT match
+        "http://h.test/tmpfile",           # wildcard disallow
+        "http://h.test/public/x",          # no rule -> allowed
+        "http://other.test/anything",      # no robots row -> allowed
+    ]
+    got = _decisions(spark, ROBOTS, "graft", urls)
+    assert got == {
+        "http://h.test/": True,
+        "http://h.test/private/page": False,
+        "http://h.test/private/ok": True,
+        "http://h.test/private/okno": False,
+        "http://h.test/tmpfile": False,
+        "http://h.test/public/x": True,
+        "http://other.test/anything": True,
+    }
+
+
+def test_frontier_star_group(spark):
+    got = _decisions(spark, ROBOTS, "nobody", ["http://h.test/x"])
+    assert got == {"http://h.test/x": False}
+
+
+def test_longest_match_tie_allow_wins(spark):
+    txt = "User-agent: *\nDisallow: /dir\nAllow: /dir\n"
+    got = _decisions(spark, txt, "g", ["http://h.test/dir/x"])
+    assert got == {"http://h.test/dir/x": True}
+
+
+def test_filter_frontier_drops_blocked_by_default(spark):
+    rdf = robots.robots_rules(
+        spark.createDataFrame(
+            [("h.test", "User-agent: *\nDisallow: /b\n")],
+            "host string, robots_txt string",
+        ),
+        "g",
+    )
+    udf = spark.createDataFrame(
+        [("http://h.test/a",), ("http://h.test/b",)], "url string"
+    )
+    kept = [r["url"] for r in robots.filter_frontier(udf, rdf).collect()]
+    assert kept == ["http://h.test/a"]
+
+
+def test_decision_is_jvm_only(spark):
+    # the per-URL path must stay whole-stage codegen: no Python workers
+    rdf = robots.robots_rules(
+        spark.createDataFrame(
+            [("h.test", "User-agent: *\nDisallow: /b\n")],
+            "host string, robots_txt string",
+        ),
+        "g",
+    ).cache()
+    rdf.count()  # materialize the (Python) rule compilation once
+    udf = spark.createDataFrame([("http://h.test/a",)], "url string")
+    plan = robots.filter_frontier(udf, rdf)._jdf.queryExecution().executedPlan().toString()
+    # the frontier side of the join contains no Arrow/Python eval nodes
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
