@@ -177,19 +177,15 @@ def allowed_expr(path: Column, rules: Column) -> Column:
 def filter_frontier(
     urls: DataFrame, rules_df: DataFrame, keep_blocked: bool = False
 ) -> DataFrame:
-    """Join a URL frontier (column ``url``, absolute) against compiled
-    per-host rules and decide each URL.  One join keyed on host (the
-    rules side is hosts-sized — broadcastable for moderate crawls,
-    keyed shuffle join beyond), decision fully JVM.  Returns
-    url/host/allowed; hosts with no robots row are allowed (RFC: no
-    robots.txt = no restrictions)."""
+    """Join a URL frontier (column ``url``, absolute; other columns
+    ride along) against compiled per-host rules and decide each URL.
+    One join keyed on host (the rules side is hosts-sized —
+    broadcastable for moderate crawls, keyed shuffle join beyond),
+    decision fully JVM.  Adds host + allowed columns; hosts with no
+    robots row are allowed (RFC: no robots.txt = no restrictions)."""
     u = urls.withColumn("host", host_expr(F.col("url")))
     j = u.join(rules_df, "host", "left")
-    out = j.select(
-        "url",
-        "host",
-        allowed_expr(path_expr(F.col("url")), F.col("rules")).alias(
-            "allowed"
-        ),
-    )
+    out = j.withColumn(
+        "allowed", allowed_expr(path_expr(F.col("url")), F.col("rules"))
+    ).drop("rules")
     return out if keep_blocked else out.where(F.col("allowed"))

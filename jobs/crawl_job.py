@@ -1,0 +1,162 @@
+"""spark-submit entry point: web crawl (WARC dir) → training documents.
+
+The crawl front door as one resumable job — the CommonCrawl-to-corpus
+shape, every stage an engine face:
+
+  WARC dir ──ingest_warc──> typed pages
+        robots.txt fetched IN the crawl → compiled rules (RFC 9309)
+        pages ──canonicalize──robots-filter──min-chars──> documents
+           └─(--tokenize)──> token table ──> checkpointed encode
+                                             (--publish snapshot table)
+
+Usage:
+  spark-submit --py-files dist/archive_spark.zip jobs/crawl_job.py \
+      --input /data/warcs --output /data/crawl \
+      [--agent graft] [--min-chars 1] [--normalize] \
+      [--tokenize] [--shards 64] [--publish] [--no-resume]
+
+Outputs under --output:
+  pages/      full typed page rows (ok / http_malformed /
+              warc_malformed / skipped — a dirty crawl never crashes)
+  documents/  robots-allowed, canonical-URL-deduped text pages in the
+              documents model (doc_id = xxhash64 of the canonical URL)
+  encoded/    (--tokenize) checkpointed block table + ledger
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", required=True, help="WARC directory (glob ok)")
+    ap.add_argument("--output", required=True)
+    ap.add_argument("--agent", default="graft",
+                    help="crawler product token for robots group selection")
+    ap.add_argument("--min-chars", type=int, default=1)
+    ap.add_argument("--normalize", action="store_true",
+                    help="run the deterministic cleaning stage on the text")
+    ap.add_argument("--tokenize", action="store_true")
+    ap.add_argument("--shards", type=int, default=64)
+    ap.add_argument("--publish", action="store_true")
+    ap.add_argument("--no-resume", action="store_true")
+    args = ap.parse_args()
+
+    from pyspark.sql import SparkSession, functions as F
+
+    from archive_spark import graph, robots, warc
+
+    spark = SparkSession.builder.appName("archive_spark_crawl").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    resume = not args.no_resume
+
+    def _stage(path: str, build) -> None:
+        if resume and os.path.exists(os.path.join(path, "_SUCCESS")):
+            return
+        build().write.mode("overwrite").parquet(path)
+
+    _stage(f"{args.output}/pages", lambda: warc.ingest_warc(spark, args.input))
+    pages = spark.read.parquet(f"{args.output}/pages")
+    status_hist = {
+        r.status: r.n
+        for r in pages.groupBy("status").agg(F.count("*").alias("n")).collect()
+    }
+
+    # robots.txt responses fetched in the crawl itself become the rules
+    robots_df = (
+        pages.where(
+            (F.col("status") == "ok")
+            & (F.col("mime") == "text/plain")
+            & F.col("target_uri").rlike(r"://[^/]+/robots\.txt$")
+        )
+        .select(
+            graph.host_expr(F.col("target_uri")).alias("host"),
+            F.col("text").alias("robots_txt"),
+        )
+        .where(F.col("host").isNotNull())
+        .dropDuplicates(["host"])
+    )
+    rules = robots.robots_rules(robots_df, args.agent)
+    n_robots_hosts = rules.count()
+
+    def _build_documents():
+        content = (
+            pages.where(
+                (F.col("status") == "ok")
+                & F.col("mime").isin("text/html", "text/plain")
+                & ~F.col("target_uri").rlike(r"://[^/]+/robots\.txt$")
+            )
+            .select(
+                graph.canonical_url_expr(F.col("target_uri")).alias("url"),
+                "text",
+            )
+            .where(F.col("url").isNotNull())
+            .dropDuplicates(["url"])  # canonical-URL frontier dedup
+        )
+        allowed = robots.filter_frontier(content, rules)
+        docs = allowed.select(
+            F.xxhash64("url").alias("doc_id"),
+            F.col("url").alias("uri"),
+            F.lit("und").alias("lang"),
+            F.col("host").alias("source"),
+            F.col("text"),
+        )
+        if args.normalize:
+            from archive_spark.pipeline_ops import normalize_text
+
+            norm = normalize_text(
+                docs.select("doc_id", "source", "text"), strip_markup=False
+            ).select("doc_id", F.col("text").alias("text_norm"))
+            docs = (
+                docs.drop("text")
+                .join(norm, "doc_id")
+                .withColumnRenamed("text_norm", "text")
+            )
+        return docs.withColumn(
+            "n_chars", F.length("text").cast("long")
+        ).where(F.col("n_chars") >= args.min_chars)
+
+    _stage(f"{args.output}/documents", _build_documents)
+    docs = spark.read.parquet(f"{args.output}/documents")
+
+    summary: dict[str, object] = {
+        "page_status": status_hist,
+        "robots_hosts": n_robots_hosts,
+        "documents": docs.count(),
+        "hosts": docs.select("source").distinct().count(),
+    }
+
+    if args.tokenize:
+        from archive_spark import checkpoint
+        from archive_spark.pipeline_ops import tokenize_documents
+
+        tokens_path = f"{args.output}/tokens"
+        _stage(tokens_path, lambda: tokenize_documents(docs))
+        tokens = spark.read.parquet(tokens_path)
+        res = checkpoint.encode_job(
+            spark,
+            tokens,
+            f"{args.output}/encoded",
+            snapshot_id=checkpoint.snapshot_id_of_path(tokens_path),
+            n_shards=args.shards,
+            resume=resume,
+            publish_snapshot=args.publish,
+        )
+        summary.update(
+            {
+                "shards_encoded": res.shards_encoded,
+                "shards_skipped": res.shards_skipped,
+                "bytes_in": res.bytes_in,
+                "bytes_out": res.bytes_out,
+            }
+        )
+
+    print(json.dumps(summary))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -596,3 +596,67 @@ def test_encode_job_multicolumn_cli(spark, zip_path, tmp_path):
     rep = mc.multi_roundtrip_report(df, dec, ["input_ids", "mask"]).collect()[0]
     assert rep.n_decoded == 500
     assert rep.n_mismatch_input_ids == 0 and rep.n_mismatch_mask == 0
+
+
+def test_crawl_job_end_to_end_and_resume(zip_path, tmp_path_factory):
+    """jobs/crawl_job.py: WARC dir (with an in-crawl robots.txt fetch) →
+    robots-filtered canonical documents → checkpointed encode; rerun
+    resumes every stage."""
+    from archive_spark import warc
+
+    d = tmp_path_factory.mktemp("crawlsrc")
+    spark_mod = pytest.importorskip("pyspark.sql")
+    from pyspark.sql import SparkSession
+
+    spark = SparkSession.getActiveSession() or SparkSession.builder.getOrCreate()
+    n = 40
+    rows = [(
+        "seg0.warc.gz", f"http://h{i % 2}.test/page/{i}",
+        "2026-01-01T00:00:00Z", i, "en", f"h{i % 2}.test", 12,
+        f"crawl body {i} words here", 200, False, False, False,
+    ) for i in range(n)]
+    df = spark.createDataFrame(
+        rows,
+        "file_name string, uri string, warc_date string, doc_id long, "
+        "lang string, source string, n_chars long, text string, "
+        "http_status int, chunked boolean, mangle_http boolean, "
+        "mangle_warc boolean",
+    )
+    warc.export_crawl_warc(df, str(d)).collect()
+    # robots.txt fetch record for h1: graft may not fetch /page/1*
+    robots_http = warc.build_http_response(
+        b"User-agent: graft\nDisallow: /page/1\n",
+        content_type="text/plain",
+    )
+    rec = warc.build_warcinfo("robots.warc") + warc.build_response_record(
+        "http://h1.test/robots.txt", "2026-01-01T00:00:00Z", robots_http
+    )
+    (d / "robots.warc").write_bytes(rec)
+
+    out = tmp_path_factory.mktemp("crawlout")
+    r = _spark_submit(
+        zip_path, "crawl_job.py",
+        "--input", str(d), "--output", str(out),
+        "--tokenize", "--shards", "2", "--publish", timeout=300,
+    )
+    assert r.returncode == 0, r.stderr[-3000:]
+    s = json.loads(r.stdout.strip().splitlines()[-1])
+    # 40 pages + 1 robots fetch all parse ok; 1 warcinfo per file skipped
+    assert s["page_status"]["ok"] == 41
+    assert s["robots_hosts"] == 1
+    # h0: all 20; h1 (odd ids): ids starting '1' blocked -> 1,11..19 odd = 6
+    assert s["documents"] == 34
+    assert s["hosts"] == 2
+    assert s["shards_encoded"] == 2
+
+    # rerun: every stage resumes (pages/documents/tokens skipped via
+    # _SUCCESS, encode via the ledger)
+    r2 = _spark_submit(
+        zip_path, "crawl_job.py",
+        "--input", str(d), "--output", str(out),
+        "--tokenize", "--shards", "2", timeout=300,
+    )
+    assert r2.returncode == 0, r2.stderr[-3000:]
+    s2 = json.loads(r2.stdout.strip().splitlines()[-1])
+    assert s2["documents"] == 34
+    assert s2["shards_skipped"] == 2 and s2["shards_encoded"] == 0
