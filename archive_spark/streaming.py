@@ -739,3 +739,65 @@ def sessionized_event_counts(
             "n_events",
         )
     )
+
+
+def start_crawl_sink(
+    pages_stream: DataFrame,
+    output_dir: str,
+    checkpoint_dir: str,
+    rules_df: DataFrame | None = None,
+    min_chars: int = 1,
+    trigger_once: bool = True,
+):
+    """Continuous crawl → documents: each micro-batch of typed WARC
+    pages (``warc.read_warc_stream``) is canonical-URL-deduped,
+    robots-filtered (optional precompiled ``robots.robots_rules``
+    table), min-chars gated, and written as documents — the streaming
+    face of ``jobs/crawl_job.py``.
+
+    Exactly-once: each batch lands in its own ``batch=<id>``
+    subdirectory with mode=overwrite, so a checkpoint replay of a
+    failed batch rewrites the same directory instead of appending
+    duplicates; readers glob ``output_dir/batch=*``."""
+    from . import graph, robots
+
+    def process(batch: DataFrame, batch_id: int) -> None:
+        content = (
+            batch.where(
+                (F.col("status") == "ok")
+                & F.col("mime").isin("text/html", "text/plain")
+                & ~F.col("target_uri").rlike(r"://[^/]+/robots\.txt$")
+            )
+            .select(
+                graph.canonical_url_expr(F.col("target_uri")).alias("url"),
+                "text",
+            )
+            .where(F.col("url").isNotNull())
+            .dropDuplicates(["url"])
+        )
+        if rules_df is not None:
+            content = robots.filter_frontier(content, rules_df).drop(
+                "allowed"
+            )
+        else:
+            content = content.withColumn(
+                "host", graph.host_expr(F.col("url"))
+            )
+        docs = content.select(
+            F.xxhash64("url").alias("doc_id"),
+            F.col("url").alias("uri"),
+            F.lit("und").alias("lang"),
+            F.col("host").alias("source"),
+            "text",
+            F.length("text").cast("long").alias("n_chars"),
+        ).where(F.col("n_chars") >= min_chars)
+        docs.write.mode("overwrite").parquet(
+            f"{output_dir}/batch={batch_id}"
+        )
+
+    writer = pages_stream.writeStream.foreachBatch(process).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -559,18 +559,12 @@ _INGEST_SCHEMA = (
 )
 
 
-def ingest_warc(spark, path: str) -> DataFrame:
-    """Distributed WARC ingest: every file under ``path`` (glob ok)
-    parses in its own task — the Common Crawl unit of parallelism (one
-    ~1 GB segment per task) — into typed page rows.  Malformed records
-    quarantine typed instead of failing the job."""
+def _parse_warc_batches(batches):
+    """Arrow kernel shared by the batch and streaming ingest faces:
+    (path, content) batches → typed page rows."""
     import pyarrow as pa
 
-    files = spark.read.format("binaryFile").load(path).select(
-        "path", "content"
-    )
-
-    def parse(batches):
+    if True:  # preserves the moved body's indentation depth
         for batch in batches:
             d = batch.to_pydict()
             out = {
@@ -625,7 +619,35 @@ def ingest_warc(spark, path: str) -> DataFrame:
                 ),
             )
 
-    return files.mapInArrow(parse, _INGEST_SCHEMA)
+
+
+def ingest_warc(spark, path: str) -> DataFrame:
+    """Distributed WARC ingest: every file under ``path`` (glob ok)
+    parses in its own task — the Common Crawl unit of parallelism (one
+    ~1 GB segment per task) — into typed page rows.  Malformed records
+    quarantine typed instead of failing the job."""
+    files = spark.read.format("binaryFile").load(path).select(
+        "path", "content"
+    )
+    return files.mapInArrow(_parse_warc_batches, _INGEST_SCHEMA)
+
+
+def read_warc_stream(spark, input_dir: str) -> DataFrame:
+    """Streaming WARC ingest: crawl segments landing in a directory
+    become typed page rows incrementally — binaryFile is a first-class
+    streaming file source, so the checkpoint tracks processed segments
+    and each WARC file parses exactly once per query.  (Streaming
+    binaryFile requires the explicit schema — CLAUDE.md gotcha.)"""
+    raw = (
+        spark.readStream.format("binaryFile")
+        .schema(
+            "path string, modificationTime timestamp, "
+            "length long, content binary"
+        )
+        .load(input_dir)
+        .select("path", "content")
+    )
+    return raw.mapInArrow(_parse_warc_batches, _INGEST_SCHEMA)
 
 
 #: page template for export_crawl_warc — title / h1 / p / footer map to

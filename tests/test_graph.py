@@ -257,3 +257,60 @@ def test_canonical_url_expr_matches_python(spark):
     }
     for u in urls:
         assert got[u] == warc.canonical_url(u), u
+
+
+# ---------------------------------------------------------------------------
+# streaming crawl: WARC segments → exactly-once document batches
+# ---------------------------------------------------------------------------
+
+
+def test_streaming_crawl_sink_exactly_once(spark, tmp_path):
+    from archive_spark import robots, streaming
+
+    src = tmp_path / "warcs"
+    src.mkdir()
+    out = str(tmp_path / "docs")
+    ckpt = str(tmp_path / "ckpt")
+
+    def crawl_df(ids, fname):
+        rows = [(
+            fname, f"http://h{i % 2}.test/page/{i}", "2026-01-01T00:00:00Z",
+            i, "en", f"h{i % 2}.test", 5, f"body {i}", 200,
+            False, False, False,
+        ) for i in ids]
+        return spark.createDataFrame(
+            rows,
+            "file_name string, uri string, warc_date string, doc_id long, "
+            "lang string, source string, n_chars long, text string, "
+            "http_status int, chunked boolean, mangle_http boolean, "
+            "mangle_warc boolean",
+        )
+
+    warc.export_crawl_warc(crawl_df(range(10), "a.warc.gz"), str(src)).collect()
+    rules = robots.robots_rules(
+        spark.createDataFrame(
+            [("h1.test", "User-agent: *\nDisallow: /page/\n")],
+            "host string, robots_txt string",
+        ),
+        "graft",
+    ).cache()
+    rules.count()
+
+    q = streaming.start_crawl_sink(
+        warc.read_warc_stream(spark, str(src)), out, ckpt, rules_df=rules
+    )
+    q.awaitTermination(120)
+    docs1 = spark.read.parquet(f"{out}/batch=*")
+    # h1 pages (odd ids) robots-blocked: 5 of 10 survive
+    assert docs1.count() == 5
+    assert {r["source"] for r in docs1.collect()} == {"h0.test"}
+
+    # a new segment lands; restarting processes ONLY the new file
+    warc.export_crawl_warc(crawl_df(range(10, 16), "b.warc.gz"), str(src)).collect()
+    q2 = streaming.start_crawl_sink(
+        warc.read_warc_stream(spark, str(src)), out, ckpt, rules_df=rules
+    )
+    q2.awaitTermination(120)
+    docs2 = spark.read.parquet(f"{out}/batch=*")
+    assert docs2.count() == 5 + 3  # ids 10,12,14 on h0
+    assert docs2.select("uri").distinct().count() == 8
