@@ -5294,3 +5294,238 @@ def ngram_diversity(docs: DataFrame, k: int = 3) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# exact substring duplicates — prefix-group doubling (suffix-array grouping)
+# ---------------------------------------------------------------------------
+
+_POS_SHIFT = 20  # pos = doc_id * 2^20 + word_pos; docs must stay < 2^20 words
+
+
+def _position_table(docs: DataFrame) -> DataFrame:
+    """(pos, doc_id, wpos, source, word) — one row per word occurrence.
+
+    ``pos`` is a synthetic 64-bit global position ``doc_id * 2**20 +
+    wpos``: strictly increasing within a document, unique across the
+    corpus, and computable with zero coordination (no global offsets,
+    no windows) on any partitioning — the property that lets group ids
+    below be "min position in group" deterministically on BOTH engines.
+    Requires a numeric ``doc_id`` and documents under 2^20 words (the
+    operator validates nothing at scan time; callers own the contract —
+    at 100 TB that is doc_id < 2^43, fine for a 64-bit id space).
+    """
+    words = F.split("text", " ")
+    return docs.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        "source",
+        F.posexplode(words).alias("wpos", "word"),
+    ).select(
+        (F.col("doc_id") * (1 << _POS_SHIFT) + F.col("wpos")).alias("pos"),
+        "doc_id",
+        "wpos",
+        "source",
+        "word",
+    )
+
+
+def exact_dup_positions(docs: DataFrame, gram_len: int = 5) -> DataFrame:
+    """EXACT corpus substring-duplicate detection via prefix-group
+    doubling — the suffix-array construction of Lee et al. 2022
+    ("Deduplicating Training Data Makes Language Models Better")
+    specialized to *grouping*: because dedup only needs to know which
+    word ``gram_len``-grams are EQUAL (never their lexicographic
+    order), the classic rank-doubling ranks collapse to group ids, and
+    "min corpus position in the group" is a deterministic, engine-
+    portable group id that needs no sorting, no collation, and no
+    dense-rank coordination.
+
+    Levels: ``g_0(p)`` groups positions by word; ``g_k(p)`` groups by
+    the ``2^k``-gram starting at ``p`` via the pair ``(g_{k-1}(p),
+    g_{k-1}(p + 2^{k-1}))``.  A missing lookup (window runs past the
+    document end) forces a unique negative key ``-pos - 1``, which by
+    induction makes every position whose suffix is shorter than the
+    window a singleton — exactly the "no full gram starts here"
+    semantics, with NO document separators and NO cross-document
+    adjacency (positions of different docs are never arithmetic
+    neighbours by construction).  An arbitrary ``gram_len`` L then
+    takes ONE extra combine: with ``a = floor(log2(L))``, the L-gram
+    at ``p`` equals the L-gram at ``q`` iff their first and last
+    ``2^a``-grams match — ``(g_a(p), g_a(p + L - 2^a))``.
+
+    Scale posture: each level is one self-join on the 8-byte ``pos``
+    key (sort-merge on int64) plus one keyed window over ``(g, g2)``
+    — ceil(log2 L) + 1 rounds TOTAL regardless of corpus size (L=64 →
+    7 rounds), every shuffle row is three longs, no strings move after
+    the g_0 window, no hash collisions exist anywhere (this is the
+    exact counterpart to the xxhash64-based ``duplicate_spans``; on a
+    collision-free corpus the two agree position-for-position).
+
+    Returns (pos, doc_id, wpos, source, g, gcnt): ``g`` = group id
+    (min corpus position of the identical gram), ``gcnt`` = corpus-wide
+    occurrence count; positions that cannot host a full ``gram_len``
+    window report their forced-singleton group (gcnt = 1).
+    """
+    if gram_len < 1:
+        raise ValueError("gram_len must be >= 1")
+    base = _position_table(docs)
+    g0 = base.select(
+        "pos",
+        "doc_id",
+        "wpos",
+        "source",
+        F.min("pos").over(Window.partitionBy("word")).alias("g"),
+    )
+
+    def _combine(cur: DataFrame, h: int) -> DataFrame:
+        shifted = cur.select(
+            (F.col("pos") - h).alias("pos"), F.col("g").alias("g2")
+        )
+        j = cur.join(shifted, "pos", "left")
+        paired = j.select(
+            "pos",
+            "doc_id",
+            "wpos",
+            "source",
+            "g",
+            F.coalesce("g2", -F.col("pos") - 1).alias("g2"),
+        )
+        return paired.select(
+            "pos",
+            "doc_id",
+            "wpos",
+            "source",
+            F.min("pos").over(Window.partitionBy("g", "g2")).alias("g"),
+        )
+
+    cur = g0
+    reach = 1  # current level groups by `reach`-grams
+    while reach * 2 <= gram_len:
+        cur = _combine(cur, reach)
+        reach *= 2
+    if reach < gram_len:
+        cur = _combine(cur, gram_len - reach)
+    return cur.select(
+        "pos",
+        "doc_id",
+        "wpos",
+        "source",
+        "g",
+        F.count("*").over(Window.partitionBy("g")).alias("gcnt"),
+    )
+
+
+def suffix_dup_stats(docs: DataFrame, gram_len: int = 5) -> DataFrame:
+    """Per-source EXACT duplicate-gram statistics off
+    ``exact_dup_positions`` — the collision-free counterpart to
+    ``duplicate_spans`` (same covered-words interval arithmetic:
+    sorted duplicate starts ``ps`` cover ``sum(min(next - p,
+    gram_len))`` words per document).
+
+    Returns (source, n_pos, n_dup_pos, covered_words, dup_digest,
+    max_gsize): ``dup_digest`` = sum of group ids over duplicated
+    positions (pins every group assignment), ``max_gsize`` = largest
+    duplicate-group multiplicity seen in the source.
+    """
+    dp = exact_dup_positions(docs, gram_len)
+    per_doc = (
+        dp.groupBy("doc_id", "source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_pos"),
+            F.sort_array(
+                F.collect_list(F.when(F.col("gcnt") >= 2, F.col("wpos")))
+            ).alias("ps"),
+            F.sum(
+                F.when(F.col("gcnt") >= 2, F.col("g")).otherwise(0)
+            ).cast("bigint").alias("dup_digest"),
+            F.max(F.when(F.col("gcnt") >= 2, F.col("gcnt")).otherwise(0))
+            .cast("bigint")
+            .alias("max_gsize"),
+        )
+    )
+    ps = F.col("ps")
+    nxt = F.concat(
+        F.slice(ps, 2, F.greatest(F.size(ps) - 1, F.lit(0))),
+        F.array(F.lit(2**62)),
+    )
+    # zip_with pads the shorter side with null and Spark's least() SKIPS
+    # nulls (least(null, L) = L), so an empty ps would phantom-contribute
+    # gram_len once per doc — guard the empty case explicitly.
+    covered = F.when(
+        F.size(ps) > 0,
+        F.aggregate(
+            F.zip_with(
+                ps, nxt, lambda p, np: F.least(np - p, F.lit(gram_len))
+            ),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
+        ),
+    ).otherwise(F.lit(0).cast("bigint"))
+    return (
+        per_doc.select(
+            "source",
+            "n_pos",
+            F.size("ps").cast("bigint").alias("n_dup_pos"),
+            covered.alias("covered_words"),
+            "dup_digest",
+            "max_gsize",
+        )
+        .groupBy("source")
+        .agg(
+            F.sum("n_pos").cast("bigint").alias("n_pos"),
+            F.sum("n_dup_pos").cast("bigint").alias("n_dup_pos"),
+            F.sum("covered_words").cast("bigint").alias("covered_words"),
+            F.sum("dup_digest").cast("bigint").alias("dup_digest"),
+            F.max("max_gsize").cast("bigint").alias("max_gsize"),
+        )
+        .orderBy("source")
+    )
+
+
+def suffix_top_repeats(docs: DataFrame, gram_len: int = 5, k: int = 10) -> DataFrame:
+    """Top-``k`` most-repeated exact word ``gram_len``-grams in the
+    corpus, with their text reconstructed from the group id: ``g``
+    encodes (doc_id, wpos) of the group's first occurrence, so ONE
+    broadcast-sized join back to documents slices the gram out —
+    duplicate text never shuffles, only the top-k group ids do.
+
+    Returns (gram, n_occurrences, n_sources, g) ordered by
+    (n_occurrences DESC, g ASC) — a deterministic total order.
+    """
+    dp = exact_dup_positions(docs, gram_len)
+    groups = (
+        dp.filter(F.col("gcnt") >= 2)
+        .groupBy("g")
+        .agg(
+            F.count("*").cast("bigint").alias("n_occurrences"),
+            F.countDistinct("source").cast("bigint").alias("n_sources"),
+        )
+        .orderBy(F.desc("n_occurrences"), F.asc("g"))
+        .limit(k)
+    )
+    rep = groups.select(
+        "g",
+        "n_occurrences",
+        "n_sources",
+        F.expr(f"CAST(g DIV {1 << _POS_SHIFT} AS BIGINT)").alias("rep_doc"),
+        (F.col("g") % (1 << _POS_SHIFT)).cast("bigint").alias("rep_wpos"),
+    )
+    docs_words = docs.select(
+        F.col("doc_id").cast("bigint").alias("rep_doc"),
+        F.split("text", " ").alias("ws"),
+    )
+    return (
+        docs_words.join(F.broadcast(rep), "rep_doc")
+        .select(
+            F.concat_ws(
+                " ",
+                F.slice(
+                    "ws", F.col("rep_wpos") + 1, F.lit(gram_len)
+                ),
+            ).alias("gram"),
+            "n_occurrences",
+            "n_sources",
+            "g",
+        )
+        .orderBy(F.desc("n_occurrences"), F.asc("g"))
+    )

@@ -1,0 +1,142 @@
+"""Exact substring-duplicate detection via prefix-group doubling.
+
+Brute-force parity (every position's group id AND multiplicity), exact
+agreement with the hash-based `duplicate_spans` lane on the real corpus
+(these are the collision-free and hashed faces of the same statistic),
+text reconstruction of top repeats, and plan-shape pins.
+"""
+
+from __future__ import annotations
+
+import io
+from contextlib import redirect_stdout
+
+import pytest
+
+from archive_spark import pipeline_ops as po
+
+
+def _plan(df, mode: str = "formatted") -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain(mode)
+    return buf.getvalue()
+
+
+def _brute_groups(texts, gram_len):
+    """Python reference: group positions by exact word gram."""
+    shift = 1 << 20
+    occ = {}
+    allpos = []
+    for doc_id, text in texts:
+        ws = text.split(" ")
+        for i in range(len(ws)):
+            p = doc_id * shift + i
+            allpos.append(p)
+            if i + gram_len <= len(ws):
+                occ.setdefault(tuple(ws[i : i + gram_len]), []).append(p)
+    # positions whose suffix is shorter than the gram are singletons with
+    # g = own pos (min over the forced one-element partition).
+    out = {p: (p, 1) for p in allpos}
+    for gram, ps in occ.items():
+        gmin, c = min(ps), len(ps)
+        for p in ps:
+            out[p] = (gmin, c)
+    return out
+
+
+@pytest.mark.parametrize("gram_len", [1, 2, 3, 5, 8])
+def test_exact_dup_positions_matches_bruteforce(spark, gram_len):
+    texts = [
+        (0, "a b c d e a b c d x"),
+        (1, "b c d e a b c d e a b"),
+        (2, "z z z z z"),
+        (3, "q"),
+        (7, "a b c d e"),
+    ]
+    docs = spark.createDataFrame(
+        [(i, t, f"s{i % 2}") for i, t in texts],
+        "doc_id long, text string, source string",
+    )
+    got = {
+        r["pos"]: (r["g"], r["gcnt"])
+        for r in po.exact_dup_positions(docs, gram_len).collect()
+    }
+    ref = _brute_groups(texts, gram_len)
+    assert got == ref
+
+
+def test_suffix_stats_agree_with_hashed_duplicate_spans(spark):
+    """The exact lane and the xxhash64 lane are the same statistic on a
+    collision-free corpus: duplicated start counts and covered words
+    must agree EXACTLY on sf0.001 documents."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    k = 5
+    exact = {
+        r["source"]: (r["n_dup_pos"], r["covered_words"])
+        for r in po.suffix_dup_stats(docs, gram_len=k).collect()
+    }
+    hashed = (
+        po.duplicate_spans(docs, k=k, min_df=2)
+        .groupBy("source")
+        .agg({"n_dup_starts": "sum", "covered_words": "sum"})
+        .collect()
+    )
+    assert exact
+    for r in hashed:
+        assert exact[r["source"]] == (
+            r["sum(n_dup_starts)"],
+            r["sum(covered_words)"],
+        ), r["source"]
+
+
+def test_suffix_top_repeats_reconstructs_text(spark):
+    docs = spark.createDataFrame(
+        [
+            (0, "the quick brown fox jumps over it", "s0"),
+            (1, "a the quick brown fox sleeps", "s1"),
+            (2, "saw the quick brown fox jumps today", "s0"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    top = po.suffix_top_repeats(docs, gram_len=4, k=5).collect()
+    by_gram = {r["gram"]: (r["n_occurrences"], r["n_sources"]) for r in top}
+    assert by_gram["the quick brown fox"] == (3, 2)
+    assert by_gram["quick brown fox jumps"] == (2, 1)
+    # deterministic total order: (count desc, g asc)
+    assert top[0]["gram"] == "the quick brown fox"
+
+
+def test_exact_dup_positions_plan_shape(spark):
+    """Every shuffle must be keyed: no cartesian/BNLJ, no Python eval,
+    and no partition-less window (the windows partition by word /
+    (g, g2) / g — global sorts never appear)."""
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f", "s"), (2, "a b c d x y", "s")],
+        "doc_id long, text string, source string",
+    )
+    for df in (
+        po.exact_dup_positions(docs, 4),
+        po.suffix_dup_stats(docs, 5),
+    ):
+        plan = _plan(df)
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # partition-less windows print as 'Window [..], []' orderings with
+    # empty partition spec; simple-mode text shows 'windowspecdefinition()'
+    # with no partition columns — pin via the simple plan.
+    simple = _plan(po.exact_dup_positions(docs, 4), mode="simple")
+    for line in simple.splitlines():
+        if "windowspecdefinition(" in line:
+            inner = line.split("windowspecdefinition(", 1)[1]
+            assert not inner.startswith("specifiedwindowframe"), line
+
+
+def test_gram_len_one_groups_by_word(spark):
+    docs = spark.createDataFrame(
+        [(0, "x y x", "s")], "doc_id long, text string, source string"
+    )
+    rows = {r["pos"]: (r["g"], r["gcnt"]) for r in
+            po.exact_dup_positions(docs, 1).collect()}
+    assert rows[0] == (0, 2) and rows[2] == (0, 2) and rows[1] == (1, 1)
