@@ -240,6 +240,17 @@ def _q_suffix_top_repeats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return suffix_top_repeats(_docs(spark, sf_dir), gram_len=5, k=10)
 
 
+def _q_dup_length_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-length decay profile: exact duplicated-gram counts,
+    group counts, and group-id digests at gram lengths 1/2/4/8, all off
+    ONE prefix-group doubling chain — the statistic behind choosing a
+    substring-dedup threshold.  The oracle replays all four levels from
+    the same materialized window chain."""
+    from archive_spark.pipeline_ops import dup_length_profile
+
+    return dup_length_profile(_docs(spark, sf_dir), max_pow=3)
+
+
 def _q_warc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WARC crawl front door (archive_spark/warc.py) closed end-to-end:
     the documents table is exported as a deterministic synthetic crawl
@@ -4326,6 +4337,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- comes first: the driver walks this dict in order under a budget --
         "suffix_dup_stats": _q_suffix_dup_stats,
         "suffix_top_repeats": _q_suffix_top_repeats,
+        "dup_length_profile": _q_dup_length_profile,
         "warc_ingest": _q_warc_ingest,
         "pagerank_hosts": _q_pagerank_hosts,
         "link_graph": _q_link_graph,
@@ -4777,6 +4789,21 @@ def oracle_sql() -> dict[str, str]:
             "s.max_gsize::BIGINT AS max_gsize "
             "FROM sfx_src s LEFT JOIN sfx_cov c USING (source) "
             "ORDER BY s.source"
+        ),
+        "dup_length_profile": (
+            # _suffix_chain_sql(8) materializes sfx_g0..sfx_g3 = group
+            # ids at gram lengths 1/2/4/8 — aggregate each level
+            _suffix_chain_sql(8) + " "
+            + " UNION ALL ".join(
+                f"SELECT * FROM (SELECT {ln}::BIGINT AS gram_len, "
+                "COALESCE(SUM(c), 0)::BIGINT AS n_dup_pos, "
+                "COUNT(*)::BIGINT AS n_dup_groups, "
+                "COALESCE(SUM(g), 0)::BIGINT AS dup_digest FROM "
+                f"(SELECT g, COUNT(*) AS c FROM sfx_g{i} GROUP BY g) "
+                "WHERE c >= 2)"
+                for i, ln in enumerate((1, 2, 4, 8))
+            )
+            + " ORDER BY gram_len"
         ),
         "suffix_top_repeats": (
             _suffix_chain_sql(5) + ", "

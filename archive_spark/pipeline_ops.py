@@ -5529,3 +5529,66 @@ def suffix_top_repeats(docs: DataFrame, gram_len: int = 5, k: int = 10) -> DataF
         )
         .orderBy(F.desc("n_occurrences"), F.asc("g"))
     )
+
+
+def dup_length_profile(docs: DataFrame, max_pow: int = 3) -> DataFrame:
+    """Duplicate-length decay profile: exact duplicated-gram statistics
+    at gram lengths 1, 2, 4, ..., 2^``max_pow`` off ONE prefix-group
+    doubling chain — the corpus statistic behind choosing a dedup
+    threshold (how fast does duplication decay with span length?).
+
+    Each level reuses (and persists) the previous level's groups, so
+    the whole profile costs the same as a single ``exact_dup_positions``
+    at the largest length: max_pow joins + max_pow + 1 keyed windows,
+    all on long keys.  Returns one row per level: (gram_len, n_dup_pos,
+    n_dup_groups, dup_digest) where dup_digest = sum of duplicated
+    group ids (pins every group assignment per level).
+    """
+    if max_pow < 0:
+        raise ValueError("max_pow must be >= 0")
+    base = _position_table(docs)
+    cur = base.select(
+        "pos", F.min("pos").over(Window.partitionBy("word")).alias("g")
+    )
+
+    def _level_stats(df: DataFrame, length: int) -> DataFrame:
+        return (
+            df.groupBy("g")
+            .agg(F.count("*").alias("c"))
+            .filter(F.col("c") >= 2)
+            .agg(
+                F.lit(length).cast("bigint").alias("gram_len"),
+                F.coalesce(F.sum("c"), F.lit(0)).cast("bigint").alias(
+                    "n_dup_pos"
+                ),
+                F.count("*").cast("bigint").alias("n_dup_groups"),
+                F.coalesce(F.sum("g"), F.lit(0)).cast("bigint").alias(
+                    "dup_digest"
+                ),
+            )
+        )
+
+    levels = []
+    length = 1
+    for _ in range(max_pow + 1):
+        cur = cur.persist()
+        levels.append(_level_stats(cur, length))
+        if len(levels) <= max_pow:
+            shifted = cur.select(
+                (F.col("pos") - length).alias("pos"), F.col("g").alias("g2")
+            )
+            cur = (
+                cur.join(shifted, "pos", "left")
+                .select(
+                    "pos", "g", F.coalesce("g2", -F.col("pos") - 1).alias("g2")
+                )
+                .select(
+                    "pos",
+                    F.min("pos").over(Window.partitionBy("g", "g2")).alias("g"),
+                )
+            )
+            length *= 2
+    out = levels[0]
+    for lv in levels[1:]:
+        out = out.unionByName(lv)
+    return out.orderBy("gram_len")

@@ -140,3 +140,31 @@ def test_gram_len_one_groups_by_word(spark):
     rows = {r["pos"]: (r["g"], r["gcnt"]) for r in
             po.exact_dup_positions(docs, 1).collect()}
     assert rows[0] == (0, 2) and rows[2] == (0, 2) and rows[1] == (1, 1)
+
+
+def test_dup_length_profile_matches_bruteforce(spark):
+    texts = [
+        (0, "a b c d e a b c d e a b"),
+        (1, "c d e a b x c d e a b"),
+        (2, "p q r s t u v w"),
+    ]
+    docs = spark.createDataFrame(
+        [(i, t, "s") for i, t in texts],
+        "doc_id long, text string, source string",
+    )
+    got = {
+        r["gram_len"]: (r["n_dup_pos"], r["n_dup_groups"], r["dup_digest"])
+        for r in po.dup_length_profile(docs, max_pow=3).collect()
+    }
+    for L in (1, 2, 4, 8):
+        ref = _brute_groups(texts, L)
+        groups = {}
+        for p, (g, c) in ref.items():
+            if c >= 2:
+                groups[g] = c
+        exp = (
+            sum(groups.values()),
+            len(groups),
+            sum(groups.keys()),
+        )
+        assert got[L] == exp, (L, got[L], exp)
