@@ -90,11 +90,34 @@ def export_tar_shards(
                 crc,
             )
 
+        import io as _io
+
         done = []
         for batch in it:
-            d = batch.to_pydict()
+            # Arrow-native column access: the token lists stay ONE flat
+            # numpy buffer sliced by offsets — to_pydict() here would
+            # materialize every token as a Python int (the old hot spot:
+            # ~100M PyLong allocations per bench run).
+            shards = batch.column("_shard").to_numpy(zero_copy_only=False)
+            ids = batch.column(id_col).to_pylist()
+            tok_arr = batch.column(tokens_col)
+            off = tok_arr.offsets.to_numpy(zero_copy_only=False)
+            vals = tok_arr.values.to_numpy(zero_copy_only=False)
+            if dtype == "i4" and vals.size and vals.dtype.itemsize > 4:
+                used = vals[off[0] : off[-1]]
+                if used.size and (
+                    used.max(initial=0) > np.iinfo(np.int32).max
+                    or used.min(initial=0) < np.iinfo(np.int32).min
+                ):
+                    raise ValueError(
+                        "token out of i4 range in batch; use dtype='i8'"
+                    )
+            vals = np.ascontiguousarray(vals.astype(np_dtype, copy=False))
+            extras_cols = {
+                c: batch.column(c).to_pylist() for c in extra if c != "n_tok"
+            }
             for i in range(batch.num_rows):
-                shard = d["_shard"][i]
+                shard = int(shards[i])
                 if shard not in state:
                     tmp = os.path.join(
                         out_dir, f".shard-{shard:05d}.tar.tmp-{os.getpid()}"
@@ -107,24 +130,16 @@ def export_tar_shards(
                         0,
                     ]
                 ent = state[shard]
-                doc_id = d[id_col][i]
-                toks = np.asarray(d[tokens_col][i])
-                if dtype == "i4" and toks.size and (
-                    toks.max(initial=0) > np.iinfo(np.int32).max
-                    or toks.min(initial=0) < np.iinfo(np.int32).min
-                ):
-                    raise ValueError(
-                        f"token out of i4 range in {doc_id!r}; use dtype='i8'"
-                    )
-                payload = np.ascontiguousarray(toks, dtype=np_dtype).tobytes()
+                doc_id = ids[i]
+                lo, hi = off[i], off[i + 1]
+                payload = vals[lo:hi].tobytes()
                 meta = {
                     "doc_id": doc_id,
-                    "n_tok": int(toks.size),
+                    "n_tok": int(hi - lo),
                     "dtype": dtype,
                 }
-                for c in extra:
-                    if c != "n_tok":
-                        meta[c] = d[c][i]
+                for c, col in extras_cols.items():
+                    meta[c] = col[i]
                 mbytes = _json.dumps(
                     meta, sort_keys=True, separators=(",", ":")
                 ).encode()
@@ -138,11 +153,9 @@ def export_tar_shards(
                     ti.uid = ti.gid = 0
                     ti.uname = ti.gname = ""
                     ti.mode = _MODE
-                    import io
-
-                    ent[0].addfile(ti, io.BytesIO(data))
+                    ent[0].addfile(ti, _io.BytesIO(data))
                 ent[2] += 1
-                ent[3] += int(toks.size)
+                ent[3] += int(hi - lo)
                 ent[4] = zlib.crc32(payload, ent[4])
         for shard in sorted(state):
             done.append(_finish(shard))
