@@ -37,6 +37,10 @@ def main() -> None:
     ap.add_argument("--dedup", action="store_true",
                     help="also anchor the dedup lane (MinHash-LSH candidate "
                          "aggregate + exact dedup over a text view)")
+    ap.add_argument("--suffix", action="store_true",
+                    help="also anchor exact substring dedup (prefix-group "
+                         "doubling) over the token corpus, gated by exact "
+                         "agreement with the hashed dup-span lane")
     ap.add_argument("--embeddings", type=int, default=0,
                     help="also anchor the float lane with N synthetic vectors")
     ap.add_argument("--index", action="store_true",
@@ -416,6 +420,51 @@ def main() -> None:
         dt = time.perf_counter() - t0
         out["dedup_exact_sec"] = round(dt, 1)
         out["dedup_exact_groups"] = int(n_groups)
+
+    # ---- exact-substring-dedup anchor: prefix-group doubling over the
+    # token corpus viewed as text, gated by EXACT agreement with the
+    # independent xxhash64 dup-span lane (collision odds ~1e-5 at this
+    # scale — any divergence is a bug, not noise)
+    if args.suffix:
+        from archive_spark import pipeline_ops as po
+
+        gl = 8
+        sfx_view = tokens.select(
+            F.regexp_extract("doc_id", r"(\d+)$", 1)
+            .cast("bigint")
+            .alias("doc_id"),
+            F.array_join(
+                F.transform("tokens", lambda x: x.cast("string")), " "
+            ).alias("text"),
+            "source",
+        ).filter(F.col("n_tok") >= gl)
+        t0 = time.perf_counter()
+        dp = po.exact_dup_positions(sfx_view, gram_len=gl)
+        row = dp.agg(
+            F.count("*").alias("n_pos"),
+            F.sum(
+                F.when(F.col("gcnt") >= 2, 1).otherwise(0)
+            ).cast("bigint").alias("n_dup_pos"),
+            F.sum(F.when(F.col("gcnt") >= 2, F.col("g")).otherwise(0))
+            .cast("bigint")
+            .alias("dup_digest"),
+        ).collect()[0]
+        dt = time.perf_counter() - t0
+        out["suffix_sec"] = round(dt, 1)
+        out["suffix_positions"] = int(row.n_pos)
+        out["suffix_mpos_per_sec"] = round(row.n_pos / dt / 1e6, 2)
+        out["suffix_dup_pos"] = int(row.n_dup_pos)
+        out["suffix_dup_digest"] = int(row.dup_digest)
+        t0 = time.perf_counter()
+        hashed = (
+            po.duplicate_spans(sfx_view, k=gl, min_df=2)
+            .agg(F.sum("n_dup_starts").alias("n"))
+            .collect()[0]
+        )
+        out["suffix_hashed_sec"] = round(time.perf_counter() - t0, 1)
+        out["suffix_gate_exact_eq_hashed"] = int(hashed.n or 0) == int(
+            row.n_dup_pos
+        )
 
     # ---- embedding-lane anchor: encode/decode a synthetic float table
     # at scale, digest-gated (order-insensitive bitwise sum/xor — no
