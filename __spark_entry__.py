@@ -251,6 +251,29 @@ def _q_dup_length_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dup_length_profile(_docs(spark, sf_dir), max_pow=3)
 
 
+def _q_suffix_dup_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-lane duplicate-span REMOVAL (collision-free counterpart of
+    dup_span_scrub): every word covered by an exactly-duplicated 5-gram
+    is dropped and the rebuilt texts digest-compared per source — the
+    oracle rebuilds the same scrubbed corpus from its own doubling
+    chain, so the whole group → start → interval → filter path must be
+    lossless on both engines."""
+    from archive_spark.pipeline_ops import scrub_suffix_duplicates
+
+    return (
+        scrub_suffix_duplicates(_docs(spark, sf_dir), gram_len=5)
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum(F.length("text")).cast("bigint").alias("total_chars"),
+            F.md5(
+                F.concat_ws("", F.sort_array(F.collect_list(F.md5("text"))))
+            ).alias("digest"),
+        )
+        .orderBy("source")
+    )
+
+
 def _q_warc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WARC crawl front door (archive_spark/warc.py) closed end-to-end:
     the documents table is exported as a deterministic synthetic crawl
@@ -4338,6 +4361,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "suffix_dup_stats": _q_suffix_dup_stats,
         "suffix_top_repeats": _q_suffix_top_repeats,
         "dup_length_profile": _q_dup_length_profile,
+        "suffix_dup_scrub": _q_suffix_dup_scrub,
         "warc_ingest": _q_warc_ingest,
         "pagerank_hosts": _q_pagerank_hosts,
         "link_graph": _q_link_graph,
@@ -4804,6 +4828,26 @@ def oracle_sql() -> dict[str, str]:
                 for i, ln in enumerate((1, 2, 4, 8))
             )
             + " ORDER BY gram_len"
+        ),
+        "suffix_dup_scrub": (
+            _suffix_chain_sql(5) + ", "
+            # 0-based wpos -> 1-based word index; full windows only, so
+            # no end-clamp is needed (dup starts always fit gram_len)
+            "sfx_covered AS (SELECT DISTINCT doc_id, wpos + 1 + o.o AS i "
+            "FROM sfx_cnt, unnest(range(0, 5)) AS o(o) WHERE c >= 2), "
+            "sfx_wordpos AS (SELECT doc_id, source, unnest(ws) AS word, "
+            "generate_subscripts(ws, 1) AS i FROM (SELECT doc_id, source, "
+            "string_split(text, ' ') AS ws FROM documents)), "
+            "sfx_scrubbed AS (SELECT wp.doc_id, wp.source, "
+            "COALESCE(string_agg(wp.word, ' ' ORDER BY wp.i) "
+            "FILTER (WHERE c.i IS NULL), '') AS text "
+            "FROM sfx_wordpos wp LEFT JOIN sfx_covered c "
+            "ON c.doc_id = wp.doc_id AND c.i = wp.i "
+            "GROUP BY wp.doc_id, wp.source) "
+            "SELECT source, count(*)::BIGINT AS n_docs, "
+            "SUM(length(text))::BIGINT AS total_chars, "
+            "md5(string_agg(md5(text), '' ORDER BY md5(text))) AS digest "
+            "FROM sfx_scrubbed GROUP BY source ORDER BY source"
         ),
         "suffix_top_repeats": (
             _suffix_chain_sql(5) + ", "

@@ -5361,19 +5361,21 @@ def exact_dup_positions(docs: DataFrame, gram_len: int = 5) -> DataFrame:
     exact counterpart to the xxhash64-based ``duplicate_spans``; on a
     collision-free corpus the two agree position-for-position).
 
-    Returns (pos, doc_id, wpos, source, g, gcnt): ``g`` = group id
-    (min corpus position of the identical gram), ``gcnt`` = corpus-wide
-    occurrence count; positions that cannot host a full ``gram_len``
-    window report their forced-singleton group (gcnt = 1).
+    Returns (pos, doc_id, wpos, g, gcnt): ``g`` = group id (min corpus
+    position of the identical gram), ``gcnt`` = corpus-wide occurrence
+    count; positions that cannot host a full ``gram_len`` window report
+    their forced-singleton group (gcnt = 1).  ``source`` is NOT carried
+    (it would widen every round's shuffle): consumers join it back by
+    ``doc_id`` at per-doc width.
     """
     if gram_len < 1:
         raise ValueError("gram_len must be >= 1")
     base = _position_table(docs)
+    # every doubling round shuffles ONLY (pos, g) — two longs per row;
+    # doc_id / wpos are recovered arithmetically from pos at the end
+    # (source, when a consumer needs it, joins back at per-doc width)
     g0 = base.select(
         "pos",
-        "doc_id",
-        "wpos",
-        "source",
         F.min("pos").over(Window.partitionBy("word")).alias("g"),
     )
 
@@ -5384,17 +5386,11 @@ def exact_dup_positions(docs: DataFrame, gram_len: int = 5) -> DataFrame:
         j = cur.join(shifted, "pos", "left")
         paired = j.select(
             "pos",
-            "doc_id",
-            "wpos",
-            "source",
             "g",
             F.coalesce("g2", -F.col("pos") - 1).alias("g2"),
         )
         return paired.select(
             "pos",
-            "doc_id",
-            "wpos",
-            "source",
             F.min("pos").over(Window.partitionBy("g", "g2")).alias("g"),
         )
 
@@ -5407,9 +5403,8 @@ def exact_dup_positions(docs: DataFrame, gram_len: int = 5) -> DataFrame:
         cur = _combine(cur, gram_len - reach)
     return cur.select(
         "pos",
-        "doc_id",
-        "wpos",
-        "source",
+        F.expr(f"CAST(pos DIV {1 << _POS_SHIFT} AS BIGINT)").alias("doc_id"),
+        (F.col("pos") % (1 << _POS_SHIFT)).cast("int").alias("wpos"),
         "g",
         F.count("*").over(Window.partitionBy("g")).alias("gcnt"),
     )
@@ -5428,8 +5423,11 @@ def suffix_dup_stats(docs: DataFrame, gram_len: int = 5) -> DataFrame:
     duplicate-group multiplicity seen in the source.
     """
     dp = exact_dup_positions(docs, gram_len)
+    doc_src = docs.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"), "source"
+    )
     per_doc = (
-        dp.groupBy("doc_id", "source")
+        dp.groupBy("doc_id")
         .agg(
             F.count("*").cast("bigint").alias("n_pos"),
             F.sort_array(
@@ -5462,7 +5460,8 @@ def suffix_dup_stats(docs: DataFrame, gram_len: int = 5) -> DataFrame:
         ),
     ).otherwise(F.lit(0).cast("bigint"))
     return (
-        per_doc.select(
+        per_doc.join(doc_src, "doc_id")
+        .select(
             "source",
             "n_pos",
             F.size("ps").cast("bigint").alias("n_dup_pos"),
@@ -5493,8 +5492,12 @@ def suffix_top_repeats(docs: DataFrame, gram_len: int = 5, k: int = 10) -> DataF
     (n_occurrences DESC, g ASC) — a deterministic total order.
     """
     dp = exact_dup_positions(docs, gram_len)
+    doc_src = docs.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"), "source"
+    )
     groups = (
         dp.filter(F.col("gcnt") >= 2)
+        .join(doc_src, "doc_id")
         .groupBy("g")
         .agg(
             F.count("*").cast("bigint").alias("n_occurrences"),
@@ -5592,3 +5595,41 @@ def dup_length_profile(docs: DataFrame, max_pow: int = 3) -> DataFrame:
     for lv in levels[1:]:
         out = out.unionByName(lv)
     return out.orderBy("gram_len")
+
+
+def scrub_suffix_duplicates(docs: DataFrame, gram_len: int = 5) -> DataFrame:
+    """Exact-lane scrub: drop every word covered by a corpus-duplicated
+    ``gram_len``-gram found by ``exact_dup_positions`` — the
+    collision-FREE variant of ``scrub_duplicate_spans`` (no hash
+    anywhere, so nothing can even be *dropped* spuriously).  The
+    rebuild is the same pure-JVM path: covered indices from
+    flatten/sequence over dup starts, kept words from one
+    filter-with-index.  Returns (doc_id, source, text)."""
+    words = F.split("text", " ")
+    base = docs.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        "source",
+        words.alias("w"),
+    )
+    dup_starts = (
+        exact_dup_positions(docs, gram_len)
+        .filter(F.col("gcnt") >= 2)
+        .groupBy("doc_id")
+        .agg(F.collect_list("wpos").alias("ps"))
+    )
+    j = base.join(dup_starts, "doc_id", "left")
+    covered = F.array_distinct(
+        F.flatten(
+            F.transform(
+                F.coalesce("ps", F.array().cast("array<int>")),
+                lambda p: F.sequence(p, p + F.lit(gram_len - 1)),
+            )
+        )
+    )
+    kept = F.filter(
+        F.col("w"), lambda w, i: ~F.array_contains(F.col("cov"), i)
+    )
+    return (
+        j.withColumn("cov", covered)
+        .select("doc_id", "source", F.concat_ws(" ", kept).alias("text"))
+    )

@@ -168,3 +168,37 @@ def test_dup_length_profile_matches_bruteforce(spark):
             sum(groups.keys()),
         )
         assert got[L] == exp, (L, got[L], exp)
+
+
+def test_scrub_suffix_matches_hashed_scrub_and_stats(spark):
+    """Three-face consistency on sf0.001: (1) exact scrub == hashed
+    scrub text-for-text (collision-free corpus), (2) kept words per
+    source == n_pos - covered_words from suffix_dup_stats."""
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    k = 5
+    exact = {
+        (r["doc_id"], r["text"])
+        for r in po.scrub_suffix_duplicates(docs, gram_len=k).collect()
+    }
+    hashed = {
+        (int(r["doc_id"]), r["text"])
+        for r in po.scrub_duplicate_spans(docs, k=k, min_df=2).collect()
+    }
+    assert exact == hashed
+    kept = {
+        r["source"]: r["n"]
+        for r in po.scrub_suffix_duplicates(docs, gram_len=k)
+        .groupBy("source")
+        .agg(
+            F.sum(
+                F.when(F.col("text") == "", 0).otherwise(
+                    F.size(F.split("text", " "))
+                )
+            ).alias("n")
+        )
+        .collect()
+    }
+    for r in po.suffix_dup_stats(docs, gram_len=k).collect():
+        assert kept[r["source"]] == r["n_pos"] - r["covered_words"], r
