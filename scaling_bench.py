@@ -76,6 +76,36 @@ spark.stop()
 """
 
 
+SUFFIX_RUNNER = r"""
+import sys, time, os
+from pyspark.sql import functions as F
+from archive_spark.session import get_spark
+from archive_spark import pipeline_ops as po
+from archive_spark.tokengen import token_table
+
+cores = int(sys.argv[1]); path = sys.argv[2]
+spark = get_spark(cores=cores, driver_memory="24g")
+if not os.path.exists(path):
+    token_table(spark, int(sys.argv[3]), seed=42).write.mode("overwrite").parquet(path)
+tokens = spark.read.parquet(path)
+view = tokens.filter(F.col("n_tok") >= 8).select(
+    F.regexp_extract("doc_id", r"(\d+)$", 1).cast("bigint").alias("doc_id"),
+    F.array_join(F.transform("tokens", lambda x: x.cast("string")), " ").alias("text"),
+    "source",
+)
+po.exact_dup_positions(view.limit(2000), gram_len=8).agg(
+    F.count("*")).collect()  # warm JIT+workers
+best = 1e9; n = 0
+for _ in range(2):
+    t0 = time.perf_counter()
+    n = po.exact_dup_positions(view, gram_len=8).agg(
+        F.count("*").alias("n")).collect()[0]["n"]
+    best = min(best, time.perf_counter() - t0)
+print(f"RESULT {n} {best:.3f}")
+spark.stop()
+"""
+
+
 def run_level(
     cores: int, path: str, docs: int, pin: bool, runner: str = RUNNER
 ) -> tuple[int, float]:
@@ -110,10 +140,17 @@ def main() -> None:
     ap.add_argument("--embeddings", action="store_true",
                     help="scale the float lane instead (docs = n_vecs; "
                     "throughput unit = values/s where a value is one float)")
+    ap.add_argument("--suffix", action="store_true",
+                    help="scale the shuffle-heavy exact-substring-dedup "
+                    "lane instead (throughput unit = positions/s)")
     args = ap.parse_args()
 
-    runner = EMB_RUNNER if args.embeddings else RUNNER
-    kind = "emb" if args.embeddings else "tok"
+    if args.embeddings:
+        runner, kind = EMB_RUNNER, "emb"
+    elif args.suffix:
+        runner, kind = SUFFIX_RUNNER, "sfx"
+    else:
+        runner, kind = RUNNER, "tok"
     path = f"/tmp/spark_graft_scaling/{kind}-{args.docs}"
     levels = sorted({int(c) for p in args.pairs.split(",") for c in p.split(":")})
     tps: dict[int, float] = {}
@@ -142,9 +179,11 @@ def main() -> None:
             }
         )
     result = {
-        "metric": "emb_encode_scaling_efficiency"
-        if args.embeddings
-        else "encode_scaling_efficiency",
+        "metric": {
+            "emb": "emb_encode_scaling_efficiency",
+            "sfx": "suffix_dedup_scaling_efficiency",
+            "tok": "encode_scaling_efficiency",
+        }[kind],
         "n_tokens": n_tokens,
         "pinned": not args.no_pin and shutil.which("taskset") is not None,
         "levels_tokens_per_sec": {str(c): int(v) for c, v in tps.items()},
