@@ -274,6 +274,137 @@ def _q_suffix_dup_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _wrapped_docs(spark: SparkSession, sf_dir: str, width: int = 4) -> DataFrame:
+    """documents with text re-wrapped into newline-separated lines of
+    ``width`` words — the deterministic line structure under the CCNet
+    line-dedup queries (the synthetic corpus has no newlines, so the
+    query synthesizes them identically in Spark and the DuckDB oracle)."""
+    words = F.split("text", " ")
+    n_lines = ((F.size(words) + (width - 1)) / width).cast("int")
+    lines = F.transform(
+        F.sequence(F.lit(0), n_lines - 1),
+        lambda i: F.array_join(F.slice(words, i * width + 1, width), " "),
+    )
+    return _docs(spark, sf_dir).select(
+        "doc_id", "source", F.array_join(lines, "\n").alias("text")
+    )
+
+
+def _q_line_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style line-level duplication accounting (Wenzek et al.
+    2020): documents are deterministically wrapped into 4-word lines,
+    then every line occurrence is counted corpus-wide and the
+    keep-first removal totals are reported per source.  The oracle
+    replays the wrap, the global line counts, and the lexicographic
+    (doc_id, pos) first-occurrence rule in SQL — a wrong dedup key, a
+    broken first-occurrence tie-break, or an eligibility leak (empty
+    lines joining the duplicate pool) each breaks a row."""
+    from archive_spark.pipeline_ops import line_dedup_stats
+
+    return line_dedup_stats(_wrapped_docs(spark, sf_dir), sep="\n")
+
+
+def _q_line_dedup_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Line-level keep-first scrub closed by per-source text digests:
+    dedup_lines drops every repeated 4-word line except its first
+    (doc_id, pos) occurrence and rebuilds each document in original
+    line order.  The oracle rebuilds the same scrubbed corpus with a
+    window + filtered string_agg, so ordering, separator re-insertion,
+    and the all-lines-removed -> empty-text contract are all pinned."""
+    from archive_spark.pipeline_ops import dedup_lines
+
+    return (
+        dedup_lines(_wrapped_docs(spark, sf_dir), sep="\n")
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum(F.length("text")).cast("bigint").alias("total_chars"),
+            F.sum("n_removed").cast("bigint").alias("n_removed"),
+            F.md5(
+                F.concat_ws("", F.sort_array(F.collect_list(F.md5("text"))))
+            ).alias("digest"),
+        )
+        .orderBy("source")
+    )
+
+
+def _secret_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents with deterministic synthetic credentials appended (the
+    natural corpus is lowercase prose and contains none): an AWS-shaped
+    key on doc_id%7, a 32-hex token on %5, a github-shaped token on
+    %11 — all derived from md5(doc_id) so both engines inject
+    byte-identical secrets."""
+    did = F.col("doc_id").cast("long")
+    sid = F.col("doc_id").cast("string")
+    t = F.col("text")
+    t = F.concat(
+        t,
+        F.when(
+            did % 7 == 0,
+            F.concat(F.lit(" AKIA"), F.upper(F.substring(F.md5(sid), 1, 16))),
+        ).otherwise(F.lit("")),
+        F.when(
+            did % 5 == 0,
+            F.concat(F.lit(" "), F.md5(F.concat(F.lit("h"), sid))),
+        ).otherwise(F.lit("")),
+        F.when(
+            did % 11 == 0,
+            F.concat(
+                F.lit(" ghp_"),
+                F.md5(sid),
+                F.substring(F.md5(F.concat(F.lit("x"), sid)), 1, 4),
+            ),
+        ).otherwise(F.lit("")),
+    )
+    return _docs(spark, sf_dir).select("doc_id", "source", t.alias("text"))
+
+
+def _q_secret_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Credential detection (API keys / bearer tokens / hex digests)
+    over a corpus with deterministically injected secrets: per (source,
+    kind) hit counts, hit documents, and total secret length.  The
+    oracle re-derives every injected token from md5(doc_id) and replays
+    the full gate — vendor-prefix bypass, base64url alphabet, length,
+    and the integer-exact distinct-character entropy proxy — so a gate
+    or classification drift on either engine breaks a row."""
+    from archive_spark.pipeline_ops import detect_secrets
+
+    return (
+        detect_secrets(_secret_docs(spark, sf_dir))
+        .groupBy("source", "kind")
+        .agg(
+            F.count("*").cast("bigint").alias("n_hits"),
+            F.count_distinct("doc_id").cast("bigint").alias("n_docs"),
+            F.sum("tok_len").cast("bigint").alias("total_len"),
+            F.sum("n_distinct").cast("bigint").alias("sum_distinct"),
+        )
+        .orderBy("source", "kind")
+    )
+
+
+def _q_secret_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Secret masking closed by per-source digests of the scrubbed
+    texts: every flagged token is replaced by [SECRET] in place (word-
+    level JVM transform — structurally unable to rewrite un-flagged
+    bytes) and the rebuilt corpus is digest-compared against the
+    oracle's list_transform replay."""
+    from archive_spark.pipeline_ops import scrub_secrets
+
+    return (
+        scrub_secrets(_secret_docs(spark, sf_dir))
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum(F.length("text")).cast("bigint").alias("total_chars"),
+            F.sum("n_masked").cast("bigint").alias("n_masked"),
+            F.md5(
+                F.concat_ws("", F.sort_array(F.collect_list(F.md5("text"))))
+            ).alias("digest"),
+        )
+        .orderBy("source")
+    )
+
+
 def _q_warc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WARC crawl front door (archive_spark/warc.py) closed end-to-end:
     the documents table is exported as a deterministic synthetic crawl
@@ -4358,6 +4489,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # -- every query WITHOUT a driver correctness row (r01-r03 artifacts)
         # -- comes first: the driver walks this dict in order under a budget --
+        "line_dedup_stats": _q_line_dedup_stats,
+        "line_dedup_scrub": _q_line_dedup_scrub,
+        "secret_scan": _q_secret_scan,
+        "secret_scrub": _q_secret_scrub,
         "suffix_dup_stats": _q_suffix_dup_stats,
         "suffix_top_repeats": _q_suffix_top_repeats,
         "dup_length_profile": _q_dup_length_profile,
@@ -4791,7 +4926,106 @@ def _suffix_chain_sql(gram_len: int = 5) -> str:
 
 def oracle_sql() -> dict[str, str]:
     kw_list = ", ".join(f"('{k}')" for k in _TAG_KEYWORDS)
+    # CCNet line-dedup: wrap documents into 4-word lines, count each
+    # line corpus-wide, keep-first by lexicographic (doc_id, pos).
+    # Eligibility (trim length >= 1) is a function of the line text, so
+    # the row_number partition is homogeneous and needs no filter.
+    _line_base = (
+        "WITH ld_words AS (SELECT doc_id, source, string_split(text, ' ') "
+        "AS ws FROM documents), "
+        "ld_lines AS (SELECT doc_id, source, i - 1 AS pos, "
+        "array_to_string(ws[(i-1)*4+1 : i*4], ' ') AS line "
+        "FROM ld_words, unnest(range(1, "
+        "CAST(ceil(len(ws) / 4.0) AS INT) + 1)) AS t(i)), "
+        "ld_cnt AS (SELECT line, COUNT(*) AS c FROM ld_lines "
+        "WHERE length(trim(line)) >= 1 GROUP BY line), "
+        "ld_occ AS (SELECT l.doc_id, l.source, l.pos, l.line, "
+        "COALESCE(c.c, 0) >= 2 AS dup, "
+        "row_number() OVER (PARTITION BY l.line "
+        "ORDER BY l.doc_id, l.pos) AS rn "
+        "FROM ld_lines l LEFT JOIN ld_cnt c USING (line))"
+    )
+    # secret lane: inject deterministic credentials from md5(doc_id),
+    # then replay detect_secrets' exact gate + kind ladder in RE2.
+    _sec_docs = (
+        "WITH sec_docs AS (SELECT doc_id, source, text || "
+        "CASE WHEN doc_id::BIGINT % 7 = 0 THEN ' AKIA' || "
+        "upper(substr(md5(doc_id::VARCHAR), 1, 16)) ELSE '' END || "
+        "CASE WHEN doc_id::BIGINT % 5 = 0 THEN ' ' || md5('h' || doc_id::VARCHAR) "
+        "ELSE '' END || "
+        "CASE WHEN doc_id::BIGINT % 11 = 0 THEN ' ghp_' || md5(doc_id::VARCHAR) || "
+        "substr(md5('x' || doc_id::VARCHAR), 1, 4) ELSE '' END AS text "
+        "FROM documents)"
+    )
+    _sec_flag = (
+        "(regexp_matches(tok, "
+        "'^(AKIA[0-9A-Z]{16}|gh[pousr]_[A-Za-z0-9]{36,})$') "
+        "OR (length(tok) >= 24 "
+        "AND regexp_matches(tok, '^[A-Za-z0-9_\\-]+$') "
+        "AND length(list_distinct(string_split(tok, ''))) >= 10))"
+    )
+    _sec_kind = (
+        "CASE WHEN regexp_matches(tok, '^AKIA[0-9A-Z]{16}$') THEN 'aws_key' "
+        "WHEN regexp_matches(tok, '^gh[pousr]_[A-Za-z0-9]{36,}$') "
+        "THEN 'github_token' "
+        "WHEN regexp_matches(tok, '^[0-9a-fA-F]{32,}$') THEN 'hex_token' "
+        "ELSE 'high_entropy' END"
+    )
     return {
+        "line_dedup_stats": (
+            _line_base + " "
+            "SELECT source, COUNT(DISTINCT doc_id)::BIGINT AS n_docs, "
+            "COUNT(*)::BIGINT AS n_lines, "
+            "COALESCE(SUM(CASE WHEN dup THEN 1 END), 0)::BIGINT "
+            "AS n_dup_lines, "
+            "COALESCE(SUM(CASE WHEN dup AND rn > 1 THEN 1 END), 0)::BIGINT "
+            "AS n_removed, "
+            "COALESCE(SUM(CASE WHEN dup AND rn > 1 THEN length(line) END), "
+            "0)::BIGINT AS chars_removed "
+            "FROM ld_occ GROUP BY source ORDER BY source"
+        ),
+        "line_dedup_scrub": (
+            _line_base + ", "
+            "ld_scrub AS (SELECT doc_id, source, "
+            "COALESCE(string_agg(line, chr(10) ORDER BY pos) "
+            "FILTER (WHERE NOT dup OR rn = 1), '') AS text, "
+            "SUM(CASE WHEN dup AND rn > 1 THEN 1 ELSE 0 END) AS n_removed "
+            "FROM ld_occ GROUP BY doc_id, source) "
+            "SELECT source, COUNT(*)::BIGINT AS n_docs, "
+            "SUM(length(text))::BIGINT AS total_chars, "
+            "SUM(n_removed)::BIGINT AS n_removed, "
+            "md5(string_agg(md5(text), '' ORDER BY md5(text))) AS digest "
+            "FROM ld_scrub GROUP BY source ORDER BY source"
+        ),
+        "secret_scan": (
+            _sec_docs + ", "
+            "sec_toks AS (SELECT doc_id, source, "
+            "unnest(string_split(text, ' ')) AS tok FROM sec_docs), "
+            "sec_hits AS (SELECT doc_id, source, tok, "
+            + _sec_kind + " AS kind, "
+            "length(list_distinct(string_split(tok, ''))) AS nd "
+            "FROM sec_toks WHERE " + _sec_flag + ") "
+            "SELECT source, kind, COUNT(*)::BIGINT AS n_hits, "
+            "COUNT(DISTINCT doc_id)::BIGINT AS n_docs, "
+            "SUM(length(tok))::BIGINT AS total_len, "
+            "SUM(nd)::BIGINT AS sum_distinct "
+            "FROM sec_hits GROUP BY source, kind ORDER BY source, kind"
+        ),
+        "secret_scrub": (
+            _sec_docs + ", "
+            "sec_masked AS (SELECT doc_id, source, "
+            "array_to_string(list_transform(string_split(text, ' '), "
+            "tok -> CASE WHEN " + _sec_flag + " THEN '[SECRET]' "
+            "ELSE tok END), ' ') AS text, "
+            "len(list_filter(string_split(text, ' '), "
+            "tok -> " + _sec_flag + ")) AS n_masked "
+            "FROM sec_docs) "
+            "SELECT source, COUNT(*)::BIGINT AS n_docs, "
+            "SUM(length(text))::BIGINT AS total_chars, "
+            "SUM(n_masked)::BIGINT AS n_masked, "
+            "md5(string_agg(md5(text), '' ORDER BY md5(text))) AS digest "
+            "FROM sec_masked GROUP BY source ORDER BY source"
+        ),
         "suffix_dup_stats": (
             _suffix_chain_sql(5) + ", "
             "sfx_cov0 AS (SELECT doc_id, source, g, least(coalesce("

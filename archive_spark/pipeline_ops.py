@@ -5633,3 +5633,247 @@ def scrub_suffix_duplicates(docs: DataFrame, gram_len: int = 5) -> DataFrame:
         j.withColumn("cov", covered)
         .select("doc_id", "source", F.concat_ws(" ", kept).alias("text"))
     )
+
+
+# ---------------------------------------------------------------------------
+# line-level corpus dedup (CCNet-style paragraph dedup)
+# ---------------------------------------------------------------------------
+
+def line_occurrence_table(
+    docs: DataFrame, sep: str = "\n", min_chars: int = 1
+) -> DataFrame:
+    """Every line occurrence in the corpus with its global duplication
+    facts — the shared scan under ``line_dedup_stats`` / ``dedup_lines``
+    (CCNet's paragraph-dedup stage: Wenzek et al. 2020, *CCNet:
+    Extracting High Quality Monolingual Datasets from Web Crawl Data*).
+
+    Lines shorter than ``min_chars`` (after trim) are *ineligible*:
+    they pass through untouched and never join the duplicate pool (so
+    blank separator lines can't be "deduplicated" into structure loss).
+
+    Scale posture: one posexplode scan → one groupBy(line) with
+    map-side partial combine (first occurrence = ``min(struct(doc_id,
+    pos))``, an ordinary aggregate — no corpus-wide window, so a line
+    repeated a billion times is one reduce-side group, not one window
+    partition) → one co-partitioned join back.  Shuffle keys are the
+    line strings themselves: collision-free by construction (hash
+    grouping would risk merging distinct lines and *dropping* unique
+    text).  First-occurrence order is lexicographic on (doc_id, pos) —
+    engine-portable with zero-padded ids.
+
+    Returns (doc_id, source, pos, line, eligible, cnt, is_first).
+    """
+    lines = docs.select(
+        "doc_id",
+        "source",
+        F.posexplode(F.split("text", sep)).alias("pos", "line"),
+    ).withColumn("eligible", F.length(F.trim("line")) >= min_chars)
+    firsts = (
+        lines.filter("eligible")
+        .groupBy("line")
+        .agg(
+            F.count("*").cast("bigint").alias("cnt"),
+            F.min(F.struct("doc_id", "pos")).alias("first"),
+        )
+    )
+    j = lines.join(firsts, "line", "left")
+    return j.select(
+        "doc_id",
+        "source",
+        "pos",
+        "line",
+        "eligible",
+        F.coalesce("cnt", F.lit(0)).alias("cnt"),
+        (
+            ~F.col("eligible")
+            | (
+                (F.col("first.doc_id") == F.col("doc_id"))
+                & (F.col("first.pos") == F.col("pos"))
+            )
+        ).alias("is_first"),
+    )
+
+
+def line_dedup_stats(
+    docs: DataFrame,
+    sep: str = "\n",
+    min_chars: int = 1,
+    min_count: int = 2,
+) -> DataFrame:
+    """Per-source line-duplication accounting for the CCNet stage:
+    how many line occurrences exist, how many sit in a corpus-wide
+    duplicate class (global count >= ``min_count``), and how many a
+    keep-first scrub would remove, with the removed characters.
+    Integer-exact and SQL-replayable.  Returns one row per source:
+    (source, n_docs, n_lines, n_dup_lines, n_removed, chars_removed).
+    """
+    occ = line_occurrence_table(docs, sep=sep, min_chars=min_chars)
+    dup = F.col("eligible") & (F.col("cnt") >= min_count)
+    rem = dup & ~F.col("is_first")
+    return (
+        occ.groupBy("source")
+        .agg(
+            F.count_distinct("doc_id").cast("bigint").alias("n_docs"),
+            F.count("*").cast("bigint").alias("n_lines"),
+            F.sum(dup.cast("bigint")).alias("n_dup_lines"),
+            F.sum(rem.cast("bigint")).alias("n_removed"),
+            F.sum(F.when(rem, F.length("line")).otherwise(0))
+            .cast("bigint")
+            .alias("chars_removed"),
+        )
+        .orderBy("source")
+    )
+
+
+def dedup_lines(
+    docs: DataFrame,
+    sep: str = "\n",
+    min_chars: int = 1,
+    min_count: int = 2,
+    keep_first: bool = True,
+) -> DataFrame:
+    """CCNet-style line/paragraph dedup: drop every eligible line whose
+    exact text occurs ``min_count``-or-more times corpus-wide, keeping
+    the first occurrence (lexicographic (doc_id, pos)) unless
+    ``keep_first=False`` (then ALL occurrences of duplicated lines go —
+    the aggressive boilerplate kill).  Document text is rebuilt in
+    original line order with ``sep`` re-inserted; docs whose every line
+    is removed come back as empty text, never dropped rows.  Pure JVM
+    end-to-end.  Returns (doc_id, source, text, n_lines, n_removed).
+    """
+    occ = line_occurrence_table(docs, sep=sep, min_chars=min_chars)
+    dup = F.col("eligible") & (F.col("cnt") >= min_count)
+    drop = dup & ~F.col("is_first") if keep_first else dup
+    kept = (
+        occ.withColumn("drop", drop)
+        .groupBy("doc_id", "source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_lines"),
+            F.sum(F.col("drop").cast("bigint")).alias("n_removed"),
+            F.array_sort(
+                F.collect_list(
+                    F.when(~F.col("drop"), F.struct("pos", "line"))
+                )
+            ).alias("ks"),
+        )
+    )
+    return kept.select(
+        "doc_id",
+        "source",
+        F.array_join(
+            F.transform("ks", lambda s: s["line"]), sep
+        ).alias("text"),
+        "n_lines",
+        "n_removed",
+    )
+
+
+# ---------------------------------------------------------------------------
+# secret / credential detection and scrubbing
+# ---------------------------------------------------------------------------
+
+#: token must look credential-shaped before the entropy gate even runs:
+#: one unbroken run of base64url characters, no shorter than this.
+_SECRET_MIN_LEN = 24
+#: entropy proxy — distinct characters in the token.  True Shannon
+#: entropy is fp-fragile across engines; distinct-char count is
+#: integer-exact, SQL-replayable, and separates prose ("implementation"
+#: = 9 distinct over 14) from key material (hex32 ≈ 13-16 distinct).
+_SECRET_MIN_DISTINCT = 10
+
+
+def _secret_kind(tok) -> "F.Column":
+    """Classify one credential-shaped token.  Patterns are anchored and
+    use only character classes + bounded repeats so Java regex (Spark)
+    and RE2 (DuckDB) agree byte-for-byte."""
+    return (
+        F.when(tok.rlike("^AKIA[0-9A-Z]{16}$"), F.lit("aws_key"))
+        .when(tok.rlike("^gh[pousr]_[A-Za-z0-9]{36,}$"), F.lit("github_token"))
+        .when(tok.rlike("^[0-9a-fA-F]{32,}$"), F.lit("hex_token"))
+        .otherwise(F.lit("high_entropy"))
+    )
+
+
+def _secret_flag(tok, min_len: int, min_distinct: int) -> "F.Column":
+    # known vendor shapes bypass the length/entropy gate (an AWS key id
+    # is only 20 chars and all-uppercase-hexish — the generic gate would
+    # miss it); everything else needs length AND distinct-char entropy.
+    # base64URL alphabet only — plain base64's '/' would flag every
+    # filesystem path as a credential; modern tokens are base64url.
+    base64ish = tok.rlike("^[A-Za-z0-9_\\-]+$")
+    n_distinct = F.size(
+        F.array_distinct(F.filter(F.split(tok, ""), lambda c: c != ""))
+    )
+    known_prefix = tok.rlike("^(AKIA[0-9A-Z]{16}|gh[pousr]_[A-Za-z0-9]{36,})$")
+    return known_prefix | (
+        (F.length(tok) >= min_len) & base64ish & (n_distinct >= min_distinct)
+    )
+
+
+def detect_secrets(
+    docs: DataFrame,
+    min_len: int = _SECRET_MIN_LEN,
+    min_distinct: int = _SECRET_MIN_DISTINCT,
+) -> DataFrame:
+    """Credential scan over whitespace-delimited tokens — the
+    pre-training scrub that catches what ``scrub_pii`` (emails/phones)
+    does not: API keys, bearer tokens, hex digests, high-entropy blobs.
+
+    Detection contract (kept deliberately word-level so the scrub in
+    ``scrub_secrets`` is an exact JVM rebuild, not a regex replace that
+    could rewrite un-flagged bytes): a token is a secret iff it is one
+    unbroken base64ish run of >= ``min_len`` chars AND (it carries a
+    known vendor prefix OR its distinct-character count >=
+    ``min_distinct``).  All gates are integer-exact and portable.
+
+    One scan, one explode, no Python.  Returns one row per hit:
+    (doc_id, source, pos, kind, tok_len, n_distinct) — callers
+    aggregate; no secret text leaves the plan.
+    """
+    toks = docs.select(
+        "doc_id", "source", F.posexplode(F.split("text", " ")).alias("pos", "tok")
+    )
+    t = F.col("tok")
+    hits = toks.filter(_secret_flag(t, min_len, min_distinct))
+    return hits.select(
+        "doc_id",
+        "source",
+        "pos",
+        _secret_kind(t).alias("kind"),
+        F.length(t).cast("bigint").alias("tok_len"),
+        F.size(
+            F.array_distinct(F.filter(F.split(t, ""), lambda c: c != ""))
+        ).cast("bigint").alias("n_distinct"),
+    )
+
+
+def scrub_secrets(
+    docs: DataFrame,
+    min_len: int = _SECRET_MIN_LEN,
+    min_distinct: int = _SECRET_MIN_DISTINCT,
+    mask: str = "[SECRET]",
+) -> DataFrame:
+    """Mask every token ``detect_secrets`` would flag, in place, via one
+    JVM ``transform`` over the split words — order-preserving, no
+    shuffle, and structurally incapable of touching un-flagged tokens
+    (the regex never rewrites; it only selects whole words).  Returns
+    (doc_id, source, text, n_masked).
+    """
+    words = F.split("text", " ")
+    flagged = F.transform(
+        words, lambda w: _secret_flag(w, min_len, min_distinct)
+    )
+    masked = F.zip_with(
+        words, flagged, lambda w, fl: F.when(fl, F.lit(mask)).otherwise(w)
+    )
+    n_masked = F.aggregate(
+        flagged,
+        F.lit(0).cast("bigint"),
+        lambda acc, fl: acc + fl.cast("bigint"),
+    )
+    return docs.select(
+        "doc_id",
+        "source",
+        F.array_join(masked, " ").alias("text"),
+        n_masked.alias("n_masked"),
+    )
