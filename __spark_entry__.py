@@ -405,6 +405,52 @@ def _q_secret_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_GQ_STOPS = ("the", "a", "key", "row", "table", "line", "value", "fast")
+
+
+def _q_gopher_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher quality rules (Rae et al. 2021 A1.1) over the wrapped
+    corpus with deterministic defect injection: doc_id%13 docs get
+    every line bullet-prefixed (trips the bullet rule), %17 docs get
+    every line ellipsis-suffixed (trips the ellipsis + symbol rules);
+    short docs trip min-words naturally.  All seven verdicts are
+    integer cross-multiplications, so the oracle replays the complete
+    rule ladder exactly — per-source pass and per-rule fail counts."""
+    from archive_spark.pipeline_ops import gopher_rules
+
+    did = F.col("doc_id").cast("long")
+    t = F.col("text")
+    t = F.when(
+        did % 13 == 0,
+        F.concat(F.lit("- "), F.replace(t, F.lit("\n"), F.lit("\n- "))),
+    ).otherwise(t)
+    t = F.when(
+        did % 17 == 0,
+        F.concat(F.replace(t, F.lit("\n"), F.lit("...\n")), F.lit("...")),
+    ).otherwise(t)
+    inj = _wrapped_docs(spark, sf_dir).select("doc_id", "source", t.alias("text"))
+    # the synthetic vocabulary has no English function words beyond
+    # "the"/"a" — localize the stop list (the operator default is the
+    # paper's English list) so the rule discriminates
+    g = gopher_rules(inj, sep="\n", min_words=50, stopwords=_GQ_STOPS)
+    fails = [
+        F.sum((~F.col(c)).cast("bigint")).alias(f"fail_{c[2:]}")
+        for c in (
+            "r_words", "r_mwl", "r_symbol", "r_bullet",
+            "r_ellipsis", "r_alpha", "r_stop",
+        )
+    ]
+    return (
+        g.groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum(F.col("passes").cast("bigint")).alias("n_pass"),
+            *fails,
+        )
+        .orderBy("source")
+    )
+
+
 def _q_warc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WARC crawl front door (archive_spark/warc.py) closed end-to-end:
     the documents table is exported as a deterministic synthetic crawl
@@ -4493,6 +4539,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "line_dedup_scrub": _q_line_dedup_scrub,
         "secret_scan": _q_secret_scan,
         "secret_scrub": _q_secret_scrub,
+        "gopher_filter": _q_gopher_filter,
         "suffix_dup_stats": _q_suffix_dup_stats,
         "suffix_top_repeats": _q_suffix_top_repeats,
         "dup_length_profile": _q_dup_length_profile,
@@ -4971,7 +5018,67 @@ def oracle_sql() -> dict[str, str]:
         "WHEN regexp_matches(tok, '^[0-9a-fA-F]{32,}$') THEN 'hex_token' "
         "ELSE 'high_entropy' END"
     )
+    # Gopher rules over the wrapped corpus with deterministic defect
+    # injection — replays _q_gopher_filter's arithmetic rule-for-rule.
+    _gq_base = (
+        "WITH gq_words AS (SELECT doc_id, source, string_split(text, ' ') "
+        "AS ws FROM documents), "
+        "gq_lines AS (SELECT doc_id, source, i - 1 AS pos, "
+        "array_to_string(ws[(i-1)*4+1 : i*4], ' ') AS line "
+        "FROM gq_words, unnest(range(1, "
+        "CAST(ceil(len(ws) / 4.0) AS INT) + 1)) AS t(i)), "
+        "gq_wrapped AS (SELECT doc_id, source, "
+        "string_agg(line, chr(10) ORDER BY pos) AS text "
+        "FROM gq_lines GROUP BY doc_id, source), "
+        "gq_inj AS (SELECT doc_id, source, "
+        "CASE WHEN doc_id::BIGINT % 17 = 0 THEN replace(t1, chr(10), "
+        "'...' || chr(10)) || '...' ELSE t1 END AS text FROM ("
+        "SELECT doc_id, source, CASE WHEN doc_id::BIGINT % 13 = 0 THEN "
+        "'- ' || replace(text, chr(10), chr(10) || '- ') ELSE text END "
+        "AS t1 FROM gq_wrapped)), "
+        "gq_feat AS (SELECT doc_id, source, "
+        "len(string_split(replace(text, chr(10), ' '), ' '))::BIGINT "
+        "AS n_words, "
+        "len(string_split(text, chr(10)))::BIGINT AS n_lines, "
+        "length(replace(replace(text, chr(10), ''), ' ', ''))::BIGINT "
+        "AS chars, "
+        "len(list_filter(string_split(replace(text, chr(10), ' '), ' '), "
+        "w -> contains(w, '#') OR contains(w, '...')))::BIGINT AS symbols, "
+        "len(list_filter(string_split(text, chr(10)), "
+        "l -> starts_with(l, '- ') OR starts_with(l, '* ')))::BIGINT "
+        "AS bullets, "
+        "len(list_filter(string_split(text, chr(10)), "
+        "l -> right(l, 3) = '...'))::BIGINT AS ellipsis, "
+        "len(list_filter(string_split(replace(text, chr(10), ' '), ' '), "
+        "w -> regexp_matches(w, '[A-Za-z]')))::BIGINT AS alpha, "
+        "len(list_intersect(list_distinct("
+        "string_split(replace(text, chr(10), ' '), ' ')), "
+        + "[" + ", ".join(f"'{w}'" for w in _GQ_STOPS) + "]))::BIGINT "
+        "AS stops FROM gq_inj), "
+        "gq_rules AS (SELECT doc_id, source, "
+        "(n_words >= 50 AND n_words <= 100000) AS r_words, "
+        "(chars >= 3 * n_words AND chars <= 10 * n_words) AS r_mwl, "
+        "(symbols * 10 < n_words) AS r_symbol, "
+        "(bullets * 10 < n_lines * 9) AS r_bullet, "
+        "(ellipsis * 10 < n_lines * 3) AS r_ellipsis, "
+        "(alpha * 10 > n_words * 8) AS r_alpha, "
+        "(stops >= 2) AS r_stop FROM gq_feat)"
+    )
     return {
+        "gopher_filter": (
+            _gq_base + " "
+            "SELECT source, COUNT(*)::BIGINT AS n_docs, "
+            "SUM((r_words AND r_mwl AND r_symbol AND r_bullet AND "
+            "r_ellipsis AND r_alpha AND r_stop)::INT)::BIGINT AS n_pass, "
+            "SUM((NOT r_words)::INT)::BIGINT AS fail_words, "
+            "SUM((NOT r_mwl)::INT)::BIGINT AS fail_mwl, "
+            "SUM((NOT r_symbol)::INT)::BIGINT AS fail_symbol, "
+            "SUM((NOT r_bullet)::INT)::BIGINT AS fail_bullet, "
+            "SUM((NOT r_ellipsis)::INT)::BIGINT AS fail_ellipsis, "
+            "SUM((NOT r_alpha)::INT)::BIGINT AS fail_alpha, "
+            "SUM((NOT r_stop)::INT)::BIGINT AS fail_stop "
+            "FROM gq_rules GROUP BY source ORDER BY source"
+        ),
         "line_dedup_stats": (
             _line_base + " "
             "SELECT source, COUNT(DISTINCT doc_id)::BIGINT AS n_docs, "

@@ -5877,3 +5877,87 @@ def scrub_secrets(
         F.array_join(masked, " ").alias("text"),
         n_masked.alias("n_masked"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Gopher quality rules (Rae et al. 2021, appendix A1.1)
+# ---------------------------------------------------------------------------
+
+#: "contains at least two of ..." — the Gopher stop-word presence rule.
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_rules(
+    docs: DataFrame,
+    sep: str = "\n",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    stopwords: "tuple[str, ...]" = GOPHER_STOPWORDS,
+) -> DataFrame:
+    """The Gopher document-quality rules (Rae et al. 2021, A1.1) as one
+    JVM projection — the brand-name heuristic gate most web-corpus
+    pipelines run between extraction and dedup.  Every ratio threshold
+    is evaluated by integer cross-multiplication (10*symbols <
+    n_words, not symbols/n_words < 0.1), so the verdicts are exact and
+    engine-portable — no fp division anywhere.
+
+    Rules (a doc passes iff ALL hold):
+      r_words     min_words <= n_words <= max_words
+      r_mwl       3 <= mean word length <= 10  (3n <= chars <= 10n)
+      r_symbol    '#'-or-'...'-bearing words  < 10% of words
+      r_bullet    lines starting '- '/'* '   < 90% of lines
+      r_ellipsis  lines ending '...'         < 30% of lines
+      r_alpha     words with an alphabetic char > 80% of words
+      r_stop      >= 2 distinct stop words present (the list is
+                  English-specific in the paper; parameterize it for
+                  other languages/corpora)
+
+    One scan, no shuffle, no Python.  Returns per doc: (doc_id, source,
+    n_words, n_lines, the seven rule booleans, passes).
+    """
+    lines = F.split("text", sep)
+    txt = F.array_join(lines, " ")
+    words = F.split(txt, " ")
+    n_words = F.size(words).cast("bigint")
+    n_lines = F.size(lines).cast("bigint")
+    chars = F.length(F.replace(txt, F.lit(" "), F.lit(""))).cast("bigint")
+    symbols = F.size(
+        F.filter(words, lambda w: w.contains("#") | w.contains("..."))
+    ).cast("bigint")
+    bullets = F.size(
+        F.filter(
+            lines, lambda l: l.startswith("- ") | l.startswith("* ")
+        )
+    ).cast("bigint")
+    ellipsis = F.size(
+        F.filter(lines, lambda l: l.endswith("..."))
+    ).cast("bigint")
+    alpha = F.size(
+        F.filter(words, lambda w: w.rlike("[A-Za-z]"))
+    ).cast("bigint")
+    stops = F.size(
+        F.array_intersect(
+            F.array_distinct(words),
+            F.array(*[F.lit(s) for s in stopwords]),
+        )
+    ).cast("bigint")
+    r = {
+        "r_words": (n_words >= min_words) & (n_words <= max_words),
+        "r_mwl": (chars >= 3 * n_words) & (chars <= 10 * n_words),
+        "r_symbol": symbols * 10 < n_words,
+        "r_bullet": bullets * 10 < n_lines * 9,
+        "r_ellipsis": ellipsis * 10 < n_lines * 3,
+        "r_alpha": alpha * 10 > n_words * 8,
+        "r_stop": stops >= 2,
+    }
+    passes = None
+    for c in r.values():
+        passes = c if passes is None else (passes & c)
+    return docs.select(
+        "doc_id",
+        "source",
+        n_words.alias("n_words"),
+        n_lines.alias("n_lines"),
+        *[c.alias(k) for k, c in r.items()],
+        passes.alias("passes"),
+    )

@@ -521,6 +521,7 @@ def main() -> None:
         "sft_pack_masked", "dup_span_mask",
         "warc_ingest", "link_graph", "pagerank_hosts",
         "suffix_dup_stats", "line_dedup_scrub", "secret_scrub",
+        "gopher_filter",
     ):
         q = entry_mod.queries()[name]
         timed(f"q_{name}", lambda q=q: q(spark, sf_dir).collect())

@@ -1,0 +1,75 @@
+"""Gopher quality rules (Rae et al. 2021 A1.1): each rule tripped by a
+targeted fixture, all-integer verdicts, JVM-only plan."""
+
+from __future__ import annotations
+
+from archive_spark import pipeline_ops as po
+
+
+def _rules(spark, rows, **kw):
+    docs = spark.createDataFrame(
+        rows, "doc_id string, source string, text string"
+    )
+    return {r.doc_id: r for r in po.gopher_rules(docs, **kw).collect()}
+
+
+def test_each_rule_trips_independently(spark):
+    good = " ".join(["the and words here extra pad go on"] * 8)  # 64 words
+    out = _rules(
+        spark,
+        [
+            ("ok", "s", good),
+            ("short", "s", "the and tiny"),
+            ("longwords", "s", " ".join(["pneumonoultramicroscopics"] * 60)),
+            ("symbols", "s", " ".join(["#tag"] * 30 + ["the and ok"] * 20)),
+            ("bullets", "s", "\n".join(["- the and point"] * 10)),
+            ("dots", "s", "\n".join([f"the and w{i}..." for i in range(10)])),
+            ("numeric", "s", " ".join(["12345"] * 50 + ["the", "and"])),
+        ],
+        min_words=5,
+    )
+    assert out["ok"].passes
+    assert not out["short"].r_words and out["short"].r_mwl
+    assert not out["longwords"].r_mwl
+    assert not out["symbols"].r_symbol
+    assert not out["bullets"].r_bullet and out["bullets"].r_stop
+    assert not out["dots"].r_ellipsis and not out["dots"].r_symbol
+    assert not out["numeric"].r_alpha
+    for k in ("short", "longwords", "symbols", "bullets", "dots", "numeric"):
+        assert not out[k].passes, k
+
+
+def test_stopword_rule_needs_two_distinct(spark):
+    out = _rules(
+        spark,
+        [
+            ("one", "s", " ".join(["the"] * 10)),  # one distinct stopword
+            ("two", "s", "the and " + " ".join(["x"] * 8)),
+        ],
+        min_words=5,
+    )
+    assert not out["one"].r_stop
+    assert out["two"].r_stop
+
+
+def test_custom_stopword_list(spark):
+    out = _rules(
+        spark,
+        [("d", "s", "fast table " + " ".join(["x"] * 8))],
+        min_words=5,
+        stopwords=("fast", "table"),
+    )
+    assert out["d"].r_stop
+
+
+def test_gopher_plan_is_jvm_only(spark):
+    docs = spark.createDataFrame(
+        [("d", "s", "a b")], "doc_id string, source string, text string"
+    )
+    plan = po.gopher_rules(docs)._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "simple"
+        )
+    )
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInArrow"):
+        assert marker not in plan, (marker, plan)

@@ -100,3 +100,40 @@ def test_secret_scrub_preserves_unflagged_bytes(spark):
     # split/join on single space is lossless even for runs (empty words
     # re-join), so everything but the masked token is byte-identical
     assert out.text == "x  double  spaced [SECRET] tail"
+
+
+def test_line_and_secret_lanes_are_jvm_only(spark, linedocs):
+    """No Python eval node anywhere in either lane — the dedup is
+    explode/aggregate/join, the scrub is split/transform/join, all
+    whole-stage-codegen territory."""
+    frames = [
+        po.line_dedup_stats(linedocs),
+        po.dedup_lines(linedocs),
+        po.detect_secrets(linedocs),
+        po.scrub_secrets(linedocs),
+    ]
+    for df in frames:
+        plan = df._sc is not None and df._jdf.queryExecution().explainString(
+            df._sc._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "simple"
+            )
+        )
+        for marker in (
+            "BatchEvalPython",
+            "ArrowEvalPython",
+            "MapInArrow",
+            "FlatMapGroupsIn",
+        ):
+            assert marker not in plan, (marker, plan)
+
+
+def test_dedup_lines_has_no_window(spark, linedocs):
+    """Keep-first must come from a groupBy-min aggregate, never a
+    corpus-wide window (window partitions by line would put a
+    billion-fold repeated line in one task)."""
+    plan = po.dedup_lines(linedocs)._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "simple"
+        )
+    )
+    assert "Window" not in plan, plan
