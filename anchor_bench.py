@@ -41,6 +41,11 @@ def main() -> None:
                     help="also anchor exact substring dedup (prefix-group "
                          "doubling) over the token corpus, gated by exact "
                          "agreement with the hashed dup-span lane")
+    ap.add_argument("--lines", action="store_true",
+                    help="also anchor CCNet line-level dedup: stats face "
+                         "and scrub face over the token corpus wrapped into "
+                         "8-token lines, gated by exact agreement of their "
+                         "removal totals")
     ap.add_argument("--embeddings", type=int, default=0,
                     help="also anchor the float lane with N synthetic vectors")
     ap.add_argument("--index", action="store_true",
@@ -464,6 +469,69 @@ def main() -> None:
         out["suffix_hashed_sec"] = round(time.perf_counter() - t0, 1)
         out["suffix_gate_exact_eq_hashed"] = int(hashed.n or 0) == int(
             row.n_dup_pos
+        )
+
+    # ---- line-dedup anchor: CCNet keep-first line dedup at corpus
+    # scale, both faces, gated by exact agreement of removal totals
+    # (stats face counts what the scrub face must remove)
+    if args.lines:
+        from archive_spark import pipeline_ops as po
+
+        lw = 8  # tokens per synthetic line
+        toks_str = F.transform("tokens", lambda x: x.cast("string"))
+        n_l = ((F.size("tokens") + (lw - 1)) / lw).cast("int")
+        # materialize the wrapped corpus once (it is the lane's INPUT —
+        # a real pipeline reads documents from storage; without this
+        # the 42M-token string build re-runs on every join branch)
+        lines_path = f"{scratch}/linedocs"
+        t0 = time.perf_counter()
+        if not os.path.exists(lines_path):
+            tokens.select(
+                "doc_id",
+                "source",
+                F.array_join(
+                    F.transform(
+                        F.sequence(F.lit(0), n_l - 1),
+                        lambda i: F.array_join(
+                            F.slice(toks_str, i * lw + 1, lw), " "
+                        ),
+                    ),
+                    "\n",
+                ).alias("text"),
+            ).write.mode("overwrite").parquet(lines_path)
+        out["lines_generate_sec"] = round(time.perf_counter() - t0, 1)
+        lview = spark.read.parquet(lines_path)
+        t0 = time.perf_counter()
+        st = (
+            po.line_dedup_stats(lview)
+            .agg(
+                F.sum("n_lines").alias("n_lines"),
+                F.sum("n_dup_lines").alias("n_dup"),
+                F.sum("n_removed").alias("n_removed"),
+                F.sum("chars_removed").alias("chars_removed"),
+            )
+            .collect()[0]
+        )
+        dt = time.perf_counter() - t0
+        out["lines_stats_sec"] = round(dt, 1)
+        out["lines_total"] = int(st.n_lines)
+        out["lines_mlines_per_sec"] = round(st.n_lines / dt / 1e6, 2)
+        out["lines_dup"] = int(st.n_dup)
+        out["lines_removed"] = int(st.n_removed)
+        t0 = time.perf_counter()
+        sc = (
+            po.dedup_lines(lview)
+            .agg(
+                F.sum("n_lines").alias("n_lines"),
+                F.sum("n_removed").alias("n_removed"),
+                F.sum(F.length("text")).alias("chars_kept"),
+            )
+            .collect()[0]
+        )
+        out["lines_scrub_sec"] = round(time.perf_counter() - t0, 1)
+        out["lines_gate_scrub_eq_stats"] = (
+            int(sc.n_lines) == int(st.n_lines)
+            and int(sc.n_removed) == int(st.n_removed)
         )
 
     # ---- embedding-lane anchor: encode/decode a synthetic float table
