@@ -405,6 +405,35 @@ def _q_secret_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_incremental_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-batch CCNet dedup: documents with doc_id%3==0 arrive as a
+    NEW ingest batch and are scrubbed against the line_index of the
+    other two-thirds (history) — every eligible line already seen in
+    history is dropped, batch-internal duplicates untouched, history
+    never rescanned (O(new) join on the 8-byte line hash).  The oracle
+    replays the split, the distinct-line history set, the drop rule,
+    and the rebuilt texts per source; a hash-join bug, an eligibility
+    leak, or a batch-internal line wrongly dropped each breaks a row."""
+    from archive_spark.pipeline_ops import dedup_lines_incremental, line_index
+
+    wrapped = _wrapped_docs(spark, sf_dir)
+    did = F.col("doc_id").cast("long")
+    idx = line_index(wrapped.filter(did % 3 != 0))
+    out = dedup_lines_incremental(wrapped.filter(did % 3 == 0), idx)
+    return (
+        out.groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum(F.length("text")).cast("bigint").alias("total_chars"),
+            F.sum("n_removed").cast("bigint").alias("n_removed"),
+            F.md5(
+                F.concat_ws("", F.sort_array(F.collect_list(F.md5("text"))))
+            ).alias("digest"),
+        )
+        .orderBy("source")
+    )
+
+
 _GQ_STOPS = ("the", "a", "key", "row", "table", "line", "value", "fast")
 
 
@@ -4540,6 +4569,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "secret_scan": _q_secret_scan,
         "secret_scrub": _q_secret_scrub,
         "gopher_filter": _q_gopher_filter,
+        "incremental_line_dedup": _q_incremental_line_dedup,
         "suffix_dup_stats": _q_suffix_dup_stats,
         "suffix_top_repeats": _q_suffix_top_repeats,
         "dup_length_profile": _q_dup_length_profile,
@@ -5078,6 +5108,26 @@ def oracle_sql() -> dict[str, str]:
             "SUM((NOT r_alpha)::INT)::BIGINT AS fail_alpha, "
             "SUM((NOT r_stop)::INT)::BIGINT AS fail_stop "
             "FROM gq_rules GROUP BY source ORDER BY source"
+        ),
+        "incremental_line_dedup": (
+            _line_base + ", "
+            "inc_hist AS (SELECT DISTINCT line FROM ld_lines "
+            "WHERE doc_id::BIGINT % 3 != 0 "
+            "AND length(trim(line)) >= 1), "
+            "inc_new AS (SELECT l.doc_id, l.source, l.pos, l.line, "
+            "(length(trim(l.line)) >= 1 AND h.line IS NOT NULL) AS dp "
+            "FROM ld_lines l LEFT JOIN inc_hist h USING (line) "
+            "WHERE l.doc_id::BIGINT % 3 = 0), "
+            "inc_scrub AS (SELECT doc_id, source, "
+            "COALESCE(string_agg(line, chr(10) ORDER BY pos) "
+            "FILTER (WHERE NOT dp), '') AS text, "
+            "SUM(dp::INT) AS n_removed FROM inc_new "
+            "GROUP BY doc_id, source) "
+            "SELECT source, COUNT(*)::BIGINT AS n_docs, "
+            "SUM(length(text))::BIGINT AS total_chars, "
+            "SUM(n_removed)::BIGINT AS n_removed, "
+            "md5(string_agg(md5(text), '' ORDER BY md5(text))) AS digest "
+            "FROM inc_scrub GROUP BY source ORDER BY source"
         ),
         "line_dedup_stats": (
             _line_base + " "

@@ -5961,3 +5961,83 @@ def gopher_rules(
         *[c.alias(k) for k, c in r.items()],
         passes.alias("passes"),
     )
+
+
+def line_index(
+    docs: DataFrame, sep: str = "\n", min_chars: int = 1
+) -> DataFrame:
+    """Persistable line-history index for cross-batch CCNet dedup: one
+    row per DISTINCT eligible line of the corpus — (h = xxhash64(line),
+    cnt).  History exists downstream only as this table (~16 bytes per
+    distinct line), so each future ingest batch dedups at O(|batch| +
+    index join), never O(corpus).  Hashing is safe HERE (unlike the
+    batch dedup, which groups on the line strings): a 64-bit collision
+    can only over-flag a new line as boilerplate — it can never corrupt
+    retained text, and at 10^10 distinct lines the expected collision
+    count is ~3 — recall noise, not a correctness hazard.
+    """
+    return (
+        docs.select(F.explode(F.split("text", sep)).alias("line"))
+        .filter(F.length(F.trim("line")) >= min_chars)
+        .groupBy(F.xxhash64("line").alias("h"))
+        .agg(F.count("*").cast("bigint").alias("cnt"))
+    )
+
+
+def dedup_lines_incremental(
+    new_docs: DataFrame,
+    index: DataFrame,
+    sep: str = "\n",
+    min_chars: int = 1,
+    min_count: int = 1,
+) -> DataFrame:
+    """Scrub a NEW ingest batch against the persisted ``line_index`` of
+    everything seen before: every eligible line whose hash appears in
+    the index with cnt >= ``min_count`` is dropped (it is boilerplate
+    relative to history — the cross-shard CCNet rule); batch-internal
+    duplicates are deliberately NOT touched (run ``dedup_lines`` on the
+    batch for that), keeping this pass exactly O(new).
+
+    One scan of the batch, one co-partitioned join on the 8-byte hash,
+    one per-doc rebuild — the history corpus is never rescanned.
+    Returns (doc_id, source, text, n_lines, n_removed).
+    """
+    occ = new_docs.select(
+        "doc_id",
+        "source",
+        F.posexplode(F.split("text", sep)).alias("pos", "line"),
+    ).withColumn(
+        "h",
+        F.when(
+            F.length(F.trim("line")) >= min_chars, F.xxhash64("line")
+        ),
+    )
+    seen = (
+        index.filter(F.col("cnt") >= min_count)
+        .select("h")
+        .withColumn("drop", F.lit(True))
+    )
+    j = occ.join(seen, "h", "left").withColumn(
+        "drop", F.coalesce("drop", F.lit(False))
+    )
+    kept = (
+        j.groupBy("doc_id", "source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_lines"),
+            F.sum(F.col("drop").cast("bigint")).alias("n_removed"),
+            F.array_sort(
+                F.collect_list(
+                    F.when(~F.col("drop"), F.struct("pos", "line"))
+                )
+            ).alias("ks"),
+        )
+    )
+    return kept.select(
+        "doc_id",
+        "source",
+        F.array_join(F.transform("ks", lambda s: s["line"]), sep).alias(
+            "text"
+        ),
+        "n_lines",
+        "n_removed",
+    )

@@ -137,3 +137,29 @@ def test_dedup_lines_has_no_window(spark, linedocs):
         )
     )
     assert "Window" not in plan, plan
+
+
+def test_incremental_line_dedup_is_history_only(spark):
+    hist = spark.createDataFrame(
+        [("h1", "web", "common nav bar\nold news")],
+        "doc_id string, source string, text string",
+    )
+    new = spark.createDataFrame(
+        [
+            # hits history once; repeats internally (repeat must SURVIVE
+            # — this pass is O(new), batch-internal dups are dedup_lines'
+            # job); empty line survives (ineligible)
+            ("n1", "web", "common nav bar\nfresh one\nfresh one\n"),
+            ("n2", "web", "fresh two\ncommon nav bar"),
+        ],
+        "doc_id string, source string, text string",
+    )
+    idx = po.line_index(hist)
+    out = {
+        r.doc_id: r for r in po.dedup_lines_incremental(new, idx).collect()
+    }
+    assert out["n1"].text == "fresh one\nfresh one\n"
+    assert out["n1"].n_removed == 1
+    assert out["n2"].text == "fresh two"
+    # index is hash-only: ~16 bytes/distinct line, no text retained
+    assert set(idx.columns) == {"h", "cnt"}
