@@ -163,3 +163,54 @@ def test_incremental_line_dedup_is_history_only(spark):
     assert out["n2"].text == "fresh two"
     # index is hash-only: ~16 bytes/distinct line, no text retained
     assert set(idx.columns) == {"h", "cnt"}
+
+
+def test_line_dedup_invariants_random_corpus(spark):
+    """Seeded random corpus (shared line pool so real cross-doc dups
+    exist): conservation (kept + removed == total), stats/scrub
+    agreement, and idempotence (keep-first leaves at most one
+    occurrence of every eligible line, so a second pass removes 0)."""
+    import random
+
+    rng = random.Random(170)
+    pool = [
+        " ".join(
+            rng.choice("alpha beta gamma delta nav bar".split())
+            for _ in range(rng.randint(1, 4))
+        )
+        for _ in range(40)
+    ] + ["", "   "]
+    rows = [
+        (
+            f"d{i:04d}",
+            rng.choice(("web", "wiki")),
+            "\n".join(rng.choice(pool) for _ in range(rng.randint(1, 8))),
+        )
+        for i in range(200)
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id string, source string, text string"
+    )
+    once = po.dedup_lines(docs).cache()
+    t = once.groupBy().sum("n_lines", "n_removed").collect()[0]
+    stats = (
+        po.line_dedup_stats(docs).groupBy().sum("n_lines", "n_removed")
+    ).collect()[0]
+    assert (t[0], t[1]) == (stats[0], stats[1])
+    # kept-line count conservation, doc by doc.  split("") == [""], so
+    # the all-removed doc (expected 0 kept) needs its own branch —
+    # while a doc whose single KEPT line is the empty string also
+    # rebuilds as "" and is correctly counted 1 by split.
+    for r in once.collect():
+        expected = r.n_lines - r.n_removed
+        assert len(r.text.split("\n")) == expected or (
+            r.text == "" and expected == 0
+        ), r
+    twice = (
+        po.dedup_lines(once.select("doc_id", "source", "text"))
+        .groupBy()
+        .sum("n_removed")
+        .collect()[0][0]
+    )
+    assert twice == 0
+    once.unpersist()
