@@ -405,6 +405,42 @@ def _q_secret_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_line_dedup_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-faithful NORMALIZED line dedup: doc_id%19 documents are
+    uppercased whole (case variants of their every line now exist
+    corpus-wide), and dedup_lines(normalize=True) must collapse each
+    variant pair into one duplicate class via the ccnet_line_key chain
+    (lowercase → digits→0 → strip punctuation → collapse spaces) while
+    scrubbing ORIGINAL bytes.  The oracle replays the same key chain
+    with RE2 'g'-flag replaces and pins the rebuilt texts per source —
+    a first-match-only regexp_replace, a key/byte mixup, or an
+    eligibility drift each breaks the digest."""
+    from archive_spark.pipeline_ops import dedup_lines
+
+    did = F.col("doc_id").cast("long")
+    w = _wrapped_docs(spark, sf_dir)
+    inj = w.select(
+        "doc_id",
+        "source",
+        F.when(did % 19 == 0, F.upper("text"))
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return (
+        dedup_lines(inj, normalize=True)
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum(F.length("text")).cast("bigint").alias("total_chars"),
+            F.sum("n_removed").cast("bigint").alias("n_removed"),
+            F.md5(
+                F.concat_ws("", F.sort_array(F.collect_list(F.md5("text"))))
+            ).alias("digest"),
+        )
+        .orderBy("source")
+    )
+
+
 def _q_incremental_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-batch CCNet dedup: documents with doc_id%3==0 arrive as a
     NEW ingest batch and are scrubbed against the line_index of the
@@ -4570,6 +4606,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "secret_scrub": _q_secret_scrub,
         "gopher_filter": _q_gopher_filter,
         "incremental_line_dedup": _q_incremental_line_dedup,
+        "line_dedup_norm": _q_line_dedup_norm,
         "suffix_dup_stats": _q_suffix_dup_stats,
         "suffix_top_repeats": _q_suffix_top_repeats,
         "dup_length_profile": _q_dup_length_profile,
@@ -5108,6 +5145,32 @@ def oracle_sql() -> dict[str, str]:
             "SUM((NOT r_alpha)::INT)::BIGINT AS fail_alpha, "
             "SUM((NOT r_stop)::INT)::BIGINT AS fail_stop "
             "FROM gq_rules GROUP BY source ORDER BY source"
+        ),
+        "line_dedup_norm": (
+            _line_base + ", "
+            "lnk AS (SELECT doc_id, source, pos, line, "
+            "trim(regexp_replace(regexp_replace(regexp_replace("
+            "lower(line), '[0-9]', '0', 'g'), '[^a-z0 ]', '', 'g'), "
+            "' +', ' ', 'g')) AS k FROM ("
+            "SELECT doc_id, source, pos, CASE WHEN doc_id::BIGINT % 19 = 0 "
+            "THEN upper(line) ELSE line END AS line FROM ld_lines)), "
+            "lncnt AS (SELECT k, COUNT(*) AS c FROM lnk "
+            "WHERE length(k) >= 1 GROUP BY k), "
+            "lnocc AS (SELECT l.doc_id, l.source, l.pos, l.line, "
+            "(length(l.k) >= 1 AND COALESCE(c.c, 0) >= 2) AS dup, "
+            "row_number() OVER (PARTITION BY l.k "
+            "ORDER BY l.doc_id, l.pos) AS rn "
+            "FROM lnk l LEFT JOIN lncnt c USING (k)), "
+            "lnscrub AS (SELECT doc_id, source, "
+            "COALESCE(string_agg(line, chr(10) ORDER BY pos) "
+            "FILTER (WHERE NOT dup OR rn = 1), '') AS text, "
+            "SUM(CASE WHEN dup AND rn > 1 THEN 1 ELSE 0 END) AS n_removed "
+            "FROM lnocc GROUP BY doc_id, source) "
+            "SELECT source, COUNT(*)::BIGINT AS n_docs, "
+            "SUM(length(text))::BIGINT AS total_chars, "
+            "SUM(n_removed)::BIGINT AS n_removed, "
+            "md5(string_agg(md5(text), '' ORDER BY md5(text))) AS digest "
+            "FROM lnscrub GROUP BY source ORDER BY source"
         ),
         "incremental_line_dedup": (
             _line_base + ", "

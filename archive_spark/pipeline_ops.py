@@ -5639,44 +5639,69 @@ def scrub_suffix_duplicates(docs: DataFrame, gram_len: int = 5) -> DataFrame:
 # line-level corpus dedup (CCNet-style paragraph dedup)
 # ---------------------------------------------------------------------------
 
+def ccnet_line_key(line) -> "F.Column":
+    """CCNet's paragraph-normalization as the dedup MATCH KEY (Wenzek
+    et al. 2020 §3: lowercase, digits folded to one symbol, punctuation
+    removed, whitespace collapsed) — applied to the key only; original
+    line bytes are always what survives a scrub.  Pure JVM regex chain,
+    ASCII-deterministic, replayable in DuckDB with the 'g' flag."""
+    k = F.regexp_replace(F.lower(line), "[0-9]", "0")
+    k = F.regexp_replace(k, "[^a-z0 ]", "")
+    return F.trim(F.regexp_replace(k, " +", " "))
+
+
 def line_occurrence_table(
-    docs: DataFrame, sep: str = "\n", min_chars: int = 1
+    docs: DataFrame,
+    sep: str = "\n",
+    min_chars: int = 1,
+    normalize: bool = False,
 ) -> DataFrame:
     """Every line occurrence in the corpus with its global duplication
     facts — the shared scan under ``line_dedup_stats`` / ``dedup_lines``
     (CCNet's paragraph-dedup stage: Wenzek et al. 2020, *CCNet:
     Extracting High Quality Monolingual Datasets from Web Crawl Data*).
 
+    ``normalize=True`` matches lines by ``ccnet_line_key`` (case /
+    digit / punctuation variants collapse into one duplicate class, as
+    in the paper) while eligibility and removal accounting stay on the
+    ORIGINAL line bytes — with the key's own emptiness folded in: a
+    line that normalizes to shorter than ``min_chars`` (pure
+    punctuation) is ineligible, since every such line would otherwise
+    share one giant near-empty class.
+
     Lines shorter than ``min_chars`` (after trim) are *ineligible*:
     they pass through untouched and never join the duplicate pool (so
     blank separator lines can't be "deduplicated" into structure loss).
 
-    Scale posture: one posexplode scan → one groupBy(line) with
+    Scale posture: one posexplode scan → one groupBy(key) with
     map-side partial combine (first occurrence = ``min(struct(doc_id,
     pos))``, an ordinary aggregate — no corpus-wide window, so a line
     repeated a billion times is one reduce-side group, not one window
     partition) → one co-partitioned join back.  Shuffle keys are the
-    line strings themselves: collision-free by construction (hash
+    line/key strings themselves: collision-free by construction (hash
     grouping would risk merging distinct lines and *dropping* unique
     text).  First-occurrence order is lexicographic on (doc_id, pos) —
     engine-portable with zero-padded ids.
 
     Returns (doc_id, source, pos, line, eligible, cnt, is_first).
     """
+    key = ccnet_line_key(F.col("line")) if normalize else F.col("line")
     lines = docs.select(
         "doc_id",
         "source",
         F.posexplode(F.split("text", sep)).alias("pos", "line"),
-    ).withColumn("eligible", F.length(F.trim("line")) >= min_chars)
+    ).withColumn("k", key).withColumn(
+        "eligible", F.length(F.trim("k")) >= min_chars
+    )
     firsts = (
         lines.filter("eligible")
-        .groupBy("line")
+        .groupBy("k")
         .agg(
             F.count("*").cast("bigint").alias("cnt"),
             F.min(F.struct("doc_id", "pos")).alias("first"),
         )
     )
-    j = lines.join(firsts, "line", "left")
+    j = lines.join(firsts, "k", "left")
     return j.select(
         "doc_id",
         "source",
@@ -5699,6 +5724,7 @@ def line_dedup_stats(
     sep: str = "\n",
     min_chars: int = 1,
     min_count: int = 2,
+    normalize: bool = False,
 ) -> DataFrame:
     """Per-source line-duplication accounting for the CCNet stage:
     how many line occurrences exist, how many sit in a corpus-wide
@@ -5707,7 +5733,9 @@ def line_dedup_stats(
     Integer-exact and SQL-replayable.  Returns one row per source:
     (source, n_docs, n_lines, n_dup_lines, n_removed, chars_removed).
     """
-    occ = line_occurrence_table(docs, sep=sep, min_chars=min_chars)
+    occ = line_occurrence_table(
+        docs, sep=sep, min_chars=min_chars, normalize=normalize
+    )
     dup = F.col("eligible") & (F.col("cnt") >= min_count)
     rem = dup & ~F.col("is_first")
     return (
@@ -5731,6 +5759,7 @@ def dedup_lines(
     min_chars: int = 1,
     min_count: int = 2,
     keep_first: bool = True,
+    normalize: bool = False,
 ) -> DataFrame:
     """CCNet-style line/paragraph dedup: drop every eligible line whose
     exact text occurs ``min_count``-or-more times corpus-wide, keeping
@@ -5741,7 +5770,9 @@ def dedup_lines(
     is removed come back as empty text, never dropped rows.  Pure JVM
     end-to-end.  Returns (doc_id, source, text, n_lines, n_removed).
     """
-    occ = line_occurrence_table(docs, sep=sep, min_chars=min_chars)
+    occ = line_occurrence_table(
+        docs, sep=sep, min_chars=min_chars, normalize=normalize
+    )
     dup = F.col("eligible") & (F.col("cnt") >= min_count)
     drop = dup & ~F.col("is_first") if keep_first else dup
     kept = (

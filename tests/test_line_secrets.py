@@ -7,6 +7,7 @@ the driver oracle exercises only in aggregate."""
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
 from archive_spark import pipeline_ops as po
 
@@ -214,3 +215,36 @@ def test_line_dedup_invariants_random_corpus(spark):
     )
     assert twice == 0
     once.unpersist()
+
+
+def test_normalized_dedup_collapses_variants_preserves_bytes(spark):
+    rows = [
+        ("d1", "s", "Hello, World 2024\nunique alpha"),
+        ("d2", "s", "hello world 2023!\nunique beta"),
+        ("d3", "s", "?!...\nunique gamma"),  # normalizes empty: ineligible
+        ("d4", "s", "!!!\nunique delta"),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id string, source string, text string"
+    )
+    # plain matching: no two lines byte-equal, nothing removed
+    plain = po.dedup_lines(docs)
+    assert plain.groupBy().sum("n_removed").collect()[0][0] == 0
+    # normalized: both header variants key to "hello world 0000";
+    # punctuation-only lines normalize empty -> ineligible, untouched
+    out = {
+        r.doc_id: r
+        for r in po.dedup_lines(docs, normalize=True).collect()
+    }
+    assert out["d1"].text == "Hello, World 2024\nunique alpha"  # first kept
+    assert out["d2"].text == "unique beta"
+    assert out["d2"].n_removed == 1
+    assert out["d3"].text == "?!...\nunique gamma"
+    assert out["d4"].text == "!!!\nunique delta"
+    key = [
+        r[0]
+        for r in spark.createDataFrame([("x",)], "a string")
+        .select(po.ccnet_line_key(F.lit("  Hello, World 2024 !! ")))
+        .collect()
+    ]
+    assert key == ["hello world 0000"]
