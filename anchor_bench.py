@@ -501,6 +501,16 @@ def main() -> None:
             ).write.mode("overwrite").parquet(lines_path)
         out["lines_generate_sec"] = round(time.perf_counter() - t0, 1)
         lview = spark.read.parquet(lines_path)
+        # shuffle partitions must scale with the line count: at 545M
+        # lines, 64 partitions put ~8.5M line-structs in every task's
+        # sort buffer and 32 concurrent tasks OOM the spill path.
+        # ~2M lines per partition keeps each reduce task ~150 MB.
+        est_lines = int(out["n_tokens"]) // lw + args.docs
+        prev_sp = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set(
+            "spark.sql.shuffle.partitions",
+            str(max(64, est_lines // 2_000_000)),
+        )
         t0 = time.perf_counter()
         st = (
             po.line_dedup_stats(lview)
@@ -533,6 +543,7 @@ def main() -> None:
             int(sc.n_lines) == int(st.n_lines)
             and int(sc.n_removed) == int(st.n_removed)
         )
+        spark.conf.set("spark.sql.shuffle.partitions", prev_sp)
 
     # ---- embedding-lane anchor: encode/decode a synthetic float table
     # at scale, digest-gated (order-insensitive bitwise sum/xor — no
