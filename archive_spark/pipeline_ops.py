@@ -5760,42 +5760,71 @@ def dedup_lines(
     min_count: int = 2,
     keep_first: bool = True,
     normalize: bool = False,
+    hash_keys: bool = False,
 ) -> DataFrame:
     """CCNet-style line/paragraph dedup: drop every eligible line whose
-    exact text occurs ``min_count``-or-more times corpus-wide, keeping
+    match key occurs ``min_count``-or-more times corpus-wide, keeping
     the first occurrence (lexicographic (doc_id, pos)) unless
     ``keep_first=False`` (then ALL occurrences of duplicated lines go —
-    the aggressive boilerplate kill).  Document text is rebuilt in
-    original line order with ``sep`` re-inserted; docs whose every line
-    is removed come back as empty text, never dropped rows.  Pure JVM
-    end-to-end.  Returns (doc_id, source, text, n_lines, n_removed).
+    the aggressive boilerplate kill).  ``normalize=True`` matches by
+    ``ccnet_line_key``; removal always targets ORIGINAL bytes.
+
+    Scale posture (this shape survived where the naive one did not):
+    line TEXT never shuffles.  The duplicate search shuffles only
+    (doc_id, pos, key) — and with ``hash_keys=True`` the key is
+    xxhash64, 8 bytes, at the documented risk that a 64-bit collision
+    drops a unique line (~3 expected collisions at 10^10 distinct
+    lines; the exact-string default cannot drop anything spuriously).
+    The rebuild then ships only the DROPPED (doc_id, pos) pairs —
+    two integers per removed line — back to the docs table and filters
+    each document's split array by index, order-preserving, no
+    per-line structs and no second pass over text bytes (the
+    struct-rebuild variant OOM'd the spill path at 545M lines where
+    this plan runs clean).  Docs whose every line is removed come back
+    as empty text, never dropped rows.  Pure JVM end-to-end.
+    Returns (doc_id, source, text, n_lines, n_removed).
     """
-    occ = line_occurrence_table(
-        docs, sep=sep, min_chars=min_chars, normalize=normalize
+    lines = docs.select(
+        "doc_id", F.posexplode(F.split("text", sep)).alias("pos", "line")
     )
-    dup = F.col("eligible") & (F.col("cnt") >= min_count)
-    drop = dup & ~F.col("is_first") if keep_first else dup
-    kept = (
-        occ.withColumn("drop", drop)
-        .groupBy("doc_id", "source")
+    norm = ccnet_line_key(F.col("line")) if normalize else F.col("line")
+    occ = lines.select(
+        "doc_id",
+        "pos",
+        (F.xxhash64(norm) if hash_keys else norm).alias("k"),
+        (F.length(F.trim(norm)) >= min_chars).alias("e"),
+    )
+    firsts = (
+        occ.filter("e")
+        .groupBy("k")
         .agg(
-            F.count("*").cast("bigint").alias("n_lines"),
-            F.sum(F.col("drop").cast("bigint")).alias("n_removed"),
-            F.array_sort(
-                F.collect_list(
-                    F.when(~F.col("drop"), F.struct("pos", "line"))
-                )
-            ).alias("ks"),
+            F.count("*").alias("cnt"),
+            F.min(F.struct("doc_id", "pos")).alias("first"),
+        )
+        .filter(F.col("cnt") >= min_count)
+    )
+    j = occ.filter("e").join(firsts, "k")
+    dropped = (
+        j
+        if not keep_first
+        else j.filter(
+            (F.col("first.doc_id") != F.col("doc_id"))
+            | (F.col("first.pos") != F.col("pos"))
         )
     )
-    return kept.select(
+    ps = dropped.groupBy("doc_id").agg(
+        F.sort_array(F.collect_list("pos")).alias("ps")
+    )
+    out = docs.join(ps, "doc_id", "left")
+    arr = F.split("text", sep)
+    pcol = F.coalesce("ps", F.array().cast("array<int>"))
+    kept = F.filter(arr, lambda l, i: ~F.array_contains(pcol, i))
+    return out.select(
         "doc_id",
         "source",
-        F.array_join(
-            F.transform("ks", lambda s: s["line"]), sep
-        ).alias("text"),
-        "n_lines",
-        "n_removed",
+        F.array_join(kept, sep).alias("text"),
+        F.size(arr).cast("bigint").alias("n_lines"),
+        F.size(pcol).cast("bigint").alias("n_removed"),
     )
 
 

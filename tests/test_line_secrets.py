@@ -248,3 +248,17 @@ def test_normalized_dedup_collapses_variants_preserves_bytes(spark):
         .collect()
     ]
     assert key == ["hello world 0000"]
+
+
+def test_dedup_lines_hash_keys_equivalent(spark, linedocs):
+    """hash_keys=True must produce byte-identical results on a
+    collision-free corpus (the 8-byte-shuffle variant for extreme
+    scale)."""
+    a = {r.doc_id: r for r in po.dedup_lines(linedocs).collect()}
+    b = {
+        r.doc_id: r
+        for r in po.dedup_lines(linedocs, hash_keys=True).collect()
+    }
+    assert {k: (v.text, v.n_removed) for k, v in a.items()} == {
+        k: (v.text, v.n_removed) for k, v in b.items()
+    }
