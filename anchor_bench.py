@@ -528,6 +528,15 @@ def main() -> None:
         out["lines_mlines_per_sec"] = round(st.n_lines / dt / 1e6, 2)
         out["lines_dup"] = int(st.n_dup)
         out["lines_removed"] = int(st.n_removed)
+        # reclaim the stats face's shuffle files before the scrub face
+        # runs — local-mode shuffle dirs only clear when the driver GCs
+        # the plan objects, and both faces' spills together exhausted
+        # the disk at 545M lines
+        import gc
+
+        gc.collect()
+        spark.sparkContext._jvm.System.gc()
+        time.sleep(5)
         t0 = time.perf_counter()
         sc = (
             po.dedup_lines(lview)

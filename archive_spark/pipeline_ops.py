@@ -5725,29 +5725,82 @@ def line_dedup_stats(
     min_chars: int = 1,
     min_count: int = 2,
     normalize: bool = False,
+    hash_keys: bool = False,
 ) -> DataFrame:
     """Per-source line-duplication accounting for the CCNet stage:
     how many line occurrences exist, how many sit in a corpus-wide
     duplicate class (global count >= ``min_count``), and how many a
     keep-first scrub would remove, with the removed characters.
-    Integer-exact and SQL-replayable.  Returns one row per source:
-    (source, n_docs, n_lines, n_dup_lines, n_removed, chars_removed).
+    Integer-exact and SQL-replayable.
+
+    Scale posture: line text shuffles ONCE (as the (key, source)
+    group key); everything after is class-level — per-(key, source)
+    partial rows roll up to per-class rows carrying the global first
+    occurrence (with its source and byte length riding in the min
+    struct), and the final join is distinct-line sized, never
+    per-occurrence.  ``hash_keys=True`` shrinks the shuffled key to 8
+    bytes (same collision caveat as ``dedup_lines``).
+
+    Returns one row per source: (source, n_docs, n_lines,
+    n_dup_lines, n_removed, chars_removed).
     """
-    occ = line_occurrence_table(
-        docs, sep=sep, min_chars=min_chars, normalize=normalize
+    lines = docs.select(
+        "doc_id",
+        "source",
+        F.posexplode(F.split("text", sep)).alias("pos", "line"),
     )
-    dup = F.col("eligible") & (F.col("cnt") >= min_count)
-    rem = dup & ~F.col("is_first")
-    return (
-        occ.groupBy("source")
+    norm = ccnet_line_key(F.col("line")) if normalize else F.col("line")
+    occ = lines.select(
+        "doc_id",
+        "source",
+        "pos",
+        (F.xxhash64(norm) if hash_keys else norm).alias("k"),
+        (F.length(F.trim(norm)) >= min_chars).alias("e"),
+        F.length("line").alias("ln"),
+    )
+    base = occ.groupBy("source").agg(
+        F.count_distinct("doc_id").cast("bigint").alias("n_docs"),
+        F.count("*").cast("bigint").alias("n_lines"),
+    )
+    ks = (
+        occ.filter("e")
+        .groupBy("k", "source")
         .agg(
-            F.count_distinct("doc_id").cast("bigint").alias("n_docs"),
-            F.count("*").cast("bigint").alias("n_lines"),
-            F.sum(dup.cast("bigint")).alias("n_dup_lines"),
-            F.sum(rem.cast("bigint")).alias("n_removed"),
-            F.sum(F.when(rem, F.length("line")).otherwise(0))
-            .cast("bigint")
-            .alias("chars_removed"),
+            F.count("*").cast("bigint").alias("c_ks"),
+            F.sum("ln").cast("bigint").alias("ln_ks"),
+            F.min(F.struct("doc_id", "pos", "ln")).alias("f_ks"),
+        )
+    )
+    cls = ks.groupBy("k").agg(
+        F.sum("c_ks").alias("cnt"),
+        F.min(
+            F.struct(
+                F.col("f_ks.doc_id").alias("doc_id"),
+                F.col("f_ks.pos").alias("pos"),
+                F.col("source").alias("source"),
+                F.col("f_ks.ln").alias("ln"),
+            )
+        ).alias("first"),
+    )
+    jd = ks.join(cls, "k").filter(F.col("cnt") >= min_count)
+    own_first = (F.col("first.source") == F.col("source")).cast("bigint")
+    dup = jd.groupBy("source").agg(
+        F.sum("c_ks").alias("n_dup_lines"),
+        F.sum(F.col("c_ks") - own_first).alias("n_removed"),
+        F.sum(F.col("ln_ks") - own_first * F.col("first.ln")).alias(
+            "chars_removed"
+        ),
+    )
+    z = F.lit(0).cast("bigint")
+    return (
+        base.join(dup, "source", "left")
+        .select(
+            "source",
+            "n_docs",
+            "n_lines",
+            F.coalesce("n_dup_lines", z).alias("n_dup_lines"),
+            F.coalesce("n_removed", z).alias("n_removed"),
+            F.coalesce("chars_removed", z).alias("chars_removed"),
         )
         .orderBy("source")
     )
