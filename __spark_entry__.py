@@ -441,6 +441,30 @@ def _q_line_dedup_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_line_dedup_hashed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 8-byte-shuffle face of line dedup (hash_keys=True — the
+    extreme-scale variant) gated against the EXACT-string oracle: on a
+    collision-free corpus the hashed keys must reproduce the identical
+    scrubbed corpus digest-for-digest, so the driver row itself is the
+    cross-face agreement gate (the line-lane analogue of the suffix
+    lane's exact==hashed pin)."""
+    from archive_spark.pipeline_ops import dedup_lines
+
+    return (
+        dedup_lines(_wrapped_docs(spark, sf_dir), hash_keys=True)
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum(F.length("text")).cast("bigint").alias("total_chars"),
+            F.sum("n_removed").cast("bigint").alias("n_removed"),
+            F.md5(
+                F.concat_ws("", F.sort_array(F.collect_list(F.md5("text"))))
+            ).alias("digest"),
+        )
+        .orderBy("source")
+    )
+
+
 def _q_incremental_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-batch CCNet dedup: documents with doc_id%3==0 arrive as a
     NEW ingest batch and are scrubbed against the line_index of the
@@ -4607,6 +4631,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_filter": _q_gopher_filter,
         "incremental_line_dedup": _q_incremental_line_dedup,
         "line_dedup_norm": _q_line_dedup_norm,
+        "line_dedup_hashed": _q_line_dedup_hashed,
         "suffix_dup_stats": _q_suffix_dup_stats,
         "suffix_top_repeats": _q_suffix_top_repeats,
         "dup_length_profile": _q_dup_length_profile,
@@ -5131,7 +5156,7 @@ def oracle_sql() -> dict[str, str]:
         "(alpha * 10 > n_words * 8) AS r_alpha, "
         "(stops >= 2) AS r_stop FROM gq_feat)"
     )
-    return {
+    d = {
         "gopher_filter": (
             _gq_base + " "
             "SELECT source, COUNT(*)::BIGINT AS n_docs, "
@@ -7176,3 +7201,7 @@ def oracle_sql() -> dict[str, str]:
             "FROM events GROUP BY user_id HAVING count(*) >= 10 ORDER BY user_id"
         ),
     }
+    # the hashed face must reproduce the exact-string scrub verbatim —
+    # the oracle IS the cross-face collision gate
+    d["line_dedup_hashed"] = d["line_dedup_scrub"]
+    return d
