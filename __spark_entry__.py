@@ -4615,13 +4615,105 @@ def _constraint_oracle(table: str, constraints) -> str:
     )
 
 
+#: Driver-evidence backlog, round 5.  The driver's correctness harness
+#: walks queries() in dict order under a ~50-row budget; CORRECTNESS_r01-r04
+#: together cover 110 of the 178 registered queries.  These are the 68 that
+#: have NEVER earned a driver row, ordered: the 8 the round-3 verdict
+#: demanded by name first, then the remaining never-checked entries in
+#: their original registration order.  queries() (and oracle_sql()) are
+#: reordered at call time so these fill the r5 budget; the ~18 overflow
+#: entries stay queued at the front for r6.  No new query may be
+#: registered ahead of this list until it is empty (VERDICT r4 #1).
+_DRIVER_PRIORITY = [
+    # round-3 verdict's named backlog of 8
+    "readme_usability",
+    "archive_ingest",
+    "bpe_token_stats",
+    "doc_length_quantiles",
+    "repetition_stats",
+    "filter_histogram",
+    "distinctive_terms",
+    "tpch_q3ish",
+    # never-checked block registered in r4 (original order)
+    "wordpiece_stats",
+    "kmeans_lloyd",
+    "fuzzy_link",
+    "dataloader_batch",
+    "bucketed_batches",
+    "doc_compressibility",
+    "block_audit",
+    "vocab_remap",
+    "distinct_tokens_encoded",
+    "stratified_sample",
+    "multi_column_remap",
+    "fim_transform",
+    "pack_boundaries",
+    "vocab_merge",
+    "manifest_aggregates",
+    "multi_column_encode",
+    "postings_codec",
+    "source_overlap",
+    "keyword_tags",
+    "winnowing",
+    "doc_pagerank",
+    "hybrid_search",
+    "ann_pq_recall",
+    "ann_ivfpq_recall",
+    "wap_rollback",
+    "nb_classify",
+    "dsir_weights",
+    "takedown_upsert",
+    "purge_encoded",
+    "unigram_lm_stats",
+    # never-checked block registered in r3 (original order)
+    "semdedup",
+    "token_membership",
+    "token_postings",
+    "bm25_topk",
+    "phrase_count",
+    "proximity_count",
+    "concordance",
+    "cooccurrence",
+    "collocations",
+    "bigram_counts",
+    "trigram_counts",
+    "continuation_counts",
+    "next_token_kn",
+    "bpe_merges_batched",
+    "dup_span_stats",
+    "dup_span_scrub",
+    "incremental_dedup",
+    "normalize_text",
+    "token_histogram_encoded",
+    "lm_doc_scores",
+    "next_token_kn3",
+    "embedding_codec_mix",
+    "embedding_roundtrip",
+    "ann_encoded",
+    "datasource_tokens",
+    "temperature_mix",
+    "corpus_shuffle",
+    "token_budget",
+    "chunk_sequences",
+    "source_distinctive",
+]
+
+
+def _driver_order(d: dict) -> dict:
+    """Reorder a queries()/oracle_sql() dict so the never-driver-checked
+    backlog (_DRIVER_PRIORITY) comes first; everything else keeps its
+    registration order behind it."""
+    out = {k: d[k] for k in _DRIVER_PRIORITY if k in d}
+    out.update((k, v) for k, v in d.items() if k not in out)
+    return out
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    # NOTE: dict order is deliberate. The driver's correctness harness walks
-    # this dict in registration order under a budget (r01=34, r02=47, r03=50
-    # rows) — so queries that have never (or not recently) earned a driver
-    # row are registered FIRST: the 8 never-checked ones, then the 10 that
-    # were green in r02 but missed r03's window, then the 50 green in r03.
-    return {
+    # NOTE: dict order is deliberate — see _DRIVER_PRIORITY above. The
+    # literal below keeps its historical (r4) registration order; the
+    # _driver_order() wrapper at the end moves the never-driver-checked
+    # backlog to the front so the driver's ~50-row budget clears it.
+    q = {
         # -- every query WITHOUT a driver correctness row (r01-r03 artifacts)
         # -- comes first: the driver walks this dict in order under a budget --
         "line_dedup_stats": _q_line_dedup_stats,
@@ -4804,6 +4896,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_windowed_counts": _q_stream_windowed_counts,
         "stream_running_stats": _q_stream_running_stats,
     }
+    return _driver_order(q)
 
 
 _BRUTEFORCE_TOPK_CTE = (
@@ -7204,4 +7297,4 @@ def oracle_sql() -> dict[str, str]:
     # the hashed face must reproduce the exact-string scrub verbatim —
     # the oracle IS the cross-face collision gate
     d["line_dedup_hashed"] = d["line_dedup_scrub"]
-    return d
+    return _driver_order(d)
