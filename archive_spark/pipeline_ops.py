@@ -56,12 +56,26 @@ def exact_dedup_groups(docs: DataFrame) -> DataFrame:
 
 
 def exact_dedup_keep_first(docs: DataFrame) -> DataFrame:
-    """Deduplicated table: keep the min-doc_id row per content hash."""
-    w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
-    return (
-        docs.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .drop("rn")
+    """Deduplicated table: keep the min-doc_id row per content hash.
+
+    Skew-safe shape: duplicate classes are exactly the skewed thing in
+    a dedup workload (one boilerplate page repeated 10^8 times is one
+    hash key), so the keeper per class is found with an ordinary
+    ``groupBy(md5).agg(min(doc_id))`` — partial aggregation collapses
+    the hot class map-side — and joined back (AQE can split a skewed
+    join partition; WindowExec would funnel the whole class into one
+    task's sort buffer).  Assumes ``doc_id`` uniquely identifies a row
+    (true for every corpus table here); ties on (hash, doc_id) would
+    all be kept.
+    """
+    keepers = docs.groupBy(F.md5("text").alias("__ch")).agg(
+        F.min("doc_id").alias("doc_id")
+    )
+    return docs.join(
+        keepers,
+        (F.md5(docs["text"]) == keepers["__ch"])
+        & (docs["doc_id"] == keepers["doc_id"]),
+        "left_semi",
     )
 
 
@@ -5329,6 +5343,23 @@ def _position_table(docs: DataFrame) -> DataFrame:
     )
 
 
+def _group_min_join(df: DataFrame, keys: list, out: str = "g") -> DataFrame:
+    """``min(pos) per keys`` joined back onto ``df`` — the skew-safe
+    replacement for ``min(pos).over(Window.partitionBy(keys))``.
+
+    WindowExec has no map-side partial aggregation and cannot split a
+    partition key: on a zipfian corpus the hottest word ("the" at 3-5%
+    of real text) is billions of rows in ONE task's sort buffer.  An
+    ordinary aggregate collapses the hot key map-side (partial min),
+    and the join back is a sort-merge join AQE can skew-split.  Same
+    values, same determinism (min is total), different physical plan.
+    Returns ``df``'s rows minus the key columns, plus ``out``.
+    """
+    m = df.groupBy(*keys).agg(F.min("pos").alias("__gm"))
+    drop = [c for c in df.columns if c not in keys and c != "pos"]
+    return df.join(m, keys).select("pos", F.col("__gm").alias(out), *drop)
+
+
 def exact_dup_positions(docs: DataFrame, gram_len: int = 5) -> DataFrame:
     """EXACT corpus substring-duplicate detection via prefix-group
     doubling — the suffix-array construction of Lee et al. 2022
@@ -5354,10 +5385,13 @@ def exact_dup_positions(docs: DataFrame, gram_len: int = 5) -> DataFrame:
     ``2^a``-grams match — ``(g_a(p), g_a(p + L - 2^a))``.
 
     Scale posture: each level is one self-join on the 8-byte ``pos``
-    key (sort-merge on int64) plus one keyed window over ``(g, g2)``
-    — ceil(log2 L) + 1 rounds TOTAL regardless of corpus size (L=64 →
+    key (sort-merge on int64) plus one ``groupBy(g, g2).agg(min(pos))``
+    + join-back (NO window anywhere: partial aggregation collapses hot
+    groups map-side and the join is AQE-skew-splittable — a zipfian
+    corpus where one word is 5% of positions cannot pin a task) —
+    ceil(log2 L) + 1 rounds TOTAL regardless of corpus size (L=64 →
     7 rounds), every shuffle row is three longs, no strings move after
-    the g_0 window, no hash collisions exist anywhere (this is the
+    the g_0 grouping, no hash collisions exist anywhere (this is the
     exact counterpart to the xxhash64-based ``duplicate_spans``; on a
     collision-free corpus the two agree position-for-position).
 
@@ -5373,11 +5407,12 @@ def exact_dup_positions(docs: DataFrame, gram_len: int = 5) -> DataFrame:
     base = _position_table(docs)
     # every doubling round shuffles ONLY (pos, g) — two longs per row;
     # doc_id / wpos are recovered arithmetically from pos at the end
-    # (source, when a consumer needs it, joins back at per-doc width)
-    g0 = base.select(
-        "pos",
-        F.min("pos").over(Window.partitionBy("word")).alias("g"),
-    )
+    # (source, when a consumer needs it, joins back at per-doc width).
+    # Group ids come from groupBy+join (_group_min_join), never from a
+    # per-key window: on zipfian text the hottest word/group would pin
+    # an entire WindowExec partition to one task, while the aggregate
+    # collapses it map-side and AQE can skew-split the join.
+    g0 = _group_min_join(base.select("pos", "word"), ["word"])
 
     def _combine(cur: DataFrame, h: int) -> DataFrame:
         shifted = cur.select(
@@ -5389,10 +5424,7 @@ def exact_dup_positions(docs: DataFrame, gram_len: int = 5) -> DataFrame:
             "g",
             F.coalesce("g2", -F.col("pos") - 1).alias("g2"),
         )
-        return paired.select(
-            "pos",
-            F.min("pos").over(Window.partitionBy("g", "g2")).alias("g"),
-        )
+        return _group_min_join(paired, ["g", "g2"])
 
     cur = g0
     reach = 1  # current level groups by `reach`-grams
@@ -5401,12 +5433,13 @@ def exact_dup_positions(docs: DataFrame, gram_len: int = 5) -> DataFrame:
         reach *= 2
     if reach < gram_len:
         cur = _combine(cur, gram_len - reach)
-    return cur.select(
+    gcnt = cur.groupBy("g").agg(F.count("*").cast("bigint").alias("gcnt"))
+    return cur.join(gcnt, "g").select(
         "pos",
         F.expr(f"CAST(pos DIV {1 << _POS_SHIFT} AS BIGINT)").alias("doc_id"),
         (F.col("pos") % (1 << _POS_SHIFT)).cast("int").alias("wpos"),
         "g",
-        F.count("*").over(Window.partitionBy("g")).alias("gcnt"),
+        "gcnt",
     )
 
 
@@ -5542,17 +5575,16 @@ def dup_length_profile(docs: DataFrame, max_pow: int = 3) -> DataFrame:
 
     Each level reuses (and persists) the previous level's groups, so
     the whole profile costs the same as a single ``exact_dup_positions``
-    at the largest length: max_pow joins + max_pow + 1 keyed windows,
-    all on long keys.  Returns one row per level: (gram_len, n_dup_pos,
+    at the largest length: max_pow + 1 rounds of groupBy+join group-id
+    assignment (skew-safe — see ``_group_min_join``; no windows), all
+    on long keys.  Returns one row per level: (gram_len, n_dup_pos,
     n_dup_groups, dup_digest) where dup_digest = sum of duplicated
     group ids (pins every group assignment per level).
     """
     if max_pow < 0:
         raise ValueError("max_pow must be >= 0")
     base = _position_table(docs)
-    cur = base.select(
-        "pos", F.min("pos").over(Window.partitionBy("word")).alias("g")
-    )
+    cur = _group_min_join(base.select("pos", "word"), ["word"])
 
     def _level_stats(df: DataFrame, length: int) -> DataFrame:
         return (
@@ -5580,16 +5612,10 @@ def dup_length_profile(docs: DataFrame, max_pow: int = 3) -> DataFrame:
             shifted = cur.select(
                 (F.col("pos") - length).alias("pos"), F.col("g").alias("g2")
             )
-            cur = (
-                cur.join(shifted, "pos", "left")
-                .select(
-                    "pos", "g", F.coalesce("g2", -F.col("pos") - 1).alias("g2")
-                )
-                .select(
-                    "pos",
-                    F.min("pos").over(Window.partitionBy("g", "g2")).alias("g"),
-                )
+            paired = cur.join(shifted, "pos", "left").select(
+                "pos", "g", F.coalesce("g2", -F.col("pos") - 1).alias("g2")
             )
+            cur = _group_min_join(paired, ["g", "g2"])
             length *= 2
     out = levels[0]
     for lv in levels[1:]:

@@ -322,3 +322,41 @@ def test_funnel_is_one_shuffle_one_scan(spark):
     assert plan.count("FileScan") == 1, plan
     assert "Join" not in plan
     assert plan.count("Exchange") <= 2, plan
+
+
+def test_suffix_dedup_lane_has_no_window(spark):
+    """VERDICT round 4 #2: the doubling chain's group ids must come from
+    groupBy+join, never a per-key window — WindowExec has no map-side
+    partial aggregation and cannot split a partition key, so on zipfian
+    text the hottest word would pin one task.  The plan must contain
+    zero Window nodes and a partial+final HashAggregate pair per
+    grouping round (gram_len=4 → g0 + 2 doubling rounds + gcnt = 4
+    groupings = >= 8 HashAggregate mentions in simple mode)."""
+    from archive_spark.pipeline_ops import exact_dup_positions
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = plan_of(exact_dup_positions(docs, gram_len=4), mode="simple")
+    assert "Window" not in plan, plan
+    assert plan.count("HashAggregate") >= 8, plan
+
+
+def test_suffix_stats_and_profile_have_no_window(spark):
+    from archive_spark.pipeline_ops import dup_length_profile, suffix_dup_stats
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    for df in (suffix_dup_stats(docs, 4), dup_length_profile(docs, 2)):
+        plan = plan_of(df, mode="simple")
+        assert "Window" not in plan, plan
+
+
+def test_keep_first_dedup_has_no_window(spark):
+    """VERDICT round 4 #3: duplicate classes are the skewed thing in a
+    dedup workload — the keeper must be found by aggregate + semi-join
+    (partial aggregation + AQE-splittable join), not row_number over a
+    per-class window."""
+    from archive_spark.pipeline_ops import exact_dedup_keep_first
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = plan_of(exact_dedup_keep_first(docs), mode="simple")
+    assert "Window" not in plan, plan
+    assert plan.count("HashAggregate") >= 2, plan  # partial + final

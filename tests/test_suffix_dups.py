@@ -202,3 +202,48 @@ def test_scrub_suffix_matches_hashed_scrub_and_stats(spark):
     }
     for r in po.suffix_dup_stats(docs, gram_len=k).collect():
         assert kept[r["source"]] == r["n_pos"] - r["covered_words"], r
+
+
+def test_exact_dup_positions_on_skewed_corpus(spark):
+    """VERDICT round 4 #2 done-criterion: a deliberately zipfian corpus
+    where ONE word is ~30% of all positions (the WindowExec killer)
+    must still group exactly.  With the groupBy+join design the hot
+    word collapses map-side; this pins the values, the plan pin lives
+    in test_plans.py."""
+    import random
+
+    rng = random.Random(5)
+    vocab = ["the"] * 30 + [f"w{i}" for i in range(70)]
+    texts = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(5, 40))))
+        for i in range(60)
+    ]
+    docs = spark.createDataFrame(
+        [(i, t, f"s{i % 3}") for i, t in texts],
+        "doc_id long, text string, source string",
+    )
+    for gram_len in (1, 3):
+        got = {
+            r["pos"]: (r["g"], r["gcnt"])
+            for r in po.exact_dup_positions(docs, gram_len).collect()
+        }
+        assert got == _brute_groups(texts, gram_len)
+
+
+def test_keep_first_on_skewed_duplicate_classes(spark):
+    """VERDICT round 4 #3 done-criterion: one duplicate class holding
+    80% of the table (the boilerplate page) — keep-first must keep
+    exactly the min doc_id per class, with no per-class window."""
+    rows = [(i, "boilerplate page", "s0") for i in range(400)]
+    rows += [(1000 + i, f"unique {i}", "s1") for i in range(50)]
+    rows += [(2000 + i, "lesser dup", "s2") for i in range(10)]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, source string"
+    )
+    kept = po.exact_dedup_keep_first(docs).collect()
+    ids = sorted(r["doc_id"] for r in kept)
+    assert ids == [0] + [1000 + i for i in range(50)] + [2000]
+    # keeper rows are the original rows, intact
+    by_id = {r["doc_id"]: r for r in kept}
+    assert by_id[0]["text"] == "boilerplate page"
+    assert by_id[2000]["source"] == "s2"
