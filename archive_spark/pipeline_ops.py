@@ -60,23 +60,23 @@ def exact_dedup_keep_first(docs: DataFrame) -> DataFrame:
 
     Skew-safe shape: duplicate classes are exactly the skewed thing in
     a dedup workload (one boilerplate page repeated 10^8 times is one
-    hash key), so the keeper per class is found with an ordinary
-    ``groupBy(md5).agg(min(doc_id))`` — partial aggregation collapses
-    the hot class map-side — and joined back (AQE can split a skewed
-    join partition; WindowExec would funnel the whole class into one
-    task's sort buffer).  Assumes ``doc_id`` uniquely identifies a row
-    (true for every corpus table here); ties on (hash, doc_id) would
-    all be kept.
+    hash key), so the keeper row per class is ONE ordinary aggregate —
+    ``groupBy(md5(text)).agg(min(struct(doc_id, <other cols>)))`` —
+    whose map-side partial min collapses the hot class before the
+    shuffle ever sees it (WindowExec, by contrast, funnels the whole
+    class into one task's sort buffer and cannot be split).  The
+    struct orders by ``doc_id`` first (keep-first contract, in
+    doc_id's native type ordering), remaining columns only breaking
+    exact-id ties, so the result is deterministic even for degenerate
+    corpora with repeated doc_ids.  Requires orderable column types
+    (true for every corpus table here).
     """
-    keepers = docs.groupBy(F.md5("text").alias("__ch")).agg(
-        F.min("doc_id").alias("doc_id")
+    cols = docs.columns
+    ordered = ["doc_id"] + [c for c in cols if c != "doc_id"]
+    keeper = docs.groupBy(F.md5("text").alias("__ch")).agg(
+        F.min(F.struct(*ordered)).alias("__r")
     )
-    return docs.join(
-        keepers,
-        (F.md5(docs["text"]) == keepers["__ch"])
-        & (docs["doc_id"] == keepers["doc_id"]),
-        "left_semi",
-    )
+    return keeper.select(*[F.col(f"__r.{c}").alias(c) for c in cols])
 
 
 def _shingles(col, k: int = 3):

@@ -359,4 +359,8 @@ def test_keep_first_dedup_has_no_window(spark):
     docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     plan = plan_of(exact_dedup_keep_first(docs), mode="simple")
     assert "Window" not in plan, plan
-    assert plan.count("HashAggregate") >= 2, plan  # partial + final
+    # min(struct) lowers to SortAggregate (structs aren't hash-
+    # aggregatable) — what matters is the map-side partial_min that
+    # collapses a hot duplicate class before the exchange
+    assert "partial_min" in plan, plan
+    assert plan.count("SortAggregate") + plan.count("HashAggregate") >= 2, plan
