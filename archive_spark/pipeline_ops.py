@@ -2264,15 +2264,62 @@ def duplicate_spans(docs: DataFrame, k: int = 5, min_df: int = 2) -> DataFrame:
     )
 
 
+def _drop_at_positions(arr, drops):
+    """Rebuild array ``arr`` minus the elements at 0-based positions
+    ``drops`` (sorted, distinct, all < size(arr)) — O(n + r) pure JVM:
+    slice the kept segments between consecutive dropped positions and
+    flatten them, instead of probing ``array_contains(drops, i)`` per
+    element, which is O(n × r) and goes quadratic on boilerplate-heavy
+    docs where thousands of positions are dropped (ADVICE r4)."""
+    bounds = F.concat(
+        F.array(F.lit(-1).cast("int")),
+        drops.cast("array<int>"),
+        F.array(F.size(arr)),
+    )
+    nseg = F.size(bounds) - 1
+    return F.flatten(
+        F.zip_with(
+            F.slice(bounds, 1, nseg),
+            F.slice(bounds, 2, nseg),
+            lambda a, b: F.slice(arr, a + 2, b - a - 1),
+        )
+    )
+
+
+def _zero_mask_at_positions(arr, drops):
+    """Int 1/0 keep-mask over ``arr`` with 0 at each 0-based position in
+    ``drops`` (sorted, distinct, < size(arr)) — the O(n + r) mask
+    counterpart of ``_drop_at_positions``: runs of 1s between dropped
+    positions, a 0 at each, built by segments and flattened (the
+    sentinel segment's trailing 0 is sliced off)."""
+    bounds = F.concat(
+        F.array(F.lit(-1).cast("int")),
+        drops.cast("array<int>"),
+        F.array(F.size(arr)),
+    )
+    nseg = F.size(bounds) - 1
+    segs = F.zip_with(
+        F.slice(bounds, 1, nseg),
+        F.slice(bounds, 2, nseg),
+        lambda a, b: F.concat(
+            F.array_repeat(F.lit(1).cast("int"), b - a - 1),
+            F.array(F.lit(0).cast("int")),
+        ),
+    )
+    return F.slice(F.flatten(segs), 1, F.size(arr))
+
+
 def scrub_duplicate_spans(docs: DataFrame, k: int = 5, min_df: int = 2) -> DataFrame:
     """Remove corpus-wide duplicated spans from every document: drop
     each word covered by a ``k``-gram that occurs ``min_df``-or-more
     times in the corpus (see `duplicate_spans`).  Removal — never
     rewriting — so a hash collision can at worst drop a span, and the
-    whole rebuild stays JVM-side: covered indices come from
+    whole rebuild stays JVM-side AND linear: covered indices come from
     flatten/sequence over the duplicate start positions, and the kept
-    words from a single filter-with-index.  Returns (doc_id, source,
-    text) with the scrubbed text."""
+    words from segment slices between consecutive dropped positions
+    (``_drop_at_positions`` — O(n + removed), never the O(n × removed)
+    per-element membership probe).  Returns (doc_id, source, text)
+    with the scrubbed text."""
     words = F.split("text", " ")
     base = docs.select(
         "doc_id",
@@ -2296,19 +2343,19 @@ def scrub_duplicate_spans(docs: DataFrame, k: int = 5, min_df: int = 2) -> DataF
         .agg(F.collect_list("pos").alias("ps"))
     )
     j = base.join(per_doc, "doc_id", "left")
-    covered = F.array_distinct(
-        F.flatten(
-            F.transform(
-                F.coalesce("ps", F.array()),
-                lambda p: F.sequence(
-                    p, F.least(p + F.col("keff"), F.size("w")) - 1
-                ),
+    covered = F.sort_array(
+        F.array_distinct(
+            F.flatten(
+                F.transform(
+                    F.coalesce("ps", F.array()),
+                    lambda p: F.sequence(
+                        p, F.least(p + F.col("keff"), F.size("w")) - 1
+                    ),
+                )
             )
         )
     )
-    kept = F.filter(
-        F.col("w"), lambda w, i: ~F.array_contains(F.col("cov"), i)
-    )
+    kept = _drop_at_positions(F.col("w"), F.col("cov"))
     return (
         j.withColumn("cov", covered)
         .select("doc_id", "source", F.concat_ws(" ", kept).alias("text"))
@@ -2419,22 +2466,19 @@ def dup_span_loss_mask(docs: DataFrame, k: int = 5, min_df: int = 2) -> DataFram
         .agg(F.collect_list("pos").alias("ps"))
     )
     j = base.join(per_doc, "doc_id", "left")
-    covered = F.array_distinct(
-        F.flatten(
-            F.transform(
-                F.coalesce("ps", F.array()),
-                lambda p: F.sequence(
-                    p, F.least(p + F.col("keff"), F.size("w")) - 1
-                ),
+    covered = F.sort_array(
+        F.array_distinct(
+            F.flatten(
+                F.transform(
+                    F.coalesce("ps", F.array()),
+                    lambda p: F.sequence(
+                        p, F.least(p + F.col("keff"), F.size("w")) - 1
+                    ),
+                )
             )
         )
     )
-    mask = F.transform(
-        F.col("w"),
-        lambda _, i: F.when(F.array_contains(F.col("cov"), i), 0)
-        .otherwise(1)
-        .cast("int"),
-    )
+    mask = _zero_mask_at_positions(F.col("w"), F.col("cov"))
     return (
         j.withColumn("cov", covered)
         .select(
@@ -5628,9 +5672,10 @@ def scrub_suffix_duplicates(docs: DataFrame, gram_len: int = 5) -> DataFrame:
     ``gram_len``-gram found by ``exact_dup_positions`` — the
     collision-FREE variant of ``scrub_duplicate_spans`` (no hash
     anywhere, so nothing can even be *dropped* spuriously).  The
-    rebuild is the same pure-JVM path: covered indices from
-    flatten/sequence over dup starts, kept words from one
-    filter-with-index.  Returns (doc_id, source, text)."""
+    rebuild is the same pure-JVM linear path: covered indices from
+    flatten/sequence over dup starts, kept words from segment slices
+    between dropped positions (``_drop_at_positions``).  Returns
+    (doc_id, source, text)."""
     words = F.split("text", " ")
     base = docs.select(
         F.col("doc_id").cast("bigint").alias("doc_id"),
@@ -5644,17 +5689,17 @@ def scrub_suffix_duplicates(docs: DataFrame, gram_len: int = 5) -> DataFrame:
         .agg(F.collect_list("wpos").alias("ps"))
     )
     j = base.join(dup_starts, "doc_id", "left")
-    covered = F.array_distinct(
-        F.flatten(
-            F.transform(
-                F.coalesce("ps", F.array().cast("array<int>")),
-                lambda p: F.sequence(p, p + F.lit(gram_len - 1)),
+    covered = F.sort_array(
+        F.array_distinct(
+            F.flatten(
+                F.transform(
+                    F.coalesce("ps", F.array().cast("array<int>")),
+                    lambda p: F.sequence(p, p + F.lit(gram_len - 1)),
+                )
             )
         )
     )
-    kept = F.filter(
-        F.col("w"), lambda w, i: ~F.array_contains(F.col("cov"), i)
-    )
+    kept = _drop_at_positions(F.col("w"), F.col("cov"))
     return (
         j.withColumn("cov", covered)
         .select("doc_id", "source", F.concat_ws(" ", kept).alias("text"))
@@ -5897,7 +5942,7 @@ def dedup_lines(
     out = docs.join(ps, "doc_id", "left")
     arr = F.split("text", sep)
     pcol = F.coalesce("ps", F.array().cast("array<int>"))
-    kept = F.filter(arr, lambda l, i: ~F.array_contains(pcol, i))
+    kept = _drop_at_positions(arr, pcol)
     return out.select(
         "doc_id",
         "source",

@@ -262,3 +262,31 @@ def test_dedup_lines_hash_keys_equivalent(spark, linedocs):
     assert {k: (v.text, v.n_removed) for k, v in a.items()} == {
         k: (v.text, v.n_removed) for k, v in b.items()
     }
+
+
+def test_dedup_lines_pathological_many_removals(spark):
+    """ADVICE r4: the rebuild must stay linear when MOST of a
+    multi-thousand-line document is removed — and byte-exact.  One doc
+    carries 4000 lines of which 3999 are corpus duplicates; the rebuild
+    keeps exactly the unique one."""
+    from archive_spark import pipeline_ops as po
+
+    boiler = "\n".join(f"dup line {i % 40}" for i in range(3999))
+    docs = spark.createDataFrame(
+        [
+            (1, boiler + "\nunique keeper line", "s0"),
+            (2, "\n".join(f"dup line {i}" for i in range(40)), "s1"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    out = {r["doc_id"]: r for r in po.dedup_lines(docs, min_chars=1).collect()}
+    # doc 2 is first (doc_id ordering? no — keep-first is by (doc_id,pos):
+    # doc 1 owns the first occurrence of every "dup line k", so doc 1
+    # keeps 40 distinct boiler lines + the keeper; doc 2 loses all 40.
+    assert out[1]["n_removed"] == 3999 - 40
+    assert out[1]["n_lines"] == 4000
+    kept1 = out[1]["text"].split("\n")
+    assert kept1[-1] == "unique keeper line"
+    assert len(kept1) == 41
+    assert out[2]["text"] == ""
+    assert out[2]["n_removed"] == 40
