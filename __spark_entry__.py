@@ -5337,8 +5337,10 @@ def oracle_sql() -> dict[str, str]:
         ),
         "secret_scan": (
             _sec_docs + ", "
+            "sec_words AS (SELECT doc_id, source, "
+            "unnest(string_split(text, ' ')) AS wtok FROM sec_docs), "
             "sec_toks AS (SELECT doc_id, source, "
-            "unnest(string_split(text, ' ')) AS tok FROM sec_docs), "
+            "unnest(string_split(wtok, chr(10))) AS tok FROM sec_words), "
             "sec_hits AS (SELECT doc_id, source, tok, "
             + _sec_kind + " AS kind, "
             "length(list_distinct(string_split(tok, ''))) AS nd "
@@ -5353,9 +5355,11 @@ def oracle_sql() -> dict[str, str]:
             _sec_docs + ", "
             "sec_masked AS (SELECT doc_id, source, "
             "array_to_string(list_transform(string_split(text, ' '), "
+            "w -> array_to_string(list_transform(string_split(w, chr(10)), "
             "tok -> CASE WHEN " + _sec_flag + " THEN '[SECRET]' "
-            "ELSE tok END), ' ') AS text, "
-            "len(list_filter(string_split(text, ' '), "
+            "ELSE tok END), chr(10))), ' ') AS text, "
+            "len(list_filter(flatten(list_transform(string_split(text, ' '), "
+            "w -> string_split(w, chr(10)))), "
             "tok -> " + _sec_flag + ")) AS n_masked "
             "FROM sec_docs) "
             "SELECT source, COUNT(*)::BIGINT AS n_docs, "

@@ -6003,19 +6003,33 @@ def detect_secrets(
     pre-training scrub that catches what ``scrub_pii`` (emails/phones)
     does not: API keys, bearer tokens, hex digests, high-entropy blobs.
 
-    Detection contract (kept deliberately word-level so the scrub in
+    Detection contract (kept deliberately token-level so the scrub in
     ``scrub_secrets`` is an exact JVM rebuild, not a regex replace that
-    could rewrite un-flagged bytes): a token is a secret iff it is one
+    could rewrite un-flagged bytes): candidate tokens are the space-
+    split words, each further split on newline (ADVICE r4: a credential
+    with an adjacent or trailing ``\\n`` must not smuggle the newline
+    into the base64url gate); a token is a secret iff it is one
     unbroken base64ish run of >= ``min_len`` chars AND (it carries a
     known vendor prefix OR its distinct-character count >=
     ``min_distinct``).  All gates are integer-exact and portable.
+    Recall is guaranteed for space- and newline-delimited credentials;
+    a token glued to other punctuation (``key=AKIA...``) is out of
+    contract by design (masking it would rewrite un-flagged bytes).
 
-    One scan, one explode, no Python.  Returns one row per hit:
-    (doc_id, source, pos, kind, tok_len, n_distinct) — callers
-    aggregate; no secret text leaves the plan.
+    One scan, two nested explodes, no Python.  Returns one row per hit:
+    (doc_id, source, pos, seg, kind, tok_len, n_distinct) — ``pos`` is
+    the space-split word index, ``seg`` the newline segment index
+    within it.  Callers aggregate; no secret text leaves the plan.
     """
     toks = docs.select(
-        "doc_id", "source", F.posexplode(F.split("text", " ")).alias("pos", "tok")
+        "doc_id",
+        "source",
+        F.posexplode(F.split("text", " ")).alias("pos", "wtok"),
+    ).select(
+        "doc_id",
+        "source",
+        "pos",
+        F.posexplode(F.split("wtok", "\n")).alias("seg", "tok"),
     )
     t = F.col("tok")
     hits = toks.filter(_secret_flag(t, min_len, min_distinct))
@@ -6023,6 +6037,7 @@ def detect_secrets(
         "doc_id",
         "source",
         "pos",
+        "seg",
         _secret_kind(t).alias("kind"),
         F.length(t).cast("bigint").alias("tok_len"),
         F.size(
@@ -6038,22 +6053,39 @@ def scrub_secrets(
     mask: str = "[SECRET]",
 ) -> DataFrame:
     """Mask every token ``detect_secrets`` would flag, in place, via one
-    JVM ``transform`` over the split words — order-preserving, no
-    shuffle, and structurally incapable of touching un-flagged tokens
-    (the regex never rewrites; it only selects whole words).  Returns
-    (doc_id, source, text, n_masked).
+    JVM ``transform`` over the split words (each word's newline
+    segments masked independently and rejoined with ``\\n`` — lossless,
+    matching detect_secrets' two-level tokenization) — order-
+    preserving, no shuffle, and structurally incapable of touching
+    un-flagged tokens (the regex never rewrites; it only selects whole
+    newline-bounded tokens).  Returns (doc_id, source, text, n_masked)
+    where ``n_masked`` counts masked segments.
     """
     words = F.split("text", " ")
-    flagged = F.transform(
-        words, lambda w: _secret_flag(w, min_len, min_distinct)
-    )
-    masked = F.zip_with(
-        words, flagged, lambda w, fl: F.when(fl, F.lit(mask)).otherwise(w)
-    )
+
+    def _mask_word(w):
+        segs = F.split(w, "\n")
+        return F.array_join(
+            F.transform(
+                segs,
+                lambda s: F.when(
+                    _secret_flag(s, min_len, min_distinct), F.lit(mask)
+                ).otherwise(s),
+            ),
+            "\n",
+        )
+
+    masked = F.transform(words, _mask_word)
     n_masked = F.aggregate(
-        flagged,
+        words,
         F.lit(0).cast("bigint"),
-        lambda acc, fl: acc + fl.cast("bigint"),
+        lambda acc, w: acc
+        + F.size(
+            F.filter(
+                F.split(w, "\n"),
+                lambda s: _secret_flag(s, min_len, min_distinct),
+            )
+        ).cast("bigint"),
     )
     return docs.select(
         "doc_id",
