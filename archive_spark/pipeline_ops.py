@@ -5728,9 +5728,15 @@ def line_occurrence_table(
     normalize: bool = False,
 ) -> DataFrame:
     """Every line occurrence in the corpus with its global duplication
-    facts — the shared scan under ``line_dedup_stats`` / ``dedup_lines``
-    (CCNet's paragraph-dedup stage: Wenzek et al. 2020, *CCNet:
-    Extracting High Quality Monolingual Datasets from Web Crawl Data*).
+    facts — the standalone per-occurrence face of CCNet's paragraph-
+    dedup stage (Wenzek et al. 2020, *CCNet: Extracting High Quality
+    Monolingual Datasets from Web Crawl Data*).  ``line_dedup_stats``
+    and ``dedup_lines`` implement FUSED specializations of this same
+    scan shape (class-level aggregate / dropped-position rebuild) that
+    never materialize the per-occurrence rows; use this entry point
+    when a consumer needs the occurrence table itself (custom
+    policies, audits).  Contract pinned by
+    ``tests/test_line_secrets.py::test_line_occurrence_table_contract``.
 
     ``normalize=True`` matches lines by ``ccnet_line_key`` (case /
     digit / punctuation variants collapse into one duplicate class, as
@@ -5751,8 +5757,10 @@ def line_occurrence_table(
     partition) → one co-partitioned join back.  Shuffle keys are the
     line/key strings themselves: collision-free by construction (hash
     grouping would risk merging distinct lines and *dropping* unique
-    text).  First-occurrence order is lexicographic on (doc_id, pos) —
-    engine-portable with zero-padded ids.
+    text).  First occurrence = min(struct(doc_id, pos)), i.e. ordered
+    by doc_id's NATIVE type ordering then pos — numeric for the
+    corpus's BIGINT ids; lexicographic only when ids are strings
+    (ADVICE r4: don't promise "lexicographic" for numeric ids).
 
     Returns (doc_id, source, pos, line, eligible, cnt, is_first).
     """
@@ -5888,7 +5896,8 @@ def dedup_lines(
 ) -> DataFrame:
     """CCNet-style line/paragraph dedup: drop every eligible line whose
     match key occurs ``min_count``-or-more times corpus-wide, keeping
-    the first occurrence (lexicographic (doc_id, pos)) unless
+    the first occurrence (min(struct(doc_id, pos)) — doc_id's native
+    type ordering, then pos) unless
     ``keep_first=False`` (then ALL occurrences of duplicated lines go —
     the aggressive boilerplate kill).  ``normalize=True`` matches by
     ``ccnet_line_key``; removal always targets ORIGINAL bytes.

@@ -313,3 +313,42 @@ def test_secret_detection_across_newlines(spark):
     assert masked["d3"].text == "[SECRET]\nstarts the doc"
     assert masked["d4"].text == "no secrets\nhere at\nall"
     assert masked["d4"].n_masked == 0
+
+
+def test_line_occurrence_table_contract(spark):
+    """Pins line_occurrence_table's per-occurrence contract (ADVICE r4:
+    it must not drift from the fused line_dedup_stats/dedup_lines
+    faces): one row per line occurrence, eligibility by trimmed key
+    length, cnt = corpus-wide class size over eligible rows, is_first
+    marks min(struct(doc_id, pos)) per class (ineligible rows are
+    always their own 'first')."""
+    from archive_spark import pipeline_ops as po
+
+    docs = spark.createDataFrame(
+        [
+            (2, "dup\nunique a\n \ndup", "s0"),
+            (1, "dup\nunique b", "s1"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    rows = {
+        (r.doc_id, r.pos): r
+        for r in po.line_occurrence_table(docs, min_chars=1).collect()
+    }
+    assert len(rows) == 6
+    # "dup" appears 3x; first is (doc 1, pos 0) — numeric doc_id order
+    assert rows[(1, 0)].cnt == 3 and rows[(1, 0)].is_first
+    assert rows[(2, 0)].cnt == 3 and not rows[(2, 0)].is_first
+    assert rows[(2, 3)].cnt == 3 and not rows[(2, 3)].is_first
+    # uniques
+    assert rows[(2, 1)].cnt == 1 and rows[(2, 1)].is_first
+    assert rows[(1, 1)].cnt == 1 and rows[(1, 1)].is_first
+    # whitespace-only line: ineligible, cnt 0, passes through as first
+    blank = rows[(2, 2)]
+    assert not blank.eligible and blank.cnt == 0 and blank.is_first
+    # dedup_lines agrees with the occurrence table's is_first verdicts
+    scrubbed = {
+        r.doc_id: r.text for r in po.dedup_lines(docs, min_chars=1).collect()
+    }
+    assert scrubbed[1] == "dup\nunique b"
+    assert scrubbed[2] == "unique a\n "
