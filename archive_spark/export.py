@@ -37,9 +37,23 @@ def export_tar_shards(
     id_col: str = "doc_id",
     tokens_col: str = "tokens",
     dtype: str = "i4",
+    parts_per_shard: int = 1,
 ) -> DataFrame:
-    """Export ``df`` to ``out_dir/shard-%05d.tar`` and return the shard
-    manifest ``(shard, path, n_docs, n_tokens, bytes, payload_crc32)``.
+    """Export ``df`` to ``out_dir/shard-%05d.tar`` (or, with
+    ``parts_per_shard > 1``, ``shard-%05d-part-%03d.tar``) and return
+    the manifest ``(shard, part, path, n_docs, n_tokens, bytes,
+    payload_crc32)`` — one row per physical tar.
+
+    Write parallelism == number of physical tar streams ==
+    ``n_shards × parts_per_shard`` (each tar is a single sequential
+    stream; the per-doc tar-header loop is inherent to the format), so
+    ``parts_per_shard`` is THE throughput knob when the consumer wants
+    few logical shards: raise it toward
+    ``spark.sql.shuffle.partitions / n_shards`` and the writer scales
+    to the cluster, while readers keep addressing the logical shard as
+    the union of its parts (``read_tar_shards`` globs both layouts).
+    Part assignment is an independent deterministic hash of the doc id,
+    so output bytes remain identical at any cluster size.
 
     ``payload_crc32`` is the running CRC-32 over the concatenated token
     payloads in doc_id order — the same gate every archive decoder in
@@ -56,33 +70,52 @@ def export_tar_shards(
 
     if dtype not in ("i4", "i8"):
         raise ValueError(f"unsupported token dtype {dtype!r}")
+    if parts_per_shard < 1:
+        raise ValueError("parts_per_shard must be >= 1")
     os.makedirs(out_dir, exist_ok=True)
 
     cols = [id_col, tokens_col]
     extra = [c for c in ("source", "n_tok") if c in df.columns]
+    # part uses a SEEDED hash (extra literal column) so it is independent
+    # of the shard hash — otherwise part would be a deterministic
+    # function of shard and all docs of a shard would land in part 0
     parted = (
         df.select(
             F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_shards))
             .cast("long")
             .alias("_shard"),
+            F.pmod(
+                F.xxhash64(F.col(id_col), F.lit("part")),
+                F.lit(parts_per_shard),
+            )
+            .cast("long")
+            .alias("_part"),
             *[F.col(c) for c in cols + extra],
         )
-        .repartition(n_shards, "_shard")
-        .sortWithinPartitions("_shard", id_col)
+        .repartition(n_shards * parts_per_shard, "_shard", "_part")
+        .sortWithinPartitions("_shard", "_part", id_col)
     )
 
     np_dtype = np.dtype("<i4") if dtype == "i4" else np.dtype("<i8")
 
     def _write(it):
-        state: dict = {}  # shard -> [tarfile, tmp_path, n_docs, n_tokens, crc]
+        # (shard, part) -> [tarfile, tmp_path, n_docs, n_tokens, crc]
+        state: dict = {}
 
-        def _finish(shard):
-            tf, tmp, n_docs, n_tokens, crc = state.pop(shard)
+        def _finish(key):
+            shard, part = key
+            tf, tmp, n_docs, n_tokens, crc = state.pop(key)
             tf.close()
-            final = os.path.join(out_dir, f"shard-{shard:05d}.tar")
+            name = (
+                f"shard-{shard:05d}.tar"
+                if parts_per_shard == 1
+                else f"shard-{shard:05d}-part-{part:03d}.tar"
+            )
+            final = os.path.join(out_dir, name)
             os.replace(tmp, final)
             return (
                 shard,
+                part,
                 final,
                 n_docs,
                 n_tokens,
@@ -99,6 +132,7 @@ def export_tar_shards(
             # materialize every token as a Python int (the old hot spot:
             # ~100M PyLong allocations per bench run).
             shards = batch.column("_shard").to_numpy(zero_copy_only=False)
+            parts = batch.column("_part").to_numpy(zero_copy_only=False)
             ids = batch.column(id_col).to_pylist()
             tok_arr = batch.column(tokens_col)
             off = tok_arr.offsets.to_numpy(zero_copy_only=False)
@@ -117,19 +151,21 @@ def export_tar_shards(
                 c: batch.column(c).to_pylist() for c in extra if c != "n_tok"
             }
             for i in range(batch.num_rows):
-                shard = int(shards[i])
-                if shard not in state:
+                key = (int(shards[i]), int(parts[i]))
+                if key not in state:
                     tmp = os.path.join(
-                        out_dir, f".shard-{shard:05d}.tar.tmp-{os.getpid()}"
+                        out_dir,
+                        f".shard-{key[0]:05d}-{key[1]:03d}"
+                        f".tar.tmp-{os.getpid()}",
                     )
-                    state[shard] = [
+                    state[key] = [
                         tarfile.open(tmp, "w", format=tarfile.USTAR_FORMAT),
                         tmp,
                         0,
                         0,
                         0,
                     ]
-                ent = state[shard]
+                ent = state[key]
                 doc_id = ids[i]
                 lo, hi = off[i], off[i + 1]
                 payload = vals[lo:hi].tobytes()
@@ -157,25 +193,34 @@ def export_tar_shards(
                 ent[2] += 1
                 ent[3] += int(hi - lo)
                 ent[4] = zlib.crc32(payload, ent[4])
-        for shard in sorted(state):
-            done.append(_finish(shard))
+        for key in sorted(state):
+            done.append(_finish(key))
         if done:
             arrays = list(zip(*done))
             yield pa.RecordBatch.from_arrays(
                 [
                     pa.array(arrays[0], pa.int64()),
-                    pa.array(arrays[1], pa.string()),
-                    pa.array(arrays[2], pa.int64()),
+                    pa.array(arrays[1], pa.int64()),
+                    pa.array(arrays[2], pa.string()),
                     pa.array(arrays[3], pa.int64()),
                     pa.array(arrays[4], pa.int64()),
                     pa.array(arrays[5], pa.int64()),
+                    pa.array(arrays[6], pa.int64()),
                 ],
-                ["shard", "path", "n_docs", "n_tokens", "bytes", "payload_crc32"],
+                [
+                    "shard",
+                    "part",
+                    "path",
+                    "n_docs",
+                    "n_tokens",
+                    "bytes",
+                    "payload_crc32",
+                ],
             )
 
     return parted.mapInArrow(
         _write,
-        "shard long, path string, n_docs long, n_tokens long, "
+        "shard long, part long, path string, n_docs long, n_tokens long, "
         "bytes long, payload_crc32 long",
     )
 

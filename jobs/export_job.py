@@ -3,7 +3,7 @@ layout, archive_spark/export.py) — the serving-side interop CLI.
 
     spark-submit --py-files dist/archive_spark.zip jobs/export_job.py \
         --input /data/tokens_parquet_or_snapshot_table \
-        --out /data/shards --shards 64 [--dtype i4] [--verify]
+        --out /data/shards --shards 64 [--parts 4] [--dtype i4] [--verify]
 
 ``--input`` accepts a plain parquet directory OR a snapshot table dir
 (detected by its ``_current`` pointer; the current snapshot is read,
@@ -25,6 +25,13 @@ def main() -> None:
     ap.add_argument("--input", required=True)
     ap.add_argument("--out", required=True)
     ap.add_argument("--shards", type=int, default=8)
+    ap.add_argument(
+        "--parts",
+        type=int,
+        default=1,
+        help="physical tar streams per logical shard; write parallelism"
+        " = shards*parts (raise toward shuffle partitions / shards)",
+    )
     ap.add_argument("--dtype", choices=("i4", "i8"), default="i4")
     ap.add_argument("--verify", action="store_true")
     args = ap.parse_args()
@@ -42,11 +49,16 @@ def main() -> None:
         df = spark.read.parquet(args.input)
 
     man = export.export_tar_shards(
-        df, args.out, n_shards=args.shards, dtype=args.dtype
+        df,
+        args.out,
+        n_shards=args.shards,
+        dtype=args.dtype,
+        parts_per_shard=args.parts,
     ).collect()
     out: dict = {
         "out": args.out,
-        "n_shards": len(man),
+        "n_tars": len(man),
+        "n_shards": args.shards,
         "n_docs": sum(r["n_docs"] for r in man),
         "n_tokens": sum(r["n_tokens"] for r in man),
         "bytes": sum(r["bytes"] for r in man),

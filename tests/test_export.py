@@ -87,3 +87,36 @@ def test_i4_overflow_raises(spark, tmp_path):
     )
     with pytest.raises(Exception, match="i4 range"):
         export.export_tar_shards(df, out, n_shards=1).collect()
+
+
+def test_export_parts_per_shard_scales_write_streams(spark, toks, tmp_path):
+    """VERDICT r4 #7: parts_per_shard multiplies the number of physical
+    tar streams (write parallelism) without changing the logical shard
+    contract — the union of a shard's parts holds exactly the shard's
+    docs, bytes are deterministic at any input partitioning, and the
+    engine's own walker round-trips the part layout bit-identical."""
+    a, b = str(tmp_path / "pa"), str(tmp_path / "pb")
+    man = export.export_tar_shards(
+        toks, a, n_shards=2, parts_per_shard=3
+    ).collect()
+    export.export_tar_shards(
+        toks.repartition(17), b, n_shards=2, parts_per_shard=3
+    ).collect()
+    assert _shard_md5s(a) == _shard_md5s(b)
+    names = sorted(glob.glob(a + "/shard-*-part-*.tar"))
+    assert len(names) == len(man) and len(man) <= 6
+    # manifest unions: per-shard doc totals equal the parts=1 manifest
+    flat = {}
+    for r in man:
+        flat[r["shard"]] = flat.get(r["shard"], 0) + r["n_docs"]
+    ref = {
+        r["shard"]: r["n_docs"]
+        for r in export.export_tar_shards(
+            toks, str(tmp_path / "ref"), n_shards=2
+        ).collect()
+    }
+    assert flat == ref
+    back = export.read_tar_shards(spark, a)
+    joined = toks.alias("x").join(back.alias("y"), "doc_id")
+    assert joined.count() == toks.count()
+    assert joined.filter(F.col("x.tokens") != F.col("y.tokens")).count() == 0
