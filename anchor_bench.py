@@ -46,6 +46,11 @@ def main() -> None:
                          "and scrub face over the token corpus wrapped into "
                          "8-token lines, gated by exact agreement of their "
                          "removal totals")
+    ap.add_argument("--export", action="store_true",
+                    help="also anchor the tar-shard export writer at two "
+                         "stream counts (8 shards x 1 part vs x 4 parts) "
+                         "with union/total gates — the write-scaling "
+                         "evidence for parts_per_shard")
     ap.add_argument("--embeddings", type=int, default=0,
                     help="also anchor the float lane with N synthetic vectors")
     ap.add_argument("--index", action="store_true",
@@ -470,6 +475,48 @@ def main() -> None:
         out["suffix_gate_exact_eq_hashed"] = int(hashed.n or 0) == int(
             row.n_dup_pos
         )
+
+    # ---- export-writer anchor: same corpus packed twice — 8 physical
+    # tar streams vs 32 (parts_per_shard=4) — write scaling evidence
+    # for the parts knob, gated by logical-shard union equality
+    if args.export:
+        from archive_spark import export as ex_mod
+
+        exp1, exp4 = f"{scratch}/export_p1", f"{scratch}/export_p4"
+        shutil.rmtree(exp1, ignore_errors=True)
+        shutil.rmtree(exp4, ignore_errors=True)
+        t0 = time.perf_counter()
+        man1 = ex_mod.export_tar_shards(tokens, exp1, n_shards=8).collect()
+        dt1 = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        man4 = ex_mod.export_tar_shards(
+            tokens, exp4, n_shards=8, parts_per_shard=4
+        ).collect()
+        dt4 = time.perf_counter() - t0
+        out["export_p1_sec"] = round(dt1, 1)
+        out["export_p4_sec"] = round(dt4, 1)
+        out["export_p1_streams"] = len(man1)
+        out["export_p4_streams"] = len(man4)
+        out["export_p1_mtok_per_sec"] = round(n_tok / dt1 / 1e6, 1)
+        out["export_p4_mtok_per_sec"] = round(n_tok / dt4 / 1e6, 1)
+        out["export_speedup_4x_streams"] = round(dt1 / dt4, 2)
+        sh1: dict = {}
+        sh4: dict = {}
+        for r in man1:
+            sh1[r["shard"]] = sh1.get(r["shard"], 0) + r["n_docs"]
+        for r in man4:
+            sh4[r["shard"]] = sh4.get(r["shard"], 0) + r["n_docs"]
+        out["export_gate_totals"] = (
+            sum(r["n_docs"] for r in man1),
+            sum(r["n_tokens"] for r in man1),
+        ) == (
+            sum(r["n_docs"] for r in man4),
+            sum(r["n_tokens"] for r in man4),
+        ) == (args.docs, int(n_tok))
+        out["export_gate_shard_union"] = sh1 == sh4
+        if not args.keep:
+            shutil.rmtree(exp1, ignore_errors=True)
+            shutil.rmtree(exp4, ignore_errors=True)
 
     # ---- line-dedup anchor: CCNet keep-first line dedup at corpus
     # scale, both faces, gated by exact agreement of removal totals
