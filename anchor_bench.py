@@ -449,7 +449,12 @@ def main() -> None:
             "source",
         ).filter(F.col("n_tok") >= gl)
         t0 = time.perf_counter()
-        dp = po.exact_dup_positions(sfx_view, gram_len=gl)
+        # spill_dir: per-round materialization caps live shuffle disk at
+        # ~2 rounds (the 425M-position chain otherwise accumulates every
+        # round's shuffle files and overran this box's scratch volume)
+        dp = po.exact_dup_positions(
+            sfx_view, gram_len=gl, spill_dir=f"{scratch}/sfx_spill"
+        )
         row = dp.agg(
             F.count("*").alias("n_pos"),
             F.sum(

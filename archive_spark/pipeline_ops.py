@@ -5404,7 +5404,9 @@ def _group_min_join(df: DataFrame, keys: list, out: str = "g") -> DataFrame:
     return df.join(m, keys).select("pos", F.col("__gm").alias(out), *drop)
 
 
-def exact_dup_positions(docs: DataFrame, gram_len: int = 5) -> DataFrame:
+def exact_dup_positions(
+    docs: DataFrame, gram_len: int = 5, spill_dir: str | None = None
+) -> DataFrame:
     """EXACT corpus substring-duplicate detection via prefix-group
     doubling — the suffix-array construction of Lee et al. 2022
     ("Deduplicating Training Data Makes Language Models Better")
@@ -5445,6 +5447,18 @@ def exact_dup_positions(docs: DataFrame, gram_len: int = 5) -> DataFrame:
     their forced-singleton group (gcnt = 1).  ``source`` is NOT carried
     (it would widen every round's shuffle): consumers join it back by
     ``doc_id`` at per-doc width.
+
+    ``spill_dir`` bounds the job's LIVE shuffle footprint for corpus-
+    scale runs: without it, one long plan keeps every round's shuffle
+    files on disk until the final action (~2 exchanges × rounds ×
+    corpus width — the 425M-position anchor overran a 77 GB scratch
+    volume exactly this way).  With it, each round materializes its
+    (pos, g) table to ``spill_dir/round_<k>`` parquet and re-reads,
+    truncating lineage so the ContextCleaner can drop the previous
+    rounds' shuffle files (a driver-side GC nudge is issued); the
+    previous round's parquet is deleted as soon as the next round is
+    durable, capping live intermediates at ~2 rounds of 16-byte rows
+    regardless of chain depth.  Identical values either way.
     """
     if gram_len < 1:
         raise ValueError("gram_len must be >= 1")
@@ -5458,6 +5472,24 @@ def exact_dup_positions(docs: DataFrame, gram_len: int = 5) -> DataFrame:
     # collapses it map-side and AQE can skew-split the join.
     g0 = _group_min_join(base.select("pos", "word"), ["word"])
 
+    prev_spill: list[str] = []
+
+    def _mat(df: DataFrame, k: int) -> DataFrame:
+        if spill_dir is None:
+            return df
+        import shutil as _sh
+
+        path = f"{spill_dir}/round_{k}"
+        df.write.mode("overwrite").parquet(path)
+        sess = df.sparkSession
+        if prev_spill:
+            _sh.rmtree(prev_spill.pop(), ignore_errors=True)
+        prev_spill.append(path)
+        # lineage is truncated; nudge the driver JVM so ContextCleaner
+        # reclaims the now-unreferenced earlier rounds' shuffle files
+        sess.sparkContext._jvm.System.gc()
+        return sess.read.parquet(path)
+
     def _combine(cur: DataFrame, h: int) -> DataFrame:
         shifted = cur.select(
             (F.col("pos") - h).alias("pos"), F.col("g").alias("g2")
@@ -5470,13 +5502,16 @@ def exact_dup_positions(docs: DataFrame, gram_len: int = 5) -> DataFrame:
         )
         return _group_min_join(paired, ["g", "g2"])
 
-    cur = g0
+    k = 0
+    cur = _mat(g0, k)
     reach = 1  # current level groups by `reach`-grams
     while reach * 2 <= gram_len:
-        cur = _combine(cur, reach)
+        k += 1
+        cur = _mat(_combine(cur, reach), k)
         reach *= 2
     if reach < gram_len:
-        cur = _combine(cur, gram_len - reach)
+        k += 1
+        cur = _mat(_combine(cur, gram_len - reach), k)
     gcnt = cur.groupBy("g").agg(F.count("*").cast("bigint").alias("gcnt"))
     return cur.join(gcnt, "g").select(
         "pos",
@@ -5487,7 +5522,9 @@ def exact_dup_positions(docs: DataFrame, gram_len: int = 5) -> DataFrame:
     )
 
 
-def suffix_dup_stats(docs: DataFrame, gram_len: int = 5) -> DataFrame:
+def suffix_dup_stats(
+    docs: DataFrame, gram_len: int = 5, spill_dir: str | None = None
+) -> DataFrame:
     """Per-source EXACT duplicate-gram statistics off
     ``exact_dup_positions`` — the collision-free counterpart to
     ``duplicate_spans`` (same covered-words interval arithmetic:
@@ -5499,7 +5536,7 @@ def suffix_dup_stats(docs: DataFrame, gram_len: int = 5) -> DataFrame:
     positions (pins every group assignment), ``max_gsize`` = largest
     duplicate-group multiplicity seen in the source.
     """
-    dp = exact_dup_positions(docs, gram_len)
+    dp = exact_dup_positions(docs, gram_len, spill_dir=spill_dir)
     doc_src = docs.select(
         F.col("doc_id").cast("bigint").alias("doc_id"), "source"
     )
@@ -5667,7 +5704,9 @@ def dup_length_profile(docs: DataFrame, max_pow: int = 3) -> DataFrame:
     return out.orderBy("gram_len")
 
 
-def scrub_suffix_duplicates(docs: DataFrame, gram_len: int = 5) -> DataFrame:
+def scrub_suffix_duplicates(
+    docs: DataFrame, gram_len: int = 5, spill_dir: str | None = None
+) -> DataFrame:
     """Exact-lane scrub: drop every word covered by a corpus-duplicated
     ``gram_len``-gram found by ``exact_dup_positions`` — the
     collision-FREE variant of ``scrub_duplicate_spans`` (no hash
@@ -5683,7 +5722,7 @@ def scrub_suffix_duplicates(docs: DataFrame, gram_len: int = 5) -> DataFrame:
         words.alias("w"),
     )
     dup_starts = (
-        exact_dup_positions(docs, gram_len)
+        exact_dup_positions(docs, gram_len, spill_dir=spill_dir)
         .filter(F.col("gcnt") >= 2)
         .groupBy("doc_id")
         .agg(F.collect_list("wpos").alias("ps"))

@@ -247,3 +247,32 @@ def test_keep_first_on_skewed_duplicate_classes(spark):
     by_id = {r["doc_id"]: r for r in kept}
     assert by_id[0]["text"] == "boilerplate page"
     assert by_id[2000]["source"] == "s2"
+
+
+def test_exact_dup_positions_spill_dir_identical(spark, tmp_path):
+    """spill_dir (per-round lineage truncation for corpus-scale runs)
+    must not change a single group id, and must leave only the final
+    round's parquet on disk."""
+    import os
+
+    texts = [
+        (0, "a b c d e a b c d x"),
+        (1, "b c d e a b c d e a b"),
+        (3, "q"),
+    ]
+    docs = spark.createDataFrame(
+        [(i, t, "s") for i, t in texts],
+        "doc_id long, text string, source string",
+    )
+    sd = str(tmp_path / "spill")
+    plain = {
+        r["pos"]: (r["g"], r["gcnt"])
+        for r in po.exact_dup_positions(docs, 5).collect()
+    }
+    spilled = {
+        r["pos"]: (r["g"], r["gcnt"])
+        for r in po.exact_dup_positions(docs, 5, spill_dir=sd).collect()
+    }
+    assert plain == spilled
+    rounds = [d for d in os.listdir(sd) if d.startswith("round_")]
+    assert len(rounds) == 1  # earlier rounds deleted as the chain advanced
