@@ -173,10 +173,17 @@ def lsh_distinct_pairs(banded: DataFrame, max_bucket: int = 256) -> DataFrame:
     (standard MinHash-LSH practice) — a heavily duplicated corpus puts k
     near-identical docs in one bucket and a k² join blowup on one task;
     such mega-clusters belong to exact dedup upstream.  The surviving
-    join is bounded by max_bucket² rows per bucket."""
-    sized = banded.withColumn(
-        "bsz", F.count("*").over(Window.partitionBy("band", "band_hash"))
-    ).filter(F.col("bsz") <= max_bucket).drop("bsz")
+    join is bounded by max_bucket² rows per bucket.  The size probe is
+    a groupBy+semi-join, not a per-bucket window: the megabucket the
+    guard exists to drop is exactly what would pin a WindowExec task,
+    while the aggregate collapses it map-side."""
+    small = (
+        banded.groupBy("band", "band_hash")
+        .agg(F.count("*").alias("bsz"))
+        .filter(F.col("bsz") <= max_bucket)
+        .select("band", "band_hash")
+    )
+    sized = banded.join(small, ["band", "band_hash"], "left_semi")
     a = sized.alias("a")
     b = sized.alias("b")
     return (
