@@ -455,12 +455,21 @@ def main() -> None:
         dp = po.exact_dup_positions(
             sfx_view, gram_len=gl, spill_dir=f"{scratch}/sfx_spill"
         )
+        # digest sums 425M group ids each ~doc_id*2^20: far past LONG —
+        # aggregate in DECIMAL(38,0) and mod back (CLAUDE.md gotcha)
         row = dp.agg(
             F.count("*").alias("n_pos"),
             F.sum(
                 F.when(F.col("gcnt") >= 2, 1).otherwise(0)
             ).cast("bigint").alias("n_dup_pos"),
-            F.sum(F.when(F.col("gcnt") >= 2, F.col("g")).otherwise(0))
+            (
+                F.sum(
+                    F.when(F.col("gcnt") >= 2, F.col("g"))
+                    .otherwise(0)
+                    .cast("decimal(38,0)")
+                )
+                % F.lit(1 << 61).cast("decimal(38,0)")
+            )
             .cast("bigint")
             .alias("dup_digest"),
         ).collect()[0]
