@@ -352,3 +352,31 @@ def test_line_occurrence_table_contract(spark):
     }
     assert scrubbed[1] == "dup\nunique b"
     assert scrubbed[2] == "unique a\n "
+
+
+def test_drop_and_mask_helpers_property(spark):
+    """Property check of the linear rebuild helpers against the Python
+    reference on randomized (array, drop-set) cases, including empty
+    arrays, no drops, all-dropped, and adjacent runs."""
+    import random
+
+    from archive_spark import pipeline_ops as po
+    from pyspark.sql import functions as F
+
+    rng = random.Random(11)
+    rows = []
+    for _ in range(200):
+        n = rng.randint(0, 30)
+        arr = [f"w{rng.randint(0, 9)}" for _ in range(n)]
+        k = rng.randint(0, n)
+        drops = sorted(rng.sample(range(n), k)) if n else []
+        rows.append((arr, drops))
+    df = spark.createDataFrame(rows, "arr array<string>, ps array<int>")
+    got = df.select(
+        po._drop_at_positions(F.col("arr"), F.col("ps")).alias("kept"),
+        po._zero_mask_at_positions(F.col("arr"), F.col("ps")).alias("mask"),
+    ).collect()
+    for (arr, drops), r in zip(rows, got):
+        ds = set(drops)
+        assert r["kept"] == [w for i, w in enumerate(arr) if i not in ds]
+        assert r["mask"] == [0 if i in ds else 1 for i in range(len(arr))]
